@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Vector similarity primitives over `ArrayType(FloatType|DoubleType)`
+  * columns.
+  *
+  * The reference delegates all vector math to Pinecone (cosine-metric
+  * index, `/root/reference/consumer/consumer.py:58-67`) and pgvector
+  * (`/root/reference/chatbot_pg/main.py:30-41`). Here the same semantics
+  * are pure Catalyst column expressions built from higher-order functions
+  * (`zip_with` + `aggregate`), so they stay inside whole-stage codegen,
+  * need no UDF serialization, and distribute trivially: a cosine score is
+  * a per-row scalar — no shuffle, no state.
+  *
+  * All arithmetic is forced to Double (left-to-right fold) so results are
+  * reproducible across engines — the DuckDB oracle mirrors the same
+  * fold order via `list_inner_product(CAST(... AS DOUBLE[]), ...)`.
+  */
+object VectorFunctions {
+
+  /** Cast an array<float> column to array<double> element-wise. */
+  def asDouble(a: Column): Column = transform(a, _.cast(DoubleType))
+
+  /** Dot product of two numeric array columns (Double fold). */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm of a numeric array column. */
+  def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
+
+  /** Cosine similarity in [-1, 1]; null-safe on zero norms. */
+  def cosine(a: Column, b: Column): Column = {
+    val d  = dotProduct(a, b)
+    val na = l2Norm(a)
+    val nb = l2Norm(b)
+    when(na === 0.0 || nb === 0.0, lit(null).cast(DoubleType))
+      .otherwise(d / (na * nb))
+  }
+
+  /** Squared Euclidean distance. */
+  def l2DistanceSq(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Deterministic text -> fixed-dim float vector (embedding stand-in).
+    *
+    * Replaces the reference's OpenAI/MiniLM embedding calls
+    * (`/root/reference/consumer/consumer.py:33,61`,
+    * `/root/reference/chatbot_pg/main.py:30`) with a hashing-TF
+    * featurizer: token -> md5 -> bucket in [0, dim), counts
+    * L2-normalized. Pure column expressions — deterministic, codegen'd,
+    * and reproducible in any engine with md5.
+    */
+  def featurize(text: Column, dim: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    // bucket(token) = first 8 hex chars of md5 as int, mod dim
+    val counts = transform(sequence(lit(0), lit(dim - 1)), i =>
+      size(filter(toks, t =>
+        (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % dim) === i))
+        .cast(DoubleType))
+    val norm = sqrt(aggregate(counts, lit(0.0), (acc, x) => acc + x * x))
+    when(norm === 0.0, counts)
+      .otherwise(transform(counts, x => x / norm))
+  }
+}

@@ -1,0 +1,311 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator inventory (SURVEY.md §2.3-§2.7): projections,
+  * filters, joins, aggregations, sort/limit/top-k, set ops — expressed
+  * over the TPC-H-ish testdata.
+  *
+  * Scale notes (100 TB):
+  *  - dimension joins (`nation`, `region`) are explicit `broadcast()` —
+  *    no shuffle of the fact side;
+  *  - fact-fact joins (orders⋈customer) shuffle on the join key and are
+  *    AQE-eligible (skew-join, dynamic coalescing);
+  *  - aggregations are partial+final hash aggs (map-side combine) by
+  *    construction — no `collect`, no driver loops;
+  *  - filters/projections are plain column expressions so Catalyst
+  *    pushes them into the parquet scan (verified via PushedFilters).
+  *
+  * Cross-engine determinism: double SUMs go through an exact per-row
+  * `cast(decimal)` then decimal SUM then `cast(double)` — summation
+  * order no longer matters, so the DuckDB oracle matches bit-for-bit.
+  * Per-row scalar arithmetic is emitted raw: identical IEEE-754 ops in
+  * both engines produce identical bits.
+  */
+object Relational {
+
+  /** Exact distributed sum of a fixed-decimal double column: per-row
+    * decimal cast -> exact decimal sum -> double. `scale` must be >= the
+    * decimal granularity of the per-row value. */
+  def decSum(c: Column, scale: Int): Column =
+    sum(c.cast(s"decimal(30,$scale)")).cast("double")
+
+  /** DuckDB mirror of [[decSum]]. */
+  def decSumSql(expr: String, scale: Int): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(30,$scale))) AS DOUBLE)"
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ---- A1-family: grouped aggregation (TPC-H Q1 pricing summary) ----
+    GraftQuery("q01_pricing_summary",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${decSumSql("l_quantity", 2)} AS sum_qty,
+         |  ${decSumSql("l_extendedprice", 2)} AS sum_base_price,
+         |  ${decSumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS sum_disc_price,
+         |  ${decSumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)} AS sum_charge,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2000-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          decSum(col("l_quantity"), 2).as("sum_qty"),
+          decSum(col("l_extendedprice"), 2).as("sum_base_price"),
+          decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+            .as("sum_disc_price"),
+          decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // ---- F5/P-family: range filter + projection (parquet pushdown) ----
+    GraftQuery("q02_filter_pushdown_scan",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        |  AND l_quantity >= 47
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate").between(
+          lit("1996-01-01").cast("timestamp"),
+          lit("1996-12-31").cast("timestamp")))
+        .filter(col("l_quantity") >= 47)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ---- J2-family: fact⋈fact shuffle join + broadcast dim join ----
+    GraftQuery("q03_join_agg_revenue",
+      s"""SELECT n_name,
+         |  ${decSumSql("o_totalprice", 6)} AS revenue,
+         |  COUNT(*) AS n_orders
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name
+         |ORDER BY n_name""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(decSum(col("o_totalprice"), 6).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("n_name"))
+    },
+
+    // ---- T1: global top-k (TakeOrderedAndProject) ----
+    GraftQuery("q04_topk_orders",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // ---- T1 per-group: windowed top-k ----
+    GraftQuery("q05_window_topk_per_group",
+      """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3
+        |ORDER BY o_orderpriority, rk""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rk")
+    },
+
+    // ---- A2: distinct aggregation ----
+    GraftQuery("q06_distinct_count",
+      """SELECT c_mktsegment,
+        |  COUNT(DISTINCT c_nationkey) AS n_nations,
+        |  COUNT(*) AS n_cust
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(countDistinct(col("c_nationkey")).as("n_nations"),
+          count(lit(1)).as("n_cust"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // ---- J1-family: left-semi join (EXISTS) ----
+    GraftQuery("q07_semi_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // ---- left-anti join (NOT EXISTS) ----
+    GraftQuery("q08_anti_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // ---- U1: union + distinct ----
+    GraftQuery("q09_union_distinct",
+      """SELECT nk FROM (
+        |  SELECT DISTINCT nk FROM (
+        |    SELECT c_nationkey AS nk FROM customer
+        |    UNION ALL
+        |    SELECT s_nationkey AS nk FROM supplier) u) v
+        |ORDER BY nk""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+        .distinct()
+        .orderBy("nk")
+    },
+
+    // ---- U2: set difference (EXCEPT) ----
+    GraftQuery("q10_except",
+      """SELECT nk FROM (
+        |  SELECT DISTINCT c_nationkey AS nk FROM customer WHERE c_acctbal > 9000
+        |  EXCEPT
+        |  SELECT DISTINCT s_nationkey AS nk FROM supplier) t
+        |ORDER BY nk""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+        .select(col("c_nationkey").as("nk")).distinct()
+        .except(Tables.supplier(s, d).select(col("s_nationkey").as("nk"))
+          .distinct())
+        .orderBy("nk")
+    },
+
+    // ---- X7: JSON extraction (Snowflake PARSE_JSON / VARIANT analog) ----
+    GraftQuery("q11_json_extract",
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  COUNT(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(sum(get_json_object(col("props"), "$.k").cast("bigint"))
+          .cast("bigint").as("sum_k"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+
+    // ---- X8/W-family: event-time bucketing (batch analog of windows) ----
+    GraftQuery("q12_time_bucket_agg",
+      s"""SELECT strftime(ts, '%Y-%m-%d %H') AS hour,
+         |  COUNT(*) AS n,
+         |  ${decSumSql("value", 2)} AS sum_value
+         |FROM events
+         |GROUP BY 1
+         |ORDER BY hour""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"))
+        .agg(count(lit(1)).as("n"), decSum(col("value"), 2).as("sum_value"))
+        .orderBy("hour")
+    },
+
+    // ---- X1: regex extraction over documents ----
+    GraftQuery("q13_regex_extract",
+      """SELECT doc_id,
+        |  regexp_extract(text, 'b[a-z]+') AS first_b_word,
+        |  CAST(len(regexp_extract_all(text, '(scan|query|spark)')) AS BIGINT) AS n_kw
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "b[a-z]+", 0).as("first_b_word"),
+          size(regexp_extract_all(col("text"), lit("(scan|query|spark)"),
+            lit(0))).cast("bigint").as("n_kw"))
+        .orderBy("doc_id")
+    },
+
+    // ---- F1: prefix filter + agg ----
+    GraftQuery("q14_prefix_filter_agg",
+      s"""SELECT p_brand, COUNT(*) AS n,
+         |  ${decSumSql("p_retailprice", 2)} AS sum_price
+         |FROM part
+         |WHERE p_name LIKE 'small%'
+         |GROUP BY p_brand
+         |ORDER BY p_brand""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_name").startsWith("small"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), decSum(col("p_retailprice"), 2).as("sum_price"))
+        .orderBy(col("p_brand"))
+    },
+
+    // ---- F7: conditional routing (CASE WHEN) ----
+    GraftQuery("q15_conditional_route",
+      s"""SELECT CASE WHEN event_type = 'error' THEN 'bad'
+         |  WHEN event_type IN ('click','view') THEN 'engage'
+         |  ELSE 'other' END AS bucket,
+         |  COUNT(*) AS n,
+         |  ${decSumSql("value", 2)} AS sum_value
+         |FROM events
+         |GROUP BY 1
+         |ORDER BY bucket""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(when(col("event_type") === "error", "bad")
+          .when(col("event_type").isin("click", "view"), "engage")
+          .otherwise("other").as("bucket"))
+        .agg(count(lit(1)).as("n"), decSum(col("value"), 2).as("sum_value"))
+        .orderBy("bucket")
+    },
+
+    // ---- grouping-sets gap-fill: ROLLUP ----
+    GraftQuery("q16_rollup",
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+         |  COALESCE(l_linestatus, 'ALL') AS ls,
+         |  COUNT(*) AS n,
+         |  ${decSumSql("l_quantity", 2)} AS sum_qty
+         |FROM lineitem
+         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY rf, ls""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), decSum(col("l_quantity"), 2).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")
+    },
+
+    // ---- A4/D3: weighted-clamped confidence scoring ----
+    GraftQuery("q17_weighted_clamp",
+      """SELECT c_custkey,
+        |  LEAST(1.0, GREATEST(0.0, 0.7 * (c_acctbal / 10000.0) + 0.3)) AS confidence
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          least(lit(1.0), greatest(lit(0.0),
+            lit(0.7) * (col("c_acctbal") / 10000.0) + 0.3)).as("confidence"))
+        .orderBy("c_custkey")
+    },
+  )
+}
