@@ -36,7 +36,7 @@ object TextFunctions {
     val t = tokens(text)
     when(size(t) < n, array().cast("array<string>")).otherwise(
       transform(sequence(lit(1), size(t) - (n - 1)), i =>
-        concat_ws(" ", slice(t, i, n))))
+        concat_ws(" ", slice(t, i, lit(n)))))
   }
 
   /** One MinHash component: min over shingles of md5(shingle # seed).
@@ -88,9 +88,13 @@ object TextFunctions {
     * `/root/reference/llama-chatbot/main.py:211`). */
   def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
 
-  /** BPE-ish subword token estimate: word-chunks plus punctuation runs. */
+  /** BPE-ish subword token estimate: alphanumeric runs plus individual
+    * punctuation characters, counted as matches (not a split, so empty /
+    * whitespace-only text naturally counts 0). The pattern is RE2-safe
+    * (no lookahead) so the DuckDB oracle can mirror it verbatim. */
   def subwordCount(text: Column): Column =
-    size(split(trim(text), "(?=[^a-zA-Z0-9\\s])|\\s+")).cast(LongType)
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"),
+      lit(0))).cast(LongType)
 
   private val stopwords =
     Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "for")
@@ -117,10 +121,11 @@ object TextFunctions {
       (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", "")))
         .cast(DoubleType) / length(text).cast(DoubleType))
 
-  /** Composite quality score in [0,1]: the reference's weighted-clamped
-    * scoring pattern (`/root/reference/llama-chatbot/main.py:195-215`:
-    * 0.6/0.4 sub-weights, clamp to [0,1]) applied to corpus-quality
-    * features. */
+  /** Composite quality score in [0,1]: borrows the reference's
+    * weighted-sum-then-clamp scoring pattern
+    * (`/root/reference/llama-chatbot/main.py:195-215`) applied to
+    * corpus-quality features with 0.6 (length) / 0.2 (stopword) /
+    * 0.2 (punctuation) weights. */
   def qualityScore(text: Column): Column = {
     val lengthScore = least(tokenCount(text).cast(DoubleType) / 100.0, lit(1.0))
     val stopScore   = least(stopwordRatio(text) * 4.0, lit(1.0))

@@ -56,12 +56,16 @@ object VectorFunctions {
     * and reproducible in any engine with md5.
     */
   def featurize(text: Column, dim: Int): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    // bucket(token) = first 8 hex chars of md5 as int, mod dim
+    // TextFunctions.tokens guards empty/whitespace text -> empty array ->
+    // all-zero vector, which cosine() maps to null (not a spurious unit
+    // vector from md5("")).
+    val toks = TextFunctions.tokens(text)
+    // bucket(token) = first 8 hex chars of md5 as int, mod dim — computed
+    // ONCE per token (md5/conv are the expensive part), then counted.
+    val buckets = transform(toks, t =>
+      conv(substring(md5(t), 1, 8), 16, 10).cast("long") % dim)
     val counts = transform(sequence(lit(0), lit(dim - 1)), i =>
-      size(filter(toks, t =>
-        (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % dim) === i))
-        .cast(DoubleType))
+      size(filter(buckets, b => b === i.cast("long"))).cast(DoubleType))
     val norm = sqrt(aggregate(counts, lit(0.0), (acc, x) => acc + x * x))
     when(norm === 0.0, counts)
       .otherwise(transform(counts, x => x / norm))

@@ -1,0 +1,223 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` / `embeddings` — the
+  * training-data-pipeline capabilities layered on the reference's
+  * record-identity semantics (its only dedup is `list(set(...))` on CVE
+  * ids, `llama-chatbot/main.py:290-294`).
+  *
+  * Scale notes (100 TB):
+  *  - exact dedup is a hash-aggregate on a 32-byte fingerprint — one
+  *    shuffle of (fp, doc_id), map-side partial aggregation, no skew
+  *    (md5 is uniform);
+  *  - MinHash/LSH near-dup never materializes the O(n²) pair space: docs
+  *    are exploded to (band_id, band_key) and self-joined on the band
+  *    key, so candidate generation is an equi shuffle join whose output
+  *    is only the colliding pairs;
+  *  - SimHash pairs and n-gram Jaccard are demonstrated on a bounded
+  *    doc_id prefix (the un-blocked O(n²) form is the correctness
+  *    baseline; the LSH form is the scale path);
+  *  - embedding near-dup blocks on `label` (a coarse cluster/partition
+  *    id): within-block pairs only — the equi-join pattern that replaces
+  *    the full cross product at scale.
+  */
+object DedupQueries {
+
+  private val toksSql =
+    """CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |     ELSE string_split_regex(lower(trim(text)), '\s+') END""".stripMargin
+
+  /** DuckDB mirror of shingles(text, n) given a toks expression. */
+  private def shinglesSql(toks: String, n: Int): String =
+    s"""CASE WHEN len($toks) < $n THEN []::VARCHAR[]
+       |  ELSE list_transform(range(1, len($toks) - ${n - 2}),
+       |    i -> array_to_string(($toks)[i:i+${n - 1}], ' ')) END""".stripMargin
+
+  private val K_MINHASH = 12 // signature components
+  private val ROWS_PER_BAND = 3 // -> 4 bands
+  private val N_BANDS = K_MINHASH / ROWS_PER_BAND
+  private val SIMHASH_BITS = 16
+  private val HAMMING_MAX = 3
+
+  /** DuckDB mirror of minhashSignature(text, 3, K) given `sh` bound. */
+  private def sigSql: String =
+    (0 until K_MINHASH)
+      .map(i => s"list_min(list_transform(sh, s -> md5(s || '#$i')))")
+      .mkString("[", ", ", "]")
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ---- exact dedup: fingerprint hash-agg, keep-first representative ----
+    GraftQuery("q40_exact_dedup",
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies,
+        |  CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+        |FROM documents
+        |GROUP BY fp
+        |ORDER BY fp""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_copies"),
+          min(col("doc_id")).as("keep_doc_id"))
+        .orderBy("fp")
+    },
+
+    // ---- MinHash signatures + LSH band keys (per-doc, oracle-strong) ----
+    GraftQuery("q41_minhash_bands",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, ${shinglesSql("toks", 3)} AS sh FROM t
+         |      WHERE len(toks) >= 3),
+         |sig AS (SELECT doc_id, $sigSql AS sig FROM s),
+         |b AS (SELECT doc_id, g.band,
+         |        md5(array_to_string(
+         |          sig[g.band * $ROWS_PER_BAND + 1 : (g.band + 1) * $ROWS_PER_BAND],
+         |          '|')) AS band_key
+         |      FROM sig CROSS JOIN
+         |        (SELECT unnest(generate_series(0, ${N_BANDS - 1})) AS band) g)
+         |SELECT doc_id, CAST(band AS INTEGER) AS band, band_key FROM b
+         |ORDER BY doc_id, band""".stripMargin) { (s, d) =>
+      val withSig = Tables.documents(s, d)
+        .filter(size(tokens(col("text"))) >= 3)
+        .select(col("doc_id"),
+          minhashSignature(col("text"), 3, K_MINHASH).as("sig"))
+      withSig
+        .select(col("doc_id"), explode(array((0 until N_BANDS).map(b =>
+          struct(lit(b).as("band"),
+            lshBand(col("sig"), b * ROWS_PER_BAND, ROWS_PER_BAND)
+              .as("band_key"))): _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"),
+          col("bb.band_key").as("band_key"))
+        .orderBy("doc_id", "band")
+    },
+
+    // ---- MinHash/LSH candidate pairs: band-key equi self-join ----
+    GraftQuery("q42_lsh_candidate_pairs",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, ${shinglesSql("toks", 3)} AS sh FROM t
+         |      WHERE len(toks) >= 3),
+         |sig AS (SELECT doc_id, $sigSql AS sig FROM s),
+         |b AS (SELECT doc_id, g.band,
+         |        md5(array_to_string(
+         |          sig[g.band * $ROWS_PER_BAND + 1 : (g.band + 1) * $ROWS_PER_BAND],
+         |          '|')) AS band_key
+         |      FROM sig CROSS JOIN
+         |        (SELECT unnest(generate_series(0, ${N_BANDS - 1})) AS band) g)
+         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |FROM b x JOIN b y
+         |  ON x.band = y.band AND x.band_key = y.band_key
+         |  AND x.doc_id < y.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val bands = Tables.documents(s, d)
+        .filter(size(tokens(col("text"))) >= 3)
+        .select(col("doc_id"),
+          minhashSignature(col("text"), 3, K_MINHASH).as("sig"))
+        .select(col("doc_id"), explode(array((0 until N_BANDS).map(b =>
+          struct(lit(b).as("band"),
+            lshBand(col("sig"), b * ROWS_PER_BAND, ROWS_PER_BAND)
+              .as("band_key"))): _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"),
+          col("bb.band_key").as("band_key"))
+      bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- n-gram Jaccard similarity over a bounded prefix ----
+    GraftQuery("q43_ngram_jaccard",
+      s"""WITH t AS (SELECT doc_id, ${shinglesSql(s"($toksSql)", 3)} AS sh
+         |           FROM documents WHERE doc_id < 60),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        CAST(len(list_filter(list_distinct(a.sh),
+         |          x -> list_contains(b.sh, x))) AS DOUBLE)
+         |        / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+         |      FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |      WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+         |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+         |FROM p WHERE jaccard >= 0.02
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .filter(col("doc_id") < 60)
+        .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+      t.as("a").join(t.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          (size(filter(array_distinct(col("a.sh")),
+            x => array_contains(col("b.sh"), x))).cast("double") /
+            size(array_distinct(concat(col("a.sh"), col("b.sh")))))
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.02)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- SimHash fingerprints + near-dup hamming pairs ----
+    GraftQuery("q44_simhash_pairs", simhashPairsSql) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), simhash(col("text"), SIMHASH_BITS).as("sh"))
+      t.as("a").join(t.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          hammingDistance(col("a.sh"), col("b.sh"), SIMHASH_BITS)
+            .as("hamming"))
+        .filter(col("hamming") <= HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- embedding-cosine near-dup, blocked on label ----
+    GraftQuery("q45_embedding_near_dup",
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_inner_product(CAST(a.embedding AS DOUBLE[]),
+        |                     CAST(b.embedding AS DOUBLE[]))
+        |  / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(a.embedding AS DOUBLE[])))
+        |   * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])))) AS sim
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, round(sim, 6) AS sim
+        |FROM p WHERE sim >= 0.3
+        |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      e.as("a")
+        .join(e.as("b"),
+          col("a.label") === col("b.label") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          cosine(col("a.embedding"), col("b.embedding")).as("sim"))
+        .filter(col("sim") >= 0.3)
+        .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
+        .orderBy("vec_a", "vec_b")
+    },
+  )
+
+  /** DuckDB mirror of simhash(text, SIMHASH_BITS) + pairwise hamming. */
+  private def simhashPairsSql: String = {
+    val bits = (0 until SIMHASH_BITS).map { j =>
+      s"""CASE WHEN list_sum(list_transform(hs,
+         |  h -> ((h >> $j) % 2) * 2 - 1)) > 0
+         |  THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+    val ham = (0 until SIMHASH_BITS).map { j =>
+      s"abs((a.sh >> $j) % 2 - (b.sh >> $j) % 2)"
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id,
+       |  list_transform($toksSql,
+       |    x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) AS hs
+       |  FROM documents WHERE doc_id < 100),
+       |f AS (SELECT doc_id, $bits AS sh FROM t)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(($ham) AS BIGINT) AS hamming
+       |FROM f a JOIN f b ON a.doc_id < b.doc_id
+       |WHERE ($ham) <= $HAMMING_MAX
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+}

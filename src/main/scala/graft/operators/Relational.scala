@@ -115,7 +115,7 @@ object Relational {
 
     // ---- T1 per-group: windowed top-k ----
     GraftQuery("q05_window_topk_per_group",
-      """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+      """SELECT o_orderpriority, CAST(rk AS INTEGER) AS rk, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
         |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rk

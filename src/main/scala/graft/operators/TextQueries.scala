@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: token/subword
+  * counting, quality scoring, language ID, fingerprinting — the
+  * corpus-scale generalization of the reference's word-count features
+  * (`llama-chatbot/main.py:211-212`) and phrase-set eval
+  * (`llama-chatbot/eval.py:16-30`).
+  *
+  * Every function is a pure per-row Column expression: no UDFs, no
+  * shuffle, fully inside whole-stage codegen — at 100 TB these scans are
+  * embarrassingly parallel and bounded by parquet read throughput.
+  *
+  * Oracle mirrors re-express the identical arithmetic in DuckDB
+  * (string_split_regex / list_filter / list_transform); doubles are
+  * rounded at 6dp on both sides after identical per-row IEEE-754 ops.
+  */
+object TextQueries {
+
+  /** DuckDB mirror of TextFunctions.tokens. */
+  private val toksSql =
+    """CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |     ELSE string_split_regex(lower(trim(text)), '\s+') END""".stripMargin
+
+  private val stopSqlList =
+    "['the','a','an','of','to','and','in','is','on','for']"
+
+  // Tiny per-language stopword profiles for the n-gram/stopword language
+  // heuristic. Deliberately small and deterministic (not a real langid
+  // model); the oracle mirrors the exact same sets.
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "und", "die", "das", "ist"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "est"))
+
+  /** Stopword-profile language guess: argmax over per-language hit
+    * counts, ties broken by profile order; no hits -> "und" (undetermined). */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val scores = langProfiles.map { case (lang, words) =>
+      lang -> size(filter(t, x => x.isInCollection(words)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, sc), els) =>
+      when(sc === best && best > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** DuckDB mirror of [[langId]] (same profiles, same tie-break). */
+  private def langIdSql: String = {
+    val scores = langProfiles.map { case (lang, words) =>
+      lang -> s"len(list_filter($toksSql, x -> x IN (${words.map("'" + _ + "'").mkString(",")})))"
+    }
+    val best = scores.map(_._2).reduceRight((a, b) => s"greatest($a, $b)")
+    scores.foldRight("'und'") { case ((lang, sc), els) =>
+      s"CASE WHEN $sc = ($best) AND ($best) > 0 THEN '$lang' ELSE $els END"
+    }
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ---- A5/X3 generalized: per-document token statistics ----
+    GraftQuery("q30_token_stats",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks, text FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_subwords,
+         |  round(CASE WHEN len(toks) = 0 THEN 0.0
+         |    ELSE CAST(list_sum(list_transform(toks, x -> length(x)))
+         |           AS DOUBLE) / len(toks) END, 6) AS mean_tok_len,
+         |  round(CASE WHEN len(toks) = 0 THEN 0.0
+         |    ELSE CAST(len(list_filter(toks, x -> x IN ('the','a','an','of',
+         |      'to','and','in','is','on','for'))) AS DOUBLE) / len(toks)
+         |    END, 6) AS stop_ratio
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          subwordCount(col("text")).as("n_subwords"),
+          round(meanTokenLength(col("text")), 6).as("mean_tok_len"),
+          round(stopwordRatio(col("text")), 6).as("stop_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // ---- quality scoring + filter (weighted-clamp pattern, A4/D3) ----
+    GraftQuery("q31_quality_filter",
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks, text FROM documents),
+         |q AS (SELECT doc_id, lang,
+         |  least(1.0, greatest(0.0,
+         |    least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.6
+         |    + least((CASE WHEN len(toks) = 0 THEN 0.0
+         |        ELSE CAST(len(list_filter(toks, x -> x IN ('the','a','an',
+         |          'of','to','and','in','is','on','for'))) AS DOUBLE)
+         |          / len(toks) END) * 4.0, 1.0) * 0.2
+         |    + greatest(1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+         |        ELSE CAST(length(text) - length(regexp_replace(text,
+         |          '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+         |        END) * 5.0, 0.0) * 0.2)) AS quality
+         |  FROM t)
+         |SELECT doc_id, lang, round(quality, 6) AS quality
+         |FROM q WHERE quality >= 0.5
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          qualityScore(col("text")).as("quality"))
+        .filter(col("quality") >= 0.5)
+        .select(col("doc_id"), col("lang"),
+          round(col("quality"), 6).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // ---- language-ID heuristic + agreement with the labeled lang ----
+    GraftQuery("q32_langid",
+      s"""SELECT guess, COUNT(*) AS n,
+         |  CAST(SUM(CASE WHEN guess = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+         |FROM (SELECT lang, $langIdSql AS guess FROM documents) t
+         |GROUP BY guess ORDER BY guess""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), langId(col("text")).as("guess"))
+        .groupBy(col("guess"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("guess") === col("lang"), 1L).otherwise(0L))
+            .cast("long").as("n_match"))
+        .orderBy("guess")
+    },
+
+    // ---- X6/X4/X2: substring preview + routing predicate over text ----
+    GraftQuery("q33_preview_route",
+      """SELECT doc_id,
+        |  substr(text, 1, 40) AS preview,
+        |  CASE WHEN contains(lower(text), 'spark') THEN 'enhanced'
+        |       ELSE 'plain' END AS route
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          substring(col("text"), 1, 40).as("preview"),
+          when(lower(col("text")).contains("spark"), "enhanced")
+            .otherwise("plain").as("route"))
+        .orderBy("doc_id")
+    },
+
+    // ---- content fingerprints: exact + rolling (min-shingle) ----
+    GraftQuery("q34_fingerprints",
+      """WITH t AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+        |  FROM documents),
+        |r AS (SELECT doc_id, fp,
+        |  CASE WHEN len(toks) < 4 THEN NULL
+        |    ELSE list_min(list_transform(range(1, len(toks) - 2),
+        |      i -> md5(array_to_string(toks[i:i+3], ' '))))
+        |  END AS rolling_fp
+        |  FROM t)
+        |SELECT doc_id, fp, rolling_fp FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          fingerprint(col("text")).as("fp"),
+          rollingFingerprint(col("text")).as("rolling_fp"))
+        .orderBy("doc_id")
+    },
+  )
+}

@@ -1,0 +1,220 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity operators (SURVEY.md §2.8): the reference delegates
+  * these to Pinecone (cosine index, `consumer/consumer.py:58-67`) and
+  * pgvector (`chatbot_pg/main.py:30-41`); here they are native Spark
+  * plans over the `embeddings` table (`vec_id, embedding: array<float>,
+  * label`).
+  *
+  * Scale notes (100 TB):
+  *  - KNN is corpus-side-parallel: the query set is tiny and explicitly
+  *    `broadcast()`, so the crossJoin is a BroadcastNestedLoopJoin that
+  *    streams the corpus once — no corpus shuffle, no corpus sort;
+  *  - per-query top-k uses a window keyed by query_id. At 1000 executors
+  *    the single shuffle moves only (n_queries × corpus) *scored* rows
+  *    already thresholded/projected down to (query_id, vec_id, sim);
+  *  - the IVF variant (q24) is the scale path: corpus is bucketed by
+  *    nearest coarse centroid ONCE, and each query probes only its
+  *    bucket — an equi-join on bucket id replaces the full cross
+  *    product, so work drops by the bucket fan-out factor.
+  *
+  * Oracle determinism: Spark folds dot products left-to-right in Double
+  * ([[graft.functions.VectorFunctions.dotProduct]]); the DuckDB mirror
+  * uses `list_inner_product(CAST(.. AS DOUBLE[]), ..)` which folds the
+  * same way. Both sides then `round(.., 6)` so a last-ULP disagreement
+  * cannot flip the hash.
+  */
+object VectorQueries {
+
+  private val K = 8
+  private val NQ = 5 // number of probe queries (vec_id < NQ)
+
+  /** cosine(a,b) mirrored in DuckDB SQL over DOUBLE[] casts. */
+  private def cosSql(a: String, b: String): String =
+    s"""list_inner_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) /
+       |    (sqrt(list_inner_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))
+       |     * sqrt(list_inner_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))""".stripMargin
+
+  /** Probe set: the first NQ vectors, relabeled (query_id, q_emb). */
+  private def probes(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+
+  /** Brute-force scored corpus: one row per (query, corpus vector). */
+  private def scored(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .crossJoin(broadcast(probes(s, d)))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("sim"))
+
+  /** The flagship plan (SURVEY.md §3.2): top-k cosine retrieval joined
+    * back to document metadata — the Spark-native equivalent of Pinecone
+    * similarity_search + the pg point-lookup join
+    * (`chatbot_pg/main.py:77-96`). */
+  def flagship(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .join(broadcast(Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"))),
+        col("vec_id") === col("doc_id"))
+      .select(col("query_id"), col("rk"), col("vec_id"), col("lang"),
+        col("source"), round(col("sim"), 6).as("sim"))
+      .orderBy("query_id", "rk")
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ---- V2/V3/T1: brute-force KNN, per-query top-k window ----
+    GraftQuery("q20_cosine_knn",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+         |            FROM embeddings WHERE vec_id < $NQ),
+         |s AS (SELECT q.query_id, e.vec_id,
+         |        ${cosSql("q.q_emb", "e.embedding")} AS sim
+         |      FROM embeddings e CROSS JOIN q),
+         |r AS (SELECT query_id, vec_id, sim,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY sim DESC, vec_id) AS rk
+         |      FROM s)
+         |SELECT query_id, CAST(rk AS INTEGER) AS rk, vec_id, round(sim, 6) AS sim
+         |FROM r WHERE rk <= $K
+         |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      scored(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K)
+        .select(col("query_id"), col("rk"), col("vec_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy("query_id", "rk")
+    },
+
+    // ---- V4/F3: score-thresholded search (k=8, threshold pattern of
+    //      chatbot/main.py:66-70, score filter main.py:116) ----
+    GraftQuery("q21_threshold_search",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+         |            FROM embeddings WHERE vec_id < $NQ),
+         |s AS (SELECT q.query_id, e.vec_id,
+         |        ${cosSql("q.q_emb", "e.embedding")} AS sim
+         |      FROM embeddings e CROSS JOIN q)
+         |SELECT query_id, vec_id, round(sim, 6) AS sim
+         |FROM s WHERE sim >= 0.2 AND query_id <> vec_id
+         |ORDER BY query_id, vec_id""".stripMargin) { (s, d) =>
+      scored(s, d)
+        .filter(col("sim") >= 0.2 && col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy("query_id", "vec_id")
+    },
+
+    // ---- V1: deterministic featurization (embedding stand-in) ----
+    // Checks the hashing-TF featurizer end-to-end on real text: norm of
+    // the vector and its top bucket are scalar-checkable in DuckDB.
+    GraftQuery("q22_featurize_buckets",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |           ELSE string_split_regex(lower(trim(text)), '\s+') END,
+        |      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 16) AS buckets
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id,
+        |  CAST(len(buckets) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(buckets, b -> b = 0)) AS BIGINT) AS bucket0,
+        |  CAST(len(list_filter(buckets, b -> b = 7)) AS BIGINT) AS bucket7
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      val buckets = transform(toks, t =>
+        conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 16)
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          size(buckets).cast("long").as("n_tokens"),
+          size(filter(buckets, b => b === 0L)).cast("long").as("bucket0"),
+          size(filter(buckets, b => b === 7L)).cast("long").as("bucket7"))
+        .orderBy("doc_id")
+    },
+
+    // ---- centroid-style agg: per-label vector statistics ----
+    GraftQuery("q23_label_vector_stats",
+      """SELECT label,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(sqrt(list_inner_product(
+        |    CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 9)
+        |    AS DECIMAL(30,9))) AS DOUBLE) AS sum_norm
+        |FROM embeddings
+        |GROUP BY label
+        |ORDER BY label""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(l2Norm(col("embedding")), 9).cast("decimal(30,9)"))
+            .cast("double").as("sum_norm"))
+        .orderBy("label")
+    },
+
+    // ---- IVF-style bucketed ANN: the 100 TB scale path ----
+    // Corpus is assigned to its nearest of NQ coarse "centroids" (the
+    // probe vectors double as centroids here); each query then scans ONLY
+    // its bucket — an equi-join replaces the cross product. Recall is
+    // partial by construction (this is ANN); the oracle mirrors the same
+    // bucketing so results still hash-match exactly.
+    GraftQuery("q24_ivf_bucketed_ann",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+         |            FROM embeddings WHERE vec_id < $NQ),
+         |scoredc AS (
+         |  SELECT e.vec_id, e.embedding, q.query_id AS cent_id,
+         |    ${cosSql("q.q_emb", "e.embedding")} AS csim
+         |  FROM embeddings e CROSS JOIN q),
+         |assign AS (
+         |  SELECT vec_id, embedding, cent_id AS bucket FROM (
+         |    SELECT vec_id, embedding, cent_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY csim DESC, cent_id) AS ark
+         |    FROM scoredc) z WHERE ark = 1),
+         |s AS (SELECT a.bucket AS query_id, a.vec_id,
+         |        ${cosSql("q.q_emb", "a.embedding")} AS sim
+         |      FROM assign a JOIN q ON a.bucket = q.query_id),
+         |r AS (SELECT query_id, vec_id, sim,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY sim DESC, vec_id) AS rk FROM s)
+         |SELECT query_id, CAST(rk AS INTEGER) AS rk, vec_id, round(sim, 6) AS sim
+         |FROM r WHERE rk <= $K
+         |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+      val cents = probes(s, d)
+        .select(col("query_id").as("cent_id"), col("q_emb").as("c_emb"))
+      // assign: nearest centroid per corpus vector (broadcast, no shuffle)
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("cent_id"))
+      val assigned = Tables.embeddings(s, d)
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cent_id"),
+          cosine(col("c_emb"), col("embedding")).as("csim"))
+        .withColumn("ark", row_number().over(wAssign))
+        .filter(col("ark") === 1)
+        .select(col("vec_id"), col("embedding"),
+          col("cent_id").as("bucket"))
+      // probe: each query joins only its own bucket
+      val wTop = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      assigned
+        .join(broadcast(probes(s, d)), col("bucket") === col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosine(col("q_emb"), col("embedding")).as("sim"))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= K)
+        .select(col("query_id"), col("rk"), col("vec_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy("query_id", "rk")
+    },
+  )
+}
