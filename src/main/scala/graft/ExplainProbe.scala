@@ -1,0 +1,18 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object ExplainProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.foreach { n =>
+      println(s"===== $n =====")
+      val df = SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+      println(df.queryExecution.executedPlan.treeString.take(4000))
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,28 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Dev-only: time individual queries after a JVM warmup pass. */
+object PerfProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // warmup: touch every table + one agg
+    Tables.lineitem(spark, sfDir).count()
+    Tables.documents(spark, sfDir).count()
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.registry.map(_.name)
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      println(f"TIME $n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -13,14 +13,23 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * family generalizes them for corpus-scale pipelines. Everything here is
   * a pure Column expression (no UDFs): per-row, codegen-friendly, and
   * shuffle-free — the expensive parts of dedup (the candidate join) live
-  * in [[graft.operators.Dedup]], not here.
+  * in [[graft.operators.DedupQueries]], not here.
+  *
+  * PERFORMANCE CONTRACT: functions suffixed `Of` take *materialized*
+  * array columns (build them with `withColumn` first). Passing a raw
+  * expression instead of an attribute would re-evaluate it inside every
+  * lambda iteration — e.g. re-splitting the document once per shingle,
+  * turning a linear scan into O(tokens²) per row. Catalyst's
+  * CollapseProject keeps a multiply-referenced non-cheap alias in its
+  * own projection, so the staged form evaluates each array exactly once.
   *
   * Hash choice: md5 (not Spark's murmur3 `hash`) because the driver's
   * correctness oracle re-computes these in DuckDB, and md5 is the one
-  * cross-engine-stable hash both engines share. Min-hash signatures
-  * therefore take the MIN over hex *strings* — lexicographic min over a
-  * uniform hash is exactly as valid as numeric min, and avoids any
-  * hex->int conversion disagreements.
+  * cross-engine-stable hash both engines share. md5 is also the
+  * expensive part, so it runs ONCE per token ([[tokenHashes]]); shingle
+  * hashes are position-weighted window sums over the token hashes, and
+  * the k MinHash components are cheap integer mixes (a_i*h + b_i) mod p
+  * — pure 64-bit arithmetic, identical in any engine.
   */
 object TextFunctions {
 
@@ -30,43 +39,75 @@ object TextFunctions {
     when(length(trim(text)) === 0, array().cast("array<string>")).otherwise(t)
   }
 
-  /** Word n-gram shingles as space-joined strings. Docs with fewer than
-    * n tokens yield an empty array. */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    when(size(t) < n, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(1), size(t) - (n - 1)), i =>
-        concat_ws(" ", slice(t, i, lit(n)))))
+  /** Word n-gram shingles as space-joined strings, from a materialized
+    * tokens column. Rows with fewer than n tokens yield an empty array. */
+  def shinglesOf(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+        concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** Modulus of the hash-mix family: smallest prime > 2^32. */
+  val MinhashP = 4294967311L
+
+  private def md5Long(s: String, chars: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(d.take(chars), 16)
   }
 
-  /** One MinHash component: min over shingles of md5(shingle # seed).
-    * Null when the shingle set is empty. */
-  def minhash(shingleArr: Column, seed: Int): Column =
-    array_min(transform(shingleArr, s => md5(concat(s, lit("#" + seed)))))
+  /** Deterministic (a, b) mix constants for MinHash component i, derived
+    * from md5 hex so any engine can embed them as plain literals. `a` is
+    * 29 bits (odd), `b` 32 bits, so a*h + b stays well under 2^63. */
+  def minhashParams(i: Int): (Long, Long) =
+    ((md5Long(s"minhash-a-$i", 7) << 1) | 1L, md5Long(s"minhash-b-$i", 8))
 
-  /** k-component MinHash signature as array<string>. */
-  def minhashSignature(text: Column, n: Int, k: Int): Column = {
-    val sh = shingles(text, n)
-    array((0 until k).map(i => minhash(sh, i)): _*)
+  /** Position weight for slot j of a shingle window (29 bits, odd). */
+  def shingleWeight(j: Int): Long = (md5Long(s"shingle-w-$j", 7) << 1) | 1L
+
+  /** Per-token 32-bit hashes from a materialized tokens column: ONE md5
+    * per token — the only expensive hashing pass in the whole MinHash /
+    * SimHash pipeline. */
+  def tokenHashes(toks: Column): Column =
+    transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast(LongType))
+
+  /** Numeric n-gram shingle hashes from a materialized token-hash
+    * column: sh_i = (sum_j w_j * th_{i+j} mod p) mod p. Position weights
+    * keep the window order-sensitive; per-term mod keeps every
+    * intermediate below 2^62 (no 64-bit overflow in any engine). */
+  def shingleHashesOf(th: Column, n: Int): Column = {
+    val ws = (0 until n).map(shingleWeight)
+    when(size(th) < n, array().cast("array<bigint>")).otherwise(
+      transform(sequence(lit(1), size(th) - (n - 1)), i =>
+        (0 until n).map(j => (element_at(th, i + j) * ws(j)) % MinhashP)
+          .reduce(_ + _) % MinhashP))
   }
+
+  /** One MinHash component over materialized shingle hashes: min over
+    * shingles of (a_i * h + b_i) mod p. Null when the set is empty. */
+  def minhashComponent(hashes: Column, i: Int): Column = {
+    val (a, b) = minhashParams(i)
+    array_min(transform(hashes, h => (h * a + b) % MinhashP))
+  }
+
+  /** k-component MinHash signature as array<long>, over a materialized
+    * shingle-hash column. */
+  def minhashSignature(hashes: Column, k: Int): Column =
+    array((0 until k).map(i => minhashComponent(hashes, i)): _*)
 
   /** LSH band key: md5 over a contiguous slice of the signature.
     * Docs sharing any band key are near-dup candidates. */
   def lshBand(signature: Column, bandStart: Int, rowsPerBand: Int): Column =
-    md5(concat_ws("|", slice(signature, bandStart + 1, rowsPerBand)))
+    md5(concat_ws("|",
+      transform(slice(signature, bandStart + 1, rowsPerBand),
+        _.cast("string"))))
 
-  /** SimHash fingerprint over `bits` bits (<= 32).
-    *
-    * bit_j(token) = bit j of the first 8 hex chars of md5(token);
-    * fingerprint bit j is set iff sum over tokens of (2*bit_j - 1) > 0.
-    * Pure integer arithmetic -> cross-engine reproducible.
-    */
-  def simhash(text: Column, bits: Int): Column = {
+  /** SimHash fingerprint over `bits` bits (<= 32) from a materialized
+    * token-hash column: fingerprint bit j is set iff the sum over tokens
+    * of (2*bit_j(h) - 1) is positive. Pure integer arithmetic. */
+  def simhashOf(th: Column, bits: Int): Column = {
     require(bits <= 32, "simhash supports at most 32 bits")
-    val hashes = transform(tokens(text), t =>
-      conv(substring(md5(t), 1, 8), 16, 10).cast(LongType))
     val bitCols = (0 until bits).map { j =>
-      val votes = aggregate(hashes, lit(0L),
+      val votes = aggregate(th, lit(0L),
         (acc, h) => acc + (shiftright(h, j) % 2) * 2 - 1)
       when(votes > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
@@ -80,13 +121,13 @@ object TextFunctions {
     }.reduce(_ + _)
 
   /** Exact content fingerprint: md5 of whitespace-normalized lowercase
-    * text (the exact-dedup key). */
+    * text (the exact-dedup key). Single pass — safe on a raw column. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
   /** Whitespace token count (`len(str(x).split())`,
     * `/root/reference/llama-chatbot/main.py:211`). */
-  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+  def tokenCountOf(toks: Column): Column = size(toks).cast(LongType)
 
   /** BPE-ish subword token estimate: alphanumeric runs plus individual
     * punctuation characters, counted as matches (not a split, so empty /
@@ -100,20 +141,16 @@ object TextFunctions {
     Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "for")
 
   /** Stopword ratio in [0,1]: fraction of tokens that are stopwords. */
-  def stopwordRatio(text: Column): Column = {
-    val t = tokens(text)
-    when(size(t) === 0, lit(0.0)).otherwise(
-      size(filter(t, x => x.isInCollection(stopwords))).cast(DoubleType) /
-        size(t).cast(DoubleType))
-  }
+  def stopwordRatioOf(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, x => x.isInCollection(stopwords))).cast(DoubleType) /
+        size(toks).cast(DoubleType))
 
   /** Mean token length in characters. */
-  def meanTokenLength(text: Column): Column = {
-    val t = tokens(text)
-    when(size(t) === 0, lit(0.0)).otherwise(
-      aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast(DoubleType) /
-        size(t).cast(DoubleType))
-  }
+  def meanTokenLengthOf(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast(DoubleType) /
+        size(toks).cast(DoubleType))
 
   /** Punctuation character ratio over total characters. */
   def punctRatio(text: Column): Column =
@@ -126,9 +163,9 @@ object TextFunctions {
     * (`/root/reference/llama-chatbot/main.py:195-215`) applied to
     * corpus-quality features with 0.6 (length) / 0.2 (stopword) /
     * 0.2 (punctuation) weights. */
-  def qualityScore(text: Column): Column = {
-    val lengthScore = least(tokenCount(text).cast(DoubleType) / 100.0, lit(1.0))
-    val stopScore   = least(stopwordRatio(text) * 4.0, lit(1.0))
+  def qualityScoreOf(text: Column, toks: Column): Column = {
+    val lengthScore = least(tokenCountOf(toks).cast(DoubleType) / 100.0, lit(1.0))
+    val stopScore   = least(stopwordRatioOf(toks) * 4.0, lit(1.0))
     val punctPenalty = greatest(lit(1.0) - punctRatio(text) * 5.0, lit(0.0))
     least(lit(1.0), greatest(lit(0.0),
       lengthScore * 0.6 + stopScore * 0.2 + punctPenalty * 0.2))
@@ -137,6 +174,6 @@ object TextFunctions {
   /** Rolling-hash document fingerprint over token 4-grams: min over
     * positional shingles of md5 — a content-defined signature stable
     * under small edits far from the minimum. */
-  def rollingFingerprint(text: Column): Column =
-    array_min(transform(shingles(text, 4), s => md5(s)))
+  def rollingFingerprintOf(toks: Column): Column =
+    array_min(transform(shinglesOf(toks, 4), s => md5(s)))
 }

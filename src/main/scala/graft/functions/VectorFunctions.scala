@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -60,14 +60,39 @@ object VectorFunctions {
     // all-zero vector, which cosine() maps to null (not a spurious unit
     // vector from md5("")).
     val toks = TextFunctions.tokens(text)
-    // bucket(token) = first 8 hex chars of md5 as int, mod dim — computed
-    // ONCE per token (md5/conv are the expensive part), then counted.
-    val buckets = transform(toks, t =>
-      conv(substring(md5(t), 1, 8), 16, 10).cast("long") % dim)
-    val counts = transform(sequence(lit(0), lit(dim - 1)), i =>
-      size(filter(buckets, b => b === i.cast("long"))).cast(DoubleType))
+    // bucket(token) = first 8 hex chars of md5 as int, mod dim — md5
+    // runs ONCE per token; counts built in ONE aggregate pass over the
+    // bucket array (no per-bucket rescans).
+    val buckets = bucketsOf(toks, dim)
+    val counts = countsOf(buckets, dim)
     val norm = sqrt(aggregate(counts, lit(0.0), (acc, x) => acc + x * x))
     when(norm === 0.0, counts)
       .otherwise(transform(counts, x => x / norm))
   }
+
+  private def bucketsOf(toks: Column, dim: Int): Column =
+    transform(toks, t =>
+      conv(substring(md5(t), 1, 8), 16, 10).cast("long") % dim)
+
+  private def countsOf(buckets: Column, dim: Int): Column =
+    aggregate(buckets, array_repeat(lit(0.0), dim), (acc, b) =>
+      transform(acc, (x, i) => when(i.cast("long") === b, x + 1.0)
+        .otherwise(x)))
+
+  /** Staged [[featurize]] for wide scans: each intermediate (tokens,
+    * buckets, counts, norm) is a materialized column, so every pass runs
+    * exactly once per row regardless of how many expressions consume it
+    * (the Column form re-evaluates `counts` for the norm and the
+    * normalize branches). Drops its scratch columns before returning. */
+  def featurizeInto(df: DataFrame, textCol: String, outCol: String,
+      dim: Int): DataFrame =
+    df.withColumn("__ftoks", TextFunctions.tokens(col(textCol)))
+      .withColumn("__fbuckets", bucketsOf(col("__ftoks"), dim))
+      .withColumn("__fcounts", countsOf(col("__fbuckets"), dim))
+      .withColumn("__fnorm",
+        sqrt(aggregate(col("__fcounts"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn(outCol,
+        when(col("__fnorm") === 0.0, col("__fcounts"))
+          .otherwise(transform(col("__fcounts"), x => x / col("__fnorm"))))
+      .drop("__ftoks", "__fbuckets", "__fcounts", "__fnorm")
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{GraftQuery, Tables}
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` / `embeddings` — the
@@ -43,11 +44,61 @@ object DedupQueries {
   private val SIMHASH_BITS = 16
   private val HAMMING_MAX = 3
 
-  /** DuckDB mirror of minhashSignature(text, 3, K) given `sh` bound. */
+  private val P = graft.functions.TextFunctions.MinhashP
+
+  /** DuckDB mirror of tokenHashes: one md5 per token -> 32-bit int. */
+  private val thSql =
+    "list_transform(toks, t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))"
+
+  /** DuckDB mirror of shingleHashesOf(th, 3): position-weighted window
+    * sums over the token hashes, identical literals both engines. */
+  private def hsSql: String = {
+    val w = (0 until 3).map(graft.functions.TextFunctions.shingleWeight)
+    s"""CASE WHEN len(th) < 3 THEN []::BIGINT[]
+       |  ELSE list_transform(range(1, len(th) - 1),
+       |    i -> (((th[i] * ${w(0)}) % $P) + ((th[i + 1] * ${w(1)}) % $P)
+       |          + ((th[i + 2] * ${w(2)}) % $P)) % $P) END""".stripMargin
+  }
+
+  /** DuckDB mirror of minhashSignature(hs, K): same (a,b,p) literals. */
   private def sigSql: String =
-    (0 until K_MINHASH)
-      .map(i => s"list_min(list_transform(sh, s -> md5(s || '#$i')))")
-      .mkString("[", ", ", "]")
+    (0 until K_MINHASH).map { i =>
+      val (a, b) = graft.functions.TextFunctions.minhashParams(i)
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % $P))"
+    }.mkString("[", ", ", "]")
+
+  /** Shared CTE prefix: toks -> th -> hs -> sig -> exploded bands. */
+  private def bandsCteSql: String =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |h AS (SELECT doc_id, $thSql AS th FROM t WHERE len(toks) >= 3),
+       |s AS (SELECT doc_id, $hsSql AS hs FROM h),
+       |sig AS (SELECT doc_id, $sigSql AS sig FROM s),
+       |b AS (SELECT doc_id, g.band,
+       |        md5(array_to_string(list_transform(
+       |          sig[g.band * $ROWS_PER_BAND + 1 : (g.band + 1) * $ROWS_PER_BAND],
+       |          x -> CAST(x AS VARCHAR)), '|')) AS band_key
+       |      FROM sig CROSS JOIN
+       |        (SELECT unnest(generate_series(0, ${N_BANDS - 1})) AS band) g)""".stripMargin
+
+  /** (doc_id, band, band_key) for every doc with >= 3 tokens. Each
+    * stage materializes its array (toks -> th -> hs -> sig) as a named
+    * column: lambdas downstream then reference an attribute, not a
+    * recomputed expression, so the one md5 pass per token stays single
+    * no matter how many components consume it (see the PERFORMANCE
+    * CONTRACT note in [[graft.functions.TextFunctions]]). */
+  private def bandsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("th", tokenHashes(col("toks")))
+      .withColumn("hs", shingleHashesOf(col("th"), 3))
+      .withColumn("sig", minhashSignature(col("hs"), K_MINHASH))
+      .select(col("doc_id"), explode(array((0 until N_BANDS).map(b =>
+        struct(lit(b).as("band"),
+          lshBand(col("sig"), b * ROWS_PER_BAND, ROWS_PER_BAND)
+            .as("band_key"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.band_key").as("band_key"))
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -68,65 +119,34 @@ object DedupQueries {
 
     // ---- MinHash signatures + LSH band keys (per-doc, oracle-strong) ----
     GraftQuery("q41_minhash_bands",
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |s AS (SELECT doc_id, ${shinglesSql("toks", 3)} AS sh FROM t
-         |      WHERE len(toks) >= 3),
-         |sig AS (SELECT doc_id, $sigSql AS sig FROM s),
-         |b AS (SELECT doc_id, g.band,
-         |        md5(array_to_string(
-         |          sig[g.band * $ROWS_PER_BAND + 1 : (g.band + 1) * $ROWS_PER_BAND],
-         |          '|')) AS band_key
-         |      FROM sig CROSS JOIN
-         |        (SELECT unnest(generate_series(0, ${N_BANDS - 1})) AS band) g)
+      s"""WITH $bandsCteSql
          |SELECT doc_id, CAST(band AS INTEGER) AS band, band_key FROM b
          |ORDER BY doc_id, band""".stripMargin) { (s, d) =>
-      val withSig = Tables.documents(s, d)
-        .filter(size(tokens(col("text"))) >= 3)
-        .select(col("doc_id"),
-          minhashSignature(col("text"), 3, K_MINHASH).as("sig"))
-      withSig
-        .select(col("doc_id"), explode(array((0 until N_BANDS).map(b =>
-          struct(lit(b).as("band"),
-            lshBand(col("sig"), b * ROWS_PER_BAND, ROWS_PER_BAND)
-              .as("band_key"))): _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"),
-          col("bb.band_key").as("band_key"))
+      bandsOf(Tables.documents(s, d))
         .orderBy("doc_id", "band")
     },
 
-    // ---- MinHash/LSH candidate pairs: band-key equi self-join ----
+    // ---- MinHash/LSH candidate pairs: bucket groupBy, not self-join ----
+    // Signatures are computed ONCE; docs sharing a band key land in one
+    // hash-agg bucket, and pairs are enumerated inside each (small)
+    // bucket — the one shuffle moves (band_key, doc_id) only. The oracle
+    // keeps the plain self-join formulation: same result set.
     GraftQuery("q42_lsh_candidate_pairs",
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |s AS (SELECT doc_id, ${shinglesSql("toks", 3)} AS sh FROM t
-         |      WHERE len(toks) >= 3),
-         |sig AS (SELECT doc_id, $sigSql AS sig FROM s),
-         |b AS (SELECT doc_id, g.band,
-         |        md5(array_to_string(
-         |          sig[g.band * $ROWS_PER_BAND + 1 : (g.band + 1) * $ROWS_PER_BAND],
-         |          '|')) AS band_key
-         |      FROM sig CROSS JOIN
-         |        (SELECT unnest(generate_series(0, ${N_BANDS - 1})) AS band) g)
+      s"""WITH $bandsCteSql
          |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |FROM b x JOIN b y
          |  ON x.band = y.band AND x.band_key = y.band_key
          |  AND x.doc_id < y.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val bands = Tables.documents(s, d)
-        .filter(size(tokens(col("text"))) >= 3)
-        .select(col("doc_id"),
-          minhashSignature(col("text"), 3, K_MINHASH).as("sig"))
-        .select(col("doc_id"), explode(array((0 until N_BANDS).map(b =>
-          struct(lit(b).as("band"),
-            lshBand(col("sig"), b * ROWS_PER_BAND, ROWS_PER_BAND)
-              .as("band_key"))): _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"),
-          col("bb.band_key").as("band_key"))
-      bands.as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") &&
-            col("x.band_key") === col("y.band_key") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      val ids = col("ids")
+      bandsOf(Tables.documents(s, d))
+        .groupBy(col("band"), col("band_key"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(ids) > 1)
+        .select(explode(flatten(transform(ids, (a, i) =>
+          transform(slice(ids, i + 2, size(ids)), b =>
+            struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
         .distinct()
         .orderBy("doc_a", "doc_b")
     },
@@ -146,7 +166,8 @@ object DedupQueries {
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       val t = Tables.documents(s, d)
         .filter(col("doc_id") < 60)
-        .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), shinglesOf(col("toks"), 3).as("sh"))
         .filter(size(col("sh")) > 0)
       t.as("a").join(t.as("b"), col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -164,7 +185,9 @@ object DedupQueries {
     GraftQuery("q44_simhash_pairs", simhashPairsSql) { (s, d) =>
       val t = Tables.documents(s, d)
         .filter(col("doc_id") < 100)
-        .select(col("doc_id"), simhash(col("text"), SIMHASH_BITS).as("sh"))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("th", tokenHashes(col("toks")))
+        .select(col("doc_id"), simhashOf(col("th"), SIMHASH_BITS).as("sh"))
       t.as("a").join(t.as("b"), col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           hammingDistance(col("a.sh"), col("b.sh"), SIMHASH_BITS)
@@ -187,13 +210,21 @@ object DedupQueries {
         |SELECT vec_a, vec_b, round(sim, 6) AS sim
         |FROM p WHERE sim >= 0.3
         |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+      // Norms staged per ROW before the pair join: the within-block join
+      // then does one dot product per pair instead of dot + two norms —
+      // same IEEE-754 values (norms are identical subexpressions, just
+      // evaluated once), 3x less per-pair arithmetic.
       val e = Tables.embeddings(s, d)
+        .withColumn("nrm", l2Norm(col("embedding")))
       e.as("a")
         .join(e.as("b"),
           col("a.label") === col("b.label") &&
             col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          cosine(col("a.embedding"), col("b.embedding")).as("sim"))
+          when(col("a.nrm") === 0.0 || col("b.nrm") === 0.0,
+            lit(null).cast("double"))
+            .otherwise(dotProduct(col("a.embedding"), col("b.embedding"))
+              / (col("a.nrm") * col("b.nrm"))).as("sim"))
         .filter(col("sim") >= 0.3)
         .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
         .orderBy("vec_a", "vec_b")

@@ -38,12 +38,12 @@ object TextQueries {
     "es" -> Seq("el", "la", "de", "que", "es"),
     "fr" -> Seq("le", "la", "et", "les", "est"))
 
-  /** Stopword-profile language guess: argmax over per-language hit
-    * counts, ties broken by profile order; no hits -> "und" (undetermined). */
-  def langId(text: Column): Column = {
-    val t = tokens(text)
+  /** Stopword-profile language guess over a materialized tokens column:
+    * argmax over per-language hit counts, ties broken by profile order;
+    * no hits -> "und" (undetermined). */
+  def langIdOf(toks: Column): Column = {
     val scores = langProfiles.map { case (lang, words) =>
-      lang -> size(filter(t, x => x.isInCollection(words)))
+      lang -> size(filter(toks, x => x.isInCollection(words)))
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und"): Column) { case ((lang, sc), els) =>
@@ -80,11 +80,12 @@ object TextQueries {
          |    END, 6) AS stop_ratio
          |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          tokenCount(col("text")).as("n_tokens"),
+          tokenCountOf(col("toks")).as("n_tokens"),
           subwordCount(col("text")).as("n_subwords"),
-          round(meanTokenLength(col("text")), 6).as("mean_tok_len"),
-          round(stopwordRatio(col("text")), 6).as("stop_ratio"))
+          round(meanTokenLengthOf(col("toks")), 6).as("mean_tok_len"),
+          round(stopwordRatioOf(col("toks")), 6).as("stop_ratio"))
         .orderBy("doc_id")
     },
 
@@ -107,8 +108,10 @@ object TextQueries {
          |FROM q WHERE quality >= 0.5
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"),
+          tokens(col("text")).as("toks"))
         .select(col("doc_id"), col("lang"),
-          qualityScore(col("text")).as("quality"))
+          qualityScoreOf(col("text"), col("toks")).as("quality"))
         .filter(col("quality") >= 0.5)
         .select(col("doc_id"), col("lang"),
           round(col("quality"), 6).as("quality"))
@@ -122,7 +125,8 @@ object TextQueries {
          |FROM (SELECT lang, $langIdSql AS guess FROM documents) t
          |GROUP BY guess ORDER BY guess""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
-        .select(col("lang"), langId(col("text")).as("guess"))
+        .select(col("lang"), tokens(col("text")).as("toks"))
+        .select(col("lang"), langIdOf(col("toks")).as("guess"))
         .groupBy(col("guess"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("guess") === col("lang"), 1L).otherwise(0L))
@@ -161,9 +165,10 @@ object TextQueries {
         |  FROM t)
         |SELECT doc_id, fp, rolling_fp FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
         .select(col("doc_id"),
           fingerprint(col("text")).as("fp"),
-          rollingFingerprint(col("text")).as("rolling_fp"))
+          rollingFingerprintOf(col("toks")).as("rolling_fp"))
         .orderBy("doc_id")
     },
   )

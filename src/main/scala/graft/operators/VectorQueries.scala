@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{GraftQuery, Tables}
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -41,18 +41,32 @@ object VectorQueries {
        |    (sqrt(list_inner_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))
        |     * sqrt(list_inner_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))""".stripMargin
 
-  /** Probe set: the first NQ vectors, relabeled (query_id, q_emb). */
+  /** Probe set: the first NQ vectors, relabeled (query_id, q_emb), with
+    * the query norm staged once per probe. */
   private def probes(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .filter(col("vec_id") < NQ)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        l2Norm(col("embedding")).as("q_nrm"))
 
-  /** Brute-force scored corpus: one row per (query, corpus vector). */
+  /** Cosine from a staged-norm pair: same IEEE-754 ops as cosine() (the
+    * norms are just computed once per ROW instead of once per PAIR — at
+    * corpus scale that's O(d) per corpus row instead of O(d) per
+    * (query × corpus) pair). */
+  private def stagedCosine(a: Column, b: Column, na: Column,
+      nb: Column): Column =
+    when(na === 0.0 || nb === 0.0, lit(null).cast("double"))
+      .otherwise(dotProduct(a, b) / (na * nb))
+
+  /** Brute-force scored corpus: one row per (query, corpus vector).
+    * Corpus-side norms are staged in one projection before the join. */
   private def scored(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
+      .withColumn("nrm", l2Norm(col("embedding")))
       .crossJoin(broadcast(probes(s, d)))
       .select(col("query_id"), col("vec_id"),
-        cosine(col("q_emb"), col("embedding")).as("sim"))
+        stagedCosine(col("q_emb"), col("embedding"), col("q_nrm"),
+          col("nrm")).as("sim"))
 
   /** The flagship plan (SURVEY.md §3.2): top-k cosine retrieval joined
     * back to document metadata — the Spark-native equivalent of Pinecone
@@ -132,15 +146,18 @@ object VectorQueries {
         |  CAST(len(list_filter(buckets, b -> b = 0)) AS BIGINT) AS bucket0,
         |  CAST(len(list_filter(buckets, b -> b = 7)) AS BIGINT) AS bucket7
         |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val toks = graft.functions.TextFunctions.tokens(col("text"))
-      val buckets = transform(toks, t =>
-        conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 16)
       Tables.documents(s, d)
         .filter(col("doc_id") < 100)
         .select(col("doc_id"),
-          size(buckets).cast("long").as("n_tokens"),
-          size(filter(buckets, b => b === 0L)).cast("long").as("bucket0"),
-          size(filter(buckets, b => b === 7L)).cast("long").as("bucket7"))
+          graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+        .withColumn("buckets", transform(col("toks"), t =>
+          conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 16))
+        .select(col("doc_id"),
+          size(col("buckets")).cast("long").as("n_tokens"),
+          size(filter(col("buckets"), b => b === 0L)).cast("long")
+            .as("bucket0"),
+          size(filter(col("buckets"), b => b === 7L)).cast("long")
+            .as("bucket7"))
         .orderBy("doc_id")
     },
 
@@ -191,17 +208,20 @@ object VectorQueries {
          |FROM r WHERE rk <= $K
          |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
       val cents = probes(s, d)
-        .select(col("query_id").as("cent_id"), col("q_emb").as("c_emb"))
+        .select(col("query_id").as("cent_id"), col("q_emb").as("c_emb"),
+          col("q_nrm").as("c_nrm"))
       // assign: nearest centroid per corpus vector (broadcast, no shuffle)
       val wAssign = Window.partitionBy(col("vec_id"))
         .orderBy(col("csim").desc, col("cent_id"))
       val assigned = Tables.embeddings(s, d)
+        .withColumn("nrm", l2Norm(col("embedding")))
         .crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cent_id"),
-          cosine(col("c_emb"), col("embedding")).as("csim"))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+          stagedCosine(col("c_emb"), col("embedding"), col("c_nrm"),
+            col("nrm")).as("csim"))
         .withColumn("ark", row_number().over(wAssign))
         .filter(col("ark") === 1)
-        .select(col("vec_id"), col("embedding"),
+        .select(col("vec_id"), col("embedding"), col("nrm"),
           col("cent_id").as("bucket"))
       // probe: each query joins only its own bucket
       val wTop = Window.partitionBy(col("query_id"))
@@ -209,7 +229,8 @@ object VectorQueries {
       assigned
         .join(broadcast(probes(s, d)), col("bucket") === col("query_id"))
         .select(col("query_id"), col("vec_id"),
-          cosine(col("q_emb"), col("embedding")).as("sim"))
+          stagedCosine(col("q_emb"), col("embedding"), col("q_nrm"),
+            col("nrm")).as("sim"))
         .withColumn("rk", row_number().over(wTop))
         .filter(col("rk") <= K)
         .select(col("query_id"), col("rk"), col("vec_id"),
