@@ -1,0 +1,166 @@
+package graft.streaming
+
+import graft.model.Cve
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured-Streaming re-expression of the reference's Kafka consumer
+  * pipeline (SURVEY.md §2.10):
+  *
+  *  - W1 micro-batch poll loop (1 s `consumer.poll`,
+  *    `/root/reference/consumer/consumer.py:131`) -> `Trigger.ProcessingTime`;
+  *  - W2 drain-then-stop (10 s inactivity timeout,
+  *    `/root/reference/airflow/dags/src/consumer.py:129-155`) ->
+  *    `Trigger.AvailableNow` (drain all available offsets, then stop —
+  *    the documented deviation: exact inactivity semantics would need a
+  *    StreamingQueryListener);
+  *  - W3 dual-sink routing (same topic to Snowflake and Pinecone via two
+  *    consumer groups, `airflow/dags/etl.py:125-138`) -> one stream, one
+  *    `foreachBatch` writing both tables (atomic per micro-batch), or two
+  *    independently checkpointed queries;
+  *  - W4 at-least-once from earliest -> `startingOffsets=earliest` +
+  *    checkpointing (exactly-once into file sinks);
+  *  - W5 per-record error isolation (try/except-per-message,
+  *    `consumer/consumer.py:111-125`) -> PERMISSIVE `from_json`: corrupt
+  *    records parse to null and are split to a dead-letter output instead
+  *    of killing the query.
+  *
+  * Scale notes (100 TB / 1000 executors): every transform here is a
+  * stateless per-row projection except the windowed aggregations, whose
+  * state is bounded by watermarks; `foreachBatch` writes partitioned
+  * parquet appends, so sink parallelism follows the batch's partitioning
+  * (repartition by a stable key before heavy sinks to avoid small files).
+  */
+object Streams {
+
+  /** Parse a raw string-valued stream (Kafka `value` / file lines) into
+    * [[Cve.cveSchema]] columns plus the raw payload. Corrupt rows keep
+    * `parsed` null — route them with [[splitCorrupt]]. */
+  def parseCve(raw: DataFrame, valueCol: String = "value"): DataFrame =
+    raw.withColumn("parsed", from_json(col(valueCol), Cve.cveSchema))
+
+  /** W5: split good/corrupt. Good rows are flattened to schema columns;
+    * corrupt rows (unparseable JSON or missing cveId) carry the raw
+    * payload for the dead-letter sink. */
+  def splitCorrupt(parsed: DataFrame, valueCol: String = "value")
+      : (DataFrame, DataFrame) = {
+    val ok = parsed
+      .filter(col("parsed").isNotNull &&
+        col("parsed.cveMetadata.cveId").isNotNull)
+      .select(col("parsed.*"))
+    val dlq = parsed
+      .filter(col("parsed").isNull ||
+        col("parsed.cveMetadata.cveId").isNull)
+      .select(col(valueCol).as("raw"))
+    (ok, dlq)
+  }
+
+  /** W3: the dual-sink ingest — one micro-batch writes BOTH the raw
+    * VARIANT-style table (K1, `processor.py:48-58`) and the extracted
+    * silver table (K2 embedding metadata, `consumer/consumer.py:92-104`),
+    * plus a dead-letter table for corrupt rows. One checkpoint = one
+    * consumer group; the write pair is per-batch atomic-enough for
+    * at-least-once parquet appends keyed by batch id. */
+  def dualSinkWriter(parsed: DataFrame, rawPath: String, metaPath: String,
+      dlqPath: String, checkpoint: String): DataStreamWriter[Row] =
+    parsed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (ok, dlq) = splitCorrupt(batch)
+        Cve.rawPersist(ok).write.mode("append").parquet(rawPath)
+        Cve.extractMeta(ok).write.mode("append").parquet(metaPath)
+        dlq.write.mode("append").parquet(dlqPath)
+        ()
+      }
+
+  /** W1: the 1 s micro-batch cadence. */
+  val pollTrigger: Trigger = Trigger.ProcessingTime("1 second")
+
+  /** W2: drain everything available, then stop. */
+  val drainTrigger: Trigger = Trigger.AvailableNow()
+
+  /** Watermarked tumbling-window counts over an events-shaped stream
+    * (ts, event_type, value) — the §2.10 gap-fill: the reference has no
+    * event-time semantics at all. State is purged past the watermark. */
+  def tumblingCounts(events: DataFrame, watermark: String = "1 hour",
+      width: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding-window variant: width/slide windows overlap, each event
+    * lands in width/slide windows. */
+  def slidingCounts(events: DataFrame, watermark: String = "1 hour",
+      width: String = "10 minutes", slide: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"))
+
+  /** Session windows: a session extends while events arrive within
+    * `gap` of each other, keyed by user. */
+  def sessionCounts(events: DataFrame, watermark: String = "1 hour",
+      gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("user_id"), col("n"))
+
+  /** Streaming exact dedup on the record identity (cve_id, dateUpdated)
+    * — the streaming form of the reference's idempotent re-upsert
+    * semantics. Watermarked so state does not grow unboundedly. */
+  def streamingDedup(meta: DataFrame, watermark: String = "1 hour"): DataFrame =
+    meta
+      .withWatermark("date_updated", watermark)
+      .dropDuplicatesWithinWatermark("cve_id", "date_updated")
+
+  /** End-to-end batch-mode equivalent of the Airflow DAG
+    * (`airflow/dags/etl.py:164-197`): read a landing dir of CVE JSON,
+    * persist raw + extracted tables with the same W5 corrupt-split as
+    * the streaming path (unparseable / id-less records would otherwise
+    * surface as all-default silver rows). The streaming path is the
+    * same plan with readStream + [[dualSinkWriter]]. */
+  def ingestBatch(spark: SparkSession, landingDir: String, rawPath: String,
+      metaPath: String, dlqPath: Option[String] = None): Unit = {
+    val docs = spark.read
+      .schema(Cve.cveSchema.add("_corrupt_record", "string"))
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("recursiveFileLookup", "true").json(landingDir)
+    val ok = docs
+      .filter(col("cveMetadata").isNotNull &&
+        col("cveMetadata.cveId").isNotNull)
+      .drop("_corrupt_record")
+    Cve.rawPersist(ok).write.mode("append").parquet(rawPath)
+    Cve.extractMeta(ok).write.mode("append").parquet(metaPath)
+    dlqPath.foreach { p =>
+      docs.filter(col("cveMetadata").isNull ||
+          col("cveMetadata.cveId").isNull)
+        .select(coalesce(col("_corrupt_record"), to_json(struct(col("*"))))
+          .as("raw"))
+        .write.mode("append").parquet(p)
+    }
+  }
+
+  /** Run a streaming DataFrame to completion against an in-memory sink
+    * and return the result table (test/drain utility — W2 semantics). */
+  def drainToTable(spark: SparkSession, df: DataFrame, name: String,
+      complete: Boolean = true): DataFrame = {
+    val q: StreamingQuery = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(if (complete) OutputMode.Complete() else OutputMode.Append())
+      .trigger(drainTrigger)
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operator-level golden tests on tiny literal frames — the fast sanity
+  * layer under the driver's full DuckDB-oracle gate. */
+class OperatorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("exact dedup keeps first doc per normalized fingerprint") {
+    val docs = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    val out = docs.groupBy(fingerprint(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n"), min("doc_id").as("keep"))
+      .collect().map(r => r.getAs[Long]("keep") -> r.getAs[Long]("n")).toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("windowed top-k keeps k best per group with deterministic ties") {
+    val df = Seq(
+      ("g1", 1L, 10.0), ("g1", 2L, 30.0), ("g1", 3L, 20.0), ("g1", 4L, 30.0),
+      ("g2", 5L, 5.0))
+      .toDF("g", "id", "score")
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val top2 = df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2).orderBy("g", "rk")
+      .select("id").as[Long].collect()
+    assert(top2.toSeq == Seq(2L, 4L, 5L))
+  }
+
+  test("verification full-outer join classifies verified/partial") {
+    val vs = Seq(1L, 2L).toDF("vs_id")
+    val nvd = Seq(2L, 3L).toDF("nvd_id")
+    val out = vs.join(nvd, col("vs_id") === col("nvd_id"), "full_outer")
+      .select(coalesce(col("vs_id"), col("nvd_id")).as("id"),
+        when(col("vs_id").isNotNull && col("nvd_id").isNotNull, "verified")
+          .when(col("vs_id").isNotNull, "partial-vector")
+          .otherwise("partial-nvd").as("status"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "partial-vector", 2L -> "verified",
+      3L -> "partial-nvd"))
+  }
+
+  test("TP/FP/FN eval via array set ops matches hand computation") {
+    val resp = Seq("a b c").toDF("text")
+      .select(array_distinct(tokens(col("text"))).as("r"))
+    val ctx = Seq("b c d e").toDF("text")
+      .select(array_distinct(tokens(col("text"))).as("c"))
+    val row = resp.crossJoin(ctx).select(
+      size(array_intersect(col("r"), col("c"))).as("tp"),
+      size(array_except(col("r"), col("c"))).as("fp"),
+      size(array_except(col("c"), col("r"))).as("fn")).collect()(0)
+    assert((row.getInt(0), row.getInt(1), row.getInt(2)) == ((2, 1, 2)))
+  }
+
+  test("LSH bucket pair enumeration yields each candidate pair once per bucket") {
+    val buckets = Seq(
+      (0, "k1", 10L), (0, "k1", 20L), (0, "k1", 30L), (1, "k2", 10L))
+      .toDF("band", "band_key", "doc_id")
+    val ids = col("ids")
+    val pairs = buckets.groupBy("band", "band_key")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(ids) > 1)
+      .select(explode(flatten(transform(ids, (a, i) =>
+        transform(slice(ids, i + 2, size(ids)), b =>
+          struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select("p.doc_a", "p.doc_b").orderBy("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((10L, 20L), (10L, 30L), (20L, 30L)))
+  }
+
+  test("brute-force KNN agrees with exhaustive cosine ranking") {
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("q_emb"))
+    val w = Window.orderBy(col("sim").desc, col("vec_id"))
+    val ranked = corpus.crossJoin(broadcast(q))
+      .select(col("vec_id"), cosine(col("q_emb"), col("embedding")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .orderBy("rk").select("vec_id").as[Long].collect()
+    assert(ranked.toSeq == Seq(0L, 1L, 3L, 2L))
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val goodRecord =
+    """{"cveMetadata":{"cveId":"CVE-2024-1111","datePublished":"2024-01-01T00:00:00.000Z","dateUpdated":"2024-01-02T00:00:00.000Z"},"containers":{"cna":{"title":"t","descriptions":[{"value":"d"}],"metrics":[{"cvssV3_1":{"baseScore":5.0,"baseSeverity":"MEDIUM"}}],"problemTypes":[{"descriptions":[{"cweId":"CWE-79"}]}]}}}"""
+  private val corruptRecord = """{"not json at all"""
+
+  test("W5: corrupt records split to DLQ instead of failing the stream") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData(goodRecord, corruptRecord)
+    val parsed = Streams.parseCve(mem.toDF.withColumnRenamed("value", "value"))
+    val tmp = Files.createTempDirectory("graft-stream").toString
+    val q = Streams.dualSinkWriter(parsed, s"$tmp/raw", s"$tmp/meta",
+      s"$tmp/dlq", s"$tmp/ckpt").trigger(Streams.drainTrigger).start()
+    q.awaitTermination()
+    val raw = spark.read.parquet(s"$tmp/raw")
+    val meta = spark.read.parquet(s"$tmp/meta")
+    val dlq = spark.read.parquet(s"$tmp/dlq")
+    assert(raw.count() == 1 && meta.count() == 1 && dlq.count() == 1)
+    assert(meta.select("cve_id").collect()(0).getString(0) == "CVE-2024-1111")
+    assert(dlq.select("raw").collect()(0).getString(0) == corruptRecord)
+  }
+
+  test("W4: restart with same checkpoint does not re-ingest drained data") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData(goodRecord)
+    val tmp = Files.createTempDirectory("graft-stream-ck").toString
+    def run(): Unit = {
+      val q = Streams.dualSinkWriter(Streams.parseCve(mem.toDF),
+        s"$tmp/raw", s"$tmp/meta", s"$tmp/dlq", s"$tmp/ckpt")
+        .trigger(Streams.drainTrigger).start()
+      q.awaitTermination()
+    }
+    run()
+    run() // no new offsets -> no new rows
+    assert(spark.read.parquet(s"$tmp/meta").count() == 1)
+  }
+
+  test("tumbling windows aggregate by event-time bucket") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 00:01:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 00:04:00"), "click", 2.0),
+      (Timestamp.valueOf("2024-01-01 00:11:00"), "click", 4.0),
+      (Timestamp.valueOf("2024-01-01 00:12:00"), "view", 8.0))
+    val events = mem.toDF.toDF("ts", "event_type", "value")
+    val out = Streams.drainToTable(spark,
+      Streams.tumblingCounts(events), "tumbling_test")
+      .orderBy("win_start", "event_type").collect()
+      .map(r => (r.getAs[Timestamp]("win_start").toString,
+        r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01 00:00:00.0", "click", 2L, 3.0),
+      ("2024-01-01 00:10:00.0", "click", 1L, 4.0),
+      ("2024-01-01 00:10:00.0", "view", 1L, 8.0)))
+  }
+
+  test("session windows split on gaps, keyed by user") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 00:00:00"), 1L),
+      (Timestamp.valueOf("2024-01-01 00:10:00"), 1L), // same session (gap 30m)
+      (Timestamp.valueOf("2024-01-01 02:00:00"), 1L), // new session
+      (Timestamp.valueOf("2024-01-01 00:05:00"), 2L))
+    val events = mem.toDF.toDF("ts", "user_id")
+    val out = Streams.drainToTable(spark,
+      Streams.sessionCounts(events), "session_test")
+      .orderBy("user_id", "sess_start").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n")))
+    assert(out.toSeq == Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("streaming dedup drops repeated (cve_id, date_updated) within watermark") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    mem.addData(("CVE-1", t0), ("CVE-1", t0), ("CVE-2", t0))
+    val meta = mem.toDF.toDF("cve_id", "date_updated")
+    val out = Streams.drainToTable(spark,
+      Streams.streamingDedup(meta), "dedup_test", complete = false)
+    assert(out.count() == 2)
+  }
+}
