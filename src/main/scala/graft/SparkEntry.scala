@@ -15,10 +15,12 @@ object SparkEntry {
   /** Every registered query, in registry order. */
   def registry: Seq[GraftQuery] =
     Relational.all ++
+      operators.Joins.all ++
       operators.VectorQueries.all ++
       operators.TextQueries.all ++
       operators.DedupQueries.all ++
-      operators.CveQueries.all
+      operators.CveQueries.all ++
+      operators.MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline semantics (SURVEY.md §3.2): score-thresholded

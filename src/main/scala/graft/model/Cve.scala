@@ -55,9 +55,9 @@ object Cve {
     * semantics: absent string paths -> "", absent score -> 0.0
     * (`consumer/consumer.py:80-104` `.get(..., default)` chains).
     * Input: a DataFrame with [[cveSchema]]-shaped columns. */
-  def extractMeta(df: DataFrame): DataFrame = {
+  def extractMeta(df: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val cna = col("containers.cna")
-    df.select(
+    df.select(keep.map(col) ++ Seq(
       coalesce(col("cveMetadata.cveId"), lit("")).as("cve_id"),
       to_timestamp(col("cveMetadata.datePublished"),
         "yyyy-MM-dd'T'HH:mm:ss[.SSS]X").as("date_published"),
@@ -73,7 +73,7 @@ object Cve {
         .getField("cvssV3_1").getField("baseScore"), lit(0.0)).as("score"),
       coalesce(firstOrNull(
         try_element_at(cna.getField("problemTypes"), lit(1))
-          .getField("descriptions"), "cweId"), lit("")).as("cwe_id"))
+          .getField("descriptions"), "cweId"), lit("")).as("cwe_id")): _*)
   }
 
   /** P3 doc-template projection: the embedding text block

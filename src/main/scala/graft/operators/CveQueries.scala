@@ -226,6 +226,51 @@ object CveQueries {
         .orderBy("source")
     },
 
+    // ---- P1 on real nested structs: build CVE-shaped records from
+    //      orders (metrics ABSENT for low-value orders), run the
+    //      model's extraction, and check the default-on-missing
+    //      semantics end-to-end. The oracle computes the expected
+    //      values directly. ----
+    GraftQuery("q59_cve_extract_nested",
+      """SELECT o_orderkey AS okey,
+        |  printf('CVE-2024-%04d', CAST(o_orderkey % 10000 AS INTEGER)) AS cve_id,
+        |  'Order ' || CAST(o_orderkey AS VARCHAR) AS title,
+        |  o_orderpriority AS description,
+        |  CASE WHEN o_totalprice > 200000 THEN o_orderstatus ELSE '' END AS severity,
+        |  CASE WHEN o_totalprice > 200000 THEN o_totalprice / 100000.0
+        |       ELSE 0.0 END AS score,
+        |  'CWE-' || CAST(o_orderkey % 100 AS VARCHAR) AS cwe_id
+        |FROM orders
+        |ORDER BY okey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val metricsType = "array<struct<cvssV3_1:struct<baseScore:double,baseSeverity:string>>>"
+      val nested = o.select(col("o_orderkey").as("okey"),
+        struct(
+          format_string("CVE-2024-%04d", col("o_orderkey") % 10000)
+            .as("cveId"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+            .as("datePublished"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+            .as("dateUpdated")).as("cveMetadata"),
+        struct(struct(
+          concat(lit("Order "), col("o_orderkey")).as("title"),
+          array(struct(col("o_orderpriority").as("value")))
+            .as("descriptions"),
+          when(col("o_totalprice") > 200000,
+            array(struct(struct((col("o_totalprice") / 100000.0)
+              .as("baseScore"), col("o_orderstatus").as("baseSeverity"))
+              .as("cvssV3_1")))).otherwise(lit(null)).cast(metricsType)
+            .as("metrics"),
+          array(struct(array(struct(
+            concat(lit("CWE-"), col("o_orderkey") % 100).as("cweId")))
+            .as("descriptions"))).as("problemTypes")).as("cna"))
+          .as("containers"))
+      graft.model.Cve.extractMeta(nested, keep = Seq("okey"))
+        .select(col("okey"), col("cve_id"), col("title"), col("description"),
+          col("severity"), col("score"), col("cwe_id"))
+        .orderBy("okey")
+    },
+
     // ---- X8: ISO-8601 timestamp parsing + date-range filter (F5) ----
     GraftQuery("q58_timestamp_parse_range",
       """WITH t AS (SELECT event_id,

@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Advanced join shapes beyond the reference's nested-loop lookups
+  * (SURVEY.md §2.5 gap row): as-of and range joins, composed from
+  * Spark built-ins so Catalyst keeps full planning freedom.
+  *
+  * Scale notes (100 TB):
+  *  - the as-of join shuffles both sides ONCE on the equi key, then
+  *    resolves "latest right <= left ts" with a per-left-row window —
+  *    no time-expanded fan-out materializes beyond the matched
+  *    candidates, and AQE handles key skew;
+  *  - the range join against a SMALL bucket/dimension table is an
+  *    explicit broadcast nested-loop with a band predicate — the fact
+  *    side streams once; never range-join two fact tables directly
+  *    (bucketize the range first).
+  */
+object Joins {
+
+  /** As-of join: for every left row, the single latest right row with
+    * `rightTs <= leftTs`, matched on an equi key. Left rows with no
+    * prior right row keep nulls (left outer semantics). `leftId` must
+    * uniquely identify left rows. */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, leftId: String): DataFrame = {
+    val l = left.alias("l")
+    val r = right.alias("r")
+    val joined = l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs"), "left")
+    val w = Window.partitionBy(col(s"l.$leftId"))
+      .orderBy(col(s"r.$rightTs").desc_nulls_last)
+    joined.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ---- as-of join: latest prior click per error event, by user ----
+    // DuckDB mirrors with its native ASOF JOIN; Spark composes it from
+    // an equi+band join and a per-row latest-wins window.
+    GraftQuery("q18_asof_join",
+      """SELECT e.event_id,
+        |  c.event_id AS click_event_id,
+        |  CASE WHEN c.event_id IS NULL THEN NULL
+        |       ELSE round(CAST(e.value - c.value AS DOUBLE), 6)
+        |  END AS value_delta
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND c.ts <= e.ts
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val events = Tables.events(s, d)
+      val errors = events.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      asOfJoin(errors, clicks, "user_id", "ts", "ts", "event_id")
+        .select(col("l.event_id").as("event_id"),
+          col("r.event_id").as("click_event_id"),
+          round(col("l.value") - col("r.value"), 6).as("value_delta"))
+        .orderBy("event_id")
+    },
+
+    // ---- range join: band predicate against a small literal dim ----
+    GraftQuery("q19_range_join",
+      """WITH bands AS (
+        |  SELECT * FROM (VALUES ('tiny', 0, 10), ('small', 10, 25),
+        |                        ('large', 25, 100)) AS t(class, lo, hi))
+        |SELECT b.class, COUNT(*) AS n,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+        |FROM part p JOIN bands b ON p.p_size >= b.lo AND p.p_size < b.hi
+        |GROUP BY b.class
+        |ORDER BY b.class""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val bands = Seq(("tiny", 0, 10), ("small", 10, 25), ("large", 25, 100))
+        .toDF("class", "lo", "hi")
+      Tables.part(s, d)
+        .join(broadcast(bands),
+          col("p_size") >= col("lo") && col("p_size") < col("hi"))
+        .groupBy(col("class"))
+        .agg(count(lit(1)).as("n"),
+          Relational.decSum(col("p_retailprice"), 2).as("sum_price"))
+        .orderBy("class")
+    },
+
+    // ---- CUBE: all grouping-set combinations (§2.6 gap) ----
+    GraftQuery("q62_cube",
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"))
+        .orderBy("status", "priority")
+    },
+
+    // ---- HLL sketch: approx_count_distinct (§2.6 gap). Sketches are
+    //      engine-specific, so the oracle check is rows-only (noOracle);
+    //      the accuracy bound is asserted in OperatorSpec instead. ----
+    GraftQuery.noOracle("q63_approx_distinct") { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+  )
+}

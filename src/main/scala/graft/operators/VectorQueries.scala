@@ -179,6 +179,31 @@ object VectorQueries {
         .orderBy("label")
     },
 
+    // ---- custom typed Aggregator: per-label centroid (map-side
+    //      combined; only (sum, count) buffers shuffle) ----
+    GraftQuery("q25_label_centroid",
+      """WITH u AS (SELECT label,
+        |    unnest(embedding) AS e,
+        |    unnest(range(1, len(embedding) + 1)) AS i
+        |  FROM embeddings),
+        |c AS (SELECT label, i, SUM(CAST(e AS DOUBLE)) / COUNT(*) AS m
+        |      FROM u GROUP BY label, i),
+        |n AS (SELECT label, round(sqrt(SUM(m * m)), 6) AS centroid_norm
+        |      FROM c GROUP BY label),
+        |k AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label)
+        |SELECT k.label, k.n_vecs, n.centroid_norm
+        |FROM k JOIN n ON k.label = n.label
+        |ORDER BY k.label""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          graft.functions.VectorAggregators.centroid(col("embedding"))
+            .as("cent"))
+        .select(col("label"), col("n_vecs"),
+          round(l2Norm(col("cent")), 6).as("centroid_norm"))
+        .orderBy("label")
+    },
+
     // ---- IVF-style bucketed ANN: the 100 TB scale path ----
     // Corpus is assigned to its nearest of NQ coarse "centroids" (the
     // probe vectors double as centroids here); each query then scans ONLY
