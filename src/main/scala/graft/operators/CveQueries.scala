@@ -271,6 +271,59 @@ object CveQueries {
         .orderBy("okey")
     },
 
+    // ---- P5: higher-order array projection (transform r -> r.url),
+    //      the `[ref.url for ref in cve.references]` pattern ----
+    GraftQuery("q64_transform_projection",
+      """WITH t AS (SELECT o_orderkey AS okey,
+        |    [struct_pack(url := 'https://nvd.example/' || CAST(o_orderkey AS VARCHAR),
+        |       source := 'nvd'),
+        |     struct_pack(url := 'https://vendor.example/' || o_orderstatus,
+        |       source := 'vendor')] AS refs
+        |  FROM orders)
+        |SELECT okey, list_transform(refs, r -> r.url) AS urls,
+        |  CAST(len(refs) AS INTEGER) AS n_refs
+        |FROM t ORDER BY okey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey").as("okey"),
+          array(
+            struct(concat(lit("https://nvd.example/"), col("o_orderkey"))
+              .as("url"), lit("nvd").as("source")),
+            struct(concat(lit("https://vendor.example/"),
+              col("o_orderstatus")).as("url"), lit("vendor").as("source")))
+            .as("refs"))
+        .select(col("okey"),
+          transform(col("refs"), r => r.getField("url")).as("urls"),
+          size(col("refs")).as("n_refs"))
+        .orderBy("okey")
+    },
+
+    // ---- D2: the "LLM call" as a deterministic black-box scalar fn —
+    //      prompt-template synthesis from retrieved fields (the
+    //      in-engine stand-in SURVEY.md §2.11 prescribes) ----
+    GraftQuery("q65_answer_synthesis",
+      """SELECT doc_id,
+        |  CASE WHEN contains(lower(text), 'spark')
+        |    THEN printf('Answer[%s]: %s based on %d sources (conf %d%%)',
+        |      lang, substr(text, 1, 30), CAST(doc_id % 5 + 1 AS INTEGER),
+        |      least(100, 50 + CAST(n_chars // 10 AS INTEGER)))
+        |    ELSE 'No information available'
+        |  END AS answer
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // confidence is integer math end-to-end: %.2f of a computed double
+      // is NOT cross-engine stable (Java formats the shortest decimal
+      // repr half-up; DuckDB rounds the exact binary value).
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(lower(col("text")).contains("spark"),
+            format_string("Answer[%s]: %s based on %d sources (conf %d%%)",
+              col("lang"), substring(col("text"), 1, 30),
+              (col("doc_id") % 5 + 1).cast("int"),
+              least(lit(100), lit(50) + (col("n_chars") / 10).cast("int"))))
+            .otherwise("No information available").as("answer"))
+        .orderBy("doc_id")
+    },
+
     // ---- X8: ISO-8601 timestamp parsing + date-range filter (F5) ----
     GraftQuery("q58_timestamp_parse_range",
       """WITH t AS (SELECT event_id,

@@ -36,9 +36,14 @@ for name in sorted(oracle):
     if len(o) != len(s):
         fails.append((name, f"rows oracle={len(o)} spark={len(s)}"))
         continue
+    def norm(x):
+        if hasattr(x, "tolist"):
+            return x.tolist()
+        return x
     bad = None
     for c in o.columns:
-        ov, sv = o[c].tolist(), s[c].tolist()
+        ov = [norm(x) for x in o[c].tolist()]
+        sv = [norm(x) for x in s[c].tolist()]
         for i, (a, b) in enumerate(zip(ov, sv)):
             eq = (a == b) or (a is None and b is None)
             if not eq and isinstance(a, float) and isinstance(b, float):
