@@ -24,8 +24,16 @@ object VectorFunctions {
   /** Cast an array<float> column to array<double> element-wise. */
   def asDouble(a: Column): Column = transform(a, _.cast(DoubleType))
 
-  /** Dot product of two numeric array columns (Double fold). */
+  /** Dot product of two float/double array columns: the native codegen
+    * expression ([[graft.expressions.FloatDotProduct]]) — one primitive
+    * loop, no zipped intermediate array. Bit-identical to the composed
+    * `aggregate(zip_with(...))` Double fold it replaced. */
   def dotProduct(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.dotF(a, b)
+
+  /** The composed-builtins dot product (kept as the reference
+    * implementation; [[dotProduct]] is the fast path). */
+  def dotProductComposed(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
 

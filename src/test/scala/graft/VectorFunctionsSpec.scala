@@ -65,6 +65,24 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("native dot product is bit-identical to the composed fold") {
+    val df = vecs.toDF("id", "v")
+    val rows = df.as("x").crossJoin(df.as("y"))
+      .select(dotProduct(col("x.v"), col("y.v")).as("fast"),
+        dotProductComposed(col("x.v"), col("y.v")).as("ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // double-array inputs take the getDouble path
+    val dd = Seq((Seq(0.1, 0.2), Seq(0.3, 0.4))).toDF("a", "b")
+      .select(dotProduct(col("a"), col("b")).as("fast"),
+        dotProductComposed(col("a"), col("b")).as("ref")).collect()(0)
+    assert(dd.getDouble(0) == dd.getDouble(1))
+  }
+
   test("l2DistanceSq: zero for identical, positive otherwise") {
     val df = vecs.toDF("id", "v")
     val d = df.as("x").crossJoin(df.as("y"))
