@@ -1,0 +1,22 @@
+package graft
+
+import graft.expressions.FloatDotProduct
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension registration (`spark.sql.extensions=graft.GraftExtensions`
+  * or `builder.withExtensions(new GraftExtensions)`): exposes the
+  * engine's custom Catalyst expressions to SQL, so
+  * `SELECT dot_product(a.embedding, b.embedding)` plans the same
+  * codegen'd primitive loop the Column API uses. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[FloatDotProduct].getName, null,
+        "dot_product", "dot_product(a, b) - Double dot product of two float/double arrays.",
+        ""),
+      (exprs: Seq[Expression]) => FloatDotProduct(exprs(0), exprs(1))))
+  }
+}

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("dot_product is callable from SQL when extensions are injected") {
+    val base = TestSpark.spark // ensure the shared context exists first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val v = s.sql(
+        "SELECT dot_product(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d")
+        .collect()(0).getDouble(0)
+      assert(v == 11.0)
+      // and it participates in a real query plan over a table
+      val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      emb.createOrReplaceTempView("emb_ext")
+      val n = s.sql(
+        """SELECT count(*) FROM emb_ext
+          |WHERE dot_product(embedding, embedding) > 0""".stripMargin)
+        .collect()(0).getLong(0)
+      assert(n > 0)
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+}
