@@ -1,0 +1,76 @@
+package graft
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-data pipeline (SURVEY.md §7 module 7): the
+  * driver-program equivalent of the reference's Airflow DAG
+  * (`/root/reference/airflow/dags/etl.py:164-197`), generalized to the
+  * LLM-corpus shape — ingest -> exact-dedup -> quality-filter ->
+  * featurize -> write corpus + vector index tables.
+  *
+  * Every stage is a DataFrame transform; the only shuffles are the
+  * dedup aggregation (on a 32-byte uniform fingerprint — no skew) and
+  * the final write repartition. At 100 TB this runs as one job chain
+  * with no driver-side iteration.
+  */
+object Pipeline {
+
+  /** Corpus curation: drop exact duplicates (keep lowest id per
+    * fingerprint), keep docs above the quality threshold. */
+  def curate(docs: DataFrame, minQuality: Double = 0.3): DataFrame = {
+    val keep = docs
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    docs.join(keep, "doc_id")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        qualityScoreOf(col("text"), col("toks")).as("quality"))
+      .filter(col("quality") >= minQuality)
+  }
+
+  /** Featurize the curated corpus into a vector-index table. */
+  def index(curated: DataFrame, dim: Int = 64): DataFrame =
+    VectorFunctions.featurizeInto(
+      curated.select(col("doc_id").as("vec_id"), col("text")),
+      "text", "embedding", dim)
+      .select(col("vec_id"), col("embedding"))
+
+  /** Run the full chain: documents parquet -> curated corpus table +
+    * vector index table. Returns (corpus rows, index rows). */
+  def run(spark: SparkSession, docsPath: String, corpusOut: String,
+      indexOut: String, minQuality: Double = 0.3,
+      dim: Int = 64): (Long, Long) = {
+    val docs = spark.read.parquet(docsPath)
+    val curated = curate(docs, minQuality)
+    curated.write.mode("overwrite").parquet(corpusOut)
+    val written = spark.read.parquet(corpusOut)
+    index(written, dim).write.mode("overwrite").parquet(indexOut)
+    val n1 = spark.read.parquet(corpusOut).count()
+    val n2 = spark.read.parquet(indexOut).count()
+    (n1, n2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val docsPath = if (args.length > 0) args(0)
+      else "/root/testdata/sf0.001/documents.parquet"
+    val outDir = if (args.length > 1) args(1)
+      else java.nio.file.Files.createTempDirectory("graft-pipeline").toString
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (nc, ni) = run(spark, docsPath, s"$outDir/corpus", s"$outDir/index")
+    println(s"""{"corpus_rows":$nc,"index_rows":$ni,"out":"$outDir"}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pipeline curates, dedups, and indexes the corpus end-to-end") {
+    val tmp = Files.createTempDirectory("graft-pipe").toString
+    val (nCorpus, nIndex) = Pipeline.run(spark,
+      "/root/testdata/sf0.001/documents.parquet",
+      s"$tmp/corpus", s"$tmp/index")
+    assert(nCorpus > 0 && nCorpus == nIndex)
+    val corpus = spark.read.parquet(s"$tmp/corpus")
+    assert(corpus.agg(min("quality")).head().getDouble(0) >= 0.3)
+    val index = spark.read.parquet(s"$tmp/index")
+    assert(index.schema("embedding").dataType.simpleString
+      == "array<double>")
+    // every index vector is unit-norm (or all-zero for empty text)
+    val norms = index.select(
+      sqrt(graft.functions.VectorFunctions.dotProduct(
+        col("embedding"), col("embedding"))).as("n"))
+      .collect().map(_.getDouble(0))
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-9 || n == 0.0))
+  }
+
+  test("curate drops exact duplicates keeping the lowest doc_id") {
+    val tmp = Files.createTempDirectory("graft-pipe2").toString
+    Seq(
+      (10L, "some duplicated text here and more of it", "en", "s1"),
+      (11L, "some  DUPLICATED text here and more of it", "en", "s2"),
+      (12L, "a completely different document body text", "en", "s3"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/docs")
+    val curated = Pipeline.curate(
+      spark.read.parquet(s"$tmp/docs"), minQuality = 0.0)
+    val ids = curated.select("doc_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(10L, 12L))
+  }
+}
