@@ -151,6 +151,59 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // ---- the COMPLETE near-dup flow: LSH candidates -> true-Jaccard
+    //      verification -> dedup decision (drop the higher doc_id of
+    //      each confirmed pair). Candidates come from the band-bucket
+    //      groupBy (never the O(n²) pair space); only the few candidate
+    //      pairs pay the exact-Jaccard join back to shingles. ----
+    GraftQuery("q46_lsh_verified_dedup",
+      s"""WITH $bandsCteSql,
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM b x JOIN b y
+         |           ON x.band = y.band AND x.band_key = y.band_key
+         |           AND x.doc_id < y.doc_id),
+         |sh AS (SELECT doc_id,
+         |         list_distinct(${shinglesSql(s"($toksSql)", 3)}) AS sset
+         |       FROM documents),
+         |v AS (SELECT c.doc_a, c.doc_b,
+         |        CAST(len(list_filter(a.sset, x -> list_contains(b.sset, x)))
+         |          AS DOUBLE)
+         |        / len(list_distinct(list_concat(a.sset, b.sset))) AS jac
+         |      FROM cand c
+         |      JOIN sh a ON c.doc_a = a.doc_id
+         |      JOIN sh b ON c.doc_b = b.doc_id)
+         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+         |FROM v WHERE jac >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val cand = bandsOf(Tables.documents(s, d))
+        .groupBy(col("band"), col("band_key"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(flatten(transform(col("ids"), (a, i) =>
+          transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+            struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .distinct()
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          array_distinct(shinglesOf(col("toks"), 3)).as("sset"))
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"),
+          col("sset").as("sset_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"),
+          col("sset").as("sset_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("sset_a"), col("sset_b")))
+            .cast("double") /
+            size(array_union(col("sset_a"), col("sset_b"))))
+            .as("jac"))
+        .filter(col("jac") >= 0.5)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("jac"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // ---- n-gram Jaccard similarity over a bounded prefix ----
     GraftQuery("q43_ngram_jaccard",
       s"""WITH t AS (SELECT doc_id, ${shinglesSql(s"($toksSql)", 3)} AS sh

@@ -295,6 +295,70 @@ object Relational {
         .orderBy("rf", "ls")
     },
 
+    // ---- analytic windows: gaps-and-islands sessionization (lag +
+    //      conditional cumsum), the batch form of session windows ----
+    GraftQuery("q66_sessionization",
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id)
+        |      <= 1800000000 THEN 0 ELSE 1 END AS new_sess
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |        SUM(new_sess) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+        |      FROM g)
+        |SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+        |  COUNT(*) AS n_events,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS sess_start
+        |FROM s GROUP BY user_id, sess_no
+        |ORDER BY user_id, sess_no""".stripMargin) { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val cum = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("new_sess",
+          when(unix_micros(col("ts"))
+            - lag(unix_micros(col("ts")), 1).over(byUser)
+            <= 1800000000L, 0L).otherwise(1L))
+        .withColumn("sess_no", sum(col("new_sess")).over(cum))
+        .groupBy(col("user_id"), col("sess_no"))
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("sess_start"))
+        .orderBy("user_id", "sess_no")
+    },
+
+    // ---- frame-spec window: trailing moving average + running total ----
+    GraftQuery("q67_moving_window",
+      """WITH t AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    round(AVG(o_totalprice) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE) AS running_total
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, mavg3, running_total
+        |FROM t ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val byCust = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(avg(col("o_totalprice"))
+            .over(byCust.rowsBetween(-2, Window.currentRow)), 4)
+            .as("mavg3"),
+          sum(col("o_totalprice").cast("decimal(30,2)"))
+            .over(byCust.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)).cast("double").as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // ---- A4/D3: weighted-clamped confidence scoring ----
     GraftQuery("q17_weighted_clamp",
       """SELECT c_custkey,
