@@ -277,6 +277,26 @@ object Relational {
         .orderBy("bucket")
     },
 
+    // ---- exact percentiles (sorted-interpolated, matches DuckDB
+    //      quantile_cont's linear interpolation) ----
+    GraftQuery("q68_percentiles",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6)
+            .as("median_price"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- grouping-sets gap-fill: ROLLUP ----
     GraftQuery("q16_rollup",
       s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,

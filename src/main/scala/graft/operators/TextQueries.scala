@@ -3,6 +3,7 @@ package graft.operators
 import graft.{GraftQuery, Tables}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table: token/subword
@@ -148,6 +149,48 @@ object TextQueries {
           when(lower(col("text")).contains("spark"), "enhanced")
             .otherwise("plain").as("route"))
         .orderBy("doc_id")
+    },
+
+    // ---- corpus TF-IDF: per-doc top terms by tf * N/df ----
+    // The corpus-level statistic the reference never computes: document
+    // frequency via explode + distinct-agg, rarity weight N/df kept as
+    // an exact integer ratio (no ln -> no libm cross-engine drift),
+    // per-doc top-3 by (tfidf desc, term). Two shuffles total: the
+    // (doc, term) tf agg and the term df agg; N broadcasts.
+    GraftQuery("q35_tfidf_top_terms",
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+         |       FROM tok GROUP BY doc_id, term),
+         |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok
+         |       GROUP BY term),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.term,
+         |         CAST(tf.tf * n.n AS DOUBLE) / df.df AS tfidf
+         |       FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+         |r AS (SELECT doc_id, term, tfidf,
+         |        ROW_NUMBER() OVER (PARTITION BY doc_id
+         |          ORDER BY tfidf DESC, term) AS rk
+         |      FROM sc)
+         |SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, tfidf
+         |FROM r WHERE rk <= 3
+         |ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      tf.join(df, "term")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          ((col("tf") * col("n")).cast("double") / col("df")).as("tfidf"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("tfidf"))
+        .orderBy("doc_id", "rk")
     },
 
     // ---- content fingerprints: exact + rolling (min-shingle) ----
