@@ -33,6 +33,14 @@ object Pipeline {
       .filter(col("quality") >= minQuality)
   }
 
+  /** Curation with near-duplicate removal layered on [[curate]]:
+    * exact dedup + quality filter first (cheap), then MinHash/LSH +
+    * exact-Jaccard verified near-dup drop over the survivors. */
+  def curateNearDup(docs: DataFrame, minQuality: Double = 0.3,
+      minJaccard: Double = 0.8): DataFrame =
+    graft.dedup.NearDup.dropNearDuplicates(
+      curate(docs, minQuality), minJaccard)
+
   /** Featurize the curated corpus into a vector-index table. */
   def index(curated: DataFrame, dim: Int = 64): DataFrame =
     VectorFunctions.featurizeInto(

@@ -33,11 +33,13 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object TextFunctions {
 
-  /** Lowercase whitespace tokenization; "" -> empty array. */
-  def tokens(text: Column): Column = {
-    val t = split(lower(trim(text)), "\\s+")
-    when(length(trim(text)) === 0, array().cast("array<string>")).otherwise(t)
-  }
+  /** Lowercase whitespace tokenization with Python `str.split()`
+    * semantics: no empty tokens, ever. A plain split would emit ""
+    * around leading/trailing whitespace (`trim` strips only spaces, not
+    * tabs/newlines), so empties are filtered — which also makes empty /
+    * whitespace-only text yield the empty array with no special guard. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
   /** Word n-gram shingles as space-joined strings, from a materialized
     * tokens column. Rows with fewer than n tokens yield an empty array. */

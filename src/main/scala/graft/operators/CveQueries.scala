@@ -178,7 +178,7 @@ object CveQueries {
     // reverse, TP = intersection — eval.py:16-30 at corpus scale.
     GraftQuery("q56_eval_tp_fp_fn",
       """WITH t AS (SELECT doc_id,
-        |    list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+        |    list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS toks
         |  FROM documents),
         |p AS (SELECT a.doc_id AS pair_id, a.toks AS resp, b.toks AS ctx
         |      FROM t a JOIN t b ON b.doc_id = a.doc_id + 1)

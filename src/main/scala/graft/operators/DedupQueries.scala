@@ -29,8 +29,7 @@ import org.apache.spark.sql.functions._
 object DedupQueries {
 
   private val toksSql =
-    """CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-      |     ELSE string_split_regex(lower(trim(text)), '\s+') END""".stripMargin
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
 
   /** DuckDB mirror of shingles(text, n) given a toks expression. */
   private def shinglesSql(toks: String, n: Int): String =
@@ -38,9 +37,9 @@ object DedupQueries {
        |  ELSE list_transform(range(1, len($toks) - ${n - 2}),
        |    i -> array_to_string(($toks)[i:i+${n - 1}], ' ')) END""".stripMargin
 
-  private val K_MINHASH = 12 // signature components
-  private val ROWS_PER_BAND = 3 // -> 4 bands
-  private val N_BANDS = K_MINHASH / ROWS_PER_BAND
+  private val K_MINHASH = graft.dedup.NearDup.Components
+  private val ROWS_PER_BAND = graft.dedup.NearDup.RowsPerBand
+  private val N_BANDS = graft.dedup.NearDup.Bands
   private val SIMHASH_BITS = 16
   private val HAMMING_MAX = 3
 
@@ -80,26 +79,6 @@ object DedupQueries {
        |      FROM sig CROSS JOIN
        |        (SELECT unnest(generate_series(0, ${N_BANDS - 1})) AS band) g)""".stripMargin
 
-  /** (doc_id, band, band_key) for every doc with >= 3 tokens. Each
-    * stage materializes its array (toks -> th -> hs -> sig) as a named
-    * column: lambdas downstream then reference an attribute, not a
-    * recomputed expression, so the one md5 pass per token stays single
-    * no matter how many components consume it (see the PERFORMANCE
-    * CONTRACT note in [[graft.functions.TextFunctions]]). */
-  private def bandsOf(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .withColumn("th", tokenHashes(col("toks")))
-      .withColumn("hs", shingleHashesOf(col("th"), 3))
-      .withColumn("sig", minhashSignature(col("hs"), K_MINHASH))
-      .select(col("doc_id"), explode(array((0 until N_BANDS).map(b =>
-        struct(lit(b).as("band"),
-          lshBand(col("sig"), b * ROWS_PER_BAND, ROWS_PER_BAND)
-            .as("band_key"))): _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"),
-        col("bb.band_key").as("band_key"))
-
   val all: Seq[GraftQuery] = Seq(
 
     // ---- exact dedup: fingerprint hash-agg, keep-first representative ----
@@ -122,7 +101,7 @@ object DedupQueries {
       s"""WITH $bandsCteSql
          |SELECT doc_id, CAST(band AS INTEGER) AS band, band_key FROM b
          |ORDER BY doc_id, band""".stripMargin) { (s, d) =>
-      bandsOf(Tables.documents(s, d))
+      graft.dedup.NearDup.bands(Tables.documents(s, d))
         .orderBy("doc_id", "band")
     },
 
@@ -138,16 +117,7 @@ object DedupQueries {
          |  ON x.band = y.band AND x.band_key = y.band_key
          |  AND x.doc_id < y.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val ids = col("ids")
-      bandsOf(Tables.documents(s, d))
-        .groupBy(col("band"), col("band_key"))
-        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-        .filter(size(ids) > 1)
-        .select(explode(flatten(transform(ids, (a, i) =>
-          transform(slice(ids, i + 2, size(ids)), b =>
-            struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-        .distinct()
+      graft.dedup.NearDup.candidatePairs(Tables.documents(s, d))
         .orderBy("doc_a", "doc_b")
     },
 
@@ -175,32 +145,9 @@ object DedupQueries {
          |SELECT doc_a, doc_b, round(jac, 6) AS jaccard
          |FROM v WHERE jac >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val cand = bandsOf(Tables.documents(s, d))
-        .groupBy(col("band"), col("band_key"))
-        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(flatten(transform(col("ids"), (a, i) =>
-          transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
-            struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-        .distinct()
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"),
-          array_distinct(shinglesOf(col("toks"), 3)).as("sset"))
-      cand
-        .join(sh.select(col("doc_id").as("doc_a"),
-          col("sset").as("sset_a")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"),
-          col("sset").as("sset_b")), "doc_b")
+      graft.dedup.NearDup.verifiedPairs(Tables.documents(s, d), 0.5)
         .select(col("doc_a"), col("doc_b"),
-          (size(array_intersect(col("sset_a"), col("sset_b")))
-            .cast("double") /
-            size(array_union(col("sset_a"), col("sset_b"))))
-            .as("jac"))
-        .filter(col("jac") >= 0.5)
-        .select(col("doc_a"), col("doc_b"),
-          round(col("jac"), 6).as("jaccard"))
+          round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
 

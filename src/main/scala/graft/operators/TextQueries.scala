@@ -24,8 +24,7 @@ object TextQueries {
 
   /** DuckDB mirror of TextFunctions.tokens. */
   private val toksSql =
-    """CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-      |     ELSE string_split_regex(lower(trim(text)), '\s+') END""".stripMargin
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
 
   private val stopSqlList =
     "['the','a','an','of','to','and','in','is','on','for']"
@@ -197,8 +196,7 @@ object TextQueries {
     GraftQuery("q34_fingerprints",
       """WITH t AS (SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
-        |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |       ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
         |  FROM documents),
         |r AS (SELECT doc_id, fp,
         |  CASE WHEN len(toks) < 4 THEN NULL

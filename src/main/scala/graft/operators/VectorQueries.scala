@@ -137,8 +137,7 @@ object VectorQueries {
       """WITH t AS (
         |  SELECT doc_id,
         |    list_transform(
-        |      CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |           ELSE string_split_regex(lower(trim(text)), '\s+') END,
+        |      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
         |      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 16) AS buckets
         |  FROM documents WHERE doc_id < 100)
         |SELECT doc_id,

@@ -1,0 +1,96 @@
+package graft.vector
+
+import graft.expressions.VectorExpressions.dotF
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF (inverted-file) vector index: the build-once /
+  * probe-many ANN layout (the Spark-native replacement for the
+  * reference's Pinecone index, `/root/reference/consumer/consumer.py:58-67`).
+  *
+  * BUILD: assign every corpus vector to its nearest coarse centroid
+  * (one broadcast pass over the corpus) and write the assignments
+  * PARTITIONED BY bucket — each centroid's posting list is its own
+  * parquet directory.
+  *
+  * PROBE: a query scores only its nProbe nearest centroids' partitions;
+  * the bucket filter prunes at PLANNING time (PartitionFilters), so a
+  * 100 TB index with 10k centroids reads ~nProbe/10k of the data per
+  * query batch. Exactness degrades gracefully: nProbe = #centroids is
+  * brute force.
+  */
+object VectorIndex {
+
+  /** Coarse centroids: deterministic sample of the corpus (every k-th
+    * vector by id) — a stand-in for k-means that keeps the whole build
+    * reproducible. Returns (cent_id, c_emb, c_nrm). */
+  def centroids(corpus: DataFrame, n: Int): DataFrame = {
+    val w = Window.orderBy(col("vec_id"))
+    corpus.withColumn("__rn", row_number().over(w) - 1)
+      .withColumn("__total", count(lit(1)).over(
+        Window.partitionBy()))
+      .filter(col("__rn") % greatest(floor(col("__total") / n), lit(1)) === 0)
+      .withColumn("cent_id", (row_number().over(w) - 1).cast("int"))
+      .filter(col("cent_id") < n)
+      .select(col("cent_id"), col("embedding").as("c_emb"),
+        l2Norm(col("embedding")).as("c_nrm"))
+  }
+
+  /** Assign each corpus vector to its nearest centroid (cosine) and
+    * write the index partitioned by bucket. */
+  def build(corpus: DataFrame, cents: DataFrame, path: String): Unit = {
+    val scored = corpus
+      .withColumn("nrm", l2Norm(col("embedding")))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+        when(col("nrm") === 0.0 || col("c_nrm") === 0.0, lit(-2.0))
+          .otherwise(dotF(col("c_emb"), col("embedding"))
+            / (col("c_nrm") * col("nrm"))).as("csim"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cent_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cent_id").as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  /** Probe: top-k cosine neighbors for each query, scanning only each
+    * query's nProbe nearest buckets. Queries: (query_id, q_emb). */
+  def probe(spark: SparkSession, indexPath: String, cents: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val q = queries
+      .withColumn("q_nrm", l2Norm(col("q_emb")))
+    // nProbe nearest centroids per query (tiny: queries x centroids)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cent_id"))
+    val probeBuckets = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cent_id"),
+        when(col("q_nrm") === 0.0 || col("c_nrm") === 0.0, lit(-2.0))
+          .otherwise(dotF(col("c_emb"), col("q_emb"))
+            / (col("c_nrm") * col("q_nrm"))).as("csim"))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        col("cent_id").as("bucket"))
+    // scan ONLY the probed buckets: the bucket IN (...) filter is a
+    // partition filter -> planning-time pruning of the index dirs
+    val buckets = probeBuckets.select("bucket").distinct()
+      .collect().map(_.getInt(0))
+    val index = spark.read.parquet(indexPath)
+      .filter(col("bucket").isin(buckets.toSeq: _*))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    index.join(broadcast(probeBuckets), "bucket")
+      .select(col("query_id"), col("vec_id"),
+        when(col("nrm") === 0.0 || col("q_nrm") === 0.0,
+          lit(null).cast("double"))
+          .otherwise(dotF(col("q_emb"), col("embedding"))
+            / (col("q_nrm") * col("nrm"))).as("sim"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("sim"))
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style tests (SURVEY.md §5): ScalaCheck generators with a
+  * fixed seed produce one batch of random inputs, evaluated in a single
+  * DataFrame pass (one Spark job per property, not one per case). */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] = {
+    val params = Gen.Parameters.default
+    (0 until n).flatMap(i =>
+      g.apply(params, rng.Seed(42L + i)).toSeq)
+  }
+
+  test("cosine: symmetric, bounded, self-similar for random vectors") {
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-10.0f, 10.0f))
+    val vecs = samples(vecGen, 60).map(_.toSeq).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val df = vecs.toDF("id", "v").cache()
+    val pairs = df.as("x").crossJoin(df.as("y"))
+      .select(col("x.id").as("i"), col("y.id").as("j"),
+        cosine(col("x.v"), col("y.v")).as("s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val m = pairs.map { case (i, j, s) => (i, j) -> s }.toMap
+    pairs.foreach { case (i, j, s) =>
+      // symmetry (bit-exact: same fold order both directions per term)
+      assert(m((j, i)).isDefined == s.isDefined)
+      // bounded (up to fp slack)
+      s.foreach(v => assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9))
+      // self-similarity
+      if (i == j) s.foreach(v => assert(math.abs(v - 1.0) < 1e-9))
+    }
+  }
+
+  test("tokens/shingles invariants over random whitespace-noisy text") {
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    val textGen = for {
+      ws <- Gen.listOfN(12, word)
+      seps <- Gen.listOfN(12, Gen.oneOf(" ", "  ", "\t", " \n "))
+    } yield ws.zip(seps).map { case (w, s) => w + s }.mkString
+    val texts = samples(textGen, 80)
+    val rows = texts.toDF("text")
+      .select(col("text"), tokens(col("text")).as("toks"))
+      .select(
+        size(col("toks")).as("n"),
+        size(shinglesOf(col("toks"), 3)).as("n3"),
+        tokenCountOf(col("toks")).as("tc"),
+        subwordCount(col("text")).as("sw"))
+      .collect()
+    rows.foreach { r =>
+      val (n, n3, tc, sw) = (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))
+      assert(n3 == math.max(0, n - 2)) // |shingles| = max(0, n-k+1)
+      assert(tc == n)
+      assert(sw >= tc) // subwords at least as many as whitespace tokens
+    }
+  }
+
+  test("minhash signature agreement is monotone-ish in shared content") {
+    // identical docs agree on all components; unrelated docs on few
+    val texts = samples(Gen.listOfN(30,
+      Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString))
+      .map(_.mkString(" ")), 20)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("th", tokenHashes(col("toks")))
+      .withColumn("hs", shingleHashesOf(col("th"), 3))
+      .select(col("doc_id"), minhashSignature(col("hs"), 12).as("sig"))
+    val sigs = df.collect()
+      .map(r => r.getLong(0) -> r.getAs[collection.Seq[Long]]("sig"))
+    for ((i, si) <- sigs; (j, sj) <- sigs if i < j) {
+      val agree = si.zip(sj).count { case (a, b) => a == b }
+      assert(agree <= 12)
+      // distinct random docs should not agree on the full signature
+      assert(agree < 12 || si == sj)
+    }
+    // and equality holds for equal text
+    val t = texts.head
+    val dup = Seq((0L, t), (1L, t)).toDF("doc_id", "text")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("th", tokenHashes(col("toks")))
+      .withColumn("hs", shingleHashesOf(col("th"), 3))
+      .select(minhashSignature(col("hs"), 12).as("sig"))
+      .collect().map(_.getAs[collection.Seq[Long]]("sig"))
+    assert(dup(0) == dup(1))
+  }
+
+  test("featurize output is always unit norm or zero for random text") {
+    val textGen = Gen.oneOf(
+      Gen.const(""),
+      Gen.const("   "),
+      Gen.nonEmptyListOf(Gen.nonEmptyListOf(Gen.alphaNumChar)
+        .map(_.mkString)).map(_.mkString(" ")))
+    val texts = samples(textGen, 60)
+    val norms = texts.toDF("text")
+      .select(featurize(col("text"), 16).as("v"))
+      .select(sqrt(dotProduct(col("v"), col("v"))).as("n"))
+      .collect().map(_.getDouble(0))
+    norms.foreach(n =>
+      assert(n == 0.0 || math.abs(n - 1.0) < 1e-9))
+  }
+}
