@@ -105,6 +105,25 @@ object Joins {
         .orderBy("status", "priority")
     },
 
+    // ---- PIVOT: wide per-category aggregation ----
+    GraftQuery("q69_pivot",
+      """SELECT o_orderpriority,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS f_cnt,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS o_cnt,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS p_cnt
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("o_orderpriority"), col("F").as("f_cnt"),
+          col("O").as("o_cnt"), col("P").as("p_cnt"))
+        .orderBy("o_orderpriority")
+    },
+
     // ---- HLL sketch: approx_count_distinct (§2.6 gap). Sketches are
     //      engine-specific, so the oracle check is rows-only (noOracle);
     //      the accuracy bound is asserted in OperatorSpec instead. ----

@@ -29,5 +29,30 @@ object MultimodalQueries {
         .select(col("media_id"), col("kind"), col("n_bytes"), col("n_frames"))
         .orderBy("media_id")
     },
+
+    // ---- frame sampling: every 2nd 256-byte frame, max 8 per media
+    //      row. The mapPartitions stage emits binary slices; the oracle
+    //      checks the sampled frame schedule and each slice's length. ----
+    GraftQuery("q61_frame_sample",
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    octet_length(encode(text)) AS n_bytes FROM documents),
+        |f AS (SELECT media_id, n_bytes,
+        |        unnest(range(0, CAST(ceil(n_bytes / 256.0) AS INTEGER), 2))
+        |          AS frame_no
+        |      FROM m WHERE n_bytes > 0)
+        |SELECT media_id, CAST(frame_no AS INTEGER) AS frame_no,
+        |  CAST(least(256, n_bytes - frame_no * 256) AS BIGINT) AS frame_bytes
+        |FROM (SELECT media_id, n_bytes, frame_no,
+        |        ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY frame_no)
+        |          AS rk FROM f) t
+        |WHERE rk <= 8
+        |ORDER BY media_id, frame_no""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Multimodal.sampleFrames(Multimodal.mediaFromDocuments(s, d),
+        frameBytes = 256, every = 2, maxFrames = 8)
+        .select(col("media_id"), col("frame_no"),
+          length(col("frame")).cast("long").as("frame_bytes"))
+        .orderBy("media_id", "frame_no")
+    },
   )
 }

@@ -150,6 +150,55 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- edit-distance near-match (levenshtein, both engines native) ----
+    GraftQuery("q36_edit_distance",
+      """WITH t AS (SELECT doc_id, substr(text, 1, 20) AS head
+        |           FROM documents WHERE doc_id < 40)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.head, b.head) AS INTEGER) AS dist
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.head, b.head) <= 8
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .filter(col("doc_id") < 40)
+        .select(col("doc_id"), substring(col("text"), 1, 20).as("head"))
+      t.as("a").join(t.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          levenshtein(col("a.head"), col("b.head")).as("dist"))
+        .filter(col("dist") <= 8)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- deterministic train/val/test split: stable md5-hash bucketing
+    //      (the training-data split that never reshuffles when the
+    //      corpus grows — a doc's split is a pure function of its id) ----
+    GraftQuery("q37_train_val_split",
+      """WITH t AS (SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 10 AS bucket
+        |  FROM documents),
+        |s AS (SELECT lang,
+        |        CASE WHEN bucket < 8 THEN 'train'
+        |             WHEN bucket = 8 THEN 'val'
+        |             ELSE 'test' END AS split
+        |      FROM t)
+        |SELECT split, lang, COUNT(*) AS n
+        |FROM s GROUP BY split, lang
+        |ORDER BY split, lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("bucket",
+          conv(substring(md5(concat(lit("split#"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 10)
+        .select(col("lang"),
+          when(col("bucket") < 8, "train")
+            .when(col("bucket") === 8, "val")
+            .otherwise("test").as("split"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("split", "lang")
+    },
+
     // ---- corpus TF-IDF: per-doc top terms by tf * N/df ----
     // The corpus-level statistic the reference never computes: document
     // frequency via explode + distinct-agg, rarity weight N/df kept as
