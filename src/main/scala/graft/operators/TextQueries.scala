@@ -209,8 +209,7 @@ object TextQueries {
       s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
          |tf AS (SELECT doc_id, term, COUNT(*) AS tf
          |       FROM tok GROUP BY doc_id, term),
-         |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok
-         |       GROUP BY term),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
          |n AS (SELECT COUNT(*) AS n FROM documents),
          |sc AS (SELECT tf.doc_id, tf.term,
          |         CAST(tf.tf * n.n AS DOUBLE) / df.df AS tfidf
@@ -226,8 +225,11 @@ object TextQueries {
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       val tf = tok.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-      val df = tok.groupBy(col("term"))
-        .agg(countDistinct(col("doc_id")).as("df"))
+      // df = rows per term in tf (one row per (doc, term)): derives the
+      // document frequency from the tf agg instead of re-exploding the
+      // corpus — one explode pass instead of two.
+      val df = tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"))
       val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("term"))
