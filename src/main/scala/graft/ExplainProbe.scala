@@ -10,7 +10,7 @@ object ExplainProbe {
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { n =>
       println(s"===== $n =====")
-      val df = SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+      val df = SparkEntry.queries(n)(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
       println(df.queryExecution.executedPlan.treeString.take(4000))
     }
     spark.stop()

@@ -178,6 +178,57 @@ object VectorQueries {
         .orderBy("label")
     },
 
+    // ---- the chatbot's two-stage fallback retrieval (§3.2): primary =
+    //      thresholded top-k (self-hits excluded); queries with NO
+    //      primary hit re-search unthresholded at k=3. One scored pass
+    //      feeds both stages; the fallback applies only to the anti-set. ----
+    GraftQuery("q26_fallback_search",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+         |            FROM embeddings WHERE vec_id < $NQ),
+         |s AS (SELECT q.query_id, e.vec_id,
+         |        ${cosSql("q.q_emb", "e.embedding")} AS sim
+         |      FROM embeddings e CROSS JOIN q
+         |      WHERE q.query_id <> e.vec_id),
+         |prim AS (SELECT query_id, vec_id, sim,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |             ORDER BY sim DESC, vec_id) AS rk
+         |         FROM s WHERE sim >= 0.38),
+         |primk AS (SELECT * FROM prim WHERE rk <= $K),
+         |nohit AS (SELECT DISTINCT query_id FROM q
+         |          EXCEPT SELECT DISTINCT query_id FROM primk),
+         |fb AS (SELECT s.query_id, s.vec_id, s.sim,
+         |         ROW_NUMBER() OVER (PARTITION BY s.query_id
+         |           ORDER BY s.sim DESC, s.vec_id) AS rk
+         |       FROM s JOIN nohit ON s.query_id = nohit.query_id)
+         |SELECT query_id, CAST(rk AS INTEGER) AS rk, vec_id,
+         |  round(sim, 6) AS sim, stage
+         |FROM (SELECT query_id, rk, vec_id, sim, 'primary' AS stage
+         |        FROM primk
+         |      UNION ALL
+         |      SELECT query_id, rk, vec_id, sim, 'fallback' AS stage
+         |        FROM fb WHERE rk <= 3) u
+         |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+      val base = scored(s, d)
+        .filter(col("query_id") =!= col("vec_id"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      val primary = base.filter(col("sim") >= 0.38)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K)
+      val noHit = Tables.embeddings(s, d).filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"))
+        .join(primary.select("query_id").distinct(),
+          Seq("query_id"), "left_anti")
+      val fallback = base.join(broadcast(noHit), "query_id")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+      primary.withColumn("stage", lit("primary"))
+        .unionByName(fallback.withColumn("stage", lit("fallback")))
+        .select(col("query_id"), col("rk"), col("vec_id"),
+          round(col("sim"), 6).as("sim"), col("stage"))
+        .orderBy("query_id", "rk")
+    },
+
     // ---- custom typed Aggregator: per-label centroid (map-side
     //      combined; only (sum, count) buffers shuffle) ----
     GraftQuery("q25_label_centroid",
