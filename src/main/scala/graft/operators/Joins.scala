@@ -105,6 +105,64 @@ object Joins {
         .orderBy("status", "priority")
     },
 
+    // ---- MapType: parse JSON props to a map, explode entries ----
+    GraftQuery("q71_map_entries",
+      """WITH x AS (SELECT e.event_id, k.key,
+        |    json_extract_string(e.props, '$.' || k.key) AS value
+        |  FROM events e, unnest(json_keys(e.props)) AS k(key))
+        |SELECT key, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS BIGINT)) AS BIGINT) AS sum_val
+        |FROM x GROUP BY key
+        |ORDER BY key""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.MapType(org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)).as("kv"))
+        .select(col("event_id"), explode(col("kv")).as(Seq("key", "value")))
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("bigint")).cast("bigint").as("sum_val"))
+        .orderBy("key")
+    },
+
+    // ---- date arithmetic: datediff / add_months / trunc ----
+    GraftQuery("q72_date_arith",
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+        |  COUNT(*) AS n,
+        |  CAST(MIN(datediff('day', CAST(o_orderdate AS DATE),
+        |    DATE '1999-01-01')) AS INTEGER) AS min_days_to_ref,
+        |  strftime(MIN(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH),
+        |    '%Y-%m-%d') AS min_plus3m
+        |FROM orders
+        |GROUP BY month
+        |ORDER BY month""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")),
+          "yyyy-MM-dd").as("month"))
+        .agg(count(lit(1)).as("n"),
+          min(datediff(lit("1999-01-01").cast("date"),
+            col("o_orderdate").cast("date"))).cast("int")
+            .as("min_days_to_ref"),
+          date_format(min(add_months(col("o_orderdate").cast("date"), 3)),
+            "yyyy-MM-dd").as("min_plus3m"))
+        .orderBy("month")
+    },
+
+    // ---- scalar subquery through the SQL surface (graft.Sql):
+    //      above-average filter planned by Catalyst's subquery rewrite ----
+    GraftQuery("q73_scalar_subquery",
+      """SELECT o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      graft.Sql.query(s, d,
+        """SELECT o_orderpriority, COUNT(*) AS n
+          |FROM orders
+          |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    },
+
     // ---- PIVOT: wide per-category aggregation ----
     GraftQuery("q69_pivot",
       """SELECT o_orderpriority,

@@ -123,6 +123,64 @@ object Streams {
       .withWatermark("date_updated", watermark)
       .dropDuplicatesWithinWatermark("cve_id", "date_updated")
 
+  /** Per-user session accumulator state for [[statefulSessions]]. */
+  final case class SessState(start: Long, last: Long, n: Long)
+
+  /** A closed session emitted by [[statefulSessions]] (epoch micros). */
+  final case class ClosedSession(user_id: Long, n_events: Long,
+      start_us: Long, end_us: Long)
+
+  /** Custom arbitrary-state sessionization via flatMapGroupsWithState
+    * (the capability `session_window` can't express: emit CLOSED
+    * sessions only, with whatever per-session payload the state holds).
+    * A session closes when a newer event arrives more than `gapUs`
+    * after the last one, or when the event-time watermark passes the
+    * session's expiry (EventTimeTimeout). State per user is O(1); the
+    * watermark bounds state lifetime exactly like the built-in
+    * session_window aggregation. */
+  def statefulSessions(events: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp)],
+      gapUs: Long, watermark: String = "0 seconds")
+      : org.apache.spark.sql.Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def micros(t: java.sql.Timestamp): Long = t.getTime * 1000L
+    events
+      .withColumnRenamed("_1", "user_id").withColumnRenamed("_2", "ts")
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+            state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(user, s.n, s.start, s.last))
+          } else {
+            val sorted = rows.map(r => micros(r._2)).toSeq.sorted
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.last <= gapUs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) =>
+                  closed ::= ClosedSession(user, s.n, s.start, s.last)
+                  cur = Some(SessState(t, t, 1))
+                case None =>
+                  cur = Some(SessState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.last + gapUs) / 1000L + 1L)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** End-to-end batch-mode equivalent of the Airflow DAG
     * (`airflow/dags/etl.py:164-197`): read a landing dir of CVE JSON,
     * persist raw + extracted tables with the same W5 corrupt-split as

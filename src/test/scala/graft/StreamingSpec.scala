@@ -84,6 +84,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L), (1L, 1L), (2L, 1L)))
   }
 
+  test("flatMapGroupsWithState sessionizer emits closed sessions only") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val out = Streams.statefulSessions(mem.toDS().toDF("_1", "_2")
+      .as[(Long, Timestamp)], gapUs = 30L * 60 * 1000 * 1000)
+    val q = out.writeStream.format("memory").queryName("sess_state")
+      .outputMode("append").start()
+    // batch 1: two sessions' worth of events for user 1, one for user 2
+    mem.addData(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, Timestamp.valueOf("2024-01-01 00:10:00")),
+      (2L, Timestamp.valueOf("2024-01-01 00:05:00")))
+    q.processAllAvailable()
+    // nothing closed yet (watermark has not advanced)
+    assert(spark.table("sess_state").count() == 0)
+    // batch 2: a much later event closes user 1's first session inline
+    // and advances the watermark so user 2's session times out
+    mem.addData((1L, Timestamp.valueOf("2024-01-01 03:00:00")))
+    q.processAllAvailable()
+    mem.addData((1L, Timestamp.valueOf("2024-01-01 06:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_state")
+      .orderBy("user_id", "start_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // user 1: first session had 2 events; user 2: timed-out session of 1
+    assert(rows.contains((1L, 2L)))
+    assert(rows.contains((2L, 1L)))
+  }
+
   test("streaming dedup drops repeated (cve_id, date_updated) within watermark") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp)]
