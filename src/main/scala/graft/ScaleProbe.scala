@@ -1,0 +1,64 @@
+package graft
+import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: replicate sf0.1 10x (keys shifted, doc text perturbed) into
+  * /tmp/scale10 and time headline queries there vs sf0.1 — a superlinear
+  * blowup here is a scale bug no sf0.1 bench would show. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+    val out = "/tmp/scale10"
+    val copies = 10
+
+    def replicate(name: String, keyCols: Map[String, Long]): Unit = {
+      val base = Tables.table(spark, src, name)
+      val reps = (0 until copies).map { i =>
+        keyCols.foldLeft(base) { case (df, (c, stride)) =>
+          df.withColumn(c, col(c) + lit(i * stride))
+        } match {
+          case df if name == "documents" && i > 0 =>
+            df.withColumn("text",
+              concat(col("text"), lit(" uniq"), col("doc_id")))
+          case df => df
+        }
+      }
+      reps.reduce(_ unionByName _).write.mode("overwrite")
+        .parquet(s"$out/$name.parquet")
+    }
+    if (args.headOption.contains("build")) {
+      replicate("lineitem", Map("l_orderkey" -> 10000000L))
+      replicate("orders", Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
+      replicate("customer", Map("c_custkey" -> 1000000L))
+      replicate("supplier", Map("s_suppkey" -> 1000000L))
+      replicate("part", Map("p_partkey" -> 1000000L))
+      replicate("documents", Map("doc_id" -> 1000000L))
+      replicate("embeddings", Map("vec_id" -> 1000000L))
+      replicate("events", Map("event_id" -> 100000000L, "user_id" -> 1000000L))
+      Seq("region", "nation").foreach { n =>
+        Tables.table(spark, src, n).write.mode("overwrite")
+          .parquet(s"$out/$n.parquet") }
+      println("BUILT scale10")
+    }
+    val qs = Seq("q01_pricing_summary", "q03_join_agg_revenue",
+      "q20_cosine_knn", "q35_tfidf_top_terms", "q40_exact_dedup",
+      "q42_lsh_candidate_pairs", "q46_lsh_verified_dedup",
+      "q66_sessionization", "q05_window_topk_per_group")
+    Seq(src, out).foreach { dir =>
+      // warmup
+      Tables.lineitem(spark, dir).count(); Tables.documents(spark, dir).count()
+      qs.foreach { n =>
+        val t0 = System.nanoTime()
+        val cnt = SparkEntry.queries(n)(spark, dir).count()
+        println(f"TIME ${dir.split('/').last} $n ${(System.nanoTime()-t0)/1e9}%.2f s ($cnt rows)")
+      }
+    }
+    spark.stop()
+  }
+}
