@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
 object Pipeline {
 
   /** Corpus curation: drop exact duplicates (keep lowest id per
-    * fingerprint), keep docs above the quality threshold. */
+    * fingerprint), keep docs above the quality threshold. The returned
+    * frame carries `observe` metrics ("graft.curate": rows kept, mean
+    * quality) that any QueryExecutionListener can collect per run —
+    * free production telemetry, no extra job. */
   def curate(docs: DataFrame, minQuality: Double = 0.3): DataFrame = {
     val keep = docs
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
@@ -31,6 +34,9 @@ object Pipeline {
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         qualityScoreOf(col("text"), col("toks")).as("quality"))
       .filter(col("quality") >= minQuality)
+      .observe("graft.curate",
+        count(lit(1)).as("rows_kept"),
+        avg(col("quality")).as("mean_quality"))
   }
 
   /** Curation with near-duplicate removal layered on [[curate]]:

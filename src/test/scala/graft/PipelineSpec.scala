@@ -27,6 +27,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(norms.forall(n => math.abs(n - 1.0) < 1e-9 || n == 0.0))
   }
 
+  test("curate emits observe metrics collectable by a listener") {
+    import org.apache.spark.sql.util.QueryExecutionListener
+    import org.apache.spark.sql.execution.QueryExecution
+    @volatile var seen: Option[(Long, Double)] = None
+    val listener = new QueryExecutionListener {
+      override def onSuccess(fn: String, qe: QueryExecution,
+          duration: Long): Unit = {
+        qe.observedMetrics.get("graft.curate").foreach { row =>
+          seen = Some((row.getAs[Long]("rows_kept"),
+            row.getAs[Double]("mean_quality")))
+        }
+      }
+      override def onFailure(fn: String, qe: QueryExecution,
+          error: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val curated = Pipeline.curate(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+      val n = curated.count()
+      // poll briefly: listener fires asynchronously after the action
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(seen.isDefined, "observe metrics never arrived")
+      assert(seen.get._1 == n)
+      assert(seen.get._2 >= 0.3 && seen.get._2 <= 1.0)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("curate drops exact duplicates keeping the lowest doc_id") {
     val tmp = Files.createTempDirectory("graft-pipe2").toString
     Seq(
