@@ -68,6 +68,20 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 00:10:00.0", "view", 1L, 8.0)))
   }
 
+  test("sliding windows place each event in width/slide windows") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    mem.addData((Timestamp.valueOf("2024-01-01 00:07:00"), "click"))
+    val events = mem.toDF.toDF("ts", "event_type")
+    val out = Streams.drainToTable(spark,
+      Streams.slidingCounts(events, width = "10 minutes",
+        slide = "5 minutes"), "sliding_test")
+      .orderBy("win_start").collect()
+      .map(r => r.getAs[Timestamp]("win_start").toString)
+    // a 00:07 event falls in the 00:00-00:10 and 00:05-00:15 windows
+    assert(out.toSeq == Seq("2024-01-01 00:00:00.0", "2024-01-01 00:05:00.0"))
+  }
+
   test("session windows split on gaps, keyed by user") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]

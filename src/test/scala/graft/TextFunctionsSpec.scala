@@ -88,6 +88,26 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(scores("long") > scores("punct"))
   }
 
+  test("unicode text: tokens split correctly, lengths count characters") {
+    assert(one[collection.Seq[String]](tokens(col("text")),
+      "Héllo wörld münchen") // NBSP is not \s: stays inside a token
+      == Seq("héllo wörld", "münchen"))
+    assert(one[collection.Seq[String]](tokens(col("text")),
+      "日本語 テスト") == Seq("日本語", "テスト"))
+    val mtl = Seq("日本語 テスト").toDF("text")
+      .select(tokens(col("text")).as("toks"))
+      .select(meanTokenLengthOf(col("toks")).as("m"))
+      .collect()(0).getDouble(0)
+    assert(mtl == 3.0) // characters, not bytes
+  }
+
+  test("tokens handles leading/trailing tabs and newlines (no empties)") {
+    assert(one[collection.Seq[String]](tokens(col("text")), "\tfoo bar\n")
+      == Seq("foo", "bar"))
+    assert(one[collection.Seq[String]](tokens(col("text")), "\n\t ")
+      == Seq.empty)
+  }
+
   test("subwordCount counts runs + punctuation, 0 for empty") {
     assert(one[Long](subwordCount(col("text")), "don't stop!") == 5L)
     assert(one[Long](subwordCount(col("text")), "") == 0L)
