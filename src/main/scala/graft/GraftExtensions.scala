@@ -15,8 +15,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, null,
-        "dot_product", "dot_product(a, b) - Double dot product of two float/double arrays.",
-        ""),
+        "dot_product",
+        "dot_product(a, b) - Double dot product of two float/double arrays.",
+        "", "", "", "", "4.0.0", "", "built-in"),
       (exprs: Seq[Expression]) => FloatDotProduct(exprs(0), exprs(1))))
   }
 }

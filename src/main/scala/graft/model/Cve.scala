@@ -90,5 +90,6 @@ object Cve {
       col("cveMetadata.cveId").as("cve_id"),
       col("cveMetadata.dateUpdated").as("date_updated"),
       col("cveMetadata.datePublished").as("date_published"),
-      to_json(struct(df.columns.map(col): _*)).as("data_json"))
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*))
+        .as("data_json"))
 }
