@@ -23,20 +23,43 @@ object Joins {
 
   /** As-of join: for every left row, the single latest right row with
     * `rightTs <= leftTs`, matched on an equi key. Left rows with no
-    * prior right row keep nulls (left outer semantics). `leftId` must
-    * uniquely identify left rows. */
+    * prior right row get a null match (left outer semantics).
+    *
+    * Implemented as the scalable union + running-`last` carry — NOT a
+    * band join: a band join materializes every (left, prior-right) pair
+    * before picking the latest, which explodes on high-frequency keys.
+    * Here both sides shuffle ONCE on the key, sort by time within the
+    * partition, and each left row reads the carried latest right row —
+    * strictly linear in input size at any scale.
+    *
+    * Output: the left columns plus one struct column `matchCol` holding
+    * the matched right row (null when no prior right row exists). At
+    * equal timestamps a right row matches a left row (<= semantics). */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
-      leftTs: String, rightTs: String, leftId: String): DataFrame = {
-    val l = left.alias("l")
-    val r = right.alias("r")
-    val joined = l.join(r,
-      col(s"l.$key") === col(s"r.$key") &&
-        col(s"r.$rightTs") <= col(s"l.$leftTs"), "left")
-    val w = Window.partitionBy(col(s"l.$leftId"))
-      .orderBy(col(s"r.$rightTs").desc_nulls_last)
-    joined.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .drop("__rk")
+      leftTs: String, rightTs: String,
+      matchCol: String = "asof_match"): DataFrame = {
+    val rightStruct = struct(right.columns.toIndexedSeq.map(col): _*)
+    val taggedRight = right.select(
+      col(key).as("__k"), col(rightTs).as("__ts"),
+      lit(0).as("__side"), rightStruct.as("__payload"))
+    val leftStruct = struct(left.columns.toIndexedSeq.map(col): _*)
+    val taggedLeft = left.select(
+      col(key).as("__k"), col(leftTs).as("__ts"),
+      lit(1).as("__side"),
+      lit(null).cast(taggedRight.schema("__payload").dataType)
+        .as("__payload"),
+      leftStruct.as("__row"))
+    val merged = taggedRight.withColumn("__row",
+      lit(null).cast(taggedLeft.schema("__row").dataType))
+      .unionByName(taggedLeft)
+    // right rows sort before left rows at the same ts -> <= semantics
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged
+      .withColumn(matchCol, last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__row.*"), col(matchCol))
   }
 
   val all: Seq[GraftQuery] = Seq(
@@ -59,10 +82,11 @@ object Joins {
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       val clicks = events.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-      asOfJoin(errors, clicks, "user_id", "ts", "ts", "event_id")
-        .select(col("l.event_id").as("event_id"),
-          col("r.event_id").as("click_event_id"),
-          round(col("l.value") - col("r.value"), 6).as("value_delta"))
+      asOfJoin(errors, clicks, "user_id", "ts", "ts")
+        .select(col("event_id"),
+          col("asof_match.event_id").as("click_event_id"),
+          round(col("value") - col("asof_match.value"), 6)
+            .as("value_delta"))
         .orderBy("event_id")
     },
 

@@ -23,17 +23,22 @@ import org.apache.spark.sql.functions._
   */
 object VectorIndex {
 
-  /** Coarse centroids: deterministic sample of the corpus (every k-th
-    * vector by id) — a stand-in for k-means that keeps the whole build
-    * reproducible. Returns (cent_id, c_emb, c_nrm). */
+  /** Coarse centroids: deterministic sample of the corpus (stride over
+    * vec_id) — a stand-in for k-means that keeps the whole build
+    * reproducible. The stride filter runs fully parallel and pushes to
+    * the scan; only the ~n selected rows pass through the
+    * (single-partition, size-n) ranking window — never the corpus, so
+    * the build has no global-order bottleneck at scale.
+    * Returns (cent_id, c_emb, c_nrm). */
   def centroids(corpus: DataFrame, n: Int): DataFrame = {
-    val w = Window.orderBy(col("vec_id"))
-    corpus.withColumn("__rn", row_number().over(w) - 1)
-      .withColumn("__total", count(lit(1)).over(
-        Window.partitionBy()))
-      .filter(col("__rn") % greatest(floor(col("__total") / n), lit(1)) === 0)
+    val total = corpus.count()
+    val stride = math.max(total / n, 1L)
+    val sampled = corpus
+      .filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy(col("vec_id")).limit(n)
+    val w = Window.orderBy(col("vec_id")) // over <= n rows only
+    sampled
       .withColumn("cent_id", (row_number().over(w) - 1).cast("int"))
-      .filter(col("cent_id") < n)
       .select(col("cent_id"), col("embedding").as("c_emb"),
         l2Norm(col("embedding")).as("c_nrm"))
   }
