@@ -68,10 +68,15 @@ object Streams {
     parsed.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (ok, dlq) = splitCorrupt(batch)
-        Cve.rawPersist(ok).write.mode("append").parquet(rawPath)
-        Cve.extractMeta(ok).write.mode("append").parquet(metaPath)
-        dlq.write.mode("append").parquet(dlqPath)
+        // three sinks consume the same micro-batch: persist once so the
+        // source (Kafka at scale) is read once, not three times
+        batch.persist()
+        try {
+          val (ok, dlq) = splitCorrupt(batch)
+          Cve.rawPersist(ok).write.mode("append").parquet(rawPath)
+          Cve.extractMeta(ok).write.mode("append").parquet(metaPath)
+          dlq.write.mode("append").parquet(dlqPath)
+        } finally batch.unpersist()
         ()
       }
 
