@@ -116,11 +116,11 @@ object TextFunctions {
     bitCols.reduce(_ + _)
   }
 
-  /** Hamming distance between two simhash fingerprints. */
+  /** Hamming distance between two simhash fingerprints: native
+    * popcount of the XOR (`bits` kept for API clarity; the fingerprints
+    * only occupy the low `bits` anyway). */
   def hammingDistance(a: Column, b: Column, bits: Int): Column =
-    (0 until bits).map { j =>
-      abs(shiftright(a, j) % 2 - shiftright(b, j) % 2)
-    }.reduce(_ + _)
+    bit_count(a.bitwiseXOR(b)).cast(LongType)
 
   /** Exact content fingerprint: md5 of whitespace-normalized lowercase
     * text (the exact-dedup key). Single pass — safe on a raw column. */

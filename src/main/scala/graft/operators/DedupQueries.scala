@@ -238,9 +238,7 @@ object DedupQueries {
          |  h -> ((h >> $j) % 2) * 2 - 1)) > 0
          |  THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END""".stripMargin
     }.mkString(" + ")
-    val ham = (0 until SIMHASH_BITS).map { j =>
-      s"abs((a.sh >> $j) % 2 - (b.sh >> $j) % 2)"
-    }.mkString(" + ")
+    val ham = "bit_count(xor(a.sh, b.sh))"
     s"""WITH t AS (SELECT doc_id,
        |  list_transform($toksSql,
        |    x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) AS hs
