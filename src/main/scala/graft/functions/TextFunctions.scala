@@ -105,15 +105,23 @@ object TextFunctions {
 
   /** SimHash fingerprint over `bits` bits (<= 32) from a materialized
     * token-hash column: fingerprint bit j is set iff the sum over tokens
-    * of (2*bit_j(h) - 1) is positive. Pure integer arithmetic. */
+    * of (2*bit_j(h) - 1) is positive. ONE pass over the hashes builds
+    * all per-bit vote counters (an array accumulator), then the bits
+    * fold into the fingerprint. Pure integer arithmetic. */
   def simhashOf(th: Column, bits: Int): Column = {
     require(bits <= 32, "simhash supports at most 32 bits")
-    val bitCols = (0 until bits).map { j =>
-      val votes = aggregate(th, lit(0L),
-        (acc, h) => acc + (shiftright(h, j) % 2) * 2 - 1)
-      when(votes > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
+    // bit_j(h) via power-of-two division (shiftright needs a literal
+    // shift; division by 2^j is a pure exponent change — binary-exact)
+    val votes = aggregate(th, array_repeat(lit(0L), bits), (acc, h) =>
+      transform(acc, (v, j) =>
+        v + (floor(h.cast("double") / pow(lit(2.0), j)).cast(LongType)
+          % 2) * 2 - 1))
+    // votes is referenced exactly ONCE (transform argument position):
+    // set-bit values 2^j are exact in double up to j=52, then summed
+    aggregate(
+      transform(votes, (v, j) =>
+        when(v > 0, pow(lit(2.0), j).cast(LongType)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** Hamming distance between two simhash fingerprints: native
