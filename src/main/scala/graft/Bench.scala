@@ -18,10 +18,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM, parquet reader, and codegen paths once so the first
     // timed query doesn't absorb all one-time startup cost.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // The noop sink evaluates every output column and keeps the final
+      // sort, unlike count() which lets ColumnPruning/EliminateSorts drop
+      // the very projections being benchmarked.
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

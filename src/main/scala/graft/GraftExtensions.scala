@@ -18,6 +18,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "dot_product",
         "dot_product(a, b) - Double dot product of two float/double arrays.",
         "", "", "", "", "4.0.0", "", "built-in"),
-      (exprs: Seq[Expression]) => FloatDotProduct(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) {
+          throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            Map("functionName" -> "`dot_product`", "expectedNum" -> "2",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        }
+        FloatDotProduct(exprs(0), exprs(1))
+      }))
   }
 }

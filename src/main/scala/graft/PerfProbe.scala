@@ -20,7 +20,7 @@ object PerfProbe {
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"TIME $n ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()

@@ -39,9 +39,12 @@ object VectorAggregators {
       if (a._1.isEmpty) b
       else if (b._1.isEmpty) a
       else {
+        // Accumulate into the longer buffer so ragged inputs never
+        // overrun, mirroring reduce's min-length guard.
+        val (big, small) = if (a._1.length >= b._1.length) (a, b) else (b, a)
         var i = 0
-        while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
-        (a._1, a._2 + b._2)
+        while (i < small._1.length) { big._1(i) += small._1(i); i += 1 }
+        (big._1, a._2 + b._2)
       }
     }
 
@@ -49,9 +52,10 @@ object VectorAggregators {
       if (b._2 == 0) Seq.empty
       else b._1.map(_ / b._2).toSeq
 
+    // ExpressionEncoder stores the sums as an unsafe primitive double
+    // array — far smaller shuffle buffers than java serialization.
     override def bufferEncoder: Encoder[CentroidBuf] =
-      Encoders.tuple(Encoders.javaSerialization[Array[Double]],
-        Encoders.scalaLong)
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     override def outputEncoder: Encoder[Seq[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }

@@ -39,7 +39,10 @@ object Joins {
       leftTs: String, rightTs: String,
       matchCol: String = "asof_match"): DataFrame = {
     val rightStruct = struct(right.columns.toIndexedSeq.map(col): _*)
-    val taggedRight = right.select(
+    // SQL ASOF/equi-join semantics: a NULL key never matches, so
+    // null-key right rows must not become match candidates for
+    // null-key left rows sharing the window partition.
+    val taggedRight = right.filter(col(key).isNotNull).select(
       col(key).as("__k"), col(rightTs).as("__ts"),
       lit(0).as("__side"), rightStruct.as("__payload"))
     val leftStruct = struct(left.columns.toIndexedSeq.map(col): _*)

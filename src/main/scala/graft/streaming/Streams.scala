@@ -169,7 +169,10 @@ object Streams {
             sorted.foreach { t =>
               cur match {
                 case Some(s) if t - s.last <= gapUs =>
-                  cur = Some(s.copy(last = t, n = s.n + 1))
+                  // An above-watermark event from a later micro-batch can
+                  // still be earlier than state.last; never move the
+                  // session end (and its timeout) backwards.
+                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
                 case Some(s) =>
                   closed ::= ClosedSession(user, s.n, s.start, s.last)
                   cur = Some(SessState(t, t, 1))
