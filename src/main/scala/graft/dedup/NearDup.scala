@@ -37,10 +37,41 @@ object NearDup {
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.band_key").as("band_key"))
 
-  /** Distinct (doc_a < doc_b) candidate pairs from shared band keys. */
-  def candidatePairs(docs: DataFrame): DataFrame = {
+  /** Per-bucket cap: a degenerate corpus (thousands of near-identical
+    * docs sharing every band key) must not accumulate one giant bucket
+    * and enumerate O(b²) pairs in a single task. Buckets above the cap
+    * keep their `MaxBucket` lowest doc_ids — the standard LSH guard.
+    * 1000 is far above any organic bucket (bands split 12 minhash
+    * components; organic collisions are near-duplicate clusters, which
+    * exact-dedup upstream already collapses — see
+    * [[graft.Pipeline.curateNearDup]]) while bounding one task's pair
+    * enumeration at ~500k structs. */
+  val MaxBucket = 1000
+
+  /** Distinct (doc_a < doc_b) candidate pairs from shared band keys.
+    *
+    * Bucket membership is bounded BEFORE any per-bucket array exists:
+    * a window `row_number` over (band, band_key) ranks doc_ids with a
+    * spillable sort, so neither the aggregation buffer nor the pair
+    * enumeration ever sees more than `maxBucket` rows per bucket. The
+    * groupBy reuses the window's hash partitioning — still ONE shuffle.
+    * Truncation is never silent: the `lsh_buckets` observe metric
+    * reports (oversized_buckets, max_bucket_n); read it post-action via
+    * `df.queryExecution.observedMetrics` or a QueryExecutionListener. */
+  def candidatePairs(docs: DataFrame,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byBucket = Window.partitionBy(col("band"), col("band_key"))
     val ids = col("ids")
     bands(docs)
+      .withColumn("rn", row_number().over(byBucket.orderBy(col("doc_id"))))
+      .withColumn("bucket_n", count(lit(1)).over(byBucket))
+      .filter(col("bucket_n") > 1)
+      .observe("lsh_buckets",
+        sum(when(col("bucket_n") > maxBucket && col("rn") === 1, 1L)
+          .otherwise(0L)).as("oversized_buckets"),
+        coalesce(max(col("bucket_n")), lit(0L)).as("max_bucket_n"))
+      .filter(col("rn") <= maxBucket)
       .groupBy(col("band"), col("band_key"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(ids) > 1)
@@ -52,12 +83,13 @@ object NearDup {
   }
 
   /** Candidate pairs verified by exact shingle-set Jaccard >= min. */
-  def verifiedPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
+  def verifiedPairs(docs: DataFrame, minJaccard: Double,
+      maxBucket: Int = MaxBucket): DataFrame = {
     val sh = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         array_distinct(shinglesOf(col("toks"), ShingleN)).as("sset"))
-    candidatePairs(docs)
+    candidatePairs(docs, maxBucket)
       .join(sh.select(col("doc_id").as("doc_a"), col("sset").as("sset_a")),
         "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sset").as("sset_b")),
@@ -74,8 +106,55 @@ object NearDup {
     * chain a-b-c it keeps a and may keep c if (a,c) was no candidate —
     * the standard single-pass approximation; exact grouping would need
     * an iterative CC pass.) */
-  def dropNearDuplicates(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val toDrop = verifiedPairs(docs, minJaccard)
+  /** Connected components over an undirected (doc_a, doc_b) edge set:
+    * every node labeled with the minimum doc_id reachable from it.
+    * Output: (doc_id, comp) for every node that appears in an edge.
+    *
+    * Iterative min-label propagation (the standard Spark formulation
+    * when a full Pregel runtime is overkill): each round joins labels
+    * across edges and keeps the per-node minimum, converging in
+    * O(component diameter) rounds — duplicate clusters are
+    * near-cliques, so typically 2-3. Each round is one join + one
+    * aggregation on the (small) edge set, with `localCheckpoint` to
+    * truncate lineage so plans don't grow with the iteration count.
+    * The exact alternative to [[dropNearDuplicates]]'s greedy pass:
+    * a chain a-b-c groups all three even though (a,c) was never a
+    * candidate pair. */
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // Materialize BEFORE the self-union: if `pairs` carries an observe
+    // node (candidatePairs does), unioning it with itself would put two
+    // same-named CollectMetrics nodes in one plan — an analysis error.
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val edges = p
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("comp", col("doc_id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst").as("doc_id"), col("comp"))
+      val next = labels.union(prop)
+        .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("comp", "prev"),
+        "doc_id")
+        .filter(col("comp") < col("prev"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  def dropNearDuplicates(docs: DataFrame, minJaccard: Double,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    val toDrop = verifiedPairs(docs, minJaccard, maxBucket)
       .select(col("doc_b").as("doc_id")).distinct()
     docs.join(toDrop, Seq("doc_id"), "left_anti")
   }

@@ -182,7 +182,8 @@ object DedupQueries {
     },
 
     // ---- SimHash fingerprints + near-dup hamming pairs ----
-    GraftQuery("q44_simhash_pairs", simhashPairsSql) { (s, d) =>
+    GraftQuery("q44_simhash_pairs",
+      simhashPairsSql("WHERE doc_id < 100")) { (s, d) =>
       val t = Tables.documents(s, d)
         .filter(col("doc_id") < 100)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -194,6 +195,84 @@ object DedupQueries {
             .as("hamming"))
         .filter(col("hamming") <= HAMMING_MAX)
         .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- SimHash near-dup, BANDED (the scale path for q44): the
+    //      16-bit fingerprint splits into 4 contiguous 4-bit bands;
+    //      Hamming <= 3 differing bits cannot touch all 4 bands, so any
+    //      qualifying pair shares at least one full band (pigeonhole) —
+    //      banding is LOSSLESS at this threshold. Candidates come from
+    //      an equi self-join on (band, band_value) — one shuffle, no
+    //      all-pairs — then only candidates pay the popcount verify.
+    //      The oracle is the brute-force all-pairs form over the SAME
+    //      unbounded corpus: result sets must be identical. At real
+    //      scale widen to a 64-bit fingerprint with 16-bit bands (same
+    //      plan shape, 2^16 buckets per band instead of 2^4). ----
+    GraftQuery("q47_simhash_banded", simhashPairsSql("")) { (s, d) =>
+      val nBands = 4
+      val bandBits = SIMHASH_BITS / nBands
+      val mask = (1L << bandBits) - 1
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("th", tokenHashes(col("toks")))
+        .select(col("doc_id"), simhashOf(col("th"), SIMHASH_BITS).as("sh"))
+      val banded = t.select(col("doc_id"), col("sh"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sh"), b * bandBits).bitwiseAND(lit(mask))
+              .as("bv"))): _*)).as("bb"))
+        .select(col("doc_id"), col("sh"),
+          col("bb.band").as("band"), col("bb.bv").as("bv"))
+      banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          hammingDistance(col("a.sh"), col("b.sh"), SIMHASH_BITS)
+            .as("hamming"))
+        .filter(col("hamming") <= HAMMING_MAX)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- connected components over verified near-dup pairs: the
+    //      EXACT grouping alternative to the greedy drop (a chain a-b-c
+    //      becomes one component even though (a,c) was never a
+    //      candidate). Spark side is iterative min-label propagation
+    //      ([[graft.dedup.NearDup.components]]); the oracle computes the
+    //      same fixpoint as a recursive transitive-closure CTE. ----
+    GraftQuery("q48_near_dup_components",
+      s"""WITH RECURSIVE $bandsCteSql,
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM b x JOIN b y
+         |           ON x.band = y.band AND x.band_key = y.band_key
+         |           AND x.doc_id < y.doc_id),
+         |sh AS (SELECT doc_id,
+         |         list_distinct(${shinglesSql(s"($toksSql)", 3)}) AS sset
+         |       FROM documents),
+         |v AS (SELECT c.doc_a, c.doc_b
+         |      FROM cand c
+         |      JOIN sh a ON c.doc_a = a.doc_id
+         |      JOIN sh b ON c.doc_b = b.doc_id
+         |      WHERE CAST(len(list_filter(a.sset,
+         |          x -> list_contains(b.sset, x))) AS DOUBLE)
+         |        / len(list_distinct(list_concat(a.sset, b.sset))) >= 0.5),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM v
+         |      UNION SELECT doc_b, doc_a FROM v),
+         |reach(a, b) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.a, e2.dst FROM reach r JOIN e e2 ON r.b = e2.src)
+         |SELECT doc_id, CAST(MIN(comp) AS BIGINT) AS comp FROM (
+         |  SELECT a AS doc_id, b AS comp FROM reach
+         |  UNION ALL
+         |  SELECT DISTINCT src AS doc_id, src AS comp FROM e)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.dedup.NearDup.components(
+        graft.dedup.NearDup.verifiedPairs(Tables.documents(s, d), 0.5))
+        .select(col("doc_id"), col("comp").cast("bigint").as("comp"))
+        .orderBy("doc_id")
     },
 
     // ---- embedding-cosine near-dup, blocked on label ----
@@ -231,8 +310,11 @@ object DedupQueries {
     },
   )
 
-  /** DuckDB mirror of simhash(text, SIMHASH_BITS) + pairwise hamming. */
-  private def simhashPairsSql: String = {
+  /** DuckDB mirror of simhash(text, SIMHASH_BITS) + pairwise hamming,
+    * over `where`-bounded docs. Brute-force all-pairs: the oracle for
+    * both the bounded q44 baseline and the banded q47 scale path (the
+    * pigeonhole guarantee makes banding lossless at HAMMING_MAX). */
+  private def simhashPairsSql(where: String): String = {
     val bits = (0 until SIMHASH_BITS).map { j =>
       s"""CASE WHEN list_sum(list_transform(hs,
          |  h -> ((h >> $j) % 2) * 2 - 1)) > 0
@@ -242,7 +324,7 @@ object DedupQueries {
     s"""WITH t AS (SELECT doc_id,
        |  list_transform($toksSql,
        |    x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) AS hs
-       |  FROM documents WHERE doc_id < 100),
+       |  FROM documents $where),
        |f AS (SELECT doc_id, $bits AS sh FROM t)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(($ham) AS BIGINT) AS hamming
        |FROM f a JOIN f b ON a.doc_id < b.doc_id

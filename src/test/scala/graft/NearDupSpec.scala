@@ -1,0 +1,77 @@
+package graft
+
+import graft.dedup.NearDup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Adversarial-input guarantees of the near-dup library API: a
+  * degenerate corpus (every doc identical) must not blow up one LSH
+  * bucket into an O(n²) pair enumeration in a single task. */
+class NearDupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def corpus(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("degenerate corpus: band buckets are capped, truncation observed") {
+    // 5k identical docs share every band key -> 4 buckets of 5000.
+    val docs = corpus((0L until 5000L).map(i =>
+      i -> "the quick brown fox jumps over the lazy dog"))
+    val cap = 64
+    val pairs = NearDup.candidatePairs(docs, maxBucket = cap)
+    // collect() executes `pairs`' own QueryExecution, which is where the
+    // observe metrics accumulate (count() would plan a separate one).
+    val n = pairs.collect().length
+    // Each of the 4 bands keeps the same 64 lowest doc_ids -> the
+    // distinct pair set is C(64, 2), not C(5000, 2) = 12.5M.
+    assert(n === cap * (cap - 1) / 2)
+    val m = pairs.queryExecution.observedMetrics("lsh_buckets")
+    assert(m.getAs[Long]("oversized_buckets") === 4L)
+    assert(m.getAs[Long]("max_bucket_n") === 5000L)
+  }
+
+  test("cap above the largest bucket leaves the pair set unchanged") {
+    val docs = corpus(Seq(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon zeta",
+      3L -> "alpha beta gamma delta epsilon eta",
+      4L -> "one two three four five six seven"))
+    val capped = NearDup.candidatePairs(docs, maxBucket = 3)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val uncapped = NearDup.candidatePairs(docs, maxBucket = 1000000)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(capped === uncapped)
+    assert(capped.nonEmpty)
+  }
+
+  test("components groups a chain transitively; greedy drop does not") {
+    import spark.implicits._
+    // Chain 1-2, 2-3 plus a separate pair 7-8: components must label
+    // {1,2,3} with 1 even though (1,3) was never a pair.
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val got = NearDup.components(pairs)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("components converges on a long path within the iteration cap") {
+    import spark.implicits._
+    // A path 0-1-2-...-9 has diameter 9; min-label propagation moves
+    // the min one hop per round, so this exercises real iteration.
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = NearDup.components(pairs)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got === (0L to 9L).map(_ -> 0L))
+  }
+
+  test("greedy drop collapses an all-duplicate corpus to its lowest id") {
+    val docs = corpus((0L until 200L).map(i =>
+      i -> "the quick brown fox jumps over the lazy dog"))
+    val kept = NearDup.dropNearDuplicates(docs, 0.9)
+    // All 200 are exact duplicates; greedy keep-lowest keeps doc 0.
+    assert(kept.select("doc_id").as[Long](spark.implicits.newLongEncoder)
+      .collect().toSeq === Seq(0L))
+  }
+}
