@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
   */
 object VectorIndex {
 
-  /** Coarse centroids: deterministic sample of the corpus (stride over
-    * vec_id) — a stand-in for k-means that keeps the whole build
-    * reproducible. The stride filter runs fully parallel and pushes to
+  /** Coarse SEED centroids: deterministic sample of the corpus (stride
+    * over vec_id). Use directly for a sampling-based index, or refine
+    * with [[kmeansCentroids]] (Lloyd's) for better recall at fixed
+    * nProbe. The stride filter runs fully parallel and pushes to
     * the scan; only the ~n selected rows pass through the
     * (single-partition, size-n) ranking window — never the corpus, so
     * the build has no global-order bottleneck at scale.
@@ -43,9 +44,10 @@ object VectorIndex {
         l2Norm(col("embedding")).as("c_nrm"))
   }
 
-  /** Assign each corpus vector to its nearest centroid (cosine) and
-    * write the index partitioned by bucket. */
-  def build(corpus: DataFrame, cents: DataFrame, path: String): Unit = {
+  /** Nearest-centroid (cosine) assignment of every corpus vector:
+    * (vec_id, embedding, nrm, bucket). One broadcast of the centroids,
+    * one corpus pass, one per-vec_id window to pick the argmax. */
+  private def assignBuckets(corpus: DataFrame, cents: DataFrame): DataFrame = {
     val scored = corpus
       .withColumn("nrm", l2Norm(col("embedding")))
       .crossJoin(broadcast(cents))
@@ -59,8 +61,48 @@ object VectorIndex {
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("cent_id").as("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
   }
+
+  /** Lloyd's k-means refinement of the stride seeds: `iters` fixed
+    * iterations of assign -> exact per-dimension mean -> recenter.
+    * Empty clusters keep their previous centroid.
+    *
+    * The per-dimension means accumulate as DECIMAL sums over a
+    * posexplode — decimal addition is exact, hence order-independent,
+    * so the refined centroids are bit-identical across runs and
+    * partitionings (float/double sums would depend on shuffle arrival
+    * order). The explode shuffles (bucket, pos, x) — dim x corpus rows
+    * — which is the deliberate price of a reproducible one-time build;
+    * assignment passes stay one broadcast + one window each.
+    * Returns (cent_id, c_emb, c_nrm), same schema as [[centroids]]. */
+  def kmeansCentroids(corpus: DataFrame, n: Int, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    var cents = centroids(corpus, n).localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      val means = assignBuckets(corpus, cents)
+        .select(col("bucket"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("bucket"), col("pos"))
+        .agg(avg(col("x").cast(DecimalType(38, 12))).as("m"))
+        .groupBy(col("bucket"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("bucket").as("cent_id"),
+          transform(col("pm"), p => p.getField("m").cast("float")).as("m_emb"))
+      cents = cents.join(means, Seq("cent_id"), "left")
+        .select(col("cent_id"),
+          coalesce(col("m_emb"), col("c_emb")).as("c_emb"))
+        .withColumn("c_nrm", l2Norm(col("c_emb")))
+        .localCheckpoint()
+      it += 1
+    }
+    cents
+  }
+
+  /** Assign each corpus vector to its nearest centroid (cosine) and
+    * write the index partitioned by bucket. */
+  def build(corpus: DataFrame, cents: DataFrame, path: String): Unit =
+    assignBuckets(corpus, cents)
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
   /** Probe: top-k cosine neighbors for each query, scanning only each
     * query's nProbe nearest buckets. Queries: (query_id, q_emb). */

@@ -39,6 +39,49 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(Layout.scanFilters(scan).contains("PartitionFilters: ["))
   }
 
+  private def recallAtK(cents: org.apache.spark.sql.DataFrame,
+      nProbe: Int, k: Int): Double = {
+    import graft.functions.VectorFunctions._
+    val tmp = Files.createTempDirectory("graft-ivf-recall").toString
+    VectorIndex.build(corpus, cents, s"$tmp/index")
+    val queries = corpus.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val ivf = VectorIndex.probe(spark, s"$tmp/index", cents, queries,
+      k = k, nProbe = nProbe)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    val brute = corpus.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("sim"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val per = brute.map { case (q, truth) =>
+      ivf.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    per.sum / per.size
+  }
+
+  test("k-means centroids: recall at fixed nProbe beats the stride seeds") {
+    val seeds = VectorIndex.centroids(corpus, 8).cache()
+    val refined = VectorIndex.kmeansCentroids(corpus, 8, iters = 2)
+    val strideRecall = recallAtK(seeds, nProbe = 2, k = 10)
+    val kmeansRecall = recallAtK(refined, nProbe = 2, k = 10)
+    info(f"stride recall@10=$strideRecall%.3f kmeans recall@10=$kmeansRecall%.3f")
+    assert(kmeansRecall >= strideRecall)
+    assert(kmeansRecall >= 0.5)
+  }
+
+  test("k-means build is deterministic across runs") {
+    val a = VectorIndex.kmeansCentroids(corpus, 8, iters = 2)
+      .orderBy("cent_id").collect().map(_.getSeq[Float](1)).toSeq
+    val b = VectorIndex.kmeansCentroids(corpus, 8, iters = 2)
+      .orderBy("cent_id").collect().map(_.getSeq[Float](1)).toSeq
+    assert(a === b)
+  }
+
   test("probe with nProbe = #centroids equals brute force") {
     val tmp = Files.createTempDirectory("graft-ivf2").toString
     val cents = VectorIndex.centroids(corpus, 4).cache()
