@@ -1,0 +1,58 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Streaming throughput probe: drain a file-sourced CVE JSON stream
+  * through the W3 dual-sink writer (parse -> corrupt-split -> raw +
+  * silver + DLQ parquet appends) and report rows/s. The W-family's
+  * performance evidence to go with StreamingSpec's correctness
+  * evidence — see STREAMBENCH.md for recorded figures.
+  *
+  * The record stream is generated from a representative CVE template
+  * (ids/scores/dates varied per row, ~2% corrupt rows for the DLQ
+  * path) and split across files so AvailableNow forms several
+  * micro-batches, exercising real per-batch overhead.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val rows = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "200000").toLong
+    val files = 20
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-streambench")
+      .toString
+    // one JSON doc per line; every 50th row is corrupt (DLQ path)
+    spark.range(rows).select(
+      when(col("id") % 50 === 0, lit("""{"broken"""))
+        .otherwise(format_string(
+          """{"cveMetadata":{"cveId":"CVE-2024-%d","datePublished":"2024-01-01T00:00:00.000Z","dateUpdated":"2024-01-02T00:00:00.000Z"},"containers":{"cna":{"title":"t%d","descriptions":[{"value":"desc %d"}],"metrics":[{"cvssV3_1":{"baseScore":%d.1,"baseSeverity":"MEDIUM"}}],"problemTypes":[{"descriptions":[{"cweId":"CWE-%d"}]}]}}}""",
+          col("id"), col("id"), col("id"), col("id") % 9,
+          col("id") % 1000)).as("value"))
+      .repartition(files)
+      .write.mode("overwrite").text(s"$tmp/landing")
+
+    val source = spark.readStream
+      .option("maxFilesPerTrigger", math.max(files / 5, 1).toString)
+      .text(s"$tmp/landing")
+    val parsed = Streams.parseCve(source)
+    val t0 = System.nanoTime()
+    val q = Streams.dualSinkWriter(parsed, s"$tmp/raw", s"$tmp/meta",
+      s"$tmp/dlq", s"$tmp/ckpt").trigger(Streams.drainTrigger).start()
+    q.awaitTermination()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val out = spark.read.parquet(s"$tmp/raw").count() +
+      spark.read.parquet(s"$tmp/dlq").count()
+    require(out == rows, s"sink row mismatch: $out != $rows")
+    println(f"""{"metric":"stream_rows_per_sec","value":${rows / sec}%.0f,"unit":"rows/sec","rows":$rows,"seconds":$sec%.2f,"batches":${files / math.max(files / 5, 1)}}""")
+    spark.stop()
+  }
+}

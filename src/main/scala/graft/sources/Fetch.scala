@@ -1,0 +1,67 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, FileOutputStream}
+import java.nio.file.{Files, Path, Paths}
+import java.util.zip.ZipInputStream
+
+/** S1/S2: driver-side fetch + unzip of a delta archive into a landing
+  * directory — the JVM equivalent of the reference's download step
+  * (`/root/reference/download.py:17-28`), closing the end-to-end
+  * "delta zip -> landing dir -> ingestBatch" loop
+  * (`airflow/dags/etl.py:173-188`).
+  *
+  * Deliberately OUT of the engine (SURVEY.md §2.1): a single-archive
+  * fetch is driver work, not distributed work — the cluster takes over
+  * at [[graft.streaming.Streams.ingestBatch]] on the landing dir. Only
+  * entries matching `suffix` are extracted; entry names are sanitized
+  * against zip-slip path escapes.
+  */
+object Fetch {
+
+  /** Fetch `url` (any java.net URL scheme, e.g. file:// or https://)
+    * to `destFile`, creating parent dirs. Returns the local path. */
+  def fetch(url: String, destFile: String): Path = {
+    val dest = Paths.get(destFile)
+    Files.createDirectories(dest.getParent)
+    val in = new BufferedInputStream(java.net.URI.create(url).toURL.openStream())
+    try Files.copy(in, dest,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    dest
+  }
+
+  /** Extract `suffix`-matching entries of a zip into `landingDir`
+    * (flat — entry directory structure is dropped, matching the
+    * reference's per-file landing layout). Returns extracted paths. */
+  def unzip(zipFile: String, landingDir: String,
+      suffix: String = ".json"): Seq[Path] = {
+    val landing = Paths.get(landingDir)
+    Files.createDirectories(landing)
+    val zin = new ZipInputStream(
+      new BufferedInputStream(Files.newInputStream(Paths.get(zipFile))))
+    val out = Seq.newBuilder[Path]
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        val name = Paths.get(e.getName).getFileName.toString
+        if (!e.isDirectory && name.endsWith(suffix) &&
+            !name.contains("..")) {
+          val target = landing.resolve(name)
+          val fos = new FileOutputStream(target.toFile)
+          try zin.transferTo(fos) finally fos.close()
+          out += target
+        }
+        zin.closeEntry()
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    out.result()
+  }
+
+  /** The full S1+S2 step: fetch the archive and land its JSON files. */
+  def fetchAndExtract(url: String, workDir: String,
+      suffix: String = ".json"): Seq[Path] = {
+    val zip = fetch(url, s"$workDir/archive.zip")
+    unzip(zip.toString, s"$workDir/landing", suffix)
+  }
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.Sources
+import graft.sources.{Fetch, Sources}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
@@ -44,6 +44,51 @@ class SourcesSpec extends AnyFunSuite {
     val lines = Sources.textLines(spark, s"$tmp/urls.txt")
     assert(lines.count() == 3)
     assert(lines.columns.toSeq == Seq("value"))
+  }
+
+  test("kafka source options pin the reference consumer's semantics") {
+    val opts = Sources.kafkaOptions("broker1:9092,broker2:9092", "cve-topic")
+    assert(opts("kafka.bootstrap.servers") === "broker1:9092,broker2:9092")
+    assert(opts("subscribe") === "cve-topic")
+    // fresh consumer groups replay from the beginning, and missing
+    // offsets surface instead of being silently skipped
+    assert(opts("startingOffsets") === "earliest")
+    assert(opts("failOnDataLoss") === "false")
+    // No connector jar / broker in this environment, so load() is not
+    // integration-tested here; the builder compiles against the
+    // public readStream API and runs unchanged on a real cluster.
+  }
+
+  test("fetch + unzip land a delta archive for ingestBatch end-to-end") {
+    val good =
+      """{"cveMetadata":{"cveId":"CVE-2024-9999","datePublished":"2024-01-01T00:00:00.000Z","dateUpdated":"2024-01-02T00:00:00.000Z"},"containers":{"cna":{"title":"t","descriptions":[{"value":"d"}],"metrics":[{"cvssV3_1":{"baseScore":7.5,"baseSeverity":"HIGH"}}],"problemTypes":[{"descriptions":[{"cweId":"CWE-89"}]}]}}}"""
+    val corrupt = """{"not json at all"""
+    val tmp = Files.createTempDirectory("graft-fetch").toString
+    // build a zip fixture: two .json entries (one nested dir, one
+    // corrupt) and one non-json entry that must be skipped
+    val zipPath = s"$tmp/delta.zip"
+    val zout = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(zipPath))
+    def entry(name: String, body: String): Unit = {
+      zout.putNextEntry(new java.util.zip.ZipEntry(name))
+      zout.write(body.getBytes("UTF-8")); zout.closeEntry()
+    }
+    entry("deltaCves/CVE-2024-9999.json", good)
+    entry("bad.json", corrupt)
+    entry("README.md", "not a cve")
+    zout.close()
+
+    val landed = Fetch.fetchAndExtract(
+      s"file://$zipPath", s"$tmp/work", ".json")
+    assert(landed.map(_.getFileName.toString).sorted ===
+      Seq("CVE-2024-9999.json", "bad.json"))
+
+    graft.streaming.Streams.ingestBatch(spark, s"$tmp/work/landing",
+      s"$tmp/raw", s"$tmp/meta", Some(s"$tmp/dlq"))
+    assert(spark.read.parquet(s"$tmp/raw").count() === 1)
+    val meta = spark.read.parquet(s"$tmp/meta")
+    assert(meta.filter(col("cve_id") === "CVE-2024-9999").count() === 1)
+    assert(spark.read.parquet(s"$tmp/dlq").count() === 1)
   }
 
   test("jsonWithDlq captures corrupt records instead of dropping them") {
