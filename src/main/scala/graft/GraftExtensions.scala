@@ -28,5 +28,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         FloatDotProduct(exprs(0), exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash"),
+      new ExpressionInfo(classOf[graft.expressions.SimHash].getName, null,
+        "simhash",
+        "simhash(token_hashes, bits) - SimHash fingerprint of an " +
+          "array<bigint> over `bits` bits (literal 1..32).",
+        "", "", "", "", "4.0.0", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) {
+          throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            Map("functionName" -> "`simhash`", "expectedNum" -> "2",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        }
+        val bits = exprs(1) match {
+          case e if e.foldable &&
+              e.dataType == org.apache.spark.sql.types.IntegerType =>
+            e.eval().asInstanceOf[Int]
+          case _ =>
+            throw new org.apache.spark.sql.AnalysisException(
+              "NON_FOLDABLE_ARGUMENT",
+              Map("funcName" -> "`simhash`", "paramName" -> "`bits`",
+                "paramType" -> "\"INT\""))
+        }
+        graft.expressions.SimHash(exprs(0), bits)
+      }))
   }
 }

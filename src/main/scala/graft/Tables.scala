@@ -14,6 +14,22 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Rebalance a scan across the cluster BEFORE heavy per-row compute
+    * (per-token md5, JSON parse, shingle set ops) — and only when the
+    * scan under-parallelizes. Parquet splits at row-group granularity,
+    * so a small single-row-group file is ONE task no matter what
+    * `maxPartitionBytes` says, serializing everything until the first
+    * exchange. When per-row compute dominates scan bytes (md5-per-token
+    * is ~50x the I/O), a round-robin shuffle of the raw rows is always
+    * worth it on an under-parallel scan; on production multi-row-group
+    * files the partition check makes this a no-op, so no extra shuffle
+    * ships at scale. Apply AFTER scan-level filters — pushdown first,
+    * then spread the survivors. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong`
     * and this loader converts the raw nanos to a microsecond timestamp

@@ -22,9 +22,13 @@ object NearDup {
   val RowsPerBand = 3
   val Bands: Int = Components / RowsPerBand
 
-  /** (doc_id, band, band_key): one row per doc per LSH band. */
+  /** (doc_id, band, band_key): one row per doc per LSH band.
+    * The input is spread ([[graft.Tables.spread]]) before the md5-per-
+    * token signature pass: per-row compute dominates scan bytes here,
+    * and an under-parallel scan (small single-row-group files) would
+    * otherwise serialize the whole signature stage. */
   def bands(docs: DataFrame): DataFrame =
-    docs
+    graft.Tables.spread(docs)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= ShingleN)
       .withColumn("th", tokenHashes(col("toks")))
@@ -85,7 +89,7 @@ object NearDup {
   /** Candidate pairs verified by exact shingle-set Jaccard >= min. */
   def verifiedPairs(docs: DataFrame, minJaccard: Double,
       maxBucket: Int = MaxBucket): DataFrame = {
-    val sh = docs
+    val sh = graft.Tables.spread(docs)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         array_distinct(shinglesOf(col("toks"), ShingleN)).as("sset"))

@@ -108,21 +108,8 @@ object TextFunctions {
     * of (2*bit_j(h) - 1) is positive. ONE pass over the hashes builds
     * all per-bit vote counters (an array accumulator), then the bits
     * fold into the fingerprint. Pure integer arithmetic. */
-  def simhashOf(th: Column, bits: Int): Column = {
-    require(bits <= 32, "simhash supports at most 32 bits")
-    // bit_j(h) via power-of-two division (shiftright needs a literal
-    // shift; division by 2^j is a pure exponent change — binary-exact)
-    val votes = aggregate(th, array_repeat(lit(0L), bits), (acc, h) =>
-      transform(acc, (v, j) =>
-        v + (floor(h.cast("double") / pow(lit(2.0), j)).cast(LongType)
-          % 2) * 2 - 1))
-    // votes is referenced exactly ONCE (transform argument position):
-    // set-bit values 2^j are exact in double up to j=52, then summed
-    aggregate(
-      transform(votes, (v, j) =>
-        when(v > 0, pow(lit(2.0), j).cast(LongType)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
-  }
+  def simhashOf(th: Column, bits: Int): Column =
+    graft.expressions.TextExpressions.simHashF(th, bits)
 
   /** Hamming distance between two simhash fingerprints: native
     * popcount of the XOR (`bits` kept for API clarity; the fingerprints

@@ -39,7 +39,7 @@ object CveQueries {
         |  COALESCE(json_extract_string(props, '$.also.nested'), '') AS nested_str
         |FROM events
         |ORDER BY event_id""".stripMargin) { (s, d) =>
-      Tables.events(s, d)
+      Tables.spread(Tables.events(s, d))
         .select(col("event_id"),
           coalesce(get_json_object(col("props"), "$.k"), lit(""))
             .as("k_str"),
@@ -64,7 +64,7 @@ object CveQueries {
         |  CAST(json_extract_string(doc, '$.meta.uid') AS BIGINT) AS uid,
         |  round(CAST(json_extract_string(doc, '$.meta.val') AS DOUBLE), 6) AS val
         |FROM v ORDER BY event_id""".stripMargin) { (s, d) =>
-      Tables.events(s, d)
+      Tables.spread(Tables.events(s, d))
         .select(col("event_id"),
           to_json(struct(col("event_type").as("etype"),
             struct(col("user_id").as("uid"), col("value").as("val"))
@@ -85,7 +85,7 @@ object CveQueries {
         |Description: %s', p_name, 2020 + p_partkey % 5, 1000 + p_partkey, p_type) AS doc
         |FROM part
         |ORDER BY p_partkey""".stripMargin) { (s, d) =>
-      Tables.part(s, d)
+      Tables.spread(Tables.part(s, d))
         .select(col("p_partkey"),
           format_string("Title: %s\nCVE ID: CVE-%d-%04d\nDescription: %s",
             col("p_name"), lit(2020) + col("p_partkey") % 5,
@@ -106,7 +106,7 @@ object CveQueries {
         |      FROM t)
         |SELECT DISTINCT cve_id FROM x
         |ORDER BY cve_id""".stripMargin) { (s, d) =>
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d))
         .select(format_string(
           "see CVE-%d-%04d and CVE-2024-%d in text; ignore GHSA-%d",
           lit(2020) + col("doc_id") % 5, lit(1000) + col("doc_id"),
@@ -135,7 +135,8 @@ object CveQueries {
         |ORDER BY id""".stripMargin) { (s, d) =>
       val vs = Tables.embeddings(s, d).filter(col("label") < 5)
         .select(col("vec_id").as("vs_id"))
-      val nvd = Tables.documents(s, d).filter(col("n_chars") >= 200)
+      val nvd = Tables.spread(
+        Tables.documents(s, d).filter(col("n_chars") >= 200))
         .select(col("doc_id").as("nvd_id"))
       val base = when(col("vs_id").isNotNull && col("nvd_id").isNotNull, 1.0)
         .when(col("vs_id").isNotNull, 0.6).otherwise(0.4)
@@ -164,7 +165,7 @@ object CveQueries {
         |GROUP BY 1 ORDER BY completeness""".stripMargin) { (s, d) =>
       val present = (path: String) =>
         when(get_json_object(col("props"), path).isNotNull, 1).otherwise(0)
-      Tables.events(s, d)
+      Tables.spread(Tables.events(s, d))
         .select(((present("$.k") + present("$.sev") + present("$.cwe"))
           / lit(3.0)).as("comp"))
         .groupBy(round(col("comp"), 6).as("completeness"))
@@ -188,7 +189,7 @@ object CveQueries {
         |  CAST(len(list_filter(ctx, x -> NOT list_contains(resp, x))) AS BIGINT) AS fn
         |FROM p ORDER BY pair_id""".stripMargin) { (s, d) =>
       val toks = graft.functions.TextFunctions.tokens(col("text"))
-      val t = Tables.documents(s, d)
+      val t = Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"), array_distinct(toks).as("toks"))
       t.as("a").join(t.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
         .select(col("a.doc_id").as("pair_id"),
@@ -213,7 +214,7 @@ object CveQueries {
         |FROM m WHERE vuln_id LIKE 'CVE%'
         |GROUP BY source
         |ORDER BY source""".stripMargin) { (s, d) =>
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d))
         .select(col("source"),
           when(col("doc_id") % 3 === 0,
             format_string("CVE-%d-%04d", lit(2020) + col("doc_id") % 5,
@@ -242,7 +243,7 @@ object CveQueries {
         |  'CWE-' || CAST(o_orderkey % 100 AS VARCHAR) AS cwe_id
         |FROM orders
         |ORDER BY okey""".stripMargin) { (s, d) =>
-      val o = Tables.orders(s, d)
+      val o = Tables.spread(Tables.orders(s, d))
       val metricsType = "array<struct<cvssV3_1:struct<baseScore:double,baseSeverity:string>>>"
       val nested = o.select(col("o_orderkey").as("okey"),
         struct(
@@ -284,7 +285,7 @@ object CveQueries {
         |  array_to_string(list_transform(refs, r -> r.url), '|') AS urls,
         |  CAST(len(refs) AS INTEGER) AS n_refs
         |FROM t ORDER BY okey""".stripMargin) { (s, d) =>
-      Tables.orders(s, d)
+      Tables.spread(Tables.orders(s, d))
         .select(col("o_orderkey").as("okey"),
           array(
             struct(concat(lit("https://nvd.example/"), col("o_orderkey"))
@@ -317,7 +318,7 @@ object CveQueries {
       // confidence is integer math end-to-end: %.2f of a computed double
       // is NOT cross-engine stable (Java formats the shortest decimal
       // repr half-up; DuckDB rounds the exact binary value).
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"),
           when(lower(col("text")).contains("spark"),
             format_string("Answer[%s]: %s based on %d sources (conf %d%%)",
@@ -339,7 +340,7 @@ object CveQueries {
         |FROM p
         |WHERE pts BETWEEN TIMESTAMP '2024-01-02' AND TIMESTAMP '2024-01-05'
         |ORDER BY event_id""".stripMargin) { (s, d) =>
-      Tables.events(s, d)
+      Tables.spread(Tables.events(s, d))
         .select(col("event_id"),
           date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("iso"))
         .select(col("event_id"),

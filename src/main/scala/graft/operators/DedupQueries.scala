@@ -3,7 +3,7 @@ package graft.operators
 import graft.{GraftQuery, Tables}
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` / `embeddings` — the
@@ -40,7 +40,13 @@ object DedupQueries {
   private val K_MINHASH = graft.dedup.NearDup.Components
   private val ROWS_PER_BAND = graft.dedup.NearDup.RowsPerBand
   private val N_BANDS = graft.dedup.NearDup.Bands
-  private val SIMHASH_BITS = 16
+  // 32-bit fingerprints with Hamming <= 3: the operative band space is
+  // 2^8 per band (vs 2^4 at 16 bits), which keeps banded candidate
+  // generation sub-brute-force even on vocabulary-clustered corpora —
+  // at 16 bits the 16-value band space collided ~14M of the 12.5M
+  // possible pairs at sf0.1, i.e. banding degenerated. 32/3 also
+  // matches the standard simhash near-dup configuration far closer.
+  private val SIMHASH_BITS = 32
   private val HAMMING_MAX = 3
 
   private val P = graft.functions.TextFunctions.MinhashP
@@ -89,7 +95,7 @@ object DedupQueries {
         |FROM documents
         |GROUP BY fp
         |ORDER BY fp""".stripMargin) { (s, d) =>
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d))
         .groupBy(fingerprint(col("text")).as("fp"))
         .agg(count(lit(1)).as("n_copies"),
           min(col("doc_id")).as("keep_doc_id"))
@@ -164,8 +170,8 @@ object DedupQueries {
          |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
          |FROM p WHERE jaccard >= 0.02
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val t = Tables.documents(s, d)
-        .filter(col("doc_id") < 60)
+      val t = Tables.spread(Tables.documents(s, d)
+        .filter(col("doc_id") < 60))
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"), shinglesOf(col("toks"), 3).as("sh"))
         .filter(size(col("sh")) > 0)
@@ -184,8 +190,8 @@ object DedupQueries {
     // ---- SimHash fingerprints + near-dup hamming pairs ----
     GraftQuery("q44_simhash_pairs",
       simhashPairsSql("WHERE doc_id < 100")) { (s, d) =>
-      val t = Tables.documents(s, d)
-        .filter(col("doc_id") < 100)
+      val t = Tables.spread(Tables.documents(s, d)
+        .filter(col("doc_id") < 100))
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .withColumn("th", tokenHashes(col("toks")))
         .select(col("doc_id"), simhashOf(col("th"), SIMHASH_BITS).as("sh"))
@@ -212,10 +218,22 @@ object DedupQueries {
       val nBands = 4
       val bandBits = SIMHASH_BITS / nBands
       val mask = (1L << bandBits) - 1
-      val t = Tables.documents(s, d)
+      // Salt factor: band values are only 2^4, so real corpora skew
+      // (shared vocabulary pulls fingerprints together) and one bucket
+      // can hold a third of all docs — join-AMPLIFICATION skew that AQE
+      // cannot see (it sizes shuffle input, and the input is tiny).
+      // Salting splits each bucket's pair generation across `salts`
+      // tasks: the kept side carries doc_id%salts, the probe side is
+      // replicated to every salt, so each pair is produced exactly once.
+      val salts = 16
+      // localCheckpoint: fingerprints are (doc_id, long) — tiny — and
+      // BOTH self-join sides read them; without it each side re-runs
+      // the tokenize + md5 + simhash scan (the query's dominant cost).
+      val t = Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .withColumn("th", tokenHashes(col("toks")))
         .select(col("doc_id"), simhashOf(col("th"), SIMHASH_BITS).as("sh"))
+        .localCheckpoint()
       val banded = t.select(col("doc_id"), col("sh"),
         explode(array((0 until nBands).map(b =>
           struct(lit(b).as("band"),
@@ -223,15 +241,32 @@ object DedupQueries {
               .as("bv"))): _*)).as("bb"))
         .select(col("doc_id"), col("sh"),
           col("bb.band").as("band"), col("bb.bv").as("bv"))
-      banded.as("a")
-        .join(banded.as("b"),
+      val aSide = banded
+        .withColumn("salt", pmod(col("doc_id"), lit(salts)).cast("int"))
+      val bSide = banded
+        .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+      // Canonical-band emission replaces a 10M-row distinct: a pair
+      // colliding in several bands is emitted ONLY from the first
+      // matching band — decided per joined row from the two
+      // fingerprints (pure integer ops), so pair dedup costs no
+      // shuffle/aggregation at all.
+      def bandOf(c: Column, j: Int): Column =
+        shiftright(c, j * bandBits).bitwiseAND(lit(mask))
+      val firstMatch = (0 until nBands).foldRight(lit(nBands): Column) {
+        (j, rest) =>
+          when(bandOf(col("a.sh"), j) === bandOf(col("b.sh"), j), lit(j))
+            .otherwise(rest)
+      }
+      aSide.as("a")
+        .join(bSide.as("b"),
           col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.salt") === col("b.salt") &&
             col("a.doc_id") < col("b.doc_id"))
+        .filter(col("a.band") === firstMatch)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           hammingDistance(col("a.sh"), col("b.sh"), SIMHASH_BITS)
             .as("hamming"))
         .filter(col("hamming") <= HAMMING_MAX)
-        .distinct()
         .orderBy("doc_a", "doc_b")
     },
 
@@ -293,7 +328,7 @@ object DedupQueries {
       // then does one dot product per pair instead of dot + two norms —
       // same IEEE-754 values (norms are identical subexpressions, just
       // evaluated once), 3x less per-pair arithmetic.
-      val e = Tables.embeddings(s, d)
+      val e = Tables.spread(Tables.embeddings(s, d))
         .withColumn("nrm", l2Norm(col("embedding")))
       e.as("a")
         .join(e.as("b"),

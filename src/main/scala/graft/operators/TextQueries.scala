@@ -79,7 +79,7 @@ object TextQueries {
          |      'to','and','in','is','on','for'))) AS DOUBLE) / len(toks)
          |    END, 6) AS stop_ratio
          |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
         .select(col("doc_id"),
           tokenCountOf(col("toks")).as("n_tokens"),
@@ -107,7 +107,7 @@ object TextQueries {
          |SELECT doc_id, lang, round(quality, 6) AS quality
          |FROM q WHERE quality >= 0.5
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"), col("lang"), col("text"),
           tokens(col("text")).as("toks"))
         .select(col("doc_id"), col("lang"),
@@ -124,7 +124,7 @@ object TextQueries {
          |  CAST(SUM(CASE WHEN guess = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_match
          |FROM (SELECT lang, $langIdSql AS guess FROM documents) t
          |GROUP BY guess ORDER BY guess""".stripMargin) { (s, d) =>
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d))
         .select(col("lang"), tokens(col("text")).as("toks"))
         .select(col("lang"), langIdOf(col("toks")).as("guess"))
         .groupBy(col("guess"))
@@ -159,8 +159,8 @@ object TextQueries {
         |FROM t a JOIN t b ON a.doc_id < b.doc_id
         |WHERE levenshtein(a.head, b.head) <= 8
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val t = Tables.documents(s, d)
-        .filter(col("doc_id") < 40)
+      val t = Tables.spread(Tables.documents(s, d)
+        .filter(col("doc_id") < 40))
         .select(col("doc_id"), substring(col("text"), 1, 20).as("head"))
       t.as("a").join(t.as("b"), col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -185,7 +185,7 @@ object TextQueries {
         |SELECT split, lang, COUNT(*) AS n
         |FROM s GROUP BY split, lang
         |ORDER BY split, lang""".stripMargin) { (s, d) =>
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d))
         .withColumn("bucket",
           conv(substring(md5(concat(lit("split#"),
             col("doc_id").cast("string"))), 1, 8), 16, 10)
@@ -221,7 +221,7 @@ object TextQueries {
          |SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, tfidf
          |FROM r WHERE rk <= 3
          |ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
-      val tok = Tables.documents(s, d)
+      val tok = Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       val tf = tok.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
@@ -256,7 +256,7 @@ object TextQueries {
         |  END AS rolling_fp
         |  FROM t)
         |SELECT doc_id, fp, rolling_fp FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
         .select(col("doc_id"),
           fingerprint(col("text")).as("fp"),
