@@ -263,5 +263,70 @@ object TextQueries {
           rollingFingerprintOf(col("toks")).as("rolling_fp"))
         .orderBy("doc_id")
     },
+
+    // ---- repetition ratio (the Gopher-style quality signal): fraction
+    //      of duplicated 3-gram shingles per doc — high values mark
+    //      boilerplate/spam for corpus filtering. Pure per-row column
+    //      math after the spread; NULL for docs too short to shingle. ----
+    GraftQuery("q38_repetition_ratio",
+      s"""WITH t AS (SELECT doc_id,
+         |    CASE WHEN len($toksSql) < 3 THEN []::VARCHAR[]
+         |      ELSE list_transform(range(1, len($toksSql) - 1),
+         |        i -> array_to_string(($toksSql)[i:i+2], ' ')) END AS sh
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN len(sh) = 0 THEN NULL
+         |    ELSE round(CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE)
+         |      / len(sh), 6) END AS rep_ratio
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"),
+          shinglesOf(tokens(col("text")), 3).as("sh"))
+        .select(col("doc_id"),
+          when(size(col("sh")) === 0, lit(null).cast("double"))
+            .otherwise(round(
+              (size(col("sh")) - size(array_distinct(col("sh"))))
+                .cast("double") / size(col("sh")), 6)).as("rep_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // ---- PII-pattern redaction: the scrub pass a training corpus runs
+    //      before release. The corpus has no PII, so id-bearing text is
+    //      synthesized (the q53 pattern) and then emails + long digit
+    //      runs are counted and masked. regexp_replace is global in
+    //      Spark; the DuckDB mirror needs the explicit 'g' flag. ----
+    GraftQuery("q39_pii_redaction",
+      """WITH t AS (SELECT doc_id,
+        |    printf('doc %d: contact u%d@mail%d.example.com or 555%07d anytime',
+        |      doc_id, doc_id % 50, doc_id % 7, doc_id) AS body
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(body,
+        |    '[a-z0-9.]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(
+        |    regexp_replace(body, '[a-z0-9.]+@[a-z0-9.-]+\.[a-z]{2,}',
+        |      '<EMAIL>', 'g'), '\d{7,}')) AS BIGINT) AS n_numbers,
+        |  regexp_replace(regexp_replace(body,
+        |    '[a-z0-9.]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{7,}', '<NUM>', 'g') AS redacted
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val emailPat = "[a-z0-9.]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val numPat = "\\d{7,}"
+      Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), format_string(
+          "doc %d: contact u%d@mail%d.example.com or 555%07d anytime",
+          col("doc_id"), col("doc_id") % 50, col("doc_id") % 7,
+          col("doc_id")).as("body"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("body"), lit(emailPat), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(
+            regexp_replace(col("body"), emailPat, "<EMAIL>"),
+            lit(numPat), lit(0))).cast("long").as("n_numbers"),
+          regexp_replace(
+            regexp_replace(col("body"), emailPat, "<EMAIL>"),
+            numPat, "<NUM>").as("redacted"))
+        .orderBy("doc_id")
+    },
   )
 }

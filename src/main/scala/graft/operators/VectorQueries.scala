@@ -312,5 +312,113 @@ object VectorQueries {
           round(col("sim"), 6).as("sim"))
         .orderBy("query_id", "rk")
     },
+
+    // ---- random-hyperplane LSH ANN (the second bucketed scale path,
+    //      complementing IVF): sign-of-dot against NP fixed hyperplanes
+    //      -> 2^NP buckets; within-bucket pairs only, cosine-verified.
+    //      The signs are computed in INTEGER arithmetic (embeddings
+    //      quantized to 1e-6, integer-mixed hyperplane weights), so the
+    //      bucket assignment is order-independent and bit-identical in
+    //      both engines — a float dot's last-ULP could flip a sign and
+    //      desync the bucketing. ----
+    GraftQuery("q27_lsh_ann_pairs", lshAnnSql) { (s, d) =>
+      val e = Tables.spread(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("embedding"),
+          transform(col("embedding"), x =>
+            round(x.cast("double") * 1000000.0).cast("long")).as("qv"))
+      val bucket = (0 until LSH_PLANES).map { j =>
+        val (a, b) = graft.functions.TextFunctions.minhashParams(j)
+        val sdot = aggregate(
+          transform(col("qv"), (x, k) =>
+            x * ((lit(a) * (k + 1) + lit(b)) % lit(LSH_P) - lit(LSH_HALF))),
+          lit(0L), (acc, x) => acc + x)
+        when(sdot > 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce((a, b) => a + b)
+      val s2 = e.select(col("vec_id"), col("embedding"),
+        bucket.as("bucket"),
+        l2Norm(col("embedding")).as("nrm"))
+      s2.as("a")
+        .join(s2.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          stagedCosine(col("a.embedding"), col("b.embedding"),
+            col("a.nrm"), col("b.nrm")).as("sim"))
+        .filter(col("sim") >= 0.3)
+        .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
+        .orderBy("vec_a", "vec_b")
+    },
+
+    // ---- int8 scalar quantization round-trip: per-vector (min, max)
+    //      affine quantization to 0..255, dequantize, report the
+    //      reconstruction error — the storage-compression op a 100 TB
+    //      embedding table runs before serving. Scalar outputs only
+    //      (checksum + error), so the driver's hash compare applies. ----
+    GraftQuery("q70_int8_quantization", int8Sql) { (s, d) =>
+      val e = Tables.spread(Tables.embeddings(s, d))
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("ev"))
+        .withColumn("mn", array_min(col("ev")))
+        .withColumn("mx", array_max(col("ev")))
+        .withColumn("scale", (col("mx") - col("mn")) / 255.0)
+        .withColumn("qv", transform(col("ev"), x =>
+          when(col("scale") === 0.0, lit(0L))
+            .otherwise(round((x - col("mn")) / col("scale")).cast("long"))))
+        .withColumn("err", zip_with(col("ev"), col("qv"), (x, q) =>
+          abs(x - (col("mn") + q.cast("double") * col("scale")))))
+      e.select(col("vec_id"),
+        round(col("mn"), 6).as("mn"),
+        round(col("mx"), 6).as("mx"),
+        aggregate(col("qv"), lit(0L), (acc, x) => acc + x).as("q_checksum"),
+        round(array_max(col("err")), 6).as("max_err"))
+        .orderBy("vec_id")
+    },
   )
+
+  // random-hyperplane LSH constants: weights from the same integer-mix
+  // family as the minhash parameters; P odd prime > 2^32, HALF centers
+  // the weights on zero. defs, not vals: `all` above evaluates during
+  // object init, before trailing vals would be assigned.
+  private def LSH_PLANES = 8
+  private def LSH_P = graft.functions.TextFunctions.MinhashP
+  private def LSH_HALF = (LSH_P - 1) / 2
+
+  private def lshAnnSql: String = {
+    val signs = (0 until LSH_PLANES).map { j =>
+      val (a, b) = graft.functions.TextFunctions.minhashParams(j)
+      s"""CASE WHEN list_sum(list_transform(range(1, len(qv) + 1),
+         |  i -> qv[i] * ((($a * i + $b) % $LSH_P) - $LSH_HALF))) > 0
+         |  THEN ${1 << j} ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |s AS (SELECT vec_id, embedding, $signs AS bucket FROM e),
+       |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |        ${cosSql("a.embedding", "b.embedding")} AS sim
+       |      FROM s a JOIN s b
+       |        ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, round(sim, 6) AS sim
+       |FROM p WHERE sim >= 0.3
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  private def int8Sql: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+      |  FROM embeddings),
+      |m AS (SELECT vec_id, ev, list_min(ev) AS mn, list_max(ev) AS mx,
+      |        (list_max(ev) - list_min(ev)) / 255.0 AS scale
+      |      FROM e),
+      |q AS (SELECT vec_id, ev, mn, mx, scale,
+      |        list_transform(ev, x -> CASE WHEN scale = 0 THEN 0
+      |          ELSE CAST(round((x - mn) / scale) AS BIGINT) END) AS qv
+      |      FROM m)
+      |SELECT vec_id, round(mn, 6) AS mn, round(mx, 6) AS mx,
+      |  CAST(list_sum(qv) AS BIGINT) AS q_checksum,
+      |  round(list_max(list_transform(range(1, len(ev) + 1),
+      |    i -> abs(ev[i] - (mn + CAST(qv[i] AS DOUBLE) * scale)))), 6)
+      |    AS max_err
+      |FROM q ORDER BY vec_id""".stripMargin
 }

@@ -86,6 +86,34 @@ object Streams {
   /** W2: drain everything available, then stop. */
   val drainTrigger: Trigger = Trigger.AvailableNow()
 
+  /** W2, exact variant: block until `idleMs` passes with no new input
+    * rows, then stop the query — the reference consumer's
+    * inactivity-timeout drain (`airflow/dags/src/consumer.py:129-155`:
+    * keep polling, exit after 10 s without a record) reproduced
+    * precisely, where [[drainTrigger]] is the one-shot approximation
+    * that cannot notice data arriving AFTER the drain began. Use with
+    * [[pollTrigger]] so new arrivals keep resetting the clock.
+    *
+    * Driver-side monitor (the correct place for a stop decision):
+    * watches `recentProgress` for batches with rows and extends the
+    * deadline on each; progress events are tiny driver metadata, so
+    * polling them costs nothing at any scale. */
+  def stopAfterInactivity(query: org.apache.spark.sql.streaming.StreamingQuery,
+      idleMs: Long, pollMs: Long = 100): Unit = {
+    var deadline = System.nanoTime() + idleMs * 1000000L
+    var seenBatch = -1L
+    while (query.isActive && System.nanoTime() < deadline) {
+      query.recentProgress
+        .filter(p => p.numInputRows > 0 && p.batchId > seenBatch)
+        .foreach { p =>
+          seenBatch = math.max(seenBatch, p.batchId)
+          deadline = System.nanoTime() + idleMs * 1000000L
+        }
+      Thread.sleep(pollMs)
+    }
+    if (query.isActive) query.stop()
+  }
+
   /** Watermarked tumbling-window counts over an events-shaped stream
     * (ts, event_type, value) — the §2.10 gap-fill: the reference has no
     * event-time semantics at all. State is purged past the watermark. */

@@ -15,6 +15,25 @@ class StreamingSpec extends AnyFunSuite {
     """{"cveMetadata":{"cveId":"CVE-2024-1111","datePublished":"2024-01-01T00:00:00.000Z","dateUpdated":"2024-01-02T00:00:00.000Z"},"containers":{"cna":{"title":"t","descriptions":[{"value":"d"}],"metrics":[{"cvssV3_1":{"baseScore":5.0,"baseSeverity":"MEDIUM"}}],"problemTypes":[{"descriptions":[{"cweId":"CWE-79"}]}]}}}"""
   private val corruptRecord = """{"not json at all"""
 
+  test("W2 exact: inactivity timeout stops the query after a quiet period") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    val tmp = Files.createTempDirectory("graft-inactive").toString
+    val parsed = Streams.parseCve(mem.toDF)
+    val q = Streams.dualSinkWriter(parsed, s"$tmp/raw", s"$tmp/meta",
+      s"$tmp/dlq", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    mem.addData(goodRecord)
+    // late arrival while the monitor is watching: must extend the clock
+    // and be processed before the stop (idle window sized generously —
+    // the FIRST micro-batch of a cold session can take seconds)
+    new Thread(() => { Thread.sleep(2000); mem.addData(goodRecord) }).start()
+    Streams.stopAfterInactivity(q, idleMs = 8000)
+    assert(!q.isActive)
+    assert(spark.read.parquet(s"$tmp/raw").count() === 2)
+  }
+
   test("W5: corrupt records split to DLQ instead of failing the stream") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[String]
