@@ -62,10 +62,13 @@ object Pipeline {
     val docs = spark.read.parquet(docsPath)
     val curated = curate(docs, minQuality)
     curated.write.mode("overwrite").parquet(corpusOut)
-    val written = spark.read.parquet(corpusOut)
+    // read the written corpus ONCE and reuse it for both the featurize
+    // input and the row count (it was previously re-scanned per use)
+    val written = spark.read.parquet(corpusOut).cache()
     index(written, dim).write.mode("overwrite").parquet(indexOut)
-    val n1 = spark.read.parquet(corpusOut).count()
+    val n1 = written.count()
     val n2 = spark.read.parquet(indexOut).count()
+    written.unpersist()
     (n1, n2)
   }
 

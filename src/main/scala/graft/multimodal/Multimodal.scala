@@ -91,6 +91,30 @@ object Multimodal {
     }
   }
 
+  /** Resize stage STUB: the metadata gets the target dimensions and the
+    * payload is proportionally truncated / zero-padded to the scaled
+    * byte budget (a real implementation decodes, resamples, and
+    * re-encodes here — same signature, same per-partition batch shape).
+    * Zero-area or empty inputs pass through with their byte length
+    * unchanged. */
+  def resizeStub(media: Dataset[MediaRecord], targetW: Int,
+      targetH: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.payload == null) Array.emptyByteArray else r.payload
+        val outLen =
+          if (r.width <= 0 || r.height <= 0 || bytes.isEmpty) bytes.length
+          else math.ceil(bytes.length.toDouble * (targetW.toLong * targetH)
+            / (r.width.toLong * r.height)).toInt
+        val out =
+          if (outLen <= bytes.length) bytes.take(outLen)
+          else bytes ++ Array.fill(outLen - bytes.length)(0.toByte)
+        MediaRecord(r.media_id, r.kind, out, targetW, targetH)
+      }
+    }
+  }
+
   /** Build a media table from the documents testdata: the text payload
     * becomes the opaque binary (deterministic; real pipelines read the
     * bytes from object storage). */

@@ -54,5 +54,32 @@ object MultimodalQueries {
           length(col("frame")).cast("long").as("frame_bytes"))
         .orderBy("media_id", "frame_no")
     },
+
+    // ---- resize stage: target dims replace the metadata, payload is
+    //      proportionally re-budgeted (stub — a real impl re-encodes).
+    //      The oracle recomputes the byte budget from the same width/
+    //      height derivation, so the mapPartitions stage's output
+    //      contract (dims + byte length) is fully checked. ----
+    GraftQuery("q74_media_resize",
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    CASE WHEN CAST(substr(source, 4) AS INTEGER) % 3 = 0 THEN 'image'
+        |         WHEN CAST(substr(source, 4) AS INTEGER) % 3 = 1 THEN 'audio'
+        |         ELSE 'video' END AS kind,
+        |    octet_length(encode(text)) AS n_bytes,
+        |    length(text) % 640 AS w,
+        |    length(text) % 480 AS h
+        |  FROM documents)
+        |SELECT media_id, kind,
+        |  CAST(64 AS INTEGER) AS width, CAST(48 AS INTEGER) AS height,
+        |  CAST(CASE WHEN w <= 0 OR h <= 0 OR n_bytes = 0 THEN n_bytes
+        |    ELSE ceil(CAST(n_bytes AS DOUBLE) * 3072 / (w * h))
+        |  END AS BIGINT) AS out_bytes
+        |FROM m ORDER BY media_id""".stripMargin) { (s, d) =>
+      Multimodal.resizeStub(Multimodal.mediaFromDocuments(s, d), 64, 48)
+        .toDF()
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          length(col("payload")).cast("long").as("out_bytes"))
+        .orderBy("media_id")
+    },
   )
 }

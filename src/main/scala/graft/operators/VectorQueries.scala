@@ -145,8 +145,8 @@ object VectorQueries {
         |  CAST(len(list_filter(buckets, b -> b = 0)) AS BIGINT) AS bucket0,
         |  CAST(len(list_filter(buckets, b -> b = 7)) AS BIGINT) AS bucket7
         |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
-      Tables.documents(s, d)
-        .filter(col("doc_id") < 100)
+      Tables.spread(Tables.documents(s, d)
+        .filter(col("doc_id") < 100))
         .select(col("doc_id"),
           graft.functions.TextFunctions.tokens(col("text")).as("toks"))
         .withColumn("buckets", transform(col("toks"), t =>

@@ -109,4 +109,62 @@ class PropertySpec extends AnyFunSuite {
     norms.foreach(n =>
       assert(n == 0.0 || math.abs(n - 1.0) < 1e-9))
   }
+
+  test("simhash banding is lossless at Hamming<=3 on random corpora") {
+    // pigeonhole: <=3 differing bits over 4 bands of 8 => some band
+    // equal, so banded candidate generation must find EVERY qualifying
+    // pair that brute force finds (random words force hash diversity)
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "mu", "nu")
+    val docGen = Gen.listOfN(12, word).map(_.mkString(" "))
+    val docs = samples(docGen, 150).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("th", tokenHashes(col("toks")))
+      .select(col("doc_id"), simhashOf(col("th"), 32).as("sh"))
+      .cache()
+    val brute = docs.as("a").join(docs.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        hammingDistance(col("a.sh"), col("b.sh"), 32).as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bexp = docs.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(j =>
+        shiftright(col("sh"), j * 8).bitwiseAND(lit(255L))): _*))
+        .as(Seq("band", "bv")))
+    val cand = bexp.as("a").join(bexp.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        hammingDistance(col("a.sh"), col("b.sh"), 32).as("h"))
+      .filter(col("h") <= 3)
+      .select("da", "db").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand === brute)
+    assert(brute.nonEmpty) // the generator must actually produce near-dups
+  }
+
+  test("components matches sequential union-find on random edge sets") {
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 39L)
+      b <- Gen.chooseNum(0L, 39L) if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    val edges = samples(edgeGen, 60).distinct
+    val got = graft.dedup.NearDup.components(edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val expect = nodes.map(n => n -> find(n)).toMap
+    assert(got === expect)
+  }
 }
