@@ -328,5 +328,58 @@ object TextQueries {
             numPat, "<NUM>").as("redacted"))
         .orderBy("doc_id")
     },
+
+    // ---- deterministic stratified sampling: per-language keep rates
+    //      via the same stable md5 bucketing as the q37 splits — a
+    //      doc's fate is a pure function of its id, so the sample never
+    //      reshuffles when the corpus grows (the mixture-weighting op
+    //      an LLM data pipeline runs per domain/language). ----
+    GraftQuery("q75_stratified_sample",
+      """WITH t AS (SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5('strat#' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 1000 AS b
+        |  FROM documents)
+        |SELECT doc_id, lang FROM t
+        |WHERE b < (CASE WHEN lang = 'en' THEN 500 ELSE 800 END)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("b",
+          conv(substring(md5(concat(lit("strat#"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 1000)
+        .filter(col("b") <
+          when(col("lang") === "en", 500).otherwise(800))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+
+    // ---- sequence packing: assign docs to fixed token-budget bins by
+    //      running token count — the pre-training batch-assembly op.
+    //      Packing is PER SHARD (source) so the running-sum window
+    //      partitions by shard and no global order exists anywhere: at
+    //      100 TB each shard packs independently in its own partition. ----
+    GraftQuery("q76_sequence_packing",
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |        SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |          ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+         |      FROM t)
+         |SELECT doc_id, source, n_tokens,
+         |  CAST(off // 512 AS BIGINT) AS bin,
+         |  CAST(off % 512 AS BIGINT) AS bin_offset
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"),
+          tokenCountOf(tokens(col("text"))).as("n_tokens"))
+        .withColumn("off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          floor(col("off") / 512).cast("long").as("bin"),
+          (col("off") % 512).cast("long").as("bin_offset"))
+        .orderBy("doc_id")
+    },
   )
 }
