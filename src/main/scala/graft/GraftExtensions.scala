@@ -46,7 +46,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val bits = exprs(1) match {
           case e if e.foldable &&
               e.dataType == org.apache.spark.sql.types.IntegerType =>
-            e.eval().asInstanceOf[Int]
+            e.eval() match {
+              case i: java.lang.Integer if i >= 1 && i <= 32 => i.intValue()
+              case other =>
+                // NULL or out-of-range literal: surface the 1..32
+                // contract as an analysis-time error, not a raw
+                // IllegalArgumentException out of SimHash's require
+                throw new org.apache.spark.sql.AnalysisException(
+                  "DATATYPE_MISMATCH.VALUE_OUT_OF_RANGE",
+                  Map("sqlExpr" -> "\"simhash\"", "exprName" -> "`bits`",
+                    "valueRange" -> "[1, 32]",
+                    "currentValue" -> String.valueOf(other)))
+            }
           case _ =>
             throw new org.apache.spark.sql.AnalysisException(
               "NON_FOLDABLE_ARGUMENT",

@@ -27,7 +27,18 @@ object Tables {
     * then spread the survivors. */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Post-shuffle inputs are already spread across `shuffle.partitions`
+    // — and probing `.rdd` on a plan WITH exchanges would eagerly run
+    // those shuffle stages under AQE (then run them again at action
+    // time). Only scan-shaped plans are probed; for them `.rdd` is pure
+    // planning, no jobs.
+    val hasExchange = df.queryExecution.sparkPlan.find {
+      case _: org.apache.spark.sql.execution.exchange.Exchange => true
+      case _ => false
+    }.isDefined
+    if (hasExchange) df
+    else if (df.rdd.getNumPartitions < target) df.repartition(target)
+    else df
   }
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized

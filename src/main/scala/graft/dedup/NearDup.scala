@@ -114,13 +114,16 @@ object NearDup {
     * every node labeled with the minimum doc_id reachable from it.
     * Output: (doc_id, comp) for every node that appears in an edge.
     *
-    * Iterative min-label propagation (the standard Spark formulation
-    * when a full Pregel runtime is overkill): each round joins labels
-    * across edges and keeps the per-node minimum, converging in
-    * O(component diameter) rounds — duplicate clusters are
-    * near-cliques, so typically 2-3. Each round is one join + one
-    * aggregation on the (small) edge set, with `localCheckpoint` to
-    * truncate lineage so plans don't grow with the iteration count.
+    * Iterative min-label propagation with POINTER JUMPING (the standard
+    * Spark formulation when a full Pregel runtime is overkill): each
+    * round propagates labels across edges AND compresses each label to
+    * its label's label, so convergence takes O(log diameter) rounds —
+    * maxIter=20 covers diameters past 2^20, far beyond any real
+    * duplicate cluster. Each round is two joins + an aggregation on the
+    * (small) edge set, with `localCheckpoint` to truncate lineage.
+    * If the cap is somehow hit without convergence the call FAILS
+    * rather than returning silently-wrong labels (q48's oracle computes
+    * the exact closure, so an unconverged result would diverge).
     * The exact alternative to [[dropNearDuplicates]]'s greedy pass:
     * a chain a-b-c groups all three even though (a,c) was never a
     * candidate pair. */
@@ -143,8 +146,17 @@ object NearDup {
       val prop = edges
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
         .select(col("dst").as("doc_id"), col("comp"))
-      val next = labels.union(prop)
+      val folded = labels.union(prop)
         .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      // pointer jumping: l(x) := min(l(x), l(l(x))) — halves the
+      // distance to the component minimum every round
+      val next = folded
+        .join(folded.select(col("doc_id").as("comp"),
+          col("comp").as("comp2")), Seq("comp"), "left")
+        .select(col("doc_id"),
+          least(col("comp"), coalesce(col("comp2"), col("comp")))
+            .as("comp"))
         .localCheckpoint()
       converged = next.join(labels.withColumnRenamed("comp", "prev"),
         "doc_id")
@@ -153,6 +165,9 @@ object NearDup {
       labels = next
       i += 1
     }
+    require(converged || maxIter == 0,
+      s"components did not converge within $maxIter rounds — " +
+        "raise maxIter (pointer jumping covers diameter 2^maxIter)")
     labels
   }
 

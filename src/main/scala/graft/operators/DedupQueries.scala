@@ -115,7 +115,11 @@ object DedupQueries {
     // Signatures are computed ONCE; docs sharing a band key land in one
     // hash-agg bucket, and pairs are enumerated inside each (small)
     // bucket — the one shuffle moves (band_key, doc_id) only. The oracle
-    // keeps the plain self-join formulation: same result set.
+    // keeps the plain self-join formulation: same result set. (The Spark
+    // side caps bucket membership at NearDup.MaxBucket=1000 — far above
+    // any organic bucket here; the uncapped oracle diverges only on a
+    // degenerate corpus, where the cap is the intended OOM guard and the
+    // observe metric reports the truncation.)
     GraftQuery("q42_lsh_candidate_pairs",
       s"""WITH $bandsCteSql
          |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -204,7 +208,7 @@ object DedupQueries {
     },
 
     // ---- SimHash near-dup, BANDED (the scale path for q44): the
-    //      16-bit fingerprint splits into 4 contiguous 4-bit bands;
+    //      32-bit fingerprint splits into 4 contiguous 8-bit bands;
     //      Hamming <= 3 differing bits cannot touch all 4 bands, so any
     //      qualifying pair shares at least one full band (pigeonhole) —
     //      banding is LOSSLESS at this threshold. Candidates come from
@@ -213,15 +217,15 @@ object DedupQueries {
     //      The oracle is the brute-force all-pairs form over the SAME
     //      unbounded corpus: result sets must be identical. At real
     //      scale widen to a 64-bit fingerprint with 16-bit bands (same
-    //      plan shape, 2^16 buckets per band instead of 2^4). ----
+    //      plan shape, 2^16 buckets per band instead of 2^8). ----
     GraftQuery("q47_simhash_banded", simhashPairsSql("")) { (s, d) =>
       val nBands = 4
       val bandBits = SIMHASH_BITS / nBands
       val mask = (1L << bandBits) - 1
-      // Salt factor: band values are only 2^4, so real corpora skew
+      // Salt factor: band values are only 2^8, so real corpora skew
       // (shared vocabulary pulls fingerprints together) and one bucket
-      // can hold a third of all docs — join-AMPLIFICATION skew that AQE
-      // cannot see (it sizes shuffle input, and the input is tiny).
+      // can hold a quarter of all docs — join-AMPLIFICATION skew that
+      // AQE cannot see (it sizes shuffle input, and the input is tiny).
       // Salting splits each bucket's pair generation across `salts`
       // tasks: the kept side carries doc_id%salts, the probe side is
       // replicated to every salt, so each pair is produced exactly once.

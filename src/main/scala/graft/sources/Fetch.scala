@@ -30,9 +30,12 @@ object Fetch {
     dest
   }
 
-  /** Extract `suffix`-matching entries of a zip into `landingDir`
-    * (flat — entry directory structure is dropped, matching the
-    * reference's per-file landing layout). Returns extracted paths. */
+  /** Extract `suffix`-matching entries of a zip into `landingDir`,
+    * flattened to one directory (the reference's per-file landing
+    * layout) with the entry's directory path folded into the filename
+    * (`a/b.json` -> `a__b.json`) so same-named entries in different
+    * directories never silently overwrite each other. Returns the
+    * extracted paths. */
   def unzip(zipFile: String, landingDir: String,
       suffix: String = ".json"): Seq[Path] = {
     val landing = Paths.get(landingDir)
@@ -43,7 +46,8 @@ object Fetch {
     try {
       var e = zin.getNextEntry
       while (e != null) {
-        val name = Paths.get(e.getName).getFileName.toString
+        val name = e.getName.split('/').filter(_.nonEmpty)
+          .mkString("__")
         if (!e.isDirectory && name.endsWith(suffix) &&
             !name.contains("..")) {
           val target = landing.resolve(name)

@@ -102,14 +102,32 @@ object Streams {
       idleMs: Long, pollMs: Long = 100): Unit = {
     var deadline = System.nanoTime() + idleMs * 1000000L
     var seenBatch = -1L
-    while (query.isActive && System.nanoTime() < deadline) {
+    def sawRows(): Boolean = {
+      var saw = false
       query.recentProgress
         .filter(p => p.numInputRows > 0 && p.batchId > seenBatch)
         .foreach { p =>
           seenBatch = math.max(seenBatch, p.batchId)
-          deadline = System.nanoTime() + idleMs * 1000000L
+          saw = true
         }
-      Thread.sleep(pollMs)
+      saw
+    }
+    var draining = true
+    while (query.isActive && draining) {
+      while (query.isActive && System.nanoTime() < deadline) {
+        if (sawRows()) deadline = System.nanoTime() + idleMs * 1000000L
+        Thread.sleep(pollMs)
+      }
+      if (query.isActive) {
+        // Progress only lands in recentProgress AFTER a batch commits,
+        // so an in-flight batch (possibly longer than idleMs) must
+        // finish before the stop decision — otherwise rows that DID
+        // arrive inside the window would be killed mid-batch. If the
+        // drain surfaced new rows, the clock restarts; else stop.
+        query.processAllAvailable()
+        if (sawRows()) deadline = System.nanoTime() + idleMs * 1000000L
+        else draining = false
+      }
     }
     if (query.isActive) query.stop()
   }
@@ -196,11 +214,22 @@ object Streams {
             var cur = state.getOption
             sorted.foreach { t =>
               cur match {
-                case Some(s) if t - s.last <= gapUs =>
-                  // An above-watermark event from a later micro-batch can
-                  // still be earlier than state.last; never move the
-                  // session end (and its timeout) backwards.
-                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                // within gap of the session's [start, last] envelope:
+                // merge, extending either end (an above-watermark event
+                // from a later micro-batch may precede state.start —
+                // the envelope grows backwards too, and the timeout
+                // never moves backwards)
+                case Some(s)
+                    if t - s.last <= gapUs && s.start - t <= gapUs =>
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    last = math.max(s.last, t), n = s.n + 1))
+                // a late event more than gap BEFORE the open session:
+                // it can never rejoin (per-batch input is sorted, and
+                // anything still older is below the watermark) — emit
+                // it as its own already-closed single-event session
+                case Some(s) if t < s.start =>
+                  closed ::= ClosedSession(user, 1, t, t)
+                // more than gap AFTER: close current, open a new one
                 case Some(s) =>
                   closed ::= ClosedSession(user, s.n, s.start, s.last)
                   cur = Some(SessState(t, t, 1))

@@ -81,7 +81,7 @@ class SourcesSpec extends AnyFunSuite {
     val landed = Fetch.fetchAndExtract(
       s"file://$zipPath", s"$tmp/work", ".json")
     assert(landed.map(_.getFileName.toString).sorted ===
-      Seq("CVE-2024-9999.json", "bad.json"))
+      Seq("bad.json", "deltaCves__CVE-2024-9999.json"))
 
     graft.streaming.Streams.ingestBatch(spark, s"$tmp/work/landing",
       s"$tmp/raw", s"$tmp/meta", Some(s"$tmp/dlq"))

@@ -147,6 +147,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((2L, 1L)))
   }
 
+  test("sessionizer handles above-watermark out-of-order events") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val out = Streams.statefulSessions(mem.toDS().toDF("_1", "_2")
+      .as[(Long, Timestamp)], gapUs = 30L * 60 * 1000 * 1000,
+      watermark = "6 hours")
+    val q = out.writeStream.format("memory").queryName("sess_ooo")
+      .outputMode("append").start()
+    mem.addData((1L, Timestamp.valueOf("2024-01-01 02:00:00")))
+    q.processAllAvailable()
+    // batch 2, both above the 6h watermark: 01:45 is within gap of the
+    // open session's start -> merges BACKWARDS (start moves to 01:45);
+    // 00:00 is >gap before start -> emitted as its own closed session
+    mem.addData(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, Timestamp.valueOf("2024-01-01 01:45:00")))
+    q.processAllAvailable()
+    // far-future event closes the merged session inline
+    mem.addData((1L, Timestamp.valueOf("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    def us(s: String) = Timestamp.valueOf(s).getTime * 1000L
+    val rows = spark.table("sess_ooo")
+      .select("user_id", "n_events", "start_us", "end_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(rows.contains((1L, 1L, us("2024-01-01 00:00:00"),
+      us("2024-01-01 00:00:00"))))
+    assert(rows.contains((1L, 2L, us("2024-01-01 01:45:00"),
+      us("2024-01-01 02:00:00"))))
+  }
+
   test("streaming dedup drops repeated (cve_id, date_updated) within watermark") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp)]
