@@ -47,16 +47,24 @@ object ScaleProbe {
       println("BUILT scale10")
     }
     val qs = Seq("q01_pricing_summary", "q03_join_agg_revenue",
-      "q20_cosine_knn", "q35_tfidf_top_terms", "q40_exact_dedup",
-      "q42_lsh_candidate_pairs", "q46_lsh_verified_dedup",
-      "q66_sessionization", "q05_window_topk_per_group")
+      "q20_cosine_knn", "q27_lsh_ann_pairs", "q35_tfidf_top_terms",
+      "q40_exact_dedup", "q42_lsh_candidate_pairs",
+      "q46_lsh_verified_dedup", "q47_simhash_banded",
+      "q48_near_dup_components", "q66_sessionization",
+      "q05_window_topk_per_group", "q76_sequence_packing")
     Seq(src, out).foreach { dir =>
       // warmup
       Tables.lineitem(spark, dir).count(); Tables.documents(spark, dir).count()
       qs.foreach { n =>
         val t0 = System.nanoTime()
-        val cnt = SparkEntry.queries(n)(spark, dir).count()
-        println(f"TIME ${dir.split('/').last} $n ${(System.nanoTime()-t0)/1e9}%.2f s ($cnt rows)")
+        // construct INSIDE the timer (checkpoint-eager queries run jobs
+        // at construction) and evaluate through the noop sink (count()
+        // lets Catalyst prune the work being measured)
+        val df = SparkEntry.queries(n)(spark, dir)
+        df.write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val cnt = df.count()
+        println(f"TIME ${dir.split('/').last} $n $sec%.2f s ($cnt rows)")
       }
     }
     spark.stop()
