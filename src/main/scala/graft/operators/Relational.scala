@@ -185,6 +185,65 @@ object Relational {
         .orderBy("nk")
     },
 
+    // ---- set intersection (INTERSECT, completing the U-family) ----
+    GraftQuery("q78_intersect",
+      """SELECT nk FROM (
+        |  SELECT DISTINCT c_nationkey AS nk FROM customer WHERE c_acctbal > 5000
+        |  INTERSECT
+        |  SELECT DISTINCT c_nationkey AS nk FROM customer
+        |  WHERE c_mktsegment = 'BUILDING') t
+        |ORDER BY nk""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+        .select(col("c_nationkey").as("nk")).distinct()
+        .intersect(Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_nationkey").as("nk")).distinct())
+        .orderBy("nk")
+    },
+
+    // ---- ordered string aggregation (LISTAGG/string_agg): the
+    //      deterministic form — collect, SORT, then join, so the result
+    //      never depends on row arrival order across partitions ----
+    GraftQuery("q79_string_agg",
+      """SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation
+        |GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin) { (s, d) =>
+      Tables.nation(s, d)
+        .groupBy(col("n_regionkey"))
+        .agg(concat_ws(",", array_sort(collect_list(col("n_name"))))
+          .as("nations"))
+        .orderBy("n_regionkey")
+    },
+
+    // ---- UNPIVOT/melt: wide -> long, the inverse of q69's pivot ----
+    GraftQuery("q77_unpivot",
+      """WITH w AS (SELECT o_orderpriority,
+        |    CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS f_cnt,
+        |    CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS o_cnt,
+        |    CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS p_cnt
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, status, n FROM (
+        |  SELECT o_orderpriority, 'f_cnt' AS status, f_cnt AS n FROM w
+        |  UNION ALL
+        |  SELECT o_orderpriority, 'o_cnt', o_cnt FROM w
+        |  UNION ALL
+        |  SELECT o_orderpriority, 'p_cnt', p_cnt FROM w) u
+        |ORDER BY o_orderpriority, status""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("o_orderpriority"), col("F").as("f_cnt"),
+          col("O").as("o_cnt"), col("P").as("p_cnt"))
+        .unpivot(Array(col("o_orderpriority")),
+          Array(col("f_cnt"), col("o_cnt"), col("p_cnt")),
+          "status", "n")
+        .orderBy("o_orderpriority", "status")
+    },
+
     // ---- U2: set difference (EXCEPT) ----
     GraftQuery("q10_except",
       """SELECT nk FROM (
