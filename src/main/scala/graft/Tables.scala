@@ -27,16 +27,20 @@ object Tables {
     * then spread the survivors. */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // Post-shuffle inputs are already spread across `shuffle.partitions`
-    // — and probing `.rdd` on a plan WITH exchanges would eagerly run
-    // those shuffle stages under AQE (then run them again at action
-    // time). Only scan-shaped plans are probed; for them `.rdd` is pure
-    // planning, no jobs.
-    val hasExchange = df.queryExecution.sparkPlan.find {
-      case _: org.apache.spark.sql.execution.exchange.Exchange => true
+    // Post-SHUFFLE inputs are already spread across `shuffle.partitions`
+    // — and probing `.rdd` on a plan with shuffles would eagerly run
+    // those stages under AQE (then run them again at action time).
+    // Broadcast exchanges prove nothing about the probe side's
+    // partitioning (a broadcast join keeps its stream side's single
+    // scan partition), so only ShuffleExchangeLike short-circuits;
+    // plans without one are probed — `.rdd` there is pure planning
+    // plus at worst a (small by definition) broadcast build.
+    val hasShuffle = df.queryExecution.sparkPlan.find {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        true
       case _ => false
     }.isDefined
-    if (hasExchange) df
+    if (hasShuffle) df
     else if (df.rdd.getNumPartitions < target) df.repartition(target)
     else df
   }

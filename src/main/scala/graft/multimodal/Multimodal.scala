@@ -103,10 +103,17 @@ object Multimodal {
     media.mapPartitions { it =>
       it.map { r =>
         val bytes = if (r.payload == null) Array.emptyByteArray else r.payload
-        val outLen =
-          if (r.width <= 0 || r.height <= 0 || bytes.isEmpty) bytes.length
+        val outLenL =
+          if (r.width <= 0 || r.height <= 0 || bytes.isEmpty)
+            bytes.length.toLong
           else math.ceil(bytes.length.toDouble * (targetW.toLong * targetH)
-            / (r.width.toLong * r.height)).toInt
+            / (r.width.toLong * r.height)).toLong
+        // fail loudly instead of silently clamping a byte budget that
+        // overflows the JVM array limit (extreme upscale ratios)
+        require(outLenL <= Int.MaxValue - 16,
+          s"resize budget $outLenL bytes overflows the array limit " +
+            s"(media_id=${r.media_id})")
+        val outLen = outLenL.toInt
         val out =
           if (outLen <= bytes.length) bytes.take(outLen)
           else bytes ++ Array.fill(outLen - bytes.length)(0.toByte)

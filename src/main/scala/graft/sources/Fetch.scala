@@ -33,9 +33,9 @@ object Fetch {
   /** Extract `suffix`-matching entries of a zip into `landingDir`,
     * flattened to one directory (the reference's per-file landing
     * layout) with the entry's directory path folded into the filename
-    * (`a/b.json` -> `a__b.json`) so same-named entries in different
-    * directories never silently overwrite each other. Returns the
-    * extracted paths. */
+    * (`a/b.json` -> `a__b.json`); any residual name collision gets a
+    * counter suffix, so no entry ever silently overwrites another.
+    * Returns the extracted paths. */
   def unzip(zipFile: String, landingDir: String,
       suffix: String = ".json"): Seq[Path] = {
     val landing = Paths.get(landingDir)
@@ -43,14 +43,26 @@ object Fetch {
     val zin = new ZipInputStream(
       new BufferedInputStream(Files.newInputStream(Paths.get(zipFile))))
     val out = Seq.newBuilder[Path]
+    val taken = scala.collection.mutable.Set.empty[String]
     try {
       var e = zin.getNextEntry
       while (e != null) {
-        val name = e.getName.split('/').filter(_.nonEmpty)
-          .mkString("__")
-        if (!e.isDirectory && name.endsWith(suffix) &&
-            !name.contains("..")) {
-          val target = landing.resolve(name)
+        val parts = e.getName.split('/').filter(_.nonEmpty).toSeq
+        // zip-slip guard per PATH COMPONENT: only a literal ".."
+        // component is traversal; a filename merely containing dots
+        // ("v5..1") is legitimate and must land
+        val traversal = parts.exists(_ == "..")
+        val name = parts.mkString("__")
+        if (!e.isDirectory && name.endsWith(suffix) && !traversal) {
+          // flattening can alias ("a/b.json" vs "a__b.json"): suffix a
+          // counter instead of silently overwriting an earlier entry
+          var unique = name
+          var i = 1
+          while (!taken.add(unique)) {
+            unique = s"${name.stripSuffix(suffix)}.$i$suffix"
+            i += 1
+          }
+          val target = landing.resolve(unique)
           val fos = new FileOutputStream(target.toFile)
           try zin.transferTo(fos) finally fos.close()
           out += target

@@ -209,39 +209,31 @@ object Streams {
             state.remove()
             Iterator(ClosedSession(user, s.n, s.start, s.last))
           } else {
-            val sorted = rows.map(r => micros(r._2)).toSeq.sorted
-            var closed = List.empty[ClosedSession]
-            var cur = state.getOption
-            sorted.foreach { t =>
-              cur match {
-                // within gap of the session's [start, last] envelope:
-                // merge, extending either end (an above-watermark event
-                // from a later micro-batch may precede state.start —
-                // the envelope grows backwards too, and the timeout
-                // never moves backwards)
-                case Some(s)
-                    if t - s.last <= gapUs && s.start - t <= gapUs =>
-                  cur = Some(s.copy(start = math.min(s.start, t),
-                    last = math.max(s.last, t), n = s.n + 1))
-                // a late event more than gap BEFORE the open session:
-                // it can never rejoin (per-batch input is sorted, and
-                // anything still older is below the watermark) — emit
-                // it as its own already-closed single-event session
-                case Some(s) if t < s.start =>
-                  closed ::= ClosedSession(user, 1, t, t)
-                // more than gap AFTER: close current, open a new one
-                case Some(s) =>
-                  closed ::= ClosedSession(user, s.n, s.start, s.last)
-                  cur = Some(SessState(t, t, 1))
-                case None =>
-                  cur = Some(SessState(t, t, 1))
+            // Standard interval sessionization over the batch's events
+            // PLUS the open session as a pseudo-interval: sort all
+            // pieces by start and fold-merge any two within the gap
+            // (envelopes can grow backwards for above-watermark
+            // out-of-order events — two late events within gap of each
+            // other correctly form ONE session). Everything but the
+            // latest surviving session closes; the latest becomes the
+            // new state, and its timeout never moves backwards.
+            val pieces = (rows.map(r => { val t = micros(r._2)
+              SessState(t, t, 1) }).toSeq ++ state.getOption.toSeq)
+              .sortBy(s => (s.start, s.last))
+            var merged = List.empty[SessState]
+            pieces.foreach { p =>
+              merged match {
+                case h :: tl if p.start - h.last <= gapUs =>
+                  merged = SessState(h.start, math.max(h.last, p.last),
+                    h.n + p.n) :: tl
+                case _ => merged = p :: merged
               }
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp((s.last + gapUs) / 1000L + 1L)
-            }
-            closed.reverseIterator
+            val latest :: closedSess = merged: @unchecked
+            state.update(latest)
+            state.setTimeoutTimestamp((latest.last + gapUs) / 1000L + 1L)
+            closedSess.reverseIterator
+              .map(s => ClosedSession(user, s.n, s.start, s.last))
           }
       }
   }

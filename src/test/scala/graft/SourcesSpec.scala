@@ -83,6 +83,25 @@ class SourcesSpec extends AnyFunSuite {
     assert(landed.map(_.getFileName.toString).sorted ===
       Seq("bad.json", "deltaCves__CVE-2024-9999.json"))
 
+    // colliding flattened names must both land (counter suffix), and a
+    // dotted-but-legitimate directory must not trip the zip-slip guard
+    val zip2 = s"$tmp/collide.zip"
+    val z2 = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(zip2))
+    def entry2(name: String, body: String): Unit = {
+      z2.putNextEntry(new java.util.zip.ZipEntry(name))
+      z2.write(body.getBytes("UTF-8")); z2.closeEntry()
+    }
+    entry2("a/b.json", """{"x":1}""")
+    entry2("a__b.json", """{"x":2}""")
+    entry2("v5..1/c.json", """{"x":3}""")
+    entry2("../evil.json", """{"x":4}""")
+    z2.close()
+    val landed2 = Fetch.unzip(zip2, s"$tmp/landing2", ".json")
+    assert(landed2.map(_.getFileName.toString).sorted ===
+      Seq("a__b.1.json", "a__b.json", "v5..1__c.json"))
+    assert(landed2.distinct.size === 3)
+
     graft.streaming.Streams.ingestBatch(spark, s"$tmp/work/landing",
       s"$tmp/raw", s"$tmp/meta", Some(s"$tmp/dlq"))
     assert(spark.read.parquet(s"$tmp/raw").count() === 1)

@@ -179,6 +179,32 @@ class StreamingSpec extends AnyFunSuite {
       us("2024-01-01 02:00:00"))))
   }
 
+  test("sessionizer merges multiple late events into one closed session") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val out = Streams.statefulSessions(mem.toDS().toDF("_1", "_2")
+      .as[(Long, Timestamp)], gapUs = 30L * 60 * 1000 * 1000,
+      watermark = "12 hours")
+    val q = out.writeStream.format("memory").queryName("sess_late2")
+      .outputMode("append").start()
+    mem.addData((1L, Timestamp.valueOf("2024-01-01 06:00:00")))
+    q.processAllAvailable()
+    // two late events within gap of EACH OTHER but both >gap before
+    // the open session: they must close as ONE two-event session
+    mem.addData(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, Timestamp.valueOf("2024-01-01 00:20:00")))
+    q.processAllAvailable()
+    q.stop()
+    def us(s: String) = Timestamp.valueOf(s).getTime * 1000L
+    val rows = spark.table("sess_late2")
+      .select("user_id", "n_events", "start_us", "end_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(rows === Set((1L, 2L, us("2024-01-01 00:00:00"),
+      us("2024-01-01 00:20:00"))))
+  }
+
   test("streaming dedup drops repeated (cve_id, date_updated) within watermark") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp)]
