@@ -132,6 +132,26 @@ object Streams {
     if (query.isActive) query.stop()
   }
 
+  /** Stream-stream INTERVAL JOIN with watermarks: each left event
+    * matches right events for the same key whose time falls in
+    * [left.ts - before, left.ts + after]. Both sides carry watermarks,
+    * so Spark bounds the join state on each side to the interval plus
+    * the watermark delay and purges it as event time advances — the
+    * state-safe way to correlate two live streams (e.g. clicks against
+    * errors) at any scale; an un-watermarked stream join would buffer
+    * forever. Inner join: unmatched rows drop (outer variants need the
+    * same watermark + interval bounds). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      before: String = "10 minutes", after: String = "10 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).as("l")
+    val r = right.withWatermark("ts", watermark).as("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts") >= col("l.ts") - expr(s"INTERVAL $before") &&
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $after"))
+  }
+
   /** Watermarked tumbling-window counts over an events-shaped stream
     * (ts, event_type, value) — the §2.10 gap-fill: the reference has no
     * event-time semantics at all. State is purged past the watermark. */

@@ -205,6 +205,36 @@ class StreamingSpec extends AnyFunSuite {
       us("2024-01-01 00:20:00"))))
   }
 
+  test("stream-stream interval join matches within the time band only") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val errors = MemoryStream[(Long, Timestamp)]
+    val joined = Streams.intervalJoin(
+      clicks.toDF.toDF("user_id", "ts"),
+      errors.toDF.toDF("user_id", "ts"),
+      key = "user_id", before = "10 minutes", after = "10 minutes")
+      .select(col("l.user_id").as("user_id"),
+        col("l.ts").as("click_ts"), col("r.ts").as("error_ts"))
+    val q = joined.writeStream.format("memory").queryName("ij_test")
+      .outputMode("append").start()
+    clicks.addData(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:00")))
+    errors.addData(
+      (1L, Timestamp.valueOf("2024-01-01 00:05:00")), // in band
+      (1L, Timestamp.valueOf("2024-01-01 01:00:00")), // out of band
+      (2L, Timestamp.valueOf("2024-01-01 00:09:00")), // in band
+      (3L, Timestamp.valueOf("2024-01-01 00:01:00"))) // no left key
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ij_test")
+      .select("user_id", "error_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString)).toSet
+    assert(rows === Set(
+      (1L, "2024-01-01 00:05:00.0"),
+      (2L, "2024-01-01 00:09:00.0")))
+  }
+
   test("streaming dedup drops repeated (cve_id, date_updated) within watermark") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp)]
