@@ -47,6 +47,22 @@ object Pipeline {
     graft.dedup.NearDup.dropNearDuplicates(
       curate(docs, minQuality), minJaccard)
 
+  /** Exact-grouping variant of [[curateNearDup]]: connected components
+    * over the verified pairs pick ONE representative (lowest doc_id)
+    * per duplicate cluster, so a chain a-b-c keeps only a — where the
+    * greedy drop could keep both a and c when (a,c) was never a
+    * candidate pair. Costs the extra O(log diameter) label-propagation
+    * rounds of [[graft.dedup.NearDup.components]]. */
+  def curateNearDupExact(docs: DataFrame, minQuality: Double = 0.3,
+      minJaccard: Double = 0.8): DataFrame = {
+    val curated = curate(docs, minQuality)
+    val comps = graft.dedup.NearDup.components(
+      graft.dedup.NearDup.verifiedPairs(curated, minJaccard))
+    val drop = comps.filter(col("doc_id") =!= col("comp"))
+      .select(col("doc_id"))
+    curated.join(drop, Seq("doc_id"), "left_anti")
+  }
+
   /** Featurize the curated corpus into a vector-index table. */
   def index(curated: DataFrame, dim: Int = 64): DataFrame =
     VectorFunctions.featurizeInto(

@@ -69,4 +69,24 @@ class PipelineSpec extends AnyFunSuite {
     val ids = curated.select("doc_id").as[Long].collect().sorted
     assert(ids.toSeq == Seq(10L, 12L))
   }
+
+  test("exact near-dup curation collapses a chain to one representative") {
+    val tmp = Files.createTempDirectory("graft-pipe3").toString
+    // a-b and b-c are near-dups (one token changed); a-c differs by two
+    // tokens and may miss candidacy — components must still group all
+    // three, keeping only doc 20
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq(
+      (20L, base, "en", "s1"),
+      (21L, base.replace("kappa", "lambda"), "en", "s2"),
+      (22L, base.replace("kappa", "lambda").replace("alpha", "omega"),
+        "en", "s3"),
+      (23L, "an entirely unrelated piece of text goes here now", "en", "s4"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/docs")
+    val kept = Pipeline.curateNearDupExact(
+      spark.read.parquet(s"$tmp/docs"), minQuality = 0.0, minJaccard = 0.3)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(20L, 23L))
+  }
 }

@@ -145,6 +145,33 @@ class PropertySpec extends AnyFunSuite {
     assert(brute.nonEmpty) // the generator must actually produce near-dups
   }
 
+  test("int8 quantization error is bounded by half a step, codes in range") {
+    val vecGen = Gen.listOfN(32, Gen.chooseNum(-50.0f, 50.0f))
+    val vecs = samples(vecGen, 80).map(_.toSeq).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val e = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("ev"))
+      .withColumn("mn", array_min(col("ev")))
+      .withColumn("scale",
+        (array_max(col("ev")) - array_min(col("ev"))) / 255.0)
+      .withColumn("qv", transform(col("ev"), x =>
+        when(col("scale") === 0.0, lit(0L))
+          .otherwise(round((x - col("mn")) / col("scale")).cast("long"))))
+      .select(col("scale"),
+        array_max(zip_with(col("ev"), col("qv"), (x, q) =>
+          abs(x - (col("mn") + q.cast("double") * col("scale")))))
+          .as("max_err"),
+        array_min(col("qv")).as("qmin"), array_max(col("qv")).as("qmax"))
+      .collect()
+    e.foreach { r =>
+      // round-to-nearest: reconstruction error <= half a quantization
+      // step; codes stay within the int8 range 0..255
+      assert(r.getDouble(1) <= r.getDouble(0) / 2 + 1e-9)
+      assert(r.getLong(2) >= 0L && r.getLong(3) <= 255L)
+    }
+  }
+
   test("components matches sequential union-find on random edge sets") {
     val edgeGen = for {
       a <- Gen.chooseNum(0L, 39L)
