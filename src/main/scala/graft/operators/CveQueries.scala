@@ -69,11 +69,17 @@ object CveQueries {
           to_json(struct(col("event_type").as("etype"),
             struct(col("user_id").as("uid"), col("value").as("val"))
               .as("meta"))).as("doc"))
+        // parse the VARIANT doc ONCE into a struct (three
+        // get_json_object calls would re-parse the document per field;
+        // the parsed alias is multiply-referenced and non-cheap, so
+        // CollapseProject keeps it staged)
+        .withColumn("v", from_json(col("doc"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "etype STRING, meta STRUCT<uid: STRING, val: STRING>")))
         .select(col("event_id"),
-          get_json_object(col("doc"), "$.etype").as("etype"),
-          get_json_object(col("doc"), "$.meta.uid").cast("bigint").as("uid"),
-          round(get_json_object(col("doc"), "$.meta.val").cast("double"), 6)
-            .as("val"))
+          col("v.etype").as("etype"),
+          col("v.meta.uid").cast("bigint").as("uid"),
+          round(col("v.meta.val").cast("double"), 6).as("val"))
         .orderBy("event_id")
     },
 
