@@ -44,8 +44,13 @@ object Pipeline {
     * exact-Jaccard verified near-dup drop over the survivors. */
   def curateNearDup(docs: DataFrame, minQuality: Double = 0.3,
       minJaccard: Double = 0.8): DataFrame =
+    // localCheckpoint: the curated frame feeds the LSH bands, both
+    // sides of the shingle-verification join, and the final anti-join
+    // probe — without it the fingerprint groupBy + quality pass would
+    // re-execute per consumer (and its observe node would repeat in
+    // one plan). Materializing here runs curation eagerly, once.
     graft.dedup.NearDup.dropNearDuplicates(
-      curate(docs, minQuality), minJaccard)
+      curate(docs, minQuality).localCheckpoint(), minJaccard)
 
   /** Exact-grouping variant of [[curateNearDup]]: connected components
     * over the verified pairs pick ONE representative (lowest doc_id)
@@ -55,7 +60,7 @@ object Pipeline {
     * rounds of [[graft.dedup.NearDup.components]]. */
   def curateNearDupExact(docs: DataFrame, minQuality: Double = 0.3,
       minJaccard: Double = 0.8): DataFrame = {
-    val curated = curate(docs, minQuality)
+    val curated = curate(docs, minQuality).localCheckpoint()
     val comps = graft.dedup.NearDup.components(
       graft.dedup.NearDup.verifiedPairs(curated, minJaccard))
     val drop = comps.filter(col("doc_id") =!= col("comp"))

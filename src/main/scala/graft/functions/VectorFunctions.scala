@@ -103,4 +103,19 @@ object VectorFunctions {
         when(col("__fnorm") === 0.0, col("__fcounts"))
           .otherwise(transform(col("__fcounts"), x => x / col("__fnorm"))))
       .drop("__ftoks", "__fbuckets", "__fcounts", "__fnorm")
+
+  /** Stage per-vector int8 affine quantization columns onto `df`:
+    * `evCol` (array<double>) -> `mn`, `mx`, `scale`, `qv` (codes
+    * 0..255 by round-to-nearest; constant vectors quantize to 0).
+    * Each stage is a separate withColumn so the min/max/scale are
+    * computed once per ROW, never re-evaluated inside the transform
+    * lambda. Shared by q70 and the error-bound property test, so the
+    * tested math IS the shipped math. */
+  def withInt8Quantization(df: DataFrame, evCol: String = "ev"): DataFrame =
+    df.withColumn("mn", array_min(col(evCol)))
+      .withColumn("mx", array_max(col(evCol)))
+      .withColumn("scale", (col("mx") - col("mn")) / 255.0)
+      .withColumn("qv", transform(col(evCol), x =>
+        when(col("scale") === 0.0, lit(0L))
+          .otherwise(round((x - col("mn")) / col("scale")).cast("long"))))
 }

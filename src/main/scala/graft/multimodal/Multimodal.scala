@@ -96,9 +96,13 @@ object Multimodal {
     * byte budget (a real implementation decodes, resamples, and
     * re-encodes here — same signature, same per-partition batch shape).
     * Zero-area or empty inputs pass through with their byte length
-    * unchanged. */
+    * unchanged. A pathological metadata/payload combination whose
+    * budget exceeds `maxBytes` CLAMPS to it (an explicit contract, not
+    * a silent int overflow) rather than failing the stage for one bad
+    * record — the W5 per-record-isolation principle; sane inputs never
+    * reach the cap. */
   def resizeStub(media: Dataset[MediaRecord], targetW: Int,
-      targetH: Int): Dataset[MediaRecord] = {
+      targetH: Int, maxBytes: Int = 64 << 20): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { r =>
@@ -108,12 +112,7 @@ object Multimodal {
             bytes.length.toLong
           else math.ceil(bytes.length.toDouble * (targetW.toLong * targetH)
             / (r.width.toLong * r.height)).toLong
-        // fail loudly instead of silently clamping a byte budget that
-        // overflows the JVM array limit (extreme upscale ratios)
-        require(outLenL <= Int.MaxValue - 16,
-          s"resize budget $outLenL bytes overflows the array limit " +
-            s"(media_id=${r.media_id})")
-        val outLen = outLenL.toInt
+        val outLen = math.min(outLenL, maxBytes.toLong).toInt
         val out =
           if (outLen <= bytes.length) bytes.take(outLen)
           else bytes ++ Array.fill(outLen - bytes.length)(0.toByte)

@@ -355,15 +355,10 @@ object VectorQueries {
     //      embedding table runs before serving. Scalar outputs only
     //      (checksum + error), so the driver's hash compare applies. ----
     GraftQuery("q70_int8_quantization", int8Sql) { (s, d) =>
-      val e = Tables.spread(Tables.embeddings(s, d))
-        .select(col("vec_id"),
-          transform(col("embedding"), _.cast("double")).as("ev"))
-        .withColumn("mn", array_min(col("ev")))
-        .withColumn("mx", array_max(col("ev")))
-        .withColumn("scale", (col("mx") - col("mn")) / 255.0)
-        .withColumn("qv", transform(col("ev"), x =>
-          when(col("scale") === 0.0, lit(0L))
-            .otherwise(round((x - col("mn")) / col("scale")).cast("long"))))
+      val e = withInt8Quantization(
+        Tables.spread(Tables.embeddings(s, d))
+          .select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("ev")))
         .withColumn("err", zip_with(col("ev"), col("qv"), (x, q) =>
           abs(x - (col("mn") + q.cast("double") * col("scale")))))
       e.select(col("vec_id"),

@@ -43,7 +43,13 @@ object Fetch {
     val zin = new ZipInputStream(
       new BufferedInputStream(Files.newInputStream(Paths.get(zipFile))))
     val out = Seq.newBuilder[Path]
+    // seed with files already landed (possibly by a PREVIOUS archive
+    // into the same dir) so the no-silent-overwrite guarantee holds
+    // across calls, not just within one
     val taken = scala.collection.mutable.Set.empty[String]
+    val existing = Files.list(landing)
+    try existing.forEach(p => taken += p.getFileName.toString)
+    finally existing.close()
     try {
       var e = zin.getNextEntry
       while (e != null) {

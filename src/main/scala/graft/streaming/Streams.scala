@@ -140,16 +140,26 @@ object Streams {
     * state-safe way to correlate two live streams (e.g. clicks against
     * errors) at any scale; an un-watermarked stream join would buffer
     * forever. Inner join: unmatched rows drop (outer variants need the
-    * same watermark + interval bounds). */
+    * same watermark + interval bounds).
+    *
+    * Output schema is DISAMBIGUATED — `key`, `l_ts`, `r_ts`, and every
+    * other column prefixed `l_`/`r_` — so the joined stream selects and
+    * sinks without qualified-alias gymnastics. */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       before: String = "10 minutes", after: String = "10 minutes",
       watermark: String = "1 hour"): DataFrame = {
     val l = left.withWatermark("ts", watermark).as("l")
     val r = right.withWatermark("ts", watermark).as("r")
+    def payload(df: DataFrame, side: String) =
+      df.columns.toIndexedSeq.filterNot(c => c == key || c == "ts")
+        .map(c => col(s"$side.$c").as(s"${side}_$c"))
     l.join(r,
       col(s"l.$key") === col(s"r.$key") &&
         col("r.ts") >= col("l.ts") - expr(s"INTERVAL $before") &&
         col("r.ts") <= col("l.ts") + expr(s"INTERVAL $after"))
+      .select(Seq(col(s"l.$key").as(key), col("l.ts").as("l_ts"),
+        col("r.ts").as("r_ts")) ++ payload(left, "l") ++
+        payload(right, "r"): _*)
   }
 
   /** Watermarked tumbling-window counts over an events-shaped stream
@@ -208,7 +218,14 @@ object Streams {
     * after the last one, or when the event-time watermark passes the
     * session's expiry (EventTimeTimeout). State per user is O(1); the
     * watermark bounds state lifetime exactly like the built-in
-    * session_window aggregation. */
+    * session_window aggregation.
+    *
+    * Out-of-order events above the watermark sessionize correctly
+    * WITHIN each micro-batch (full interval merge, envelopes can grow
+    * backwards); sessions that closed more than `gap` before the open
+    * session emit immediately and — append-mode streaming — cannot be
+    * reopened by a yet-later event that would have bridged them. Only
+    * the single open session per key is retained state. */
   def statefulSessions(events: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp)],
       gapUs: Long, watermark: String = "0 seconds")
       : org.apache.spark.sql.Dataset[ClosedSession] = {

@@ -149,15 +149,11 @@ class PropertySpec extends AnyFunSuite {
     val vecGen = Gen.listOfN(32, Gen.chooseNum(-50.0f, 50.0f))
     val vecs = samples(vecGen, 80).map(_.toSeq).zipWithIndex
       .map { case (v, i) => (i.toLong, v) }
-    val e = vecs.toDF("vec_id", "embedding")
-      .select(col("vec_id"),
-        transform(col("embedding"), _.cast("double")).as("ev"))
-      .withColumn("mn", array_min(col("ev")))
-      .withColumn("scale",
-        (array_max(col("ev")) - array_min(col("ev"))) / 255.0)
-      .withColumn("qv", transform(col("ev"), x =>
-        when(col("scale") === 0.0, lit(0L))
-          .otherwise(round((x - col("mn")) / col("scale")).cast("long"))))
+    // the SHARED engine implementation (same columns q70 ships)
+    val e = graft.functions.VectorFunctions.withInt8Quantization(
+      vecs.toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("ev")))
       .select(col("scale"),
         array_max(zip_with(col("ev"), col("qv"), (x, q) =>
           abs(x - (col("mn") + q.cast("double") * col("scale")))))

@@ -213,8 +213,8 @@ class StreamingSpec extends AnyFunSuite {
       clicks.toDF.toDF("user_id", "ts"),
       errors.toDF.toDF("user_id", "ts"),
       key = "user_id", before = "10 minutes", after = "10 minutes")
-      .select(col("l.user_id").as("user_id"),
-        col("l.ts").as("click_ts"), col("r.ts").as("error_ts"))
+      .select(col("user_id"), col("l_ts").as("click_ts"),
+        col("r_ts").as("error_ts"))
     val q = joined.writeStream.format("memory").queryName("ij_test")
       .outputMode("append").start()
     clicks.addData(
