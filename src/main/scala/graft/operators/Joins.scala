@@ -132,6 +132,27 @@ object Joins {
         .orderBy("status", "priority")
     },
 
+    // ---- GROUPING SETS: arbitrary grouping combinations (the general
+    //      form rollup/cube specialize; Spark 4's Dataset.groupingSets) ----
+    GraftQuery("q80_grouping_sets",
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")),
+            Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"))
+        .orderBy("status", "priority")
+    },
+
     // ---- MapType: parse JSON props to a map, explode entries ----
     GraftQuery("q71_map_entries",
       """WITH x AS (SELECT e.event_id, k.key,
