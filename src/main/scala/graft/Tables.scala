@@ -41,9 +41,18 @@ object Tables {
       case _ => false
     }.isDefined
     if (hasShuffle) df
-    else if (df.rdd.getNumPartitions < target) df.repartition(target)
-    else df
+    else {
+      // memoize the probe per (plan, target): the same table scan is
+      // spread from many call sites, and each .rdd probe replans it
+      val key = (df.queryExecution.logical.semanticHash(), target)
+      val under = spreadProbeCache.computeIfAbsent(key,
+        _ => df.rdd.getNumPartitions < target)
+      if (under) df.repartition(target) else df
+    }
   }
+
+  private val spreadProbeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), java.lang.Boolean]()
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong`
