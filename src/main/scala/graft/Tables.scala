@@ -61,9 +61,13 @@ object Tables {
   private def eventsWithTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // `div`, not `/`: double division of ~1e18 nanos sits past the
+        // 53-bit mantissa and can flip the microsecond by one; integral
+        // division is exact (and matches DuckDB's native TIMESTAMP_NS
+        // -> epoch_us semantics)
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
-            (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+            org.apache.spark.sql.functions.expr("ts div 1000")))
       case _ => df
     }
 

@@ -411,6 +411,33 @@ object Relational {
         .orderBy("user_id", "sess_no")
     },
 
+    // ---- LEAD-based gap detection: inter-event silences per user
+    //      above a threshold (the QA view behind session boundaries) ----
+    GraftQuery("q81_gap_detection",
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+        |    LEAD(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(next_us - t_us AS BIGINT) AS gap_us
+        |FROM g
+        |WHERE next_us - t_us > 3600000000
+        |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      // ordering by the micros column is identical to ordering by ts
+      // (unix_micros is monotone), with event_id breaking ties
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t_us"))
+        .withColumn("next_us", lead(col("t_us"), 1).over(byUser))
+        .filter(col("next_us") - col("t_us") > 3600000000L)
+        .select(col("user_id"), col("event_id"),
+          (col("next_us") - col("t_us")).as("gap_us"))
+        .orderBy("user_id", "event_id")
+    },
+
     // ---- frame-spec window: trailing moving average + running total ----
     GraftQuery("q67_moving_window",
       """WITH t AS (
