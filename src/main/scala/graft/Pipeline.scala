@@ -83,6 +83,9 @@ object Pipeline {
     val docs = spark.read.parquet(docsPath)
     val curated = curate(docs, minQuality)
     curated.write.mode("overwrite").parquet(corpusOut)
+    // the overwrite may have replaced files at a path already probed by
+    // Tables.spread in this session — drop stale parallelism decisions
+    Tables.invalidateSpreadCache()
     // read the written corpus ONCE and reuse it for both the featurize
     // input and the row count (it was previously re-scanned per use)
     val written = spark.read.parquet(corpusOut).cache()

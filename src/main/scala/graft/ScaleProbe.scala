@@ -45,6 +45,10 @@ object ScaleProbe {
         Tables.table(spark, src, n).write.mode("overwrite")
           .parquet(s"$out/$n.parquet") }
       println("BUILT scale10")
+      // the build rewrote parquet at paths the query pass re-reads in
+      // the SAME session — drop any spread decisions probed against a
+      // previous build's files
+      Tables.invalidateSpreadCache()
     }
     val qs = Seq("q01_pricing_summary", "q03_join_agg_revenue",
       "q20_cosine_knn", "q27_lsh_ann_pairs", "q35_tfidf_top_terms",

@@ -128,6 +128,10 @@ object NearDup {
     * a chain a-b-c groups all three even though (a,c) was never a
     * candidate pair. */
   def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // maxIter=0 would fall through the loop and return per-node
+    // self-labels — wrong for ANY nonempty edge set — so reject it up
+    // front; the fail-fast contract below must hold for every argument
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     // Materialize BEFORE the self-union: if `pairs` carries an observe
     // node (candidatePairs does), unioning it with itself would put two
     // same-named CollectMetrics nodes in one plan — an analysis error.
@@ -165,7 +169,7 @@ object NearDup {
       labels = next
       i += 1
     }
-    require(converged || maxIter == 0,
+    require(converged,
       s"components did not converge within $maxIter rounds — " +
         "raise maxIter (pointer jumping covers diameter 2^maxIter)")
     labels

@@ -19,11 +19,17 @@ import java.util.zip.ZipInputStream
 object Fetch {
 
   /** Fetch `url` (any java.net URL scheme, e.g. file:// or https://)
-    * to `destFile`, creating parent dirs. Returns the local path. */
-  def fetch(url: String, destFile: String): Path = {
+    * to `destFile`, creating parent dirs. Returns the local path.
+    * Connect/read timeouts are set so a stalled remote fails the
+    * driver-side step instead of hanging it indefinitely. */
+  def fetch(url: String, destFile: String,
+      connectTimeoutMs: Int = 30000, readTimeoutMs: Int = 120000): Path = {
     val dest = Paths.get(destFile)
     Files.createDirectories(dest.getParent)
-    val in = new BufferedInputStream(java.net.URI.create(url).toURL.openStream())
+    val conn = java.net.URI.create(url).toURL.openConnection()
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
+    val in = new BufferedInputStream(conn.getInputStream)
     try Files.copy(in, dest,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     finally in.close()

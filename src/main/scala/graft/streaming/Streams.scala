@@ -142,23 +142,26 @@ object Streams {
     * forever. Inner join: unmatched rows drop (outer variants need the
     * same watermark + interval bounds).
     *
-    * Output schema is DISAMBIGUATED — `key`, `l_ts`, `r_ts`, and every
-    * other column prefixed `l_`/`r_` — so the joined stream selects and
-    * sinks without qualified-alias gymnastics. */
+    * Output schema is DISAMBIGUATED — `key`, `l_<tsCol>`, `r_<tsCol>`,
+    * and every other column prefixed `l_`/`r_` — so the joined stream
+    * selects and sinks without qualified-alias gymnastics.
+    * `tsCol` names the event-time column BOTH frames must carry
+    * (default "ts"), mirroring how `key` is parameterized. */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       before: String = "10 minutes", after: String = "10 minutes",
-      watermark: String = "1 hour"): DataFrame = {
-    val l = left.withWatermark("ts", watermark).as("l")
-    val r = right.withWatermark("ts", watermark).as("r")
+      watermark: String = "1 hour", tsCol: String = "ts"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).as("l")
+    val r = right.withWatermark(tsCol, watermark).as("r")
     def payload(df: DataFrame, side: String) =
-      df.columns.toIndexedSeq.filterNot(c => c == key || c == "ts")
+      df.columns.toIndexedSeq.filterNot(c => c == key || c == tsCol)
         .map(c => col(s"$side.$c").as(s"${side}_$c"))
     l.join(r,
       col(s"l.$key") === col(s"r.$key") &&
-        col("r.ts") >= col("l.ts") - expr(s"INTERVAL $before") &&
-        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $after"))
-      .select(Seq(col(s"l.$key").as(key), col("l.ts").as("l_ts"),
-        col("r.ts").as("r_ts")) ++ payload(left, "l") ++
+        col(s"r.$tsCol") >= col(s"l.$tsCol") - expr(s"INTERVAL $before") &&
+        col(s"r.$tsCol") <= col(s"l.$tsCol") + expr(s"INTERVAL $after"))
+      .select(Seq(col(s"l.$key").as(key),
+        col(s"l.$tsCol").as(s"l_$tsCol"),
+        col(s"r.$tsCol").as(s"r_$tsCol")) ++ payload(left, "l") ++
         payload(right, "r"): _*)
   }
 
