@@ -86,6 +86,65 @@ object NearDup {
       .distinct()
   }
 
+  /** Incremental candidate pairs: an INCOMING batch checked against an
+    * EXISTING corpus and against earlier incoming docs — the continuous-
+    * ingest shape. Output: (doc_a, doc_b) where doc_b is always an
+    * incoming doc and doc_a is its prior candidate (any existing doc,
+    * or an incoming doc with a smaller id). existing×existing pairs are
+    * NEVER generated: at 100 TB the corpus side contributes only its
+    * band keys (one row per doc per band — precomputable and persisted
+    * as a band table between runs, so steady-state incremental cost is
+    * the small batch's signature pass plus one equi join), never its
+    * O(n²) pair space. Doc ids must be disjoint across the two inputs.
+    * The per-bucket cap is the same guard as [[candidatePairs]], over
+    * the combined bucket membership. */
+  def incrementalCandidatePairs(existing: DataFrame, incoming: DataFrame,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byBucket = Window.partitionBy(col("band"), col("band_key"))
+    // localCheckpoint: band rows are tiny (doc_id, band, key, flag) and
+    // BOTH self-join sides read them — without it each side re-runs the
+    // full tokenize + md5 signature scan (the dominant cost)
+    val capped = bands(existing).withColumn("is_new", lit(false))
+      .unionByName(bands(incoming).withColumn("is_new", lit(true)))
+      .withColumn("rn", row_number().over(byBucket.orderBy(col("doc_id"))))
+      .filter(col("rn") <= maxBucket)
+      .drop("rn")
+      .localCheckpoint()
+    capped.as("a")
+      .join(capped.filter(col("is_new")).as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          (!col("a.is_new") || col("a.doc_id") < col("b.doc_id")) &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** [[incrementalCandidatePairs]] verified by exact shingle-set
+    * Jaccard >= min: the incoming-batch near-dup check. Only candidate
+    * pairs pay the shingle join; an incoming doc appearing as doc_b
+    * duplicates prior content and is the drop candidate. */
+  def incrementalVerified(existing: DataFrame, incoming: DataFrame,
+      minJaccard: Double, maxBucket: Int = MaxBucket): DataFrame = {
+    val sh = graft.Tables.spread(
+      existing.select(col("doc_id"), col("text"))
+        .unionByName(incoming.select(col("doc_id"), col("text"))))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(shinglesOf(col("toks"), ShingleN)).as("sset"))
+    incrementalCandidatePairs(existing, incoming, maxBucket)
+      .join(sh.select(col("doc_id").as("doc_a"), col("sset").as("sset_a")),
+        "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sset").as("sset_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sset_a"), col("sset_b")))
+          .cast("double") /
+          size(array_union(col("sset_a"), col("sset_b")))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Candidate pairs verified by exact shingle-set Jaccard >= min. */
   def verifiedPairs(docs: DataFrame, minJaccard: Double,
       maxBucket: Int = MaxBucket): DataFrame = {

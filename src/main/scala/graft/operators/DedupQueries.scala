@@ -85,6 +85,38 @@ object DedupQueries {
        |      FROM sig CROSS JOIN
        |        (SELECT unnest(generate_series(0, ${N_BANDS - 1})) AS band) g)""".stripMargin
 
+  /** Shared CTE chain for connected components over verified near-dup
+    * pairs (θ = 0.5): bands -> candidates -> exact-Jaccard verify ->
+    * symmetric edges -> recursive transitive closure -> per-node min
+    * label in `comp(doc_id, comp)`. Callers prepend WITH RECURSIVE. */
+  private def componentsCteSql: String =
+    s"""$bandsCteSql,
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM b x JOIN b y
+       |           ON x.band = y.band AND x.band_key = y.band_key
+       |           AND x.doc_id < y.doc_id),
+       |sh AS (SELECT doc_id,
+       |         list_distinct(${shinglesSql(s"($toksSql)", 3)}) AS sset
+       |       FROM documents),
+       |v AS (SELECT c.doc_a, c.doc_b
+       |      FROM cand c
+       |      JOIN sh a ON c.doc_a = a.doc_id
+       |      JOIN sh b ON c.doc_b = b.doc_id
+       |      WHERE CAST(len(list_filter(a.sset,
+       |          x -> list_contains(b.sset, x))) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.sset, b.sset))) >= 0.5),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM v
+       |      UNION SELECT doc_b, doc_a FROM v),
+       |reach(a, b) AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.a, e2.dst FROM reach r JOIN e e2 ON r.b = e2.src),
+       |comp AS (SELECT doc_id, CAST(MIN(comp) AS BIGINT) AS comp FROM (
+       |    SELECT a AS doc_id, b AS comp FROM reach
+       |    UNION ALL
+       |    SELECT DISTINCT src AS doc_id, src AS comp FROM e)
+       |  GROUP BY doc_id)""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
 
     // ---- exact dedup: fingerprint hash-agg, keep-first representative ----
@@ -281,37 +313,131 @@ object DedupQueries {
     //      ([[graft.dedup.NearDup.components]]); the oracle computes the
     //      same fixpoint as a recursive transitive-closure CTE. ----
     GraftQuery("q48_near_dup_components",
-      s"""WITH RECURSIVE $bandsCteSql,
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |         FROM b x JOIN b y
-         |           ON x.band = y.band AND x.band_key = y.band_key
-         |           AND x.doc_id < y.doc_id),
-         |sh AS (SELECT doc_id,
-         |         list_distinct(${shinglesSql(s"($toksSql)", 3)}) AS sset
-         |       FROM documents),
-         |v AS (SELECT c.doc_a, c.doc_b
-         |      FROM cand c
-         |      JOIN sh a ON c.doc_a = a.doc_id
-         |      JOIN sh b ON c.doc_b = b.doc_id
-         |      WHERE CAST(len(list_filter(a.sset,
-         |          x -> list_contains(b.sset, x))) AS DOUBLE)
-         |        / len(list_distinct(list_concat(a.sset, b.sset))) >= 0.5),
-         |e AS (SELECT doc_a AS src, doc_b AS dst FROM v
-         |      UNION SELECT doc_b, doc_a FROM v),
-         |reach(a, b) AS (
-         |  SELECT src, dst FROM e
-         |  UNION
-         |  SELECT r.a, e2.dst FROM reach r JOIN e e2 ON r.b = e2.src)
-         |SELECT doc_id, CAST(MIN(comp) AS BIGINT) AS comp FROM (
-         |  SELECT a AS doc_id, b AS comp FROM reach
-         |  UNION ALL
-         |  SELECT DISTINCT src AS doc_id, src AS comp FROM e)
-         |GROUP BY doc_id
+      s"""WITH RECURSIVE $componentsCteSql
+         |SELECT doc_id, comp FROM comp
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       graft.dedup.NearDup.components(
         graft.dedup.NearDup.verifiedPairs(Tables.documents(s, d), 0.5))
         .select(col("doc_id"), col("comp").cast("bigint").as("comp"))
         .orderBy("doc_id")
+    },
+
+    // ---- canonical-survivor selection: within each near-dup component
+    //      keep the HIGHEST-QUALITY member (tie -> lowest doc_id), not
+    //      the lowest id — the real pipeline drop decision ("keep the
+    //      best copy"). Quality is the q31 weighted-clamp score rounded
+    //      to 6dp BEFORE ranking, so the cross-engine ordering compares
+    //      identical values. Components are small by construction, so
+    //      the per-component window is cheap; everything upstream is
+    //      the q48 plan. ----
+    GraftQuery("q84_cluster_survivor",
+      s"""WITH RECURSIVE $componentsCteSql,
+         |qt AS (SELECT doc_id, $toksSql AS toks, text FROM documents),
+         |qual AS (SELECT doc_id,
+         |  round(${TextQueries.qualitySql("toks", "text")}, 6) AS q
+         |  FROM qt),
+         |j AS (SELECT c.comp, c.doc_id, q.q,
+         |        ROW_NUMBER() OVER (PARTITION BY c.comp
+         |          ORDER BY q.q DESC, c.doc_id) AS rn,
+         |        COUNT(*) OVER (PARTITION BY c.comp) AS n_members
+         |      FROM comp c JOIN qual q ON c.doc_id = q.doc_id)
+         |SELECT comp, doc_id AS keep_doc_id,
+         |  CAST(n_members AS BIGINT) AS n_members, q AS keep_quality
+         |FROM j WHERE rn = 1
+         |ORDER BY comp""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val comps = graft.dedup.NearDup.components(
+        graft.dedup.NearDup.verifiedPairs(docs, 0.5))
+      val qual = Tables.spread(docs)
+        .select(col("doc_id"),
+          round(graft.functions.TextFunctions.qualityScoreOf(col("text"),
+            tokens(col("text"))), 6).as("q"))
+      val wComp = Window.partitionBy(col("comp"))
+      comps.join(qual, "doc_id")
+        .withColumn("rn", row_number().over(
+          wComp.orderBy(col("q").desc, col("doc_id"))))
+        .withColumn("n_members", count(lit(1)).over(wComp))
+        .filter(col("rn") === 1)
+        .select(col("comp").cast("bigint").as("comp"),
+          col("doc_id").as("keep_doc_id"),
+          col("n_members").cast("bigint").as("n_members"),
+          col("q").as("keep_quality"))
+        .orderBy("comp")
+    },
+
+    // ---- benchmark-contamination detection: flag corpus docs whose
+    //      3-token shingles overlap an evaluation set (here: the docs
+    //      with doc_id % 41 = 7 stand in for the benchmark). The
+    //      benchmark's distinct shingle set is BROADCAST — eval sets
+    //      are small by nature — so the corpus side streams once with
+    //      no pair join; the only shuffle is the per-doc hit count.
+    //      The standard decontamination pass before training. ----
+    GraftQuery("q82_contamination",
+      s"""WITH sh AS (SELECT doc_id,
+         |    list_distinct(${shinglesSql(s"($toksSql)", 3)}) AS sset
+         |  FROM documents),
+         |bench AS (SELECT DISTINCT unnest(sset) AS g FROM sh
+         |          WHERE doc_id % 41 = 7),
+         |corpus AS (SELECT doc_id, unnest(sset) AS g FROM sh
+         |           WHERE doc_id % 41 <> 7)
+         |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |FROM corpus c JOIN bench b ON c.g = b.g
+         |GROUP BY c.doc_id
+         |HAVING COUNT(*) >= 2
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val sh = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"),
+          array_distinct(shinglesOf(tokens(col("text")), 3)).as("sset"))
+      // the doc_id filters commute below the shingle projection, so the
+      // bench branch tokenizes only its ~1% of docs
+      val bench = sh.filter(pmod(col("doc_id"), lit(41)) === 7)
+        .select(explode(col("sset")).as("g")).distinct()
+      val corpus = sh.filter(pmod(col("doc_id"), lit(41)) =!= 7)
+        .select(col("doc_id"), explode(col("sset")).as("g"))
+      corpus.join(broadcast(bench), "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .filter(col("n_hits") >= 2)
+        .orderBy("doc_id")
+    },
+
+    // ---- incremental near-dup: an incoming batch (doc_id % 7 = 3
+    //      stands in for today's delta) verified against the existing
+    //      corpus AND earlier incoming docs. existing×existing pairs
+    //      are never generated — the corpus contributes band keys only
+    //      (persistable between runs), which is what makes continuous
+    //      ingest dedup affordable at 100 TB. doc_b is always the
+    //      incoming (droppable) side. ----
+    GraftQuery("q89_incremental_dedup",
+      s"""WITH $bandsCteSql,
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM b x JOIN b y
+         |           ON x.band = y.band AND x.band_key = y.band_key
+         |          AND y.doc_id % 7 = 3
+         |          AND (CASE WHEN x.doc_id % 7 = 3
+         |               THEN x.doc_id < y.doc_id
+         |               ELSE x.doc_id <> y.doc_id END)),
+         |sh AS (SELECT doc_id,
+         |         list_distinct(${shinglesSql(s"($toksSql)", 3)}) AS sset
+         |       FROM documents),
+         |v AS (SELECT c.doc_a, c.doc_b,
+         |        CAST(len(list_filter(a.sset, x -> list_contains(b.sset, x)))
+         |          AS DOUBLE)
+         |        / len(list_distinct(list_concat(a.sset, b.sset))) AS jac
+         |      FROM cand c
+         |      JOIN sh a ON c.doc_a = a.doc_id
+         |      JOIN sh b ON c.doc_b = b.doc_id)
+         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+         |FROM v WHERE jac >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val incoming = docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+      val existing = docs.filter(pmod(col("doc_id"), lit(7)) =!= 3)
+      graft.dedup.NearDup.incrementalVerified(existing, incoming, 0.5)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
     },
 
     // ---- embedding-cosine near-dup, blocked on label ----

@@ -65,6 +65,31 @@ object Joins {
       .select(col("__row.*"), col(matchCol))
   }
 
+  /** Salted equi-join for skewed keys: the left side is split into
+    * `salts` deterministic sub-keys (hash of `saltBy`, a left column —
+    * typically the row's unique id), the right side is replicated once
+    * per salt, and the join key becomes (key, salt). Every left row
+    * still meets every matching right row exactly once, so the result
+    * IS the plain equi-join — only the physical distribution changes:
+    * a hot key's rows now land on `salts` reducers instead of one.
+    *
+    * Use when BOTH sides must shuffle (right too big to broadcast) and
+    * the key histogram is heavy-tailed — the classic 100 TB failure
+    * mode where one straggler task holds the hot key. AQE's skew-join
+    * split handles sort-merge inputs it can SEE; salting also covers
+    * join-amplification and aggregate-feeding shapes AQE sizes wrong.
+    * Replication cost: `salts` copies of the right side — keep salts
+    * small (8-32) and the right side narrow. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      saltBy: String, salts: Int): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val l = left.withColumn("__salt",
+      pmod(hash(col(saltBy)), lit(salts)).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(array((0 until salts).map(i => lit(i)): _*)))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     // ---- as-of join: latest prior click per error event, by user ----
@@ -228,6 +253,34 @@ object Joins {
         .select(col("o_orderpriority"), col("F").as("f_cnt"),
           col("O").as("o_cnt"), col("P").as("p_cnt"))
         .orderBy("o_orderpriority")
+    },
+
+    // ---- salted skew join: events' event_type histogram is heavy
+    //      (a handful of types over every row — the archetypal hot
+    //      key). saltedJoin splits each type's rows across 16 sub-keys
+    //      before the join, so no single reducer owns a whole type; the
+    //      result is provably the plain join, which is exactly what the
+    //      oracle runs. The dim side here is broadcast-sized — the
+    //      query pins the semantics so the operator is safe to reach
+    //      for when the dim ISN'T. ----
+    GraftQuery("q85_salted_skew_join",
+      """WITH dim AS (SELECT event_type, CAST(length(event_type) AS BIGINT) AS w
+        |             FROM (SELECT DISTINCT event_type FROM events))
+        |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(30,2)) * d.w) AS DOUBLE) AS weighted_sum
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin) { (s, d) =>
+      val events = Tables.events(s, d)
+      val dim = events.select(col("event_type")).distinct()
+        .withColumn("w", length(col("event_type")).cast("long"))
+      saltedJoin(events, dim, "event_type", "event_id", 16)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(
+            org.apache.spark.sql.types.DecimalType(30, 2)) * col("w"))
+            .cast("double").as("weighted_sum"))
+        .orderBy("event_type")
     },
 
     // ---- HLL sketch: approx_count_distinct (§2.6 gap). Sketches are

@@ -62,6 +62,21 @@ object TextQueries {
     }
   }
 
+  /** DuckDB mirror of TextFunctions.qualityScoreOf over a `toks`
+    * column expression and a `text` column expression — shared by q31
+    * and the dedup-survivor selection (q84). */
+  private[operators] def qualitySql(toks: String, text: String): String =
+    s"""least(1.0, greatest(0.0,
+       |    least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0) * 0.6
+       |    + least((CASE WHEN len($toks) = 0 THEN 0.0
+       |        ELSE CAST(len(list_filter($toks, x -> x IN ('the','a','an',
+       |          'of','to','and','in','is','on','for'))) AS DOUBLE)
+       |          / len($toks) END) * 4.0, 1.0) * 0.2
+       |    + greatest(1.0 - (CASE WHEN length($text) = 0 THEN 0.0
+       |        ELSE CAST(length($text) - length(regexp_replace($text,
+       |          '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length($text)
+       |        END) * 5.0, 0.0) * 0.2))""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
 
     // ---- A5/X3 generalized: per-document token statistics ----
@@ -93,16 +108,7 @@ object TextQueries {
     GraftQuery("q31_quality_filter",
       s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks, text FROM documents),
          |q AS (SELECT doc_id, lang,
-         |  least(1.0, greatest(0.0,
-         |    least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.6
-         |    + least((CASE WHEN len(toks) = 0 THEN 0.0
-         |        ELSE CAST(len(list_filter(toks, x -> x IN ('the','a','an',
-         |          'of','to','and','in','is','on','for'))) AS DOUBLE)
-         |          / len(toks) END) * 4.0, 1.0) * 0.2
-         |    + greatest(1.0 - (CASE WHEN length(text) = 0 THEN 0.0
-         |        ELSE CAST(length(text) - length(regexp_replace(text,
-         |          '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
-         |        END) * 5.0, 0.0) * 0.2)) AS quality
+         |  ${qualitySql("toks", "text")} AS quality
          |  FROM t)
          |SELECT doc_id, lang, round(quality, 6) AS quality
          |FROM q WHERE quality >= 0.5
@@ -380,6 +386,40 @@ object TextQueries {
           floor(col("off") / 512).cast("long").as("bin"),
           (col("off") % 512).cast("long").as("bin_offset"))
         .orderBy("doc_id")
+    },
+
+    // ---- sliding-window document chunking: split each doc into
+    //      64-token chunks at stride 48 (16-token overlap) — the
+    //      context-window preparation step for training/RAG ingestion.
+    //      Pure per-row expressions (sequence -> explode -> slice):
+    //      fan-out is ~n_tokens/stride rows per doc, no shuffle until
+    //      the final (oracle-imposed) sort, so at 100 TB the chunk pass
+    //      is scan-bound. The last chunk is naturally ragged (shorter
+    //      than 64); every token lands in at least one chunk because
+    //      stride < width. ----
+    GraftQuery("q87_doc_chunks",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |c AS (SELECT doc_id, unnest(range(0, len(toks), 48)) AS start,
+         |        toks FROM t WHERE len(toks) > 0)
+         |SELECT doc_id, CAST(start // 48 AS INTEGER) AS chunk_id,
+         |  CAST(len(toks[start + 1 : start + 64]) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(toks[start + 1 : start + 64], ' ')) AS chunk_fp
+         |FROM c
+         |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      val width = 64
+      val stride = 48
+      Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .withColumn("start",
+          explode(sequence(lit(0), size(col("toks")) - 1, lit(stride))))
+        .select(col("doc_id"),
+          expr(s"start div $stride").cast("int").as("chunk_id"),
+          slice(col("toks"), col("start") + 1, lit(width)).as("chunk"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk")).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_fp"))
+        .orderBy("doc_id", "chunk_id")
     },
   )
 }

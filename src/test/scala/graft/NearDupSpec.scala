@@ -74,4 +74,34 @@ class NearDupSpec extends AnyFunSuite {
     assert(kept.select("doc_id").as[Long](spark.implicits.newLongEncoder)
       .collect().toSeq === Seq(0L))
   }
+
+  test("components rejects maxIter < 1 instead of returning self-labels") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    intercept[IllegalArgumentException] {
+      NearDup.components(pairs, maxIter = 0)
+    }
+  }
+
+  test("incremental dedup pairs incoming against corpus, never corpus x corpus") {
+    import spark.implicits._
+    val dupText = "the quick brown fox jumps over the lazy dog again today"
+    // existing 1 and 2 are THEMSELVES duplicates — an incremental run
+    // must not re-litigate them; 3 is unrelated existing content.
+    val existing = corpus(Seq(
+      1L -> dupText, 2L -> dupText,
+      3L -> "completely different existing material with many words here"))
+    // 10 duplicates the corpus, 11 duplicates 10 (intra-batch), 12 is new.
+    val incoming = corpus(Seq(
+      10L -> dupText, 11L -> dupText,
+      12L -> "fresh unique incoming content nothing like the others at all"))
+    val got = NearDup.incrementalVerified(existing, incoming, 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // doc_b is always incoming; (1,2) never appears.
+    assert(got.forall { case (_, b) => Set(10L, 11L, 12L).contains(b) })
+    assert(got.contains(1L -> 10L) && got.contains(2L -> 10L))
+    assert(got.contains(10L -> 11L))
+    assert(!got.exists { case (a, b) => a >= b })
+    assert(!got.exists { case (_, b) => b == 12L })
+  }
 }

@@ -47,6 +47,78 @@ class OperatorSpec extends AnyFunSuite {
       3L -> "partial-nvd"))
   }
 
+  test("salted join equals the plain equi-join on a skewed fixture") {
+    // 90% of left rows share one hot key — the shape saltedJoin exists
+    // for. The result must be exactly the plain join, any salt count.
+    val left = ((1L to 90L).map(i => (i, "hot")) ++
+      (91L to 100L).map(i => (i, s"k$i"))).toDF("id", "k")
+    val right = (Seq("hot") ++ (91L to 100L).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, w) => (k, w.toLong) }.toDF("k", "w")
+    val plain = left.join(right, "k").select("id", "w")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    for (salts <- Seq(1, 4, 16)) {
+      val salted = operators.Joins.saltedJoin(left, right, "k", "id", salts)
+        .select("id", "w").orderBy("id").as[(Long, Long)].collect().toSeq
+      assert(salted === plain, s"salts=$salts")
+    }
+  }
+
+  test("doc chunking covers every token, respects width and stride") {
+    val width = 64
+    val stride = 48
+    // 100 tokens -> starts 0, 48, 96 -> sizes 64, 52, 4
+    val text = (1 to 100).map(i => s"t$i").mkString(" ")
+    val chunks = Seq((1L, text)).toDF("doc_id", "text")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("start",
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(stride))))
+      .select(col("doc_id"),
+        expr(s"start div $stride").cast("int").as("chunk_id"),
+        slice(col("toks"), col("start") + 1, lit(width)).as("chunk"))
+      .orderBy("chunk_id")
+      .select("chunk_id", "chunk").as[(Int, Seq[String])].collect()
+    assert(chunks.map(_._1).toSeq === Seq(0, 1, 2))
+    assert(chunks.map(_._2.length).toSeq === Seq(64, 52, 4))
+    // stride < width -> consecutive chunks overlap by width - stride
+    assert(chunks(0)._2.takeRight(16) === chunks(1)._2.take(16))
+    // every token covered, in order, no invention
+    assert(chunks.flatMap(c => c._2.drop(if (c._1 == 0) 0 else width - stride))
+      .toSeq === (1 to 100).map(i => s"t$i"))
+  }
+
+  test("cluster survivor keeps the highest-quality member per component") {
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "comp")
+    val qual = Seq((1L, 0.3), (2L, 0.9), (3L, 0.9), (7L, 0.5), (8L, 0.2))
+      .toDF("doc_id", "q")
+    val w = Window.partitionBy("comp")
+    val got = comps.join(qual, "doc_id")
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("q").desc, col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .select("comp", "doc_id", "n").orderBy("comp")
+      .as[(Long, Long, Long)].collect().toSeq
+    // comp 1: quality tie 2 vs 3 -> lowest doc_id wins; comp 7: doc 7.
+    assert(got === Seq((1L, 2L, 3L), (7L, 7L, 2L)))
+  }
+
+  test("contamination overlap counts distinct shared shingles per doc") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shares 2 shingles
+      (2L, "epsilon zeta eta theta iota"))    // shares none
+      .toDF("doc_id", "text")
+    def sh(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      array_distinct(shinglesOf(tokens(col("text")), 3)).as("sset"))
+    val bg = sh(bench).select(explode(col("sset")).as("g")).distinct()
+    val hits = sh(corpus).select(col("doc_id"), explode(col("sset")).as("g"))
+      .join(broadcast(bg), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .as[(Long, Long)].collect().toMap
+    assert(hits === Map(1L -> 2L))
+  }
+
   test("TP/FP/FN eval via array set ops matches hand computation") {
     val resp = Seq("a b c").toDF("text")
       .select(array_distinct(tokens(col("text"))).as("r"))
