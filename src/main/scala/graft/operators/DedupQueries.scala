@@ -349,12 +349,14 @@ object DedupQueries {
       val docs = Tables.documents(s, d)
       val comps = graft.dedup.NearDup.components(
         graft.dedup.NearDup.verifiedPairs(docs, 0.5))
-      val qual = Tables.spread(docs)
-        .select(col("doc_id"),
+      // components are a tiny fraction of the corpus: broadcast them
+      // and compute quality AFTER the join, so only member docs pay the
+      // tokenize + score — not the whole corpus
+      val wComp = Window.partitionBy(col("comp"))
+      docs.join(broadcast(comps), "doc_id")
+        .select(col("doc_id"), col("comp"),
           round(graft.functions.TextFunctions.qualityScoreOf(col("text"),
             tokens(col("text"))), 6).as("q"))
-      val wComp = Window.partitionBy(col("comp"))
-      comps.join(qual, "doc_id")
         .withColumn("rn", row_number().over(
           wComp.orderBy(col("q").desc, col("doc_id"))))
         .withColumn("n_members", count(lit(1)).over(wComp))
@@ -386,11 +388,14 @@ object DedupQueries {
          |GROUP BY c.doc_id
          |HAVING COUNT(*) >= 2
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // shingle sets computed ONCE and materialized: both branches
+      // (benchmark broadcast build + corpus stream) read them, and
+      // without the checkpoint each side re-runs the tokenize+shingle
+      // scan — the query's dominant cost
       val sh = Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"),
           array_distinct(shinglesOf(tokens(col("text")), 3)).as("sset"))
-      // the doc_id filters commute below the shingle projection, so the
-      // bench branch tokenizes only its ~1% of docs
+        .localCheckpoint()
       val bench = sh.filter(pmod(col("doc_id"), lit(41)) === 7)
         .select(explode(col("sset")).as("g")).distinct()
       val corpus = sh.filter(pmod(col("doc_id"), lit(41)) =!= 7)
