@@ -30,24 +30,15 @@ object Layout {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
-  /** Salted equi-join for skewed keys: the hot key's rows no longer
-    * land in one reducer. The LEFT (large, skewed) side gets a
-    * deterministic salt in [0, n); the RIGHT side is replicated n ways;
-    * the join key becomes (key, salt). Result equals the plain join —
-    * verified in LayoutSpec. AQE's skew-join handles moderate skew
+  /** Salted equi-join for skewed keys — see
+    * [[graft.operators.Joins.saltedJoin]], the single implementation
+    * (deterministic salt from a caller-named unique left column,
+    * registry-exposed as q85). AQE's skew-join handles moderate skew
     * automatically; explicit salting is for the pathological single-key
     * case (one key = half the table). */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
-      salts: Int): DataFrame = {
-    val saltedLeft = left.withColumn("__salt",
-      pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
-    val saltedRight = right.withColumn("__salt",
-      explode(array((0 until salts).map(lit): _*)))
-    saltedLeft.join(saltedRight,
-      saltedLeft(key) === saltedRight(key) &&
-        saltedLeft("__salt") === saltedRight("__salt"))
-      .drop(saltedRight(key)).drop("__salt")
-  }
+      saltBy: String, salts: Int): DataFrame =
+    graft.operators.Joins.saltedJoin(left, right, key, saltBy, salts)
 
   /** True when the executed plan of `df` contains no shuffle exchange —
     * the check that a bucketed join actually co-located. */

@@ -60,7 +60,7 @@ class LayoutSpec extends AnyFunSuite {
     val left = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d"))
       .toDF("k", "lv")
     val right = Seq((1, "X"), (2, "Y"), (3, "Z")).toDF("k", "rv")
-    val salted = Layout.saltedJoin(left, right, "k", 4)
+    val salted = Layout.saltedJoin(left, right, "k", "lv", 4)
       .select("k", "lv", "rv").orderBy("k", "lv").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
     val plain = left.join(right, "k")
