@@ -55,7 +55,9 @@ object ScaleProbe {
       "q40_exact_dedup", "q42_lsh_candidate_pairs",
       "q46_lsh_verified_dedup", "q47_simhash_banded",
       "q48_near_dup_components", "q66_sessionization",
-      "q05_window_topk_per_group", "q76_sequence_packing")
+      "q05_window_topk_per_group", "q76_sequence_packing",
+      "q82_contamination", "q84_cluster_survivor", "q85_salted_skew_join",
+      "q87_doc_chunks", "q89_incremental_dedup")
     Seq(src, out).foreach { dir =>
       // warmup
       Tables.lineitem(spark, dir).count(); Tables.documents(spark, dir).count()

@@ -388,6 +388,60 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- token-length histogram: fixed-width bins over per-doc token
+    //      counts — the length-distribution profile a pipeline checks
+    //      before choosing packing/truncation budgets. Pure scan-side
+    //      bucketing + one tiny agg shuffle. ----
+    GraftQuery("q86_token_histogram",
+      s"""WITH t AS (SELECT doc_id, len($toksSql) AS n FROM documents)
+         |SELECT CAST(least(n // 16, 9) AS BIGINT) AS bin,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n) AS BIGINT) AS sum_tokens,
+         |  CAST(MIN(n) AS BIGINT) AS min_tokens,
+         |  CAST(MAX(n) AS BIGINT) AS max_tokens
+         |FROM t GROUP BY bin
+         |ORDER BY bin""".stripMargin) { (s, d) =>
+      Tables.spread(Tables.documents(s, d))
+        .select(tokenCountOf(tokens(col("text"))).as("n"))
+        .groupBy(least(expr("n div 16"), lit(9L)).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).cast("long").as("sum_tokens"),
+          min(col("n")).cast("long").as("min_tokens"),
+          max(col("n")).cast("long").as("max_tokens"))
+        .orderBy("bin")
+    },
+
+    // ---- domain-mix profile: host extraction + per-domain counts and
+    //      language spread — the source-mixture report a web-corpus
+    //      curation run keeps per crawl. The corpus has no URLs, so
+    //      they're synthesized deterministically (the q39/q53 pattern);
+    //      the host regex is the operator under test. ----
+    GraftQuery("q90_domain_mix",
+      """WITH t AS (SELECT doc_id, lang,
+        |    printf('https://host%d.%s/p/%d', doc_id % 13,
+        |      CASE WHEN doc_id % 3 = 0 THEN 'org' ELSE 'com' END,
+        |      doc_id) AS url
+        |  FROM documents),
+        |e AS (SELECT doc_id, lang,
+        |        regexp_extract(url, '^https?://([^/]+)/', 1) AS host
+        |      FROM t)
+        |SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM e GROUP BY host
+        |ORDER BY host""".stripMargin) { (s, d) =>
+      Tables.spread(Tables.documents(s, d))
+        .select(col("lang"), format_string("https://host%d.%s/p/%d",
+          col("doc_id") % 13,
+          when(col("doc_id") % 3 === 0, "org").otherwise("com"),
+          col("doc_id")).as("url"))
+        .select(col("lang"),
+          regexp_extract(col("url"), "^https?://([^/]+)/", 1).as("host"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).cast("long").as("n_langs"))
+        .orderBy("host")
+    },
+
     // ---- sliding-window document chunking: split each doc into
     //      64-token chunks at stride 48 (16-token overlap) — the
     //      context-window preparation step for training/RAG ingestion.
