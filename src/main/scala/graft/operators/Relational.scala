@@ -81,6 +81,49 @@ object Relational {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // ---- star-schema multi-join (TPC-H Q5 shape): two fact tables,
+    //      four dimensions, a region filter that prunes through the
+    //      nation -> customer/supplier chain, and the c_nationkey =
+    //      s_nationkey "local supplier" predicate. Catalyst plans the
+    //      dim joins as broadcasts and reorders freely because the
+    //      query is fully declarative — the plan to audit for join
+    //      order at 100 TB (facts shuffle at most once each). ----
+    GraftQuery("q91_star_join",
+      s"""SELECT n_name,
+         |  ${decSumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name
+         |ORDER BY n_name""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+            .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(Tables.nation(s, d),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+
     // ---- J2-family: fact⋈fact shuffle join + broadcast dim join ----
     GraftQuery("q03_join_agg_revenue",
       s"""SELECT n_name,

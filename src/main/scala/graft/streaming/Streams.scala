@@ -207,6 +207,18 @@ object Streams {
       .withWatermark("date_updated", watermark)
       .dropDuplicatesWithinWatermark("cve_id", "date_updated")
 
+  /** Stream-static enrichment join: each micro-batch left-joins the
+    * static dimension on `key` — the streaming form of the J2
+    * enrichment join (lookup metadata for every arriving record).
+    * Stream-static joins are STATE-FREE (nothing accumulates across
+    * batches, no watermark needed, unlike stream-stream joins) and the
+    * static side is re-planned per batch, so a dim table updated in
+    * place is picked up on the next batch. At scale: broadcast-sized
+    * dims broadcast per batch; bigger dims co-locate via a bucketed
+    * layout ([[graft.layout.Layout.writeBucketed]]). */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Per-user session accumulator state for [[statefulSessions]]. */
   final case class SessState(start: Long, last: Long, n: Long)
 

@@ -245,4 +245,21 @@ class StreamingSpec extends AnyFunSuite {
       Streams.streamingDedup(meta), "dedup_test", complete = false)
     assert(out.count() == 2)
   }
+
+  test("stream-static enrich left-joins the dim per batch, state-free") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "a"), (2L, "b"), (9L, "c"))
+    val stream = mem.toDF.toDF("id", "v")
+    val dim = Seq((1L, "one"), (2L, "two")).toDF("id", "name")
+    val out = Streams.drainToTable(spark,
+      Streams.enrich(stream, dim, "id"), "enrich_test", complete = false)
+    val got = out.orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)))).toSeq
+    // matched rows enriched; the unmatched stream row survives (left)
+    assert(got == Seq((1L, "a", Some("one")), (2L, "b", Some("two")),
+      (9L, "c", None)))
+  }
 }
