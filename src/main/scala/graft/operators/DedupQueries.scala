@@ -134,6 +134,41 @@ object DedupQueries {
         .orderBy("fp")
     },
 
+    // ---- incremental EXACT dedup (q89's cheap sibling): incoming docs
+    //      whose normalized fingerprint already exists in the corpus or
+    //      in an earlier incoming doc. At scale the corpus side is a
+    //      persisted (fp -> keep_doc_id) table maintained across runs —
+    //      one uniform-key shuffle join against the small batch, no
+    //      text re-read of the corpus. ----
+    GraftQuery("q92_incremental_exact_dedup",
+      """WITH inc AS (SELECT doc_id + 1000000 AS doc_id, text
+        |             FROM documents WHERE doc_id % 7 = 3),
+        |corpus AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |batch AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM inc)
+        |SELECT b.doc_id, CAST(MIN(a.doc_id) AS BIGINT) AS dup_of
+        |FROM batch b JOIN corpus a ON a.fp = b.fp
+        |GROUP BY b.doc_id
+        |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+      // the incoming batch re-keys a slice of the corpus (every batch
+      // doc therefore HAS a duplicate — the re-ingest shape); only
+      // fingerprints join, the corpus text is read once
+      val docs = Tables.spread(Tables.documents(s, d))
+      val corpusFp = docs
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      val batchFp = docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          fingerprint(col("text")).as("fp"))
+      batchFp.as("b")
+        .join(corpusFp.as("a"), col("a.fp") === col("b.fp"))
+        .groupBy(col("b.doc_id").as("doc_id"))
+        .agg(min(col("a.doc_id")).as("dup_of"))
+        .orderBy("doc_id")
+    },
+
     // ---- MinHash signatures + LSH band keys (per-doc, oracle-strong) ----
     GraftQuery("q41_minhash_bands",
       s"""WITH $bandsCteSql
