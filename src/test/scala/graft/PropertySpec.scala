@@ -168,6 +168,85 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("salted join equals plain join on random skewed tables") {
+    val keyGen = Gen.frequency(8 -> Gen.const("hot"),
+      2 -> Gen.oneOf("a", "b", "c", "d"))
+    val left = samples(keyGen, 200).zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }
+    val right = Seq("hot", "a", "b", "c", "d", "never")
+      .zipWithIndex.map { case (k, w) => (k, w.toLong) }
+    val lDf = left.toDF("id", "k")
+    val rDf = right.toDF("k", "w")
+    val plain = lDf.join(rDf, "k").select("id", "w")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    for (salts <- Seq(1, 3, 16)) {
+      val salted = operators.Joins.saltedJoin(lDf, rDf, "k", "id", salts)
+        .select("id", "w")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(salted === plain, s"salts=$salts")
+    }
+  }
+
+  test("chunking covers every token exactly once at stride offsets") {
+    val width = 64
+    val stride = 48
+    val nGen = Gen.chooseNum(1, 300)
+    val docs = samples(nGen, 60).zipWithIndex.map { case (n, i) =>
+      (i.toLong, (0 until n).map(j => s"w$j").mkString(" "))
+    }
+    val out = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("start",
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(stride))))
+      .select(col("doc_id"), col("start"),
+        slice(col("toks"), col("start") + 1, lit(width)).as("chunk"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[String](2)))
+      .groupBy(_._1)
+    docs.foreach { case (id, text) =>
+      val n = text.split(" ").length
+      val chunks = out(id).sortBy(_._2)
+      // starts are exactly the stride grid below n
+      assert(chunks.map(_._2).toSeq === (0 until n by stride))
+      // every chunk bounded by width; non-final chunks reach width or n
+      chunks.foreach { case (_, s, c) =>
+        assert(c.length <= width && c.length === math.min(width, n - s)) }
+      // stitching non-overlapping prefixes reconstructs the doc
+      val stitched = chunks.flatMap { case (_, s, c) =>
+        c.take(math.min(stride, c.length)) }
+      assert(stitched.toSeq === text.split(" ").toSeq)
+    }
+  }
+
+  test("incremental candidates never pair existing docs, cover union pairs") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    val textGen = Gen.listOfN(8, word).map(_.mkString(" "))
+    val texts = samples(textGen, 40)
+    val existing = texts.take(25).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val incoming = texts.drop(25).zipWithIndex
+      .map { case (t, i) => ((100 + i).toLong, t) }
+    val existingIds = existing.map(_._1).toSet
+    val got = graft.dedup.NearDup.incrementalCandidatePairs(
+      existing.toDF("doc_id", "text"), incoming.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc_b always incoming; doc_a any prior doc; ordered within batch
+    assert(got.forall { case (a, b) =>
+      !existingIds.contains(b) && (existingIds.contains(a) || a < b) })
+    // consistency with the batch API over the union: every incremental
+    // candidate that involves an incoming doc_b must appear there too
+    val unionPairs = graft.dedup.NearDup.candidatePairs(
+      (existing ++ incoming).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(unionPairs))
+    // and the union's incoming-involving pairs are exactly `got`
+    val unionIncoming = unionPairs.filterNot { case (a, b) =>
+      existingIds.contains(a) && existingIds.contains(b) }
+    assert(got === unionIncoming)
+  }
+
   test("components matches sequential union-find on random edge sets") {
     val edgeGen = for {
       a <- Gen.chooseNum(0L, 39L)
