@@ -209,22 +209,36 @@ object NearDup {
       val prop = edges
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
         .select(col("dst").as("doc_id"), col("comp"))
-      val folded = labels.union(prop)
-        .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
+      // carry each node's PREVIOUS label through the fold (prop rows
+      // contribute null; min ignores them; every node has exactly one
+      // labels row because edges are symmetric), so convergence is
+      // decided inside the next checkpoint's own job — no separate
+      // compare-join pass per iteration
+      val folded = labels.withColumn("prev", col("comp"))
+        .unionByName(prop.withColumn("prev", lit(null).cast("long")))
+        .groupBy(col("doc_id"))
+        .agg(min(col("comp")).as("comp"), min(col("prev")).as("prev"))
         .localCheckpoint()
       // pointer jumping: l(x) := min(l(x), l(l(x))) — halves the
       // distance to the component minimum every round
-      val next = folded
+      val jumped = folded
         .join(folded.select(col("doc_id").as("comp"),
           col("comp").as("comp2")), Seq("comp"), "left")
         .select(col("doc_id"),
           least(col("comp"), coalesce(col("comp2"), col("comp")))
-            .as("comp"))
-        .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("comp", "prev"),
-        "doc_id")
-        .filter(col("comp") < col("prev"))
-        .isEmpty
+            .as("comp"),
+          col("prev"))
+        // labels only ever decrease, so "no label decreased" IS the
+        // fixpoint; the metric accumulates during the checkpoint action
+        .observe(s"cc_converge_$i",
+          sum(when(col("comp") < col("prev"), 1L).otherwise(0L))
+            .as("changed"))
+      val pruned = jumped.select(col("doc_id"), col("comp"))
+      val next = pruned.localCheckpoint()
+      // read from the dataset whose plan the checkpoint action executed
+      converged = pruned.queryExecution.observedMetrics
+        .get(s"cc_converge_$i")
+        .exists(r => Option(r.get(0)).forall(_ == 0L))
       labels = next
       i += 1
     }
