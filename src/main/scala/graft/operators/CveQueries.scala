@@ -83,6 +83,39 @@ object CveQueries {
         .orderBy("event_id")
     },
 
+    // ---- K1/P2 on Spark 4's native VARIANT type: parse_json -> a real
+    //      VariantType value -> typed variant_get extraction. The
+    //      binary variant encoding skips per-access JSON re-parsing
+    //      (q50/q51's get_json_object path) — the semi-structured
+    //      storage model the reference's VARIANT column maps to. The
+    //      oracle extracts the same scalars from the equivalent JSON
+    //      text; only the extracted values are compared, so the
+    //      engines' internal encodings are free to differ. ----
+    GraftQuery("q93_variant_type",
+      """WITH v AS (SELECT event_id,
+        |  to_json(struct_pack(etype := event_type,
+        |    meta := struct_pack(uid := user_id,
+        |      k := json_extract(props, '$.k')))) AS doc
+        |  FROM events)
+        |SELECT event_id,
+        |  json_extract_string(doc, '$.etype') AS etype,
+        |  CAST(json_extract_string(doc, '$.meta.uid') AS BIGINT) AS uid,
+        |  CAST(json_extract_string(doc, '$.meta.k') AS BIGINT) AS k_val
+        |FROM v ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.spread(Tables.events(s, d))
+        .select(col("event_id"),
+          parse_json(to_json(struct(
+            col("event_type").as("etype"),
+            struct(col("user_id").as("uid"),
+              get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+              .as("meta")))).as("v"))
+        .select(col("event_id"),
+          variant_get(col("v"), "$.etype", "string").as("etype"),
+          variant_get(col("v"), "$.meta.uid", "bigint").as("uid"),
+          variant_get(col("v"), "$.meta.k", "bigint").as("k_val"))
+        .orderBy("event_id")
+    },
+
     // ---- P3/X5: doc-template projection (the embedding-text block) ----
     GraftQuery("q52_doc_template",
       """SELECT p_partkey,

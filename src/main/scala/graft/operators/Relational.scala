@@ -399,6 +399,24 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // ---- approx-percentile sketch (the scalable sibling of q68's
+    //      exact percentiles): GK-sketch buffers merge associatively,
+    //      so at 100 TB the per-partition sketches combine without
+    //      holding any group's values. Sketches are engine-specific —
+    //      rows-only check (the q63 pattern); the accuracy bound vs
+    //      the exact percentile is asserted in OperatorSpec. ----
+    GraftQuery.noOracle("q94_approx_percentiles") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+            .as("approx_median_qty"),
+          percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000))
+            .as("approx_p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- grouping-sets gap-fill: ROLLUP ----
     GraftQuery("q16_rollup",
       s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,

@@ -119,6 +119,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(hits === Map(1L -> 2L))
   }
 
+  test("approx percentile tracks the exact percentile within bound") {
+    val d = "/root/testdata/sf0.001"
+    val exact = Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val approx = SparkEntry.queries("q94_approx_percentiles")(spark, d)
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    // accuracy 10000 on ~2k values per group: the GK sketch's rank
+    // error is < n/accuracy < 1 rank, so the approx median lands
+    // within one quantity step (l_quantity is integral, step 1)
+    approx.foreach { case (k, v) => assert(math.abs(v - exact(k)) <= 1.0) }
+  }
+
   test("TP/FP/FN eval via array set ops matches hand computation") {
     val resp = Seq("a b c").toDF("text")
       .select(array_distinct(tokens(col("text"))).as("r"))
