@@ -83,6 +83,9 @@ object Joins {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       saltBy: String, salts: Int): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
+    require(!left.columns.contains("__salt") &&
+      !right.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column name; rename the input's")
     val l = left.withColumn("__salt",
       pmod(hash(col(saltBy)), lit(salts)).cast("int"))
     val r = right.withColumn("__salt",

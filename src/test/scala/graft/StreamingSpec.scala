@@ -235,6 +235,28 @@ class StreamingSpec extends AnyFunSuite {
       (2L, "2024-01-01 00:09:00.0")))
   }
 
+  test("interval join honors a custom event-time column name") {
+    implicit val sq = spark.sqlContext
+    val l = MemoryStream[(Long, Timestamp)]
+    val r = MemoryStream[(Long, Timestamp)]
+    val joined = Streams.intervalJoin(
+      l.toDF.toDF("k", "evt"), r.toDF.toDF("k", "evt"),
+      key = "k", before = "5 minutes", after = "5 minutes",
+      tsCol = "evt")
+      .select(col("k"), col("l_evt"), col("r_evt"))
+    val q = joined.writeStream.format("memory").queryName("ij_ts_test")
+      .outputMode("append").start()
+    l.addData((1L, Timestamp.valueOf("2024-01-01 00:00:00")))
+    r.addData(
+      (1L, Timestamp.valueOf("2024-01-01 00:03:00")),  // in band
+      (1L, Timestamp.valueOf("2024-01-01 00:30:00")))  // out of band
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ij_ts_test").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2).toString)).toSeq
+    assert(rows === Seq((1L, "2024-01-01 00:03:00.0")))
+  }
+
   test("streaming dedup drops repeated (cve_id, date_updated) within watermark") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp)]
