@@ -203,6 +203,9 @@ object NearDup {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("comp", col("doc_id"))
       .localCheckpoint()
+    // no edges -> no nodes -> the (empty) labels ARE the fixpoint;
+    // don't rely on an observe metric over a zero-row execution
+    if (labels.isEmpty) return labels
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {

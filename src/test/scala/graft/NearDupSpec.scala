@@ -75,6 +75,12 @@ class NearDupSpec extends AnyFunSuite {
       .collect().toSeq === Seq(0L))
   }
 
+  test("components of an empty pair set returns empty labels") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(NearDup.components(empty).count() === 0L)
+  }
+
   test("components rejects maxIter < 1 instead of returning self-labels") {
     import spark.implicits._
     val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
