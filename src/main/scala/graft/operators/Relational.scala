@@ -417,6 +417,68 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // ---- count-min sketch heavy-hitter estimation: d=4 hash rows x
+    //      w=512 counters, built relationally (explode -> one counter
+    //      agg) with the engine's deterministic integer mixes — so
+    //      UNLIKE q63/q94's engine-private sketches this one is exact
+    //      cross-engine and the oracle hash-matches the estimates.
+    //      est >= true always (collisions only ADD); the top-k keys'
+    //      estimates are read with one tiny broadcast probe join. At
+    //      100 TB the counter table is d*w rows — constant size — and
+    //      merges by addition across any partitioning. ----
+    GraftQuery("q95_count_min_sketch", {
+      val P = graft.functions.TextFunctions.MinhashP
+      val W = 512
+      val ps = (0 until 4).map(graft.functions.TextFunctions.minhashParams)
+      val bucketSql = (j: Int) =>
+        s"((user_id * ${ps(j)._1} + ${ps(j)._2}) % $P) % $W"
+      val unioned = (0 until 4).map(j =>
+        s"SELECT user_id, $j AS j, ${bucketSql(j)} AS bucket FROM events")
+        .mkString(" UNION ALL ")
+      val probes = (0 until 4).map(j =>
+        s"SELECT user_id, true_n, $j AS j, ${bucketSql(j)} AS bucket FROM top")
+        .mkString(" UNION ALL ")
+      s"""WITH cnt AS (SELECT j, bucket, COUNT(*) AS n
+         |  FROM ($unioned) GROUP BY j, bucket),
+         |tru AS (SELECT user_id, COUNT(*) AS true_n
+         |        FROM events GROUP BY user_id),
+         |top AS (SELECT user_id, true_n FROM tru
+         |        ORDER BY true_n DESC, user_id LIMIT 10),
+         |est AS (SELECT p.user_id, p.true_n, MIN(c.n) AS est_n
+         |        FROM ($probes) p
+         |        JOIN cnt c ON c.j = p.j AND c.bucket = p.bucket
+         |        GROUP BY p.user_id, p.true_n)
+         |SELECT user_id, CAST(true_n AS BIGINT) AS true_n,
+         |  CAST(est_n AS BIGINT) AS est_n
+         |FROM est ORDER BY user_id""".stripMargin
+    }) { (s, d) =>
+      val P = graft.functions.TextFunctions.MinhashP
+      val W = 512
+      val ps = (0 until 4).map(graft.functions.TextFunctions.minhashParams)
+      def bucket(j: Int): Column =
+        pmod(col("user_id") * ps(j)._1 + ps(j)._2, lit(P)) % W
+      val jb = explode(array((0 until 4).map(j =>
+        struct(lit(j).as("j"), bucket(j).as("bucket"))): _*)).as("jb")
+      val ev = Tables.events(s, d).select(col("user_id"))
+      val cnt = ev.select(col("user_id"), jb)
+        .select(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+        .groupBy(col("j"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val top = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("true_n"))
+        .orderBy(col("true_n").desc, col("user_id"))
+        .limit(10)
+      top.select(col("user_id"), col("true_n"), jb)
+        .select(col("user_id"), col("true_n"),
+          col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+        .join(cnt, Seq("j", "bucket"))
+        .groupBy(col("user_id"), col("true_n"))
+        .agg(min(col("n")).as("est_n"))
+        .select(col("user_id"), col("true_n").cast("long").as("true_n"),
+          col("est_n").cast("long").as("est_n"))
+        .orderBy("user_id")
+    },
+
     // ---- grouping-sets gap-fill: ROLLUP ----
     GraftQuery("q16_rollup",
       s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
