@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression tests: the properties PLANS.md documents,
+  * asserted so a rewrite can't silently lose them. String-level checks
+  * on the executed plan are deliberately coarse — they pin WHAT the
+  * plan must contain (pushdown, broadcast, group-limit, no stray
+  * shuffle), not its exact shape. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  test("q02: filters reach the parquet scan and the schema is pruned") {
+    val p = plan("q02_filter_pushdown_scan")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      p.contains("GreaterThanOrEqual(l_shipdate"))
+    // projection prunes to the 5 referenced columns (4 output + filter)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_comment") && !read.contains("l_returnflag"))
+  }
+
+  test("q20: per-query top-k plans as WindowGroupLimit, probes broadcast") {
+    val p = plan("q20_cosine_knn")
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+  }
+
+  test("q91: star join broadcasts dims and pushes the date range down") {
+    val p = plan("q91_star_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"))
+    // the region filter must prune BEFORE the join, at its scan
+    assert(p.contains("EqualTo(r_name,ASIA)"))
+  }
+
+  test("q85: the salted join key carries the salt column") {
+    val p = plan("q85_salted_skew_join")
+    assert(p.contains("__salt"))
+  }
+
+  test("q87: chunking plans with no hash-partition shuffle at all") {
+    val p = plan("q87_doc_chunks")
+    // sequence/explode/slice are per-row; only the final ORDER BY's
+    // range exchange (and Tables.spread's round-robin, if probing
+    // decided to rebalance) may appear — never a hashpartitioning
+    assert(!p.contains("Exchange hashpartitioning"))
+  }
+
+  test("q40: exact dedup is one partial+final hash aggregate") {
+    val p = plan("q40_exact_dedup")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"))
+    // exactly one hash shuffle: the fingerprint groupBy
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n == 1, s"expected 1 hash exchange, saw $n")
+  }
+}
