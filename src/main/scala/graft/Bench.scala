@@ -66,8 +66,19 @@ object Bench {
     // quiet). The min over two independent passes is the standard
     // noise-robust latency estimate; state is rebuilt per construction,
     // so pass 2 gets no unfair caching.
+    val benchStart = System.nanoTime()
+    // Wall-clock budget for the SECOND pass: under heavy co-tenant
+    // steal a full re-run could double an already-inflated total, so
+    // once the budget is spent remaining queries keep their pass-1
+    // time (min over the passes that ran — still honest).
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "300").toDouble
     val pass1 = names.map { case (n, fn) => n -> runOnce(fn) }
-    val pass2 = names.map { case (n, fn) => n -> runOnce(fn) }
+    val pass2 = names.map { case (n, fn) =>
+      if ((System.nanoTime() - benchStart) / 1e9 > budgetSec)
+        n -> Left("skipped: bench budget spent")
+      else n -> runOnce(fn)
+    }
     val merged = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
       (a, b) match {
         case (Right(x), Right(y)) => n -> Right(math.min(x, y))
