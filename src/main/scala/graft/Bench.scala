@@ -66,19 +66,22 @@ object Bench {
     // quiet). The min over two independent passes is the standard
     // noise-robust latency estimate; state is rebuilt per construction,
     // so pass 2 gets no unfair caching.
-    val benchStart = System.nanoTime()
-    // Wall-clock budget for the SECOND pass: under heavy co-tenant
-    // steal a full re-run could double an already-inflated total, so
-    // once the budget is spent remaining queries keep their pass-1
-    // time (min over the passes that ran — still honest).
+    // Wall-clock budget for the SECOND pass, measured from the end of
+    // pass 1 (so pass-1 time is never charged against it — the re-run
+    // must still happen under exactly the inflation it exists for):
+    // once spent, remaining queries keep their pass-1 time (min over
+    // the passes that ran — still honest, and reported as skipped).
     val budgetSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "300").toDouble
     val pass1 = names.map { case (n, fn) => n -> runOnce(fn) }
+    val pass2Start = System.nanoTime()
+    val SkipMarker = "skipped: pass-2 budget spent"
     val pass2 = names.map { case (n, fn) =>
-      if ((System.nanoTime() - benchStart) / 1e9 > budgetSec)
-        n -> Left("skipped: bench budget spent")
+      if ((System.nanoTime() - pass2Start) / 1e9 > budgetSec)
+        n -> Left(SkipMarker)
       else n -> runOnce(fn)
     }
+    val pass2Skipped = pass2.count(_._2.left.exists(_ == SkipMarker))
     val merged = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
       (a, b) match {
         case (Right(x), Right(y)) => n -> Right(math.min(x, y))
@@ -87,6 +90,15 @@ object Bench {
         case (Left(e), Left(_))   => n -> Left(e)
       }
     }
+    // full JSON string escaping: quotes, backslashes, and EVERY control
+    // character (Spark exception messages carry tabs/newlines; one raw
+    // control char would invalidate the whole line)
+    def jsonEscape(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    }
     val qs = merged.map {
       case (k, Right(v)) => s"\"" + k + "\":" + v
       // -1 marks a query that failed BOTH passes; its message is in
@@ -94,13 +106,14 @@ object Bench {
       case (k, Left(_)) => s"\"" + k + "\":-1"
     }.mkString("{", ",", "}")
     val errs = merged.collect { case (k, Left(e)) =>
-      s"\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", " ") + "\""
+      s"\"" + k + "\":\"" + jsonEscape(e) + "\""
     }.mkString("{", ",", "}")
     val total = merged.collect { case (_, Right(v)) => v }.sum
     val nFailed = merged.count(_._2.isLeft)
     val loadAfter = loadAvg()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errs,"passes":2,"load_before":$loadBefore,"load_after":$loadAfter,"sf":"$sfDir"}""")
+    // pass2_skipped tells a reader which runs are min-of-two and which
+    // degraded to raw pass-1 timings under the budget
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errs,"passes":2,"pass2_skipped":$pass2Skipped,"load_before":$loadBefore,"load_after":$loadAfter,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

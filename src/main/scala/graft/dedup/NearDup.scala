@@ -104,13 +104,25 @@ object NearDup {
     val byBucket = Window.partitionBy(col("band"), col("band_key"))
     // localCheckpoint: band rows are tiny (doc_id, band, key, flag) and
     // BOTH self-join sides read them — without it each side re-runs the
-    // full tokenize + md5 signature scan (the dominant cost)
-    val capped = bands(existing).withColumn("is_new", lit(false))
+    // full tokenize + md5 signature scan (the dominant cost).
+    // Truncation is never silent (same contract as [[candidatePairs]]):
+    // the observe metric accumulates during the checkpoint action and
+    // is surfaced via [[lastIncrementalTruncation]].
+    val observed = bands(existing).withColumn("is_new", lit(false))
       .unionByName(bands(incoming).withColumn("is_new", lit(true)))
       .withColumn("rn", row_number().over(byBucket.orderBy(col("doc_id"))))
+      .withColumn("bucket_n", count(lit(1)).over(byBucket))
+      .observe("lsh_buckets_incremental",
+        sum(when(col("bucket_n") > maxBucket && col("rn") === 1, 1L)
+          .otherwise(0L)).as("oversized_buckets"),
+        coalesce(max(col("bucket_n")), lit(0L)).as("max_bucket_n"))
       .filter(col("rn") <= maxBucket)
-      .drop("rn")
-      .localCheckpoint()
+      .drop("rn", "bucket_n")
+    val capped = observed.localCheckpoint()
+    lastTruncation = observed.queryExecution.observedMetrics
+      .get("lsh_buckets_incremental")
+      .map(r => (r.getAs[Long]("oversized_buckets"),
+        r.getAs[Long]("max_bucket_n")))
     capped.as("a")
       .join(capped.filter(col("is_new")).as("b"),
         col("a.band") === col("b.band") &&
@@ -120,6 +132,13 @@ object NearDup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
+
+  /** Truncation report of the most recent [[incrementalCandidatePairs]]
+    * call in this JVM: (oversized_buckets, max_bucket_n), populated by
+    * the band checkpoint (the batch API instead carries the metric on
+    * the returned frame; the incremental path materializes eagerly, so
+    * the frame's own execution would re-run without it). */
+  @volatile var lastTruncation: Option[(Long, Long)] = None
 
   /** [[incrementalCandidatePairs]] verified by exact shingle-set
     * Jaccard >= min: the incoming-batch near-dup check. Only candidate

@@ -213,11 +213,15 @@ object Streams {
     * Stream-static joins are STATE-FREE (nothing accumulates across
     * batches, no watermark needed, unlike stream-stream joins) and the
     * static side is re-planned per batch, so a dim table updated in
-    * place is picked up on the next batch. At scale: broadcast-sized
-    * dims broadcast per batch; bigger dims co-locate via a bucketed
-    * layout ([[graft.layout.Layout.writeBucketed]]). */
+    * place is picked up on the next batch. The join strategy is left
+    * to the planner: small dims auto-broadcast per batch, bigger dims
+    * co-locate via a bucketed layout
+    * ([[graft.layout.Layout.writeBucketed]]) — callers who KNOW the
+    * dim is broadcast-sized can pass `broadcast(dim)` themselves; a
+    * hard-coded hint here would force a multi-GB dim onto the driver
+    * every micro-batch. */
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
-    stream.join(broadcast(dim), Seq(key), "left")
+    stream.join(dim, Seq(key), "left")
 
   /** Per-user session accumulator state for [[statefulSessions]]. */
   final case class SessState(start: Long, last: Long, n: Long)

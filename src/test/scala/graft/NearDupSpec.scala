@@ -75,6 +75,22 @@ class NearDupSpec extends AnyFunSuite {
       .collect().toSeq === Seq(0L))
   }
 
+  test("incremental cap truncates degenerate buckets and reports it") {
+    val dup = "the quick brown fox jumps over the lazy dog"
+    val existing = corpus((0L until 300L).map(i => i -> dup))
+    val incoming = corpus((1000L until 1100L).map(i => i -> dup))
+    val cap = 32
+    val pairs = NearDup.incrementalCandidatePairs(existing, incoming,
+      maxBucket = cap).collect()
+    // combined bucket = 400 identical docs; only the cap's lowest ids
+    // survive, all of them existing -> no incoming doc_b remains
+    assert(pairs.isEmpty)
+    // ...and the truncation is REPORTED, not silent
+    val t = NearDup.lastTruncation
+    assert(t.exists(_._1 == 4L), s"expected 4 oversized buckets, got $t")
+    assert(t.exists(_._2 == 400L), s"expected max bucket 400, got $t")
+  }
+
   test("components of an empty pair set returns empty labels") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
