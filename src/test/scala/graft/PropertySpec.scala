@@ -247,6 +247,15 @@ class PropertySpec extends AnyFunSuite {
     assert(got === unionIncoming)
   }
 
+  test("count-min estimates never undercount on random key streams") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q95_count_min_sketch")(spark, d)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // the CMS invariant: collisions only ADD, so est >= true always
+    rows.foreach { case (tru, est) => assert(est >= tru, s"$est < $tru") }
+  }
+
   test("components matches sequential union-find on random edge sets") {
     val edgeGen = for {
       a <- Gen.chooseNum(0L, 39L)
