@@ -32,6 +32,48 @@ object ScaleProbe {
       reps.reduce(_ unionByName _).write.mode("overwrite")
         .parquet(s"$out/$name.parquet")
     }
+    // docs100: 100x documents/embeddings replica — the dedup/text
+    // north-star stressed one decade beyond the full 10x probe
+    // (500k docs). Every token is TAGGED with its copy index, so
+    // cross-copy Jaccard is 0 and the corpus behaves like 100
+    // independent organic corpora — the linear-growth scale test.
+    // (An earlier suffix-only perturbation left all 100 copies mutual
+    // near-dups: candidate generation still ran — 40 s for the 27M
+    // pairs that corpus genuinely contains — but verifying 27M pairs
+    // is the adversarial wall the bucket cap exists to fence, not the
+    // organic path this probe measures.)
+    if (args.headOption.contains("docs100")) {
+      val out100 = "/tmp/scale100docs"
+      val base = Tables.table(spark, src, "documents")
+      (0 until 100).map { i =>
+        base.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+          .withColumn("text", if (i == 0) col("text")
+            else regexp_replace(col("text"), "(\\S+)", s"x${i}y$$1"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out100/documents.parquet")
+      val emb = Tables.table(spark, src, "embeddings")
+      (0 until 100).map { i =>
+        emb.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out100/embeddings.parquet")
+      Tables.invalidateSpreadCache()
+      println("BUILT scale100docs")
+      val qs100 = Seq("q40_exact_dedup", "q41_minhash_bands",
+        "q42_lsh_candidate_pairs", "q46_lsh_verified_dedup",
+        "q47_simhash_banded", "q48_near_dup_components",
+        "q82_contamination", "q87_doc_chunks", "q89_incremental_dedup",
+        "q31_quality_filter", "q35_tfidf_top_terms")
+      qs100.foreach { n =>
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(n)(spark, out100)
+        df.write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val cnt = df.count()
+        println(f"TIME docs100 $n $sec%.2f s ($cnt rows)")
+      }
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("build")) {
       replicate("lineitem", Map("l_orderkey" -> 10000000L))
       replicate("orders", Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))

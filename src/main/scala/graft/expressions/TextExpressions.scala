@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the SimHash hot loop: per-bit sign
   * votes over a token-hash array folded into a `bits`-wide fingerprint,
@@ -94,8 +95,189 @@ case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
   override def prettyName: String = "simhash"
 }
 
+
+/** Native Catalyst expression for the text-quality hot loop: the count
+  * of punctuation CODEPOINTS — characters outside `[a-zA-Z0-9\s]` —
+  * as one branch-per-byte pass over the UTF8String, no regex engine,
+  * no string rebuild, inside whole-stage codegen.
+  *
+  * Replaces `length(text) - length(regexp_replace(text,
+  * '[^a-zA-Z0-9\\s]', ''))`, which at 500k docs dominated the quality
+  * scan (~8 ms CPU/doc: two full-text regex rebuilds per row under the
+  * filter+projection double evaluation). Value-identical: both count
+  * codepoints outside the class (a multi-byte codepoint counts once —
+  * only UTF-8 lead bytes are inspected, and any non-ASCII codepoint is
+  * outside `[a-zA-Z0-9\s]` by definition), and the DuckDB oracle's
+  * RE2 formulation agrees codepoint-for-codepoint.
+  *
+  * Whitespace matches Java regex `\s` = `[ \t\n\x0B\f\r]`, the set the
+  * regexp_replace form used on the Spark side.
+  */
+case class PunctCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"punct_count expects a string input, got ${t.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numBytes()
+    var cnt = 0L
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if ((b & 0x80) != 0) {
+        // UTF-8 continuation bytes (10xxxxxx) belong to an already
+        // counted lead byte; any non-ASCII codepoint is punct
+        if ((b & 0xC0) != 0x80) cnt += 1
+      } else if (!PunctCount.isKeptAscii(b)) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val cnt = ctx.freshName("cnt")
+      s"""
+         |int $n = $c.numBytes();
+         |long $cnt = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  byte $b = $c.getByte($i);
+         |  if (($b & 0x80) != 0) {
+         |    if (($b & 0xC0) != 0x80) $cnt++;
+         |  } else if (!(($b >= 'a' && $b <= 'z') || ($b >= 'A' && $b <= 'Z')
+         |      || ($b >= '0' && $b <= '9') || $b == ' ' || $b == '\\t'
+         |      || $b == '\\n' || $b == 0x0B || $b == '\\f' || $b == '\\r')) {
+         |    $cnt++;
+         |  }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+
+  override def prettyName: String = "punct_count"
+}
+
+object PunctCount {
+  /** ASCII bytes KEPT by the `[a-zA-Z0-9\s]` class (Java `\s`). */
+  def isKeptAscii(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+      (b >= '0' && b <= '9') || b == ' ' || b == '\t' || b == '\n' ||
+      b == 0x0B || b == '\f' || b == '\r'
+}
+
+/** Native count of BPE-ish subword matches: maximal `[A-Za-z0-9]+`
+  * runs plus one per other non-whitespace codepoint — exactly the
+  * match count of `regexp_extract_all(text,
+  * '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')` (which the DuckDB oracle keeps),
+  * without materializing the match array or running a regex engine.
+  * One byte pass: an ASCII alnum byte counts iff the previous
+  * codepoint was not ASCII alnum (start of a run); any other
+  * non-whitespace codepoint counts once (only UTF-8 lead bytes are
+  * inspected, and every non-ASCII codepoint falls in the
+  * one-per-character branch of the alternation). */
+case class SubwordCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"subword_count expects a string input, got ${t.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numBytes()
+    var cnt = 0L
+    var prevAlnum = false
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if ((b & 0x80) != 0) {
+        if ((b & 0xC0) != 0x80) { cnt += 1; prevAlnum = false }
+      } else {
+        val alnum = (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+          (b >= '0' && b <= '9')
+        val ws = b == ' ' || b == '\t' || b == '\n' || b == 0x0B ||
+          b == '\f' || b == '\r'
+        if (alnum) { if (!prevAlnum) cnt += 1 }
+        else if (!ws) cnt += 1
+        prevAlnum = alnum
+      }
+      i += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val cnt = ctx.freshName("cnt")
+      val prev = ctx.freshName("prevAlnum")
+      val alnum = ctx.freshName("alnum")
+      val ws = ctx.freshName("ws")
+      s"""
+         |int $n = $c.numBytes();
+         |long $cnt = 0L;
+         |boolean $prev = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  byte $b = $c.getByte($i);
+         |  if (($b & 0x80) != 0) {
+         |    if (($b & 0xC0) != 0x80) { $cnt++; $prev = false; }
+         |  } else {
+         |    boolean $alnum = ($b >= 'a' && $b <= 'z')
+         |      || ($b >= 'A' && $b <= 'Z') || ($b >= '0' && $b <= '9');
+         |    boolean $ws = $b == ' ' || $b == '\\t' || $b == '\\n'
+         |      || $b == 0x0B || $b == '\\f' || $b == '\\r';
+         |    if ($alnum) { if (!$prev) $cnt++; }
+         |    else if (!$ws) { $cnt++; }
+         |    $prev = $alnum;
+         |  }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+
+  override def prettyName: String = "subword_count"
+}
+
 object TextExpressions {
   /** Column wrapper: codegen'd SimHash fingerprint over token hashes. */
   def simHashF(th: Column, bits: Int): Column =
     GraftSqlBridge.column(SimHash(GraftSqlBridge.expression(th), bits))
+
+  /** Column wrapper: codegen'd punctuation-codepoint count. */
+  def punctCountF(text: Column): Column =
+    GraftSqlBridge.column(PunctCount(GraftSqlBridge.expression(text)))
+
+  /** Column wrapper: codegen'd subword-match count. */
+  def subwordCountF(text: Column): Column =
+    GraftSqlBridge.column(SubwordCount(GraftSqlBridge.expression(text)))
 }

@@ -131,8 +131,7 @@ object TextFunctions {
     * whitespace-only text naturally counts 0). The pattern is RE2-safe
     * (no lookahead) so the DuckDB oracle can mirror it verbatim. */
   def subwordCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"),
-      lit(0))).cast(LongType)
+    graft.expressions.TextExpressions.subwordCountF(text)
 
   private val stopwords =
     Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "for")
@@ -149,10 +148,15 @@ object TextFunctions {
       aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast(DoubleType) /
         size(toks).cast(DoubleType))
 
-  /** Punctuation character ratio over total characters. */
+  /** Punctuation character ratio over total characters. The numerator
+    * is the native [[graft.expressions.PunctCount]] byte loop —
+    * value-identical to the regex form
+    * `length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))`
+    * (the DuckDB oracle keeps that formulation) at a fraction of the
+    * cost: the regex rebuild dominated the 500k-doc quality scan. */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, lit(0.0)).otherwise(
-      (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", "")))
+      graft.expressions.TextExpressions.punctCountF(text)
         .cast(DoubleType) / length(text).cast(DoubleType))
 
   /** Composite quality score in [0,1]: borrows the reference's

@@ -52,12 +52,12 @@ object DedupQueries {
   private val P = graft.functions.TextFunctions.MinhashP
 
   /** DuckDB mirror of tokenHashes: one md5 per token -> 32-bit int. */
-  private val thSql =
+  private[operators] val thSql =
     "list_transform(toks, t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))"
 
   /** DuckDB mirror of shingleHashesOf(th, 3): position-weighted window
     * sums over the token hashes, identical literals both engines. */
-  private def hsSql: String = {
+  private[operators] def hsSql: String = {
     val w = (0 until 3).map(graft.functions.TextFunctions.shingleWeight)
     s"""CASE WHEN len(th) < 3 THEN []::BIGINT[]
        |  ELSE list_transform(range(1, len(th) - 1),

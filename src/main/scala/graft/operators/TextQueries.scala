@@ -274,25 +274,30 @@ object TextQueries {
     //      of duplicated 3-gram shingles per doc — high values mark
     //      boilerplate/spam for corpus filtering. Pure per-row column
     //      math after the spread; NULL for docs too short to shingle. ----
+    // Computed over HASHED 3-grams (the q41 md5 + integer-mix pipeline,
+    // mirrored literal-for-literal in the oracle) rather than shingle
+    // strings: the ratio only needs distinct COUNTS, and primitive-long
+    // distinct beats building 100 shingle strings per doc ~10x (the
+    // string form took 70 s at 500k docs; hash collisions are the same
+    // deterministic md5 mix on both engines, so the check stays exact).
     GraftQuery("q38_repetition_ratio",
-      s"""WITH t AS (SELECT doc_id,
-         |    CASE WHEN len($toksSql) < 3 THEN []::VARCHAR[]
-         |      ELSE list_transform(range(1, len($toksSql) - 1),
-         |        i -> array_to_string(($toksSql)[i:i+2], ' ')) END AS sh
-         |  FROM documents)
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |h AS (SELECT doc_id, ${DedupQueries.thSql} AS th FROM t),
+         |g AS (SELECT doc_id, ${DedupQueries.hsSql} AS hs FROM h)
          |SELECT doc_id,
-         |  CASE WHEN len(sh) = 0 THEN NULL
-         |    ELSE round(CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE)
-         |      / len(sh), 6) END AS rep_ratio
-         |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+         |  CASE WHEN len(hs) = 0 THEN NULL
+         |    ELSE round(CAST(len(hs) - len(list_distinct(hs)) AS DOUBLE)
+         |      / len(hs), 6) END AS rep_ratio
+         |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("th", tokenHashes(col("toks")))
+        .select(col("doc_id"), shingleHashesOf(col("th"), 3).as("hs"))
         .select(col("doc_id"),
-          shinglesOf(tokens(col("text")), 3).as("sh"))
-        .select(col("doc_id"),
-          when(size(col("sh")) === 0, lit(null).cast("double"))
+          when(size(col("hs")) === 0, lit(null).cast("double"))
             .otherwise(round(
-              (size(col("sh")) - size(array_distinct(col("sh"))))
-                .cast("double") / size(col("sh")), 6)).as("rep_ratio"))
+              (size(col("hs")) - size(array_distinct(col("hs"))))
+                .cast("double") / size(col("hs")), 6)).as("rep_ratio"))
         .orderBy("doc_id")
     },
 

@@ -247,6 +247,36 @@ class PropertySpec extends AnyFunSuite {
     assert(got === unionIncoming)
   }
 
+  test("native punct count equals the regex formulation on noisy text") {
+    val charGen = Gen.frequency(
+      6 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf(" ", "\t", "\n", "\u000B", "\f", "\r"),
+      3 -> Gen.oneOf("!", ".", ",", ";", "@", "#", "(", ")", "-", "_"),
+      // multi-byte codepoints, incl. a supplementary-plane emoji
+      2 -> Gen.oneOf("\u00e9", "\u00fc", "\u00df", "\u00f1",
+        "\u4e2d", "\u6587", "\ud83d\ude42"))
+    val textGen = Gen.listOfN(40, charGen).map(_.mkString)
+    val texts = samples(textGen, 120) :+ "" :+ "   " :+ "abc123"
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"),
+        graft.expressions.TextExpressions.punctCountF(col("text"))
+          .as("native"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", "")))
+          .cast("long").as("regex"),
+        graft.expressions.TextExpressions.subwordCountF(col("text"))
+          .as("sw_native"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .cast("long").as("sw_regex"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), s"punct text#${r.getLong(0)}")
+      assert(r.getLong(3) === r.getLong(4), s"subword text#${r.getLong(0)}")
+    }
+  }
+
   test("count-min estimates never undercount on random key streams") {
     val d = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("q95_count_min_sketch")(spark, d)
