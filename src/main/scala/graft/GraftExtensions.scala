@@ -66,5 +66,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.expressions.SimHash(exprs(0), bits)
       }))
+    def unary(name: String, clazz: Class[_], usage: String,
+        build: Expression => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, null, name, usage,
+          "", "", "", "", "4.0.0", "", "built-in"),
+        (exprs: Seq[Expression]) => {
+          if (exprs.length != 1) {
+            throw new org.apache.spark.sql.AnalysisException(
+              "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+              Map("functionName" -> s"`$name`", "expectedNum" -> "1",
+                "actualNum" -> exprs.length.toString,
+                "docroot" -> "https://spark.apache.org/docs/latest"))
+          }
+          build(exprs(0))
+        }))
+    unary("punct_count", classOf[graft.expressions.PunctCount],
+      "punct_count(text) - Count of codepoints outside [a-zA-Z0-9\\s].",
+      graft.expressions.PunctCount(_))
+    unary("subword_count", classOf[graft.expressions.SubwordCount],
+      "subword_count(text) - Count of [A-Za-z0-9]+ runs plus other " +
+        "non-whitespace codepoints (BPE-ish subword estimate).",
+      graft.expressions.SubwordCount(_))
   }
 }

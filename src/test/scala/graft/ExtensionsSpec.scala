@@ -26,6 +26,12 @@ class ExtensionsSpec extends AnyFunSuite {
           |WHERE dot_product(embedding, embedding) > 0""".stripMargin)
         .collect()(0).getLong(0)
       assert(n > 0)
+      // the text-scan expressions register too
+      val r = s.sql(
+        "SELECT punct_count('a-b c!'), subword_count('a-b c!')")
+        .collect()(0)
+      assert(r.getLong(0) == 2L) // '-' and '!'
+      assert(r.getLong(1) == 5L) // a, -, b, c, !
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)
