@@ -146,13 +146,33 @@ object NearDup {
     * duplicates prior content and is the drop candidate. */
   def incrementalVerified(existing: DataFrame, incoming: DataFrame,
       minJaccard: Double, maxBucket: Int = MaxBucket): DataFrame = {
-    val sh = graft.Tables.spread(
+    val cand = incrementalCandidatePairs(existing, incoming, maxBucket)
+      .localCheckpoint()
+    verifyJaccard(
       existing.select(col("doc_id"), col("text"))
-        .unionByName(incoming.select(col("doc_id"), col("text"))))
+        .unionByName(incoming.select(col("doc_id"), col("text"))),
+      cand, minJaccard)
+  }
+
+  /** Exact-Jaccard verification of a (doc_a, doc_b) candidate frame:
+    * shingle sets are computed ONLY for docs that appear in a pair
+    * (a semi-join narrows the corpus first), so verification never
+    * re-pays the full-corpus tokenize+shingle pass — candidates are a
+    * small fraction of the corpus by LSH construction. `cand` must be
+    * materialized (checkpointed) by the caller: it is read three times
+    * (ids x2, pairs). */
+  private def verifyJaccard(docs: DataFrame, cand: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val ids = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
+    // the semi-join shuffles, so the scan arrives distributed and
+    // Tables.spread short-circuits; tokenize runs only for members
+    val sh = docs.join(ids, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         array_distinct(shinglesOf(col("toks"), ShingleN)).as("sset"))
-    incrementalCandidatePairs(existing, incoming, maxBucket)
+    cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sset").as("sset_a")),
         "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sset").as("sset_b")),
@@ -164,23 +184,14 @@ object NearDup {
       .filter(col("jaccard") >= minJaccard)
   }
 
-  /** Candidate pairs verified by exact shingle-set Jaccard >= min. */
+  /** Candidate pairs verified by exact shingle-set Jaccard >= min.
+    * Eager at the candidate stage (one checkpoint job): the candidate
+    * set gates which docs pay the shingle pass — see [[verifyJaccard]]. */
   def verifiedPairs(docs: DataFrame, minJaccard: Double,
       maxBucket: Int = MaxBucket): DataFrame = {
-    val sh = graft.Tables.spread(docs)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        array_distinct(shinglesOf(col("toks"), ShingleN)).as("sset"))
-    candidatePairs(docs, maxBucket)
-      .join(sh.select(col("doc_id").as("doc_a"), col("sset").as("sset_a")),
-        "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sset").as("sset_b")),
-        "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sset_a"), col("sset_b")))
-          .cast("double") /
-          size(array_union(col("sset_a"), col("sset_b")))).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
+    val cand = candidatePairs(docs, maxBucket).localCheckpoint()
+    verifyJaccard(docs.select(col("doc_id"), col("text")), cand,
+      minJaccard)
   }
 
   /** Greedy keep-lowest near-dedup: drop every doc that is the higher
