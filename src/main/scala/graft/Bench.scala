@@ -112,8 +112,12 @@ object Bench {
     val nFailed = merged.count(_._2.isLeft)
     val loadAfter = loadAvg()
     // pass2_skipped tells a reader which runs are min-of-two and which
-    // degraded to raw pass-1 timings under the budget
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errs,"passes":2,"pass2_skipped":$pass2Skipped,"load_before":$loadBefore,"load_after":$loadAfter,"sf":"$sfDir"}""")
+    // degraded to raw pass-1 timings under the budget.
+    // Field order matters: the harness that captures this line keeps only
+    // the last ~2 KB of output, and the per-query map alone is larger than
+    // that. The summary scalars (metric/value/...) therefore go LAST so the
+    // headline total always survives the truncation.
+    println(s"""{"queries":$qs,"errors":$errs,"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"passes":2,"pass2_skipped":$pass2Skipped,"load_before":$loadBefore,"load_after":$loadAfter,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

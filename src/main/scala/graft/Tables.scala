@@ -44,14 +44,17 @@ object Tables {
     else {
       // memoize the probe per (session, plan, target): the same table
       // scan is spread from many call sites, and each .rdd probe
-      // replans it. Keyed on the session so a new session (fresh file
-      // listing) never inherits a stale decision; within ONE session a
-      // same-path parquet rewrite (ScaleProbe build->query) must call
-      // [[invalidateSpreadCache]] — Spark's own FileIndex cache has the
-      // same same-session staleness, so the writer already knows to
-      // refresh. Bounded: cleared wholesale past 4096 entries (each is
-      // a few bytes; the bound only guards a pathological plan churn).
-      val key = (System.identityHashCode(df.sparkSession),
+      // replans it. Keyed on the session's UUID — unique per session
+      // for the life of the JVM, unlike an identity hash, which can be
+      // reused after GC and hand a fresh session a stale decision —
+      // so a new session (fresh file listing) never inherits one;
+      // within ONE session a same-path parquet rewrite (ScaleProbe
+      // build->query) must call [[invalidateSpreadCache]] — Spark's own
+      // FileIndex cache has the same same-session staleness, so the
+      // writer already knows to refresh. Bounded: cleared wholesale
+      // past 4096 entries (each is a few bytes; the bound only guards
+      // a pathological plan churn).
+      val key = (org.apache.spark.sql.GraftSqlBridge.sessionKey(df.sparkSession),
         df.queryExecution.logical.semanticHash(), target)
       if (spreadProbeCache.size > 4096) spreadProbeCache.clear()
       val under = spreadProbeCache.computeIfAbsent(key,
@@ -65,7 +68,7 @@ object Tables {
   def invalidateSpreadCache(): Unit = spreadProbeCache.clear()
 
   private val spreadProbeCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), java.lang.Boolean]()
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong`

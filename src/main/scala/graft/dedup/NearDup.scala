@@ -61,7 +61,11 @@ object NearDup {
     * groupBy reuses the window's hash partitioning — still ONE shuffle.
     * Truncation is never silent: the `lsh_buckets` observe metric
     * reports (oversized_buckets, max_bucket_n); read it post-action via
-    * `df.queryExecution.observedMetrics` or a QueryExecutionListener. */
+    * `df.queryExecution.observedMetrics` or a QueryExecutionListener.
+    * NOTE: the eager downstream APIs ([[verifiedPairs]],
+    * [[dropNearDuplicates]]) checkpoint this frame, severing the observe
+    * node from what they return — they surface the report via
+    * [[verifiedPairsWithTruncation]] / [[lastBatchTruncation]] instead. */
   def candidatePairs(docs: DataFrame,
       maxBucket: Int = MaxBucket): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -99,7 +103,16 @@ object NearDup {
     * The per-bucket cap is the same guard as [[candidatePairs]], over
     * the combined bucket membership. */
   def incrementalCandidatePairs(existing: DataFrame, incoming: DataFrame,
-      maxBucket: Int = MaxBucket): DataFrame = {
+      maxBucket: Int = MaxBucket): DataFrame =
+    incrementalCandidatePairsWithTruncation(existing, incoming,
+      maxBucket)._1
+
+  /** [[incrementalCandidatePairs]] plus its per-call truncation report —
+    * the race-free way to read it (the `last*Truncation` vars are
+    * JVM-global conveniences; concurrent runs overwrite each other). */
+  def incrementalCandidatePairsWithTruncation(existing: DataFrame,
+      incoming: DataFrame, maxBucket: Int = MaxBucket)
+      : (DataFrame, Option[Truncation]) = {
     import org.apache.spark.sql.expressions.Window
     val byBucket = Window.partitionBy(col("band"), col("band_key"))
     // localCheckpoint: band rows are tiny (doc_id, band, key, flag) and
@@ -107,7 +120,7 @@ object NearDup {
     // full tokenize + md5 signature scan (the dominant cost).
     // Truncation is never silent (same contract as [[candidatePairs]]):
     // the observe metric accumulates during the checkpoint action and
-    // is surfaced via [[lastIncrementalTruncation]].
+    // is surfaced in the returned report (and [[lastTruncation]]).
     val observed = bands(existing).withColumn("is_new", lit(false))
       .unionByName(bands(incoming).withColumn("is_new", lit(true)))
       .withColumn("rn", row_number().over(byBucket.orderBy(col("doc_id"))))
@@ -119,11 +132,9 @@ object NearDup {
       .filter(col("rn") <= maxBucket)
       .drop("rn", "bucket_n")
     val capped = observed.localCheckpoint()
-    lastTruncation = observed.queryExecution.observedMetrics
-      .get("lsh_buckets_incremental")
-      .map(r => (r.getAs[Long]("oversized_buckets"),
-        r.getAs[Long]("max_bucket_n")))
-    capped.as("a")
+    val report = truncationOf(observed, "lsh_buckets_incremental")
+    lastTruncation = report
+    val pairs = capped.as("a")
       .join(capped.filter(col("is_new")).as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_key") === col("b.band_key") &&
@@ -131,14 +142,37 @@ object NearDup {
           col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    (pairs, report)
   }
 
+  /** Over-cap LSH bucket truncation observed during one eager dedup
+    * call: how many buckets exceeded `maxBucket` (and had their tails
+    * dropped) and the largest bucket seen. (0, smallish) on organic
+    * corpora; a nonzero `oversizedBuckets` means recall was traded for
+    * boundedness and the cap (or upstream exact dedup) needs a look. */
+  final case class Truncation(oversizedBuckets: Long, maxBucketN: Long)
+
+  /** Read an (oversized_buckets, max_bucket_n) observe metric from a
+    * dataset whose plan has already executed (e.g. via localCheckpoint). */
+  private def truncationOf(executed: DataFrame,
+      metric: String): Option[Truncation] =
+    executed.queryExecution.observedMetrics.get(metric)
+      .map(r => Truncation(r.getAs[Long]("oversized_buckets"),
+        r.getAs[Long]("max_bucket_n")))
+
   /** Truncation report of the most recent [[incrementalCandidatePairs]]
-    * call in this JVM: (oversized_buckets, max_bucket_n), populated by
-    * the band checkpoint (the batch API instead carries the metric on
-    * the returned frame; the incremental path materializes eagerly, so
-    * the frame's own execution would re-run without it). */
-  @volatile var lastTruncation: Option[(Long, Long)] = None
+    * call in this JVM. Convenience only — it is JVM-global, so
+    * concurrent incremental runs overwrite each other's report; use
+    * [[incrementalCandidatePairsWithTruncation]] for a per-call value. */
+  @volatile var lastTruncation: Option[Truncation] = None
+
+  /** Truncation report of the most recent eager BATCH dedup call
+    * ([[verifiedPairs]] / [[dropNearDuplicates]]) in this JVM — those
+    * APIs checkpoint [[candidatePairs]], which severs its `lsh_buckets`
+    * observe node from the frame they return, so the report is captured
+    * here (and returned by [[verifiedPairsWithTruncation]]). Same
+    * JVM-global caveat as [[lastTruncation]]. */
+  @volatile var lastBatchTruncation: Option[Truncation] = None
 
   /** [[incrementalCandidatePairs]] verified by exact shingle-set
     * Jaccard >= min: the incoming-batch near-dup check. Only candidate
@@ -186,13 +220,25 @@ object NearDup {
 
   /** Candidate pairs verified by exact shingle-set Jaccard >= min.
     * Eager at the candidate stage (one checkpoint job): the candidate
-    * set gates which docs pay the shingle pass — see [[verifyJaccard]]. */
-  def verifiedPairs(docs: DataFrame, minJaccard: Double,
-      maxBucket: Int = MaxBucket): DataFrame = {
-    val cand = candidatePairs(docs, maxBucket).localCheckpoint()
-    verifyJaccard(docs.select(col("doc_id"), col("text")), cand,
-      minJaccard)
+    * set gates which docs pay the shingle pass — see [[verifyJaccard]].
+    * Bucket-cap truncation is surfaced via the returned report (and
+    * [[lastBatchTruncation]]): the checkpoint severs the `lsh_buckets`
+    * observe node, so it is NOT readable from the returned frame. */
+  def verifiedPairsWithTruncation(docs: DataFrame, minJaccard: Double,
+      maxBucket: Int = MaxBucket): (DataFrame, Option[Truncation]) = {
+    val observed = candidatePairs(docs, maxBucket)
+    val cand = observed.localCheckpoint()
+    val report = truncationOf(observed, "lsh_buckets")
+    lastBatchTruncation = report
+    (verifyJaccard(docs.select(col("doc_id"), col("text")), cand,
+      minJaccard), report)
   }
+
+  /** See [[verifiedPairsWithTruncation]] — this keeps the frame-only
+    * signature; the truncation report lands in [[lastBatchTruncation]]. */
+  def verifiedPairs(docs: DataFrame, minJaccard: Double,
+      maxBucket: Int = MaxBucket): DataFrame =
+    verifiedPairsWithTruncation(docs, minJaccard, maxBucket)._1
 
   /** Greedy keep-lowest near-dedup: drop every doc that is the higher
     * id of a verified pair. (Greedy, not connected-components: in a

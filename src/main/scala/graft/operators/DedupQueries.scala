@@ -141,7 +141,7 @@ object DedupQueries {
     //      one uniform-key shuffle join against the small batch, no
     //      text re-read of the corpus. ----
     GraftQuery("q92_incremental_exact_dedup",
-      """WITH inc AS (SELECT doc_id + 1000000 AS doc_id, text
+      """WITH inc AS (SELECT doc_id + 1099511627776 AS doc_id, text
         |             FROM documents WHERE doc_id % 7 = 3),
         |corpus AS (SELECT doc_id,
         |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
@@ -155,12 +155,16 @@ object DedupQueries {
         |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
       // the incoming batch re-keys a slice of the corpus (every batch
       // doc therefore HAS a duplicate — the re-ingest shape); only
-      // fingerprints join, the corpus text is read once
+      // fingerprints join, the corpus text is read once. The re-key
+      // offset is a distinct high bit (1<<40), not an additive stride:
+      // the scale-probe replicas stride doc_id by 1,000,000 per copy,
+      // so a small offset would collide synthetic batch ids with real
+      // corpus ids at 10x/100x and merge dup_of groups incorrectly.
       val docs = Tables.spread(Tables.documents(s, d))
       val corpusFp = docs
         .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       val batchFp = docs.filter(pmod(col("doc_id"), lit(7)) === 3)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .select((col("doc_id") + (1L << 40)).as("doc_id"),
           fingerprint(col("text")).as("fp"))
       batchFp.as("b")
         .join(corpusFp.as("a"), col("a.fp") === col("b.fp"))

@@ -9,4 +9,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Stable unique id of a session for the life of the JVM — unlike an
+    * identity hash, never reused after the session is GC'd. Falls back
+    * to a class@identity tag for non-classic sessions (connect), where
+    * cache staleness is the caller's concern anyway. */
+  def sessionKey(s: SparkSession): String = s match {
+    case c: classic.SparkSession => c.sessionUUID
+    case other => s"${other.getClass.getName}@${System.identityHashCode(other)}"
+  }
 }

@@ -87,8 +87,25 @@ class NearDupSpec extends AnyFunSuite {
     assert(pairs.isEmpty)
     // ...and the truncation is REPORTED, not silent
     val t = NearDup.lastTruncation
-    assert(t.exists(_._1 == 4L), s"expected 4 oversized buckets, got $t")
-    assert(t.exists(_._2 == 400L), s"expected max bucket 400, got $t")
+    assert(t.exists(_.oversizedBuckets == 4L),
+      s"expected 4 oversized buckets, got $t")
+    assert(t.exists(_.maxBucketN == 400L),
+      s"expected max bucket 400, got $t")
+  }
+
+  test("batch cap truncation is reported despite the checkpoint") {
+    val dup = "the quick brown fox jumps over the lazy dog"
+    val docs = corpus((0L until 300L).map(i => i -> dup))
+    // verifiedPairs checkpoints candidatePairs, severing its observe
+    // node from the returned frame — the report must still surface.
+    val (pairs, report) =
+      NearDup.verifiedPairsWithTruncation(docs, 0.9, maxBucket = 32)
+    pairs.count() // consume the frame; the report is already populated
+    assert(report.exists(_.oversizedBuckets == 4L),
+      s"expected 4 oversized buckets, got $report")
+    assert(report.exists(_.maxBucketN == 300L),
+      s"expected max bucket 300, got $report")
+    assert(NearDup.lastBatchTruncation === report)
   }
 
   test("components of an empty pair set returns empty labels") {
