@@ -25,7 +25,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * null (UnaryExpression null-intolerance).
   */
 case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
-  require(bits >= 1 && bits <= 32, "simhash supports 1..32 bits")
+  // 63, not 64: the fingerprint lives in a signed long and the DuckDB
+  // oracle mirrors it via CAST('0x…' AS BIGINT), which rejects values
+  // past 2^63-1 — bit 63 would also flip the sign on comparisons.
+  require(bits >= 1 && bits <= 63, "simhash supports 1..63 bits")
 
   override def dataType: DataType = LongType
 

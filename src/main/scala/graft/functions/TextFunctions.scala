@@ -68,9 +68,21 @@ object TextFunctions {
 
   /** Per-token 32-bit hashes from a materialized tokens column: ONE md5
     * per token — the only expensive hashing pass in the whole MinHash /
-    * SimHash pipeline. */
+    * SimHash pipeline. 32 bits, NOT wider: the MinHash mixes multiply
+    * these by 29-bit constants ((a*h + b) mod p stays under 2^63). */
   def tokenHashes(toks: Column): Column =
     transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast(LongType))
+
+  /** Per-token 60-bit hashes (15 md5 hex chars) for the SimHash path:
+    * the fingerprint can only carry as many useful bits as its input
+    * hashes, and the standard near-dup configuration (64-bit simhash,
+    * Hamming <= 3, 4 bands) needs a wide fingerprint so band values
+    * don't cluster on shared vocabulary. 60 = the widest multiple of 4
+    * that a signed 64-bit CAST accepts in every engine (16 hex chars
+    * can exceed 2^63-1). NOT for the MinHash mixes — see
+    * [[tokenHashes]]'s overflow bound. */
+  def tokenHashesWide(toks: Column): Column =
+    transform(toks, t => conv(substring(md5(t), 1, 15), 16, 10).cast(LongType))
 
   /** Numeric n-gram shingle hashes from a materialized token-hash
     * column: sh_i = (sum_j w_j * th_{i+j} mod p) mod p. Position weights

@@ -40,13 +40,17 @@ object DedupQueries {
   private val K_MINHASH = graft.dedup.NearDup.Components
   private val ROWS_PER_BAND = graft.dedup.NearDup.RowsPerBand
   private val N_BANDS = graft.dedup.NearDup.Bands
-  // 32-bit fingerprints with Hamming <= 3: the operative band space is
-  // 2^8 per band (vs 2^4 at 16 bits), which keeps banded candidate
-  // generation sub-brute-force even on vocabulary-clustered corpora —
-  // at 16 bits the 16-value band space collided ~14M of the 12.5M
-  // possible pairs at sf0.1, i.e. banding degenerated. 32/3 also
-  // matches the standard simhash near-dup configuration far closer.
-  private val SIMHASH_BITS = 32
+  // 60-bit fingerprints with Hamming <= 3 over 4 x 15-bit bands — the
+  // signed-64-safe variant of the standard simhash near-dup
+  // configuration (64-bit fingerprint, k=3, 4 bands). Width history:
+  // at 16 bits the 2^4 band space collided ~14M of the 12.5M possible
+  // pairs at sf0.1 (banding degenerated); at 32 bits the 2^8 band
+  // space held at sf0.1 but clustered on shared vocabulary at the
+  // 100x probe (22.7M candidate pairs). 2^15 band values spread
+  // vocabulary-similar-but-distinct docs apart, and 3/60 differing
+  // bits is a proportionally tighter (more precise) near-dup bar.
+  private val SIMHASH_BITS = 60
+  private val SIMHASH_BANDS = 4
   private val HAMMING_MAX = 3
 
   private val P = graft.functions.TextFunctions.MinhashP
@@ -263,12 +267,16 @@ object DedupQueries {
     },
 
     // ---- SimHash fingerprints + near-dup hamming pairs ----
+    // Prefix bound 400: wide enough that the 60-bit Hamming<=3 bar
+    // still admits pairs at sf0.01 AND sf0.1 (the first qualifying
+    // pair sits at max doc_id 178 / 22 respectively); the O(n²) form
+    // stays a constant 80k pairs at any SF.
     GraftQuery("q44_simhash_pairs",
-      simhashPairsSql("WHERE doc_id < 100")) { (s, d) =>
+      simhashPairsSql("WHERE doc_id < 400")) { (s, d) =>
       val t = Tables.spread(Tables.documents(s, d)
-        .filter(col("doc_id") < 100))
+        .filter(col("doc_id") < 400))
         .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .withColumn("th", tokenHashes(col("toks")))
+        .withColumn("th", tokenHashesWide(col("toks")))
         .select(col("doc_id"), simhashOf(col("th"), SIMHASH_BITS).as("sh"))
       t.as("a").join(t.as("b"), col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -279,24 +287,22 @@ object DedupQueries {
     },
 
     // ---- SimHash near-dup, BANDED (the scale path for q44): the
-    //      32-bit fingerprint splits into 4 contiguous 8-bit bands;
+    //      60-bit fingerprint splits into 4 contiguous 15-bit bands;
     //      Hamming <= 3 differing bits cannot touch all 4 bands, so any
     //      qualifying pair shares at least one full band (pigeonhole) —
     //      banding is LOSSLESS at this threshold. Candidates come from
     //      an equi self-join on (band, band_value) — one shuffle, no
     //      all-pairs — then only candidates pay the popcount verify.
     //      The oracle is the brute-force all-pairs form over the SAME
-    //      unbounded corpus: result sets must be identical. At real
-    //      scale widen to a 64-bit fingerprint with 16-bit bands (same
-    //      plan shape, 2^16 buckets per band instead of 2^8). ----
+    //      unbounded corpus: result sets must be identical. ----
     GraftQuery("q47_simhash_banded", simhashPairsSql("")) { (s, d) =>
-      val nBands = 4
+      val nBands = SIMHASH_BANDS
       val bandBits = SIMHASH_BITS / nBands
       val mask = (1L << bandBits) - 1
-      // Salt factor: band values are only 2^8, so real corpora skew
-      // (shared vocabulary pulls fingerprints together) and one bucket
-      // can hold a quarter of all docs — join-AMPLIFICATION skew that
-      // AQE cannot see (it sizes shuffle input, and the input is tiny).
+      // Salt factor: real corpora skew band values (shared vocabulary
+      // pulls fingerprints together — even at 2^15 band values a hot
+      // bucket can dominate) — join-AMPLIFICATION skew that AQE cannot
+      // see (it sizes shuffle input, and the input is tiny).
       // Salting splits each bucket's pair generation across `salts`
       // tasks: the kept side carries doc_id%salts, the probe side is
       // replicated to every salt, so each pair is produced exactly once.
@@ -306,7 +312,7 @@ object DedupQueries {
       // the tokenize + md5 + simhash scan (the query's dominant cost).
       val t = Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .withColumn("th", tokenHashes(col("toks")))
+        .withColumn("th", tokenHashesWide(col("toks")))
         .select(col("doc_id"), simhashOf(col("th"), SIMHASH_BITS).as("sh"))
         .localCheckpoint()
       val banded = t.select(col("doc_id"), col("sh"),
@@ -534,9 +540,11 @@ object DedupQueries {
          |  THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END""".stripMargin
     }.mkString(" + ")
     val ham = "bit_count(xor(a.sh, b.sh))"
+    // 15 hex chars = 60-bit token hashes (mirrors tokenHashesWide);
+    // 16 would overflow a signed BIGINT cast
     s"""WITH t AS (SELECT doc_id,
        |  list_transform($toksSql,
-       |    x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) AS hs
+       |    x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS hs
        |  FROM documents $where),
        |f AS (SELECT doc_id, $bits AS sh FROM t)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(($ham) AS BIGINT) AS hamming

@@ -111,33 +111,42 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("simhash banding is lossless at Hamming<=3 on random corpora") {
-    // pigeonhole: <=3 differing bits over 4 bands of 8 => some band
+    // pigeonhole: <=3 differing bits over 4 bands of 15 => some band
     // equal, so banded candidate generation must find EVERY qualifying
-    // pair that brute force finds (random words force hash diversity)
+    // pair that brute force finds (random words force hash diversity).
+    // Same 60-bit / 4-band configuration q44/q47 ship.
+    val bits = 60
+    val nBands = 4
+    val bandBits = bits / nBands
+    val mask = (1L << bandBits) - 1
     val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
       "zeta", "eta", "theta", "iota", "kappa", "mu", "nu")
     val docGen = Gen.listOfN(12, word).map(_.mkString(" "))
-    val docs = samples(docGen, 150).zipWithIndex
+    // at 60 bits a one-token edit flips ~6 bits on a 12-token doc, so
+    // random samples alone may yield zero qualifying pairs — append
+    // exact duplicates (hamming 0) to guarantee brute.nonEmpty
+    val sampled = samples(docGen, 140)
+    val docs = (sampled ++ sampled.take(10)).zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .withColumn("th", tokenHashes(col("toks")))
-      .select(col("doc_id"), simhashOf(col("th"), 32).as("sh"))
+      .withColumn("th", tokenHashesWide(col("toks")))
+      .select(col("doc_id"), simhashOf(col("th"), bits).as("sh"))
       .cache()
     val brute = docs.as("a").join(docs.as("b"),
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id"), col("b.doc_id"),
-        hammingDistance(col("a.sh"), col("b.sh"), 32).as("h"))
+        hammingDistance(col("a.sh"), col("b.sh"), bits).as("h"))
       .filter(col("h") <= 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val bexp = docs.select(col("doc_id"), col("sh"),
-      posexplode(array((0 until 4).map(j =>
-        shiftright(col("sh"), j * 8).bitwiseAND(lit(255L))): _*))
+      posexplode(array((0 until nBands).map(j =>
+        shiftright(col("sh"), j * bandBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bv")))
     val cand = bexp.as("a").join(bexp.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        hammingDistance(col("a.sh"), col("b.sh"), 32).as("h"))
+        hammingDistance(col("a.sh"), col("b.sh"), bits).as("h"))
       .filter(col("h") <= 3)
       .select("da", "db").distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
