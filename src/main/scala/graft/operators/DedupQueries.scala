@@ -527,6 +527,50 @@ object DedupQueries {
         .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
         .orderBy("vec_a", "vec_b")
     },
+
+    // ---- corpus-level boilerplate removal: the "line-level dedup" of
+    //      C4/RefinedWeb-style pipelines (drop lines repeated across
+    //      many documents — headers, footers, nav text), re-expressed
+    //      over non-overlapping token chunks because the synthetic
+    //      corpus has no newlines; at a real corpus the splitter is
+    //      split(text, '\n') and everything downstream is identical.
+    //      Shape: chunk -> fingerprint -> count DISTINCT docs per fp
+    //      (one uniform md5-keyed shuffle, partial agg) -> the top-K
+    //      most document-frequent fps form the hot set (K rows by
+    //      construction — trivially broadcastable; tie-break on chunk
+    //      text keeps the ranking deterministic) -> per-doc reassembly
+    //      of surviving chunks in position order (one doc_id shuffle).
+    //      Real pipelines threshold on document frequency instead;
+    //      top-K exercises the identical plan while staying
+    //      non-degenerate on a homogeneous synthetic corpus (where
+    //      every 2-gram converges to the same ~3% doc frequency and
+    //      any fixed threshold drops everything or nothing). ----
+    GraftQuery("q96_boilerplate_chunks",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |c AS (SELECT doc_id, unnest(range(0, len(toks), 2)) AS start,
+         |        toks FROM t WHERE len(toks) > 0),
+         |f AS (SELECT doc_id, CAST(start // 2 AS INTEGER) AS chunk_id,
+         |        array_to_string(toks[start + 1 : start + 2], ' ') AS chunk,
+         |        md5(array_to_string(toks[start + 1 : start + 2], ' ')) AS fp
+         |      FROM c),
+         |hot AS (SELECT fp FROM (
+         |    SELECT fp, row_number() OVER
+         |      (ORDER BY COUNT(DISTINCT doc_id) DESC, min(chunk)) AS rk
+         |    FROM f GROUP BY fp)
+         |  WHERE rk <= 20)
+         |SELECT f.doc_id,
+         |  COALESCE(string_agg(CASE WHEN h.fp IS NULL THEN f.chunk END,
+         |    ' ' ORDER BY f.chunk_id), '') AS clean_text,
+         |  CAST(SUM(CASE WHEN h.fp IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dropped
+         |FROM f LEFT JOIN hot h ON f.fp = h.fp
+         |GROUP BY f.doc_id
+         |ORDER BY f.doc_id""".stripMargin) { (s, d) =>
+      graft.dedup.Boilerplate
+        .removeHotChunks(Tables.documents(s, d), chunkTokens = 2,
+          topK = 20)
+        .orderBy("doc_id")
+    },
   )
 
   /** DuckDB mirror of simhash(text, SIMHASH_BITS) + pairwise hamming,

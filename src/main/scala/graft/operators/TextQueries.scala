@@ -480,5 +480,82 @@ object TextQueries {
           md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_fp"))
         .orderBy("doc_id", "chunk_id")
     },
+
+    // ---- vocabulary token-id encoding: the tokenizer stand-in of a
+    //      training pipeline — build a frequency-ranked vocab of the
+    //      top-V tokens (ties broken by token text, so the ranking is
+    //      deterministic), then encode every (doc, position) to its
+    //      token id, 0 for out-of-vocabulary. The corpus-wide count is
+    //      one uniform-key shuffle with map-side partial agg; the
+    //      single-partition row_number window runs over the ALREADY
+    //      AGGREGATED distinct-token frame (|vocab| rows, not corpus
+    //      rows — a real tokenizer's vocab fits one task by
+    //      definition); the V-row vocab broadcasts to the encode join.
+    //      Output is one row per token position — the id sequence a
+    //      training job would pack (q76). ----
+    GraftQuery("q97_vocab_encode",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |e AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos,
+         |        toks FROM t WHERE len(toks) > 0),
+         |x AS (SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+         |        toks[pos] AS tok FROM e),
+         |vc AS (SELECT tok, COUNT(*) AS cnt FROM x GROUP BY tok),
+         |vocab AS (SELECT tok, token_id FROM (
+         |    SELECT tok, CAST(row_number() OVER
+         |      (ORDER BY cnt DESC, tok) AS INTEGER) AS token_id FROM vc)
+         |  WHERE token_id <= 32)
+         |SELECT x.doc_id, x.pos,
+         |  CAST(COALESCE(v.token_id, 0) AS INTEGER) AS token_id
+         |FROM x LEFT JOIN vocab v ON x.tok = v.tok
+         |ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+      val v = 32
+      val toksDf = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          posexplode(col("toks")).as(Seq("pos0", "tok")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("int").as("pos"),
+          col("tok"))
+      val vocab = toksDf.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .withColumn("token_id", row_number().over(
+          Window.orderBy(col("cnt").desc, col("tok"))).cast("int"))
+        .filter(col("token_id") <= v)
+        .select(col("tok"), col("token_id"))
+      toksDf.join(broadcast(vocab), Seq("tok"), "left")
+        .select(col("doc_id"), col("pos"),
+          coalesce(col("token_id"), lit(0)).cast("int").as("token_id"))
+        .orderBy("doc_id", "pos")
+    },
+
+    // ---- unigram commonness score: the LM-quality-filter stand-in
+    //      (CCNet-style pipelines score docs under a language model;
+    //      the unigram corpus model is its engine-computable core).
+    //      avg_tok_count = mean corpus frequency of the doc's tokens —
+    //      low means the doc is built from rare tokens. Kept as a
+    //      ratio of integer aggregates (no log), so the cross-engine
+    //      hash compare never depends on libm: one BIGINT sum and one
+    //      count divide once per doc, and IEEE-754 division of
+    //      identical operands is bit-identical everywhere. Two
+    //      uniform shuffles (token count, doc regroup); the count
+    //      table broadcasts (it is vocab-sized). ----
+    GraftQuery("q98_token_rarity",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |x AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |vc AS (SELECT tok, COUNT(*) AS cnt FROM x GROUP BY tok)
+         |SELECT x.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+         |  CAST(SUM(vc.cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS avg_tok_count
+         |FROM x JOIN vc ON x.tok = vc.tok
+         |GROUP BY x.doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tok = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      tok.join(broadcast(counts), Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"),
+          (sum(col("cnt")).cast("double") / count(lit(1)).cast("double"))
+            .as("avg_tok_count"))
+        .orderBy("doc_id")
+    },
   )
 }

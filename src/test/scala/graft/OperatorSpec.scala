@@ -177,4 +177,71 @@ class OperatorSpec extends AnyFunSuite {
       .orderBy("rk").select("vec_id").as[Long].collect()
     assert(ranked.toSeq == Seq(0L, 1L, 3L, 2L))
   }
+
+  test("boilerplate removal drops the hot chunk, keeps order, counts drops") {
+    // "aa bb" opens every doc (the shared header); tails are unique.
+    // topK=1 must remove exactly the header chunk from each doc and
+    // reassemble the tail in original order.
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff"),
+      (2L, "aa bb gg hh ii jj"),
+      (3L, "aa bb kk ll mm nn"))
+      .toDF("doc_id", "text")
+    val out = graft.dedup.Boilerplate
+      .removeHotChunks(docs, chunkTokens = 2, topK = 1)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, "cc dd ee ff", 1L),
+      (2L, "gg hh ii jj", 1L),
+      (3L, "kk ll mm nn", 1L)))
+  }
+
+  test("boilerplate removal leaves a doc empty when every chunk is hot") {
+    // both docs are the same single chunk; topK=1 removes everything —
+    // clean_text must be '' (not null), n_dropped the full chunk count
+    val docs = Seq((1L, "aa bb"), (2L, "aa bb")).toDF("doc_id", "text")
+    val out = graft.dedup.Boilerplate
+      .removeHotChunks(docs, chunkTokens = 2, topK = 1)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "", 1L), (2L, "", 1L)))
+  }
+
+  test("vocab encode ranks by frequency with text tie-break, OOV is 0") {
+    // freq: bb=3, aa=2, zz=1 -> vocab(2) = {bb->1, aa->2}; zz is OOV
+    val docs = Seq((1L, "bb aa zz"), (2L, "bb aa bb")).toDF("doc_id", "text")
+    val toksDf = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("int").as("pos"),
+        col("tok"))
+    val vocab = toksDf.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("token_id", row_number().over(
+        Window.orderBy(col("cnt").desc, col("tok"))).cast("int"))
+      .filter(col("token_id") <= 2)
+      .select(col("tok"), col("token_id"))
+    val ids = toksDf.join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("token_id"), lit(0)).as("token_id"))
+      .orderBy("doc_id", "pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(ids.toSeq == Seq(
+      (1L, 1, 1), (1L, 2, 2), (1L, 3, 0),
+      (2L, 1, 1), (2L, 2, 2), (2L, 3, 1)))
+  }
+
+  test("token commonness is the mean corpus frequency of a doc's tokens") {
+    // corpus counts: aa=3, zz=1 -> doc 1 avg = (3+3+1)/3, doc 2 avg = 3
+    val docs = Seq((1L, "aa aa zz"), (2L, "aa")).toDF("doc_id", "text")
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val out = tok.join(broadcast(counts), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("cnt")).cast("double") / count(lit(1)).cast("double"))
+        .as("avg_tok_count"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == Seq((1L, 7.0 / 3.0), (2L, 3.0)))
+  }
 }
