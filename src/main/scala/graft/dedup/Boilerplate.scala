@@ -31,11 +31,22 @@ object Boilerplate {
   def removeHotChunks(docs: DataFrame, chunkTokens: Int = 2,
       topK: Int = 20): DataFrame = {
     val w = chunkTokens
+    // explode_OUTER + isNotNull, not a plain explode: a non-outer
+    // Generate makes InferFiltersFromGenerate add size/notnull guards
+    // on the generator child, and pushdown substitutes the full
+    // tokenize expression into them — tripling the scan-side compute
+    // (measured 2x end-to-end at 500k docs). Outer generates skip the
+    // rule; the size(toks)>0 pre-filter already guarantees a non-empty
+    // sequence, so no null-start rows exist and the isNotNull is a
+    // no-op guard that only documents the contract.
     val chunks = graft.Tables.spread(docs)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
-      .withColumn("start",
-        explode(sequence(lit(0), size(col("toks")) - 1, lit(w))))
+      .select(col("doc_id"),
+        explode_outer(sequence(lit(0), size(col("toks")) - 1, lit(w)))
+          .as("start"),
+        col("toks"))
+      .filter(col("start").isNotNull)
       .select(col("doc_id"),
         expr(s"start div $w").cast("int").as("chunk_id"),
         concat_ws(" ", slice(col("toks"), col("start") + 1, lit(w)))

@@ -150,8 +150,12 @@ object CveQueries {
           "see CVE-%d-%04d and CVE-2024-%d in text; ignore GHSA-%d",
           lit(2020) + col("doc_id") % 5, lit(1000) + col("doc_id"),
           lit(100000) + col("doc_id") % 7, col("doc_id")).as("body"))
-        .select(explode(regexp_extract_all(col("body"),
+        // explode_outer: a plain explode gets size/notnull guards
+        // inferred below the Generate, re-running regexp_extract_all
+        // in the scan filter (see Boilerplate for the rule mechanics)
+        .select(explode_outer(regexp_extract_all(col("body"),
           lit("CVE-\\d{4}-\\d{4,7}"), lit(0))).as("cve_id"))
+        .filter(col("cve_id").isNotNull)
         .distinct()
         .orderBy("cve_id")
     },

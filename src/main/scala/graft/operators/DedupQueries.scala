@@ -433,22 +433,40 @@ object DedupQueries {
          |GROUP BY c.doc_id
          |HAVING COUNT(*) >= 2
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      // shingle sets computed ONCE and materialized: both branches
-      // (benchmark broadcast build + corpus stream) read them, and
-      // without the checkpoint the corpus pass re-evaluates the
-      // tokenize+shingle projection (measured 2x slower at 500k docs)
-      val sh = Tables.spread(Tables.documents(s, d))
-        .select(col("doc_id"),
+      // Each branch scans for itself — NO shared materialization: the
+      // benchmark is a FIXED eval slice (doc_id < 100000 bounds it to
+      // the base corpus), so re-tokenizing it costs a fraction of a
+      // percent of the corpus pass, while a shared localCheckpoint
+      // would write every corpus doc's shingle set to disk just to
+      // avoid it.
+      //
+      // explode_OUTER, deliberately: a plain explode makes
+      // InferFiltersFromGenerate add `size(sset)>0 AND isnotnull
+      // (sset)` below the Generate, and predicate pushdown substitutes
+      // the FULL tokenize+shingle expression into that filter — the
+      // generator child is then evaluated three times per row (size,
+      // null check, projection), which tripled the 500k-doc probe
+      // (86 s corpus pass vs 29 s evaluated once). The rule skips
+      // outer generates; empty/null shingle sets contribute one
+      // null-g row that the explicit isNotNull drops — identical
+      // result, one evaluation. Measured at 500k docs: 32.6 s, level
+      // with the checkpoint variant's 33.9 s wall-clock but without
+      // materializing 25M shingle arrays — the checkpoint's
+      // corpus-sized disk write is the part that could not ship at
+      // 100 TB.
+      def shingleSets(df: org.apache.spark.sql.DataFrame) =
+        Tables.spread(df).select(col("doc_id"),
           array_distinct(shinglesOf(tokens(col("text")), 3)).as("sset"))
-        .localCheckpoint()
-      // the benchmark is a FIXED eval slice (doc_id < 100000 bounds it
-      // to the base corpus): eval sets do not grow with the training
-      // corpus, so the broadcast stays constant-size at any scale
-      val bench = sh.filter(pmod(col("doc_id"), lit(41)) === 7 &&
-          col("doc_id") < 100000)
-        .select(explode(col("sset")).as("g")).distinct()
-      val corpus = sh.filter(pmod(col("doc_id"), lit(41)) =!= 7)
-        .select(col("doc_id"), explode(col("sset")).as("g"))
+      val docs = Tables.documents(s, d)
+      val bench = shingleSets(
+        docs.filter(pmod(col("doc_id"), lit(41)) === 7 &&
+          col("doc_id") < 100000))
+        .select(explode_outer(col("sset")).as("g"))
+        .filter(col("g").isNotNull).distinct()
+      val corpus = shingleSets(
+        docs.filter(pmod(col("doc_id"), lit(41)) =!= 7))
+        .select(col("doc_id"), explode_outer(col("sset")).as("g"))
+        .filter(col("g").isNotNull)
       corpus.join(broadcast(bench), "g")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_hits"))

@@ -227,8 +227,12 @@ object TextQueries {
          |SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, tfidf
          |FROM r WHERE rk <= 3
          |ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
+      // explode_outer: see Boilerplate — avoids the inferred-filter
+      // double tokenize on the scan
       val tok = Tables.spread(Tables.documents(s, d))
-        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .select(col("doc_id"),
+          explode_outer(tokens(col("text"))).as("term"))
+        .filter(col("term").isNotNull)
       val tf = tok.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
       // df = rows per term in tf (one row per (doc, term)): derives the
@@ -467,11 +471,18 @@ object TextQueries {
          |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
       val width = 64
       val stride = 48
+      // explode_outer: keeps InferFiltersFromGenerate from pushing a
+      // re-evaluated tokenize into the scan filter (see Boilerplate);
+      // size(toks)>0 already guarantees a non-empty sequence
       Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .filter(size(col("toks")) > 0)
-        .withColumn("start",
-          explode(sequence(lit(0), size(col("toks")) - 1, lit(stride))))
+        .select(col("doc_id"),
+          explode_outer(
+            sequence(lit(0), size(col("toks")) - 1, lit(stride)))
+            .as("start"),
+          col("toks"))
+        .filter(col("start").isNotNull)
         .select(col("doc_id"),
           expr(s"start div $stride").cast("int").as("chunk_id"),
           slice(col("toks"), col("start") + 1, lit(width)).as("chunk"))
@@ -509,10 +520,14 @@ object TextQueries {
          |FROM x LEFT JOIN vocab v ON x.tok = v.tok
          |ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
       val v = 32
+      // posexplode_outer: see Boilerplate — a non-outer generate gets
+      // size/notnull guards that re-evaluate the tokenize in the scan
+      // filter; empty docs contribute one null row, dropped explicitly
       val toksDf = Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          posexplode(col("toks")).as(Seq("pos0", "tok")))
+          posexplode_outer(col("toks")).as(Seq("pos0", "tok")))
+        .filter(col("tok").isNotNull)
         .select(col("doc_id"), (col("pos0") + 1).cast("int").as("pos"),
           col("tok"))
       val vocab = toksDf.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
@@ -547,8 +562,12 @@ object TextQueries {
          |FROM x JOIN vc ON x.tok = vc.tok
          |GROUP BY x.doc_id
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // explode_outer: see Boilerplate — avoids the inferred-filter
+      // double tokenize; null rows (empty docs) dropped explicitly
       val tok = Tables.spread(Tables.documents(s, d))
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          explode_outer(tokens(col("text"))).as("tok"))
+        .filter(col("tok").isNotNull)
       val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       tok.join(broadcast(counts), Seq("tok"))
         .groupBy(col("doc_id"))
