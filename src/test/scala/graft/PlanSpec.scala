@@ -57,4 +57,35 @@ class PlanSpec extends AnyFunSuite {
     val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(n == 1, s"expected 1 hash exchange, saw $n")
   }
+
+  test("expensive-child generates are outer; no inferred filter re-runs them") {
+    // A non-outer Generate over a computed array makes
+    // InferFiltersFromGenerate add size/notnull guards that pushdown
+    // rewrites into scan filters WITH THE FULL CHILD EXPRESSION
+    // substituted — tokenize/shingle work then runs 2-3x per row
+    // (measured 86 s vs 29 s on the 500k-doc q82 corpus pass). Pin
+    // both halves of the fix: the outer flag (the rule skips outer
+    // generates), and the absence of each query's expensive builder
+    // inside any Filter/DataFilters line.
+    val forbidden = Map(
+      "q82_contamination" -> "concat_ws",       // shingle builder
+      "q96_boilerplate_chunks" -> "concat_ws",  // chunk builder
+      "q87_doc_chunks" -> "sequence(",          // chunk-start builder
+      "q97_vocab_encode" -> "split(lower",      // tokenize
+      "q98_token_rarity" -> "split(lower",      // tokenize
+      "q35_tfidf_top_terms" -> "split(lower",   // tokenize
+      "q53_cve_id_extract_dedup" -> "regexp_extract_all")
+    forbidden.foreach { case (q, bad) =>
+      val p = plan(q)
+      val gens = p.linesIterator.filter(_.contains("Generate ")).toSeq
+      assert(gens.nonEmpty, s"$q: expected a Generate in the plan")
+      // GenerateExec prints (generator, requiredChildOutput, outer,
+      // output) — outer renders as ", true, "
+      gens.foreach(g =>
+        assert(g.contains(", true, "), s"$q: non-outer generate: $g"))
+      p.linesIterator.filter(_.contains("Filter")).foreach(l =>
+        assert(!l.contains(bad),
+          s"$q: generator child '$bad' leaked into a filter: ${l.take(200)}"))
+    }
+  }
 }
