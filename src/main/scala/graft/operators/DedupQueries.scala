@@ -589,6 +589,34 @@ object DedupQueries {
           topK = 20)
         .orderBy("doc_id")
     },
+
+    // ---- per-source dedup-rate report: the observability readout a
+    //      curation pipeline keys retention decisions on (which feeds
+    //      are mostly duplicates?). One grouped aggregate with a
+    //      distinct-count — Spark plans it as expand + two-phase
+    //      partial/final hash agg, one uniform shuffle on (source, fp);
+    //      no join, no second scan. ----
+    GraftQuery("q99_source_dedup_rate",
+      """WITH f AS (SELECT source,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+        |  round(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 6)
+        |    AS dup_rate
+        |FROM f GROUP BY source
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      Tables.spread(Tables.documents(s, d))
+        .select(col("source"), fingerprint(col("text")).as("fp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_unique"))
+        .select(col("source"), col("n_docs"), col("n_unique"),
+          round(lit(1.0) -
+            col("n_unique").cast("double") / col("n_docs").cast("double"),
+            6).as("dup_rate"))
+        .orderBy("source")
+    },
   )
 
   /** DuckDB mirror of simhash(text, SIMHASH_BITS) + pairwise hamming,
