@@ -2,7 +2,6 @@ package graft.dedup
 
 import graft.functions.TextFunctions.tokens
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level boilerplate removal: the "line-level dedup" of
@@ -52,16 +51,17 @@ object Boilerplate {
         concat_ws(" ", slice(col("toks"), col("start") + 1, lit(w)))
           .as("chunk"))
       .withColumn("fp", md5(col("chunk")))
-    // the row_number window runs over the aggregated per-fp frame
-    // (|distinct chunks| rows), not corpus rows; min(chunk) is the
-    // deterministic tie-break (fp determines chunk, min is just the
-    // aggregate form of "the chunk")
+    // top-K selection is DISTRIBUTED: orderBy().limit(K) plans as
+    // TakeOrderedAndProject (per-partition top-K, merged on the
+    // driver) — never a single-partition window over every distinct
+    // chunk, which at an open vocabulary would bottleneck one task.
+    // min(chunk) is the deterministic tie-break (fp determines chunk;
+    // min is just the aggregate form of "the chunk").
     val hot = chunks.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("nd"),
         min(col("chunk")).as("c"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("nd").desc, col("c"))))
-      .filter(col("rk") <= topK)
+      .orderBy(col("nd").desc, col("c"))
+      .limit(topK)
       .select(col("fp"), lit(1).as("hot"))
     chunks.join(broadcast(hot), Seq("fp"), "left")
       .groupBy(col("doc_id"))

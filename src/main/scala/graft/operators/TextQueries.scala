@@ -497,11 +497,10 @@ object TextQueries {
     //      top-V tokens (ties broken by token text, so the ranking is
     //      deterministic), then encode every (doc, position) to its
     //      token id, 0 for out-of-vocabulary. The corpus-wide count is
-    //      one uniform-key shuffle with map-side partial agg; the
-    //      single-partition row_number window runs over the ALREADY
-    //      AGGREGATED distinct-token frame (|vocab| rows, not corpus
-    //      rows — a real tokenizer's vocab fits one task by
-    //      definition); the V-row vocab broadcasts to the encode join.
+    //      one uniform-key shuffle with map-side partial agg; top-V
+    //      selection is a distributed TakeOrderedAndProject (never a
+    //      single-partition window over the full distinct-token
+    //      frame); the V-row vocab broadcasts to the encode join.
     //      Output is one row per token position — the id sequence a
     //      training job would pack (q76). ----
     GraftQuery("q97_vocab_encode",
@@ -530,10 +529,14 @@ object TextQueries {
         .filter(col("tok").isNotNull)
         .select(col("doc_id"), (col("pos0") + 1).cast("int").as("pos"),
           col("tok"))
+      // top-V selection is DISTRIBUTED (TakeOrderedAndProject, not a
+      // single-partition window over every distinct token — an open
+      // vocabulary at scale would bottleneck one task); the id-
+      // assigning window then runs over only the V survivors
       val vocab = toksDf.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(v)
         .withColumn("token_id", row_number().over(
           Window.orderBy(col("cnt").desc, col("tok"))).cast("int"))
-        .filter(col("token_id") <= v)
         .select(col("tok"), col("token_id"))
       toksDf.join(broadcast(vocab), Seq("tok"), "left")
         .select(col("doc_id"), col("pos"),

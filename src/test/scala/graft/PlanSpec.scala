@@ -88,4 +88,16 @@ class PlanSpec extends AnyFunSuite {
           s"$q: generator child '$bad' leaked into a filter: ${l.take(200)}"))
     }
   }
+
+  test("hot-set/vocab top-K selection is distributed, not a global window") {
+    // orderBy().limit(K) plans as TakeOrderedAndProject — per-partition
+    // top-K merged on the driver. A single-partition row_number window
+    // over every distinct chunk/token would bottleneck one task at an
+    // open vocabulary.
+    Seq("q96_boilerplate_chunks", "q97_vocab_encode").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q: expected a distributed TakeOrderedAndProject top-K")
+    }
+  }
 }
