@@ -63,7 +63,8 @@ object ScaleProbe {
         "q47_simhash_banded", "q48_near_dup_components",
         "q82_contamination", "q87_doc_chunks", "q89_incremental_dedup",
         "q31_quality_filter", "q35_tfidf_top_terms",
-        "q96_boilerplate_chunks", "q97_vocab_encode", "q98_token_rarity")
+        "q96_boilerplate_chunks", "q97_vocab_encode", "q98_token_rarity",
+        "q99_source_dedup_rate")
       qs100.foreach { n =>
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(n)(spark, out100)

@@ -110,6 +110,26 @@ class PropertySpec extends AnyFunSuite {
       assert(n == 0.0 || math.abs(n - 1.0) < 1e-9))
   }
 
+  test("boilerplate removal with topK=0 is the identity on tokenized text") {
+    // with nothing hot, reassembly must reproduce every doc's
+    // whitespace-normalized text exactly — pins chunk ordering, the
+    // ragged last chunk, and the join separator in one property
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val docGen = Gen.chooseNum(1, 9).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val docs = samples(docGen, 80).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = graft.dedup.Boilerplate
+      .removeHotChunks(docs, chunkTokens = 2, topK = 0)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    docs.collect().foreach { r =>
+      val (clean, dropped) = out(r.getLong(0))
+      assert(clean === r.getString(1), s"doc ${r.getLong(0)} mangled")
+      assert(dropped === 0L)
+    }
+  }
+
   test("simhash banding is lossless at Hamming<=3 on random corpora") {
     // pigeonhole: <=3 differing bits over 4 bands of 15 => some band
     // equal, so banded candidate generation must find EVERY qualifying
