@@ -207,6 +207,55 @@ object Streams {
       .withWatermark("date_updated", watermark)
       .dropDuplicatesWithinWatermark("cve_id", "date_updated")
 
+  /** Streaming CONTENT dedup against a PERSISTED fingerprint table —
+    * the continuous-ingest form of exact dedup (q40/q92): each
+    * micro-batch of (doc_id, text) rows is deduped within itself
+    * (lowest doc_id per fingerprint wins), anti-joined against every
+    * fingerprint ever admitted, and only the survivors append to the
+    * corpus; their fingerprints append to the table. Unlike
+    * [[streamingDedup]]'s state-store window, the fingerprint table is
+    * a plain parquet table: it is UNBOUNDED in time (a duplicate of
+    * last year's doc is still dropped), survives restarts and even
+    * checkpoint loss, and is queryable/compactable like any table. A
+    * replayed batch is idempotent for admission (its fps already
+    * exist, so the anti-join drops every row); appends remain
+    * at-least-once, standard for parquet sinks.
+    *
+    * Scale shape: the anti-join shuffles on a uniform 32-byte md5 key
+    * — batch side is micro-batch-sized; at a large corpus, bucket the
+    * fingerprint table by fp ([[graft.layout.Layout]]) to pre-pay the
+    * table-side shuffle. */
+  def dedupSinkWriter(docs: DataFrame, outPath: String, fpPath: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val firsts = batch
+          .withColumn("fp",
+            graft.functions.TextFunctions.fingerprint(col("text")))
+          .groupBy(col("fp"))
+          .agg(min(struct(col("doc_id"), col("text"))).as("r"))
+          .select(col("fp"), col("r.doc_id").as("doc_id"),
+            col("r.text").as("text"))
+        // first batch: no table yet — everything is fresh
+        val seen = scala.util.Try(spark.read.parquet(fpPath)).getOrElse(
+          spark.createDataFrame(spark.sparkContext
+              .emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("fp",
+                org.apache.spark.sql.types.StringType)))))
+        val fresh = firsts.join(seen.select(col("fp")), Seq("fp"),
+          "left_anti")
+        fresh.persist()
+        try {
+          fresh.select(col("doc_id"), col("text"))
+            .write.mode("append").parquet(outPath)
+          fresh.select(col("fp")).write.mode("append").parquet(fpPath)
+        } finally fresh.unpersist()
+        ()
+      }
+
   /** Stream-static enrichment join: each micro-batch left-joins the
     * static dimension on `key` — the streaming form of the J2
     * enrichment join (lookup metadata for every arriving record).

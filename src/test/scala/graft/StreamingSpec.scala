@@ -34,6 +34,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/raw").count() === 2)
   }
 
+  test("streaming content dedup persists fingerprints across restarts") {
+    implicit val sq = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-dedup-sink").toString
+    val dup = "the same doc text"
+    // run 1: batch with an internal duplicate
+    val mem1 = MemoryStream[(Long, String)]
+    mem1.addData((1L, dup), (2L, dup), (3L, "unique one"))
+    val q1 = Streams.dedupSinkWriter(
+      mem1.toDF.toDF("doc_id", "text"),
+      s"$tmp/out", s"$tmp/fp", s"$tmp/ckpt1").start()
+    q1.processAllAvailable(); q1.stop()
+    val afterRun1 = spark.read.parquet(s"$tmp/out")
+      .collect().map(_.getLong(0)).sorted
+    // in-batch dedup kept the lowest doc_id per content
+    assert(afterRun1.toSeq === Seq(1L, 3L))
+    // run 2: FRESH checkpoint (simulates checkpoint loss / a new job) —
+    // a state-store dedup would forget; the fingerprint table must not
+    val mem2 = MemoryStream[(Long, String)]
+    mem2.addData((9L, dup), (10L, "another unique"))
+    val q2 = Streams.dedupSinkWriter(
+      mem2.toDF.toDF("doc_id", "text"),
+      s"$tmp/out", s"$tmp/fp", s"$tmp/ckpt2").start()
+    q2.processAllAvailable(); q2.stop()
+    val afterRun2 = spark.read.parquet(s"$tmp/out")
+      .collect().map(_.getLong(0)).sorted
+    assert(afterRun2.toSeq === Seq(1L, 3L, 10L),
+      "doc 9 duplicates run-1 content and must be dropped")
+    // the fingerprint table holds exactly the admitted contents
+    assert(spark.read.parquet(s"$tmp/fp").distinct().count() === 3L)
+  }
+
   test("W5: corrupt records split to DLQ instead of failing the stream") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[String]
