@@ -368,6 +368,28 @@ object VectorQueries {
         round(array_max(col("err")), 6).as("max_err"))
         .orderBy("vec_id")
     },
+
+    // ---- product quantization ANN: train per-subspace codebooks
+    //      (Lloyd's, deterministic), encode the corpus to m-byte codes
+    //      (~32x smaller than raw vectors), ADC-score a shortlist with
+    //      per-query distance tables, exact re-rank of only the
+    //      shortlist. Codebooks are k-means artifacts — not ANSI-SQL-
+    //      expressible — so the check is rows-only here; PQSpec pins
+    //      shape, bit-exact reproducibility, and recall floors
+    //      (ADC 0.34 / re-ranked 0.88 at this config, deterministic). ----
+    GraftQuery.noOracle("q100_pq_ann") { (s, d) =>
+      import graft.vector.PQ
+      val corpus = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val m = 8
+      val cb = PQ.trainCodebooks(corpus, m, 16, iters = 2)
+      val codes = PQ.encode(corpus, cb, m)
+      val queries = corpus.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      PQ.searchRerank(codes, cb, queries, corpus, m,
+        shortlist = 100, topK = 10)
+        .orderBy("query_id", "rk")
+    },
   )
 
   // random-hyperplane LSH constants: weights from the same integer-mix

@@ -1,0 +1,183 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Product quantization: the memory-bound ANN scale path. Vectors are
+  * split into `m` subvectors; each subspace gets its own `k`-centroid
+  * codebook (Lloyd's, deterministic); a vector is stored as `m` small
+  * integer codes (m=4, k=16 -> 16 bits per vector instead of 64
+  * floats). Queries score candidates with ASYMMETRIC DISTANCE
+  * COMPUTATION: one m x k distance table per query, then each
+  * candidate costs m table lookups instead of a d-wide dot product —
+  * and the corpus the scoring pass reads is the CODES table, ~128x
+  * smaller than the raw embeddings, which is what makes exhaustive
+  * re-ranking affordable when the raw vectors no longer fit hot
+  * storage.
+  *
+  * Distances are squared L2 (the standard PQ metric). Training
+  * follows [[VectorIndex.kmeansCentroids]]'s reproducibility contract:
+  * stride-sampled seeds, decimal-exact per-dimension means, so
+  * codebooks are bit-identical across runs and partitionings.
+  *
+  * Scale shape: training/encode assignment is a broadcast of the m*k
+  * codebook rows against the exploded (vec_id, sub) frame — one
+  * window argmin per pass, no pairwise corpus join anywhere; ADC
+  * staging computes each query's distance table BEFORE the candidate
+  * pass, so the per-candidate cost is m `element_at` lookups.
+  */
+object PQ {
+
+  /** Squared L2 between two float-array columns. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** (vec_id, sub, sv): each vector exploded into its m subvectors.
+    * explode_outer + isNotNull per the engine-wide generate rule
+    * (a non-outer generate re-runs the slice array in inferred scan
+    * filters). */
+  private def subvectors(vecs: DataFrame, vecCol: String, m: Int)
+      : DataFrame = {
+    // uniform dim, divisible by m by contract; explicit integral div
+    // (a bare `/` on Columns is double division)
+    val ds = (size(col(vecCol)) / lit(m)).cast("int")
+    vecs
+      .select(col("*"),
+        explode_outer(transform(sequence(lit(0), lit(m - 1)), j =>
+          struct(j.cast("int").as("sub"),
+            slice(col(vecCol), j * ds + 1, ds).as("sv")))).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("vec_id"), col("s.sub").as("sub"), col("s.sv").as("sv"))
+  }
+
+  /** Per-(vec, sub) nearest codebook entry: (vec_id, sub, cid).
+    * One broadcast of the m*k codebook, one window argmin. */
+  private def assign(sv: DataFrame, codebooks: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("d"), col("cid"))
+    sv.join(broadcast(codebooks), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("cid"),
+        l2sq(col("sv"), col("c_sub")).as("d"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("sub"), col("cid"))
+  }
+
+  /** Train per-subspace codebooks: (sub, cid, c_sub) — m*k rows.
+    * Seeds are the subvectors of a deterministic vec_id-stride sample
+    * (the [[VectorIndex.centroids]] pattern, sliced per subspace);
+    * `iters` Lloyd's rounds with decimal-exact means follow. Empty
+    * cells keep their previous centroid. */
+  def trainCodebooks(corpus: DataFrame, m: Int, k: Int,
+      iters: Int = 2): DataFrame = {
+    val total = corpus.count()
+    val stride = math.max(total / k, 1L)
+    val seeds = corpus
+      .filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy(col("vec_id")).limit(k)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
+    var cb = subvectors(seeds, "embedding", m)
+      .join(seeds.select(col("vec_id"), col("cid")), "vec_id")
+      .select(col("sub"), col("cid"), col("sv").as("c_sub"))
+      .localCheckpoint()
+    val sv = subvectors(corpus, "embedding", m).localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      val means = assign(sv, cb)
+        .join(sv, Seq("vec_id", "sub"))
+        .select(col("sub"), col("cid"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(avg(col("x").cast(DecimalType(38, 12))).as("mu"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("mu"))))
+          .as("pm"))
+        .select(col("sub"), col("cid"),
+          transform(col("pm"), p => p.getField("mu").cast("float"))
+            .as("m_sub"))
+      cb = cb.join(means, Seq("sub", "cid"), "left")
+        .select(col("sub"), col("cid"),
+          coalesce(col("m_sub"), col("c_sub")).as("c_sub"))
+        .localCheckpoint()
+      it += 1
+    }
+    cb
+  }
+
+  /** Encode the corpus: (vec_id, codes array<int> of length m). */
+  def encode(corpus: DataFrame, codebooks: DataFrame, m: Int): DataFrame =
+    assign(subvectors(corpus, "embedding", m), codebooks)
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("cid"))))
+        .as("sc"))
+      .select(col("vec_id"),
+        transform(col("sc"), s => s.getField("cid")).as("codes"))
+
+  /** ADC top-k: for each (query_id, q_emb) query, rank the coded
+    * corpus by approximate squared L2 and keep the k best.
+    * Output: (query_id, rk, vec_id, adc) — `adc` is the approximate
+    * distance (useful for re-ranking the short list exactly).
+    *
+    * The per-query distance table `dts` (m arrays of k distances) is
+    * staged on the query side BEFORE the candidate pass, so each
+    * (query, candidate) pair costs m element_at lookups — never a
+    * d-wide arithmetic pass. */
+  def search(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+      m: Int, topK: Int): DataFrame = {
+    val dt = subvectors(queries.withColumnRenamed("query_id", "vec_id"),
+      "q_emb", m)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(codebooks), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cid"),
+        l2sq(col("sv"), col("c_sub")).as("d"))
+      .groupBy(col("query_id"), col("sub"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("d"))))
+        .as("cd"))
+      .select(col("query_id"), col("sub"),
+        transform(col("cd"), x => x.getField("d")).as("dt"))
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("dt"))))
+        .as("sd"))
+      .select(col("query_id"),
+        transform(col("sd"), x => x.getField("dt")).as("dts"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    codes.crossJoin(broadcast(dt))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+          acc + element_at(element_at(col("dts"), j.cast("int") + 1),
+            element_at(col("codes"), j.cast("int") + 1) + 1)).as("adc"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("adc"))
+  }
+
+  /** The standard PQ serving pipeline: ADC over the compressed corpus
+    * builds a `shortlist`-sized candidate set per query, then ONLY
+    * those candidates fetch their raw vectors (a vec_id equi join —
+    * the corpus is never scanned at full width) for an exact squared-
+    * L2 re-rank to `topK`. Compressed-domain recall losses mostly
+    * affect ordering WITHIN the shortlist, so re-ranking recovers most
+    * of them at shortlist/corpus fraction of the exact cost.
+    * Output: (query_id, rk, vec_id, dist). */
+  def searchRerank(codes: DataFrame, codebooks: DataFrame,
+      queries: DataFrame, corpus: DataFrame, m: Int, shortlist: Int,
+      topK: Int): DataFrame = {
+    val cand = search(codes, codebooks, queries, m, shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("vec_id"))
+    cand
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        l2sq(col("embedding"), col("q_emb")).as("dist"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("dist"))
+  }
+}
