@@ -19,6 +19,7 @@ object SparkEntry {
       operators.VectorQueries.all ++
       operators.TextQueries.all ++
       operators.DedupQueries.all ++
+      operators.CurationQueries.all ++
       operators.CveQueries.all ++
       operators.MultimodalQueries.all
 

@@ -1,0 +1,279 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between ingest and export: snapshot diffing (the engine-side
+  * generalization of the reference's delta-zip ingest,
+  * `/root/reference/download.py:17-28` — each delta IS a snapshot diff),
+  * temperature-based source rebalancing, tokenizer-training pair counts,
+  * percentile outlier trimming, URL canonicalization + dedup, and
+  * keyed upsert/merge (the reference's per-record Pinecone upsert
+  * semantics, `/root/reference/consumer/consumer.py:111-125`, re-expressed
+  * as one set-oriented join).
+  *
+  * Every query follows the registry conventions (GraftQuery scaladoc):
+  * aliased columns, unique-key ORDER BY, deterministic arithmetic only
+  * (sqrt/floor/division are IEEE-exact cross-engine; no libm
+  * transcendentals), md5 for all synthetic randomness.
+  */
+object CurationQueries {
+
+  /** DuckDB mirror of TextFunctions.tokens. */
+  private val toksSql =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+
+  /** DuckDB mirror of TextFunctions.fingerprint over a text expression. */
+  private def fpSql(text: String): String =
+    s"""md5(regexp_replace(lower(trim($text)), '\\s+', ' ', 'g'))"""
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ---- corpus snapshot diff: classify every doc across two corpus
+    //      versions as added / removed / changed by content fingerprint
+    //      — the delta-ingest audit (the reference consumes delta zips,
+    //      download.py:17; this is the engine-side "what changed"
+    //      readout a pipeline keys incremental work on). Two scans +
+    //      ONE doc_id-keyed full-outer sort-merge join; both sides
+    //      shuffle-partition on the same uniform key, so at 100 TB the
+    //      diff is two parquet passes + one co-partitioned merge, no
+    //      driver state. Snapshots are synthesized from `documents`
+    //      (v1 drops doc_id%11=3, v2 drops %11=7 and revises %5=0). ----
+    GraftQuery("q101_snapshot_diff",
+      s"""WITH v1 AS (SELECT doc_id, ${fpSql("text")} AS fp
+         |  FROM documents WHERE doc_id % 11 <> 3),
+         |v2 AS (SELECT doc_id, ${fpSql(
+             "CASE WHEN doc_id % 5 = 0 THEN text || ' (rev 2)' ELSE text END")} AS fp
+         |  FROM documents WHERE doc_id % 11 <> 7),
+         |d AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         |        CASE WHEN a.doc_id IS NULL THEN 'added'
+         |             WHEN b.doc_id IS NULL THEN 'removed'
+         |             WHEN a.fp <> b.fp THEN 'changed'
+         |             ELSE 'unchanged' END AS status
+         |      FROM v1 a FULL JOIN v2 b ON a.doc_id = b.doc_id)
+         |SELECT doc_id, status FROM d
+         |WHERE status <> 'unchanged'
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.spread(Tables.documents(s, d))
+      val v1 = docs.filter(col("doc_id") % 11 =!= 3)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      val v2 = docs.filter(col("doc_id") % 11 =!= 7)
+        .select(col("doc_id"), fingerprint(
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" (rev 2)")))
+            .otherwise(col("text"))).as("fp"))
+      v1.as("a").join(v2.as("b"),
+          col("a.doc_id") === col("b.doc_id"), "full_outer")
+        .select(coalesce(col("a.doc_id"), col("b.doc_id")).as("doc_id"),
+          when(col("a.doc_id").isNull, "added")
+            .when(col("b.doc_id").isNull, "removed")
+            .when(col("a.fp") =!= col("b.fp"), "changed")
+            .otherwise("unchanged").as("status"))
+        .filter(col("status") =!= "unchanged")
+        .orderBy("doc_id")
+    },
+
+    // ---- temperature-based source rebalancing: per-source keep quota
+    //      sqrt(n)*4 (alpha=0.5 "temperature" flattening — over-
+    //      represented sources are damped toward uniform, the mixture
+    //      step every multi-source pretraining corpus runs). Quotas are
+    //      per-source independent (no cross-source normalization —
+    //      normalizing needs a sum of doubles whose addition order is
+    //      nondeterministic under parallel agg; floor(sqrt(n)*4) is
+    //      bit-exact everywhere). Membership = the quota lowest md5-
+    //      ranked docs per source: stable under corpus growth only
+    //      within a source's unchanged prefix — unlike q75's rate
+    //      sampling this targets a SIZE, which is the point. One count
+    //      agg (broadcast back) + one per-source window shuffle. ----
+    GraftQuery("q102_temperature_resample",
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents
+        |           GROUP BY source),
+        |q AS (SELECT source,
+        |        least(n, CAST(floor(sqrt(CAST(n AS DOUBLE)) * 4)
+        |          AS BIGINT)) AS quota
+        |      FROM c),
+        |r AS (SELECT doc_id, source, row_number() OVER (
+        |        PARTITION BY source
+        |        ORDER BY md5('resamp#' || CAST(doc_id AS VARCHAR)), doc_id)
+        |        AS rk
+        |      FROM documents)
+        |SELECT r.doc_id, r.source
+        |FROM r JOIN q ON r.source = q.source
+        |WHERE r.rk <= q.quota
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val quota = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("source"),
+          least(col("n"),
+            floor(sqrt(col("n").cast("double")) * 4).cast("long"))
+            .as("quota"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(concat(lit("resamp#"), col("doc_id").cast("string"))),
+          col("doc_id"))
+      docs.select(col("doc_id"), col("source"))
+        .withColumn("rk", row_number().over(w))
+        .join(broadcast(quota), "source")
+        .filter(col("rk") <= col("quota"))
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+
+    // ---- BPE merge discovery (one iteration): adjacent token-pair
+    //      frequencies, global top-20 — the inner statistic of
+    //      byte-pair-encoding tokenizer training (each BPE round merges
+    //      the most frequent adjacent pair; the engine-side cost is
+    //      exactly this count). Pair fan-out is a pure per-row
+    //      expression (slice + transform, no shuffle), then one
+    //      uniform-key count agg; top-20 is a distributed
+    //      TakeOrderedAndProject with a deterministic (cnt, pair)
+    //      tie-break — never a single-partition sort of the full pair
+    //      vocabulary. ----
+    GraftQuery("q103_bpe_pair_counts",
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+         |p AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |        i -> toks[i] || ' ' || toks[i + 1])) AS pair
+         |      FROM t)
+         |SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM p GROUP BY pair
+         |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin) { (s, d) =>
+      // slice length is clamped at 0 so docs with <2 tokens contribute
+      // an empty pair array; explode_outer + null-drop avoids the
+      // inferred-filter double tokenize (see Boilerplate)
+      val toks = col("toks")
+      Tables.spread(Tables.documents(s, d))
+        .select(tokens(col("text")).as("toks"))
+        .select(explode_outer(transform(
+          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          (x, i) => concat_ws(" ", x, element_at(toks, i + 2))))
+          .as("pair"))
+        .filter(col("pair").isNotNull)
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)
+    },
+
+    // ---- percentile outlier trim: drop docs whose token count falls
+    //      outside [p1, p99] of the corpus distribution — the length-
+    //      outlier filter (truncated boilerplate at one end, run-on
+    //      concatenations at the other). Exact percentiles here (the
+    //      q68 form, matching DuckDB quantile_cont); the 100 TB path
+    //      swaps in the mergeable percentile_approx sketch (q94) with
+    //      no other plan change. Two passes over the token counts —
+    //      inherent to the uncorrelated scalar-subquery shape (q73):
+    //      the thresholds must exist before the filter can run. ----
+    GraftQuery("q104_length_outlier_trim",
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+         |s AS (SELECT quantile_cont(n_tokens, 0.01) AS lo,
+         |             quantile_cont(n_tokens, 0.99) AS hi FROM t)
+         |SELECT t.doc_id, t.n_tokens FROM t, s
+         |WHERE t.n_tokens >= s.lo AND t.n_tokens <= s.hi
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      def counts = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), tokenCountOf(tokens(col("text"))).as("n_tokens"))
+      val stats = counts.agg(
+        expr("percentile(n_tokens, 0.01)").as("lo"),
+        expr("percentile(n_tokens, 0.99)").as("hi"))
+      counts.crossJoin(broadcast(stats))
+        .filter(col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // ---- URL canonicalization + dedup: normalize scheme/host case,
+    //      strip default ports, tracking params, fragments, and
+    //      trailing slashes, then keep the earliest doc per canonical
+    //      URL — the crawl-side dedup that runs BEFORE any content
+    //      pass (two crawls of one page differ only in their query-
+    //      string noise). The corpus has no URLs, so they're
+    //      synthesized with deterministic mess (the q39/q90 pattern);
+    //      the regexp canonicalizer is the operator under test. Pure
+    //      scan-side expressions + one canonical-key agg shuffle. ----
+    GraftQuery("q105_url_canonical_dedup",
+      """WITH t AS (SELECT doc_id,
+        |    printf('HTTPS://Host%d.Example.COM:443/p%d/?utm_source=s%d&id=%d#frag',
+        |      doc_id % 7, doc_id % 5, doc_id, doc_id % 4) AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |        'https://' ||
+        |        lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1)) ||
+        |        rtrim(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+        |          '/') ||
+        |        '?id=' || regexp_extract(url, '[?&]id=([0-9]+)', 1)
+        |          AS canonical
+        |      FROM t)
+        |SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MIN(doc_id) AS BIGINT) AS keeper
+        |FROM c GROUP BY canonical
+        |ORDER BY canonical""".stripMargin) { (s, d) =>
+      Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), format_string(
+          "HTTPS://Host%d.Example.COM:443/p%d/?utm_source=s%d&id=%d#frag",
+          col("doc_id") % 7, col("doc_id") % 5, col("doc_id"),
+          col("doc_id") % 4).as("url"))
+        .select(col("doc_id"), concat(lit("https://"),
+          lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/:?#]+)", 1)),
+          rtrim(regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+            "/"),
+          lit("?id="), regexp_extract(col("url"), "[?&]id=([0-9]+)", 1))
+          .as("canonical"))
+        .groupBy(col("canonical"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).cast("long").as("keeper"))
+        .orderBy("canonical")
+    },
+
+    // ---- keyed upsert / MERGE: fold an incoming batch into the corpus
+    //      by doc_id — insert new keys, update changed content, keep
+    //      the rest; per-row action recorded. The set-oriented form of
+    //      the reference's per-record upsert loop
+    //      (consumer/consumer.py:111-125): ONE full-outer sort-merge
+    //      join on the key replaces N point writes, and writing the
+    //      result back (partitioned, mode=overwrite) completes
+    //      copy-on-write MERGE semantics without a table format.
+    //      Batch ids are offset by 1<<40 for inserts (high-bit
+    //      namespace — can never collide with corpus ids at any
+    //      replication scale). noop-vs-update is decided by content
+    //      fingerprint, not blind overwrite. ----
+    GraftQuery("q106_upsert_merge",
+      s"""WITH b AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 12 = 1 THEN text || ' rev2'
+         |           ELSE text END AS text
+         |  FROM documents WHERE doc_id % 6 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 1099511627776 AS doc_id, text
+         |  FROM documents WHERE doc_id % 6 = 2),
+         |m AS (SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+         |        CASE WHEN c.doc_id IS NULL THEN 'insert'
+         |             WHEN b.doc_id IS NULL THEN 'keep'
+         |             WHEN ${fpSql("b.text")} <> ${fpSql("c.text")}
+         |               THEN 'update'
+         |             ELSE 'noop' END AS action,
+         |        ${fpSql("COALESCE(b.text, c.text)")} AS fp
+         |      FROM documents c FULL JOIN b ON c.doc_id = b.doc_id)
+         |SELECT doc_id, action, fp FROM m
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.spread(Tables.documents(s, d))
+      val batch = docs.filter(col("doc_id") % 6 === 1)
+        .select(col("doc_id"),
+          when(col("doc_id") % 12 === 1, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 6 === 2)
+          .select((col("doc_id") + (1L << 40)).as("doc_id"), col("text")))
+      docs.as("c").join(batch.as("b"),
+          col("c.doc_id") === col("b.doc_id"), "full_outer")
+        .select(coalesce(col("b.doc_id"), col("c.doc_id")).as("doc_id"),
+          when(col("c.doc_id").isNull, "insert")
+            .when(col("b.doc_id").isNull, "keep")
+            .when(fingerprint(col("b.text")) =!= fingerprint(col("c.text")),
+              "update")
+            .otherwise("noop").as("action"),
+          fingerprint(coalesce(col("b.text"), col("c.text"))).as("fp"))
+        .orderBy("doc_id")
+    },
+  )
+}
