@@ -64,7 +64,10 @@ object ScaleProbe {
         "q82_contamination", "q87_doc_chunks", "q89_incremental_dedup",
         "q31_quality_filter", "q35_tfidf_top_terms",
         "q96_boilerplate_chunks", "q97_vocab_encode", "q98_token_rarity",
-        "q99_source_dedup_rate")
+        "q99_source_dedup_rate", "q101_snapshot_diff",
+        "q102_temperature_resample", "q103_bpe_pair_counts",
+        "q104_length_outlier_trim", "q105_url_canonical_dedup",
+        "q106_upsert_merge", "q107_repeated_spans")
       qs100.foreach { n =>
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(n)(spark, out100)

@@ -275,5 +275,52 @@ object CurationQueries {
           fingerprint(coalesce(col("b.text"), col("c.text"))).as("fp"))
         .orderBy("doc_id")
     },
+
+    // ---- repeated-span detection: 8-token spans (stride 1) whose
+    //      fingerprint occurs in MORE THAN ONE document — the n-gram-
+    //      granular form of exact-substring dedup (suffix-array
+    //      ExactSubstr in the training-data-dedup literature; a
+    //      distributed suffix array is impractical, but span-hash
+    //      counting reaches the same repeated regions at n-gram
+    //      resolution). Fan-out is per-row expressions (the q38/q87
+    //      hash chain — deterministic integer mixes, exact cross-
+    //      engine); then ONE uniform span-hash count shuffle. The
+    //      n_docs>1 filter makes output proportional to actual
+    //      repetition, not corpus size. ----
+    GraftQuery("q107_repeated_spans", {
+      val p = graft.functions.TextFunctions.MinhashP
+      val w = (0 until 8).map(graft.functions.TextFunctions.shingleWeight)
+      val terms = (0 until 8)
+        .map(j => s"((th[i + $j] * ${w(j)}) % $p)").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |h AS (SELECT doc_id, ${DedupQueries.thSql} AS th FROM t),
+         |g AS (SELECT doc_id, unnest(
+         |        CASE WHEN len(th) < 8 THEN []::BIGINT[]
+         |          ELSE list_transform(range(1, len(th) - 6),
+         |            i -> ($terms) % $p) END) AS h
+         |      FROM h)
+         |SELECT h AS span_h,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(*) AS BIGINT) AS n_occ,
+         |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+         |FROM g GROUP BY h
+         |HAVING COUNT(DISTINCT doc_id) > 1
+         |ORDER BY span_h""".stripMargin
+    }) { (s, d) =>
+      Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("th", tokenHashes(col("toks")))
+        .select(col("doc_id"),
+          explode_outer(shingleHashesOf(col("th"), 8)).as("h"))
+        .filter(col("h").isNotNull)
+        .groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).cast("long").as("n_docs"),
+          count(lit(1)).as("n_occ"),
+          min(col("doc_id")).cast("long").as("first_doc"))
+        .filter(col("n_docs") > 1)
+        .select(col("h").as("span_h"), col("n_docs"), col("n_occ"),
+          col("first_doc"))
+        .orderBy("span_h")
+    },
   )
 }

@@ -87,6 +87,30 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("repeated-span detection finds cross-doc 8-gram repeats only") {
+    val shared = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"$shared tail1 only"),
+      (2L, s"head2 $shared"),
+      (3L, "totally different words that never repeat anywhere else ok"))
+      .toDF("doc_id", "text")
+    val out = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("th", tokenHashes(col("toks")))
+      .select(col("doc_id"),
+        explode_outer(shingleHashesOf(col("th"), 8)).as("h"))
+      .filter(col("h").isNotNull)
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") > 1)
+      .collect()
+    // exactly one 8-gram (the shared span) occurs in two docs
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_docs") == 2L)
+    assert(out.head.getAs[Long]("n_occ") == 2L)
+  }
+
   test("percentile trim drops exactly the tail outliers") {
     val counts = ((1 to 98).map(_ => 50L) ++ Seq(1L, 100000L))
       .zipWithIndex.map { case (n, i) => (i.toLong, n) }
