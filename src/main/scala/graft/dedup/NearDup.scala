@@ -113,6 +113,20 @@ object NearDup {
   def incrementalCandidatePairsWithTruncation(existing: DataFrame,
       incoming: DataFrame, maxBucket: Int = MaxBucket)
       : (DataFrame, Option[Truncation]) = {
+    val (pairs, report) =
+      cappedIncrementalPairs(bands(existing), bands(incoming), maxBucket)
+    lastTruncation = report
+    (pairs, report)
+  }
+
+  /** Shared incremental candidate machinery over PRE-COMPUTED band
+    * frames — the existing side may come from [[bands]] (one-shot use)
+    * or from a persisted band table (steady-state continuous ingest,
+    * where re-tokenizing the corpus every batch is exactly what must
+    * not happen). */
+  private def cappedIncrementalPairs(existingBands: DataFrame,
+      incomingBands: DataFrame, maxBucket: Int)
+      : (DataFrame, Option[Truncation]) = {
     import org.apache.spark.sql.expressions.Window
     val byBucket = Window.partitionBy(col("band"), col("band_key"))
     // localCheckpoint: band rows are tiny (doc_id, band, key, flag) and
@@ -121,8 +135,8 @@ object NearDup {
     // Truncation is never silent (same contract as [[candidatePairs]]):
     // the observe metric accumulates during the checkpoint action and
     // is surfaced in the returned report (and [[lastTruncation]]).
-    val observed = bands(existing).withColumn("is_new", lit(false))
-      .unionByName(bands(incoming).withColumn("is_new", lit(true)))
+    val observed = existingBands.withColumn("is_new", lit(false))
+      .unionByName(incomingBands.withColumn("is_new", lit(true)))
       .withColumn("rn", row_number().over(byBucket.orderBy(col("doc_id"))))
       .withColumn("bucket_n", count(lit(1)).over(byBucket))
       .observe("lsh_buckets_incremental",
@@ -133,7 +147,6 @@ object NearDup {
       .drop("rn", "bucket_n")
     val capped = observed.localCheckpoint()
     val report = truncationOf(observed, "lsh_buckets_incremental")
-    lastTruncation = report
     val pairs = capped.as("a")
       .join(capped.filter(col("is_new")).as("b"),
         col("a.band") === col("b.band") &&
@@ -184,6 +197,28 @@ object NearDup {
       .localCheckpoint()
     verifyJaccard(
       existing.select(col("doc_id"), col("text"))
+        .unionByName(incoming.select(col("doc_id"), col("text"))),
+      cand, minJaccard)
+  }
+
+  /** [[incrementalVerified]] with the existing side supplied as its
+    * PERSISTED band table (doc_id, band, band_key) — the steady-state
+    * continuous-ingest shape: each batch pays its own signature pass
+    * plus one columnar scan of the band table; the corpus text is
+    * touched ONLY for docs that land in a candidate pair
+    * ([[verifyJaccard]]'s semi-join), never re-tokenized wholesale.
+    * `existingDocs` must hold (doc_id, text) for every doc with band
+    * rows; truncation lands in [[lastTruncation]]. */
+  def incrementalVerifiedWithBands(existingDocs: DataFrame,
+      existingBands: DataFrame, incoming: DataFrame, minJaccard: Double,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    val (pairs, report) = cappedIncrementalPairs(
+      existingBands.select(col("doc_id"), col("band"), col("band_key")),
+      bands(incoming), maxBucket)
+    lastTruncation = report
+    val cand = pairs.localCheckpoint()
+    verifyJaccard(
+      existingDocs.select(col("doc_id"), col("text"))
         .unionByName(incoming.select(col("doc_id"), col("text"))),
       cand, minJaccard)
   }

@@ -256,6 +256,65 @@ object Streams {
         ()
       }
 
+  /** Read a parquet table that may not exist yet (first micro-batch of
+    * a fresh sink): absent -> an empty frame with the given schema. */
+  private def readOrEmpty(spark: org.apache.spark.sql.SparkSession,
+      path: String, schema: org.apache.spark.sql.types.StructType)
+      : DataFrame =
+    scala.util.Try(spark.read.parquet(path)).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+
+  /** Streaming NEAR-dup admission against the PERSISTED corpus — the
+    * continuous-ingest form of the full LSH dedup chain (q89's batch
+    * shape run per micro-batch): each batch of (doc_id, text) rows is
+    * exact-deduped within itself, then checked for near-duplicates
+    * (band-bucket candidates -> exact Jaccard >= `minJaccard`) against
+    * everything ever admitted AND against earlier docs in the same
+    * batch; survivors append to the corpus at `outPath` and their LSH
+    * band rows append to the band table at `bandPath`.
+    *
+    * Steady-state cost per batch: the batch's own signature pass plus
+    * ONE columnar scan of the persisted band table — the corpus is
+    * never re-tokenized; only docs that land in a candidate pair pay
+    * the shingle verification
+    * ([[graft.dedup.NearDup.incrementalVerifiedWithBands]]). Like
+    * [[dedupSinkWriter]], the parquet tables are the source of truth:
+    * restart after checkpoint loss still drops near-dups of last
+    * year's content. Batch doc_ids must be unique across the stream's
+    * lifetime (the drop decision keeps the lower id). */
+  def nearDupSinkWriter(docs: DataFrame, outPath: String, bandPath: String,
+      checkpoint: String, minJaccard: Double = 0.5): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.types._
+        val firsts = batch
+          .withColumn("fp",
+            graft.functions.TextFunctions.fingerprint(col("text")))
+          .groupBy(col("fp"))
+          .agg(min(struct(col("doc_id"), col("text"))).as("r"))
+          .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+          .localCheckpoint()
+        val corpus = readOrEmpty(spark, outPath, StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        val corpusBands = readOrEmpty(spark, bandPath, StructType(Seq(
+          StructField("doc_id", LongType), StructField("band", IntegerType),
+          StructField("band_key", StringType))))
+        val drops = graft.dedup.NearDup
+          .incrementalVerifiedWithBands(corpus, corpusBands, firsts,
+            minJaccard)
+          .select(col("doc_b").as("doc_id")).distinct()
+        val fresh = firsts.join(drops, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        fresh.select(col("doc_id"), col("text"))
+          .write.mode("append").parquet(outPath)
+        graft.dedup.NearDup.bands(fresh)
+          .write.mode("append").parquet(bandPath)
+        ()
+      }
+
   /** Stream-static enrichment join: each micro-batch left-joins the
     * static dimension on `key` — the streaming form of the J2
     * enrichment join (lookup metadata for every arriving record).

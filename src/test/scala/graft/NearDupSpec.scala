@@ -143,4 +143,25 @@ class NearDupSpec extends AnyFunSuite {
     assert(!got.exists { case (a, b) => a >= b })
     assert(!got.exists { case (_, b) => b == 12L })
   }
+
+  test("band-table incremental path equals the re-tokenizing path") {
+    import spark.implicits._
+    val dupText = "the quick brown fox jumps over the lazy dog again today"
+    val existing = corpus(Seq(
+      1L -> dupText,
+      3L -> "completely different existing material with many words here"))
+    val incoming = corpus(Seq(
+      10L -> dupText, 11L -> dupText,
+      12L -> "fresh unique incoming content nothing like the others at all"))
+    val viaText = NearDup.incrementalVerified(existing, incoming, 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // steady-state shape: the existing side contributes its persisted
+    // band table; results must be identical
+    val bandTable = NearDup.bands(existing)
+    val viaBands = NearDup
+      .incrementalVerifiedWithBands(existing, bandTable, incoming, 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(viaBands === viaText)
+    assert(viaBands.contains(1L -> 10L) && viaBands.contains(10L -> 11L))
+  }
 }

@@ -65,6 +65,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/fp").distinct().count() === 3L)
   }
 
+  test("streaming near-dup sink drops near-duplicates of admitted content") {
+    implicit val sq = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-neardup-sink").toString
+    val base = "the quick brown fox jumps over the lazy dog again today"
+    val near = "the quick brown fox jumps over the lazy dog again tomorrow"
+    val other = "completely different material with many distinct words here"
+    // run 1: batch holds a near-dup pair (base/near) + unrelated content
+    val mem1 = MemoryStream[(Long, String)]
+    mem1.addData((1L, base), (2L, near), (3L, other))
+    val q1 = Streams.nearDupSinkWriter(
+      mem1.toDF.toDF("doc_id", "text"),
+      s"$tmp/out", s"$tmp/bands", s"$tmp/ckpt1", minJaccard = 0.5).start()
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(s"$tmp/out")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L),
+      "intra-batch near-dup (doc 2) must be dropped")
+    // run 2: FRESH checkpoint (checkpoint loss) — the parquet corpus +
+    // band tables alone must still drop a near-dup of run-1 content
+    val mem2 = MemoryStream[(Long, String)]
+    mem2.addData((9L, near),
+      (10L, "fresh unique incoming content nothing like the rest at all"))
+    val q2 = Streams.nearDupSinkWriter(
+      mem2.toDF.toDF("doc_id", "text"),
+      s"$tmp/out", s"$tmp/bands", s"$tmp/ckpt2", minJaccard = 0.5).start()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(s"$tmp/out")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L, 10L),
+      "doc 9 near-duplicates run-1 content and must be dropped")
+    // band table holds rows only for admitted docs
+    assert(spark.read.parquet(s"$tmp/bands")
+      .select("doc_id").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L, 10L))
+  }
+
   test("W5: corrupt records split to DLQ instead of failing the stream") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[String]
