@@ -1,0 +1,126 @@
+package graft.vector
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ: the composed ANN index for corpora where even one probed
+  * posting list is too wide to scan at full vector width — the
+  * standard large-scale serving configuration (coarse inverted file
+  * for pruning x product quantization for compressed-domain scoring,
+  * as delegated by the reference to its managed ANN service,
+  * `/root/reference/consumer/consumer.py:58-67`).
+  *
+  * BUILD: coarse-assign every vector to its nearest centroid by
+  * squared L2 — the SAME metric the PQ distances and re-rank use
+  * (one broadcast pass) — PQ-encode it
+  * ([[PQ.encode]] — a global codebook; residual encoding is a known
+  * refinement, deliberately not taken: a per-bucket residual codebook
+  * couples the two quantizers and the recall gap is recovered by the
+  * exact re-rank stage), and write ONE index partitioned by bucket:
+  * each row carries (vec_id, embedding, nrm, codes). Codebooks persist
+  * next to the index.
+  *
+  * PROBE, three stages, each strictly narrower:
+  *  1. coarse: nProbe nearest centroids per query (tiny broadcast
+  *     cross product) -> planning-time PARTITION PRUNING of the index
+  *     scan, ~nProbe/#centroids of the data read;
+  *  2. ADC: compressed-domain scoring of the probed rows — m table
+  *     lookups per candidate against per-query distance tables staged
+  *     once ([[PQ.distanceTables]]) -> `shortlist` candidates/query;
+  *  3. exact: squared-L2 re-rank of the shortlist from the raw
+  *     embeddings ALREADY IN the probed rows (no second fetch join).
+  *
+  * At 100 TB: stage 1 bounds I/O, stage 2 bounds arithmetic, stage 3
+  * bounds how much approximation error survives — each independently
+  * tunable (nProbe, shortlist) with brute force as the limit.
+  */
+object IvfPq {
+
+  private def codebooksPath(path: String) = s"$path.codebooks"
+
+  /** Nearest-centroid assignment by SQUARED L2 — the IVF-PQ coarse
+    * quantizer must use the same metric as the PQ distances and the
+    * re-rank, or the pruning contract breaks: with [[VectorIndex]]'s
+    * cosine buckets, widening nProbe converges on the COSINE answer
+    * set while stages 2-3 rank by L2, so recall against the true L2
+    * neighbors plateaus below 1 no matter the knobs. One centroid
+    * broadcast, one corpus pass, one per-vector argmin window. */
+  private def l2AssignBuckets(corpus: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2"), col("cent_id"))
+    corpus
+      .withColumn("nrm", l2Norm(col("embedding")))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+        PQ.l2sq(col("embedding"), col("c_emb")).as("d2"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cent_id").as("bucket"))
+  }
+
+  /** Build the partitioned IVF-PQ index at `path`. `cents` are the
+    * coarse centroids ((cent_id, c_emb, c_nrm) — use
+    * [[VectorIndex.kmeansCentroids]]); `m` subspaces x `k` codes per
+    * codebook. Deterministic end-to-end (stride seeds, decimal-exact
+    * means), so rebuilds are bit-identical. */
+  def build(corpus: DataFrame, cents: DataFrame, m: Int, k: Int,
+      path: String): Unit = {
+    val cb = PQ.trainCodebooks(corpus, m, k)
+    l2AssignBuckets(corpus, cents)
+      .join(PQ.encode(corpus, cb, m), "vec_id")
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    cb.write.mode("overwrite").parquet(codebooksPath(path))
+  }
+
+  /** Probe: top-k exact-re-ranked neighbors per (query_id, q_emb)
+    * query, reading only each query's nProbe nearest buckets and
+    * ADC-scoring only those rows. Output: (query_id, rk, vec_id,
+    * dist) — squared L2, exact for every returned row. */
+  def probe(spark: SparkSession, path: String, cents: DataFrame,
+      queries: DataFrame, m: Int, topK: Int, nProbe: Int,
+      shortlist: Int): DataFrame = {
+    val cb = spark.read.parquet(codebooksPath(path))
+    // stage 1 — coarse: nProbe nearest centroids per query by squared
+    // L2, matching the build-side bucket assignment metric
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("cent_id"))
+    val probeBuckets = queries.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("q_emb"), col("cent_id"),
+        PQ.l2sq(col("q_emb"), col("c_emb")).as("d2"))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cent_id").as("bucket"))
+    // bucket IN (...) is a partition filter: planning-time pruning —
+    // the probed-bucket id set is bounded by queries x nProbe
+    val buckets = probeBuckets.select("bucket").distinct()
+      .collect().map(_.getInt(0))
+    val index = spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets.toSeq: _*))
+    // stage 2 — ADC shortlist within each query's own probed buckets
+    val dt = PQ.distanceTables(queries, cb, m)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    val shortlisted = index
+      .join(broadcast(probeBuckets), "bucket")
+      .select(col("query_id"), col("vec_id"), col("embedding"),
+        col("q_emb"), col("codes"))
+      .join(broadcast(dt), "query_id")
+      .select(col("query_id"), col("vec_id"), col("embedding"),
+        col("q_emb"), PQ.adcOf(col("codes"), col("dts"), m).as("adc"))
+      .withColumn("rk", row_number().over(wAdc))
+      .filter(col("rk") <= shortlist)
+    // stage 3 — exact re-rank from the raw embeddings carried in-row
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("vec_id"))
+    shortlisted
+      .select(col("query_id"), col("vec_id"),
+        PQ.l2sq(col("embedding"), col("q_emb")).as("dist"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("dist"))
+  }
+}

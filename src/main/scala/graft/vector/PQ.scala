@@ -31,7 +31,7 @@ import org.apache.spark.sql.types.DecimalType
 object PQ {
 
   /** Squared L2 between two float-array columns. */
-  private def l2sq(a: Column, b: Column): Column =
+  private[vector] def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
@@ -128,7 +128,23 @@ object PQ {
     * d-wide arithmetic pass. */
   def search(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
       m: Int, topK: Int): DataFrame = {
-    val dt = subvectors(queries.withColumnRenamed("query_id", "vec_id"),
+    val dt = distanceTables(queries, codebooks, m)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    codes.crossJoin(broadcast(dt))
+      .select(col("query_id"), col("vec_id"),
+        adcOf(col("codes"), col("dts"), m).as("adc"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("adc"))
+  }
+
+  /** Per-query ADC distance tables: (query_id, dts) where dts is m
+    * arrays of k subspace distances — staged once per query, broadcast
+    * to the candidate pass ([[search]], [[IvfPq.probe]]). */
+  private[vector] def distanceTables(queries: DataFrame,
+      codebooks: DataFrame, m: Int): DataFrame =
+    subvectors(queries.withColumnRenamed("query_id", "vec_id"),
       "q_emb", m)
       .withColumnRenamed("vec_id", "query_id")
       .join(broadcast(codebooks), Seq("sub"))
@@ -144,17 +160,13 @@ object PQ {
         .as("sd"))
       .select(col("query_id"),
         transform(col("sd"), x => x.getField("dt")).as("dts"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc"), col("vec_id"))
-    codes.crossJoin(broadcast(dt))
-      .select(col("query_id"), col("vec_id"),
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
-          acc + element_at(element_at(col("dts"), j.cast("int") + 1),
-            element_at(col("codes"), j.cast("int") + 1) + 1)).as("adc"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= topK)
-      .select(col("query_id"), col("rk"), col("vec_id"), col("adc"))
-  }
+
+  /** Approximate squared L2 of a coded vector against a staged
+    * distance-table column: m table lookups, no d-wide arithmetic. */
+  private[vector] def adcOf(codes: Column, dts: Column, m: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+      acc + element_at(element_at(dts, j.cast("int") + 1),
+        element_at(codes, j.cast("int") + 1) + 1))
 
   /** The standard PQ serving pipeline: ADC over the compressed corpus
     * builds a `shortlist`-sized candidate set per query, then ONLY

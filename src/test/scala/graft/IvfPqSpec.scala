@@ -1,0 +1,107 @@
+package graft
+
+import graft.vector.{IvfPq, PQ, VectorIndex}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The composed IVF-PQ index: coarse partition pruning x compressed-
+  * domain ADC x exact re-rank. Recall gates are generous floors on the
+  * deterministic build, not tuning targets. */
+class IvfPqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = "/root/testdata/sf0.001"
+  private val M = 4
+
+  private lazy val corpus = Tables.embeddings(spark, d)
+
+  private def queries = corpus.filter(col("vec_id") % 25 === 0)
+    .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+
+  /** Exact L2 top-k per query — ground truth for recall. */
+  private def bruteL2(k: Int): Map[Long, Seq[Long]] = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
+    corpus.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(zip_with(col("embedding"), col("q_emb"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v)
+          .as("dist"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSeq)
+      .toMap
+  }
+
+  test("build writes one bucket-partitioned index + codebooks; " +
+    "probe stays exact-distance and recalls well") {
+    val tmp = Files.createTempDirectory("graft-ivfpq").toString
+    val cents = VectorIndex.kmeansCentroids(corpus, 8, iters = 2).cache()
+    IvfPq.build(corpus, cents, m = M, k = 16, s"$tmp/index")
+    val idx = spark.read.parquet(s"$tmp/index")
+    assert(idx.count() == corpus.count())
+    assert(idx.select("bucket").distinct().count() <= 8)
+    // every row carries raw embedding AND m codes
+    assert(idx.schema.fieldNames.toSet
+      .intersect(Set("embedding", "codes", "nrm")).size == 3)
+    assert(idx.select(size(col("codes"))).distinct()
+      .collect().map(_.getInt(0)).toSeq == Seq(M))
+
+    val truth = bruteL2(10)
+    def recallAt(nProbe: Int, shortlist: Int): Double = {
+      val res = IvfPq.probe(spark, s"$tmp/index", cents, queries,
+        m = M, topK = 10, nProbe = nProbe, shortlist = shortlist).cache()
+      val got = res.select("query_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+        .toMap
+      assert(got.keySet == truth.keySet, "every query must return rows")
+      // returned distances are EXACT squared L2 (re-rank contract):
+      // each query's rank-1 self-hit has distance exactly 0
+      val self = res.filter(col("rk") === 1).collect()
+      assert(self.forall(r => r.getLong(0) == r.getLong(2)
+        && r.getDouble(3) == 0.0))
+      truth.map { case (q, t) =>
+        got(q).intersect(t.toSet).size.toDouble / t.size }.sum / truth.size
+    }
+    // tight knobs: a deterministic floor (the test corpus clusters by
+    // DIRECTION (its label structure), not by L2 offset, so coarse
+    // L2 buckets split true neighbor sets — recall ~ probed fraction)
+    val tight = recallAt(nProbe = 3, shortlist = 40)
+    // widened knobs: the 100 TB contract — nProbe/shortlist trade
+    // scan cost for recall, with brute force as the limit
+    val wide = recallAt(nProbe = 6, shortlist = 100)
+    info(f"ivf-pq recall@10: tight(3/8,40)=$tight%.3f wide(6/8,100)=$wide%.3f")
+    assert(tight >= 0.40)
+    assert(wide >= tight)
+    assert(wide >= 0.70)
+  }
+
+  test("widening nProbe+shortlist to the limit recovers brute force") {
+    val tmp = Files.createTempDirectory("graft-ivfpq-limit").toString
+    val cents = VectorIndex.centroids(corpus, 4).cache()
+    IvfPq.build(corpus, cents, m = M, k = 16, s"$tmp/index")
+    val n = corpus.count().toInt
+    val got = IvfPq.probe(spark, s"$tmp/index", cents, queries,
+      m = M, topK = 10, nProbe = 4, shortlist = n)
+      .orderBy("query_id", "rk")
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSeq)
+      .toMap
+    assert(got == bruteL2(10),
+      "nProbe=all + shortlist=corpus must equal exact search")
+  }
+
+  test("codebooks persist next to the index and rebuild bit-identical") {
+    val tmp = Files.createTempDirectory("graft-ivfpq-det").toString
+    val cents = VectorIndex.centroids(corpus, 4).cache()
+    IvfPq.build(corpus, cents, m = M, k = 16, s"$tmp/index")
+    val a = spark.read.parquet(s"$tmp/index.codebooks")
+      .orderBy("sub", "cid").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+    IvfPq.build(corpus, cents, m = M, k = 16, s"$tmp/index")
+    val b = spark.read.parquet(s"$tmp/index.codebooks")
+      .orderBy("sub", "cid").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+    assert(a.toSeq == b.toSeq)
+  }
+}
