@@ -68,6 +68,59 @@ object Pipeline {
     curated.join(drop, Seq("doc_id"), "left_anti")
   }
 
+  /** The COMPLETE curation chain a pretraining-corpus run executes,
+    * composing the engine's stages end-to-end — each individually
+    * oracle-checked by its registry query, each a DataFrame transform:
+    *
+    *  1. exact dedup + quality floor ([[curate]] — q40/q31 semantics);
+    *  2. token-length outlier trim at the corpus p1/p99 (q104) — cheap
+    *     and high-yield, so it runs BEFORE the expensive pair stage;
+    *  3. near-dup removal, exact component grouping with lowest-id
+    *     survivor ([[curateNearDupExact]] — q46/q48/q84 semantics);
+    *  4. temperature source rebalancing (sqrt-quota, q102) — LAST, so
+    *     quotas reflect the cleaned per-source populations.
+    *
+    * Output keeps (doc_id, text, lang, source, quality, n_tokens) and
+    * carries a "graft.curate_full" observe metric (rows and tokens
+    * kept) for per-run telemetry. Shuffle inventory: fingerprint agg,
+    * percentile agg (tiny), LSH band agg + verification joins,
+    * component rounds over the (small) pair set, per-source window —
+    * every key uniform or per-source, nothing corpus-quadratic. */
+  def curateFull(docs: DataFrame, minQuality: Double = 0.3,
+      minJaccard: Double = 0.8, quotaScale: Double = 4.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counted = curate(docs, minQuality)
+      .withColumn("n_tokens", tokenCountOf(tokens(col("text"))))
+      .localCheckpoint() // percentile pass + filter both read it
+    val stats = counted.agg(
+      expr("percentile(n_tokens, 0.01)").as("lo"),
+      expr("percentile(n_tokens, 0.99)").as("hi"))
+    val trimmed = counted.crossJoin(broadcast(stats))
+      .filter(col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
+      .drop("lo", "hi")
+      .localCheckpoint() // feeds bands, verification, and the anti-join
+    val comps = graft.dedup.NearDup.components(
+      graft.dedup.NearDup.verifiedPairs(trimmed, minJaccard))
+    val drop = comps.filter(col("doc_id") =!= col("comp"))
+      .select(col("doc_id"))
+    val deduped = trimmed.join(drop, Seq("doc_id"), "left_anti")
+    val quota = deduped.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("source"), least(col("n"),
+        floor(sqrt(col("n").cast("double")) * quotaScale).cast("long"))
+        .as("quota"))
+    val w = Window.partitionBy(col("source")).orderBy(
+      md5(concat(lit("resamp#"), col("doc_id").cast("string"))),
+      col("doc_id"))
+    deduped.withColumn("rk", row_number().over(w))
+      .join(broadcast(quota), "source")
+      .filter(col("rk") <= col("quota"))
+      .drop("rk", "quota")
+      .observe("graft.curate_full",
+        count(lit(1)).as("rows_kept"),
+        sum(col("n_tokens")).as("tokens_kept"))
+  }
+
   /** Featurize the curated corpus into a vector-index table. */
   def index(curated: DataFrame, dim: Int = 64): DataFrame =
     VectorFunctions.featurizeInto(

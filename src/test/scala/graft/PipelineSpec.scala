@@ -89,4 +89,34 @@ class PipelineSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(20L, 23L))
   }
+
+  test("curateFull chains dedup, trim, near-dup, and rebalance") {
+    val tmp = Files.createTempDirectory("graft-pipe4").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // 60 filler docs in one source force a real p1/p99 spread and a
+    // sub-n sqrt quota for s1; the near-dup pair and the outlier sit
+    // in their own sources
+    val filler = (100L until 160L).map(i =>
+      (i, s"filler document number $i with some ordinary words " +
+        ("pad " * (i % 7).toInt).trim, "en", "s1"))
+    val special = Seq(
+      (20L, base, "en", "s2"),
+      (21L, base.replace("kappa", "lambda"), "en", "s2"), // near-dup of 20
+      (30L, ("verylong " * 400).trim, "en", "s3"))        // length outlier
+    (filler ++ special).toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/docs")
+    val out = Pipeline.curateFull(spark.read.parquet(s"$tmp/docs"),
+      minQuality = 0.0, minJaccard = 0.3)
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(21L), "near-dup of doc 20 must be dropped")
+    assert(!kept.contains(30L), "p99 length outlier must be dropped")
+    assert(kept.contains(20L), "cluster representative survives")
+    // s1 (60 docs) is rebalanced to its sqrt quota: floor(sqrt(n)*4)
+    val s1 = out.filter(col("source") === "s1").count()
+    assert(s1 <= math.floor(math.sqrt(60.0) * 4).toLong)
+    assert(s1 > 0)
+    // output schema carries the telemetry columns
+    assert(out.columns.toSet == Set("doc_id", "text", "lang", "source",
+      "quality", "n_tokens"))
+  }
 }
