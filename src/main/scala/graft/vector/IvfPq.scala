@@ -26,11 +26,15 @@ import org.apache.spark.sql.functions._
   *  1. coarse: nProbe nearest centroids per query (tiny broadcast
   *     cross product) -> planning-time PARTITION PRUNING of the index
   *     scan, ~nProbe/#centroids of the data read;
-  *  2. ADC: compressed-domain scoring of the probed rows — m table
+  *  2. ADC: compressed-domain scoring of the probed rows — the scan
+  *     COLUMN-PRUNES to (bucket, vec_id, codes), never reading the
+  *     raw vectors (the ~128x I/O reduction PQ exists for); m table
   *     lookups per candidate against per-query distance tables staged
   *     once ([[PQ.distanceTables]]) -> `shortlist` candidates/query;
-  *  3. exact: squared-L2 re-rank of the shortlist from the raw
-  *     embeddings ALREADY IN the probed rows (no second fetch join).
+  *  3. exact: squared-L2 re-rank — the (queries x shortlist)-sized id
+  *     set broadcasts back against the SAME pruned partitions, so raw
+  *     embeddings are read only for shortlisted rows and the index
+  *     never shuffles.
   *
   * At 100 TB: stage 1 bounds I/O, stage 2 bounds arithmetic, stage 3
   * bounds how much approximation error survives — each independently
@@ -98,25 +102,35 @@ object IvfPq {
     // the probed-bucket id set is bounded by queries x nProbe
     val buckets = probeBuckets.select("bucket").distinct()
       .collect().map(_.getInt(0))
-    val index = spark.read.parquet(path)
+    def prunedIndex = spark.read.parquet(path)
       .filter(col("bucket").isin(buckets.toSeq: _*))
-    // stage 2 — ADC shortlist within each query's own probed buckets
+    // stage 2 — ADC shortlist within each query's own probed buckets.
+    // Only (bucket, vec_id, codes) are selected, so the parquet scan
+    // column-prunes the wide embedding away (ReadSchema) — the scoring
+    // pass reads the codes table, not the corpus.
     val dt = PQ.distanceTables(queries, cb, m)
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc"), col("vec_id"))
-    val shortlisted = index
-      .join(broadcast(probeBuckets), "bucket")
-      .select(col("query_id"), col("vec_id"), col("embedding"),
-        col("q_emb"), col("codes"))
+    val shortlisted = prunedIndex
+      .select(col("bucket"), col("vec_id"), col("codes"))
+      .join(broadcast(probeBuckets.select(col("query_id"), col("bucket"))),
+        "bucket")
       .join(broadcast(dt), "query_id")
-      .select(col("query_id"), col("vec_id"), col("embedding"),
-        col("q_emb"), PQ.adcOf(col("codes"), col("dts"), m).as("adc"))
+      .select(col("query_id"), col("vec_id"),
+        PQ.adcOf(col("codes"), col("dts"), m).as("adc"))
       .withColumn("rk", row_number().over(wAdc))
       .filter(col("rk") <= shortlist)
-    // stage 3 — exact re-rank from the raw embeddings carried in-row
+      .select(col("query_id"), col("vec_id"))
+    // stage 3 — exact re-rank: the shortlist id set (queries x
+    // shortlist rows) BROADCASTS against the same pruned partitions,
+    // so raw embeddings are read only where a shortlisted row lives
+    // and the index side never shuffles
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("dist"), col("vec_id"))
-    shortlisted
+    prunedIndex
+      .select(col("vec_id"), col("embedding"))
+      .join(broadcast(shortlisted), "vec_id")
+      .join(broadcast(queries), "query_id")
       .select(col("query_id"), col("vec_id"),
         PQ.l2sq(col("embedding"), col("q_emb")).as("dist"))
       .withColumn("rk", row_number().over(wTop))

@@ -63,6 +63,18 @@ class IvfPqSpec extends AnyFunSuite {
       truth.map { case (q, t) =>
         got(q).intersect(t.toSet).size.toDouble / t.size }.sum / truth.size
     }
+    // the ADC stage's scan column-prunes the raw embedding away: the
+    // probe plan must contain a codes scan whose ReadSchema has no
+    // embedding column (the compressed-domain I/O contract)
+    val plan = IvfPq.probe(spark, s"$tmp/index", cents, queries,
+      m = M, topK = 10, nProbe = 3, shortlist = 40)
+      .queryExecution.executedPlan.toString
+    val readSchemas = plan.linesIterator
+      .filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.exists(l =>
+      l.contains("codes") && !l.contains("embedding")),
+      s"no codes-only scan in:\n${readSchemas.mkString("\n")}")
+
     // tight knobs: a deterministic floor (the test corpus clusters by
     // DIRECTION (its label structure), not by L2 offset, so coarse
     // L2 buckets split true neighbor sets — recall ~ probed fraction)
