@@ -53,6 +53,37 @@ object StreamBench {
       spark.read.parquet(s"$tmp/dlq").count()
     require(out == rows, s"sink row mismatch: $out != $rows")
     println(f"""{"metric":"stream_rows_per_sec","value":${rows / sec}%.0f,"unit":"rows/sec","rows":$rows,"seconds":$sec%.2f,"batches":${files / math.max(files / 5, 1)}}""")
+
+    // near-dup admission sink: document-shaped stream (unique ids,
+    // ~10% of rows near-duplicate an earlier doc's text) through
+    // nearDupSinkWriter — per-batch LSH against the growing persisted
+    // band table. Far fewer rows than the dual sink: the cost per
+    // batch is a signature pass + candidate verification, not a
+    // parse-and-append.
+    val ndRows = sys.env.getOrElse("SPARK_GRAFT_ND_ROWS", "20000").toLong
+    spark.range(ndRows).select(
+      col("id").as("doc_id"),
+      when(col("id") % 10 === 3,
+        format_string("shared near duplicate content block number %d " +
+          "with mostly common tokens across the corpus run",
+          col("id") % 100))
+        .otherwise(format_string("unique document %d with its own " +
+          "distinct token mixture variant%d body text", col("id"),
+          col("id"))).as("text"))
+      .repartition(files)
+      .write.mode("overwrite").parquet(s"$tmp/nd_landing")
+    val ndSource = spark.readStream
+      .option("maxFilesPerTrigger", math.max(files / 5, 1).toString)
+      .schema("doc_id LONG, text STRING")
+      .parquet(s"$tmp/nd_landing")
+    val t1 = System.nanoTime()
+    val nq = Streams.nearDupSinkWriter(ndSource, s"$tmp/nd_out",
+      s"$tmp/nd_bands", s"$tmp/nd_ckpt", minJaccard = 0.5)
+      .trigger(Streams.drainTrigger).start()
+    nq.awaitTermination()
+    val ndSec = (System.nanoTime() - t1) / 1e9
+    val admitted = spark.read.parquet(s"$tmp/nd_out").count()
+    println(f"""{"metric":"neardup_stream_rows_per_sec","value":${ndRows / ndSec}%.0f,"unit":"rows/sec","rows":$ndRows,"admitted":$admitted,"seconds":$ndSec%.2f}""")
     spark.stop()
   }
 }
