@@ -29,9 +29,8 @@ object NearDup {
     * otherwise serialize the whole signature stage. */
   def bands(docs: DataFrame): DataFrame =
     graft.Tables.spread(docs)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= ShingleN)
-      .withColumn("th", tokenHashes(col("toks")))
+      .select(col("doc_id"), tokenHashesOfText(col("text")).as("th"))
+      .filter(size(col("th")) >= ShingleN)
       .withColumn("hs", shingleHashesOf(col("th"), ShingleN))
       .withColumn("sig", minhashSignature(col("hs"), Components))
       .select(col("doc_id"), explode(array((0 until Bands).map(b =>

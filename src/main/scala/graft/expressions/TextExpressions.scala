@@ -271,6 +271,102 @@ case class SubwordCount(child: Expression) extends UnaryExpression {
   override def prettyName: String = "subword_count"
 }
 
+/** Native fused tokenize-and-hash: lowercase -> whitespace tokens ->
+  * per-token md5-prefix hash, one pass, no regex engine, no 32-char
+  * hex strings, no intermediate token array — the hot loop under the
+  * whole MinHash/SimHash dedup family (signatures, bands, repetition
+  * ratio, rolling fingerprints all start here).
+  *
+  * Value-identical to the composed chain it replaces, element for
+  * element:
+  *  - tokens: `filter(split(lower(text), "\\s+"), length > 0)` —
+  *    Java regex `\s` is exactly the six ASCII bytes checked here
+  *    (space, \t, \n, \x0B, \f, \r; none can appear inside a UTF-8
+  *    multibyte sequence), empty tokens vanish identically, and
+  *    lowercasing uses the same `UTF8String.toLowerCase`;
+  *  - hash: `conv(substring(md5(t), 1, W), 16, 10)` for W = 8
+  *    (`wide=false`, 32-bit value) or W = 15 (`wide=true`, 60-bit) —
+  *    the first W hex chars of the digest read as big-endian nibbles,
+  *    taken straight from the digest bytes without the hex round-trip.
+  * The DuckDB oracle mirrors (`thSql`, 15-char SimHash variant) are
+  * unchanged — they mirror the VALUES, which are identical.
+  */
+case class TokenHashes(child: Expression, wide: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"token_hashes expects a string input, got ${t.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenHashes.compute(input.asInstanceOf[UTF8String], wide)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TokenHashes.compute($c, $wide);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+
+  override def prettyName: String = "token_hashes"
+}
+
+object TokenHashes {
+  private val digests =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' ||
+      b == '\r'
+
+  /** Static entry shared by eval and generated code. */
+  def compute(s: UTF8String, wide: Boolean): ArrayData = {
+    val lower = s.toLowerCase
+    val bytes = lower.getBytes // may copy; one allocation per row
+    val n = bytes.length
+    val md = digests.get()
+    val out = new java.util.ArrayList[java.lang.Long](16)
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > start) {
+        md.reset()
+        md.update(bytes, start, i - start)
+        val d = md.digest()
+        val v =
+          if (!wide) {
+            // first 8 hex chars = digest bytes 0-3, unsigned
+            ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+              ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+          } else {
+            // first 15 hex chars = bytes 0-6 plus byte 7's high nibble
+            var w = 0L
+            var k = 0
+            while (k < 7) { w = (w << 8) | (d(k) & 0xFFL); k += 1 }
+            (w << 4) | ((d(7) & 0xFFL) >>> 4)
+          }
+        out.add(v)
+      }
+    }
+    val arr = new Array[Long](out.size())
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+}
+
 object TextExpressions {
   /** Column wrapper: codegen'd SimHash fingerprint over token hashes. */
   def simHashF(th: Column, bits: Int): Column =
@@ -283,4 +379,9 @@ object TextExpressions {
   /** Column wrapper: codegen'd subword-match count. */
   def subwordCountF(text: Column): Column =
     GraftSqlBridge.column(SubwordCount(GraftSqlBridge.expression(text)))
+
+  /** Column wrapper: fused tokenize + md5-prefix hashes from raw text
+    * (32-bit values; `wide = true` for the 60-bit SimHash variant). */
+  def tokenHashesF(text: Column, wide: Boolean = false): Column =
+    GraftSqlBridge.column(TokenHashes(GraftSqlBridge.expression(text), wide))
 }

@@ -84,6 +84,20 @@ object TextFunctions {
   def tokenHashesWide(toks: Column): Column =
     transform(toks, t => conv(substring(md5(t), 1, 15), 16, 10).cast(LongType))
 
+  /** Fused native tokenize+hash straight from RAW TEXT: one byte pass
+    * (no regex split, no token array, no hex round-trip) — value-
+    * identical to `tokenHashes(tokens(text))`
+    * ([[graft.expressions.TokenHashes]], equivalence property-tested).
+    * Use on every path where the token STRINGS aren't otherwise
+    * needed: the whole MinHash/SimHash family qualifies. */
+  def tokenHashesOfText(text: Column): Column =
+    graft.expressions.TextExpressions.tokenHashesF(text, wide = false)
+
+  /** [[tokenHashesOfText]], 60-bit variant — value-identical to
+    * `tokenHashesWide(tokens(text))` (the SimHash input). */
+  def tokenHashesWideOfText(text: Column): Column =
+    graft.expressions.TextExpressions.tokenHashesF(text, wide = true)
+
   /** Numeric n-gram shingle hashes from a materialized token-hash
     * column: sh_i = (sum_j w_j * th_{i+j} mod p) mod p. Position weights
     * keep the window order-sensitive; per-term mod keeps every

@@ -308,8 +308,7 @@ object CurationQueries {
          |ORDER BY span_h""".stripMargin
     }) { (s, d) =>
       Tables.spread(Tables.documents(s, d))
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .withColumn("th", tokenHashes(col("toks")))
+        .select(col("doc_id"), tokenHashesOfText(col("text")).as("th"))
         .select(col("doc_id"),
           explode_outer(shingleHashesOf(col("th"), 8)).as("h"))
         .filter(col("h").isNotNull)

@@ -275,8 +275,7 @@ object DedupQueries {
       simhashPairsSql("WHERE doc_id < 400")) { (s, d) =>
       val t = Tables.spread(Tables.documents(s, d)
         .filter(col("doc_id") < 400))
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .withColumn("th", tokenHashesWide(col("toks")))
+        .select(col("doc_id"), tokenHashesWideOfText(col("text")).as("th"))
         .select(col("doc_id"), simhashOf(col("th"), SIMHASH_BITS).as("sh"))
       t.as("a").join(t.as("b"), col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -311,8 +310,7 @@ object DedupQueries {
       // BOTH self-join sides read them; without it each side re-runs
       // the tokenize + md5 + simhash scan (the query's dominant cost).
       val t = Tables.spread(Tables.documents(s, d))
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .withColumn("th", tokenHashesWide(col("toks")))
+        .select(col("doc_id"), tokenHashesWideOfText(col("text")).as("th"))
         .select(col("doc_id"), simhashOf(col("th"), SIMHASH_BITS).as("sh"))
         .localCheckpoint()
       val banded = t.select(col("doc_id"), col("sh"),

@@ -294,8 +294,7 @@ object TextQueries {
          |      / len(hs), 6) END AS rep_ratio
          |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.spread(Tables.documents(s, d))
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .withColumn("th", tokenHashes(col("toks")))
+        .select(col("doc_id"), tokenHashesOfText(col("text")).as("th"))
         .select(col("doc_id"), shingleHashesOf(col("th"), 3).as("hs"))
         .select(col("doc_id"),
           when(size(col("hs")) === 0, lit(null).cast("double"))

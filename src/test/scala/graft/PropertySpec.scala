@@ -65,6 +65,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native token_hashes equals the composed tokenize+md5 chain") {
+    // adversarial text: mixed-case unicode, every ASCII whitespace
+    // variant, empty and whitespace-only strings, multibyte tokens
+    val weird = Gen.oneOf(
+      Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString),
+      Gen.const("ÄÖÜ-Straße"), Gen.const("ΣΊΣΥΦΟΣ"), Gen.const("日本語"),
+      Gen.const("ab"), Gen.const("x\f\ry"), Gen.const("emoji🙂tok"),
+      Gen.const(""), Gen.const("  \t "), Gen.const("MiXeD123!@#"))
+    val sep = Gen.oneOf(" ", "\t", "\n", "\r\n", "  ", " \f ")
+    val textGen = for {
+      ws <- Gen.listOfN(6, weird)
+      ss <- Gen.listOfN(6, sep)
+    } yield ws.zip(ss).map { case (w, s) => w + s }.mkString
+    val texts = samples(textGen, 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("id", "text")
+    for (wide <- Seq(false, true)) {
+      val composed = if (wide) tokenHashesWide(tokens(col("text")))
+        else tokenHashes(tokens(col("text")))
+      val native = if (wide) tokenHashesWideOfText(col("text"))
+        else tokenHashesOfText(col("text"))
+      val bad = df.select(col("id"), composed.as("a"), native.as("b"))
+        .filter(not(col("a") === col("b")))
+        .count()
+      assert(bad == 0L, s"wide=$wide mismatches")
+    }
+  }
+
   test("minhash signature agreement is monotone-ish in shared content") {
     // identical docs agree on all components; unrelated docs on few
     val texts = samples(Gen.listOfN(30,
