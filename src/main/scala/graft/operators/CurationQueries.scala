@@ -276,6 +276,57 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // ---- token-distribution drift between snapshots: the data-
+    //      quality monitor a pipeline runs on every corpus update —
+    //      per-token counts in each version, symmetric chi-square-
+    //      style statistic (n1-n2)^2/(n1+n2) per token, top drifted
+    //      tokens reported. All-integer numerators/denominators with
+    //      ONE IEEE division per token (no libm), so exact cross-
+    //      engine. Shape: two explode passes + two uniform count
+    //      shuffles + one full-outer vocab join (vocab-sized, tiny
+    //      relative to the corpus) + distributed top-25. Snapshots
+    //      synthesized as in q101 — the " (rev 2)" tokens surface as
+    //      the drift signal. ----
+    GraftQuery("q108_token_drift",
+      s"""WITH d1 AS (SELECT $toksSql AS toks FROM documents
+         |            WHERE doc_id % 11 <> 3),
+         |c1 AS (SELECT unnest(toks) AS tok FROM d1),
+         |g1 AS (SELECT tok, COUNT(*) AS n1 FROM c1 GROUP BY tok),
+         |d2 AS (SELECT list_filter(string_split_regex(lower(
+         |          CASE WHEN doc_id % 5 = 0 THEN text || ' (rev 2)'
+         |               ELSE text END), '\\s+'), x -> x <> '') AS toks
+         |        FROM documents WHERE doc_id % 11 <> 7),
+         |c2 AS (SELECT unnest(toks) AS tok FROM d2),
+         |g2 AS (SELECT tok, COUNT(*) AS n2 FROM c2 GROUP BY tok),
+         |j AS (SELECT COALESCE(g1.tok, g2.tok) AS tok,
+         |        COALESCE(n1, 0) AS n1, COALESCE(n2, 0) AS n2
+         |      FROM g1 FULL JOIN g2 ON g1.tok = g2.tok)
+         |SELECT tok, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         |  CAST((n1 - n2) * (n1 - n2) AS DOUBLE) / (n1 + n2) AS drift
+         |FROM j
+         |ORDER BY drift DESC, tok LIMIT 25""".stripMargin) { (s, d) =>
+      val docs = Tables.spread(Tables.documents(s, d))
+      def tokCounts(df: org.apache.spark.sql.DataFrame, alias: String) =
+        df.select(explode_outer(col("toks")).as("tok"))
+          .filter(col("tok").isNotNull)
+          .groupBy(col("tok")).agg(count(lit(1)).as(alias))
+      val g1 = tokCounts(docs.filter(col("doc_id") % 11 =!= 3)
+        .select(tokens(col("text")).as("toks")), "n1")
+      val g2 = tokCounts(docs.filter(col("doc_id") % 11 =!= 7)
+        .select(tokens(
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" (rev 2)")))
+            .otherwise(col("text"))).as("toks")), "n2")
+      g1.join(g2, Seq("tok"), "full_outer")
+        .select(col("tok"),
+          coalesce(col("n1"), lit(0L)).as("n1"),
+          coalesce(col("n2"), lit(0L)).as("n2"))
+        .select(col("tok"), col("n1"), col("n2"),
+          (((col("n1") - col("n2")) * (col("n1") - col("n2")))
+            .cast("double") / (col("n1") + col("n2"))).as("drift"))
+        .orderBy(col("drift").desc, col("tok"))
+        .limit(25)
+    },
+
     // ---- repeated-span detection: 8-token spans (stride 1) whose
     //      fingerprint occurs in MORE THAN ONE document — the n-gram-
     //      granular form of exact-substring dedup (suffix-array
