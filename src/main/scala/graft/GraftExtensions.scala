@@ -89,5 +89,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "subword_count(text) - Count of [A-Za-z0-9]+ runs plus other " +
         "non-whitespace codepoints (BPE-ish subword estimate).",
       graft.expressions.SubwordCount(_))
+    unary("token_hashes", classOf[graft.expressions.TokenHashes],
+      "token_hashes(text) - Fused lowercase/tokenize/md5-prefix: " +
+        "array<bigint> of 32-bit per-token hashes (the MinHash input).",
+      graft.expressions.TokenHashes(_, wide = false))
+    unary("token_hashes_wide", classOf[graft.expressions.TokenHashes],
+      "token_hashes_wide(text) - 60-bit variant of token_hashes " +
+        "(the SimHash input).",
+      graft.expressions.TokenHashes(_, wide = true))
   }
 }

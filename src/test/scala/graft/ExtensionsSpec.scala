@@ -32,6 +32,15 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect()(0)
       assert(r.getLong(0) == 2L) // '-' and '!'
       assert(r.getLong(1) == 5L) // a, -, b, c, !
+      // fused tokenize+hash registers and matches the composed chain
+      val th = s.sql(
+        """SELECT token_hashes('Hello World') = array(
+          |  CAST(conv(substring(md5('hello'), 1, 8), 16, 10) AS BIGINT),
+          |  CAST(conv(substring(md5('world'), 1, 8), 16, 10) AS BIGINT)),
+          |  size(token_hashes_wide('a b c'))""".stripMargin)
+        .collect()(0)
+      assert(th.getBoolean(0))
+      assert(th.getInt(1) == 3)
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)
