@@ -276,6 +276,21 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // ---- BPE tokenizer training (full loop): learn 4 merges from
+    //      the corpus via graft.text.Bpe — the corpus pays ONE pass
+    //      (the word-frequency vocab shuffle); each merge round is
+    //      vocab-sized. Rows-only check (merge selection is an
+    //      iterative argmax, not SQL-expressible); q103 oracle-checks
+    //      the pair-count statistic a round is built from, and
+    //      BpeSpec pins the classic merge sequence. ----
+    GraftQuery.noOracle("q109_bpe_merges") { (s, d) =>
+      import s.implicits._
+      graft.text.Bpe.train(Tables.documents(s, d), k = 4)
+        .map(m => (m.rank, m.left, m.right, m.count))
+        .toDF("rank", "left", "right", "wcount")
+        .orderBy("rank")
+    },
+
     // ---- token-distribution drift between snapshots: the data-
     //      quality monitor a pipeline runs on every corpus update —
     //      per-token counts in each version, symmetric chi-square-
