@@ -67,7 +67,8 @@ object ScaleProbe {
         "q99_source_dedup_rate", "q101_snapshot_diff",
         "q102_temperature_resample", "q103_bpe_pair_counts",
         "q104_length_outlier_trim", "q105_url_canonical_dedup",
-        "q106_upsert_merge", "q107_repeated_spans")
+        "q106_upsert_merge", "q107_repeated_spans", "q108_token_drift",
+        "q109_bpe_merges")
       qs100.foreach { n =>
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(n)(spark, out100)
