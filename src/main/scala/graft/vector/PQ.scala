@@ -71,6 +71,16 @@ object PQ {
     * (the [[VectorIndex.centroids]] pattern, sliced per subspace);
     * `iters` Lloyd's rounds with decimal-exact means follow. Empty
     * cells keep their previous centroid. */
+  /** Codebook-training sample cap: Lloyd's rounds run over at most
+    * this many vectors, selected by a deterministic vec_id stride —
+    * the standard PQ practice (codebooks are k-means cell centers; a
+    * bounded sample pins them as well as the full corpus, and training
+    * on 100 TB of raw vectors would re-scan the corpus per iteration
+    * for no recall gain). The full corpus still pays exactly one pass
+    * at ENCODE time. 64 * k (k=16 -> 1024) comfortably exceeds the
+    * ~10-40 samples-per-centroid rule of thumb. */
+  def trainCap(k: Int): Long = 64L * k
+
   def trainCodebooks(corpus: DataFrame, m: Int, k: Int,
       iters: Int = 2): DataFrame = {
     val total = corpus.count()
@@ -84,7 +94,11 @@ object PQ {
       .join(seeds.select(col("vec_id"), col("cid")), "vec_id")
       .select(col("sub"), col("cid"), col("sv").as("c_sub"))
       .localCheckpoint()
-    val sv = subvectors(corpus, "embedding", m).localCheckpoint()
+    val sampleStride = math.max(total / trainCap(k), 1L)
+    val trainSet =
+      if (sampleStride <= 1L) corpus
+      else corpus.filter(pmod(col("vec_id"), lit(sampleStride)) === 0)
+    val sv = subvectors(trainSet, "embedding", m).localCheckpoint()
     var it = 0
     while (it < iters) {
       val means = assign(sv, cb)
