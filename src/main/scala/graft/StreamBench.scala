@@ -55,18 +55,19 @@ object StreamBench {
     println(f"""{"metric":"stream_rows_per_sec","value":${rows / sec}%.0f,"unit":"rows/sec","rows":$rows,"seconds":$sec%.2f,"batches":${files / math.max(files / 5, 1)}}""")
 
     // near-dup admission sink: document-shaped stream (unique ids,
-    // ~10% of rows near-duplicate an earlier doc's text) through
-    // nearDupSinkWriter — per-batch LSH against the growing persisted
-    // band table. Far fewer rows than the dual sink: the cost per
-    // batch is a signature pass + candidate verification, not a
-    // parse-and-append.
+    // ~10% of rows NEAR-duplicate an earlier doc's text — every text
+    // is distinct, so the in-batch exact-dedup stage passes them all
+    // through and the LSH candidate + Jaccard-verify path does the
+    // work being measured) through nearDupSinkWriter, per-batch
+    // against the growing persisted band table.
     val ndRows = sys.env.getOrElse("SPARK_GRAFT_ND_ROWS", "20000").toLong
     spark.range(ndRows).select(
       col("id").as("doc_id"),
       when(col("id") % 10 === 3,
-        format_string("shared near duplicate content block number %d " +
-          "with mostly common tokens across the corpus run",
-          col("id") % 100))
+        format_string("shared near duplicate content block with mostly " +
+          "common tokens repeated across the whole corpus run for " +
+          "benchmarking the admission path group %d copy %d",
+          col("id") % 100, col("id")))
         .otherwise(format_string("unique document %d with its own " +
           "distinct token mixture variant%d body text", col("id"),
           col("id"))).as("text"))

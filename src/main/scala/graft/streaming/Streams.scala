@@ -239,12 +239,10 @@ object Streams {
           .select(col("fp"), col("r.doc_id").as("doc_id"),
             col("r.text").as("text"))
         // first batch: no table yet — everything is fresh
-        val seen = scala.util.Try(spark.read.parquet(fpPath)).getOrElse(
-          spark.createDataFrame(spark.sparkContext
-              .emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("fp",
-                org.apache.spark.sql.types.StringType)))))
+        val seen = readOrEmpty(spark, fpPath,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("fp",
+              org.apache.spark.sql.types.StringType))))
         val fresh = firsts.join(seen.select(col("fp")), Seq("fp"),
           "left_anti")
         fresh.persist()
@@ -281,8 +279,10 @@ object Streams {
     * ([[graft.dedup.NearDup.incrementalVerifiedWithBands]]). Like
     * [[dedupSinkWriter]], the parquet tables are the source of truth:
     * restart after checkpoint loss still drops near-dups of last
-    * year's content. Batch doc_ids must be unique across the stream's
-    * lifetime (the drop decision keeps the lower id). */
+    * year's content, and a REPLAYED micro-batch is a no-op for
+    * admission (its fingerprints already sit in the corpus table).
+    * Batch doc_ids must be unique across the stream's lifetime (the
+    * drop decision keeps the lower id). */
   def nearDupSinkWriter(docs: DataFrame, outPath: String, bandPath: String,
       checkpoint: String, minJaccard: Double = 0.5): DataStreamWriter[Row] =
     docs.writeStream
@@ -295,23 +295,58 @@ object Streams {
             graft.functions.TextFunctions.fingerprint(col("text")))
           .groupBy(col("fp"))
           .agg(min(struct(col("doc_id"), col("text"))).as("r"))
-          .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
-          .localCheckpoint()
+          .select(col("fp"), col("r.doc_id").as("doc_id"),
+            col("r.text").as("text"))
+        // the corpus table carries each admitted doc's fingerprint,
+        // computed once at admission — the exact-dedup anti-join below
+        // reads ONLY that column (columnar prune), never re-hashing
+        // the corpus
         val corpus = readOrEmpty(spark, outPath, StructType(Seq(
-          StructField("doc_id", LongType), StructField("text", StringType))))
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("fp", StringType))))
         val corpusBands = readOrEmpty(spark, bandPath, StructType(Seq(
           StructField("doc_id", LongType), StructField("band", IntegerType),
           StructField("band_key", StringType))))
-        val drops = graft.dedup.NearDup
-          .incrementalVerifiedWithBands(corpus, corpusBands, firsts,
-            minJaccard)
-          .select(col("doc_b").as("doc_id")).distinct()
-        val fresh = firsts.join(drops, Seq("doc_id"), "left_anti")
+        // exact-content anti-join BEFORE the LSH pass. This is what
+        // makes the sink (a) replay-idempotent — a re-executed batch's
+        // docs match their own admitted fingerprints and drop out
+        // (LSH alone cannot catch a replay: the corpus copy has the
+        // SAME doc_id, and candidate generation excludes self-pairs) —
+        // and (b) closed for sub-shingle docs: texts under ShingleN
+        // tokens get no band rows, so only this fingerprint check
+        // stops their exact copies from re-admitting forever.
+        val novel = firsts
+          .join(corpus.select(col("fp")), Seq("fp"), "left_anti")
           .localCheckpoint()
-        fresh.select(col("doc_id"), col("text"))
-          .write.mode("append").parquet(outPath)
-        graft.dedup.NearDup.bands(fresh)
+        val drops = graft.dedup.NearDup
+          .incrementalVerifiedWithBands(
+            corpus.select(col("doc_id"), col("text")), corpusBands,
+            novel.select(col("doc_id"), col("text")), minJaccard)
+          .select(col("doc_b").as("doc_id")).distinct()
+        // truncation is never silent (the NearDup contract): over-cap
+        // buckets traded recall for boundedness — say so per batch
+        graft.dedup.NearDup.lastTruncation
+          .filter(_.oversizedBuckets > 0).foreach { t =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"nearDupSinkWriter: ${t.oversizedBuckets} LSH buckets " +
+                s"over cap (max ${t.maxBucketN}) — near-dup recall " +
+                "reduced this batch")
+          }
+        val fresh = novel.join(drops, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        // bands FIRST: a crash between the two appends must not leave
+        // corpus text invisible to future candidate generation. The
+        // failure modes are asymmetric: orphan band rows (bands
+        // written, corpus append lost) are SOFT — verification drops
+        // pairs whose corpus text is missing, and the replayed batch
+        // re-admits the docs (their fps aren't in the corpus yet) —
+        // while corpus rows without band rows would admit their
+        // near-dups forever.
+        graft.dedup.NearDup
+          .bands(fresh.select(col("doc_id"), col("text")))
           .write.mode("append").parquet(bandPath)
+        fresh.select(col("doc_id"), col("text"), col("fp"))
+          .write.mode("append").parquet(outPath)
         ()
       }
 

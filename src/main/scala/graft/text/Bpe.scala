@@ -34,11 +34,13 @@ object Bpe {
       .filter(col("word").isNotNull)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
-  /** Character symbol arrays per vocab word (split("") yields one
-    * element per codepoint; stray empties filtered). */
+  /** Character symbol arrays per vocab word — one element per CODE
+    * POINT (java.util.regex `.` consumes a full surrogate pair, so an
+    * astral emoji/CJK character stays one symbol; a code-unit split
+    * would leak lone surrogates into the learned merge table). */
   private def symbols(v: DataFrame): DataFrame =
     v.withColumn("syms",
-      filter(split(col("word"), ""), s => length(s) > 0))
+      regexp_extract_all(col("word"), lit("."), lit(0)))
 
   /** Greedy left-to-right single-merge rewrite of a symbol array:
     * every adjacent (a, b) becomes the fused symbol, re-fusable with a

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * refinement, deliberately not taken: a per-bucket residual codebook
   * couples the two quantizers and the recall gap is recovered by the
   * exact re-rank stage), and write ONE index partitioned by bucket:
-  * each row carries (vec_id, embedding, nrm, codes). Codebooks persist
+  * each row carries (vec_id, embedding, codes). Codebooks persist
   * next to the index.
   *
   * PROBE, three stages, each strictly narrower:
@@ -56,14 +56,12 @@ object IvfPq {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2"), col("cent_id"))
     corpus
-      .withColumn("nrm", l2Norm(col("embedding")))
       .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
         PQ.l2sq(col("embedding"), col("c_emb")).as("d2"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("cent_id").as("bucket"))
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("bucket"))
   }
 
   /** Build the partitioned IVF-PQ index at `path`. `cents` are the
@@ -98,6 +96,10 @@ object IvfPq {
       .withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= nProbe)
       .select(col("query_id"), col("q_emb"), col("cent_id").as("bucket"))
+      // materialize: the frame is executed twice (bucket collect for
+      // partition pruning, then the ADC join) — without this the
+      // queries x centroids cross join + window re-runs
+      .localCheckpoint()
     // bucket IN (...) is a partition filter: planning-time pruning —
     // the probed-bucket id set is bounded by queries x nProbe
     val buckets = probeBuckets.select("bucket").distinct()

@@ -49,6 +49,12 @@ class BpeSpec extends AnyFunSuite {
     assert(seg("slowest") == Seq("s", "low", "est"))
   }
 
+  test("symbols are codepoints: astral chars never split into surrogates") {
+    val seg = Bpe.segment(Seq(("a🙂b", 1L)).toDF("word", "freq"), Seq())
+      .select("syms").collect()(0).getSeq[String](0)
+    assert(seg == Seq("a", "🙂", "b"))
+  }
+
   test("merge handles overlapping pairs left-to-right (aaa -> aa,a)") {
     val merges = Seq(Bpe.Merge(0, "a", "a", 0L))
     val seg = Bpe.segment(Seq(("aaa", 1L)).toDF("word", "freq"), merges)

@@ -41,9 +41,9 @@ class IvfPqSpec extends AnyFunSuite {
     val idx = spark.read.parquet(s"$tmp/index")
     assert(idx.count() == corpus.count())
     assert(idx.select("bucket").distinct().count() <= 8)
-    // every row carries raw embedding AND m codes
-    assert(idx.schema.fieldNames.toSet
-      .intersect(Set("embedding", "codes", "nrm")).size == 3)
+    // every row carries raw embedding AND m codes (and nothing dead)
+    assert(idx.schema.fieldNames.sorted.toSeq ==
+      Seq("bucket", "codes", "embedding", "vec_id"))
     assert(idx.select(size(col("codes"))).distinct()
       .collect().map(_.getInt(0)).toSeq == Seq(M))
 

@@ -97,6 +97,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/bands")
       .select("doc_id").distinct()
       .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L, 10L))
+    // REPLAY idempotence: re-processing an already-committed batch
+    // (same docs, same ids — the crash-before-checkpoint-commit case)
+    // must admit nothing and leave both tables unchanged
+    val mem3 = MemoryStream[(Long, String)]
+    mem3.addData((1L, base), (3L, other))
+    val q3 = Streams.nearDupSinkWriter(
+      mem3.toDF.toDF("doc_id", "text"),
+      s"$tmp/out", s"$tmp/bands", s"$tmp/ckpt3", minJaccard = 0.5).start()
+    q3.processAllAvailable(); q3.stop()
+    assert(spark.read.parquet(s"$tmp/out").count() === 3L,
+      "replayed docs must not duplicate corpus rows")
+    assert(spark.read.parquet(s"$tmp/bands")
+      .select("doc_id").distinct().count() === 3L)
   }
 
   test("W5: corrupt records split to DLQ instead of failing the stream") {
