@@ -281,8 +281,10 @@ object Streams {
     * restart after checkpoint loss still drops near-dups of last
     * year's content, and a REPLAYED micro-batch is a no-op for
     * admission (its fingerprints already sit in the corpus table).
-    * Batch doc_ids must be unique across the stream's lifetime (the
-    * drop decision keeps the lower id). */
+    * Batch doc_ids must be unique across the stream's lifetime.
+    * Intra-batch near-dup pairs keep the lower doc_id; corpus-vs-batch
+    * pairs always keep the already-admitted corpus doc (the incoming
+    * doc is dropped regardless of id order). */
   def nearDupSinkWriter(docs: DataFrame, outPath: String, bandPath: String,
       checkpoint: String, minJaccard: Double = 0.5): DataStreamWriter[Row] =
     docs.writeStream
@@ -342,8 +344,18 @@ object Streams {
         // re-admits the docs (their fps aren't in the corpus yet) —
         // while corpus rows without band rows would admit their
         // near-dups forever.
+        // anti-join on doc_id vs the persisted band table: a crash
+        // AFTER the bands append but BEFORE the corpus append, then a
+        // replay, would otherwise append the doc's band rows a second
+        // time (the fp replay guard only consults the corpus table) —
+        // duplicate band rows inflate bucket_n toward the truncation
+        // cap and grow the table without bound. Parquet appends commit
+        // at job level, so a doc present in the band table has ALL its
+        // band rows; doc_id granularity is safe.
         graft.dedup.NearDup
           .bands(fresh.select(col("doc_id"), col("text")))
+          .join(corpusBands.select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
           .write.mode("append").parquet(bandPath)
         fresh.select(col("doc_id"), col("text"), col("fp"))
           .write.mode("append").parquet(outPath)

@@ -66,13 +66,8 @@ object PQ {
       .select(col("vec_id"), col("sub"), col("cid"))
   }
 
-  /** Train per-subspace codebooks: (sub, cid, c_sub) — m*k rows.
-    * Seeds are the subvectors of a deterministic vec_id-stride sample
-    * (the [[VectorIndex.centroids]] pattern, sliced per subspace);
-    * `iters` Lloyd's rounds with decimal-exact means follow. Empty
-    * cells keep their previous centroid. */
   /** Codebook-training sample cap: Lloyd's rounds run over at most
-    * this many vectors, selected by a deterministic vec_id stride —
+    * this many vectors, selected by a deterministic hash stride —
     * the standard PQ practice (codebooks are k-means cell centers; a
     * bounded sample pins them as well as the full corpus, and training
     * on 100 TB of raw vectors would re-scan the corpus per iteration
@@ -81,6 +76,11 @@ object PQ {
     * ~10-40 samples-per-centroid rule of thumb. */
   def trainCap(k: Int): Long = 64L * k
 
+  /** Train per-subspace codebooks: (sub, cid, c_sub) — m*k rows.
+    * Seeds are the subvectors of a deterministic vec_id-stride sample
+    * (the [[VectorIndex.centroids]] pattern, sliced per subspace);
+    * `iters` Lloyd's rounds with decimal-exact means follow. Empty
+    * cells keep their previous centroid. */
   def trainCodebooks(corpus: DataFrame, m: Int, k: Int,
       iters: Int = 2): DataFrame = {
     val total = corpus.count()
@@ -95,9 +95,15 @@ object PQ {
       .select(col("sub"), col("cid"), col("sv").as("c_sub"))
       .localCheckpoint()
     val sampleStride = math.max(total / trainCap(k), 1L)
+    // Stride over a HASH of vec_id, not the raw id: a sparse or offset
+    // id space (ids all ≡ 7 mod stride, say) would make a raw-id stride
+    // silently under-sample — or empty the training set entirely,
+    // degrading centroids to their seeds. xxhash64 is deterministic, so
+    // the sample (and the learned codebooks) stay reproducible.
     val trainSet =
       if (sampleStride <= 1L) corpus
-      else corpus.filter(pmod(col("vec_id"), lit(sampleStride)) === 0)
+      else corpus.filter(
+        pmod(xxhash64(col("vec_id")), lit(sampleStride)) === 0)
     val sv = subvectors(trainSet, "embedding", m).localCheckpoint()
     var it = 0
     while (it < iters) {

@@ -110,6 +110,32 @@ class StreamingSpec extends AnyFunSuite {
       "replayed docs must not duplicate corpus rows")
     assert(spark.read.parquet(s"$tmp/bands")
       .select("doc_id").distinct().count() === 3L)
+    // CRASH between the two appends: band rows committed, corpus
+    // append lost (bands are written first by design). The replayed
+    // batch must re-admit the doc — its fp is absent from the corpus —
+    // but must NOT append its band rows a second time: the fp replay
+    // guard only consults the corpus table, so without the doc_id
+    // anti-join the band table would accumulate duplicates across
+    // crash/replay cycles.
+    val doc20 =
+      "entirely new survivor content with plenty of distinct words to band"
+    val orphanBands = graft.dedup.NearDup.bands(
+      Seq((20L, doc20)).toDF("doc_id", "text")).cache()
+    val n20 = orphanBands.count()
+    orphanBands.write.mode("append").parquet(s"$tmp/bands")
+    orphanBands.unpersist()
+    val mem4 = MemoryStream[(Long, String)]
+    mem4.addData((20L, doc20))
+    val q4 = Streams.nearDupSinkWriter(
+      mem4.toDF.toDF("doc_id", "text"),
+      s"$tmp/out", s"$tmp/bands", s"$tmp/ckpt4", minJaccard = 0.5).start()
+    q4.processAllAvailable(); q4.stop()
+    assert(spark.read.parquet(s"$tmp/out")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L, 10L, 20L),
+      "doc 20's corpus append was lost — the replay must re-admit it")
+    assert(spark.read.parquet(s"$tmp/bands")
+      .filter(col("doc_id") === 20L).count() === n20,
+      "the replay must not duplicate doc 20's band rows")
   }
 
   test("W5: corrupt records split to DLQ instead of failing the stream") {
