@@ -30,6 +30,57 @@ object CurationQueries {
   private def fpSql(text: String): String =
     s"""md5(regexp_replace(lower(trim($text)), '\\s+', ' ', 'g'))"""
 
+  /** DuckDB oracle for k BPE merge rounds (q109), unrolled into
+    * chained CTEs. Words encode as `' s1  s2 ... sn '` — every symbol
+    * wrapped in single spaces, so adjacent symbols meet at a DOUBLE
+    * space (symbols come from whitespace-split tokens and can never
+    * contain a space themselves). Under that encoding, SQL's
+    * non-overlapping left-to-right `replace(enc, ' l  r ', ' lr ')`
+    * is EXACTLY the trainer's greedy fold: each match consumes one
+    * boundary space on each side and the wrap re-establishes it, so
+    * an overlapping run like `a a a a` merges to `aa aa` in one call
+    * (match, resume after the consumed boundary, match again) — the
+    * same non-overlapping scan [[graft.text.Bpe]] applies. Each round
+    * is: re-split symbols on the double space, count freq-weighted
+    * adjacent pairs (the q103 statistic), pick the (count desc, left,
+    * right) argmax via scalar subqueries, rewrite. Selection compares
+    * strings in binary collation on both engines, so ties break
+    * identically. */
+  private def bpeMergesSql(k: Int): String = {
+    def round(i: Int): String =
+      s"""p$i AS (
+         |  SELECT pr.l AS lft, pr.r AS rgt,
+         |    CAST(SUM(freq) AS BIGINT) AS wcount
+         |  FROM (SELECT freq, unnest(list_transform(range(1, len(syms)),
+         |          j -> {'l': syms[j], 'r': syms[j+1]})) AS pr
+         |        FROM (SELECT freq, string_split(trim(enc, ' '), '  ')
+         |                AS syms FROM s${i - 1}))
+         |  GROUP BY pr.l, pr.r),
+         |b$i AS (SELECT lft, rgt, wcount FROM p$i
+         |        ORDER BY wcount DESC, lft, rgt LIMIT 1),
+         |s$i AS (SELECT freq, replace(enc,
+         |          ' ' || (SELECT lft FROM b$i) || '  ' ||
+         |            (SELECT rgt FROM b$i) || ' ',
+         |          ' ' || (SELECT lft FROM b$i) ||
+         |            (SELECT rgt FROM b$i) || ' ') AS enc
+         |        FROM s${i - 1})""".stripMargin
+    val ranks = (1 to k).map(i =>
+        s"""SELECT ${i - 1} AS rank, lft AS "left", rgt AS "right",
+           |  wcount FROM b$i""".stripMargin)
+      .mkString(" UNION ALL ")
+    s"""WITH v AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest($toksSql) AS word FROM documents)
+       |  GROUP BY word),
+       |s0 AS (SELECT freq,
+       |    ' ' || array_to_string(regexp_extract_all(word, '.'), '  ')
+       |      || ' ' AS enc
+       |  FROM v),
+       |${(1 to k).map(round).mkString(",\n")}
+       |SELECT * FROM ($ranks)
+       |ORDER BY rank""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     // ---- corpus snapshot diff: classify every doc across two corpus
@@ -278,12 +329,15 @@ object CurationQueries {
 
     // ---- BPE tokenizer training (full loop): learn 4 merges from
     //      the corpus via graft.text.Bpe — the corpus pays ONE pass
-    //      (the word-frequency vocab shuffle); each merge round is
-    //      vocab-sized. Rows-only check (merge selection is an
-    //      iterative argmax, not SQL-expressible); q103 oracle-checks
-    //      the pair-count statistic a round is built from, and
-    //      BpeSpec pins the classic merge sequence. ----
-    GraftQuery.noOracle("q109_bpe_merges") { (s, d) =>
+    //      (the word-frequency vocab shuffle); the merge loop is
+    //      driver-local over the bounded vocab frame. Oracle: the k
+    //      rounds unroll into chained CTEs ([[bpeMergesSql]]) — pair
+    //      counts, argmax via scalar subqueries, and the greedy
+    //      left-to-right rewrite expressed as a single replace() over
+    //      a double-delimited symbol encoding. BpeSpec additionally
+    //      pins the classic merge sequence and the local ≡ distributed
+    //      equivalence. ----
+    GraftQuery("q109_bpe_merges", bpeMergesSql(4)) { (s, d) =>
       import s.implicits._
       graft.text.Bpe.train(Tables.documents(s, d), k = 4)
         .map(m => (m.rank, m.left, m.right, m.count))

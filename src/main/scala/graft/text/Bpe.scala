@@ -7,18 +7,34 @@ import org.apache.spark.sql.functions._
 /** Byte-pair-encoding tokenizer TRAINING, in the formulation that
   * scales: the corpus contributes ONE pass (explode words -> count ->
   * the (word, freq) vocabulary table, a uniform-key shuffle exactly
-  * like q97's); every merge round after that operates on the
-  * vocab frame — |V| rows, corpus-size-independent — counting
-  * freq-weighted adjacent symbol pairs and rewriting symbol arrays.
-  * This is how reference BPE trainers work (count over the word-
-  * frequency table, not the running text), so a 100 TB corpus pays
-  * 100 TB exactly once, then k merge rounds of vocab-sized work.
+  * like q97's); the merge loop then runs over that vocabulary — |V|
+  * rows, corpus-size-independent. This is how reference BPE trainers
+  * work (count over the word-frequency table, not the running text),
+  * so a 100 TB corpus pays 100 TB exactly once, then k merges of
+  * vocab-sized work.
+  *
+  * The merge loop itself runs DRIVER-LOCAL over the collected vocab
+  * frame with incremental pair-count maintenance (a lazy-delete heap
+  * keyed by (weighted count desc, left, right) — the classic in-memory
+  * trainer loop), so training a real 30k–50k-merge vocabulary costs
+  * one Spark job total, not 2 jobs per merge. Memory contract: the
+  * driver holds the distinct-word vocabulary plus per-word symbol
+  * arrays and the adjacent-pair index — tens of bytes per vocab word.
+  * Web-scale corpora bound |V| with `minFreq` (drop hapax noise before
+  * training — the standard trainer knob; freq thresholds don't change
+  * surviving merge order, they only remove words that would have
+  * contributed their counts).
   *
   * Determinism: merge selection orders by (weighted count desc, left,
-  * right) — total order, no RNG — so the learned merge table is
-  * reproducible across runs and partitionings (counts are integer
-  * sums). The q103 registry query oracle-checks the pair-count core
-  * of a round; BpeSpec pins the classic merge sequence end-to-end.
+  * right) with left/right compared as UTF-8 byte strings — the same
+  * total order Spark's UTF8String (and DuckDB's binary collation)
+  * uses — so the learned merge table is reproducible across runs,
+  * partitionings, and vocab collect order (counts are integer sums;
+  * every structure update is commutative). The q103 registry query
+  * oracle-checks the pair-count core of a round; q109 oracle-checks
+  * the full small-k merge table against a DuckDB round-unrolled
+  * rewrite; BpeSpec pins the classic merge sequence and the
+  * local-loop ≡ per-round-distributed equivalence.
   */
 object Bpe {
 
@@ -66,12 +82,27 @@ object Bpe {
       .groupBy(col("p.left").as("left"), col("p.right").as("right"))
       .agg(sum(col("freq")).as("wcount"))
 
-  /** Learn `k` merges from a (doc_id, text) corpus. Returns the merge
+  /** Learn `k` merges from a (doc_id, text) corpus: ONE vocab job,
+    * then the driver-local loop of [[trainLocal]]. Returns the merge
     * table in rank order (possibly shorter than k if the vocab runs
     * out of repeated pairs — singleton pairs still merge; an empty
-    * vocab stops). Each round is two vocab-sized jobs (count + top-1,
-    * rewrite + checkpoint); the corpus is read exactly once. */
-  def train(docs: DataFrame, k: Int): Seq[Merge] = {
+    * vocab stops). `minFreq` drops words rarer than the threshold
+    * before training (bounds driver memory on web-scale vocabularies;
+    * 1 = exact). */
+  def train(docs: DataFrame, k: Int, minFreq: Long = 1L): Seq[Merge] = {
+    val v =
+      if (minFreq <= 1L) vocab(docs)
+      else vocab(docs).filter(col("freq") >= minFreq)
+    trainLocal(
+      v.collect().map(r => (r.getString(0), r.getLong(1))).toSeq, k)
+  }
+
+  /** Retained per-round DISTRIBUTED formulation — 2 vocab-sized Spark
+    * jobs per merge (pair-count + top-1, rewrite + checkpoint). Kept
+    * as the cross-check reference for BpeSpec's local ≡ distributed
+    * equivalence pin; [[train]] is the production path (same merge
+    * table, ~k× fewer jobs). */
+  private[graft] def trainIterative(docs: DataFrame, k: Int): Seq[Merge] = {
     var syms = symbols(vocab(docs)).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var r = 0
@@ -89,6 +120,131 @@ object Bpe {
           .withColumn("syms", mergeOnce(col("syms"), l, ri))
           .localCheckpoint()
         r += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** UTF-8 byte order — Spark UTF8String / DuckDB binary-collation
+    * comparison semantics, NOT java.lang.String's UTF-16 code-unit
+    * order (they disagree between astral and U+E000..U+FFFF chars). */
+  private def utf8Compare(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Code-point split (the driver-side mirror of [[symbols]]). */
+  private def codepoints(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
+  /** Driver-side mirror of [[mergeOnce]]: greedy left-to-right,
+    * non-overlapping, fused symbol re-fusable only on later rounds. */
+  private def mergeWord(syms: Array[String], l: String, r: String)
+      : Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (out.nonEmpty && out(out.length - 1) == l && syms(i) == r)
+        out(out.length - 1) = l + r
+      else out += syms(i)
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** The in-memory merge loop over a (word, freq) vocabulary —
+    * incremental pair-count maintenance plus a lazy-delete heap, the
+    * classic trainer structure: each merge touches only the words that
+    * contain the selected pair (tracked by an inverted pair→words
+    * index), and selection pops the heap until an entry's count
+    * matches the live map (entries are re-pushed on every count
+    * change, so the heap always holds one live entry per pair; counts
+    * can both fall — neighbours of a merged occurrence — and RISE — a
+    * fused symbol can collide with an existing symbol string, merging
+    * two pair keys). Deterministic regardless of input order: all
+    * updates are commutative integer sums and selection is the total
+    * order (count desc, left, right) over UTF-8 bytes. */
+  def trainLocal(vocabRows: Seq[(String, Long)], k: Int): Seq[Merge] = {
+    import scala.collection.mutable
+    type Pair = (String, String)
+    val wordSyms = mutable.ArrayBuffer.empty[Array[String]]
+    val freqs = mutable.ArrayBuffer.empty[Long]
+    vocabRows.foreach { case (w, f) =>
+      wordSyms += codepoints(w); freqs += f
+    }
+    val counts = mutable.HashMap.empty[Pair, Long]
+    val where = mutable.HashMap.empty[Pair, mutable.Set[Int]]
+    def pairBag(syms: Array[String]): mutable.HashMap[Pair, Long] = {
+      val m = mutable.HashMap.empty[Pair, Long]
+      var j = 0
+      while (j < syms.length - 1) {
+        val p = (syms(j), syms(j + 1))
+        m.update(p, m.getOrElse(p, 0L) + 1L)
+        j += 1
+      }
+      m
+    }
+    val heapOrd = new java.util.Comparator[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String))
+          : Int = {
+        val c = java.lang.Long.compare(y._1, x._1) // count DESC
+        if (c != 0) c
+        else {
+          val l = utf8Compare(x._2, y._2)
+          if (l != 0) l else utf8Compare(x._3, y._3)
+        }
+      }
+    }
+    val heap = new java.util.PriorityQueue[(Long, String, String)](heapOrd)
+    for (wi <- wordSyms.indices)
+      pairBag(wordSyms(wi)).foreach { case (p, mult) =>
+        counts.update(p, counts.getOrElse(p, 0L) + mult * freqs(wi))
+        where.getOrElseUpdate(p, mutable.Set.empty) += wi
+      }
+    counts.foreach { case ((l, r), c) => heap.add((c, l, r)) }
+
+    val merges = mutable.ArrayBuffer.empty[Merge]
+    var rank = 0
+    while (rank < k && !heap.isEmpty) {
+      val (c, l, r) = heap.poll()
+      if (counts.get((l, r)).contains(c)) { // live entry
+        merges += Merge(rank, l, r, c)
+        val p = (l, r)
+        val affected = where.getOrElse(p, mutable.Set.empty).toArray
+        affected.foreach { wi =>
+          val before = pairBag(wordSyms(wi))
+          val after0 = mergeWord(wordSyms(wi), l, r)
+          wordSyms(wi) = after0
+          val after = pairBag(after0)
+          (before.keySet ++ after.keySet).foreach { q =>
+            val d = after.getOrElse(q, 0L) - before.getOrElse(q, 0L)
+            if (d != 0L) {
+              val nc = counts.getOrElse(q, 0L) + d * freqs(wi)
+              if (nc <= 0L) { counts.remove(q); where.remove(q) }
+              else {
+                counts.update(q, nc)
+                heap.add((nc, q._1, q._2))
+              }
+            }
+            if (after.getOrElse(q, 0L) == 0L)
+              where.get(q).foreach(_ -= wi)
+            else if (before.getOrElse(q, 0L) == 0L)
+              where.getOrElseUpdate(q, mutable.Set.empty) += wi
+          }
+        }
+        // greedy rewrite leaves no (l, r) adjacency, so its count
+        // drains to zero through the deltas above; drop any residue
+        counts.remove(p)
+        where.remove(p)
+        rank += 1
       }
     }
     merges.toSeq

@@ -61,4 +61,50 @@ class BpeSpec extends AnyFunSuite {
       .select("syms").collect()(0).getSeq[String](0)
     assert(seg == Seq("aa", "a"))
   }
+
+  /** A deterministic messy corpus: overlapping runs (aaaa), fused-
+    * symbol collisions (ab next to existing 'ab'-ish words), ties, and
+    * an astral char — the cases where the driver-local loop could
+    * diverge from the per-round distributed reference. */
+  private def messyCorpus = {
+    val words = Seq.fill(7)("aaaa") ++ Seq.fill(5)("abab") ++
+      Seq.fill(5)("aab") ++ Seq.fill(4)("banana") ++
+      Seq.fill(3)("bandana") ++ Seq.fill(3)("🙂ab🙂ab") ++
+      Seq.fill(2)("tie1") ++ Seq.fill(2)("tie2") ++ Seq("zqx")
+    Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+  }
+
+  test("driver-local loop ≡ per-round distributed reference, to exhaustion") {
+    // k beyond exhaustion on both fixtures: every rank, pair, and
+    // count must agree, including the stopping point
+    val kBig = 64
+    assert(Bpe.train(corpus, kBig) == Bpe.trainIterative(corpus, kBig))
+    assert(Bpe.train(messyCorpus, kBig) ==
+      Bpe.trainIterative(messyCorpus, kBig))
+  }
+
+  test("training k=256 merges costs ~one Spark job, not 2 per merge") {
+    // 400 distinct deterministic words -> far more than 256 available
+    // merges (singleton pairs still merge)
+    val words = (0 until 400).map { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"bpe$i".getBytes("UTF-8"))
+      md.map(b => ('a' + ((b & 0xff) % 16)).toChar).mkString
+    }
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null)
+    val merges = Bpe.train(docs, 256)
+    assert(merges.length == 256)
+    // listener-backed status store is async; poll until stable
+    def jobsNow = spark.sparkContext.statusTracker
+      .getJobIdsForGroup(null).length
+    var last = -1; var cur = jobsNow; var spins = 0
+    while (cur != last && spins < 40) {
+      last = cur; Thread.sleep(100); cur = jobsNow; spins += 1
+    }
+    val ran = cur - before.length
+    assert(ran <= 20,
+      s"train(k=256) ran $ran Spark jobs — the merge loop must not " +
+        "schedule per-merge jobs")
+  }
 }
