@@ -63,8 +63,10 @@ object NearDup {
     * `df.queryExecution.observedMetrics` or a QueryExecutionListener.
     * NOTE: the eager downstream APIs ([[verifiedPairs]],
     * [[dropNearDuplicates]]) checkpoint this frame, severing the observe
-    * node from what they return — they surface the report via
-    * [[verifiedPairsWithTruncation]] / [[lastBatchTruncation]] instead. */
+    * node from what they return — they surface the report via their
+    * `*WithTruncation` variants instead (per-call return values; there
+    * is deliberately NO JVM-global "last report": concurrent dedup runs
+    * in one JVM must not overwrite each other's reports). */
   def candidatePairs(docs: DataFrame,
       maxBucket: Int = MaxBucket): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -106,17 +108,12 @@ object NearDup {
     incrementalCandidatePairsWithTruncation(existing, incoming,
       maxBucket)._1
 
-  /** [[incrementalCandidatePairs]] plus its per-call truncation report —
-    * the race-free way to read it (the `last*Truncation` vars are
-    * JVM-global conveniences; concurrent runs overwrite each other). */
+  /** [[incrementalCandidatePairs]] plus its per-call truncation
+    * report. */
   def incrementalCandidatePairsWithTruncation(existing: DataFrame,
       incoming: DataFrame, maxBucket: Int = MaxBucket)
-      : (DataFrame, Option[Truncation]) = {
-    val (pairs, report) =
-      cappedIncrementalPairs(bands(existing), bands(incoming), maxBucket)
-    lastTruncation = report
-    (pairs, report)
-  }
+      : (DataFrame, Option[Truncation]) =
+    cappedIncrementalPairs(bands(existing), bands(incoming), maxBucket)
 
   /** Shared incremental candidate machinery over PRE-COMPUTED band
     * frames — the existing side may come from [[bands]] (one-shot use)
@@ -133,7 +130,7 @@ object NearDup {
     // full tokenize + md5 signature scan (the dominant cost).
     // Truncation is never silent (same contract as [[candidatePairs]]):
     // the observe metric accumulates during the checkpoint action and
-    // is surfaced in the returned report (and [[lastTruncation]]).
+    // is surfaced in the returned per-call report.
     val observed = existingBands.withColumn("is_new", lit(false))
       .unionByName(incomingBands.withColumn("is_new", lit(true)))
       .withColumn("rn", row_number().over(byBucket.orderBy(col("doc_id"))))
@@ -172,32 +169,39 @@ object NearDup {
       .map(r => Truncation(r.getAs[Long]("oversized_buckets"),
         r.getAs[Long]("max_bucket_n")))
 
-  /** Truncation report of the most recent [[incrementalCandidatePairs]]
-    * call in this JVM. Convenience only — it is JVM-global, so
-    * concurrent incremental runs overwrite each other's report; use
-    * [[incrementalCandidatePairsWithTruncation]] for a per-call value. */
-  @volatile var lastTruncation: Option[Truncation] = None
-
-  /** Truncation report of the most recent eager BATCH dedup call
-    * ([[verifiedPairs]] / [[dropNearDuplicates]]) in this JVM — those
-    * APIs checkpoint [[candidatePairs]], which severs its `lsh_buckets`
-    * observe node from the frame they return, so the report is captured
-    * here (and returned by [[verifiedPairsWithTruncation]]). Same
-    * JVM-global caveat as [[lastTruncation]]. */
-  @volatile var lastBatchTruncation: Option[Truncation] = None
+  /** Log a truncation report that traded recall for boundedness —
+    * the standard sink for call sites that cannot return the report
+    * (registry queries, fire-and-forget pipeline stages). Keeping the
+    * warn here keeps the non-silent-truncation contract in ONE place;
+    * anything that can propagate the report should use the
+    * `*WithTruncation` variants instead. */
+  def warnIfTruncated(context: String, report: Option[Truncation]): Unit =
+    report.filter(_.oversizedBuckets > 0).foreach { t =>
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$context: ${t.oversizedBuckets} LSH buckets over cap " +
+          s"(max ${t.maxBucketN}) — near-dup recall reduced")
+    }
 
   /** [[incrementalCandidatePairs]] verified by exact shingle-set
     * Jaccard >= min: the incoming-batch near-dup check. Only candidate
     * pairs pay the shingle join; an incoming doc appearing as doc_b
     * duplicates prior content and is the drop candidate. */
   def incrementalVerified(existing: DataFrame, incoming: DataFrame,
-      minJaccard: Double, maxBucket: Int = MaxBucket): DataFrame = {
-    val cand = incrementalCandidatePairs(existing, incoming, maxBucket)
-      .localCheckpoint()
-    verifyJaccard(
+      minJaccard: Double, maxBucket: Int = MaxBucket): DataFrame =
+    incrementalVerifiedWithTruncation(existing, incoming, minJaccard,
+      maxBucket)._1
+
+  /** [[incrementalVerified]] plus its per-call truncation report. */
+  def incrementalVerifiedWithTruncation(existing: DataFrame,
+      incoming: DataFrame, minJaccard: Double,
+      maxBucket: Int = MaxBucket): (DataFrame, Option[Truncation]) = {
+    val (pairs, report) = incrementalCandidatePairsWithTruncation(
+      existing, incoming, maxBucket)
+    val cand = pairs.localCheckpoint()
+    (verifyJaccard(
       existing.select(col("doc_id"), col("text"))
         .unionByName(incoming.select(col("doc_id"), col("text"))),
-      cand, minJaccard)
+      cand, minJaccard), report)
   }
 
   /** [[incrementalVerified]] with the existing side supplied as its
@@ -207,19 +211,26 @@ object NearDup {
     * touched ONLY for docs that land in a candidate pair
     * ([[verifyJaccard]]'s semi-join), never re-tokenized wholesale.
     * `existingDocs` must hold (doc_id, text) for every doc with band
-    * rows; truncation lands in [[lastTruncation]]. */
+    * rows. */
   def incrementalVerifiedWithBands(existingDocs: DataFrame,
       existingBands: DataFrame, incoming: DataFrame, minJaccard: Double,
-      maxBucket: Int = MaxBucket): DataFrame = {
+      maxBucket: Int = MaxBucket): DataFrame =
+    incrementalVerifiedWithBandsAndTruncation(existingDocs,
+      existingBands, incoming, minJaccard, maxBucket)._1
+
+  /** [[incrementalVerifiedWithBands]] plus its per-call truncation
+    * report — what a streaming sink logs per batch. */
+  def incrementalVerifiedWithBandsAndTruncation(existingDocs: DataFrame,
+      existingBands: DataFrame, incoming: DataFrame, minJaccard: Double,
+      maxBucket: Int = MaxBucket): (DataFrame, Option[Truncation]) = {
     val (pairs, report) = cappedIncrementalPairs(
       existingBands.select(col("doc_id"), col("band"), col("band_key")),
       bands(incoming), maxBucket)
-    lastTruncation = report
     val cand = pairs.localCheckpoint()
-    verifyJaccard(
+    (verifyJaccard(
       existingDocs.select(col("doc_id"), col("text"))
         .unionByName(incoming.select(col("doc_id"), col("text"))),
-      cand, minJaccard)
+      cand, minJaccard), report)
   }
 
   /** Exact-Jaccard verification of a (doc_a, doc_b) candidate frame:
@@ -255,24 +266,28 @@ object NearDup {
   /** Candidate pairs verified by exact shingle-set Jaccard >= min.
     * Eager at the candidate stage (one checkpoint job): the candidate
     * set gates which docs pay the shingle pass — see [[verifyJaccard]].
-    * Bucket-cap truncation is surfaced via the returned report (and
-    * [[lastBatchTruncation]]): the checkpoint severs the `lsh_buckets`
-    * observe node, so it is NOT readable from the returned frame. */
+    * Bucket-cap truncation is surfaced via the returned per-call
+    * report: the checkpoint severs the `lsh_buckets` observe node, so
+    * it is NOT readable from the returned frame. */
   def verifiedPairsWithTruncation(docs: DataFrame, minJaccard: Double,
       maxBucket: Int = MaxBucket): (DataFrame, Option[Truncation]) = {
     val observed = candidatePairs(docs, maxBucket)
     val cand = observed.localCheckpoint()
     val report = truncationOf(observed, "lsh_buckets")
-    lastBatchTruncation = report
     (verifyJaccard(docs.select(col("doc_id"), col("text")), cand,
       minJaccard), report)
   }
 
   /** See [[verifiedPairsWithTruncation]] — this keeps the frame-only
-    * signature; the truncation report lands in [[lastBatchTruncation]]. */
+    * signature and WARNS on truncation ([[warnIfTruncated]]) since the
+    * report has nowhere else to go. */
   def verifiedPairs(docs: DataFrame, minJaccard: Double,
-      maxBucket: Int = MaxBucket): DataFrame =
-    verifiedPairsWithTruncation(docs, minJaccard, maxBucket)._1
+      maxBucket: Int = MaxBucket): DataFrame = {
+    val (pairs, report) =
+      verifiedPairsWithTruncation(docs, minJaccard, maxBucket)
+    warnIfTruncated("verifiedPairs", report)
+    pairs
+  }
 
   /** Greedy keep-lowest near-dedup: drop every doc that is the higher
     * id of a verified pair. (Greedy, not connected-components: in a
@@ -363,8 +378,19 @@ object NearDup {
 
   def dropNearDuplicates(docs: DataFrame, minJaccard: Double,
       maxBucket: Int = MaxBucket): DataFrame = {
-    val toDrop = verifiedPairs(docs, minJaccard, maxBucket)
-      .select(col("doc_b").as("doc_id")).distinct()
-    docs.join(toDrop, Seq("doc_id"), "left_anti")
+    val (kept, report) =
+      dropNearDuplicatesWithTruncation(docs, minJaccard, maxBucket)
+    warnIfTruncated("dropNearDuplicates", report)
+    kept
+  }
+
+  /** [[dropNearDuplicates]] plus its per-call truncation report. */
+  def dropNearDuplicatesWithTruncation(docs: DataFrame,
+      minJaccard: Double, maxBucket: Int = MaxBucket)
+      : (DataFrame, Option[Truncation]) = {
+    val (pairs, report) =
+      verifiedPairsWithTruncation(docs, minJaccard, maxBucket)
+    val toDrop = pairs.select(col("doc_b").as("doc_id")).distinct()
+    (docs.join(toDrop, Seq("doc_id"), "left_anti"), report)
   }
 }

@@ -230,7 +230,11 @@ object DedupQueries {
          |SELECT doc_a, doc_b, round(jac, 6) AS jaccard
          |FROM v WHERE jac >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      graft.dedup.NearDup.verifiedPairs(Tables.documents(s, d), 0.5)
+      val (pairs, truncation) = graft.dedup.NearDup
+        .verifiedPairsWithTruncation(Tables.documents(s, d), 0.5)
+      graft.dedup.NearDup.warnIfTruncated("q46_lsh_verified_dedup",
+        truncation)
+      pairs
         .select(col("doc_a"), col("doc_b"),
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")
@@ -359,8 +363,11 @@ object DedupQueries {
       s"""WITH RECURSIVE $componentsCteSql
          |SELECT doc_id, comp FROM comp
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      graft.dedup.NearDup.components(
-        graft.dedup.NearDup.verifiedPairs(Tables.documents(s, d), 0.5))
+      val (pairs, truncation) = graft.dedup.NearDup
+        .verifiedPairsWithTruncation(Tables.documents(s, d), 0.5)
+      graft.dedup.NearDup.warnIfTruncated("q48_near_dup_components",
+        truncation)
+      graft.dedup.NearDup.components(pairs)
         .select(col("doc_id"), col("comp").cast("bigint").as("comp"))
         .orderBy("doc_id")
     },
@@ -390,8 +397,11 @@ object DedupQueries {
          |ORDER BY comp""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      val comps = graft.dedup.NearDup.components(
-        graft.dedup.NearDup.verifiedPairs(docs, 0.5))
+      val (pairs, truncation) = graft.dedup.NearDup
+        .verifiedPairsWithTruncation(docs, 0.5)
+      graft.dedup.NearDup.warnIfTruncated("q84_cluster_survivor",
+        truncation)
+      val comps = graft.dedup.NearDup.components(pairs)
       // components are a tiny fraction of the corpus: broadcast them
       // and compute quality AFTER the join, so only member docs pay the
       // tokenize + score — not the whole corpus

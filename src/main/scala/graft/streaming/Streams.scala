@@ -320,20 +320,18 @@ object Streams {
         val novel = firsts
           .join(corpus.select(col("fp")), Seq("fp"), "left_anti")
           .localCheckpoint()
-        val drops = graft.dedup.NearDup
-          .incrementalVerifiedWithBands(
+        val (verified, truncation) = graft.dedup.NearDup
+          .incrementalVerifiedWithBandsAndTruncation(
             corpus.select(col("doc_id"), col("text")), corpusBands,
             novel.select(col("doc_id"), col("text")), minJaccard)
+        val drops = verified
           .select(col("doc_b").as("doc_id")).distinct()
         // truncation is never silent (the NearDup contract): over-cap
-        // buckets traded recall for boundedness — say so per batch
-        graft.dedup.NearDup.lastTruncation
-          .filter(_.oversizedBuckets > 0).foreach { t =>
-            org.slf4j.LoggerFactory.getLogger(getClass).warn(
-              s"nearDupSinkWriter: ${t.oversizedBuckets} LSH buckets " +
-                s"over cap (max ${t.maxBucketN}) — near-dup recall " +
-                "reduced this batch")
-          }
+        // buckets traded recall for boundedness — say so per batch.
+        // The report is this CALL's return value, not JVM state, so
+        // concurrent sinks in one JVM can't cross their reports.
+        graft.dedup.NearDup.warnIfTruncated(
+          "nearDupSinkWriter batch", truncation)
         val fresh = novel.join(drops, Seq("doc_id"), "left_anti")
           .localCheckpoint()
         // bands FIRST: a crash between the two appends must not leave

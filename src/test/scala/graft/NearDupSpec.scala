@@ -80,13 +80,12 @@ class NearDupSpec extends AnyFunSuite {
     val existing = corpus((0L until 300L).map(i => i -> dup))
     val incoming = corpus((1000L until 1100L).map(i => i -> dup))
     val cap = 32
-    val pairs = NearDup.incrementalCandidatePairs(existing, incoming,
-      maxBucket = cap).collect()
+    val (pairsDf, t) = NearDup.incrementalCandidatePairsWithTruncation(
+      existing, incoming, maxBucket = cap)
     // combined bucket = 400 identical docs; only the cap's lowest ids
     // survive, all of them existing -> no incoming doc_b remains
-    assert(pairs.isEmpty)
+    assert(pairsDf.collect().isEmpty)
     // ...and the truncation is REPORTED, not silent
-    val t = NearDup.lastTruncation
     assert(t.exists(_.oversizedBuckets == 4L),
       s"expected 4 oversized buckets, got $t")
     assert(t.exists(_.maxBucketN == 400L),
@@ -105,7 +104,37 @@ class NearDupSpec extends AnyFunSuite {
       s"expected 4 oversized buckets, got $report")
     assert(report.exists(_.maxBucketN == 300L),
       s"expected max bucket 300, got $report")
-    assert(NearDup.lastBatchTruncation === report)
+  }
+
+  test("concurrent dedups get uncrossed per-call truncation reports") {
+    // Two dedup runs with DIFFERENT truncation profiles race in one
+    // JVM: a degenerate 300-duplicate corpus (4 oversized buckets,
+    // max 300) vs a 120-duplicate corpus under a higher cap (0
+    // oversized). Reports are per-call return values, so each run
+    // must see its own numbers — the contract a JVM-global "last
+    // report" variable cannot provide.
+    val dup = "the quick brown fox jumps over the lazy dog"
+    val big = corpus((0L until 300L).map(i => i -> dup))
+    val small = corpus((0L until 120L).map(i => i -> dup))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val runs = (0 until 3).map { _ =>
+      (Future(NearDup.verifiedPairsWithTruncation(big, 0.9,
+          maxBucket = 32)._2),
+        Future(NearDup.verifiedPairsWithTruncation(small, 0.9,
+          maxBucket = 200)._2))
+    }
+    runs.foreach { case (fBig, fSmall) =>
+      val tBig = Await.result(fBig, 5.minutes)
+      val tSmall = Await.result(fSmall, 5.minutes)
+      assert(tBig.exists(t =>
+          t.oversizedBuckets == 4L && t.maxBucketN == 300L),
+        s"big run's report was crossed or lost: $tBig")
+      assert(tSmall.exists(t =>
+          t.oversizedBuckets == 0L && t.maxBucketN == 120L),
+        s"small run's report was crossed or lost: $tSmall")
+    }
   }
 
   test("components of an empty pair set returns empty labels") {
