@@ -49,8 +49,13 @@ object Pipeline {
     // probe — without it the fingerprint groupBy + quality pass would
     // re-execute per consumer (and its observe node would repeat in
     // one plan). Materializing here runs curation eagerly, once.
-    graft.dedup.NearDup.dropNearDuplicates(
-      curate(docs, minQuality).localCheckpoint(), minJaccard)
+    {
+      val (kept, truncation) =
+        graft.dedup.NearDup.dropNearDuplicatesWithTruncation(
+          curate(docs, minQuality).localCheckpoint(), minJaccard)
+      graft.dedup.NearDup.warnIfTruncated("curateNearDup", truncation)
+      kept
+    }
 
   /** Exact-grouping variant of [[curateNearDup]]: connected components
     * over the verified pairs pick ONE representative (lowest doc_id)
@@ -61,8 +66,10 @@ object Pipeline {
   def curateNearDupExact(docs: DataFrame, minQuality: Double = 0.3,
       minJaccard: Double = 0.8): DataFrame = {
     val curated = curate(docs, minQuality).localCheckpoint()
-    val comps = graft.dedup.NearDup.components(
-      graft.dedup.NearDup.verifiedPairs(curated, minJaccard))
+    val (pairs, truncation) = graft.dedup.NearDup
+      .verifiedPairsWithTruncation(curated, minJaccard)
+    graft.dedup.NearDup.warnIfTruncated("curateNearDupExact", truncation)
+    val comps = graft.dedup.NearDup.components(pairs)
     val drop = comps.filter(col("doc_id") =!= col("comp"))
       .select(col("doc_id"))
     curated.join(drop, Seq("doc_id"), "left_anti")
@@ -87,11 +94,25 @@ object Pipeline {
     * component rounds over the (small) pair set, per-source window —
     * every key uniform or per-source, nothing corpus-quadratic. */
   def curateFull(docs: DataFrame, minQuality: Double = 0.3,
-      minJaccard: Double = 0.8, quotaScale: Double = 4.0): DataFrame = {
+      minJaccard: Double = 0.8, quotaScale: Double = 4.0,
+      stageSeconds: Option[scala.collection.mutable.Map[String, Double]] =
+        None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // stage boundaries are the eager materializations the chain already
+    // has (each feeds 2+ consumers) — `stageSeconds` records the wall
+    // time to reach each one, so a probe can attribute cost per stage
+    // without re-running prefix chains; the returned frame's own action
+    // then measures only the final (lazy) rebalance pass
+    var t0 = System.nanoTime()
+    def mark(stage: String): Unit = stageSeconds.foreach { m =>
+      val t1 = System.nanoTime()
+      m.update(stage, (t1 - t0) / 1e9)
+      t0 = t1
+    }
     val counted = curate(docs, minQuality)
       .withColumn("n_tokens", tokenCountOf(tokens(col("text"))))
       .localCheckpoint() // percentile pass + filter both read it
+    mark("1_exact_dedup_quality")
     val stats = counted.agg(
       expr("percentile(n_tokens, 0.01)").as("lo"),
       expr("percentile(n_tokens, 0.99)").as("hi"))
@@ -99,11 +120,21 @@ object Pipeline {
       .filter(col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
       .drop("lo", "hi")
       .localCheckpoint() // feeds bands, verification, and the anti-join
-    val comps = graft.dedup.NearDup.components(
-      graft.dedup.NearDup.verifiedPairs(trimmed, minJaccard))
+    mark("2_outlier_trim")
+    val (pairs, truncation) = graft.dedup.NearDup
+      .verifiedPairsWithTruncation(trimmed, minJaccard)
+    graft.dedup.NearDup.warnIfTruncated("curateFull", truncation)
+    val comps = graft.dedup.NearDup.components(pairs)
+    mark("3_near_dup_components")
+    // two consumers (the quota aggregation and the final window join):
+    // materialize once rather than re-running the anti-join's probe
+    // scan per consumer — the drop side is small (dup survivors), so
+    // this stores one cleaned-corpus pass, same as the scan it saves
     val drop = comps.filter(col("doc_id") =!= col("comp"))
       .select(col("doc_id"))
     val deduped = trimmed.join(drop, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    mark("4_dedup_apply")
     val quota = deduped.groupBy(col("source"))
       .agg(count(lit(1)).as("n"))
       .select(col("source"), least(col("n"),

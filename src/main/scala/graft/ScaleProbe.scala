@@ -42,8 +42,7 @@ object ScaleProbe {
     // pairs that corpus genuinely contains — but verifying 27M pairs
     // is the adversarial wall the bucket cap exists to fence, not the
     // organic path this probe measures.)
-    if (args.headOption.contains("docs100")) {
-      val out100 = "/tmp/scale100docs"
+    def buildDocs100(out100: String): Unit = {
       val base = Tables.table(spark, src, "documents")
       (0 until 100).map { i =>
         base.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
@@ -58,6 +57,37 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$out100/embeddings.parquet")
       Tables.invalidateSpreadCache()
       println("BUILT scale100docs")
+    }
+    // curatefull: the COMPOSED chain (exact dedup + quality -> outlier
+    // trim -> near-dup components -> rebalance) end-to-end at 500k
+    // docs, with per-stage wall attribution from curateFull's own
+    // eager stage boundaries — stages are individually probed above,
+    // but the composed chain (with its intermediate materializations)
+    // is what a user ships.
+    if (args.headOption.contains("curatefull")) {
+      val out100 = "/tmp/scale100docs"
+      if (!new java.io.File(s"$out100/documents.parquet").exists())
+        buildDocs100(out100)
+      val stages = scala.collection.mutable.LinkedHashMap
+        .empty[String, Double]
+      val t0 = System.nanoTime()
+      val curated = Pipeline.curateFull(
+        Tables.documents(spark, out100), stageSeconds = Some(stages))
+      curated.write.format("noop").mode("overwrite").save()
+      val total = (System.nanoTime() - t0) / 1e9
+      val rows = curated.count()
+      stages.update("5_rebalance_action",
+        total - stages.values.sum)
+      stages.toSeq.sortBy(_._1).foreach { case (s, sec) =>
+        println(f"TIME curatefull $s $sec%.2f s")
+      }
+      println(f"TIME curatefull TOTAL $total%.2f s ($rows rows kept)")
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("docs100")) {
+      val out100 = "/tmp/scale100docs"
+      buildDocs100(out100)
       val qs100 = Seq("q40_exact_dedup", "q41_minhash_bands",
         "q42_lsh_candidate_pairs", "q46_lsh_verified_dedup",
         "q47_simhash_banded", "q48_near_dup_components",
