@@ -60,7 +60,15 @@ object StreamBench {
     // through and the LSH candidate + Jaccard-verify path does the
     // work being measured) through nearDupSinkWriter, per-batch
     // against the growing persisted band table.
-    val ndRows = sys.env.getOrElse("SPARK_GRAFT_ND_ROWS", "20000").toLong
+    val ndRows = sys.env.getOrElse("SPARK_GRAFT_ND_ROWS", "24000").toLong
+    // ≥20 micro-batches (one file per trigger), so the run doubles as
+    // the STEADY-STATE COST CURVE: per-batch wall time as the
+    // persisted band table grows. The 100 TB claim for the admission
+    // sink is "one columnar band-table scan per batch"; a superlinear
+    // per-batch trend here would falsify it, flat-ish growth (batch
+    // cost ~ batch size + an O(table) columnar scan that is tiny
+    // relative to the signature pass at these sizes) backs it.
+    val ndFiles = 24
     spark.range(ndRows).select(
       col("id").as("doc_id"),
       when(col("id") % 10 === 3,
@@ -71,20 +79,51 @@ object StreamBench {
         .otherwise(format_string("unique document %d with its own " +
           "distinct token mixture variant%d body text", col("id"),
           col("id"))).as("text"))
-      .repartition(files)
+      .repartition(ndFiles)
       .write.mode("overwrite").parquet(s"$tmp/nd_landing")
     val ndSource = spark.readStream
-      .option("maxFilesPerTrigger", math.max(files / 5, 1).toString)
+      .option("maxFilesPerTrigger", "1")
       .schema("doc_id LONG, text STRING")
       .parquet(s"$tmp/nd_landing")
+    // per-batch timings via the progress listener (batchId ->
+    // triggerExecution ms); events are async, drained after stop
+    val batchSec =
+      new java.util.concurrent.ConcurrentSkipListMap[Long, Double]()
+    var ndQueryId: java.util.UUID = null
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.id == ndQueryId && e.progress.numInputRows > 0)
+          batchSec.put(e.progress.batchId,
+            e.progress.durationMs.get("triggerExecution").toDouble / 1e3)
+    }
+    spark.streams.addListener(listener)
     val t1 = System.nanoTime()
     val nq = Streams.nearDupSinkWriter(ndSource, s"$tmp/nd_out",
       s"$tmp/nd_bands", s"$tmp/nd_ckpt", minJaccard = 0.5)
       .trigger(Streams.drainTrigger).start()
+    ndQueryId = nq.id
     nq.awaitTermination()
     val ndSec = (System.nanoTime() - t1) / 1e9
+    spark.streams.removeListener(listener)
     val admitted = spark.read.parquet(s"$tmp/nd_out").count()
-    println(f"""{"metric":"neardup_stream_rows_per_sec","value":${ndRows / ndSec}%.0f,"unit":"rows/sec","rows":$ndRows,"admitted":$admitted,"seconds":$ndSec%.2f}""")
+    println(f"""{"metric":"neardup_stream_rows_per_sec","value":${ndRows / ndSec}%.0f,"unit":"rows/sec","rows":$ndRows,"admitted":$admitted,"seconds":$ndSec%.2f,"batches":${batchSec.size}}""")
+    // the curve line: batch-index -> seconds, plus a first-half vs
+    // second-half mean ratio (batch 0 excluded — cold-session cost)
+    import scala.jdk.CollectionConverters._
+    val curve = batchSec.entrySet().asScala.toSeq
+      .map(e => e.getKey -> e.getValue)
+    val steady = curve.drop(1).map(_._2)
+    val half = steady.length / 2
+    val ratio =
+      if (half > 0) (steady.drop(half).sum / (steady.length - half)) /
+        (steady.take(half).sum / half)
+      else Double.NaN
+    val curveJson = curve
+      .map { case (b, s) => f"""[$b,$s%.2f]""" }.mkString(",")
+    println(f"""{"metric":"neardup_batch_curve","unit":"sec/batch","late_vs_early":$ratio%.2f,"curve":[$curveJson]}""")
     spark.stop()
   }
 }
