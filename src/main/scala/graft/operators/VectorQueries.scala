@@ -390,6 +390,34 @@ object VectorQueries {
         shortlist = 100, topK = 10)
         .orderBy("query_id", "rk")
     },
+
+    // ---- composed IVF-PQ index, end-to-end through the PERSISTED
+    //      path: k-means coarse centroids -> build (bucket-partitioned
+    //      parquet index + codebooks on disk) -> probe (planning-time
+    //      partition pruning x codes-only ADC x exact re-rank). This is
+    //      the configuration a 100 TB deployment actually serves, so it
+    //      must be visible to the driver's per-round correctness
+    //      artifact, not only to IvfPqSpec. Rows-only like q100
+    //      (k-means codebooks aren't ANSI-SQL-expressible); IvfPqSpec
+    //      pins recall floors, the codes-only ReadSchema, brute-force
+    //      convergence at wide knobs, and bit-identical rebuilds.
+    //      Deterministic: stride seeds + decimal-exact means, and the
+    //      build overwrites, so re-runs are idempotent. ----
+    GraftQuery.noOracle("q110_ivf_pq_ann") { (s, d) =>
+      import graft.vector.{IvfPq, VectorIndex}
+      val corpus = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val cents = VectorIndex.kmeansCentroids(corpus, 8, iters = 2)
+        .localCheckpoint()
+      val path = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft-q110-${Integer.toHexString(d.hashCode)}/index"
+      IvfPq.build(corpus, cents, m = 8, k = 16, path)
+      val queries = corpus.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      IvfPq.probe(s, path, cents, queries,
+        m = 8, topK = 10, nProbe = 6, shortlist = 100)
+        .orderBy("query_id", "rk")
+    },
   )
 
   // random-hyperplane LSH constants: weights from the same integer-mix

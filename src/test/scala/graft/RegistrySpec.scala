@@ -10,13 +10,12 @@ class RegistrySpec extends AnyFunSuite {
   private val d = "/root/testdata/sf0.001"
 
   test("every registered query has oracle SQL or is explicitly rows-only") {
-    // sketch outputs are engine-specific by design (HLL, GK quantiles),
-    // k-means codebooks and BPE's iterative merge argmax are not
-    // ANSI-SQL-expressible; their accuracy/recall/sequence bounds are
-    // asserted in OperatorSpec / PQSpec / BpeSpec
+    // sketch outputs are engine-specific by design (HLL, GK quantiles)
+    // and k-means codebooks are not ANSI-SQL-expressible; their
+    // accuracy/recall bounds are asserted in OperatorSpec / PQSpec
     val noOracle = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
     assert(noOracle == Seq("q94_approx_percentiles", "q63_approx_distinct",
-        "q100_pq_ann", "q109_bpe_merges"),
+        "q100_pq_ann", "q110_ivf_pq_ann"),
       s"unexpected rows-only queries: $noOracle")
   }
 
