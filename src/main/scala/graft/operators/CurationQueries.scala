@@ -46,7 +46,7 @@ object CurationQueries {
     * right) argmax via scalar subqueries, rewrite. Selection compares
     * strings in binary collation on both engines, so ties break
     * identically. */
-  private def bpeMergesSql(k: Int): String = {
+  private def bpeCtes(k: Int): String = {
     def round(i: Int): String =
       s"""p$i AS (
          |  SELECT pr.l AS lft, pr.r AS rgt,
@@ -64,11 +64,7 @@ object CurationQueries {
          |          ' ' || (SELECT lft FROM b$i) ||
          |            (SELECT rgt FROM b$i) || ' ') AS enc
          |        FROM s${i - 1})""".stripMargin
-    val ranks = (1 to k).map(i =>
-        s"""SELECT ${i - 1} AS rank, lft AS "left", rgt AS "right",
-           |  wcount FROM b$i""".stripMargin)
-      .mkString(" UNION ALL ")
-    s"""WITH v AS (
+    s"""v AS (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest($toksSql) AS word FROM documents)
        |  GROUP BY word),
@@ -76,10 +72,32 @@ object CurationQueries {
        |    ' ' || array_to_string(regexp_extract_all(word, '.'), '  ')
        |      || ' ' AS enc
        |  FROM v),
-       |${(1 to k).map(round).mkString(",\n")}
-       |SELECT * FROM ($ranks)
-       |ORDER BY rank""".stripMargin
+       |${(1 to k).map(round).mkString(",\n")}""".stripMargin
   }
+
+  private def bpeMergesSql(k: Int): String = {
+    val ranks = (1 to k).map(i =>
+        s"""SELECT ${i - 1} AS rank, lft AS "left", rgt AS "right",
+           |  wcount FROM b$i""".stripMargin)
+      .mkString(" UNION ALL ")
+    // plain concat, NOT an outer stripMargin: the embedded CTE block is
+    // already margin-stripped, and re-stripping would eat one pipe of
+    // any `||` that lands at a line start (turning concat into bitwise
+    // or in the oracle)
+    s"WITH ${bpeCtes(k)}\nSELECT * FROM ($ranks)\nORDER BY rank"
+  }
+
+  /** DuckDB oracle for the BPE ENCODE step (q111): apply the k learned
+    * merges (the s$k frame of [[bpeCtes]] is the vocab already rewritten
+    * through all k rounds), then count corpus occurrences per subword —
+    * freq-weighted symbol counts over the encoded vocab. */
+  private def bpeSegmentSql(k: Int): String =
+    s"WITH ${bpeCtes(k)}\n" +
+      s"""SELECT sym AS subword, CAST(SUM(freq) AS BIGINT) AS n
+         |FROM (SELECT freq, unnest(string_split(trim(enc, ' '), '  '))
+         |        AS sym FROM s$k)
+         |GROUP BY sym
+         |ORDER BY subword""".stripMargin
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -343,6 +361,25 @@ object CurationQueries {
         .map(m => (m.rank, m.left, m.right, m.count))
         .toDF("rank", "left", "right", "wcount")
         .orderBy("rank")
+    },
+
+    // ---- BPE ENCODE with the trained tokenizer: apply the learned
+    //      merge table to the corpus vocabulary (greedy left-to-right
+    //      per merge rank — Bpe.segment's fold) and report corpus
+    //      subword counts, freq-weighted. The serving-side half of
+    //      tokenizer training: train once (q109), encode every corpus
+    //      snapshot after. Scale shape: encode is pure per-row column
+    //      work over the VOCAB frame (|V| rows); corpus counts arrive
+    //      via the same one-pass word-frequency table as q109 — the
+    //      100 TB corpus is never re-walked per merge. ----
+    GraftQuery("q111_bpe_segment", bpeSegmentSql(4)) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = graft.text.Bpe.train(docs, k = 4)
+      graft.text.Bpe.segment(graft.text.Bpe.vocab(docs), merges)
+        .select(explode(col("syms")).as("subword"), col("freq"))
+        .groupBy(col("subword"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy("subword")
     },
 
     // ---- token-distribution drift between snapshots: the data-
