@@ -87,7 +87,12 @@ object ScaleProbe {
     }
     if (args.headOption.contains("docs100")) {
       val out100 = "/tmp/scale100docs"
-      buildDocs100(out100)
+      // the replica is deterministic, so an existing build is reused;
+      // force a rebuild by deleting /tmp/scale100docs. args(1), when
+      // given, substring-filters the query list (fast re-probes of
+      // just-touched queries).
+      if (!new java.io.File(s"$out100/documents.parquet").exists())
+        buildDocs100(out100)
       val qs100 = Seq("q40_exact_dedup", "q41_minhash_bands",
         "q42_lsh_candidate_pairs", "q46_lsh_verified_dedup",
         "q47_simhash_banded", "q48_near_dup_components",
@@ -98,7 +103,8 @@ object ScaleProbe {
         "q102_temperature_resample", "q103_bpe_pair_counts",
         "q104_length_outlier_trim", "q105_url_canonical_dedup",
         "q106_upsert_merge", "q107_repeated_spans", "q108_token_drift",
-        "q109_bpe_merges")
+        "q109_bpe_merges", "q110_ivf_pq_ann", "q111_bpe_segment")
+        .filter(n => args.lift(1).forall(n.contains))
       qs100.foreach { n =>
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(n)(spark, out100)

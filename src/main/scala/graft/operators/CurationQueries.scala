@@ -364,18 +364,21 @@ object CurationQueries {
     },
 
     // ---- BPE ENCODE with the trained tokenizer: apply the learned
-    //      merge table to the corpus vocabulary (greedy left-to-right
-    //      per merge rank — Bpe.segment's fold) and report corpus
+    //      merge table to the corpus vocabulary and report corpus
     //      subword counts, freq-weighted. The serving-side half of
     //      tokenizer training: train once (q109), encode every corpus
-    //      snapshot after. Scale shape: encode is pure per-row column
-    //      work over the VOCAB frame (|V| rows); corpus counts arrive
-    //      via the same one-pass word-frequency table as q109 — the
-    //      100 TB corpus is never re-walked per merge. ----
+    //      snapshot after. Scale shape: `segmentCorpus` — distinct
+    //      vocab words encode ONCE via the in-memory greedy folds
+    //      (mapPartitions; Bpe.segment's 4-deep column-fold variant is
+    //      fold-≡-join pinned in BpeSpec but costs O(len²) array
+    //      copies per word per merge — 160 s vs 11 s at 500k docs) and
+    //      corpus counts arrive via the same one-pass word-frequency
+    //      table as q109, so the 100 TB corpus is never re-walked per
+    //      merge and the merge table never appears in the plan. ----
     GraftQuery("q111_bpe_segment", bpeSegmentSql(4)) { (s, d) =>
       val docs = Tables.documents(s, d)
       val merges = graft.text.Bpe.train(docs, k = 4)
-      graft.text.Bpe.segment(graft.text.Bpe.vocab(docs), merges)
+      graft.text.Bpe.segmentCorpus(graft.text.Bpe.vocab(docs), merges)
         .select(explode(col("syms")).as("subword"), col("freq"))
         .groupBy(col("subword"))
         .agg(sum(col("freq")).as("n"))

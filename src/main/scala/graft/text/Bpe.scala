@@ -253,9 +253,49 @@ object Bpe {
   /** Segment words with a learned merge table: applies every merge in
     * rank order (the BPE encode step). Input needs a `word` column;
     * output adds `syms` (the subword sequence). Pure per-row column
-    * work — at serving scale this is a scan-side transform. */
+    * work — but each merge adds one nested array fold to the
+    * expression tree, so this form is for SMALL merge tables (the
+    * oracle-checkable demo path). A production 30k–50k-merge vocab
+    * segments via [[segmentCorpus]]. */
   def segment(words: DataFrame, merges: Seq[Merge]): DataFrame =
     merges.foldLeft(symbols(words)) { (df, m) =>
       df.withColumn("syms", mergeOnce(col("syms"), m.left, m.right))
     }
+
+  /** Apply a full merge table to one word, driver/executor-side — the
+    * in-memory mirror of [[segment]]'s folds (same greedy left-to-
+    * right semantics per rank), usable at real vocab size where a
+    * 50k-deep column expression tree cannot exist. */
+  def applyMerges(word: String, merges: Seq[Merge]): Seq[String] =
+    merges.foldLeft(codepoints(word)) { (syms, m) =>
+      // a word shorter than 2 symbols can never merge again; the fold
+      // over the remaining ranks would be pure overhead at encode scale
+      if (syms.length < 2) syms else mergeWord(syms, m.left, m.right)
+    }.toSeq
+
+  /** Corpus-scale BPE encode: segment a (doc_id?, word, ...) frame
+    * with an arbitrarily large merge table. The standard production
+    * shape: the DISTINCT words are encoded ONCE ([[applyMerges]] runs
+    * per distinct word inside a mapPartitions over the deduplicated
+    * vocab — vocab-sized work, not corpus-sized), then the (word,
+    * syms) table joins back to the input on the word key. The join is
+    * planner-chosen: a broadcast for bounded vocabs, a uniform-key
+    * sort-merge join at web scale — either way the corpus pays one
+    * pass and the 50k merge ranks never appear in any Spark plan.
+    * Output: the input columns plus `syms`. */
+  def segmentCorpus(words: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val spark = words.sparkSession
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val distinct = words.select(col("word")).distinct()
+    val mergesB = spark.sparkContext.broadcast(merges.toIndexedSeq)
+    val encoded = distinct.mapPartitions { rows =>
+      val ms = mergesB.value
+      rows.map(r => Row(r.getString(0),
+        applyMerges(r.getString(0), ms)))
+    }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+      StructType(Seq(StructField("word", StringType),
+        StructField("syms", ArrayType(StringType))))))
+    words.join(encoded, Seq("word"))
+  }
 }

@@ -83,6 +83,45 @@ class BpeSpec extends AnyFunSuite {
       Bpe.trainIterative(messyCorpus, kBig))
   }
 
+  test("segmentCorpus (vocab-join encode) ≡ segment (column folds)") {
+    import spark.implicits._
+    val merges = Bpe.train(messyCorpus, 16)
+    val words = Seq(("aaaa", 1L), ("abab", 2L), ("banana", 3L),
+      ("🙂ab🙂ab", 1L), ("unseen", 1L), ("zqx", 1L))
+      .toDF("word", "freq")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("word", "syms").collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val viaFolds = collect(Bpe.segment(words, merges))
+    val viaJoin = collect(Bpe.segmentCorpus(words, merges))
+    assert(viaJoin === viaFolds)
+    // non-word columns survive the join
+    assert(Bpe.segmentCorpus(words, merges).columns.toSet ===
+      Set("word", "freq", "syms"))
+    // applyMerges is the same fold, driver-side
+    words.collect().map(_.getString(0)).foreach { w =>
+      assert(Bpe.applyMerges(w, merges) === viaFolds(w), s"word $w")
+    }
+  }
+
+  test("segmentCorpus carries a 256-merge table where column folds cannot") {
+    import spark.implicits._
+    val words = (0 until 400).map { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"seg$i".getBytes("UTF-8"))
+      md.map(b => ('a' + ((b & 0xff) % 16)).toChar).mkString
+    }
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, 256)
+    assert(merges.length == 256)
+    val seg = Bpe.segmentCorpus(
+      words.distinct.map(w => (w, 1L)).toDF("word", "freq"), merges)
+    // every word round-trips: concatenated subwords rebuild the word
+    val bad = seg.collect().filter(r =>
+      r.getSeq[String](r.fieldIndex("syms")).mkString != r.getString(0))
+    assert(bad.isEmpty, s"${bad.length} words did not round-trip")
+  }
+
   test("training k=256 merges costs ~one Spark job, not 2 per merge") {
     // 400 distinct deterministic words -> far more than 256 available
     // merges (singleton pairs still merge)
