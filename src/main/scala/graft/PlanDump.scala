@@ -50,7 +50,11 @@ object PlanDump {
     "q103_bpe_pair_counts" ->
       "BPE pair counts: pair fan-out is pure per-row slice+transform inside one codegen stage; one uniform-key count shuffle; top-20 is distributed TakeOrderedAndProject, never a global sort.",
     "q106_upsert_merge" ->
-      "Upsert/MERGE: one doc_id-keyed full-outer sort-merge join replaces per-record upserts; fingerprint update-gating is a join-side expression.")
+      "Upsert/MERGE: one doc_id-keyed full-outer sort-merge join replaces per-record upserts; fingerprint update-gating is a join-side expression.",
+    "q110_ivf_pq_ann" ->
+      "IVF-PQ probe (index pre-built in-query): bucket IN (...) is a planning-time partition filter on the index scan; the ADC stage scans (bucket, vec_id, codes) only — ReadSchema has no embedding column — and the shortlist broadcasts back for the exact re-rank over the same pruned partitions.",
+    "q111_bpe_segment" ->
+      "BPE encode: the DISTINCT vocab encodes once via mapPartitions (merge table broadcast, never in the plan); the (word, syms) table joins back on the uniform word key; subword counts are one partial+final agg.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
