@@ -122,6 +122,24 @@ class BpeSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"${bad.length} words did not round-trip")
   }
 
+  test("minFreq drops sub-threshold words before training") {
+    import spark.implicits._
+    // "rare" appears once; at minFreq=2 training must behave exactly
+    // as if the word never existed (its pair contributions vanish)
+    val words = Seq.fill(5)("low") ++ Seq.fill(6)("newest") ++
+      Seq.fill(3)("widest") ++ Seq("rareqz")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val without = Seq.fill(5)("low") ++ Seq.fill(6)("newest") ++
+      Seq.fill(3)("widest")
+    val docsWithout = Seq((1L, without.mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Bpe.train(docs, 8, minFreq = 2L) ==
+      Bpe.train(docsWithout, 8))
+    // default is exact: run to exhaustion and the rare word's
+    // singleton pairs surface in the table
+    assert(Bpe.train(docs, 64) != Bpe.train(docsWithout, 64))
+  }
+
   test("training k=256 merges costs ~one Spark job, not 2 per merge") {
     // 400 distinct deterministic words -> far more than 256 available
     // merges (singleton pairs still merge)
