@@ -293,7 +293,7 @@ object Bpe {
       val ms = mergesB.value
       rows.map(r => Row(r.getString(0),
         applyMerges(r.getString(0), ms)))
-    }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+    }(Encoders.row(
       StructType(Seq(StructField("word", StringType),
         StructField("syms", ArrayType(StringType))))))
     words.join(encoded, Seq("word"))
