@@ -54,7 +54,7 @@ object PlanDump {
     "q110_ivf_pq_ann" ->
       "IVF-PQ probe (index pre-built in-query): bucket IN (...) is a planning-time partition filter on the index scan; the ADC stage scans (bucket, vec_id, codes) only — ReadSchema has no embedding column — and the shortlist broadcasts back for the exact re-rank over the same pruned partitions.",
     "q111_bpe_segment" ->
-      "BPE encode: the DISTINCT vocab encodes once via mapPartitions (merge table broadcast, never in the plan); the (word, syms) table joins back on the uniform word key; subword counts are one partial+final agg.")
+      "BPE encode, single-scan composition: the vocab is computed once and localCheckpoint'ed — train collects it and the encode joins against it (distinct skipped: groupBy output), so the plan below scans the checkpointed vocab (Scan ExistingRDD), NOT documents.parquet; the whole train-then-apply job reads documents exactly once, in the checkpoint job. The distinct vocab encodes via mapPartitions (merge table broadcast, never in the plan); subword counts are one partial+final agg.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

@@ -374,11 +374,17 @@ object CurationQueries {
     //      copies per word per merge — 160 s vs 11 s at 500k docs) and
     //      corpus counts arrive via the same one-pass word-frequency
     //      table as q109, so the 100 TB corpus is never re-walked per
-    //      merge and the merge table never appears in the plan. ----
+    //      merge and the merge table never appears in the plan. The
+    //      vocab is computed ONCE and localCheckpoint'ed: train
+    //      collects it, encode joins against it (skipping the
+    //      redundant distinct — groupBy output is distinct by
+    //      construction), so the whole train-then-apply composition
+    //      scans documents.parquet exactly once (PLANS.md q111). ----
     GraftQuery("q111_bpe_segment", bpeSegmentSql(4)) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val merges = graft.text.Bpe.train(docs, k = 4)
-      graft.text.Bpe.segmentCorpus(graft.text.Bpe.vocab(docs), merges)
+      val v = graft.text.Bpe.vocab(docs).localCheckpoint()
+      val merges = graft.text.Bpe.trainOnVocab(v, k = 4)
+      graft.text.Bpe.segmentCorpus(v, merges, assumeDistinctWords = true)
         .select(explode(col("syms")).as("subword"), col("freq"))
         .groupBy(col("subword"))
         .agg(sum(col("freq")).as("n"))

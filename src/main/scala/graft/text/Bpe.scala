@@ -21,9 +21,14 @@ import org.apache.spark.sql.functions._
   * driver holds the distinct-word vocabulary plus per-word symbol
   * arrays and the adjacent-pair index — tens of bytes per vocab word.
   * Web-scale corpora bound |V| with `minFreq` (drop hapax noise before
-  * training — the standard trainer knob; freq thresholds don't change
-  * surviving merge order, they only remove words that would have
-  * contributed their counts).
+  * training — the standard trainer knob). `minFreq` is LOSSY: dropped
+  * words take their pair-count contributions with them, which can
+  * reorder or change the surviving merges (BpeSpec pins exactly this:
+  * train(docs, 64) != train(docsWithout, 64)). It is a memory/noise
+  * bound, not an order-preserving filter. The collect itself is
+  * guarded: [[trainOnVocab]] counts the filtered vocab first and fails
+  * with a message naming `minFreq` when it exceeds `maxVocab`, instead
+  * of OOMing mid-collect.
   *
   * Determinism: merge selection orders by (weighted count desc, left,
   * right) with left/right compared as UTF-8 byte strings — the same
@@ -82,17 +87,44 @@ object Bpe {
       .groupBy(col("p.left").as("left"), col("p.right").as("right"))
       .agg(sum(col("freq")).as("wcount"))
 
-  /** Learn `k` merges from a (doc_id, text) corpus: ONE vocab job,
+  /** Driver-collect ceiling for [[trainOnVocab]]: ~50M vocab words ≈
+    * a few GiB of driver heap for the trainer structures — past it the
+    * caller must raise `minFreq`, not the cap. */
+  val DefaultMaxVocab: Long = 50L * 1000 * 1000
+
+  /** Learn `k` merges from a (doc_id, text) corpus: ONE vocab job
+    * (the frame is `localCheckpoint`ed so the guard count and the
+    * collect replay the materialized vocab, not the corpus scan),
     * then the driver-local loop of [[trainLocal]]. Returns the merge
     * table in rank order (possibly shorter than k if the vocab runs
     * out of repeated pairs — singleton pairs still merge; an empty
     * vocab stops). `minFreq` drops words rarer than the threshold
     * before training (bounds driver memory on web-scale vocabularies;
-    * 1 = exact). */
-  def train(docs: DataFrame, k: Int, minFreq: Long = 1L): Seq[Merge] = {
+    * 1 = exact — see the lossiness note above). */
+  def train(docs: DataFrame, k: Int, minFreq: Long = 1L,
+      maxVocab: Long = DefaultMaxVocab): Seq[Merge] = {
     val v =
       if (minFreq <= 1L) vocab(docs)
       else vocab(docs).filter(col("freq") >= minFreq)
+    trainOnVocab(v.localCheckpoint(), k, maxVocab)
+  }
+
+  /** [[train]] starting from an already-computed (word, freq) vocab
+    * frame — the single-scan composition hook: callers that also
+    * ENCODE against the same vocab (q111's train-then-apply) compute
+    * `vocab(docs).localCheckpoint()` once, train here, and feed the
+    * same frame to [[segmentCorpus]] with `assumeDistinctWords=true`,
+    * so the corpus is scanned exactly once end-to-end. Pass a
+    * checkpointed/cached frame — this method runs a count (the
+    * [[DefaultMaxVocab]] OOM guard, failing loudly with the `minFreq`
+    * remedy before the collect) and then the collect against it. */
+  def trainOnVocab(v: DataFrame, k: Int,
+      maxVocab: Long = DefaultMaxVocab): Seq[Merge] = {
+    val n = v.count()
+    require(n <= maxVocab,
+      s"BPE vocab has $n words, above the driver-collect cap " +
+        s"$maxVocab; raise minFreq to prune rare words (or raise " +
+        "maxVocab if the driver heap genuinely fits the vocab)")
     trainLocal(
       v.collect().map(r => (r.getString(0), r.getLong(1))).toSeq, k)
   }
@@ -282,12 +314,21 @@ object Bpe {
     * planner-chosen: a broadcast for bounded vocabs, a uniform-key
     * sort-merge join at web scale — either way the corpus pays one
     * pass and the 50k merge ranks never appear in any Spark plan.
-    * Output: the input columns plus `syms`. */
-  def segmentCorpus(words: DataFrame, merges: Seq[Merge]): DataFrame = {
+    * Output: the input columns plus `syms`. Null handling: null-word
+    * rows pass through with null `syms` (the encode table filters
+    * nulls — `applyMerges(null, _)` would NPE — and the left join
+    * keeps the rows). `assumeDistinctWords=true` skips the internal
+    * `.distinct()` for inputs that are distinct by construction (a
+    * groupBy-produced vocab frame) — at scale that distinct is a
+    * full extra shuffle of the input lineage, and on an uncached
+    * lineage it re-runs the corpus scan. */
+  def segmentCorpus(words: DataFrame, merges: Seq[Merge],
+      assumeDistinctWords: Boolean = false): DataFrame = {
     val spark = words.sparkSession
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
-    val distinct = words.select(col("word")).distinct()
+    val base = words.select(col("word")).filter(col("word").isNotNull)
+    val distinct = if (assumeDistinctWords) base else base.distinct()
     val mergesB = spark.sparkContext.broadcast(merges.toIndexedSeq)
     val encoded = distinct.mapPartitions { rows =>
       val ms = mergesB.value
@@ -296,6 +337,6 @@ object Bpe {
     }(Encoders.row(
       StructType(Seq(StructField("word", StringType),
         StructField("syms", ArrayType(StringType))))))
-    words.join(encoded, Seq("word"))
+    words.join(encoded, Seq("word"), "left")
   }
 }

@@ -104,6 +104,33 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("segmentCorpus passes null-word rows through with null syms") {
+    import spark.implicits._
+    val merges = Bpe.train(corpus, 4)
+    val words = Seq((Some("newest"), 1L), (None: Option[String], 7L))
+      .toDF("word", "freq")
+    val rows = Bpe.segmentCorpus(words, merges)
+      .select("word", "freq", "syms").collect()
+    assert(rows.length == 2)
+    val nullRow = rows.find(_.isNullAt(0)).get
+    assert(nullRow.getLong(1) == 7L && nullRow.isNullAt(2))
+    assert(rows.find(!_.isNullAt(0)).get.getSeq[String](2) ==
+      Seq("n", "e", "w", "est"))
+  }
+
+  test("trainOnVocab fails loudly above the driver-collect cap") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.train(docs, 4, maxVocab = 2L)
+    }
+    assert(e.getMessage.contains("minFreq"),
+      s"cap failure must name the minFreq remedy: ${e.getMessage}")
+    // at the default cap the same corpus trains fine
+    assert(Bpe.train(docs, 4).nonEmpty)
+  }
+
   test("segmentCorpus carries a 256-merge table where column folds cannot") {
     import spark.implicits._
     val words = (0 until 400).map { i =>
