@@ -374,10 +374,16 @@ object VectorQueries {
     //      (~32x smaller than raw vectors), ADC-score a shortlist with
     //      per-query distance tables, exact re-rank of only the
     //      shortlist. Codebooks are k-means artifacts — not ANSI-SQL-
-    //      expressible — so the check is rows-only here; PQSpec pins
-    //      shape, bit-exact reproducibility, and recall floors
-    //      (ADC 0.34 / re-ranked 0.88 at this config, deterministic). ----
-    GraftQuery.noOracle("q100_pq_ann") { (s, d) =>
+    //      expressible — so the HASH-MATCHED statement is the RECALL:
+    //      the query emits |ANN top-10 ∩ exact top-10| per query
+    //      (exact side brute-forced in-plan), and the DuckDB oracle
+    //      independently recomputes the exact top-10 and overlaps it
+    //      with the PINNED retrieved ids of the deterministic index at
+    //      sf0.01 (regenerate: `sbt "runMain graft.AnnPins"`). A
+    //      recall regression in the PQ path changes the counts and
+    //      reddens the row; PQSpec keeps the quantitative floors
+    //      (ADC 0.34 / re-ranked 0.88 at this config). ----
+    GraftQuery("q100_pq_ann", annRecallSql(PINS_Q100)) { (s, d) =>
       import graft.vector.PQ
       val corpus = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
@@ -386,9 +392,10 @@ object VectorQueries {
       val codes = PQ.encode(corpus, cb, m)
       val queries = corpus.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      PQ.searchRerank(codes, cb, queries, corpus, m,
-        shortlist = 100, topK = 10)
-        .orderBy("query_id", "rk")
+      recallVsExact(
+        PQ.searchRerank(codes, cb, queries, corpus, m,
+          shortlist = 100, topK = 10),
+        corpus, queries, 10)
     },
 
     // ---- composed IVF-PQ index, end-to-end through the PERSISTED
@@ -397,13 +404,15 @@ object VectorQueries {
     //      partition pruning x codes-only ADC x exact re-rank). This is
     //      the configuration a 100 TB deployment actually serves, so it
     //      must be visible to the driver's per-round correctness
-    //      artifact, not only to IvfPqSpec. Rows-only like q100
-    //      (k-means codebooks aren't ANSI-SQL-expressible); IvfPqSpec
-    //      pins recall floors, the codes-only ReadSchema, brute-force
+    //      artifact, not only to IvfPqSpec. Hash-matched like q100: the
+    //      emitted rows are per-query overlap-with-exact-top-10 counts,
+    //      the oracle recomputes the exact side and overlaps the pinned
+    //      sf0.01 index output (`graft.AnnPins`). IvfPqSpec keeps the
+    //      recall floors, the codes-only ReadSchema, brute-force
     //      convergence at wide knobs, and bit-identical rebuilds.
     //      Deterministic: stride seeds + decimal-exact means, and the
     //      build overwrites, so re-runs are idempotent. ----
-    GraftQuery.noOracle("q110_ivf_pq_ann") { (s, d) =>
+    GraftQuery("q110_ivf_pq_ann", annRecallSql(PINS_Q110)) { (s, d) =>
       import graft.vector.{IvfPq, VectorIndex}
       val corpus = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
@@ -414,11 +423,90 @@ object VectorQueries {
       IvfPq.build(corpus, cents, m = 8, k = 16, path)
       val queries = corpus.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      IvfPq.probe(s, path, cents, queries,
-        m = 8, topK = 10, nProbe = 6, shortlist = 100)
-        .orderBy("query_id", "rk")
+      recallVsExact(
+        IvfPq.probe(s, path, cents, queries,
+          m = 8, topK = 10, nProbe = 6, shortlist = 100),
+        corpus, queries, 10)
     },
   )
+
+  /** |ANN top-k ∩ exact top-k| per query — the cross-engine-checkable
+    * recall statement for the ANN paths (the index artifacts themselves
+    * are not SQL-expressible, their retrieval quality is). The exact
+    * side is the same brute-force plan as q20: corpus streamed once
+    * against broadcast queries, per-query partial+final window top-k.
+    * Queries with zero overlap still emit a row (left join, 0). */
+  private def recallVsExact(ann: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val exact = corpus
+      .withColumn("nrm", l2Norm(col("embedding")))
+      .crossJoin(broadcast(queries
+        .withColumn("q_nrm", l2Norm(col("q_emb")))))
+      .select(col("query_id"), col("vec_id"),
+        stagedCosine(col("q_emb"), col("embedding"), col("q_nrm"),
+          col("nrm")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"))
+    queries.select(col("query_id"))
+      .join(ann.select(col("query_id"), col("vec_id"))
+        .join(exact, Seq("query_id", "vec_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n")),
+        Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n"), lit(0L)).as(s"n_in_exact$k"))
+      .orderBy("query_id")
+  }
+
+  /** Oracle for the ANN recall queries: DuckDB recomputes the exact
+    * brute-force top-10 (genuinely — same ranking SQL as q20's oracle)
+    * and overlaps it with the PINNED (query_id, vec_id) retrieval of
+    * the deterministic index at sf0.01. The pins are index OUTPUT, not
+    * oracle logic — bit-identical rebuilds are spec-pinned, so a pin
+    * mismatch means the index or probe changed. Regenerate with
+    * `sbt "runMain graft.AnnPins"`. */
+  private def annRecallSql(pins: String): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+       |            FROM embeddings WHERE vec_id % 100 = 0),
+       |s AS (SELECT q.query_id, e.vec_id,
+       |        ${cosSql("q.q_emb", "e.embedding")} AS sim
+       |      FROM embeddings e CROSS JOIN q),
+       |r AS (SELECT query_id, vec_id,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY sim DESC, vec_id) AS rk
+       |      FROM s),
+       |exact AS (SELECT query_id, vec_id FROM r WHERE rk <= 10),
+       |ann(query_id, vec_id) AS (VALUES $pins),
+       |o AS (SELECT ann.query_id, COUNT(*) AS n
+       |      FROM ann JOIN exact USING (query_id, vec_id)
+       |      GROUP BY ann.query_id)
+       |SELECT q.query_id, CAST(COALESCE(o.n, 0) AS BIGINT) AS n_in_exact10
+       |FROM q LEFT JOIN o USING (query_id)
+       |ORDER BY query_id""".stripMargin
+
+  /** sf0.01 retrieved ids of the two deterministic ANN indexes
+    * (`graft.AnnPins` regenerates both lists). */
+  private def PINS_Q100: String =
+    "(0,0),(0,7),(0,73),(0,190),(0,320),(0,334),(0,365),(0,388)," +
+    "(0,423),(0,464),(100,24),(100,45),(100,100),(100,202),(100,234)," +
+    "(100,279),(100,360),(100,384),(100,395),(100,398),(200,32)," +
+    "(200,58),(200,135),(200,143),(200,189),(200,200),(200,204)," +
+    "(200,378),(200,409),(200,410),(300,27),(300,51),(300,53)," +
+    "(300,196),(300,245),(300,300),(300,318),(300,338),(300,446)," +
+    "(300,464),(400,92),(400,94),(400,182),(400,358),(400,400)," +
+    "(400,415),(400,443),(400,451),(400,475),(400,485)"
+
+  private def PINS_Q110: String =
+    "(0,0),(0,7),(0,73),(0,190),(0,320),(0,334),(0,365),(0,388)," +
+    "(0,423),(0,464),(100,24),(100,45),(100,100),(100,202),(100,234)," +
+    "(100,279),(100,360),(100,384),(100,395),(100,398),(200,32)," +
+    "(200,58),(200,135),(200,143),(200,189),(200,200),(200,204)," +
+    "(200,378),(200,409),(200,410),(300,27),(300,51),(300,53)," +
+    "(300,196),(300,245),(300,300),(300,318),(300,338),(300,464)," +
+    "(300,477),(400,92),(400,94),(400,182),(400,358),(400,400)," +
+    "(400,415),(400,443),(400,451),(400,475),(400,485)"
 
   // random-hyperplane LSH constants: weights from the same integer-mix
   // family as the minhash parameters; P odd prime > 2^32, HALF centers

@@ -10,12 +10,13 @@ class RegistrySpec extends AnyFunSuite {
   private val d = "/root/testdata/sf0.001"
 
   test("every registered query has oracle SQL or is explicitly rows-only") {
-    // sketch outputs are engine-specific by design (HLL, GK quantiles)
-    // and k-means codebooks are not ANSI-SQL-expressible; their
-    // accuracy/recall bounds are asserted in OperatorSpec / PQSpec
+    // sketch outputs are engine-specific by design (HLL, GK quantiles);
+    // their accuracy bounds are asserted in OperatorSpec. The ANN
+    // queries (q100/q110) moved off this list in round 7: they emit
+    // overlap-with-exact-top-k recall counts, hash-matched against a
+    // DuckDB-recomputed exact side + pinned index output (AnnPins).
     val noOracle = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
-    assert(noOracle == Seq("q94_approx_percentiles", "q63_approx_distinct",
-        "q100_pq_ann", "q110_ivf_pq_ann"),
+    assert(noOracle == Seq("q94_approx_percentiles", "q63_approx_distinct"),
       s"unexpected rows-only queries: $noOracle")
   }
 
