@@ -286,14 +286,29 @@ object Joins {
         .orderBy("event_type")
     },
 
-    // ---- HLL sketch: approx_count_distinct (§2.6 gap). Sketches are
-    //      engine-specific, so the oracle check is rows-only (noOracle);
-    //      the accuracy bound is asserted in OperatorSpec instead. ----
-    GraftQuery.noOracle("q63_approx_distinct") { (s, d) =>
+    // ---- HLL sketch: approx_count_distinct (§2.6 gap). The sketch
+    //      VALUE is engine-private, but the ERROR BOUND is hash-
+    //      matchable (the q94 pattern): the query emits per-group
+    //      |approx - exact| <= 6% booleans (3 sigma at rsd 0.02,
+    //      integer arithmetic so no float drift) alongside the exact
+    //      distinct count and row count that DuckDB recomputes
+    //      genuinely. An HLL regression past 3 sigma reddens the row;
+    //      OperatorSpec keeps the tighter quantitative bound. ----
+    GraftQuery("q63_approx_distinct",
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
+        |  CAST(COUNT(*) AS BIGINT) AS n, TRUE AS within_3sd
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
       Tables.orders(s, d)
         .groupBy(col("o_orderpriority"))
-        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"),
-          count(lit(1)).as("n"))
+        .agg(countDistinct(col("o_custkey")).as("exact_cust"),
+          count(lit(1)).as("n"),
+          approx_count_distinct(col("o_custkey"), 0.02).as("ac"))
+        .select(col("o_orderpriority"), col("exact_cust"), col("n"),
+          (abs(col("ac") - col("exact_cust")) * 100 <=
+            col("exact_cust") * 6).as("within_3sd"))
         .orderBy("o_orderpriority")
     },
   )

@@ -402,18 +402,47 @@ object Relational {
     // ---- approx-percentile sketch (the scalable sibling of q68's
     //      exact percentiles): GK-sketch buffers merge associatively,
     //      so at 100 TB the per-partition sketches combine without
-    //      holding any group's values. Sketches are engine-specific —
-    //      rows-only check (the q63 pattern); the accuracy bound vs
-    //      the exact percentile is asserted in OperatorSpec. ----
-    GraftQuery.noOracle("q94_approx_percentiles") { (s, d) =>
+    //      holding any group's values. The sketch VALUES are engine-
+    //      private (and QuantileSummaries compression is partition-
+    //      order sensitive, so they can't even be pinned), but the
+    //      ERROR BOUND is hash-matchable: the query emits per-group
+    //      within-bound booleans — the approx value sandwiched between
+    //      the exact percentiles at p ± 0.001, 10x the GK guarantee of
+    //      rank error <= n/accuracy = 1e-4 — alongside the exact
+    //      percentiles and counts that DuckDB recomputes genuinely.
+    //      A sketch regression past the bound reddens the row in the
+    //      per-round artifact; OperatorSpec keeps the tighter
+    //      one-quantity-step assertion. ----
+    GraftQuery("q94_approx_percentiles",
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS exact_median_qty,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS exact_p90_price,
+        |  TRUE AS median_within, TRUE AS p90_within
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
+          count(lit(1)).as("n"),
+          round(expr("percentile(l_quantity, 0.5)"), 6)
+            .as("exact_median_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6)
+            .as("exact_p90_price"),
           percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
-            .as("approx_median_qty"),
+            .as("am"),
           percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000))
-            .as("approx_p90_price"),
-          count(lit(1)).as("n"))
+            .as("ap"),
+          expr("percentile(l_quantity, 0.499)").as("mlo"),
+          expr("percentile(l_quantity, 0.501)").as("mhi"),
+          expr("percentile(l_extendedprice, 0.899)").as("plo"),
+          expr("percentile(l_extendedprice, 0.901)").as("phi"))
+        .select(col("l_returnflag"), col("n"),
+          col("exact_median_qty"), col("exact_p90_price"),
+          (col("am") >= col("mlo") && col("am") <= col("mhi"))
+            .as("median_within"),
+          (col("ap") >= col("plo") && col("ap") <= col("phi"))
+            .as("p90_within"))
         .orderBy("l_returnflag")
     },
 

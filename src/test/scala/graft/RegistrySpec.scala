@@ -9,14 +9,13 @@ class RegistrySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val d = "/root/testdata/sf0.001"
 
-  test("every registered query has oracle SQL or is explicitly rows-only") {
-    // sketch outputs are engine-specific by design (HLL, GK quantiles);
-    // their accuracy bounds are asserted in OperatorSpec. The ANN
-    // queries (q100/q110) moved off this list in round 7: they emit
-    // overlap-with-exact-top-k recall counts, hash-matched against a
-    // DuckDB-recomputed exact side + pinned index output (AnnPins).
+  test("every registered query has an oracle (allow-list empty since round 7)") {
+    // q100/q110 emit overlap-with-exact-top-k recall counts (pinned
+    // deterministic index output, AnnPins); q63/q94 emit error-bound
+    // booleans beside DuckDB-recomputed exact values. Nothing is
+    // rows-only any more — keep it that way.
     val noOracle = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
-    assert(noOracle == Seq("q94_approx_percentiles", "q63_approx_distinct"),
+    assert(noOracle.isEmpty,
       s"unexpected rows-only queries: $noOracle")
   }
 
