@@ -487,5 +487,68 @@ object CurationQueries {
           col("first_doc"))
         .orderBy("span_h")
     },
+
+    // ---- the COMPOSED curation chain (Pipeline.curateFull): exact
+    //      dedup + quality floor -> p1/p99 token-length trim -> LSH-
+    //      verified near-dup connected components with lowest-id
+    //      survivor -> sqrt-quota source rebalance. Every stage is
+    //      individually oracled (q40/q31/q104/q46/q48/q84/q102); this
+    //      row checks the COMPOSITION a pipeline actually ships —
+    //      stage order, the frames each stage feeds the next, and the
+    //      end-to-end membership — by chaining the same DuckDB CTEs. ----
+    GraftQuery("q112_curate_full", curateFullSql) { (s, d) =>
+      graft.Pipeline.curateFull(Tables.documents(s, d))
+        .select(col("doc_id"), col("lang"), col("source"),
+          round(col("quality"), 6).as("quality"), col("n_tokens"))
+        .orderBy("doc_id")
+    },
   )
+
+  /** DuckDB oracle for the composed curateFull chain: the q40
+    * fingerprint-dedup, q31 quality, q104 trim, q48 components (over
+    * the TRIMMED relation at θ=0.8 — DedupQueries.componentsCteSql
+    * parameterized), and q102 quota CTEs chained end-to-end. Built by
+    * plain concatenation around the pre-stripped components block
+    * (an outer stripMargin would eat line-leading `||` pipes). */
+  private def curateFullSql: String = {
+    val head =
+      s"""WITH RECURSIVE
+         |fp0 AS (SELECT doc_id, text, lang, source, ${fpSql("text")} AS fp
+         |        FROM documents),
+         |keepd AS (SELECT MIN(doc_id) AS doc_id FROM fp0 GROUP BY fp),
+         |cur0 AS (SELECT f.doc_id, f.text, f.lang, f.source, $toksSql AS toks
+         |         FROM fp0 f JOIN keepd k ON f.doc_id = k.doc_id),
+         |curd AS (SELECT doc_id, text, lang, source,
+         |           ${TextQueries.qualitySql("toks", "text")} AS quality,
+         |           CAST(len(toks) AS BIGINT) AS n_tokens
+         |         FROM cur0),
+         |cq AS (SELECT * FROM curd WHERE quality >= 0.3),
+         |st AS (SELECT quantile_cont(n_tokens, 0.01) AS lo,
+         |              quantile_cont(n_tokens, 0.99) AS hi FROM cq),
+         |trimmed AS (SELECT c.doc_id, c.text, c.lang, c.source, c.quality,
+         |              c.n_tokens
+         |            FROM cq c, st
+         |            WHERE c.n_tokens >= st.lo AND c.n_tokens <= st.hi),""".stripMargin
+    val tail =
+      """,
+        |dropd AS (SELECT doc_id FROM comp WHERE doc_id <> comp),
+        |ded AS (SELECT t2.* FROM trimmed t2 LEFT JOIN dropd dr
+        |          ON t2.doc_id = dr.doc_id
+        |        WHERE dr.doc_id IS NULL),
+        |qc AS (SELECT source, COUNT(*) AS n FROM ded GROUP BY source),
+        |qq AS (SELECT source, least(n, CAST(floor(sqrt(CAST(n AS DOUBLE)) * 4)
+        |         AS BIGINT)) AS quota FROM qc),
+        |rr AS (SELECT doc_id, lang, source, quality, n_tokens,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5('resamp#' || CAST(doc_id AS VARCHAR)), doc_id)
+        |           AS rk
+        |       FROM ded)
+        |SELECT rr.doc_id, rr.lang, rr.source,
+        |  round(rr.quality, 6) AS quality, rr.n_tokens
+        |FROM rr JOIN qq ON rr.source = qq.source
+        |WHERE rr.rk <= qq.quota
+        |ORDER BY doc_id""".stripMargin
+    head + "\n" +
+      DedupQueries.componentsCteSql("trimmed", "0.8") + tail
+  }
 }

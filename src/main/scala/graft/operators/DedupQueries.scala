@@ -76,9 +76,10 @@ object DedupQueries {
       s"list_min(list_transform(hs, h -> (h * $a + $b) % $P))"
     }.mkString("[", ", ", "]")
 
-  /** Shared CTE prefix: toks -> th -> hs -> sig -> exploded bands. */
-  private def bandsCteSql: String =
-    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+  /** Shared CTE prefix: toks -> th -> hs -> sig -> exploded bands.
+    * `rel` is the source relation (any CTE with doc_id + text). */
+  private[operators] def bandsCteSql(rel: String = "documents"): String =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM $rel),
        |h AS (SELECT doc_id, $thSql AS th FROM t WHERE len(toks) >= 3),
        |s AS (SELECT doc_id, $hsSql AS hs FROM h),
        |sig AS (SELECT doc_id, $sigSql AS sig FROM s),
@@ -90,25 +91,27 @@ object DedupQueries {
        |        (SELECT unnest(generate_series(0, ${N_BANDS - 1})) AS band) g)""".stripMargin
 
   /** Shared CTE chain for connected components over verified near-dup
-    * pairs (θ = 0.5): bands -> candidates -> exact-Jaccard verify ->
-    * symmetric edges -> recursive transitive closure -> per-node min
-    * label in `comp(doc_id, comp)`. Callers prepend WITH RECURSIVE. */
-  private def componentsCteSql: String =
-    s"""$bandsCteSql,
+    * pairs at threshold `theta` over relation `rel`: bands ->
+    * candidates -> exact-Jaccard verify -> symmetric edges ->
+    * recursive transitive closure -> per-node min label in
+    * `comp(doc_id, comp)`. Callers prepend WITH RECURSIVE. */
+  private[operators] def componentsCteSql(rel: String = "documents",
+      theta: String = "0.5"): String =
+    s"""${bandsCteSql(rel)},
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |         FROM b x JOIN b y
        |           ON x.band = y.band AND x.band_key = y.band_key
        |           AND x.doc_id < y.doc_id),
        |sh AS (SELECT doc_id,
        |         list_distinct(${shinglesSql(s"($toksSql)", 3)}) AS sset
-       |       FROM documents),
+       |       FROM $rel),
        |v AS (SELECT c.doc_a, c.doc_b
        |      FROM cand c
        |      JOIN sh a ON c.doc_a = a.doc_id
        |      JOIN sh b ON c.doc_b = b.doc_id
        |      WHERE CAST(len(list_filter(a.sset,
        |          x -> list_contains(b.sset, x))) AS DOUBLE)
-       |        / len(list_distinct(list_concat(a.sset, b.sset))) >= 0.5),
+       |        / len(list_distinct(list_concat(a.sset, b.sset))) >= $theta),
        |e AS (SELECT doc_a AS src, doc_b AS dst FROM v
        |      UNION SELECT doc_b, doc_a FROM v),
        |reach(a, b) AS (
@@ -179,7 +182,7 @@ object DedupQueries {
 
     // ---- MinHash signatures + LSH band keys (per-doc, oracle-strong) ----
     GraftQuery("q41_minhash_bands",
-      s"""WITH $bandsCteSql
+      s"""WITH ${bandsCteSql()}
          |SELECT doc_id, CAST(band AS INTEGER) AS band, band_key FROM b
          |ORDER BY doc_id, band""".stripMargin) { (s, d) =>
       graft.dedup.NearDup.bands(Tables.documents(s, d))
@@ -196,7 +199,7 @@ object DedupQueries {
     // degenerate corpus, where the cap is the intended OOM guard and the
     // observe metric reports the truncation.)
     GraftQuery("q42_lsh_candidate_pairs",
-      s"""WITH $bandsCteSql
+      s"""WITH ${bandsCteSql()}
          |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |FROM b x JOIN b y
          |  ON x.band = y.band AND x.band_key = y.band_key
@@ -212,7 +215,7 @@ object DedupQueries {
     //      groupBy (never the O(n²) pair space); only the few candidate
     //      pairs pay the exact-Jaccard join back to shingles. ----
     GraftQuery("q46_lsh_verified_dedup",
-      s"""WITH $bandsCteSql,
+      s"""WITH ${bandsCteSql()},
          |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |         FROM b x JOIN b y
          |           ON x.band = y.band AND x.band_key = y.band_key
@@ -360,7 +363,7 @@ object DedupQueries {
     //      ([[graft.dedup.NearDup.components]]); the oracle computes the
     //      same fixpoint as a recursive transitive-closure CTE. ----
     GraftQuery("q48_near_dup_components",
-      s"""WITH RECURSIVE $componentsCteSql
+      s"""WITH RECURSIVE ${componentsCteSql()}
          |SELECT doc_id, comp FROM comp
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val (pairs, truncation) = graft.dedup.NearDup
@@ -381,7 +384,7 @@ object DedupQueries {
     //      the per-component window is cheap; everything upstream is
     //      the q48 plan. ----
     GraftQuery("q84_cluster_survivor",
-      s"""WITH RECURSIVE $componentsCteSql,
+      s"""WITH RECURSIVE ${componentsCteSql()},
          |qt AS (SELECT doc_id, $toksSql AS toks, text FROM documents),
          |qual AS (SELECT doc_id,
          |  round(${TextQueries.qualitySql("toks", "text")}, 6) AS q
@@ -490,7 +493,7 @@ object DedupQueries {
     //      ingest dedup affordable at 100 TB. doc_b is always the
     //      incoming (droppable) side. ----
     GraftQuery("q89_incremental_dedup",
-      s"""WITH $bandsCteSql,
+      s"""WITH ${bandsCteSql()},
          |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |         FROM b x JOIN b y
          |           ON x.band = y.band AND x.band_key = y.band_key
