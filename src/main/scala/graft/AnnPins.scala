@@ -34,14 +34,10 @@ object AnnPins {
     println("PINS_Q100 = " + pins(graft.vector.PQ.searchRerank(
       codes, cb, queries, corpus, m, shortlist = 100, topK = 10)))
 
-    val cents = graft.vector.VectorIndex.kmeansCentroids(corpus, 8,
-      iters = 2).localCheckpoint()
-    val path = s"${System.getProperty("java.io.tmpdir")}/" +
-      s"graft-q110-${Integer.toHexString(d.hashCode)}/index"
-    graft.vector.IvfPq.build(corpus, cents, m = 8, k = 16, path)
+    val (cents, _) = graft.operators.VectorQueries.ensureQ110Index(spark, d)
     println("PINS_Q110 = " + pins(graft.vector.IvfPq.probe(
-      spark, path, cents, queries,
-      m = 8, topK = 10, nProbe = 6, shortlist = 100)))
+      spark, graft.operators.VectorQueries.q110IndexPath(d), cents,
+      queries, m = 8, topK = 10, nProbe = 6, shortlist = 100)))
     spark.stop()
   }
 }

@@ -43,6 +43,7 @@ import org.apache.spark.sql.functions._
 object IvfPq {
 
   private def codebooksPath(path: String) = s"$path.codebooks"
+  private def centroidsPath(path: String) = s"$path.centroids"
 
   /** Nearest-centroid assignment by SQUARED L2 — the IVF-PQ coarse
     * quantizer must use the same metric as the PQ distances and the
@@ -76,6 +77,37 @@ object IvfPq {
       .join(PQ.encode(corpus, cb, m), "vec_id")
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     cb.write.mode("overwrite").parquet(codebooksPath(path))
+    // centroids persist with the index: a PROBE-only consumer (the
+    // serving path) must not need the build-time k-means rerun
+    cents.write.mode("overwrite").parquet(centroidsPath(path))
+  }
+
+  /** Build-once wrapper for the serving path: (re)builds the full
+    * artifact set (index + codebooks + centroids) at `path` unless a
+    * param-marker from a completed identical build is present, and
+    * returns the PERSISTED centroids plus whether a build ran. The
+    * marker is written LAST, so an interrupted build rebuilds. The
+    * index is deterministic per (dataset, params) — spec-pinned
+    * bit-identical rebuilds — which is what makes reuse sound; if the
+    * index ALGORITHM changes, delete `path`* to force a rebuild.
+    * `corpus` is by-name: a cache hit never evaluates it. */
+  def ensureBuilt(spark: SparkSession, corpus: => DataFrame, m: Int,
+      k: Int, nCentroids: Int, kmIters: Int, path: String)
+      : (DataFrame, Boolean) = {
+    val marker = new java.io.File(s"$path.params")
+    val expect = s"m=$m k=$k cents=$nCentroids iters=$kmIters"
+    val hit = marker.exists() && {
+      val src = scala.io.Source.fromFile(marker)
+      try src.mkString == expect finally src.close()
+    }
+    if (!hit) {
+      val c = corpus
+      val cents = VectorIndex.kmeansCentroids(c, nCentroids,
+        iters = kmIters).localCheckpoint()
+      build(c, cents, m, k, path)
+      java.nio.file.Files.writeString(marker.toPath, expect)
+    }
+    (spark.read.parquet(centroidsPath(path)), !hit)
   }
 
   /** Probe: top-k exact-re-ranked neighbors per (query_id, q_emb)
