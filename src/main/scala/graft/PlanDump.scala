@@ -52,7 +52,7 @@ object PlanDump {
     "q106_upsert_merge" ->
       "Upsert/MERGE: one doc_id-keyed full-outer sort-merge join replaces per-record upserts; fingerprint update-gating is a join-side expression.",
     "q110_ivf_pq_ann" ->
-      "IVF-PQ probe (index pre-built in-query; since round 7 the query wraps the probe in the recall-vs-exact overlap count, so a brute-force exact branch joins in at the top): bucket IN (...) is a planning-time partition filter on the index scan; the ADC stage scans (bucket, vec_id, codes) only — ReadSchema has no embedding column — and the shortlist broadcasts back for the exact re-rank over the same pruned partitions.",
+      "IVF-PQ probe (index persisted, built once via IvfPq.ensureBuilt; since round 7 the query wraps the probe in the recall-vs-exact overlap count, so a brute-force exact branch joins in at the top): bucket IN (...) is a planning-time partition filter on the index scan; the ADC stage scans (bucket, vec_id, codes) only — ReadSchema has no embedding column — and the shortlist broadcasts back for the exact re-rank over the same pruned partitions.",
     "q111_bpe_segment" ->
       "BPE encode, single-scan composition: the vocab is computed once and localCheckpoint'ed — train collects it and the encode joins against it (distinct skipped: groupBy output), so the plan below scans the checkpointed vocab (Scan ExistingRDD), NOT documents.parquet; the whole train-then-apply job reads documents exactly once, in the checkpoint job. The distinct vocab encodes via mapPartitions (merge table broadcast, never in the plan); subword counts are one partial+final agg.")
 

@@ -85,6 +85,43 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // q110serve: per-query SERVING latency of the persisted IVF-PQ
+    // index at 100x (200k vectors), index pre-built — the number the
+    // bench total can't show (it times a 2000-probe batch; production
+    // serves one query at a time). Reports p50/p95/mean over
+    // single-query probes after warmup.
+    if (args.headOption.contains("q110serve")) {
+      val out100 = "/tmp/scale100docs"
+      if (!new java.io.File(s"$out100/documents.parquet").exists())
+        buildDocs100(out100)
+      val tb = System.nanoTime()
+      val (cents, built) =
+        operators.VectorQueries.ensureQ110Index(spark, out100)
+      println(f"TIME q110serve index_build ${(System.nanoTime() - tb) / 1e9}%.2f s (ran=$built)")
+      val path = operators.VectorQueries.q110IndexPath(out100)
+      val probeVecs = Tables.embeddings(spark, out100)
+        .filter(col("vec_id") % 9973 === 0)
+        .select(col("vec_id"), col("embedding"))
+        .limit(45).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      import spark.implicits._
+      def serveOnce(id: Long, emb: Seq[Float]): Double = {
+        val q = Seq((id, emb)).toDF("query_id", "q_emb")
+        val t0 = System.nanoTime()
+        graft.vector.IvfPq.probe(spark, path, cents, q,
+          m = 8, topK = 10, nProbe = 6, shortlist = 100)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      probeVecs.take(5).foreach { case (id, e) => serveOnce(id, e) } // warm
+      val lats = probeVecs.drop(5).map { case (id, e) => serveOnce(id, e) }
+        .sorted
+      def pct(p: Double) = lats(math.min(lats.length - 1,
+        (p * lats.length).toInt))
+      println(f"TIME q110serve n=${lats.length} p50=${pct(0.50)}%.3f s p95=${pct(0.95)}%.3f s mean=${lats.sum / lats.length}%.3f s")
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("docs100")) {
       val out100 = "/tmp/scale100docs"
       // the replica is deterministic, so an existing build is reused;

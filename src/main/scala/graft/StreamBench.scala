@@ -60,15 +60,18 @@ object StreamBench {
     // through and the LSH candidate + Jaccard-verify path does the
     // work being measured) through nearDupSinkWriter, per-batch
     // against the growing persisted band table.
-    val ndRows = sys.env.getOrElse("SPARK_GRAFT_ND_ROWS", "24000").toLong
-    // ≥20 micro-batches (one file per trigger), so the run doubles as
-    // the STEADY-STATE COST CURVE: per-batch wall time as the
-    // persisted band table grows. The 100 TB claim for the admission
-    // sink is "one columnar band-table scan per batch"; a superlinear
-    // per-batch trend here would falsify it, flat-ish growth (batch
-    // cost ~ batch size + an O(table) columnar scan that is tiny
-    // relative to the signature pass at these sizes) backs it.
-    val ndFiles = 24
+    val ndRows = sys.env.getOrElse("SPARK_GRAFT_ND_ROWS", "240000").toLong
+    // ≥60 micro-batches (one ~4k-doc file per trigger), so the run
+    // doubles as the STEADY-STATE COST CURVE: per-batch wall time as
+    // the persisted band table grows to ~240k docs' bands. The 100 TB
+    // claim for the admission sink is "signature pass + one full
+    // band-table scan (+ one doc_id-only pruned scan) per batch"; a
+    // superlinear per-batch trend here would falsify it. At this size
+    // the linear band-scan term is MEASURABLE (the round-6 24k-doc run
+    // was flat because fixed per-batch overhead dominated): the
+    // late/early ratio should sit above 1 by roughly the scan term's
+    // share and the curve should grow linearly, not worse.
+    val ndFiles = 60
     spark.range(ndRows).select(
       col("id").as("doc_id"),
       when(col("id") % 10 === 3,
@@ -86,25 +89,30 @@ object StreamBench {
       .schema("doc_id LONG, text STRING")
       .parquet(s"$tmp/nd_landing")
     // per-batch timings via the progress listener (batchId ->
-    // triggerExecution ms); events are async, drained after stop
+    // triggerExecution ms); events are async, drained after stop.
+    // The listener matches on the query NAME — set before start(), so
+    // no progress event can fire before the key exists (an id-based
+    // match assigned after start() raced and could drop batch 0) —
+    // and the durationMs lookup is null-guarded: Spark swallows
+    // listener exceptions, so an NPE would silently lose the point.
+    val ndQueryName = "graft-streambench-neardup"
     val batchSec =
       new java.util.concurrent.ConcurrentSkipListMap[Long, Double]()
-    var ndQueryId: java.util.UUID = null
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
       override def onQueryProgress(e: QueryProgressEvent): Unit =
-        if (e.progress.id == ndQueryId && e.progress.numInputRows > 0)
-          batchSec.put(e.progress.batchId,
-            e.progress.durationMs.get("triggerExecution").toDouble / 1e3)
+        if (e.progress.name == ndQueryName && e.progress.numInputRows > 0)
+          Option(e.progress.durationMs.get("triggerExecution")).foreach(
+            ms => batchSec.put(e.progress.batchId, ms.toDouble / 1e3))
     }
     spark.streams.addListener(listener)
     val t1 = System.nanoTime()
     val nq = Streams.nearDupSinkWriter(ndSource, s"$tmp/nd_out",
       s"$tmp/nd_bands", s"$tmp/nd_ckpt", minJaccard = 0.5)
+      .queryName(ndQueryName)
       .trigger(Streams.drainTrigger).start()
-    ndQueryId = nq.id
     nq.awaitTermination()
     val ndSec = (System.nanoTime() - t1) / 1e9
     spark.streams.removeListener(listener)
@@ -121,9 +129,22 @@ object StreamBench {
       if (half > 0) (steady.drop(half).sum / (steady.length - half)) /
         (steady.take(half).sum / half)
       else Double.NaN
+    // least-squares slope over the steady batches: the measured
+    // per-batch growth (ms/batch) — the linear band-scan term the
+    // cost model predicts (each batch adds a fixed number of band
+    // rows, so table size, and hence scan cost, grows linearly)
+    val slopeMs = if (steady.length > 2) {
+      val n = steady.length
+      val xm = (n - 1) / 2.0
+      val ym = steady.sum / n
+      val cov = steady.zipWithIndex
+        .map { case (y, i) => (i - xm) * (y - ym) }.sum
+      val vx = (0 until n).map(i => (i - xm) * (i - xm)).sum
+      cov / vx * 1000.0
+    } else Double.NaN
     val curveJson = curve
       .map { case (b, s) => f"""[$b,$s%.2f]""" }.mkString(",")
-    println(f"""{"metric":"neardup_batch_curve","unit":"sec/batch","late_vs_early":$ratio%.2f,"curve":[$curveJson]}""")
+    println(f"""{"metric":"neardup_batch_curve","unit":"sec/batch","late_vs_early":$ratio%.2f,"slope_ms_per_batch":$slopeMs%.1f,"curve":[$curveJson]}""")
     spark.stop()
   }
 }

@@ -273,7 +273,9 @@ object Streams {
     * band rows append to the band table at `bandPath`.
     *
     * Steady-state cost per batch: the batch's own signature pass plus
-    * ONE columnar scan of the persisted band table — the corpus is
+    * one FULL band-table scan for candidate generation and one
+    * doc_id-only column-pruned scan of the same table for the
+    * replay-dedup anti-join inside the band append — the corpus is
     * never re-tokenized; only docs that land in a candidate pair pay
     * the shingle verification
     * ([[graft.dedup.NearDup.incrementalVerifiedWithBands]]). Like
