@@ -425,24 +425,24 @@ object Relational {
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
-          round(expr("percentile(l_quantity, 0.5)"), 6)
-            .as("exact_median_qty"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 6)
-            .as("exact_p90_price"),
+          // ONE exact-percentile buffer per column (array form), not
+          // one per requested quantile — the sandwich bounds ride the
+          // same sorted digest for free
+          expr("percentile(l_quantity, array(0.499D, 0.5D, 0.501D))")
+            .as("pq"),
+          expr("percentile(l_extendedprice, array(0.899D, 0.9D, 0.901D))")
+            .as("pp"),
           percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
             .as("am"),
           percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000))
-            .as("ap"),
-          expr("percentile(l_quantity, 0.499)").as("mlo"),
-          expr("percentile(l_quantity, 0.501)").as("mhi"),
-          expr("percentile(l_extendedprice, 0.899)").as("plo"),
-          expr("percentile(l_extendedprice, 0.901)").as("phi"))
+            .as("ap"))
         .select(col("l_returnflag"), col("n"),
-          col("exact_median_qty"), col("exact_p90_price"),
-          (col("am") >= col("mlo") && col("am") <= col("mhi"))
-            .as("median_within"),
-          (col("ap") >= col("plo") && col("ap") <= col("phi"))
-            .as("p90_within"))
+          round(element_at(col("pq"), 2), 6).as("exact_median_qty"),
+          round(element_at(col("pp"), 2), 6).as("exact_p90_price"),
+          (col("am") >= element_at(col("pq"), 1) &&
+            col("am") <= element_at(col("pq"), 3)).as("median_within"),
+          (col("ap") >= element_at(col("pp"), 1) &&
+            col("ap") <= element_at(col("pp"), 3)).as("p90_within"))
         .orderBy("l_returnflag")
     },
 
