@@ -116,4 +116,30 @@ class IvfPqSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
     assert(a.toSeq == b.toSeq)
   }
+
+  test("ensureBuilt builds once, reuses on matching params, rebuilds on change") {
+    val tmp = Files.createTempDirectory("graft-ivfpq-ensure").toString
+    val path = s"$tmp/index"
+    var evals = 0
+    def countedCorpus = { evals += 1; corpus }
+    val (c1, ran1) = IvfPq.ensureBuilt(spark, countedCorpus,
+      m = M, k = 16, nCentroids = 4, kmIters = 2, path)
+    assert(ran1 && evals == 1)
+    assert(c1.count() > 0)
+    // cache hit: corpus is never evaluated, centroids read from disk
+    val (c2, ran2) = IvfPq.ensureBuilt(spark, countedCorpus,
+      m = M, k = 16, nCentroids = 4, kmIters = 2, path)
+    assert(!ran2 && evals == 1)
+    assert(c2.collect().map(_.getInt(0)).sorted.toSeq ==
+      c1.collect().map(_.getInt(0)).sorted.toSeq)
+    // param change: marker mismatch forces a rebuild
+    val (_, ran3) = IvfPq.ensureBuilt(spark, countedCorpus,
+      m = M, k = 8, nCentroids = 4, kmIters = 2, path)
+    assert(ran3 && evals == 2)
+    // interrupted build (marker missing): rebuilds even with artifacts
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$path.params"))
+    val (_, ran4) = IvfPq.ensureBuilt(spark, countedCorpus,
+      m = M, k = 8, nCentroids = 4, kmIters = 2, path)
+    assert(ran4 && evals == 3)
+  }
 }
