@@ -453,20 +453,24 @@ object VectorQueries {
   /** |ANN top-k ∩ exact top-k| per query — the cross-engine-checkable
     * recall statement for the ANN paths (the index artifacts themselves
     * are not SQL-expressible, their retrieval quality is). The exact
-    * side is the same brute-force plan as q20: corpus streamed once
-    * against broadcast queries, per-query partial+final window top-k.
-    * Queries with zero overlap still emit a row (left join, 0). */
+    * side ranks by SQUARED L2 — the metric both ANN paths rank by
+    * (the IvfPqSpec/PQSpec bruteL2 ground truth), NOT q20's cosine —
+    * with the q20 plan shape: corpus streamed once against broadcast
+    * queries, per-query partial+final window top-k. Subtractions run
+    * in DOUBLE (explicit cast) so the fold matches DuckDB's
+    * double-list arithmetic bit-for-bit. Queries with zero overlap
+    * still emit a row (left join, 0). */
   private def recallVsExact(ann: DataFrame, corpus: DataFrame,
       queries: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
+      .orderBy(col("dist"), col("vec_id"))
     val exact = corpus
-      .withColumn("nrm", l2Norm(col("embedding")))
-      .crossJoin(broadcast(queries
-        .withColumn("q_nrm", l2Norm(col("q_emb")))))
+      .crossJoin(broadcast(queries))
       .select(col("query_id"), col("vec_id"),
-        stagedCosine(col("q_emb"), col("embedding"), col("q_nrm"),
-          col("nrm")).as("sim"))
+        aggregate(zip_with(col("embedding").cast("array<double>"),
+          col("q_emb").cast("array<double>"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v)
+          .as("dist"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id"))
@@ -481,21 +485,27 @@ object VectorQueries {
   }
 
   /** Oracle for the ANN recall queries: DuckDB recomputes the exact
-    * brute-force top-10 (genuinely — same ranking SQL as q20's oracle)
-    * and overlaps it with the PINNED (query_id, vec_id) retrieval of
-    * the deterministic index at sf0.01. The pins are index OUTPUT, not
-    * oracle logic — bit-identical rebuilds are spec-pinned, so a pin
-    * mismatch means the index or probe changed. Regenerate with
+    * brute-force SQUARED-L2 top-10 (genuinely — the metric the ANN
+    * paths rank by, folded left-to-right over DOUBLE[] casts exactly
+    * like the Spark side) and overlaps it with the PINNED
+    * (query_id, vec_id) retrieval of the deterministic index at
+    * sf0.01. The pins are index OUTPUT, not oracle logic —
+    * bit-identical rebuilds are spec-pinned, so a pin mismatch means
+    * the index or probe changed. Regenerate with
     * `sbt "runMain graft.AnnPins"`. */
   private def annRecallSql(pins: String): String =
-    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+    s"""WITH q AS (SELECT vec_id AS query_id,
+       |             CAST(embedding AS DOUBLE[]) AS qv
        |            FROM embeddings WHERE vec_id % 100 = 0),
        |s AS (SELECT q.query_id, e.vec_id,
-       |        ${cosSql("q.q_emb", "e.embedding")} AS sim
-       |      FROM embeddings e CROSS JOIN q),
+       |        list_sum(list_transform(
+       |          range(1, len(e.ev) + 1),
+       |          i -> (e.ev[i] - q.qv[i]) * (e.ev[i] - q.qv[i]))) AS dist
+       |      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+       |            FROM embeddings) e CROSS JOIN q),
        |r AS (SELECT query_id, vec_id,
        |        ROW_NUMBER() OVER (PARTITION BY query_id
-       |          ORDER BY sim DESC, vec_id) AS rk
+       |          ORDER BY dist, vec_id) AS rk
        |      FROM s),
        |exact AS (SELECT query_id, vec_id FROM r WHERE rk <= 10),
        |ann(query_id, vec_id) AS (VALUES $pins),
