@@ -28,13 +28,34 @@ object AnnPins {
         .orderBy("query_id", "vec_id").collect()
         .map(r => s"(${r.getLong(0)},${r.getLong(1)})").mkString(",")
 
+    // Force FRESH builds: pins must be printed from THIS code's
+    // artifacts, never a cached /tmp build — otherwise regenerated pins
+    // after an algorithm edit could keep correctness green without the
+    // new code ever running (the marker's AlgoVersion already guards
+    // the common case; deleting makes pin generation unconditional).
+    def rmTree(f: java.io.File): Unit = if (f.exists()) {
+      if (f.isDirectory) f.listFiles.foreach(rmTree)
+      f.delete()
+    }
+    Seq(graft.operators.VectorQueries.q110IndexPath(d),
+        graft.operators.VectorQueries.q100CodebooksPath(d))
+      .flatMap(p => Seq(p, s"$p.params", s"$p.codebooks", s"$p.centroids"))
+      .foreach(p => rmTree(new java.io.File(p)))
+    // the pinned lists are only valid for this algorithm version — the
+    // same constant every artifact cache marker carries
+    println("AnnAlgoVersion = " + graft.vector.AnnVersion.AlgoVersion)
+
     val m = 8
-    val cb = graft.vector.PQ.trainCodebooks(corpus, m, 16, iters = 2)
+    val (cb, trained) =
+      graft.operators.VectorQueries.ensureQ100Codebooks(spark, d)
+    assert(trained, "q100 codebooks must be freshly trained for pins")
     val codes = graft.vector.PQ.encode(corpus, cb, m)
     println("PINS_Q100 = " + pins(graft.vector.PQ.searchRerank(
       codes, cb, queries, corpus, m, shortlist = 100, topK = 10)))
 
-    val (cents, _) = graft.operators.VectorQueries.ensureQ110Index(spark, d)
+    val (cents, built) =
+      graft.operators.VectorQueries.ensureQ110Index(spark, d)
+    assert(built, "q110 index must be freshly built for pins")
     println("PINS_Q110 = " + pins(graft.vector.IvfPq.probe(
       spark, graft.operators.VectorQueries.q110IndexPath(d), cents,
       queries, m = 8, topK = 10, nProbe = 6, shortlist = 100)))

@@ -43,17 +43,30 @@ object Bench {
       Tables.documents(spark, sfDir).count()
     } catch { case _: Throwable => () }
 
-    // Pre-build the q110 persisted IVF-PQ index so the TIMED runs
-    // measure the serving path (probe over the persisted artifacts);
-    // the one-time build cost is reported separately below. In
-    // production the index is an amortized offline artifact — timing
-    // it inside every probe masked probe regressions behind ~10% of
-    // build noise.
-    val buildT0 = System.nanoTime()
-    val q110Built = try {
+    // Pre-build the persisted ANN artifacts (q110 IVF-PQ index, q100
+    // PQ codebooks) so the TIMED runs measure the serving path; the
+    // one-time build costs are reported separately below. In
+    // production these are amortized offline artifacts — timing them
+    // inside every probe masked probe regressions behind build noise.
+    // A failed pre-build logs loudly: the timed query would then build
+    // in-query, silently folding build cost back into the serving
+    // measurement with only built=false as a hint.
+    def timedBuild(what: String)(f: => Boolean): (Boolean, Double) = {
+      val t0 = System.nanoTime()
+      val ran = try f catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH: $what pre-build FAILED " +
+            s"(build cost will fold into the timed query): $e")
+          false
+      }
+      (ran, (System.nanoTime() - t0) / 1e9)
+    }
+    val (q110Built, q110BuildSec) = timedBuild("q110 index") {
       operators.VectorQueries.ensureQ110Index(spark, sfDir)._2
-    } catch { case _: Throwable => false }
-    val q110BuildSec = (System.nanoTime() - buildT0) / 1e9
+    }
+    val (q100Built, q100BuildSec) = timedBuild("q100 codebooks") {
+      operators.VectorQueries.ensureQ100Codebooks(spark, sfDir)._2
+    }
 
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     // The noop sink evaluates every output column and keeps the final
@@ -129,7 +142,18 @@ object Bench {
     // the last ~2 KB of output, and the per-query map alone is larger than
     // that. The summary scalars (metric/value/...) therefore go LAST so the
     // headline total always survives the truncation.
-    println(s"""{"queries":$qs,"errors":$errs,"q110_index_build_sec":$q110BuildSec,"q110_index_built":$q110Built,"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"passes":2,"pass2_skipped":$pass2Skipped,"load_before":$loadBefore,"load_after":$loadAfter,"sf":"$sfDir"}""")
+    val json = s"""{"queries":$qs,"errors":$errs,"q110_index_build_sec":$q110BuildSec,"q110_index_built":$q110Built,"q100_codebook_build_sec":$q100BuildSec,"q100_codebooks_built":$q100Built,"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"passes":2,"pass2_skipped":$pass2Skipped,"load_before":$loadBefore,"load_after":$loadAfter,"sf":"$sfDir"}"""
+    println(json)
+    // The stdout capture truncates (BENCH_r07 lost the 12 heaviest
+    // per-query rows to a ~2 KB tail); the committed artifact must be
+    // self-contained, so the FULL line also lands in a repo-visible
+    // file for round-over-round per-query regression tracking.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")),
+      json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"BENCH: could not write bench_latest.json: $e") }
     spark.stop()
   }
 }

@@ -116,8 +116,11 @@ object ScaleProbe {
       probeVecs.take(5).foreach { case (id, e) => serveOnce(id, e) } // warm
       val lats = probeVecs.drop(5).map { case (id, e) => serveOnce(id, e) }
         .sorted
+      // nearest-rank: ceil(p*n)-th order statistic ((p*n).toInt reads
+      // one rank high — p50 over 40 samples would report the 52.5th
+      // percentile, inflating the published latencies)
       def pct(p: Double) = lats(math.min(lats.length - 1,
-        (p * lats.length).toInt))
+        math.ceil(p * lats.length).toInt - 1))
       println(f"TIME q110serve n=${lats.length} p50=${pct(0.50)}%.3f s p95=${pct(0.95)}%.3f s mean=${lats.sum / lats.length}%.3f s")
       spark.stop()
       return

@@ -382,13 +382,17 @@ object VectorQueries {
     //      sf0.01 (regenerate: `sbt "runMain graft.AnnPins"`). A
     //      recall regression in the PQ path changes the counts and
     //      reddens the row; PQSpec keeps the quantitative floors
-    //      (ADC 0.34 / re-ranked 0.88 at this config). ----
+    //      (ADC 0.34 / re-ranked 0.88 at this config) and the
+    //      self-contained in-query training demo. Codebooks come from
+    //      the versioned train-once cache ([[ensureQ100Codebooks]]) —
+    //      the amortized offline artifact a serving deployment uses;
+    //      deterministic training makes cached ≡ in-query. ----
     GraftQuery("q100_pq_ann", annRecallSql(PINS_Q100)) { (s, d) =>
       import graft.vector.PQ
       val corpus = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
       val m = 8
-      val cb = PQ.trainCodebooks(corpus, m, 16, iters = 2)
+      val (cb, _) = ensureQ100Codebooks(s, d)
       val codes = PQ.encode(corpus, cb, m)
       val queries = corpus.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -438,9 +442,21 @@ object VectorQueries {
   private val Q110_CENTS = 8
   private val Q110_ITERS = 2
 
+  /** Collision-resistant /tmp key for a dataset dir: 16 hex chars of
+    * SHA-256. (32-bit String.hashCode invited a silent cross-dataset
+    * collision: identical knobs + colliding paths would pass the
+    * params-marker check and serve the wrong dataset's artifacts.) */
+  private def datasetKey(d: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+
   def q110IndexPath(d: String): String =
     s"${System.getProperty("java.io.tmpdir")}/" +
-      s"graft-q110-${Integer.toHexString(d.hashCode)}/index"
+      s"graft-q110-${datasetKey(d)}/index"
+
+  def q100CodebooksPath(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft-q100-${datasetKey(d)}/codebooks"
 
   /** Build the q110 IVF-PQ artifacts for dataset `d` unless already
     * present; returns (persisted centroids, whether a build ran). */
@@ -449,6 +465,15 @@ object VectorQueries {
     graft.vector.IvfPq.ensureBuilt(s,
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
       Q110_M, Q110_K, Q110_CENTS, Q110_ITERS, q110IndexPath(d))
+
+  /** Train-once q100 PQ codebooks for dataset `d` (amortized offline
+    * artifact, like the q110 index); returns (persisted codebooks,
+    * whether training ran). */
+  def ensureQ100Codebooks(s: SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, Boolean) =
+    graft.vector.PQ.ensureCodebooks(s,
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      m = 8, k = 16, iters = 2, q100CodebooksPath(d))
 
   /** |ANN top-k ∩ exact top-k| per query — the cross-engine-checkable
     * recall statement for the ANN paths (the index artifacts themselves

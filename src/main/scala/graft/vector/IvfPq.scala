@@ -40,6 +40,37 @@ import org.apache.spark.sql.functions._
   * bounds how much approximation error survives — each independently
   * tunable (nProbe, shortlist) with brute force as the limit.
   */
+/** Version of the persisted ANN index algorithms (coarse IVF
+  * assignment, PQ codebook training/encode, probe staging). Bump on
+  * ANY behavioral edit to [[PQ]]/[[IvfPq]]/[[VectorIndex]]: the
+  * constant is folded into every persisted-artifact cache marker
+  * ([[IvfPq.ensureBuilt]], [[PQ.ensureCodebooks]]), so artifacts built
+  * by a previous algorithm miss the marker check and rebuild instead
+  * of being served silently. `graft.AnnPins` prints it beside the
+  * regenerated oracle pins, so the pinned retrieval lists and the
+  * marker version move together. */
+object AnnVersion {
+  val AlgoVersion = 2
+}
+
+/** Shared marker protocol for build-once persisted artifacts: a
+  * `.params` file written AFTER a completed build holds the exact
+  * parameter string the artifacts were built under (algorithm version,
+  * knobs, corpus fingerprint). Reuse requires an exact match; an
+  * interrupted build (no marker) or ANY drift rebuilds. */
+private[vector] object ArtifactCache {
+  def hit(path: String, expect: String): Boolean = {
+    val marker = new java.io.File(s"$path.params")
+    marker.exists() && {
+      val src = scala.io.Source.fromFile(marker)
+      try src.mkString == expect finally src.close()
+    }
+  }
+  def stamp(path: String, expect: String): Unit =
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$path.params").toPath, expect)
+}
+
 object IvfPq {
 
   private def codebooksPath(path: String) = s"$path.codebooks"
@@ -88,24 +119,23 @@ object IvfPq {
     * returns the PERSISTED centroids plus whether a build ran. The
     * marker is written LAST, so an interrupted build rebuilds. The
     * index is deterministic per (dataset, params) — spec-pinned
-    * bit-identical rebuilds — which is what makes reuse sound; if the
-    * index ALGORITHM changes, delete `path`* to force a rebuild.
-    * `corpus` is by-name: a cache hit never evaluates it. */
-  def ensureBuilt(spark: SparkSession, corpus: => DataFrame, m: Int,
+    * bit-identical rebuilds — which is what makes reuse sound. The
+    * marker folds in [[AnnVersion.AlgoVersion]] (an algorithm edit
+    * invalidates every cached artifact — no manual /tmp hygiene) and
+    * the corpus row count (a regenerated/regrown dataset at the same
+    * path invalidates too; the count is a parquet metadata-only job,
+    * the one corpus evaluation a cache hit pays). */
+  def ensureBuilt(spark: SparkSession, corpus: DataFrame, m: Int,
       k: Int, nCentroids: Int, kmIters: Int, path: String)
       : (DataFrame, Boolean) = {
-    val marker = new java.io.File(s"$path.params")
-    val expect = s"m=$m k=$k cents=$nCentroids iters=$kmIters"
-    val hit = marker.exists() && {
-      val src = scala.io.Source.fromFile(marker)
-      try src.mkString == expect finally src.close()
-    }
+    val expect = s"algo=${AnnVersion.AlgoVersion} m=$m k=$k " +
+      s"cents=$nCentroids iters=$kmIters rows=${corpus.count()}"
+    val hit = ArtifactCache.hit(path, expect)
     if (!hit) {
-      val c = corpus
-      val cents = VectorIndex.kmeansCentroids(c, nCentroids,
+      val cents = VectorIndex.kmeansCentroids(corpus, nCentroids,
         iters = kmIters).localCheckpoint()
-      build(c, cents, m, k, path)
-      java.nio.file.Files.writeString(marker.toPath, expect)
+      build(corpus, cents, m, k, path)
+      ArtifactCache.stamp(path, expect)
     }
     (spark.read.parquet(centroidsPath(path)), !hit)
   }

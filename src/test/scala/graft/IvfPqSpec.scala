@@ -120,26 +120,50 @@ class IvfPqSpec extends AnyFunSuite {
   test("ensureBuilt builds once, reuses on matching params, rebuilds on change") {
     val tmp = Files.createTempDirectory("graft-ivfpq-ensure").toString
     val path = s"$tmp/index"
-    var evals = 0
-    def countedCorpus = { evals += 1; corpus }
-    val (c1, ran1) = IvfPq.ensureBuilt(spark, countedCorpus,
+    val (c1, ran1) = IvfPq.ensureBuilt(spark, corpus,
       m = M, k = 16, nCentroids = 4, kmIters = 2, path)
-    assert(ran1 && evals == 1)
+    assert(ran1)
     assert(c1.count() > 0)
-    // cache hit: corpus is never evaluated, centroids read from disk
-    val (c2, ran2) = IvfPq.ensureBuilt(spark, countedCorpus,
+    // cache hit: no rebuild, centroids read from disk
+    val (c2, ran2) = IvfPq.ensureBuilt(spark, corpus,
       m = M, k = 16, nCentroids = 4, kmIters = 2, path)
-    assert(!ran2 && evals == 1)
+    assert(!ran2)
     assert(c2.collect().map(_.getInt(0)).sorted.toSeq ==
       c1.collect().map(_.getInt(0)).sorted.toSeq)
     // param change: marker mismatch forces a rebuild
-    val (_, ran3) = IvfPq.ensureBuilt(spark, countedCorpus,
+    val (_, ran3) = IvfPq.ensureBuilt(spark, corpus,
       m = M, k = 8, nCentroids = 4, kmIters = 2, path)
-    assert(ran3 && evals == 2)
+    assert(ran3)
     // interrupted build (marker missing): rebuilds even with artifacts
     java.nio.file.Files.delete(java.nio.file.Paths.get(s"$path.params"))
-    val (_, ran4) = IvfPq.ensureBuilt(spark, countedCorpus,
+    val (_, ran4) = IvfPq.ensureBuilt(spark, corpus,
       m = M, k = 8, nCentroids = 4, kmIters = 2, path)
-    assert(ran4 && evals == 3)
+    assert(ran4)
+  }
+
+  test("ensureBuilt rebuilds on a stale algorithm version or changed corpus") {
+    val tmp = Files.createTempDirectory("graft-ivfpq-stale").toString
+    val path = s"$tmp/index"
+    val (_, ran1) = IvfPq.ensureBuilt(spark, corpus,
+      m = M, k = 16, nCentroids = 4, kmIters = 2, path)
+    assert(ran1)
+    // identical knobs + corpus, but a marker stamped by a PREVIOUS
+    // algorithm version: the exact silent-stale-serving case the
+    // version field exists for — must rebuild, not reuse
+    val markerPath = java.nio.file.Paths.get(s"$path.params")
+    val current = java.nio.file.Files.readString(markerPath)
+    assert(current.startsWith(
+      s"algo=${graft.vector.AnnVersion.AlgoVersion} "))
+    java.nio.file.Files.writeString(markerPath,
+      current.replaceFirst("algo=\\d+", "algo=0"))
+    val (_, ran2) = IvfPq.ensureBuilt(spark, corpus,
+      m = M, k = 16, nCentroids = 4, kmIters = 2, path)
+    assert(ran2, "old-version marker must force a rebuild")
+    // same knobs, same path, DIFFERENT corpus (row-count fingerprint):
+    // a regenerated dataset at the same location must rebuild too
+    val (_, ran3) = IvfPq.ensureBuilt(spark,
+      corpus.filter(col("vec_id") % 2 === 0),
+      m = M, k = 16, nCentroids = 4, kmIters = 2, path)
+    assert(ran3, "changed corpus fingerprint must force a rebuild")
   }
 }

@@ -72,4 +72,32 @@ class PQSpec extends AnyFunSuite {
     // measured 0.88 with this (deterministic) config
     assert(r >= 0.8, s"re-ranked recall@10 = $r")
   }
+
+  test("ensureCodebooks: cached read ≡ fresh training; versioned reuse") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-pq-ensure").toString
+    val path = s"$tmp/codebooks"
+    val (cached1, ran1) =
+      PQ.ensureCodebooks(spark, corpus, M, K, iters = 2, path)
+    assert(ran1)
+    // the parquet round-trip must be bit-identical to in-query
+    // training — that equivalence is what lets q100 serve from the
+    // cache with its oracle pins unchanged
+    val diff = cached1.as("a").join(cb.as("b"),
+        col("a.sub") === col("b.sub") && col("a.cid") === col("b.cid"))
+      .filter(col("a.c_sub") =!= col("b.c_sub")).count()
+    assert(diff === 0L)
+    assert(cached1.count() === (M * K).toLong)
+    val (_, ran2) =
+      PQ.ensureCodebooks(spark, corpus, M, K, iters = 2, path)
+    assert(!ran2, "matching marker must reuse")
+    // stale algorithm version in the marker forces retraining
+    val markerPath = java.nio.file.Paths.get(s"$path.params")
+    java.nio.file.Files.writeString(markerPath,
+      java.nio.file.Files.readString(markerPath)
+        .replaceFirst("algo=\\d+", "algo=0"))
+    val (_, ran3) =
+      PQ.ensureCodebooks(spark, corpus, M, K, iters = 2, path)
+    assert(ran3, "old-version marker must force retraining")
+  }
 }
