@@ -89,6 +89,36 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q111: the composed BPE train-then-encode never rescans documents") {
+    // The train-then-apply composition computes the vocab ONCE
+    // (localCheckpoint), trains from it, and encodes by joining the
+    // SAME frame — so the final plan reads the checkpointed vocab and
+    // contains NO file scan at all: the one documents pass happened in
+    // the checkpoint job. A reintroduced .distinct() or a second
+    // Bpe.vocab() call would resurface as a documents FileScan here
+    // (round 6's triple-scan weak) long before it shows as a slow probe.
+    val p = plan("q111_bpe_segment")
+    val scans = p.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.isEmpty,
+      s"q111 must not rescan any file:\n${scans.mkString("\n")}")
+    assert(p.contains("ExistingRDD"),
+      "q111 must read the checkpointed vocab")
+  }
+
+  test("q110: the registered probe's ADC scan stays codes-only") {
+    // IvfPqSpec pins this on a locally-built index; the REGISTERED
+    // query wraps the probe in the recall harness — assert the
+    // contract survives the composition: at least one index scan whose
+    // ReadSchema carries codes but no embedding (the ~128x I/O
+    // reduction the compressed-domain stage exists for).
+    val p = plan("q110_ivf_pq_ann")
+    val readSchemas = p.linesIterator
+      .filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.exists(l =>
+      l.contains("codes") && !l.contains("embedding")),
+      s"no codes-only scan in:\n${readSchemas.mkString("\n")}")
+  }
+
   test("hot-set/vocab top-K selection is distributed, not a global window") {
     // orderBy().limit(K) plans as TakeOrderedAndProject — per-partition
     // top-K merged on the driver. A single-partition row_number window
