@@ -99,10 +99,14 @@ object ScaleProbe {
         operators.VectorQueries.ensureQ110Index(spark, out100)
       println(f"TIME q110serve index_build ${(System.nanoTime() - tb) / 1e9}%.2f s (ran=$built)")
       val path = operators.VectorQueries.q110IndexPath(out100)
+      // % 997 stride: the replicated id space (100 windows of 5k ids,
+      // 1M apart) holds only ~22 multiples of the old 9973 stride —
+      // a 17-sample tail made p95 an outlier-reader. ~500 candidates
+      // exist at 997; limit(50) -> 5 warmup + 45 measured.
       val probeVecs = Tables.embeddings(spark, out100)
-        .filter(col("vec_id") % 9973 === 0)
+        .filter(col("vec_id") % 997 === 0)
         .select(col("vec_id"), col("embedding"))
-        .limit(45).collect()
+        .limit(50).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1)))
       import spark.implicits._
       def serveOnce(id: Long, emb: Seq[Float]): Double = {

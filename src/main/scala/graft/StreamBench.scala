@@ -61,17 +61,18 @@ object StreamBench {
     // work being measured) through nearDupSinkWriter, per-batch
     // against the growing persisted band table.
     val ndRows = sys.env.getOrElse("SPARK_GRAFT_ND_ROWS", "240000").toLong
-    // ≥60 micro-batches (one ~4k-doc file per trigger), so the run
-    // doubles as the STEADY-STATE COST CURVE: per-batch wall time as
-    // the persisted band table grows to ~240k docs' bands. The 100 TB
-    // claim for the admission sink is "signature pass + one full
-    // band-table scan (+ one doc_id-only pruned scan) per batch"; a
-    // superlinear per-batch trend here would falsify it. At this size
-    // the linear band-scan term is MEASURABLE (the round-6 24k-doc run
-    // was flat because fixed per-batch overhead dominated): the
-    // late/early ratio should sit above 1 by roughly the scan term's
-    // share and the curve should grow linearly, not worse.
-    val ndFiles = 60
+    // one ~4k-doc file per trigger (batch count scales with the row
+    // override), so the run doubles as the STEADY-STATE COST CURVE:
+    // per-batch wall time as the persisted band table grows. The
+    // 100 TB claim for the admission sink is "signature pass + one
+    // full band-table scan (+ one doc_id-only pruned scan) per batch";
+    // a superlinear per-batch trend here would falsify it. At 60+
+    // batches the linear band-scan term is MEASURABLE (the round-6
+    // 24k-doc run was flat because fixed per-batch overhead
+    // dominated): the late/early ratio should sit above 1 by roughly
+    // the scan term's share and the curve should grow linearly, not
+    // worse. SPARK_GRAFT_ND_ROWS=800000 -> the 200-batch long run.
+    val ndFiles = math.max(1, (ndRows / 4000).toInt)
     spark.range(ndRows).select(
       col("id").as("doc_id"),
       when(col("id") % 10 === 3,
