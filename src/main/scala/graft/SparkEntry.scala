@@ -21,7 +21,8 @@ object SparkEntry {
       operators.DedupQueries.all ++
       operators.CurationQueries.all ++
       operators.CveQueries.all ++
-      operators.MultimodalQueries.all
+      operators.MultimodalQueries.all ++
+      operators.LayoutQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline semantics (SURVEY.md §3.2): score-thresholded

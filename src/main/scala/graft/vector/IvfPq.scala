@@ -58,7 +58,7 @@ object AnnVersion {
   * parameter string the artifacts were built under (algorithm version,
   * knobs, corpus fingerprint). Reuse requires an exact match; an
   * interrupted build (no marker) or ANY drift rebuilds. */
-private[vector] object ArtifactCache {
+private[graft] object ArtifactCache {
   def hit(path: String, expect: String): Boolean = {
     val marker = new java.io.File(s"$path.params")
     marker.exists() && {

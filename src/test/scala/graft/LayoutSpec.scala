@@ -56,6 +56,112 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("q113: bloom probe runs pre-join in codegen; no false negatives") {
+    val d = "/root/testdata/sf0.001"
+    val q = graft.operators.LayoutQueries.bloomPrefilterJoin(spark, d)
+    val p = q.queryExecution.executedPlan.toString
+    // the probe must sit in a Filter BEFORE the semi join (that is the
+    // point: rows die pre-shuffle), and be the codegen'd expression
+    assert(p.contains("bloom_might_contain"), p.take(2000))
+    // composition parity == no false negatives: the prefiltered
+    // semi-join must equal the plain semi-join exactly
+    val dim = Tables.customer(spark, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("o_custkey"))
+    val plain = Tables.orders(spark, d)
+      .join(dim, Seq("o_custkey"), "left_semi").count()
+    val composed = Tables.orders(spark, d)
+      .filter(graft.layout.RuntimeFilters.mightContain(col("o_custkey"),
+        graft.layout.RuntimeFilters.bloomBytes(
+          dim, "o_custkey", 1000L, 0.01)))
+      .join(dim, Seq("o_custkey"), "left_semi").count()
+    assert(composed == plain && plain > 0)
+  }
+
+  test("bloom prefilter alone passes every true key and stays near fpp") {
+    val d = "/root/testdata/sf0.001"
+    val dim = Tables.customer(spark, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("o_custkey"))
+    val bloom = graft.layout.RuntimeFilters.bloomBytes(
+      dim, "o_custkey", math.max(dim.count(), 1L), 0.01)
+    val orders = Tables.orders(spark, d)
+    val pre = orders.filter(
+      graft.layout.RuntimeFilters.mightContain(col("o_custkey"), bloom))
+    val trueMatches = orders.join(dim, Seq("o_custkey"), "left_semi")
+    // every true join row survives the prefilter (no false negatives)
+    assert(trueMatches.join(pre.select("o_orderkey"), Seq("o_orderkey"),
+      "left_anti").count() == 0)
+    // and the false-positive tail is bounded: survivors are at most
+    // true matches + 5% of the non-matching rows (fpp 0.01 with slack)
+    val nonMatching = orders.count() - trueMatches.count()
+    assert(pre.count() <= trueMatches.count() + 0.05 * nonMatching + 5)
+  }
+
+  test("q114: the partitioned layout prunes to the two filtered years") {
+    val d = "/root/testdata/sf0.001"
+    val path = graft.operators.LayoutQueries.ensurePartitionedOrders(spark, d)
+    val scan = spark.read.parquet(path)
+      .filter(col("o_year").between(1996, 1997))
+      .select("o_orderkey", "o_totalprice")
+    val filters = Layout.scanFilters(scan)
+    assert(filters.contains("PartitionFilters: [isnotnull(o_year"),
+      filters)
+    // planning-time file pruning, not post-scan filtering: the pruned
+    // scan's input files are exactly the two year directories
+    val files = scan.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+            .map(_.files.size).sum
+      }.get
+    val allFiles = spark.read.parquet(path).queryExecution.executedPlan
+      .collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.listFiles(Nil, Nil).map(_.files.size).sum
+      }.get
+    assert(files < allFiles, s"pruned=$files all=$allFiles")
+  }
+
+  test("q115: bucketed join plans with no join-side shuffle") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val d = "/root/testdata/sf0.001"
+      val (ot, ct) = graft.operators.LayoutQueries.ensureBucketedPair(spark, d)
+      val p = spark.table(ot)
+        .join(spark.table(ct), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).count()
+        .queryExecution.executedPlan.toString
+      // the one hash exchange allowed is the final groupBy's — the
+      // sort-merge join itself reads co-located buckets
+      val exchanges = p.linesIterator
+        .count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges <= 1, p.take(3000))
+      assert(p.contains("SortMergeJoin"), p.take(3000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
+  test("dynamic partition pruning fires on a partition-key join") {
+    val d = "/root/testdata/sf0.001"
+    val path = graft.operators.LayoutQueries.ensurePartitionedOrders(spark, d)
+    // the dim must be file-backed: an in-memory dim constant-folds its
+    // filter into the LocalRelation, leaving DPP no selective
+    // predicate to subquery on
+    val dimPath = Files.createTempDirectory("graft-dpp-dim").toString
+    Seq((1996, "hot"), (1997, "hot"), (1998, "cold"),
+      (1999, "cold"), (2000, "cold"), (2001, "cold"))
+      .toDF("o_year", "temp")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val j = spark.read.parquet(path)
+      .join(dim.filter(col("temp") === "hot"), Seq("o_year"))
+      .groupBy("o_year").count()
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"), p.take(3000))
+  }
+
   test("salted join equals the plain join") {
     val left = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d"))
       .toDF("k", "lv")
