@@ -160,6 +160,58 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // bloom10: the q113 runtime-filter claim, measured — shuffle
+    // records/bytes of the plain semi-join vs the bloom-prefiltered
+    // one at 10x (1.5M orders), with broadcast joins DISABLED to model
+    // the 100 TB regime where the dim side is too big to broadcast
+    // (when it broadcasts there is no join shuffle to cut and the
+    // bloom is pure overhead — that is exactly Spark's own
+    // InjectRuntimeFilter applicability rule).
+    if (args.headOption.contains("bloom10")) {
+      if (!new java.io.File(s"$out/orders.parquet").exists()) {
+        replicate("orders", Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
+        replicate("customer", Map("c_custkey" -> 1000000L))
+        Tables.invalidateSpreadCache()
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val recs = new java.util.concurrent.atomic.AtomicLong
+      val bytes = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            Option(e.taskMetrics).foreach { m =>
+              recs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+              bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            }
+        })
+      def probe(label: String)(df: => DataFrame): Unit = {
+        // warm once (file listing, codegen), then measure
+        df.write.format("noop").mode("overwrite").save()
+        recs.set(0); bytes.set(0)
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1000) // listener bus drains async
+        println(f"TIME bloom10 $label $sec%.2f s " +
+          f"shuffle_records=${recs.get} shuffle_mb=${bytes.get / 1e6}%.1f")
+      }
+      val dim = Tables.customer(spark, out)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("o_custkey"))
+      probe("plain_semi_join") {
+        Tables.orders(spark, out)
+          .join(dim, Seq("o_custkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+      }
+      probe("bloom_prefiltered") {
+        operators.LayoutQueries.bloomPrefilterJoin(spark, out)
+      }
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("build")) {
       replicate("lineitem", Map("l_orderkey" -> 10000000L))
       replicate("orders", Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))

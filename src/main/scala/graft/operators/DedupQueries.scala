@@ -628,7 +628,75 @@ object DedupQueries {
             6).as("dup_rate"))
         .orderBy("source")
     },
+
+    // ---- SemDeDup-shaped semantic dedup with CONTENT-derived blocking:
+    //      sign-LSH buckets (6 fixed hyperplanes -> 64 buckets) replace
+    //      q45's given `label` blocks, then within-bucket cosine >= 0.3
+    //      marks every doc dominated by an earlier same-bucket doc. The
+    //      hyperplanes are deterministic integer vectors embedded
+    //      identically in the Spark literals and the oracle SQL, and
+    //      both engines fold the dot product left-to-right in double —
+    //      bucket ids and similarities are bit-identical. Scale shape:
+    //      one narrow shuffle on bucket, pairwise work bounded per
+    //      bucket (more planes -> exponentially more, smaller buckets);
+    //      the blocking is the documented approximation — a cross-
+    //      bucket near-dup pair is out of scope by construction, the
+    //      price of never materializing O(n²). ----
+    GraftQuery("q116_semdedup_buckets", {
+      val planeSql = semDedupPlanes.map(p =>
+        p.map(_.toInt).mkString("CAST([", ", ", "] AS DOUBLE[])"))
+      val bucketSql = planeSql.zipWithIndex.map { case (p, j) =>
+        s"${1 << j} * (CASE WHEN list_inner_product(emb, $p) > 0" +
+          " THEN 1 ELSE 0 END)"
+      }.mkString(" + ")
+      val cosSql = "list_inner_product(b1.emb, b2.emb) / " +
+        "(sqrt(list_inner_product(b1.emb, b1.emb)) * " +
+        "sqrt(list_inner_product(b2.emb, b2.emb)))"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |           FROM embeddings),
+         |b AS (SELECT vec_id, emb, CAST($bucketSql AS INTEGER) AS bucket
+         |      FROM e),
+         |dom AS (SELECT DISTINCT b2.vec_id
+         |        FROM b b1 JOIN b b2
+         |          ON b1.bucket = b2.bucket AND b1.vec_id < b2.vec_id
+         |        WHERE $cosSql >= 0.3)
+         |SELECT vec_id, bucket,
+         |  (vec_id NOT IN (SELECT vec_id FROM dom)) AS survivor
+         |FROM b ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+      val bucket = semDedupPlanes.zipWithIndex.map { case (p, j) =>
+        when(dotProduct(col("embedding"), typedlit(p)) > 0, lit(1 << j))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+      val b = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          bucket.cast("int").as("bucket"),
+          l2Norm(col("embedding")).as("nrm"))
+      val dominated = b.as("a")
+        .join(b.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .filter(dotProduct(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")) >= 0.3)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+        .withColumn("dom", lit(true))
+      b.join(dominated, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("bucket"),
+          col("dom").isNull.as("survivor"))
+        .orderBy("vec_id")
+    },
   )
+
+  /** 6 deterministic integer hyperplanes (dim 64, components in
+    * [-8, 7]) for q116's sign-LSH blocking — a fixed-seed LCG, so the
+    * same values embed in the Spark literals and the oracle SQL. */
+  private lazy val semDedupPlanes: Seq[Seq[Double]] = {
+    var s = 42L
+    Seq.fill(6)(Seq.fill(64) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) % 16 - 8).toDouble
+    })
+  }
 
   /** DuckDB mirror of simhash(text, SIMHASH_BITS) + pairwise hamming,
     * over `where`-bounded docs. Brute-force all-pairs: the oracle for

@@ -193,4 +193,36 @@ class NearDupSpec extends AnyFunSuite {
     assert(viaBands === viaText)
     assert(viaBands.contains(1L -> 10L) && viaBands.contains(10L -> 11L))
   }
+
+  test("q116 semantic dedup: survivors are pairwise dissimilar, drops witnessed") {
+    val d = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("q116_semdedup_buckets")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(out.length == 500)
+    val dropped = out.count(!_._3)
+    assert(dropped > 0, "threshold should dominate at least one doc")
+    // idempotence: rerunning the rule over survivors alone removes
+    // nothing, because any within-bucket similar pair (a < b) already
+    // dominated b — i.e. survivors are pairwise < theta per bucket.
+    // Verify directly on the similarity join.
+    import graft.functions.VectorFunctions.{dotProduct, l2Norm}
+    val ids = out.filter(_._3).map(_._1).toSet
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"),
+        l2Norm(col("embedding")).as("nrm"))
+      .filter(col("vec_id").isin(ids.toSeq: _*))
+    val bucketOf = out.map(r => r._1 -> r._2).toMap
+    val simPairs = emb.as("a").join(emb.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(dotProduct(col("a.embedding"), col("b.embedding"))
+        / (col("a.nrm") * col("b.nrm")) >= 0.3)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // any surviving similar pair must straddle buckets (the documented
+    // blocking approximation) — never share one
+    simPairs.foreach { case (a, b) =>
+      assert(bucketOf(a) != bucketOf(b),
+        s"same-bucket similar pair ($a, $b) survived")
+    }
+  }
 }
