@@ -129,6 +129,37 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // semdedup100: SemanticDedup at 500k vectors with the scale knob
+    // turned (12 planes -> 4096 buckets, vs q116's 6 -> 64). The 100x
+    // replica repeats each sf0.1 vector 100 times verbatim, so the
+    // probe doubles as an end-to-end recall check: every copy beyond
+    // a vector's first MUST be dominated (cosine exactly 1.0 lands in
+    // the same bucket at any plane count) — survivors collapse back
+    // to ~the organic 5k plus whatever the organic corpus itself
+    // dominates.
+    if (args.headOption.contains("semdedup100")) {
+      val out100 = "/tmp/scale100docs"
+      if (!new java.io.File(s"$out100/documents.parquet").exists())
+        buildDocs100(out100)
+      val embs = Tables.embeddings(spark, out100)
+      val nVecs = embs.count()
+      val t0 = System.nanoTime()
+      val f = graft.dedup.SemanticDedup.flagged(
+        embs, "vec_id", "embedding", dim = 64, nPlanes = 12, theta = 0.3)
+      val kept = f.filter(col("survivor")).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"TIME semdedup100 $sec%.2f s " +
+        f"($nVecs vectors -> $kept survivors)")
+      // the replica's duplicate copies must all be gone: survivors
+      // carry DISTINCT base ids (vec_id % 1000000 is the organic id)
+      val dupSurvivors = f.filter(col("survivor"))
+        .groupBy(col("vec_id") % 1000000L).count()
+        .filter(col("count") > 1).count()
+      println(s"CHECK semdedup100 duplicate-surviving base ids: " +
+        s"$dupSurvivors (must be 0)")
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("docs100")) {
       val out100 = "/tmp/scale100docs"
       // the replica is deterministic, so an existing build is reused;

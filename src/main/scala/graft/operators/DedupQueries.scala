@@ -664,39 +664,20 @@ object DedupQueries {
          |  (vec_id NOT IN (SELECT vec_id FROM dom)) AS survivor
          |FROM b ORDER BY vec_id""".stripMargin
     }) { (s, d) =>
-      val bucket = semDedupPlanes.zipWithIndex.map { case (p, j) =>
-        when(dotProduct(col("embedding"), typedlit(p)) > 0, lit(1 << j))
-          .otherwise(lit(0))
-      }.reduce(_ + _)
-      val b = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          bucket.cast("int").as("bucket"),
-          l2Norm(col("embedding")).as("nrm"))
-      val dominated = b.as("a")
-        .join(b.as("b"),
-          col("a.bucket") === col("b.bucket") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .filter(dotProduct(col("a.embedding"), col("b.embedding"))
-          / (col("a.nrm") * col("b.nrm")) >= 0.3)
-        .select(col("b.vec_id").as("vec_id")).distinct()
-        .withColumn("dom", lit(true))
-      b.join(dominated, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("bucket"),
-          col("dom").isNull.as("survivor"))
+      // anchorCap 256 never engages at oracle scale (max bucket ~16 at
+      // sf0.01): the executed rule IS the SQL mirror's uncapped one
+      graft.dedup.SemanticDedup
+        .flagged(Tables.embeddings(s, d), "vec_id", "embedding",
+          dim = 64, nPlanes = 6, theta = 0.3)
         .orderBy("vec_id")
     },
   )
 
-  /** 6 deterministic integer hyperplanes (dim 64, components in
-    * [-8, 7]) for q116's sign-LSH blocking — a fixed-seed LCG, so the
-    * same values embed in the Spark literals and the oracle SQL. */
-  private lazy val semDedupPlanes: Seq[Seq[Double]] = {
-    var s = 42L
-    Seq.fill(6)(Seq.fill(64) {
-      s = s * 6364136223846793005L + 1442695040888963407L
-      ((s >>> 33) % 16 - 8).toDouble
-    })
-  }
+  /** q116's sign-LSH hyperplanes — the shared deterministic generator,
+    * so the SQL mirror and [[graft.dedup.SemanticDedup]]'s executed
+    * literals are one source. */
+  private lazy val semDedupPlanes: Seq[Seq[Double]] =
+    graft.dedup.SemanticDedup.hyperplanes(nPlanes = 6, dim = 64)
 
   /** DuckDB mirror of simhash(text, SIMHASH_BITS) + pairwise hamming,
     * over `where`-bounded docs. Brute-force all-pairs: the oracle for

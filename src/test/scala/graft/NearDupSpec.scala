@@ -225,4 +225,28 @@ class NearDupSpec extends AnyFunSuite {
         s"same-bucket similar pair ($a, $b) survived")
     }
   }
+
+  test("semantic dedup: degenerate identical corpus is fenced by the anchor cap") {
+    import spark.implicits._
+    // 1000 identical embeddings -> ONE bucket; the anchor cap bounds
+    // pairwise work to cap * |bucket| instead of |bucket|^2, and the
+    // first row still dominates every other (cosine 1.0 to anchor 1)
+    val v = Seq.fill(8)(1.0f)
+    val embs = (1L to 1000L).map(i => (i, v)).toDF("vec_id", "embedding")
+    val f = graft.dedup.SemanticDedup.flagged(
+      embs, "vec_id", "embedding", dim = 8, nPlanes = 4, theta = 0.9,
+      anchorCap = 8)
+    val kept = f.filter(col("survivor")).as[(Long, Int, Boolean)].collect()
+    assert(kept.map(_._1).toSeq == Seq(1L))
+    assert(f.count() == 1000)
+  }
+
+  test("semantic dedup hyperplanes are deterministic and bounded") {
+    val a = graft.dedup.SemanticDedup.hyperplanes(6, 64)
+    val b = graft.dedup.SemanticDedup.hyperplanes(6, 64)
+    assert(a == b)
+    assert(a.flatten.forall(x => x >= -8.0 && x <= 7.0))
+    // different seeds genuinely move the planes
+    assert(a != graft.dedup.SemanticDedup.hyperplanes(6, 64, seed = 7L))
+  }
 }
