@@ -65,7 +65,12 @@ object Tables {
 
   /** Drop memoized spread-probe decisions — call after rewriting
     * parquet at a path that was already probed in this session. */
-  def invalidateSpreadCache(): Unit = spreadProbeCache.clear()
+  def invalidateSpreadCache(): Unit = {
+    spreadProbeCache.clear()
+    // the SQL-surface view cache has the identical same-session
+    // staleness contract — one invalidation point for both
+    Sql.invalidateViewCache()
+  }
 
   private val spreadProbeCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), java.lang.Boolean]()
