@@ -38,7 +38,8 @@ object AnnPins {
       f.delete()
     }
     Seq(graft.operators.VectorQueries.q110IndexPath(d),
-        graft.operators.VectorQueries.q100CodebooksPath(d))
+        graft.operators.VectorQueries.q100CodebooksPath(d),
+        graft.operators.VectorQueries.q117IndexPath(d))
       .flatMap(p => Seq(p, s"$p.params", s"$p.codebooks", s"$p.centroids"))
       .foreach(p => rmTree(new java.io.File(p)))
     // the pinned lists are only valid for this algorithm version — the
@@ -58,6 +59,15 @@ object AnnPins {
     assert(built, "q110 index must be freshly built for pins")
     println("PINS_Q110 = " + pins(graft.vector.IvfPq.probe(
       spark, graft.operators.VectorQueries.q110IndexPath(d), cents,
+      queries, m = 8, topK = 10, nProbe = 6, shortlist = 100)))
+
+    // q117: base-built + delta-appended index (fresh — the artifact
+    // dirs were deleted above, so build AND append both run here)
+    val (cents117, ran117) =
+      graft.operators.VectorQueries.ensureQ117Index(spark, d)
+    assert(ran117, "q117 index must be freshly built+appended for pins")
+    println("PINS_Q117 = " + pins(graft.vector.IvfPq.probe(
+      spark, graft.operators.VectorQueries.q117IndexPath(d), cents117,
       queries, m = 8, topK = 10, nProbe = 6, shortlist = 100)))
     spark.stop()
   }

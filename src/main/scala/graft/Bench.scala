@@ -67,6 +67,9 @@ object Bench {
     val (q100Built, q100BuildSec) = timedBuild("q100 codebooks") {
       operators.VectorQueries.ensureQ100Codebooks(spark, sfDir)._2
     }
+    val (q117Built, q117BuildSec) = timedBuild("q117 base+append") {
+      operators.VectorQueries.ensureQ117Index(spark, sfDir)._2
+    }
 
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     // The noop sink evaluates every output column and keeps the final
@@ -142,7 +145,7 @@ object Bench {
     // the last ~2 KB of output, and the per-query map alone is larger than
     // that. The summary scalars (metric/value/...) therefore go LAST so the
     // headline total always survives the truncation.
-    val json = s"""{"queries":$qs,"errors":$errs,"q110_index_build_sec":$q110BuildSec,"q110_index_built":$q110Built,"q100_codebook_build_sec":$q100BuildSec,"q100_codebooks_built":$q100Built,"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"passes":2,"pass2_skipped":$pass2Skipped,"load_before":$loadBefore,"load_after":$loadAfter,"sf":"$sfDir"}"""
+    val json = s"""{"queries":$qs,"errors":$errs,"q110_index_build_sec":$q110BuildSec,"q110_index_built":$q110Built,"q100_codebook_build_sec":$q100BuildSec,"q100_codebooks_built":$q100Built,"q117_index_build_sec":$q117BuildSec,"q117_index_built":$q117Built,"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"passes":2,"pass2_skipped":$pass2Skipped,"load_before":$loadBefore,"load_after":$loadAfter,"sf":"$sfDir"}"""
     println(json)
     // The stdout capture truncates (BENCH_r07 lost the 12 heaviest
     // per-query rows to a ~2 KB tail); the committed artifact must be

@@ -432,6 +432,33 @@ object VectorQueries {
           m = Q110_M, topK = 10, nProbe = 6, shortlist = 100),
         corpus, queries, 10)
     },
+
+    // ---- incremental index maintenance: the persisted IVF-PQ index
+    //      built on 80% of the corpus, the remaining 20% APPENDED with
+    //      both quantizers frozen ([[graft.vector.IvfPq.append]]) —
+    //      the continuous-ingest shape (the reference upserts every
+    //      consumed embedding into its ANN service rather than
+    //      rebuilding it). The probe then serves the FULL corpus:
+    //      every query id is itself in the appended delta, so a
+    //      mis-appended index would immediately lose the rank-1
+    //      self-hits. Hash-matched like q110 — per-query
+    //      overlap-with-exact-top-10 over the whole corpus, pins from
+    //      the deterministic build+append (`graft.AnnPins`).
+    //      IvfPqSpec pins the equivalence probe(appended) ≡
+    //      probe(rebuild under the same frozen quantizers) and the
+    //      ensure-marker idempotence. ----
+    GraftQuery("q117_ivf_append_ann", annRecallSql(PINS_Q117)) { (s, d) =>
+      import graft.vector.IvfPq
+      val corpus = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val (cents, _) = ensureQ117Index(s, d)
+      val queries = corpus.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      recallVsExact(
+        IvfPq.probe(s, q117IndexPath(d), cents, queries,
+          m = Q110_M, topK = 10, nProbe = 6, shortlist = 100),
+        corpus, queries, 10)
+    },
   )
 
   // q110 persisted-index knobs + dataset-keyed path, shared with the
@@ -465,6 +492,44 @@ object VectorQueries {
     graft.vector.IvfPq.ensureBuilt(s,
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
       Q110_M, Q110_K, Q110_CENTS, Q110_ITERS, q110IndexPath(d))
+
+  def q117IndexPath(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft-q117-${datasetKey(d)}/index"
+
+  /** q117's base/delta split of the embeddings corpus: the 80% the
+    * index is BUILT on vs the 20% APPENDED afterwards. Every query id
+    * (vec_id % 100 == 0) lands in the delta, so the probe exercises
+    * appended rows by construction. */
+  private def q117Split(s: SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val corpus = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+    (corpus.filter(col("vec_id") % 5 =!= 0),
+      corpus.filter(col("vec_id") % 5 === 0))
+  }
+
+  /** Build-once q117 artifacts: IVF-PQ index over the base 80%
+    * (q110's knobs), then the 20% delta appended exactly once under
+    * [[graft.vector.IvfPq.ensureAppended]]'s marker protocol; returns
+    * (persisted centroids, whether any build/append work ran). */
+  def ensureQ117Index(s: SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, Boolean) = {
+    import graft.vector.IvfPq
+    val (base, delta) = q117Split(s, d)
+    val path = q117IndexPath(d)
+    val baseExpect = IvfPq.expectOf(Q110_M, Q110_K, Q110_CENTS,
+      Q110_ITERS, base.count())
+    // build-once on base unless the append already completed (the
+    // post-append marker no longer matches the base expect by design)
+    val built =
+      if (graft.vector.ArtifactCache.hit(path,
+          s"$baseExpect appended=${delta.count()}")) false
+      else IvfPq.ensureBuilt(s, base, Q110_M, Q110_K, Q110_CENTS,
+        Q110_ITERS, path)._2
+    val appended = IvfPq.ensureAppended(s, path, delta, baseExpect)
+    (IvfPq.centroidsOf(s, path), built || appended)
+  }
 
   /** Train-once q100 PQ codebooks for dataset `d` (amortized offline
     * artifact, like the q110 index); returns (persisted codebooks,
@@ -544,24 +609,34 @@ object VectorQueries {
   /** sf0.01 retrieved ids of the two deterministic ANN indexes
     * (`graft.AnnPins` regenerates both lists). */
   private def PINS_Q100: String =
-    "(0,0),(0,7),(0,73),(0,190),(0,320),(0,334),(0,365),(0,388)," +
-    "(0,423),(0,464),(100,24),(100,45),(100,100),(100,202),(100,234)," +
-    "(100,279),(100,360),(100,384),(100,395),(100,398),(200,32)," +
-    "(200,58),(200,135),(200,143),(200,189),(200,200),(200,204)," +
-    "(200,378),(200,409),(200,410),(300,27),(300,51),(300,53)," +
-    "(300,196),(300,245),(300,300),(300,318),(300,338),(300,446)," +
-    "(300,464),(400,92),(400,94),(400,182),(400,358),(400,400)," +
-    "(400,415),(400,443),(400,451),(400,475),(400,485)"
+    "(0,0),(0,190),(0,323),(0,334),(0,365),(0,387),(0,388),(0,423)," +
+    "(0,464),(0,483),(100,24),(100,45),(100,100),(100,202)," +
+    "(100,234),(100,279),(100,360),(100,384),(100,398),(100,478)," +
+    "(200,32),(200,58),(200,143),(200,189),(200,200),(200,204)," +
+    "(200,348),(200,378),(200,409),(200,410),(300,27),(300,53)," +
+    "(300,196),(300,245),(300,300),(300,305),(300,338),(300,446)," +
+    "(300,464),(300,477),(400,57),(400,92),(400,94),(400,182)," +
+    "(400,329),(400,358),(400,400),(400,443),(400,451),(400,475)"
 
   private def PINS_Q110: String =
-    "(0,0),(0,7),(0,73),(0,190),(0,320),(0,334),(0,365),(0,388)," +
-    "(0,423),(0,464),(100,24),(100,45),(100,100),(100,202),(100,234)," +
-    "(100,279),(100,360),(100,384),(100,395),(100,398),(200,32)," +
-    "(200,58),(200,135),(200,143),(200,189),(200,200),(200,204)," +
-    "(200,378),(200,409),(200,410),(300,27),(300,51),(300,53)," +
-    "(300,196),(300,245),(300,300),(300,318),(300,338),(300,464)," +
-    "(300,477),(400,92),(400,94),(400,182),(400,358),(400,400)," +
-    "(400,415),(400,443),(400,451),(400,475),(400,485)"
+    "(0,0),(0,190),(0,257),(0,323),(0,334),(0,365),(0,387),(0,388)," +
+    "(0,423),(0,483),(100,45),(100,100),(100,202),(100,234)," +
+    "(100,279),(100,360),(100,384),(100,395),(100,398),(100,478)," +
+    "(200,32),(200,58),(200,143),(200,189),(200,200),(200,204)," +
+    "(200,348),(200,378),(200,409),(200,410),(300,27),(300,51)," +
+    "(300,53),(300,196),(300,300),(300,305),(300,338),(300,446)," +
+    "(300,464),(300,477),(400,57),(400,92),(400,94),(400,182)," +
+    "(400,329),(400,400),(400,443),(400,451),(400,475),(400,485)"
+
+  private def PINS_Q117: String =
+    "(0,0),(0,73),(0,323),(0,334),(0,344),(0,387),(0,388),(0,423)," +
+    "(0,464),(0,498),(100,24),(100,45),(100,100),(100,202)," +
+    "(100,234),(100,360),(100,384),(100,395),(100,398),(100,480)," +
+    "(200,32),(200,103),(200,143),(200,189),(200,200),(200,204)," +
+    "(200,348),(200,378),(200,386),(200,409),(300,27),(300,53)," +
+    "(300,196),(300,245),(300,300),(300,305),(300,318),(300,446)," +
+    "(300,464),(300,477),(400,29),(400,57),(400,94),(400,182)," +
+    "(400,400),(400,415),(400,443),(400,451),(400,475),(400,485)"
 
   // random-hyperplane LSH constants: weights from the same integer-mix
   // family as the minhash parameters; P odd prime > 2^32, HALF centers

@@ -50,7 +50,7 @@ import org.apache.spark.sql.functions._
   * regenerated oracle pins, so the pinned retrieval lists and the
   * marker version move together. */
 object AnnVersion {
-  val AlgoVersion = 2
+  val AlgoVersion = 3 // v3: hash-stride k-means/codebook SEED selection
 }
 
 /** Shared marker protocol for build-once persisted artifacts: a
@@ -102,8 +102,22 @@ object IvfPq {
     * codebook. Deterministic end-to-end (stride seeds, decimal-exact
     * means), so rebuilds are bit-identical. */
   def build(corpus: DataFrame, cents: DataFrame, m: Int, k: Int,
-      path: String): Unit = {
-    val cb = PQ.trainCodebooks(corpus, m, k)
+      path: String): Unit =
+    buildWith(corpus, cents, PQ.trainCodebooks(corpus, m, k), m, path)
+
+  /** [[build]] with the codebooks supplied instead of trained — the
+    * quantizer-frozen write path shared by the full build and
+    * [[append]]'s rebuild-equivalence contract: an appended index must
+    * be bit-equal in content to `buildWith(base ∪ delta)` under the
+    * SAME centroids and codebooks, which is only a testable statement
+    * if a build can run under fixed codebooks. */
+  def buildWith(corpus: DataFrame, cents: DataFrame, cb: DataFrame,
+      m: Int, path: String): Unit = {
+    // loud beats silent: an empty quantizer (a degenerate seed
+    // sample, a bad read) would otherwise write an EMPTY index that
+    // every probe happily serves zero rows from
+    require(!cents.isEmpty, "no coarse centroids — refusing to build")
+    require(!cb.isEmpty, "empty PQ codebooks — refusing to build")
     l2AssignBuckets(corpus, cents)
       .join(PQ.encode(corpus, cb, m), "vec_id")
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
@@ -112,6 +126,85 @@ object IvfPq {
     // serving path) must not need the build-time k-means rerun
     cents.write.mode("overwrite").parquet(centroidsPath(path))
   }
+
+  /** Incrementally extend a persisted index with `delta` rows
+    * ((vec_id, embedding), ids disjoint from the indexed set by
+    * caller contract) WITHOUT retraining: the delta is coarse-assigned
+    * and PQ-encoded against the index's own persisted centroids and
+    * codebooks — both quantizers stay frozen — and appended
+    * partition-wise, so existing index files are never rewritten and
+    * the continuous-ingest path (the reference upserts every consumed
+    * embedding into its ANN service,
+    * `/root/reference/consumer/consumer.py:58-67`) costs one
+    * delta-sized pass instead of a corpus-sized rebuild.
+    *
+    * Equivalence: probe(appended) ≡ probe(buildWith(base ∪ delta,
+    * same cents, same cb)) — frozen quantizers make bucket assignment
+    * and codes per-row functions, so the appended index differs from
+    * that rebuild only in file layout, which probe ordering never
+    * observes (explicit vec_id tiebreaks). Spec-pinned in IvfPqSpec.
+    *
+    * At scale: each append adds ≤1 file per touched bucket; recall
+    * drifts only as far as frozen centroids misfit the delta's
+    * distribution, so the operational cadence is many cheap appends
+    * between scheduled full rebuilds (which re-train both quantizers)
+    * — rebuild cost amortizes over the append window. Idempotence is
+    * the caller's job: this is the raw write (an ingest checkpoint
+    * gives at-most-once per delta); the build-once query path wraps it
+    * with [[ensureAppended]]'s marker protocol. */
+  def append(spark: SparkSession, path: String, delta: DataFrame)
+      : Unit = {
+    val cb = spark.read.parquet(codebooksPath(path)).localCheckpoint()
+    val cents = spark.read.parquet(centroidsPath(path))
+    // m is a property of the persisted codebooks, not a knob the
+    // caller can get wrong: (sub, cid, c_sub) holds m distinct subs
+    val mRow = cb.agg(max(col("sub"))).head()
+    require(!mRow.isNullAt(0),
+      s"empty codebooks at ${codebooksPath(path)} — not a built index")
+    val m = mRow.getInt(0) + 1
+    l2AssignBuckets(delta, cents)
+      .join(PQ.encode(delta, cb, m), "vec_id")
+      .write.mode("append").partitionBy("bucket").parquet(path)
+  }
+
+  /** Build-once wrapper for [[append]] on an [[ensureBuilt]]-managed
+    * index: appends `delta` exactly once per completed base build.
+    * `baseExpect` is the marker [[ensureBuilt]] stamped (returned by
+    * [[expectOf]] for the base corpus); after the append the marker
+    * becomes `"$baseExpect appended=N"`, so a re-run skips (returns
+    * false), a later [[ensureBuilt]] against the BASE corpus misses
+    * and rebuilds base-only, and an algorithm bump invalidates
+    * everything through [[AnnVersion.AlgoVersion]] as usual. A marker
+    * matching neither state fails loudly — appending onto an unknown
+    * artifact would corrupt it silently. One append generation per
+    * build by design: continuous multi-delta ingest uses the raw
+    * [[append]] under its own ingest checkpoint. */
+  def ensureAppended(spark: SparkSession, path: String,
+      delta: DataFrame, baseExpect: String): Boolean = {
+    val after = s"$baseExpect appended=${delta.count()}"
+    if (ArtifactCache.hit(path, after)) false
+    else {
+      require(ArtifactCache.hit(path, baseExpect),
+        s"no completed base build at $path for marker '$baseExpect' — " +
+          "run ensureBuilt on the base corpus first")
+      append(spark, path, delta)
+      ArtifactCache.stamp(path, after)
+      true
+    }
+  }
+
+  /** The persisted centroids of an index at `path` — the probe-side
+    * artifact read, for consumers that manage the build themselves. */
+  def centroidsOf(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(centroidsPath(path))
+
+  /** The [[ensureBuilt]] cache-marker string for these build params —
+    * exposed so append-aware callers can name the base-build state
+    * ([[ensureAppended]]) without duplicating the format. */
+  def expectOf(m: Int, k: Int, nCentroids: Int, kmIters: Int,
+      rows: Long): String =
+    s"algo=${AnnVersion.AlgoVersion} m=$m k=$k " +
+      s"cents=$nCentroids iters=$kmIters rows=$rows"
 
   /** Build-once wrapper for the serving path: (re)builds the full
     * artifact set (index + codebooks + centroids) at `path` unless a
@@ -128,8 +221,7 @@ object IvfPq {
   def ensureBuilt(spark: SparkSession, corpus: DataFrame, m: Int,
       k: Int, nCentroids: Int, kmIters: Int, path: String)
       : (DataFrame, Boolean) = {
-    val expect = s"algo=${AnnVersion.AlgoVersion} m=$m k=$k " +
-      s"cents=$nCentroids iters=$kmIters rows=${corpus.count()}"
+    val expect = expectOf(m, k, nCentroids, kmIters, corpus.count())
     val hit = ArtifactCache.hit(path, expect)
     if (!hit) {
       val cents = VectorIndex.kmeansCentroids(corpus, nCentroids,

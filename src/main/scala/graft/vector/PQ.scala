@@ -84,9 +84,14 @@ object PQ {
   def trainCodebooks(corpus: DataFrame, m: Int, k: Int,
       iters: Int = 2): DataFrame = {
     val total = corpus.count()
-    val stride = math.max(total / k, 1L)
+    // hash-stride seeds for the same reason as the train sample below
+    // (and [[VectorIndex.centroids]]): a raw-id stride over a corpus
+    // whose ids share a factor with it can empty the seed set —
+    // training would then degenerate to empty codebooks. 2k expected
+    // hits, first k by id order.
+    val stride = math.max(total / math.max(2L * k, 1L), 1L)
     val seeds = corpus
-      .filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
       .orderBy(col("vec_id")).limit(k)
       .withColumn("cid",
         (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))

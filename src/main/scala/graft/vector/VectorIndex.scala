@@ -33,9 +33,16 @@ object VectorIndex {
     * Returns (cent_id, c_emb, c_nrm). */
   def centroids(corpus: DataFrame, n: Int): DataFrame = {
     val total = corpus.count()
-    val stride = math.max(total / n, 1L)
+    // Stride over a HASH of vec_id, not the raw id: a corpus whose id
+    // set shares a factor with the stride (e.g. an 80% base split
+    // excluding ids ≡ 0 mod 5, stride a multiple of 5) has ZERO rows
+    // at `vec_id % stride == 0` — the seed set silently empties and
+    // every downstream build degenerates. xxhash64 is deterministic,
+    // so seeds stay reproducible; stride targets 2n expected hits so
+    // hash variance almost surely leaves ≥ n to pick from.
+    val stride = math.max(total / math.max(2L * n, 1L), 1L)
     val sampled = corpus
-      .filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
       .orderBy(col("vec_id")).limit(n)
     val w = Window.orderBy(col("vec_id")) // over <= n rows only
     sampled
