@@ -54,7 +54,22 @@ object PlanDump {
     "q110_ivf_pq_ann" ->
       "IVF-PQ probe (index persisted, built once via IvfPq.ensureBuilt; since round 7 the query wraps the probe in the recall-vs-exact overlap count, so a brute-force exact branch joins in at the top): bucket IN (...) is a planning-time partition filter on the index scan; the ADC stage scans (bucket, vec_id, codes) only — ReadSchema has no embedding column — and the shortlist broadcasts back for the exact re-rank over the same pruned partitions.",
     "q111_bpe_segment" ->
-      "BPE encode, single-scan composition: the vocab is computed once and localCheckpoint'ed — train collects it and the encode joins against it (distinct skipped: groupBy output), so the plan below scans the checkpointed vocab (Scan ExistingRDD), NOT documents.parquet; the whole train-then-apply job reads documents exactly once, in the checkpoint job. The distinct vocab encodes via mapPartitions (merge table broadcast, never in the plan); subword counts are one partial+final agg.")
+      "BPE encode, single-scan composition: the vocab is computed once and localCheckpoint'ed — train collects it and the encode joins against it (distinct skipped: groupBy output), so the plan below scans the checkpointed vocab (Scan ExistingRDD), NOT documents.parquet; the whole train-then-apply job reads documents exactly once, in the checkpoint job. The distinct vocab encodes via mapPartitions (merge table broadcast, never in the plan); subword counts are one partial+final agg.",
+    "q113_bloom_prefilter_join" ->
+      "The codegen'd `bloom_might_contain` probe sits in the fact scan's DataFilters — rows die inside the scan stage, before any exchange (here the dim broadcasts because sf is small; `graft.ScaleProbe bloom10` disables broadcast to model the 100 TB regime and measures the shuffle cut: 1,529,480 -> 337,504 records). Catalyst even propagates the probe to the dim side via constraint inference — harmless there.",
+    "q114_partition_pruned_scan" ->
+      "The year filter is gone from DataFilters entirely — it became a planning-time PartitionFilter (2 of 7 `o_year=` directories listed); ReadSchema carries only the two referenced data columns.",
+    "q116_semdedup_buckets" ->
+      "Semantic dedup with content-derived blocking: the sign-LSH bucket id is a scan-side codegen expression (six FloatDotProduct folds, no shuffle to assign); ONE hash exchange on bucket feeds the anchor window, and the dominated-pair join is an equi-join on bucket — pairwise work stays inside buckets, never a global cross product.",
+    "q117_ivf_append_ann" ->
+      "Probe over the base-built + delta-appended IVF-PQ index: structurally IDENTICAL to q110's plan — partition-pruned bucket scan, codes-only ReadSchema, broadcast shortlist re-rank — because append only adds files inside existing bucket=N partition directories with both quantizers frozen; index maintenance is invisible to the serving plan, which is the point (IvfPqSpec pins append ≡ rebuild under the same quantizers).")
+
+  /** Captured with broadcast joins disabled: at 100 TB neither side
+    * broadcasts, and the co-location evidence (zero exchange under the
+    * SortMergeJoin, `SelectedBucketsCount`) only shows in that regime. */
+  private val picksNoBroadcast: Seq[(String, String)] = Seq(
+    "q115_bucketed_colocated_join" ->
+      "Both scans carry `SelectedBucketsCount: 8 out of 8` and `Bucketed: true`; the SortMergeJoin has NO exchange under it — the only hash exchange in the whole plan is the final groupBy's (pinned in LayoutSpec). The join shuffle was paid once, at table-write time.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -68,13 +83,20 @@ object PlanDump {
     sb.append("# PLANS — executed-plan evidence (generated by `graft.PlanDump` at sf0.01)\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"`. What to look for per plan\n")
     sb.append("is noted above each block; full formatted output below it.\n")
-    picks.foreach { case (name, note) =>
+    def emit(name: String, note: String, header: String = ""): Unit = {
       val df = SparkEntry.queries(name)(spark, d)
-      sb.append(s"\n## $name\n\n$note\n\n```\n")
+      sb.append(s"\n## $name$header\n\n$note\n\n```\n")
       sb.append(df.queryExecution.executedPlan.treeString
         .linesIterator.take(60).mkString("\n").take(8000))
       sb.append("\n```\n")
     }
+    picks.foreach { case (name, note) => emit(name, note) }
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val bcSaved = spark.conf.get(bcKey)
+    spark.conf.set(bcKey, "-1")
+    try picksNoBroadcast.foreach { case (name, note) =>
+      emit(name, note, " (broadcast disabled)") }
+    finally spark.conf.set(bcKey, bcSaved)
     Files.writeString(Paths.get("/root/repo/PLANS.md"), sb.toString)
     println("WROTE PLANS.md")
     spark.stop()

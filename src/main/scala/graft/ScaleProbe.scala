@@ -129,6 +129,84 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // annsink: the streaming ANN index sink's per-batch cost curve at
+    // 100x — base index built on 80% of the 200k-vector corpus, the
+    // 40k-vector delta streamed in 1k-vector micro-batches through
+    // annIndexSinkWriter. The claim being falsified: per batch =
+    // fixed append cost + ONE column-pruned vec_id anti-join scan of
+    // the growing index, i.e. LINEAR per-batch growth (the admission
+    // sink's band-table argument, applied to the index table). Emits
+    // the same curve/slope/ratio line as StreamBench so the two sinks'
+    // evidence reads side by side in STREAMBENCH.md.
+    if (args.headOption.contains("annsink")) {
+      val out100 = "/tmp/scale100docs"
+      if (!new java.io.File(s"$out100/documents.parquet").exists())
+        buildDocs100(out100)
+      val corpus = Tables.embeddings(spark, out100)
+        .select(col("vec_id"), col("embedding"))
+      val base = corpus.filter(col("vec_id") % 5 =!= 0)
+      val delta = corpus.filter(col("vec_id") % 5 === 0)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-annsink").toString
+      val path = s"$tmp/index"
+      val tb = System.nanoTime()
+      graft.vector.IvfPq.ensureBuilt(spark, base, m = 8, k = 256,
+        nCentroids = 64, kmIters = 2, path)
+      println(f"TIME annsink base_build ${(System.nanoTime() - tb) / 1e9}%.2f s (${base.count()} vectors)")
+      val nBatches = (delta.count() / 1000L).toInt
+      delta.repartition(nBatches)
+        .write.mode("overwrite").parquet(s"$tmp/landing")
+      val src = spark.readStream.option("maxFilesPerTrigger", "1")
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .parquet(s"$tmp/landing")
+      val qName = "graft-annsink-probe"
+      val batchSec =
+        new java.util.concurrent.ConcurrentSkipListMap[Long, Double]()
+      val listener =
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit =
+            if (e.progress.name == qName && e.progress.numInputRows > 0)
+              Option(e.progress.durationMs.get("triggerExecution")).foreach(
+                ms => batchSec.put(e.progress.batchId, ms.toDouble / 1e3))
+        }
+      spark.streams.addListener(listener)
+      val t0 = System.nanoTime()
+      val q = graft.streaming.Streams.annIndexSinkWriter(src, path,
+        s"$tmp/ckpt").trigger(graft.streaming.Streams.drainTrigger)
+        .queryName(qName).start()
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.streams.removeListener(listener)
+      // correctness floor before the numbers mean anything
+      val idx = spark.read.parquet(path)
+      require(idx.count() == corpus.count() &&
+        idx.select("vec_id").distinct().count() == corpus.count(),
+        "annsink probe: index must hold each corpus id exactly once")
+      import scala.jdk.CollectionConverters._
+      val curve = batchSec.entrySet().asScala.toSeq
+        .map(e => e.getKey -> e.getValue)
+      val steady = curve.drop(1).map(_._2)
+      val half = steady.length / 2
+      val ratio = (steady.drop(half).sum / (steady.length - half)) /
+        (steady.take(half).sum / half)
+      val slopeMs = {
+        val n = steady.length
+        val xm = (n - 1) / 2.0
+        val ym = steady.sum / n
+        val cov = steady.zipWithIndex
+          .map { case (y, i) => (i - xm) * (y - ym) }.sum
+        val vx = (0 until n).map(i => (i - xm) * (i - xm)).sum
+        cov / vx * 1000.0
+      }
+      val curveJson = curve
+        .map { case (b, s) => f"""[$b,$s%.2f]""" }.mkString(",")
+      println(f"""{"metric":"annsink_batch_curve","unit":"sec/batch","rows":${delta.count()},"batches":${curve.length},"total_sec":$sec%.1f,"late_vs_early":$ratio%.2f,"slope_ms_per_batch":$slopeMs%.1f,"curve":[$curveJson]}""")
+      spark.stop()
+      return
+    }
     // semdedup100: SemanticDedup at 500k vectors with the scale knob
     // turned (12 planes -> 4096 buckets, vs q116's 6 -> 64). The 100x
     // replica repeats each sf0.1 vector 100 times verbatim, so the

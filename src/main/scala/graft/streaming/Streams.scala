@@ -362,6 +362,46 @@ object Streams {
         ()
       }
 
+  /** Streaming ANN index maintenance: each micro-batch of
+    * (vec_id, embedding) rows appends to the persisted IVF-PQ index at
+    * `indexPath` with both quantizers FROZEN
+    * ([[graft.vector.IvfPq.append]]) — the continuous-ingest form of
+    * q117's one-shot delta append, and the reference consumer's
+    * embed-then-upsert loop (one ANN-service upsert per consumed
+    * record, `/root/reference/consumer/consumer.py:58-67`) as a Spark
+    * sink: bulk partition-wise appends per batch instead of per-record
+    * RPCs. The index must already exist ([[graft.vector.IvfPq
+    * .ensureBuilt]] over the base corpus) before the stream starts;
+    * `append` refuses an unbuilt path loudly.
+    *
+    * Idempotence: like [[dedupSinkWriter]], the persisted table itself
+    * is the source of truth — the batch drops in-batch duplicate ids,
+    * then anti-joins the index's vec_id column (a column-pruned scan:
+    * one BIGINT column per batch, the same per-batch linear term the
+    * admission sink pays on its band table), so a REPLAYED batch, a
+    * checkpoint-loss restart, or an upstream duplicate id is dropped
+    * rather than double-inserted — a duplicated index row would
+    * otherwise surface as a repeated id in probe top-k lists. Newly
+    * appended rows serve from the very next probe; recall drift under
+    * the frozen quantizers is bounded by the scheduled full-rebuild
+    * cadence (README, q117). */
+  def annIndexSinkWriter(vecs: DataFrame, indexPath: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fresh = batch
+          .dropDuplicates("vec_id")
+          .join(spark.read.parquet(indexPath).select(col("vec_id")),
+            Seq("vec_id"), "left_anti")
+          .persist()
+        try if (fresh.head(1).nonEmpty)
+          graft.vector.IvfPq.append(spark, indexPath, fresh)
+        finally fresh.unpersist()
+        ()
+      }
+
   /** Stream-static enrichment join: each micro-batch left-joins the
     * static dimension on `key` — the streaming form of the J2
     * enrichment join (lookup metadata for every arriving record).

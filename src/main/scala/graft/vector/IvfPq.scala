@@ -164,6 +164,14 @@ object IvfPq {
     val m = mRow.getInt(0) + 1
     l2AssignBuckets(delta, cents)
       .join(PQ.encode(delta, cb, m), "vec_id")
+      // one file per TOUCHED bucket per append, not one per (input
+      // partition x bucket): under continuous ingest (the streaming
+      // sink appends every micro-batch) an unrepartitioned write
+      // multiplies file count by the batch's partitioning, and every
+      // later probe/anti-join pays the listing. Deltas are
+      // batch-sized, so one task per bucket is the right parallelism
+      // here (the full build keeps its parallel write).
+      .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(path)
   }
 

@@ -388,4 +388,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq((1L, "a", Some("one")), (2L, "b", Some("two")),
       (9L, "c", None)))
   }
+
+  test("streaming ANN index sink appends each vector once and serves it") {
+    import graft.vector.IvfPq
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-ann-sink").toString
+    val d = "/root/testdata/sf0.001"
+    val corpus = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))
+    val base = corpus.filter(col("vec_id") % 5 =!= 0)
+    val delta = corpus.filter(col("vec_id") % 5 === 0)
+    val path = s"$tmp/index"
+    IvfPq.ensureBuilt(spark, base, m = 8, k = 16, nCentroids = 4,
+      kmIters = 2, path)
+    // the delta arrives as two micro-batches, then batch 1's rows
+    // REPLAY (an at-least-once upstream re-delivery)
+    val rows = delta.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streams.annIndexSinkWriter(
+      mem.toDF.toDF("vec_id", "embedding"), path, s"$tmp/ckpt").start()
+    mem.addData(b1.toSeq); q.processAllAvailable()
+    mem.addData(b2.toSeq); q.processAllAvailable()
+    mem.addData(b1.toSeq); q.processAllAvailable()
+    q.stop()
+    // every corpus row indexed exactly once — the replay was a no-op
+    val idx = spark.read.parquet(path)
+    assert(idx.count() == corpus.count())
+    assert(idx.select("vec_id").distinct().count() == corpus.count())
+    // the streamed index equals q117's one-shot append of the same
+    // delta (frozen quantizers make rows per-row functions — batch
+    // boundaries, like file layout, are unobservable)
+    val oneShot = s"$tmp/oneshot"
+    IvfPq.ensureBuilt(spark, base, m = 8, k = 16, nCentroids = 4,
+      kmIters = 2, oneShot)
+    IvfPq.append(spark, oneShot, delta)
+    def content(p: String) = spark.read.parquet(p)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq,
+        r.getSeq[Int](2).toSeq, r.getInt(3))).toSeq
+    assert(content(path) == content(oneShot))
+    // streamed-in vectors serve immediately: each delta query's rank-1
+    // is its exact zero-distance self-hit
+    val queries = delta.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val self = IvfPq.probe(spark, path, IvfPq.centroidsOf(spark, path),
+      queries, m = 8, topK = 5, nProbe = 4, shortlist = 50)
+      .filter(col("rk") === 1).collect()
+    assert(self.nonEmpty && self.forall(r =>
+      r.getLong(0) == r.getLong(2) && r.getDouble(3) == 0.0))
+  }
 }
