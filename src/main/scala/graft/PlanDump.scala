@@ -62,7 +62,9 @@ object PlanDump {
     "q116_semdedup_buckets" ->
       "Semantic dedup with content-derived blocking: the sign-LSH bucket id is a scan-side codegen expression (six FloatDotProduct folds, no shuffle to assign); ONE hash exchange on bucket feeds the anchor window, and the dominated-pair join is an equi-join on bucket — pairwise work stays inside buckets, never a global cross product.",
     "q117_ivf_append_ann" ->
-      "Probe over the base-built + delta-appended IVF-PQ index: structurally IDENTICAL to q110's plan — partition-pruned bucket scan, codes-only ReadSchema, broadcast shortlist re-rank — because append only adds files inside existing bucket=N partition directories with both quantizers frozen; index maintenance is invisible to the serving plan, which is the point (IvfPqSpec pins append ≡ rebuild under the same quantizers).")
+      "Probe over the base-built + delta-appended IVF-PQ index: structurally IDENTICAL to q110's plan — partition-pruned bucket scan, codes-only ReadSchema, broadcast shortlist re-rank — because append only adds files inside existing bucket=N partition directories with both quantizers frozen; index maintenance is invisible to the serving plan, which is the point (IvfPqSpec pins append ≡ rebuild under the same quantizers).",
+    "q118_sorted_minmax_scan" ->
+      "Min/max (zone-map) pruning over the range-sorted lineitem copy: the shipdate BETWEEN predicate shows in PushedFilters, and because each of the 16 files covers a narrow sorted slice, the parquet reader's footer check skips every non-overlapping row group before decoding a page — LayoutSpec asserts the skip from the footers themselves (<=1/4 of groups overlap a one-quarter predicate; a shuffled same-file-count copy overlaps 16/16). The plan looks like a plain filter-agg; the cut is in WHICH row groups the identical scan touches.")
 
   /** Captured with broadcast joins disabled: at 100 TB neither side
     * broadcasts, and the co-location evidence (zero exchange under the

@@ -40,6 +40,67 @@ object Layout {
       saltBy: String, salts: Int): DataFrame =
     graft.operators.Joins.saltedJoin(left, right, key, saltBy, salts)
 
+  /** Write `df` range-partitioned and sorted by `sortCol` into `n`
+    * files: each file then covers a narrow, near-disjoint slice of the
+    * column's range, so its parquet footer min/max lets a selective
+    * predicate skip the whole row group without decoding a page —
+    * min/max (zone-map) pruning, the fourth layout lever beside
+    * partitioning, bucketing, and runtime filters. Unlike Hive
+    * partitioning this costs no directory explosion and composes with
+    * it (partition by coarse key, range-sort within partitions by the
+    * fine one). The write's range shuffle is the one-time layout
+    * price, same as bucketing's. */
+  def writeRangeSorted(df: DataFrame, path: String, n: Int,
+      sortCol: String): Unit =
+    df.repartitionByRange(n, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+
+  /** Per-row-group (min, max, rowCount) of a numeric-statted column
+    * (INT32/INT64 physical — ints, longs, dates, timestamps), read
+    * straight from the parquet footers of every part file under
+    * `path`. This is the exact metadata the scan's row-group skip
+    * consults, so asserting on it tests the pruning CONTRACT rather
+    * than timing it. Driver-side by design: footers are O(files)
+    * metadata, the same listing cost planning already pays. */
+  def rowGroupRanges(spark: SparkSession, path: String,
+      column: String): Seq[(Long, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    fs.listStatus(root).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .flatMap { st =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(st.getPath, conf))
+        try rd.getFooter.getBlocks.asScala.toSeq.map { block =>
+          val col = block.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .getOrElse(sys.error(
+              s"rowGroupRanges: no column '$column' in ${st.getPath}"))
+          val stats = col.getStatistics
+          require(stats != null && stats.hasNonNullValue,
+            s"rowGroupRanges: no min/max stats for '$column' in ${st.getPath}")
+          (stats.genericGetMin.asInstanceOf[Number].longValue(),
+            stats.genericGetMax.asInstanceOf[Number].longValue(),
+            block.getRowCount)
+        } finally rd.close()
+      }
+  }
+
+  /** (overlapping, total) row-group counts for a closed-interval
+    * predicate `[lo, hi]` on `column` — the fraction a min/max-pruned
+    * scan of `path` actually decodes. */
+  def overlappingRowGroups(spark: SparkSession, path: String,
+      column: String, lo: Long, hi: Long): (Int, Int) = {
+    val ranges = rowGroupRanges(spark, path, column)
+    (ranges.count { case (mn, mx, _) => mx >= lo && mn <= hi },
+      ranges.size)
+  }
+
   /** True when the executed plan of `df` contains no shuffle exchange —
     * the check that a bucketed join actually co-located. */
   def isShuffleFree(df: DataFrame): Boolean =

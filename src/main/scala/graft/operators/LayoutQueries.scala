@@ -71,6 +71,22 @@ object LayoutQueries {
     (ordersTbl, custTbl)
   }
 
+  /** Lineitem range-sorted by `l_shipdate` into 16 files — the
+    * min/max (zone-map) layout for the fine-grained time axis where
+    * Hive partitioning would explode directories. Built once per
+    * dataset behind the usual marker. */
+  def ensureSortedLineitem(s: SparkSession, d: String): String = {
+    val path = s"${layoutRoot(d)}/lineitem_by_shipdate"
+    val li = Tables.lineitem(s, d)
+    val expect =
+      s"layout=$LayoutVersion sort=l_shipdate files=16 rows=${li.count()}"
+    if (!ArtifactCache.hit(path, expect)) {
+      Layout.writeRangeSorted(li, path, 16, "l_shipdate")
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
   /** The q113 plan, exposed for the PlanSpec pin (bloom probe inside
     * the scan stage, semi join after). */
   def bloomPrefilterJoin(s: SparkSession, d: String): DataFrame = {
@@ -154,6 +170,35 @@ object LayoutQueries {
         .agg(count(lit(1)).as("n"),
           round(decSum(col("o_totalprice"), 2), 2).as("total"))
         .orderBy("c_mktsegment")
+    },
+
+    // ---- Min/max (zone-map) row-group pruning: the same lineitem
+    //      rows range-sorted by l_shipdate, so a one-quarter predicate
+    //      decodes ~1-2 of 16 row groups (footer stats skip the rest —
+    //      asserted from the footers themselves in LayoutSpec, where a
+    //      shuffled same-file-count copy overlaps ALL groups). On a
+    //      100 TB / multi-year table this is the scan cut for
+    //      predicates too fine for directory partitioning. Oracle
+    //      recomputes from the UNSORTED parquet: layout never changes
+    //      the answer. ----
+    GraftQuery("q118_sorted_minmax_scan",
+      s"""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${decSumSql("l_quantity", 2)} AS sum_qty,
+         |  round(${decSumSql("l_extendedprice", 2)}, 2) AS sum_price
+         |FROM lineitem
+         |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-03-31'
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val path = ensureSortedLineitem(s, d)
+      s.read.parquet(path)
+        .filter(col("l_shipdate").between(
+          lit("1997-01-01").cast("timestamp"),
+          lit("1997-03-31").cast("timestamp")))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          decSum(col("l_quantity"), 2).as("sum_qty"),
+          round(decSum(col("l_extendedprice"), 2), 2).as("sum_price"))
+        .orderBy("l_returnflag")
     },
   )
 }

@@ -201,6 +201,45 @@ object IvfPq {
     }
   }
 
+  /** Compact the index's bucket partitions back to one file per
+    * bucket. Continuous ingest ([[append]] per micro-batch via
+    * `Streams.annIndexSinkWriter`) adds a file per touched bucket per
+    * batch, so a long-lived index accumulates O(batches) small files
+    * and every probe, anti-join, and append pays the listing and
+    * per-file reader setup. Compaction is pure layout maintenance:
+    * rows, codes, and bucket assignments are untouched (content is
+    * deterministic — rewritten buckets sort by vec_id), so probes
+    * before and after are frame-identical (spec-pinned), and the
+    * sibling artifacts (centroids, codebooks, `.params` marker) are
+    * not involved at all.
+    *
+    * Crash-safe against losing the index: the compacted copy is fully
+    * written to a sibling temp dir first, then swapped in by two
+    * renames (live → `.precompact`, temp → live) — an interruption
+    * before the first rename leaves the live index untouched; between
+    * the renames the previous index is intact under `.precompact`.
+    * Like all maintenance here it assumes a quiet window: don't run
+    * concurrent probes against the path mid-swap, and on object
+    * stores without atomic rename schedule it accordingly. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(conf)
+    require(fs.exists(live), s"compact: no index at $path")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.compacting")
+    val old = new org.apache.hadoop.fs.Path(s"$path.precompact")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    spark.read.parquet(path)
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(tmp.toString)
+    require(fs.rename(live, old), s"compact: could not move $path aside")
+    require(fs.rename(tmp, live), s"compact: could not swap in $tmp")
+    fs.delete(old, true)
+  }
+
   /** The persisted centroids of an index at `path` — the probe-side
     * artifact read, for consumers that manage the build themselves. */
   def centroidsOf(spark: SparkSession, path: String): DataFrame =

@@ -256,4 +256,53 @@ class IvfPqSpec extends AnyFunSuite {
     assert(rebuilt)
     assert(spark.read.parquet(path).count() == base.count())
   }
+
+  test("compact collapses accumulated per-bucket files; content, " +
+    "probes, and the cache marker are untouched") {
+    val tmp = Files.createTempDirectory("graft-ivfpq-compact").toString
+    val (base, delta) = baseDelta
+    val path = s"$tmp/index"
+    val expect = IvfPq.expectOf(M, 16, 4, 2, base.count())
+    IvfPq.ensureBuilt(spark, base, m = M, k = 16, nCentroids = 4,
+      kmIters = 2, path)
+    // two raw appends — the continuous-ingest shape that fragments
+    // bucket directories (one file per touched bucket per append)
+    val (d1, d2) = (delta.filter(col("vec_id") % 2 === 0),
+      delta.filter(col("vec_id") % 2 =!= 0))
+    IvfPq.append(spark, path, d1)
+    IvfPq.append(spark, path, d2)
+    def dataFiles(p: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(p))
+    }
+    def content() = spark.read.parquet(path)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq,
+        r.getSeq[Int](2).toSeq, r.getInt(3))).toSeq
+    def probe() = {
+      val cents = IvfPq.centroidsOf(spark, path)
+      IvfPq.probe(spark, path, cents, queries, m = M, topK = 10,
+        nProbe = 3, shortlist = 40).orderBy("query_id", "rk")
+        .collect().toSeq
+    }
+    val (filesBefore, contentBefore, probeBefore) =
+      (dataFiles(path), content(), probe())
+    val nBuckets = spark.read.parquet(path)
+      .select("bucket").distinct().count().toInt
+    assert(filesBefore > nBuckets,
+      s"appends should fragment: $filesBefore files, $nBuckets buckets")
+    IvfPq.compact(spark, path)
+    assert(dataFiles(path) <= nBuckets,
+      s"compact: ${dataFiles(path)} files for $nBuckets buckets")
+    assert(content() == contentBefore)
+    assert(probe() == probeBefore)
+    // layout maintenance never touches the reuse contract: the marker
+    // still names the completed base build
+    assert(graft.vector.ArtifactCache.hit(path, expect))
+    // and the swap left no residue
+    assert(!new java.io.File(s"$path.compacting").exists())
+    assert(!new java.io.File(s"$path.precompact").exists())
+  }
 }

@@ -162,6 +162,44 @@ class LayoutSpec extends AnyFunSuite {
     assert(p.contains("dynamicpruning"), p.take(3000))
   }
 
+  test("range-sorted layout prunes row groups by footer min/max; shuffled layout cannot") {
+    val d = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, d)
+    val tmp = Files.createTempDirectory("graft-zonemap").toString
+    Layout.writeRangeSorted(li, s"$tmp/sorted", 16, "l_shipdate")
+    // same rows, same file count, only the ordering differs
+    li.repartition(16)
+      .write.mode("overwrite").parquet(s"$tmp/shuffled")
+    def micros(iso: String): Long =
+      java.time.Instant.parse(iso).toEpochMilli * 1000L
+    val (lo, hi) =
+      (micros("1997-01-01T00:00:00Z"), micros("1997-03-31T00:00:00Z"))
+    val (sortedHit, sortedTotal) = Layout.overlappingRowGroups(
+      spark, s"$tmp/sorted", "l_shipdate", lo, hi)
+    val (shufHit, shufTotal) = Layout.overlappingRowGroups(
+      spark, s"$tmp/shuffled", "l_shipdate", lo, hi)
+    // one quarter of a ~7-year span: the sorted footers let the scan
+    // skip most groups; the shuffled copy's every file spans the whole
+    // range, so min/max prunes NOTHING — the layout is the lever
+    assert(sortedTotal >= 8 && sortedHit <= sortedTotal / 4,
+      s"sorted: $sortedHit/$sortedTotal groups overlap")
+    assert(shufHit == shufTotal,
+      s"shuffled: $shufHit/$shufTotal groups overlap")
+    // row counts from the footers cover the table exactly
+    val rows = Layout.rowGroupRanges(spark, s"$tmp/sorted", "l_shipdate")
+      .map(_._3).sum
+    assert(rows == li.count())
+    // and the q118 predicate reaches the sorted scan as a pushed filter
+    val q118 = graft.operators.LayoutQueries.all
+      .find(_.name == "q118_sorted_minmax_scan").get
+    // ensureSortedLineitem caches under the dataset key — run the real
+    // query body, then check its scan
+    val df = q118.run(spark, d)
+    val filters = Layout.scanFilters(df)
+    assert(filters.contains("PushedFilters") &&
+      filters.contains("l_shipdate"), filters)
+  }
+
   test("salted join equals the plain join") {
     val left = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d"))
       .toDF("k", "lv")
