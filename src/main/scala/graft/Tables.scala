@@ -75,10 +75,15 @@ object Tables {
   private val spreadProbeCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), java.lang.Boolean]()
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong`
-    * and this loader converts the raw nanos to a microsecond timestamp
-    * (testdata values are micro-precision, so the division is exact). */
+  /** Normalize `events.ts` to session-zoned TimestampType across the
+    * generator's two historical physical layouts: TIMESTAMP(NANOS)
+    * (rejected by Spark's vectorized reader — sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong`, this loader converts the
+    * raw nanos) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
+    * TIMESTAMP_NTZ, which `unix_micros`/window arithmetic reject).
+    * All sessions pin `spark.sql.session.timeZone=UTC`, so the
+    * NTZ->timestamp cast is wall-clock-preserving and matches DuckDB's
+    * naive-TIMESTAMP reading of the same files. */
   private def eventsWithTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
@@ -89,6 +94,9 @@ object Tables {
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
 

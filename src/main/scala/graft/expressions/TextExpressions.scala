@@ -147,6 +147,13 @@ case class PunctCount(child: Expression) extends UnaryExpression {
     cnt
   }
 
+  // NOTE for every template below: no emitted line may BEGIN with '|'
+  // (e.g. a wrapped '||'). Catalyst code blocks are stripMargin'd again
+  // downstream of doGenCode, so a leading '||' loses its margin chars,
+  // the operator vanishes, and janino then mis-parses the adjacent
+  // parenthesized operands as a cast — the whole projection silently
+  // drops to interpreted eval. Operators go at END of line when
+  // wrapping. Pinned by TextExpressionsSpec's fallback-disabled test.
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
@@ -161,9 +168,9 @@ case class PunctCount(child: Expression) extends UnaryExpression {
          |  byte $b = $c.getByte($i);
          |  if (($b & 0x80) != 0) {
          |    if (($b & 0xC0) != 0x80) $cnt++;
-         |  } else if (!(($b >= 'a' && $b <= 'z') || ($b >= 'A' && $b <= 'Z')
-         |      || ($b >= '0' && $b <= '9') || $b == ' ' || $b == '\\t'
-         |      || $b == '\\n' || $b == 0x0B || $b == '\\f' || $b == '\\r')) {
+         |  } else if (!(($b >= 'a' && $b <= 'z') || ($b >= 'A' && $b <= 'Z') ||
+         |      ($b >= '0' && $b <= '9') || $b == ' ' || $b == '\\t' ||
+         |      $b == '\\n' || $b == 0x0B || $b == '\\f' || $b == '\\r')) {
          |    $cnt++;
          |  }
          |}
@@ -252,10 +259,10 @@ case class SubwordCount(child: Expression) extends UnaryExpression {
          |  if (($b & 0x80) != 0) {
          |    if (($b & 0xC0) != 0x80) { $cnt++; $prev = false; }
          |  } else {
-         |    boolean $alnum = ($b >= 'a' && $b <= 'z')
-         |      || ($b >= 'A' && $b <= 'Z') || ($b >= '0' && $b <= '9');
-         |    boolean $ws = $b == ' ' || $b == '\\t' || $b == '\\n'
-         |      || $b == 0x0B || $b == '\\f' || $b == '\\r';
+         |    boolean $alnum = ($b >= 'a' && $b <= 'z') ||
+         |      ($b >= 'A' && $b <= 'Z') || ($b >= '0' && $b <= '9');
+         |    boolean $ws = $b == ' ' || $b == '\\t' || $b == '\\n' ||
+         |      $b == 0x0B || $b == '\\f' || $b == '\\r';
          |    if ($alnum) { if (!$prev) $cnt++; }
          |    else if (!$ws) { $cnt++; }
          |    $prev = $alnum;

@@ -113,4 +113,34 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(one[Long](subwordCount(col("text")), "") == 0L)
     assert(one[Long](subwordCount(col("text")), "   ") == 0L)
   }
+
+  test("native text expressions COMPILE under codegen (no silent fallback)") {
+    // Regression pin: a doGenCode template emitting a line that BEGINS
+    // with '|' (a wrapped '||') loses the operator to a downstream
+    // stripMargin and janino rejects the projection — Spark then falls
+    // back to interpreted eval SILENTLY, costing the codegen the
+    // expressions exist for. CODEGEN_ONLY turns that fallback into a
+    // hard failure; whole-stage codegen is disabled so the exact
+    // GenerateUnsafeProjection path that mis-parsed is the one built.
+    val prevMode = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevWsc = spark.conf.getOption("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val rows = Seq("Hello, wide WORLD 42!", "naïve — café", "")
+        .toDF("text")
+        .select(
+          qualityScoreOf(col("text"), tokens(col("text"))).as("q"),
+          subwordCount(col("text")).as("sw"))
+        .collect()
+      assert(rows.length == 3)
+      assert(rows.forall(r => r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0))
+      assert(rows.map(_.getLong(1)).toSeq == Seq(6L, 6L, 0L))
+    } finally {
+      prevMode.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        v => spark.conf.set("spark.sql.codegen.factoryMode", v))
+      prevWsc.fold(spark.conf.unset("spark.sql.codegen.wholeStage"))(
+        v => spark.conf.set("spark.sql.codegen.wholeStage", v))
+    }
+  }
 }
