@@ -247,9 +247,19 @@ object Streams {
           "left_anti")
         fresh.persist()
         try {
-          fresh.select(col("doc_id"), col("text"))
+          // ONE file per batch append (not one per shuffle partition):
+          // the fp table is re-scanned by EVERY later batch's
+          // anti-join, so its FILE COUNT is a per-batch cost that
+          // compounds — at micro-batch sizes the dominant growth term
+          // is per-file listing/footer overhead, not bytes (measured:
+          // the 200-batch admission probe, STREAMBENCH.md). Appends
+          // are batch-sized, so one task writes them comfortably;
+          // long-lived tables bound total count via
+          // [[graft.sinks.Maintenance.compactParquet]].
+          fresh.select(col("doc_id"), col("text")).repartition(1)
             .write.mode("append").parquet(outPath)
-          fresh.select(col("fp")).write.mode("append").parquet(fpPath)
+          fresh.select(col("fp")).repartition(1)
+            .write.mode("append").parquet(fpPath)
         } finally fresh.unpersist()
         ()
       }
@@ -352,12 +362,25 @@ object Streams {
         // cap and grow the table without bound. Parquet appends commit
         // at job level, so a doc present in the band table has ALL its
         // band rows; doc_id granularity is safe.
+        // ONE file per batch append: both tables are re-scanned by
+        // every later batch (bands twice — candidate scan + replay
+        // anti-join; corpus once — fp anti-join), so their file count
+        // is a compounding per-batch cost. The 200-batch probe showed
+        // un-coalesced appends (~5 files/batch each) doubling the
+        // steady-state batch time by batch ~150 from listing/footer
+        // overhead alone — the byte-growth term is 100x smaller at
+        // these sizes. Batch appends are micro-batch-sized (a few MB);
+        // one write task is the right shape, and long-lived tables
+        // bound total file count via
+        // [[graft.sinks.Maintenance.compactParquet]].
         graft.dedup.NearDup
           .bands(fresh.select(col("doc_id"), col("text")))
           .join(corpusBands.select(col("doc_id")).distinct(),
             Seq("doc_id"), "left_anti")
+          .repartition(1)
           .write.mode("append").parquet(bandPath)
         fresh.select(col("doc_id"), col("text"), col("fp"))
+          .repartition(1)
           .write.mode("append").parquet(outPath)
         ()
       }

@@ -1,0 +1,57 @@
+package graft
+
+import graft.sinks.Maintenance
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class MaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def dataFiles(p: String): Array[String] =
+    new java.io.File(p).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+
+  test("compactParquet merges a many-file table, content unchanged") {
+    val tmp = Files.createTempDirectory("graft-compact").toString
+    val path = s"$tmp/t"
+    // simulate 8 one-file batch appends
+    (0 until 8).foreach { b =>
+      Seq.tabulate(100)(i => (b * 100L + i, s"row ${b * 100 + i}"))
+        .toDF("id", "v").repartition(1)
+        .write.mode("append").parquet(path)
+    }
+    assert(dataFiles(path).length === 8)
+    val before = spark.read.parquet(path)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val nBefore = Maintenance.compactParquet(spark, path,
+      sortCols = Seq("id"))
+    assert(nBefore === 8L)
+    // table bytes are far below one target file -> exactly one file
+    assert(dataFiles(path).length === 1)
+    val after = spark.read.parquet(path)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(after.toSeq === before.toSeq)
+    // swap scaffolding cleaned up
+    assert(!new java.io.File(s"$path.compacting").exists())
+    assert(!new java.io.File(s"$path.precompact").exists())
+    // idempotent: recompaction of a compact table is a no-op shape
+    assert(Maintenance.compactParquet(spark, path) === 1L)
+    assert(dataFiles(path).length === 1)
+  }
+
+  test("compactParquet splits at targetFileBytes and refuses a missing table") {
+    val tmp = Files.createTempDirectory("graft-compact2").toString
+    val path = s"$tmp/t"
+    Seq.tabulate(2000)(i => (i.toLong, ("x" * 100) + i))
+      .toDF("id", "v").repartition(4)
+      .write.mode("overwrite").parquet(path)
+    // tiny target -> multiple output files, rows preserved
+    Maintenance.compactParquet(spark, path, targetFileBytes = 16L << 10)
+    assert(dataFiles(path).length > 1)
+    assert(spark.read.parquet(path).count() === 2000L)
+    intercept[IllegalArgumentException] {
+      Maintenance.compactParquet(spark, s"$tmp/nope")
+    }
+  }
+}

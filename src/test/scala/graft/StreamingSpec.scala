@@ -65,6 +65,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/fp").distinct().count() === 3L)
   }
 
+  test("table-backed sinks append ONE file per micro-batch") {
+    // The fp/band/corpus tables are re-scanned by EVERY later batch,
+    // so their file count is a compounding per-batch cost — the
+    // 200-batch admission probe measured multi-file appends doubling
+    // steady-state batch time from listing/footer overhead alone
+    // (STREAMBENCH.md). Pin the one-file-per-append shape.
+    implicit val sq = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-sink-files").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.dedupSinkWriter(
+      mem.toDF.toDF("doc_id", "text"),
+      s"$tmp/out", s"$tmp/fp", s"$tmp/ckpt").start()
+    (1 to 3).foreach { i =>
+      mem.addData((i.toLong, s"content $i distinct body"))
+      q.processAllAvailable()
+    }
+    q.stop()
+    def dataFiles(p: String): Int =
+      new java.io.File(p).listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+    assert(dataFiles(s"$tmp/fp") === 3,
+      "fp table must gain exactly one file per batch")
+    assert(dataFiles(s"$tmp/out") === 3,
+      "corpus table must gain exactly one file per batch")
+  }
+
   test("streaming near-dup sink drops near-duplicates of admitted content") {
     implicit val sq = spark.sqlContext
     val tmp = Files.createTempDirectory("graft-neardup-sink").toString
