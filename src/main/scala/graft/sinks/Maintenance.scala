@@ -54,6 +54,10 @@ object Maintenance {
         tableBytes += f.getLen
       }
     }
+    // a directory with no data files (only markers — e.g. a sink that
+    // has appended nothing but empty frames) has nothing to compact,
+    // and reading it would fail schema inference
+    if (nFiles == 0) return 0L
     val nOut = math.max(1L,
       (tableBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val tmp = new org.apache.hadoop.fs.Path(s"$path.compacting")

@@ -224,12 +224,17 @@ object Streams {
     * Scale shape: the anti-join shuffles on a uniform 32-byte md5 key
     * — batch side is micro-batch-sized; at a large corpus, bucket the
     * fingerprint table by fp ([[graft.layout.Layout]]) to pre-pay the
-    * table-side shuffle. */
+    * table-side shuffle.
+    *
+    * `compactEvery` > 0 compacts both tables every that many batches
+    * after the appends commit — same cadence contract as
+    * [[nearDupSinkWriter]] (one file per batch append; per-file rescan
+    * cost compounds without maintenance). */
   def dedupSinkWriter(docs: DataFrame, outPath: String, fpPath: String,
-      checkpoint: String): DataStreamWriter[Row] =
+      checkpoint: String, compactEvery: Int = 0): DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val firsts = batch
           .withColumn("fp",
@@ -261,6 +266,10 @@ object Streams {
           fresh.select(col("fp")).repartition(1)
             .write.mode("append").parquet(fpPath)
         } finally fresh.unpersist()
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          graft.sinks.Maintenance.compactParquet(spark, fpPath)
+          graft.sinks.Maintenance.compactParquet(spark, outPath)
+        }
         ()
       }
 
@@ -296,12 +305,23 @@ object Streams {
     * Batch doc_ids must be unique across the stream's lifetime.
     * Intra-batch near-dup pairs keep the lower doc_id; corpus-vs-batch
     * pairs always keep the already-admitted corpus doc (the incoming
-    * doc is dropped regardless of id order). */
+    * doc is dropped regardless of id order).
+    *
+    * `compactEvery` > 0 compacts the band and corpus tables
+    * ([[graft.sinks.Maintenance.compactParquet]]) every that many
+    * batches, AFTER the batch's appends commit: each append adds one
+    * file per table, so without maintenance the rescans' per-file cost
+    * crosses the fixed batch cost around batch ~400 at 4k-doc batches
+    * (measured — STREAMBENCH.md). Inside foreachBatch is the one spot
+    * that is a quiet window by construction (no concurrent batch
+    * touches the tables). A replayed batch may re-compact: layout-only,
+    * rows unchanged, so harmless. */
   def nearDupSinkWriter(docs: DataFrame, outPath: String, bandPath: String,
-      checkpoint: String, minJaccard: Double = 0.5): DataStreamWriter[Row] =
+      checkpoint: String, minJaccard: Double = 0.5,
+      compactEvery: Int = 0): DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import org.apache.spark.sql.types._
         val firsts = batch
@@ -382,6 +402,14 @@ object Streams {
         fresh.select(col("doc_id"), col("text"), col("fp"))
           .repartition(1)
           .write.mode("append").parquet(outPath)
+        // maintenance cadence: AFTER both appends commit, so a crash
+        // mid-compaction never loses an append (the swap itself is
+        // crash-safe — the previous layout survives under .precompact
+        // until the rename pair completes)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          graft.sinks.Maintenance.compactParquet(spark, bandPath)
+          graft.sinks.Maintenance.compactParquet(spark, outPath)
+        }
         ()
       }
 

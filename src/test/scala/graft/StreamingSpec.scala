@@ -91,6 +91,41 @@ class StreamingSpec extends AnyFunSuite {
       "corpus table must gain exactly one file per batch")
   }
 
+  test("compactEvery bounds sink table file counts, semantics intact") {
+    implicit val sq = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-sink-compact").toString
+    val base = "the quick brown fox jumps over the lazy dog again today"
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.nearDupSinkWriter(
+      mem.toDF.toDF("doc_id", "text"),
+      s"$tmp/out", s"$tmp/bands", s"$tmp/ckpt", minJaccard = 0.5,
+      compactEvery = 2).start()
+    // 5 batches: batch 0 seeds `base`; batch 3 replays a NEAR-dup of
+    // it — it must still be dropped when the tables it is checked
+    // against have been through a compaction swap (batch 2)
+    val texts = Seq(
+      1L -> base,
+      2L -> "completely different material with many distinct words here",
+      3L -> "a third body of text sharing nothing with the others at all",
+      4L -> (base.dropRight(5) + " soon"),
+      5L -> "fifth and final fully novel content block for this stream")
+    texts.foreach { t => mem.addData(t); q.processAllAvailable() }
+    q.stop()
+    assert(spark.read.parquet(s"$tmp/out")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L, 5L),
+      "doc 4 near-duplicates compacted-in content and must be dropped")
+    // without compaction each table would carry 5 files (one per
+    // batch); compaction at batches 2 and 4 resets the count
+    def dataFiles(p: String): Int =
+      new java.io.File(p).listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+    assert(dataFiles(s"$tmp/bands") <= 2)
+    assert(dataFiles(s"$tmp/out") <= 2)
+    // swap scaffolding cleaned up
+    assert(!new java.io.File(s"$tmp/bands.precompact").exists())
+    assert(!new java.io.File(s"$tmp/out.compacting").exists())
+  }
+
   test("streaming near-dup sink drops near-duplicates of admitted content") {
     implicit val sq = spark.sqlContext
     val tmp = Files.createTempDirectory("graft-neardup-sink").toString
