@@ -110,8 +110,15 @@ object StreamBench {
     }
     spark.streams.addListener(listener)
     val t1 = System.nanoTime()
+    // SPARK_GRAFT_ND_COMPACT_EVERY > 0 exercises the maintenance
+    // cadence under the same probe: compaction cost lands inside the
+    // batches that run it, so the curve shows both the reset and its
+    // price (spikes at the cadence, flat growth between).
+    val ndCompactEvery =
+      sys.env.getOrElse("SPARK_GRAFT_ND_COMPACT_EVERY", "0").toInt
     val nq = Streams.nearDupSinkWriter(ndSource, s"$tmp/nd_out",
-      s"$tmp/nd_bands", s"$tmp/nd_ckpt", minJaccard = 0.5)
+      s"$tmp/nd_bands", s"$tmp/nd_ckpt", minJaccard = 0.5,
+      compactEvery = ndCompactEvery)
       .queryName(ndQueryName)
       .trigger(Streams.drainTrigger).start()
     nq.awaitTermination()

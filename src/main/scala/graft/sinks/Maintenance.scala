@@ -31,12 +31,25 @@ import org.apache.spark.sql.functions.col
 object Maintenance {
 
   /** Rewrite the parquet table at `path` into
-    * `ceil(tableBytes / targetFileBytes)` files (at least one). Returns
-    * the file count before compaction (callers log/alert on it). */
+    * `max(minFiles, ceil(tableBytes / targetFileBytes))` files (at
+    * least one). Returns the file count before compaction (callers
+    * log/alert on it).
+    *
+    * `minFiles` matters whenever the table is HOT — re-scanned per
+    * micro-batch by a sink, probed per query: a table under
+    * `targetFileBytes` compacts to ONE file, which is ONE input split
+    * (a single-row-group parquet file cannot be split), so every later
+    * scan of it runs single-threaded no matter the cluster. Measured:
+    * the 200-batch admission probe with a naive one-file cadence ran
+    * SLOWER late-stream than no compaction at all — file-count cost
+    * fell but the growing band-table scan serialized. Hot-table
+    * callers pass `defaultParallelism`; archive-style tables keep 1. */
   def compactParquet(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20,
-      sortCols: Seq[String] = Nil): Long = {
+      sortCols: Seq[String] = Nil,
+      minFiles: Int = 1): Long = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(minFiles >= 1, "minFiles must be at least 1")
     val conf = spark.sessionState.newHadoopConf()
     val live = new org.apache.hadoop.fs.Path(path)
     val fs = live.getFileSystem(conf)
@@ -58,7 +71,7 @@ object Maintenance {
     // has appended nothing but empty frames) has nothing to compact,
     // and reading it would fail schema inference
     if (nFiles == 0) return 0L
-    val nOut = math.max(1L,
+    val nOut = math.max(minFiles.toLong,
       (tableBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val tmp = new org.apache.hadoop.fs.Path(s"$path.compacting")
     val old = new org.apache.hadoop.fs.Path(s"$path.precompact")

@@ -267,8 +267,11 @@ object Streams {
             .write.mode("append").parquet(fpPath)
         } finally fresh.unpersist()
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-          graft.sinks.Maintenance.compactParquet(spark, fpPath)
-          graft.sinks.Maintenance.compactParquet(spark, outPath)
+          val par = spark.sparkContext.defaultParallelism
+          graft.sinks.Maintenance.compactParquet(spark, fpPath,
+            minFiles = par)
+          graft.sinks.Maintenance.compactParquet(spark, outPath,
+            minFiles = par)
         }
         ()
       }
@@ -405,10 +408,16 @@ object Streams {
         // maintenance cadence: AFTER both appends commit, so a crash
         // mid-compaction never loses an append (the swap itself is
         // crash-safe — the previous layout survives under .precompact
-        // until the rename pair completes)
+        // until the rename pair completes). minFiles=defaultParallelism
+        // because BOTH tables are this sink's hot scans — compacting a
+        // sub-128MB table to one file would serialize every later
+        // batch's candidate/anti-join scan (one file = one input split)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-          graft.sinks.Maintenance.compactParquet(spark, bandPath)
-          graft.sinks.Maintenance.compactParquet(spark, outPath)
+          val par = spark.sparkContext.defaultParallelism
+          graft.sinks.Maintenance.compactParquet(spark, bandPath,
+            minFiles = par)
+          graft.sinks.Maintenance.compactParquet(spark, outPath,
+            minFiles = par)
         }
         ()
       }

@@ -54,4 +54,19 @@ class MaintenanceSpec extends AnyFunSuite {
       Maintenance.compactParquet(spark, s"$tmp/nope")
     }
   }
+
+  test("minFiles keeps a hot table's scan parallelism after compaction") {
+    val tmp = Files.createTempDirectory("graft-compact3").toString
+    val path = s"$tmp/t"
+    (0 until 6).foreach { b =>
+      Seq.tabulate(50)(i => (b * 50L + i, s"v$i")).toDF("id", "v")
+        .repartition(1).write.mode("append").parquet(path)
+    }
+    // bytes are far under one target file, but minFiles floors the
+    // output so a later scan still gets minFiles input splits
+    Maintenance.compactParquet(spark, path, minFiles = 4)
+    assert(dataFiles(path).length === 4)
+    assert(spark.read.parquet(path).count() === 300L)
+    assert(spark.read.parquet(path).rdd.getNumPartitions >= 4)
+  }
 }

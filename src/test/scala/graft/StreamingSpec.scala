@@ -115,12 +115,14 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L, 5L),
       "doc 4 near-duplicates compacted-in content and must be dropped")
     // without compaction each table would carry 5 files (one per
-    // batch); compaction at batches 2 and 4 resets the count
+    // batch); compaction at batches 2 and 4 resets the count to at
+    // most minFiles (= defaultParallelism — the scan-parallelism floor)
     def dataFiles(p: String): Int =
       new java.io.File(p).listFiles()
         .count(f => f.getName.endsWith(".parquet"))
-    assert(dataFiles(s"$tmp/bands") <= 2)
-    assert(dataFiles(s"$tmp/out") <= 2)
+    val par = spark.sparkContext.defaultParallelism
+    assert(dataFiles(s"$tmp/bands") <= par)
+    assert(dataFiles(s"$tmp/out") <= par)
     // swap scaffolding cleaned up
     assert(!new java.io.File(s"$tmp/bands.precompact").exists())
     assert(!new java.io.File(s"$tmp/out.compacting").exists())
