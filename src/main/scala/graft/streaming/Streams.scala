@@ -444,12 +444,22 @@ object Streams {
     * otherwise surface as a repeated id in probe top-k lists. Newly
     * appended rows serve from the very next probe; recall drift under
     * the frozen quantizers is bounded by the scheduled full-rebuild
-    * cadence (README, q117). */
+    * cadence (README, q117).
+    *
+    * `compactEvery` > 0 compacts the index back to one file per bucket
+    * ([[graft.vector.IvfPq.compact]]) every that many batches — the
+    * same maintenance cadence as [[nearDupSinkWriter]]: each append
+    * adds up to one file per touched bucket, and the anti-join rescans
+    * the index every batch, so file count is a compounding per-batch
+    * cost. Bucket layout is preserved (one file PER BUCKET), so probe
+    * partition pruning and scan parallelism are unaffected — no
+    * minFiles analogue needed. Content is probe-identical across the
+    * swap (IvfPqSpec pins compact; the sink test pins the cadence). */
   def annIndexSinkWriter(vecs: DataFrame, indexPath: String,
-      checkpoint: String): DataStreamWriter[Row] =
+      checkpoint: String, compactEvery: Int = 0): DataStreamWriter[Row] =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val fresh = batch
           .dropDuplicates("vec_id")
@@ -459,6 +469,8 @@ object Streams {
         try if (fresh.head(1).nonEmpty)
           graft.vector.IvfPq.append(spark, indexPath, fresh)
         finally fresh.unpersist()
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          graft.vector.IvfPq.compact(spark, indexPath)
         ()
       }
 

@@ -471,12 +471,23 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val (b1, b2) = rows.splitAt(rows.length / 2)
     val mem = MemoryStream[(Long, Array[Float])]
+    // compactEvery=2: the cadence fires on batch 2 (the replay batch),
+    // so the equality checks below also prove compaction preserves
+    // index content mid-stream
     val q = Streams.annIndexSinkWriter(
-      mem.toDF.toDF("vec_id", "embedding"), path, s"$tmp/ckpt").start()
+      mem.toDF.toDF("vec_id", "embedding"), path, s"$tmp/ckpt",
+      compactEvery = 2).start()
     mem.addData(b1.toSeq); q.processAllAvailable()
     mem.addData(b2.toSeq); q.processAllAvailable()
     mem.addData(b1.toSeq); q.processAllAvailable()
     q.stop()
+    // post-compaction layout: exactly one file per bucket directory
+    new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .foreach { b =>
+        assert(b.listFiles().count(_.getName.endsWith(".parquet")) === 1,
+          s"bucket ${b.getName} must compact to one file")
+      }
     // every corpus row indexed exactly once — the replay was a no-op
     val idx = spark.read.parquet(path)
     assert(idx.count() == corpus.count())
