@@ -15,13 +15,16 @@ import org.apache.spark.sql.functions.col
   * un-coalesced multi-file appends doubled steady-state batch time).
   * Periodic compaction during a quiet window resets that term.
   *
-  * Same crash-safety dance as the ANN index compactor
-  * ([[graft.vector.IvfPq.compact]]): write the compacted copy fully to
-  * a sibling temp dir, then swap by two renames. An interruption before
-  * the first rename leaves the live table untouched; between the
-  * renames the previous table is intact under `.precompact`. Assumes a
-  * quiet window (no concurrent readers/appenders mid-swap) and
-  * rename-atomic storage; on object stores schedule accordingly.
+  * Crash-safety protocol (shared with the ANN index compactor,
+  * [[graft.vector.IvfPq.compact]], via [[writeAndSwap]]): write the
+  * compacted copy fully to a sibling temp dir, then swap by two
+  * renames. An interruption before the first rename leaves the live
+  * table untouched; between the renames the previous table sits under
+  * `.precompact` and [[recoverPrecompact]] — run by every swap entry
+  * point AND the streaming sinks' table reads — renames it back before
+  * anything else happens. Assumes a quiet window (no concurrent
+  * readers/appenders mid-swap) and rename-atomic storage; on object
+  * stores schedule accordingly.
   *
   * Content is preserved row-for-row: `sortCols` (when given) only fixes
   * file-internal row order so recompaction is deterministic and range
@@ -30,10 +33,79 @@ import org.apache.spark.sql.functions.col
   */
 object Maintenance {
 
-  /** Rewrite the parquet table at `path` into
+  private def fsOf(spark: SparkSession, path: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Repair the crash states the rename-swap protocol can leave
+    * behind. Three are possible, distinguished by what exists:
+    *
+    *  - live present, no `.precompact`: healthy (a stray `.compacting`
+    *    from a pre-swap crash is inert; the next swap deletes it);
+    *  - live ABSENT, `.precompact` present: crash BETWEEN the two
+    *    renames — the previous table is the only complete copy, and
+    *    treating the path as empty would silently lose the whole
+    *    table (a dedup sink would re-admit everything, and a later
+    *    compaction's cleanup would then delete the stranded copy
+    *    forever). Rename it back.
+    *  - live present AND `.precompact` present: crash AFTER the
+    *    second rename but before cleanup — the live table is the
+    *    finished compaction; the leftover is a stale duplicate.
+    *    Delete it, or every future existence check stays ambiguous.
+    *
+    * Returns true iff a missing live table was restored. Idempotent
+    * and cheap (two existence probes) — safe on every sink batch. */
+  def recoverPrecompact(spark: SparkSession, path: String): Boolean = {
+    val (fs, live) = fsOf(spark, path)
+    val old = new org.apache.hadoop.fs.Path(s"$path.precompact")
+    if (!fs.exists(old)) false
+    else if (fs.exists(live)) { fs.delete(old, true); false }
+    else {
+      require(fs.rename(old, live),
+        s"recoverPrecompact: found interrupted compaction of $path " +
+          s"but could not restore $old — fix storage before reading")
+      true
+    }
+  }
+
+  /** The single implementation of the crash-safe swap: `write` the
+    * replacement layout fully into a sibling `.compacting` dir, then
+    * swap it in (live → `.precompact`, temp → live) and drop the old
+    * copy. Runs [[recoverPrecompact]] first, so a swap attempted on a
+    * mid-crash table repairs it instead of deleting the only copy.
+    * Both compactors ([[compactParquet]], [[graft.vector.IvfPq
+    * .compact]]) are thin wrappers — the crash-safety contract has
+    * exactly one implementation. */
+  private[graft] def writeAndSwap(spark: SparkSession, path: String)
+      (write: String => Unit): Unit = {
+    val (fs, live) = fsOf(spark, path)
+    recoverPrecompact(spark, path)
+    require(fs.exists(live), s"writeAndSwap: no table at $path")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.compacting")
+    val old = new org.apache.hadoop.fs.Path(s"$path.precompact")
+    fs.delete(tmp, true)
+    write(tmp.toString)
+    require(fs.rename(live, old),
+      s"writeAndSwap: could not move $path aside")
+    require(fs.rename(tmp, live),
+      s"writeAndSwap: could not swap in $tmp")
+    fs.delete(old, true)
+  }
+
+  /** Rewrite the FLAT parquet table at `path` into
     * `max(minFiles, ceil(tableBytes / targetFileBytes))` files (at
     * least one). Returns the file count before compaction (callers
     * log/alert on it).
+    *
+    * Flat tables ONLY: a Hive-partitioned layout read through
+    * `spark.read.parquet(root)` infers the partition column from the
+    * directory names and a flat rewrite would persist it as a DATA
+    * column — silently changing the schema and destroying partition
+    * pruning for every reader. Refused loudly; partitioned layouts
+    * need a layout-preserving compactor (the bucket-partitioned ANN
+    * index has one: [[graft.vector.IvfPq.compact]]).
     *
     * `minFiles` matters whenever the table is HOT — re-scanned per
     * micro-batch by a sink, probed per query: a table under
@@ -50,21 +122,24 @@ object Maintenance {
       minFiles: Int = 1): Long = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     require(minFiles >= 1, "minFiles must be at least 1")
-    val conf = spark.sessionState.newHadoopConf()
-    val live = new org.apache.hadoop.fs.Path(path)
-    val fs = live.getFileSystem(conf)
+    val (fs, live) = fsOf(spark, path)
+    recoverPrecompact(spark, path)
     require(fs.exists(live), s"compactParquet: no table at $path")
     // count DATA files only (skip _SUCCESS and other marker files —
     // they are not a per-read cost and would skew the reported count)
     var nFiles = 0L
     var tableBytes = 0L
-    val it = fs.listFiles(live, true)
-    while (it.hasNext) {
-      val f = it.next()
-      val n = f.getPath.getName
+    fs.listStatus(live).foreach { st =>
+      val n = st.getPath.getName
       if (!n.startsWith("_") && !n.startsWith(".")) {
+        require(!st.isDirectory,
+          s"compactParquet: subdirectory '$n' under $path — this " +
+            "compactor is flat-table-only (a partitioned layout would " +
+            "be flattened, its partition column rewritten as a data " +
+            "column); use a layout-preserving compactor such as " +
+            "IvfPq.compact for bucket-partitioned indexes")
         nFiles += 1
-        tableBytes += f.getLen
+        tableBytes += st.getLen
       }
     }
     // a directory with no data files (only markers — e.g. a sink that
@@ -73,20 +148,13 @@ object Maintenance {
     if (nFiles == 0) return 0L
     val nOut = math.max(minFiles.toLong,
       (tableBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val tmp = new org.apache.hadoop.fs.Path(s"$path.compacting")
-    val old = new org.apache.hadoop.fs.Path(s"$path.precompact")
-    fs.delete(tmp, true)
-    fs.delete(old, true)
-    val df = spark.read.parquet(path).repartition(nOut)
-    val sorted =
-      if (sortCols.isEmpty) df
-      else df.sortWithinPartitions(sortCols.map(col): _*)
-    sorted.write.mode("overwrite").parquet(tmp.toString)
-    require(fs.rename(live, old),
-      s"compactParquet: could not move $path aside")
-    require(fs.rename(tmp, live),
-      s"compactParquet: could not swap in $tmp")
-    fs.delete(old, true)
+    writeAndSwap(spark, path) { tmp =>
+      val df = spark.read.parquet(path).repartition(nOut)
+      val sorted =
+        if (sortCols.isEmpty) df
+        else df.sortWithinPartitions(sortCols.map(col): _*)
+      sorted.write.mode("overwrite").parquet(tmp)
+    }
     nFiles
   }
 }

@@ -226,10 +226,15 @@ object Streams {
     * fingerprint table by fp ([[graft.layout.Layout]]) to pre-pay the
     * table-side shuffle.
     *
-    * `compactEvery` > 0 compacts both tables every that many batches
-    * after the appends commit — same cadence contract as
-    * [[nearDupSinkWriter]] (one file per batch append; per-file rescan
-    * cost compounds without maintenance). */
+    * `compactEvery` > 0 compacts the FINGERPRINT table every that many
+    * batches after the appends commit — only the table this sink
+    * re-scans per batch (the anti-join). The corpus at `outPath` is
+    * append-only from the sink's view: compacting it in-batch would be
+    * a full-table rewrite on the hot path for zero per-batch benefit,
+    * so its file count is downstream readers' concern — bound it with
+    * an offline [[graft.sinks.Maintenance.compactParquet]] call on
+    * whatever cadence those readers need. ([[nearDupSinkWriter]]
+    * compacts both of ITS tables because it re-scans both.) */
   def dedupSinkWriter(docs: DataFrame, outPath: String, fpPath: String,
       checkpoint: String, compactEvery: Int = 0): DataStreamWriter[Row] =
     docs.writeStream
@@ -266,24 +271,32 @@ object Streams {
           fresh.select(col("fp")).repartition(1)
             .write.mode("append").parquet(fpPath)
         } finally fresh.unpersist()
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-          val par = spark.sparkContext.defaultParallelism
+        // cadence compacts ONLY the re-scanned table: fp is this
+        // sink's per-batch anti-join input (its file count is a
+        // per-batch cost); outPath is never read by the sink, so its
+        // compaction belongs to an offline quiet-window call
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           graft.sinks.Maintenance.compactParquet(spark, fpPath,
-            minFiles = par)
-          graft.sinks.Maintenance.compactParquet(spark, outPath,
-            minFiles = par)
-        }
+            minFiles = spark.sparkContext.defaultParallelism)
         ()
       }
 
   /** Read a parquet table that may not exist yet (first micro-batch of
-    * a fresh sink): absent -> an empty frame with the given schema. */
+    * a fresh sink): absent -> an empty frame with the given schema.
+    * Repairs an interrupted compaction FIRST
+    * ([[graft.sinks.Maintenance.recoverPrecompact]]): a crash between
+    * the swap's two renames leaves the only complete copy under
+    * `.precompact`, and treating that state as "empty table" would
+    * re-admit the entire corpus and let the next compaction's cleanup
+    * delete the stranded copy forever. */
   private def readOrEmpty(spark: org.apache.spark.sql.SparkSession,
       path: String, schema: org.apache.spark.sql.types.StructType)
-      : DataFrame =
+      : DataFrame = {
+    graft.sinks.Maintenance.recoverPrecompact(spark, path)
     scala.util.Try(spark.read.parquet(path)).getOrElse(
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+  }
 
   /** Streaming NEAR-dup admission against the PERSISTED corpus — the
     * continuous-ingest form of the full LSH dedup chain (q89's batch
@@ -406,9 +419,11 @@ object Streams {
           .repartition(1)
           .write.mode("append").parquet(outPath)
         // maintenance cadence: AFTER both appends commit, so a crash
-        // mid-compaction never loses an append (the swap itself is
-        // crash-safe — the previous layout survives under .precompact
-        // until the rename pair completes). minFiles=defaultParallelism
+        // mid-compaction never loses an append (the swap is crash-safe
+        // end-to-end: a crash between its renames strands the table
+        // under .precompact, and the next batch's readOrEmpty runs
+        // recoverPrecompact to rename it back before treating the path
+        // as readable/empty). minFiles=defaultParallelism
         // because BOTH tables are this sink's hot scans — compacting a
         // sub-128MB table to one file would serialize every later
         // batch's candidate/anti-join scan (one file = one input split)
@@ -461,6 +476,10 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // a crash between compact's two renames leaves the index only
+        // under .precompact — restore before reading, or the anti-join
+        // below would see nothing and double-insert the whole batch
+        graft.sinks.Maintenance.recoverPrecompact(spark, indexPath)
         val fresh = batch
           .dropDuplicates("vec_id")
           .join(spark.read.parquet(indexPath).select(col("vec_id")),

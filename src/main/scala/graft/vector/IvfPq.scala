@@ -213,32 +213,23 @@ object IvfPq {
     * sibling artifacts (centroids, codebooks, `.params` marker) are
     * not involved at all.
     *
-    * Crash-safe against losing the index: the compacted copy is fully
-    * written to a sibling temp dir first, then swapped in by two
-    * renames (live → `.precompact`, temp → live) — an interruption
-    * before the first rename leaves the live index untouched; between
-    * the renames the previous index is intact under `.precompact`.
-    * Like all maintenance here it assumes a quiet window: don't run
-    * concurrent probes against the path mid-swap, and on object
-    * stores without atomic rename schedule it accordingly. */
-  def compact(spark: SparkSession, path: String): Unit = {
-    val conf = spark.sessionState.newHadoopConf()
-    val live = new org.apache.hadoop.fs.Path(path)
-    val fs = live.getFileSystem(conf)
-    require(fs.exists(live), s"compact: no index at $path")
-    val tmp = new org.apache.hadoop.fs.Path(s"$path.compacting")
-    val old = new org.apache.hadoop.fs.Path(s"$path.precompact")
-    fs.delete(tmp, true)
-    fs.delete(old, true)
-    spark.read.parquet(path)
-      .repartition(col("bucket"))
-      .sortWithinPartitions(col("vec_id"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(tmp.toString)
-    require(fs.rename(live, old), s"compact: could not move $path aside")
-    require(fs.rename(tmp, live), s"compact: could not swap in $tmp")
-    fs.delete(old, true)
-  }
+    * Crash-safe against losing the index via the shared swap protocol
+    * ([[graft.sinks.Maintenance.writeAndSwap]] — one implementation
+    * for both compactors): the compacted copy is fully written to a
+    * sibling temp dir first, then swapped in by two renames, and a
+    * crash between them is repaired by `recoverPrecompact` before any
+    * later swap or sink read touches the path. Like all maintenance
+    * here it assumes a quiet window: don't run concurrent probes
+    * against the path mid-swap, and on object stores without atomic
+    * rename schedule it accordingly. */
+  def compact(spark: SparkSession, path: String): Unit =
+    graft.sinks.Maintenance.writeAndSwap(spark, path) { tmp =>
+      spark.read.parquet(path)
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("vec_id"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(tmp)
+    }
 
   /** The persisted centroids of an index at `path` — the probe-side
     * artifact read, for consumers that manage the build themselves. */

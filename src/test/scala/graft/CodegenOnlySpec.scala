@@ -23,8 +23,18 @@ class CodegenOnlySpec extends AnyFunSuite {
   private val d = "/root/testdata/sf0.001"
 
   test("every registered query compiles under CODEGEN_ONLY") {
-    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    // Two silent-fallback paths must BOTH be closed for this to be the
+    // "compiles end-to-end" invariant it claims:
+    //  - factoryMode=CODEGEN_ONLY: a standalone projection/predicate
+    //    codegen failure errors instead of running interpreted;
+    //  - codegen.fallback=false: a WHOLE-STAGE compile failure errors
+    //    instead of silently re-running the stage un-fused — a
+    //    doGenCode defect that only manifests when inlined into fused
+    //    stage code (fine as a lone projection) would otherwise pass.
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
       val failures = SparkEntry.registry.flatMap { q =>
         try { q.run(spark, d).count(); None }
@@ -35,8 +45,10 @@ class CodegenOnlySpec extends AnyFunSuite {
       assert(failures.isEmpty,
         s"queries failing under CODEGEN_ONLY:\n${failures.mkString("\n")}")
     } finally {
-      prev.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+      prevFactory.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
         v => spark.conf.set("spark.sql.codegen.factoryMode", v))
+      prevFallback.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+        v => spark.conf.set("spark.sql.codegen.fallback", v))
     }
   }
 }

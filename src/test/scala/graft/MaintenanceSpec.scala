@@ -55,6 +55,61 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("recoverPrecompact repairs every swap crash state") {
+    import org.apache.spark.sql.SaveMode
+    val tmp = Files.createTempDirectory("graft-recover").toString
+    val path = s"$tmp/t"
+    Seq.tabulate(100)(i => (i.toLong, s"row $i")).toDF("id", "v")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    val rows = spark.read.parquet(path)
+      .collect().map(_.getLong(0)).sorted.toSeq
+
+    // state 1 — crash BETWEEN the two renames: live absent, the only
+    // complete copy stranded under .precompact. Reading this as an
+    // empty table is the silent-loss mode; recovery renames it back.
+    assert(new java.io.File(path)
+      .renameTo(new java.io.File(s"$path.precompact")))
+    assert(Maintenance.recoverPrecompact(spark, path))
+    assert(spark.read.parquet(path)
+      .collect().map(_.getLong(0)).sorted.toSeq === rows)
+    assert(!new java.io.File(s"$path.precompact").exists())
+
+    // state 2 — crash AFTER the swap but before cleanup: live is the
+    // finished compaction, .precompact a stale duplicate. Recovery
+    // deletes the leftover and reports nothing restored.
+    Seq.tabulate(10)(i => (i.toLong, "stale")).toDF("id", "v")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path.precompact")
+    assert(!Maintenance.recoverPrecompact(spark, path))
+    assert(!new java.io.File(s"$path.precompact").exists())
+    assert(spark.read.parquet(path)
+      .collect().map(_.getLong(0)).sorted.toSeq === rows)
+
+    // healthy path: no-op
+    assert(!Maintenance.recoverPrecompact(spark, path))
+
+    // compactParquet on the mid-crash state repairs then compacts —
+    // it must never delete the stranded copy (the old fs.delete(old)
+    // preamble would have)
+    assert(new java.io.File(path)
+      .renameTo(new java.io.File(s"$path.precompact")))
+    Maintenance.compactParquet(spark, path)
+    assert(spark.read.parquet(path)
+      .collect().map(_.getLong(0)).sorted.toSeq === rows)
+  }
+
+  test("compactParquet refuses a Hive-partitioned layout loudly") {
+    val tmp = Files.createTempDirectory("graft-part").toString
+    val path = s"$tmp/t"
+    Seq((1L, "a", 2024), (2L, "b", 2025)).toDF("id", "v", "year")
+      .write.partitionBy("year").parquet(path)
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.compactParquet(spark, path)
+    }
+    assert(e.getMessage.contains("flat-table-only"))
+    // the refused table is untouched
+    assert(spark.read.parquet(path).count() === 2L)
+  }
+
   test("minFiles keeps a hot table's scan parallelism after compaction") {
     val tmp = Files.createTempDirectory("graft-compact3").toString
     val path = s"$tmp/t"

@@ -65,6 +65,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/fp").distinct().count() === 3L)
   }
 
+  test("sink recovers a compaction-interrupted fingerprint table") {
+    // The crash window: compactParquet renamed fp aside (.precompact)
+    // but died before swapping the compacted copy in. A sink that
+    // treated the absent path as "empty table" would re-admit every
+    // duplicate and the next compaction's cleanup would delete the
+    // stranded copy — the whole dedup history, gone silently.
+    // readOrEmpty must rename the copy back instead.
+    implicit val sq = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-dedup-crash").toString
+    val dup = "the same doc text"
+    val mem1 = MemoryStream[(Long, String)]
+    mem1.addData((1L, dup), (2L, "unique one"))
+    val q1 = Streams.dedupSinkWriter(
+      mem1.toDF.toDF("doc_id", "text"),
+      s"$tmp/out", s"$tmp/fp", s"$tmp/ckpt1").start()
+    q1.processAllAvailable(); q1.stop()
+    // strand the fp table exactly as the between-renames crash would
+    assert(new java.io.File(s"$tmp/fp")
+      .renameTo(new java.io.File(s"$tmp/fp.precompact")))
+    val mem2 = MemoryStream[(Long, String)]
+    mem2.addData((9L, dup), (10L, "another unique"))
+    val q2 = Streams.dedupSinkWriter(
+      mem2.toDF.toDF("doc_id", "text"),
+      s"$tmp/out", s"$tmp/fp", s"$tmp/ckpt2").start()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(s"$tmp/out")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 10L),
+      "doc 9 duplicates pre-crash content and must still be dropped")
+    assert(!new java.io.File(s"$tmp/fp.precompact").exists())
+  }
+
+  test("dedup sink cadence compacts only the re-scanned fp table") {
+    // outPath is never read by this sink — compacting it in-batch
+    // would be a full-table rewrite on the hot path for zero per-batch
+    // benefit. The cadence must reset fp's file count and leave the
+    // corpus's one-file-per-batch appends alone.
+    implicit val sq = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-dedup-cadence").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.dedupSinkWriter(
+      mem.toDF.toDF("doc_id", "text"),
+      s"$tmp/out", s"$tmp/fp", s"$tmp/ckpt",
+      compactEvery = 2).start()
+    (1 to 4).foreach { i =>
+      mem.addData((i.toLong, s"content $i distinct body"))
+      q.processAllAvailable()
+    }
+    q.stop()
+    def dataFiles(p: String): Int =
+      new java.io.File(p).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    // 4 batches, cadence fired at batch 3 (batchId 2): fp was reset to
+    // minFiles and has since gained one append file; out holds its 4
+    // untouched per-batch appends
+    assert(dataFiles(s"$tmp/fp") <=
+      spark.sparkContext.defaultParallelism + 1)
+    assert(dataFiles(s"$tmp/out") === 4,
+      "corpus compaction is offline maintenance, not the sink's hot path")
+    assert(spark.read.parquet(s"$tmp/out").count() === 4L)
+  }
+
   test("table-backed sinks append ONE file per micro-batch") {
     // The fp/band/corpus tables are re-scanned by EVERY later batch,
     // so their file count is a compounding per-batch cost — the
