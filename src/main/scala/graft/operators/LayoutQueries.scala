@@ -48,25 +48,50 @@ object LayoutQueries {
     path
   }
 
+  /** Scale-derived bucket count for the recurring-join layout: one
+    * bucket per `targetBucketBytes` of the dataset's orders table,
+    * rounded up to a power of two (power-of-two counts divide evenly
+    * under AQE coalescing and keep bucket-id arithmetic cheap),
+    * floored at 8 so test-scale data still exercises a genuinely
+    * multi-bucket layout. At 100 TB this is THE layout knob — buckets
+    * ≈ tableBytes / 128 MB keeps each bucket one task-sized read and
+    * the exchange-free join property holds at ANY count as long as
+    * both sides use the same one (spec-pinned at 64 on sf0.1). */
+  def bucketCountFor(s: SparkSession, d: String,
+      targetBucketBytes: Long = 128L << 20): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/orders.parquet")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(p).getLength
+    val n = math.max(8L,
+      (bytes + targetBucketBytes - 1) / targetBucketBytes).toInt
+    val pow = Integer.highestOneBit(n)
+    if (pow == n) n else pow << 1
+  }
+
   /** Orders + customer as bucketed-and-sorted tables on the join key
-    * (8 buckets, external data under /tmp): recurring custkey joins
-    * then plan as sort-merge with NO exchange on either side. The
+    * (`buckets` buckets — scale-derived by default, external data
+    * under /tmp): recurring custkey joins then plan as sort-merge with
+    * NO exchange on either side. Both sides MUST share the count (a
+    * mismatch reintroduces the shuffle); the table/path names carry it
+    * so differently-bucketed layouts of one dataset coexist. The
     * catalog entry is per-session (in-memory catalog), so a fresh JVM
     * re-registers by rewriting — cheap at test scale; in production
     * the table lives in a persistent metastore and is written once. */
-  def ensureBucketedPair(s: SparkSession, d: String): (String, String) = {
-    val key = datasetKey(d)
+  def ensureBucketedPair(s: SparkSession, d: String,
+      buckets: Int = 0): (String, String) = {
+    val b = if (buckets > 0) buckets else bucketCountFor(s, d)
+    val key = s"${b}_${datasetKey(d)}"
     val ordersTbl = s"graft_orders_bk_$key"
     val custTbl = s"graft_customer_bk_$key"
     if (!s.catalog.tableExists(ordersTbl))
       Tables.orders(s, d).write.mode("overwrite")
-        .bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .option("path", s"${layoutRoot(d)}/orders_bk")
+        .bucketBy(b, "o_custkey").sortBy("o_custkey")
+        .option("path", s"${layoutRoot(d)}/orders_bk_$b")
         .format("parquet").saveAsTable(ordersTbl)
     if (!s.catalog.tableExists(custTbl))
       Tables.customer(s, d).write.mode("overwrite")
-        .bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .option("path", s"${layoutRoot(d)}/customer_bk")
+        .bucketBy(b, "c_custkey").sortBy("c_custkey")
+        .option("path", s"${layoutRoot(d)}/customer_bk_$b")
         .format("parquet").saveAsTable(custTbl)
     (ordersTbl, custTbl)
   }

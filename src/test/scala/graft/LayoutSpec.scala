@@ -143,6 +143,48 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("q115 layout stays exchange-free at 64 buckets on sf0.1") {
+    // bucket count is THE 100 TB knob (buckets ≈ tableBytes/128MB);
+    // the co-location property must hold at production-like counts,
+    // not just the 8-bucket test default — broadcast disabled so the
+    // bucketed sort-merge IS the plan, as it would be at scale
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val d = "/root/testdata/sf0.1"
+      val (ot, ct) = graft.operators.LayoutQueries
+        .ensureBucketedPair(spark, d, buckets = 64)
+      val j = spark.table(ot)
+        .join(spark.table(ct), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).count()
+      val p = j.queryExecution.executedPlan.toString
+      val exchanges = p.linesIterator
+        .count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges <= 1, p.take(3000)) // only the final groupBy's
+      assert(p.contains("SortMergeJoin"), p.take(3000))
+      // both scans carry the 64-bucket metadata
+      assert(p.contains("Bucketed: true"), p.take(3000))
+      // layout never changes the answer
+      val plain = Tables.orders(spark, d).join(
+        Tables.customer(spark, d).withColumnRenamed("c_custkey", "o_custkey"),
+        "o_custkey").groupBy("c_mktsegment").count()
+      assert(j.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        == plain.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
+  test("bucketCountFor derives a power-of-two count floored at 8") {
+    val n001 = graft.operators.LayoutQueries
+      .bucketCountFor(spark, "/root/testdata/sf0.001")
+    assert(n001 === 8) // tiny table: the floor
+    // a 100 TB orders table at the default 128 MB target: ~819200
+    // buckets, rounded to the next power of two
+    val n = graft.operators.LayoutQueries.bucketCountFor(
+      spark, "/root/testdata/sf0.001", targetBucketBytes = 1024)
+    assert(n >= 8 && (n & (n - 1)) === 0, s"not a power of two: $n")
+  }
+
   test("dynamic partition pruning fires on a partition-key join") {
     val d = "/root/testdata/sf0.001"
     val path = graft.operators.LayoutQueries.ensurePartitionedOrders(spark, d)
