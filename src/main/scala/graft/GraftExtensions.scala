@@ -9,9 +9,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * or `builder.withExtensions(new GraftExtensions)`): exposes the
   * engine's custom Catalyst expressions to SQL, so
   * `SELECT dot_product(a.embedding, b.embedding)` plans the same
-  * codegen'd primitive loop the Column API uses. */
+  * codegen'd primitive loop the Column API uses, and installs the
+  * engine's optimizer rules ([[graft.plans.InjectBloomPrefilter]] —
+  * size-gated, a no-op on plans below its thresholds). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rules: the automatic Bloom runtime join filter runs in
+    // the Pre-CBO batch (Once, after operator optimization — filters
+    // pushed and columns pruned, so side sizes are meaningful; before
+    // Spark's native InjectRuntimeFilter, whose had-a-filter check
+    // recognizes the injected shape and stands down)
+    ext.injectPreCBORule(_ => graft.plans.InjectBloomPrefilter)
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, null,

@@ -75,6 +75,7 @@ object PlanDump {
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

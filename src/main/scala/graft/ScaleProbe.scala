@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -317,6 +318,13 @@ object ScaleProbe {
       }
       probe("bloom_prefiltered") {
         operators.LayoutQueries.bloomPrefilterJoin(spark, out)
+      }
+      // the OPTIMIZER-injected variant of the same cut: a plain
+      // semi-join in a gated child session; InjectBloomPrefilter adds
+      // the probe, so the shuffle numbers must land with
+      // bloom_prefiltered's, not plain_semi_join's
+      probe("auto_injected") {
+        operators.LayoutQueries.autoBloomJoin(spark, out)
       }
       spark.stop()
       return

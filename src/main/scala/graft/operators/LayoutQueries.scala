@@ -134,6 +134,40 @@ object LayoutQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** The q119 plan: the SAME semantics as q113, but written as a PLAIN
+    * semi-join — the Bloom probe is inserted by the optimizer
+    * ([[graft.plans.InjectBloomPrefilter]], installed via
+    * [[graft.GraftExtensions]]), not by hand. Runs in a child session
+    * (shared SparkContext, own SQLConf) with the rule's size gates
+    * opened so it fires at test scale — at 100 TB the DEFAULT gates
+    * (app ≥ 64 MB, dim ≤ 256 MB, ratio ≥ 8) fire on every fact ⋈ dim
+    * join that matters, with no per-query conf at all. Broadcast is
+    * disabled because that is the regime the rule exists for: at scale
+    * neither side broadcasts and the probe cuts the big side's shuffle.
+    * Exposed for the BloomInjectSpec plan pin. */
+  def autoBloomJoin(s: SparkSession, d: String): DataFrame = {
+    val s2 = s.newSession()
+    // newSession starts from the BUILDER's options, not the parent's
+    // runtime conf — mirror the codegen-mode knobs so the
+    // CodegenOnlySpec sweep's compile-under-codegen guarantee covers
+    // this query's child session too
+    Seq("spark.sql.codegen.wholeStage", "spark.sql.codegen.factoryMode",
+      "spark.sql.codegen.fallback")
+      .foreach(k => s.conf.getOption(k).foreach(s2.conf.set(k, _)))
+    s2.conf.set("spark.graft.bloomJoin.applicationSideMinBytes", "1")
+    s2.conf.set("spark.graft.bloomJoin.minSizeRatio", "1")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val dim = Tables.customer(s2, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    Tables.orders(s2, d)
+      .join(dim, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(decSum(col("o_totalprice"), 2), 2).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     // ---- Bloom runtime join filter: probe the dim-key Bloom filter in
@@ -151,6 +185,20 @@ object LayoutQueries {
          |                AND c.c_mktsegment = 'BUILDING')
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin)(bloomPrefilterJoin),
+
+    // ---- The same cut, applied AUTOMATICALLY by the optimizer: a
+    //      plain semi-join that InjectBloomPrefilter rewrites into
+    //      bloom-probe-then-exact-join (plan-pinned in BloomInjectSpec).
+    //      Same oracle as q113: injection must never change the answer. ----
+    GraftQuery("q119_auto_bloom_join",
+      s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+         |  round(${decSumSql("o_totalprice", 2)}, 2) AS total
+         |FROM orders o
+         |WHERE EXISTS (SELECT 1 FROM customer c
+         |              WHERE c.c_custkey = o.o_custkey
+         |                AND c.c_mktsegment = 'BUILDING')
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin)(autoBloomJoin),
 
     // ---- Static partition pruning: the same orders rows laid out as
     //      o_year=YYYY directories; a two-year filter reads two

@@ -10,6 +10,14 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Wrap a logical plan back into a DataFrame on `s` — re-enters
+    * analysis+optimization, which is how specs prove optimizer rules
+    * are idempotent when a plan passes through the optimizer twice
+    * (AQE re-optimization, nested-view reuse). */
+  def ofRows(s: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession], plan)
+
   /** Stable unique id of a session for the life of the JVM — unlike an
     * identity hash, never reused after the session is GC'd. Falls back
     * to a class@identity tag for non-classic sessions (connect), where
