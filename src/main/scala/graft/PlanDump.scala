@@ -57,6 +57,8 @@ object PlanDump {
       "BPE encode, single-scan composition: the vocab is computed once and localCheckpoint'ed — train collects it and the encode joins against it (distinct skipped: groupBy output), so the plan below scans the checkpointed vocab (Scan ExistingRDD), NOT documents.parquet; the whole train-then-apply job reads documents exactly once, in the checkpoint job. The distinct vocab encodes via mapPartitions (merge table broadcast, never in the plan); subword counts are one partial+final agg.",
     "q113_bloom_prefilter_join" ->
       "The codegen'd `bloom_might_contain` probe sits in the fact scan's DataFilters — rows die inside the scan stage, before any exchange (here the dim broadcasts because sf is small; `graft.ScaleProbe bloom10` disables broadcast to model the 100 TB regime and measures the shuffle cut: 1,529,480 -> 337,504 records). Catalyst even propagates the probe to the dim side via constraint inference — harmless there.",
+    "q119_auto_bloom_join" ->
+      "q113's cut applied by the OPTIMIZER to a PLAIN semi-join (graft.plans.InjectBloomPrefilter, gates opened in the query's child session): the fact side gains `Filter(might_contain(Subquery ..., xxhash64(o_custkey)))` before its exchange, and the subquery is a one-shot distributed bloom_filter_agg over the pushed-down, column-pruned dim scan. Broadcast is disabled in the child session (the regime the rule targets), so the join is the sort-merge a 100 TB run would plan — the probe's record cut is measured in ScaleProbe bloom10 (1,529,480 -> 335,355, equal to the hand-built q113's) and spec-pinned via shuffle metrics in BloomInjectSpec.",
     "q114_partition_pruned_scan" ->
       "The year filter is gone from DataFilters entirely — it became a planning-time PartitionFilter (2 of 7 `o_year=` directories listed); ReadSchema carries only the two referenced data columns.",
     "q116_semdedup_buckets" ->

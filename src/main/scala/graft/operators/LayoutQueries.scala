@@ -156,7 +156,12 @@ object LayoutQueries {
       .foreach(k => s.conf.getOption(k).foreach(s2.conf.set(k, _)))
     s2.conf.set("spark.graft.bloomJoin.applicationSideMinBytes", "1")
     s2.conf.set("spark.graft.bloomJoin.minSizeRatio", "1")
+    // both thresholds: the static one gates planning (and the rule's
+    // own broadcast exemption); AQE's separate adaptive threshold
+    // would otherwise convert the join back to broadcast at runtime
+    // and silently erase the shuffle the probe exists to cut
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     val dim = Tables.customer(s2, d)
       .filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey"))

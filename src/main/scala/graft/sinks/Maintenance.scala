@@ -103,9 +103,10 @@ object Maintenance {
     * `spark.read.parquet(root)` infers the partition column from the
     * directory names and a flat rewrite would persist it as a DATA
     * column — silently changing the schema and destroying partition
-    * pruning for every reader. Refused loudly; partitioned layouts
-    * need a layout-preserving compactor (the bucket-partitioned ANN
-    * index has one: [[graft.vector.IvfPq.compact]]).
+    * pruning for every reader. Refused loudly; partitioned layouts go
+    * through [[compactPartitioned]] (per-leaf, layout-preserving), and
+    * the bucket-partitioned ANN index through
+    * [[graft.vector.IvfPq.compact]].
     *
     * `minFiles` matters whenever the table is HOT — re-scanned per
     * micro-batch by a sink, probed per query: a table under
@@ -136,7 +137,7 @@ object Maintenance {
           s"compactParquet: subdirectory '$n' under $path — this " +
             "compactor is flat-table-only (a partitioned layout would " +
             "be flattened, its partition column rewritten as a data " +
-            "column); use a layout-preserving compactor such as " +
+            "column); use compactPartitioned for Hive layouts or " +
             "IvfPq.compact for bucket-partitioned indexes")
         nFiles += 1
         tableBytes += st.getLen
@@ -156,5 +157,78 @@ object Maintenance {
       sorted.write.mode("overwrite").parquet(tmp)
     }
     nFiles
+  }
+
+  /** Layout-preserving compaction for a Hive-partitioned table
+    * (`root/part=v1/`, `root/part=v1/sub=v2/`, …): every LEAF
+    * partition directory is itself a flat parquet table, so each leaf
+    * gets its own [[compactParquet]] pass — same crash-safe swap, same
+    * sizing — while the directory tree (and with it the partition
+    * columns and partition pruning) is never touched. Reading a leaf
+    * directly never re-infers the partition column, so rows keep
+    * exactly their data columns; the directory name keeps carrying the
+    * partition value. This closes the gap [[compactParquet]] refuses
+    * loudly (a flat rewrite of the root would flatten the layout).
+    *
+    * `minFilesPerLeaf` defaults to 1 — unlike a hot FLAT table, a
+    * partitioned table's scan parallelism comes from its partition
+    * count, so single-file leaves do not serialize whole-table scans
+    * (only single-PARTITION scans, which partition pruning makes the
+    * common fast path anyway). Leaves at or under `skipAtOrUnderFiles`
+    * files are left alone: compaction is for resetting append-driven
+    * file-count growth, and rewriting an already-compact leaf is pure
+    * write amplification — on a 100 TB table with thousands of
+    * partitions, the skip turns a full-table rewrite into a touch of
+    * only the partitions a sink actually appended to.
+    *
+    * Returns (leaves compacted, data files before compaction across
+    * them). Crash mid-run leaves every completed leaf compacted, the
+    * in-flight leaf recoverable by [[recoverPrecompact]] (which the
+    * per-leaf swap runs first), and the remaining leaves untouched —
+    * re-running converges. */
+  def compactPartitioned(spark: SparkSession, root: String,
+      targetFileBytes: Long = 128L << 20,
+      sortCols: Seq[String] = Nil,
+      minFilesPerLeaf: Int = 1,
+      skipAtOrUnderFiles: Int = 1): (Long, Long) = {
+    val (fs, rootPath) = fsOf(spark, root)
+    require(fs.exists(rootPath), s"compactPartitioned: no table at $root")
+    // collect leaf partition dirs: directories containing data files.
+    // Hive layouts never mix data files and partition subdirs in one
+    // directory — refuse loudly if this one does (compacting such a
+    // leaf flat would orphan the subdirs' rows from the leaf's copy).
+    def leaves(dir: org.apache.hadoop.fs.Path)
+        : Seq[org.apache.hadoop.fs.Path] = {
+      val entries = fs.listStatus(dir).filterNot { st =>
+        val n = st.getPath.getName
+        n.startsWith("_") || n.startsWith(".")
+      }
+      val (dirs, files) = entries.partition(_.isDirectory)
+      if (files.nonEmpty) {
+        require(dirs.isEmpty,
+          s"compactPartitioned: $dir mixes data files and " +
+            "subdirectories — not a Hive-partitioned layout")
+        Seq(dir)
+      } else dirs.toSeq.flatMap(d => leaves(d.getPath))
+    }
+    val leafDirs =
+      if (fs.listStatus(rootPath).exists(st => st.isDirectory &&
+          !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))) leaves(rootPath)
+      else Seq(rootPath) // flat table: degrade to one leaf
+    var leavesCompacted = 0L
+    var filesBefore = 0L
+    leafDirs.foreach { leaf =>
+      val nData = fs.listStatus(leaf).count { st =>
+        val n = st.getPath.getName
+        !st.isDirectory && !n.startsWith("_") && !n.startsWith(".")
+      }
+      if (nData > skipAtOrUnderFiles) {
+        filesBefore += compactParquet(spark, leaf.toString,
+          targetFileBytes, sortCols, minFilesPerLeaf)
+        leavesCompacted += 1
+      }
+    }
+    (leavesCompacted, filesBefore)
   }
 }

@@ -29,6 +29,7 @@ class BloomInjectSpec extends AnyFunSuite {
     s2.conf.set("spark.graft.bloomJoin.applicationSideMinBytes", "1")
     s2.conf.set("spark.graft.bloomJoin.minSizeRatio", "1")
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     s2
   }
 
@@ -156,6 +157,81 @@ class BloomInjectSpec extends AnyFunSuite {
         col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"), "left_outer").count()
     assert(loj.count() == plainCount)
+  }
+
+  test("the injected probe measurably cuts the join shuffle") {
+    // the ScaleProbe bloom10 numbers (1.53M -> 335k records at 10x),
+    // pinned as a deterministic regression assertion at test scale:
+    // record counts are exact properties of the plan, not timings
+    val s2 = gatedSession()
+    val recs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        Option(e.taskMetrics).foreach(m =>
+          recs.addAndGet(m.shuffleWriteMetrics.recordsWritten))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def shuffledRecords(df: org.apache.spark.sql.DataFrame): Long = {
+        df.write.format("noop").mode("overwrite").save()
+        Thread.sleep(1500) // listener bus drains async
+        recs.getAndSet(0L)
+      }
+      def join(s: SparkSession, noBroadcast: Boolean) = {
+        // the comparison needs BOTH sides un-broadcast (the gated
+        // session already is; match it on the plain side)
+        val dim = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        Tables.orders(s, d)
+          .join(dim, col("o_custkey") === col("c_custkey"), "left_semi")
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      }
+      val plainSession = spark.newSession()
+      plainSession.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // without this, AQE's separate threshold converts the join to
+      // broadcast at runtime and the orders-side shuffle never runs
+      plainSession.conf.set(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val plain = shuffledRecords(join(plainSession, noBroadcast = true))
+      val probed = shuffledRecords(join(s2, noBroadcast = true))
+      // sf0.001 orders = 1,500 rows: the plain shuffle ships every
+      // orders row (plus the ~40-row dim side); the probed one ships
+      // only matches + the fpp tail + the subquery's partial-bloom rows
+      assert(plain >= 1500, s"plain=$plain")
+      assert(probed < plain / 2, s"probed=$probed plain=$plain")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("a star shape gets one probe per eligible join, answers unchanged") {
+    val s2 = gatedSession()
+    val fact = Tables.lineitem(s2, d)
+    val dim1 = Tables.orders(s2, d)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val dim2 = Tables.supplier(s2, d).select("s_suppkey")
+    val starred = fact
+      .join(dim1, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(dim2, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+    val opt = starred.queryExecution.optimizedPlan
+    // the inner semi-join probes the fact scan on l_orderkey; the outer
+    // probes the (already-filtered) fact side on l_suppkey before the
+    // second shuffle — one independent cut per join
+    assert(probeCount(opt) == 2, opt.treeString.take(4000))
+    val plain = Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(Tables.supplier(spark, d).select("s_suppkey"),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+    assert(starred.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      == plain.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
 
   test("full-outer joins are never rewritten on either side") {

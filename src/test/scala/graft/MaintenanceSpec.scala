@@ -110,6 +110,65 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() === 2L)
   }
 
+  test("compactPartitioned compacts per leaf, preserving layout and pruning") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft-partcompact").toString
+    val path = s"$tmp/t"
+    // 3 partitions; simulate 5 one-file batch appends into each
+    (0 until 5).foreach { b =>
+      Seq.tabulate(60)(i => (b * 100L + i, s"row $b-$i", 2023 + i % 3))
+        .toDF("id", "v", "year").repartition(1)
+        .write.partitionBy("year").mode("append").parquet(path)
+    }
+    val leaves = Seq(2023, 2024, 2025).map(y => s"$path/year=$y")
+    leaves.foreach(l => assert(dataFiles(l).length === 5))
+    val before = spark.read.parquet(path)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .sortBy(t => (t._3, t._1)).toSeq
+    val (nLeaves, nFiles) = Maintenance.compactPartitioned(spark, path,
+      sortCols = Seq("id"))
+    assert(nLeaves === 3L && nFiles === 15L)
+    leaves.foreach(l => assert(dataFiles(l).length === 1))
+    // the partition column survives AS a partition: schema identical,
+    // rows identical, and a partition filter still plans
+    // PartitionFilters (pruning intact — the thing a flat rewrite of
+    // the root would have destroyed)
+    val after = spark.read.parquet(path)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .sortBy(t => (t._3, t._1)).toSeq
+    assert(after === before)
+    val pruned = spark.read.parquet(path).filter(col("year") === 2024)
+      .select("id")
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(year"))
+    // already-compact leaves are skipped on the next pass (no write
+    // amplification: compaction touches only appended-to partitions)
+    assert(Maintenance.compactPartitioned(spark, path) === ((0L, 0L)))
+    // and an append to ONE partition recompacts only that leaf
+    Seq((999L, "late", 2024)).toDF("id", "v", "year").repartition(1)
+      .write.partitionBy("year").mode("append").parquet(path)
+    assert(Maintenance.compactPartitioned(spark, path) === ((1L, 2L)))
+    assert(spark.read.parquet(path).count() === 301L)
+  }
+
+  test("compactPartitioned refuses a dir mixing data files and subdirs") {
+    val tmp = Files.createTempDirectory("graft-partmix").toString
+    val path = s"$tmp/t"
+    Seq((1L, "a", 2024)).toDF("id", "v", "year")
+      .write.partitionBy("year").parquet(path)
+    // drop a stray data file next to the partition dir
+    Seq((2L, "b")).toDF("id", "v").repartition(1)
+      .write.parquet(s"$tmp/stray")
+    val strayFile = new java.io.File(s"$tmp/stray").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(strayFile.toPath,
+      java.nio.file.Paths.get(s"$path/${strayFile.getName}"))
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.compactPartitioned(spark, path)
+    }
+    assert(e.getMessage.contains("mixes data files and"))
+  }
+
   test("minFiles keeps a hot table's scan parallelism after compaction") {
     val tmp = Files.createTempDirectory("graft-compact3").toString
     val path = s"$tmp/t"
