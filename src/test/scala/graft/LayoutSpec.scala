@@ -242,6 +242,52 @@ class LayoutSpec extends AnyFunSuite {
       filters.contains("l_shipdate"), filters)
   }
 
+  test("AQE splits a skewed join partition at runtime (the salting alternative)") {
+    // q85's saltedJoin is the MAP-SIDE fix for skew (pay an explode,
+    // choose the salt count yourself); AQE's OptimizeSkewedJoin is the
+    // runtime fix (no query change, the planner splits the hot
+    // partition when task metrics reveal it). The 100 TB guidance is
+    // salting for KNOWN pathological keys inside a recurring pipeline,
+    // AQE for everything discovered at run time — this pins that the
+    // AQE path actually fires and that the split never changes the
+    // answer.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    // test-scale thresholds: the hot key's ~1 MB partition must look
+    // skewed next to the cold keys' few-KB ones
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16384")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8192")
+    import org.apache.spark.sql.functions.{concat_ws, md5, pmod}
+    // md5 payload defeats shuffle compression, so the hot key's
+    // partition bytes actually reflect its row count
+    val hot = s2.range(100000L)
+      .select(lit("hot").as("k"), md5(col("id").cast("string")).as("v"))
+    val cold = s2.range(500L)
+      .select(concat_ws("", lit("cold"), pmod(col("id"), lit(10))).as("k"),
+        md5(col("id").cast("string")).as("v"))
+    val left = hot.unionByName(cold)
+    // explicit dim rows, NOT distinct() over left: a final aggregate
+    // between the join's Sort and its shuffle stage defeats
+    // OptimizeSkewedJoin's Sort-over-ShuffleQueryStage pattern and the
+    // skew silently goes unhandled — the realistic dim is a table scan,
+    // which (like this local relation) shuffles directly under the Sort
+    val dimRows = ("hot" +: (0 until 10).map(i => s"cold$i"))
+      .map(k => (k, k.length.toLong))
+    val right = s2.createDataFrame(dimRows).toDF("k", "w")
+    val joined = left.join(right, "k")
+    // collect() drives THIS dataset's QueryExecution (a sink write
+    // would plan its own), so the final adaptive plan lands on it
+    val n = joined.collect().length
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), plan.take(1000))
+    assert(plan.contains("skew=true"), plan.take(4000))
+    // the split is pure execution: row count is exactly the plain join's
+    assert(n === 100500)
+  }
+
   test("salted join equals the plain join") {
     val left = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d"))
       .toDF("k", "lv")
