@@ -234,6 +234,37 @@ class BloomInjectSpec extends AnyFunSuite {
       == plain.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
 
+  test("streaming joins are never rewritten (subqueries are illegal there)") {
+    // a ScalarSubquery in a streaming plan throws at runtime; the rule
+    // must stand down on ANY join touching a streaming side, gates open
+    // or not — this drives a real micro-batch through a gated session
+    // to prove the stream runs and the probe stays out
+    val s2 = gatedSession()
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+    import s2.implicits._
+    val mem = MemoryStream[Long]
+    val dim = Tables.customer(s2, d).select(col("c_custkey"))
+    val joined = mem.toDF.toDF("o_custkey")
+      .join(dim, col("o_custkey") === col("c_custkey"), "left_semi")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-bloomstream").toString
+    val q = joined.writeStream.format("memory").queryName("bloom_stream")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      mem.addData(1L, 2L, 999999L)
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, q.exception.map(_.toString))
+      // keys 1 and 2 exist in sf0.001 customers; 999999 does not
+      assert(s2.table("bloom_stream").count() == 2)
+      // the last micro-batch's physical plan carries no probe
+      val lastPlan = q.asInstanceOf[
+          org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(!lastPlan.contains("might_contain"), lastPlan.take(2000))
+    } finally q.stop()
+  }
+
   test("full-outer joins are never rewritten on either side") {
     val s2 = gatedSession()
     val foj = Tables.orders(s2, d)

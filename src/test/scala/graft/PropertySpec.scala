@@ -19,6 +19,57 @@ class PropertySpec extends AnyFunSuite {
       g.apply(params, rng.Seed(42L + i)).toSeq)
   }
 
+  test("bloom injection parity: random tables, keys, join types") {
+    // the injected probe must NEVER change a join's answer — across
+    // null keys, duplicate keys, empty match sets, and every join type
+    // the rule may rewrite (plus left_anti, which it must leave alone)
+    val keyGen = Gen.frequency(
+      (9, Gen.chooseNum(0L, 30L).map(Option(_))),
+      (1, Gen.const(Option.empty[Long])))
+    val joinTypes =
+      Seq("inner", "left_semi", "left_outer", "right_outer", "left_anti")
+    val gated = spark.newSession()
+    gated.conf.set("spark.graft.bloomJoin.applicationSideMinBytes", "1")
+    gated.conf.set("spark.graft.bloomJoin.minSizeRatio", "1")
+    gated.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    gated.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    def joined(s: org.apache.spark.sql.SparkSession, jt: String,
+        big: Seq[(Option[Long], Int)], dim: Seq[Option[Long]]) = {
+      import s.implicits._
+      big.toDF("k", "payload")
+        .join(dim.toDF("dk"), col("k") === col("dk"), jt)
+    }
+    def probes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.collect {
+            case b: org.apache.spark.sql.catalyst.expressions
+                .BloomFilterMightContain => b
+          }.size
+      }.sum
+    (0 until 5).foreach { case0 =>
+      val big = samples(keyGen, 300).zipWithIndex
+      val dim = samples(keyGen, 12 + case0)
+      joinTypes.foreach { jt =>
+        val plainDf = joined(spark, jt, big, dim)
+        val probedDf = joined(gated, jt, big, dim)
+        // not vacuous: types where the BIG side is prunable must carry
+        // a probe in the gated session; left_outer may only prune its
+        // (small, gate-failing) right side, and left_anti prunes
+        // nothing — both must stay untouched
+        val expected =
+          if (jt == "left_anti" || jt == "left_outer") 0 else 1
+        assert(probes(probedDf) == expected && probes(plainDf) == 0,
+          s"case=$case0 joinType=$jt probes=${probes(probedDf)}")
+        val plain = plainDf.collect().map(_.mkString("|")).sorted.toSeq
+        val probed = probedDf.collect().map(_.mkString("|")).sorted.toSeq
+        assert(probed == plain,
+          s"case=$case0 joinType=$jt: injected result diverged " +
+            s"(plain=${plain.size} rows, probed=${probed.size})")
+      }
+    }
+  }
+
   test("cosine: symmetric, bounded, self-similar for random vectors") {
     val vecGen = Gen.listOfN(16, Gen.chooseNum(-10.0f, 10.0f))
     val vecs = samples(vecGen, 60).map(_.toSeq).zipWithIndex
