@@ -329,6 +329,66 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // antijoin10: the q120 routed-dedup claim, measured — a steady-state
+    // batch (10% dups) anti-joined against a 10x corpus, plain vs
+    // bloom-routed, broadcast disabled on the PLAIN side to model the
+    // 100 TB regime where neither anti-join side broadcasts. The routed
+    // form's broadcasts are the point: they are bounded by the BATCH
+    // (suspect keys), never the corpus.
+    if (args.headOption.contains("antijoin10")) {
+      if (!new java.io.File(s"$out/documents.parquet").exists()) {
+        replicate("documents", Map("doc_id" -> 1000000L))
+        Tables.invalidateSpreadCache()
+      }
+      val recs = new java.util.concurrent.atomic.AtomicLong
+      val bytes = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            Option(e.taskMetrics).foreach { m =>
+              recs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+              bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            }
+        })
+      def probe(label: String)(df: => DataFrame): Unit = {
+        df.write.format("noop").mode("overwrite").save()
+        recs.set(0); bytes.set(0)
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1000)
+        println(f"TIME antijoin10 $label $sec%.2f s " +
+          f"shuffle_records=${recs.get} shuffle_mb=${bytes.get / 1e6}%.1f")
+      }
+      import graft.functions.TextFunctions.fingerprint
+      val docs = Tables.documents(spark, out)
+      val corpusFp = docs.select(fingerprint(col("text")).as("fp"))
+        .localCheckpoint() // measure the JOINs, not the fp computation
+      val batchFp = docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+        .select((col("doc_id") + (1L << 40)).as("doc_id"),
+          fingerprint(when(pmod(col("doc_id"), lit(70)) === 3, col("text"))
+            .otherwise(concat(col("text"), lit(" fresh"), col("doc_id"))))
+            .as("fp"))
+        .localCheckpoint() // ~10% dups (doc_id%70==3 of the %7==3 slice)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      probe("plain_anti_join") {
+        batchFp.join(corpusFp, Seq("fp"), "left_anti")
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+      val t0 = System.nanoTime()
+      val bloom = graft.layout.RuntimeFilters.bloomBytes(
+        corpusFp, "fp", math.max(docs.count(), 1L), 0.01)
+      println(f"TIME antijoin10 bloom_build ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        f"(${bloom.length / 1024} KiB; incremental mergeInPlace in the sinks)")
+      probe("bloom_routed") {
+        operators.Joins.bloomRoutedAntiJoin(batchFp, corpusFp, "fp", bloom)
+      }
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("build")) {
       replicate("lineitem", Map("l_orderkey" -> 10000000L))
       replicate("orders", Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))

@@ -180,6 +180,46 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // ---- bloom-routed incremental dedup: q92's anti-join shape with
+    //      the SURVIVORS as output, routed through a corpus-key Bloom
+    //      filter (Joins.bloomRoutedAntiJoin) so probe-negative rows —
+    //      most of a steady-state batch — never shuffle at all and the
+    //      corpus never shuffles (broadcast-semi double inversion).
+    //      Routing must never change the answer: the oracle is the
+    //      plain NOT EXISTS. Half the batch is re-ingested verbatim
+    //      (dups, must die in the exact path), half carries a unique
+    //      suffix (fresh, must survive — mostly via the fast path). ----
+    GraftQuery("q120_bloom_routed_dedup",
+      """WITH inc AS (SELECT doc_id AS orig_id,
+        |    CASE WHEN doc_id % 14 = 3
+        |         THEN text || ' fresh' || CAST(doc_id AS VARCHAR)
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 = 3),
+        |corpus AS (SELECT
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |batch AS (SELECT orig_id + 1099511627776 AS doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM inc)
+        |SELECT b.doc_id, b.fp FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus a WHERE a.fp = b.fp)
+        |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.spread(Tables.documents(s, d))
+      val corpusFp = docs.select(fingerprint(col("text")).as("fp"))
+      val batchFp = docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+        .select((col("doc_id") + (1L << 40)).as("doc_id"),
+          fingerprint(when(pmod(col("doc_id"), lit(14)) === 3,
+            concat(col("text"), lit(" fresh"), col("doc_id")))
+            .otherwise(col("text"))).as("fp"))
+      // size the filter from the corpus row count (parquet-footer
+      // cheap); in the streaming sinks this filter is the maintained
+      // artifact, not rebuilt per batch
+      val bloom = graft.layout.RuntimeFilters.bloomBytes(
+        corpusFp, "fp", math.max(docs.count(), 1L), 0.01)
+      Joins.bloomRoutedAntiJoin(batchFp, corpusFp, "fp", bloom)
+        .orderBy("doc_id")
+    },
+
     // ---- MinHash signatures + LSH band keys (per-doc, oracle-strong) ----
     GraftQuery("q41_minhash_bands",
       s"""WITH ${bandsCteSql()}

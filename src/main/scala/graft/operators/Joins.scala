@@ -93,6 +93,65 @@ object Joins {
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Bloom-routed anti-join: `incoming LEFT ANTI JOIN corpus ON key`,
+    * rewritten so that — in the steady-state dedup regime where most
+    * incoming rows are NEW — no side of the anti-join ever shuffles.
+    *
+    * The plain anti-join is the scale problem of every incremental
+    * dedup pipeline (q92's shape, the streaming admission sinks): each
+    * batch shuffles the ENTIRE corpus fingerprint table plus the batch
+    * just to discover that, typically, almost nothing matched. A Bloom
+    * filter over the corpus keys (built once, incrementally
+    * maintainable — Spark's `BloomFilter.mergeInPlace` ORs in each
+    * admitted batch) routes rows instead:
+    *
+    *  - probe-NEGATIVE rows are definitely not in the corpus (a Bloom
+    *    filter has no false negatives) → they bypass the join entirely,
+    *    zero shuffle, zero corpus I/O;
+    *  - probe-POSITIVE rows (true dups + the fpp tail) resolve exactly
+    *    via a double inversion that keeps every join map-side:
+    *    `confirmed = corpus ⋉ broadcast(suspectKeys)` (broadcast SEMI —
+    *    the corpus STREAMS through its scan, it never shuffles), then
+    *    `suspect ▷ broadcast(confirmed)` (broadcast ANTI — legal
+    *    because the build side is the confirmed-key set, bounded by
+    *    |suspect keys|, not the corpus).
+    *
+    * Result is EXACTLY the plain anti-join's: corpus keys always probe
+    * positive and die in the exact anti; false positives merely take
+    * the slow path and survive it; null-key rows probe null → routed
+    * to the fast path → kept, matching anti-join semantics (null never
+    * equals). Spec-pinned (BloomRoutedJoinSpec) including a
+    * deliberately undersized filter to force false positives.
+    *
+    * The broadcasts assume the SUSPECT set is small — true by
+    * construction when `incoming` is a micro-batch or when dups are
+    * rare; for an adversarial batch that is mostly dups, the routed
+    * plan degrades to broadcasting ~the batch's keys (still bounded by
+    * the batch, never by the corpus). The corpus-side scan in the semi
+    * join composes with layout: a bucketed/zone-mapped fingerprint
+    * table prunes it further.
+    *
+    * `bloom` comes from [[graft.layout.RuntimeFilters.bloomBytes]] over
+    * the corpus keys; size it for the corpus' EXPECTED TOTAL (fpp
+    * degrades gracefully past capacity — more rows take the exact
+    * path — and a scheduled rebuild restores it, same cadence contract
+    * as the ANN index's). */
+  def bloomRoutedAntiJoin(incoming: DataFrame, corpus: DataFrame,
+      key: String, bloom: Array[Byte]): DataFrame = {
+    require(!incoming.columns.contains("__maybe"),
+      "bloomRoutedAntiJoin reserves the __maybe column name")
+    val probe = graft.layout.RuntimeFilters.mightContain(col(key), bloom)
+    val flagged = incoming.withColumn("__maybe",
+      coalesce(probe, lit(false)))
+    val fresh = flagged.filter(!col("__maybe")).drop("__maybe")
+    val suspect = flagged.filter(col("__maybe")).drop("__maybe")
+    val confirmed = corpus.select(col(key))
+      .join(broadcast(suspect.select(col(key))), Seq(key), "left_semi")
+      .distinct()
+    suspect.join(broadcast(confirmed), Seq(key), "left_anti")
+      .unionByName(fresh)
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     // ---- as-of join: latest prior click per error event, by user ----
