@@ -56,6 +56,38 @@ object Layout {
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").parquet(path)
 
+  /** Write `df` clustered on the Morton interleave of TWO columns
+    * ([[graft.expressions.ZOrderValue]]) into `n` files: each file then
+    * covers a near-square tile of the 2-D key space — ~1/sqrt(n) of
+    * EACH column's range — so footer min/max stats skip most row
+    * groups for a selective predicate on EITHER column. This is the
+    * layout for a fact table with two independent hot filter columns,
+    * where [[writeRangeSorted]]'s single-axis sort would leave the
+    * second column unprunable. The one extra cost over a plain range
+    * sort is a single (min, max) aggregate per column to fix the grid.
+    * Both columns must be integral (cast dates/timestamps to long
+    * first); null keys sort into the zval-null partition untiled, so
+    * callers with nullable keys should filter or coalesce them. */
+  def writeZOrdered(df: DataFrame, path: String, n: Int,
+      colA: String, colB: String): Unit = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val r = df.agg(min(colA), max(colA), min(colB), max(colB))
+      .head()
+    def lv(i: Int): Long = r.get(i) match {
+      case null => 0L
+      case x: Number => x.longValue()
+    }
+    val zcol = GraftSqlBridge.column(graft.expressions.ZOrderValue(
+      GraftSqlBridge.expression(col(colA).cast("long")),
+      GraftSqlBridge.expression(col(colB).cast("long")),
+      lv(0), lv(1), lv(2), lv(3)))
+    df.withColumn("__zval", zcol)
+      .repartitionByRange(n, col("__zval"))
+      .sortWithinPartitions("__zval")
+      .drop("__zval")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Per-row-group (min, max, rowCount) of a numeric-statted column
     * (INT32/INT64 physical — ints, longs, dates, timestamps), read
     * straight from the parquet footers of every part file under

@@ -641,6 +641,30 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // ---- exact frequent n-grams via the two-pass Count-Min gate
+    //      (q95 is the complementary CMS role: a relational sketch
+    //      whose ESTIMATES are the output; here the sketch is a scan-
+    //      stage candidate gate and the output is EXACT):
+    //      pass 1 sketches the 3-gram stream (fixed-size mergeable
+    //      counters — the ONLY thing that crosses executors), pass 2
+    //      probes the sketch inside the scan (CmsAtLeast, codegen) so
+    //      only candidates reach the group-by. CMS never undercounts,
+    //      so the gate can't drop a true hitter and the exact count
+    //      makes the answer EXACT — the oracle is the plain ungated
+    //      GROUP BY. At 100 TB the gate is what keeps the mostly-
+    //      unique n-gram tail (which map-side partial agg cannot
+    //      compress) out of the shuffle. ----
+    GraftQuery("q123_cms_frequent_ngrams",
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+         |s AS (SELECT unnest(${shinglesSql("toks", 3)}) AS shingle FROM t)
+         |SELECT shingle, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM s GROUP BY shingle HAVING COUNT(*) >= 5
+         |ORDER BY n DESC, shingle
+         |LIMIT 20""".stripMargin) { (s, d) =>
+      graft.text.HeavyHitters.hotShingles(
+        Tables.documents(s, d), n = 3, minCount = 5, k = 20)
+    },
+
     // ---- per-source dedup-rate report: the observability readout a
     //      curation pipeline keys retention decisions on (which feeds
     //      are mostly duplicates?). One grouped aggregate with a

@@ -112,6 +112,41 @@ object LayoutQueries {
     path
   }
 
+  /** Lineitem Z-ordered on (l_partkey, l_suppkey) into 64 files — the
+    * two-hot-column layout: each file tiles ~1/8 of BOTH key ranges,
+    * so footer min/max skips most row groups for a selective predicate
+    * on EITHER column (a single-axis sort prunes only its lead
+    * column — contrasted in ZOrderSpec). Built once per dataset behind
+    * the usual marker. */
+  def ensureZOrderedLineitem(s: SparkSession, d: String): String = {
+    val path = s"${layoutRoot(d)}/lineitem_zorder"
+    val li = Tables.lineitem(s, d)
+    val expect =
+      s"layout=$LayoutVersion zorder=l_partkey,l_suppkey files=64 rows=${li.count()}"
+    if (!ArtifactCache.hit(path, expect)) {
+      Layout.writeZOrdered(li, path, 64, "l_partkey", "l_suppkey")
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
+  /** Documents posting table (term → doc_id) for keyword search —
+    * built once per dataset behind the usual marker. 16 range slices:
+    * at test scale that is plenty for the footer-pruning contract; at
+    * 100 TB the count scales like any range layout (slices ≈ posting
+    * bytes / 128 MB). */
+  def ensurePostings(s: SparkSession, d: String): String = {
+    val path = s"${layoutRoot(d)}/doc_postings"
+    val docs = Tables.documents(s, d)
+    val expect =
+      s"layout=$LayoutVersion postings=term,doc_id files=16 rows=${docs.count()}"
+    if (!ArtifactCache.hit(path, expect)) {
+      graft.text.InvertedIndex.build(docs, path, 16)
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
   /** The q113 plan, exposed for the PlanSpec pin (bloom probe inside
     * the scan stage, semi join after). */
   def bloomPrefilterJoin(s: SparkSession, d: String): DataFrame = {
@@ -277,6 +312,55 @@ object LayoutQueries {
           decSum(col("l_quantity"), 2).as("sum_qty"),
           round(decSum(col("l_extendedprice"), 2), 2).as("sum_price"))
         .orderBy("l_returnflag")
+    },
+
+    // ---- Z-order (Morton) 2-D clustering: the same lineitem rows
+    //      tiled on (l_partkey, l_suppkey), so a selective range on
+    //      EITHER column skips most row groups from footer stats — the
+    //      layout q118's single-axis sort cannot give the second hot
+    //      column (ZOrderSpec pins the per-axis overlap fractions from
+    //      the footers, against a single-sorted control). Oracle
+    //      recomputes from the UNCLUSTERED parquet: layout never
+    //      changes the answer. ----
+    GraftQuery("q121_zorder_two_col_scan",
+      s"""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${decSumSql("l_quantity", 2)} AS sum_qty,
+         |  round(${decSumSql("l_extendedprice", 2)}, 2) AS sum_price
+         |FROM lineitem
+         |WHERE l_partkey BETWEEN 100 AND 220 OR l_suppkey BETWEEN 10 AND 15
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val path = ensureZOrderedLineitem(s, d)
+      s.read.parquet(path)
+        .filter(col("l_partkey").between(100, 220) ||
+          col("l_suppkey").between(10, 15))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          decSum(col("l_quantity"), 2).as("sum_qty"),
+          round(decSum(col("l_extendedprice"), 2), 2).as("sum_price"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- Inverted-index keyword search: conjunctive term query
+    //      answered from the posting table (pushed term predicate +
+    //      key semi-join back to the corpus) instead of a full corpus
+    //      text scan — the layout lever for text predicates, same
+    //      pay-once shape as the ANN indexes. Oracle recomputes the
+    //      token-set membership directly on the text: the index must
+    //      return EXACTLY the scan's answer. ----
+    GraftQuery("q122_inverted_keyword_search",
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents
+        |WHERE list_contains(list_filter(string_split_regex(lower(text),
+        |        '\s+'), x -> x <> ''), 'dup')
+        |  AND list_contains(list_filter(string_split_regex(lower(text),
+        |        '\s+'), x -> x <> ''), 'vector')
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val path = ensurePostings(s, d)
+      graft.text.InvertedIndex.search(s, path, Tables.documents(s, d),
+          Seq("dup", "vector"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
     },
   )
 }
