@@ -270,6 +270,50 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // keyword100: the q122 inverted-index claim at 500k docs — one-off
+    // posting build, then conjunctive keyword search via the index vs
+    // the brute-force text scan (same answer asserted). The scan's
+    // cost is reading+tokenizing every document's text; the index path
+    // reads the term slices + a key semi-join. The perturbed replica
+    // tags tokens per copy (x{i}y prefix), so the probed terms exist
+    // only in copy 0 — the selective regime an index serves.
+    if (args.headOption.contains("keyword100")) {
+      val out100 = "/tmp/scale100docs"
+      if (!new java.io.File(s"$out100/documents.parquet").exists())
+        buildDocs100(out100)
+      val docs = Tables.documents(spark, out100)
+      val postings = s"$out100/postings"
+      val tb0 = System.nanoTime()
+      graft.text.InvertedIndex.build(docs, postings, 16)
+      val buildSec = (System.nanoTime() - tb0) / 1e9
+      val pBytes = new java.io.File(postings).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      println(f"TIME keyword100 build $buildSec%.2f s " +
+        f"postings_mb=${pBytes / 1e6}%.1f")
+      val terms = Seq("dup", "vector")
+      def timed(label: String)(df: => DataFrame): Long = {
+        df.write.format("noop").mode("overwrite").save() // warm
+        val t0 = System.nanoTime()
+        val n = df.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"TIME keyword100 $label $sec%.2f s ($n rows)")
+        n
+      }
+      val viaScan = timed("text_scan") {
+        val toks = graft.functions.TextFunctions.tokens(col("text"))
+        docs.withColumn("toks", toks)
+          .filter(terms.map(t => array_contains(col("toks"), t))
+            .reduce(_ && _))
+          .select("doc_id")
+      }
+      val viaIndex = timed("index_search") {
+        graft.text.InvertedIndex
+          .search(spark, postings, docs, terms).select("doc_id")
+      }
+      assert(viaScan == viaIndex, s"parity: scan=$viaScan index=$viaIndex")
+      spark.stop()
+      return
+    }
     // bloom10: the q113 runtime-filter claim, measured — shuffle
     // records/bytes of the plain semi-join vs the bloom-prefiltered
     // one at 10x (1.5M orders), with broadcast joins DISABLED to model

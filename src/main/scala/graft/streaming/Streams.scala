@@ -493,6 +493,64 @@ object Streams {
         ()
       }
 
+  /** Streaming keyword-index maintenance: each micro-batch of
+    * (doc_id, text) rows appends its (term, doc_id) postings to the
+    * persisted posting table at `postingsPath` — the continuous-ingest
+    * form of [[graft.text.InvertedIndex.build]], so a continuously
+    * growing corpus stays keyword-searchable without re-tokenizing
+    * what is already indexed. Searches
+    * ([[graft.text.InvertedIndex.search]]) serve newly admitted docs
+    * from the very next batch.
+    *
+    * Idempotence: the posting table itself is the source of truth —
+    * the batch drops in-batch duplicate doc ids, then anti-joins the
+    * table's distinct doc_id column (column-pruned scan, one BIGINT
+    * column), so a replayed batch or checkpoint-loss restart never
+    * double-posts a document (a doubled posting would double the
+    * term-match count `matchingIds` intersects on, corrupting
+    * conjunctive results — not just wasting space).
+    *
+    * Layout: appends are ONE file per batch (the measured
+    * file-count-growth lesson, STREAMBENCH.md) but NOT term-clustered
+    * — a batch file spans the whole term range, so footer min/max
+    * prunes nothing inside it and per-term search cost grows with the
+    * unclustered fraction. `compactEvery` > 0 therefore runs
+    * [[graft.text.InvertedIndex.recluster]] every that many batches:
+    * unlike the dedup sinks' plain compaction this RESTORES the
+    * range-clustered layout (term slices, tight footers), resetting
+    * both the file-count term and the pruning loss in one crash-safe
+    * swap. The anti-join also re-scans this table per batch, so the
+    * cadence serves the sink itself, not just searchers. */
+  def keywordIndexSinkWriter(docs: DataFrame, postingsPath: String,
+      checkpoint: String, compactEvery: Int = 0,
+      reclusterFiles: Int = 16): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val seen = readOrEmpty(spark, postingsPath,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("term",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType))))
+        val fresh = batch.dropDuplicates("doc_id")
+          .join(seen.select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+        // same column order as InvertedIndex.build writes, so every
+        // file in the table carries one physical schema
+        fresh.select(col("doc_id"),
+            explode(array_distinct(
+              graft.functions.TextFunctions.tokens(col("text"))))
+              .as("term"))
+          .repartition(1)
+          .write.mode("append").parquet(postingsPath)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          graft.text.InvertedIndex.recluster(spark, postingsPath,
+            reclusterFiles)
+        ()
+      }
+
   /** Stream-static enrichment join: each micro-batch left-joins the
     * static dimension on `key` — the streaming form of the J2
     * enrichment join (lookup metadata for every arriving record).

@@ -44,6 +44,21 @@ object InvertedIndex {
       .sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").parquet(path)
 
+  /** Restore the term-range clustering of a posting table that has
+    * accumulated unclustered appends (the streaming sink's per-batch
+    * files span the whole term range, so their footer min/max prunes
+    * nothing): same crash-safe rename swap as every other compactor
+    * ([[graft.sinks.Maintenance.writeAndSwap]]), rewriting into
+    * `files` term-range slices. Search results are identical before
+    * and after — clustering only restores the row-group skip. */
+  def recluster(s: SparkSession, path: String, files: Int): Unit =
+    graft.sinks.Maintenance.writeAndSwap(s, path) { tmp =>
+      s.read.parquet(path)
+        .repartitionByRange(files, col("term"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite").parquet(tmp)
+    }
+
   /** Doc-ids containing ALL of `terms` (conjunctive keyword search):
     * read the posting slices (one pushed `term IN (...)` predicate —
     * row groups outside the terms' ranges never decode), count
