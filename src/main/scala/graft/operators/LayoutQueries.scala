@@ -147,6 +147,21 @@ object LayoutQueries {
     path
   }
 
+  /** Scored posting table (term, doc_id, dl, tf + `_stats`) for
+    * ranked keyword search — built once per dataset behind the usual
+    * marker. */
+  def ensureScoredPostings(s: SparkSession, d: String): String = {
+    val path = s"${layoutRoot(d)}/doc_postings_scored"
+    val docs = Tables.documents(s, d)
+    val expect =
+      s"layout=$LayoutVersion scored_postings files=16 rows=${docs.count()}"
+    if (!ArtifactCache.hit(path, expect)) {
+      graft.text.InvertedIndex.buildScored(docs, path, 16)
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
   /** The q113 plan, exposed for the PlanSpec pin (bloom probe inside
     * the scan stage, semi join after). */
   def bloomPrefilterJoin(s: SparkSession, d: String): DataFrame = {
@@ -361,6 +376,47 @@ object LayoutQueries {
           Seq("dup", "vector"))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy("doc_id")
+    },
+
+    // ---- BM25-shaped ranked keyword search off the scored posting
+    //      table: disjunctive two-term query, rational (libm-free) idf
+    //      so every score is a fixed expression tree over exact
+    //      integers and the oracle's recomputed doubles are
+    //      bit-identical. The oracle rebuilds tf/dl/df/N/T from the
+    //      raw text — the index path must produce EXACTLY the scan's
+    //      ranking. ----
+    GraftQuery("q124_bm25_ranked_search",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS toks FROM documents),
+        |d AS (SELECT doc_id, toks, len(toks) AS dl FROM t
+        |      WHERE len(toks) > 0),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |          CAST(SUM(dl) AS BIGINT) AS tot FROM d),
+        |p AS (SELECT doc_id, dl, term, tf FROM (
+        |    SELECT doc_id, dl, 'dup' AS term,
+        |      CAST(len(list_filter(toks, x -> x = 'dup')) AS BIGINT) AS tf
+        |    FROM d
+        |    UNION ALL
+        |    SELECT doc_id, dl, 'vector' AS term,
+        |      CAST(len(list_filter(toks, x -> x = 'vector')) AS BIGINT) AS tf
+        |    FROM d)
+        |  WHERE tf > 0),
+        |f AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        |      FROM p GROUP BY term),
+        |sc AS (SELECT p.doc_id,
+        |    SUM(((s.n - f.df + 0.5) / (f.df + 0.5)) *
+        |        ((p.tf * 2.2) /
+        |         (p.tf + 1.2 * (0.25 + 0.75 * (p.dl * s.n / s.tot)))))
+        |      AS score
+        |  FROM p JOIN f ON p.term = f.term CROSS JOIN stats s
+        |  GROUP BY p.doc_id)
+        |SELECT doc_id, round(score, 6) AS score FROM sc
+        |ORDER BY round(score, 6) DESC, doc_id
+        |LIMIT 15""".stripMargin) { (s, d) =>
+      val path = ensureScoredPostings(s, d)
+      graft.text.InvertedIndex.rankedSearch(s, path,
+        Seq("dup", "vector"), k = 15)
     },
   )
 }

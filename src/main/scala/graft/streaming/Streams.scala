@@ -551,6 +551,136 @@ object Streams {
         ()
       }
 
+  /** Exactly-once streaming Count-Min maintenance: each micro-batch's
+    * word n-grams increment a PERSISTED relational CMS counter table
+    * (the q95 form: (j, bucket, n) rows, d×w of them — fixed size
+    * forever, the whole point of a sketch), so corpus-wide frequency
+    * estimates stay queryable while the stream runs, without ever
+    * storing the n-gram tail.
+    *
+    * Why this sink is different from the others: counter INCREMENTS
+    * are not idempotent — the dedup/ANN/keyword sinks make replays
+    * no-ops by anti-joining the table (set semantics), but a replayed
+    * batch re-added to counters would double its contribution
+    * silently. Exactly-once here comes from a TRANSACTIONAL swap: the
+    * merged counters and the applied-batch watermark (`_applied`, an
+    * underscore side file the main read ignores) land in the same
+    * directory rename, so "counters include batch B" and "watermark
+    * says B" are inseparable. A replay (batchId <= watermark) is
+    * skipped; a crash BETWEEN the swap's renames is repaired by
+    * [[graft.sinks.Maintenance.recoverPrecompact]]; a crash before
+    * the swap leaves the old dir + old watermark, and the retry
+    * re-derives the same merge. Merging is integer addition —
+    * commutative, associative, partition-order-free — so the streamed
+    * table is BIT-IDENTICAL to a one-shot batch build of the same
+    * corpus (the spec pins exactly that, replay included).
+    *
+    * The watermark keys on batchId, so exactly-once holds for any
+    * REPLAY of an already-applied batch — in-lineage retry, restart
+    * from a retained checkpoint, or redelivery of old data under a
+    * reset batchId after checkpoint loss. What it cannot survive is
+    * checkpoint loss followed by NEW data arriving under a reused low
+    * batchId (it would be skipped as a replay): the anti-join sinks
+    * shrug that off because their dedup is content-based, but a
+    * counter has no content identity. Retain the checkpoint (the
+    * standard streaming contract), or rebuild the sketch offline —
+    * it is one scan of the corpus by construction.
+    *
+    * The foreachBatch body assumes single-writer (standard structured
+    * streaming: one query owns a sink path). At 100 TB-rate streams
+    * the batch-side work is one scan + a d×w-bounded aggregate; the
+    * table side is constant-size, so per-batch cost never grows —
+    * unlike every append-table sink, this one needs NO compaction
+    * cadence. */
+  def cmsSinkWriter(docs: DataFrame, countersPath: String,
+      checkpoint: String, n: Int = 3, depth: Int = 4,
+      width: Int = 1024): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.sinks.Maintenance.recoverPrecompact(spark, countersPath)
+        val live = new org.apache.hadoop.fs.Path(countersPath)
+        val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+        val applied =
+          scala.util.Try(spark.read.parquet(s"$countersPath/_applied")
+            .head().getLong(0)).getOrElse(-1L)
+        if (batchId > applied) {
+          val P = graft.functions.TextFunctions.MinhashP
+          val toks = graft.functions.TextFunctions.tokens(col("text"))
+          // fold the 64-bit hash to 32 bits before the (a*h + b) mix:
+          // a is 29 bits, so the product stays far under 2^63 — the
+          // same no-overflow convention as the engine's md5-32 token
+          // hashes (ANSI mode makes a wrapping multiply an ERROR, not
+          // a hash)
+          val sh = batch.withColumn("toks", toks)
+            .select(explode(
+              graft.functions.TextFunctions.shinglesOf(col("toks"), n))
+              .as("shingle"))
+            .select(pmod(xxhash64(col("shingle")), lit(1L << 32)).as("h"))
+          val jb = explode(array((0 until depth).map { j =>
+            val (a, b) = graft.functions.TextFunctions.minhashParams(j)
+            struct(lit(j).as("j"),
+              (pmod(col("h") * a + b, lit(P)) % width).as("bucket"))
+          }: _*)).as("jb")
+          val inc = sh.select(jb)
+            .select(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+            .groupBy(col("j"), col("bucket"))
+            .agg(count(lit(1)).as("cnt"))
+          import spark.implicits._
+          def writeInto(tmp: String): Unit = {
+            val merged =
+              if (fs.exists(live))
+                spark.read.parquet(countersPath).unionByName(inc)
+                  .groupBy(col("j"), col("bucket"))
+                  .agg(sum(col("cnt")).as("cnt"))
+              else inc
+            merged.repartition(1).write.mode("overwrite").parquet(tmp)
+            Seq(batchId).toDF("applied").repartition(1)
+              .write.mode("overwrite").parquet(s"$tmp/_applied")
+          }
+          if (fs.exists(live))
+            graft.sinks.Maintenance.writeAndSwap(spark, countersPath)(
+              writeInto)
+          else {
+            // first batch: no table to swap — build fully in a temp
+            // dir, then ONE atomic rename publishes counters and
+            // watermark together
+            val tmp = new org.apache.hadoop.fs.Path(
+              s"$countersPath.compacting")
+            fs.delete(tmp, true)
+            writeInto(tmp.toString)
+            require(fs.rename(tmp, live),
+              s"cmsSinkWriter: could not publish first batch to $live")
+          }
+        }
+        ()
+      }
+
+  /** Estimated occurrence count for each row of `items` (a single
+    * string column) against a [[cmsSinkWriter]] counter table: hash,
+    * probe all d rows, take the min — `est >= true` always, the
+    * standard CMS readout (q95's probe join, against the streamed
+    * table). */
+  def cmsEstimates(s: org.apache.spark.sql.SparkSession,
+      countersPath: String, items: DataFrame, itemCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val P = graft.functions.TextFunctions.MinhashP
+    val jb = explode(array((0 until depth).map { j =>
+      val (a, b) = graft.functions.TextFunctions.minhashParams(j)
+      struct(lit(j).as("j"),
+        (pmod(pmod(xxhash64(col(itemCol)), lit(1L << 32)) * a + b,
+          lit(P)) % width).as("bucket"))
+    }: _*)).as("jb")
+    items.select(col(itemCol), jb)
+      .select(col(itemCol), col("jb.j").as("j"),
+        col("jb.bucket").as("bucket"))
+      .join(s.read.parquet(countersPath), Seq("j", "bucket"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .groupBy(col(itemCol))
+      .agg(min(col("cnt")).as("est"))
+  }
+
   /** Stream-static enrichment join: each micro-batch left-joins the
     * static dimension on `key` — the streaming form of the J2
     * enrichment join (lookup metadata for every arriving record).

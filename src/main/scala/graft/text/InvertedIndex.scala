@@ -44,6 +44,76 @@ object InvertedIndex {
       .sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").parquet(path)
 
+  /** Build the SCORED posting table for ranked retrieval: one row per
+    * (term, doc) carrying the term frequency and the document's token
+    * length — the per-posting payload BM25-family scoring needs —
+    * range-clustered by term like [[build]]. Corpus-level stats
+    * (indexed-doc count, total token count — exact BIGINTs, so the
+    * average doc length derives by ONE exact division at query time)
+    * are written to a `_stats` side file: underscore-prefixed, so
+    * every read of the main table ignores it, and ranked search never
+    * pays a corpus-wide scan for two numbers. One tokenize pass + one
+    * (term, doc) aggregate + the range layout shuffle. */
+  def buildScored(docs: DataFrame, path: String, files: Int): Unit = {
+    val toked = docs
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .filter(size(col("toks")) > 0)
+    toked.select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+      .repartitionByRange(files, col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").parquet(path)
+    toked.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks"))).as("total_len"))
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/_stats")
+  }
+
+  /** BM25-shaped disjunctive ranked search over a [[buildScored]]
+    * table: docs matching ANY of `terms`, scored
+    * `sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))` with the
+    * RATIONAL idf `(N-df+0.5)/(df+0.5)` — deliberately libm-free (no
+    * ln), because the DuckDB oracle recomputes scores and transcendental
+    * functions are the one place engines' doubles diverge; every input
+    * here is an exact integer and both engines evaluate the identical
+    * expression tree, so scores are bit-identical (the engine-wide
+    * determinism convention — see q98's integer-ratio rarity). Rank
+    * order matches ln-idf BM25 whenever one term dominates; the
+    * rational idf spreads weights more aggressively across rare terms,
+    * which is the side a retrieval pipeline prefers for filtering.
+    *
+    * Scale shape: the pushed `term IN` predicate reads only the query
+    * terms' posting slices; per-term df comes from a window count over
+    * those slices (never a corpus scan); N and total length come from
+    * the `_stats` side file. Output is top-`k` by (rounded score desc,
+    * doc_id) — a deterministic total order. The per-doc score sum is
+    * order-insensitive for up to two matched terms (IEEE addition is
+    * commutative); for 3+ query terms partial-agg order can shift the
+    * last ulp, which the 6-decimal round absorbs. */
+  def rankedSearch(s: SparkSession, postingsPath: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "rankedSearch: need at least one term")
+    val st = s.read.parquet(s"$postingsPath/_stats").head()
+    val (n, tot) = (st.getLong(0), st.getLong(1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term"))
+    val scored = s.read.parquet(postingsPath)
+      .filter(col("term").isin(terms: _*))
+      .withColumn("df", count(lit(1)).over(w))
+      .withColumn("sc",
+        ((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          ((col("tf") * lit(k1 + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) +
+              lit(b) * (col("dl") * lit(n) / lit(tot))))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("sc")), 6).as("score"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
   /** Restore the term-range clustering of a posting table that has
     * accumulated unclustered appends (the streaming sink's per-batch
     * files span the whole term range, so their footer min/max prunes
@@ -57,6 +127,14 @@ object InvertedIndex {
         .repartitionByRange(files, col("term"))
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite").parquet(tmp)
+      // a buildScored table carries its _stats side file (which the
+      // main-table read above ignores) — rewrite it into the new copy
+      // or the swap would silently drop it
+      val stats = new org.apache.hadoop.fs.Path(s"$path/_stats")
+      val fs = stats.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(stats))
+        s.read.parquet(stats.toString).repartition(1)
+          .write.mode("overwrite").parquet(s"$tmp/_stats")
     }
 
   /** Doc-ids containing ALL of `terms` (conjunctive keyword search):

@@ -58,6 +58,75 @@ class InvertedIndexSpec extends AnyFunSuite {
       brute(Seq("dup", "vector")).as[Long].collect().sorted.toSeq)
   }
 
+  test("scored postings: tf sums to dl per doc; ranked search matches a from-text recompute") {
+    val tmp = Files.createTempDirectory("graft-invidx3").toString
+    val docs = Tables.documents(spark, d)
+    InvertedIndex.buildScored(docs, s"$tmp/scored", 8)
+    val p = spark.read.parquet(s"$tmp/scored")
+    // per-doc term frequencies are a partition of the doc's tokens
+    val bad = p.groupBy("doc_id", "dl").agg(sum("tf").as("tfsum"))
+      .filter(col("tfsum") =!= col("dl")).count()
+    assert(bad == 0)
+    // _stats carries exact corpus integers and the main read skips it
+    val st = spark.read.parquet(s"$tmp/scored/_stats").head()
+    assert(st.getLong(0) == docs.count() &&
+      st.getLong(1) == p.groupBy("doc_id", "dl").count()
+        .agg(sum("dl")).head().getLong(0))
+    assert(!p.columns.contains("n_docs"))
+
+    // ranked search == the same BM25 formula recomputed straight from
+    // the text (the index must never change the ranking)
+    val terms = Seq("dup", "vector")
+    val got = InvertedIndex.rankedSearch(spark, s"$tmp/scored", terms, 15)
+      .as[(Long, Double)].collect().toSeq
+    val toked = docs
+      .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
+      .filter(size(col("toks")) > 0)
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val n = toked.count()
+    val tot = toked.agg(sum("dl")).head().getLong(0)
+    val perTerm = terms.map { t =>
+      toked.select(col("doc_id"), col("dl"),
+        size(filter(col("toks"), x => x === t)).cast("long").as("tf"))
+        .filter(col("tf") > 0)
+    }
+    val want = perTerm.map { tp =>
+        val df = tp.count()
+        tp.withColumn("sc",
+          ((lit(n) - lit(df) + lit(0.5)) / (lit(df) + lit(0.5))) *
+            ((col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) * (lit(0.25) +
+                lit(0.75) * (col("dl") * lit(n) / lit(tot))))))
+          .select("doc_id", "sc")
+      }.reduce(_ unionByName _)
+      .groupBy("doc_id").agg(round(sum("sc"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(15)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+    // the scores genuinely discriminate (not a constant column)
+    assert(got.head._2 > got.last._2)
+  }
+
+  test("recluster preserves the _stats side file of a scored table") {
+    val tmp = Files.createTempDirectory("graft-invidx4").toString
+    val docs = Tables.documents(spark, d)
+    InvertedIndex.buildScored(docs, s"$tmp/scored", 8)
+    val before = spark.read.parquet(s"$tmp/scored/_stats").head()
+    val rankedBefore = InvertedIndex
+      .rankedSearch(spark, s"$tmp/scored", Seq("dup", "vector"), 15)
+      .as[(Long, Double)].collect().toSeq
+    InvertedIndex.recluster(spark, s"$tmp/scored", 4)
+    val after = spark.read.parquet(s"$tmp/scored/_stats").head()
+    assert(before.getLong(0) == after.getLong(0) &&
+      before.getLong(1) == after.getLong(1))
+    assert(new java.io.File(s"$tmp/scored").listFiles()
+      .count(_.getName.endsWith(".parquet")) === 4)
+    // ranking identical across the swap
+    assert(InvertedIndex
+      .rankedSearch(spark, s"$tmp/scored", Seq("dup", "vector"), 15)
+      .as[(Long, Double)].collect().toSeq == rankedBefore)
+  }
+
   test("postings are one row per (term, doc) and matchingIds intersects correctly") {
     val tmp = Files.createTempDirectory("graft-invidx2").toString
     val docs = Seq(
