@@ -66,7 +66,19 @@ object PlanDump {
     "q117_ivf_append_ann" ->
       "Probe over the base-built + delta-appended IVF-PQ index: structurally IDENTICAL to q110's plan — partition-pruned bucket scan, codes-only ReadSchema, broadcast shortlist re-rank — because append only adds files inside existing bucket=N partition directories with both quantizers frozen; index maintenance is invisible to the serving plan, which is the point (IvfPqSpec pins append ≡ rebuild under the same quantizers).",
     "q118_sorted_minmax_scan" ->
-      "Min/max (zone-map) pruning over the range-sorted lineitem copy: the shipdate BETWEEN predicate shows in PushedFilters, and because each of the 16 files covers a narrow sorted slice, the parquet reader's footer check skips every non-overlapping row group before decoding a page — LayoutSpec asserts the skip from the footers themselves (<=1/4 of groups overlap a one-quarter predicate; a shuffled same-file-count copy overlaps 16/16). The plan looks like a plain filter-agg; the cut is in WHICH row groups the identical scan touches.")
+      "Min/max (zone-map) pruning over the range-sorted lineitem copy: the shipdate BETWEEN predicate shows in PushedFilters, and because each of the 16 files covers a narrow sorted slice, the parquet reader's footer check skips every non-overlapping row group before decoding a page — LayoutSpec asserts the skip from the footers themselves (<=1/4 of groups overlap a one-quarter predicate; a shuffled same-file-count copy overlaps 16/16). The plan looks like a plain filter-agg; the cut is in WHICH row groups the identical scan touches.",
+    "q120_bloom_routed_dedup" ->
+      "Bloom-routed anti-join: probe-NEGATIVE batch rows (provably new — no false negatives) bypass the join entirely via the codegen'd NOT might_contain filter; probe-positives resolve exactly through broadcast-semi then broadcast-anti, both broadcasts bounded by the BATCH. The corpus fingerprint side streams through its scan and never shuffles (plan-pinned in BloomRoutedJoinSpec; record cut measured in ScaleProbe antijoin10: 57,143 -> 715 shuffle records).",
+    "q121_zorder_two_col_scan" ->
+      "Z-order scan: BOTH range predicates (l_partkey OR l_suppkey) reach PushedFilters over the Morton-clustered copy, and because each of the 64 files tiles ~1/8 of EACH key range, footer min/max skips most row groups for either branch — ZOrderSpec pins the per-axis overlap from the footers (<=1/2 on both axes, vs >=90% on the non-lead axis of a single-sorted control). Plan shape is a plain filter-agg; the cut is row-group selection.",
+    "q122_inverted_keyword_search" ->
+      "Inverted-index search: the conjunctive term predicate is a pushed `term IN` on the range-clustered posting table (row groups outside the two terms' slices never decode); the intersect is a doc_id count over doc-frequency-sized slices; the corpus join is LEFT SEMI on the key with NO ReadSchema containing `text` anywhere in the plan — the full-text scan the index exists to avoid (pinned in InvertedIndexSpec).",
+    "q123_cms_frequent_ngrams" ->
+      "Two-pass heavy hitters: pass 2's plan shows the codegen'd `cms_at_least` probe INSIDE the scan stage's filter, upstream of the group-by exchange — only candidate n-grams (true hitters + the eps-bounded overcount tail) are shuffled; the mostly-unique tail dies at the scan. Pass 1 (the sketch build) is a separate fixed-size treeAggregate, not in this plan.",
+    "q124_bm25_ranked_search" ->
+      "Ranked search: pushed `term IN` over the scored posting table; per-term df is a window count over the two doc-frequency-sized slices (never a corpus scan); N and total length come from the `_stats` side file read (2 longs). The score is a single codegen projection over exact integers; top-15 is TakeOrderedAndProject on (rounded score, doc_id).",
+    "q125_phrase_search" ->
+      "Phrase search: pushed `term IN` over the positional posting table reads one slice per phrase term; slices join on doc_id (doc-frequency-sized, broadcast at this SF); adjacency is verified INSIDE the row by array-lambda expressions (a start matches iff term i sits at p+i) — no positional explode, no corpus text read, key semi-join back for output.")
 
   /** Captured with broadcast joins disabled: at 100 TB neither side
     * broadcasts, and the co-location evidence (zero exchange under the

@@ -153,6 +153,72 @@ object StreamBench {
     val curveJson = curve
       .map { case (b, s) => f"""[$b,$s%.2f]""" }.mkString(",")
     println(f"""{"metric":"neardup_batch_curve","unit":"sec/batch","late_vs_early":$ratio%.2f,"slope_ms_per_batch":$slopeMs%.1f,"curve":[$curveJson]}""")
+
+    // exactly-once CMS sink: same document stream shape, through
+    // cmsSinkWriter. The claim under test is the OPPOSITE of the
+    // admission sink's: the counter table is fixed-size (d x w rows),
+    // so per-batch cost must NOT grow with batches — slope ~ 0, no
+    // compaction cadence needed. (The admission sinks' measured linear
+    // term comes from rescanning tables that GROW; this table never
+    // does.)
+    val cmsRows = sys.env.getOrElse("SPARK_GRAFT_CMS_ROWS", "200000").toLong
+    val cmsFiles = math.max(1, (cmsRows / 4000).toInt)
+    spark.range(cmsRows).select(
+      col("id").as("doc_id"),
+      format_string("document %d body with a shared hot banner line " +
+        "plus its own variant%d tail tokens", col("id"), col("id"))
+        .as("text"))
+      .repartition(cmsFiles)
+      .write.mode("overwrite").parquet(s"$tmp/cms_landing")
+    val cmsSource = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .schema("doc_id LONG, text STRING")
+      .parquet(s"$tmp/cms_landing")
+    val cmsQueryName = "graft-streambench-cms"
+    val cmsBatchSec =
+      new java.util.concurrent.ConcurrentSkipListMap[Long, Double]()
+    val cmsListener =
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit =
+          if (e.progress.name == cmsQueryName && e.progress.numInputRows > 0)
+            Option(e.progress.durationMs.get("triggerExecution")).foreach(
+              ms => cmsBatchSec.put(e.progress.batchId, ms.toDouble / 1e3))
+      }
+    spark.streams.addListener(cmsListener)
+    val t2 = System.nanoTime()
+    val cq = Streams.cmsSinkWriter(cmsSource, s"$tmp/cms_counters",
+      s"$tmp/cms_ckpt")
+      .queryName(cmsQueryName)
+      .trigger(Streams.drainTrigger).start()
+    cq.awaitTermination()
+    val cmsSec = (System.nanoTime() - t2) / 1e9
+    spark.streams.removeListener(cmsListener)
+    val cmsCurve = cmsBatchSec.entrySet().asScala.toSeq
+      .map(e => e.getKey -> e.getValue)
+    val cmsSteady = cmsCurve.drop(1).map(_._2)
+    val cmsHalf = cmsSteady.length / 2
+    val cmsRatio =
+      if (cmsHalf > 0)
+        (cmsSteady.drop(cmsHalf).sum / (cmsSteady.length - cmsHalf)) /
+          (cmsSteady.take(cmsHalf).sum / cmsHalf)
+      else Double.NaN
+    val cmsSlopeMs = if (cmsSteady.length > 2) {
+      val n = cmsSteady.length
+      val xm = (n - 1) / 2.0
+      val ym = cmsSteady.sum / n
+      val cov = cmsSteady.zipWithIndex
+        .map { case (y, i) => (i - xm) * (y - ym) }.sum
+      val vx = (0 until n).map(i => (i - xm) * (i - xm)).sum
+      cov / vx * 1000.0
+    } else Double.NaN
+    val nCounters = spark.read.parquet(s"$tmp/cms_counters").count()
+    val cmsCurveJson = cmsCurve
+      .map { case (b, s) => f"""[$b,$s%.2f]""" }.mkString(",")
+    println(f"""{"metric":"cms_stream_rows_per_sec","value":${cmsRows / cmsSec}%.0f,"unit":"rows/sec","rows":$cmsRows,"counter_rows":$nCounters,"seconds":$cmsSec%.2f,"batches":${cmsBatchSec.size}}""")
+    println(f"""{"metric":"cms_batch_curve","unit":"sec/batch","late_vs_early":$cmsRatio%.2f,"slope_ms_per_batch":$cmsSlopeMs%.1f,"curve":[$cmsCurveJson]}""")
     spark.stop()
   }
 }

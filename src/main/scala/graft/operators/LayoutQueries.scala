@@ -162,6 +162,20 @@ object LayoutQueries {
     path
   }
 
+  /** Positional posting table (term, doc_id, positions) for phrase
+    * search — built once per dataset behind the usual marker. */
+  def ensurePositionalPostings(s: SparkSession, d: String): String = {
+    val path = s"${layoutRoot(d)}/doc_postings_positional"
+    val docs = Tables.documents(s, d)
+    val expect =
+      s"layout=$LayoutVersion positional_postings files=16 rows=${docs.count()}"
+    if (!ArtifactCache.hit(path, expect)) {
+      graft.text.InvertedIndex.buildPositional(docs, path, 16)
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
   /** The q113 plan, exposed for the PlanSpec pin (bloom probe inside
     * the scan stage, semi join after). */
   def bloomPrefilterJoin(s: SparkSession, d: String): DataFrame = {
@@ -417,6 +431,29 @@ object LayoutQueries {
       val path = ensureScoredPostings(s, d)
       graft.text.InvertedIndex.rankedSearch(s, path,
         Seq("dup", "vector"), k = 15)
+    },
+
+    // ---- exact-phrase search off the positional posting table: the
+    //      ORDER-sensitive query the set-membership index cannot
+    //      answer. Index path: per-term posting slices joined on
+    //      doc_id, adjacency verified with array lambdas, key
+    //      semi-join back — corpus text never read. Oracle recomputes
+    //      phrase containment on the space-joined token list
+    //      (padded, so matches are exact token sequences, never
+    //      substring accidents). ----
+    GraftQuery("q125_phrase_search",
+      """SELECT doc_id, lang, n_chars
+        |FROM documents
+        |WHERE contains(
+        |  ' ' || array_to_string(list_filter(string_split_regex(
+        |    lower(text), '\s+'), x -> x <> ''), ' ') || ' ',
+        |  ' big order scan ')
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val path = ensurePositionalPostings(s, d)
+      graft.text.InvertedIndex.phraseSearch(s, path,
+          Tables.documents(s, d), Seq("big", "order", "scan"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
     },
   )
 }

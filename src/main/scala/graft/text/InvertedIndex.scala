@@ -114,6 +114,51 @@ object InvertedIndex {
     scored.orderBy(col("score").desc, col("doc_id")).limit(k)
   }
 
+  /** Build the POSITIONAL posting table for phrase search: one row per
+    * (term, doc) carrying the sorted token positions of every
+    * occurrence — same term-range clustering as [[build]]. Positions
+    * make the index answer ORDER-sensitive queries (exact phrases)
+    * that the set-membership table cannot: "spark shuffle" as a
+    * phrase, not as two co-occurring words. Cost over [[build]] is the
+    * positions payload (one int per token occurrence — the corpus's
+    * token count, spread across terms). */
+  def buildPositional(docs: DataFrame, path: String, files: Int): Unit =
+    docs.withColumn("toks", TextFunctions.tokens(col("text")))
+      .select(col("doc_id"), posexplode(col("toks")))
+      .groupBy(col("col").as("term"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .select(col("doc_id"), col("term"), col("positions"))
+      .repartitionByRange(files, col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").parquet(path)
+
+  /** Exact-phrase search over a [[buildPositional]] table: docs where
+    * `phrase` appears as CONSECUTIVE tokens. Reads one posting slice
+    * per distinct phrase term (pushed `term IN`), joins the slices on
+    * doc_id (k-1 joins of doc-frequency-sized frames — never the
+    * corpus), then verifies adjacency INSIDE the row with array
+    * lambdas: a start position p matches iff term i sits at p+i for
+    * every i. All builtin higher-order functions — codegen-friendly,
+    * no UDF. The final semi-join fetches matching docs by key, so the
+    * corpus text is never read (same contract as [[search]]). */
+  def phraseSearch(s: SparkSession, postingsPath: String,
+      docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch: need at least one term")
+    val slices = s.read.parquet(postingsPath)
+      .filter(col("term").isin(phrase.distinct: _*))
+    val perPos = phrase.zipWithIndex.map { case (t, i) =>
+      slices.filter(col("term") === t)
+        .select(col("doc_id"), col("positions").as(s"p$i"))
+    }
+    val joined = perPos.reduce(_.join(_, Seq("doc_id")))
+    val starts = filter(col("p0"), p =>
+      phrase.indices.drop(1).map(i =>
+        array_contains(col(s"p$i"), p + i)).reduceOption(_ && _)
+        .getOrElse(lit(true)))
+    docs.join(joined.filter(size(starts) > 0).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+  }
+
   /** Restore the term-range clustering of a posting table that has
     * accumulated unclustered appends (the streaming sink's per-batch
     * files span the whole term range, so their footer min/max prunes

@@ -127,6 +127,43 @@ class InvertedIndexSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toSeq == rankedBefore)
   }
 
+  test("phrase search: positional adjacency, not co-occurrence; parity with a text scan") {
+    val tmp = Files.createTempDirectory("graft-invidx5").toString
+    // doc 1 has the exact phrase; doc 2 has the words out of order;
+    // doc 3 has them non-adjacent; doc 4 repeats a term (start
+    // positions must line up per-occurrence, not per-term)
+    val docs = Seq(
+      (1L, "x alpha beta gamma y"),
+      (2L, "gamma beta alpha"),
+      (3L, "alpha x beta y gamma"),
+      (4L, "alpha alpha beta gamma"),
+      (5L, "alpha beta"))
+      .toDF("doc_id", "text")
+    InvertedIndex.buildPositional(docs, s"$tmp/p", 2)
+    def hits(phrase: Seq[String]) =
+      InvertedIndex.phraseSearch(spark, s"$tmp/p", docs, phrase)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(hits(Seq("alpha", "beta", "gamma")) == Seq(1L, 4L))
+    assert(hits(Seq("beta", "alpha")) == Seq(2L))
+    assert(hits(Seq("alpha", "alpha")) == Seq(4L))
+    assert(hits(Seq("alpha")) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(hits(Seq("alpha", "zzz")).isEmpty)
+
+    // corpus parity: index phrase hits == padded-string containment
+    // scan (the oracle's formulation) on real documents
+    val d01 = Tables.documents(spark, d)
+    InvertedIndex.buildPositional(d01, s"$tmp/real", 4)
+    val phrase = Seq("big", "order", "scan")
+    val got = InvertedIndex.phraseSearch(spark, s"$tmp/real", d01, phrase)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val want = d01.withColumn("joined",
+        concat(lit(" "), concat_ws(" ",
+          graft.functions.TextFunctions.tokens(col("text"))), lit(" ")))
+      .filter(col("joined").contains(" " + phrase.mkString(" ") + " "))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("postings are one row per (term, doc) and matchingIds intersects correctly") {
     val tmp = Files.createTempDirectory("graft-invidx2").toString
     val docs = Seq(
