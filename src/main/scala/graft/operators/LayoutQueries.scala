@@ -455,5 +455,95 @@ object LayoutQueries {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy("doc_id")
     },
+
+    // ---- hybrid retrieval: reciprocal-rank fusion of the BM25 text
+    //      ranking (q124's scored postings) and the cosine embedding
+    //      ranking (q20's convention, query = vec_id 7) — the modern
+    //      two-tower retrieval composition, as one oracle-checked
+    //      query. RRF works on RANKS (integers), so fusion is the
+    //      rational 1/(60+r) sum — deterministic cross-engine like
+    //      q124's rational idf; both engines rank with the identical
+    //      (rounded score, id) total order before fusing. Docs missing
+    //      from one ranking contribute only the other term
+    //      (full-outer + coalesce). Scale shape: each ranker is its
+    //      own bounded top-N (posting slices / broadcast-probe KNN);
+    //      fusion joins two ≤N-row frames. ----
+    GraftQuery("q126_hybrid_rrf", {
+      val cosSql =
+        """list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])) /
+          |      (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+          |       * sqrt(list_inner_product(CAST(q.q_emb AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[]))))""".stripMargin
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'),
+         |      x -> x <> '') AS toks FROM documents),
+         |d AS (SELECT doc_id, toks, len(toks) AS dl FROM t
+         |      WHERE len(toks) > 0),
+         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |          CAST(SUM(dl) AS BIGINT) AS tot FROM d),
+         |p AS (SELECT doc_id, dl, term, tf FROM (
+         |    SELECT doc_id, dl, 'dup' AS term,
+         |      CAST(len(list_filter(toks, x -> x = 'dup')) AS BIGINT) AS tf
+         |    FROM d
+         |    UNION ALL
+         |    SELECT doc_id, dl, 'vector' AS term,
+         |      CAST(len(list_filter(toks, x -> x = 'vector')) AS BIGINT) AS tf
+         |    FROM d)
+         |  WHERE tf > 0),
+         |f AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+         |      FROM p GROUP BY term),
+         |sc AS (SELECT p.doc_id,
+         |    round(SUM(((s.n - f.df + 0.5) / (f.df + 0.5)) *
+         |        ((p.tf * 2.2) /
+         |         (p.tf + 1.2 * (0.25 + 0.75 * (p.dl * s.n / s.tot))))), 6)
+         |      AS score
+         |  FROM p JOIN f ON p.term = f.term CROSS JOIN stats s
+         |  GROUP BY p.doc_id),
+         |bm AS (SELECT doc_id, row_number() OVER
+         |        (ORDER BY score DESC, doc_id) AS r_t
+         |      FROM (SELECT doc_id, score FROM sc
+         |            ORDER BY score DESC, doc_id LIMIT 100)),
+         |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 7),
+         |cs AS (SELECT e.vec_id AS doc_id, $cosSql AS sim
+         |       FROM embeddings e CROSS JOIN q),
+         |cv AS (SELECT doc_id, row_number() OVER
+         |        (ORDER BY round(sim, 6) DESC, doc_id) AS r_v
+         |      FROM (SELECT doc_id, round(sim, 6) AS sim FROM cs
+         |            ORDER BY round(sim, 6) DESC, doc_id LIMIT 100)),
+         |fused AS (SELECT COALESCE(bm.doc_id, cv.doc_id) AS doc_id,
+         |    round(COALESCE(1.0 / (60 + bm.r_t), 0.0) +
+         |          COALESCE(1.0 / (60 + cv.r_v), 0.0), 9) AS rrf
+         |  FROM bm FULL OUTER JOIN cv ON bm.doc_id = cv.doc_id)
+         |SELECT doc_id, rrf FROM fused
+         |ORDER BY rrf DESC, doc_id
+         |LIMIT 20""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val N = 100
+      // both windows run over LIMITed <=N-row frames — bounded by
+      // construction, not a corpus-wide global window
+      val bm = graft.text.InvertedIndex
+        .rankedSearch(s, ensureScoredPostings(s, d),
+          Seq("dup", "vector"), N)
+        .withColumn("r_t", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("r_t"))
+      val qv = Tables.embeddings(s, d).filter(col("vec_id") === 7)
+        .select(col("embedding").as("q_emb"))
+      val cv = Tables.embeddings(s, d).crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          round(graft.functions.VectorFunctions
+            .cosine(col("embedding"), col("q_emb")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("doc_id")).limit(N)
+        .withColumn("r_v", row_number().over(
+          Window.orderBy(col("sim").desc, col("doc_id"))))
+        .select(col("doc_id"), col("r_v"))
+      bm.join(cv, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          round(coalesce(lit(1.0) / (lit(60) + col("r_t")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_v")), lit(0.0)), 9)
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(20)
+    },
   )
 }
