@@ -66,7 +66,13 @@ case class ZOrderValue(left: Expression, right: Expression,
   private def cell(v: Long, min: Long, max: Long): Long =
     if (max <= min) 0L
     else {
-      val c = ((v - min).toDouble / (max - min).toDouble * 65535.0).toLong
+      // subtract in DOUBLE, not long: a span wider than Long range
+      // (min near Long.Min, max near Long.Max) would wrap (v - min)
+      // and (max - min) and collapse every row into garbage tiles —
+      // doubles lose low-bit precision there, which only blurs tile
+      // edges, never corrupts them
+      val c = ((v.toDouble - min.toDouble) /
+        (max.toDouble - min.toDouble) * 65535.0).toLong
       if (c < 0L) 0L else if (c > 65535L) 65535L else c
     }
 

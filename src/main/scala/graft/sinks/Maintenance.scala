@@ -87,6 +87,21 @@ object Maintenance {
     val old = new org.apache.hadoop.fs.Path(s"$path.precompact")
     fs.delete(tmp, true)
     write(tmp.toString)
+    // carry over underscore SIDE entries (e.g. a scored posting
+    // table's `_stats`, a CMS table's `_applied`): `spark.read` skips
+    // them, so a rewrite never reproduces them, and losing them in
+    // the swap would silently break the table's readers. COPY, not
+    // rename — live must stay complete until the renames commit.
+    // `_SUCCESS` is excluded (the tmp write makes its own); anything
+    // the writer already put in tmp wins.
+    val conf = spark.sessionState.newHadoopConf()
+    fs.listStatus(live).foreach { st =>
+      val n = st.getPath.getName
+      val dst = new org.apache.hadoop.fs.Path(tmp, n)
+      if (n.startsWith("_") && n != "_SUCCESS" && !fs.exists(dst))
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, dst,
+          false, conf)
+    }
     require(fs.rename(live, old),
       s"writeAndSwap: could not move $path aside")
     require(fs.rename(tmp, live),
@@ -193,6 +208,28 @@ object Maintenance {
       skipAtOrUnderFiles: Int = 1): (Long, Long) = {
     val (fs, rootPath) = fsOf(spark, root)
     require(fs.exists(rootPath), s"compactPartitioned: no table at $root")
+    // FIRST, repair swap debris from a previous run that crashed
+    // mid-leaf: a `<leaf>.precompact` sibling is either the only
+    // complete copy of a leaf whose swap died between renames (restore
+    // it) or a stale duplicate after the second rename (delete it) —
+    // recoverPrecompact distinguishes the two. A `<leaf>.compacting`
+    // dir is always a dead partial write. Without this sweep the leaf
+    // enumeration below would treat BOTH as partition directories:
+    // the crashed leaf would never be restored, and a root read would
+    // invent partition values like 'year=2024.precompact' with
+    // duplicated rows.
+    def repair(dir: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && !n.startsWith("_") && !n.startsWith(".")) {
+          if (n.endsWith(".compacting")) fs.delete(st.getPath, true)
+          else if (n.endsWith(".precompact"))
+            recoverPrecompact(spark, st.getPath.toString
+              .stripSuffix(".precompact"))
+          else repair(st.getPath)
+        }
+      }
+    repair(rootPath)
     // collect leaf partition dirs: directories containing data files.
     // Hive layouts never mix data files and partition subdirs in one
     // directory — refuse loudly if this one does (compacting such a

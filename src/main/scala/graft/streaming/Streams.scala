@@ -537,12 +537,10 @@ object Streams {
         val fresh = batch.dropDuplicates("doc_id")
           .join(seen.select(col("doc_id")).distinct(),
             Seq("doc_id"), "left_anti")
-        // same column order as InvertedIndex.build writes, so every
-        // file in the table carries one physical schema
-        fresh.select(col("doc_id"),
-            explode(array_distinct(
-              graft.functions.TextFunctions.tokens(col("text"))))
-              .as("term"))
+        // the ONE shared posting projection (InvertedIndex.postingsOf):
+        // same tokenization and column order as the batch build, by
+        // construction rather than by parallel maintenance
+        graft.text.InvertedIndex.postingsOf(fresh)
           .repartition(1)
           .write.mode("append").parquet(postingsPath)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
@@ -602,9 +600,25 @@ object Streams {
         graft.sinks.Maintenance.recoverPrecompact(spark, countersPath)
         val live = new org.apache.hadoop.fs.Path(countersPath)
         val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
-        val applied =
+        // the side file records (watermark, depth, width, ngram): a
+        // restarted sink configured with DIFFERENT sketch params would
+        // otherwise merge increments from an incompatible bucket space
+        // into the same (j, bucket) rows — splitting an item's counts
+        // across hash spaces and silently breaking the one-sided
+        // est >= true contract. Mismatch is a loud error, not a merge.
+        val meta =
           scala.util.Try(spark.read.parquet(s"$countersPath/_applied")
-            .head().getLong(0)).getOrElse(-1L)
+            .select("applied", "depth", "width", "ngram").head()).toOption
+        meta.foreach { m =>
+          require(m.getInt(1) == depth && m.getInt(2) == width &&
+            m.getInt(3) == n,
+            s"cmsSinkWriter: counter table $countersPath was built " +
+              s"with (depth=${m.getInt(1)}, width=${m.getInt(2)}, " +
+              s"ngram=${m.getInt(3)}) but this sink is configured " +
+              s"(depth=$depth, width=$width, ngram=$n) — incompatible " +
+              "bucket spaces cannot merge; use a new path or rebuild")
+        }
+        val applied = meta.map(_.getLong(0)).getOrElse(-1L)
         if (batchId > applied) {
           val P = graft.functions.TextFunctions.MinhashP
           val toks = graft.functions.TextFunctions.tokens(col("text"))
@@ -636,7 +650,8 @@ object Streams {
                   .agg(sum(col("cnt")).as("cnt"))
               else inc
             merged.repartition(1).write.mode("overwrite").parquet(tmp)
-            Seq(batchId).toDF("applied").repartition(1)
+            Seq((batchId, depth, width, n))
+              .toDF("applied", "depth", "width", "ngram").repartition(1)
               .write.mode("overwrite").parquet(s"$tmp/_applied")
           }
           if (fs.exists(live))
@@ -661,10 +676,15 @@ object Streams {
     * string column) against a [[cmsSinkWriter]] counter table: hash,
     * probe all d rows, take the min — `est >= true` always, the
     * standard CMS readout (q95's probe join, against the streamed
-    * table). */
+    * table). Depth and width come from the table's own `_applied`
+    * record, never from the caller — a probe in the wrong bucket
+    * space would silently undercount. */
   def cmsEstimates(s: org.apache.spark.sql.SparkSession,
-      countersPath: String, items: DataFrame, itemCol: String,
-      depth: Int = 4, width: Int = 1024): DataFrame = {
+      countersPath: String, items: DataFrame,
+      itemCol: String): DataFrame = {
+    val m = s.read.parquet(s"$countersPath/_applied")
+      .select("depth", "width").head()
+    val (depth, width) = (m.getInt(0), m.getInt(1))
     val P = graft.functions.TextFunctions.MinhashP
     val jb = explode(array((0 until depth).map { j =>
       val (a, b) = graft.functions.TextFunctions.minhashParams(j)

@@ -37,12 +37,20 @@ object InvertedIndex {
     * within each range slice maximizes footer min/max tightness and
     * run-length compression of the term column. */
   def build(docs: DataFrame, path: String, files: Int): Unit =
-    docs.select(col("doc_id"),
-        explode(array_distinct(TextFunctions.tokens(col("text"))))
-          .as("term"))
+    postingsOf(docs)
       .repartitionByRange(files, col("term"))
       .sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").parquet(path)
+
+  /** The posting projection — ONE definition, shared by [[build]] and
+    * the streaming sink ([[graft.streaming.Streams
+    * .keywordIndexSinkWriter]]), so every file of a posting table
+    * carries the same tokenization and column order no matter which
+    * path wrote it. */
+  def postingsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(TextFunctions.tokens(col("text"))))
+        .as("term"))
 
   /** Build the SCORED posting table for ranked retrieval: one row per
     * (term, doc) carrying the term frequency and the document's token
@@ -55,10 +63,9 @@ object InvertedIndex {
     * pays a corpus-wide scan for two numbers. One tokenize pass + one
     * (term, doc) aggregate + the range layout shuffle. */
   def buildScored(docs: DataFrame, path: String, files: Int): Unit = {
-    val toked = docs
-      .withColumn("toks", TextFunctions.tokens(col("text")))
+    docs.withColumn("toks", TextFunctions.tokens(col("text")))
       .filter(size(col("toks")) > 0)
-    toked.select(col("doc_id"), size(col("toks")).as("dl"),
+      .select(col("doc_id"), size(col("toks")).as("dl"),
         explode(col("toks")).as("term"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
@@ -66,8 +73,14 @@ object InvertedIndex {
       .repartitionByRange(files, col("term"))
       .sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").parquet(path)
-    toked.agg(count(lit(1)).as("n_docs"),
-        sum(size(col("toks"))).as("total_len"))
+    // derive the corpus stats from the JUST-WRITTEN postings (dl is
+    // functionally dependent on doc_id, so one row per doc recovers
+    // it exactly) — a columnar read of the small posting table, NOT a
+    // second tokenize pass over the corpus text
+    val s = docs.sparkSession
+    s.read.parquet(path)
+      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
       .repartition(1)
       .write.mode("overwrite").parquet(s"$path/_stats")
   }
@@ -168,18 +181,12 @@ object InvertedIndex {
     * and after — clustering only restores the row-group skip. */
   def recluster(s: SparkSession, path: String, files: Int): Unit =
     graft.sinks.Maintenance.writeAndSwap(s, path) { tmp =>
+      // a buildScored table's `_stats` side file survives the swap via
+      // writeAndSwap's shared underscore-entry carry-over
       s.read.parquet(path)
         .repartitionByRange(files, col("term"))
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite").parquet(tmp)
-      // a buildScored table carries its _stats side file (which the
-      // main-table read above ignores) — rewrite it into the new copy
-      // or the swap would silently drop it
-      val stats = new org.apache.hadoop.fs.Path(s"$path/_stats")
-      val fs = stats.getFileSystem(s.sessionState.newHadoopConf())
-      if (fs.exists(stats))
-        s.read.parquet(stats.toString).repartition(1)
-          .write.mode("overwrite").parquet(s"$tmp/_stats")
     }
 
   /** Doc-ids containing ALL of `terms` (conjunctive keyword search):
@@ -191,11 +198,16 @@ object InvertedIndex {
   def matchingIds(s: SparkSession, postingsPath: String,
       terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "matchingIds: need at least one term")
+    // dedup BEFORE counting: isin matches each posting row once, so a
+    // caller-repeated term must not inflate the required match count
+    // (Seq("a", "a") would otherwise demand nt == 2 of a table that
+    // can only ever supply one 'a' row per doc — empty result, silently)
+    val distinct = terms.distinct
     s.read.parquet(postingsPath)
-      .filter(col("term").isin(terms: _*))
+      .filter(col("term").isin(distinct: _*))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("nt")) // postings are distinct per (term, doc)
-      .filter(col("nt") === terms.size)
+      .filter(col("nt") === distinct.size)
       .select(col("doc_id"))
   }
 

@@ -175,6 +175,11 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(p.count() == p.distinct().count() && p.count() == 7)
     assert(InvertedIndex.matchingIds(spark, s"$tmp/p",
       Seq("alpha", "beta")).as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // a caller-repeated term must not inflate the required match
+    // count (isin can only match each posting row once)
+    assert(InvertedIndex.matchingIds(spark, s"$tmp/p",
+      Seq("alpha", "alpha")).as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L))
     intercept[IllegalArgumentException] {
       InvertedIndex.matchingIds(spark, s"$tmp/p", Nil)
     }

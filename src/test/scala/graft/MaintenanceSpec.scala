@@ -151,6 +151,54 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() === 301L)
   }
 
+  test("compactPartitioned repairs a leaf whose swap crashed, instead of compacting the debris") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft-partcrash").toString
+    val path = s"$tmp/t"
+    (0 until 3).foreach { b =>
+      Seq.tabulate(30)(i => (b * 100L + i, 2023 + i % 2))
+        .toDF("id", "year").repartition(1)
+        .write.partitionBy("year").mode("append").parquet(path)
+    }
+    val before = spark.read.parquet(path)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    // crash state 1: between the two renames — the leaf exists ONLY
+    // as .precompact (the single complete copy); plus a dead partial
+    // .compacting from the same crash
+    val leaf = new java.io.File(s"$path/year=2023")
+    assert(leaf.renameTo(new java.io.File(s"$path/year=2023.precompact")))
+    new java.io.File(s"$path/year=2024.compacting").mkdirs()
+    // without repair, the enumeration would compact BOTH debris dirs
+    // under their wrong names and a root read would invent partitions
+    // like 'year=2023.precompact' — instead: restore, then compact
+    val (nLeaves, _) = Maintenance.compactPartitioned(spark, path)
+    assert(nLeaves === 2L)
+    assert(leaf.exists())
+    assert(!new java.io.File(s"$path/year=2023.precompact").exists())
+    assert(!new java.io.File(s"$path/year=2024.compacting").exists())
+    val after = spark.read.parquet(path)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(after === before)
+    // partition VALUES are exactly the two real years
+    assert(spark.read.parquet(path).select("year").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq === Seq(2023, 2024))
+  }
+
+  test("writeAndSwap carries underscore side files through the swap") {
+    val tmp = Files.createTempDirectory("graft-sidefile").toString
+    val path = s"$tmp/t"
+    Seq(1L, 2L, 3L).toDF("id").repartition(3)
+      .write.parquet(path)
+    Seq((42L, "meta")).toDF("k", "v").repartition(1)
+      .write.parquet(s"$path/_side")
+    Maintenance.compactParquet(spark, path)
+    // the rewrite can't reproduce _side (spark.read skips it) — the
+    // shared swap must carry it over, for every writeAndSwap caller
+    val side = spark.read.parquet(s"$path/_side").collect()
+    assert(side.length === 1 && side.head.getLong(0) === 42L)
+    assert(spark.read.parquet(path).count() === 3L)
+  }
+
   test("compactPartitioned refuses a dir mixing data files and subdirs") {
     val tmp = Files.createTempDirectory("graft-partmix").toString
     val path = s"$tmp/t"

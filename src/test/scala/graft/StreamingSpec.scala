@@ -675,5 +675,19 @@ class StreamingSpec extends AnyFunSuite {
     q4.stop()
     assert(table(counters) == afterRun1)
     assert(!new java.io.File(s"$counters.precompact").exists())
+    // a sink restarted with DIFFERENT sketch params must refuse the
+    // table loudly — merging incompatible bucket spaces would split
+    // counts across hash spaces and break est >= true silently
+    val mem5 = MemoryStream[(Long, String)]
+    val q5 = Streams.cmsSinkWriter(mem5.toDF.toDF("doc_id", "text"),
+      counters, s"$tmp/ckpt5", width = 2048).start()
+    mem5.addData(b2)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q5.processAllAvailable()
+    }
+    assert(ex.getMessage.contains("incompatible") ||
+      Option(ex.getCause).exists(_.getMessage.contains("incompatible")))
+    q5.stop()
+    assert(table(counters) == afterRun1, "failed batch must not mutate")
   }
 }
