@@ -311,6 +311,35 @@ object ScaleProbe {
           .search(spark, postings, docs, terms).select("doc_id")
       }
       assert(viaScan == viaIndex, s"parity: scan=$viaScan index=$viaIndex")
+      // ranked (BM25) and phrase search at the same scale: both serve
+      // from their own one-off index build; the brute-force phrase
+      // scan is the comparison point (ranked has no scan equivalent
+      // cheaper than recomputing BM25 corpus-wide)
+      val scoredPath = s"$out100/postings_scored"
+      val ts0 = System.nanoTime()
+      graft.text.InvertedIndex.buildScored(docs, scoredPath, 16)
+      println(f"TIME keyword100 scored_build ${(System.nanoTime() - ts0) / 1e9}%.2f s")
+      timed("ranked_search") {
+        graft.text.InvertedIndex.rankedSearch(spark, scoredPath, terms, 100)
+      }
+      val posPath = s"$out100/postings_positional"
+      val tp0 = System.nanoTime()
+      graft.text.InvertedIndex.buildPositional(docs, posPath, 16)
+      println(f"TIME keyword100 positional_build ${(System.nanoTime() - tp0) / 1e9}%.2f s")
+      val phrase = Seq("big", "order", "scan")
+      val phraseScan = timed("phrase_text_scan") {
+        docs.withColumn("joined",
+            concat(lit(" "), concat_ws(" ",
+              graft.functions.TextFunctions.tokens(col("text"))), lit(" ")))
+          .filter(col("joined").contains(" " + phrase.mkString(" ") + " "))
+          .select("doc_id")
+      }
+      val phraseIdx = timed("phrase_index") {
+        graft.text.InvertedIndex
+          .phraseSearch(spark, posPath, docs, phrase).select("doc_id")
+      }
+      assert(phraseScan == phraseIdx,
+        s"phrase parity: scan=$phraseScan index=$phraseIdx")
       spark.stop()
       return
     }

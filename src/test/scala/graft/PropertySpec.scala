@@ -416,4 +416,52 @@ class PropertySpec extends AnyFunSuite {
     val expect = nodes.map(n => n -> find(n)).toMap
     assert(got === expect)
   }
+
+  test("zorder_value: random inputs decode to per-axis cells; Long-wide spans don't wrap") {
+    import org.apache.spark.sql.GraftSqlBridge
+    // inverse of the Morton spread: gather the even bits back
+    def compact(z: Long): Long = {
+      var x = z & 0x55555555L
+      x = (x | (x >> 1)) & 0x33333333L
+      x = (x | (x >> 2)) & 0x0F0F0F0FL
+      x = (x | (x >> 4)) & 0x00FF00FFL
+      (x | (x >> 8)) & 0x0000FFFFL
+    }
+    // the documented scale step (double arithmetic, clamped)
+    def cellRef(v: Long, min: Long, max: Long): Long =
+      if (max <= min) 0L
+      else {
+        val c = ((v.toDouble - min.toDouble) /
+          (max.toDouble - min.toDouble) * 65535.0).toLong
+        math.max(0L, math.min(65535L, c))
+      }
+    // three grids: a normal key range, a single-value degenerate, and
+    // a span WIDER than Long range (max - min would wrap in 64-bit
+    // integer arithmetic — the caught bug collapsed every tile there)
+    val grids = Seq(
+      (0L, 100000L), (7L, 7L), (-(1L << 62), 1L << 62))
+    for ((mn, mx) <- grids) {
+      val vGen = Gen.chooseNum(
+        math.max(Long.MinValue / 2, mn - 10), // stay clear of .toDouble edge-cases at Long.Min itself
+        math.min(Long.MaxValue / 2, mx + 10))
+      val cases = samples(Gen.zip(vGen, vGen), 200)
+      val z = GraftSqlBridge.column(graft.expressions.ZOrderValue(
+        GraftSqlBridge.expression(col("a")),
+        GraftSqlBridge.expression(col("b")), mn, mx, mn, mx))
+      val got = cases.toDF("a", "b").select(col("a"), col("b"), z.as("z"))
+        .as[(Long, Long, Long)].collect()
+      got.foreach { case (a, b, zv) =>
+        assert(zv >= 0L && zv < (1L << 32), s"zval range: $zv")
+        assert(compact(zv) == cellRef(a, mn, mx),
+          s"axis-a cell for ($a, grid $mn..$mx)")
+        assert(compact(zv >> 1) == cellRef(b, mn, mx),
+          s"axis-b cell for ($b, grid $mn..$mx)")
+      }
+      // per-axis monotonicity (cells never decrease as the key grows):
+      // the property row-group pruning rests on
+      val byA = got.sortBy(_._1).map(t => compact(t._3))
+      assert(byA.zip(byA.tail).forall { case (x, y) => x <= y },
+        s"monotone cells on grid $mn..$mx")
+    }
+  }
 }
