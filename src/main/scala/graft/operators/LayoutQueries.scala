@@ -176,6 +176,28 @@ object LayoutQueries {
     path
   }
 
+  /** Documents as a [[graft.sinks.ManifestTable]] — three appends
+    * (the incremental-ingest shape) then one compaction, so the
+    * latest snapshot reads ONE data dir while v1–v3 stay
+    * time-travelable. Built once per dataset behind the usual
+    * marker. */
+  def ensureManifestDocs(s: SparkSession, d: String): String = {
+    val path = s"${layoutRoot(d)}/docs_manifest"
+    val docs = Tables.documents(s, d)
+    val expect =
+      s"layout=$LayoutVersion manifest=3appends+compact rows=${docs.count()}"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      (0 until 3).foreach(i => graft.sinks.ManifestTable.append(s,
+        docs.filter(pmod(col("doc_id"), lit(3)) === i), path))
+      graft.sinks.ManifestTable.compact(s, path)
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
   /** The q113 plan, exposed for the PlanSpec pin (bloom probe inside
     * the scan stage, semi join after). */
   def bloomPrefilterJoin(s: SparkSession, d: String): DataFrame = {
@@ -544,6 +566,28 @@ object LayoutQueries {
             .as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id"))
         .limit(20)
+    },
+
+    // ---- manifest-table snapshot read: documents ingested as three
+    //      manifest commits then compacted — the query reads the
+    //      LATEST snapshot via the manifest's file list (one small
+    //      metadata read, no data-root listing: the metadata shape a
+    //      100 TB table needs; ManifestTableSpec pins atomic commits,
+    //      isolation, time travel, vacuum). The versioned layout must
+    //      never change the answer: the oracle recomputes from the
+    //      plain documents table. ----
+    GraftQuery("q127_manifest_snapshot_read",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (s, d) =>
+      val path = ensureManifestDocs(s, d)
+      graft.sinks.ManifestTable.read(s, path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("chars"))
+        .orderBy("lang")
     },
   )
 }

@@ -1,0 +1,181 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A minimal manifest-backed table: versioned snapshots over immutable
+  * data directories, with atomic commits by rename — the metadata
+  * pattern behind every modern table format (Iceberg/Delta/Hudi),
+  * reduced to the part a 100 TB pipeline cannot do without.
+  *
+  * Why a manifest at scale: a plain parquet directory makes EVERY scan
+  * pay an O(files) recursive listing before planning starts — at
+  * micro-batch append cadence that is millions of files, and on object
+  * stores each LIST is a metered RPC. A manifest inverts the
+  * dependency: the reader consults ONE small versioned file list (the
+  * newest `manifest/v*` parquet, itself found by listing a
+  * directory whose size is the snapshot count, bounded by [[vacuum]]),
+  * and plans directly against the exact data directories of that
+  * snapshot. Appends never rewrite data: each commit adds one
+  * immutable `data/c%08d` directory and a NEW manifest that is the old
+  * list plus one entry (copy-on-write metadata, like Iceberg's).
+  *
+  * Guarantees (single writer, standard streaming-sink ownership):
+  *  - COMMIT IS ATOMIC: the manifest parquet is written fully to a
+  *    `.tmp-` sibling and renamed into place; a reader lists either
+  *    the old max version or the new one, never a partial commit.
+  *  - SNAPSHOT ISOLATION: data dirs are immutable and a resolved
+  *    snapshot references only dirs that existed at its commit, so a
+  *    reader holding version v sees exactly v's rows no matter how
+  *    many appends/compactions land meanwhile. [[readVersion]] is
+  *    time travel to any un-vacuumed snapshot.
+  *  - CRASH SAFETY: a crash after the data write but before the
+  *    manifest rename leaves an ORPHAN data dir no manifest
+  *    references — invisible to every reader; the next append at that
+  *    version deletes and rewrites it, and [[vacuum]] reaps any
+  *    stragglers. A crash mid-manifest-write leaves only a `.tmp-`
+  *    dir, ignored by version listing and cleaned on the next commit.
+  *  - [[compact]] is a METADATA swap: rewrite current content into
+  *    one new data dir and commit a manifest pointing at it; older
+  *    snapshots keep reading their original dirs until [[vacuum]]
+  *    drops them (retention is an explicit choice, not a side effect).
+  */
+object ManifestTable {
+
+  private def fsOf(spark: SparkSession, path: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def vName(v: Long): String = f"v$v%08d"
+  private def cName(v: Long): String = f"c$v%08d"
+
+  /** Committed snapshot versions at `path`, ascending (empty for a
+    * fresh or absent table). */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val (fs, _) = fsOf(spark, path)
+    val m = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    if (!fs.exists(m)) Seq.empty
+    else fs.listStatus(m).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.length == 9)
+      .map(_.drop(1).toLong).sorted
+  }
+
+  def latestVersion(spark: SparkSession, path: String): Option[Long] =
+    versions(spark, path).lastOption
+
+  /** The data directories snapshot `v` references (absolute paths). */
+  private def dirsOf(spark: SparkSession, path: String,
+      v: Long): Seq[String] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/manifest/${vName(v)}")
+      .select("dir").as[String].collect().sorted.toSeq
+      .map(d => s"$path/data/$d")
+  }
+
+  /** Append `df` as one immutable data directory + one new manifest.
+    * Returns the committed version. Single-writer. */
+  def append(spark: SparkSession, df: DataFrame, path: String): Long = {
+    import spark.implicits._
+    val (fs, _) = fsOf(spark, path)
+    val prev = latestVersion(spark, path)
+    val v = prev.map(_ + 1).getOrElse(1L)
+    val dataDir = new org.apache.hadoop.fs.Path(s"$path/data/${cName(v)}")
+    // a crashed earlier attempt at THIS version left an orphan no
+    // manifest references — rewrite it
+    fs.delete(dataDir, true)
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val dirs = prev.map(pv =>
+      spark.read.parquet(s"$path/manifest/${vName(pv)}")
+        .select("dir").as[String].collect().toSeq)
+      .getOrElse(Seq.empty) :+ cName(v)
+    commit(spark, path, v, dirs)
+    v
+  }
+
+  private def commit(spark: SparkSession, path: String, v: Long,
+      dirs: Seq[String]): Unit = {
+    import spark.implicits._
+    val (fs, _) = fsOf(spark, path)
+    val mDir = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    fs.mkdirs(mDir)
+    // drop tmp debris from any crashed earlier commit
+    fs.listStatus(mDir).filter(_.getPath.getName.startsWith(".tmp-"))
+      .foreach(st => fs.delete(st.getPath, true))
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/manifest/.tmp-${vName(v)}")
+    dirs.toDF("dir").repartition(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val fin = new org.apache.hadoop.fs.Path(s"$path/manifest/${vName(v)}")
+    require(fs.rename(tmp, fin),
+      s"ManifestTable.commit: could not publish ${vName(v)} at $path")
+  }
+
+  /** Latest snapshot as a DataFrame. The file list is resolved NOW, so
+    * the returned frame keeps reading this snapshot's (immutable) dirs
+    * even if appends or compactions commit afterwards. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    readVersion(spark, path,
+      latestVersion(spark, path).getOrElse(
+        sys.error(s"ManifestTable.read: no committed version at $path")))
+
+  /** Time travel: snapshot `v` exactly as committed (fails if `v` was
+    * never committed or was vacuumed). */
+  def readVersion(spark: SparkSession, path: String, v: Long): DataFrame = {
+    val dirs = dirsOf(spark, path, v)
+    require(dirs.nonEmpty, s"ManifestTable: ${vName(v)} is empty")
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Rewrite the CURRENT snapshot's content into one fresh data dir
+    * (sized like [[Maintenance.compactParquet]]: `targetFileBytes`
+    * per file, floored at `minFiles` splits) and commit it as a new
+    * version. Pure metadata swap for readers — older snapshots still
+    * reference their original dirs until [[vacuum]]. Returns the new
+    * version. */
+  def compact(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20, minFiles: Int = 1): Long = {
+    val (fs, _) = fsOf(spark, path)
+    val prev = latestVersion(spark, path).getOrElse(
+      sys.error(s"ManifestTable.compact: no committed version at $path"))
+    val dirs = dirsOf(spark, path, prev)
+    val bytes = dirs.map(d => fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(d)).getLength).sum
+    val nOut = math.max(minFiles.toLong,
+      (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val v = prev + 1
+    val dataDir = new org.apache.hadoop.fs.Path(s"$path/data/${cName(v)}")
+    fs.delete(dataDir, true)
+    spark.read.parquet(dirs: _*).repartition(nOut)
+      .write.mode("overwrite").parquet(dataDir.toString)
+    commit(spark, path, v, Seq(cName(v)))
+    v
+  }
+
+  /** Drop snapshots older than the newest `keepVersions` and delete
+    * every data dir none of the kept snapshots references (orphans
+    * from crashed appends included). Returns (manifests dropped, data
+    * dirs deleted). After vacuum, time travel reaches only the kept
+    * versions — retention is this ONE explicit knob. */
+  def vacuum(spark: SparkSession, path: String,
+      keepVersions: Int = 1): (Int, Int) = {
+    require(keepVersions >= 1, "vacuum: must keep at least one version")
+    val (fs, _) = fsOf(spark, path)
+    val vs = versions(spark, path)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
+    val referenced = keep.flatMap(v => dirsOf(spark, path, v)
+      .map(_.split('/').last)).toSet
+    drop.foreach(v => fs.delete(
+      new org.apache.hadoop.fs.Path(s"$path/manifest/${vName(v)}"), true))
+    val dataRoot = new org.apache.hadoop.fs.Path(s"$path/data")
+    val removed =
+      if (!fs.exists(dataRoot)) 0
+      else fs.listStatus(dataRoot).count { st =>
+        val keepIt = referenced.contains(st.getPath.getName)
+        if (!keepIt) fs.delete(st.getPath, true)
+        !keepIt
+      }
+    (drop.size, removed)
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.sinks.ManifestTable
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The manifest table's contract: atomic versioned commits, snapshot
+  * isolation under later appends/compaction, crash-state invisibility,
+  * and vacuum as the one explicit retention knob.
+  */
+class ManifestTableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("id").as[Long].collect().sorted.toSeq
+
+  test("append commits versioned snapshots; time travel reads each exactly") {
+    val t = s"${Files.createTempDirectory("graft-manifest")}/t"
+    assert(ManifestTable.latestVersion(spark, t).isEmpty)
+    assert(ManifestTable.append(spark, Seq(1L, 2L).toDF("id"), t) == 1L)
+    assert(ManifestTable.append(spark, Seq(3L).toDF("id"), t) == 2L)
+    assert(ManifestTable.append(spark, Seq(4L, 5L).toDF("id"), t) == 3L)
+    assert(ManifestTable.versions(spark, t) == Seq(1L, 2L, 3L))
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(ids(ManifestTable.readVersion(spark, t, 1)) == Seq(1L, 2L))
+    assert(ids(ManifestTable.readVersion(spark, t, 2)) == Seq(1L, 2L, 3L))
+  }
+
+  test("snapshot isolation: a resolved read is unaffected by later commits") {
+    val t = s"${Files.createTempDirectory("graft-manifest2")}/t"
+    ManifestTable.append(spark, Seq(1L, 2L).toDF("id"), t)
+    val snapshot = ManifestTable.read(spark, t) // resolves v1's dirs NOW
+    ManifestTable.append(spark, Seq(3L).toDF("id"), t)
+    ManifestTable.compact(spark, t)
+    // the held frame still reads exactly v1 — data dirs are immutable
+    // and compaction only ADDS a new dir + manifest
+    assert(ids(snapshot) == Seq(1L, 2L))
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L, 3L))
+  }
+
+  test("crashed append is invisible: orphan data + manifest tmp never surface") {
+    val t = s"${Files.createTempDirectory("graft-manifest3")}/t"
+    ManifestTable.append(spark, Seq(1L).toDF("id"), t)
+    // simulate a crash AFTER the data write, BEFORE the manifest
+    // rename: an orphan c00000002 dir and a .tmp- manifest dir
+    Seq(99L).toDF("id").write.parquet(s"$t/data/c00000002")
+    Seq("c00000001", "c00000002").toDF("dir").repartition(1)
+      .write.parquet(s"$t/manifest/.tmp-v00000002")
+    // readers see only the committed snapshot
+    assert(ManifestTable.latestVersion(spark, t).contains(1L))
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L))
+    // the next append at that version REPLACES the orphan and commits
+    assert(ManifestTable.append(spark, Seq(2L).toDF("id"), t) == 2L)
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L))
+    assert(!new java.io.File(s"$t/manifest/.tmp-v00000002").exists())
+  }
+
+  test("compact is a metadata swap; vacuum is the explicit retention knob") {
+    val t = s"${Files.createTempDirectory("graft-manifest4")}/t"
+    (1 to 4).foreach(i => ManifestTable.append(spark, Seq(i.toLong).toDF("id"), t))
+    val v = ManifestTable.compact(spark, t)
+    assert(v == 5L)
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L, 3L, 4L))
+    // pre-compaction snapshots still read (their dirs survive)
+    assert(ids(ManifestTable.readVersion(spark, t, 2)) == Seq(1L, 2L))
+    // vacuum to the newest snapshot: the 4 original data dirs and the
+    // 4 old manifests go; the compacted dir stays
+    val (droppedManifests, droppedDirs) = ManifestTable.vacuum(spark, t, 1)
+    assert(droppedManifests == 4 && droppedDirs == 4)
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L, 3L, 4L))
+    intercept[Exception] { ManifestTable.readVersion(spark, t, 2).collect() }
+    // vacuum also reaps crashed-append orphans
+    Seq(99L).toDF("id").write.parquet(s"$t/data/c00000099")
+    assert(ManifestTable.vacuum(spark, t, 1) == ((0, 1)))
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("manifest scan planning never lists the data root") {
+    // the point of the manifest at scale: the reader consults ONE
+    // small file list; a foreign (never-referenced) directory under
+    // data/ is simply invisible — a plain recursive read would have
+    // picked it up
+    val t = s"${Files.createTempDirectory("graft-manifest5")}/t"
+    ManifestTable.append(spark, Seq(1L).toDF("id"), t)
+    Seq(42L).toDF("id").write.parquet(s"$t/data/not-a-commit")
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L))
+  }
+}
