@@ -23,7 +23,7 @@ object LayoutQueries {
 
   /** Bumped on any layout-building change — stale /tmp layouts then
     * auto-invalidate (same contract as [[graft.vector.AnnVersion]]). */
-  private val LayoutVersion = 2 // r9: buildScored stats derivation changed
+  private val LayoutVersion = 3 // r9: manifest schema gained tag + stats
 
   private def datasetKey(d: String): String =
     java.security.MessageDigest.getInstance("SHA-256")

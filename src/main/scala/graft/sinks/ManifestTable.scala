@@ -66,19 +66,46 @@ object ManifestTable {
   def latestVersion(spark: SparkSession, path: String): Option[Long] =
     versions(spark, path).lastOption
 
-  /** The data directories snapshot `v` references (absolute paths). */
-  private def dirsOf(spark: SparkSession, path: String,
-      v: Long): Seq[String] = {
+  /** One manifest entry: a data dir, the commit tag that added it
+    * (streaming batch watermark; -1 for batch appends), and optional
+    * min/max stats of one long-castable column for dir-level pruning. */
+  final case class Entry(dir: String, tag: Long, statCol: String,
+      statMin: java.lang.Long, statMax: java.lang.Long)
+
+  private def entriesOf(spark: SparkSession, path: String,
+      v: Long): Seq[Entry] = {
     import spark.implicits._
     spark.read.parquet(s"$path/manifest/${vName(v)}")
-      .select("dir").as[String].collect().sorted.toSeq
-      .map(d => s"$path/data/$d")
+      .select("dir", "tag", "statCol", "statMin", "statMax")
+      .as[(String, Long, Option[String], Option[Long], Option[Long])]
+      .collect().sortBy(_._1)
+      .map(t => Entry(t._1, t._2, t._3.orNull,
+        t._4.map(Long.box).orNull, t._5.map(Long.box).orNull)).toSeq
   }
 
+  /** The data directories snapshot `v` references (absolute paths). */
+  private def dirsOf(spark: SparkSession, path: String,
+      v: Long): Seq[String] =
+    entriesOf(spark, path, v).map(e => s"$path/data/${e.dir}")
+
+  /** The highest commit tag in the latest snapshot (-1 if the table
+    * is empty or only untagged) — the streaming sink's exactly-once
+    * watermark: the tag travels INSIDE the atomically-renamed
+    * manifest, so "rows of batch B are in the table" and "watermark
+    * says B" are one filesystem operation. */
+  def latestTag(spark: SparkSession, path: String): Long =
+    latestVersion(spark, path)
+      .map(v => entriesOf(spark, path, v).map(_.tag).foldLeft(-1L)(math.max))
+      .getOrElse(-1L)
+
   /** Append `df` as one immutable data directory + one new manifest.
-    * Returns the committed version. Single-writer. */
-  def append(spark: SparkSession, df: DataFrame, path: String): Long = {
-    import spark.implicits._
+    * `tag` is recorded on the new entry (streaming watermark);
+    * `statsCol` additionally records the new dir's min/max of that
+    * long-castable column, enabling [[readPruned]] to skip whole dirs
+    * from the manifest alone. Returns the committed version.
+    * Single-writer. */
+  def append(spark: SparkSession, df: DataFrame, path: String,
+      tag: Long = -1L, statsCol: Option[String] = None): Long = {
     val (fs, _) = fsOf(spark, path)
     val prev = latestVersion(spark, path)
     val v = prev.map(_ + 1).getOrElse(1L)
@@ -86,17 +113,25 @@ object ManifestTable {
     // a crashed earlier attempt at THIS version left an orphan no
     // manifest references — rewrite it
     fs.delete(dataDir, true)
+    // stats BEFORE the write (one agg over the batch-sized frame);
+    // empty frame -> null stats (prunes like a statless dir: never)
+    val stats = statsCol.flatMap { c =>
+      val r = df.agg(min(col(c).cast("long")), max(col(c).cast("long")))
+        .head()
+      if (r.isNullAt(0)) None else Some((c, r.getLong(0), r.getLong(1)))
+    }
     df.write.mode("overwrite").parquet(dataDir.toString)
-    val dirs = prev.map(pv =>
-      spark.read.parquet(s"$path/manifest/${vName(pv)}")
-        .select("dir").as[String].collect().toSeq)
-      .getOrElse(Seq.empty) :+ cName(v)
-    commit(spark, path, v, dirs)
+    val prevEntries = prev.map(pv => entriesOf(spark, path, pv))
+      .getOrElse(Seq.empty)
+    val entry = Entry(cName(v), tag, stats.map(_._1).orNull,
+      stats.map(s => Long.box(s._2)).orNull,
+      stats.map(s => Long.box(s._3)).orNull)
+    commit(spark, path, v, prevEntries :+ entry)
     v
   }
 
   private def commit(spark: SparkSession, path: String, v: Long,
-      dirs: Seq[String]): Unit = {
+      entries: Seq[Entry]): Unit = {
     import spark.implicits._
     val (fs, _) = fsOf(spark, path)
     val mDir = new org.apache.hadoop.fs.Path(s"$path/manifest")
@@ -105,11 +140,38 @@ object ManifestTable {
     fs.listStatus(mDir).filter(_.getPath.getName.startsWith(".tmp-"))
       .foreach(st => fs.delete(st.getPath, true))
     val tmp = new org.apache.hadoop.fs.Path(s"$path/manifest/.tmp-${vName(v)}")
-    dirs.toDF("dir").repartition(1)
+    entries.map(e => (e.dir, e.tag, Option(e.statCol),
+        Option(e.statMin).map(Long.unbox), Option(e.statMax).map(Long.unbox)))
+      .toDF("dir", "tag", "statCol", "statMin", "statMax")
+      .repartition(1)
       .write.mode("overwrite").parquet(tmp.toString)
     val fin = new org.apache.hadoop.fs.Path(s"$path/manifest/${vName(v)}")
     require(fs.rename(tmp, fin),
       s"ManifestTable.commit: could not publish ${vName(v)} at $path")
+  }
+
+  /** Latest snapshot restricted to data dirs whose recorded
+    * `[statMin, statMax]` overlaps `[lo, hi]` on `statsCol` — dir
+    * granularity pruning decided from the MANIFEST alone, before any
+    * data file is listed or opened (the Iceberg-manifest-stats idea
+    * at its smallest). Dirs with no stats (or stats on a different
+    * column) are conservatively kept; an empty survivor set returns
+    * an empty frame with the snapshot's schema. The caller still
+    * applies its row filter — pruning only cuts which dirs can
+    * contain matches, exactly like parquet's own row-group skip one
+    * level down. */
+  def readPruned(spark: SparkSession, path: String, statsCol: String,
+      lo: Long, hi: Long): DataFrame = {
+    val v = latestVersion(spark, path).getOrElse(
+      sys.error(s"ManifestTable.readPruned: no committed version at $path"))
+    val entries = entriesOf(spark, path, v)
+    val keep = entries.filter(e =>
+      e.statCol != statsCol || e.statMin == null ||
+        (e.statMax >= lo && e.statMin <= hi))
+    if (keep.isEmpty)
+      // schema from one dir, zero rows — a fully-pruned read is empty
+      spark.read.parquet(s"$path/data/${entries.head.dir}").limit(0)
+    else spark.read.parquet(keep.map(e => s"$path/data/${e.dir}"): _*)
   }
 
   /** Latest snapshot as a DataFrame. The file list is resolved NOW, so
@@ -139,7 +201,8 @@ object ManifestTable {
     val (fs, _) = fsOf(spark, path)
     val prev = latestVersion(spark, path).getOrElse(
       sys.error(s"ManifestTable.compact: no committed version at $path"))
-    val dirs = dirsOf(spark, path, prev)
+    val entries = entriesOf(spark, path, prev)
+    val dirs = entries.map(e => s"$path/data/${e.dir}")
     val bytes = dirs.map(d => fs.getContentSummary(
       new org.apache.hadoop.fs.Path(d)).getLength).sum
     val nOut = math.max(minFiles.toLong,
@@ -149,7 +212,20 @@ object ManifestTable {
     fs.delete(dataDir, true)
     spark.read.parquet(dirs: _*).repartition(nOut)
       .write.mode("overwrite").parquet(dataDir.toString)
-    commit(spark, path, v, Seq(cName(v)))
+    // the merged entry PRESERVES the watermark (max tag — compaction
+    // must not make a replayed batch look fresh) and folds the stats
+    // (min of mins / max of maxes when every entry carries the same
+    // stats column; dropped otherwise — conservative, never wrong)
+    val tag = entries.map(_.tag).foldLeft(-1L)(math.max)
+    val statCols = entries.map(e => Option(e.statCol)).distinct
+    val merged = statCols match {
+      case Seq(Some(c)) if entries.forall(_.statMin != null) =>
+        Entry(cName(v), tag, c,
+          Long.box(entries.map(e => Long.unbox(e.statMin)).min),
+          Long.box(entries.map(e => Long.unbox(e.statMax)).max))
+      case _ => Entry(cName(v), tag, null, null, null)
+    }
+    commit(spark, path, v, Seq(merged))
     v
   }
 

@@ -701,6 +701,49 @@ object Streams {
       .agg(min(col("cnt")).as("est"))
   }
 
+  /** Exactly-once streaming ingest into a
+    * [[graft.sinks.ManifestTable]]: each micro-batch commits as one
+    * immutable data dir + one atomically-renamed manifest carrying
+    * the batchId as its tag — so "batch B's rows are in the table"
+    * and "watermark says B" are a single filesystem rename, and a
+    * replayed batch (tag <= watermark) is skipped without any
+    * content-based dedup. This is the third idempotence mechanism in
+    * the sink family, and the cheapest: the anti-join sinks pay a
+    * per-batch table scan for content identity, the CMS sink rewrites
+    * its (fixed-size) state per batch; here the append IS the commit
+    * and costs only the batch write + one tiny manifest.
+    *
+    * What readers get over a plain parquet-append sink: snapshot
+    * isolation while the stream runs (a query planned mid-stream
+    * reads a consistent committed prefix, never a half-written
+    * batch), time travel to any batch boundary, and — with
+    * `statsCol` set — manifest-level dir pruning
+    * ([[graft.sinks.ManifestTable.readPruned]]), which for a
+    * monotone column (event time, ingest id) makes "recent data"
+    * queries skip every old batch dir from ONE metadata read. The
+    * same batchId-watermark caveat as [[cmsSinkWriter]] applies:
+    * retain the checkpoint; after checkpoint loss, NEW data under a
+    * reused low batchId would be skipped as a replay.
+    *
+    * `compactEvery` folds accumulated batch dirs into one
+    * (watermark- and stats-preserving) — the manifest analogue of the
+    * file-count cadence every append sink needs, but here old
+    * snapshots stay readable until an explicit vacuum. */
+  def manifestSinkWriter(docs: DataFrame, tablePath: String,
+      checkpoint: String, statsCol: Option[String] = None,
+      compactEvery: Int = 0): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (batchId > graft.sinks.ManifestTable.latestTag(spark, tablePath))
+          graft.sinks.ManifestTable.append(spark, batch, tablePath,
+            tag = batchId, statsCol = statsCol)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          graft.sinks.ManifestTable.compact(spark, tablePath)
+        ()
+      }
+
   /** Stream-static enrichment join: each micro-batch left-joins the
     * static dimension on `key` — the streaming form of the J2
     * enrichment join (lookup metadata for every arriving record).

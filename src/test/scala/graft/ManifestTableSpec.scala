@@ -1,6 +1,7 @@
 package graft
 
 import graft.sinks.ManifestTable
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
@@ -74,6 +75,36 @@ class ManifestTableSpec extends AnyFunSuite {
     Seq(99L).toDF("id").write.parquet(s"$t/data/c00000099")
     assert(ManifestTable.vacuum(spark, t, 1) == ((0, 1)))
     assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("manifest stats prune whole dirs; compaction folds stats and keeps the watermark") {
+    val t = s"${Files.createTempDirectory("graft-manifest6")}/t"
+    // three appends with disjoint id ranges, stats recorded
+    ManifestTable.append(spark, Seq(1L, 5L).toDF("id"), t,
+      tag = 0L, statsCol = Some("id"))
+    ManifestTable.append(spark, Seq(10L, 15L).toDF("id"), t,
+      tag = 1L, statsCol = Some("id"))
+    ManifestTable.append(spark, Seq(20L, 25L).toDF("id"), t,
+      tag = 2L, statsCol = Some("id"))
+    assert(ManifestTable.latestTag(spark, t) == 2L)
+    // a [10, 15] probe reads ONE dir — decided from the manifest,
+    // before any data file is opened
+    val pruned = ManifestTable.readPruned(spark, t, "id", 10L, 15L)
+    assert(pruned.inputFiles.length ==
+      spark.read.parquet(s"$t/data/c00000002").inputFiles.length)
+    assert(ids(pruned.filter(col("id").between(10, 15))) == Seq(10L, 15L))
+    // fully-disjoint probe: zero dirs, empty frame, schema intact
+    val none = ManifestTable.readPruned(spark, t, "id", 100L, 200L)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id"))
+    // a probe on a column WITHOUT stats keeps everything (conservative)
+    assert(ManifestTable.readPruned(spark, t, "other", 0L, 0L).count() == 6)
+    // compaction folds stats (min of mins, max of maxes) and keeps
+    // the exactly-once watermark
+    ManifestTable.compact(spark, t)
+    assert(ManifestTable.latestTag(spark, t) == 2L)
+    val all = ManifestTable.readPruned(spark, t, "id", 1L, 1L)
+    assert(ids(all.filter(col("id") === 1L)) == Seq(1L))
+    assert(ManifestTable.readPruned(spark, t, "id", 100L, 200L).count() == 0)
   }
 
   test("manifest scan planning never lists the data root") {
