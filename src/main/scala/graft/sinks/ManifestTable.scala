@@ -59,7 +59,11 @@ object ManifestTable {
     if (!fs.exists(m)) Seq.empty
     else fs.listStatus(m).toSeq
       .map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.length == 9)
+      // parse by shape, not length: vName pads to 8 digits but grows
+      // past them (version 1e8+ must stay visible or append clobbers
+      // a committed snapshot and then deadlocks on the rename)
+      .filter(n => n.length > 1 && n.startsWith("v") &&
+        n.drop(1).forall(_.isDigit))
       .map(_.drop(1).toLong).sorted
   }
 
@@ -113,14 +117,22 @@ object ManifestTable {
     // a crashed earlier attempt at THIS version left an orphan no
     // manifest references — rewrite it
     fs.delete(dataDir, true)
-    // stats BEFORE the write (one agg over the batch-sized frame);
-    // empty frame -> null stats (prunes like a statless dir: never)
-    val stats = statsCol.flatMap { c =>
-      val r = df.agg(min(col(c).cast("long")), max(col(c).cast("long")))
-        .head()
-      if (r.isNullAt(0)) None else Some((c, r.getLong(0), r.getLong(1)))
-    }
     df.write.mode("overwrite").parquet(dataDir.toString)
+    // stats from the WRITTEN dir, not from `df`: a second evaluation
+    // of an unpersisted frame could disagree with what was written
+    // (source mutated between jobs, non-deterministic column) and a
+    // too-narrow recorded range would make readPruned silently drop
+    // matching rows. The written dir is immutable — its stats are the
+    // truth, for one cheap columnar read of the batch-sized dir.
+    // All-null or empty -> null stats (never pruned: conservative).
+    val stats = statsCol.flatMap { c =>
+      // Try: an empty batch may write a file-less dir Spark can't read
+      scala.util.Try {
+        val r = spark.read.parquet(dataDir.toString)
+          .agg(min(col(c).cast("long")), max(col(c).cast("long"))).head()
+        if (r.isNullAt(0)) None else Some((c, r.getLong(0), r.getLong(1)))
+      }.toOption.flatten
+    }
     val prevEntries = prev.map(pv => entriesOf(spark, path, pv))
       .getOrElse(Seq.empty)
     val entry = Entry(cName(v), tag, stats.map(_._1).orNull,
@@ -227,6 +239,57 @@ object ManifestTable {
     }
     commit(spark, path, v, Seq(merged))
     v
+  }
+
+  /** Copy-on-write row-level delete of `[lo, hi]` on `statsCol`:
+    * ONLY the data dirs whose recorded stats overlap the range are
+    * rewritten (filtered, restatted, possibly dropped entirely when
+    * emptied); every other dir keeps its identity — no rewrite, no
+    * new files, same entry, just copied into the new manifest. That
+    * is the delete shape a 100 TB table needs: cost proportional to
+    * the data that CONTAINS matches, not to the table (with a
+    * monotone stats column like event time, a retention delete
+    * touches exactly the expired dirs). Dirs without stats on
+    * `statsCol` are conservatively rewritten (they might contain
+    * matches). Old snapshots still see the deleted rows until
+    * [[vacuum]] — deletion is a new version, not an edit. Returns
+    * (new version, dirs rewritten). */
+  def deleteRange(spark: SparkSession, path: String, statsCol: String,
+      lo: Long, hi: Long): (Long, Int) = {
+    val (fs, _) = fsOf(spark, path)
+    val prev = latestVersion(spark, path).getOrElse(
+      sys.error(s"ManifestTable.deleteRange: no committed version at $path"))
+    val entries = entriesOf(spark, path, prev)
+    val (touch, keep) = entries.partition(e =>
+      e.statCol != statsCol || e.statMin == null ||
+        (e.statMax >= lo && e.statMin <= hi))
+    val v = prev + 1
+    val rewritten = touch.zipWithIndex.flatMap { case (e, i) =>
+      val newDir = f"${cName(v)}_$i%04d"
+      val target = new org.apache.hadoop.fs.Path(s"$path/data/$newDir")
+      fs.delete(target, true) // crashed earlier attempt at this version
+      // null keys are never "in range" — they must survive a range
+      // delete (a bare !between would evaluate null and drop them)
+      val kept = spark.read.parquet(s"$path/data/${e.dir}")
+        .filter(col(statsCol).isNull ||
+          !col(statsCol).cast("long").between(lo, hi))
+      if (kept.head(1).isEmpty) None // dir fully deleted: no entry
+      else {
+        kept.write.mode("overwrite").parquet(target.toString)
+        // re-stat from the WRITTEN dir (same consistency rule as
+        // append — the written files are the truth); all-null-key
+        // survivors get null stats (kept by every future prune:
+        // conservative, exactly right)
+        val stats = spark.read.parquet(target.toString)
+          .agg(min(col(statsCol).cast("long")),
+            max(col(statsCol).cast("long"))).head()
+        if (stats.isNullAt(0)) Some(Entry(newDir, e.tag, null, null, null))
+        else Some(Entry(newDir, e.tag, statsCol,
+          Long.box(stats.getLong(0)), Long.box(stats.getLong(1))))
+      }
+    }
+    commit(spark, path, v, keep ++ rewritten)
+    (v, touch.size)
   }
 
   /** Drop snapshots older than the newest `keepVersions` and delete

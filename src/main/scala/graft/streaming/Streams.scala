@@ -725,22 +725,37 @@ object Streams {
     * retain the checkpoint; after checkpoint loss, NEW data under a
     * reused low batchId would be skipped as a replay.
     *
-    * `compactEvery` folds accumulated batch dirs into one
-    * (watermark- and stats-preserving) — the manifest analogue of the
-    * file-count cadence every append sink needs, but here old
-    * snapshots stay readable until an explicit vacuum. */
+    * In-stream maintenance is VACUUM, not compaction: `vacuumEvery`
+    * > 0 drops snapshots beyond the newest `keepVersions` every that
+    * many fresh batches — a metadata-only delete that bounds the
+    * manifest directory's listing cost (which every batch's
+    * watermark read pays). Data-dir compaction
+    * ([[graft.sinks.ManifestTable.compact]]) is deliberately NOT
+    * offered on the hot path: it is a full-table rewrite, so an
+    * in-stream cadence would pay O(table²) cumulative bytes — the
+    * same trap the dedup sink's corpus-compaction comment documents.
+    * Run it offline in a quiet window; dir-count growth between
+    * compactions costs readers one extra listing per dir, the same
+    * linear term as any append table's file count. */
   def manifestSinkWriter(docs: DataFrame, tablePath: String,
       checkpoint: String, statsCol: Option[String] = None,
-      compactEvery: Int = 0): DataStreamWriter[Row] =
+      vacuumEvery: Int = 0, keepVersions: Int = 2): DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        if (batchId > graft.sinks.ManifestTable.latestTag(spark, tablePath))
+        val fresh =
+          batchId > graft.sinks.ManifestTable.latestTag(spark, tablePath)
+        if (fresh) {
           graft.sinks.ManifestTable.append(spark, batch, tablePath,
             tag = batchId, statsCol = statsCol)
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-          graft.sinks.ManifestTable.compact(spark, tablePath)
+          // replayed batches skip maintenance too — a no-op append
+          // must not pay (or commit) anything
+          if (vacuumEvery > 0 && batchId > 0 &&
+              batchId % vacuumEvery == 0)
+            graft.sinks.ManifestTable.vacuum(spark, tablePath,
+              keepVersions)
+        }
         ()
       }
 

@@ -107,6 +107,41 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.readPruned(spark, t, "id", 100L, 200L).count() == 0)
   }
 
+  test("deleteRange rewrites only overlapping dirs; untouched dirs keep their identity") {
+    val t = s"${Files.createTempDirectory("graft-manifest7")}/t"
+    ManifestTable.append(spark, Seq(1L, 5L).toDF("id"), t,
+      tag = 0L, statsCol = Some("id"))
+    ManifestTable.append(spark, Seq(10L, 15L).toDF("id"), t,
+      tag = 1L, statsCol = Some("id"))
+    ManifestTable.append(spark, Seq(20L, 25L).toDF("id"), t,
+      tag = 2L, statsCol = Some("id"))
+    // delete [12, 22]: middle dir rewritten (15 goes), last dir
+    // rewritten (20 goes), first dir untouched
+    val (v, rewritten) = ManifestTable.deleteRange(spark, t, "id", 12L, 22L)
+    assert(v == 4L && rewritten == 2)
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 5L, 10L, 25L))
+    // dir identity: the untouched first dir's files are REUSED, not
+    // copied (same physical files in both snapshots)
+    val before = ManifestTable.readVersion(spark, t, 3).inputFiles.toSet
+    val after = ManifestTable.read(spark, t).inputFiles.toSet
+    assert((after -- before).forall(_.contains("c00000004_")),
+      "only rewritten dirs may contribute new files")
+    assert(after.exists(f => before.contains(f) && f.contains("c00000001")),
+      "the non-overlapping dir must keep its original files")
+    // deletion is a new version: the old snapshot still sees the rows
+    assert(ids(ManifestTable.readVersion(spark, t, 3)) ==
+      Seq(1L, 5L, 10L, 15L, 20L, 25L))
+    // watermark survives; a delete covering a WHOLE dir drops its entry
+    assert(ManifestTable.latestTag(spark, t) == 2L)
+    val (v2, _) = ManifestTable.deleteRange(spark, t, "id", 0L, 9L)
+    assert(ids(ManifestTable.read(spark, t)) == Seq(10L, 25L))
+    assert(ManifestTable.readVersion(spark, t, v2).inputFiles
+      .forall(!_.contains("c00000001/")),
+      "the emptied dir must vanish from the manifest")
+    // and pruning stays tight after the rewrite's re-statting
+    assert(ManifestTable.readPruned(spark, t, "id", 0L, 9L).count() == 0)
+  }
+
   test("manifest scan planning never lists the data root") {
     // the point of the manifest at scale: the reader consults ONE
     // small file list; a foreign (never-referenced) directory under

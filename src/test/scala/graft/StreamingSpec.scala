@@ -701,15 +701,22 @@ class StreamingSpec extends AnyFunSuite {
     val b2 = Seq((3L, "c"))
     def ids() = ManifestTable.read(spark, t)
       .select("doc_id").as[Long].collect().sorted.toSeq
+    val b3 = Seq((4L, "d"))
     val mem1 = MemoryStream[(Long, String)]
     val q1 = Streams.manifestSinkWriter(mem1.toDF.toDF("doc_id", "text"),
-      t, s"$tmp/ckpt1", statsCol = Some("doc_id")).start()
+      t, s"$tmp/ckpt1", statsCol = Some("doc_id"),
+      vacuumEvery = 2, keepVersions = 1).start()
     mem1.addData(b1); q1.processAllAvailable()
     // snapshot isolation mid-stream: resolve v1 now...
     val snap = ManifestTable.read(spark, t)
     mem1.addData(b2); q1.processAllAvailable()
+    mem1.addData(b3); q1.processAllAvailable() // batch 2: vacuum fires
     q1.stop()
-    assert(ids() == Seq(1L, 2L, 3L))
+    assert(ids() == Seq(1L, 2L, 3L, 4L))
+    // the vacuum cadence bounded the version count to keepVersions,
+    // but every data dir is still referenced by the kept snapshot —
+    // the resolved mid-stream reader below is unaffected
+    assert(ManifestTable.versions(spark, t) == Seq(3L))
     assert(snap.select("doc_id").as[Long].collect().sorted.toSeq ==
       Seq(1L, 2L), "mid-stream reader must keep its committed prefix")
     // replay under a reset batchId (fresh checkpoint): tag watermark
@@ -719,11 +726,11 @@ class StreamingSpec extends AnyFunSuite {
       t, s"$tmp/ckpt2", statsCol = Some("doc_id")).start()
     mem2.addData(b1); q2.processAllAvailable()
     q2.stop()
-    assert(ids() == Seq(1L, 2L, 3L))
-    assert(ManifestTable.latestTag(spark, t) == 1L)
-    // the recorded per-batch stats prune: ids >= 3 live in batch 1's
-    // dir only
+    assert(ids() == Seq(1L, 2L, 3L, 4L))
+    assert(ManifestTable.latestTag(spark, t) == 2L)
+    // the recorded per-batch stats prune: ids >= 3 live in the later
+    // batches' dirs only
     assert(ManifestTable.readPruned(spark, t, "doc_id", 3L, 99L)
-      .select("doc_id").as[Long].collect().toSeq == Seq(3L))
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
   }
 }
