@@ -78,7 +78,11 @@ object PlanDump {
     "q124_bm25_ranked_search" ->
       "Ranked search: pushed `term IN` over the scored posting table; per-term df is a window count over the two doc-frequency-sized slices (never a corpus scan); N and total length come from the `_stats` side file read (2 longs). The score is a single codegen projection over exact integers; top-15 is TakeOrderedAndProject on (rounded score, doc_id).",
     "q125_phrase_search" ->
-      "Phrase search: pushed `term IN` over the positional posting table reads one slice per phrase term; slices join on doc_id (doc-frequency-sized, broadcast at this SF); adjacency is verified INSIDE the row by array-lambda expressions (a start matches iff term i sits at p+i) — no positional explode, no corpus text read, key semi-join back for output.")
+      "Phrase search: pushed `term IN` over the positional posting table reads one slice per phrase term; slices join on doc_id (doc-frequency-sized, broadcast at this SF); adjacency is verified INSIDE the row by array-lambda expressions (a start matches iff term i sits at p+i) — no positional explode, no corpus text read, key semi-join back for output.",
+    "q127_manifest_snapshot_read" ->
+      "Manifest snapshot read: the scan's file list comes from ONE small manifest parquet (versioned, atomically renamed), never a recursive data-root listing — the FileScan's paths are exactly the snapshot's immutable commit dirs. Plan shape is a plain agg; the metadata story (atomic commit, isolation, time travel, vacuum) is ManifestTableSpec's.",
+    "q128_manifest_pruned_scan" ->
+      "Manifest-stats dir pruning: readPruned keeps only commit dirs whose recorded doc_id min/max overlaps [10, 60] — ONE of the four ingest dirs enters the scan (pinned via inputFiles in ManifestTableSpec), decided from the manifest before any file listing; the pushed doc_id filter then prunes row groups inside it. Two pruning levels, one answer — the oracle is the plain filtered aggregate.")
 
   /** Captured with broadcast joins disabled: at 100 TB neither side
     * broadcasts, and the co-location evidence (zero exchange under the

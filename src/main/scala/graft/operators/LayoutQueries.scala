@@ -176,23 +176,30 @@ object LayoutQueries {
     path
   }
 
-  /** Documents as a [[graft.sinks.ManifestTable]] — three appends
-    * (the incremental-ingest shape) then one compaction, so the
-    * latest snapshot reads ONE data dir while v1–v3 stay
-    * time-travelable. Built once per dataset behind the usual
-    * marker. */
+  /** Documents as a [[graft.sinks.ManifestTable]] — the
+    * incremental-ingest shape, versions v1–v4 time-travelable. Built
+    * once per dataset behind the usual marker. */
   def ensureManifestDocs(s: SparkSession, d: String): String = {
     val path = s"${layoutRoot(d)}/docs_manifest"
     val docs = Tables.documents(s, d)
+    val n = docs.count()
+    // four RANGE-disjoint appends with doc_id stats recorded — the
+    // shape a time-ordered ingest naturally produces, which is what
+    // makes q128's manifest-level dir pruning non-vacuous
     val expect =
-      s"layout=$LayoutVersion manifest=3appends+compact rows=${docs.count()}"
+      s"layout=$LayoutVersion manifest=4ranged+stats rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sessionState.newHadoopConf())
       fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      (0 until 3).foreach(i => graft.sinks.ManifestTable.append(s,
-        docs.filter(pmod(col("doc_id"), lit(3)) === i), path))
-      graft.sinks.ManifestTable.compact(s, path)
+      val q = math.max(n / 4, 1)
+      (0 until 4).foreach { i =>
+        val lo = i * q
+        val hi = if (i == 3) Long.MaxValue else (i + 1) * q
+        graft.sinks.ManifestTable.append(s,
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hi), path,
+          statsCol = Some("doc_id"))
+      }
       ArtifactCache.stamp(path, expect)
     }
     path
@@ -568,14 +575,14 @@ object LayoutQueries {
         .limit(20)
     },
 
-    // ---- manifest-table snapshot read: documents ingested as three
-    //      manifest commits then compacted — the query reads the
-    //      LATEST snapshot via the manifest's file list (one small
-    //      metadata read, no data-root listing: the metadata shape a
-    //      100 TB table needs; ManifestTableSpec pins atomic commits,
-    //      isolation, time travel, vacuum). The versioned layout must
-    //      never change the answer: the oracle recomputes from the
-    //      plain documents table. ----
+    // ---- manifest-table snapshot read: documents ingested as four
+    //      manifest commits — the query reads the LATEST snapshot via
+    //      the manifest's file list (one small metadata read, no
+    //      data-root listing: the metadata shape a 100 TB table
+    //      needs; ManifestTableSpec pins atomic commits, isolation,
+    //      time travel, vacuum). The versioned layout must never
+    //      change the answer: the oracle recomputes from the plain
+    //      documents table. ----
     GraftQuery("q127_manifest_snapshot_read",
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(n_chars) AS BIGINT) AS chars
@@ -584,6 +591,29 @@ object LayoutQueries {
         |ORDER BY lang""".stripMargin) { (s, d) =>
       val path = ensureManifestDocs(s, d)
       graft.sinks.ManifestTable.read(s, path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("chars"))
+        .orderBy("lang")
+    },
+
+    // ---- manifest-stats dir pruning: the same snapshot queried with
+    //      a selective doc_id range — readPruned consults the
+    //      manifest's per-commit min/max and plans against ONLY the
+    //      overlapping data dirs (1 of 4 here), before any file is
+    //      listed or opened; the row filter still applies on top.
+    //      Pruning must never change the answer: the oracle is the
+    //      plain filtered aggregate. ----
+    GraftQuery("q128_manifest_pruned_scan",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE doc_id BETWEEN 10 AND 60
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (s, d) =>
+      val path = ensureManifestDocs(s, d)
+      graft.sinks.ManifestTable.readPruned(s, path, "doc_id", 10L, 60L)
+        .filter(col("doc_id").between(10, 60))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"),
           sum(col("n_chars")).as("chars"))

@@ -142,6 +142,21 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.readPruned(spark, t, "id", 0L, 9L).count() == 0)
   }
 
+  test("q128 plans against one of the four commit dirs; answer matches the plain scan") {
+    val d = "/root/testdata/sf0.001"
+    val q = graft.operators.LayoutQueries.all
+      .find(_.name == "q128_manifest_pruned_scan").get
+    val df = q.run(spark, d)
+    val dirs = df.inputFiles.map(_.split('/').dropRight(1).last).distinct
+    assert(dirs.length == 1, s"expected one pruned dir, got ${dirs.toSeq}")
+    val plain = Tables.documents(spark, d)
+      .filter(col("doc_id").between(10, 60))
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      == plain && plain.nonEmpty)
+  }
+
   test("manifest scan planning never lists the data root") {
     // the point of the manifest at scale: the reader consults ONE
     // small file list; a foreign (never-referenced) directory under
