@@ -619,5 +619,28 @@ object LayoutQueries {
           sum(col("n_chars")).as("chars"))
         .orderBy("lang")
     },
+
+    // ---- incremental consumption (CDC read): everything committed
+    //      AFTER snapshot v1 — two manifest reads resolve the new
+    //      dirs, no data listing, no content diff. The artifact's
+    //      commit 1 holds doc_id < max(n/4, 1) by construction, so
+    //      the oracle recomputes "since v1" as that range's
+    //      complement on the plain table (DuckDB // is integer
+    //      division, matching the builder's). ----
+    GraftQuery("q129_manifest_read_since",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE doc_id >= GREATEST(
+        |  (SELECT COUNT(*) FROM documents) // 4, 1)
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (s, d) =>
+      val path = ensureManifestDocs(s, d)
+      graft.sinks.ManifestTable.readSince(s, path, sinceVersion = 1L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("chars"))
+        .orderBy("lang")
+    },
   )
 }

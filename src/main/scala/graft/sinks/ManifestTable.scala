@@ -241,6 +241,34 @@ object ManifestTable {
     v
   }
 
+  /** Incremental consumption: rows committed AFTER snapshot
+    * `sinceVersion` — the dirs of the latest snapshot minus the dirs
+    * of `sinceVersion`, resolved from two manifest reads (no data
+    * listing, no content diff). This is the change-data-capture read
+    * a downstream incremental job wants: checkpoint the version you
+    * processed, ask for everything since, repeat — each commit is
+    * consumed exactly once because dirs are immutable and append-only.
+    *
+    * Semantics are DIR-IDENTITY based, which is what makes them free:
+    * a [[compact]] or [[deleteRange]] rewrites identity, so the new
+    * dirs would all look "new" to a stale checkpoint. Incremental
+    * consumers must drain up to the current version before table
+    * maintenance runs (the standard CDC-vs-compaction contract);
+    * [[versions]] tells a consumer whether its checkpoint is still
+    * meaningful. Returns an empty frame (snapshot schema) when
+    * nothing is new. */
+  def readSince(spark: SparkSession, path: String,
+      sinceVersion: Long): DataFrame = {
+    val latest = latestVersion(spark, path).getOrElse(
+      sys.error(s"ManifestTable.readSince: no committed version at $path"))
+    val now = entriesOf(spark, path, latest)
+    val seen = entriesOf(spark, path, sinceVersion).map(_.dir).toSet
+    val fresh = now.filterNot(e => seen.contains(e.dir))
+    if (fresh.isEmpty)
+      spark.read.parquet(s"$path/data/${now.head.dir}").limit(0)
+    else spark.read.parquet(fresh.map(e => s"$path/data/${e.dir}"): _*)
+  }
+
   /** Copy-on-write row-level delete of `[lo, hi]` on `statsCol`:
     * ONLY the data dirs whose recorded stats overlap the range are
     * rewritten (filtered, restatted, possibly dropped entirely when

@@ -142,6 +142,25 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.readPruned(spark, t, "id", 0L, 9L).count() == 0)
   }
 
+  test("readSince consumes each commit exactly once; maintenance resets identity") {
+    val t = s"${Files.createTempDirectory("graft-manifest8")}/t"
+    ManifestTable.append(spark, Seq(1L, 2L).toDF("id"), t)
+    ManifestTable.append(spark, Seq(3L).toDF("id"), t)
+    ManifestTable.append(spark, Seq(4L).toDF("id"), t)
+    // an incremental consumer checkpointed at v1 gets v2+v3's rows,
+    // at v2 gets v3's, at v3 gets nothing (schema intact)
+    assert(ids(ManifestTable.readSince(spark, t, 1)) == Seq(3L, 4L))
+    assert(ids(ManifestTable.readSince(spark, t, 2)) == Seq(4L))
+    val empty = ManifestTable.readSince(spark, t, 3)
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("id"))
+    // compaction rewrites dir identity: a stale checkpoint sees the
+    // whole compacted table as "new" — the documented drain-before-
+    // maintenance contract, visible rather than silently wrong
+    ManifestTable.compact(spark, t)
+    assert(ids(ManifestTable.readSince(spark, t, 2)) == Seq(1L, 2L, 3L, 4L))
+    assert(ManifestTable.readSince(spark, t, 4).count() == 0)
+  }
+
   test("q128 plans against one of the four commit dirs; answer matches the plain scan") {
     val d = "/root/testdata/sf0.001"
     val q = graft.operators.LayoutQueries.all
