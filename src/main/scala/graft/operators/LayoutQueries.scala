@@ -187,18 +187,20 @@ object LayoutQueries {
     // shape a time-ordered ingest naturally produces, which is what
     // makes q128's manifest-level dir pruning non-vacuous
     val expect =
-      s"layout=$LayoutVersion manifest=4ranged+stats rows=$n"
+      s"layout=$LayoutVersion manifest=4ranged-total+stats rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sessionState.newHadoopConf())
       fs.delete(new org.apache.hadoop.fs.Path(path), true)
       val q = math.max(n / 4, 1)
       (0 until 4).foreach { i =>
-        val lo = i * q
-        val hi = if (i == 3) Long.MaxValue else (i + 1) * q
+        // commit 1 is open-below and commit 4 open-above, so EVERY
+        // doc_id lands in exactly one commit — the manifest table
+        // must equal the source table whatever the id domain
+        val loOk = if (i == 0) lit(true) else col("doc_id") >= i * q
+        val hiOk = if (i == 3) lit(true) else col("doc_id") < (i + 1) * q
         graft.sinks.ManifestTable.append(s,
-          docs.filter(col("doc_id") >= lo && col("doc_id") < hi), path,
-          statsCol = Some("doc_id"))
+          docs.filter(loOk && hiOk), path, statsCol = Some("doc_id"))
       }
       ArtifactCache.stamp(path, expect)
     }

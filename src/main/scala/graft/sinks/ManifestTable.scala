@@ -92,6 +92,38 @@ object ManifestTable {
       v: Long): Seq[String] =
     entriesOf(spark, path, v).map(e => s"$path/data/${e.dir}")
 
+  private def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
+  /** The ONE read path for a dir selection: skips file-less dirs
+    * (empty-batch commits write dirs Spark cannot infer a schema
+    * from), and when the selection is empty (or all file-less)
+    * returns an empty frame with the snapshot's schema, derived from
+    * any readable dir of the snapshot. Shared by [[readVersion]],
+    * [[readPruned]], and [[readSince]] so the empty/file-less edge
+    * cases have exactly one implementation. */
+  private def readDirs(spark: SparkSession, path: String,
+      snapshot: Seq[Entry], selected: Seq[Entry]): DataFrame = {
+    val (fs, _) = fsOf(spark, path)
+    val sel = selected.map(e => s"$path/data/${e.dir}")
+      .filter(hasDataFiles(fs, _))
+    if (sel.nonEmpty) spark.read.parquet(sel: _*)
+    else {
+      val any = snapshot.map(e => s"$path/data/${e.dir}")
+        .find(hasDataFiles(fs, _))
+        .getOrElse(sys.error(
+          s"ManifestTable: no readable data files at $path — cannot " +
+            "derive a schema for the (empty) result"))
+      spark.read.parquet(any).limit(0)
+    }
+  }
+
   /** The highest commit tag in the latest snapshot (-1 if the table
     * is empty or only untagged) — the streaming sink's exactly-once
     * watermark: the tag travels INSIDE the atomically-renamed
@@ -180,10 +212,7 @@ object ManifestTable {
     val keep = entries.filter(e =>
       e.statCol != statsCol || e.statMin == null ||
         (e.statMax >= lo && e.statMin <= hi))
-    if (keep.isEmpty)
-      // schema from one dir, zero rows — a fully-pruned read is empty
-      spark.read.parquet(s"$path/data/${entries.head.dir}").limit(0)
-    else spark.read.parquet(keep.map(e => s"$path/data/${e.dir}"): _*)
+    readDirs(spark, path, entries, keep)
   }
 
   /** Latest snapshot as a DataFrame. The file list is resolved NOW, so
@@ -197,9 +226,11 @@ object ManifestTable {
   /** Time travel: snapshot `v` exactly as committed (fails if `v` was
     * never committed or was vacuumed). */
   def readVersion(spark: SparkSession, path: String, v: Long): DataFrame = {
-    val dirs = dirsOf(spark, path, v)
-    require(dirs.nonEmpty, s"ManifestTable: ${vName(v)} is empty")
-    spark.read.parquet(dirs: _*)
+    require(versions(spark, path).contains(v),
+      s"ManifestTable: ${vName(v)} is not a committed snapshot at " +
+        s"$path (never committed, or vacuumed)")
+    val entries = entriesOf(spark, path, v)
+    readDirs(spark, path, entries, entries)
   }
 
   /** Rewrite the CURRENT snapshot's content into one fresh data dir
@@ -253,20 +284,31 @@ object ManifestTable {
     * a [[compact]] or [[deleteRange]] rewrites identity, so the new
     * dirs would all look "new" to a stale checkpoint. Incremental
     * consumers must drain up to the current version before table
-    * maintenance runs (the standard CDC-vs-compaction contract);
-    * [[versions]] tells a consumer whether its checkpoint is still
-    * meaningful. Returns an empty frame (snapshot schema) when
-    * nothing is new. */
+    * maintenance runs (the standard CDC-vs-compaction contract).
+    * `sinceVersion <= 0` is the bootstrap read (the whole table); a
+    * vacuumed checkpoint fails with the contract named. Returns an
+    * empty frame (snapshot schema) when nothing is new. */
   def readSince(spark: SparkSession, path: String,
       sinceVersion: Long): DataFrame = {
-    val latest = latestVersion(spark, path).getOrElse(
+    val vs = versions(spark, path)
+    val latest = vs.lastOption.getOrElse(
       sys.error(s"ManifestTable.readSince: no committed version at $path"))
     val now = entriesOf(spark, path, latest)
-    val seen = entriesOf(spark, path, sinceVersion).map(_.dir).toSet
-    val fresh = now.filterNot(e => seen.contains(e.dir))
-    if (fresh.isEmpty)
-      spark.read.parquet(s"$path/data/${now.head.dir}").limit(0)
-    else spark.read.parquet(fresh.map(e => s"$path/data/${e.dir}"): _*)
+    // sinceVersion <= 0 is the bootstrap read (whole table); a
+    // VACUUMED checkpoint fails with the contract named, not a raw
+    // file-not-found — the consumer lagged past retention and must
+    // re-bootstrap
+    val seen =
+      if (sinceVersion <= 0) Set.empty[String]
+      else {
+        require(vs.contains(sinceVersion),
+          s"ManifestTable.readSince: checkpoint ${vName(sinceVersion)} " +
+            s"is not a committed snapshot at $path — vacuumed (lagged " +
+            "past retention; re-bootstrap with sinceVersion = 0) or " +
+            "never committed")
+        entriesOf(spark, path, sinceVersion).map(_.dir).toSet
+      }
+    readDirs(spark, path, now, now.filterNot(e => seen.contains(e.dir)))
   }
 
   /** Copy-on-write row-level delete of `[lo, hi]` on `statsCol`:

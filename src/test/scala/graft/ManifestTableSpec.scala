@@ -159,6 +159,17 @@ class ManifestTableSpec extends AnyFunSuite {
     ManifestTable.compact(spark, t)
     assert(ids(ManifestTable.readSince(spark, t, 2)) == Seq(1L, 2L, 3L, 4L))
     assert(ManifestTable.readSince(spark, t, 4).count() == 0)
+    // bootstrap: sinceVersion <= 0 reads the whole table (a first-run
+    // consumer checkpoints from here)
+    assert(ids(ManifestTable.readSince(spark, t, 0)) ==
+      Seq(1L, 2L, 3L, 4L))
+    // a checkpoint vacuum dropped fails loudly, naming the contract —
+    // not a raw file-not-found
+    ManifestTable.vacuum(spark, t, 1)
+    val ex = intercept[IllegalArgumentException] {
+      ManifestTable.readSince(spark, t, 2)
+    }
+    assert(ex.getMessage.contains("re-bootstrap"))
   }
 
   test("q128 plans against one of the four commit dirs; answer matches the plain scan") {
