@@ -82,7 +82,9 @@ object PlanDump {
     "q127_manifest_snapshot_read" ->
       "Manifest snapshot read: the scan's file list comes from ONE small manifest parquet (versioned, atomically renamed), never a recursive data-root listing — the FileScan's paths are exactly the snapshot's immutable commit dirs. Plan shape is a plain agg; the metadata story (atomic commit, isolation, time travel, vacuum) is ManifestTableSpec's.",
     "q128_manifest_pruned_scan" ->
-      "Manifest-stats dir pruning: readPruned keeps only commit dirs whose recorded doc_id min/max overlaps [10, 60] — ONE of the four ingest dirs enters the scan (pinned via inputFiles in ManifestTableSpec), decided from the manifest before any file listing; the pushed doc_id filter then prunes row groups inside it. Two pruning levels, one answer — the oracle is the plain filtered aggregate.")
+      "Manifest-stats dir pruning: readPruned keeps only commit dirs whose recorded doc_id min/max overlaps [10, 60] — ONE of the four ingest dirs enters the scan (pinned via inputFiles in ManifestTableSpec), decided from the manifest before any file listing; the pushed doc_id filter then prunes row groups inside it. Two pruning levels, one answer — the oracle is the plain filtered aggregate.",
+    "q129_manifest_read_since" ->
+      "Incremental (CDC) read: the scan's paths are the latest snapshot's dirs MINUS the checkpointed version's — resolved from two manifest reads, so an incremental consumer's plan touches only the new commits' data. Dir-identity semantics (compaction resets them) are the documented drain-before-maintenance contract, spec-pinned.")
 
   /** Captured with broadcast joins disabled: at 100 TB neither side
     * broadcasts, and the co-location evidence (zero exchange under the
