@@ -343,6 +343,67 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // manifest10: the q127-q129 manifest-table claims at 10x (50k
+    // docs, 40 commits) — wall AND files-touched for the full
+    // snapshot read vs the stats-pruned read vs the incremental
+    // (since-checkpoint) read. On local FS the wall deltas are mostly
+    // decode work; the files-touched counts are the part that scales
+    // to object stores (each untouched dir = skipped LIST + GETs).
+    if (args.headOption.contains("manifest10")) {
+      if (!new java.io.File(s"$out/documents.parquet").exists()) {
+        replicate("documents", Map("doc_id" -> 1000000L))
+        Tables.invalidateSpreadCache()
+      }
+      val docs = Tables.documents(spark, out)
+      val n = docs.count()
+      val t = "/tmp/scale10/docs_manifest40"
+      org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+      val fs = new org.apache.hadoop.fs.Path(t)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      // commit boundaries from the ACTUAL id distribution (the 10x
+      // replica's ids are stride-shifted, not contiguous): 40 equal
+      // quantile slices, so every commit holds ~n/40 rows and carries
+      // tight disjoint stats
+      import spark.implicits._
+      val sortedIds = docs.select(col("doc_id")).as[Long]
+        .collect().sorted
+      val bounds = (0 until 40).map(i =>
+        sortedIds((i * sortedIds.length / 40).toInt))
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$t/manifest"))) {
+        val tb0 = System.nanoTime()
+        (0 until 40).foreach { i =>
+          val loOk = if (i == 0) lit(true) else col("doc_id") >= bounds(i)
+          val hiOk =
+            if (i == 39) lit(true) else col("doc_id") < bounds(i + 1)
+          graft.sinks.ManifestTable.append(spark,
+            docs.filter(loOk && hiOk), t, tag = i,
+            statsCol = Some("doc_id"))
+        }
+        println(f"TIME manifest10 build40 ${(System.nanoTime() - tb0) / 1e9}%.2f s")
+      }
+      def timed(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+        df.agg(count(lit(1))).head() // warm
+        val d2 = df
+        val t0 = System.nanoTime()
+        val rows = d2.agg(count(lit(1))).head().getLong(0)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"TIME manifest10 $label $sec%.2f s " +
+          f"($rows rows, ${d2.inputFiles.length} files)")
+      }
+      timed("full_snapshot") {
+        graft.sinks.ManifestTable.read(spark, t)
+      }
+      timed("pruned_1of40") {
+        graft.sinks.ManifestTable
+          .readPruned(spark, t, "doc_id", bounds(7), bounds(8) - 1)
+          .filter(col("doc_id").between(bounds(7), bounds(8) - 1))
+      }
+      timed("since_v39") {
+        graft.sinks.ManifestTable.readSince(spark, t, 39L)
+      }
+      spark.stop()
+      return
+    }
     // bloom10: the q113 runtime-filter claim, measured — shuffle
     // records/bytes of the plain semi-join vs the bloom-prefiltered
     // one at 10x (1.5M orders), with broadcast joins DISABLED to model
