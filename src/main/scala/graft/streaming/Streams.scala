@@ -729,7 +729,12 @@ object Streams {
     * > 0 drops snapshots beyond the newest `keepVersions` every that
     * many fresh batches — a metadata-only delete that bounds the
     * manifest directory's listing cost (which every batch's
-    * watermark read pays). Data-dir compaction
+    * watermark read pays). Retention trades against incremental
+    * consumers ([[graft.sinks.ManifestTable.readSince]]): a consumer
+    * whose checkpoint falls behind by more than `keepVersions` finds
+    * it vacuumed and must re-bootstrap with a full read — size
+    * `keepVersions` to cover the slowest consumer's lag, exactly like
+    * a Kafka retention window. Data-dir compaction
     * ([[graft.sinks.ManifestTable.compact]]) is deliberately NOT
     * offered on the hot path: it is a full-table rewrite, so an
     * in-stream cadence would pay O(table²) cumulative bytes — the
