@@ -330,9 +330,15 @@ object ManifestTable {
     val prev = latestVersion(spark, path).getOrElse(
       sys.error(s"ManifestTable.deleteRange: no committed version at $path"))
     val entries = entriesOf(spark, path, prev)
-    val (touch, keep) = entries.partition(e =>
+    val (touch0, keep0) = entries.partition(e =>
       e.statCol != statsCol || e.statMin == null ||
         (e.statMax >= lo && e.statMin <= hi))
+    // a file-less dir (empty-batch commit) holds nothing to delete —
+    // keep its entry untouched instead of crashing on a schema-less
+    // read
+    val (touch, keepEmpty) = touch0.partition(e =>
+      hasDataFiles(fs, s"$path/data/${e.dir}"))
+    val keep = keep0 ++ keepEmpty
     val v = prev + 1
     val rewritten = touch.zipWithIndex.flatMap { case (e, i) =>
       val newDir = f"${cName(v)}_$i%04d"
@@ -358,7 +364,17 @@ object ManifestTable {
           Long.box(stats.getLong(0)), Long.box(stats.getLong(1))))
       }
     }
-    commit(spark, path, v, keep ++ rewritten)
+    // the exactly-once watermark is COMMIT-level: if the delete
+    // dropped the dir carrying the table's max tag, a replay of that
+    // batch would look fresh and double-ingest — re-pin the max tag
+    // on a surviving entry (an emptied table genuinely resets to -1)
+    val survivors = keep ++ rewritten
+    val tableTag = entries.map(_.tag).foldLeft(-1L)(math.max)
+    val committed =
+      if (survivors.isEmpty || survivors.exists(_.tag >= tableTag))
+        survivors
+      else survivors.init :+ survivors.last.copy(tag = tableTag)
+    commit(spark, path, v, committed)
     (v, touch.size)
   }
 

@@ -187,6 +187,57 @@ class ManifestTableSpec extends AnyFunSuite {
       == plain && plain.nonEmpty)
   }
 
+  test("randomized op sequences match an in-memory model (state-machine check)") {
+    // the manifest is the repo's most state-machine-like component —
+    // model-check it: apply a random append/compact/deleteRange/vacuum
+    // sequence to the real table AND a trivial in-memory model, then
+    // compare content, history, and watermark after every step
+    val rnd = new scala.util.Random(42)
+    (0 until 3).foreach { case0 =>
+      val t = s"${Files.createTempDirectory(s"graft-mmodel$case0")}/t"
+      var rows = Vector.empty[Long] // model: current content
+      var history = Map.empty[Long, Vector[Long]] // retained snapshots
+      var nextId = 0L
+      var lastTag = -1L
+      (0 until 12).foreach { step =>
+        rnd.nextInt(10) match {
+          case k if k <= 5 || rows.isEmpty => // append 1-3 rows
+            val batch = Seq.fill(rnd.nextInt(3) + 1)( { nextId += 1; nextId } )
+            val v = ManifestTable.append(spark, batch.toDF("id"), t,
+              tag = step.toLong, statsCol = Some("id"))
+            rows = rows ++ batch; history += v -> rows; lastTag = step.toLong
+          case 6 | 7 => // deleteRange over a random interval
+            val lo = rnd.nextLong(nextId + 2)
+            val hi = lo + rnd.nextLong(nextId + 2)
+            val (v, _) = ManifestTable.deleteRange(spark, t, "id", lo, hi)
+            rows = rows.filterNot(id => id >= lo && id <= hi)
+            history += v -> rows
+            // an emptied table genuinely resets the watermark; any
+            // survivor must carry it forward (the replay-safety pin)
+            if (rows.isEmpty) lastTag = -1L
+          case 8 => // compact: content-neutral new version
+            val v = ManifestTable.compact(spark, t)
+            history += v -> rows
+          case _ => // vacuum to the last 2 versions
+            ManifestTable.vacuum(spark, t, 2)
+            val keep = history.keys.toSeq.sorted.takeRight(2).toSet
+            history = history.filter { case (v, _) => keep.contains(v) }
+        }
+        if (rows.nonEmpty)
+          assert(ids(ManifestTable.read(spark, t)) == rows.sorted,
+            s"case $case0 step $step: content diverged")
+        assert(ManifestTable.latestTag(spark, t) == lastTag,
+          s"case $case0 step $step: watermark diverged")
+      }
+      // every retained snapshot is time-travelable to its exact content
+      history.filter(_._2.nonEmpty).foreach { case (v, want) =>
+        assert(ids(ManifestTable.readVersion(spark, t, v)) == want.sorted,
+          s"case $case0 version $v")
+      }
+      assert(ManifestTable.versions(spark, t).toSet == history.keySet)
+    }
+  }
+
   test("manifest scan planning never lists the data root") {
     // the point of the manifest at scale: the reader consults ONE
     // small file list; a foreign (never-referenced) directory under
