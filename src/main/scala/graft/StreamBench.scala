@@ -16,6 +16,51 @@ import org.apache.spark.sql.functions._
   * micro-batches, exercising real per-batch overhead.
   */
 object StreamBench {
+
+  /** (late/early mean ratio, least-squares slope ms/batch, curve JSON)
+    * over per-batch seconds keyed by batchId — batch 0 excluded from
+    * the statistics (cold-session cost). */
+  private def curveStats(batchSec: java.util.concurrent.ConcurrentSkipListMap[Long, Double])
+      : (Double, Double, String) = {
+    import scala.jdk.CollectionConverters._
+    val curve = batchSec.entrySet().asScala.toSeq
+      .map(e => e.getKey -> e.getValue)
+    val steady = curve.drop(1).map(_._2)
+    val half = steady.length / 2
+    val ratio =
+      if (half > 0) (steady.drop(half).sum / (steady.length - half)) /
+        (steady.take(half).sum / half)
+      else Double.NaN
+    val slopeMs = if (steady.length > 2) {
+      val n = steady.length
+      val xm = (n - 1) / 2.0
+      val ym = steady.sum / n
+      val cov = steady.zipWithIndex
+        .map { case (y, i) => (i - xm) * (y - ym) }.sum
+      val vx = (0 until n).map(i => (i - xm) * (i - xm)).sum
+      cov / vx * 1000.0
+    } else Double.NaN
+    (ratio, slopeMs,
+      curve.map { case (b, s) => f"""[$b,$s%.2f]""" }.mkString(","))
+  }
+
+  /** Progress listener capturing per-batch triggerExecution seconds
+    * for the named query (name matched — set before start(), so batch
+    * 0 can't race; durationMs lookup null-guarded — Spark swallows
+    * listener exceptions). */
+  private def batchListener(queryName: String,
+      into: java.util.concurrent.ConcurrentSkipListMap[Long, Double])
+      : org.apache.spark.sql.streaming.StreamingQueryListener =
+    new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.name == queryName && e.progress.numInputRows > 0)
+          Option(e.progress.durationMs.get("triggerExecution")).foreach(
+            ms => into.put(e.progress.batchId, ms.toDouble / 1e3))
+    }
+
   def main(args: Array[String]): Unit = {
     val rows = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "200000").toLong
     val files = 20
@@ -99,15 +144,7 @@ object StreamBench {
     val ndQueryName = "graft-streambench-neardup"
     val batchSec =
       new java.util.concurrent.ConcurrentSkipListMap[Long, Double]()
-    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      import org.apache.spark.sql.streaming.StreamingQueryListener._
-      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-      override def onQueryProgress(e: QueryProgressEvent): Unit =
-        if (e.progress.name == ndQueryName && e.progress.numInputRows > 0)
-          Option(e.progress.durationMs.get("triggerExecution")).foreach(
-            ms => batchSec.put(e.progress.batchId, ms.toDouble / 1e3))
-    }
+    val listener = batchListener(ndQueryName, batchSec)
     spark.streams.addListener(listener)
     val t1 = System.nanoTime()
     // SPARK_GRAFT_ND_COMPACT_EVERY > 0 exercises the maintenance
@@ -126,32 +163,10 @@ object StreamBench {
     spark.streams.removeListener(listener)
     val admitted = spark.read.parquet(s"$tmp/nd_out").count()
     println(f"""{"metric":"neardup_stream_rows_per_sec","value":${ndRows / ndSec}%.0f,"unit":"rows/sec","rows":$ndRows,"admitted":$admitted,"seconds":$ndSec%.2f,"batches":${batchSec.size}}""")
-    // the curve line: batch-index -> seconds, plus a first-half vs
-    // second-half mean ratio (batch 0 excluded — cold-session cost)
-    import scala.jdk.CollectionConverters._
-    val curve = batchSec.entrySet().asScala.toSeq
-      .map(e => e.getKey -> e.getValue)
-    val steady = curve.drop(1).map(_._2)
-    val half = steady.length / 2
-    val ratio =
-      if (half > 0) (steady.drop(half).sum / (steady.length - half)) /
-        (steady.take(half).sum / half)
-      else Double.NaN
-    // least-squares slope over the steady batches: the measured
-    // per-batch growth (ms/batch) — the linear band-scan term the
-    // cost model predicts (each batch adds a fixed number of band
-    // rows, so table size, and hence scan cost, grows linearly)
-    val slopeMs = if (steady.length > 2) {
-      val n = steady.length
-      val xm = (n - 1) / 2.0
-      val ym = steady.sum / n
-      val cov = steady.zipWithIndex
-        .map { case (y, i) => (i - xm) * (y - ym) }.sum
-      val vx = (0 until n).map(i => (i - xm) * (i - xm)).sum
-      cov / vx * 1000.0
-    } else Double.NaN
-    val curveJson = curve
-      .map { case (b, s) => f"""[$b,$s%.2f]""" }.mkString(",")
+    // the curve line: batch-index -> seconds, first/second-half mean
+    // ratio, and the least-squares slope — the measured per-batch
+    // growth, i.e. the linear band-scan term the cost model predicts
+    val (ratio, slopeMs, curveJson) = curveStats(batchSec)
     println(f"""{"metric":"neardup_batch_curve","unit":"sec/batch","late_vs_early":$ratio%.2f,"slope_ms_per_batch":$slopeMs%.1f,"curve":[$curveJson]}""")
 
     // exactly-once CMS sink: same document stream shape, through
@@ -177,16 +192,7 @@ object StreamBench {
     val cmsQueryName = "graft-streambench-cms"
     val cmsBatchSec =
       new java.util.concurrent.ConcurrentSkipListMap[Long, Double]()
-    val cmsListener =
-      new org.apache.spark.sql.streaming.StreamingQueryListener {
-        import org.apache.spark.sql.streaming.StreamingQueryListener._
-        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-        override def onQueryProgress(e: QueryProgressEvent): Unit =
-          if (e.progress.name == cmsQueryName && e.progress.numInputRows > 0)
-            Option(e.progress.durationMs.get("triggerExecution")).foreach(
-              ms => cmsBatchSec.put(e.progress.batchId, ms.toDouble / 1e3))
-      }
+    val cmsListener = batchListener(cmsQueryName, cmsBatchSec)
     spark.streams.addListener(cmsListener)
     val t2 = System.nanoTime()
     val cq = Streams.cmsSinkWriter(cmsSource, s"$tmp/cms_counters",
@@ -196,29 +202,49 @@ object StreamBench {
     cq.awaitTermination()
     val cmsSec = (System.nanoTime() - t2) / 1e9
     spark.streams.removeListener(cmsListener)
-    val cmsCurve = cmsBatchSec.entrySet().asScala.toSeq
-      .map(e => e.getKey -> e.getValue)
-    val cmsSteady = cmsCurve.drop(1).map(_._2)
-    val cmsHalf = cmsSteady.length / 2
-    val cmsRatio =
-      if (cmsHalf > 0)
-        (cmsSteady.drop(cmsHalf).sum / (cmsSteady.length - cmsHalf)) /
-          (cmsSteady.take(cmsHalf).sum / cmsHalf)
-      else Double.NaN
-    val cmsSlopeMs = if (cmsSteady.length > 2) {
-      val n = cmsSteady.length
-      val xm = (n - 1) / 2.0
-      val ym = cmsSteady.sum / n
-      val cov = cmsSteady.zipWithIndex
-        .map { case (y, i) => (i - xm) * (y - ym) }.sum
-      val vx = (0 until n).map(i => (i - xm) * (i - xm)).sum
-      cov / vx * 1000.0
-    } else Double.NaN
+    val (cmsRatio, cmsSlopeMs, cmsCurveJson) = curveStats(cmsBatchSec)
     val nCounters = spark.read.parquet(s"$tmp/cms_counters").count()
-    val cmsCurveJson = cmsCurve
-      .map { case (b, s) => f"""[$b,$s%.2f]""" }.mkString(",")
     println(f"""{"metric":"cms_stream_rows_per_sec","value":${cmsRows / cmsSec}%.0f,"unit":"rows/sec","rows":$cmsRows,"counter_rows":$nCounters,"seconds":$cmsSec%.2f,"batches":${cmsBatchSec.size}}""")
     println(f"""{"metric":"cms_batch_curve","unit":"sec/batch","late_vs_early":$cmsRatio%.2f,"slope_ms_per_batch":$cmsSlopeMs%.1f,"curve":[$cmsCurveJson]}""")
+
+    // exactly-once manifest-table ingest: the cheapest sink mechanism
+    // (append IS the commit; watermark rides the rename; no per-batch
+    // table scan, no state rewrite). Expected shape: near-flat, with
+    // a small linear term from the copy-on-write manifest (each
+    // commit re-lists all prior dirs) that vacuumEvery's version-count
+    // bound does NOT reset — dir-count growth is offline compaction's
+    // job, measured here as the honest slope.
+    val mfRows = sys.env.getOrElse("SPARK_GRAFT_MF_ROWS", "200000").toLong
+    val mfFiles = math.max(1, (mfRows / 4000).toInt)
+    spark.range(mfRows).select(
+      col("id").as("doc_id"),
+      format_string("manifest ingest doc %d body text", col("id"))
+        .as("text"))
+      .repartition(mfFiles)
+      .write.mode("overwrite").parquet(s"$tmp/mf_landing")
+    val mfSource = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .schema("doc_id LONG, text STRING")
+      .parquet(s"$tmp/mf_landing")
+    val mfQueryName = "graft-streambench-manifest"
+    val mfBatchSec =
+      new java.util.concurrent.ConcurrentSkipListMap[Long, Double]()
+    val mfListener = batchListener(mfQueryName, mfBatchSec)
+    spark.streams.addListener(mfListener)
+    val t3 = System.nanoTime()
+    val mq = Streams.manifestSinkWriter(mfSource, s"$tmp/mf_table",
+      s"$tmp/mf_ckpt", statsCol = Some("doc_id"), vacuumEvery = 10)
+      .queryName(mfQueryName)
+      .trigger(Streams.drainTrigger).start()
+    mq.awaitTermination()
+    val mfSec = (System.nanoTime() - t3) / 1e9
+    spark.streams.removeListener(mfListener)
+    val (mfRatio, mfSlopeMs, mfCurveJson) = curveStats(mfBatchSec)
+    val mfCount = graft.sinks.ManifestTable.read(spark, s"$tmp/mf_table")
+      .count()
+    require(mfCount == mfRows, s"manifest sink row mismatch: $mfCount")
+    println(f"""{"metric":"manifest_stream_rows_per_sec","value":${mfRows / mfSec}%.0f,"unit":"rows/sec","rows":$mfRows,"seconds":$mfSec%.2f,"batches":${mfBatchSec.size}}""")
+    println(f"""{"metric":"manifest_batch_curve","unit":"sec/batch","late_vs_early":$mfRatio%.2f,"slope_ms_per_batch":$mfSlopeMs%.1f,"curve":[$mfCurveJson]}""")
     spark.stop()
   }
 }
