@@ -377,7 +377,7 @@ object ScaleProbe {
             if (i == 39) lit(true) else col("doc_id") < bounds(i + 1)
           graft.sinks.ManifestTable.append(spark,
             docs.filter(loOk && hiOk), t, tag = i,
-            statsCol = Some("doc_id"))
+            statsCols = Seq("doc_id"))
         }
         println(f"TIME manifest10 build40 ${(System.nanoTime() - tb0) / 1e9}%.2f s")
       }

@@ -233,7 +233,7 @@ object StreamBench {
     spark.streams.addListener(mfListener)
     val t3 = System.nanoTime()
     val mq = Streams.manifestSinkWriter(mfSource, s"$tmp/mf_table",
-      s"$tmp/mf_ckpt", statsCol = Some("doc_id"), vacuumEvery = 10)
+      s"$tmp/mf_ckpt", statsCols = Seq("doc_id"), vacuumEvery = 10)
       .queryName(mfQueryName)
       .trigger(Streams.drainTrigger).start()
     mq.awaitTermination()

@@ -23,7 +23,7 @@ object LayoutQueries {
 
   /** Bumped on any layout-building change — stale /tmp layouts then
     * auto-invalidate (same contract as [[graft.vector.AnnVersion]]). */
-  private val LayoutVersion = 3 // r9: manifest schema gained tag + stats
+  private val LayoutVersion = 4 // r10: manifest gained multi-col stats + provenance + schema sidecar
 
   private def datasetKey(d: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
@@ -200,7 +200,7 @@ object LayoutQueries {
         val loOk = if (i == 0) lit(true) else col("doc_id") >= i * q
         val hiOk = if (i == 3) lit(true) else col("doc_id") < (i + 1) * q
         graft.sinks.ManifestTable.append(s,
-          docs.filter(loOk && hiOk), path, statsCol = Some("doc_id"))
+          docs.filter(loOk && hiOk), path, statsCols = Seq("doc_id"))
       }
       ArtifactCache.stamp(path, expect)
     }
@@ -644,5 +644,6 @@ object LayoutQueries {
           sum(col("n_chars")).as("chars"))
         .orderBy("lang")
     },
+
   )
 }

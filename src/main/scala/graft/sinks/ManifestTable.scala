@@ -2,6 +2,7 @@ package graft.sinks
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** A minimal manifest-backed table: versioned snapshots over immutable
   * data directories, with atomic commits by rename — the metadata
@@ -17,28 +18,42 @@ import org.apache.spark.sql.functions._
   * directory whose size is the snapshot count, bounded by [[vacuum]]),
   * and plans directly against the exact data directories of that
   * snapshot. Appends never rewrite data: each commit adds one
-  * immutable `data/c%08d` directory and a NEW manifest that is the old
+  * immutable data directory and a NEW manifest that is the old
   * list plus one entry (copy-on-write metadata, like Iceberg's).
   *
-  * Guarantees (single writer, standard streaming-sink ownership):
+  * Guarantees (single writer, standard streaming-sink ownership — but
+  * see the contract-violation blast radius below):
   *  - COMMIT IS ATOMIC: the manifest parquet is written fully to a
   *    `.tmp-` sibling and renamed into place; a reader lists either
-  *    the old max version or the new one, never a partial commit.
+  *    the old max version or the new one, never a partial commit. The
+  *    snapshot schema and the table watermark ride INSIDE the renamed
+  *    directory (`_graft_schema.json` / `_graft_maxtag`), so "rows of
+  *    batch B are committed", "watermark says B", and "the schema is
+  *    readable even from an all-empty snapshot" are one rename.
   *  - SNAPSHOT ISOLATION: data dirs are immutable and a resolved
   *    snapshot references only dirs that existed at its commit, so a
   *    reader holding version v sees exactly v's rows no matter how
   *    many appends/compactions land meanwhile. [[readVersion]] is
   *    time travel to any un-vacuumed snapshot.
-  *  - CRASH SAFETY: a crash after the data write but before the
-  *    manifest rename leaves an ORPHAN data dir no manifest
-  *    references — invisible to every reader; the next append at that
-  *    version deletes and rewrites it, and [[vacuum]] reaps any
-  *    stragglers. A crash mid-manifest-write leaves only a `.tmp-`
+  *  - CRASH SAFETY, AND BOUNDED CONTRACT-VIOLATION DAMAGE: every
+  *    append attempt writes a UNIQUE data dir (`c%08d_<attempt>`), so
+  *    a crashed attempt — or the LOSER of two writers racing the same
+  *    version — leaves an orphan dir no manifest references,
+  *    invisible to every reader and reaped by [[vacuum]]. The loser's
+  *    manifest rename fails loudly (rename-if-absent); it can never
+  *    reference, overwrite, or delete the winner's files, because no
+  *    two attempts ever share a dir name (Iceberg's unique-filename
+  *    practice). A crash mid-manifest-write leaves only a `.tmp-`
   *    dir, ignored by version listing and cleaned on the next commit.
   *  - [[compact]] is a METADATA swap: rewrite current content into
   *    one new data dir and commit a manifest pointing at it; older
   *    snapshots keep reading their original dirs until [[vacuum]]
   *    drops them (retention is an explicit choice, not a side effect).
+  *  - PROVENANCE: every entry records the dirs it was rewritten from
+  *    (empty for fresh appends), so [[readSince]] can tell a pure
+  *    rewrite (compaction / delete of already-consumed data) from
+  *    genuinely new rows — incremental consumers survive maintenance
+  *    instead of re-reading the whole table.
   */
 object ManifestTable {
 
@@ -49,7 +64,14 @@ object ManifestTable {
   }
 
   private def vName(v: Long): String = f"v$v%08d"
-  private def cName(v: Long): String = f"c$v%08d"
+
+  /** A fresh, attempt-unique data dir name for version `v`. The
+    * attempt suffix is what turns a violated single-writer contract
+    * (or a crash) from silent snapshot corruption into a reapable
+    * orphan: concurrent attempts at the same version can never write
+    * into — or pre-delete — each other's directory. */
+  private def attemptDirName(v: Long): String =
+    f"c$v%08d_${java.util.UUID.randomUUID.toString.take(8)}"
 
   /** Committed snapshot versions at `path`, ascending (empty for a
     * fresh or absent table). */
@@ -71,20 +93,33 @@ object ManifestTable {
     versions(spark, path).lastOption
 
   /** One manifest entry: a data dir, the commit tag that added it
-    * (streaming batch watermark; -1 for batch appends), and optional
-    * min/max stats of one long-castable column for dir-level pruning. */
-  final case class Entry(dir: String, tag: Long, statCol: String,
-      statMin: java.lang.Long, statMax: java.lang.Long)
+    * (streaming batch watermark; -1 for batch appends), per-column
+    * min/max stats of long-castable columns for dir-level pruning
+    * (empty = no stats, never pruned), and the dirs this entry was
+    * rewritten from (empty = fresh append — the provenance
+    * [[readSince]] uses to see through maintenance). */
+  final case class Entry(dir: String, tag: Long,
+      statMin: Map[String, Long], statMax: Map[String, Long],
+      sources: Seq[String]) {
+    /** Stats say this dir MIGHT hold rows with `col` in `[lo, hi]`
+      * (no stats on `col` -> conservatively true). */
+    def mightOverlap(col: String, lo: Long, hi: Long): Boolean =
+      (statMin.get(col), statMax.get(col)) match {
+        case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+        case _ => true
+      }
+  }
 
-  private def entriesOf(spark: SparkSession, path: String,
+  private[graft] def entriesOf(spark: SparkSession, path: String,
       v: Long): Seq[Entry] = {
     import spark.implicits._
     spark.read.parquet(s"$path/manifest/${vName(v)}")
-      .select("dir", "tag", "statCol", "statMin", "statMax")
-      .as[(String, Long, Option[String], Option[Long], Option[Long])]
+      .select("dir", "tag", "statMin", "statMax", "sources")
+      .as[(String, Long, Map[String, Long], Map[String, Long], Seq[String])]
       .collect().sortBy(_._1)
-      .map(t => Entry(t._1, t._2, t._3.orNull,
-        t._4.map(Long.box).orNull, t._5.map(Long.box).orNull)).toSeq
+      .map(t => Entry(t._1, t._2, Option(t._3).getOrElse(Map.empty),
+        Option(t._4).getOrElse(Map.empty),
+        Option(t._5).getOrElse(Seq.empty))).toSeq
   }
 
   /** The data directories snapshot `v` references (absolute paths). */
@@ -92,7 +127,7 @@ object ManifestTable {
       v: Long): Seq[String] =
     entriesOf(spark, path, v).map(e => s"$path/data/${e.dir}")
 
-  private def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     fs.exists(p) && fs.listStatus(p).exists { st =>
@@ -101,81 +136,154 @@ object ManifestTable {
     }
   }
 
+  // ---- per-version sidecar metadata (rides the atomic rename) ------
+
+  private def readSideFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+      finally in.close()
+    }
+
+  private def writeSideFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, body: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The snapshot schema persisted at commit time — what makes a
+    * legitimately EMPTY snapshot (all rows deleted, or only
+    * empty-batch commits) readable as an empty frame instead of a
+    * schema-inference crash. */
+  def schemaOf(spark: SparkSession, path: String,
+      v: Long): Option[StructType] = {
+    val (fs, _) = fsOf(spark, path)
+    readSideFile(fs, new org.apache.hadoop.fs.Path(
+      s"$path/manifest/${vName(v)}/_graft_schema.json"))
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+  }
+
+  private def maxTagOf(spark: SparkSession, path: String,
+      v: Long): Option[Long] = {
+    val (fs, _) = fsOf(spark, path)
+    readSideFile(fs, new org.apache.hadoop.fs.Path(
+      s"$path/manifest/${vName(v)}/_graft_maxtag")).map(_.trim.toLong)
+  }
+
   /** The ONE read path for a dir selection: skips file-less dirs
     * (empty-batch commits write dirs Spark cannot infer a schema
     * from), and when the selection is empty (or all file-less)
-    * returns an empty frame with the snapshot's schema, derived from
-    * any readable dir of the snapshot. Shared by [[readVersion]],
-    * [[readPruned]], and [[readSince]] so the empty/file-less edge
-    * cases have exactly one implementation. */
-  private def readDirs(spark: SparkSession, path: String,
+    * returns an empty frame with the snapshot's PERSISTED schema —
+    * so an emptied table reads as zero rows, like every real table
+    * format, rather than crashing an incremental consumer. Shared by
+    * [[readVersion]], [[readPruned]], and [[readSince]] so the
+    * empty/file-less edge cases have exactly one implementation. */
+  private def readDirs(spark: SparkSession, path: String, v: Long,
       snapshot: Seq[Entry], selected: Seq[Entry]): DataFrame = {
     val (fs, _) = fsOf(spark, path)
     val sel = selected.map(e => s"$path/data/${e.dir}")
       .filter(hasDataFiles(fs, _))
     if (sel.nonEmpty) spark.read.parquet(sel: _*)
-    else {
-      val any = snapshot.map(e => s"$path/data/${e.dir}")
-        .find(hasDataFiles(fs, _))
-        .getOrElse(sys.error(
-          s"ManifestTable: no readable data files at $path — cannot " +
-            "derive a schema for the (empty) result"))
-      spark.read.parquet(any).limit(0)
+    else schemaOf(spark, path, v) match {
+      case Some(schema) =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case None => // pre-sidecar manifest: derive from any readable dir
+        val any = snapshot.map(e => s"$path/data/${e.dir}")
+          .find(hasDataFiles(fs, _))
+          .getOrElse(sys.error(
+            s"ManifestTable: no readable data files at $path — cannot " +
+              "derive a schema for the (empty) result"))
+        spark.read.parquet(any).limit(0)
     }
   }
 
-  /** The highest commit tag in the latest snapshot (-1 if the table
-    * is empty or only untagged) — the streaming sink's exactly-once
-    * watermark: the tag travels INSIDE the atomically-renamed
-    * manifest, so "rows of batch B are in the table" and "watermark
-    * says B" are one filesystem operation. */
+  /** The snapshot schema of version `v`, from the persisted sidecar
+    * (or, for pre-sidecar manifests, inferred from a readable dir). */
+  private def tableSchema(spark: SparkSession, path: String, v: Long,
+      entries: Seq[Entry]): StructType =
+    schemaOf(spark, path, v).getOrElse {
+      val (fs, _) = fsOf(spark, path)
+      val any = entries.map(e => s"$path/data/${e.dir}")
+        .find(hasDataFiles(fs, _))
+        .getOrElse(sys.error(
+          s"ManifestTable: no schema sidecar and no readable data at " +
+            s"$path ${vName(v)}"))
+      spark.read.parquet(any).schema
+    }
+
+  /** The table's exactly-once streaming watermark: the highest tag
+    * ever committed, persisted table-level in the manifest sidecar so
+    * it (a) rides the same atomic rename as the data it describes and
+    * (b) stays MONOTONE across deletes — emptying the table does not
+    * forget which batches were applied, so a replay after a
+    * retention delete is still skipped. -1 for a fresh/untagged
+    * table. */
   def latestTag(spark: SparkSession, path: String): Long =
-    latestVersion(spark, path)
-      .map(v => entriesOf(spark, path, v).map(_.tag).foldLeft(-1L)(math.max))
-      .getOrElse(-1L)
+    latestVersion(spark, path).map { v =>
+      maxTagOf(spark, path, v).getOrElse(
+        entriesOf(spark, path, v).map(_.tag).foldLeft(-1L)(math.max))
+    }.getOrElse(-1L)
+
+  /** Min/max of each long-castable `cols` column over the WRITTEN
+    * dir, not over `df`: a second evaluation of an unpersisted frame
+    * could disagree with what was written (source mutated between
+    * jobs, non-deterministic column) and a too-narrow recorded range
+    * would make pruned reads silently drop matching rows. The written
+    * dir is immutable — its stats are the truth, for one cheap
+    * columnar read of the batch-sized dir. All-null or empty columns
+    * get no stats (never pruned: conservative). */
+  private def statsOf(spark: SparkSession, dir: String,
+      cols: Seq[String]): (Map[String, Long], Map[String, Long]) =
+    if (cols.isEmpty) (Map.empty, Map.empty)
+    else scala.util.Try { // an empty batch writes a file-less dir
+      val aggs = cols.flatMap(c =>
+        Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+      val r = spark.read.parquet(dir).agg(aggs.head, aggs.tail: _*).head()
+      val pairs = cols.zipWithIndex.flatMap { case (c, i) =>
+        if (r.isNullAt(2 * i)) None
+        else Some(c -> (r.getLong(2 * i), r.getLong(2 * i + 1)))
+      }
+      (pairs.map { case (c, mm) => c -> mm._1 }.toMap,
+        pairs.map { case (c, mm) => c -> mm._2 }.toMap)
+    }.getOrElse((Map.empty, Map.empty))
 
   /** Append `df` as one immutable data directory + one new manifest.
-    * `tag` is recorded on the new entry (streaming watermark);
-    * `statsCol` additionally records the new dir's min/max of that
-    * long-castable column, enabling [[readPruned]] to skip whole dirs
-    * from the manifest alone. Returns the committed version.
-    * Single-writer. */
+    * `tag` is recorded on the new entry (streaming watermark); each
+    * `statsCols` column additionally records the new dir's min/max,
+    * enabling [[readPruned]] (and the `graft-manifest` SQL source's
+    * filter pushdown) to skip whole dirs from the manifest alone.
+    * Returns the committed version. Single-writer; a violated
+    * contract costs the loser a loud rename failure and an orphan
+    * dir, never the winner's snapshot. */
   def append(spark: SparkSession, df: DataFrame, path: String,
-      tag: Long = -1L, statsCol: Option[String] = None): Long = {
-    val (fs, _) = fsOf(spark, path)
+      tag: Long = -1L, statsCols: Seq[String] = Nil): Long = {
     val prev = latestVersion(spark, path)
     val v = prev.map(_ + 1).getOrElse(1L)
-    val dataDir = new org.apache.hadoop.fs.Path(s"$path/data/${cName(v)}")
-    // a crashed earlier attempt at THIS version left an orphan no
-    // manifest references — rewrite it
-    fs.delete(dataDir, true)
-    df.write.mode("overwrite").parquet(dataDir.toString)
-    // stats from the WRITTEN dir, not from `df`: a second evaluation
-    // of an unpersisted frame could disagree with what was written
-    // (source mutated between jobs, non-deterministic column) and a
-    // too-narrow recorded range would make readPruned silently drop
-    // matching rows. The written dir is immutable — its stats are the
-    // truth, for one cheap columnar read of the batch-sized dir.
-    // All-null or empty -> null stats (never pruned: conservative).
-    val stats = statsCol.flatMap { c =>
-      // Try: an empty batch may write a file-less dir Spark can't read
-      scala.util.Try {
-        val r = spark.read.parquet(dataDir.toString)
-          .agg(min(col(c).cast("long")), max(col(c).cast("long"))).head()
-        if (r.isNullAt(0)) None else Some((c, r.getLong(0), r.getLong(1)))
-      }.toOption.flatten
-    }
+    val dirName = attemptDirName(v)
+    val dataDir = s"$path/data/$dirName"
+    df.write.mode("overwrite").parquet(dataDir)
+    val (mins, maxes) = statsOf(spark, dataDir, statsCols)
     val prevEntries = prev.map(pv => entriesOf(spark, path, pv))
       .getOrElse(Seq.empty)
-    val entry = Entry(cName(v), tag, stats.map(_._1).orNull,
-      stats.map(s => Long.box(s._2)).orNull,
-      stats.map(s => Long.box(s._3)).orNull)
-    commit(spark, path, v, prevEntries :+ entry)
+    val prevTag = prev.map(pv => maxTagOf(spark, path, pv).getOrElse(
+      prevEntries.map(_.tag).foldLeft(-1L)(math.max))).getOrElse(-1L)
+    val entry = Entry(dirName, tag, mins, maxes, Seq.empty)
+    commit(spark, path, v, prevEntries :+ entry, df.schema,
+      math.max(prevTag, tag))
     v
   }
 
-  private def commit(spark: SparkSession, path: String, v: Long,
-      entries: Seq[Entry]): Unit = {
+  /** Publish version `v`: write the manifest parquet plus the schema
+    * and watermark sidecars into a `.tmp-` directory, then rename it
+    * into place — the rename is the commit point for all three.
+    * Package-visible so the concurrency spec can drive a losing
+    * commit attempt directly. */
+  private[graft] def commit(spark: SparkSession, path: String, v: Long,
+      entries: Seq[Entry], schema: StructType, maxTag: Long): Unit = {
     import spark.implicits._
     val (fs, _) = fsOf(spark, path)
     val mDir = new org.apache.hadoop.fs.Path(s"$path/manifest")
@@ -184,36 +292,45 @@ object ManifestTable {
     fs.listStatus(mDir).filter(_.getPath.getName.startsWith(".tmp-"))
       .foreach(st => fs.delete(st.getPath, true))
     val tmp = new org.apache.hadoop.fs.Path(s"$path/manifest/.tmp-${vName(v)}")
-    entries.map(e => (e.dir, e.tag, Option(e.statCol),
-        Option(e.statMin).map(Long.unbox), Option(e.statMax).map(Long.unbox)))
-      .toDF("dir", "tag", "statCol", "statMin", "statMax")
+    entries.map(e => (e.dir, e.tag, e.statMin, e.statMax, e.sources))
+      .toDF("dir", "tag", "statMin", "statMax", "sources")
       .repartition(1)
       .write.mode("overwrite").parquet(tmp.toString)
+    writeSideFile(fs, new org.apache.hadoop.fs.Path(
+      tmp, "_graft_schema.json"), schema.json)
+    writeSideFile(fs, new org.apache.hadoop.fs.Path(
+      tmp, "_graft_maxtag"), maxTag.toString)
     val fin = new org.apache.hadoop.fs.Path(s"$path/manifest/${vName(v)}")
-    require(fs.rename(tmp, fin),
-      s"ManifestTable.commit: could not publish ${vName(v)} at $path")
+    require(!fs.exists(fin) && fs.rename(tmp, fin),
+      s"ManifestTable.commit: could not publish ${vName(v)} at $path — " +
+        "another writer committed this version first (single-writer " +
+        "contract violated); this attempt's data dir is an orphan " +
+        "vacuum will reap")
   }
 
-  /** Latest snapshot restricted to data dirs whose recorded
-    * `[statMin, statMax]` overlaps `[lo, hi]` on `statsCol` — dir
-    * granularity pruning decided from the MANIFEST alone, before any
-    * data file is listed or opened (the Iceberg-manifest-stats idea
-    * at its smallest). Dirs with no stats (or stats on a different
-    * column) are conservatively kept; an empty survivor set returns
-    * an empty frame with the snapshot's schema. The caller still
-    * applies its row filter — pruning only cuts which dirs can
-    * contain matches, exactly like parquet's own row-group skip one
-    * level down. */
-  def readPruned(spark: SparkSession, path: String, statsCol: String,
-      lo: Long, hi: Long): DataFrame = {
+  /** Latest snapshot restricted to data dirs whose recorded min/max
+    * overlaps EVERY `[col, lo, hi]` predicate — dir-granularity
+    * pruning decided from the MANIFEST alone, before any data file is
+    * listed or opened (the Iceberg-manifest-stats idea at its
+    * smallest). Dirs without stats on a predicate's column are
+    * conservatively kept; an empty survivor set returns an empty
+    * frame with the snapshot's schema. The caller still applies its
+    * row filter — pruning only cuts which dirs can contain matches,
+    * exactly like parquet's own row-group skip one level down. */
+  def readPruned(spark: SparkSession, path: String,
+      preds: Seq[(String, Long, Long)]): DataFrame = {
     val v = latestVersion(spark, path).getOrElse(
       sys.error(s"ManifestTable.readPruned: no committed version at $path"))
     val entries = entriesOf(spark, path, v)
     val keep = entries.filter(e =>
-      e.statCol != statsCol || e.statMin == null ||
-        (e.statMax >= lo && e.statMin <= hi))
-    readDirs(spark, path, entries, keep)
+      preds.forall { case (c, lo, hi) => e.mightOverlap(c, lo, hi) })
+    readDirs(spark, path, v, entries, keep)
   }
+
+  /** Single-predicate convenience form of [[readPruned]]. */
+  def readPruned(spark: SparkSession, path: String, statsCol: String,
+      lo: Long, hi: Long): DataFrame =
+    readPruned(spark, path, Seq((statsCol, lo, hi)))
 
   /** Latest snapshot as a DataFrame. The file list is resolved NOW, so
     * the returned frame keeps reading this snapshot's (immutable) dirs
@@ -230,14 +347,19 @@ object ManifestTable {
       s"ManifestTable: ${vName(v)} is not a committed snapshot at " +
         s"$path (never committed, or vacuumed)")
     val entries = entriesOf(spark, path, v)
-    readDirs(spark, path, entries, entries)
+    readDirs(spark, path, v, entries, entries)
   }
 
   /** Rewrite the CURRENT snapshot's content into one fresh data dir
     * (sized like [[Maintenance.compactParquet]]: `targetFileBytes`
     * per file, floored at `minFiles` splits) and commit it as a new
     * version. Pure metadata swap for readers — older snapshots still
-    * reference their original dirs until [[vacuum]]. Returns the new
+    * reference their original dirs until [[vacuum]]. The compacted
+    * entry records every source dir as provenance, so [[readSince]]
+    * consumers that already drained those commits see the compaction
+    * as a no-op instead of a whole-table re-read. A table with no
+    * readable data files (only empty-batch commits) is a no-op:
+    * returns the current version unchanged. Returns the new
     * version. */
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20, minFiles: Int = 1): Long = {
@@ -245,94 +367,132 @@ object ManifestTable {
     val prev = latestVersion(spark, path).getOrElse(
       sys.error(s"ManifestTable.compact: no committed version at $path"))
     val entries = entriesOf(spark, path, prev)
-    val dirs = entries.map(e => s"$path/data/${e.dir}")
+    val readable = entries.filter(e =>
+      hasDataFiles(fs, s"$path/data/${e.dir}"))
+    if (readable.isEmpty) return prev // nothing to rewrite
+    val dirs = readable.map(e => s"$path/data/${e.dir}")
     val bytes = dirs.map(d => fs.getContentSummary(
       new org.apache.hadoop.fs.Path(d)).getLength).sum
     val nOut = math.max(minFiles.toLong,
       (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val v = prev + 1
-    val dataDir = new org.apache.hadoop.fs.Path(s"$path/data/${cName(v)}")
-    fs.delete(dataDir, true)
+    val dirName = attemptDirName(v)
+    val dataDir = s"$path/data/$dirName"
     spark.read.parquet(dirs: _*).repartition(nOut)
-      .write.mode("overwrite").parquet(dataDir.toString)
-    // the merged entry PRESERVES the watermark (max tag — compaction
-    // must not make a replayed batch look fresh) and folds the stats
-    // (min of mins / max of maxes when every entry carries the same
-    // stats column; dropped otherwise — conservative, never wrong)
-    val tag = entries.map(_.tag).foldLeft(-1L)(math.max)
-    val statCols = entries.map(e => Option(e.statCol)).distinct
-    val merged = statCols match {
-      case Seq(Some(c)) if entries.forall(_.statMin != null) =>
-        Entry(cName(v), tag, c,
-          Long.box(entries.map(e => Long.unbox(e.statMin)).min),
-          Long.box(entries.map(e => Long.unbox(e.statMax)).max))
-      case _ => Entry(cName(v), tag, null, null, null)
-    }
-    commit(spark, path, v, Seq(merged))
+      .write.mode("overwrite").parquet(dataDir)
+    // the merged entry keeps the max per-dir tag (honest: the dir
+    // holds rows from batches up to that tag) and folds stats
+    // per-column: a column is folded only when EVERY readable source
+    // entry recorded it (otherwise the fold would under-cover —
+    // dropped is conservative, never wrong). File-less source dirs
+    // hold no rows, so they join the provenance list but not the fold.
+    val tag = readable.map(_.tag).foldLeft(-1L)(math.max)
+    val foldCols = readable.map(_.statMin.keySet)
+      .reduce(_ intersect _).toSeq.sorted
+    val mins = foldCols.map(c =>
+      c -> readable.map(_.statMin(c)).min).toMap
+    val maxes = foldCols.map(c =>
+      c -> readable.map(_.statMax(c)).max).toMap
+    val merged = Entry(dirName, tag, mins, maxes, entries.map(_.dir))
+    val prevTag = maxTagOf(spark, path, prev).getOrElse(
+      entries.map(_.tag).foldLeft(-1L)(math.max))
+    commit(spark, path, v, Seq(merged),
+      tableSchema(spark, path, prev, entries), prevTag)
     v
   }
 
   /** Incremental consumption: rows committed AFTER snapshot
-    * `sinceVersion` — the dirs of the latest snapshot minus the dirs
-    * of `sinceVersion`, resolved from two manifest reads (no data
+    * `sinceVersion`, resolved from manifest metadata alone (no data
     * listing, no content diff). This is the change-data-capture read
     * a downstream incremental job wants: checkpoint the version you
     * processed, ask for everything since, repeat — each commit is
-    * consumed exactly once because dirs are immutable and append-only.
+    * consumed exactly once because dirs are immutable and provenance
+    * is recorded on rewrite.
     *
-    * Semantics are DIR-IDENTITY based, which is what makes them free:
-    * a [[compact]] or [[deleteRange]] rewrites identity, so the new
-    * dirs would all look "new" to a stale checkpoint. Incremental
-    * consumers must drain up to the current version before table
-    * maintenance runs (the standard CDC-vs-compaction contract).
-    * `sinceVersion <= 0` is the bootstrap read (the whole table); a
-    * vacuumed checkpoint fails with the contract named. Returns an
-    * empty frame (snapshot schema) when nothing is new. */
+    * A dir counts as ALREADY CONSUMED when it was in the checkpoint
+    * snapshot, or — via the provenance chain — when it is a pure
+    * rewrite of consumed dirs ([[compact]] / [[deleteRange]] after
+    * the consumer drained: the maintenance becomes invisible instead
+    * of a spurious whole-table re-read). A rewrite that FOLDED
+    * consumed and unconsumed commits together cannot be split by
+    * metadata and fails loudly, naming the drain-before-maintenance
+    * contract. `sinceVersion <= 0` is the bootstrap read (the whole
+    * table); a vacuumed checkpoint fails with the contract named.
+    * Returns an empty frame (snapshot schema) when nothing is new. */
   def readSince(spark: SparkSession, path: String,
       sinceVersion: Long): DataFrame = {
     val vs = versions(spark, path)
     val latest = vs.lastOption.getOrElse(
       sys.error(s"ManifestTable.readSince: no committed version at $path"))
     val now = entriesOf(spark, path, latest)
-    // sinceVersion <= 0 is the bootstrap read (whole table); a
-    // VACUUMED checkpoint fails with the contract named, not a raw
+    if (sinceVersion <= 0) return readDirs(spark, path, latest, now, now)
+    // a VACUUMED checkpoint fails with the contract named, not a raw
     // file-not-found — the consumer lagged past retention and must
     // re-bootstrap
-    val seen =
-      if (sinceVersion <= 0) Set.empty[String]
-      else {
-        require(vs.contains(sinceVersion),
-          s"ManifestTable.readSince: checkpoint ${vName(sinceVersion)} " +
-            s"is not a committed snapshot at $path — vacuumed (lagged " +
-            "past retention; re-bootstrap with sinceVersion = 0) or " +
-            "never committed")
-        entriesOf(spark, path, sinceVersion).map(_.dir).toSet
-      }
-    readDirs(spark, path, now, now.filterNot(e => seen.contains(e.dir)))
+    require(vs.contains(sinceVersion),
+      s"ManifestTable.readSince: checkpoint ${vName(sinceVersion)} " +
+        s"is not a committed snapshot at $path — vacuumed (lagged " +
+        "past retention; re-bootstrap with sinceVersion = 0) or " +
+        "never committed")
+    val seen = entriesOf(spark, path, sinceVersion).map(_.dir).toSet
+    // provenance across every retained intermediate version — vacuum
+    // keeps a SUFFIX of versions, so if the checkpoint survived, so
+    // did everything after it and the map is complete
+    val prov: Map[String, Seq[String]] =
+      vs.filter(v => v > sinceVersion)
+        .flatMap(v => entriesOf(spark, path, v).map(e => e.dir -> e.sources))
+        .toMap
+    val memo = scala.collection.mutable.Map.empty[String, Boolean]
+    def consumed(dir: String): Boolean = memo.get(dir) match {
+      case Some(c) => c
+      case None =>
+        val c =
+          if (seen.contains(dir)) true
+          else prov.get(dir) match {
+            case Some(srcs) if srcs.nonEmpty =>
+              val cs = srcs.map(consumed)
+              if (cs.forall(identity)) true
+              else if (!cs.exists(identity)) false
+              else sys.error(
+                s"ManifestTable.readSince: $dir was rewritten from a " +
+                  "MIX of consumed and unconsumed commits — table " +
+                  "maintenance folded commits this consumer had not " +
+                  "drained (drain to the current version before " +
+                  "compact/deleteRange, or re-bootstrap with " +
+                  "sinceVersion = 0)")
+            case Some(_) => false // fresh append since the checkpoint
+            case None => sys.error(
+              s"ManifestTable.readSince: no provenance for $dir — its " +
+                "commit was vacuumed; re-bootstrap with sinceVersion = 0")
+          }
+        memo.update(dir, c); c
+    }
+    readDirs(spark, path, latest, now, now.filterNot(e => consumed(e.dir)))
   }
 
   /** Copy-on-write row-level delete of `[lo, hi]` on `statsCol`:
     * ONLY the data dirs whose recorded stats overlap the range are
-    * rewritten (filtered, restatted, possibly dropped entirely when
-    * emptied); every other dir keeps its identity — no rewrite, no
-    * new files, same entry, just copied into the new manifest. That
-    * is the delete shape a 100 TB table needs: cost proportional to
-    * the data that CONTAINS matches, not to the table (with a
-    * monotone stats column like event time, a retention delete
-    * touches exactly the expired dirs). Dirs without stats on
-    * `statsCol` are conservatively rewritten (they might contain
-    * matches). Old snapshots still see the deleted rows until
-    * [[vacuum]] — deletion is a new version, not an edit. Returns
-    * (new version, dirs rewritten). */
+    * rewritten (filtered, restatted on every column the entry had
+    * stats for, possibly dropped entirely when emptied); every other
+    * dir keeps its identity — no rewrite, no new files, same entry,
+    * just copied into the new manifest. That is the delete shape a
+    * 100 TB table needs: cost proportional to the data that CONTAINS
+    * matches, not to the table (with a monotone stats column like
+    * event time, a retention delete touches exactly the expired
+    * dirs). Dirs without stats on `statsCol` are conservatively
+    * rewritten (they might contain matches). Old snapshots still see
+    * the deleted rows until [[vacuum]] — deletion is a new version,
+    * not an edit. The table watermark is table-level metadata and
+    * survives any delete (a replayed batch stays skipped even after
+    * its rows were deliberately removed). Returns (new version, dirs
+    * rewritten). */
   def deleteRange(spark: SparkSession, path: String, statsCol: String,
       lo: Long, hi: Long): (Long, Int) = {
     val (fs, _) = fsOf(spark, path)
     val prev = latestVersion(spark, path).getOrElse(
       sys.error(s"ManifestTable.deleteRange: no committed version at $path"))
     val entries = entriesOf(spark, path, prev)
-    val (touch0, keep0) = entries.partition(e =>
-      e.statCol != statsCol || e.statMin == null ||
-        (e.statMax >= lo && e.statMin <= hi))
+    val (touch0, keep0) = entries.partition(_.mightOverlap(statsCol, lo, hi))
     // a file-less dir (empty-batch commit) holds nothing to delete —
     // keep its entry untouched instead of crashing on a schema-less
     // read
@@ -340,10 +500,9 @@ object ManifestTable {
       hasDataFiles(fs, s"$path/data/${e.dir}"))
     val keep = keep0 ++ keepEmpty
     val v = prev + 1
-    val rewritten = touch.zipWithIndex.flatMap { case (e, i) =>
-      val newDir = f"${cName(v)}_$i%04d"
-      val target = new org.apache.hadoop.fs.Path(s"$path/data/$newDir")
-      fs.delete(target, true) // crashed earlier attempt at this version
+    val rewritten = touch.flatMap { e =>
+      val newDir = attemptDirName(v)
+      val target = s"$path/data/$newDir"
       // null keys are never "in range" — they must survive a range
       // delete (a bare !between would evaluate null and drop them)
       val kept = spark.read.parquet(s"$path/data/${e.dir}")
@@ -351,46 +510,38 @@ object ManifestTable {
           !col(statsCol).cast("long").between(lo, hi))
       if (kept.head(1).isEmpty) None // dir fully deleted: no entry
       else {
-        kept.write.mode("overwrite").parquet(target.toString)
+        kept.write.mode("overwrite").parquet(target)
         // re-stat from the WRITTEN dir (same consistency rule as
-        // append — the written files are the truth); all-null-key
-        // survivors get null stats (kept by every future prune:
-        // conservative, exactly right)
-        val stats = spark.read.parquet(target.toString)
-          .agg(min(col(statsCol).cast("long")),
-            max(col(statsCol).cast("long"))).head()
-        if (stats.isNullAt(0)) Some(Entry(newDir, e.tag, null, null, null))
-        else Some(Entry(newDir, e.tag, statsCol,
-          Long.box(stats.getLong(0)), Long.box(stats.getLong(1))))
+        // append); restat every column the entry recorded, plus the
+        // delete key — all-null survivors get no stats (kept by
+        // every future prune: conservative, exactly right)
+        val restatCols = (e.statMin.keySet + statsCol).toSeq.sorted
+        val (mins, maxes) = statsOf(spark, target, restatCols)
+        Some(Entry(newDir, e.tag, mins, maxes, Seq(e.dir)))
       }
     }
-    // the exactly-once watermark is COMMIT-level: if the delete
-    // dropped the dir carrying the table's max tag, a replay of that
-    // batch would look fresh and double-ingest — re-pin the max tag
-    // on a surviving entry (an emptied table genuinely resets to -1)
-    val survivors = keep ++ rewritten
-    val tableTag = entries.map(_.tag).foldLeft(-1L)(math.max)
-    val committed =
-      if (survivors.isEmpty || survivors.exists(_.tag >= tableTag))
-        survivors
-      else survivors.init :+ survivors.last.copy(tag = tableTag)
-    commit(spark, path, v, committed)
+    val prevTag = maxTagOf(spark, path, prev).getOrElse(
+      entries.map(_.tag).foldLeft(-1L)(math.max))
+    commit(spark, path, v, keep ++ rewritten,
+      tableSchema(spark, path, prev, entries), prevTag)
     (v, touch.size)
   }
 
   /** Drop snapshots older than the newest `keepVersions` and delete
-    * every data dir none of the kept snapshots references (orphans
-    * from crashed appends included). Returns (manifests dropped, data
-    * dirs deleted). After vacuum, time travel reaches only the kept
-    * versions — retention is this ONE explicit knob. */
+    * every data dir none of the kept snapshots references — crashed
+    * appends AND losers of violated single-writer races included
+    * (their unique attempt dirs are exactly the orphans this reaps).
+    * Returns (manifests dropped, data dirs deleted). After vacuum,
+    * time travel reaches only the kept versions — retention is this
+    * ONE explicit knob. */
   def vacuum(spark: SparkSession, path: String,
       keepVersions: Int = 1): (Int, Int) = {
     require(keepVersions >= 1, "vacuum: must keep at least one version")
     val (fs, _) = fsOf(spark, path)
     val vs = versions(spark, path)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
-    val referenced = keep.flatMap(v => dirsOf(spark, path, v)
-      .map(_.split('/').last)).toSet
+    val referenced = keep.flatMap(v =>
+      entriesOf(spark, path, v).map(_.dir)).toSet
     drop.foreach(v => fs.delete(
       new org.apache.hadoop.fs.Path(s"$path/manifest/${vName(v)}"), true))
     val dataRoot = new org.apache.hadoop.fs.Path(s"$path/data")

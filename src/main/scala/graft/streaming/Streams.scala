@@ -717,7 +717,7 @@ object Streams {
     * isolation while the stream runs (a query planned mid-stream
     * reads a consistent committed prefix, never a half-written
     * batch), time travel to any batch boundary, and — with
-    * `statsCol` set — manifest-level dir pruning
+    * `statsCols` set — manifest-level dir pruning
     * ([[graft.sinks.ManifestTable.readPruned]]), which for a
     * monotone column (event time, ingest id) makes "recent data"
     * queries skip every old batch dir from ONE metadata read. The
@@ -743,7 +743,7 @@ object Streams {
     * compactions costs readers one extra listing per dir, the same
     * linear term as any append table's file count. */
   def manifestSinkWriter(docs: DataFrame, tablePath: String,
-      checkpoint: String, statsCol: Option[String] = None,
+      checkpoint: String, statsCols: Seq[String] = Nil,
       vacuumEvery: Int = 0, keepVersions: Int = 2): DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -753,7 +753,7 @@ object Streams {
           batchId > graft.sinks.ManifestTable.latestTag(spark, tablePath)
         if (fresh) {
           graft.sinks.ManifestTable.append(spark, batch, tablePath,
-            tag = batchId, statsCol = statsCol)
+            tag = batchId, statsCols = statsCols)
           // replayed batches skip maintenance too — a no-op append
           // must not pay (or commit) anything
           if (vacuumEvery > 0 && batchId > 0 &&

@@ -7,7 +7,9 @@ import java.nio.file.Files
 
 /** The manifest table's contract: atomic versioned commits, snapshot
   * isolation under later appends/compaction, crash-state invisibility,
-  * and vacuum as the one explicit retention knob.
+  * bounded damage under a violated single-writer contract, provenance-
+  * aware incremental reads, and vacuum as the one explicit retention
+  * knob.
   */
 class ManifestTableSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -15,6 +17,10 @@ class ManifestTableSpec extends AnyFunSuite {
 
   private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
     df.select("id").as[Long].collect().sorted.toSeq
+
+  /** Data-dir names of version `v`'s entries. */
+  private def dirNames(t: String, v: Long): Seq[String] =
+    ManifestTable.entriesOf(spark, t, v).map(_.dir)
 
   test("append commits versioned snapshots; time travel reads each exactly") {
     val t = s"${Files.createTempDirectory("graft-manifest")}/t"
@@ -44,17 +50,56 @@ class ManifestTableSpec extends AnyFunSuite {
     val t = s"${Files.createTempDirectory("graft-manifest3")}/t"
     ManifestTable.append(spark, Seq(1L).toDF("id"), t)
     // simulate a crash AFTER the data write, BEFORE the manifest
-    // rename: an orphan c00000002 dir and a .tmp- manifest dir
-    Seq(99L).toDF("id").write.parquet(s"$t/data/c00000002")
-    Seq("c00000001", "c00000002").toDF("dir").repartition(1)
+    // rename: an orphan attempt dir and a .tmp- manifest dir
+    Seq(99L).toDF("id").write.parquet(s"$t/data/c00000002_deadbeef")
+    Seq("x").toDF("dir").repartition(1)
       .write.parquet(s"$t/manifest/.tmp-v00000002")
     // readers see only the committed snapshot
     assert(ManifestTable.latestVersion(spark, t).contains(1L))
     assert(ids(ManifestTable.read(spark, t)) == Seq(1L))
-    // the next append at that version REPLACES the orphan and commits
+    // the next append commits under its OWN attempt dir — it never
+    // touches the orphan (that isolation is what bounds concurrent-
+    // writer damage), and the tmp debris is cleaned
     assert(ManifestTable.append(spark, Seq(2L).toDF("id"), t) == 2L)
     assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L))
     assert(!new java.io.File(s"$t/manifest/.tmp-v00000002").exists())
+    assert(new java.io.File(s"$t/data/c00000002_deadbeef").exists())
+    // vacuum reaps the orphan; committed dirs stay
+    val (_, reaped) = ManifestTable.vacuum(spark, t, 10)
+    assert(reaped == 1)
+    assert(!new java.io.File(s"$t/data/c00000002_deadbeef").exists())
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L))
+  }
+
+  test("a racing second writer fails loudly; the winner's snapshot is untouched") {
+    val t = s"${Files.createTempDirectory("graft-manifestrace")}/t"
+    ManifestTable.append(spark, Seq(1L, 2L).toDF("id"), t)
+    // writers A and B both observe latest = v1 and target v2. A wins
+    // with a normal append; B — still believing v2 is free — has
+    // already written its own (unique) attempt dir and now tries to
+    // publish the manifest. Unique attempt dirs mean B never wrote
+    // into A's directory; rename-if-absent means B's commit fails
+    // LOUDLY instead of clobbering A's.
+    ManifestTable.append(spark, Seq(3L).toDF("id"), t) // A commits v2
+    val winnerFiles = ManifestTable.read(spark, t).inputFiles.toSet
+    Seq(99L).toDF("id").write.parquet(s"$t/data/c00000002_loser001")
+    val ex = intercept[IllegalArgumentException] {
+      ManifestTable.commit(spark, t, 2L,
+        dirNames(t, 1L).map(d =>
+          ManifestTable.Entry(d, -1L, Map.empty, Map.empty, Nil)) :+
+          ManifestTable.Entry("c00000002_loser001", -1L,
+            Map.empty, Map.empty, Nil),
+        new org.apache.spark.sql.types.StructType().add("id", "long"),
+        -1L)
+    }
+    assert(ex.getMessage.contains("single-writer"))
+    // the winner's snapshot is byte-identical (same files, same rows)
+    assert(ManifestTable.read(spark, t).inputFiles.toSet == winnerFiles)
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L, 3L))
+    // the loser's dir is an orphan vacuum reaps
+    val (_, reaped) = ManifestTable.vacuum(spark, t, 10)
+    assert(reaped == 1)
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L, 3L))
   }
 
   test("compact is a metadata swap; vacuum is the explicit retention knob") {
@@ -72,7 +117,7 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L, 3L, 4L))
     intercept[Exception] { ManifestTable.readVersion(spark, t, 2).collect() }
     // vacuum also reaps crashed-append orphans
-    Seq(99L).toDF("id").write.parquet(s"$t/data/c00000099")
+    Seq(99L).toDF("id").write.parquet(s"$t/data/c00000099_0badf00d")
     assert(ManifestTable.vacuum(spark, t, 1) == ((0, 1)))
     assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L, 3L, 4L))
   }
@@ -81,17 +126,18 @@ class ManifestTableSpec extends AnyFunSuite {
     val t = s"${Files.createTempDirectory("graft-manifest6")}/t"
     // three appends with disjoint id ranges, stats recorded
     ManifestTable.append(spark, Seq(1L, 5L).toDF("id"), t,
-      tag = 0L, statsCol = Some("id"))
+      tag = 0L, statsCols = Seq("id"))
     ManifestTable.append(spark, Seq(10L, 15L).toDF("id"), t,
-      tag = 1L, statsCol = Some("id"))
+      tag = 1L, statsCols = Seq("id"))
     ManifestTable.append(spark, Seq(20L, 25L).toDF("id"), t,
-      tag = 2L, statsCol = Some("id"))
+      tag = 2L, statsCols = Seq("id"))
     assert(ManifestTable.latestTag(spark, t) == 2L)
     // a [10, 15] probe reads ONE dir — decided from the manifest,
     // before any data file is opened
     val pruned = ManifestTable.readPruned(spark, t, "id", 10L, 15L)
+    val secondDir = dirNames(t, 2L).filterNot(dirNames(t, 1L).contains).head
     assert(pruned.inputFiles.length ==
-      spark.read.parquet(s"$t/data/c00000002").inputFiles.length)
+      spark.read.parquet(s"$t/data/$secondDir").inputFiles.length)
     assert(ids(pruned.filter(col("id").between(10, 15))) == Seq(10L, 15L))
     // fully-disjoint probe: zero dirs, empty frame, schema intact
     val none = ManifestTable.readPruned(spark, t, "id", 100L, 200L)
@@ -107,14 +153,46 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.readPruned(spark, t, "id", 100L, 200L).count() == 0)
   }
 
+  test("multi-column stats: each recorded column prunes independently") {
+    val t = s"${Files.createTempDirectory("graft-manifestmc")}/t"
+    // two stats columns with DIFFERENT orderings: id ascending across
+    // commits, ts descending — so each column prunes a different dir
+    ManifestTable.append(spark,
+      Seq((1L, 900L), (5L, 950L)).toDF("id", "ts"), t,
+      statsCols = Seq("id", "ts"))
+    ManifestTable.append(spark,
+      Seq((10L, 500L), (15L, 550L)).toDF("id", "ts"), t,
+      statsCols = Seq("id", "ts"))
+    ManifestTable.append(spark,
+      Seq((20L, 100L), (25L, 150L)).toDF("id", "ts"), t,
+      statsCols = Seq("id", "ts"))
+    def nDirs(df: org.apache.spark.sql.DataFrame): Int =
+      df.inputFiles.map(_.split('/').dropRight(1).last).distinct.length
+    // an id probe prunes to the middle commit
+    assert(nDirs(ManifestTable.readPruned(spark, t, "id", 10L, 15L)) == 1)
+    // a ts probe on the SAME table prunes to the last commit
+    val byTs = ManifestTable.readPruned(spark, t, "ts", 0L, 200L)
+    assert(nDirs(byTs) == 1)
+    assert(ids(byTs) == Seq(20L, 25L))
+    // conjunctive predicates intersect: id says dir 2, ts says dir 3
+    // -> no dir can match both
+    assert(ManifestTable.readPruned(spark, t,
+      Seq(("id", 10L, 15L), ("ts", 0L, 200L))).count() == 0)
+    // deleteRange re-stats BOTH recorded columns on the rewritten dir
+    ManifestTable.deleteRange(spark, t, "id", 15L, 15L)
+    val afterTs = ManifestTable.readPruned(spark, t, "ts", 400L, 600L)
+    assert(nDirs(afterTs) == 1 && ids(afterTs) == Seq(10L))
+  }
+
   test("deleteRange rewrites only overlapping dirs; untouched dirs keep their identity") {
     val t = s"${Files.createTempDirectory("graft-manifest7")}/t"
     ManifestTable.append(spark, Seq(1L, 5L).toDF("id"), t,
-      tag = 0L, statsCol = Some("id"))
+      tag = 0L, statsCols = Seq("id"))
     ManifestTable.append(spark, Seq(10L, 15L).toDF("id"), t,
-      tag = 1L, statsCol = Some("id"))
+      tag = 1L, statsCols = Seq("id"))
     ManifestTable.append(spark, Seq(20L, 25L).toDF("id"), t,
-      tag = 2L, statsCol = Some("id"))
+      tag = 2L, statsCols = Seq("id"))
+    val firstDir = dirNames(t, 1L).head
     // delete [12, 22]: middle dir rewritten (15 goes), last dir
     // rewritten (20 goes), first dir untouched
     val (v, rewritten) = ManifestTable.deleteRange(spark, t, "id", 12L, 22L)
@@ -126,23 +204,47 @@ class ManifestTableSpec extends AnyFunSuite {
     val after = ManifestTable.read(spark, t).inputFiles.toSet
     assert((after -- before).forall(_.contains("c00000004_")),
       "only rewritten dirs may contribute new files")
-    assert(after.exists(f => before.contains(f) && f.contains("c00000001")),
+    assert(after.exists(f => before.contains(f) && f.contains(firstDir)),
       "the non-overlapping dir must keep its original files")
     // deletion is a new version: the old snapshot still sees the rows
     assert(ids(ManifestTable.readVersion(spark, t, 3)) ==
       Seq(1L, 5L, 10L, 15L, 20L, 25L))
-    // watermark survives; a delete covering a WHOLE dir drops its entry
+    // the watermark is table-level metadata: it survives any delete
     assert(ManifestTable.latestTag(spark, t) == 2L)
     val (v2, _) = ManifestTable.deleteRange(spark, t, "id", 0L, 9L)
     assert(ids(ManifestTable.read(spark, t)) == Seq(10L, 25L))
     assert(ManifestTable.readVersion(spark, t, v2).inputFiles
-      .forall(!_.contains("c00000001/")),
+      .forall(!_.contains(firstDir)),
       "the emptied dir must vanish from the manifest")
+    // ... including a delete that empties a dir carrying the max tag
+    assert(ManifestTable.latestTag(spark, t) == 2L)
     // and pruning stays tight after the rewrite's re-statting
     assert(ManifestTable.readPruned(spark, t, "id", 0L, 9L).count() == 0)
   }
 
-  test("readSince consumes each commit exactly once; maintenance resets identity") {
+  test("an emptied table reads as an empty frame, keeps its schema and watermark") {
+    val t = s"${Files.createTempDirectory("graft-manifestempty")}/t"
+    ManifestTable.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "s"),
+      t, tag = 7L, statsCols = Seq("id"))
+    ManifestTable.deleteRange(spark, t, "id", 0L, 100L)
+    // every read path returns zero rows with the PERSISTED schema —
+    // no schema-inference crash on a legitimately empty snapshot
+    val r = ManifestTable.read(spark, t)
+    assert(r.count() == 0 && r.columns.toSeq == Seq("id", "s"))
+    assert(ManifestTable.readPruned(spark, t, "id", 0L, 9L).count() == 0)
+    assert(ManifestTable.readSince(spark, t, 1L).count() == 0)
+    // the watermark survives emptying: batch 7's replay stays skipped
+    // (the delete was deliberate; re-ingesting would undo it)
+    assert(ManifestTable.latestTag(spark, t) == 7L)
+    // compact on a table with no readable data is a no-op
+    val prev = ManifestTable.latestVersion(spark, t).get
+    assert(ManifestTable.compact(spark, t) == prev)
+    // and appending into the emptied table works normally
+    ManifestTable.append(spark, Seq((3L, "c")).toDF("id", "s"), t)
+    assert(ManifestTable.read(spark, t).count() == 1)
+  }
+
+  test("readSince consumes each commit exactly once; provenance sees through maintenance") {
     val t = s"${Files.createTempDirectory("graft-manifest8")}/t"
     ManifestTable.append(spark, Seq(1L, 2L).toDF("id"), t)
     ManifestTable.append(spark, Seq(3L).toDF("id"), t)
@@ -153,16 +255,27 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ids(ManifestTable.readSince(spark, t, 2)) == Seq(4L))
     val empty = ManifestTable.readSince(spark, t, 3)
     assert(empty.count() == 0 && empty.columns.toSeq == Seq("id"))
-    // compaction rewrites dir identity: a stale checkpoint sees the
-    // whole compacted table as "new" — the documented drain-before-
-    // maintenance contract, visible rather than silently wrong
+    // compaction records provenance: a DRAINED consumer (checkpoint
+    // v3) sees the pure rewrite as nothing-new instead of a spurious
+    // whole-table re-read...
     ManifestTable.compact(spark, t)
-    assert(ids(ManifestTable.readSince(spark, t, 2)) == Seq(1L, 2L, 3L, 4L))
-    assert(ManifestTable.readSince(spark, t, 4).count() == 0)
+    assert(ManifestTable.readSince(spark, t, 3).count() == 0)
+    // ...and a fresh append after the compact is delivered alone
+    ManifestTable.append(spark, Seq(5L).toDF("id"), t)
+    assert(ids(ManifestTable.readSince(spark, t, 3)) == Seq(5L))
+    assert(ids(ManifestTable.readSince(spark, t, 4)) == Seq(5L))
+    // a consumer whose checkpoint (v2) predates rows the compact
+    // folded in (v3's) CANNOT be served by metadata — the fold mixed
+    // consumed and unconsumed lineage; that fails loudly, naming the
+    // drain-before-maintenance contract
+    val mixed = intercept[RuntimeException] {
+      ManifestTable.readSince(spark, t, 2)
+    }
+    assert(mixed.getMessage.contains("drain"))
     // bootstrap: sinceVersion <= 0 reads the whole table (a first-run
     // consumer checkpoints from here)
     assert(ids(ManifestTable.readSince(spark, t, 0)) ==
-      Seq(1L, 2L, 3L, 4L))
+      Seq(1L, 2L, 3L, 4L, 5L))
     // a checkpoint vacuum dropped fails loudly, naming the contract —
     // not a raw file-not-found
     ManifestTable.vacuum(spark, t, 1)
@@ -170,6 +283,21 @@ class ManifestTableSpec extends AnyFunSuite {
       ManifestTable.readSince(spark, t, 2)
     }
     assert(ex.getMessage.contains("re-bootstrap"))
+  }
+
+  test("readSince sees through deleteRange of already-consumed dirs") {
+    val t = s"${Files.createTempDirectory("graft-manifest9")}/t"
+    ManifestTable.append(spark, Seq(1L, 2L).toDF("id"), t,
+      statsCols = Seq("id"))
+    ManifestTable.append(spark, Seq(10L, 11L).toDF("id"), t,
+      statsCols = Seq("id"))
+    // consumer drains to v2, then a retention delete rewrites dir 1
+    ManifestTable.deleteRange(spark, t, "id", 2L, 2L)
+    // the rewrite's provenance is a consumed dir -> nothing new
+    assert(ManifestTable.readSince(spark, t, 2).count() == 0)
+    // an append after the delete is delivered exactly once
+    ManifestTable.append(spark, Seq(20L).toDF("id"), t)
+    assert(ids(ManifestTable.readSince(spark, t, 2)) == Seq(20L))
   }
 
   test("q128 plans against one of the four commit dirs; answer matches the plain scan") {
@@ -199,38 +327,40 @@ class ManifestTableSpec extends AnyFunSuite {
       var history = Map.empty[Long, Vector[Long]] // retained snapshots
       var nextId = 0L
       var lastTag = -1L
+      var lastVersion = 0L
       (0 until 12).foreach { step =>
         rnd.nextInt(10) match {
           case k if k <= 5 || rows.isEmpty => // append 1-3 rows
             val batch = Seq.fill(rnd.nextInt(3) + 1)( { nextId += 1; nextId } )
             val v = ManifestTable.append(spark, batch.toDF("id"), t,
-              tag = step.toLong, statsCol = Some("id"))
-            rows = rows ++ batch; history += v -> rows; lastTag = step.toLong
+              tag = step.toLong, statsCols = Seq("id"))
+            rows = rows ++ batch; history += v -> rows
+            lastTag = step.toLong; lastVersion = v
           case 6 | 7 => // deleteRange over a random interval
             val lo = rnd.nextLong(nextId + 2)
             val hi = lo + rnd.nextLong(nextId + 2)
             val (v, _) = ManifestTable.deleteRange(spark, t, "id", lo, hi)
             rows = rows.filterNot(id => id >= lo && id <= hi)
-            history += v -> rows
-            // an emptied table genuinely resets the watermark; any
-            // survivor must carry it forward (the replay-safety pin)
-            if (rows.isEmpty) lastTag = -1L
+            history += v -> rows; lastVersion = v
+            // the watermark is table-level and MONOTONE: emptying the
+            // table must not forget which batches were applied (a
+            // replayed batch after a deliberate delete stays skipped)
           case 8 => // compact: content-neutral new version
             val v = ManifestTable.compact(spark, t)
-            history += v -> rows
+            history += v -> rows; lastVersion = v
           case _ => // vacuum to the last 2 versions
             ManifestTable.vacuum(spark, t, 2)
             val keep = history.keys.toSeq.sorted.takeRight(2).toSet
             history = history.filter { case (v, _) => keep.contains(v) }
         }
-        if (rows.nonEmpty)
-          assert(ids(ManifestTable.read(spark, t)) == rows.sorted,
-            s"case $case0 step $step: content diverged")
+        assert(ids(ManifestTable.read(spark, t)) == rows.sorted,
+          s"case $case0 step $step: content diverged")
         assert(ManifestTable.latestTag(spark, t) == lastTag,
           s"case $case0 step $step: watermark diverged")
       }
-      // every retained snapshot is time-travelable to its exact content
-      history.filter(_._2.nonEmpty).foreach { case (v, want) =>
+      // every retained snapshot is time-travelable to its exact
+      // content — INCLUDING empty ones (persisted-schema read)
+      history.foreach { case (v, want) =>
         assert(ids(ManifestTable.readVersion(spark, t, v)) == want.sorted,
           s"case $case0 version $v")
       }

@@ -704,7 +704,7 @@ class StreamingSpec extends AnyFunSuite {
     val b3 = Seq((4L, "d"))
     val mem1 = MemoryStream[(Long, String)]
     val q1 = Streams.manifestSinkWriter(mem1.toDF.toDF("doc_id", "text"),
-      t, s"$tmp/ckpt1", statsCol = Some("doc_id"),
+      t, s"$tmp/ckpt1", statsCols = Seq("doc_id"),
       vacuumEvery = 2, keepVersions = 1).start()
     mem1.addData(b1); q1.processAllAvailable()
     // snapshot isolation mid-stream: resolve v1 now...
@@ -723,7 +723,7 @@ class StreamingSpec extends AnyFunSuite {
     // skips it — no duplicate rows, no content dedup needed
     val mem2 = MemoryStream[(Long, String)]
     val q2 = Streams.manifestSinkWriter(mem2.toDF.toDF("doc_id", "text"),
-      t, s"$tmp/ckpt2", statsCol = Some("doc_id")).start()
+      t, s"$tmp/ckpt2", statsCols = Seq("doc_id")).start()
     mem2.addData(b1); q2.processAllAvailable()
     q2.stop()
     assert(ids() == Seq(1L, 2L, 3L, 4L))
