@@ -644,6 +644,34 @@ object LayoutQueries {
           sum(col("n_chars")).as("chars"))
         .orderBy("lang")
     },
-
+    // ---- manifest table through the SQL surface: the same pruned
+    //      scan as q128, but written as PLAIN SQL against the
+    //      `graft-manifest` data source — no hand-carried bounds.
+    //      Filter pushdown hands the WHERE conjuncts to the
+    //      ManifestFileIndex, which prunes commit dirs from the
+    //      manifest stats before any file is opened (ManifestSqlSpec
+    //      pins numFiles = one dir's worth + PushedFilters reaching
+    //      the parquet reader). This is how the reference's users
+    //      consume their one real table — SQL with automatic pruning
+    //      (/root/reference/processor.py:55-58), not a programmatic
+    //      read API. ----
+    GraftQuery("q130_manifest_sql_pushdown",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE doc_id BETWEEN 10 AND 60
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (s, d) =>
+      val path = ensureManifestDocs(s, d)
+      s.read.format("graft-manifest").load(path)
+        .createOrReplaceTempView("documents_manifest")
+      s.sql(
+        """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(n_chars) AS BIGINT) AS chars
+          |FROM documents_manifest
+          |WHERE doc_id BETWEEN 10 AND 60
+          |GROUP BY lang
+          |ORDER BY lang""".stripMargin)
+    },
   )
 }

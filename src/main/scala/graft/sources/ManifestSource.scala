@@ -1,0 +1,189 @@
+package graft.sources
+
+import graft.sinks.ManifestTable
+import org.apache.spark.sql.{SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.types.StructType
+
+/** A [[FileIndex]] over one committed [[ManifestTable]] snapshot — the
+  * piece that makes the manifest table a first-class SQL citizen
+  * instead of a programmatic API.
+  *
+  * How it plugs in: Spark's `FileSourceStrategy` hands every file
+  * scan's data filters to the relation's `FileIndex.listFiles`. A
+  * plain parquet read answers from a directory listing; this index
+  * answers from the MANIFEST — it extracts `[lo, hi]` bounds per
+  * column from the pushed-down predicates and returns only the files
+  * of data dirs whose recorded min/max overlap every bound. So
+  * `WHERE doc_id BETWEEN 10 AND 60` in ordinary SQL prunes whole
+  * commit dirs from one metadata read, before any file is opened —
+  * the same planning shape Delta/Iceberg give their SQL users (the
+  * reference's users get it by delegating SQL to Snowflake,
+  * /root/reference/processor.py:55-58), with the row-level filter
+  * still applied by the scan on top. Everything downstream is
+  * Spark's own parquet scan: whole-stage codegen, parquet row-group
+  * skipping, and `PushedFilters` all behave exactly as for a plain
+  * parquet table.
+  *
+  * The snapshot is resolved at construction (immutable dirs + one
+  * manifest read), so a relation, like every other manifest read,
+  * keeps reading ITS snapshot no matter what commits afterwards. */
+final class ManifestFileIndex(spark: SparkSession, tablePath: String,
+    val version: Long) extends FileIndex {
+
+  private val entries = ManifestTable.entriesOf(spark, tablePath, version)
+  private val fs = new org.apache.hadoop.fs.Path(tablePath)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  // one listing per (immutable) dir, resolved once — a metadata-sized
+  // driver structure by design, like the manifest itself
+  private val filesByDir: Seq[(ManifestTable.Entry,
+      Seq[org.apache.hadoop.fs.FileStatus])] =
+    entries.map { e =>
+      val p = new org.apache.hadoop.fs.Path(s"$tablePath/data/${e.dir}")
+      val fsz =
+        if (!fs.exists(p)) Seq.empty
+        else fs.listStatus(p).toSeq.filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+      (e, fsz)
+    }
+
+  override def rootPaths: Seq[org.apache.hadoop.fs.Path] =
+    Seq(new org.apache.hadoop.fs.Path(s"$tablePath/data"))
+
+  override def partitionSchema: StructType = StructType(Nil)
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val bounds = ManifestFileIndex.boundsOf(dataFilters)
+    val kept = filesByDir.filter { case (e, _) =>
+      bounds.forall { case (c, (lo, hi)) => e.mightOverlap(c, lo, hi) }
+    }
+    Seq(PartitionDirectory(InternalRow.empty,
+      kept.flatMap(_._2).toArray[org.apache.hadoop.fs.FileStatus]))
+  }
+
+  override def inputFiles: Array[String] =
+    filesByDir.flatMap(_._2.map(_.getPath.toString)).toArray
+
+  override def refresh(): Unit = () // snapshot-pinned: nothing to refresh
+
+  override def sizeInBytes: Long = filesByDir.flatMap(_._2.map(_.getLen)).sum
+}
+
+object ManifestFileIndex {
+
+  /** The column under any number of long-preserving casts (Catalyst
+    * inserts them when the literal's type widens the column's). */
+  private def attrOf(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case c: Cast => attrOf(c.child)
+    case _ => None
+  }
+
+  /** An integral literal's long value — fractional/temporal/string
+    * literals are skipped (no bound extracted: conservative, the row
+    * filter still runs). */
+  private def longOf(l: Any): Option[Long] = l match {
+    case v: Byte => Some(v.toLong)
+    case v: Short => Some(v.toLong)
+    case v: Int => Some(v.toLong)
+    case v: Long => Some(v)
+    case _ => None
+  }
+
+  /** Per-column `[lo, hi]` bounds implied by the pushed conjuncts.
+    * Only shapes whose implied range is SAFE to widen are extracted
+    * (`>=`, `>`, `<=`, `<`, `=`, `IN`, nested `AND`); `>`/`<` are
+    * treated as their inclusive forms — wider, never narrower, so
+    * pruning can only keep extra dirs, never drop a matching one.
+    * Anything else (OR at the top level, UDF-wrapped columns, …)
+    * contributes no bound and prunes nothing. */
+  private[graft] def boundsOf(conjuncts: Seq[Expression])
+      : Map[String, (Long, Long)] = {
+    val per = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    def add(col: String, lo: Long, hi: Long): Unit = {
+      val (l0, h0) = per.getOrElse(col, (Long.MinValue, Long.MaxValue))
+      per.update(col, (math.max(l0, lo), math.min(h0, hi)))
+    }
+    def walk(e: Expression): Unit = e match {
+      case And(l, r) => walk(l); walk(r)
+      case GreaterThanOrEqual(a, Literal(v, _)) =>
+        for (c <- attrOf(a); x <- longOf(v)) add(c, x, Long.MaxValue)
+      case GreaterThan(a, Literal(v, _)) =>
+        for (c <- attrOf(a); x <- longOf(v)) add(c, x, Long.MaxValue)
+      case LessThanOrEqual(a, Literal(v, _)) =>
+        for (c <- attrOf(a); x <- longOf(v)) add(c, Long.MinValue, x)
+      case LessThan(a, Literal(v, _)) =>
+        for (c <- attrOf(a); x <- longOf(v)) add(c, Long.MinValue, x)
+      case EqualTo(a, Literal(v, _)) =>
+        for (c <- attrOf(a); x <- longOf(v)) add(c, x, x)
+      case EqualTo(Literal(v, _), a) =>
+        for (c <- attrOf(a); x <- longOf(v)) add(c, x, x)
+      case GreaterThanOrEqual(Literal(v, _), a) => // v >= col  ==  col <= v
+        for (c <- attrOf(a); x <- longOf(v)) add(c, Long.MinValue, x)
+      case GreaterThan(Literal(v, _), a) =>
+        for (c <- attrOf(a); x <- longOf(v)) add(c, Long.MinValue, x)
+      case LessThanOrEqual(Literal(v, _), a) =>
+        for (c <- attrOf(a); x <- longOf(v)) add(c, x, Long.MaxValue)
+      case LessThan(Literal(v, _), a) =>
+        for (c <- attrOf(a); x <- longOf(v)) add(c, x, Long.MaxValue)
+      case In(a, list) if list.forall(_.isInstanceOf[Literal]) =>
+        val xs = list.collect { case Literal(v, _) => longOf(v) }
+        if (xs.nonEmpty && xs.forall(_.isDefined))
+          attrOf(a).foreach(c =>
+            add(c, xs.flatten.min, xs.flatten.max))
+      case _ => ()
+    }
+    conjuncts.foreach(walk)
+    per.toMap
+  }
+}
+
+/** `spark.read.format("graft-manifest").load(tablePath)` — the
+  * manifest table as an ordinary SQL-queryable relation. Options:
+  * `versionAsOf` time-travels to a specific committed snapshot
+  * (default: latest). Registered under the short name via the
+  * DataSourceRegister service file, so the format string needs no
+  * class name. The returned relation is a standard
+  * [[HadoopFsRelation]] over a [[ManifestFileIndex]]: Catalyst plans
+  * it with `FileSourceStrategy`, pushes filters to both the index
+  * (dir pruning) and the parquet reader (row-group skipping), and
+  * the data schema comes from the snapshot's persisted sidecar — an
+  * empty snapshot is a readable empty relation. */
+final class GraftManifestSource extends RelationProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft-manifest"
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = parameters.getOrElse("path", sys.error(
+      "graft-manifest: a table path is required — .load(<tablePath>)"))
+    val version = parameters.get("versionAsOf").map(_.toLong).getOrElse(
+      ManifestTable.latestVersion(spark, path).getOrElse(sys.error(
+        s"graft-manifest: no committed version at $path")))
+    require(ManifestTable.versions(spark, path).contains(version),
+      s"graft-manifest: versionAsOf=$version is not a committed " +
+        s"snapshot at $path (never committed, or vacuumed)")
+    val index = new ManifestFileIndex(spark, path, version)
+    val schema = ManifestTable.schemaOf(spark, path, version).getOrElse(
+      spark.read.parquet(index.inputFiles.headOption.getOrElse(sys.error(
+        s"graft-manifest: no schema sidecar and no data files at " +
+          s"$path v$version")): String).schema)
+    HadoopFsRelation(
+      location = index,
+      partitionSchema = StructType(Nil),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = parameters)(spark)
+  }
+}

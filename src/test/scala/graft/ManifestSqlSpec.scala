@@ -1,0 +1,127 @@
+package graft
+
+import graft.sinks.ManifestTable
+import graft.sources.ManifestFileIndex
+import org.apache.spark.sql.catalyst.dsl.expressions._
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The `graft-manifest` SQL surface: plain SQL / DataFrame filters
+  * drive the same manifest-stats dir pruning `readPruned` does
+  * programmatically, through Spark's own FileSourceStrategy pushdown
+  * — and everything downstream is the stock parquet scan.
+  */
+class ManifestSqlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame)
+      : FileSourceScanExec =
+    df.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in the plan"))
+
+  test("SQL WHERE prunes manifest dirs; plan and answer both pin it") {
+    val d = "/root/testdata/sf0.001"
+    val path = operators.LayoutQueries.ensureManifestDocs(spark, d)
+    val df = spark.read.format("graft-manifest").load(path)
+      .filter(col("doc_id").between(10, 60))
+      .select("doc_id", "lang", "n_chars")
+    val rows = df.collect()
+    val scan = scanOf(df)
+    // the predicate reached the parquet reader (row-group skipping)...
+    assert(scan.metadata("PushedFilters").contains("doc_id"))
+    // ...and the FILE LIST was pruned from the manifest: the executed
+    // scan read exactly the files readPruned selects (1 of 4 dirs)
+    val expected =
+      ManifestTable.readPruned(spark, path, "doc_id", 10L, 60L)
+        .inputFiles.length
+    val allFiles = ManifestTable.read(spark, path).inputFiles.length
+    assert(scan.metrics("numFiles").value == expected &&
+      expected < allFiles,
+      s"scan read ${scan.metrics("numFiles").value} files, " +
+        s"expected the pruned $expected of $allFiles")
+    // parity with the plain table
+    val plain = Tables.documents(spark, d)
+      .filter(col("doc_id").between(10, 60))
+      .select("doc_id", "lang", "n_chars").collect()
+    assert(rows.map(_.toString).sorted.toSeq ==
+      plain.map(_.toString).sorted.toSeq && rows.nonEmpty)
+  }
+
+  test("registered SQL view: q130 equals q128's programmatic pruned read") {
+    val d = "/root/testdata/sf0.001"
+    val q130 = operators.LayoutQueries.all
+      .find(_.name == "q130_manifest_sql_pushdown").get.run(spark, d)
+    val q128 = operators.LayoutQueries.all
+      .find(_.name == "q128_manifest_pruned_scan").get.run(spark, d)
+    assert(q130.collect().map(_.toString).toSeq ==
+      q128.collect().map(_.toString).toSeq)
+  }
+
+  test("versionAsOf time travel; unfiltered scan reads the whole snapshot") {
+    val t = s"${Files.createTempDirectory("graft-mfsql")}/t"
+    ManifestTable.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "s"),
+      t, statsCols = Seq("id"))
+    ManifestTable.append(spark, Seq((3L, "c")).toDF("id", "s"), t,
+      statsCols = Seq("id"))
+    val v1 = spark.read.format("graft-manifest")
+      .option("versionAsOf", "1").load(t)
+    assert(v1.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    val latest = spark.read.format("graft-manifest").load(t)
+    assert(latest.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    // a vacuumed / never-committed version fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      spark.read.format("graft-manifest").option("versionAsOf", "9").load(t)
+    }
+    assert(ex.getMessage.contains("not a committed snapshot"))
+    // an emptied table is a readable empty relation (schema sidecar)
+    ManifestTable.deleteRange(spark, t, "id", 0L, 99L)
+    val empty = spark.read.format("graft-manifest").load(t)
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "s"))
+  }
+
+  test("snapshot pinning: a resolved relation ignores later commits") {
+    val t = s"${Files.createTempDirectory("graft-mfsql2")}/t"
+    ManifestTable.append(spark, Seq(1L).toDF("id"), t)
+    val pinned = spark.read.format("graft-manifest").load(t)
+    ManifestTable.append(spark, Seq(2L).toDF("id"), t)
+    assert(pinned.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("boundsOf extracts only ranges that are safe to widen") {
+    val id = AttributeReference("id", LongType)()
+    val ts = AttributeReference("ts", LongType)()
+    def b(es: Expression*) = ManifestFileIndex.boundsOf(es)
+    // >=, <= pin both ends; > / < widen to their inclusive forms
+    assert(b(GreaterThanOrEqual(id, Literal(10L)),
+      LessThanOrEqual(id, Literal(60L))) == Map("id" -> ((10L, 60L))))
+    assert(b(GreaterThan(id, Literal(10L))) ==
+      Map("id" -> ((10L, Long.MaxValue))))
+    // reversed literal-first comparisons
+    assert(b(GreaterThan(Literal(60L), id)) ==
+      Map("id" -> ((Long.MinValue, 60L))))
+    // equality, IN, casts inserted by type widening
+    assert(b(EqualTo(id, Literal(7L))) == Map("id" -> ((7L, 7L))))
+    assert(b(In(Cast(id, LongType), Seq(Literal(3L), Literal(9L)))) ==
+      Map("id" -> ((3L, 9L))))
+    // nested AND walks; multiple columns accumulate independently
+    assert(b(And(GreaterThanOrEqual(id, Literal(1L)),
+      LessThan(ts, Literal(5L)))) ==
+      Map("id" -> ((1L, Long.MaxValue)), "ts" -> ((Long.MinValue, 5L))))
+    // conjuncts on one column intersect
+    assert(b(GreaterThanOrEqual(id, Literal(1L)),
+      GreaterThanOrEqual(id, Literal(4L))) ==
+      Map("id" -> ((4L, Long.MaxValue))))
+    // OR is not a conjunction of ranges — contributes nothing
+    assert(b(Or(EqualTo(id, Literal(1L)), EqualTo(id, Literal(2L))))
+      .isEmpty)
+    // fractional literals are skipped (no unsound floor/ceil guess)
+    assert(b(GreaterThanOrEqual(id, Literal(1.5d))).isEmpty)
+  }
+}
