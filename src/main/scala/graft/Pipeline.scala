@@ -152,6 +152,45 @@ object Pipeline {
         sum(col("n_tokens")).as("tokens_kept"))
   }
 
+  /** One step of INCREMENTAL curation — the continuous-ingest form of
+    * [[curate]], shaped so a manifest-backed corpus can be its spine
+    * (q131 composes it over [[graft.sinks.ManifestTable.readSince]]):
+    * quality-filter the incoming batch, keep the lowest-id doc per
+    * fingerprint WITHIN the batch, then drop every fingerprint the
+    * curated corpus already admitted. The admission order is
+    * filter-then-dedup (a rejected doc never blocks a later passing
+    * twin), which is what makes the state EXACTLY the curated table
+    * itself: no separate seen-fp ledger, and the anti-join probe
+    * reads only the corpus table's `fp` column (column-pruned — the
+    * corpus text is never re-read, q92's scale shape). Fed ascending
+    * ingest order, the accumulated table equals the one-shot batch
+    * computation (PipelineSpec pins it; q131's oracle recomputes it
+    * in SQL). Output schema: (doc_id, text, lang, source, quality,
+    * fp) — the fp column IS the incremental state for the next step. */
+  def curateIncrement(batch: DataFrame, curated: Option[DataFrame],
+      minQuality: Double = 0.5): DataFrame = {
+    val passing = batch
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        qualityScoreOf(col("text"), col("toks")).as("quality"),
+        fingerprint(col("text")).as("fp"))
+      .filter(col("quality") >= minQuality)
+    val first = passing.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val winners = passing.join(first, Seq("doc_id"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("quality"), col("fp"))
+    curated match {
+      case Some(c) => winners.join(c.select(col("fp")), Seq("fp"),
+        "left_anti")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("quality"), col("fp"))
+      case None => winners
+    }
+  }
+
   /** Featurize the curated corpus into a vector-index table. */
   def index(curated: DataFrame, dim: Int = 64): DataFrame =
     VectorFunctions.featurizeInto(

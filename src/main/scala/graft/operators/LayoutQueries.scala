@@ -207,6 +207,55 @@ object LayoutQueries {
     path
   }
 
+  /** A curated corpus built INCREMENTALLY with manifest tables as the
+    * pipeline's spine (q131): documents land as three ascending-range
+    * commits in a `landing` manifest table; after each commit an
+    * incremental curator consumes exactly the new rows via
+    * [[graft.sinks.ManifestTable.readSince]], runs
+    * [[graft.Pipeline.curateIncrement]] against the `curated` table's
+    * own fp column (no separate state), and appends the survivors as
+    * a new curated commit. The landing table is COMPACTED mid-run —
+    * provenance makes the rewrite invisible to the drained consumer,
+    * which is precisely the contract that lets table maintenance and
+    * incremental consumers coexist at 100 TB. Built once per dataset
+    * behind the usual marker. */
+  def ensureCuratedManifest(s: SparkSession, d: String): String = {
+    import graft.sinks.ManifestTable
+    val root = s"${layoutRoot(d)}/curated_mf"
+    val docs = Tables.documents(s, d)
+    val n = docs.count()
+    val expect =
+      s"layout=$LayoutVersion curated=3batches+midcompact rows=$n"
+    if (!ArtifactCache.hit(root, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val landing = s"$root/landing"
+      val curated = s"$root/curated"
+      val q = math.max(n / 3, 1)
+      var ckpt = 0L // the curator's landing-version checkpoint
+      (0 until 3).foreach { i =>
+        val loOk = if (i == 0) lit(true) else col("doc_id") >= i * q
+        val hiOk = if (i == 2) lit(true) else col("doc_id") < (i + 1) * q
+        ManifestTable.append(s, docs.filter(loOk && hiOk), landing,
+          statsCols = Seq("doc_id"))
+        // consume EXACTLY the new rows; admission state is the curated
+        // table itself (its fp column — column-pruned probe)
+        val fresh = ManifestTable.readSince(s, landing, ckpt)
+        val state = ManifestTable.latestVersion(s, curated)
+          .map(_ => ManifestTable.read(s, curated))
+        ManifestTable.append(s,
+          graft.Pipeline.curateIncrement(fresh, state), curated,
+          statsCols = Seq("doc_id"))
+        ckpt = ManifestTable.latestVersion(s, landing).get
+        // mid-run maintenance: the drained consumer must not notice
+        if (i == 1) ManifestTable.compact(s, landing)
+      }
+      ArtifactCache.stamp(root, expect)
+    }
+    root
+  }
+
   /** The q113 plan, exposed for the PlanSpec pin (bloom probe inside
     * the scan stage, semi join after). */
   def bloomPrefilterJoin(s: SparkSession, d: String): DataFrame = {
@@ -672,6 +721,35 @@ object LayoutQueries {
           |WHERE doc_id BETWEEN 10 AND 60
           |GROUP BY lang
           |ORDER BY lang""".stripMargin)
+    },
+
+    // ---- incremental curation with manifest tables as the spine:
+    //      three landing commits, each consumed exactly-once via
+    //      readSince (with a mid-run landing compaction the
+    //      provenance chain makes invisible), each batch curated by
+    //      Pipeline.curateIncrement against the curated table's own
+    //      fp column and appended as a curated commit. The oracle is
+    //      the ONE-SHOT batch recomputation in SQL: quality floor,
+    //      then lowest-id winner per fingerprint — the incremental
+    //      path must converge to it exactly. ----
+    GraftQuery("q131_incremental_curation_manifest",
+      s"""WITH t AS (SELECT doc_id, lang, text,
+         |    ${TextQueries.toksSql} AS toks FROM documents),
+         |q AS (SELECT doc_id, lang, text,
+         |  ${TextQueries.qualitySql("toks", "text")} AS quality FROM t),
+         |p AS (SELECT doc_id, lang, quality,
+         |    MIN(doc_id) OVER (PARTITION BY
+         |      md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+         |      AS keep
+         |  FROM q WHERE quality >= 0.5)
+         |SELECT doc_id, lang, round(quality, 6) AS quality
+         |FROM p WHERE doc_id = keep
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val root = ensureCuratedManifest(s, d)
+      graft.sinks.ManifestTable.read(s, s"$root/curated")
+        .select(col("doc_id"), col("lang"),
+          round(col("quality"), 6).as("quality"))
+        .orderBy("doc_id")
     },
   )
 }

@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
 object TextQueries {
 
   /** DuckDB mirror of TextFunctions.tokens. */
-  private val toksSql =
+  private[operators] val toksSql =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
 
   private val stopSqlList =

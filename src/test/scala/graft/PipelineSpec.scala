@@ -119,4 +119,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.columns.toSet == Set("doc_id", "text", "lang", "source",
       "quality", "n_tokens"))
   }
+
+  test("incremental curation converges to the one-shot batch computation") {
+    import graft.functions.TextFunctions._
+    // docs with exact duplicates ACROSS batches (same text at ids in
+    // different thirds) and some below the quality floor
+    val texts = Seq(
+      "the cat sat on the mat and looked for food in the garden",
+      "a quick brown fox jumped over the lazy dog in the morning",
+      "!!! ### $$$", // fails the quality floor
+      "the rain in spain stays mainly on the plain for a season")
+    val docs = (0L until 12L).map(i =>
+      (i, texts((i % 4).toInt), "en", s"s${i % 2}"))
+      .toDF("doc_id", "text", "lang", "source")
+    // one-shot semantics: quality floor, then lowest-id per fp
+    val passing = docs
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"),
+        qualityScoreOf(col("text"), col("toks")).as("quality"))
+      .filter(col("quality") >= 0.3)
+      .withColumn("fp", fingerprint(col("text")))
+    val oneShot = passing.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // incremental: three ascending batches, state = accumulated output
+    var acc: Option[org.apache.spark.sql.DataFrame] = None
+    Seq(0L until 4L, 4L until 8L, 8L until 12L).foreach { r =>
+      val batch = docs.filter(col("doc_id") >= r.head &&
+        col("doc_id") <= r.last)
+      val step = Pipeline.curateIncrement(batch, acc, minQuality = 0.3)
+        .localCheckpoint()
+      acc = Some(acc.map(_.unionByName(step)).getOrElse(step))
+    }
+    val incremental =
+      acc.get.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(incremental == oneShot && oneShot.nonEmpty)
+    // the dup of an earlier batch's winner was dropped by the fp
+    // anti-join, not re-admitted
+    assert(incremental.count(_ >= 4L) == 0,
+      "later batches repeat earlier texts — nothing new to admit")
+  }
 }
