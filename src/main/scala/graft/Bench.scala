@@ -166,12 +166,29 @@ object Bench {
     // per-query rows to a ~2 KB tail); the committed artifact must be
     // self-contained, so the FULL line also lands in a repo-visible
     // file for round-over-round per-query regression tracking.
+    //
+    // LOAD GUARD: a run that STARTED on a busy box (co-tenant load —
+    // BENCH_r09's driver run began at loadavg 5.65 and smeared every
+    // query ~1.3x) must never silently replace the clean committed
+    // artifact; min-of-2 can't save a run where both passes were
+    // inflated. Such a run self-quarantines to bench_noisy.json —
+    // still fully recorded, but a `git add bench_latest.json` can only
+    // ever pick up a quiet-box run.
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "1.5")
+      .toDouble
+    val noisy = loadBefore > maxLoad
+    val outFile =
+      if (noisy) "bench_noisy.json"
+      else sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
+    if (noisy) System.err.println(
+      f"BENCH: load_before=$loadBefore%.2f exceeds $maxLoad%.1f — " +
+        s"this run is NOISE-SUSPECT; artifact quarantined to $outFile " +
+        "(bench_latest.json untouched). Re-run on a quiet box for a " +
+        "committable number.")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")),
-      json + "\n")
+      java.nio.file.Paths.get(outFile), json + "\n")
     catch { case e: Throwable =>
-      System.err.println(s"BENCH: could not write bench_latest.json: $e") }
+      System.err.println(s"BENCH: could not write $outFile: $e") }
     spark.stop()
   }
 }

@@ -293,9 +293,17 @@ object Streams {
       path: String, schema: org.apache.spark.sql.types.StructType)
       : DataFrame = {
     graft.sinks.Maintenance.recoverPrecompact(spark, path)
-    scala.util.Try(spark.read.parquet(path)).getOrElse(
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    // "empty" ONLY when the table genuinely does not exist yet: a
+    // blanket Try here would turn a transient storage error on an
+    // EXISTING fingerprint/postings table into an empty seen-set, and
+    // the batch would re-admit everything as fresh (duplicate corpus
+    // rows / doubled postings) instead of failing for retry. Existing
+    // path + failed read = loud.
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) spark.read.parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   /** Streaming NEAR-dup admission against the PERSISTED corpus — the
@@ -606,9 +614,17 @@ object Streams {
         // into the same (j, bucket) rows — splitting an item's counts
         // across hash spaces and silently breaking the one-sided
         // est >= true contract. Mismatch is a loud error, not a merge.
+        // absence is the only silent case: a transient/corrupt read of
+        // an EXISTING side file must fail the batch loudly (a swallowed
+        // failure would reset `applied` to -1 while the counter table
+        // still exists, re-merging already-applied batches and silently
+        // double-counting — the exact opposite of exactly-once)
+        val appliedPath =
+          new org.apache.hadoop.fs.Path(s"$countersPath/_applied")
         val meta =
-          scala.util.Try(spark.read.parquet(s"$countersPath/_applied")
-            .select("applied", "depth", "width", "ngram").head()).toOption
+          if (!fs.exists(appliedPath)) None
+          else Some(spark.read.parquet(appliedPath.toString)
+            .select("applied", "depth", "width", "ngram").head())
         meta.foreach { m =>
           require(m.getInt(1) == depth && m.getInt(2) == width &&
             m.getInt(3) == n,
