@@ -186,7 +186,15 @@ object ManifestTable {
     val (fs, _) = fsOf(spark, path)
     val sel = selected.map(e => s"$path/data/${e.dir}")
       .filter(hasDataFiles(fs, _))
-    if (sel.nonEmpty) spark.read.parquet(sel: _*)
+    // read with the snapshot's PERSISTED schema when available: dirs
+    // written before an additive schema evolution lack the new
+    // columns, and an explicit schema makes the parquet reader fill
+    // them with null (the standard evolution-on-read) — while also
+    // skipping the per-file footer schema merge a bare read pays
+    if (sel.nonEmpty) schemaOf(spark, path, v) match {
+      case Some(schema) => spark.read.schema(schema).parquet(sel: _*)
+      case None => spark.read.parquet(sel: _*)
+    }
     else schemaOf(spark, path, v) match {
       case Some(schema) =>
         spark.createDataFrame(
@@ -251,15 +259,81 @@ object ManifestTable {
         pairs.map { case (c, mm) => c -> mm._2 }.toMap)
     }.getOrElse((Map.empty, Map.empty))
 
+  /** Schema enforcement at the write boundary (what a raw parquet
+    * directory fatally lacks — a typo'd batch silently forks the
+    * table): every batch column must exist in the table schema with
+    * the same type (nullability-insensitive), and NEW columns are
+    * rejected unless `evolve` — additive evolution appends them (as
+    * nullable) to the persisted schema, and [[readDirs]]'s
+    * explicit-schema read fills them with null for pre-evolution
+    * dirs. A batch may OMIT table columns (they read back null from
+    * its dir) — the missing-column tolerance every micro-batch
+    * ingest needs. Returns the schema to persist with the commit. */
+  private def compatibleSchema(batch: StructType, table: StructType,
+      evolve: Boolean, ctx: String): StructType = {
+    val byName = table.fields.map(f => f.name -> f).toMap
+    val fresh = batch.fields.filter(f => !byName.contains(f.name))
+    batch.fields.foreach { f =>
+      byName.get(f.name).foreach { tf =>
+        require(tf.dataType.catalogString == f.dataType.catalogString,
+          s"$ctx: column '${f.name}' has type " +
+            s"${f.dataType.catalogString} but the table schema says " +
+            s"${tf.dataType.catalogString} — type changes are not " +
+            "evolution; write to a new table or cast the batch")
+      }
+    }
+    if (fresh.nonEmpty && !evolve)
+      sys.error(s"$ctx: batch adds column(s) " +
+        fresh.map(_.name).mkString("'", "', '", "'") +
+        " not in the table schema — pass evolveSchema to evolve the " +
+        "table additively, or drop them")
+    StructType(table.fields ++ fresh.map(_.copy(nullable = true)))
+  }
+
   /** Append `df` as one immutable data directory + one new manifest.
     * `tag` is recorded on the new entry (streaming watermark); each
     * `statsCols` column additionally records the new dir's min/max,
     * enabling [[readPruned]] (and the `graft-manifest` SQL source's
     * filter pushdown) to skip whole dirs from the manifest alone.
-    * Returns the committed version. Single-writer; a violated
-    * contract costs the loser a loud rename failure and an orphan
-    * dir, never the winner's snapshot. */
+    * The batch schema is enforced against the table's
+    * ([[compatibleSchema]]; `evolveSchema` opts into additive
+    * evolution). Returns the committed version. Single-writer; a
+    * violated contract costs the loser a loud rename failure and an
+    * orphan dir, never the winner's snapshot. */
   def append(spark: SparkSession, df: DataFrame, path: String,
+      tag: Long = -1L, statsCols: Seq[String] = Nil,
+      evolveSchema: Boolean = false): Long = {
+    val prev = latestVersion(spark, path)
+    val v = prev.map(_ + 1).getOrElse(1L)
+    val prevEntries = prev.map(pv => entriesOf(spark, path, pv))
+      .getOrElse(Seq.empty)
+    val schema = prev.flatMap(pv => schemaOf(spark, path, pv)) match {
+      case Some(table) => compatibleSchema(df.schema, table,
+        evolveSchema, s"ManifestTable.append($path)")
+      case None => df.schema // fresh table (or pre-sidecar manifest)
+    }
+    val dirName = attemptDirName(v)
+    val dataDir = s"$path/data/$dirName"
+    df.write.mode("overwrite").parquet(dataDir)
+    val (mins, maxes) = statsOf(spark, dataDir, statsCols)
+    val prevTag = prev.map(pv => maxTagOf(spark, path, pv).getOrElse(
+      prevEntries.map(_.tag).foldLeft(-1L)(math.max))).getOrElse(-1L)
+    val entry = Entry(dirName, tag, mins, maxes, Seq.empty)
+    commit(spark, path, v, prevEntries :+ entry, schema,
+      math.max(prevTag, tag))
+    v
+  }
+
+  /** Replace the table's content (and schema) with `df` in one atomic
+    * commit: the new manifest references ONLY the new data dir. Old
+    * snapshots still read their dirs until [[vacuum]] — an overwrite
+    * is a new version like any other, and the watermark stays
+    * monotone through it (a replayed batch is still skipped after a
+    * deliberate overwrite). The new entries carry no provenance:
+    * to [[readSince]] consumers the overwritten content is genuinely
+    * new data, which is what an overwrite means. Returns the
+    * committed version. */
+  def overwrite(spark: SparkSession, df: DataFrame, path: String,
       tag: Long = -1L, statsCols: Seq[String] = Nil): Long = {
     val prev = latestVersion(spark, path)
     val v = prev.map(_ + 1).getOrElse(1L)
@@ -267,12 +341,11 @@ object ManifestTable {
     val dataDir = s"$path/data/$dirName"
     df.write.mode("overwrite").parquet(dataDir)
     val (mins, maxes) = statsOf(spark, dataDir, statsCols)
-    val prevEntries = prev.map(pv => entriesOf(spark, path, pv))
-      .getOrElse(Seq.empty)
     val prevTag = prev.map(pv => maxTagOf(spark, path, pv).getOrElse(
-      prevEntries.map(_.tag).foldLeft(-1L)(math.max))).getOrElse(-1L)
-    val entry = Entry(dirName, tag, mins, maxes, Seq.empty)
-    commit(spark, path, v, prevEntries :+ entry, df.schema,
+      entriesOf(spark, path, pv).map(_.tag).foldLeft(-1L)(math.max)))
+      .getOrElse(-1L)
+    commit(spark, path, v,
+      Seq(Entry(dirName, tag, mins, maxes, Seq.empty)), df.schema,
       math.max(prevTag, tag))
     v
   }
@@ -378,7 +451,10 @@ object ManifestTable {
     val v = prev + 1
     val dirName = attemptDirName(v)
     val dataDir = s"$path/data/$dirName"
-    spark.read.parquet(dirs: _*).repartition(nOut)
+    val schema = tableSchema(spark, path, prev, entries)
+    // rewrite under the TABLE schema: pre-evolution dirs surface their
+    // missing columns as nulls, so the compacted dir is normalized
+    spark.read.schema(schema).parquet(dirs: _*).repartition(nOut)
       .write.mode("overwrite").parquet(dataDir)
     // the merged entry keeps the max per-dir tag (honest: the dir
     // holds rows from batches up to that tag) and folds stats
@@ -396,8 +472,7 @@ object ManifestTable {
     val merged = Entry(dirName, tag, mins, maxes, entries.map(_.dir))
     val prevTag = maxTagOf(spark, path, prev).getOrElse(
       entries.map(_.tag).foldLeft(-1L)(math.max))
-    commit(spark, path, v, Seq(merged),
-      tableSchema(spark, path, prev, entries), prevTag)
+    commit(spark, path, v, Seq(merged), schema, prevTag)
     v
   }
 
@@ -500,12 +575,16 @@ object ManifestTable {
       hasDataFiles(fs, s"$path/data/${e.dir}"))
     val keep = keep0 ++ keepEmpty
     val v = prev + 1
+    val schema = tableSchema(spark, path, prev, entries)
     val rewritten = touch.flatMap { e =>
       val newDir = attemptDirName(v)
       val target = s"$path/data/$newDir"
       // null keys are never "in range" — they must survive a range
-      // delete (a bare !between would evaluate null and drop them)
-      val kept = spark.read.parquet(s"$path/data/${e.dir}")
+      // delete (a bare !between would evaluate null and drop them);
+      // the rewrite reads under the TABLE schema so a pre-evolution
+      // dir is normalized (new columns as nulls) on its way through
+      val kept = spark.read.schema(schema)
+        .parquet(s"$path/data/${e.dir}")
         .filter(col(statsCol).isNull ||
           !col(statsCol).cast("long").between(lo, hi))
       if (kept.head(1).isEmpty) None // dir fully deleted: no entry
@@ -522,8 +601,7 @@ object ManifestTable {
     }
     val prevTag = maxTagOf(spark, path, prev).getOrElse(
       entries.map(_.tag).foldLeft(-1L)(math.max))
-    commit(spark, path, v, keep ++ rewritten,
-      tableSchema(spark, path, prev, entries), prevTag)
+    commit(spark, path, v, keep ++ rewritten, schema, prevTag)
     (v, touch.size)
   }
 

@@ -1,12 +1,12 @@
 package graft.sources
 
 import graft.sinks.ManifestTable
-import org.apache.spark.sql.{SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
 import org.apache.spark.sql.types.StructType
 
 /** A [[FileIndex]] over one committed [[ManifestTable]] snapshot — the
@@ -158,9 +158,46 @@ object ManifestFileIndex {
   * the data schema comes from the snapshot's persisted sidecar — an
   * empty snapshot is a readable empty relation. */
 final class GraftManifestSource extends RelationProvider
-    with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-manifest"
+
+  /** `df.write.format("graft-manifest").mode(...).save(tablePath)` —
+    * the write half of the SQL surface. Append commits one data dir +
+    * manifest ([[ManifestTable.append]], schema-enforced); Overwrite
+    * replaces content and schema in one atomic commit
+    * ([[ManifestTable.overwrite]] — old snapshots survive until
+    * vacuum, the watermark stays monotone). Options: `tag` (streaming
+    * watermark, default -1), `statsCols` (comma-separated columns to
+    * min/max-stat for dir pruning), `evolveSchema` (opt into additive
+    * evolution on append). */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = parameters.getOrElse("path", sys.error(
+      "graft-manifest: a table path is required — .save(<tablePath>)"))
+    val tag = parameters.get("tag").map(_.toLong).getOrElse(-1L)
+    val statsCols = parameters.get("statsCols")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val evolve = parameters.get("evolveSchema").exists(_.toBoolean)
+    val exists = ManifestTable.latestVersion(spark, path).isDefined
+    mode match {
+      case SaveMode.Append =>
+        ManifestTable.append(spark, data, path, tag, statsCols, evolve)
+      case SaveMode.Overwrite =>
+        ManifestTable.overwrite(spark, data, path, tag, statsCols)
+      case SaveMode.ErrorIfExists if exists => sys.error(
+        s"graft-manifest: table at $path already exists " +
+          "(mode ErrorIfExists)")
+      case SaveMode.ErrorIfExists =>
+        ManifestTable.append(spark, data, path, tag, statsCols, evolve)
+      case SaveMode.Ignore if exists => () // committed table wins
+      case SaveMode.Ignore =>
+        ManifestTable.append(spark, data, path, tag, statsCols, evolve)
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {

@@ -368,6 +368,79 @@ class ManifestTableSpec extends AnyFunSuite {
     }
   }
 
+  test("schema is enforced at append; evolution is explicit and additive") {
+    val t = s"${Files.createTempDirectory("graft-manifestschema")}/t"
+    ManifestTable.append(spark, Seq((1L, "a")).toDF("id", "s"), t)
+    // a type change is never evolution
+    val ex1 = intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, Seq((2L, 9L)).toDF("id", "s"), t)
+    }
+    assert(ex1.getMessage.contains("type changes are not evolution"))
+    // a surprise column is rejected by default (a typo'd batch must
+    // not silently fork the table)...
+    val ex2 = intercept[RuntimeException] {
+      ManifestTable.append(spark,
+        Seq((2L, "b", 0.5)).toDF("id", "s", "q"), t)
+    }
+    assert(ex2.getMessage.contains("evolveSchema"))
+    // ...and admitted under explicit additive evolution
+    ManifestTable.append(spark,
+      Seq((2L, "b", 0.5)).toDF("id", "s", "q"), t, evolveSchema = true)
+    // pre-evolution rows surface the new column as null
+    val now = ManifestTable.read(spark, t)
+    assert(now.columns.toSeq == Seq("id", "s", "q"))
+    assert(now.filter(col("id") === 1L).select("q").head().isNullAt(0))
+    // time travel keeps the schema AS OF the snapshot
+    assert(ManifestTable.readVersion(spark, t, 1).columns.toSeq ==
+      Seq("id", "s"))
+    // a batch may OMIT columns (micro-batch tolerance): reads back null
+    ManifestTable.append(spark, Seq(3L).toDF("id"), t)
+    val r3 = ManifestTable.read(spark, t).filter(col("id") === 3L).head()
+    assert(r3.isNullAt(1) && r3.isNullAt(2))
+    // compaction normalizes pre-evolution dirs under the table schema
+    ManifestTable.compact(spark, t)
+    assert(ManifestTable.read(spark, t).columns.toSeq ==
+      Seq("id", "s", "q"))
+    assert(ManifestTable.read(spark, t).count() == 3)
+  }
+
+  test("the data source writes: append, overwrite, and mode semantics") {
+    val t = s"${Files.createTempDirectory("graft-manifestwrite")}/t"
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v").write
+      .format("graft-manifest").option("statsCols", "id")
+      .option("tag", "0").mode("append").save(t)
+    Seq((3L, 30L)).toDF("id", "v").write
+      .format("graft-manifest").option("statsCols", "id")
+      .option("tag", "1").mode("append").save(t)
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L, 3L))
+    assert(ManifestTable.latestTag(spark, t) == 1L)
+    // the recorded stats drive the read-side pruning as usual
+    assert(ManifestTable.readPruned(spark, t, "id", 3L, 9L)
+      .inputFiles.length < ManifestTable.read(spark, t)
+      .inputFiles.length)
+    // ignore: a committed table wins
+    Seq((9L, 90L)).toDF("id", "v").write.format("graft-manifest")
+      .mode("ignore").save(t)
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L, 3L))
+    // errorIfExists is loud
+    val ex = intercept[RuntimeException] {
+      Seq((9L, 90L)).toDF("id", "v").write.format("graft-manifest")
+        .mode("errorifexists").save(t)
+    }
+    assert(ex.getMessage.contains("already exists"))
+    // overwrite replaces content atomically; old snapshots survive
+    // until vacuum and the watermark stays monotone
+    Seq((7L, 70L)).toDF("id", "v").write.format("graft-manifest")
+      .mode("overwrite").save(t)
+    assert(ids(ManifestTable.read(spark, t)) == Seq(7L))
+    assert(ids(ManifestTable.readVersion(spark, t, 2)) ==
+      Seq(1L, 2L, 3L))
+    assert(ManifestTable.latestTag(spark, t) == 1L)
+    // round-trip through the read half of the same format
+    assert(spark.read.format("graft-manifest").load(t)
+      .select("v").as[Long].collect().toSeq == Seq(70L))
+  }
+
   test("manifest scan planning never lists the data root") {
     // the point of the manifest at scale: the reader consults ONE
     // small file list; a foreign (never-referenced) directory under
