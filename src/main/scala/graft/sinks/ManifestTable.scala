@@ -496,9 +496,36 @@ object ManifestTable {
     * Returns an empty frame (snapshot schema) when nothing is new. */
   def readSince(spark: SparkSession, path: String,
       sinceVersion: Long): DataFrame = {
-    val vs = versions(spark, path)
-    val latest = vs.lastOption.getOrElse(
+    val latest = latestVersion(spark, path).getOrElse(
       sys.error(s"ManifestTable.readSince: no committed version at $path"))
+    readSinceUntil(spark, path, sinceVersion, latest)
+  }
+
+  /** [[readSince]] with an explicit upper snapshot: rows committed in
+    * versions `(sinceVersion, untilVersion]`. This bounded form is
+    * what a STREAMING consumer needs — a micro-batch is the diff
+    * between two pinned versions, so a replayed batch (same offsets)
+    * re-reads exactly the same rows as long as both snapshots are
+    * retained (the vacuum-retention caveat every offset-replay source
+    * has — size retention to checkpoint recovery, like Kafka's). */
+  def readSinceUntil(spark: SparkSession, path: String,
+      sinceVersion: Long, untilVersion: Long): DataFrame = {
+    val all = versions(spark, path)
+    val vs = all.filter(_ <= untilVersion)
+    val latest = vs.lastOption.getOrElse {
+      if (all.nonEmpty) sys.error(
+        s"ManifestTable.readSince: ${vName(untilVersion)} was vacuumed " +
+          s"past this consumer's replay window at $path — re-bootstrap " +
+          "with sinceVersion = 0 (size vacuum retention to the slowest " +
+          "consumer's lag, like a Kafka retention window)")
+      else sys.error(
+        s"ManifestTable.readSince: no committed version at $path")
+    }
+    require(latest == untilVersion,
+      s"ManifestTable.readSince: ${vName(untilVersion)} is not a " +
+        s"committed snapshot at $path — never committed, or vacuumed " +
+        "past the consumer's replay window (re-bootstrap with " +
+        "sinceVersion = 0)")
     val now = entriesOf(spark, path, latest)
     if (sinceVersion <= 0) return readDirs(spark, path, latest, now, now)
     // a VACUUMED checkpoint fails with the contract named, not a raw

@@ -146,6 +146,58 @@ object ManifestFileIndex {
   }
 }
 
+/** The V1 streaming [[org.apache.spark.sql.execution.streaming.Source]]
+  * behind `readStream.format("graft-manifest")`. Offsets ARE manifest
+  * versions — the natural exactly-once cursor for a table whose
+  * commits are atomic and totally ordered:
+  *
+  *  - `getOffset` is one version listing (metadata-sized);
+  *  - `getBatch(start, end)` is the version-range diff
+  *    `readSinceUntil(start, end)` — provenance-aware, so table
+  *    maintenance between micro-batches never re-delivers drained
+  *    rows, and a fold of UNdrained commits fails loudly instead of
+  *    duplicating;
+  *  - restart replays `(checkpointed, end]` bit-identically as long
+  *    as vacuum retention covers the replay window; a vacuumed
+  *    checkpoint names the re-bootstrap contract rather than
+  *    silently re-reading the world.
+  *
+  * The first micro-batch bootstraps the whole table (start = None →
+  * since 0), which is the Delta `readStream` convention: existing
+  * content, then a commit-by-commit tail. Schema is pinned at query
+  * start; batches select exactly those columns, so additive evolution
+  * mid-stream is invisible (new columns ignored until the query
+  * restarts) and a removed column fails loudly. */
+final class ManifestStreamSource(spark: SparkSession, path: String,
+    override val schema: StructType)
+    extends org.apache.spark.sql.execution.streaming.Source {
+  import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
+  import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+
+  private def versionOf(o: V1Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => other.json.trim.toLong
+  }
+
+  override def getOffset: Option[V1Offset] =
+    ManifestTable.latestVersion(spark, path).map(LongOffset(_))
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset)
+      : org.apache.spark.sql.DataFrame = {
+    val from = start.map(versionOf).getOrElse(0L)
+    val until = versionOf(end)
+    val batch = ManifestTable.readSinceUntil(spark, path, from, until)
+      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
+        .toSeq: _*)
+    org.apache.spark.sql.GraftSqlBridge.streamingFrame(batch)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"ManifestStreamSource[$path]"
+}
+
 /** `spark.read.format("graft-manifest").load(tablePath)` — the
   * manifest table as an ordinary SQL-queryable relation. Options:
   * `versionAsOf` time-travels to a specific committed snapshot
@@ -158,9 +210,49 @@ object ManifestFileIndex {
   * the data schema comes from the snapshot's persisted sidecar — an
   * empty snapshot is a readable empty relation. */
 final class GraftManifestSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-manifest"
+
+  /** `spark.readStream.format("graft-manifest").load(tablePath)` —
+    * the manifest table as a STREAMING source: offsets are committed
+    * versions, each micro-batch is the bounded version-range diff
+    * ([[ManifestTable.readSinceUntil]]), so the stream delivers every
+    * commit's rows exactly once, rides the provenance chain through
+    * table maintenance (a compaction of drained commits is not a
+    * batch), and replays deterministically from a checkpoint as long
+    * as retention covers the replay window (the Kafka-retention
+    * analogy, here `vacuum keepVersions`). The table must have at
+    * least one committed snapshot when the stream starts — the
+    * persisted schema sidecar is the source schema, pinned for the
+    * query's lifetime like every streaming source's. */
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val spark = sqlContext.sparkSession
+    val path = parameters.getOrElse("path", sys.error(
+      "graft-manifest: a table path is required — .load(<tablePath>)"))
+    val v = ManifestTable.latestVersion(spark, path).getOrElse(sys.error(
+      s"graft-manifest stream: no committed version at $path — commit " +
+        "once before starting the stream (the schema sidecar is the " +
+        "source schema)"))
+    (shortName(), schema.orElse(ManifestTable.schemaOf(spark, path, v))
+      .getOrElse(sys.error(s"graft-manifest stream: no schema sidecar " +
+        s"at $path v$v (pre-sidecar table); pass .schema(...)")))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val spark = sqlContext.sparkSession
+    val path = parameters.getOrElse("path", sys.error(
+      "graft-manifest: a table path is required — .load(<tablePath>)"))
+    new ManifestStreamSource(spark, path,
+      sourceSchema(sqlContext, schema, providerName, parameters)._2)
+  }
 
   /** `df.write.format("graft-manifest").mode(...).save(tablePath)` —
     * the write half of the SQL surface. Append commits one data dir +

@@ -18,6 +18,18 @@ object GraftSqlBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession], plan)
 
+  /** Re-tag a batch DataFrame's physical rows as a STREAMING frame —
+    * what a V1 `Source.getBatch` must return so `MicroBatchExecution`
+    * accepts the plan (the same `internalCreateDataFrame(isStreaming
+    * = true)` trick Spark's own file stream source uses). The rows
+    * are the batch plan's `toRdd`, so the micro-batch executes the
+    * ordinary optimized scan. */
+  def streamingFrame(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
   /** Stable unique id of a session for the life of the JVM — unlike an
     * identity hash, never reused after the session is GC'd. Falls back
     * to a class@identity tag for non-classic sessions (connect), where

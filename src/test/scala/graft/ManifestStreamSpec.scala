@@ -1,0 +1,81 @@
+package graft
+
+import graft.sinks.ManifestTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The manifest table as a STREAMING source: offsets are committed
+  * versions, micro-batches are provenance-aware version-range diffs —
+  * bootstrap, tail, maintenance-transparent restart, and the loud
+  * vacuumed-checkpoint contract.
+  */
+class ManifestStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streams commits exactly once: bootstrap, tail, restart through compaction") {
+    val tmp = Files.createTempDirectory("graft-mfstream").toString
+    val t = s"$tmp/table"
+    val ckpt = s"$tmp/ckpt"
+    ManifestTable.append(spark, Seq(1L, 2L).toDF("id"), t)
+    ManifestTable.append(spark, Seq(3L).toDF("id"), t)
+    val batches =
+      new scala.collection.concurrent.TrieMap[Long, Seq[Long]]()
+    def start() = spark.readStream.format("graft-manifest").load(t)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.put(id, b.select("id").as[Long](
+          org.apache.spark.sql.Encoders.scalaLong).collect().sorted.toSeq)
+        ()
+      }.start()
+    val q = start()
+    q.processAllAvailable()
+    // batch 0 bootstraps the whole existing table (the Delta
+    // readStream convention: existing content, then the tail)
+    assert(batches(0L) == Seq(1L, 2L, 3L))
+    // tail: a commit while the stream runs arrives alone
+    ManifestTable.append(spark, Seq(4L).toDF("id"), t)
+    q.processAllAvailable()
+    assert(batches.values.flatten.toSeq.sorted == Seq(1L, 2L, 3L, 4L))
+    q.stop()
+    // maintenance while stopped: compaction of DRAINED commits is
+    // invisible to the restarted stream (provenance), and only the
+    // genuinely new commit is delivered
+    ManifestTable.compact(spark, t)
+    ManifestTable.append(spark, Seq(5L).toDF("id"), t)
+    batches.clear()
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(batches.values.flatten.toSeq.sorted == Seq(5L),
+      s"restart must deliver only the post-checkpoint commit, got " +
+        s"${batches.toMap}")
+    // vacuum past the checkpoint: the restart fails LOUDLY naming the
+    // re-bootstrap contract — never a silent whole-table re-read
+    ManifestTable.append(spark, Seq(6L).toDF("id"), t)
+    ManifestTable.vacuum(spark, t, 1)
+    val q3 = start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+    }
+    def msgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(ex).exists(_.contains("re-bootstrap")))
+    q3.stop()
+  }
+
+  test("a stream started on an empty path fails loudly; schema comes from the sidecar") {
+    val tmp = Files.createTempDirectory("graft-mfstream2").toString
+    val ex = intercept[RuntimeException] {
+      spark.readStream.format("graft-manifest").load(s"$tmp/none")
+    }
+    assert(ex.getMessage.contains("commit once before starting"))
+    val t = s"$tmp/table"
+    ManifestTable.append(spark,
+      Seq((1L, "a")).toDF("id", "s"), t)
+    val df = spark.readStream.format("graft-manifest").load(t)
+    assert(df.isStreaming && df.columns.toSeq == Seq("id", "s"))
+  }
+}
