@@ -401,6 +401,27 @@ object ScaleProbe {
       timed("since_v39") {
         graft.sinks.ManifestTable.readSince(spark, t, 39L)
       }
+      // the SQL surface: the same 1-of-40 range as pruned_1of40, but
+      // as a pushed-down WHERE on the graft-manifest source — files
+      // planned comes from the EXECUTED scan's numFiles metric (the
+      // FileIndex prunes at listFiles time, so the relation's static
+      // inputFiles list would overstate what the query touched)
+      locally {
+        def q = spark.read.format("graft-manifest").load(t)
+          .filter(col("doc_id").between(bounds(7), bounds(8) - 1))
+          .select(col("doc_id"))
+        q.collect() // warm
+        val d2 = q
+        val t0 = System.nanoTime()
+        val rows = d2.collect().length
+        val sec = (System.nanoTime() - t0) / 1e9
+        val nFiles = d2.queryExecution.executedPlan.collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metrics("numFiles").value
+        }.getOrElse(-1L)
+        println(f"TIME manifest10 sql_pruned_1of40 $sec%.2f s " +
+          f"($rows rows, $nFiles files)")
+      }
       spark.stop()
       return
     }

@@ -23,7 +23,7 @@ object LayoutQueries {
 
   /** Bumped on any layout-building change — stale /tmp layouts then
     * auto-invalidate (same contract as [[graft.vector.AnnVersion]]). */
-  private val LayoutVersion = 4 // r10: manifest gained multi-col stats + provenance + schema sidecar
+  private val LayoutVersion = 5 // r10: manifest gained string stats (+ multi-col, provenance, schema sidecar)
 
   private def datasetKey(d: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
@@ -202,6 +202,40 @@ object LayoutQueries {
         graft.sinks.ManifestTable.append(s,
           docs.filter(loOk && hiOk), path, statsCols = Seq("doc_id"))
       }
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
+  /** Documents as a manifest table clustered BY LANGUAGE — one commit
+    * per lang, each recording string bounds on `lang` (plus long
+    * bounds on `doc_id`): the categorical-pruning layout a
+    * language-routed ingest naturally produces, where `WHERE lang =
+    * 'es'` in plain SQL prunes to exactly one commit dir from the
+    * manifest alone. Built once per dataset behind the usual
+    * marker. */
+  def ensureManifestDocsByLang(s: SparkSession, d: String): String = {
+    val path = s"${layoutRoot(d)}/docs_manifest_bylang"
+    val docs = Tables.documents(s, d)
+    val n = docs.count()
+    val expect = s"layout=$LayoutVersion manifest=bylang+strstats rows=$n"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      import s.implicits._
+      val langs = docs.select(col("lang")).distinct()
+        .as[String].collect().sorted
+      langs.foreach { l =>
+        graft.sinks.ManifestTable.append(s,
+          docs.filter(col("lang") === l), path,
+          statsCols = Seq("lang", "doc_id"))
+      }
+      // a null-lang slice would be silently lost above — assert the
+      // clustering covered every row (documents.lang is non-null in
+      // this dataset; a real router would add an explicit null commit)
+      require(graft.sinks.ManifestTable.read(s, path).count() == n,
+        "ensureManifestDocsByLang: lang clustering dropped rows")
       ArtifactCache.stamp(path, expect)
     }
     path
@@ -750,6 +784,34 @@ object LayoutQueries {
         .select(col("doc_id"), col("lang"),
           round(col("quality"), 6).as("quality"))
         .orderBy("doc_id")
+    },
+
+    // ---- categorical (string-stats) manifest pruning through SQL:
+    //      documents clustered one-commit-per-lang, queried with
+    //      WHERE lang = 'es' — the pushed equality becomes a string
+    //      bound the ManifestFileIndex checks against each commit's
+    //      recorded lang min/max (ASCII-guarded: a non-ASCII bound
+    //      never prunes), so the scan plans exactly one dir of five
+    //      (ManifestSqlSpec pins numFiles). The layout must never
+    //      change the answer: the oracle is the plain filtered
+    //      aggregate. ----
+    GraftQuery("q132_manifest_categorical_pruning",
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE lang = 'es'
+        |GROUP BY source
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      val path = ensureManifestDocsByLang(s, d)
+      s.read.format("graft-manifest").load(path)
+        .createOrReplaceTempView("documents_manifest_bylang")
+      s.sql(
+        """SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(n_chars) AS BIGINT) AS chars
+          |FROM documents_manifest_bylang
+          |WHERE lang = 'es'
+          |GROUP BY source
+          |ORDER BY source""".stripMargin)
     },
   )
 }

@@ -92,15 +92,25 @@ object ManifestTable {
   def latestVersion(spark: SparkSession, path: String): Option[Long] =
     versions(spark, path).lastOption
 
+  /** String bounds are only comparable across engines when every byte
+    * is ASCII: Spark's min/max on strings uses UTF8String BINARY
+    * ordering, while the JVM's `compareTo` here is UTF-16 code-unit
+    * order — they agree on ASCII and can disagree beyond it, so a
+    * non-ASCII bound never prunes (kept conservatively). */
+  private def asciiOnly(s: String): Boolean = s.forall(_ < 0x80)
+
   /** One manifest entry: a data dir, the commit tag that added it
     * (streaming batch watermark; -1 for batch appends), per-column
-    * min/max stats of long-castable columns for dir-level pruning
-    * (empty = no stats, never pruned), and the dirs this entry was
+    * min/max stats for dir-level pruning — long-castable columns in
+    * `statMin`/`statMax`, string columns in `strMin`/`strMax`
+    * (empty = no stats, never pruned) — and the dirs this entry was
     * rewritten from (empty = fresh append — the provenance
     * [[readSince]] uses to see through maintenance). */
   final case class Entry(dir: String, tag: Long,
       statMin: Map[String, Long], statMax: Map[String, Long],
-      sources: Seq[String]) {
+      sources: Seq[String],
+      strMin: Map[String, String] = Map.empty,
+      strMax: Map[String, String] = Map.empty) {
     /** Stats say this dir MIGHT hold rows with `col` in `[lo, hi]`
       * (no stats on `col` -> conservatively true). */
     def mightOverlap(col: String, lo: Long, hi: Long): Boolean =
@@ -108,18 +118,38 @@ object ManifestTable {
         case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
         case _ => true
       }
+    /** String-bounds overlap with possibly-open ends (None = that end
+      * unconstrained). Each comparison only prunes when BOTH strings
+      * involved are ASCII (see [[asciiOnly]]); a non-ASCII bound on
+      * either side keeps the dir. */
+    def mightOverlapStr(col: String, lo: Option[String],
+        hi: Option[String]): Boolean =
+      (strMin.get(col), strMax.get(col)) match {
+        case (Some(mn), Some(mx)) if asciiOnly(mn) && asciiOnly(mx) =>
+          lo.filter(asciiOnly).forall(l => mx.compareTo(l) >= 0) &&
+            hi.filter(asciiOnly).forall(h => mn.compareTo(h) <= 0)
+        case _ => true
+      }
+
+    /** Closed-range form of [[mightOverlapStr]]. */
+    def mightOverlapStr(col: String, lo: String, hi: String): Boolean =
+      mightOverlapStr(col, Some(lo), Some(hi))
   }
 
   private[graft] def entriesOf(spark: SparkSession, path: String,
       v: Long): Seq[Entry] = {
     import spark.implicits._
     spark.read.parquet(s"$path/manifest/${vName(v)}")
-      .select("dir", "tag", "statMin", "statMax", "sources")
-      .as[(String, Long, Map[String, Long], Map[String, Long], Seq[String])]
+      .select("dir", "tag", "statMin", "statMax", "sources",
+        "strMin", "strMax")
+      .as[(String, Long, Map[String, Long], Map[String, Long],
+        Seq[String], Map[String, String], Map[String, String])]
       .collect().sortBy(_._1)
       .map(t => Entry(t._1, t._2, Option(t._3).getOrElse(Map.empty),
         Option(t._4).getOrElse(Map.empty),
-        Option(t._5).getOrElse(Seq.empty))).toSeq
+        Option(t._5).getOrElse(Seq.empty),
+        Option(t._6).getOrElse(Map.empty),
+        Option(t._7).getOrElse(Map.empty))).toSeq
   }
 
   /** The data directories snapshot `v` references (absolute paths). */
@@ -236,28 +266,48 @@ object ManifestTable {
         entriesOf(spark, path, v).map(_.tag).foldLeft(-1L)(math.max))
     }.getOrElse(-1L)
 
-  /** Min/max of each long-castable `cols` column over the WRITTEN
-    * dir, not over `df`: a second evaluation of an unpersisted frame
-    * could disagree with what was written (source mutated between
-    * jobs, non-deterministic column) and a too-narrow recorded range
-    * would make pruned reads silently drop matching rows. The written
-    * dir is immutable — its stats are the truth, for one cheap
-    * columnar read of the batch-sized dir. All-null or empty columns
-    * get no stats (never pruned: conservative). */
+  /** The four stats maps of one written dir: (longMin, longMax,
+    * strMin, strMax). */
+  private type Stats = (Map[String, Long], Map[String, Long],
+    Map[String, String], Map[String, String])
+  private val NoStats: Stats = (Map.empty, Map.empty, Map.empty, Map.empty)
+
+  /** Min/max of each `cols` column over the WRITTEN dir, not over
+    * `df`: a second evaluation of an unpersisted frame could disagree
+    * with what was written (source mutated between jobs,
+    * non-deterministic column) and a too-narrow recorded range would
+    * make pruned reads silently drop matching rows. The written dir
+    * is immutable — its stats are the truth, for one cheap columnar
+    * read of the batch-sized dir. String columns record string
+    * bounds, everything else long-cast bounds; all-null, absent (a
+    * batch that omitted the column), or empty columns get no stats
+    * (never pruned: conservative). */
   private def statsOf(spark: SparkSession, dir: String,
-      cols: Seq[String]): (Map[String, Long], Map[String, Long]) =
-    if (cols.isEmpty) (Map.empty, Map.empty)
+      cols: Seq[String]): Stats =
+    if (cols.isEmpty) NoStats
     else scala.util.Try { // an empty batch writes a file-less dir
-      val aggs = cols.flatMap(c =>
-        Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
-      val r = spark.read.parquet(dir).agg(aggs.head, aggs.tail: _*).head()
-      val pairs = cols.zipWithIndex.flatMap { case (c, i) =>
-        if (r.isNullAt(2 * i)) None
-        else Some(c -> (r.getLong(2 * i), r.getLong(2 * i + 1)))
+      val df = spark.read.parquet(dir)
+      val present = cols.filter(df.columns.contains)
+      val isStr = present.map(c => c ->
+        (df.schema(c).dataType == org.apache.spark.sql.types.StringType))
+        .toMap
+      if (present.isEmpty) NoStats
+      else {
+        val aggs = present.flatMap(c =>
+          if (isStr(c)) Seq(min(col(c)), max(col(c)))
+          else Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+        val r = df.agg(aggs.head, aggs.tail: _*).head()
+        present.zipWithIndex.foldLeft(NoStats) {
+          case (acc, (_, i)) if r.isNullAt(2 * i) => acc
+          case ((lm, lx, sm, sx), (c, i)) if isStr(c) =>
+            (lm, lx, sm + (c -> r.getString(2 * i)),
+              sx + (c -> r.getString(2 * i + 1)))
+          case ((lm, lx, sm, sx), (c, i)) =>
+            (lm + (c -> r.getLong(2 * i)),
+              lx + (c -> r.getLong(2 * i + 1)), sm, sx)
+        }
       }
-      (pairs.map { case (c, mm) => c -> mm._1 }.toMap,
-        pairs.map { case (c, mm) => c -> mm._2 }.toMap)
-    }.getOrElse((Map.empty, Map.empty))
+    }.getOrElse(NoStats)
 
   /** Schema enforcement at the write boundary (what a raw parquet
     * directory fatally lacks — a typo'd batch silently forks the
@@ -315,10 +365,10 @@ object ManifestTable {
     val dirName = attemptDirName(v)
     val dataDir = s"$path/data/$dirName"
     df.write.mode("overwrite").parquet(dataDir)
-    val (mins, maxes) = statsOf(spark, dataDir, statsCols)
+    val (mins, maxes, sMins, sMaxes) = statsOf(spark, dataDir, statsCols)
     val prevTag = prev.map(pv => maxTagOf(spark, path, pv).getOrElse(
       prevEntries.map(_.tag).foldLeft(-1L)(math.max))).getOrElse(-1L)
-    val entry = Entry(dirName, tag, mins, maxes, Seq.empty)
+    val entry = Entry(dirName, tag, mins, maxes, Seq.empty, sMins, sMaxes)
     commit(spark, path, v, prevEntries :+ entry, schema,
       math.max(prevTag, tag))
     v
@@ -340,13 +390,13 @@ object ManifestTable {
     val dirName = attemptDirName(v)
     val dataDir = s"$path/data/$dirName"
     df.write.mode("overwrite").parquet(dataDir)
-    val (mins, maxes) = statsOf(spark, dataDir, statsCols)
+    val (mins, maxes, sMins, sMaxes) = statsOf(spark, dataDir, statsCols)
     val prevTag = prev.map(pv => maxTagOf(spark, path, pv).getOrElse(
       entriesOf(spark, path, pv).map(_.tag).foldLeft(-1L)(math.max)))
       .getOrElse(-1L)
     commit(spark, path, v,
-      Seq(Entry(dirName, tag, mins, maxes, Seq.empty)), df.schema,
-      math.max(prevTag, tag))
+      Seq(Entry(dirName, tag, mins, maxes, Seq.empty, sMins, sMaxes)),
+      df.schema, math.max(prevTag, tag))
     v
   }
 
@@ -365,8 +415,10 @@ object ManifestTable {
     fs.listStatus(mDir).filter(_.getPath.getName.startsWith(".tmp-"))
       .foreach(st => fs.delete(st.getPath, true))
     val tmp = new org.apache.hadoop.fs.Path(s"$path/manifest/.tmp-${vName(v)}")
-    entries.map(e => (e.dir, e.tag, e.statMin, e.statMax, e.sources))
-      .toDF("dir", "tag", "statMin", "statMax", "sources")
+    entries.map(e => (e.dir, e.tag, e.statMin, e.statMax, e.sources,
+        e.strMin, e.strMax))
+      .toDF("dir", "tag", "statMin", "statMax", "sources",
+        "strMin", "strMax")
       .repartition(1)
       .write.mode("overwrite").parquet(tmp.toString)
     writeSideFile(fs, new org.apache.hadoop.fs.Path(
@@ -404,6 +456,21 @@ object ManifestTable {
   def readPruned(spark: SparkSession, path: String, statsCol: String,
       lo: Long, hi: Long): DataFrame =
     readPruned(spark, path, Seq((statsCol, lo, hi)))
+
+  /** [[readPruned]] for a STRING-typed stats column: latest snapshot
+    * restricted to dirs whose recorded string bounds overlap
+    * `[lo, hi]` — the categorical-pruning form (`lang = 'es'`,
+    * `source = 'web'`) a corpus clustered by a categorical column
+    * gets for free from its ingest layout. ASCII-guarded (see
+    * [[Entry.mightOverlapStr]]); non-ASCII bounds never prune. */
+  def readPrunedStr(spark: SparkSession, path: String, statsCol: String,
+      lo: String, hi: String): DataFrame = {
+    val v = latestVersion(spark, path).getOrElse(
+      sys.error(s"ManifestTable.readPrunedStr: no committed version at $path"))
+    val entries = entriesOf(spark, path, v)
+    readDirs(spark, path, v, entries,
+      entries.filter(_.mightOverlapStr(statsCol, lo, hi)))
+  }
 
   /** Latest snapshot as a DataFrame. The file list is resolved NOW, so
     * the returned frame keeps reading this snapshot's (immutable) dirs
@@ -469,7 +536,20 @@ object ManifestTable {
       c -> readable.map(_.statMin(c)).min).toMap
     val maxes = foldCols.map(c =>
       c -> readable.map(_.statMax(c)).max).toMap
-    val merged = Entry(dirName, tag, mins, maxes, entries.map(_.dir))
+    // string stats fold only when every entry has them AND every
+    // bound is ASCII (the JVM min/max used here must agree with the
+    // UTF8String ordering that recorded them — see [[asciiOnly]]);
+    // otherwise dropped, conservative
+    val sFoldCols = readable.map(_.strMin.keySet)
+      .reduce(_ intersect _).toSeq.sorted
+      .filter(c => readable.forall(e =>
+        asciiOnly(e.strMin(c)) && asciiOnly(e.strMax(c))))
+    val sMins = sFoldCols.map(c =>
+      c -> readable.map(_.strMin(c)).min).toMap
+    val sMaxes = sFoldCols.map(c =>
+      c -> readable.map(_.strMax(c)).max).toMap
+    val merged = Entry(dirName, tag, mins, maxes, entries.map(_.dir),
+      sMins, sMaxes)
     val prevTag = maxTagOf(spark, path, prev).getOrElse(
       entries.map(_.tag).foldLeft(-1L)(math.max))
     commit(spark, path, v, Seq(merged), schema, prevTag)
@@ -621,9 +701,10 @@ object ManifestTable {
         // append); restat every column the entry recorded, plus the
         // delete key — all-null survivors get no stats (kept by
         // every future prune: conservative, exactly right)
-        val restatCols = (e.statMin.keySet + statsCol).toSeq.sorted
-        val (mins, maxes) = statsOf(spark, target, restatCols)
-        Some(Entry(newDir, e.tag, mins, maxes, Seq(e.dir)))
+        val restatCols =
+          (e.statMin.keySet ++ e.strMin.keySet + statsCol).toSeq.sorted
+        val (mins, maxes, sMins, sMaxes) = statsOf(spark, target, restatCols)
+        Some(Entry(newDir, e.tag, mins, maxes, Seq(e.dir), sMins, sMaxes))
       }
     }
     val prevTag = maxTagOf(spark, path, prev).getOrElse(

@@ -62,8 +62,11 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val bounds = ManifestFileIndex.boundsOf(dataFilters)
+    val sBounds = ManifestFileIndex.strBoundsOf(dataFilters)
     val kept = filesByDir.filter { case (e, _) =>
-      bounds.forall { case (c, (lo, hi)) => e.mightOverlap(c, lo, hi) }
+      bounds.forall { case (c, (lo, hi)) => e.mightOverlap(c, lo, hi) } &&
+        sBounds.forall { case (c, (lo, hi)) =>
+          e.mightOverlapStr(c, lo, hi) }
     }
     Seq(PartitionDirectory(InternalRow.empty,
       kept.flatMap(_._2).toArray[org.apache.hadoop.fs.FileStatus]))
@@ -143,6 +146,54 @@ object ManifestFileIndex {
     }
     conjuncts.foreach(walk)
     per.toMap
+  }
+
+  /** Per-column string `[lo, hi]` bounds implied by the pushed
+    * conjuncts — the categorical twin of [[boundsOf]] (`lang = 'es'`,
+    * `source IN (...)`, prefix ranges). Same widen-only rules; the
+    * ASCII comparability guard lives in `Entry.mightOverlapStr`, so a
+    * non-ASCII literal flows through and simply never prunes. */
+  private[graft] def strBoundsOf(conjuncts: Seq[Expression])
+      : Map[String, (Option[String], Option[String])] = {
+    val per = scala.collection.mutable.Map.empty[String, (String, String)]
+    def add(col: String, lo: Option[String], hi: Option[String]): Unit = {
+      val (l0, h0) = per.getOrElse(col, (null: String, null: String))
+      val l1 = (Option(l0) ++ lo).reduceOption((a, b) =>
+        if (a.compareTo(b) >= 0) a else b).orNull
+      val h1 = (Option(h0) ++ hi).reduceOption((a, b) =>
+        if (a.compareTo(b) <= 0) a else b).orNull
+      per.update(col, (l1, h1))
+    }
+    def strOf(v: Any): Option[String] = v match {
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+      case s: String => Some(s)
+      case _ => None
+    }
+    def walk(e: Expression): Unit = e match {
+      case And(l, r) => walk(l); walk(r)
+      case EqualTo(a, Literal(v, _)) =>
+        for (c <- attrOf(a); x <- strOf(v)) add(c, Some(x), Some(x))
+      case EqualTo(Literal(v, _), a) =>
+        for (c <- attrOf(a); x <- strOf(v)) add(c, Some(x), Some(x))
+      case GreaterThanOrEqual(a, Literal(v, _)) =>
+        for (c <- attrOf(a); x <- strOf(v)) add(c, Some(x), None)
+      case GreaterThan(a, Literal(v, _)) =>
+        for (c <- attrOf(a); x <- strOf(v)) add(c, Some(x), None)
+      case LessThanOrEqual(a, Literal(v, _)) =>
+        for (c <- attrOf(a); x <- strOf(v)) add(c, None, Some(x))
+      case LessThan(a, Literal(v, _)) =>
+        for (c <- attrOf(a); x <- strOf(v)) add(c, None, Some(x))
+      case In(a, list) if list.forall(_.isInstanceOf[Literal]) =>
+        val xs = list.collect { case Literal(v, _) => strOf(v) }
+        if (xs.nonEmpty && xs.forall(_.isDefined))
+          attrOf(a).foreach(c => add(c, Some(xs.flatten.min),
+            Some(xs.flatten.max)))
+      case _ => ()
+    }
+    conjuncts.foreach(walk)
+    per.toMap.map { case (c, (lo, hi)) =>
+      c -> ((Option(lo), Option(hi)))
+    }
   }
 }
 

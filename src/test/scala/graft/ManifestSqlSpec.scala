@@ -63,6 +63,34 @@ class ManifestSqlSpec extends AnyFunSuite {
       q128.collect().map(_.toString).toSeq)
   }
 
+  test("q132: a categorical WHERE prunes to one lang commit via string stats") {
+    val d = "/root/testdata/sf0.001"
+    val path = operators.LayoutQueries.ensureManifestDocsByLang(spark, d)
+    val df = spark.read.format("graft-manifest").load(path)
+      .filter(col("lang") === "es")
+      .select("doc_id", "lang", "source")
+    df.collect()
+    val scan = scanOf(df)
+    val oneDir = ManifestTable
+      .readPrunedStr(spark, path, "lang", "es", "es").inputFiles.length
+    val allFiles = ManifestTable.read(spark, path).inputFiles.length
+    assert(scan.metrics("numFiles").value == oneDir && oneDir < allFiles,
+      s"scan read ${scan.metrics("numFiles").value} files, expected " +
+        s"the one lang commit's $oneDir of $allFiles")
+    // and the registered query matches the plain table
+    val q132 = operators.LayoutQueries.all
+      .find(_.name == "q132_manifest_categorical_pruning").get
+      .run(spark, d).collect().map(_.toString).toSeq
+    val plain = Tables.documents(spark, d).filter(col("lang") === "es")
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.count(lit(1))
+        .cast("long").as("n"),
+        org.apache.spark.sql.functions.sum(col("n_chars"))
+          .cast("long").as("chars"))
+      .orderBy("source").collect().map(_.toString).toSeq
+    assert(q132 == plain && q132.nonEmpty)
+  }
+
   test("versionAsOf time travel; unfiltered scan reads the whole snapshot") {
     val t = s"${Files.createTempDirectory("graft-mfsql")}/t"
     ManifestTable.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "s"),

@@ -184,6 +184,44 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(nDirs(afterTs) == 1 && ids(afterTs) == Seq(10L))
   }
 
+  test("string stats prune categorically; non-ASCII bounds never prune") {
+    val t = s"${Files.createTempDirectory("graft-manifeststr")}/t"
+    ManifestTable.append(spark,
+      Seq((1L, "de"), (2L, "de")).toDF("id", "lang"), t,
+      statsCols = Seq("lang", "id"))
+    ManifestTable.append(spark,
+      Seq((3L, "en"), (4L, "es")).toDF("id", "lang"), t,
+      statsCols = Seq("lang", "id"))
+    ManifestTable.append(spark,
+      Seq((5L, "zh")).toDF("id", "lang"), t,
+      statsCols = Seq("lang", "id"))
+    ManifestTable.append(spark,
+      Seq((6L, "中文")).toDF("id", "lang"), t,
+      statsCols = Seq("lang", "id"))
+    def nDirs(df: org.apache.spark.sql.DataFrame): Int =
+      df.inputFiles.map(_.split('/').dropRight(1).last).distinct.length
+    // an equality probe keeps its one matching dir PLUS the dir whose
+    // bounds are non-ASCII (not comparable -> never prunable); the
+    // row filter still applies on top
+    val de = ManifestTable.readPrunedStr(spark, t, "lang", "de", "de")
+    assert(nDirs(de) == 2)
+    assert(ids(de.filter(col("lang") === "de")) == Seq(1L, 2L))
+    // a range probe spans the overlapping dirs (+ the unprunable one)
+    assert(nDirs(ManifestTable.readPrunedStr(spark, t, "lang",
+      "en", "es")) == 2)
+    // a fully-disjoint probe keeps ONLY the unprunable dir — the
+    // three ASCII-bounded dirs all pruned, the non-ASCII one cannot be
+    val none = ManifestTable.readPrunedStr(spark, t, "lang", "aa", "ab")
+    assert(nDirs(none) == 1 && ids(none) == Seq(6L))
+    // long and string stats coexist on one table: id pruning works too
+    assert(nDirs(ManifestTable.readPruned(spark, t, "id", 3L, 4L)) == 1)
+    // compaction folds ASCII string bounds; the non-ASCII entry blocks
+    // the fold (conservative: everything kept afterwards)
+    ManifestTable.compact(spark, t)
+    assert(ManifestTable.readPrunedStr(spark, t, "lang", "de", "de")
+      .count() == 6)
+  }
+
   test("deleteRange rewrites only overlapping dirs; untouched dirs keep their identity") {
     val t = s"${Files.createTempDirectory("graft-manifest7")}/t"
     ManifestTable.append(spark, Seq(1L, 5L).toDF("id"), t,
