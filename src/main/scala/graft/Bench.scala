@@ -176,10 +176,14 @@ object Bench {
     // ever pick up a quiet-box run.
     val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "1.5")
       .toDouble
-    val noisy = loadBefore > maxLoad
+    // an EXPLICIT out path is always honored (the caller took control
+    // of the artifact; quarantining would leave their configured path
+    // empty) — the guard protects only the default committed filename
+    val explicitOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    val noisy = loadBefore > maxLoad && explicitOut.isEmpty
     val outFile =
       if (noisy) "bench_noisy.json"
-      else sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
+      else explicitOut.getOrElse("bench_latest.json")
     if (noisy) System.err.println(
       f"BENCH: load_before=$loadBefore%.2f exceeds $maxLoad%.1f — " +
         s"this run is NOISE-SUSPECT; artifact quarantined to $outFile " +

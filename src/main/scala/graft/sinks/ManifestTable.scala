@@ -139,17 +139,33 @@ object ManifestTable {
   private[graft] def entriesOf(spark: SparkSession, path: String,
       v: Long): Seq[Entry] = {
     import spark.implicits._
-    spark.read.parquet(s"$path/manifest/${vName(v)}")
-      .select("dir", "tag", "statMin", "statMax", "sources",
-        "strMin", "strMax")
-      .as[(String, Long, Map[String, Long], Map[String, Long],
-        Seq[String], Map[String, String], Map[String, String])]
-      .collect().sortBy(_._1)
-      .map(t => Entry(t._1, t._2, Option(t._3).getOrElse(Map.empty),
-        Option(t._4).getOrElse(Map.empty),
-        Option(t._5).getOrElse(Seq.empty),
-        Option(t._6).getOrElse(Map.empty),
-        Option(t._7).getOrElse(Map.empty))).toSeq
+    val df = spark.read.parquet(s"$path/manifest/${vName(v)}")
+    if (df.columns.contains("sources"))
+      df.select("dir", "tag", "statMin", "statMax", "sources",
+          "strMin", "strMax")
+        .as[(String, Long, Map[String, Long], Map[String, Long],
+          Seq[String], Map[String, String], Map[String, String])]
+        .collect().sortBy(_._1)
+        .map(t => Entry(t._1, t._2, Option(t._3).getOrElse(Map.empty),
+          Option(t._4).getOrElse(Map.empty),
+          Option(t._5).getOrElse(Seq.empty),
+          Option(t._6).getOrElse(Map.empty),
+          Option(t._7).getOrElse(Map.empty))).toSeq
+    else {
+      // MIGRATION read for manifests written before the map-stats
+      // layout (single optional statCol + long min/max, no
+      // provenance): a long-lived table survives the upgrade — its
+      // next commit rewrites the manifest in the current layout
+      df.select("dir", "tag", "statCol", "statMin", "statMax")
+        .as[(String, Long, Option[String], Option[Long], Option[Long])]
+        .collect().sortBy(_._1)
+        .map { t =>
+          val stats = for (c <- t._3; mn <- t._4; mx <- t._5)
+            yield (Map(c -> mn), Map(c -> mx))
+          Entry(t._1, t._2, stats.map(_._1).getOrElse(Map.empty),
+            stats.map(_._2).getOrElse(Map.empty), Seq.empty)
+        }.toSeq
+    }
   }
 
   /** The data directories snapshot `v` references (absolute paths). */
@@ -272,6 +288,24 @@ object ManifestTable {
     Map[String, String], Map[String, String])
   private val NoStats: Stats = (Map.empty, Map.empty, Map.empty, Map.empty)
 
+  /** Stat-able type classes: strings get string bounds; INTEGRAL
+    * types get exact long bounds. Everything else gets none —
+    * deliberately. A fractional cast truncates (bounds could exclude
+    * the true extremes), and a temporal cast's unit (seconds) would
+    * disagree with the unit SQL pushes its literals in (micros), so a
+    * recorded bound would prune dirs that contain matches — the one
+    * failure mode a stats layer must never have. Callers with event
+    * time should store it as an integral epoch column (this engine's
+    * convention throughout). */
+  private def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.ByteType => true
+      case _: org.apache.spark.sql.types.ShortType => true
+      case _: org.apache.spark.sql.types.IntegerType => true
+      case _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
   /** Min/max of each `cols` column over the WRITTEN dir, not over
     * `df`: a second evaluation of an unpersisted frame could disagree
     * with what was written (source mutated between jobs,
@@ -279,18 +313,20 @@ object ManifestTable {
     * make pruned reads silently drop matching rows. The written dir
     * is immutable — its stats are the truth, for one cheap columnar
     * read of the batch-sized dir. String columns record string
-    * bounds, everything else long-cast bounds; all-null, absent (a
-    * batch that omitted the column), or empty columns get no stats
-    * (never pruned: conservative). */
+    * bounds, integral columns long bounds (see [[isIntegral]] for why
+    * nothing else qualifies); all-null, absent (a batch that omitted
+    * the column), non-stat-able, or empty columns get no stats (never
+    * pruned: conservative). */
   private def statsOf(spark: SparkSession, dir: String,
       cols: Seq[String]): Stats =
     if (cols.isEmpty) NoStats
     else scala.util.Try { // an empty batch writes a file-less dir
       val df = spark.read.parquet(dir)
-      val present = cols.filter(df.columns.contains)
-      val isStr = present.map(c => c ->
+      val isStr = cols.filter(df.columns.contains).map(c => c ->
         (df.schema(c).dataType == org.apache.spark.sql.types.StringType))
         .toMap
+      val present = cols.filter(c => isStr.get(c).exists(identity) ||
+        df.columns.contains(c) && isIntegral(df.schema(c).dataType))
       if (present.isEmpty) NoStats
       else {
         val aggs = present.flatMap(c =>
@@ -362,17 +398,28 @@ object ManifestTable {
         evolveSchema, s"ManifestTable.append($path)")
       case None => df.schema // fresh table (or pre-sidecar manifest)
     }
-    val dirName = attemptDirName(v)
-    val dataDir = s"$path/data/$dirName"
-    df.write.mode("overwrite").parquet(dataDir)
-    val (mins, maxes, sMins, sMaxes) = statsOf(spark, dataDir, statsCols)
-    val prevTag = prev.map(pv => maxTagOf(spark, path, pv).getOrElse(
-      prevEntries.map(_.tag).foldLeft(-1L)(math.max))).getOrElse(-1L)
-    val entry = Entry(dirName, tag, mins, maxes, Seq.empty, sMins, sMaxes)
+    val entry = writeDirEntry(spark, df, path, v, tag, statsCols)
+    val prevTag = prevTagOf(spark, path, prev, prevEntries)
     commit(spark, path, v, prevEntries :+ entry, schema,
       math.max(prevTag, tag))
     v
   }
+
+  /** The shared write tail of [[append]]/[[overwrite]]: one immutable
+    * attempt-unique data dir + its statted entry. */
+  private def writeDirEntry(spark: SparkSession, df: DataFrame,
+      path: String, v: Long, tag: Long, statsCols: Seq[String]): Entry = {
+    val dirName = attemptDirName(v)
+    val dataDir = s"$path/data/$dirName"
+    df.write.mode("overwrite").parquet(dataDir)
+    val (mins, maxes, sMins, sMaxes) = statsOf(spark, dataDir, statsCols)
+    Entry(dirName, tag, mins, maxes, Seq.empty, sMins, sMaxes)
+  }
+
+  private def prevTagOf(spark: SparkSession, path: String,
+      prev: Option[Long], prevEntries: => Seq[Entry]): Long =
+    prev.map(pv => maxTagOf(spark, path, pv).getOrElse(
+      prevEntries.map(_.tag).foldLeft(-1L)(math.max))).getOrElse(-1L)
 
   /** Replace the table's content (and schema) with `df` in one atomic
     * commit: the new manifest references ONLY the new data dir. Old
@@ -387,16 +434,10 @@ object ManifestTable {
       tag: Long = -1L, statsCols: Seq[String] = Nil): Long = {
     val prev = latestVersion(spark, path)
     val v = prev.map(_ + 1).getOrElse(1L)
-    val dirName = attemptDirName(v)
-    val dataDir = s"$path/data/$dirName"
-    df.write.mode("overwrite").parquet(dataDir)
-    val (mins, maxes, sMins, sMaxes) = statsOf(spark, dataDir, statsCols)
-    val prevTag = prev.map(pv => maxTagOf(spark, path, pv).getOrElse(
-      entriesOf(spark, path, pv).map(_.tag).foldLeft(-1L)(math.max)))
-      .getOrElse(-1L)
-    commit(spark, path, v,
-      Seq(Entry(dirName, tag, mins, maxes, Seq.empty, sMins, sMaxes)),
-      df.schema, math.max(prevTag, tag))
+    val entry = writeDirEntry(spark, df, path, v, tag, statsCols)
+    val prevTag = prevTagOf(spark, path, prev,
+      prev.map(pv => entriesOf(spark, path, pv)).getOrElse(Seq.empty))
+    commit(spark, path, v, Seq(entry), df.schema, math.max(prevTag, tag))
     v
   }
 
@@ -425,12 +466,31 @@ object ManifestTable {
       tmp, "_graft_schema.json"), schema.json)
     writeSideFile(fs, new org.apache.hadoop.fs.Path(
       tmp, "_graft_maxtag"), maxTag.toString)
+    // the attempt id closes the exists-then-rename race on
+    // filesystems where rename(src, existing-dir) moves src INSIDE
+    // the destination (HDFS semantics): there the loser's rename
+    // RETURNS TRUE while publishing nothing, so success is defined as
+    // "the published manifest is OURS", verified by reading the id
+    // back through the final path — not as "rename returned true"
+    val attemptId = java.util.UUID.randomUUID.toString
+    writeSideFile(fs, new org.apache.hadoop.fs.Path(
+      tmp, "_graft_attempt"), attemptId)
     val fin = new org.apache.hadoop.fs.Path(s"$path/manifest/${vName(v)}")
-    require(!fs.exists(fin) && fs.rename(tmp, fin),
-      s"ManifestTable.commit: could not publish ${vName(v)} at $path — " +
-        "another writer committed this version first (single-writer " +
-        "contract violated); this attempt's data dir is an orphan " +
-        "vacuum will reap")
+    val renamed = !fs.exists(fin) && fs.rename(tmp, fin)
+    val published = renamed && readSideFile(fs,
+      new org.apache.hadoop.fs.Path(fin, "_graft_attempt"))
+      .contains(attemptId)
+    if (!published) {
+      // best-effort: if our tmp dir was swallowed INTO the winner's
+      // manifest dir, remove that (dot-prefixed, reader-invisible)
+      // debris before failing
+      fs.delete(new org.apache.hadoop.fs.Path(fin, tmp.getName), true)
+      sys.error(
+        s"ManifestTable.commit: could not publish ${vName(v)} at $path " +
+          "— another writer committed this version first (single-writer " +
+          "contract violated); this attempt's data dir is an orphan " +
+          "vacuum will reap")
+    }
   }
 
   /** Latest snapshot restricted to data dirs whose recorded min/max
@@ -548,7 +608,11 @@ object ManifestTable {
       c -> readable.map(_.strMin(c)).min).toMap
     val sMaxes = sFoldCols.map(c =>
       c -> readable.map(_.strMax(c)).max).toMap
-    val merged = Entry(dirName, tag, mins, maxes, entries.map(_.dir),
+    // provenance lists only the dirs whose ROWS went in: a file-less
+    // (empty-batch) dir contributed nothing, and naming it would make
+    // a consumer that never saw the empty commit read the whole fold
+    // as mixed lineage and fail for zero actually-missed rows
+    val merged = Entry(dirName, tag, mins, maxes, readable.map(_.dir),
       sMins, sMaxes)
     val prevTag = maxTagOf(spark, path, prev).getOrElse(
       entries.map(_.tag).foldLeft(-1L)(math.max))
@@ -674,6 +738,18 @@ object ManifestTable {
     val prev = latestVersion(spark, path).getOrElse(
       sys.error(s"ManifestTable.deleteRange: no committed version at $path"))
     val entries = entriesOf(spark, path, prev)
+    // a long-range delete is only defined on an INTEGRAL key: on any
+    // other type the row filter's cast would be lossy (or, under ANSI,
+    // a runtime error mid-rewrite) and could delete rows far outside
+    // [lo, hi] — fail loudly up front instead
+    schemaOf(spark, path, prev).foreach { sch =>
+      sch.fields.find(_.name == statsCol).foreach { f =>
+        require(isIntegral(f.dataType),
+          s"ManifestTable.deleteRange: '$statsCol' is " +
+            s"${f.dataType.catalogString}, not an integral type — a " +
+            "long-range delete is only defined on integral keys")
+      }
+    }
     val (touch0, keep0) = entries.partition(_.mightOverlap(statsCol, lo, hi))
     // a file-less dir (empty-batch commit) holds nothing to delete —
     // keep its entry untouched instead of crashing on a schema-less

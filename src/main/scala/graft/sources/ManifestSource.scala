@@ -82,24 +82,50 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
 
 object ManifestFileIndex {
 
-  /** The column under any number of long-preserving casts (Catalyst
-    * inserts them when the literal's type widens the column's). */
-  private def attrOf(e: Expression): Option[String] = e match {
-    case a: AttributeReference => Some(a.name)
-    case c: Cast => attrOf(c.child)
+  private def intWidth(dt: org.apache.spark.sql.types.DataType)
+      : Option[Int] = dt match {
+    case org.apache.spark.sql.types.ByteType => Some(1)
+    case org.apache.spark.sql.types.ShortType => Some(2)
+    case org.apache.spark.sql.types.IntegerType => Some(4)
+    case org.apache.spark.sql.types.LongType => Some(8)
     case _ => None
   }
 
-  /** An integral literal's long value — fractional/temporal/string
-    * literals are skipped (no bound extracted: conservative, the row
-    * filter still runs). */
-  private def longOf(l: Any): Option[Long] = l match {
-    case v: Byte => Some(v.toLong)
-    case v: Short => Some(v.toLong)
-    case v: Int => Some(v.toLong)
-    case v: Long => Some(v)
+  /** The column under WIDENING integral casts only (Catalyst inserts
+    * those when a literal's type widens the column's). A narrowing
+    * cast (CAST(longCol AS INT)) is value-CHANGING — under integer
+    * wraparound a row far outside the literal's range can satisfy the
+    * predicate, so stripping it would prune dirs that contain
+    * matches. Anything non-integral contributes no column. */
+  private def attrOf(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case c: Cast =>
+      for {
+        w1 <- intWidth(c.child.dataType)
+        w2 <- intWidth(c.dataType)
+        if w2 >= w1
+        n <- attrOf(c.child)
+      } yield n
     case _ => None
   }
+
+  /** An integral literal's long value, gated on the literal's
+    * DATATYPE, not just its runtime value class: a timestamp literal
+    * is also a Long at runtime (epoch MICROseconds), and extracting
+    * it would compare micros against whatever unit the stats were
+    * recorded in — unsound pruning. Non-integral literals (fractional,
+    * temporal, string) contribute no bound: conservative, the row
+    * filter still runs. */
+  private def longOf(l: Any,
+      dt: org.apache.spark.sql.types.DataType): Option[Long] =
+    if (intWidth(dt).isEmpty) None
+    else l match {
+      case v: Byte => Some(v.toLong)
+      case v: Short => Some(v.toLong)
+      case v: Int => Some(v.toLong)
+      case v: Long => Some(v)
+      case _ => None
+    }
 
   /** Per-column `[lo, hi]` bounds implied by the pushed conjuncts.
     * Only shapes whose implied range is SAFE to widen are extracted
@@ -117,28 +143,28 @@ object ManifestFileIndex {
     }
     def walk(e: Expression): Unit = e match {
       case And(l, r) => walk(l); walk(r)
-      case GreaterThanOrEqual(a, Literal(v, _)) =>
-        for (c <- attrOf(a); x <- longOf(v)) add(c, x, Long.MaxValue)
-      case GreaterThan(a, Literal(v, _)) =>
-        for (c <- attrOf(a); x <- longOf(v)) add(c, x, Long.MaxValue)
-      case LessThanOrEqual(a, Literal(v, _)) =>
-        for (c <- attrOf(a); x <- longOf(v)) add(c, Long.MinValue, x)
-      case LessThan(a, Literal(v, _)) =>
-        for (c <- attrOf(a); x <- longOf(v)) add(c, Long.MinValue, x)
-      case EqualTo(a, Literal(v, _)) =>
-        for (c <- attrOf(a); x <- longOf(v)) add(c, x, x)
-      case EqualTo(Literal(v, _), a) =>
-        for (c <- attrOf(a); x <- longOf(v)) add(c, x, x)
-      case GreaterThanOrEqual(Literal(v, _), a) => // v >= col  ==  col <= v
-        for (c <- attrOf(a); x <- longOf(v)) add(c, Long.MinValue, x)
-      case GreaterThan(Literal(v, _), a) =>
-        for (c <- attrOf(a); x <- longOf(v)) add(c, Long.MinValue, x)
-      case LessThanOrEqual(Literal(v, _), a) =>
-        for (c <- attrOf(a); x <- longOf(v)) add(c, x, Long.MaxValue)
-      case LessThan(Literal(v, _), a) =>
-        for (c <- attrOf(a); x <- longOf(v)) add(c, x, Long.MaxValue)
+      case GreaterThanOrEqual(a, Literal(v, t)) =>
+        for (c <- attrOf(a); x <- longOf(v, t)) add(c, x, Long.MaxValue)
+      case GreaterThan(a, Literal(v, t)) =>
+        for (c <- attrOf(a); x <- longOf(v, t)) add(c, x, Long.MaxValue)
+      case LessThanOrEqual(a, Literal(v, t)) =>
+        for (c <- attrOf(a); x <- longOf(v, t)) add(c, Long.MinValue, x)
+      case LessThan(a, Literal(v, t)) =>
+        for (c <- attrOf(a); x <- longOf(v, t)) add(c, Long.MinValue, x)
+      case EqualTo(a, Literal(v, t)) =>
+        for (c <- attrOf(a); x <- longOf(v, t)) add(c, x, x)
+      case EqualTo(Literal(v, t), a) =>
+        for (c <- attrOf(a); x <- longOf(v, t)) add(c, x, x)
+      case GreaterThanOrEqual(Literal(v, t), a) => // v >= col  ==  col <= v
+        for (c <- attrOf(a); x <- longOf(v, t)) add(c, Long.MinValue, x)
+      case GreaterThan(Literal(v, t), a) =>
+        for (c <- attrOf(a); x <- longOf(v, t)) add(c, Long.MinValue, x)
+      case LessThanOrEqual(Literal(v, t), a) =>
+        for (c <- attrOf(a); x <- longOf(v, t)) add(c, x, Long.MaxValue)
+      case LessThan(Literal(v, t), a) =>
+        for (c <- attrOf(a); x <- longOf(v, t)) add(c, x, Long.MaxValue)
       case In(a, list) if list.forall(_.isInstanceOf[Literal]) =>
-        val xs = list.collect { case Literal(v, _) => longOf(v) }
+        val xs = list.collect { case Literal(v, t) => longOf(v, t) }
         if (xs.nonEmpty && xs.forall(_.isDefined))
           attrOf(a).foreach(c =>
             add(c, xs.flatten.min, xs.flatten.max))

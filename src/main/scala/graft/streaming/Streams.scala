@@ -293,15 +293,20 @@ object Streams {
       path: String, schema: org.apache.spark.sql.types.StructType)
       : DataFrame = {
     graft.sinks.Maintenance.recoverPrecompact(spark, path)
-    // "empty" ONLY when the table genuinely does not exist yet: a
+    // "empty" ONLY when the table holds no committed data yet: a
     // blanket Try here would turn a transient storage error on an
     // EXISTING fingerprint/postings table into an empty seen-set, and
     // the batch would re-admit everything as fresh (duplicate corpus
-    // rows / doubled postings) instead of failing for retry. Existing
-    // path + failed read = loud.
+    // rows / doubled postings) instead of failing for retry. The
+    // check is hasDataFiles, not bare exists: a crash during the very
+    // FIRST write leaves a dir holding only _temporary, and treating
+    // that as "exists, so a failed read is fatal" would brick the
+    // stream on a state where nothing was ever committed. Data files
+    // present + failed read = loud.
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) spark.read.parquet(path)
+    if (graft.sinks.ManifestTable.hasDataFiles(fs, path))
+      spark.read.parquet(path)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
@@ -622,7 +627,8 @@ object Streams {
         val appliedPath =
           new org.apache.hadoop.fs.Path(s"$countersPath/_applied")
         val meta =
-          if (!fs.exists(appliedPath)) None
+          if (!graft.sinks.ManifestTable.hasDataFiles(fs,
+              appliedPath.toString)) None
           else Some(spark.read.parquet(appliedPath.toString)
             .select("applied", "depth", "width", "ngram").head())
         meta.foreach { m =>

@@ -151,5 +151,13 @@ class ManifestSqlSpec extends AnyFunSuite {
       .isEmpty)
     // fractional literals are skipped (no unsound floor/ceil guess)
     assert(b(GreaterThanOrEqual(id, Literal(1.5d))).isEmpty)
+    // temporal literals are skipped even though their runtime value is
+    // a Long — epoch MICROS would be compared against stats recorded
+    // in a different unit (unsound pruning, not just a missed prune)
+    assert(b(GreaterThanOrEqual(id, Literal(1704067200000000L,
+      org.apache.spark.sql.types.TimestampType))).isEmpty)
+    // a NARROWING cast is value-changing (wraparound) — never stripped
+    assert(b(EqualTo(Cast(id, org.apache.spark.sql.types.IntegerType),
+      Literal(5))).isEmpty)
   }
 }

@@ -83,7 +83,7 @@ class ManifestTableSpec extends AnyFunSuite {
     ManifestTable.append(spark, Seq(3L).toDF("id"), t) // A commits v2
     val winnerFiles = ManifestTable.read(spark, t).inputFiles.toSet
     Seq(99L).toDF("id").write.parquet(s"$t/data/c00000002_loser001")
-    val ex = intercept[IllegalArgumentException] {
+    val ex = intercept[RuntimeException] {
       ManifestTable.commit(spark, t, 2L,
         dirNames(t, 1L).map(d =>
           ManifestTable.Entry(d, -1L, Map.empty, Map.empty, Nil)) :+
@@ -477,6 +477,37 @@ class ManifestTableSpec extends AnyFunSuite {
     // round-trip through the read half of the same format
     assert(spark.read.format("graft-manifest").load(t)
       .select("v").as[Long].collect().toSeq == Seq(70L))
+  }
+
+  test("deleteRange refuses a non-integral key instead of a lossy cast") {
+    val t = s"${Files.createTempDirectory("graft-manifestdel")}/t"
+    ManifestTable.append(spark, Seq((1L, "abc")).toDF("id", "s"), t)
+    val ex = intercept[IllegalArgumentException] {
+      ManifestTable.deleteRange(spark, t, "s", 0L, 1L)
+    }
+    assert(ex.getMessage.contains("integral"))
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L))
+  }
+
+  test("pre-round-10 manifests migrate on read; the next commit modernizes them") {
+    val t = s"${Files.createTempDirectory("graft-manifestmig")}/t"
+    // a table written by the old layout: plain dir name, single
+    // optional statCol with long min/max, no sidecars, no provenance
+    Seq(1L, 2L).toDF("id").write.parquet(s"$t/data/c00000001")
+    Seq(("c00000001", 0L, Option("id"), Option(1L), Option(2L)))
+      .toDF("dir", "tag", "statCol", "statMin", "statMax")
+      .repartition(1).write.parquet(s"$t/manifest/v00000001")
+    // reads work through the migration path: content, watermark
+    // (entry-tag fallback), migrated stats pruning, pre-sidecar schema
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L))
+    assert(ManifestTable.latestTag(spark, t) == 0L)
+    assert(ManifestTable.readPruned(spark, t, "id", 5L, 9L).count() == 0)
+    assert(ManifestTable.readPruned(spark, t, "id", 2L, 3L).count() == 2)
+    // the next append commits in the CURRENT layout on top of it
+    ManifestTable.append(spark, Seq(3L).toDF("id"), t,
+      statsCols = Seq("id"))
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L, 3L))
+    assert(ManifestTable.schemaOf(spark, t, 2L).isDefined)
   }
 
   test("manifest scan planning never lists the data root") {
