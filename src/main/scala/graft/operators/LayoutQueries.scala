@@ -241,6 +241,43 @@ object LayoutQueries {
     path
   }
 
+  /** The q127 manifest layout after one [[graft.sinks.ManifestTable.merge]]
+    * upsert batch: every doc_id ≡ 3 (mod 10) re-ingested with a
+    * corrected n_chars (replaces in place), every doc_id ≡ 0 (mod 25)
+    * re-keyed high as a fresh insert. Built once per dataset behind
+    * the usual marker — exercises the copy-on-write upsert the
+    * reference's keyed re-ingest (q106's MERGE shape) needs once the
+    * corpus lives in a manifest table. */
+  def ensureMergedManifest(s: SparkSession, d: String): String = {
+    val path = s"${layoutRoot(d)}/docs_manifest_merged"
+    val docs = Tables.documents(s, d)
+    val n = docs.count()
+    val expect = s"layout=$LayoutVersion manifest=4ranged+merge rows=$n"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val q = math.max(n / 4, 1)
+      (0 until 4).foreach { i =>
+        val loOk = if (i == 0) lit(true) else col("doc_id") >= i * q
+        val hiOk = if (i == 3) lit(true) else col("doc_id") < (i + 1) * q
+        graft.sinks.ManifestTable.append(s,
+          docs.filter(loOk && hiOk), path, statsCols = Seq("doc_id"))
+      }
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val updates = docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+        .withColumn("n_chars", col("n_chars") + 1000)
+        .select(cols.map(col): _*)
+      val inserts = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+        .withColumn("doc_id", col("doc_id") + (1L << 40))
+        .select(cols.map(col): _*)
+      graft.sinks.ManifestTable.merge(s,
+        updates.unionByName(inserts), path, "doc_id")
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
   /** A curated corpus built INCREMENTALLY with manifest tables as the
     * pipeline's spine (q131): documents land as three ascending-range
     * commits in a `landing` manifest table; after each commit an
@@ -812,6 +849,36 @@ object LayoutQueries {
           |WHERE lang = 'es'
           |GROUP BY source
           |ORDER BY source""".stripMargin)
+    },
+
+    // ---- copy-on-write MERGE on the manifest table: an upsert batch
+    //      (corrected n_chars for doc_id ≡ 3 mod 10, fresh high-keyed
+    //      inserts for doc_id ≡ 0 mod 25) applied via
+    //      ManifestTable.merge — only dirs an update key actually
+    //      HITS are rewritten (two-stage prune: manifest envelope,
+    //      then one aggregate pass over the batch), the batch lands
+    //      as one appended dir, all atomically as one version. The
+    //      oracle recomputes the post-merge table from scratch in
+    //      SQL: upserts win per key, everything else unchanged. ----
+    GraftQuery("q133_manifest_merge_upsert",
+      """WITH upd AS (
+        |  SELECT doc_id, n_chars + 1000 AS n_chars
+        |  FROM documents WHERE doc_id % 10 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 1099511627776 AS doc_id, n_chars
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |m AS (
+        |  SELECT doc_id, n_chars FROM upd
+        |  UNION ALL
+        |  SELECT d.doc_id, d.n_chars FROM documents d
+        |  WHERE NOT EXISTS (SELECT 1 FROM upd u
+        |                    WHERE u.doc_id = d.doc_id))
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val path = ensureMergedManifest(s, d)
+      graft.sinks.ManifestTable.read(s, path)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+        .orderBy("doc_id")
     },
   )
 }

@@ -789,6 +789,107 @@ object ManifestTable {
     (v, touch.size)
   }
 
+  /** Copy-on-write MERGE (upsert) by integral key: rows of `updates`
+    * REPLACE same-key rows in the table; new keys are inserted. Cost
+    * shape mirrors [[deleteRange]]: only data dirs whose recorded
+    * `keyCol` stats overlap the batch's key range are rewritten (the
+    * replaced rows anti-joined out, re-statted, provenance recorded);
+    * every other dir keeps its physical identity, and the whole
+    * updates batch lands as ONE new appended dir — so a merge costs
+    * the dirs that CONTAIN matches plus one batch write, not a table
+    * rewrite. With a clustered key (the ingest layouts here), that is
+    * a handful of dirs. All committed atomically as one new version;
+    * old snapshots still see the pre-merge rows until [[vacuum]].
+    *
+    * Contract: `updates` must carry exactly the table's columns
+    * (replaced rows are replaced WHOLE — a partial-column update
+    * would silently null the rest), and its keys must be unique (two
+    * updates for one key have no defined winner). Both violations
+    * fail loudly. Returns (new version, dirs rewritten). */
+  def merge(spark: SparkSession, updates: DataFrame, path: String,
+      keyCol: String, statsCols: Seq[String] = Nil): (Long, Int) = {
+    val (fs, _) = fsOf(spark, path)
+    val prev = latestVersion(spark, path).getOrElse(
+      sys.error(s"ManifestTable.merge: no committed version at $path"))
+    val entries = entriesOf(spark, path, prev)
+    val schema = tableSchema(spark, path, prev, entries)
+    require(updates.columns.toSet == schema.fieldNames.toSet,
+      s"ManifestTable.merge: updates columns " +
+        updates.columns.toSeq.sorted.mkString("[", ", ", "]") +
+        " must equal the table's " +
+        schema.fieldNames.toSeq.sorted.mkString("[", ", ", "]") +
+        " — replaced rows are replaced whole")
+    schema.fields.find(_.name == keyCol).foreach { f =>
+      require(isIntegral(f.dataType),
+        s"ManifestTable.merge: key '$keyCol' is " +
+          s"${f.dataType.catalogString}, not an integral type")
+    }
+    // materialize the batch once: it feeds the key-range bound, the
+    // per-dir anti-joins, and the appended dir
+    val batch = updates.select(schema.fieldNames.map(col).toSeq: _*)
+      .localCheckpoint()
+    val dupKeys = batch.groupBy(col(keyCol)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dupKeys.isEmpty,
+      s"ManifestTable.merge: updates carry duplicate key " +
+        s"${dupKeys.headOption.map(_.get(0))} — no defined winner")
+    val range = batch.agg(min(col(keyCol).cast("long")),
+      max(col(keyCol).cast("long"))).head()
+    if (range.isNullAt(0)) { // empty batch: nothing to do
+      return (prev, 0)
+    }
+    val (lo, hi) = (range.getLong(0), range.getLong(1))
+    // two-stage pruning: the batch's key ENVELOPE cuts candidates
+    // from the manifest alone, then one tiny aggregate pass over the
+    // batch tests each candidate dir's exact range — a batch touching
+    // keys {2, 20} must not rewrite a [10, 11] dir just because the
+    // envelope [2, 20] covers it (update batches are sparse in key
+    // space; the envelope alone would rewrite nearly everything)
+    val (cand0, keep0) = entries.partition(_.mightOverlap(keyCol, lo, hi))
+    val (cand, keepEmpty) = cand0.partition(e =>
+      hasDataFiles(fs, s"$path/data/${e.dir}"))
+    val (bounded, unbounded) = cand.partition(e =>
+      e.statMin.contains(keyCol) && e.statMax.contains(keyCol))
+    val hits: Seq[Entry] =
+      if (bounded.isEmpty) Seq.empty
+      else {
+        val k = batch.select(col(keyCol).cast("long").as("k"))
+        val probes = bounded.zipWithIndex.map { case (e, i) =>
+          max(when(col("k").between(e.statMin(keyCol),
+            e.statMax(keyCol)), 1).otherwise(0)).as(s"d$i")
+        }
+        val r = k.agg(probes.head, probes.tail: _*).head()
+        bounded.zipWithIndex.collect {
+          case (e, i) if !r.isNullAt(i) && r.getInt(i) == 1 => e
+        }
+      }
+    val touch = unbounded ++ hits // stats-less dirs might hold any key
+    val keep = keep0 ++ keepEmpty ++
+      bounded.filterNot(hits.toSet) // candidates no key actually hits
+    val v = prev + 1
+    val keys = batch.select(col(keyCol))
+    val rewritten = touch.flatMap { e =>
+      val newDir = attemptDirName(v)
+      val target = s"$path/data/$newDir"
+      val kept = spark.read.schema(schema)
+        .parquet(s"$path/data/${e.dir}")
+        .join(broadcast(keys), Seq(keyCol), "left_anti")
+      if (kept.head(1).isEmpty) None // every row replaced: entry gone
+      else {
+        kept.write.mode("overwrite").parquet(target)
+        val restatCols =
+          (e.statMin.keySet ++ e.strMin.keySet + keyCol).toSeq.sorted
+        val (mins, maxes, sMins, sMaxes) = statsOf(spark, target, restatCols)
+        Some(Entry(newDir, e.tag, mins, maxes, Seq(e.dir), sMins, sMaxes))
+      }
+    }
+    val inserted = writeDirEntry(spark, batch, path, v, -1L,
+      (statsCols :+ keyCol).distinct)
+    commit(spark, path, v, keep ++ rewritten :+ inserted, schema,
+      prevTagOf(spark, path, Some(prev), entries))
+    (v, touch.size)
+  }
+
   /** Drop snapshots older than the newest `keepVersions` and delete
     * every data dir none of the kept snapshots references — crashed
     * appends AND losers of violated single-writer races included

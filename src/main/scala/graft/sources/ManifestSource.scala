@@ -223,6 +223,37 @@ object ManifestFileIndex {
   }
 }
 
+/** The V1 streaming [[org.apache.spark.sql.execution.streaming.Sink]]
+  * behind `writeStream.format("graft-manifest")`: each micro-batch is
+  * one [[ManifestTable.append]] with the batchId as tag, so the
+  * exactly-once watermark rides INSIDE the commit rename and a
+  * replayed batch is skipped from one side-file read (no content
+  * dedup, no state rewrite). The in-stream maintenance is vacuum —
+  * metadata-only — on the same cadence contract as
+  * `Streams.manifestSinkWriter`. */
+final class ManifestStreamSink(path: String, statsCols: Seq[String],
+    vacuumEvery: Int, keepVersions: Int)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long,
+      data: org.apache.spark.sql.DataFrame): Unit = {
+    val spark = data.sparkSession
+    if (batchId > ManifestTable.latestTag(spark, path)) {
+      // a V1 sink's micro-batch is streaming-tagged and not directly
+      // writable — re-tag it as a batch frame over the same rows
+      val batch = org.apache.spark.sql.GraftSqlBridge.batchFrame(data)
+      ManifestTable.append(spark, batch, path,
+        tag = batchId, statsCols = statsCols)
+      // replayed batches skip maintenance too — a no-op append must
+      // not pay (or commit) anything
+      if (vacuumEvery > 0 && batchId > 0 && batchId % vacuumEvery == 0)
+        ManifestTable.vacuum(spark, path, keepVersions)
+    }
+  }
+
+  override def toString: String = s"ManifestStreamSink[$path]"
+}
+
 /** The V1 streaming [[org.apache.spark.sql.execution.streaming.Source]]
   * behind `readStream.format("graft-manifest")`. Offsets ARE manifest
   * versions — the natural exactly-once cursor for a table whose
@@ -289,9 +320,40 @@ final class ManifestStreamSource(spark: SparkSession, path: String,
 final class GraftManifestSource extends RelationProvider
     with CreatableRelationProvider
     with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft-manifest"
+
+  /** `df.writeStream.format("graft-manifest").start(tablePath)` — the
+    * fourth quadrant of the format (batch read/write, stream
+    * read/write all through ONE format string): exactly-once
+    * streaming ingest where each micro-batch commits as one data dir
+    * + one atomically-renamed manifest carrying the batchId as its
+    * tag, and a replayed batch (tag <= table watermark) is skipped
+    * from one side-file read — the same mechanism as
+    * `Streams.manifestSinkWriter`, reachable without writing a
+    * `foreachBatch`. Options: `statsCols` (comma-separated),
+    * `vacuumEvery` / `keepVersions` (in-stream metadata retention;
+    * 0 = never). Append output mode only — a manifest table is an
+    * append log; aggregations stream through `foreachBatch` where
+    * update semantics are the caller's to define. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-manifest sink: only Append output mode is supported " +
+        s"(got $outputMode) — a manifest table is an append log")
+    val path = parameters.getOrElse("path", sys.error(
+      "graft-manifest: a table path is required — .start(<tablePath>)"))
+    val statsCols = parameters.get("statsCols")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val vacuumEvery = parameters.get("vacuumEvery").map(_.toInt).getOrElse(0)
+    val keepVersions = parameters.get("keepVersions").map(_.toInt).getOrElse(2)
+    new ManifestStreamSink(path, statsCols, vacuumEvery, keepVersions)
+  }
 
   /** `spark.readStream.format("graft-manifest").load(tablePath)` —
     * the manifest table as a STREAMING source: offsets are committed

@@ -30,6 +30,17 @@ object GraftSqlBridge {
       ds.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** The inverse of [[streamingFrame]]: re-tag a V1 `Sink.addBatch`
+    * micro-batch (streaming-tagged, not directly writable) as an
+    * ordinary BATCH frame over the same physical rows, so a sink can
+    * hand it to any batch writer. `toRdd` executes the micro-batch's
+    * incremental plan once, exactly as `foreachBatch` would. */
+  def batchFrame(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   /** Stable unique id of a session for the life of the JVM — unlike an
     * identity hash, never reused after the session is GC'd. Falls back
     * to a class@identity tag for non-classic sessions (connect), where

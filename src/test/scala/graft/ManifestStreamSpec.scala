@@ -14,6 +14,9 @@ class ManifestStreamSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("id").as[Long].collect().sorted.toSeq
+
   test("streams commits exactly once: bootstrap, tail, restart through compaction") {
     val tmp = Files.createTempDirectory("graft-mfstream").toString
     val t = s"$tmp/table"
@@ -64,6 +67,47 @@ class ManifestStreamSpec extends AnyFunSuite {
         Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(ex).exists(_.contains("re-bootstrap")))
     q3.stop()
+  }
+
+  test("writeStream sink: exactly-once commits, replay skipped on the tag") {
+    implicit val sq = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-mfsink").toString
+    val t = s"$tmp/table"
+    val mem1 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q1 = mem1.toDF.toDF("id").writeStream
+      .format("graft-manifest")
+      .option("checkpointLocation", s"$tmp/ckpt1")
+      .option("statsCols", "id")
+      .start(t)
+    mem1.addData(1L, 2L); q1.processAllAvailable()
+    mem1.addData(3L); q1.processAllAvailable()
+    q1.stop()
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L, 3L))
+    assert(ManifestTable.latestTag(spark, t) == 1L)
+    // recorded stats drive pruning as usual
+    assert(ManifestTable.readPruned(spark, t, "id", 3L, 9L)
+      .inputFiles.length <
+      ManifestTable.read(spark, t).inputFiles.length)
+    // replay under a reset batchId (fresh checkpoint): the tag
+    // watermark skips it — no duplicate rows
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q2 = mem2.toDF.toDF("id").writeStream
+      .format("graft-manifest")
+      .option("checkpointLocation", s"$tmp/ckpt2")
+      .start(t)
+    mem2.addData(1L, 2L); q2.processAllAvailable()
+    q2.stop()
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L, 3L))
+    // only append mode: a groupBy-complete stream is rejected loudly
+    val ex = intercept[Exception] {
+      mem2.toDF.toDF("id").groupBy("id").count().writeStream
+        .format("graft-manifest").outputMode("complete")
+        .option("checkpointLocation", s"$tmp/ckpt3").start(s"$tmp/t2")
+    }
+    def msgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(ex).exists(_.contains("append log")))
   }
 
   test("a stream started on an empty path fails loudly; schema comes from the sidecar") {

@@ -479,6 +479,43 @@ class ManifestTableSpec extends AnyFunSuite {
       .select("v").as[Long].collect().toSeq == Seq(70L))
   }
 
+  test("merge replaces by key copy-on-write; untouched dirs keep identity") {
+    val t = s"${Files.createTempDirectory("graft-manifestmerge")}/t"
+    ManifestTable.append(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t, statsCols = Seq("id"))
+    ManifestTable.append(spark,
+      Seq((10L, "c"), (11L, "d")).toDF("id", "s"), t, statsCols = Seq("id"))
+    val before = ManifestTable.read(spark, t).inputFiles.toSet
+    // update key 2, insert key 20: only the first dir's range overlaps
+    val (v, rewritten) = ManifestTable.merge(spark,
+      Seq((2L, "B!"), (20L, "e")).toDF("id", "s"), t, "id")
+    assert(v == 3L && rewritten == 1)
+    val now = ManifestTable.read(spark, t)
+    assert(now.collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      .toSeq == Seq((1L, "a"), (2L, "B!"), (10L, "c"), (11L, "d"),
+        (20L, "e")))
+    // the non-overlapping dir kept its physical files
+    assert(now.inputFiles.toSet.intersect(before).nonEmpty)
+    // old snapshots still see the pre-merge rows (merge is a version)
+    assert(ManifestTable.readVersion(spark, t, 2)
+      .filter(col("id") === 2L).select("s").head().getString(0) == "b")
+    // provenance: a consumer drained to v2 sees the merge's net effect
+    // (the rewrite of consumed data is invisible; the batch dir is new)
+    assert(ManifestTable.readSince(spark, t, 2)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(2L, 20L))
+    // duplicate update keys have no defined winner: loud
+    val ex = intercept[IllegalArgumentException] {
+      ManifestTable.merge(spark,
+        Seq((5L, "x"), (5L, "y")).toDF("id", "s"), t, "id")
+    }
+    assert(ex.getMessage.contains("duplicate key"))
+    // partial-column updates would null the rest: loud
+    val ex2 = intercept[IllegalArgumentException] {
+      ManifestTable.merge(spark, Seq(7L).toDF("id"), t, "id")
+    }
+    assert(ex2.getMessage.contains("replaced whole"))
+  }
+
   test("deleteRange refuses a non-integral key instead of a lossy cast") {
     val t = s"${Files.createTempDirectory("graft-manifestdel")}/t"
     ManifestTable.append(spark, Seq((1L, "abc")).toDF("id", "s"), t)
