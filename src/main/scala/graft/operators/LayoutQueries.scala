@@ -278,6 +278,33 @@ object LayoutQueries {
     path
   }
 
+  /** Documents ingested ARRIVAL-ORDERED (4 commits by doc_id mod 4 —
+    * every commit spans the full id range, so manifest range pruning
+    * is vacuous), then rewritten by
+    * [[graft.sinks.ManifestTable.cluster]] into 4 range-disjoint
+    * dirs: the OPTIMIZE maintenance shape that retrofits prunability
+    * onto a table whose ingest order didn't provide it. Built once
+    * per dataset behind the usual marker. */
+  def ensureClusteredManifest(s: SparkSession, d: String): String = {
+    val path = s"${layoutRoot(d)}/docs_manifest_clustered"
+    val docs = Tables.documents(s, d)
+    val n = docs.count()
+    val expect = s"layout=$LayoutVersion manifest=mod4+cluster4 rows=$n"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      (0 until 4).foreach { i =>
+        graft.sinks.ManifestTable.append(s,
+          docs.filter(pmod(col("doc_id"), lit(4)) === i), path,
+          statsCols = Seq("doc_id"))
+      }
+      graft.sinks.ManifestTable.cluster(s, path, "doc_id", 4)
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
   /** A curated corpus built INCREMENTALLY with manifest tables as the
     * pipeline's spine (q131): documents land as three ascending-range
     * commits in a `landing` manifest table; after each commit an
@@ -879,6 +906,32 @@ object LayoutQueries {
       graft.sinks.ManifestTable.read(s, path)
         .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
         .orderBy("doc_id")
+    },
+
+    // ---- OPTIMIZE-style clustered rewrite: documents ingested
+    //      arrival-ordered (commits by doc_id mod 4 — range pruning
+    //      vacuous), then ManifestTable.cluster rewrites them into 4
+    //      range-disjoint re-statted dirs, so the same SQL range
+    //      query now prunes to one dir (ManifestSqlSpec pins the
+    //      before/after numFiles). The rewrite must never change the
+    //      answer: the oracle is the plain filtered aggregate. ----
+    GraftQuery("q134_manifest_clustered_rewrite",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE doc_id BETWEEN 20 AND 80
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (s, d) =>
+      val path = ensureClusteredManifest(s, d)
+      s.read.format("graft-manifest").load(path)
+        .createOrReplaceTempView("documents_manifest_clustered")
+      s.sql(
+        """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(n_chars) AS BIGINT) AS chars
+          |FROM documents_manifest_clustered
+          |WHERE doc_id BETWEEN 20 AND 80
+          |GROUP BY lang
+          |ORDER BY lang""".stripMargin)
     },
   )
 }

@@ -789,6 +789,79 @@ object ManifestTable {
     (v, touch.size)
   }
 
+  /** OPTIMIZE-style clustered rewrite: repartition the CURRENT
+    * snapshot's rows into `nDirs` RANGE-DISJOINT data dirs on an
+    * integral `statsCol` and commit them as one new version, each dir
+    * re-statted — the maintenance op that turns an arrival-ordered
+    * (unprunable) table into one where a range predicate prunes to
+    * ~1/nDirs of the data, from the manifest alone. Bucket bounds
+    * come from approximate quantiles, so dirs are balanced under
+    * skew. Like [[compact]] it is a metadata swap for readers (old
+    * snapshots keep their dirs until [[vacuum]]) and provenance-
+    * transparent to drained [[readSince]] consumers (every new dir's
+    * sources are the full readable set — a full rewrite). Null keys
+    * land in the first dir, whose stats stay correct (null never
+    * contributes to min/max; a null-key probe is the caller's row
+    * filter's job). Returns the new version; a table with no
+    * readable data is a no-op. */
+  def cluster(spark: SparkSession, path: String, statsCol: String,
+      nDirs: Int, statsCols: Seq[String] = Nil): Long = {
+    require(nDirs >= 1, "cluster: nDirs must be >= 1")
+    val (fs, _) = fsOf(spark, path)
+    val prev = latestVersion(spark, path).getOrElse(
+      sys.error(s"ManifestTable.cluster: no committed version at $path"))
+    val entries = entriesOf(spark, path, prev)
+    val readable = entries.filter(e =>
+      hasDataFiles(fs, s"$path/data/${e.dir}"))
+    if (readable.isEmpty) return prev
+    val schema = tableSchema(spark, path, prev, entries)
+    schema.fields.find(_.name == statsCol).foreach { f =>
+      require(isIntegral(f.dataType),
+        s"ManifestTable.cluster: '$statsCol' is " +
+          s"${f.dataType.catalogString}, not an integral type")
+    }
+    val current = spark.read.schema(schema)
+      .parquet(readable.map(e => s"$path/data/${e.dir}"): _*)
+    // quantile bucket bounds -> balanced dirs under any skew; the
+    // bucket column drives partitionBy into per-bucket staging dirs
+    // and is dropped from the data files by partitionBy itself
+    val bounds =
+      if (nDirs == 1) Array.empty[Double]
+      else current.stat.approxQuantile(statsCol,
+        (1 until nDirs).map(_.toDouble / nDirs).toArray, 0.001)
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(statsCol).cast("long") >= lit(b.toLong), 1)
+        .otherwise(0)
+    }
+    val v = prev + 1
+    val staging = s"$path/data/.cluster-${attemptDirName(v)}"
+    current.withColumn("_graft_bucket", coalesce(bucket, lit(0)))
+      .repartition(col("_graft_bucket"))
+      .write.partitionBy("_graft_bucket")
+      .mode("overwrite").parquet(staging)
+    // promote each staged bucket dir to a first-class data dir
+    val tag = readable.map(_.tag).foldLeft(-1L)(math.max)
+    val statCols = ((statsCols :+ statsCol) ++
+      readable.flatMap(e => e.statMin.keys ++ e.strMin.keys)).distinct
+    val newEntries = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
+      .filter(_.getPath.getName.startsWith("_graft_bucket="))
+      .sortBy(_.getPath.getName)
+      .map { st =>
+        val dirName = attemptDirName(v)
+        require(fs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(s"$path/data/$dirName")),
+          s"ManifestTable.cluster: could not promote ${st.getPath}")
+        val (mins, maxes, sMins, sMaxes) =
+          statsOf(spark, s"$path/data/$dirName", statCols)
+        Entry(dirName, tag, mins, maxes, readable.map(_.dir),
+          sMins, sMaxes)
+      }.toSeq
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    commit(spark, path, v, newEntries, schema,
+      prevTagOf(spark, path, Some(prev), entries))
+    v
+  }
+
   /** Copy-on-write MERGE (upsert) by integral key: rows of `updates`
     * REPLACE same-key rows in the table; new keys are inserted. Cost
     * shape mirrors [[deleteRange]]: only data dirs whose recorded

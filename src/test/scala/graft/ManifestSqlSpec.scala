@@ -91,6 +91,41 @@ class ManifestSqlSpec extends AnyFunSuite {
     assert(q132 == plain && q132.nonEmpty)
   }
 
+  test("q134: the clustered rewrite turns a vacuous range probe into a 1-dir scan") {
+    val d = "/root/testdata/sf0.001"
+    val path = operators.LayoutQueries.ensureClusteredManifest(spark, d)
+    // pre-cluster snapshot (v4, mod-4 commits): the same probe reads
+    // every dir — its stats all span the full range
+    val pre = ManifestTable.readPruned(
+      spark, s"$path", "doc_id", 20L, 80L) // latest = clustered
+    val preDirs = ManifestTable.entriesOf(spark, path, 4L)
+    assert(preDirs.forall(_.mightOverlap("doc_id", 20L, 80L)),
+      "arrival-ordered commits must be unprunable for this range")
+    // post-cluster: the SQL surface plans a strict subset of dirs
+    val df = spark.read.format("graft-manifest").load(path)
+      .filter(col("doc_id").between(20, 80)).select("doc_id", "lang")
+    df.collect()
+    val scan = scanOf(df)
+    val allFiles = ManifestTable.read(spark, path).inputFiles.length
+    assert(scan.metrics("numFiles").value < allFiles,
+      s"clustered scan read ${scan.metrics("numFiles").value} of " +
+        s"$allFiles files — expected pruning")
+    assert(scan.metrics("numFiles").value == pre.inputFiles.length)
+    // and the registered query matches the plain table
+    val q134 = operators.LayoutQueries.all
+      .find(_.name == "q134_manifest_clustered_rewrite").get
+      .run(spark, d).collect().map(_.toString).toSeq
+    val plain = Tables.documents(spark, d)
+      .filter(col("doc_id").between(20, 80))
+      .groupBy("lang")
+      .agg(org.apache.spark.sql.functions.count(lit(1))
+        .cast("long").as("n"),
+        org.apache.spark.sql.functions.sum(col("n_chars"))
+          .cast("long").as("chars"))
+      .orderBy("lang").collect().map(_.toString).toSeq
+    assert(q134 == plain && q134.nonEmpty)
+  }
+
   test("versionAsOf time travel; unfiltered scan reads the whole snapshot") {
     val t = s"${Files.createTempDirectory("graft-mfsql")}/t"
     ManifestTable.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "s"),

@@ -516,6 +516,39 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("replaced whole"))
   }
 
+  test("cluster rewrites into range-disjoint dirs; answers and CDC unchanged") {
+    val t = s"${Files.createTempDirectory("graft-manifestclust")}/t"
+    // arrival order interleaves the key space: every commit spans the
+    // full range, so range pruning starts out vacuous
+    (0 until 3).foreach(i => ManifestTable.append(spark,
+      Seq(i.toLong, (i + 10).toLong, (i + 20).toLong).toDF("id"), t,
+      tag = i.toLong, statsCols = Seq("id")))
+    def nDirs(df: org.apache.spark.sql.DataFrame): Int =
+      df.inputFiles.map(_.split('/').dropRight(1).last).distinct.length
+    assert(nDirs(ManifestTable.readPruned(spark, t, "id", 20L, 22L)) == 3)
+    val v = ManifestTable.cluster(spark, t, "id", 3)
+    // content identical; the same probe now reads ONE dir
+    assert(ids(ManifestTable.read(spark, t)) ==
+      Seq(0L, 1L, 2L, 10L, 11L, 12L, 20L, 21L, 22L))
+    assert(nDirs(ManifestTable.readPruned(spark, t, "id", 20L, 22L)) == 1)
+    // watermark survives; old snapshots still read their dirs
+    assert(ManifestTable.latestTag(spark, t) == 2L)
+    assert(ids(ManifestTable.readVersion(spark, t, 2)) ==
+      Seq(0L, 1L, 10L, 11L, 20L, 21L))
+    // a DRAINED consumer sees the rewrite as nothing-new (provenance)
+    assert(ManifestTable.readSince(spark, t, 3).count() == 0)
+    // ...and a fresh append after it is delivered alone
+    ManifestTable.append(spark, Seq(99L).toDF("id"), t)
+    assert(ids(ManifestTable.readSince(spark, t, v)) == Seq(99L))
+    // non-integral key refused
+    val t2 = s"${Files.createTempDirectory("graft-manifestclust2")}/t"
+    ManifestTable.append(spark, Seq((1L, "x")).toDF("id", "s"), t2)
+    val ex = intercept[IllegalArgumentException] {
+      ManifestTable.cluster(spark, t2, "s", 2)
+    }
+    assert(ex.getMessage.contains("integral"))
+  }
+
   test("deleteRange refuses a non-integral key instead of a lossy cast") {
     val t = s"${Files.createTempDirectory("graft-manifestdel")}/t"
     ManifestTable.append(spark, Seq((1L, "abc")).toDF("id", "s"), t)
