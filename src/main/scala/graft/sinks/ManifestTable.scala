@@ -405,6 +405,27 @@ object ManifestTable {
     v
   }
 
+  /** The streaming sinks' shared exactly-once step: append `batch`
+    * tagged `batchId` IFF it is fresh (batchId above the table
+    * watermark — one side-file read), with the vacuum maintenance
+    * cadence applied only on fresh batches (a replayed batch must not
+    * pay, or commit, anything). One implementation for BOTH streaming
+    * write paths ([[graft.streaming.Streams.manifestSinkWriter]]'s
+    * foreachBatch and the `graft-manifest` StreamSinkProvider), so
+    * the replay-skip rule and cadence can never drift apart. Returns
+    * true iff the batch was appended. */
+  def appendIfFresh(spark: SparkSession, batch: DataFrame, path: String,
+      batchId: Long, statsCols: Seq[String] = Nil, vacuumEvery: Int = 0,
+      keepVersions: Int = 2): Boolean = {
+    val fresh = batchId > latestTag(spark, path)
+    if (fresh) {
+      append(spark, batch, path, tag = batchId, statsCols = statsCols)
+      if (vacuumEvery > 0 && batchId > 0 && batchId % vacuumEvery == 0)
+        vacuum(spark, path, keepVersions)
+    }
+    fresh
+  }
+
   /** The shared write tail of [[append]]/[[overwrite]]: one immutable
     * attempt-unique data dir + its statted entry. */
   private def writeDirEntry(spark: SparkSession, df: DataFrame,
@@ -892,6 +913,11 @@ object ManifestTable {
         " must equal the table's " +
         schema.fieldNames.toSeq.sorted.mkString("[", ", ", "]") +
         " — replaced rows are replaced whole")
+    // same write-boundary TYPE enforcement as append: a same-named
+    // column of a different type would commit an appended dir the
+    // persisted-schema read path can no longer decode
+    compatibleSchema(updates.schema, schema, evolve = false,
+      s"ManifestTable.merge($path)")
     schema.fields.find(_.name == keyCol).foreach { f =>
       require(isIntegral(f.dataType),
         s"ManifestTable.merge: key '$keyCol' is " +
@@ -901,6 +927,14 @@ object ManifestTable {
     // per-dir anti-joins, and the appended dir
     val batch = updates.select(schema.fieldNames.map(col).toSeq: _*)
       .localCheckpoint()
+    if (batch.head(1).isEmpty) return (prev, 0) // empty batch: no-op
+    // null keys have no equality match: they could never be UPDATED
+    // by a later merge (anti-join on null never hits), so admitting
+    // them would quietly duplicate on every re-merge — loud instead
+    require(batch.filter(col(keyCol).isNull).head(1).isEmpty,
+      s"ManifestTable.merge: updates carry null '$keyCol' keys — a " +
+        "null key can never be matched for replacement; assign keys " +
+        "or route null-key rows through append")
     val dupKeys = batch.groupBy(col(keyCol)).count()
       .filter(col("count") > 1).limit(1).collect()
     require(dupKeys.isEmpty,
@@ -908,9 +942,6 @@ object ManifestTable {
         s"${dupKeys.headOption.map(_.get(0))} — no defined winner")
     val range = batch.agg(min(col(keyCol).cast("long")),
       max(col(keyCol).cast("long"))).head()
-    if (range.isNullAt(0)) { // empty batch: nothing to do
-      return (prev, 0)
-    }
     val (lo, hi) = (range.getLong(0), range.getLong(1))
     // two-stage pruning: the batch's key ENVELOPE cuts candidates
     // from the manifest alone, then one tiny aggregate pass over the
@@ -944,12 +975,19 @@ object ManifestTable {
     val rewritten = touch.flatMap { e =>
       val newDir = attemptDirName(v)
       val target = s"$path/data/$newDir"
-      val kept = spark.read.schema(schema)
+      // write FIRST, then drop the dir if it came out empty: probing
+      // emptiness up front (head(1)) would execute the read+anti-join
+      // a second time for the write — the dominant cost of the loop.
+      // The emptiness check on the WRITTEN dir is a footer-cheap read.
+      spark.read.schema(schema)
         .parquet(s"$path/data/${e.dir}")
         .join(broadcast(keys), Seq(keyCol), "left_anti")
-      if (kept.head(1).isEmpty) None // every row replaced: entry gone
-      else {
-        kept.write.mode("overwrite").parquet(target)
+        .write.mode("overwrite").parquet(target)
+      if (!hasDataFiles(fs, target) ||
+          spark.read.parquet(target).head(1).isEmpty) {
+        fs.delete(new org.apache.hadoop.fs.Path(target), true)
+        None // every row replaced: entry gone
+      } else {
         val restatCols =
           (e.statMin.keySet ++ e.strMin.keySet + keyCol).toSeq.sorted
         val (mins, maxes, sMins, sMaxes) = statsOf(spark, target, restatCols)

@@ -237,18 +237,14 @@ final class ManifestStreamSink(path: String, statsCols: Seq[String],
 
   override def addBatch(batchId: Long,
       data: org.apache.spark.sql.DataFrame): Unit = {
-    val spark = data.sparkSession
-    if (batchId > ManifestTable.latestTag(spark, path)) {
-      // a V1 sink's micro-batch is streaming-tagged and not directly
-      // writable — re-tag it as a batch frame over the same rows
-      val batch = org.apache.spark.sql.GraftSqlBridge.batchFrame(data)
-      ManifestTable.append(spark, batch, path,
-        tag = batchId, statsCols = statsCols)
-      // replayed batches skip maintenance too — a no-op append must
-      // not pay (or commit) anything
-      if (vacuumEvery > 0 && batchId > 0 && batchId % vacuumEvery == 0)
-        ManifestTable.vacuum(spark, path, keepVersions)
-    }
+    // a V1 sink's micro-batch is streaming-tagged and not directly
+    // writable — re-tag it as a batch frame over the same rows; the
+    // exactly-once skip + maintenance cadence is the ONE shared
+    // implementation both streaming write paths use
+    ManifestTable.appendIfFresh(data.sparkSession,
+      org.apache.spark.sql.GraftSqlBridge.batchFrame(data), path,
+      batchId, statsCols, vacuumEvery, keepVersions)
+    ()
   }
 
   override def toString: String = s"ManifestStreamSink[$path]"
@@ -345,6 +341,11 @@ final class GraftManifestSource extends RelationProvider
     require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
       s"graft-manifest sink: only Append output mode is supported " +
         s"(got $outputMode) — a manifest table is an append log")
+    require(partitionColumns.isEmpty,
+      "graft-manifest sink: partitionBy is not supported — silently " +
+        "dropping it would change the physical layout the caller asked " +
+        "for; manifest-stats dir pruning (statsCols option) is this " +
+        "format's partitioning story")
     val path = parameters.getOrElse("path", sys.error(
       "graft-manifest: a table path is required — .start(<tablePath>)"))
     val statsCols = parameters.get("statsCols")

@@ -770,19 +770,12 @@ object Streams {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val fresh =
-          batchId > graft.sinks.ManifestTable.latestTag(spark, tablePath)
-        if (fresh) {
-          graft.sinks.ManifestTable.append(spark, batch, tablePath,
-            tag = batchId, statsCols = statsCols)
-          // replayed batches skip maintenance too — a no-op append
-          // must not pay (or commit) anything
-          if (vacuumEvery > 0 && batchId > 0 &&
-              batchId % vacuumEvery == 0)
-            graft.sinks.ManifestTable.vacuum(spark, tablePath,
-              keepVersions)
-        }
+        // the exactly-once skip + vacuum cadence is the ONE shared
+        // implementation both streaming write paths use (this
+        // foreachBatch form and the graft-manifest StreamSinkProvider)
+        graft.sinks.ManifestTable.appendIfFresh(batch.sparkSession,
+          batch, tablePath, batchId, statsCols, vacuumEvery,
+          keepVersions)
         ()
       }
 
