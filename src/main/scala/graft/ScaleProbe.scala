@@ -422,6 +422,43 @@ object ScaleProbe {
         println(f"TIME manifest10 sql_pruned_1of40 $sec%.2f s " +
           f"($rows rows, $nFiles files)")
       }
+      // merge + cluster probes mutate the table — run them on a
+      // throwaway copy so the cached 40-commit table stays pristine
+      // for re-runs
+      locally {
+        val tCopy = "/tmp/scale10/docs_manifest40_mut"
+        val conf = spark.sessionState.newHadoopConf()
+        fs.delete(new org.apache.hadoop.fs.Path(tCopy), true)
+        org.apache.hadoop.fs.FileUtil.copy(fs,
+          new org.apache.hadoop.fs.Path(t), fs,
+          new org.apache.hadoop.fs.Path(tCopy), false, conf)
+        // merge: rewrite every doc in ONE commit's key range (the
+        // 100 TB shape — update cost ∝ dirs hit, not table size),
+        // plus 100 fresh high-keyed inserts
+        val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val updates = docs
+          .filter(col("doc_id").between(bounds(7), bounds(8) - 1))
+          .withColumn("n_chars", col("n_chars") + 1)
+          .select(cols.map(col): _*)
+        val inserts = docs.orderBy("doc_id").limit(100)
+          .withColumn("doc_id", col("doc_id") + (1L << 41))
+          .select(cols.map(col): _*)
+        val tm0 = System.nanoTime()
+        val (_, rewritten) = graft.sinks.ManifestTable.merge(spark,
+          updates.unionByName(inserts), tCopy, "doc_id")
+        println(f"TIME manifest10 merge_1of40 " +
+          f"${(System.nanoTime() - tm0) / 1e9}%.2f s " +
+          f"($rewritten of 40 dirs rewritten)")
+        // cluster: the OPTIMIZE rewrite, 41 dirs -> 8 range-disjoint
+        val tc0 = System.nanoTime()
+        graft.sinks.ManifestTable.cluster(spark, tCopy, "doc_id", 8)
+        val cSec = (System.nanoTime() - tc0) / 1e9
+        val probe = graft.sinks.ManifestTable
+          .readPruned(spark, tCopy, "doc_id", bounds(7), bounds(8) - 1)
+        println(f"TIME manifest10 cluster_to8 $cSec%.2f s " +
+          f"(post-cluster probe plans ${probe.inputFiles.length} files)")
+        fs.delete(new org.apache.hadoop.fs.Path(tCopy), true)
+      }
       spark.stop()
       return
     }

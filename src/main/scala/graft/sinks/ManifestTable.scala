@@ -140,8 +140,18 @@ object ManifestTable {
       v: Long): Seq[Entry] = {
     import spark.implicits._
     val df = spark.read.parquet(s"$path/manifest/${vName(v)}")
-    if (df.columns.contains("sources"))
-      df.select("dir", "tag", "statMin", "statMax", "sources",
+    if (df.columns.contains("sources")) {
+      // map-stats layout; columns ADDED after a manifest was written
+      // (provenance, string stats) default to empty — a table never
+      // breaks on upgrade, its next commit writes the full layout
+      val defaults = Seq(
+        "strMin" -> "map<string,string>",
+        "strMax" -> "map<string,string>")
+      val full = defaults.foldLeft(df) { case (d, (c, tpe)) =>
+        if (d.columns.contains(c)) d
+        else d.withColumn(c, lit(null).cast(tpe))
+      }
+      full.select("dir", "tag", "statMin", "statMax", "sources",
           "strMin", "strMax")
         .as[(String, Long, Map[String, Long], Map[String, Long],
           Seq[String], Map[String, String], Map[String, String])]
@@ -151,7 +161,7 @@ object ManifestTable {
           Option(t._5).getOrElse(Seq.empty),
           Option(t._6).getOrElse(Map.empty),
           Option(t._7).getOrElse(Map.empty))).toSeq
-    else {
+    } else {
       // MIGRATION read for manifests written before the map-stats
       // layout (single optional statCol + long min/max, no
       // provenance): a long-lived table survives the upgrade — its

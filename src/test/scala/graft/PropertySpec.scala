@@ -19,6 +19,57 @@ class PropertySpec extends AnyFunSuite {
       g.apply(params, rng.Seed(42L + i)).toSeq)
   }
 
+  test("manifest pruning parity: random commits, random probes, both surfaces") {
+    // THE stats-layer property: for ANY table layout and ANY probe,
+    // pruned-read + row-filter must equal full-read + row-filter —
+    // pruning may only cut dirs that cannot contain matches. Randomize
+    // the parts that have tripped real systems: overlapping/disjoint
+    // key ranges per commit, all-null and null-mixed key columns,
+    // commits that omit the stats column entirely, non-ASCII string
+    // bounds, and probes ranging from empty to all-covering.
+    val rnd = new scala.util.Random(7)
+    val t = s"${java.nio.file.Files
+      .createTempDirectory("graft-mprop")}/t"
+    val langsPool = Seq("de", "en", "es", "fr", "zh", "中文")
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Option[Long], String)]
+    (0 until 6).foreach { i =>
+      val batch = (0 until rnd.nextInt(5) + 1).map { _ =>
+        val k = if (rnd.nextInt(8) == 0) None
+          else Some(rnd.nextLong(50))
+        (k, langsPool(rnd.nextInt(langsPool.size)))
+      }
+      rows ++= batch
+      val df = batch.toDF("id", "lang")
+      // every third commit records no stats at all (must never be
+      // pruned); others record both columns
+      graft.sinks.ManifestTable.append(spark, df, t,
+        statsCols = if (i % 3 == 2) Nil else Seq("id", "lang"))
+    }
+    val all = rows.toSeq
+    (0 until 15).foreach { _ =>
+      val lo = rnd.nextLong(60) - 5
+      val hi = lo + rnd.nextLong(30)
+      val got = graft.sinks.ManifestTable
+        .readPruned(spark, t, "id", lo, hi)
+        .filter(col("id").between(lo, hi))
+        .select("id").as[Long].collect().sorted.toSeq
+      val want = all.flatMap(_._1).filter(k => k >= lo && k <= hi).sorted
+      assert(got == want, s"long probe [$lo,$hi]")
+      val lang = langsPool(rnd.nextInt(langsPool.size))
+      val gotS = graft.sinks.ManifestTable
+        .readPrunedStr(spark, t, "lang", lang, lang)
+        .filter(col("lang") === lang).count()
+      assert(gotS == all.count(_._2 == lang), s"string probe $lang")
+    }
+    // the SQL surface must agree with a plain read of the same rows
+    val viaSql = spark.read.format("graft-manifest").load(t)
+      .filter(col("id") >= 10 && col("id") < 30 && col("lang") =!= "zh")
+      .count()
+    val plain = all.count(r =>
+      r._1.exists(k => k >= 10 && k < 30) && r._2 != "zh")
+    assert(viaSql == plain)
+  }
+
   test("bloom injection parity: random tables, keys, join types") {
     // the injected probe must NEVER change a join's answer — across
     // null keys, duplicate keys, empty match sets, and every join type
