@@ -278,6 +278,31 @@ object LayoutQueries {
     path
   }
 
+  /** Documents ingested interleaved (4 commits by doc_id mod 4) WITH
+    * per-dir Bloom filters on doc_id: min/max stats are useless here
+    * (every commit's range spans the whole domain), but each commit's
+    * KEY SET is small — so a point lookup (`doc_id = x`, `IN (...)`)
+    * prunes to the dirs whose filters might contain the key. Built
+    * once per dataset behind the usual marker. */
+  def ensureBloomManifest(s: SparkSession, d: String): String = {
+    val path = s"${layoutRoot(d)}/docs_manifest_bloom"
+    val docs = Tables.documents(s, d)
+    val n = docs.count()
+    val expect = s"layout=$LayoutVersion manifest=mod4+bloom rows=$n"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      (0 until 4).foreach { i =>
+        graft.sinks.ManifestTable.append(s,
+          docs.filter(pmod(col("doc_id"), lit(4)) === i), path,
+          statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+      }
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
   /** Documents ingested ARRIVAL-ORDERED (4 commits by doc_id mod 4 —
     * every commit spans the full id range, so manifest range pruning
     * is vacuous), then rewritten by
@@ -932,6 +957,30 @@ object LayoutQueries {
           |WHERE doc_id BETWEEN 20 AND 80
           |GROUP BY lang
           |ORDER BY lang""".stripMargin)
+    },
+
+    // ---- manifest Bloom point-lookup pruning: the table is
+    //      interleaved (commits by doc_id mod 4 — every dir's min/max
+    //      spans the whole domain, range stats prune NOTHING), but
+    //      each commit carries a per-dir Bloom filter on doc_id, so
+    //      an IN point set prunes to the dirs that might hold the
+    //      keys (ManifestSqlSpec pins numFiles; one-sided: false
+    //      positives cost a dir read, false negatives impossible).
+    //      The filters must never change the answer: the oracle is
+    //      the plain IN query. ----
+    GraftQuery("q135_manifest_bloom_point_lookup",
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE doc_id IN (42, 137, 301)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val path = ensureBloomManifest(s, d)
+      s.read.format("graft-manifest").load(path)
+        .createOrReplaceTempView("documents_manifest_bloom")
+      s.sql(
+        """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+          |FROM documents_manifest_bloom
+          |WHERE doc_id IN (42, 137, 301)
+          |ORDER BY doc_id""".stripMargin)
     },
   )
 }

@@ -110,7 +110,20 @@ object ManifestTable {
       statMin: Map[String, Long], statMax: Map[String, Long],
       sources: Seq[String],
       strMin: Map[String, String] = Map.empty,
-      strMax: Map[String, String] = Map.empty) {
+      strMax: Map[String, String] = Map.empty,
+      bloom: Map[String, Array[Byte]] = Map.empty) {
+    /** Point-lookup check against this dir's per-column Bloom filter
+      * (recorded at append time for `bloomCols`): false ONLY when the
+      * filter proves no row of the dir holds `v` in `col` — the prune
+      * min/max cannot make on an interleaved key, where every dir's
+      * range spans the whole domain. No filter -> conservatively
+      * true. One-sided like every stat here: false positives cost a
+      * wasted dir read, false negatives are impossible. */
+    def mightContainPoint(col: String, v: Long): Boolean =
+      bloom.get(col).forall(b =>
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(b)).mightContainLong(v))
+
     /** Stats say this dir MIGHT hold rows with `col` in `[lo, hi]`
       * (no stats on `col` -> conservatively true). */
     def mightOverlap(col: String, lo: Long, hi: Long): Boolean =
@@ -146,21 +159,24 @@ object ManifestTable {
       // breaks on upgrade, its next commit writes the full layout
       val defaults = Seq(
         "strMin" -> "map<string,string>",
-        "strMax" -> "map<string,string>")
+        "strMax" -> "map<string,string>",
+        "bloom" -> "map<string,binary>")
       val full = defaults.foldLeft(df) { case (d, (c, tpe)) =>
         if (d.columns.contains(c)) d
         else d.withColumn(c, lit(null).cast(tpe))
       }
       full.select("dir", "tag", "statMin", "statMax", "sources",
-          "strMin", "strMax")
+          "strMin", "strMax", "bloom")
         .as[(String, Long, Map[String, Long], Map[String, Long],
-          Seq[String], Map[String, String], Map[String, String])]
+          Seq[String], Map[String, String], Map[String, String],
+          Map[String, Array[Byte]])]
         .collect().sortBy(_._1)
         .map(t => Entry(t._1, t._2, Option(t._3).getOrElse(Map.empty),
           Option(t._4).getOrElse(Map.empty),
           Option(t._5).getOrElse(Seq.empty),
           Option(t._6).getOrElse(Map.empty),
-          Option(t._7).getOrElse(Map.empty))).toSeq
+          Option(t._7).getOrElse(Map.empty),
+          Option(t._8).getOrElse(Map.empty))).toSeq
     } else {
       // MIGRATION read for manifests written before the map-stats
       // layout (single optional statCol + long min/max, no
@@ -386,6 +402,34 @@ object ManifestTable {
     StructType(table.fields ++ fresh.map(_.copy(nullable = true)))
   }
 
+  /** Per-column Bloom filters over the WRITTEN dir's integral
+    * columns (~1-2 KB each at batch sizes, fpp 1%): the point-lookup
+    * stat min/max cannot provide when a key arrives interleaved —
+    * every dir's range spans the domain, but each dir's KEY SET is
+    * small, so `WHERE key = x` can skip every dir whose filter proves
+    * absence. Null keys are excluded (a null never equals a probe).
+    * Absent/non-integral columns record nothing (never pruned). */
+  private def bloomsOf(spark: SparkSession, dir: String,
+      cols: Seq[String]): Map[String, Array[Byte]] =
+    if (cols.isEmpty) Map.empty
+    else scala.util.Try {
+      val df = spark.read.parquet(dir)
+      cols.filter(c => df.columns.contains(c) &&
+          isIntegral(df.schema(c).dataType))
+        .flatMap { c =>
+          val keyed = df.select(col(c).cast("long").as("k"))
+            .filter(col("k").isNotNull)
+          val n = keyed.count()
+          if (n == 0) None
+          else {
+            val bf = keyed.stat.bloomFilter("k", math.max(n, 64L), 0.01)
+            val out = new java.io.ByteArrayOutputStream()
+            bf.writeTo(out)
+            Some(c -> out.toByteArray)
+          }
+        }.toMap
+    }.getOrElse(Map.empty)
+
   /** Append `df` as one immutable data directory + one new manifest.
     * `tag` is recorded on the new entry (streaming watermark); each
     * `statsCols` column additionally records the new dir's min/max,
@@ -398,7 +442,8 @@ object ManifestTable {
     * orphan dir, never the winner's snapshot. */
   def append(spark: SparkSession, df: DataFrame, path: String,
       tag: Long = -1L, statsCols: Seq[String] = Nil,
-      evolveSchema: Boolean = false): Long = {
+      evolveSchema: Boolean = false,
+      bloomCols: Seq[String] = Nil): Long = {
     val prev = latestVersion(spark, path)
     val v = prev.map(_ + 1).getOrElse(1L)
     val prevEntries = prev.map(pv => entriesOf(spark, path, pv))
@@ -408,7 +453,8 @@ object ManifestTable {
         evolveSchema, s"ManifestTable.append($path)")
       case None => df.schema // fresh table (or pre-sidecar manifest)
     }
-    val entry = writeDirEntry(spark, df, path, v, tag, statsCols)
+    val entry = writeDirEntry(spark, df, path, v, tag, statsCols,
+      bloomCols)
     val prevTag = prevTagOf(spark, path, prev, prevEntries)
     commit(spark, path, v, prevEntries :+ entry, schema,
       math.max(prevTag, tag))
@@ -439,12 +485,14 @@ object ManifestTable {
   /** The shared write tail of [[append]]/[[overwrite]]: one immutable
     * attempt-unique data dir + its statted entry. */
   private def writeDirEntry(spark: SparkSession, df: DataFrame,
-      path: String, v: Long, tag: Long, statsCols: Seq[String]): Entry = {
+      path: String, v: Long, tag: Long, statsCols: Seq[String],
+      bloomCols: Seq[String] = Nil): Entry = {
     val dirName = attemptDirName(v)
     val dataDir = s"$path/data/$dirName"
     df.write.mode("overwrite").parquet(dataDir)
     val (mins, maxes, sMins, sMaxes) = statsOf(spark, dataDir, statsCols)
-    Entry(dirName, tag, mins, maxes, Seq.empty, sMins, sMaxes)
+    Entry(dirName, tag, mins, maxes, Seq.empty, sMins, sMaxes,
+      bloomsOf(spark, dataDir, bloomCols))
   }
 
   private def prevTagOf(spark: SparkSession, path: String,
@@ -488,9 +536,9 @@ object ManifestTable {
       .foreach(st => fs.delete(st.getPath, true))
     val tmp = new org.apache.hadoop.fs.Path(s"$path/manifest/.tmp-${vName(v)}")
     entries.map(e => (e.dir, e.tag, e.statMin, e.statMax, e.sources,
-        e.strMin, e.strMax))
+        e.strMin, e.strMax, e.bloom))
       .toDF("dir", "tag", "statMin", "statMax", "sources",
-        "strMin", "strMax")
+        "strMin", "strMax", "bloom")
       .repartition(1)
       .write.mode("overwrite").parquet(tmp.toString)
     writeSideFile(fs, new org.apache.hadoop.fs.Path(
@@ -538,8 +586,28 @@ object ManifestTable {
     val v = latestVersion(spark, path).getOrElse(
       sys.error(s"ManifestTable.readPruned: no committed version at $path"))
     val entries = entriesOf(spark, path, v)
+    // a POINT predicate (lo == hi) additionally consults the dir's
+    // Bloom filter when one was recorded — the prune that works on
+    // interleaved keys where every dir's min/max spans the domain
     val keep = entries.filter(e =>
-      preds.forall { case (c, lo, hi) => e.mightOverlap(c, lo, hi) })
+      preds.forall { case (c, lo, hi) =>
+        e.mightOverlap(c, lo, hi) &&
+          (lo != hi || e.mightContainPoint(c, lo))
+      })
+    readDirs(spark, path, v, entries, keep)
+  }
+
+  /** Point-SET pruned read (`key IN (...)`): a dir is kept iff SOME
+    * value passes both its min/max and its Bloom filter — strictly
+    * tighter than the values' envelope, which on an interleaved key
+    * prunes nothing. */
+  def readPrunedIn(spark: SparkSession, path: String, statsCol: String,
+      values: Seq[Long]): DataFrame = {
+    val v = latestVersion(spark, path).getOrElse(
+      sys.error(s"ManifestTable.readPrunedIn: no committed version at $path"))
+    val entries = entriesOf(spark, path, v)
+    val keep = entries.filter(e => values.exists(x =>
+      e.mightOverlap(statsCol, x, x) && e.mightContainPoint(statsCol, x)))
     readDirs(spark, path, v, entries, keep)
   }
 
@@ -811,7 +879,8 @@ object ManifestTable {
         val restatCols =
           (e.statMin.keySet ++ e.strMin.keySet + statsCol).toSeq.sorted
         val (mins, maxes, sMins, sMaxes) = statsOf(spark, target, restatCols)
-        Some(Entry(newDir, e.tag, mins, maxes, Seq(e.dir), sMins, sMaxes))
+        Some(Entry(newDir, e.tag, mins, maxes, Seq(e.dir), sMins, sMaxes,
+          bloomsOf(spark, target, e.bloom.keys.toSeq.sorted)))
       }
     }
     val prevTag = maxTagOf(spark, path, prev).getOrElse(
@@ -1001,7 +1070,8 @@ object ManifestTable {
         val restatCols =
           (e.statMin.keySet ++ e.strMin.keySet + keyCol).toSeq.sorted
         val (mins, maxes, sMins, sMaxes) = statsOf(spark, target, restatCols)
-        Some(Entry(newDir, e.tag, mins, maxes, Seq(e.dir), sMins, sMaxes))
+        Some(Entry(newDir, e.tag, mins, maxes, Seq(e.dir), sMins, sMaxes,
+          bloomsOf(spark, target, e.bloom.keys.toSeq.sorted)))
       }
     }
     val inserted = writeDirEntry(spark, batch, path, v, -1L,

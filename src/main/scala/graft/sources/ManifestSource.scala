@@ -63,10 +63,15 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val bounds = ManifestFileIndex.boundsOf(dataFilters)
     val sBounds = ManifestFileIndex.strBoundsOf(dataFilters)
+    val points = ManifestFileIndex.pointsOf(dataFilters)
     val kept = filesByDir.filter { case (e, _) =>
       bounds.forall { case (c, (lo, hi)) => e.mightOverlap(c, lo, hi) } &&
         sBounds.forall { case (c, (lo, hi)) =>
-          e.mightOverlapStr(c, lo, hi) }
+          e.mightOverlapStr(c, lo, hi) } &&
+        // point sets (=, IN) additionally consult the dirs' Bloom
+        // filters: SOME value must be possibly-present
+        points.forall { case (c, vs) => vs.exists(v =>
+          e.mightOverlap(c, v, v) && e.mightContainPoint(c, v)) }
     }
     Seq(PartitionDirectory(InternalRow.empty,
       kept.flatMap(_._2).toArray[org.apache.hadoop.fs.FileStatus]))
@@ -168,6 +173,38 @@ object ManifestFileIndex {
         if (xs.nonEmpty && xs.forall(_.isDefined))
           attrOf(a).foreach(c =>
             add(c, xs.flatten.min, xs.flatten.max))
+      case _ => ()
+    }
+    conjuncts.foreach(walk)
+    per.toMap
+  }
+
+  /** Per-column point SETS implied by `=` and `IN` conjuncts on
+    * integral columns — the shape Bloom-filter dir pruning consumes
+    * (a range can't probe a Bloom; a point set can, value by value).
+    * Same widen-only discipline: unsupported shapes contribute
+    * nothing, and only this EXACT set semantics is returned (an IN's
+    * envelope lives in [[boundsOf]] separately). */
+  private[graft] def pointsOf(conjuncts: Seq[Expression])
+      : Map[String, Seq[Long]] = {
+    val per = scala.collection.mutable.Map.empty[String, Seq[Long]]
+    def add(col: String, vs: Seq[Long]): Unit =
+      // conjunct intersection: keep the SMALLER candidate set (any
+      // value the dir must contain has to be in both)
+      per.update(col, per.get(col) match {
+        case Some(prev) => prev.intersect(vs)
+        case None => vs
+      })
+    def walk(e: Expression): Unit = e match {
+      case And(l, r) => walk(l); walk(r)
+      case EqualTo(a, Literal(v, t)) =>
+        for (c <- attrOf(a); x <- longOf(v, t)) add(c, Seq(x))
+      case EqualTo(Literal(v, t), a) =>
+        for (c <- attrOf(a); x <- longOf(v, t)) add(c, Seq(x))
+      case In(a, list) if list.forall(_.isInstanceOf[Literal]) =>
+        val xs = list.collect { case Literal(v, t) => longOf(v, t) }
+        if (xs.nonEmpty && xs.forall(_.isDefined))
+          attrOf(a).foreach(c => add(c, xs.flatten))
       case _ => ()
     }
     conjuncts.foreach(walk)
@@ -413,10 +450,14 @@ final class GraftManifestSource extends RelationProvider
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
     val evolve = parameters.get("evolveSchema").exists(_.toBoolean)
+    val bloomCols = parameters.get("bloomCols")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
     val exists = ManifestTable.latestVersion(spark, path).isDefined
     mode match {
       case SaveMode.Append =>
-        ManifestTable.append(spark, data, path, tag, statsCols, evolve)
+        ManifestTable.append(spark, data, path, tag, statsCols, evolve,
+          bloomCols)
       case SaveMode.Overwrite =>
         ManifestTable.overwrite(spark, data, path, tag, statsCols)
       case SaveMode.ErrorIfExists if exists => sys.error(

@@ -126,6 +126,28 @@ class ManifestSqlSpec extends AnyFunSuite {
     assert(q134 == plain && q134.nonEmpty)
   }
 
+  test("q135: IN point lookup prunes via manifest blooms where ranges cannot") {
+    val d = "/root/testdata/sf0.001"
+    val path = operators.LayoutQueries.ensureBloomManifest(spark, d)
+    // range stats are vacuous on the interleaved layout
+    assert(ManifestTable.entriesOf(spark, path, 4L)
+      .forall(_.mightOverlap("doc_id", 42L, 42L)))
+    val df = spark.read.format("graft-manifest").load(path)
+      .filter(col("doc_id").isin(42L, 137L, 301L))
+      .select("doc_id", "lang")
+    val rows = df.collect()
+    val scan = scanOf(df)
+    val allFiles = ManifestTable.read(spark, path).inputFiles.length
+    val expected = ManifestTable
+      .readPrunedIn(spark, path, "doc_id", Seq(42L, 137L, 301L))
+      .inputFiles.length
+    assert(scan.metrics("numFiles").value == expected &&
+      expected < allFiles,
+      s"bloom point lookup read ${scan.metrics("numFiles").value} of " +
+        s"$allFiles files, expected $expected")
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(42L, 137L, 301L))
+  }
+
   test("versionAsOf time travel; unfiltered scan reads the whole snapshot") {
     val t = s"${Files.createTempDirectory("graft-mfsql")}/t"
     ManifestTable.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "s"),

@@ -516,6 +516,46 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("replaced whole"))
   }
 
+  test("bloom stats prune point lookups on interleaved keys; never a false negative") {
+    val t = s"${Files.createTempDirectory("graft-manifestbloom")}/t"
+    // interleaved commits: every dir's [min, max] spans the domain,
+    // so range stats prune nothing — the bloom is the only prune
+    (0 until 4).foreach(i => ManifestTable.append(spark,
+      (0L until 40L).filter(_ % 4 == i).toDF("id"), t,
+      statsCols = Seq("id"), bloomCols = Seq("id")))
+    def nDirs(df: org.apache.spark.sql.DataFrame): Int =
+      df.inputFiles.map(_.split('/').dropRight(1).last).distinct.length
+    // range stats alone keep all four dirs for a point probe...
+    assert(ManifestTable.entriesOf(spark, t, 4L)
+      .forall(_.mightOverlap("id", 7L, 7L)))
+    // ...the bloom prunes to (almost certainly) one; correctness only
+    // needs a strict subset + the right rows
+    val p7 = ManifestTable.readPruned(spark, t, "id", 7L, 7L)
+    assert(nDirs(p7) < 4)
+    assert(ids(p7.filter(col("id") === 7L)) == Seq(7L))
+    // NO false negatives: every present key must be found
+    (0L until 40L).foreach { k =>
+      assert(ids(ManifestTable.readPruned(spark, t, "id", k, k)
+        .filter(col("id") === k)) == Seq(k), s"key $k lost")
+    }
+    // point-SET read (IN): strictly tighter than the values' envelope
+    val in = ManifestTable.readPrunedIn(spark, t, "id", Seq(3L, 39L))
+    assert(nDirs(in) < 4)
+    assert(ids(in.filter(col("id").isin(3L, 39L))) == Seq(3L, 39L))
+    // an absent key may read zero dirs — and must return zero rows
+    assert(ManifestTable.readPruned(spark, t, "id", 1000L, 1000L)
+      .filter(col("id") === 1000L).count() == 0)
+    // deleteRange rewrites REBUILD the filter: the deleted key stops
+    // matching, every surviving key is still found
+    ManifestTable.deleteRange(spark, t, "id", 7L, 7L)
+    assert(ManifestTable.readPruned(spark, t, "id", 7L, 7L)
+      .filter(col("id") === 7L).count() == 0)
+    (0L until 40L).filter(_ != 7L).foreach { k =>
+      assert(ids(ManifestTable.readPruned(spark, t, "id", k, k)
+        .filter(col("id") === k)) == Seq(k), s"post-delete key $k lost")
+    }
+  }
+
   test("cluster rewrites into range-disjoint dirs; answers and CDC unchanged") {
     val t = s"${Files.createTempDirectory("graft-manifestclust")}/t"
     // arrival order interleaves the key space: every commit spans the
