@@ -166,9 +166,18 @@ object Pipeline {
     * ingest order, the accumulated table equals the one-shot batch
     * computation (PipelineSpec pins it; q131's oracle recomputes it
     * in SQL). Output schema: (doc_id, text, lang, source, quality,
-    * fp) — the fp column IS the incremental state for the next step. */
+    * fp) — the fp column IS the incremental state for the next step.
+    *
+    * Contract: `doc_id` should be unique within a batch and ingest
+    * ascending across batches (convergence to the one-shot oracle
+    * depends on the cross-batch order, like any first-writer-wins
+    * dedup). Within-batch winners are picked by a row_number window
+    * over fp, so a batch that DOES carry duplicate doc_ids still
+    * admits exactly one row per fingerprint — a doc_id-equality join
+    * here would fan duplicated ids out and admit several. */
   def curateIncrement(batch: DataFrame, curated: Option[DataFrame],
       minQuality: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val passing = batch
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         tokens(col("text")).as("toks"))
@@ -176,10 +185,13 @@ object Pipeline {
         qualityScoreOf(col("text"), col("toks")).as("quality"),
         fingerprint(col("text")).as("fp"))
       .filter(col("quality") >= minQuality)
-    val first = passing.groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val winners = passing.join(first, Seq("doc_id"))
+    // one shuffle on fp (same key the groupBy would use), picking THE
+    // lowest-id row per fingerprint — exactly one winner even under
+    // duplicate doc_id values
+    val winners = passing
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("_rn") === 1)
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("quality"), col("fp"))
     curated match {

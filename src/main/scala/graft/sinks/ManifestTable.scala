@@ -472,12 +472,25 @@ object ManifestTable {
     * true iff the batch was appended. */
   def appendIfFresh(spark: SparkSession, batch: DataFrame, path: String,
       batchId: Long, statsCols: Seq[String] = Nil, vacuumEvery: Int = 0,
-      keepVersions: Int = 2): Boolean = {
+      keepVersions: Int = 2, bloomCols: Seq[String] = Nil): Boolean = {
     val fresh = batchId > latestTag(spark, path)
     if (fresh) {
-      append(spark, batch, path, tag = batchId, statsCols = statsCols)
-      if (vacuumEvery > 0 && batchId > 0 && batchId % vacuumEvery == 0)
-        vacuum(spark, path, keepVersions)
+      append(spark, batch, path, tag = batchId, statsCols = statsCols,
+        bloomCols = bloomCols)
+      if (vacuumEvery > 0 && batchId > 0 && batchId % vacuumEvery == 0) {
+        // the cadence report a streaming operator alarms on: a
+        // steadily climbing reap count means loser attempt dirs are
+        // being created at ingest rate — the symptom of a violated
+        // single-writer contract, invisible otherwise because vacuum
+        // quietly cleans up after it
+        vacuum(spark, path, keepVersions, tag = batchId)
+        lastVacuumReport.foreach(r =>
+          org.slf4j.LoggerFactory.getLogger(getClass).info(
+            s"ManifestTable.vacuum cadence at ${r.path} " +
+              s"batch=${r.batchTag}: dropped ${r.manifestsDropped} " +
+              s"manifest(s), reaped ${r.dirsReaped} data dir(s) " +
+              s"(${r.bytesReaped} bytes)"))
+      }
     }
     fresh
   }
@@ -531,10 +544,25 @@ object ManifestTable {
     val (fs, _) = fsOf(spark, path)
     val mDir = new org.apache.hadoop.fs.Path(s"$path/manifest")
     fs.mkdirs(mDir)
-    // drop tmp debris from any crashed earlier commit
-    fs.listStatus(mDir).filter(_.getPath.getName.startsWith(".tmp-"))
-      .foreach(st => fs.delete(st.getPath, true))
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/manifest/.tmp-${vName(v)}")
+    // drop tmp debris from crashed EARLIER commits only: a tmp dir
+    // whose version is below v belongs to a version that has since
+    // committed (v is always latest+1), so it can only be an abandoned
+    // attempt. Same-version tmp dirs are left alone — they may belong
+    // to a RACING attempt at v, and deleting them would let two
+    // writers interleave files in each other's staging (a torn
+    // manifest whose rename could still pass the attempt-id check).
+    // Each attempt's staging is attempt-unique for the same reason the
+    // data dirs are.
+    fs.listStatus(mDir).filter { st =>
+      val n = st.getPath.getName
+      n.startsWith(".tmp-v") && {
+        val digits = n.drop(6).takeWhile(_.isDigit)
+        digits.nonEmpty && digits.toLong < v
+      }
+    }.foreach(st => fs.delete(st.getPath, true))
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path/manifest/.tmp-${vName(v)}_" +
+        java.util.UUID.randomUUID.toString.take(8))
     entries.map(e => (e.dir, e.tag, e.statMin, e.statMax, e.sources,
         e.strMin, e.strMax, e.bloom))
       .toDF("dir", "tag", "statMin", "statMax", "sources",
@@ -837,17 +865,18 @@ object ManifestTable {
     val prev = latestVersion(spark, path).getOrElse(
       sys.error(s"ManifestTable.deleteRange: no committed version at $path"))
     val entries = entriesOf(spark, path, prev)
+    val schema = tableSchema(spark, path, prev, entries)
     // a long-range delete is only defined on an INTEGRAL key: on any
     // other type the row filter's cast would be lossy (or, under ANSI,
     // a runtime error mid-rewrite) and could delete rows far outside
-    // [lo, hi] — fail loudly up front instead
-    schemaOf(spark, path, prev).foreach { sch =>
-      sch.fields.find(_.name == statsCol).foreach { f =>
-        require(isIntegral(f.dataType),
-          s"ManifestTable.deleteRange: '$statsCol' is " +
-            s"${f.dataType.catalogString}, not an integral type — a " +
-            "long-range delete is only defined on integral keys")
-      }
+    // [lo, hi] — fail loudly up front instead. The guard runs on
+    // [[tableSchema]] (sidecar, or inferred from a readable dir), so a
+    // pre-sidecar migrated table is guarded too, not silently skipped.
+    schema.fields.find(_.name == statsCol).foreach { f =>
+      require(isIntegral(f.dataType),
+        s"ManifestTable.deleteRange: '$statsCol' is " +
+          s"${f.dataType.catalogString}, not an integral type — a " +
+          "long-range delete is only defined on integral keys")
     }
     val (touch0, keep0) = entries.partition(_.mightOverlap(statsCol, lo, hi))
     // a file-less dir (empty-batch commit) holds nothing to delete —
@@ -857,7 +886,6 @@ object ManifestTable {
       hasDataFiles(fs, s"$path/data/${e.dir}"))
     val keep = keep0 ++ keepEmpty
     val v = prev + 1
-    val schema = tableSchema(spark, path, prev, entries)
     val rewritten = touch.flatMap { e =>
       val newDir = attemptDirName(v)
       val target = s"$path/data/$newDir"
@@ -1089,7 +1117,7 @@ object ManifestTable {
     * time travel reaches only the kept versions — retention is this
     * ONE explicit knob. */
   def vacuum(spark: SparkSession, path: String,
-      keepVersions: Int = 1): (Int, Int) = {
+      keepVersions: Int = 1, tag: Long = -1L): (Int, Int) = {
     require(keepVersions >= 1, "vacuum: must keep at least one version")
     val (fs, _) = fsOf(spark, path)
     val vs = versions(spark, path)
@@ -1099,13 +1127,35 @@ object ManifestTable {
     drop.foreach(v => fs.delete(
       new org.apache.hadoop.fs.Path(s"$path/manifest/${vName(v)}"), true))
     val dataRoot = new org.apache.hadoop.fs.Path(s"$path/data")
+    var bytes = 0L
     val removed =
       if (!fs.exists(dataRoot)) 0
       else fs.listStatus(dataRoot).count { st =>
         val keepIt = referenced.contains(st.getPath.getName)
-        if (!keepIt) fs.delete(st.getPath, true)
+        if (!keepIt) {
+          bytes += scala.util.Try(
+            fs.getContentSummary(st.getPath).getLength).getOrElse(0L)
+          fs.delete(st.getPath, true)
+        }
         !keepIt
       }
+    lastVacuum.set(Some(VacuumReport(path, tag, drop.size, removed, bytes)))
     (drop.size, removed)
   }
+
+  /** One vacuum's reap accounting — what the streaming sinks' cadence
+    * log line surfaces, so an operator can alarm on runaway orphan
+    * creation (orphans at ingest rate = a writer violating the
+    * single-writer contract, a symptom vacuum would otherwise clean
+    * up invisibly). `batchTag` is the streaming batchId that triggered
+    * the cadence vacuum (-1 for manual calls). */
+  final case class VacuumReport(path: String, batchTag: Long,
+      manifestsDropped: Int, dirsReaped: Int, bytesReaped: Long)
+
+  private val lastVacuum =
+    new java.util.concurrent.atomic.AtomicReference[Option[VacuumReport]](None)
+
+  /** The most recent [[vacuum]]'s report (per-JVM; None until one
+    * runs). */
+  def lastVacuumReport: Option[VacuumReport] = lastVacuum.get()
 }

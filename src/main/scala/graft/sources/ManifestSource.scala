@@ -269,7 +269,7 @@ object ManifestFileIndex {
   * metadata-only — on the same cadence contract as
   * `Streams.manifestSinkWriter`. */
 final class ManifestStreamSink(path: String, statsCols: Seq[String],
-    vacuumEvery: Int, keepVersions: Int)
+    vacuumEvery: Int, keepVersions: Int, bloomCols: Seq[String] = Nil)
     extends org.apache.spark.sql.execution.streaming.Sink {
 
   override def addBatch(batchId: Long,
@@ -280,7 +280,7 @@ final class ManifestStreamSink(path: String, statsCols: Seq[String],
     // implementation both streaming write paths use
     ManifestTable.appendIfFresh(data.sparkSession,
       org.apache.spark.sql.GraftSqlBridge.batchFrame(data), path,
-      batchId, statsCols, vacuumEvery, keepVersions)
+      batchId, statsCols, vacuumEvery, keepVersions, bloomCols)
     ()
   }
 
@@ -366,9 +366,10 @@ final class GraftManifestSource extends RelationProvider
     * tag, and a replayed batch (tag <= table watermark) is skipped
     * from one side-file read — the same mechanism as
     * `Streams.manifestSinkWriter`, reachable without writing a
-    * `foreachBatch`. Options: `statsCols` (comma-separated),
-    * `vacuumEvery` / `keepVersions` (in-stream metadata retention;
-    * 0 = never). Append output mode only — a manifest table is an
+    * `foreachBatch`. Options: `statsCols` / `bloomCols`
+    * (comma-separated; per-dir min/max stats and point-lookup Bloom
+    * filters, same as the batch write path), `vacuumEvery` /
+    * `keepVersions` (in-stream metadata retention; 0 = never). Append output mode only — a manifest table is an
     * append log; aggregations stream through `foreachBatch` where
     * update semantics are the caller's to define. */
   override def createSink(sqlContext: SQLContext,
@@ -390,7 +391,14 @@ final class GraftManifestSource extends RelationProvider
       .getOrElse(Nil)
     val vacuumEvery = parameters.get("vacuumEvery").map(_.toInt).getOrElse(0)
     val keepVersions = parameters.get("keepVersions").map(_.toInt).getOrElse(2)
-    new ManifestStreamSink(path, statsCols, vacuumEvery, keepVersions)
+    // without this, streaming-built tables would silently get no
+    // Bloom pruning at all — the exact interleaved-key ingest layout
+    // the per-dir filters were added for
+    val bloomCols = parameters.get("bloomCols")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    new ManifestStreamSink(path, statsCols, vacuumEvery, keepVersions,
+      bloomCols)
   }
 
   /** `spark.readStream.format("graft-manifest").load(tablePath)` —

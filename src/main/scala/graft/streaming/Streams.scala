@@ -766,7 +766,8 @@ object Streams {
     * linear term as any append table's file count. */
   def manifestSinkWriter(docs: DataFrame, tablePath: String,
       checkpoint: String, statsCols: Seq[String] = Nil,
-      vacuumEvery: Int = 0, keepVersions: Int = 2): DataStreamWriter[Row] =
+      vacuumEvery: Int = 0, keepVersions: Int = 2,
+      bloomCols: Seq[String] = Nil): DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -775,7 +776,7 @@ object Streams {
         // foreachBatch form and the graft-manifest StreamSinkProvider)
         graft.sinks.ManifestTable.appendIfFresh(batch.sparkSession,
           batch, tablePath, batchId, statsCols, vacuumEvery,
-          keepVersions)
+          keepVersions, bloomCols)
         ()
       }
 

@@ -110,6 +110,40 @@ class ManifestStreamSpec extends AnyFunSuite {
     assert(msgs(ex).exists(_.contains("append log")))
   }
 
+  test("sink bloomCols: streaming-ingested dirs record Bloom filters; vacuum cadence reports") {
+    implicit val sq = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-mfsinkbloom").toString
+    val t = s"$tmp/table"
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = mem.toDF.toDF("id").writeStream
+      .format("graft-manifest")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .option("statsCols", "id")
+      .option("bloomCols", "id")
+      .option("vacuumEvery", "2")
+      .option("keepVersions", "2")
+      .start(t)
+    mem.addData(4L, 8L); q.processAllAvailable()   // batch 0 -> v1
+    mem.addData(5L, 9L); q.processAllAvailable()   // batch 1 -> v2
+    mem.addData(6L, 10L); q.processAllAvailable()  // batch 2 -> v3 + vacuum
+    q.stop()
+    // every streaming-built dir carries its Bloom filter — the point
+    // lookup prune a streaming-ingested interleaved table needs
+    val v = ManifestTable.latestVersion(spark, t).get
+    assert(ManifestTable.entriesOf(spark, t, v)
+      .forall(_.bloom.contains("id")),
+      "streaming-ingested dirs must record bloomCols filters")
+    // a point probe prunes below the full dir count, rows correct
+    val p = ManifestTable.readPruned(spark, t, "id", 5L, 5L)
+    assert(p.filter(col("id") === 5L).count() == 1)
+    // the vacuum cadence surfaced its reap accounting (StreamingSpec's
+    // alarm contract: runaway orphan creation must be observable)
+    val rep = ManifestTable.lastVacuumReport
+    assert(rep.exists(r => r.path == t && r.batchTag == 2L &&
+      r.manifestsDropped == 1 && r.dirsReaped == 0),
+      s"expected a batch-2 cadence report, got $rep")
+  }
+
   test("a stream started on an empty path fails loudly; schema comes from the sidecar") {
     val tmp = Files.createTempDirectory("graft-mfstream2").toString
     val ex = intercept[RuntimeException] {

@@ -59,16 +59,25 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ids(ManifestTable.read(spark, t)) == Seq(1L))
     // the next append commits under its OWN attempt dir — it never
     // touches the orphan (that isolation is what bounds concurrent-
-    // writer damage), and the tmp debris is cleaned
+    // writer damage). The SAME-version tmp debris is deliberately left
+    // alone at commit time (it could be a RACING attempt's staging —
+    // deleting it would let two writers interleave files in each
+    // other's tmp and publish a torn manifest)...
     assert(ManifestTable.append(spark, Seq(2L).toDF("id"), t) == 2L)
     assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L))
-    assert(!new java.io.File(s"$t/manifest/.tmp-v00000002").exists())
+    assert(new java.io.File(s"$t/manifest/.tmp-v00000002").exists())
     assert(new java.io.File(s"$t/data/c00000002_deadbeef").exists())
+    // ...and is reaped by the NEXT commit, whose version is strictly
+    // above the debris's (that version committed, so no live attempt
+    // can still be staging it)
+    assert(ManifestTable.append(spark, Seq(3L).toDF("id"), t) == 3L)
+    assert(!new java.io.File(s"$t/manifest/.tmp-v00000002").exists())
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L, 3L))
     // vacuum reaps the orphan; committed dirs stay
     val (_, reaped) = ManifestTable.vacuum(spark, t, 10)
     assert(reaped == 1)
     assert(!new java.io.File(s"$t/data/c00000002_deadbeef").exists())
-    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L))
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L, 3L))
   }
 
   test("a racing second writer fails loudly; the winner's snapshot is untouched") {
@@ -618,6 +627,52 @@ class ManifestTableSpec extends AnyFunSuite {
       statsCols = Seq("id"))
     assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L, 3L))
     assert(ManifestTable.schemaOf(spark, t, 2L).isDefined)
+  }
+
+  test("same-version commit staging is attempt-unique and never pre-deleted") {
+    val t = s"${Files.createTempDirectory("graft-manifesttmp")}/t"
+    ManifestTable.append(spark, Seq(1L).toDF("id"), t)
+    // a RACING attempt at v2 has staged its manifest but not renamed
+    // yet; our commit at the same version must neither delete nor
+    // write into that staging (shared staging is how a torn manifest —
+    // one writer's entries with the other's sidecars — gets renamed
+    // into place with a PASSING attempt-id check)
+    val racing = new java.io.File(s"$t/manifest/.tmp-v00000002_racer001")
+    assert(racing.mkdirs())
+    val marker = new java.io.File(racing, "_graft_attempt")
+    java.nio.file.Files.write(marker.toPath, "racer".getBytes)
+    assert(ManifestTable.append(spark, Seq(2L).toDF("id"), t) == 2L)
+    // the racer's staging survives commit, byte-identical
+    assert(racing.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == "racer")
+    // and the winner's publish is intact (its own attempt id, its rows)
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L))
+    // the racer now loses loudly when it tries to publish v2
+    val ex = intercept[RuntimeException] {
+      ManifestTable.commit(spark, t, 2L,
+        dirNames(t, 1L).map(d =>
+          ManifestTable.Entry(d, -1L, Map.empty, Map.empty, Nil)),
+        new org.apache.spark.sql.types.StructType().add("id", "long"),
+        -1L)
+    }
+    assert(ex.getMessage.contains("single-writer"))
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L))
+  }
+
+  test("deleteRange's integral guard holds on a pre-sidecar table") {
+    val t = s"${Files.createTempDirectory("graft-manifestdel2")}/t"
+    ManifestTable.append(spark, Seq((1L, "abc")).toDF("id", "s"), t)
+    // simulate a pre-sidecar (migrated) table: no _graft_schema.json
+    val side = new java.io.File(s"$t/manifest/v00000001/_graft_schema.json")
+    assert(side.delete())
+    // the guard must fall back to the inferred schema, not silently
+    // skip — a lossy string->long cast could delete rows far outside
+    // the range
+    val ex = intercept[IllegalArgumentException] {
+      ManifestTable.deleteRange(spark, t, "s", 0L, 1L)
+    }
+    assert(ex.getMessage.contains("integral"))
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L))
   }
 
   test("manifest scan planning never lists the data root") {

@@ -158,4 +158,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(incremental.count(_ >= 4L) == 0,
       "later batches repeat earlier texts — nothing new to admit")
   }
+
+  test("curateIncrement admits ONE row per fingerprint even under duplicate doc_ids") {
+    // a batch that violates the doc_id-uniqueness expectation (e.g. a
+    // replayed partial write): the winner pick must not fan out — a
+    // doc_id-equality join back would admit BOTH copies of id 1
+    val batch = Seq(
+      (1L, "the cat sat on the mat and looked for food", "en", "s"),
+      (1L, "the cat sat on the mat and looked for food", "en", "s"),
+      (2L, "a quick brown fox jumped over the lazy dog", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Pipeline.curateIncrement(batch, None, minQuality = 0.0)
+    val rows = out.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(rows == Seq(1L, 2L),
+      s"expected one winner per fingerprint, got $rows")
+    // and each admitted fingerprint appears exactly once
+    assert(out.select("fp").distinct().count() == out.count())
+  }
 }
