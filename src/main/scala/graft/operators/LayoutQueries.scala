@@ -23,7 +23,7 @@ object LayoutQueries {
 
   /** Bumped on any layout-building change — stale /tmp layouts then
     * auto-invalidate (same contract as [[graft.vector.AnnVersion]]). */
-  private val LayoutVersion = 5 // r10: manifest gained string stats (+ multi-col, provenance, schema sidecar)
+  private val LayoutVersion = 6 // r11: manifest entries record per-dir file lists (metadata-only planning)
 
   private def datasetKey(d: String): String =
     java.security.MessageDigest.getInstance("SHA-256")

@@ -111,7 +111,21 @@ object ManifestTable {
       sources: Seq[String],
       strMin: Map[String, String] = Map.empty,
       strMax: Map[String, String] = Map.empty,
-      bloom: Map[String, Array[Byte]] = Map.empty) {
+      bloom: Map[String, Array[Byte]] = Map.empty,
+      files: Option[Map[String, Long]] = None) {
+    /** Whether the dir holds any data files — answered from the
+      * manifest's recorded file list when present (zero filesystem
+      * calls: `Some(empty)` is a file-less empty-batch dir,
+      * `Some(nonEmpty)` has data), falling back to ONE listing only
+      * for entries committed before file lists were recorded. This is
+      * the Iceberg move: the manifest records the files at commit
+      * time, so no later consumer ever pays a data-tree RPC to
+      * answer a planning question. */
+    def hasData(fs: org.apache.hadoop.fs.FileSystem,
+        dirPath: String): Boolean = files match {
+      case Some(m) => m.nonEmpty
+      case None => hasDataFiles(fs, dirPath)
+    }
     /** Point-lookup check against this dir's per-column Bloom filter
       * (recorded at append time for `bloomCols`): false ONLY when the
       * filter proves no row of the dir holds `v` in `col` — the prune
@@ -155,28 +169,33 @@ object ManifestTable {
     val df = spark.read.parquet(s"$path/manifest/${vName(v)}")
     if (df.columns.contains("sources")) {
       // map-stats layout; columns ADDED after a manifest was written
-      // (provenance, string stats) default to empty — a table never
-      // breaks on upgrade, its next commit writes the full layout
+      // (provenance, string stats, file lists) default to empty/None —
+      // a table never breaks on upgrade, its next commit writes the
+      // full layout
       val defaults = Seq(
         "strMin" -> "map<string,string>",
         "strMax" -> "map<string,string>",
-        "bloom" -> "map<string,binary>")
+        "bloom" -> "map<string,binary>",
+        "files" -> "map<string,bigint>")
       val full = defaults.foldLeft(df) { case (d, (c, tpe)) =>
         if (d.columns.contains(c)) d
         else d.withColumn(c, lit(null).cast(tpe))
       }
       full.select("dir", "tag", "statMin", "statMax", "sources",
-          "strMin", "strMax", "bloom")
+          "strMin", "strMax", "bloom", "files")
         .as[(String, Long, Map[String, Long], Map[String, Long],
           Seq[String], Map[String, String], Map[String, String],
-          Map[String, Array[Byte]])]
+          Map[String, Array[Byte]], Map[String, Long])]
         .collect().sortBy(_._1)
         .map(t => Entry(t._1, t._2, Option(t._3).getOrElse(Map.empty),
           Option(t._4).getOrElse(Map.empty),
           Option(t._5).getOrElse(Seq.empty),
           Option(t._6).getOrElse(Map.empty),
           Option(t._7).getOrElse(Map.empty),
-          Option(t._8).getOrElse(Map.empty))).toSeq
+          Option(t._8).getOrElse(Map.empty),
+          // null (pre-upgrade) stays None = "unknown, fall back to a
+          // listing"; an EMPTY recorded map is authoritative
+          Option(t._9))).toSeq
     } else {
       // MIGRATION read for manifests written before the map-stats
       // layout (single optional statCol + long min/max, no
@@ -199,13 +218,38 @@ object ManifestTable {
       v: Long): Seq[String] =
     entriesOf(spark, path, v).map(e => s"$path/data/${e.dir}")
 
+  /** Counts every data-directory listing the manifest code issues —
+    * the probe the zero-listing planning pin measures. On a modern
+    * table (file lists recorded in every entry) a full
+    * plan-prune-scan cycle through the SQL source must not move this
+    * counter: planning is manifest-only, like Iceberg's. */
+  private[graft] val dataListings =
+    new java.util.concurrent.atomic.AtomicLong()
+
   private[graft] def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Boolean = {
+    dataListings.incrementAndGet()
     val p = new org.apache.hadoop.fs.Path(dir)
     fs.exists(p) && fs.listStatus(p).exists { st =>
       val n = st.getPath.getName
       !n.startsWith("_") && !n.startsWith(".")
     }
+  }
+
+  /** The (name -> size) data-file list of one written dir — recorded
+    * into its [[Entry]] at commit time, so every later consumer
+    * (planning, emptiness checks, scan file lists) answers from the
+    * manifest instead of paying a per-dir metadata RPC. One listing
+    * at write time, against a dir this writer just created. */
+  private[graft] def listDataFilesOf(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Map[String, Long] = {
+    dataListings.incrementAndGet()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) Map.empty
+    else fs.listStatus(p).iterator.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.map(st => st.getPath.getName -> st.getLen).toMap
   }
 
   // ---- per-version sidecar metadata (rides the atomic rename) ------
@@ -256,8 +300,8 @@ object ManifestTable {
   private def readDirs(spark: SparkSession, path: String, v: Long,
       snapshot: Seq[Entry], selected: Seq[Entry]): DataFrame = {
     val (fs, _) = fsOf(spark, path)
-    val sel = selected.map(e => s"$path/data/${e.dir}")
-      .filter(hasDataFiles(fs, _))
+    val sel = selected.filter(e => e.hasData(fs, s"$path/data/${e.dir}"))
+      .map(e => s"$path/data/${e.dir}")
     // read with the snapshot's PERSISTED schema when available: dirs
     // written before an additive schema evolution lack the new
     // columns, and an explicit schema makes the parquet reader fill
@@ -272,8 +316,9 @@ object ManifestTable {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       case None => // pre-sidecar manifest: derive from any readable dir
-        val any = snapshot.map(e => s"$path/data/${e.dir}")
-          .find(hasDataFiles(fs, _))
+        val any = snapshot
+          .find(e => e.hasData(fs, s"$path/data/${e.dir}"))
+          .map(e => s"$path/data/${e.dir}")
           .getOrElse(sys.error(
             s"ManifestTable: no readable data files at $path — cannot " +
               "derive a schema for the (empty) result"))
@@ -287,8 +332,9 @@ object ManifestTable {
       entries: Seq[Entry]): StructType =
     schemaOf(spark, path, v).getOrElse {
       val (fs, _) = fsOf(spark, path)
-      val any = entries.map(e => s"$path/data/${e.dir}")
-        .find(hasDataFiles(fs, _))
+      val any = entries
+        .find(e => e.hasData(fs, s"$path/data/${e.dir}"))
+        .map(e => s"$path/data/${e.dir}")
         .getOrElse(sys.error(
           s"ManifestTable: no schema sidecar and no readable data at " +
             s"$path ${vName(v)}"))
@@ -412,7 +458,7 @@ object ManifestTable {
   private def bloomsOf(spark: SparkSession, dir: String,
       cols: Seq[String]): Map[String, Array[Byte]] =
     if (cols.isEmpty) Map.empty
-    else scala.util.Try {
+    else (scala.util.Try {
       val df = spark.read.parquet(dir)
       cols.filter(c => df.columns.contains(c) &&
           isIntegral(df.schema(c).dataType))
@@ -428,7 +474,16 @@ object ManifestTable {
             Some(c -> out.toByteArray)
           }
         }.toMap
-    }.getOrElse(Map.empty)
+    }).recover { case ex =>
+      // one-sided failure (only costs pruning, never correctness) —
+      // but say so: a silently bloom-less dir looks identical to one
+      // that never asked for filters
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ManifestTable: could not build Bloom filters for $dir " +
+          s"(cols ${cols.mkString(",")}): ${ex.getMessage} — dir " +
+          "recorded without filters (never pruned on point lookups)")
+      Map.empty[String, Array[Byte]]
+    }.get
 
   /** Append `df` as one immutable data directory + one new manifest.
     * `tag` is recorded on the new entry (streaming watermark); each
@@ -503,9 +558,11 @@ object ManifestTable {
     val dirName = attemptDirName(v)
     val dataDir = s"$path/data/$dirName"
     df.write.mode("overwrite").parquet(dataDir)
+    val (fs, _) = fsOf(spark, path)
     val (mins, maxes, sMins, sMaxes) = statsOf(spark, dataDir, statsCols)
     Entry(dirName, tag, mins, maxes, Seq.empty, sMins, sMaxes,
-      bloomsOf(spark, dataDir, bloomCols))
+      bloomsOf(spark, dataDir, bloomCols),
+      files = Some(listDataFilesOf(fs, dataDir)))
   }
 
   private def prevTagOf(spark: SparkSession, path: String,
@@ -564,9 +621,9 @@ object ManifestTable {
       s"$path/manifest/.tmp-${vName(v)}_" +
         java.util.UUID.randomUUID.toString.take(8))
     entries.map(e => (e.dir, e.tag, e.statMin, e.statMax, e.sources,
-        e.strMin, e.strMax, e.bloom))
+        e.strMin, e.strMax, e.bloom, e.files))
       .toDF("dir", "tag", "statMin", "statMax", "sources",
-        "strMin", "strMax", "bloom")
+        "strMin", "strMax", "bloom", "files")
       .repartition(1)
       .write.mode("overwrite").parquet(tmp.toString)
     writeSideFile(fs, new org.apache.hadoop.fs.Path(
@@ -695,11 +752,16 @@ object ManifestTable {
       sys.error(s"ManifestTable.compact: no committed version at $path"))
     val entries = entriesOf(spark, path, prev)
     val readable = entries.filter(e =>
-      hasDataFiles(fs, s"$path/data/${e.dir}"))
+      e.hasData(fs, s"$path/data/${e.dir}"))
     if (readable.isEmpty) return prev // nothing to rewrite
     val dirs = readable.map(e => s"$path/data/${e.dir}")
-    val bytes = dirs.map(d => fs.getContentSummary(
-      new org.apache.hadoop.fs.Path(d)).getLength).sum
+    // size from recorded file lists where present — the content-
+    // summary RPC only for pre-upgrade entries
+    val bytes = readable.map(e => e.files match {
+      case Some(m) => m.values.sum
+      case None => fs.getContentSummary(new org.apache.hadoop.fs.Path(
+        s"$path/data/${e.dir}")).getLength
+    }).sum
     val nOut = math.max(minFiles.toLong,
       (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val v = prev + 1
@@ -740,7 +802,7 @@ object ManifestTable {
     // a consumer that never saw the empty commit read the whole fold
     // as mixed lineage and fail for zero actually-missed rows
     val merged = Entry(dirName, tag, mins, maxes, readable.map(_.dir),
-      sMins, sMaxes)
+      sMins, sMaxes, files = Some(listDataFilesOf(fs, dataDir)))
     val prevTag = maxTagOf(spark, path, prev).getOrElse(
       entries.map(_.tag).foldLeft(-1L)(math.max))
     commit(spark, path, v, Seq(merged), schema, prevTag)
@@ -883,7 +945,7 @@ object ManifestTable {
     // keep its entry untouched instead of crashing on a schema-less
     // read
     val (touch, keepEmpty) = touch0.partition(e =>
-      hasDataFiles(fs, s"$path/data/${e.dir}"))
+      e.hasData(fs, s"$path/data/${e.dir}"))
     val keep = keep0 ++ keepEmpty
     val v = prev + 1
     val rewritten = touch.flatMap { e =>
@@ -908,7 +970,8 @@ object ManifestTable {
           (e.statMin.keySet ++ e.strMin.keySet + statsCol).toSeq.sorted
         val (mins, maxes, sMins, sMaxes) = statsOf(spark, target, restatCols)
         Some(Entry(newDir, e.tag, mins, maxes, Seq(e.dir), sMins, sMaxes,
-          bloomsOf(spark, target, e.bloom.keys.toSeq.sorted)))
+          bloomsOf(spark, target, e.bloom.keys.toSeq.sorted),
+          files = Some(listDataFilesOf(fs, target))))
       }
     }
     val prevTag = maxTagOf(spark, path, prev).getOrElse(
@@ -940,7 +1003,7 @@ object ManifestTable {
       sys.error(s"ManifestTable.cluster: no committed version at $path"))
     val entries = entriesOf(spark, path, prev)
     val readable = entries.filter(e =>
-      hasDataFiles(fs, s"$path/data/${e.dir}"))
+      e.hasData(fs, s"$path/data/${e.dir}"))
     if (readable.isEmpty) return prev
     val schema = tableSchema(spark, path, prev, entries)
     schema.fields.find(_.name == statsCol).foreach { f =>
@@ -982,7 +1045,8 @@ object ManifestTable {
         val (mins, maxes, sMins, sMaxes) =
           statsOf(spark, s"$path/data/$dirName", statCols)
         Entry(dirName, tag, mins, maxes, readable.map(_.dir),
-          sMins, sMaxes)
+          sMins, sMaxes,
+          files = Some(listDataFilesOf(fs, s"$path/data/$dirName")))
       }.toSeq
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     commit(spark, path, v, newEntries, schema,
@@ -1058,7 +1122,7 @@ object ManifestTable {
     // space; the envelope alone would rewrite nearly everything)
     val (cand0, keep0) = entries.partition(_.mightOverlap(keyCol, lo, hi))
     val (cand, keepEmpty) = cand0.partition(e =>
-      hasDataFiles(fs, s"$path/data/${e.dir}"))
+      e.hasData(fs, s"$path/data/${e.dir}"))
     val (bounded, unbounded) = cand.partition(e =>
       e.statMin.contains(keyCol) && e.statMax.contains(keyCol))
     val hits: Seq[Entry] =
@@ -1090,7 +1154,10 @@ object ManifestTable {
         .parquet(s"$path/data/${e.dir}")
         .join(broadcast(keys), Seq(keyCol), "left_anti")
         .write.mode("overwrite").parquet(target)
-      if (!hasDataFiles(fs, target) ||
+      // ONE listing of the just-written dir serves both the emptiness
+      // check and the entry's recorded file list
+      val written = listDataFilesOf(fs, target)
+      if (written.isEmpty ||
           spark.read.parquet(target).head(1).isEmpty) {
         fs.delete(new org.apache.hadoop.fs.Path(target), true)
         None // every row replaced: entry gone
@@ -1099,7 +1166,8 @@ object ManifestTable {
           (e.statMin.keySet ++ e.strMin.keySet + keyCol).toSeq.sorted
         val (mins, maxes, sMins, sMaxes) = statsOf(spark, target, restatCols)
         Some(Entry(newDir, e.tag, mins, maxes, Seq(e.dir), sMins, sMaxes,
-          bloomsOf(spark, target, e.bloom.keys.toSeq.sorted)))
+          bloomsOf(spark, target, e.bloom.keys.toSeq.sorted),
+          files = Some(written)))
       }
     }
     val inserted = writeDirEntry(spark, batch, path, v, -1L,

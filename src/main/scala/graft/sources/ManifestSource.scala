@@ -39,18 +39,35 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
   private val fs = new org.apache.hadoop.fs.Path(tablePath)
     .getFileSystem(spark.sessionState.newHadoopConf())
 
-  // one listing per (immutable) dir, resolved once — a metadata-sized
-  // driver structure by design, like the manifest itself
+  // the scan file list comes from the MANIFEST's recorded per-entry
+  // file lists — zero data-tree RPCs at relation construction or
+  // listFiles time (the difference between manifest-BACKED and
+  // manifest-BOUNDED planning: on a table with thousands of retained
+  // commits, one serial listStatus per dir at every SQL plan is
+  // exactly the O(files) cost the manifest exists to kill). Only
+  // entries committed before file lists were recorded fall back to
+  // one listing each; their next rewrite modernizes them.
+  // FileStatus block size is nominal (splitting uses
+  // spark.sql.files.maxPartitionBytes, not the block size) and mtime
+  // is 0 (immutable dirs have no meaningful mtime).
   private val filesByDir: Seq[(ManifestTable.Entry,
       Seq[org.apache.hadoop.fs.FileStatus])] =
     entries.map { e =>
-      val p = new org.apache.hadoop.fs.Path(s"$tablePath/data/${e.dir}")
-      val fsz =
-        if (!fs.exists(p)) Seq.empty
-        else fs.listStatus(p).toSeq.filter { st =>
-          val n = st.getPath.getName
-          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      val fsz = e.files match {
+        case Some(m) => m.toSeq.sortBy(_._1).map { case (name, len) =>
+          new org.apache.hadoop.fs.FileStatus(len, false, 1, 128L << 20,
+            0L, new org.apache.hadoop.fs.Path(
+              s"$tablePath/data/${e.dir}/$name"))
         }
+        case None => // pre-upgrade entry: one (counted) listing
+          ManifestTable.dataListings.incrementAndGet()
+          val p = new org.apache.hadoop.fs.Path(s"$tablePath/data/${e.dir}")
+          if (!fs.exists(p)) Seq.empty
+          else fs.listStatus(p).toSeq.filter { st =>
+            val n = st.getPath.getName
+            st.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+      }
       (e, fsz)
     }
 

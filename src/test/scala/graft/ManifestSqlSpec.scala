@@ -148,6 +148,54 @@ class ManifestSqlSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(42L, 137L, 301L))
   }
 
+  test("planning is metadata-only: relation + pruned scan issue zero data-dir listings") {
+    val t = s"${Files.createTempDirectory("graft-mfmeta")}/t"
+    // a modern table: every entry records its file list at commit
+    ManifestTable.append(spark, Seq((1L, "a"), (5L, "b")).toDF("id", "s"),
+      t, statsCols = Seq("id"))
+    ManifestTable.append(spark, Seq((10L, "c")).toDF("id", "s"), t,
+      statsCols = Seq("id"))
+    ManifestTable.append(spark, Seq((20L, "d")).toDF("id", "s"), t,
+      statsCols = Seq("id"))
+    val v = ManifestTable.latestVersion(spark, t).get
+    assert(ManifestTable.entriesOf(spark, t, v).forall(_.files.isDefined),
+      "every committed entry must carry its file list")
+    val before = ManifestTable.dataListings.get
+    // SQL surface: relation construction, dir-pruned listFiles, and
+    // the actual scan — all from the manifest's recorded file lists
+    val df = spark.read.format("graft-manifest").load(t)
+      .filter(col("id").between(8, 12)).select("id", "s")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(10L))
+    val scan = scanOf(df)
+    assert(scan.metrics("numFiles").value <
+      ManifestTable.read(spark, t).inputFiles.length)
+    // programmatic emptiness checks answer from metadata too
+    ManifestTable.readPruned(spark, t, "id", 8L, 12L).collect()
+    assert(ManifestTable.dataListings.get == before,
+      s"planning listed the data tree " +
+        s"${ManifestTable.dataListings.get - before} time(s) — " +
+        "a modern table must plan from the manifest alone")
+    // the recorded lists agree byte-for-byte with the filesystem
+    val recorded = ManifestTable.entriesOf(spark, t, v)
+      .flatMap(e => e.files.get.map { case (n, len) =>
+        (s"$t/data/${e.dir}/$n", len) }).toMap
+    recorded.foreach { case (p, len) =>
+      val f = new java.io.File(p)
+      assert(f.isFile && f.length() == len, s"recorded $p mismatches disk")
+    }
+    // pre-upgrade entries (no file list) still read via the fallback
+    // listing — one per legacy dir, correct rows
+    val t2 = s"${Files.createTempDirectory("graft-mfmeta2")}/t"
+    ManifestTable.append(spark, Seq(1L).toDF("id"), t2)
+    // strip the recorded list to simulate a legacy manifest
+    val legacy = ManifestTable.entriesOf(spark, t2, 1L)
+      .map(_.copy(files = None))
+    ManifestTable.commit(spark, t2, 2L, legacy,
+      new org.apache.spark.sql.types.StructType().add("id", "long"), -1L)
+    assert(spark.read.format("graft-manifest").load(t2)
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("versionAsOf time travel; unfiltered scan reads the whole snapshot") {
     val t = s"${Files.createTempDirectory("graft-mfsql")}/t"
     ManifestTable.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "s"),
