@@ -325,9 +325,20 @@ final class ManifestStreamSink(path: String, statsCols: Seq[String],
   * content, then a commit-by-commit tail. Schema is pinned at query
   * start; batches select exactly those columns, so additive evolution
   * mid-stream is invisible (new columns ignored until the query
-  * restarts) and a removed column fails loudly. */
+  * restarts) and a removed column fails loudly.
+  *
+  * `maxVersionsPerTrigger` bounds how many commit versions one
+  * micro-batch may cover — the same back-pressure contract Kafka's
+  * `maxOffsetsPerTrigger` gives its poll loop. Without it, a
+  * bootstrap of a large table (or a consumer resuming after long
+  * lag) materializes the WHOLE backlog as one micro-batch — at 100 TB
+  * that is an unbounded unit of work and an unbounded recovery
+  * replay. With it, the backlog drains as ceil(lag / max) batches,
+  * each a pinned version-range diff, each individually
+  * checkpoint-replayable. */
 final class ManifestStreamSource(spark: SparkSession, path: String,
-    override val schema: StructType)
+    override val schema: StructType,
+    maxVersionsPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
   import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
@@ -338,13 +349,30 @@ final class ManifestStreamSource(spark: SparkSession, path: String,
     case other => other.json.trim.toLong
   }
 
+  // the highest version already handed to getBatch: the base the
+  // rate limit advances from (a V1 getOffset has no start argument).
+  // -1 = no batch yet this run; on restart the engine re-issues
+  // getBatch for the checkpointed range before asking for new
+  // offsets, which re-establishes this — so a resumed stream
+  // rate-limits from its checkpoint, not from zero
+  private val lastSeen = new java.util.concurrent.atomic.AtomicLong(-1L)
+
   override def getOffset: Option[V1Offset] =
-    ManifestTable.latestVersion(spark, path).map(LongOffset(_))
+    ManifestTable.latestVersion(spark, path).map { latest =>
+      val capped = maxVersionsPerTrigger match {
+        case Some(max) =>
+          val base = math.max(lastSeen.get(), 0L)
+          math.min(latest, base + max)
+        case None => latest
+      }
+      LongOffset(capped)
+    }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset)
       : org.apache.spark.sql.DataFrame = {
     val from = start.map(versionOf).getOrElse(0L)
     val until = versionOf(end)
+    lastSeen.getAndUpdate(v => math.max(v, until))
     val batch = ManifestTable.readSinceUntil(spark, path, from, until)
       .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
         .toSeq: _*)
@@ -452,8 +480,12 @@ final class GraftManifestSource extends RelationProvider
     val spark = sqlContext.sparkSession
     val path = parameters.getOrElse("path", sys.error(
       "graft-manifest: a table path is required — .load(<tablePath>)"))
+    val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.toLong)
+    maxVersions.foreach(m => require(m > 0,
+      s"graft-manifest stream: maxVersionsPerTrigger must be positive, got $m"))
     new ManifestStreamSource(spark, path,
-      sourceSchema(sqlContext, schema, providerName, parameters)._2)
+      sourceSchema(sqlContext, schema, providerName, parameters)._2,
+      maxVersions)
   }
 
   /** `df.write.format("graft-manifest").mode(...).save(tablePath)` —

@@ -110,6 +110,49 @@ class ManifestStreamSpec extends AnyFunSuite {
     assert(msgs(ex).exists(_.contains("append log")))
   }
 
+  test("maxVersionsPerTrigger bounds each micro-batch; restart keeps the cursor") {
+    val tmp = Files.createTempDirectory("graft-mfrate").toString
+    val t = s"$tmp/table"
+    val ckpt = s"$tmp/ckpt"
+    (1L to 6L).foreach(i =>
+      ManifestTable.append(spark, Seq(i).toDF("id"), t))
+    val batches =
+      new scala.collection.concurrent.TrieMap[Long, Seq[Long]]()
+    def start() = spark.readStream.format("graft-manifest")
+      .option("maxVersionsPerTrigger", "2").load(t)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.put(id, b.select("id").as[Long](
+          org.apache.spark.sql.Encoders.scalaLong).collect().sorted.toSeq)
+        ()
+      }.start()
+    val q = start()
+    q.processAllAvailable()
+    q.stop()
+    // a 6-version backlog with limit 2 drains as exactly 3 bounded
+    // micro-batches — never one unbounded bootstrap — and their union
+    // is precisely the one-shot read
+    assert(batches.keySet == Set(0L, 1L, 2L),
+      s"expected 3 rate-limited batches, got ${batches.toMap}")
+    assert(batches.values.forall(_.size == 2))
+    assert(batches.values.flatten.toSeq.sorted ==
+      ids(ManifestTable.read(spark, t)))
+    // restart with a lagged backlog: the cursor resumes from the
+    // CHECKPOINT (not zero), and the new backlog drains bounded too
+    (7L to 9L).foreach(i =>
+      ManifestTable.append(spark, Seq(i).toDF("id"), t))
+    batches.clear()
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(batches.values.flatten.toSeq.sorted == Seq(7L, 8L, 9L),
+      s"restart must deliver only post-checkpoint commits, got " +
+        s"${batches.toMap}")
+    assert(batches.size == 2 && batches.values.map(_.size).toSeq.sorted
+      == Seq(1, 2),
+      s"a 3-version lag with limit 2 drains as 2+1, got ${batches.toMap}")
+  }
+
   test("sink bloomCols: streaming-ingested dirs record Bloom filters; vacuum cadence reports") {
     implicit val sq = spark.sqlContext
     val tmp = Files.createTempDirectory("graft-mfsinkbloom").toString
