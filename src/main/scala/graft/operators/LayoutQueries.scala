@@ -23,7 +23,7 @@ object LayoutQueries {
 
   /** Bumped on any layout-building change — stale /tmp layouts then
     * auto-invalidate (same contract as [[graft.vector.AnnVersion]]). */
-  private val LayoutVersion = 6 // r11: manifest entries record per-dir file lists (metadata-only planning)
+  private val LayoutVersion = 7 // r11: manifest file lists in entries + single-job staged merge rewrite
 
   private def datasetKey(d: String): String =
     java.security.MessageDigest.getInstance("SHA-256")

@@ -1066,13 +1066,23 @@ object ManifestTable {
     * a handful of dirs. All committed atomically as one new version;
     * old snapshots still see the pre-merge rows until [[vacuum]].
     *
+    * The rewrite of all touched dirs runs as ONE Spark job (touched
+    * dirs union-tagged, key set anti-joined once, output staged with
+    * partitionBy and promoted by rename — the [[cluster]] pattern), so
+    * a merge straddling k dirs pays one job latency, not k serialized
+    * round-trips. The updates key set broadcasts into the anti-join
+    * only while the batch is at most `maxBroadcastKeys` rows;
+    * beyond that (someone merging a table-sized frame) it degrades to
+    * a plain shuffle anti-join instead of flooding every executor.
+    *
     * Contract: `updates` must carry exactly the table's columns
     * (replaced rows are replaced WHOLE — a partial-column update
     * would silently null the rest), and its keys must be unique (two
     * updates for one key have no defined winner). Both violations
     * fail loudly. Returns (new version, dirs rewritten). */
   def merge(spark: SparkSession, updates: DataFrame, path: String,
-      keyCol: String, statsCols: Seq[String] = Nil): (Long, Int) = {
+      keyCol: String, statsCols: Seq[String] = Nil,
+      maxBroadcastKeys: Long = 4000000L): (Long, Int) = {
     val (fs, _) = fsOf(spark, path)
     val prev = latestVersion(spark, path).getOrElse(
       sys.error(s"ManifestTable.merge: no committed version at $path"))
@@ -1143,32 +1153,64 @@ object ManifestTable {
       bounded.filterNot(hits.toSet) // candidates no key actually hits
     val v = prev + 1
     val keys = batch.select(col(keyCol))
-    val rewritten = touch.flatMap { e =>
-      val newDir = attemptDirName(v)
-      val target = s"$path/data/$newDir"
-      // write FIRST, then drop the dir if it came out empty: probing
-      // emptiness up front (head(1)) would execute the read+anti-join
-      // a second time for the write — the dominant cost of the loop.
-      // The emptiness check on the WRITTEN dir is a footer-cheap read.
-      spark.read.schema(schema)
-        .parquet(s"$path/data/${e.dir}")
-        .join(broadcast(keys), Seq(keyCol), "left_anti")
-        .write.mode("overwrite").parquet(target)
-      // ONE listing of the just-written dir serves both the emptiness
-      // check and the entry's recorded file list
-      val written = listDataFilesOf(fs, target)
-      if (written.isEmpty ||
-          spark.read.parquet(target).head(1).isEmpty) {
-        fs.delete(new org.apache.hadoop.fs.Path(target), true)
-        None // every row replaced: entry gone
-      } else {
-        val restatCols =
-          (e.statMin.keySet ++ e.strMin.keySet + keyCol).toSeq.sorted
-        val (mins, maxes, sMins, sMaxes) = statsOf(spark, target, restatCols)
-        Some(Entry(newDir, e.tag, mins, maxes, Seq(e.dir), sMins, sMaxes,
-          bloomsOf(spark, target, e.bloom.keys.toSeq.sorted),
-          files = Some(written)))
+    // broadcast the key set only when it is update-batch-sized: a
+    // table-sized updates frame must not be forced whole into every
+    // executor (and the driver) just because someone called merge with
+    // it — past the threshold the anti-join falls back to a plain
+    // shuffle join, correct at any size
+    val nKeys = batch.count()
+    val probe =
+      if (nKeys <= maxBroadcastKeys) broadcast(keys) else keys
+    // ONE job rewrites every touched dir: union the touched dirs
+    // tagged with their source index, anti-join the key set once,
+    // range-repartition on (src, key) so each staged dir gets its
+    // share of output files, stage with partitionBy, then promote each
+    // staged dir by rename (the [[cluster]] promotion pattern). The
+    // old per-dir loop paid one full job latency PER touched dir,
+    // serialized in the driver — a merge straddling k dirs cost k
+    // job round-trips for the same bytes.
+    val rewritten: Seq[Entry] = if (touch.isEmpty) Seq.empty else {
+      val srcCol = "_graft_src" // reserved staging column, like _graft_bucket
+      val tagged = touch.zipWithIndex.map { case (e, i) =>
+        spark.read.schema(schema).parquet(s"$path/data/${e.dir}")
+          .withColumn(srcCol, lit(i))
+      }.reduce(_ unionByName _)
+      // output parallelism ≈ the touched dirs' current file count, so
+      // a rewrite preserves the table's file-size discipline instead
+      // of collapsing each dir to one task's output
+      val nOut = math.max(touch.map(_.files.map(_.size).getOrElse(1)).sum, 1)
+      val staging = s"$path/data/.merge-${attemptDirName(v)}"
+      spark.sparkContext.setJobDescription("graft-merge-rewrite")
+      try {
+        tagged.join(probe, Seq(keyCol), "left_anti")
+          .repartitionByRange(nOut, col(srcCol), col(keyCol))
+          .write.partitionBy(srcCol).mode("overwrite").parquet(staging)
+      } finally spark.sparkContext.setJobDescription(null)
+      val staged = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
+        .filter(_.getPath.getName.startsWith(s"$srcCol="))
+        .map(st => st.getPath.getName.drop(srcCol.length + 1).toInt ->
+          st.getPath).toMap
+      val out = touch.zipWithIndex.flatMap { case (e, i) =>
+        // partitionBy creates a staged dir only for srcs with
+        // surviving rows — a fully-replaced dir simply has no staged
+        // output and drops out of the new manifest
+        staged.get(i).map { sp =>
+          val newDir = attemptDirName(v)
+          val target = s"$path/data/$newDir"
+          require(fs.rename(sp,
+            new org.apache.hadoop.fs.Path(target)),
+            s"ManifestTable.merge: could not promote $sp")
+          val restatCols =
+            (e.statMin.keySet ++ e.strMin.keySet + keyCol).toSeq.sorted
+          val (mins, maxes, sMins, sMaxes) =
+            statsOf(spark, target, restatCols)
+          Entry(newDir, e.tag, mins, maxes, Seq(e.dir), sMins, sMaxes,
+            bloomsOf(spark, target, e.bloom.keys.toSeq.sorted),
+            files = Some(listDataFilesOf(fs, target)))
+        }
       }
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      out
     }
     val inserted = writeDirEntry(spark, batch, path, v, -1L,
       (statsCols :+ keyCol).distinct)

@@ -525,6 +525,78 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("replaced whole"))
   }
 
+  test("merge's rewrite job count is independent of touched dirs; emptied dirs vanish") {
+    // the old per-dir loop paid one read+anti-join+write JOB per
+    // touched dir, serialized in the driver; the staged single-pass
+    // rewrite pays a constant number of jobs (AQE stages + the range
+    // sampling + the broadcast make 'one query' several listener-level
+    // jobs, so the honest pin is k-INdependence, not a literal 1)
+    def mkTable(): String = {
+      val t = s"${Files.createTempDirectory("graft-manifestmerge1j")}/t"
+      ManifestTable.append(spark,
+        Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t, statsCols = Seq("id"))
+      ManifestTable.append(spark,
+        Seq((10L, "c"), (11L, "d")).toDF("id", "s"), t, statsCols = Seq("id"))
+      ManifestTable.append(spark,
+        Seq((20L, "e")).toDF("id", "s"), t, statsCols = Seq("id"))
+      t
+    }
+    val rewriteJobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (j.properties != null && "graft-merge-rewrite" ==
+            j.properties.getProperty("spark.job.description"))
+          rewriteJobs.incrementAndGet()
+    }
+    def countJobs(body: => Unit): Int = {
+      rewriteJobs.set(0)
+      body
+      // listener events are async: wait for at least one, then a
+      // grace period so any extra job events land too
+      val deadline = System.currentTimeMillis + 5000
+      while (System.currentTimeMillis < deadline && rewriteJobs.get() < 1)
+        Thread.sleep(50)
+      Thread.sleep(300)
+      rewriteJobs.get()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // merge A touches ONE dir...
+      val tA = mkTable()
+      val jobsA = countJobs {
+        val (_, rw) = ManifestTable.merge(spark,
+          Seq((2L, "B!")).toDF("id", "s"), tA, "id")
+        assert(rw == 1)
+      }
+      // ...merge B touches ALL THREE (dir 3 fully replaced)
+      val tB = mkTable()
+      val jobsB = countJobs {
+        val (v, rw) = ManifestTable.merge(spark,
+          Seq((2L, "B!"), (11L, "D!"), (20L, "E!")).toDF("id", "s"),
+          tB, "id")
+        assert(v == 4L && rw == 3)
+      }
+      assert(jobsA > 0 && jobsB == jobsA,
+        s"rewrite jobs must not scale with touched dirs: " +
+          s"1 dir -> $jobsA job(s), 3 dirs -> $jobsB")
+      val now = ManifestTable.read(spark, tB)
+      assert(now.collect().map(r => (r.getLong(0), r.getString(1)))
+        .sorted.toSeq == Seq((1L, "a"), (2L, "B!"), (10L, "c"),
+          (11L, "D!"), (20L, "E!")))
+      // the fully-replaced dir (only row 20, whose key was updated)
+      // contributes no rewritten entry
+      val entries = ManifestTable.entriesOf(spark, tB,
+        ManifestTable.latestVersion(spark, tB).get)
+      assert(entries.count(_.sources.nonEmpty) == 2,
+        s"the emptied dir must drop out, got " +
+          s"${entries.map(e => e.dir -> e.sources)}")
+      // per-entry stats survived the single-pass rewrite
+      assert(entries.filter(_.sources.nonEmpty)
+        .forall(_.statMin.contains("id")))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("bloom stats prune point lookups on interleaved keys; never a false negative") {
     val t = s"${Files.createTempDirectory("graft-manifestbloom")}/t"
     // interleaved commits: every dir's [min, max] spans the domain,
