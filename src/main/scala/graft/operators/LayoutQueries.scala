@@ -23,7 +23,7 @@ object LayoutQueries {
 
   /** Bumped on any layout-building change — stale /tmp layouts then
     * auto-invalidate (same contract as [[graft.vector.AnnVersion]]). */
-  private val LayoutVersion = 7 // r11: manifest file lists in entries + single-job staged merge rewrite
+  private val LayoutVersion = 8 // r11: manifest file lists + staged merge + string-keyed blooms
 
   private def datasetKey(d: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
@@ -297,6 +297,35 @@ object LayoutQueries {
         graft.sinks.ManifestTable.append(s,
           docs.filter(pmod(col("doc_id"), lit(4)) === i), path,
           statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+      }
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
+  /** Documents keyed by a STRING id (`doc_key = 'doc-' || doc_id` —
+    * the reference's hottest lookup shape is by CVE-id string,
+    * /root/reference/chatbot_pg/main.py:89), ingested interleaved
+    * (4 commits by doc_id mod 4) WITH per-dir string-keyed Bloom
+    * filters on `doc_key`: the recorded string BOUNDS all span nearly
+    * the whole key domain (useless), so the string Bloom filter is
+    * the only prune a `WHERE doc_key = '…'` lookup gets. Built once
+    * per dataset behind the usual marker. */
+  def ensureStrBloomManifest(s: SparkSession, d: String): String = {
+    val path = s"${layoutRoot(d)}/docs_manifest_strbloom"
+    val docs = Tables.documents(s, d)
+      .withColumn("doc_key",
+        concat(lit("doc-"), col("doc_id").cast("string")))
+    val n = docs.count()
+    val expect = s"layout=$LayoutVersion manifest=mod4+strbloom rows=$n"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      (0 until 4).foreach { i =>
+        graft.sinks.ManifestTable.append(s,
+          docs.filter(pmod(col("doc_id"), lit(4)) === i), path,
+          statsCols = Seq("doc_key"), bloomCols = Seq("doc_key"))
       }
       ArtifactCache.stamp(path, expect)
     }
@@ -980,6 +1009,31 @@ object LayoutQueries {
         """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
           |FROM documents_manifest_bloom
           |WHERE doc_id IN (42, 137, 301)
+          |ORDER BY doc_id""".stripMargin)
+    },
+
+    // ---- STRING-keyed manifest Bloom point lookup: the reference's
+    //      hottest query is `WHERE id = '<cve-id>'` on a string key —
+    //      on an interleaved ingest, string BOUNDS span the whole
+    //      domain, so the per-dir string Bloom filter is the only
+    //      prune (ManifestSqlSpec pins numFiles; a type-mixed probe
+    //      can never false-negative because integral and string
+    //      filters live in disjoint maps). The filters must never
+    //      change the answer: the oracle recomputes the same lookup
+    //      on the derived key from the plain table. ----
+    GraftQuery("q136_manifest_string_bloom_lookup",
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE 'doc-' || CAST(doc_id AS VARCHAR)
+        |  IN ('doc-42', 'doc-137', 'doc-301')
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val path = ensureStrBloomManifest(s, d)
+      s.read.format("graft-manifest").load(path)
+        .createOrReplaceTempView("documents_manifest_strbloom")
+      s.sql(
+        """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+          |FROM documents_manifest_strbloom
+          |WHERE doc_key IN ('doc-42', 'doc-137', 'doc-301')
           |ORDER BY doc_id""".stripMargin)
     },
   )

@@ -112,7 +112,8 @@ object ManifestTable {
       strMin: Map[String, String] = Map.empty,
       strMax: Map[String, String] = Map.empty,
       bloom: Map[String, Array[Byte]] = Map.empty,
-      files: Option[Map[String, Long]] = None) {
+      files: Option[Map[String, Long]] = None,
+      strBloom: Map[String, Array[Byte]] = Map.empty) {
     /** Whether the dir holds any data files — answered from the
       * manifest's recorded file list when present (zero filesystem
       * calls: `Some(empty)` is a file-less empty-batch dir,
@@ -137,6 +138,19 @@ object ManifestTable {
       bloom.get(col).forall(b =>
         org.apache.spark.util.sketch.BloomFilter.readFrom(
           new java.io.ByteArrayInputStream(b)).mightContainLong(v))
+
+    /** STRING-keyed twin of [[mightContainPoint]] — probes the
+      * separately-recorded string filters (`strBloom`). The two maps
+      * are kept apart deliberately: a string filter holds UTF-8-byte
+      * insertions and a long probe against it would return arbitrary
+      * bits — a FALSE NEGATIVE, the one failure a stats layer must
+      * never have. Keeping the types in disjoint maps makes a
+      * cross-typed probe conservatively true instead. No ASCII guard
+      * needed: membership hashing is order-free, unlike min/max. */
+    def mightContainPointStr(col: String, v: String): Boolean =
+      strBloom.get(col).forall(b =>
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(b)).mightContainString(v))
 
     /** Stats say this dir MIGHT hold rows with `col` in `[lo, hi]`
       * (no stats on `col` -> conservatively true). */
@@ -176,16 +190,18 @@ object ManifestTable {
         "strMin" -> "map<string,string>",
         "strMax" -> "map<string,string>",
         "bloom" -> "map<string,binary>",
-        "files" -> "map<string,bigint>")
+        "files" -> "map<string,bigint>",
+        "strBloom" -> "map<string,binary>")
       val full = defaults.foldLeft(df) { case (d, (c, tpe)) =>
         if (d.columns.contains(c)) d
         else d.withColumn(c, lit(null).cast(tpe))
       }
       full.select("dir", "tag", "statMin", "statMax", "sources",
-          "strMin", "strMax", "bloom", "files")
+          "strMin", "strMax", "bloom", "files", "strBloom")
         .as[(String, Long, Map[String, Long], Map[String, Long],
           Seq[String], Map[String, String], Map[String, String],
-          Map[String, Array[Byte]], Map[String, Long])]
+          Map[String, Array[Byte]], Map[String, Long],
+          Map[String, Array[Byte]])]
         .collect().sortBy(_._1)
         .map(t => Entry(t._1, t._2, Option(t._3).getOrElse(Map.empty),
           Option(t._4).getOrElse(Map.empty),
@@ -195,7 +211,8 @@ object ManifestTable {
           Option(t._8).getOrElse(Map.empty),
           // null (pre-upgrade) stays None = "unknown, fall back to a
           // listing"; an EMPTY recorded map is authoritative
-          Option(t._9))).toSeq
+          Option(t._9),
+          Option(t._10).getOrElse(Map.empty))).toSeq
     } else {
       // MIGRATION read for manifests written before the map-stats
       // layout (single optional statCol + long min/max, no
@@ -448,32 +465,50 @@ object ManifestTable {
     StructType(table.fields ++ fresh.map(_.copy(nullable = true)))
   }
 
-  /** Per-column Bloom filters over the WRITTEN dir's integral
-    * columns (~1-2 KB each at batch sizes, fpp 1%): the point-lookup
-    * stat min/max cannot provide when a key arrives interleaved —
-    * every dir's range spans the domain, but each dir's KEY SET is
-    * small, so `WHERE key = x` can skip every dir whose filter proves
-    * absence. Null keys are excluded (a null never equals a probe).
-    * Absent/non-integral columns record nothing (never pruned). */
+  /** The two per-type Bloom maps of one written dir:
+    * (integral-keyed, string-keyed). */
+  private type Blooms = (Map[String, Array[Byte]], Map[String, Array[Byte]])
+  private val NoBlooms: Blooms = (Map.empty, Map.empty)
+
+  /** Per-column Bloom filters over the WRITTEN dir's integral and
+    * string columns (~1-2 KB each at batch sizes, fpp 1%): the
+    * point-lookup stat min/max cannot provide when a key arrives
+    * interleaved — every dir's range spans the domain, but each dir's
+    * KEY SET is small, so `WHERE key = x` can skip every dir whose
+    * filter proves absence. String keys matter as much as integral
+    * ones: the hottest real-world point lookup is by a string id
+    * (`WHERE id = 'CVE-…'`, /root/reference/chatbot_pg/main.py:89).
+    * Null keys are excluded (a null never equals a probe). Absent or
+    * other-typed columns record nothing (never pruned). The two
+    * types land in DISJOINT maps (see [[Entry.mightContainPointStr]]
+    * for why a shared map would risk false negatives). */
   private def bloomsOf(spark: SparkSession, dir: String,
-      cols: Seq[String]): Map[String, Array[Byte]] =
-    if (cols.isEmpty) Map.empty
+      cols: Seq[String]): Blooms =
+    if (cols.isEmpty) NoBlooms
     else (scala.util.Try {
       val df = spark.read.parquet(dir)
-      cols.filter(c => df.columns.contains(c) &&
-          isIntegral(df.schema(c).dataType))
-        .flatMap { c =>
-          val keyed = df.select(col(c).cast("long").as("k"))
-            .filter(col("k").isNotNull)
-          val n = keyed.count()
-          if (n == 0) None
-          else {
-            val bf = keyed.stat.bloomFilter("k", math.max(n, 64L), 0.01)
-            val out = new java.io.ByteArrayOutputStream()
-            bf.writeTo(out)
-            Some(c -> out.toByteArray)
-          }
-        }.toMap
+      def build(c: String, keyed: DataFrame): Option[Array[Byte]] = {
+        val nn = keyed.filter(col("k").isNotNull)
+        val n = nn.count()
+        if (n == 0) None
+        else {
+          val bf = nn.stat.bloomFilter("k", math.max(n, 64L), 0.01)
+          val out = new java.io.ByteArrayOutputStream()
+          bf.writeTo(out)
+          Some(out.toByteArray)
+        }
+      }
+      cols.filter(df.columns.contains).foldLeft(NoBlooms) {
+        case ((ints, strs), c)
+            if isIntegral(df.schema(c).dataType) =>
+          (build(c, df.select(col(c).cast("long").as("k")))
+            .map(b => ints + (c -> b)).getOrElse(ints), strs)
+        case ((ints, strs), c) if df.schema(c).dataType ==
+            org.apache.spark.sql.types.StringType =>
+          (ints, build(c, df.select(col(c).as("k")))
+            .map(b => strs + (c -> b)).getOrElse(strs))
+        case (acc, _) => acc
+      }
     }).recover { case ex =>
       // one-sided failure (only costs pruning, never correctness) —
       // but say so: a silently bloom-less dir looks identical to one
@@ -482,7 +517,7 @@ object ManifestTable {
         s"ManifestTable: could not build Bloom filters for $dir " +
           s"(cols ${cols.mkString(",")}): ${ex.getMessage} — dir " +
           "recorded without filters (never pruned on point lookups)")
-      Map.empty[String, Array[Byte]]
+      NoBlooms
     }.get
 
   /** Append `df` as one immutable data directory + one new manifest.
@@ -560,9 +595,10 @@ object ManifestTable {
     df.write.mode("overwrite").parquet(dataDir)
     val (fs, _) = fsOf(spark, path)
     val (mins, maxes, sMins, sMaxes) = statsOf(spark, dataDir, statsCols)
+    val (blooms, strBlooms) = bloomsOf(spark, dataDir, bloomCols)
     Entry(dirName, tag, mins, maxes, Seq.empty, sMins, sMaxes,
-      bloomsOf(spark, dataDir, bloomCols),
-      files = Some(listDataFilesOf(fs, dataDir)))
+      blooms, files = Some(listDataFilesOf(fs, dataDir)),
+      strBloom = strBlooms)
   }
 
   private def prevTagOf(spark: SparkSession, path: String,
@@ -621,9 +657,9 @@ object ManifestTable {
       s"$path/manifest/.tmp-${vName(v)}_" +
         java.util.UUID.randomUUID.toString.take(8))
     entries.map(e => (e.dir, e.tag, e.statMin, e.statMax, e.sources,
-        e.strMin, e.strMax, e.bloom, e.files))
+        e.strMin, e.strMax, e.bloom, e.files, e.strBloom))
       .toDF("dir", "tag", "statMin", "statMax", "sources",
-        "strMin", "strMax", "bloom", "files")
+        "strMin", "strMax", "bloom", "files", "strBloom")
       .repartition(1)
       .write.mode("overwrite").parquet(tmp.toString)
     writeSideFile(fs, new org.apache.hadoop.fs.Path(
@@ -712,8 +748,28 @@ object ManifestTable {
     val v = latestVersion(spark, path).getOrElse(
       sys.error(s"ManifestTable.readPrunedStr: no committed version at $path"))
     val entries = entriesOf(spark, path, v)
+    // a POINT probe (lo == hi) additionally consults the dir's
+    // string-keyed Bloom filter when one was recorded — the prune a
+    // string id column gets on an interleaved layout where bounds
+    // span the domain (and, non-ASCII, never prune at all)
     readDirs(spark, path, v, entries,
-      entries.filter(_.mightOverlapStr(statsCol, lo, hi)))
+      entries.filter(e => e.mightOverlapStr(statsCol, lo, hi) &&
+        (lo != hi || e.mightContainPointStr(statsCol, lo))))
+  }
+
+  /** String point-SET pruned read (`key IN ('a', 'b', …)`): a dir is
+    * kept iff SOME value passes both its string bounds and its
+    * string-keyed Bloom filter — [[readPrunedIn]]'s twin for the
+    * string-id lookups that dominate real point-query traffic. */
+  def readPrunedInStr(spark: SparkSession, path: String, statsCol: String,
+      values: Seq[String]): DataFrame = {
+    val v = latestVersion(spark, path).getOrElse(
+      sys.error(s"ManifestTable.readPrunedInStr: no committed version at $path"))
+    val entries = entriesOf(spark, path, v)
+    val keep = entries.filter(e => values.exists(x =>
+      e.mightOverlapStr(statsCol, x, x) &&
+        e.mightContainPointStr(statsCol, x)))
+    readDirs(spark, path, v, entries, keep)
   }
 
   /** Latest snapshot as a DataFrame. The file list is resolved NOW, so
@@ -969,9 +1025,11 @@ object ManifestTable {
         val restatCols =
           (e.statMin.keySet ++ e.strMin.keySet + statsCol).toSeq.sorted
         val (mins, maxes, sMins, sMaxes) = statsOf(spark, target, restatCols)
+        val (blooms, strBlooms) = bloomsOf(spark, target,
+          (e.bloom.keySet ++ e.strBloom.keySet).toSeq.sorted)
         Some(Entry(newDir, e.tag, mins, maxes, Seq(e.dir), sMins, sMaxes,
-          bloomsOf(spark, target, e.bloom.keys.toSeq.sorted),
-          files = Some(listDataFilesOf(fs, target))))
+          blooms, files = Some(listDataFilesOf(fs, target)),
+          strBloom = strBlooms))
       }
     }
     val prevTag = maxTagOf(spark, path, prev).getOrElse(
@@ -1204,9 +1262,11 @@ object ManifestTable {
             (e.statMin.keySet ++ e.strMin.keySet + keyCol).toSeq.sorted
           val (mins, maxes, sMins, sMaxes) =
             statsOf(spark, target, restatCols)
+          val (blooms, strBlooms) = bloomsOf(spark, target,
+            (e.bloom.keySet ++ e.strBloom.keySet).toSeq.sorted)
           Entry(newDir, e.tag, mins, maxes, Seq(e.dir), sMins, sMaxes,
-            bloomsOf(spark, target, e.bloom.keys.toSeq.sorted),
-            files = Some(listDataFilesOf(fs, target)))
+            blooms, files = Some(listDataFilesOf(fs, target)),
+            strBloom = strBlooms)
         }
       }
       fs.delete(new org.apache.hadoop.fs.Path(staging), true)

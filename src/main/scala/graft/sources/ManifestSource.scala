@@ -81,14 +81,19 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
     val bounds = ManifestFileIndex.boundsOf(dataFilters)
     val sBounds = ManifestFileIndex.strBoundsOf(dataFilters)
     val points = ManifestFileIndex.pointsOf(dataFilters)
+    val sPoints = ManifestFileIndex.strPointsOf(dataFilters)
     val kept = filesByDir.filter { case (e, _) =>
       bounds.forall { case (c, (lo, hi)) => e.mightOverlap(c, lo, hi) } &&
         sBounds.forall { case (c, (lo, hi)) =>
           e.mightOverlapStr(c, lo, hi) } &&
         // point sets (=, IN) additionally consult the dirs' Bloom
-        // filters: SOME value must be possibly-present
+        // filters: SOME value must be possibly-present — integral and
+        // string keys each probe their own type's filters
         points.forall { case (c, vs) => vs.exists(v =>
-          e.mightOverlap(c, v, v) && e.mightContainPoint(c, v)) }
+          e.mightOverlap(c, v, v) && e.mightContainPoint(c, v)) } &&
+        sPoints.forall { case (c, vs) => vs.exists(v =>
+          e.mightOverlapStr(c, Some(v), Some(v)) &&
+            e.mightContainPointStr(c, v)) }
     }
     Seq(PartitionDirectory(InternalRow.empty,
       kept.flatMap(_._2).toArray[org.apache.hadoop.fs.FileStatus]))
@@ -220,6 +225,39 @@ object ManifestFileIndex {
         for (c <- attrOf(a); x <- longOf(v, t)) add(c, Seq(x))
       case In(a, list) if list.forall(_.isInstanceOf[Literal]) =>
         val xs = list.collect { case Literal(v, t) => longOf(v, t) }
+        if (xs.nonEmpty && xs.forall(_.isDefined))
+          attrOf(a).foreach(c => add(c, xs.flatten))
+      case _ => ()
+    }
+    conjuncts.foreach(walk)
+    per.toMap
+  }
+
+  /** Per-column STRING point sets implied by `=` and `IN` conjuncts —
+    * the shape the string-keyed Bloom filters consume, the twin of
+    * [[pointsOf]]. Same conjunct-intersection and widen-only rules;
+    * unsupported shapes contribute nothing. */
+  private[graft] def strPointsOf(conjuncts: Seq[Expression])
+      : Map[String, Seq[String]] = {
+    val per = scala.collection.mutable.Map.empty[String, Seq[String]]
+    def add(col: String, vs: Seq[String]): Unit =
+      per.update(col, per.get(col) match {
+        case Some(prev) => prev.intersect(vs)
+        case None => vs
+      })
+    def strOf(v: Any): Option[String] = v match {
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+      case s: String => Some(s)
+      case _ => None
+    }
+    def walk(e: Expression): Unit = e match {
+      case And(l, r) => walk(l); walk(r)
+      case EqualTo(a, Literal(v, _)) =>
+        for (c <- attrOf(a); x <- strOf(v)) add(c, Seq(x))
+      case EqualTo(Literal(v, _), a) =>
+        for (c <- attrOf(a); x <- strOf(v)) add(c, Seq(x))
+      case In(a, list) if list.forall(_.isInstanceOf[Literal]) =>
+        val xs = list.collect { case Literal(v, _) => strOf(v) }
         if (xs.nonEmpty && xs.forall(_.isDefined))
           attrOf(a).foreach(c => add(c, xs.flatten))
       case _ => ()

@@ -148,6 +148,38 @@ class ManifestSqlSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(42L, 137L, 301L))
   }
 
+  test("q136: a string-key point lookup prunes via string blooms where bounds cannot") {
+    val d = "/root/testdata/sf0.001"
+    val path = operators.LayoutQueries.ensureStrBloomManifest(spark, d)
+    // string BOUNDS are vacuous on the interleaved layout: every dir's
+    // [min, max] admits the probe keys
+    assert(ManifestTable.entriesOf(spark, path, 4L)
+      .forall(_.mightOverlapStr("doc_key", "doc-42", "doc-42")))
+    val df = spark.read.format("graft-manifest").load(path)
+      .filter(col("doc_key").isin("doc-42", "doc-137", "doc-301"))
+      .select("doc_id", "doc_key", "lang")
+    val rows = df.collect()
+    val scan = scanOf(df)
+    val allFiles = ManifestTable.read(spark, path).inputFiles.length
+    val expected = ManifestTable.readPrunedInStr(spark, path, "doc_key",
+      Seq("doc-42", "doc-137", "doc-301")).inputFiles.length
+    assert(scan.metrics("numFiles").value == expected &&
+      expected < allFiles,
+      s"string bloom lookup read ${scan.metrics("numFiles").value} of " +
+        s"$allFiles files, expected $expected")
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(42L, 137L, 301L))
+    // the registered query matches the plain table
+    val q136 = operators.LayoutQueries.all
+      .find(_.name == "q136_manifest_string_bloom_lookup").get
+      .run(spark, d).collect().map(_.toString).toSeq
+    val plain = Tables.documents(spark, d)
+      .filter(col("doc_id").isin(42L, 137L, 301L))
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(q136 == plain && q136.nonEmpty)
+  }
+
   test("planning is metadata-only: relation + pruned scan issue zero data-dir listings") {
     val t = s"${Files.createTempDirectory("graft-mfmeta")}/t"
     // a modern table: every entry records its file list at commit

@@ -637,6 +637,55 @@ class ManifestTableSpec extends AnyFunSuite {
     }
   }
 
+  test("string blooms prune string point lookups; never a false negative") {
+    val t = s"${Files.createTempDirectory("graft-manifeststrbloom")}/t"
+    // interleaved string keys: bounds span the domain, blooms prune
+    (0 until 4).foreach(i => ManifestTable.append(spark,
+      (0L until 40L).filter(_ % 4 == i)
+        .map(k => (s"k-$k", k)).toDF("key", "id"), t,
+      statsCols = Seq("key"), bloomCols = Seq("key", "id")))
+    def nDirs(df: org.apache.spark.sql.DataFrame): Int =
+      df.inputFiles.map(_.split('/').dropRight(1).last).distinct.length
+    val v = ManifestTable.latestVersion(spark, t).get
+    val entries = ManifestTable.entriesOf(spark, t, v)
+    // the string key records a STRING filter, the integral key an
+    // integral one — disjoint maps, never cross-probed
+    assert(entries.forall(e => e.strBloom.contains("key") &&
+      e.bloom.contains("id") && !e.bloom.contains("key") &&
+      !e.strBloom.contains("id")))
+    // a point probe prunes below the full dir count, rows correct
+    val p = ManifestTable.readPrunedStr(spark, t, "key", "k-7", "k-7")
+    assert(nDirs(p) < 4)
+    assert(p.filter(col("key") === "k-7").count() == 1)
+    // NO false negatives: every present key must be found
+    (0L until 40L).foreach { k =>
+      assert(ManifestTable.readPrunedStr(spark, t, "key", s"k-$k", s"k-$k")
+        .filter(col("key") === s"k-$k").count() == 1,
+        s"string key k-$k lost")
+    }
+    // point-SET form: tighter than the envelope, rows exact
+    val in = ManifestTable.readPrunedInStr(spark, t, "key",
+      Seq("k-3", "k-39"))
+    assert(nDirs(in) < 4)
+    assert(in.filter(col("key").isin("k-3", "k-39")).count() == 2)
+    // an absent key may read zero dirs — and must return zero rows
+    assert(ManifestTable.readPrunedStr(spark, t, "key", "k-999", "k-999")
+      .filter(col("key") === "k-999").count() == 0)
+    // a RANGE string probe (lo != hi) never consults the bloom — it
+    // would be unsound (membership can't answer ranges)
+    assert(ManifestTable.readPrunedStr(spark, t, "key", "k-0", "k-9")
+      .filter(col("key").between("k-0", "k-9")).count() > 0)
+    // deleteRange rebuilds BOTH filter types on rewritten dirs
+    ManifestTable.deleteRange(spark, t, "id", 7L, 7L)
+    assert(ManifestTable.readPrunedStr(spark, t, "key", "k-7", "k-7")
+      .filter(col("key") === "k-7").count() == 0)
+    (0L until 40L).filter(_ != 7L).foreach { k =>
+      assert(ManifestTable.readPrunedStr(spark, t, "key", s"k-$k", s"k-$k")
+        .filter(col("key") === s"k-$k").count() == 1,
+        s"post-delete string key k-$k lost")
+    }
+  }
+
   test("cluster rewrites into range-disjoint dirs; answers and CDC unchanged") {
     val t = s"${Files.createTempDirectory("graft-manifestclust")}/t"
     // arrival order interleaves the key space: every commit spans the
