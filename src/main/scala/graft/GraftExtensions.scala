@@ -20,6 +20,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Spark's native InjectRuntimeFilter, whose had-a-filter check
     // recognizes the injected shape and stands down)
     ext.injectPreCBORule(_ => graft.plans.InjectBloomPrefilter)
+    // SQL DML (INSERT/DELETE/MERGE) on graft-manifest views: must run
+    // at RESOLUTION time, before the built-in post-hoc
+    // DataSourceAnalysis would plan the insert as a raw file write
+    // into the relation's root (unreferenced by any manifest — silent
+    // data loss) or reject DELETE/MERGE as v2-only
+    ext.injectResolutionRule(_ => graft.plans.ManifestSqlRules)
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, null,

@@ -332,6 +332,60 @@ object LayoutQueries {
     path
   }
 
+  /** A documents-derived manifest table whose every MUTATION happens
+    * through SQL statements (ManifestSqlRules): three `INSERT INTO`
+    * range slices on top of a seeded first commit (the CREATE-TABLE-AS
+    * stand-in — INSERT needs a committed schema to resolve against),
+    * one `MERGE INTO … UPDATE SET * / INSERT *` upsert batch, one
+    * `DELETE FROM … WHERE BETWEEN` range delete. This is how the
+    * reference's users mutate their one real table — typed SQL, not a
+    * programmatic API (INSERT at /root/reference/processor.py:55-62).
+    * Built once per dataset behind the usual marker. */
+  def ensureSqlDmlManifest(s: SparkSession, d: String): String = {
+    val path = s"${layoutRoot(d)}/docs_manifest_sqldml"
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val n = docs.count()
+    val expect = s"layout=$LayoutVersion manifest=sqldml rows=$n"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val q = math.max(n / 4, 1)
+      // seed commit (CTAS stand-in) through the same format's write
+      // half; every mutation AFTER this line is a SQL statement
+      docs.filter(col("doc_id") < q).write.format("graft-manifest")
+        .option("statsCols", "doc_id").mode("append").save(path)
+      graft.Sql.registerViews(s, d)
+      s.read.format("graft-manifest").load(path)
+        .createOrReplaceTempView("graft_sqldml_target")
+      Seq(
+        s"""INSERT INTO graft_sqldml_target
+           |SELECT doc_id, lang, n_chars FROM documents
+           |WHERE doc_id >= $q AND doc_id < ${2 * q}""".stripMargin,
+        s"""INSERT INTO graft_sqldml_target
+           |SELECT doc_id, lang, n_chars FROM documents
+           |WHERE doc_id >= ${2 * q} AND doc_id < ${3 * q}""".stripMargin,
+        s"""INSERT INTO graft_sqldml_target
+           |SELECT doc_id, lang, n_chars FROM documents
+           |WHERE doc_id >= ${3 * q}""".stripMargin,
+        """CREATE OR REPLACE TEMPORARY VIEW graft_sqldml_updates AS
+          |SELECT doc_id, lang, n_chars + 1000 AS n_chars
+          |FROM documents WHERE doc_id % 10 = 3
+          |UNION ALL
+          |SELECT doc_id + 1099511627776 AS doc_id, lang, n_chars
+          |FROM documents WHERE doc_id % 25 = 0""".stripMargin,
+        """MERGE INTO graft_sqldml_target t
+          |USING graft_sqldml_updates u ON t.doc_id = u.doc_id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin,
+        "DELETE FROM graft_sqldml_target WHERE doc_id BETWEEN 100 AND 200"
+      ).foreach(s.sql(_).collect())
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
   /** Documents ingested ARRIVAL-ORDERED (4 commits by doc_id mod 4 —
     * every commit spans the full id range, so manifest range pruning
     * is vacuous), then rewritten by
@@ -1035,6 +1089,44 @@ object LayoutQueries {
           |FROM documents_manifest_strbloom
           |WHERE doc_key IN ('doc-42', 'doc-137', 'doc-301')
           |ORDER BY doc_id""".stripMargin)
+    },
+
+    // ---- SQL DML end-to-end: a manifest table built and mutated by
+    //      SQL statements alone (3× INSERT INTO, one MERGE INTO
+    //      whole-row upsert, one ranged DELETE FROM) on top of a
+    //      seeded first commit. The injected resolution rules route
+    //      each statement to the corresponding manifest primitive —
+    //      never Spark's raw-file insert path (ManifestDmlSpec pins
+    //      the data root stays debris-free). The oracle recomputes
+    //      the final state from scratch in SQL: inserts cover every
+    //      row once, upserts win per key, the deleted range is gone. ----
+    GraftQuery("q137_manifest_sql_dml",
+      """WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+        |upd AS (
+        |  SELECT doc_id, lang, n_chars + 1000 AS n_chars
+        |  FROM base WHERE doc_id % 10 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 1099511627776 AS doc_id, lang, n_chars
+        |  FROM base WHERE doc_id % 25 = 0),
+        |m AS (
+        |  SELECT doc_id, lang, n_chars FROM upd
+        |  UNION ALL
+        |  SELECT b.doc_id, b.lang, b.n_chars FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM upd u
+        |                    WHERE u.doc_id = b.doc_id)),
+        |f AS (SELECT * FROM m WHERE doc_id NOT BETWEEN 100 AND 200)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val path = ensureSqlDmlManifest(s, d)
+      s.read.format("graft-manifest").load(path)
+        .createOrReplaceTempView("documents_manifest_sqldml")
+      s.sql(
+        """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(n_chars) AS BIGINT) AS chars
+          |FROM documents_manifest_sqldml
+          |GROUP BY lang
+          |ORDER BY lang""".stripMargin)
     },
   )
 }

@@ -1,0 +1,357 @@
+package graft.plans
+
+import graft.sinks.ManifestTable
+import graft.sources.ManifestFileIndex
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** SQL DML on the `graft-manifest` table format: `INSERT INTO` /
+  * `INSERT OVERWRITE`, `DELETE FROM … WHERE <range>`, and
+  * `MERGE INTO … WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
+  * INSERT *` against a registered manifest view — the write surface
+  * the reference's users actually type (their one table is mutated in
+  * SQL: INSERT in /root/reference/processor.py:55-62, the rest
+  * delegated to the warehouse).
+  *
+  * Mechanism: an injected RESOLUTION rule (via [[graft.GraftExtensions]])
+  * that recognizes the three DML plan shapes whose target resolves to
+  * a `graft-manifest` relation ([[ManifestFileIndex]] behind a
+  * [[HadoopFsRelation]]) and replaces them with runnable commands
+  * routing to [[ManifestTable.append]]/[[ManifestTable.overwrite]]/
+  * [[ManifestTable.deleteRange]]/[[ManifestTable.merge]]. The rule
+  * must fire at resolution time: left alone, Spark would either plan
+  * the insert as a RAW file write into the relation's root path —
+  * unreferenced by any manifest, silent data loss — or reject
+  * DELETE/MERGE as v2-only. Running in the main resolution batch
+  * (before the built-in post-hoc `DataSourceAnalysis`) guarantees the
+  * interception wins.
+  *
+  * Deliberately STRICT: every supported statement maps exactly onto a
+  * manifest primitive whose semantics are oracle-checked; anything
+  * else fails loudly at analysis (an approximated DELETE predicate
+  * would delete the wrong rows — the one failure a DML surface must
+  * never have). */
+object ManifestSqlRules extends Rule[LogicalPlan] {
+
+  /** The DML target, unwrapped to its manifest table path + schema —
+    * matches however many alias/view layers resolution stacked on. */
+  private object ManifestTarget {
+    def unapply(plan: LogicalPlan): Option[(String, StructType)] =
+      plan match {
+        case SubqueryAlias(_, child) => unapply(child)
+        case v: View => unapply(v.child) // temp-view DML targets resolve through a View node
+        case l: LogicalRelation => l.relation match {
+          case h: HadoopFsRelation => h.location match {
+            case idx: ManifestFileIndex => Some((idx.tablePath, l.schema))
+            case _ => None
+          }
+          case _ => None
+        }
+        case _ => None
+      }
+  }
+
+  /** Column name behind an (possibly unresolved, possibly
+    * widening-cast) reference. Narrowing casts are value-changing and
+    * never stripped — for DML that means REJECTION downstream, not a
+    * silent skip. */
+  private def nameOf(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case u: UnresolvedAttribute => Some(u.nameParts.last)
+    case c: Cast =>
+      val w = Seq(c.child.dataType, c.dataType).map {
+        case org.apache.spark.sql.types.ByteType => Some(1)
+        case org.apache.spark.sql.types.ShortType => Some(2)
+        case org.apache.spark.sql.types.IntegerType => Some(4)
+        case org.apache.spark.sql.types.LongType => Some(8)
+        case org.apache.spark.sql.types.NullType => Some(0) // unresolved child
+        case _ => None
+      }
+      // an unresolved child reports NullType; the cast is then decided
+      // after resolution on a later fixed-point pass
+      w match {
+        case Seq(Some(a), Some(b)) if b >= a => nameOf(c.child)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** The exact long value of an integral CONSTANT operand — a bare
+    * literal, or the foldable cast type coercion wrapped around it
+    * (evaluating the fold gives precisely the value the comparison
+    * would run against, so this is exact, never approximate; a null
+    * fold result — e.g. overflow — yields None and the statement is
+    * rejected). */
+  private def longLit(e: Expression): Option[Long] = e match {
+    case k if k.resolved && k.foldable &&
+        (k.dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType => true
+          case _ => false
+        }) =>
+      Option(k.eval()).map {
+        case v: java.lang.Byte => v.toLong
+        case v: java.lang.Short => v.toLong
+        case v: java.lang.Integer => v.toLong
+        case v: java.lang.Long => v.longValue()
+      }
+    case Literal(v: Byte, _) => Some(v.toLong)
+    case Literal(v: Short, _) => Some(v.toLong)
+    case Literal(v: Int, _) => Some(v.toLong)
+    case Literal(v: Long, org.apache.spark.sql.types.LongType) => Some(v)
+    case _ => None
+  }
+
+  /** The EXACT closed range a DELETE condition denotes on one integral
+    * column, or a loud error. Supported: conjunctions of >=, >, <=,
+    * <, =, BETWEEN (parsed as >= AND <=) on a single column with
+    * integral literals; strict bounds normalize by ±1 (exact on
+    * integers). `None` = the condition denotes an EMPTY range (a
+    * no-op delete, e.g. `id > Long.MaxValue`). Anything else —
+    * OR, a second column, non-integral literals, functions — is
+    * rejected: a DELETE must do exactly what the predicate says. */
+  private def deleteRangeOf(cond: Expression)
+      : Option[(String, Long, Long)] = {
+    var colName: Option[String] = None
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    def bind(c: String): Unit = colName match {
+      case Some(prev) if prev != c => fail(
+        s"predicate spans columns '$prev' and '$c'")
+      case _ => colName = Some(c)
+    }
+    def fail(why: String): Nothing = sys.error(
+      s"graft-manifest DELETE: unsupported WHERE shape ($why) — " +
+        "supported: a conjunction of range/point comparisons " +
+        "(>=, >, <=, <, =, BETWEEN) on ONE integral column with " +
+        "integral literals, or no WHERE (full delete). Anything else " +
+        "must go through the programmatic API, where the semantics " +
+        "are explicit.")
+    // either operand may be the column (the other must fold to an
+    // integral constant — type coercion wraps literals in foldable
+    // casts, handled by longLit); `colLeft`/`colRight` give the range
+    // for each orientation
+    def cmp(a: Expression, b: Expression, colLeft: Long => (Long, Long),
+        colRight: Long => (Long, Long)): Unit =
+      (nameOf(a).zip(longLit(b)), nameOf(b).zip(longLit(a))) match {
+        case (Some((c, v)), _) =>
+          bind(c)
+          val (l1, h1) = colLeft(v)
+          lo = math.max(lo, l1); hi = math.min(hi, h1)
+        case (_, Some((c, v))) =>
+          bind(c)
+          val (l1, h1) = colRight(v)
+          lo = math.max(lo, l1); hi = math.min(hi, h1)
+        case _ => fail(s"not a column-vs-integral-constant comparison: " +
+          s"${a.sql} vs ${b.sql}")
+      }
+    def walk(e: Expression): Unit = e match {
+      case And(l, r) => walk(l); walk(r)
+      case GreaterThanOrEqual(a, b) => cmp(a, b,
+        v => (v, Long.MaxValue), v => (Long.MinValue, v))
+      case GreaterThan(a, b) => cmp(a, b,
+        v => if (v == Long.MaxValue) (1L, 0L) // strict past the domain: empty
+          else (v + 1, Long.MaxValue),
+        v => if (v == Long.MinValue) (1L, 0L)
+          else (Long.MinValue, v - 1))
+      case LessThanOrEqual(a, b) => cmp(a, b,
+        v => (Long.MinValue, v), v => (v, Long.MaxValue))
+      case LessThan(a, b) => cmp(a, b,
+        v => if (v == Long.MinValue) (1L, 0L)
+          else (Long.MinValue, v - 1),
+        v => if (v == Long.MaxValue) (1L, 0L)
+          else (v + 1, Long.MaxValue))
+      case EqualTo(a, b) => cmp(a, b, v => (v, v), v => (v, v))
+      case b: Between => // its own node until replaced: >= AND <=
+        walk(GreaterThanOrEqual(b.input, b.lower))
+        walk(LessThanOrEqual(b.input, b.upper))
+      case other => fail(s"node ${other.getClass.getSimpleName}")
+    }
+    walk(cond)
+    val c = colName.getOrElse(fail("no column bound"))
+    if (lo > hi) None else Some((c, lo, hi))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsDown {
+      case i: InsertIntoStatement if i.query.resolved =>
+        i.table match {
+          case ManifestTarget(path, _) =>
+            require(i.partitionSpec.isEmpty && !i.ifPartitionNotExists,
+              "graft-manifest SQL INSERT: PARTITION clauses are not " +
+                "supported — manifest-stats pruning is this format's " +
+                "partitioning story")
+            require(i.userSpecifiedCols.isEmpty,
+              "graft-manifest SQL INSERT: an explicit column list is " +
+                "not supported — a partial-column insert would " +
+                "silently null the rest; project the full row instead")
+            GraftManifestInsertCommand(path, i.query, i.overwrite,
+              i.byName)
+          case _ => i
+        }
+
+      case DeleteFromTable(t @ ManifestTarget(path, _), cond) =>
+        cond match {
+          case Literal(true, _) => // DELETE FROM t (no WHERE)
+            GraftManifestFullDeleteCommand(path)
+          case _ => deleteRangeOf(cond) match {
+            case Some((c, lo, hi)) =>
+              GraftManifestDeleteCommand(path, c, lo, hi)
+            case None => // provably-empty range: delete nothing
+              GraftManifestNoopCommand(s"empty DELETE range on $path")
+          }
+        }
+
+      case m: MergeIntoTable if m.sourceTable.resolved =>
+        m.targetTable match {
+          case ManifestTarget(path, schema) =>
+            require(!m.withSchemaEvolution,
+              "graft-manifest MERGE: WITH SCHEMA EVOLUTION is not " +
+                "supported — evolve via append(evolveSchema) first")
+            // accept `SET *` / `INSERT *` both before star expansion
+            // and after the analyzer expanded it into the per-column
+            // whole-row assignment list (same-name source -> target,
+            // covering EVERY target column — a partial-column update
+            // has no manifest mapping, rows are replaced whole)
+            val cols = schema.fieldNames.toSet
+            def wholeRow(assigns: Seq[Assignment]): Boolean = {
+              val pairs = assigns.map(a => (nameOf(a.key), nameOf(a.value)))
+              pairs.forall {
+                case (Some(k), Some(v)) => k == v
+                case _ => false
+              } && pairs.flatMap(_._1).toSet == cols
+            }
+            val okActions = (m.matchedActions match {
+              case Seq(UpdateStarAction(None)) => true
+              case Seq(UpdateAction(None, assigns, _)) => wholeRow(assigns)
+              case _ => false
+            }) && (m.notMatchedActions match {
+              case Seq(InsertStarAction(None)) => true
+              case Seq(InsertAction(None, assigns)) => wholeRow(assigns)
+              case _ => false
+            }) && m.notMatchedBySourceActions.isEmpty
+            require(okActions,
+              "graft-manifest MERGE: only the whole-row upsert form " +
+                "is supported — WHEN MATCHED THEN UPDATE SET * WHEN " +
+                "NOT MATCHED THEN INSERT * (replaced rows are " +
+                "replaced whole, the ManifestTable.merge contract)")
+            val key = m.mergeCondition match {
+              case EqualTo(a, b) =>
+                (nameOf(a), nameOf(b)) match {
+                  case (Some(x), Some(y)) if x == y => x
+                  case got => sys.error(
+                    "graft-manifest MERGE: the ON condition must be " +
+                      s"target.<key> = source.<key> on one column, got $got")
+                }
+              case other => sys.error(
+                "graft-manifest MERGE: the ON condition must be a " +
+                  s"single key equality, got ${other.sql}")
+            }
+            GraftManifestMergeCommand(path, key, m.sourceTable)
+          case _ => m
+        }
+    }
+}
+
+/** `INSERT INTO` / `INSERT OVERWRITE` a manifest view: the query's
+  * rows commit as one manifest append/overwrite, inheriting the
+  * table's existing stats/bloom column discipline so SQL-ingested
+  * commits prune exactly like API-ingested ones. */
+final case class GraftManifestInsertCommand(path: String,
+    query: LogicalPlan, overwrite: Boolean, byName: Boolean)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val df = org.apache.spark.sql.GraftSqlBridge.ofRows(session, query)
+    val v = ManifestTable.latestVersion(session, path).getOrElse(
+      sys.error(s"graft-manifest INSERT: no committed version at $path"))
+    val schema = ManifestTable.schemaOf(session, path, v).getOrElse(
+      sys.error(s"graft-manifest INSERT: no schema sidecar at $path"))
+    // INSERT resolves by POSITION (the SQL default; byName for
+    // `INSERT INTO ... BY NAME`), with store-assignment casts to the
+    // table's types — the same rule Spark applies to its own tables
+    val aligned =
+      if (byName) df.select(schema.fields.map(f =>
+        col(f.name).cast(f.dataType)).toSeq: _*)
+      else {
+        require(df.columns.length == schema.fields.length,
+          s"graft-manifest INSERT: query has ${df.columns.length} " +
+            s"column(s), table $path has ${schema.fields.length}")
+        df.select(df.columns.zip(schema.fields).map { case (c, f) =>
+          col(c).cast(f.dataType).as(f.name)
+        }.toSeq: _*)
+      }
+    // inherit the table's pruning discipline from its current entries
+    val entries = ManifestTable.entriesOf(session, path, v)
+    val statsCols =
+      entries.flatMap(e => e.statMin.keys ++ e.strMin.keys).distinct
+    val bloomCols =
+      entries.flatMap(e => e.bloom.keys ++ e.strBloom.keys).distinct
+    if (overwrite)
+      ManifestTable.overwrite(session, aligned, path,
+        statsCols = statsCols)
+    else
+      ManifestTable.append(session, aligned, path, statsCols = statsCols,
+        bloomCols = bloomCols)
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM v WHERE <range>` → [[ManifestTable.deleteRange]]:
+  * only dirs whose stats overlap are rewritten. */
+final case class GraftManifestDeleteCommand(path: String, keyCol: String,
+    lo: Long, hi: Long) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    ManifestTable.deleteRange(session, path, keyCol, lo, hi)
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM v` (no WHERE): one atomic empty overwrite — the
+  * watermark survives, old snapshots remain until vacuum. */
+final case class GraftManifestFullDeleteCommand(path: String)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = ManifestTable.latestVersion(session, path).getOrElse(
+      sys.error(s"graft-manifest DELETE: no committed version at $path"))
+    val schema = ManifestTable.schemaOf(session, path, v).getOrElse(
+      sys.error(s"graft-manifest DELETE: no schema sidecar at $path"))
+    val empty = session.createDataFrame(
+      session.sparkContext.emptyRDD[Row], schema)
+    ManifestTable.overwrite(session, empty, path)
+    Seq.empty
+  }
+}
+
+/** A DELETE whose WHERE provably matches nothing: analysis-time no-op
+  * (kept as a command so EXPLAIN shows the decision). */
+final case class GraftManifestNoopCommand(why: String)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = Seq.empty
+}
+
+/** `MERGE INTO v USING src ON v.k = src.k WHEN MATCHED THEN UPDATE
+  * SET * WHEN NOT MATCHED THEN INSERT *` →
+  * [[ManifestTable.merge]]: copy-on-write upsert, one staged rewrite
+  * job over the touched dirs + one appended batch dir. */
+final case class GraftManifestMergeCommand(path: String, keyCol: String,
+    source: LogicalPlan) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val updates =
+      org.apache.spark.sql.GraftSqlBridge.ofRows(session, source)
+    ManifestTable.merge(session, updates, path, keyCol)
+    Seq.empty
+  }
+}

@@ -32,7 +32,7 @@ import org.apache.spark.sql.types.StructType
   * The snapshot is resolved at construction (immutable dirs + one
   * manifest read), so a relation, like every other manifest read,
   * keeps reading ITS snapshot no matter what commits afterwards. */
-final class ManifestFileIndex(spark: SparkSession, tablePath: String,
+final class ManifestFileIndex(spark: SparkSession, val tablePath: String,
     val version: Long) extends FileIndex {
 
   private val entries = ManifestTable.entriesOf(spark, tablePath, version)

@@ -1,0 +1,146 @@
+package graft
+
+import graft.sinks.ManifestTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** SQL DML on `graft-manifest` views (ManifestSqlRules): INSERT
+  * appends a manifest commit (never a raw file write into the data
+  * root), DELETE maps exactly onto the range-delete primitive or
+  * fails loudly, MERGE routes the whole-row upsert form.
+  */
+class ManifestDmlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("id").as[Long].collect().sorted.toSeq
+
+  private def register(t: String, name: String): Unit =
+    spark.read.format("graft-manifest").load(t)
+      .createOrReplaceTempView(name)
+
+  test("INSERT INTO a manifest view commits manifest versions, not raw files") {
+    val t = s"${Files.createTempDirectory("graft-dmlins")}/t"
+    ManifestTable.append(spark, Seq((1L, "a")).toDF("id", "s"), t,
+      statsCols = Seq("id"), bloomCols = Seq("id"))
+    register(t, "dml_ins")
+    spark.sql("INSERT INTO dml_ins VALUES (2, 'b'), (3, 'c')")
+    spark.sql("INSERT INTO dml_ins SELECT 10, 'd'")
+    // each INSERT is one committed version; positional ints were cast
+    // to the table's long column
+    assert(ManifestTable.versions(spark, t) == Seq(1L, 2L, 3L))
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L, 3L, 10L))
+    // the SQL-ingested commits INHERIT the table's stats/bloom
+    // discipline: they prune like API-ingested ones
+    val entries = ManifestTable.entriesOf(spark, t, 3L)
+    assert(entries.forall(e => e.statMin.contains("id") &&
+      e.bloom.contains("id")))
+    // and NO unreferenced debris was written into the data root (the
+    // raw HadoopFsRelation insert path would have dumped files there)
+    val dataRoot = new java.io.File(s"$t/data")
+    assert(dataRoot.listFiles().forall(_.isDirectory),
+      s"loose files in data root: ${dataRoot.listFiles().toSeq}")
+    assert(ManifestTable.read(spark, t).count() == 4)
+    // INSERT OVERWRITE replaces content atomically (old snapshots
+    // survive until vacuum)
+    spark.sql("INSERT OVERWRITE dml_ins VALUES (99, 'z')")
+    assert(ids(ManifestTable.read(spark, t)) == Seq(99L))
+    assert(ids(ManifestTable.readVersion(spark, t, 3L)) ==
+      Seq(1L, 2L, 3L, 10L))
+    // arity mismatch is loud, not silently padded
+    val ex = intercept[Exception] {
+      spark.sql("INSERT INTO dml_ins VALUES (7)")
+    }
+    def msgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(ex).exists(m => m.contains("column") ||
+      m.contains("INSERT")))
+  }
+
+  test("DELETE FROM maps exactly onto deleteRange; unsupported shapes are loud") {
+    val t = s"${Files.createTempDirectory("graft-dmldel")}/t"
+    ManifestTable.append(spark, Seq(1L, 5L).toDF("id"), t,
+      statsCols = Seq("id"))
+    ManifestTable.append(spark, Seq(10L, 15L).toDF("id"), t,
+      statsCols = Seq("id"))
+    ManifestTable.append(spark, Seq(20L, 25L).toDF("id"), t,
+      statsCols = Seq("id"))
+    register(t, "dml_del")
+    val before = ManifestTable.read(spark, t).inputFiles.toSet
+    spark.sql("DELETE FROM dml_del WHERE id BETWEEN 12 AND 22")
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 5L, 10L, 25L))
+    // only the overlapping dirs were rewritten: the first dir's files
+    // survive physically
+    val after = ManifestTable.read(spark, t).inputFiles.toSet
+    assert(after.intersect(before).nonEmpty)
+    // strict bounds normalize exactly on integers: id > 24 == id >= 25
+    spark.sql("DELETE FROM dml_del WHERE id > 24")
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 5L, 10L))
+    // point delete
+    spark.sql("DELETE FROM dml_del WHERE id = 5")
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 10L))
+    // a provably-empty range is a no-op (no new version)
+    val v0 = ManifestTable.latestVersion(spark, t).get
+    spark.sql("DELETE FROM dml_del WHERE id > 100 AND id < 50")
+    assert(ManifestTable.latestVersion(spark, t).get == v0)
+    // unsupported shapes fail LOUDLY — approximating a DELETE
+    // predicate deletes the wrong rows
+    def msgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    Seq(
+      "DELETE FROM dml_del WHERE id = 1 OR id = 10",
+      "DELETE FROM dml_del WHERE id + 1 = 2",
+      "DELETE FROM dml_del WHERE id IN (1, 10)"
+    ).foreach { stmt =>
+      val ex = intercept[Exception] { spark.sql(stmt) }
+      assert(msgs(ex).exists(_.contains("unsupported WHERE shape")),
+        s"$stmt should be rejected loudly")
+    }
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 10L))
+    // DELETE without WHERE empties the table atomically; schema and
+    // watermark survive
+    spark.sql("DELETE FROM dml_del")
+    val r = ManifestTable.read(spark, t)
+    assert(r.count() == 0 && r.columns.toSeq == Seq("id"))
+  }
+
+  test("MERGE INTO routes the whole-row upsert; other forms are loud") {
+    val t = s"${Files.createTempDirectory("graft-dmlmerge")}/t"
+    ManifestTable.append(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t, statsCols = Seq("id"))
+    ManifestTable.append(spark,
+      Seq((10L, "c")).toDF("id", "s"), t, statsCols = Seq("id"))
+    register(t, "dml_m")
+    Seq((2L, "B!"), (20L, "e")).toDF("id", "s")
+      .createOrReplaceTempView("dml_m_updates")
+    spark.sql(
+      """MERGE INTO dml_m t USING dml_m_updates u ON t.id = u.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(ManifestTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((1L, "a"), (2L, "B!"), (10L, "c"), (20L, "e")))
+    // a partial-column UPDATE has no manifest mapping: loud
+    def msgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val ex = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO dml_m t USING dml_m_updates u ON t.id = u.id
+          |WHEN MATCHED THEN UPDATE SET s = u.s""".stripMargin)
+    }
+    assert(msgs(ex).exists(_.contains("whole-row upsert")))
+    val ex2 = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO dml_m t USING dml_m_updates u
+          |ON t.id = u.id AND t.s = u.s
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(msgs(ex2).exists(_.contains("single key equality")))
+  }
+}
