@@ -84,7 +84,11 @@ object PlanDump {
     "q128_manifest_pruned_scan" ->
       "Manifest-stats dir pruning: readPruned keeps only commit dirs whose recorded doc_id min/max overlaps [10, 60] — ONE of the four ingest dirs enters the scan (pinned via inputFiles in ManifestTableSpec), decided from the manifest before any file listing; the pushed doc_id filter then prunes row groups inside it. Two pruning levels, one answer — the oracle is the plain filtered aggregate.",
     "q129_manifest_read_since" ->
-      "Incremental (CDC) read: the scan's paths are the latest snapshot's dirs MINUS the checkpointed version's — resolved from two manifest reads, so an incremental consumer's plan touches only the new commits' data. Dir-identity semantics (compaction resets them) are the documented drain-before-maintenance contract, spec-pinned.")
+      "Incremental (CDC) read: the scan's paths are the latest snapshot's dirs MINUS the checkpointed version's — resolved from two manifest reads, so an incremental consumer's plan touches only the new commits' data. Dir-identity semantics (compaction resets them) are the documented drain-before-maintenance contract, spec-pinned.",
+    "q136_manifest_string_bloom_lookup" ->
+      "String-keyed point lookup through SQL: the pushed `doc_key IN (...)` becomes a string point set the ManifestFileIndex probes against each dir's STRING Bloom filter (the recorded string bounds all span the interleaved domain — provably useless, ManifestSqlSpec pins it), so the FileScan plans a strict subset of commit dirs with zero data-tree listings (file list from the manifest's recorded per-dir lists). PushedFilters still carries the In predicate for row-group skipping inside the kept dirs.",
+    "q137_manifest_sql_dml" ->
+      "Read side of the SQL-DML-built table: a plain aggregate whose FileScan paths are the manifest snapshot produced by 3x INSERT INTO + MERGE INTO + DELETE FROM statements (each routed by graft.plans.ManifestSqlRules to a manifest primitive at resolution time — interception before Spark's raw-file insert path is what keeps this table consistent). The scan reads only dirs the post-DML manifest references: replaced and deleted rows' original dirs are absent by construction.")
 
   /** Captured with broadcast joins disabled: at 100 TB neither side
     * broadcasts, and the co-location evidence (zero exchange under the
