@@ -65,17 +65,18 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
   private def nameOf(e: Expression): Option[String] = e match {
     case a: AttributeReference => Some(a.name)
     case u: UnresolvedAttribute => Some(u.nameParts.last)
-    case c: Cast =>
+    // an UNRESOLVED cast child cannot report a dataType (it throws in
+    // Spark 4, it does not return NullType) — contribute nothing now;
+    // a later fixed-point pass sees it resolved, or the strict
+    // downstream checks reject the statement with their own message
+    case c: Cast if c.child.resolved =>
       val w = Seq(c.child.dataType, c.dataType).map {
         case org.apache.spark.sql.types.ByteType => Some(1)
         case org.apache.spark.sql.types.ShortType => Some(2)
         case org.apache.spark.sql.types.IntegerType => Some(4)
         case org.apache.spark.sql.types.LongType => Some(8)
-        case org.apache.spark.sql.types.NullType => Some(0) // unresolved child
         case _ => None
       }
-      // an unresolved child reports NullType; the cast is then decided
-      // after resolution on a later fixed-point pass
       w match {
         case Seq(Some(a), Some(b)) if b >= a => nameOf(c.child)
         case _ => None
@@ -279,7 +280,10 @@ final case class GraftManifestInsertCommand(path: String,
       sys.error(s"graft-manifest INSERT: no schema sidecar at $path"))
     // INSERT resolves by POSITION (the SQL default; byName for
     // `INSERT INTO ... BY NAME`), with store-assignment casts to the
-    // table's types — the same rule Spark applies to its own tables
+    // table's types — the same rule Spark applies to its own tables.
+    // Positional alignment renames to fresh names FIRST so a query
+    // with duplicate output names (legal in positional SQL:
+    // `SELECT doc_id, doc_id`) never hits an ambiguity error.
     val aligned =
       if (byName) df.select(schema.fields.map(f =>
         col(f.name).cast(f.dataType)).toSeq: _*)
@@ -287,19 +291,17 @@ final case class GraftManifestInsertCommand(path: String,
         require(df.columns.length == schema.fields.length,
           s"graft-manifest INSERT: query has ${df.columns.length} " +
             s"column(s), table $path has ${schema.fields.length}")
-        df.select(df.columns.zip(schema.fields).map { case (c, f) =>
-          col(c).cast(f.dataType).as(f.name)
-        }.toSeq: _*)
+        df.toDF(df.columns.indices.map(i => s"_graft_c$i"): _*)
+          .select(schema.fields.zipWithIndex.map { case (f, i) =>
+            col(s"_graft_c$i").cast(f.dataType).as(f.name)
+          }.toSeq: _*)
       }
-    // inherit the table's pruning discipline from its current entries
-    val entries = ManifestTable.entriesOf(session, path, v)
-    val statsCols =
-      entries.flatMap(e => e.statMin.keys ++ e.strMin.keys).distinct
-    val bloomCols =
-      entries.flatMap(e => e.bloom.keys ++ e.strBloom.keys).distinct
+    // inherit the table's persisted pruning discipline (survives
+    // overwrites and full deletes, unlike entry-derived key unions)
+    val (statsCols, bloomCols) = ManifestTable.pruningOf(session, path, v)
     if (overwrite)
       ManifestTable.overwrite(session, aligned, path,
-        statsCols = statsCols)
+        statsCols = statsCols, bloomCols = bloomCols)
     else
       ManifestTable.append(session, aligned, path, statsCols = statsCols,
         bloomCols = bloomCols)
@@ -328,7 +330,11 @@ final case class GraftManifestFullDeleteCommand(path: String)
       sys.error(s"graft-manifest DELETE: no schema sidecar at $path"))
     val empty = session.createDataFrame(
       session.sparkContext.emptyRDD[Row], schema)
-    ManifestTable.overwrite(session, empty, path)
+    // carry the pruning discipline through the emptying overwrite so
+    // later SQL INSERTs keep recording stats/filters
+    val (statsCols, bloomCols) = ManifestTable.pruningOf(session, path, v)
+    ManifestTable.overwrite(session, empty, path, statsCols = statsCols,
+      bloomCols = bloomCols)
     Seq.empty
   }
 }
@@ -351,7 +357,14 @@ final case class GraftManifestMergeCommand(path: String, keyCol: String,
   override def run(session: SparkSession): Seq[Row] = {
     val updates =
       org.apache.spark.sql.GraftSqlBridge.ofRows(session, source)
-    ManifestTable.merge(session, updates, path, keyCol)
+    // the merged-in batch dir keeps the table's pruning discipline —
+    // without this, every SQL MERGE would leave one filter-less dir
+    // that point lookups conservatively read forever
+    val v = ManifestTable.latestVersion(session, path).getOrElse(
+      sys.error(s"graft-manifest MERGE: no committed version at $path"))
+    val (statsCols, bloomCols) = ManifestTable.pruningOf(session, path, v)
+    ManifestTable.merge(session, updates, path, keyCol,
+      statsCols = statsCols, bloomCols = bloomCols)
     Seq.empty
   }
 }

@@ -306,6 +306,39 @@ object ManifestTable {
       s"$path/manifest/${vName(v)}/_graft_maxtag")).map(_.trim.toLong)
   }
 
+  /** The table's PRUNING DISCIPLINE — which columns get min/max stats
+    * and which get Bloom filters on each commit — persisted as a
+    * sidecar riding the atomic rename. Why table-level and not
+    * derived from entries: an `INSERT OVERWRITE` or a full delete
+    * leaves entries with empty stat maps (an empty dir records
+    * nothing), and deriving the discipline from them would silently
+    * erase it for the table's lifetime — every later SQL-ingested
+    * commit would stop recording filters. Maintenance ops carry the
+    * previous version's discipline forward. Returns (statsCols,
+    * bloomCols); pre-sidecar versions fall back to the union of the
+    * entries' recorded keys (correct whenever any data survives). */
+  def pruningOf(spark: SparkSession, path: String,
+      v: Long): (Seq[String], Seq[String]) = {
+    val (fs, _) = fsOf(spark, path)
+    readSideFile(fs, new org.apache.hadoop.fs.Path(
+      s"$path/manifest/${vName(v)}/_graft_pruning")) match {
+      case Some(body) =>
+        val m = body.linesIterator.map(_.split("=", 2)).collect {
+          case Array(k, vs) => k -> vs.split(",").filter(_.nonEmpty).toSeq
+        }.toMap
+        (m.getOrElse("stats", Nil), m.getOrElse("bloom", Nil))
+      case None =>
+        val entries = entriesOf(spark, path, v)
+        (entries.flatMap(e => e.statMin.keys ++ e.strMin.keys).distinct,
+          entries.flatMap(e => e.bloom.keys ++ e.strBloom.keys).distinct)
+    }
+  }
+
+  private def pruningBody(statsCols: Seq[String],
+      bloomCols: Seq[String]): String =
+    s"stats=${statsCols.distinct.mkString(",")}\n" +
+      s"bloom=${bloomCols.distinct.mkString(",")}\n"
+
   /** The ONE read path for a dir selection: skips file-less dirs
     * (empty-batch commits write dirs Spark cannot infer a schema
     * from), and when the selection is empty (or all file-less)
@@ -546,8 +579,11 @@ object ManifestTable {
     val entry = writeDirEntry(spark, df, path, v, tag, statsCols,
       bloomCols)
     val prevTag = prevTagOf(spark, path, prev, prevEntries)
+    val (pStats, pBloom) = prev.map(pruningOf(spark, path, _))
+      .getOrElse((Nil, Nil))
     commit(spark, path, v, prevEntries :+ entry, schema,
-      math.max(prevTag, tag))
+      math.max(prevTag, tag),
+      ((pStats ++ statsCols).distinct, (pBloom ++ bloomCols).distinct))
     v
   }
 
@@ -572,14 +608,15 @@ object ManifestTable {
         // steadily climbing reap count means loser attempt dirs are
         // being created at ingest rate — the symptom of a violated
         // single-writer contract, invisible otherwise because vacuum
-        // quietly cleans up after it
-        vacuum(spark, path, keepVersions, tag = batchId)
-        lastVacuumReport.foreach(r =>
-          org.slf4j.LoggerFactory.getLogger(getClass).info(
-            s"ManifestTable.vacuum cadence at ${r.path} " +
-              s"batch=${r.batchTag}: dropped ${r.manifestsDropped} " +
-              s"manifest(s), reaped ${r.dirsReaped} data dir(s) " +
-              s"(${r.bytesReaped} bytes)"))
+        // quietly cleans up after it. Logged from THIS call's return
+        // value (never the JVM-global last-report, which a concurrent
+        // stream's vacuum could have overwritten in between).
+        val r = vacuumDetailed(spark, path, keepVersions, tag = batchId)
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"ManifestTable.vacuum cadence at ${r.path} " +
+            s"batch=${r.batchTag}: dropped ${r.manifestsDropped} " +
+            s"manifest(s), reaped ${r.dirsReaped} data dir(s) " +
+            s"(${r.bytesReaped} bytes)")
       }
     }
     fresh
@@ -616,13 +653,16 @@ object ManifestTable {
     * new data, which is what an overwrite means. Returns the
     * committed version. */
   def overwrite(spark: SparkSession, df: DataFrame, path: String,
-      tag: Long = -1L, statsCols: Seq[String] = Nil): Long = {
+      tag: Long = -1L, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long = {
     val prev = latestVersion(spark, path)
     val v = prev.map(_ + 1).getOrElse(1L)
-    val entry = writeDirEntry(spark, df, path, v, tag, statsCols)
+    val entry = writeDirEntry(spark, df, path, v, tag, statsCols,
+      bloomCols)
     val prevTag = prevTagOf(spark, path, prev,
       prev.map(pv => entriesOf(spark, path, pv)).getOrElse(Seq.empty))
-    commit(spark, path, v, Seq(entry), df.schema, math.max(prevTag, tag))
+    commit(spark, path, v, Seq(entry), df.schema, math.max(prevTag, tag),
+      (statsCols, bloomCols))
     v
   }
 
@@ -632,7 +672,8 @@ object ManifestTable {
     * Package-visible so the concurrency spec can drive a losing
     * commit attempt directly. */
   private[graft] def commit(spark: SparkSession, path: String, v: Long,
-      entries: Seq[Entry], schema: StructType, maxTag: Long): Unit = {
+      entries: Seq[Entry], schema: StructType, maxTag: Long,
+      pruning: (Seq[String], Seq[String]) = (Nil, Nil)): Unit = {
     import spark.implicits._
     val (fs, _) = fsOf(spark, path)
     val mDir = new org.apache.hadoop.fs.Path(s"$path/manifest")
@@ -666,6 +707,8 @@ object ManifestTable {
       tmp, "_graft_schema.json"), schema.json)
     writeSideFile(fs, new org.apache.hadoop.fs.Path(
       tmp, "_graft_maxtag"), maxTag.toString)
+    writeSideFile(fs, new org.apache.hadoop.fs.Path(
+      tmp, "_graft_pruning"), pruningBody(pruning._1, pruning._2))
     // the attempt id closes the exists-then-rename race on
     // filesystems where rename(src, existing-dir) moves src INSIDE
     // the destination (HDFS semantics): there the loser's rename
@@ -861,7 +904,8 @@ object ManifestTable {
       sMins, sMaxes, files = Some(listDataFilesOf(fs, dataDir)))
     val prevTag = maxTagOf(spark, path, prev).getOrElse(
       entries.map(_.tag).foldLeft(-1L)(math.max))
-    commit(spark, path, v, Seq(merged), schema, prevTag)
+    commit(spark, path, v, Seq(merged), schema, prevTag,
+      pruningOf(spark, path, prev))
     v
   }
 
@@ -1034,7 +1078,8 @@ object ManifestTable {
     }
     val prevTag = maxTagOf(spark, path, prev).getOrElse(
       entries.map(_.tag).foldLeft(-1L)(math.max))
-    commit(spark, path, v, keep ++ rewritten, schema, prevTag)
+    commit(spark, path, v, keep ++ rewritten, schema, prevTag,
+      pruningOf(spark, path, prev))
     (v, touch.size)
   }
 
@@ -1069,6 +1114,11 @@ object ManifestTable {
         s"ManifestTable.cluster: '$statsCol' is " +
           s"${f.dataType.catalogString}, not an integral type")
     }
+    // same reserved-name rule as merge's _graft_src: a real column
+    // named _graft_bucket would be overwritten then stripped
+    require(!schema.fieldNames.contains("_graft_bucket"),
+      "ManifestTable.cluster: column name '_graft_bucket' is reserved " +
+        "for rewrite staging — rename the column")
     val current = spark.read.schema(schema)
       .parquet(readable.map(e => s"$path/data/${e.dir}"): _*)
     // quantile bucket bounds -> balanced dirs under any skew; the
@@ -1107,8 +1157,10 @@ object ManifestTable {
           files = Some(listDataFilesOf(fs, s"$path/data/$dirName")))
       }.toSeq
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    val (pStats, pBloom) = pruningOf(spark, path, prev)
     commit(spark, path, v, newEntries, schema,
-      prevTagOf(spark, path, Some(prev), entries))
+      prevTagOf(spark, path, Some(prev), entries),
+      ((pStats ++ statsCols :+ statsCol).distinct, pBloom))
     v
   }
 
@@ -1140,7 +1192,8 @@ object ManifestTable {
     * fail loudly. Returns (new version, dirs rewritten). */
   def merge(spark: SparkSession, updates: DataFrame, path: String,
       keyCol: String, statsCols: Seq[String] = Nil,
-      maxBroadcastKeys: Long = 4000000L): (Long, Int) = {
+      maxBroadcastKeys: Long = 4000000L,
+      bloomCols: Seq[String] = Nil): (Long, Int) = {
     val (fs, _) = fsOf(spark, path)
     val prev = latestVersion(spark, path).getOrElse(
       sys.error(s"ManifestTable.merge: no committed version at $path"))
@@ -1179,9 +1232,12 @@ object ManifestTable {
     require(dupKeys.isEmpty,
       s"ManifestTable.merge: updates carry duplicate key " +
         s"${dupKeys.headOption.map(_.get(0))} — no defined winner")
+    // one aggregate serves the key envelope AND the broadcast-guard
+    // row count (no separate count job)
     val range = batch.agg(min(col(keyCol).cast("long")),
-      max(col(keyCol).cast("long"))).head()
-    val (lo, hi) = (range.getLong(0), range.getLong(1))
+      max(col(keyCol).cast("long")), count(lit(1))).head()
+    val (lo, hi, nKeys) =
+      (range.getLong(0), range.getLong(1), range.getLong(2))
     // two-stage pruning: the batch's key ENVELOPE cuts candidates
     // from the manifest alone, then one tiny aggregate pass over the
     // batch tests each candidate dir's exact range — a batch touching
@@ -1216,7 +1272,6 @@ object ManifestTable {
     // executor (and the driver) just because someone called merge with
     // it — past the threshold the anti-join falls back to a plain
     // shuffle join, correct at any size
-    val nKeys = batch.count()
     val probe =
       if (nKeys <= maxBroadcastKeys) broadcast(keys) else keys
     // ONE job rewrites every touched dir: union the touched dirs
@@ -1229,6 +1284,12 @@ object ManifestTable {
     // job round-trips for the same bytes.
     val rewritten: Seq[Entry] = if (touch.isEmpty) Seq.empty else {
       val srcCol = "_graft_src" // reserved staging column, like _graft_bucket
+      // a real table column by that name would be OVERWRITTEN by the
+      // tag and then STRIPPED by partitionBy — silent data loss in
+      // every rewritten dir; refuse up front
+      require(!schema.fieldNames.contains(srcCol),
+        s"ManifestTable.merge: column name '$srcCol' is reserved for " +
+          "rewrite staging — rename the column")
       val tagged = touch.zipWithIndex.map { case (e, i) =>
         spark.read.schema(schema).parquet(s"$path/data/${e.dir}")
           .withColumn(srcCol, lit(i))
@@ -1273,9 +1334,12 @@ object ManifestTable {
       out
     }
     val inserted = writeDirEntry(spark, batch, path, v, -1L,
-      (statsCols :+ keyCol).distinct)
+      (statsCols :+ keyCol).distinct, bloomCols)
+    val (pStats, pBloom) = pruningOf(spark, path, prev)
     commit(spark, path, v, keep ++ rewritten :+ inserted, schema,
-      prevTagOf(spark, path, Some(prev), entries))
+      prevTagOf(spark, path, Some(prev), entries),
+      ((pStats ++ statsCols :+ keyCol).distinct,
+        (pBloom ++ bloomCols).distinct))
     (v, touch.size)
   }
 
@@ -1288,6 +1352,15 @@ object ManifestTable {
     * ONE explicit knob. */
   def vacuum(spark: SparkSession, path: String,
       keepVersions: Int = 1, tag: Long = -1L): (Int, Int) = {
+    val r = vacuumDetailed(spark, path, keepVersions, tag)
+    (r.manifestsDropped, r.dirsReaped)
+  }
+
+  /** [[vacuum]] returning the full reap accounting — callers that
+    * report (the sinks' cadence logging) use this return value
+    * directly, not the racy JVM-global convenience below. */
+  def vacuumDetailed(spark: SparkSession, path: String,
+      keepVersions: Int = 1, tag: Long = -1L): VacuumReport = {
     require(keepVersions >= 1, "vacuum: must keep at least one version")
     val (fs, _) = fsOf(spark, path)
     val vs = versions(spark, path)
@@ -1309,8 +1382,9 @@ object ManifestTable {
         }
         !keepIt
       }
-    lastVacuum.set(Some(VacuumReport(path, tag, drop.size, removed, bytes)))
-    (drop.size, removed)
+    val report = VacuumReport(path, tag, drop.size, removed, bytes)
+    lastVacuum.set(Some(report))
+    report
   }
 
   /** One vacuum's reap accounting — what the streaming sinks' cadence

@@ -53,20 +53,16 @@ final class ManifestFileIndex(spark: SparkSession, val tablePath: String,
   private val filesByDir: Seq[(ManifestTable.Entry,
       Seq[org.apache.hadoop.fs.FileStatus])] =
     entries.map { e =>
-      val fsz = e.files match {
-        case Some(m) => m.toSeq.sortBy(_._1).map { case (name, len) =>
-          new org.apache.hadoop.fs.FileStatus(len, false, 1, 128L << 20,
-            0L, new org.apache.hadoop.fs.Path(
-              s"$tablePath/data/${e.dir}/$name"))
-        }
-        case None => // pre-upgrade entry: one (counted) listing
-          ManifestTable.dataListings.incrementAndGet()
-          val p = new org.apache.hadoop.fs.Path(s"$tablePath/data/${e.dir}")
-          if (!fs.exists(p)) Seq.empty
-          else fs.listStatus(p).toSeq.filter { st =>
-            val n = st.getPath.getName
-            st.isFile && !n.startsWith("_") && !n.startsWith(".")
-          }
+      // pre-upgrade entries fall back to the ONE shared data-file
+      // listing helper (same filter predicate as every other consumer,
+      // same probe counter), then both branches build FileStatus the
+      // same way
+      val named = e.files.getOrElse(
+        ManifestTable.listDataFilesOf(fs, s"$tablePath/data/${e.dir}"))
+      val fsz = named.toSeq.sortBy(_._1).map { case (name, len) =>
+        new org.apache.hadoop.fs.FileStatus(len, false, 1, 128L << 20,
+          0L, new org.apache.hadoop.fs.Path(
+            s"$tablePath/data/${e.dir}/$name"))
       }
       (e, fsz)
     }

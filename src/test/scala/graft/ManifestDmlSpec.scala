@@ -108,6 +108,53 @@ class ManifestDmlSpec extends AnyFunSuite {
     assert(r.count() == 0 && r.columns.toSeq == Seq("id"))
   }
 
+  test("pruning discipline survives SQL DML: overwrite, full delete, merge") {
+    val t = s"${Files.createTempDirectory("graft-dmldisc")}/t"
+    ManifestTable.append(spark, Seq((1L, "k-1")).toDF("id", "k"), t,
+      statsCols = Seq("id", "k"), bloomCols = Seq("id", "k"))
+    register(t, "dml_disc")
+    def latestEntries() = ManifestTable.entriesOf(spark, t,
+      ManifestTable.latestVersion(spark, t).get)
+    def disciplined(e: ManifestTable.Entry): Boolean =
+      e.statMin.contains("id") && e.strMin.contains("k") &&
+        e.bloom.contains("id") && e.strBloom.contains("k")
+    // INSERT OVERWRITE keeps the discipline on its own commit...
+    spark.sql("INSERT OVERWRITE dml_disc VALUES (2, 'k-2')")
+    assert(latestEntries().forall(disciplined))
+    // ...and later INSERTs still inherit it (the sidecar, not the
+    // possibly-bare entries, is the source of truth)
+    spark.sql("INSERT INTO dml_disc VALUES (3, 'k-3')")
+    assert(latestEntries().forall(disciplined))
+    // a FULL delete empties the table but must not erase the
+    // discipline for the table's remaining lifetime
+    spark.sql("DELETE FROM dml_disc")
+    spark.sql("INSERT INTO dml_disc VALUES (4, 'k-4')")
+    // the emptying overwrite's own dir has zero rows (nothing to
+    // stat); the post-emptying INSERT's dir must still be disciplined
+    assert(latestEntries().exists(e => disciplined(e) &&
+      e.statMin.get("id").contains(4L)),
+      s"post-emptying inserts lost discipline: ${latestEntries()}")
+    // a SQL MERGE's batch dir records filters too — without it every
+    // merge would leave one filter-less dir point lookups read forever
+    Seq((4L, "K-4!"), (9L, "k-9")).toDF("id", "k")
+      .createOrReplaceTempView("dml_disc_up")
+    spark.sql(
+      """MERGE INTO dml_disc t USING dml_disc_up u ON t.id = u.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(latestEntries().exists(e => disciplined(e) &&
+      e.statMin.get("id").contains(4L) &&
+      e.statMax.get("id").contains(9L)),
+      s"merge batch dir lost discipline: ${latestEntries()}")
+    // duplicate output names are legal in positional INSERT
+    val t2 = s"${Files.createTempDirectory("graft-dmldup")}/t"
+    ManifestTable.append(spark, Seq((1L, "x")).toDF("a", "b"), t2)
+    spark.read.format("graft-manifest").load(t2)
+      .createOrReplaceTempView("dml_dup")
+    spark.sql("INSERT INTO dml_dup SELECT id, id FROM (SELECT 4 AS id)")
+    assert(ManifestTable.read(spark, t2).count() == 2)
+  }
+
   test("MERGE INTO routes the whole-row upsert; other forms are loud") {
     val t = s"${Files.createTempDirectory("graft-dmlmerge")}/t"
     ManifestTable.append(spark,

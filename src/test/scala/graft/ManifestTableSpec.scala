@@ -637,6 +637,27 @@ class ManifestTableSpec extends AnyFunSuite {
     }
   }
 
+  test("staging column names are reserved: merge and cluster refuse them loudly") {
+    // a real column named _graft_src would be overwritten by the
+    // rewrite tag and stripped by partitionBy — silent nulls in every
+    // rewritten dir; same for cluster's _graft_bucket
+    val t = s"${Files.createTempDirectory("graft-manifestresv")}/t"
+    ManifestTable.append(spark,
+      Seq((1L, "x")).toDF("id", "_graft_src"), t, statsCols = Seq("id"))
+    val ex = intercept[IllegalArgumentException] {
+      ManifestTable.merge(spark,
+        Seq((1L, "y")).toDF("id", "_graft_src"), t, "id")
+    }
+    assert(ex.getMessage.contains("reserved"))
+    val t2 = s"${Files.createTempDirectory("graft-manifestresv2")}/t"
+    ManifestTable.append(spark,
+      Seq((1L, "x")).toDF("id", "_graft_bucket"), t2)
+    val ex2 = intercept[IllegalArgumentException] {
+      ManifestTable.cluster(spark, t2, "id", 2)
+    }
+    assert(ex2.getMessage.contains("reserved"))
+  }
+
   test("string blooms prune string point lookups; never a false negative") {
     val t = s"${Files.createTempDirectory("graft-manifeststrbloom")}/t"
     // interleaved string keys: bounds span the domain, blooms prune
