@@ -23,7 +23,7 @@ object LayoutQueries {
 
   /** Bumped on any layout-building change — stale /tmp layouts then
     * auto-invalidate (same contract as [[graft.vector.AnnVersion]]). */
-  private val LayoutVersion = 8 // r11: manifest file lists + staged merge + string-keyed blooms
+  private val LayoutVersion = 9 // r11: file lists + staged merge + string blooms + z-sorted cluster rewrite
 
   private def datasetKey(d: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
@@ -408,6 +408,35 @@ object LayoutQueries {
           statsCols = Seq("doc_id"))
       }
       graft.sinks.ManifestTable.cluster(s, path, "doc_id", 4)
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
+  /** Documents ingested arrival-ordered (4 commits by doc_id mod 4 —
+    * both doc_id AND n_chars stats vacuous), then rewritten by
+    * [[graft.sinks.ManifestTable.clusterZ]] into 16 Z-ordered dirs on
+    * (doc_id, n_chars): each dir tiles a near-square patch of the 2-D
+    * key space, so a range predicate on EITHER column prunes dirs
+    * from the manifest alone — the OPTIMIZE ZORDER BY maintenance
+    * shape for a table with two independent hot filter columns, where
+    * single-axis clustering serves only its lead column. Built once
+    * per dataset behind the usual marker. */
+  def ensureZClusteredManifest(s: SparkSession, d: String): String = {
+    val path = s"${layoutRoot(d)}/docs_manifest_zclustered"
+    val docs = Tables.documents(s, d)
+    val n = docs.count()
+    val expect = s"layout=$LayoutVersion manifest=mod4+zcluster16 rows=$n"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      (0 until 4).foreach { i =>
+        graft.sinks.ManifestTable.append(s,
+          docs.filter(pmod(col("doc_id"), lit(4)) === i), path,
+          statsCols = Seq("doc_id", "n_chars"))
+      }
+      graft.sinks.ManifestTable.clusterZ(s, path, "doc_id", "n_chars", 16)
       ArtifactCache.stamp(path, expect)
     }
     path
@@ -1125,6 +1154,33 @@ object LayoutQueries {
         """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
           |  CAST(SUM(n_chars) AS BIGINT) AS chars
           |FROM documents_manifest_sqldml
+          |GROUP BY lang
+          |ORDER BY lang""".stripMargin)
+    },
+
+    // ---- OPTIMIZE ZORDER BY at manifest-dir granularity: the table
+    //      is Z-cluster-rewritten on (doc_id, n_chars), so this
+    //      SECOND-axis range query (n_chars — the column a
+    //      single-axis doc_id cluster could never prune) plans a
+    //      strict subset of dirs from the manifest stats alone
+    //      (ManifestSqlSpec pins numFiles on BOTH axes). The rewrite
+    //      must never change the answer: the oracle is the plain
+    //      filtered aggregate. ----
+    GraftQuery("q138_manifest_zorder_cluster",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents
+        |WHERE n_chars BETWEEN 200 AND 250
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (s, d) =>
+      val path = ensureZClusteredManifest(s, d)
+      s.read.format("graft-manifest").load(path)
+        .createOrReplaceTempView("documents_manifest_zclustered")
+      s.sql(
+        """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+          |FROM documents_manifest_zclustered
+          |WHERE n_chars BETWEEN 200 AND 250
           |GROUP BY lang
           |ORDER BY lang""".stripMargin)
     },

@@ -1099,48 +1099,96 @@ object ManifestTable {
     * filter's job). Returns the new version; a table with no
     * readable data is a no-op. */
   def cluster(spark: SparkSession, path: String, statsCol: String,
-      nDirs: Int, statsCols: Seq[String] = Nil): Long = {
-    require(nDirs >= 1, "cluster: nDirs must be >= 1")
+      nDirs: Int, statsCols: Seq[String] = Nil): Long =
+    clusterOn(spark, path, "cluster", nDirs, Seq(statsCol), statsCols,
+      _ => col(statsCol).cast("long"))
+
+  /** OPTIMIZE ZORDER BY: rewrite the CURRENT snapshot into `nDirs`
+    * data dirs clustered on the Morton interleave of TWO integral
+    * columns ([[graft.expressions.ZOrderValue]]) — each dir then
+    * covers a near-square tile of the 2-D key space (~1/sqrt(nDirs)
+    * of EACH column's range), so a selective range predicate on
+    * EITHER column prunes dirs from the manifest stats alone, where
+    * [[cluster]]'s single-axis sort serves only its lead column. The
+    * 2-D twin of the q121 file layout, lifted to manifest-dir
+    * granularity: dir-level pruning from one metadata read FIRST,
+    * parquet row-group skipping inside the kept dirs second (rows are
+    * also z-sorted within each dir). Same commit/provenance/vacuum
+    * semantics as [[cluster]]. Null keys interleave as 0 on the null
+    * axis — they land in a low tile whose recorded stats stay correct
+    * (null never contributes to min/max). */
+  def clusterZ(spark: SparkSession, path: String, colA: String,
+      colB: String, nDirs: Int, statsCols: Seq[String] = Nil): Long =
+    clusterOn(spark, path, "clusterZ", nDirs, Seq(colA, colB), statsCols,
+      { current =>
+        // fix the Z grid from the table's global per-column ranges
+        val r = current.agg(
+          min(col(colA).cast("long")), max(col(colA).cast("long")),
+          min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
+        def lv(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+        org.apache.spark.sql.GraftSqlBridge.column(
+          graft.expressions.ZOrderValue(
+            org.apache.spark.sql.GraftSqlBridge.expression(
+              coalesce(col(colA).cast("long"), lit(lv(0)))),
+            org.apache.spark.sql.GraftSqlBridge.expression(
+              coalesce(col(colB).cast("long"), lit(lv(2)))),
+            lv(0), lv(1), lv(2), lv(3)))
+      })
+
+  /** The shared clustered-rewrite engine behind [[cluster]] (1-D
+    * range) and [[clusterZ]] (2-D Morton): bucket the current
+    * snapshot by quantiles of a LONG-valued clustering key, stage
+    * with partitionBy (rows z/key-sorted within each staged dir, so
+    * parquet footer pruning composes with the dir-level prune),
+    * promote each staged dir by rename, re-stat, commit with full
+    * provenance and the carried pruning discipline. */
+  private def clusterOn(spark: SparkSession, path: String, op: String,
+      nDirs: Int, keyCols: Seq[String], statsCols: Seq[String],
+      orderOf: DataFrame => org.apache.spark.sql.Column): Long = {
+    require(nDirs >= 1, s"$op: nDirs must be >= 1")
     val (fs, _) = fsOf(spark, path)
     val prev = latestVersion(spark, path).getOrElse(
-      sys.error(s"ManifestTable.cluster: no committed version at $path"))
+      sys.error(s"ManifestTable.$op: no committed version at $path"))
     val entries = entriesOf(spark, path, prev)
     val readable = entries.filter(e =>
       e.hasData(fs, s"$path/data/${e.dir}"))
     if (readable.isEmpty) return prev
     val schema = tableSchema(spark, path, prev, entries)
-    schema.fields.find(_.name == statsCol).foreach { f =>
+    keyCols.foreach(kc => schema.fields.find(_.name == kc).foreach { f =>
       require(isIntegral(f.dataType),
-        s"ManifestTable.cluster: '$statsCol' is " +
+        s"ManifestTable.$op: '$kc' is " +
           s"${f.dataType.catalogString}, not an integral type")
-    }
+    })
     // same reserved-name rule as merge's _graft_src: a real column
-    // named _graft_bucket would be overwritten then stripped
-    require(!schema.fieldNames.contains("_graft_bucket"),
-      "ManifestTable.cluster: column name '_graft_bucket' is reserved " +
-        "for rewrite staging — rename the column")
+    // named like the staging columns would be overwritten then stripped
+    Seq("_graft_bucket", "_graft_z").foreach(rc =>
+      require(!schema.fieldNames.contains(rc),
+        s"ManifestTable.$op: column name '$rc' is reserved for " +
+          "rewrite staging — rename the column"))
     val current = spark.read.schema(schema)
       .parquet(readable.map(e => s"$path/data/${e.dir}"): _*)
+    val withZ = current.withColumn("_graft_z", orderOf(current))
     // quantile bucket bounds -> balanced dirs under any skew; the
     // bucket column drives partitionBy into per-bucket staging dirs
     // and is dropped from the data files by partitionBy itself
     val bounds =
       if (nDirs == 1) Array.empty[Double]
-      else current.stat.approxQuantile(statsCol,
+      else withZ.stat.approxQuantile("_graft_z",
         (1 until nDirs).map(_.toDouble / nDirs).toArray, 0.001)
     val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col(statsCol).cast("long") >= lit(b.toLong), 1)
-        .otherwise(0)
+      acc + when(col("_graft_z") >= lit(b.toLong), 1).otherwise(0)
     }
     val v = prev + 1
     val staging = s"$path/data/.cluster-${attemptDirName(v)}"
-    current.withColumn("_graft_bucket", coalesce(bucket, lit(0)))
+    withZ.withColumn("_graft_bucket", coalesce(bucket, lit(0)))
       .repartition(col("_graft_bucket"))
+      .sortWithinPartitions("_graft_z")
+      .drop("_graft_z")
       .write.partitionBy("_graft_bucket")
       .mode("overwrite").parquet(staging)
     // promote each staged bucket dir to a first-class data dir
     val tag = readable.map(_.tag).foldLeft(-1L)(math.max)
-    val statCols = ((statsCols :+ statsCol) ++
+    val statCols = ((statsCols ++ keyCols) ++
       readable.flatMap(e => e.statMin.keys ++ e.strMin.keys)).distinct
     val newEntries = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
       .filter(_.getPath.getName.startsWith("_graft_bucket="))
@@ -1149,7 +1197,7 @@ object ManifestTable {
         val dirName = attemptDirName(v)
         require(fs.rename(st.getPath,
           new org.apache.hadoop.fs.Path(s"$path/data/$dirName")),
-          s"ManifestTable.cluster: could not promote ${st.getPath}")
+          s"ManifestTable.$op: could not promote ${st.getPath}")
         val (mins, maxes, sMins, sMaxes) =
           statsOf(spark, s"$path/data/$dirName", statCols)
         Entry(dirName, tag, mins, maxes, readable.map(_.dir),
@@ -1160,7 +1208,7 @@ object ManifestTable {
     val (pStats, pBloom) = pruningOf(spark, path, prev)
     commit(spark, path, v, newEntries, schema,
       prevTagOf(spark, path, Some(prev), entries),
-      ((pStats ++ statsCols :+ statsCol).distinct, pBloom))
+      ((pStats ++ statsCols ++ keyCols).distinct, pBloom))
     v
   }
 

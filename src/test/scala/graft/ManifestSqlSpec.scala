@@ -180,6 +180,39 @@ class ManifestSqlSpec extends AnyFunSuite {
     assert(q136 == plain && q136.nonEmpty)
   }
 
+  test("q138: Z-cluster rewrite makes BOTH axes prunable from manifest stats") {
+    val d = "/root/testdata/sf0.001"
+    val path = operators.LayoutQueries.ensureZClusteredManifest(spark, d)
+    val all = ManifestTable.read(spark, path).inputFiles.length
+    // axis 1 (doc_id): a selective range plans a strict subset of dirs
+    val byId = spark.read.format("graft-manifest").load(path)
+      .filter(col("doc_id").between(10, 60)).select("doc_id", "lang")
+    byId.collect()
+    assert(scanOf(byId).metrics("numFiles").value < all,
+      s"doc_id axis unpruned: ${scanOf(byId).metrics("numFiles").value}" +
+        s" of $all files")
+    // axis 2 (n_chars): the axis a single-column cluster cannot serve
+    val byChars = spark.read.format("graft-manifest").load(path)
+      .filter(col("n_chars").between(200, 250)).select("doc_id", "lang")
+    byChars.collect()
+    assert(scanOf(byChars).metrics("numFiles").value < all,
+      s"n_chars axis unpruned: " +
+        s"${scanOf(byChars).metrics("numFiles").value} of $all files")
+    // the registered query matches the plain table
+    val q138 = operators.LayoutQueries.all
+      .find(_.name == "q138_manifest_zorder_cluster").get
+      .run(spark, d).collect().map(_.toString).toSeq
+    val plain = Tables.documents(spark, d)
+      .filter(col("n_chars").between(200, 250))
+      .groupBy("lang")
+      .agg(org.apache.spark.sql.functions.count(lit(1))
+        .cast("long").as("n"),
+        org.apache.spark.sql.functions.sum(col("doc_id"))
+          .cast("long").as("id_sum"))
+      .orderBy("lang").collect().map(_.toString).toSeq
+    assert(q138 == plain && q138.nonEmpty)
+  }
+
   test("planning is metadata-only: relation + pruned scan issue zero data-dir listings") {
     val t = s"${Files.createTempDirectory("graft-mfmeta")}/t"
     // a modern table: every entry records its file list at commit

@@ -740,6 +740,40 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("integral"))
   }
 
+  test("clusterZ tiles two axes; content, watermark, and CDC unchanged") {
+    val t = s"${Files.createTempDirectory("graft-manifestzc")}/t"
+    // 2-D key space (x in 0..15, y reversed) ingested interleaved so
+    // neither axis is prunable pre-rewrite
+    val rows = (0L until 16L).map(x => (x, 15L - x))
+    (0 until 4).foreach(i => ManifestTable.append(spark,
+      rows.filter(_._1 % 4 == i).toDF("x", "y"), t,
+      tag = i.toLong, statsCols = Seq("x", "y")))
+    def nDirs(df: org.apache.spark.sql.DataFrame): Int =
+      df.inputFiles.map(_.split('/').dropRight(1).last).distinct.length
+    assert(nDirs(ManifestTable.readPruned(spark, t, "x", 0L, 3L)) == 4)
+    assert(nDirs(ManifestTable.readPruned(spark, t, "y", 0L, 3L)) == 4)
+    val v = ManifestTable.clusterZ(spark, t, "x", "y", 4)
+    // content identical, both axes now prune to a strict subset
+    assert(ManifestTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      rows.sorted)
+    assert(nDirs(ManifestTable.readPruned(spark, t, "x", 0L, 3L)) < 4)
+    assert(nDirs(ManifestTable.readPruned(spark, t, "y", 0L, 3L)) < 4)
+    // watermark survives; drained CDC consumers see nothing new
+    assert(ManifestTable.latestTag(spark, t) == 3L)
+    assert(ManifestTable.readSince(spark, t, 4L).count() == 0)
+    ManifestTable.append(spark, Seq((99L, 99L)).toDF("x", "y"), t)
+    assert(ManifestTable.readSince(spark, t, v)
+      .select("x").as[Long].collect().toSeq == Seq(99L))
+    // non-integral axis refused
+    val t2 = s"${Files.createTempDirectory("graft-manifestzc2")}/t"
+    ManifestTable.append(spark, Seq((1L, "s")).toDF("x", "s"), t2)
+    val ex = intercept[IllegalArgumentException] {
+      ManifestTable.clusterZ(spark, t2, "x", "s", 2)
+    }
+    assert(ex.getMessage.contains("integral"))
+  }
+
   test("deleteRange refuses a non-integral key instead of a lossy cast") {
     val t = s"${Files.createTempDirectory("graft-manifestdel")}/t"
     ManifestTable.append(spark, Seq((1L, "abc")).toDF("id", "s"), t)
