@@ -20,6 +20,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Spark's native InjectRuntimeFilter, whose had-a-filter check
     // recognizes the injected shape and stands down)
     ext.injectPreCBORule(_ => graft.plans.InjectBloomPrefilter)
+    // whole-table COUNT/MIN/MAX over a graft-manifest relation answers
+    // from the manifest's recorded row counts + stats (LocalRelation,
+    // zero data files) — also Pre-CBO: pushdown shapes have settled,
+    // so a residual Filter between aggregate and relation is visible
+    // and correctly disqualifies the rewrite
+    ext.injectPreCBORule(_ => graft.plans.ManifestMetadataAggs)
     // SQL DML (INSERT/DELETE/MERGE) on graft-manifest views: must run
     // at RESOLUTION time, before the built-in post-hoc
     // DataSourceAnalysis would plan the insert as a raw file write

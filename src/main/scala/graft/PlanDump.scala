@@ -88,7 +88,11 @@ object PlanDump {
     "q136_manifest_string_bloom_lookup" ->
       "String-keyed point lookup through SQL: the pushed `doc_key IN (...)` becomes a string point set the ManifestFileIndex probes against each dir's STRING Bloom filter (the recorded string bounds all span the interleaved domain — provably useless, ManifestSqlSpec pins it), so the FileScan plans a strict subset of commit dirs with zero data-tree listings (file list from the manifest's recorded per-dir lists). PushedFilters still carries the In predicate for row-group skipping inside the kept dirs.",
     "q137_manifest_sql_dml" ->
-      "Read side of the SQL-DML-built table: a plain aggregate whose FileScan paths are the manifest snapshot produced by 3x INSERT INTO + MERGE INTO + DELETE FROM statements (each routed by graft.plans.ManifestSqlRules to a manifest primitive at resolution time — interception before Spark's raw-file insert path is what keeps this table consistent). The scan reads only dirs the post-DML manifest references: replaced and deleted rows' original dirs are absent by construction.")
+      "Read side of the SQL-DML-built table: a plain aggregate whose FileScan paths are the manifest snapshot produced by 3x INSERT INTO + MERGE INTO + DELETE FROM statements (each routed by graft.plans.ManifestSqlRules to a manifest primitive at resolution time — interception before Spark's raw-file insert path is what keeps this table consistent). The scan reads only dirs the post-DML manifest references: replaced and deleted rows' original dirs are absent by construction.",
+    "q138_manifest_zorder_cluster" ->
+      "Z-cluster-rewritten manifest table queried on its SECOND axis (n_chars — the column a single-axis doc_id cluster could never prune): the FileScan's ManifestFileIndex path list is a strict subset of the 16 Morton-tiled dirs, decided from the manifest stats alone, with the pushed BETWEEN still pruning row groups inside the kept dirs (rows are z-sorted within each dir). ManifestSqlSpec pins numFiles on BOTH axes.",
+    "q139_manifest_metadata_agg" ->
+      "Metadata-only aggregate: the whole-table COUNT(*)/MIN/MAX over the manifest relation is rewritten by graft.plans.ManifestMetadataAggs into a LocalRelation computed from the manifest's recorded per-dir row counts and min/max stats — the ENTIRE plan is the one-row LocalTableScan below; no FileScan, no exchange, zero data files. At 100 TB this is one manifest read instead of a full table scan.")
 
   /** Captured with broadcast joins disabled: at 100 TB neither side
     * broadcasts, and the co-location evidence (zero exchange under the

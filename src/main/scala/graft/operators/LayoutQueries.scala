@@ -23,7 +23,7 @@ object LayoutQueries {
 
   /** Bumped on any layout-building change — stale /tmp layouts then
     * auto-invalidate (same contract as [[graft.vector.AnnVersion]]). */
-  private val LayoutVersion = 9 // r11: file lists + staged merge + string blooms + z-sorted cluster rewrite
+  private val LayoutVersion = 10 // r11: + per-dir row counts (metadata-only aggregates)
 
   private def datasetKey(d: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
@@ -183,11 +183,13 @@ object LayoutQueries {
     val path = s"${layoutRoot(d)}/docs_manifest"
     val docs = Tables.documents(s, d)
     val n = docs.count()
-    // four RANGE-disjoint appends with doc_id stats recorded — the
-    // shape a time-ordered ingest naturally produces, which is what
-    // makes q128's manifest-level dir pruning non-vacuous
+    // four RANGE-disjoint appends with doc_id + lang stats recorded —
+    // the shape a time-ordered ingest naturally produces, which is
+    // what makes q128's manifest-level dir pruning non-vacuous (and,
+    // with the per-dir row counts every append records, lets q139's
+    // whole-table COUNT/MIN/MAX answer from the manifest alone)
     val expect =
-      s"layout=$LayoutVersion manifest=4ranged-total+stats rows=$n"
+      s"layout=$LayoutVersion manifest=4ranged-total+stats2 rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sessionState.newHadoopConf())
@@ -200,7 +202,8 @@ object LayoutQueries {
         val loOk = if (i == 0) lit(true) else col("doc_id") >= i * q
         val hiOk = if (i == 3) lit(true) else col("doc_id") < (i + 1) * q
         graft.sinks.ManifestTable.append(s,
-          docs.filter(loOk && hiOk), path, statsCols = Seq("doc_id"))
+          docs.filter(loOk && hiOk), path,
+          statsCols = Seq("doc_id", "lang"))
       }
       ArtifactCache.stamp(path, expect)
     }
@@ -1183,6 +1186,31 @@ object LayoutQueries {
           |WHERE n_chars BETWEEN 200 AND 250
           |GROUP BY lang
           |ORDER BY lang""".stripMargin)
+    },
+
+    // ---- Metadata-only aggregates: a whole-table, filterless
+    //      COUNT(*)/MIN/MAX over the manifest table is answered from
+    //      the manifest's recorded per-dir row counts and min/max
+    //      stats (graft.plans.ManifestMetadataAggs) — the executed
+    //      plan is a LocalTableScan reading ZERO data files
+    //      (ManifestMetadataAggSpec pins it). At 100 TB this is the
+    //      difference between a table health check costing one
+    //      manifest read and a full scan; string bounds fold in
+    //      UTF8String binary order, bit-exact with a scan's MIN/MAX.
+    //      The oracle recomputes all five from the plain table. ----
+    GraftQuery("q139_manifest_metadata_agg",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(doc_id) AS id_lo, MAX(doc_id) AS id_hi,
+        |  MIN(lang) AS lang_lo, MAX(lang) AS lang_hi
+        |FROM documents""".stripMargin) { (s, d) =>
+      val path = ensureManifestDocs(s, d)
+      s.read.format("graft-manifest").load(path)
+        .createOrReplaceTempView("documents_manifest_meta")
+      s.sql(
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          |  MIN(doc_id) AS id_lo, MAX(doc_id) AS id_hi,
+          |  MIN(lang) AS lang_lo, MAX(lang) AS lang_hi
+          |FROM documents_manifest_meta""".stripMargin)
     },
   )
 }

@@ -103,9 +103,13 @@ object ManifestTable {
     * (streaming batch watermark; -1 for batch appends), per-column
     * min/max stats for dir-level pruning — long-castable columns in
     * `statMin`/`statMax`, string columns in `strMin`/`strMax`
-    * (empty = no stats, never pruned) — and the dirs this entry was
+    * (empty = no stats, never pruned) — the dirs this entry was
     * rewritten from (empty = fresh append — the provenance
-    * [[readSince]] uses to see through maintenance). */
+    * [[readSince]] uses to see through maintenance), and the dir's
+    * EXACT row count (`rows`, from the written files' parquet
+    * footers) — what lets a whole-table `COUNT(*)` answer from the
+    * manifest alone ([[graft.plans.ManifestMetadataAggs]]); None
+    * (pre-upgrade entry) disables that rewrite, never correctness. */
   final case class Entry(dir: String, tag: Long,
       statMin: Map[String, Long], statMax: Map[String, Long],
       sources: Seq[String],
@@ -113,7 +117,8 @@ object ManifestTable {
       strMax: Map[String, String] = Map.empty,
       bloom: Map[String, Array[Byte]] = Map.empty,
       files: Option[Map[String, Long]] = None,
-      strBloom: Map[String, Array[Byte]] = Map.empty) {
+      strBloom: Map[String, Array[Byte]] = Map.empty,
+      rows: Option[Long] = None) {
     /** Whether the dir holds any data files — answered from the
       * manifest's recorded file list when present (zero filesystem
       * calls: `Some(empty)` is a file-less empty-batch dir,
@@ -191,17 +196,18 @@ object ManifestTable {
         "strMax" -> "map<string,string>",
         "bloom" -> "map<string,binary>",
         "files" -> "map<string,bigint>",
-        "strBloom" -> "map<string,binary>")
+        "strBloom" -> "map<string,binary>",
+        "rows" -> "bigint")
       val full = defaults.foldLeft(df) { case (d, (c, tpe)) =>
         if (d.columns.contains(c)) d
         else d.withColumn(c, lit(null).cast(tpe))
       }
       full.select("dir", "tag", "statMin", "statMax", "sources",
-          "strMin", "strMax", "bloom", "files", "strBloom")
+          "strMin", "strMax", "bloom", "files", "strBloom", "rows")
         .as[(String, Long, Map[String, Long], Map[String, Long],
           Seq[String], Map[String, String], Map[String, String],
           Map[String, Array[Byte]], Map[String, Long],
-          Map[String, Array[Byte]])]
+          Map[String, Array[Byte]], Option[Long])]
         .collect().sortBy(_._1)
         .map(t => Entry(t._1, t._2, Option(t._3).getOrElse(Map.empty),
           Option(t._4).getOrElse(Map.empty),
@@ -212,7 +218,8 @@ object ManifestTable {
           // null (pre-upgrade) stays None = "unknown, fall back to a
           // listing"; an EMPTY recorded map is authoritative
           Option(t._9),
-          Option(t._10).getOrElse(Map.empty))).toSeq
+          Option(t._10).getOrElse(Map.empty),
+          rows = t._11)).toSeq
     } else {
       // MIGRATION read for manifests written before the map-stats
       // layout (single optional statCol + long min/max, no
@@ -428,6 +435,28 @@ object ManifestTable {
       case _ => false
     }
 
+  /** EXACT row count of one written dir, read from its parquet file
+    * FOOTERS (no Spark job, no data pages — the same numbers a
+    * count(*) scan would sum, at metadata cost). Recorded into the
+    * dir's [[Entry]] at commit/rewrite time so a whole-table COUNT —
+    * and, with stats, MIN/MAX — can answer from the manifest alone
+    * ([[graft.plans.ManifestMetadataAggs]]), the Iceberg/Delta
+    * metadata-only-query shape: at 100 TB, `SELECT COUNT(*)` must not
+    * be a table scan. A failed footer read records None — that dir's
+    * table falls back to scanning, never miscounts. */
+  private def rowsOf(spark: SparkSession, dir: String,
+      files: Map[String, Long]): Option[Long] =
+    if (files.isEmpty) Some(0L)
+    else scala.util.Try {
+      val conf = spark.sessionState.newHadoopConf()
+      files.keysIterator.map { name =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(s"$dir/$name"), conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+    }.toOption
+
   /** Min/max of each `cols` column over the WRITTEN dir, not over
     * `df`: a second evaluation of an unpersisted frame could disagree
     * with what was written (source mutated between jobs,
@@ -633,9 +662,10 @@ object ManifestTable {
     val (fs, _) = fsOf(spark, path)
     val (mins, maxes, sMins, sMaxes) = statsOf(spark, dataDir, statsCols)
     val (blooms, strBlooms) = bloomsOf(spark, dataDir, bloomCols)
+    val fl = listDataFilesOf(fs, dataDir)
     Entry(dirName, tag, mins, maxes, Seq.empty, sMins, sMaxes,
-      blooms, files = Some(listDataFilesOf(fs, dataDir)),
-      strBloom = strBlooms)
+      blooms, files = Some(fl), strBloom = strBlooms,
+      rows = rowsOf(spark, dataDir, fl))
   }
 
   private def prevTagOf(spark: SparkSession, path: String,
@@ -698,9 +728,9 @@ object ManifestTable {
       s"$path/manifest/.tmp-${vName(v)}_" +
         java.util.UUID.randomUUID.toString.take(8))
     entries.map(e => (e.dir, e.tag, e.statMin, e.statMax, e.sources,
-        e.strMin, e.strMax, e.bloom, e.files, e.strBloom))
+        e.strMin, e.strMax, e.bloom, e.files, e.strBloom, e.rows))
       .toDF("dir", "tag", "statMin", "statMax", "sources",
-        "strMin", "strMax", "bloom", "files", "strBloom")
+        "strMin", "strMax", "bloom", "files", "strBloom", "rows")
       .repartition(1)
       .write.mode("overwrite").parquet(tmp.toString)
     writeSideFile(fs, new org.apache.hadoop.fs.Path(
@@ -1071,9 +1101,10 @@ object ManifestTable {
         val (mins, maxes, sMins, sMaxes) = statsOf(spark, target, restatCols)
         val (blooms, strBlooms) = bloomsOf(spark, target,
           (e.bloom.keySet ++ e.strBloom.keySet).toSeq.sorted)
+        val fl = listDataFilesOf(fs, target)
         Some(Entry(newDir, e.tag, mins, maxes, Seq(e.dir), sMins, sMaxes,
-          blooms, files = Some(listDataFilesOf(fs, target)),
-          strBloom = strBlooms))
+          blooms, files = Some(fl), strBloom = strBlooms,
+          rows = rowsOf(spark, target, fl)))
       }
     }
     val prevTag = maxTagOf(spark, path, prev).getOrElse(
@@ -1200,9 +1231,10 @@ object ManifestTable {
           s"ManifestTable.$op: could not promote ${st.getPath}")
         val (mins, maxes, sMins, sMaxes) =
           statsOf(spark, s"$path/data/$dirName", statCols)
+        val fl = listDataFilesOf(fs, s"$path/data/$dirName")
         Entry(dirName, tag, mins, maxes, readable.map(_.dir),
-          sMins, sMaxes,
-          files = Some(listDataFilesOf(fs, s"$path/data/$dirName")))
+          sMins, sMaxes, files = Some(fl),
+          rows = rowsOf(spark, s"$path/data/$dirName", fl))
       }.toSeq
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     val (pStats, pBloom) = pruningOf(spark, path, prev)
@@ -1373,9 +1405,10 @@ object ManifestTable {
             statsOf(spark, target, restatCols)
           val (blooms, strBlooms) = bloomsOf(spark, target,
             (e.bloom.keySet ++ e.strBloom.keySet).toSeq.sorted)
+          val fl = listDataFilesOf(fs, target)
           Entry(newDir, e.tag, mins, maxes, Seq(e.dir), sMins, sMaxes,
-            blooms, files = Some(listDataFilesOf(fs, target)),
-            strBloom = strBlooms)
+            blooms, files = Some(fl), strBloom = strBlooms,
+            rows = rowsOf(spark, target, fl))
         }
       }
       fs.delete(new org.apache.hadoop.fs.Path(staging), true)

@@ -36,6 +36,14 @@ final class ManifestFileIndex(spark: SparkSession, val tablePath: String,
     val version: Long) extends FileIndex {
 
   private val entries = ManifestTable.entriesOf(spark, tablePath, version)
+
+  /** The pinned snapshot's manifest entries — what
+    * [[graft.plans.ManifestMetadataAggs]] answers whole-table
+    * COUNT/MIN/MAX from without touching a data file. Same snapshot
+    * the scan would read: both come from THIS relation's immutable
+    * version, so a concurrent commit can never make the metadata
+    * answer diverge from the scan answer. */
+  private[graft] def snapshotEntries: Seq[ManifestTable.Entry] = entries
   private val fs = new org.apache.hadoop.fs.Path(tablePath)
     .getFileSystem(spark.sessionState.newHadoopConf())
 

@@ -1,0 +1,194 @@
+package graft
+
+import graft.sinks.ManifestTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** [[graft.plans.ManifestMetadataAggs]]: whole-table COUNT/MIN/MAX
+  * over a `graft-manifest` relation answers from the manifest's
+  * recorded per-dir row counts + stats — the executed plan is a
+  * LocalTableScan, zero data files — and every disqualifying shape
+  * (filter, count(col), stat-less column, pre-upgrade entry, GROUP
+  * BY, DISTINCT) falls back to the ordinary scan with the identical
+  * answer. */
+class ManifestMetadataAggSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Executed-plan text AFTER running the frame: aggregate plans are
+    * AQE-wrapped (AdaptiveSparkPlanExec exposes no children to
+    * collect*), so the string of the FINALIZED plan is the reliable
+    * way to see whether a file scan exists anywhere in it. */
+  private def planOf(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def hasFileScan(df: DataFrame): Boolean =
+    planOf(df).contains("FileScan")
+
+  private def isMetadataOnly(df: DataFrame): Boolean = {
+    val p = planOf(df)
+    !p.contains("FileScan") && p.contains("LocalTableScan")
+  }
+
+  /** 3 commits with stats on (id, name); ids 0..29, name "n00".."n29",
+    * with a null id and a null name row thrown in (min/max must skip
+    * them exactly like a scan would). */
+  private def freshTable(): String = {
+    val t = s"${Files.createTempDirectory("graft-metaagg")}/t"
+    (0 until 3).foreach { i =>
+      val rows = (i * 10 until (i + 1) * 10)
+        .map(x => (Some(x.toLong), Some(f"n$x%02d"))) ++
+        (if (i == 1) Seq((None: Option[Long], Some("zz-null-id")),
+          (Some(5L), None: Option[String]))
+         else Nil)
+      ManifestTable.append(spark, rows.toDF("id", "name"), t,
+        statsCols = Seq("id", "name"))
+    }
+    t
+  }
+
+  private def view(t: String, name: String): Unit =
+    spark.read.format("graft-manifest").load(t)
+      .createOrReplaceTempView(name)
+
+  test("whole-table COUNT/MIN/MAX plans as LocalTableScan, zero data files") {
+    val t = freshTable()
+    view(t, "m_meta")
+    val df = spark.sql(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(id) AS lo,
+        |MAX(id) AS hi, MIN(name) AS nlo, MAX(name) AS nhi
+        |FROM m_meta""".stripMargin)
+    assert(isMetadataOnly(df),
+      s"expected metadata-only plan:\n${df.queryExecution.executedPlan}")
+    val r = df.collect().head
+    // 32 rows (30 + the two partly-null ones); nulls skipped by
+    // min/max exactly like a scan: max(name) is the null-id row's
+    // "zz-null-id", min stays "n00"
+    assert(r.getLong(0) == 32L && r.getLong(1) == 0L &&
+      r.getLong(2) == 29L && r.getString(3) == "n00" &&
+      r.getString(4) == "zz-null-id")
+    // the fallback scan agrees bit-for-bit
+    val scan = spark.read.format("graft-manifest").load(t)
+      .agg(count(lit(1)).cast("long"), min("id"), max("id"),
+        min("name"), max("name")).collect().head
+    assert(r.toSeq == scan.toSeq)
+  }
+
+  test("stays exact through delete, merge, and clusterZ rewrites") {
+    val t = freshTable()
+    def metaCount(): (Boolean, Long) = {
+      val df = spark.read.format("graft-manifest").load(t)
+        .agg(count(lit(1)).as("n"))
+      (isMetadataOnly(df), df.collect().head.getLong(0))
+    }
+    assert(metaCount() == ((true, 32L)))
+    ManifestTable.deleteRange(spark, t, "id", 25L, 29L)
+    assert(metaCount() == ((true, 27L)))
+    // both id=5 rows (the original and the null-name one) are
+    // replaced by ONE batch row; id=100 is net-new: 27 - 2 + 2
+    ManifestTable.merge(spark,
+      Seq((5L, "replaced"), (100L, "new")).toDF("id", "name"), t, "id")
+    assert(metaCount() == ((true, 27L)))
+    ManifestTable.clusterZ(spark, t, "id", "id", 2)
+    val (meta, n) = metaCount()
+    assert(meta && n == 27L)
+    // min/max recorded by the rewrites too: still metadata-only
+    val mm = spark.read.format("graft-manifest").load(t)
+      .agg(min("id"), max("id"))
+    assert(isMetadataOnly(mm) &&
+      mm.collect().head.toSeq == Seq(0L, 100L))
+  }
+
+  test("a WHERE clause disqualifies: falls back to the scan, same answer") {
+    val t = freshTable()
+    view(t, "m_meta_f")
+    val df = spark.sql(
+      "SELECT COUNT(*) AS n FROM m_meta_f WHERE id >= 10")
+    assert(hasFileScan(df), "filtered count must scan")
+    assert(df.collect().head.getLong(0) == 20L) // ids 10..29
+  }
+
+  test("count(col) (null-skipping) disqualifies and stays correct") {
+    val t = freshTable()
+    view(t, "m_meta_c")
+    val df = spark.sql("SELECT COUNT(id) AS n FROM m_meta_c")
+    assert(hasFileScan(df), "count(col) must scan (metadata can't see nulls)")
+    assert(df.collect().head.getLong(0) == 31L) // one null id
+    // GROUP BY and DISTINCT likewise
+    assert(hasFileScan(spark.sql(
+      "SELECT name, COUNT(*) FROM m_meta_c GROUP BY name")))
+    assert(hasFileScan(spark.sql(
+      "SELECT COUNT(DISTINCT id) FROM m_meta_c")))
+  }
+
+  test("a stat-less column disqualifies MIN/MAX but not COUNT") {
+    val t = s"${Files.createTempDirectory("graft-metaagg2")}/t"
+    ManifestTable.append(spark,
+      Seq((1L, 7L), (2L, 9L)).toDF("id", "other"), t,
+      statsCols = Seq("id")) // no stats on `other`
+    val both = spark.read.format("graft-manifest").load(t)
+      .agg(count(lit(1)).as("n"), max(col("other")).as("mx"))
+    assert(hasFileScan(both), "max over a stat-less column must scan")
+    assert(both.collect().head.toSeq == Seq(2L, 9L))
+    val justCount = spark.read.format("graft-manifest").load(t)
+      .agg(count(lit(1)).as("n"))
+    assert(isMetadataOnly(justCount) &&
+      justCount.collect().head.getLong(0) == 2L)
+  }
+
+  test("a pre-upgrade entry (no recorded row count) disqualifies COUNT") {
+    val t = s"${Files.createTempDirectory("graft-metaagg3")}/t"
+    ManifestTable.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "s"),
+      t, statsCols = Seq("id"))
+    // simulate a manifest written before row counts existed: same
+    // entries, rows stripped, committed as v2
+    val v1Entries = ManifestTable.entriesOf(spark, t, 1L)
+    assert(v1Entries.forall(_.rows.contains(2L)))
+    ManifestTable.commit(spark, t, 2L,
+      v1Entries.map(_.copy(rows = None)),
+      spark.read.format("graft-manifest").load(t).schema, -1L)
+    val df = spark.read.format("graft-manifest").load(t)
+      .agg(count(lit(1)).as("n"))
+    assert(hasFileScan(df), "unknown per-dir counts must scan")
+    assert(df.collect().head.getLong(0) == 2L)
+    // appends carry the old entries unchanged — still disqualified —
+    // but the next REWRITE of the dirs modernizes them
+    ManifestTable.append(spark, Seq((3L, "c")).toDF("id", "s"), t)
+    assert(hasFileScan(spark.read.format("graft-manifest").load(t)
+      .agg(count(lit(1)).as("n"))))
+    ManifestTable.cluster(spark, t, "id", 2)
+    val df2 = spark.read.format("graft-manifest").load(t)
+      .agg(count(lit(1)).as("n"))
+    assert(isMetadataOnly(df2) && df2.collect().head.getLong(0) == 3L)
+  }
+
+  test("emptied table: COUNT 0 and NULL min/max, still metadata-only") {
+    val t = s"${Files.createTempDirectory("graft-metaagg4")}/t"
+    ManifestTable.append(spark, Seq((1L, "a")).toDF("id", "s"), t,
+      statsCols = Seq("id"))
+    ManifestTable.deleteRange(spark, t, "id", Long.MinValue, Long.MaxValue)
+    val df = spark.read.format("graft-manifest").load(t)
+      .agg(count(lit(1)).as("n"), min("id").as("lo"), max("s").as("hi"))
+    assert(isMetadataOnly(df))
+    val r = df.collect().head
+    assert(r.getLong(0) == 0L && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("q139 equals the plain-table oracle") {
+    val d = "/root/testdata/sf0.001"
+    val q = operators.LayoutQueries.all
+      .find(_.name == "q139_manifest_metadata_agg").get
+    val got = q.run(spark, d)
+    assert(isMetadataOnly(got),
+      s"q139 must plan metadata-only:\n${got.queryExecution.executedPlan}")
+    val plain = Tables.documents(spark, d)
+      .agg(count(lit(1)).cast("long").as("n"),
+        min("doc_id").as("id_lo"), max("doc_id").as("id_hi"),
+        min("lang").as("lang_lo"), max("lang").as("lang_hi"))
+    assert(got.collect().head.toSeq == plain.collect().head.toSeq)
+  }
+}
