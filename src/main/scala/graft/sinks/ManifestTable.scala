@@ -589,31 +589,65 @@ object ManifestTable {
     * filter pushdown) to skip whole dirs from the manifest alone.
     * The batch schema is enforced against the table's
     * ([[compatibleSchema]]; `evolveSchema` opts into additive
-    * evolution). Returns the committed version. Single-writer; a
-    * violated contract costs the loser a loud rename failure and an
-    * orphan dir, never the winner's snapshot. */
+    * evolution). Returns the committed version.
+    *
+    * Concurrency: with `retries = 0` (default) the table is
+    * single-writer — a violated contract costs the loser a loud
+    * [[CommitConflictException]] and an orphan dir, never the
+    * winner's snapshot. `retries > 0` turns the append OPTIMISTIC
+    * (the Delta/Iceberg commit-retry shape): an append conflicts with
+    * another append only on the version NUMBER, never on content, so
+    * on [[CommitConflictException]] the metadata half re-derives
+    * against the new latest (fresh entry list, re-checked schema
+    * compatibility, merged pruning discipline) and re-commits at the
+    * next version — the DATA DIR IS WRITTEN EXACTLY ONCE and reused,
+    * so a retry costs one manifest read + one metadata commit, no
+    * data rewrite. N uncoordinated appenders all land within N-1
+    * retries (one writer wins every round). The dir name keeps the
+    * FIRST attempt's version prefix — cosmetic only; readers resolve
+    * dirs through the manifest, never by name. */
   def append(spark: SparkSession, df: DataFrame, path: String,
       tag: Long = -1L, statsCols: Seq[String] = Nil,
       evolveSchema: Boolean = false,
-      bloomCols: Seq[String] = Nil): Long = {
-    val prev = latestVersion(spark, path)
-    val v = prev.map(_ + 1).getOrElse(1L)
-    val prevEntries = prev.map(pv => entriesOf(spark, path, pv))
-      .getOrElse(Seq.empty)
-    val schema = prev.flatMap(pv => schemaOf(spark, path, pv)) match {
-      case Some(table) => compatibleSchema(df.schema, table,
-        evolveSchema, s"ManifestTable.append($path)")
-      case None => df.schema // fresh table (or pre-sidecar manifest)
+      bloomCols: Seq[String] = Nil,
+      retries: Int = 0): Long = {
+    require(retries >= 0, s"append: retries must be >= 0, got $retries")
+    var entry: Option[Entry] = None
+    var attempt = 0
+    while (true) {
+      val prev = latestVersion(spark, path)
+      val v = prev.map(_ + 1).getOrElse(1L)
+      val prevEntries = prev.map(pv => entriesOf(spark, path, pv))
+        .getOrElse(Seq.empty)
+      // re-checked per attempt: a concurrent writer may have evolved
+      // the schema between our attempts — additive evolution merges,
+      // anything else fails loudly here rather than committing a fork
+      val schema = prev.flatMap(pv => schemaOf(spark, path, pv)) match {
+        case Some(table) => compatibleSchema(df.schema, table,
+          evolveSchema, s"ManifestTable.append($path)")
+        case None => df.schema // fresh table (or pre-sidecar manifest)
+      }
+      val e = entry.getOrElse {
+        val w = writeDirEntry(spark, df, path, v, tag, statsCols,
+          bloomCols)
+        entry = Some(w)
+        w
+      }
+      val prevTag = prevTagOf(spark, path, prev, prevEntries)
+      val (pStats, pBloom) = prev.map(pruningOf(spark, path, _))
+        .getOrElse((Nil, Nil))
+      try {
+        commit(spark, path, v, prevEntries :+ e, schema,
+          math.max(prevTag, tag),
+          ((pStats ++ statsCols).distinct,
+            (pBloom ++ bloomCols).distinct))
+        return v
+      } catch {
+        case _: CommitConflictException if attempt < retries =>
+          attempt += 1 // loop: re-derive against the new latest
+      }
     }
-    val entry = writeDirEntry(spark, df, path, v, tag, statsCols,
-      bloomCols)
-    val prevTag = prevTagOf(spark, path, prev, prevEntries)
-    val (pStats, pBloom) = prev.map(pruningOf(spark, path, _))
-      .getOrElse((Nil, Nil))
-    commit(spark, path, v, prevEntries :+ entry, schema,
-      math.max(prevTag, tag),
-      ((pStats ++ statsCols).distinct, (pBloom ++ bloomCols).distinct))
-    v
+    -1L // unreachable: the loop returns or the conflict propagates
   }
 
   /** The streaming sinks' shared exactly-once step: append `batch`
@@ -758,13 +792,21 @@ object ManifestTable {
       // manifest dir, remove that (dot-prefixed, reader-invisible)
       // debris before failing
       fs.delete(new org.apache.hadoop.fs.Path(fin, tmp.getName), true)
-      sys.error(
+      throw new CommitConflictException(
         s"ManifestTable.commit: could not publish ${vName(v)} at $path " +
           "— another writer committed this version first (single-writer " +
-          "contract violated); this attempt's data dir is an orphan " +
-          "vacuum will reap")
+          "contract violated, or append was called without retries); " +
+          "this attempt's data dir is an orphan vacuum will reap")
     }
   }
+
+  /** Thrown when a commit loses the version race to another writer.
+    * The typed signal [[append]]'s optimistic-concurrency retry loop
+    * keys on — and what a caller orchestrating its own writers can
+    * catch to re-drive. The loser's snapshot is untouched; only its
+    * attempt dirs are orphaned (vacuum reaps them). */
+  final class CommitConflictException(message: String)
+    extends RuntimeException(message)
 
   /** Latest snapshot restricted to data dirs whose recorded min/max
     * overlaps EVERY `[col, lo, hi]` predicate — dir-granularity

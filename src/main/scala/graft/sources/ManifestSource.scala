@@ -377,10 +377,22 @@ final class ManifestStreamSink(path: String, statsCols: Seq[String],
   * that is an unbounded unit of work and an unbounded recovery
   * replay. With it, the backlog drains as ceil(lag / max) batches,
   * each a pinned version-range diff, each individually
-  * checkpoint-replayable. */
+  * checkpoint-replayable.
+  *
+  * `maxRowsPerTrigger` bounds the same thing in the unit that
+  * actually sizes a micro-batch — ROWS — using the exact per-dir row
+  * counts the manifest records at commit time (no data read, no
+  * estimate): versions are admitted into the batch until the next
+  * one would push the fresh-row total past the cap. Version
+  * granularity: a SINGLE commit larger than the cap still delivers
+  * whole (progress is guaranteed — the first pending version is
+  * always taken), and a version whose entries predate recorded row
+  * counts conservatively ends the batch after itself. Both caps
+  * compose; the tighter one wins. */
 final class ManifestStreamSource(spark: SparkSession, path: String,
     override val schema: StructType,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxRowsPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
   import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
@@ -401,14 +413,57 @@ final class ManifestStreamSource(spark: SparkSession, path: String,
 
   override def getOffset: Option[V1Offset] =
     ManifestTable.latestVersion(spark, path).map { latest =>
-      val capped = maxVersionsPerTrigger match {
-        case Some(max) =>
-          val base = math.max(lastSeen.get(), 0L)
-          math.min(latest, base + max)
+      val base = math.max(lastSeen.get(), 0L)
+      val vCapped = maxVersionsPerTrigger match {
+        case Some(max) => math.min(latest, base + max)
         case None => latest
+      }
+      val capped = maxRowsPerTrigger match {
+        case Some(budget) if vCapped > base =>
+          rowCappedEnd(base, vCapped, budget)
+        case _ => vCapped
       }
       LongOffset(capped)
     }
+
+  /** Highest version in `(base, limit]` whose cumulative FRESH rows
+    * (new dirs by identity, version over version — the same diff
+    * `getBatch` will read) stay within `budget`; the first pending
+    * version is always admitted so an oversized single commit can
+    * never stall the stream. Cost per trigger: one small manifest
+    * read per version considered — bounded by the cap itself, never
+    * by table size. */
+  private def rowCappedEnd(base: Long, limit: Long,
+      budget: Long): Long = {
+    val pending = ManifestTable.versions(spark, path)
+      .filter(v => v > base && v <= limit)
+    // the base snapshot's dirs (empty when base = 0 or vacuumed —
+    // then the first diff counts a version's whole dir set:
+    // over-counting only under-advances, never overflows the cap)
+    var prevDirs = scala.util.Try(
+        ManifestTable.entriesOf(spark, path, base))
+      .toOption.map(_.map(_.dir).toSet).getOrElse(Set.empty[String])
+    var end = base
+    var spent = 0L
+    pending.foreach { v =>
+      if (end == base || spent <= budget) {
+        val cur = ManifestTable.entriesOf(spark, path, v)
+        val freshEntries = cur.filterNot(e => prevDirs.contains(e.dir))
+        // a pre-upgrade entry without a recorded count ends the batch
+        // after this version (unknown size must not be accumulated)
+        val fresh =
+          if (freshEntries.forall(_.rows.isDefined))
+            freshEntries.map(_.rows.get).sum
+          else budget + 1
+        if (end == base || spent + fresh <= budget) {
+          end = v
+          spent += fresh
+          prevDirs = cur.map(_.dir).toSet
+        } else spent = budget + 1 // full: stop admitting
+      }
+    }
+    end
+  }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset)
       : org.apache.spark.sql.DataFrame = {
@@ -525,9 +580,12 @@ final class GraftManifestSource extends RelationProvider
     val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.toLong)
     maxVersions.foreach(m => require(m > 0,
       s"graft-manifest stream: maxVersionsPerTrigger must be positive, got $m"))
+    val maxRows = parameters.get("maxRowsPerTrigger").map(_.toLong)
+    maxRows.foreach(m => require(m > 0,
+      s"graft-manifest stream: maxRowsPerTrigger must be positive, got $m"))
     new ManifestStreamSource(spark, path,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
-      maxVersions)
+      maxVersions, maxRows)
   }
 
   /** `df.write.format("graft-manifest").mode(...).save(tablePath)` —

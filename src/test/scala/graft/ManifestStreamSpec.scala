@@ -153,6 +153,48 @@ class ManifestStreamSpec extends AnyFunSuite {
       s"a 3-version lag with limit 2 drains as 2+1, got ${batches.toMap}")
   }
 
+  test("maxRowsPerTrigger sizes batches from recorded row counts; oversized commit delivers whole") {
+    val tmp = Files.createTempDirectory("graft-mfrowrate").toString
+    val t = s"$tmp/table"
+    val ckpt = s"$tmp/ckpt"
+    // 6 commits x 10 rows
+    (0L until 6L).foreach(i => ManifestTable.append(spark,
+      (i * 10 until (i + 1) * 10).toDF("id"), t))
+    val batches =
+      new scala.collection.concurrent.TrieMap[Long, Seq[Long]]()
+    def start() = spark.readStream.format("graft-manifest")
+      .option("maxRowsPerTrigger", "25").load(t)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.put(id, b.select("id").as[Long](
+          org.apache.spark.sql.Encoders.scalaLong).collect().sorted.toSeq)
+        ()
+      }.start()
+    val q = start()
+    q.processAllAvailable()
+    q.stop()
+    // a 60-row backlog with a 25-row cap drains as 3 batches of 2
+    // commits (20 rows) each — versions are admitted until the next
+    // would cross the cap — and the union is the one-shot read
+    assert(batches.keySet == Set(0L, 1L, 2L),
+      s"expected 3 row-capped batches, got ${batches.toMap}")
+    assert(batches.values.forall(_.size == 20))
+    assert(batches.values.flatten.toSeq.sorted ==
+      ids(ManifestTable.read(spark, t)))
+    // one commit LARGER than the cap still delivers whole (version
+    // granularity, progress guaranteed), alone in its own batch
+    ManifestTable.append(spark, (100L until 140L).toDF("id"), t)
+    ManifestTable.append(spark, (140L until 150L).toDF("id"), t)
+    batches.clear()
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(batches.size == 2 &&
+      batches.values.map(_.size).toSeq.sorted == Seq(10, 40),
+      s"expected the 40-row commit alone then the 10-row one, got " +
+        s"${batches.toMap}")
+  }
+
   test("sink bloomCols: streaming-ingested dirs record Bloom filters; vacuum cadence reports") {
     implicit val sq = spark.sqlContext
     val tmp = Files.createTempDirectory("graft-mfsinkbloom").toString
