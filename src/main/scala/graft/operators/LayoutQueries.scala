@@ -186,10 +186,11 @@ object LayoutQueries {
     // four RANGE-disjoint appends with doc_id + lang stats recorded —
     // the shape a time-ordered ingest naturally produces, which is
     // what makes q128's manifest-level dir pruning non-vacuous (and,
-    // with the per-dir row counts every append records, lets q139's
-    // whole-table COUNT/MIN/MAX answer from the manifest alone)
+    // with the per-dir row counts + null counts every append records,
+    // lets q139's whole-table COUNT/COUNT(col)/MIN/MAX answer from
+    // the manifest alone)
     val expect =
-      s"layout=$LayoutVersion manifest=4ranged-total+stats2 rows=$n"
+      s"layout=$LayoutVersion manifest=4ranged-total+stats3 rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sessionState.newHadoopConf())
@@ -221,7 +222,9 @@ object LayoutQueries {
     val path = s"${layoutRoot(d)}/docs_manifest_bylang"
     val docs = Tables.documents(s, d)
     val n = docs.count()
-    val expect = s"layout=$LayoutVersion manifest=bylang+strstats rows=$n"
+    // strstats2: per-dir null counts recorded — what proves each dir
+    // single-group in `lang` for q140's metadata-only GROUP BY
+    val expect = s"layout=$LayoutVersion manifest=bylang+strstats2 rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sessionState.newHadoopConf())
@@ -1200,6 +1203,7 @@ object LayoutQueries {
     //      The oracle recomputes all five from the plain table. ----
     GraftQuery("q139_manifest_metadata_agg",
       """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(lang) AS BIGINT) AS n_lang,
         |  MIN(doc_id) AS id_lo, MAX(doc_id) AS id_hi,
         |  MIN(lang) AS lang_lo, MAX(lang) AS lang_hi
         |FROM documents""".stripMargin) { (s, d) =>
@@ -1208,9 +1212,35 @@ object LayoutQueries {
         .createOrReplaceTempView("documents_manifest_meta")
       s.sql(
         """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(COUNT(lang) AS BIGINT) AS n_lang,
           |  MIN(doc_id) AS id_lo, MAX(doc_id) AS id_hi,
           |  MIN(lang) AS lang_lo, MAX(lang) AS lang_hi
           |FROM documents_manifest_meta""".stripMargin)
+    },
+
+    // ---- GROUPED metadata-only aggregate: GROUP BY lang over the
+    //      one-commit-per-language manifest layout, where the
+    //      recorded per-dir bounds (min == max) plus null counts
+    //      prove every dir single-group — so the per-language
+    //      COUNT/MIN/MAX an operator runs hourly over a group-routed
+    //      table is answered from the manifest alone, one
+    //      LocalTableScan row per language, ZERO data files
+    //      (ManifestMetadataAggSpec pins the plan; a single mixed
+    //      dir disqualifies and falls back to the scan). The oracle
+    //      recomputes the same GROUP BY from the plain table. ----
+    GraftQuery("q140_manifest_grouped_metadata_agg",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(doc_id) AS id_lo, MAX(doc_id) AS id_hi
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, d) =>
+      val path = ensureManifestDocsByLang(s, d)
+      s.read.format("graft-manifest").load(path)
+        .createOrReplaceTempView("documents_manifest_bylang_meta")
+      s.sql(
+        """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+          |  MIN(doc_id) AS id_lo, MAX(doc_id) AS id_hi
+          |FROM documents_manifest_bylang_meta
+          |GROUP BY lang ORDER BY lang""".stripMargin)
     },
   )
 }

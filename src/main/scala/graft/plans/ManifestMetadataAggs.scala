@@ -29,23 +29,26 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *  - grouping must be empty and every aggregate must be a
   *    non-distinct, unfiltered, Complete COUNT(non-null literal) /
-  *    MIN(bare column) / MAX(bare column) — any other expression
-  *    (count(col) skips nulls the metadata can't see, a cast could
-  *    change type semantics) disqualifies the whole aggregate;
+  *    COUNT(bare column) / MIN(bare column) / MAX(bare column) — any
+  *    other expression (a cast could change type semantics)
+  *    disqualifies the whole aggregate;
   *  - nothing but attribute-pruning Projects may sit between the
   *    Aggregate and the relation — a Filter means the count is no
   *    longer the table's (this rule runs Pre-CBO, after pushdown
   *    shapes settle, so a residual Filter is visible right here);
-  *  - COUNT needs EVERY entry's exact `rows` (a pre-upgrade entry
+  *  - COUNT(*) needs EVERY entry's exact `rows` (a pre-upgrade entry
   *    without a recorded count disables it — the next rewrite of that
-  *    dir modernizes it);
+  *    dir modernizes it); COUNT(col) — the null-skipping form —
+  *    additionally needs the recorded per-dir NULL COUNT on every
+  *    entry that can hold rows, and answers Σ(rows − nulls);
   *  - MIN/MAX on an integral column needs the recorded long bound on
   *    every entry that can hold rows (an entry with `rows = 0`
-  *    contributes nothing and needs nothing). A dir whose stats are
-  *    absent — never statted, or ALL-NULL in that column (statsOf
-  *    records nothing then, indistinguishable here) — disqualifies:
+  *    contributes nothing and needs nothing, and an entry whose
+  *    recorded null count EQUALS its row count is provably all-null
+  *    in that column — it contributes nothing either). A dir whose
+  *    stats are absent and not provably all-null disqualifies:
   *    conservative, since recorded bounds ignore nulls exactly like
-  *    SQL MIN/MAX, but absence can't prove which case it is;
+  *    SQL MIN/MAX, but absence alone can't prove which case it is;
   *  - MIN/MAX on a string column combines the recorded per-dir bounds
   *    in [[UTF8String]] BINARY order — the ordering Spark's own
   *    Min/Max on default-collation strings uses, so the driver-side
@@ -53,6 +56,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *    that range-compare pruning needs does not apply to an exact
   *    fold in the same order). Non-default collations never match the
   *    [[StringType]] singleton and fall through.
+  *
+  * The GROUPED form — `GROUP BY g` where the manifest proves every
+  * non-empty dir holds exactly ONE group (recorded min == max with
+  * zero nulls, or all-null: the one-commit-per-language layout, or
+  * any clustered rewrite on `g`) — rewrites the same way, one
+  * LocalRelation row per group ([[rewriteGrouped]]): the GROUP BY an
+  * operator runs hourly over a group-routed 100 TB table costs one
+  * manifest read. A single mixed dir disqualifies the whole rewrite.
   *
   * The entries come from the relation's [[ManifestFileIndex]], which
   * pins its snapshot at construction — the metadata answer and the
@@ -63,6 +74,9 @@ object ManifestMetadataAggs extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case a: Aggregate if a.groupingExpressions.isEmpty =>
       rewrite(a).getOrElse(a)
+    case a: Aggregate
+        if a.groupingExpressions.forall(_.isInstanceOf[AttributeReference]) =>
+      rewriteGrouped(a).getOrElse(a)
   }
 
   /** The ManifestFileIndex under `p`, provided nothing but
@@ -82,26 +96,38 @@ object ManifestMetadataAggs extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** One aggregate function's metadata answer over `entries` —
+    * shared by the whole-table and grouped rewrites (a group is just
+    * a subset of entries). Some(null) means "the answer is SQL NULL"
+    * (min over no rows); None means "not answerable". */
+  private def aggValue(fn: Any,
+      entries: Seq[ManifestTable.Entry]): Option[Any] = fn match {
+    case Count(Seq(l: Literal)) if l.value != null =>
+      if (entries.forall(_.rows.isDefined))
+        Some(entries.map(_.rows.get).sum)
+      else None
+    case Count(Seq(attr: AttributeReference)) =>
+      // null-skipping count: Σ per-dir (rows − recorded nulls)
+      val live = entries.filterNot(_.rows.contains(0L))
+      if (live.forall(e => e.rows.isDefined &&
+          e.nullCnt.contains(attr.name)))
+        Some(live.map(e => e.rows.get - e.nullCnt(attr.name)).sum)
+      else None
+    case Min(attr: AttributeReference) =>
+      minMax(entries, attr.name, attr.dataType, isMin = true)
+    case Max(attr: AttributeReference) =>
+      minMax(entries, attr.name, attr.dataType, isMin = false)
+    case _ => None
+  }
+
   /** Some(LocalRelation) iff EVERY output aggregate is answerable
-    * from the manifest. Inside, Some(null) means "the answer is SQL
-    * NULL" (min of an empty table); None means "not answerable". */
+    * from the manifest. */
   private def rewrite(a: Aggregate): Option[LogicalPlan] =
     indexOf(a.child).flatMap { idx =>
       val entries = idx.snapshotEntries
-      lazy val total: Option[Any] =
-        if (entries.forall(_.rows.isDefined))
-          Some(entries.map(_.rows.get).sum)
-        else None
       val vals: Seq[Option[Any]] = a.aggregateExpressions.map {
         case Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
-          fn match {
-            case Count(Seq(l: Literal)) if l.value != null => total
-            case Min(attr: AttributeReference) =>
-              minMax(entries, attr.name, attr.dataType, isMin = true)
-            case Max(attr: AttributeReference) =>
-              minMax(entries, attr.name, attr.dataType, isMin = false)
-            case _ => None
-          }
+          aggValue(fn, entries)
         case _ => None
       }
       if (vals.forall(_.isDefined))
@@ -110,11 +136,115 @@ object ManifestMetadataAggs extends Rule[LogicalPlan] {
       else None
     }
 
+  /** The GROUPED twin: `GROUP BY g` where the manifest proves every
+    * dir is SINGLE-GROUP in `g` — the layout a group-routed ingest or
+    * a clustered rewrite naturally produces (one commit per language,
+    * say) — is answered per group from the same per-dir metadata. A
+    * dir is single-group in `g` when its recorded null count says
+    * either NO row is null AND the recorded min equals the max (all
+    * rows hold that one value; byte-equality of the recorded bounds
+    * needs no ASCII guard — equal bounds under ANY total order mean
+    * all values equal), or EVERY row is null (the dir belongs to the
+    * SQL NULL group). A mixed dir — some nulls, or min < max — holds
+    * more than one group and disqualifies the whole rewrite: the
+    * metadata records totals per dir, not per group. Zero-row dirs
+    * belong to no group; a dir without recorded rows or null counts
+    * can't be classified and disqualifies. Aggregates per group are
+    * then exactly the whole-table fold over that group's dirs
+    * ([[aggValue]]), and a grouping column in the output projects the
+    * group key itself. An empty table yields the zero-row
+    * LocalRelation — exactly SQL's empty GROUP BY. */
+  private def rewriteGrouped(a: Aggregate): Option[LogicalPlan] =
+    indexOf(a.child).flatMap { idx =>
+      val groupAttrs = a.groupingExpressions
+        .map(_.asInstanceOf[AttributeReference])
+      val all = idx.snapshotEntries
+      val entries = all.filterNot(_.rows.contains(0L))
+      // Some(key) per dir per grouping attr, or None = unclassifiable
+      val keyed: Seq[Option[(Seq[Option[Any]], ManifestTable.Entry)]] =
+        entries.map { e =>
+          val ks = groupAttrs.map(g => groupKeyOf(e, g))
+          if (ks.forall(_.isDefined)) Some((ks.map(_.get), e)) else None
+        }
+      if (!all.forall(_.rows.isDefined) || !keyed.forall(_.isDefined))
+        None
+      else {
+        val groups = keyed.flatten.groupBy(_._1).toSeq.map {
+          case (k, es) => (k, es.map(_._2))
+        }
+        val rows = groups.map { case (key, es) =>
+          val vals: Seq[Option[Any]] = a.aggregateExpressions.map {
+            case attr: AttributeReference =>
+              groupAttrs.zipWithIndex
+                .collectFirst { case (g, i) if g.semanticEquals(attr) =>
+                  key(i).orNull }
+            case Alias(attr: AttributeReference, _) =>
+              groupAttrs.zipWithIndex
+                .collectFirst { case (g, i) if g.semanticEquals(attr) =>
+                  key(i).orNull }
+            case Alias(AggregateExpression(fn, Complete, false, None, _),
+                _) =>
+              aggValue(fn, es)
+            case _ => None
+          }
+          if (vals.forall(_.isDefined))
+            Some(InternalRow.fromSeq(vals.map(v => internal(v.get))))
+          else None
+        }
+        if (rows.forall(_.isDefined))
+          Some(LocalRelation(a.output, rows.map(_.get)))
+        else None
+      }
+    }
+
+  /** This dir's single group key in `g`: Some(Some(v)) = every row
+    * holds `v`, Some(None) = every row is NULL, None = mixed or
+    * unprovable (disqualifies). Requires the recorded null count —
+    * min == max alone cannot rule out nulls hiding next to the one
+    * value (bounds skip nulls). */
+  private def groupKeyOf(e: ManifestTable.Entry,
+      g: AttributeReference): Option[Option[Any]] = {
+    val nulls = e.nullCnt.get(g.name)
+    if (nulls.isEmpty) return None
+    if (e.rows.exists(r => nulls.contains(r))) return Some(None)
+    if (!nulls.contains(0L)) return None // mixed null/value dir
+    g.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        (e.statMin.get(g.name), e.statMax.get(g.name)) match {
+          case (Some(mn), Some(mx)) if mn == mx =>
+            Some(Some(g.dataType match {
+              case ByteType => mn.toByte
+              case ShortType => mn.toShort
+              case IntegerType => mn.toInt
+              case _ => mn
+            }))
+          case _ => None
+        }
+      case StringType => // the default-collation singleton only
+        (e.strMin.get(g.name), e.strMax.get(g.name)) match {
+          case (Some(mn), Some(mx)) if mn == mx => Some(Some(mn))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** Driver values → InternalRow representation (strings become
+    * [[UTF8String]]; null and numerics pass through). */
+  private def internal(v: Any): Any = v match {
+    case s: String => UTF8String.fromString(s)
+    case x => x
+  }
+
   private def minMax(entries: Seq[ManifestTable.Entry], c: String,
       dt: DataType, isMin: Boolean): Option[Any] = {
-    // an entry with an exact zero row count holds nothing and needs no
-    // stats; every OTHER entry must carry the recorded bound
-    val live = entries.filterNot(_.rows.contains(0L))
+    // an entry with an exact zero row count holds nothing, and one
+    // whose recorded null count equals its row count is provably
+    // all-null in this column — neither contributes to MIN/MAX
+    // (recorded bounds skip nulls exactly like SQL's), so neither
+    // needs a bound; every OTHER entry must carry one
+    val live = entries.filterNot(e => e.rows.contains(0L) ||
+      e.rows.exists(r => e.nullCnt.get(c).contains(r)))
     dt match {
       case ByteType | ShortType | IntegerType | LongType =>
         val bounds = live.map(e =>

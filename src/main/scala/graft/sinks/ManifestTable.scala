@@ -118,7 +118,8 @@ object ManifestTable {
       bloom: Map[String, Array[Byte]] = Map.empty,
       files: Option[Map[String, Long]] = None,
       strBloom: Map[String, Array[Byte]] = Map.empty,
-      rows: Option[Long] = None) {
+      rows: Option[Long] = None,
+      nullCnt: Map[String, Long] = Map.empty) {
     /** Whether the dir holds any data files — answered from the
       * manifest's recorded file list when present (zero filesystem
       * calls: `Some(empty)` is a file-less empty-batch dir,
@@ -180,6 +181,25 @@ object ManifestTable {
     /** Closed-range form of [[mightOverlapStr]]. */
     def mightOverlapStr(col: String, lo: String, hi: String): Boolean =
       mightOverlapStr(col, Some(lo), Some(hi))
+
+    /** Null-count pruning, the `IS NOT NULL` side: false ONLY when
+      * the recorded null count proves EVERY row of this dir is null
+      * in `col` (nullCnt == rows — which also covers a zero-row dir)
+      * — then no row can satisfy `col IS NOT NULL`, nor any value
+      * predicate, since Catalyst conjoins an IsNotNull guard onto
+      * every pushed value filter: an all-null dir is pruned even when
+      * min/max and Bloom stats are absent for it (an all-null column
+      * records no bounds). Missing counts -> conservatively true. */
+    def mightHaveNonNull(col: String): Boolean =
+      !rows.exists(r => nullCnt.get(col).contains(r))
+
+    /** The `IS NULL` side: false ONLY when the recorded null count
+      * proves NO row of this dir is null in `col` (nullCnt == 0).
+      * Missing count -> conservatively true. One-sided like every
+      * stat here: a wrong prune is impossible, a missing one only
+      * costs a dir read. */
+    def mightHaveNull(col: String): Boolean =
+      !nullCnt.get(col).contains(0L)
   }
 
   private[graft] def entriesOf(spark: SparkSession, path: String,
@@ -197,17 +217,19 @@ object ManifestTable {
         "bloom" -> "map<string,binary>",
         "files" -> "map<string,bigint>",
         "strBloom" -> "map<string,binary>",
-        "rows" -> "bigint")
+        "rows" -> "bigint",
+        "nullCnt" -> "map<string,bigint>")
       val full = defaults.foldLeft(df) { case (d, (c, tpe)) =>
         if (d.columns.contains(c)) d
         else d.withColumn(c, lit(null).cast(tpe))
       }
       full.select("dir", "tag", "statMin", "statMax", "sources",
-          "strMin", "strMax", "bloom", "files", "strBloom", "rows")
+          "strMin", "strMax", "bloom", "files", "strBloom", "rows",
+          "nullCnt")
         .as[(String, Long, Map[String, Long], Map[String, Long],
           Seq[String], Map[String, String], Map[String, String],
           Map[String, Array[Byte]], Map[String, Long],
-          Map[String, Array[Byte]], Option[Long])]
+          Map[String, Array[Byte]], Option[Long], Map[String, Long])]
         .collect().sortBy(_._1)
         .map(t => Entry(t._1, t._2, Option(t._3).getOrElse(Map.empty),
           Option(t._4).getOrElse(Map.empty),
@@ -219,7 +241,8 @@ object ManifestTable {
           // listing"; an EMPTY recorded map is authoritative
           Option(t._9),
           Option(t._10).getOrElse(Map.empty),
-          rows = t._11)).toSeq
+          rows = t._11,
+          nullCnt = Option(t._12).getOrElse(Map.empty))).toSeq
     } else {
       // MIGRATION read for manifests written before the map-stats
       // layout (single optional statCol + long min/max, no
@@ -414,8 +437,9 @@ object ManifestTable {
   /** The four stats maps of one written dir: (longMin, longMax,
     * strMin, strMax). */
   private type Stats = (Map[String, Long], Map[String, Long],
-    Map[String, String], Map[String, String])
-  private val NoStats: Stats = (Map.empty, Map.empty, Map.empty, Map.empty)
+    Map[String, String], Map[String, String], Map[String, Long])
+  private val NoStats: Stats =
+    (Map.empty, Map.empty, Map.empty, Map.empty, Map.empty)
 
   /** Stat-able type classes: strings get string bounds; INTEGRAL
     * types get exact long bounds. Everything else gets none —
@@ -467,32 +491,44 @@ object ManifestTable {
     * bounds, integral columns long bounds (see [[isIntegral]] for why
     * nothing else qualifies); all-null, absent (a batch that omitted
     * the column), non-stat-able, or empty columns get no stats (never
-    * pruned: conservative). */
+    * pruned: conservative). EVERY requested column additionally
+    * records its exact NULL COUNT — type-agnostic, and exact even for
+    * a column this dir's files omit entirely (all rows read back
+    * null) — which is what lets a whole-table `COUNT(col)` answer
+    * from the manifest and lets MIN/MAX treat a provably-all-null dir
+    * as contributing nothing instead of disqualifying
+    * ([[graft.plans.ManifestMetadataAggs]]). */
   private def statsOf(spark: SparkSession, dir: String,
       cols: Seq[String]): Stats =
     if (cols.isEmpty) NoStats
     else scala.util.Try { // an empty batch writes a file-less dir
       val df = spark.read.parquet(dir)
-      val isStr = cols.filter(df.columns.contains).map(c => c ->
+      val inDf = cols.filter(df.columns.contains)
+      val isStr = inDf.map(c => c ->
         (df.schema(c).dataType == org.apache.spark.sql.types.StringType))
         .toMap
-      val present = cols.filter(c => isStr.get(c).exists(identity) ||
-        df.columns.contains(c) && isIntegral(df.schema(c).dataType))
-      if (present.isEmpty) NoStats
-      else {
-        val aggs = present.flatMap(c =>
+      val bounded = inDf.filter(c =>
+        isStr(c) || isIntegral(df.schema(c).dataType))
+      val aggs = count(lit(1)) +: (inDf.map(c => count(col(c))) ++
+        bounded.flatMap(c =>
           if (isStr(c)) Seq(min(col(c)), max(col(c)))
-          else Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
-        val r = df.agg(aggs.head, aggs.tail: _*).head()
-        present.zipWithIndex.foldLeft(NoStats) {
-          case (acc, (_, i)) if r.isNullAt(2 * i) => acc
-          case ((lm, lx, sm, sx), (c, i)) if isStr(c) =>
-            (lm, lx, sm + (c -> r.getString(2 * i)),
-              sx + (c -> r.getString(2 * i + 1)))
-          case ((lm, lx, sm, sx), (c, i)) =>
-            (lm + (c -> r.getLong(2 * i)),
-              lx + (c -> r.getLong(2 * i + 1)), sm, sx)
-        }
+          else Seq(min(col(c).cast("long")), max(col(c).cast("long")))))
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      val total = r.getLong(0)
+      val nulls = inDf.zipWithIndex.map { case (c, i) =>
+        c -> (total - r.getLong(1 + i))
+      }.toMap ++ cols.filterNot(df.columns.contains).map(c => c -> total)
+      val base = 1 + inDf.size
+      bounded.zipWithIndex.foldLeft(
+        (Map.empty[String, Long], Map.empty[String, Long],
+          Map.empty[String, String], Map.empty[String, String], nulls)) {
+        case (acc, (_, i)) if r.isNullAt(base + 2 * i) => acc
+        case ((lm, lx, sm, sx, nc), (c, i)) if isStr(c) =>
+          (lm, lx, sm + (c -> r.getString(base + 2 * i)),
+            sx + (c -> r.getString(base + 2 * i + 1)), nc)
+        case ((lm, lx, sm, sx, nc), (c, i)) =>
+          (lm + (c -> r.getLong(base + 2 * i)),
+            lx + (c -> r.getLong(base + 2 * i + 1)), sm, sx, nc)
       }
     }.getOrElse(NoStats)
 
@@ -694,12 +730,13 @@ object ManifestTable {
     val dataDir = s"$path/data/$dirName"
     df.write.mode("overwrite").parquet(dataDir)
     val (fs, _) = fsOf(spark, path)
-    val (mins, maxes, sMins, sMaxes) = statsOf(spark, dataDir, statsCols)
+    val (mins, maxes, sMins, sMaxes, nulls) =
+      statsOf(spark, dataDir, statsCols)
     val (blooms, strBlooms) = bloomsOf(spark, dataDir, bloomCols)
     val fl = listDataFilesOf(fs, dataDir)
     Entry(dirName, tag, mins, maxes, Seq.empty, sMins, sMaxes,
       blooms, files = Some(fl), strBloom = strBlooms,
-      rows = rowsOf(spark, dataDir, fl))
+      rows = rowsOf(spark, dataDir, fl), nullCnt = nulls)
   }
 
   private def prevTagOf(spark: SparkSession, path: String,
@@ -762,9 +799,11 @@ object ManifestTable {
       s"$path/manifest/.tmp-${vName(v)}_" +
         java.util.UUID.randomUUID.toString.take(8))
     entries.map(e => (e.dir, e.tag, e.statMin, e.statMax, e.sources,
-        e.strMin, e.strMax, e.bloom, e.files, e.strBloom, e.rows))
+        e.strMin, e.strMax, e.bloom, e.files, e.strBloom, e.rows,
+        e.nullCnt))
       .toDF("dir", "tag", "statMin", "statMax", "sources",
-        "strMin", "strMax", "bloom", "files", "strBloom", "rows")
+        "strMin", "strMax", "bloom", "files", "strBloom", "rows",
+        "nullCnt")
       .repartition(1)
       .write.mode("overwrite").parquet(tmp.toString)
     writeSideFile(fs, new org.apache.hadoop.fs.Path(
@@ -1140,13 +1179,14 @@ object ManifestTable {
         // every future prune: conservative, exactly right)
         val restatCols =
           (e.statMin.keySet ++ e.strMin.keySet + statsCol).toSeq.sorted
-        val (mins, maxes, sMins, sMaxes) = statsOf(spark, target, restatCols)
+        val (mins, maxes, sMins, sMaxes, nulls) =
+          statsOf(spark, target, restatCols)
         val (blooms, strBlooms) = bloomsOf(spark, target,
           (e.bloom.keySet ++ e.strBloom.keySet).toSeq.sorted)
         val fl = listDataFilesOf(fs, target)
         Some(Entry(newDir, e.tag, mins, maxes, Seq(e.dir), sMins, sMaxes,
           blooms, files = Some(fl), strBloom = strBlooms,
-          rows = rowsOf(spark, target, fl)))
+          rows = rowsOf(spark, target, fl), nullCnt = nulls))
       }
     }
     val prevTag = maxTagOf(spark, path, prev).getOrElse(
@@ -1271,12 +1311,13 @@ object ManifestTable {
         require(fs.rename(st.getPath,
           new org.apache.hadoop.fs.Path(s"$path/data/$dirName")),
           s"ManifestTable.$op: could not promote ${st.getPath}")
-        val (mins, maxes, sMins, sMaxes) =
+        val (mins, maxes, sMins, sMaxes, nulls) =
           statsOf(spark, s"$path/data/$dirName", statCols)
         val fl = listDataFilesOf(fs, s"$path/data/$dirName")
         Entry(dirName, tag, mins, maxes, readable.map(_.dir),
           sMins, sMaxes, files = Some(fl),
-          rows = rowsOf(spark, s"$path/data/$dirName", fl))
+          rows = rowsOf(spark, s"$path/data/$dirName", fl),
+          nullCnt = nulls)
       }.toSeq
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     val (pStats, pBloom) = pruningOf(spark, path, prev)
@@ -1443,14 +1484,14 @@ object ManifestTable {
             s"ManifestTable.merge: could not promote $sp")
           val restatCols =
             (e.statMin.keySet ++ e.strMin.keySet + keyCol).toSeq.sorted
-          val (mins, maxes, sMins, sMaxes) =
+          val (mins, maxes, sMins, sMaxes, nulls) =
             statsOf(spark, target, restatCols)
           val (blooms, strBlooms) = bloomsOf(spark, target,
             (e.bloom.keySet ++ e.strBloom.keySet).toSeq.sorted)
           val fl = listDataFilesOf(fs, target)
           Entry(newDir, e.tag, mins, maxes, Seq(e.dir), sMins, sMaxes,
             blooms, files = Some(fl), strBloom = strBlooms,
-            rows = rowsOf(spark, target, fl))
+            rows = rowsOf(spark, target, fl), nullCnt = nulls)
         }
       }
       fs.delete(new org.apache.hadoop.fs.Path(staging), true)

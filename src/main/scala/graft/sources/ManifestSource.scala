@@ -86,6 +86,7 @@ final class ManifestFileIndex(spark: SparkSession, val tablePath: String,
     val sBounds = ManifestFileIndex.strBoundsOf(dataFilters)
     val points = ManifestFileIndex.pointsOf(dataFilters)
     val sPoints = ManifestFileIndex.strPointsOf(dataFilters)
+    val (notNulls, isNulls) = ManifestFileIndex.nullnessOf(dataFilters)
     val kept = filesByDir.filter { case (e, _) =>
       bounds.forall { case (c, (lo, hi)) => e.mightOverlap(c, lo, hi) } &&
         sBounds.forall { case (c, (lo, hi)) =>
@@ -97,7 +98,13 @@ final class ManifestFileIndex(spark: SparkSession, val tablePath: String,
           e.mightOverlap(c, v, v) && e.mightContainPoint(c, v)) } &&
         sPoints.forall { case (c, vs) => vs.exists(v =>
           e.mightOverlapStr(c, Some(v), Some(v)) &&
-            e.mightContainPointStr(c, v)) }
+            e.mightContainPointStr(c, v)) } &&
+        // nullness pruning from the recorded per-dir null counts:
+        // IsNotNull prunes provably-all-null dirs (and fires on every
+        // value filter — Catalyst conjoins the guard), IsNull prunes
+        // provably-null-free dirs
+        notNulls.forall(c => e.mightHaveNonNull(c)) &&
+        isNulls.forall(c => e.mightHaveNull(c))
     }
     Seq(PartitionDirectory(InternalRow.empty,
       kept.flatMap(_._2).toArray[org.apache.hadoop.fs.FileStatus]))
@@ -268,6 +275,27 @@ object ManifestFileIndex {
     }
     conjuncts.foreach(walk)
     per.toMap
+  }
+
+  /** The columns the pushed conjuncts constrain to be (notNull,
+    * isNull) — consumed against the manifest's recorded per-dir null
+    * counts. Only top-level (AND-nested) bare-column shapes count;
+    * the [[attrOf]] cast discipline applies (a widening integral cast
+    * preserves nullness exactly — `CAST(c AS BIGINT) IS NULL` iff
+    * `c IS NULL`). An OR, NOT, or anything else contributes nothing:
+    * widen-only, a missed shape never prunes. */
+  private[graft] def nullnessOf(conjuncts: Seq[Expression])
+      : (Set[String], Set[String]) = {
+    val nn = scala.collection.mutable.Set.empty[String]
+    val in = scala.collection.mutable.Set.empty[String]
+    def walk(e: Expression): Unit = e match {
+      case And(l, r) => walk(l); walk(r)
+      case IsNotNull(a) => attrOf(a).foreach(nn += _)
+      case IsNull(a) => attrOf(a).foreach(in += _)
+      case _ => ()
+    }
+    conjuncts.foreach(walk)
+    (nn.toSet, in.toSet)
   }
 
   /** Per-column string `[lo, hi]` bounds implied by the pushed

@@ -112,17 +112,67 @@ class ManifestMetadataAggSpec extends AnyFunSuite {
     assert(df.collect().head.getLong(0) == 20L) // ids 10..29
   }
 
-  test("count(col) (null-skipping) disqualifies and stays correct") {
+  test("count(col) answers from recorded null counts, metadata-only") {
     val t = freshTable()
     view(t, "m_meta_c")
-    val df = spark.sql("SELECT COUNT(id) AS n FROM m_meta_c")
-    assert(hasFileScan(df), "count(col) must scan (metadata can't see nulls)")
-    assert(df.collect().head.getLong(0) == 31L) // one null id
-    // GROUP BY and DISTINCT likewise
+    val df = spark.sql(
+      "SELECT COUNT(id) AS n_id, COUNT(name) AS n_name FROM m_meta_c")
+    assert(isMetadataOnly(df),
+      s"count(col) with recorded null counts must not scan:\n" +
+        df.queryExecution.executedPlan)
+    // 32 rows total, one null id, one null name — Σ(rows − nulls)
+    assert(df.collect().head.toSeq == Seq(31L, 31L))
+    // GROUP BY and DISTINCT still disqualify
     assert(hasFileScan(spark.sql(
       "SELECT name, COUNT(*) FROM m_meta_c GROUP BY name")))
     assert(hasFileScan(spark.sql(
       "SELECT COUNT(DISTINCT id) FROM m_meta_c")))
+  }
+
+  test("count(col) without recorded null counts falls back to the scan") {
+    val t = freshTable()
+    // simulate a manifest written before null counts existed: same
+    // entries, nullCnt stripped, committed as the next version
+    val prev = ManifestTable.latestVersion(spark, t).get
+    ManifestTable.commit(spark, t, prev + 1,
+      ManifestTable.entriesOf(spark, t, prev)
+        .map(_.copy(nullCnt = Map.empty)),
+      spark.read.format("graft-manifest").load(t).schema, -1L)
+    val df = spark.read.format("graft-manifest").load(t)
+      .agg(count(col("id")).as("n"))
+    assert(hasFileScan(df), "unknown per-dir null counts must scan")
+    assert(df.collect().head.getLong(0) == 31L)
+    // COUNT(*) needs no null counts: still metadata-only
+    val star = spark.read.format("graft-manifest").load(t)
+      .agg(count(lit(1)).as("n"))
+    assert(isMetadataOnly(star) &&
+      star.collect().head.getLong(0) == 32L)
+  }
+
+  test("a provably-all-null dir contributes nothing to MIN/MAX (no scan)") {
+    val t = freshTable()
+    // a whole commit where id is entirely null: statsOf records no id
+    // bound (nothing to bound), but nullCnt(id) == rows proves the
+    // dir holds no MIN/MAX-visible values — the rule must skip it,
+    // not disqualify
+    ManifestTable.append(spark,
+      Seq((None: Option[Long], Some("aa-allnull-1")),
+        (None: Option[Long], Some("aa-allnull-2")))
+        .toDF("id", "name"), t, statsCols = Seq("id", "name"))
+    val df = spark.read.format("graft-manifest").load(t)
+      .agg(count(lit(1)).as("n"), count(col("id")).as("n_id"),
+        min("id").as("lo"), max("id").as("hi"),
+        min("name").as("nlo"))
+    assert(isMetadataOnly(df),
+      s"all-null dir must be skipped, not disqualify:\n" +
+        df.queryExecution.executedPlan)
+    val r = df.collect().head
+    assert(r.toSeq == Seq(34L, 31L, 0L, 29L, "aa-allnull-1"))
+    // the fallback scan agrees bit-for-bit
+    val scan = spark.read.format("graft-manifest").load(t)
+      .agg(count(lit(1)), count(col("id")), min("id"), max("id"),
+        min("name")).collect().head
+    assert(r.toSeq == scan.toSeq)
   }
 
   test("a stat-less column disqualifies MIN/MAX but not COUNT") {
@@ -178,6 +228,87 @@ class ManifestMetadataAggSpec extends AnyFunSuite {
     assert(r.getLong(0) == 0L && r.isNullAt(1) && r.isNullAt(2))
   }
 
+  /** One commit per group value in `g` — every dir single-group by
+    * construction (plus an all-null commit when `withNullGroup`). */
+  private def groupedTable(withNullGroup: Boolean): String = {
+    val t = s"${Files.createTempDirectory("graft-metaagg-g")}/t"
+    Seq("de", "en", "fr").zipWithIndex.foreach { case (g, i) =>
+      ManifestTable.append(spark,
+        (0 until 4).map(x => (Some(g), (i * 10 + x).toLong))
+          .toDF("g", "v"), t, statsCols = Seq("g", "v"))
+    }
+    if (withNullGroup)
+      ManifestTable.append(spark,
+        Seq((None: Option[String], 90L), (None: Option[String], 91L))
+          .toDF("g", "v"), t, statsCols = Seq("g", "v"))
+    t
+  }
+
+  test("GROUP BY over single-group dirs plans metadata-only") {
+    val t = groupedTable(withNullGroup = true)
+    view(t, "m_grp")
+    val df = spark.sql(
+      """SELECT g, CAST(COUNT(*) AS BIGINT) AS n, COUNT(g) AS ng,
+        |MIN(v) AS lo, MAX(v) AS hi, MAX(g) AS gx
+        |FROM m_grp GROUP BY g ORDER BY g""".stripMargin)
+    assert(isMetadataOnly(df),
+      s"single-group dirs must rewrite:\n${df.queryExecution.executedPlan}")
+    // NULL group first under NULLS FIRST ordering; per-group count of
+    // g is 0 there (count skips nulls), min/max of v fold that dir's
+    // bounds; gx projects the group key through an aggregate
+    assert(df.collect().map(_.toSeq).toSeq == Seq(
+      Seq(null, 2L, 0L, 90L, 91L, null),
+      Seq("de", 4L, 4L, 0L, 3L, "de"),
+      Seq("en", 4L, 4L, 10L, 13L, "en"),
+      Seq("fr", 4L, 4L, 20L, 23L, "fr")))
+    // bit-exact with the real scan
+    val scan = spark.read.format("graft-manifest").load(t)
+      .groupBy("g").agg(count(lit(1)).cast("long").as("n"),
+        count(col("g")).as("ng"), min("v").as("lo"), max("v").as("hi"),
+        max("g").as("gx"))
+      .orderBy(col("g")).collect().map(_.toSeq).toSeq
+    assert(df.collect().map(_.toSeq).toSeq == scan)
+  }
+
+  test("one mixed dir disqualifies the grouped rewrite, same answer") {
+    val t = groupedTable(withNullGroup = false)
+    // a commit spanning TWO groups: min < max in g
+    ManifestTable.append(spark,
+      Seq((Some("en"), 50L), (Some("fr"), 51L)).toDF("g", "v"), t,
+      statsCols = Seq("g", "v"))
+    val df = spark.read.format("graft-manifest").load(t)
+      .groupBy("g").agg(count(lit(1)).as("n")).orderBy("g")
+    assert(hasFileScan(df), "a mixed dir must fall back to the scan")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("de", 4L), ("en", 5L), ("fr", 5L)))
+    // and a partly-null dir (some nulls beside one value) likewise:
+    // min == max can't prove single-group when nulls hide next to it
+    val t2 = groupedTable(withNullGroup = false)
+    ManifestTable.append(spark,
+      Seq((Some("en"), 60L), (None: Option[String], 61L))
+        .toDF("g", "v"), t2, statsCols = Seq("g", "v"))
+    val df2 = spark.read.format("graft-manifest").load(t2)
+      .groupBy("g").agg(count(lit(1)).as("n")).orderBy("g")
+    assert(hasFileScan(df2))
+    assert(df2.collect().map(_.toSeq).toSeq ==
+      Seq(Seq(null, 1L), Seq("de", 4L), Seq("en", 5L), Seq("fr", 4L)))
+  }
+
+  test("q140 equals the plain-table GROUP BY oracle, metadata-only") {
+    val d = "/root/testdata/sf0.001"
+    val q = operators.LayoutQueries.all
+      .find(_.name == "q140_manifest_grouped_metadata_agg").get
+    val got = q.run(spark, d)
+    assert(isMetadataOnly(got),
+      s"q140 must plan metadata-only:\n${got.queryExecution.executedPlan}")
+    val plain = Tables.documents(spark, d)
+      .groupBy("lang").agg(count(lit(1)).cast("long").as("n"),
+        min("doc_id").as("id_lo"), max("doc_id").as("id_hi"))
+      .orderBy("lang")
+    assert(got.collect().map(_.toSeq).toSeq ==
+      plain.collect().map(_.toSeq).toSeq)
+  }
+
   test("q139 equals the plain-table oracle") {
     val d = "/root/testdata/sf0.001"
     val q = operators.LayoutQueries.all
@@ -187,6 +318,7 @@ class ManifestMetadataAggSpec extends AnyFunSuite {
       s"q139 must plan metadata-only:\n${got.queryExecution.executedPlan}")
     val plain = Tables.documents(spark, d)
       .agg(count(lit(1)).cast("long").as("n"),
+        count(col("lang")).cast("long").as("n_lang"),
         min("doc_id").as("id_lo"), max("doc_id").as("id_hi"),
         min("lang").as("lang_lo"), max("lang").as("lang_hi"))
     assert(got.collect().head.toSeq == plain.collect().head.toSeq)

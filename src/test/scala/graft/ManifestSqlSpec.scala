@@ -330,4 +330,50 @@ class ManifestSqlSpec extends AnyFunSuite {
     assert(b(EqualTo(Cast(id, org.apache.spark.sql.types.IntegerType),
       Literal(5))).isEmpty)
   }
+
+  test("IS NULL / IS NOT NULL prune dirs from recorded null counts") {
+    val t = s"${Files.createTempDirectory("graft-nullprune")}/t"
+    // three commits with distinct null profiles in `v`:
+    //   A null-free, B mixed, C all-null (C gets NO string bounds —
+    //   an all-null column records nothing — so only the null count
+    //   can prune it)
+    ManifestTable.append(spark,
+      Seq((1L, Some("a")), (2L, Some("b"))).toDF("id", "v"), t,
+      statsCols = Seq("id", "v"))
+    ManifestTable.append(spark,
+      Seq((3L, None: Option[String]), (4L, Some("d"))).toDF("id", "v"),
+      t, statsCols = Seq("id", "v"))
+    ManifestTable.append(spark,
+      Seq((5L, None: Option[String]), (6L, None: Option[String]))
+        .toDF("id", "v"), t, statsCols = Seq("id", "v"))
+    val entries = ManifestTable
+      .entriesOf(spark, t, ManifestTable.latestVersion(spark, t).get)
+      .sortBy(_.dir)
+    assert(entries.map(_.nullCnt.get("v")) ==
+      Seq(Some(0L), Some(1L), Some(2L)))
+    def filesOf(dirIdx: Int*): Long =
+      dirIdx.map(i => entries(i).files.get.size.toLong).sum
+    def table = spark.read.format("graft-manifest").load(t)
+
+    val isNull = table.filter(col("v").isNull).select("id")
+    assert(isNull.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(3L, 5L, 6L))
+    assert(scanOf(isNull).metrics("numFiles").value == filesOf(1, 2),
+      "IS NULL must prune the null-free dir")
+
+    val notNull = table.filter(col("v").isNotNull).select("id")
+    assert(notNull.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 4L))
+    assert(scanOf(notNull).metrics("numFiles").value == filesOf(0, 1),
+      "IS NOT NULL must prune the all-null dir")
+
+    // a VALUE filter prunes the all-null dir too — Catalyst conjoins
+    // IsNotNull(v) onto it, and the all-null dir has no string bounds
+    // for the range check to use: without the null count it is kept
+    val eq = table.filter(col("v") === "a").select("id")
+    assert(eq.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(scanOf(eq).metrics("numFiles").value == filesOf(0),
+      "v = 'a' must keep only the first dir (bounds prune B, " +
+        "null count prunes all-null C)")
+  }
 }
