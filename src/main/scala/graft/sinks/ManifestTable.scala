@@ -956,7 +956,8 @@ object ManifestTable {
     * returns the current version unchanged. Returns the new
     * version. */
   def compact(spark: SparkSession, path: String,
-      targetFileBytes: Long = 128L << 20, minFiles: Int = 1): Long = {
+      targetFileBytes: Long = 128L << 20, minFiles: Int = 1,
+      retries: Int = 0): Long = {
     val (fs, _) = fsOf(spark, path)
     val prev = latestVersion(spark, path).getOrElse(
       sys.error(s"ManifestTable.compact: no committed version at $path"))
@@ -1007,17 +1008,26 @@ object ManifestTable {
       c -> readable.map(_.strMin(c)).min).toMap
     val sMaxes = sFoldCols.map(c =>
       c -> readable.map(_.strMax(c)).max).toMap
+    // null counts fold exactly (the compacted dir holds precisely the
+    // union of the source rows) — per column, when EVERY source
+    // recorded one; otherwise dropped, conservative like the bounds
+    val nFoldCols = readable.map(_.nullCnt.keySet)
+      .reduce(_ intersect _).toSeq.sorted
+    val nulls = nFoldCols.map(c =>
+      c -> readable.map(_.nullCnt(c)).sum).toMap
     // provenance lists only the dirs whose ROWS went in: a file-less
     // (empty-batch) dir contributed nothing, and naming it would make
     // a consumer that never saw the empty commit read the whole fold
     // as mixed lineage and fail for zero actually-missed rows
+    val fl = listDataFilesOf(fs, dataDir)
     val merged = Entry(dirName, tag, mins, maxes, readable.map(_.dir),
-      sMins, sMaxes, files = Some(listDataFilesOf(fs, dataDir)))
-    val prevTag = maxTagOf(spark, path, prev).getOrElse(
-      entries.map(_.tag).foldLeft(-1L)(math.max))
-    commit(spark, path, v, Seq(merged), schema, prevTag,
-      pruningOf(spark, path, prev))
-    v
+      sMins, sMaxes, files = Some(fl),
+      rows = rowsOf(spark, dataDir, fl), nullCnt = nulls)
+    // like cluster: compaction has no row-level effect, any concurrent
+    // addition is rebase-safe (it just isn't in this compacted dir)
+    commitRewrite(spark, path, "compact", prev, entries,
+      entries.map(_.dir).toSet, Seq(merged), schema, Nil, Nil, retries,
+      _ => true)
   }
 
   /** Incremental consumption: rows committed AFTER snapshot
@@ -1116,6 +1126,82 @@ object ManifestTable {
     readDirs(spark, path, latest, now, now.filterNot(e => consumed(e.dir)))
   }
 
+  /** The rewrite ops' shared OPTIMISTIC commit (the twin of
+    * [[append]]'s retry loop, for ops that consume dirs): commit
+    * "`consumed` dirs replaced by `produced` entries" on top of the
+    * base snapshot, and on [[CommitConflictException]] REBASE onto
+    * the new latest instead of failing — the staged data dirs were
+    * written exactly once and are reused; a rebase costs one manifest
+    * read + one metadata commit. This is the Delta/Iceberg
+    * conflict-resolution shape: a rewrite conflicts with a concurrent
+    * commit only when their EFFECTS overlap, which the manifest can
+    * check —
+    *
+    *  - every consumed dir must still be referenced by the new latest
+    *    (an interloper that rewrote or dropped one of our inputs
+    *    invalidates our staged output — rebasing would resurrect rows
+    *    it removed, or double-apply ours);
+    *  - the persisted schema must be unchanged (a concurrent schema
+    *    evolution would be silently regressed by our commit);
+    *  - every dir the interlopers ADDED since our base snapshot must
+    *    pass the op's `addedSafe` gate — deleteRange/merge prove
+    *    (from recorded stats) that no added dir can contain rows
+    *    their predicate/keys would have affected, so the rebased
+    *    commit equals the serial order "our op, then theirs";
+    *    cluster/compact accept any addition (fresh dirs simply ride
+    *    along un-clustered — maintenance has no row-level effect).
+    *
+    * Any unprovable case re-throws the conflict: the caller retries
+    * from scratch or backs off, and correctness never rides on a
+    * guess. `retries = 0` (every op's default) keeps today's
+    * single-writer behavior bit-for-bit. */
+  private[graft] def commitRewrite(spark: SparkSession, path: String,
+      op: String, baseV: Long, baseEntries: Seq[Entry],
+      consumed: Set[String], produced: Seq[Entry], schema: StructType,
+      opStats: Seq[String], opBlooms: Seq[String], retries: Int,
+      addedSafe: Seq[Entry] => Boolean): Long = {
+    require(retries >= 0, s"$op: retries must be >= 0, got $retries")
+    val baseDirs = baseEntries.map(_.dir).toSet
+    var attempt = 0
+    var curV = baseV
+    var curEntries = baseEntries
+    while (true) {
+      val v = curV + 1
+      val (pStats, pBloom) = pruningOf(spark, path, curV)
+      try {
+        commit(spark, path, v,
+          curEntries.filterNot(e => consumed(e.dir)) ++ produced, schema,
+          prevTagOf(spark, path, Some(curV), curEntries),
+          ((pStats ++ opStats).distinct, (pBloom ++ opBlooms).distinct))
+        return v
+      } catch {
+        case ex: CommitConflictException =>
+          if (attempt >= retries) throw ex
+          attempt += 1
+          val latest = latestVersion(spark, path).getOrElse(throw ex)
+          val latestEntries = entriesOf(spark, path, latest)
+          val missing = consumed -- latestEntries.map(_.dir).toSet
+          if (missing.nonEmpty) throw new CommitConflictException(
+            s"ManifestTable.$op: cannot rebase onto ${vName(latest)} — " +
+              s"a concurrent writer rewrote consumed dir(s) " +
+              missing.toSeq.sorted.mkString(", "))
+          if (!schemaOf(spark, path, latest).forall(_ == schema))
+            throw new CommitConflictException(
+              s"ManifestTable.$op: cannot rebase onto ${vName(latest)}" +
+                " — the table schema changed concurrently")
+          val added = latestEntries.filterNot(e => baseDirs(e.dir))
+          if (!addedSafe(added)) throw new CommitConflictException(
+            s"ManifestTable.$op: cannot rebase onto ${vName(latest)} — " +
+              "concurrently added dir(s) may contain rows this " +
+              "operation would have affected (recorded stats cannot " +
+              "prove disjointness)")
+          curV = latest
+          curEntries = latestEntries
+      }
+    }
+    -1L // unreachable: the loop returns or the conflict propagates
+  }
+
   /** Copy-on-write row-level delete of `[lo, hi]` on `statsCol`:
     * ONLY the data dirs whose recorded stats overlap the range are
     * rewritten (filtered, restatted on every column the entry had
@@ -1131,9 +1217,16 @@ object ManifestTable {
     * not an edit. The table watermark is table-level metadata and
     * survives any delete (a replayed batch stays skipped even after
     * its rows were deliberately removed). Returns (new version, dirs
-    * rewritten). */
+    * rewritten).
+    *
+    * `retries > 0` makes the commit optimistic ([[commitRewrite]]):
+    * on a version conflict the delete REBASES onto the new latest iff
+    * the recorded stats prove every concurrently-added dir is
+    * disjoint from `[lo, hi]` — otherwise (the interloper may have
+    * appended rows this delete should have removed) the conflict
+    * propagates, because rebasing would silently miss them. */
   def deleteRange(spark: SparkSession, path: String, statsCol: String,
-      lo: Long, hi: Long): (Long, Int) = {
+      lo: Long, hi: Long, retries: Int = 0): (Long, Int) = {
     val (fs, _) = fsOf(spark, path)
     val prev = latestVersion(spark, path).getOrElse(
       sys.error(s"ManifestTable.deleteRange: no committed version at $path"))
@@ -1189,11 +1282,12 @@ object ManifestTable {
           rows = rowsOf(spark, target, fl), nullCnt = nulls))
       }
     }
-    val prevTag = maxTagOf(spark, path, prev).getOrElse(
-      entries.map(_.tag).foldLeft(-1L)(math.max))
-    commit(spark, path, v, keep ++ rewritten, schema, prevTag,
-      pruningOf(spark, path, prev))
-    (v, touch.size)
+    val committed = commitRewrite(spark, path, "deleteRange", prev,
+      entries, touch.map(_.dir).toSet, rewritten, schema, Nil, Nil,
+      retries,
+      added => added.forall(e => !e.mightOverlap(statsCol, lo, hi) ||
+        !e.hasData(fs, s"$path/data/${e.dir}")))
+    (committed, touch.size)
   }
 
   /** OPTIMIZE-style clustered rewrite: repartition the CURRENT
@@ -1212,9 +1306,10 @@ object ManifestTable {
     * filter's job). Returns the new version; a table with no
     * readable data is a no-op. */
   def cluster(spark: SparkSession, path: String, statsCol: String,
-      nDirs: Int, statsCols: Seq[String] = Nil): Long =
+      nDirs: Int, statsCols: Seq[String] = Nil,
+      retries: Int = 0): Long =
     clusterOn(spark, path, "cluster", nDirs, Seq(statsCol), statsCols,
-      _ => col(statsCol).cast("long"))
+      _ => col(statsCol).cast("long"), retries)
 
   /** OPTIMIZE ZORDER BY: rewrite the CURRENT snapshot into `nDirs`
     * data dirs clustered on the Morton interleave of TWO integral
@@ -1231,9 +1326,10 @@ object ManifestTable {
     * axis — they land in a low tile whose recorded stats stay correct
     * (null never contributes to min/max). */
   def clusterZ(spark: SparkSession, path: String, colA: String,
-      colB: String, nDirs: Int, statsCols: Seq[String] = Nil): Long =
+      colB: String, nDirs: Int, statsCols: Seq[String] = Nil,
+      retries: Int = 0): Long =
     clusterOn(spark, path, "clusterZ", nDirs, Seq(colA, colB), statsCols,
-      { current =>
+      retries = retries, orderOf = { current =>
         // fix the Z grid from the table's global per-column ranges
         val r = current.agg(
           min(col(colA).cast("long")), max(col(colA).cast("long")),
@@ -1257,7 +1353,8 @@ object ManifestTable {
     * provenance and the carried pruning discipline. */
   private def clusterOn(spark: SparkSession, path: String, op: String,
       nDirs: Int, keyCols: Seq[String], statsCols: Seq[String],
-      orderOf: DataFrame => org.apache.spark.sql.Column): Long = {
+      orderOf: DataFrame => org.apache.spark.sql.Column,
+      retries: Int = 0): Long = {
     require(nDirs >= 1, s"$op: nDirs must be >= 1")
     val (fs, _) = fsOf(spark, path)
     val prev = latestVersion(spark, path).getOrElse(
@@ -1320,11 +1417,12 @@ object ManifestTable {
           nullCnt = nulls)
       }.toSeq
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-    val (pStats, pBloom) = pruningOf(spark, path, prev)
-    commit(spark, path, v, newEntries, schema,
-      prevTagOf(spark, path, Some(prev), entries),
-      ((pStats ++ statsCols ++ keyCols).distinct, pBloom))
-    v
+    // a clustered rewrite has no row-level effect, so ANY concurrent
+    // addition is rebase-safe: fresh dirs simply ride along
+    // un-clustered until the next maintenance pass
+    commitRewrite(spark, path, op, prev, entries,
+      entries.map(_.dir).toSet, newEntries, schema,
+      (statsCols ++ keyCols).distinct, Nil, retries, _ => true)
   }
 
   /** Copy-on-write MERGE (upsert) by integral key: rows of `updates`
@@ -1352,11 +1450,19 @@ object ManifestTable {
     * (replaced rows are replaced WHOLE — a partial-column update
     * would silently null the rest), and its keys must be unique (two
     * updates for one key have no defined winner). Both violations
-    * fail loudly. Returns (new version, dirs rewritten). */
+    * fail loudly. Returns (new version, dirs rewritten).
+    *
+    * `retries > 0` makes the commit optimistic ([[commitRewrite]]):
+    * on a version conflict the merge REBASES onto the new latest iff
+    * the recorded stats prove every concurrently-added dir is
+    * disjoint from the batch's key envelope `[lo, hi]` — otherwise
+    * (the interloper may have appended rows with keys this merge
+    * replaces, which a rebase would silently duplicate) the conflict
+    * propagates. */
   def merge(spark: SparkSession, updates: DataFrame, path: String,
       keyCol: String, statsCols: Seq[String] = Nil,
       maxBroadcastKeys: Long = 4000000L,
-      bloomCols: Seq[String] = Nil): (Long, Int) = {
+      bloomCols: Seq[String] = Nil, retries: Int = 0): (Long, Int) = {
     val (fs, _) = fsOf(spark, path)
     val prev = latestVersion(spark, path).getOrElse(
       sys.error(s"ManifestTable.merge: no committed version at $path"))
@@ -1499,12 +1605,12 @@ object ManifestTable {
     }
     val inserted = writeDirEntry(spark, batch, path, v, -1L,
       (statsCols :+ keyCol).distinct, bloomCols)
-    val (pStats, pBloom) = pruningOf(spark, path, prev)
-    commit(spark, path, v, keep ++ rewritten :+ inserted, schema,
-      prevTagOf(spark, path, Some(prev), entries),
-      ((pStats ++ statsCols :+ keyCol).distinct,
-        (pBloom ++ bloomCols).distinct))
-    (v, touch.size)
+    val committed = commitRewrite(spark, path, "merge", prev, entries,
+      touch.map(_.dir).toSet, rewritten :+ inserted, schema,
+      (statsCols :+ keyCol).distinct, bloomCols, retries,
+      added => added.forall(e => !e.mightOverlap(keyCol, lo, hi) ||
+        !e.hasData(fs, s"$path/data/${e.dir}")))
+    (committed, touch.size)
   }
 
   /** Drop snapshots older than the newest `keepVersions` and delete

@@ -101,6 +101,18 @@ class ManifestMetadataAggSpec extends AnyFunSuite {
       .agg(min("id"), max("id"))
     assert(isMetadataOnly(mm) &&
       mm.collect().head.toSeq == Seq(0L, 100L))
+    // compact folds rows + null counts from its sources — the
+    // compacted table keeps answering from metadata
+    ManifestTable.compact(spark, t)
+    assert(metaCount() == ((true, 27L)))
+    val mm2 = spark.read.format("graft-manifest").load(t)
+      .agg(min("id"), max("id"), count(col("name")).as("nn"))
+    assert(isMetadataOnly(mm2))
+    // the programmatic read is a plain parquet scan (no manifest
+    // relation, so the rule can't fire) — the honest cross-check
+    assert(mm2.collect().head.toSeq ==
+      ManifestTable.read(spark, t)
+        .agg(min("id"), max("id"), count(col("name"))).collect().head.toSeq)
   }
 
   test("a WHERE clause disqualifies: falls back to the scan, same answer") {

@@ -772,6 +772,115 @@ class ManifestTableSpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("rewrite rebase: a conflicting commit is rebased onto iff provably safe") {
+    import org.apache.spark.sql.types.StructType
+    def fresh(): (String, Seq[ManifestTable.Entry], StructType) = {
+      val t = s"${Files.createTempDirectory("graft-rebase")}/t"
+      ManifestTable.append(spark, (0L to 9L).toDF("id"), t,
+        statsCols = Seq("id"))
+      ManifestTable.append(spark, (10L to 19L).toDF("id"), t,
+        statsCols = Seq("id"))
+      (t, ManifestTable.entriesOf(spark, t, 2L),
+        ManifestTable.schemaOf(spark, t, 2L).get)
+    }
+    def dirA(es: Seq[ManifestTable.Entry]): String =
+      es.find(_.statMin("id") == 0L).get.dir
+    // the op under test: "deleteRange [0,9] emptied dir A" — consumed
+    // = {A}, produced = nothing, gated on added-dirs disjoint from
+    // [0,9]. Driven through commitRewrite directly so the conflicting
+    // interleaving is deterministic, not racy.
+    def gate(lo: Long, hi: Long)(added: Seq[ManifestTable.Entry]) =
+      added.forall(e => !e.mightOverlap("id", lo, hi))
+
+    // 1) rebase SUCCEEDS over a concurrently-appended disjoint dir
+    val (t1, base1, schema) = fresh()
+    ManifestTable.append(spark, (100L to 109L).toDF("id"), t1,
+      statsCols = Seq("id")) // interloper lands v3 before our commit
+    val v = ManifestTable.commitRewrite(spark, t1, "deleteRange", 2L,
+      base1, Set(dirA(base1)), Nil, schema, Nil, Nil, retries = 2,
+      gate(0L, 9L))
+    assert(v == 4L)
+    assert(ids(ManifestTable.read(spark, t1)) ==
+      ((10L to 19L) ++ (100L to 109L)).sorted)
+
+    // 2) rebase REFUSED when an added dir may hold affected rows
+    val (t2, base2, _) = fresh()
+    ManifestTable.append(spark, Seq(5L, 6L).toDF("id"),
+      t2, statsCols = Seq("id")) // overlaps the delete range
+    val ex2 = intercept[ManifestTable.CommitConflictException] {
+      ManifestTable.commitRewrite(spark, t2, "deleteRange", 2L,
+        base2, Set(dirA(base2)), Nil, schema, Nil, Nil, retries = 2,
+        gate(0L, 9L))
+    }
+    assert(ex2.getMessage.contains("concurrently added"))
+
+    // 3) rebase REFUSED when a consumed dir was itself rewritten
+    val (t3, base3, _) = fresh()
+    ManifestTable.deleteRange(spark, t3, "id", 0L, 0L) // rewrites A
+    val ex3 = intercept[ManifestTable.CommitConflictException] {
+      ManifestTable.commitRewrite(spark, t3, "deleteRange", 2L,
+        base3, Set(dirA(base3)), Nil, schema, Nil, Nil, retries = 2,
+        gate(0L, 9L))
+    }
+    assert(ex3.getMessage.contains("rewrote consumed dir"))
+
+    // 4) rebase REFUSED when the schema evolved concurrently
+    val (t4, base4, _) = fresh()
+    ManifestTable.append(spark,
+      Seq((50L, "x")).toDF("id", "s"), t4, statsCols = Seq("id"),
+      evolveSchema = true)
+    val ex4 = intercept[ManifestTable.CommitConflictException] {
+      ManifestTable.commitRewrite(spark, t4, "deleteRange", 2L,
+        base4, Set(dirA(base4)), Nil, schema, Nil, Nil, retries = 2,
+        gate(0L, 9L))
+    }
+    assert(ex4.getMessage.contains("schema changed"))
+
+    // 5) retries = 0 propagates the raw conflict untouched
+    val (t5, base5, _) = fresh()
+    ManifestTable.append(spark, (100L to 101L).toDF("id"), t5,
+      statsCols = Seq("id"))
+    intercept[ManifestTable.CommitConflictException] {
+      ManifestTable.commitRewrite(spark, t5, "deleteRange", 2L,
+        base5, Set(dirA(base5)), Nil, schema, Nil, Nil, retries = 0,
+        gate(0L, 9L))
+    }
+  }
+
+  test("merge with retries lands against racing disjoint appends") {
+    val t = s"${Files.createTempDirectory("graft-rebaserace")}/t"
+    ManifestTable.append(spark,
+      (0L to 9L).map(i => (i, s"v$i")).toDF("id", "s"), t,
+      statsCols = Seq("id"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      // one merge racing two appends in key ranges the merge's
+      // envelope can prove disjoint — every writer must land, with
+      // the merge rebasing as needed (or winning outright: both
+      // interleavings are legal; content decides, not timing)
+      val mergeTask = pool.submit(new java.util.concurrent.Callable[Long] {
+        override def call(): Long = ManifestTable.merge(spark,
+          Seq((3L, "replaced"), (20L, "new")).toDF("id", "s"), t, "id",
+          retries = 4)._1
+      })
+      val appendTasks = (1 to 2).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long = ManifestTable.append(spark,
+            Seq((100L + i, s"a$i")).toDF("id", "s"), t,
+            statsCols = Seq("id"), retries = 4)
+        })
+      }
+      (mergeTask +: appendTasks)
+        .foreach(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+      val got = ManifestTable.read(spark, t).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      val want = ((0L to 9L).map(i => (i, if (i == 3) "replaced"
+        else s"v$i")) ++ Seq((20L, "new"), (101L, "a1"), (102L, "a2")))
+        .sortBy(_._1)
+      assert(got == want)
+    } finally pool.shutdown()
+  }
+
   test("append without retries loses a version conflict loudly and typed") {
     val t = s"${Files.createTempDirectory("graft-manifestocc2")}/t"
     ManifestTable.append(spark, Seq(1L).toDF("id"), t)
