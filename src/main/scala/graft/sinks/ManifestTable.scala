@@ -369,6 +369,106 @@ object ManifestTable {
     s"stats=${statsCols.distinct.mkString(",")}\n" +
       s"bloom=${bloomCols.distinct.mkString(",")}\n"
 
+  /** The table's CHECK constraints at snapshot `v` — `(name, SQL
+    * boolean expression)` pairs persisted as a sidecar riding the
+    * atomic rename, enforced on every row-adding write ([[append]],
+    * [[overwrite]], [[merge]]'s batch; the SQL INSERT path routes
+    * through append). Like the pruning discipline they are
+    * TABLE-level metadata carried forward by every commit, and like
+    * every sidecar they are versioned: time travel shows exactly
+    * which constraints each snapshot was written under. Absent
+    * sidecar (pre-upgrade version, or none ever added) = no
+    * constraints. */
+  def constraintsOf(spark: SparkSession, path: String,
+      v: Long): Seq[(String, String)] = {
+    val (fs, _) = fsOf(spark, path)
+    readSideFile(fs, new org.apache.hadoop.fs.Path(
+      s"$path/manifest/${vName(v)}/_graft_constraints"))
+      .map(_.linesIterator.map(_.split("\t", 2)).collect {
+        case Array(n, e) => n -> e
+      }.toSeq).getOrElse(Nil)
+  }
+
+  private def constraintsBody(cs: Seq[(String, String)]): String =
+    cs.map { case (n, e) => s"$n\t$e" }.mkString("", "\n", "\n")
+
+  /** Fail loudly when any row of `df` VIOLATES a CHECK constraint.
+    * SQL CHECK semantics: only a FALSE evaluation violates — UNKNOWN
+    * (null) passes, exactly like the standard and Delta's CHECK. One
+    * aggregate job tests every constraint at once; the violating
+    * example row is fetched only on the failure path. */
+  private def enforceConstraints(df: DataFrame,
+      cs: Seq[(String, String)], where: String): Unit =
+    if (cs.nonEmpty) {
+      def violated(sql: String) = not(coalesce(expr(sql), lit(true)))
+      val flags = cs.zipWithIndex.map { case ((_, sql), i) =>
+        max(when(violated(sql), 1).otherwise(0)).as(s"c$i")
+      }
+      val r = df.agg(flags.head, flags.tail: _*).head()
+      cs.zipWithIndex.foreach { case ((n, sql), i) =>
+        if (!r.isNullAt(i) && r.getInt(i) == 1)
+          throw new IllegalArgumentException(
+            s"$where: CHECK constraint '$n' ($sql) violated, e.g. by " +
+              s"row ${df.filter(violated(sql)).head()}")
+      }
+    }
+
+  /** Add a named CHECK constraint: `check` is any BOOLEAN SQL
+    * expression over the table's columns. The CURRENT content must
+    * already satisfy it (validated here, one scan — the Delta `ALTER
+    * TABLE ADD CONSTRAINT` contract), after which every row-adding
+    * write enforces it at the write boundary, where a violation
+    * costs one orphan dir and a loud error instead of a committed
+    * contamination. Commits a new (data-identical) version carrying
+    * the constraint; returns it. */
+  def addConstraint(spark: SparkSession, path: String, name: String,
+      check: String): Long = {
+    require(name.nonEmpty && !name.exists(c => c == '\t' || c == '\n'),
+      s"addConstraint: constraint name must be non-empty and free of " +
+        s"tabs/newlines, got '$name'")
+    require(!check.exists(_ == '\n'),
+      "addConstraint: the check expression must be a single line")
+    val prev = latestVersion(spark, path).getOrElse(sys.error(
+      s"ManifestTable.addConstraint: no committed version at $path"))
+    val existing = constraintsOf(spark, path, prev)
+    require(!existing.exists(_._1 == name),
+      s"ManifestTable.addConstraint: constraint '$name' already exists")
+    val current = readVersion(spark, path, prev)
+    val dt = current.select(expr(check)).schema.head.dataType
+    require(dt == org.apache.spark.sql.types.BooleanType,
+      s"ManifestTable.addConstraint: '$check' is ${dt.catalogString}, " +
+        "not a boolean expression")
+    enforceConstraints(current, Seq(name -> check),
+      s"ManifestTable.addConstraint($path): existing content")
+    val entries = entriesOf(spark, path, prev)
+    val v = prev + 1
+    commit(spark, path, v, entries,
+      tableSchema(spark, path, prev, entries),
+      prevTagOf(spark, path, Some(prev), entries),
+      pruningOf(spark, path, prev), existing :+ (name -> check))
+    v
+  }
+
+  /** Drop a named CHECK constraint (fails if absent — a typo'd drop
+    * that silently "succeeds" would leave the caller believing
+    * enforcement ended). Commits a new version; returns it. */
+  def dropConstraint(spark: SparkSession, path: String,
+      name: String): Long = {
+    val prev = latestVersion(spark, path).getOrElse(sys.error(
+      s"ManifestTable.dropConstraint: no committed version at $path"))
+    val existing = constraintsOf(spark, path, prev)
+    require(existing.exists(_._1 == name),
+      s"ManifestTable.dropConstraint: no constraint named '$name' " +
+        s"(have: ${existing.map(_._1).mkString(", ")})")
+    val entries = entriesOf(spark, path, prev)
+    val v = prev + 1
+    commit(spark, path, v, entries,
+      tableSchema(spark, path, prev, entries),
+      prevTagOf(spark, path, Some(prev), entries),
+      pruningOf(spark, path, prev), existing.filterNot(_._1 == name))
+    v
+  }
+
   /** The ONE read path for a dir selection: skips file-less dirs
     * (empty-batch commits write dirs Spark cannot infer a schema
     * from), and when the selection is empty (or all file-less)
@@ -650,6 +750,7 @@ object ManifestTable {
     require(retries >= 0, s"append: retries must be >= 0, got $retries")
     var entry: Option[Entry] = None
     var attempt = 0
+    var validated = Set.empty[(String, String)]
     while (true) {
       val prev = latestVersion(spark, path)
       val v = prev.map(_ + 1).getOrElse(1L)
@@ -669,6 +770,19 @@ object ManifestTable {
         entry = Some(w)
         w
       }
+      // CHECK constraints, re-read per attempt (a retry may rebase
+      // past a concurrent addConstraint) and validated against the
+      // WRITTEN dir — the same written-is-truth rule as statsOf: a
+      // non-deterministic source frame could pass a pre-write check
+      // and still write violating rows. A violation costs one orphan
+      // dir (vacuum reaps it), never a commit.
+      val cs = prev.map(constraintsOf(spark, path, _)).getOrElse(Nil)
+      val toCheck = cs.filterNot(validated)
+      if (toCheck.nonEmpty && e.files.exists(_.nonEmpty)) {
+        enforceConstraints(spark.read.parquet(s"$path/data/${e.dir}"),
+          toCheck, s"ManifestTable.append($path)")
+        validated ++= toCheck
+      }
       val prevTag = prevTagOf(spark, path, prev, prevEntries)
       val (pStats, pBloom) = prev.map(pruningOf(spark, path, _))
         .getOrElse((Nil, Nil))
@@ -676,7 +790,7 @@ object ManifestTable {
         commit(spark, path, v, prevEntries :+ e, schema,
           math.max(prevTag, tag),
           ((pStats ++ statsCols).distinct,
-            (pBloom ++ bloomCols).distinct))
+            (pBloom ++ bloomCols).distinct), cs)
         return v
       } catch {
         case _: CommitConflictException if attempt < retries =>
@@ -760,10 +874,17 @@ object ManifestTable {
     val v = prev.map(_ + 1).getOrElse(1L)
     val entry = writeDirEntry(spark, df, path, v, tag, statsCols,
       bloomCols)
+    // constraints are TABLE metadata: they survive a content
+    // overwrite (like Delta's) and the replacement content must
+    // satisfy them — validated against the written dir, like append
+    val cs = prev.map(constraintsOf(spark, path, _)).getOrElse(Nil)
+    if (entry.files.exists(_.nonEmpty))
+      enforceConstraints(spark.read.parquet(s"$path/data/${entry.dir}"),
+        cs, s"ManifestTable.overwrite($path)")
     val prevTag = prevTagOf(spark, path, prev,
       prev.map(pv => entriesOf(spark, path, pv)).getOrElse(Seq.empty))
     commit(spark, path, v, Seq(entry), df.schema, math.max(prevTag, tag),
-      (statsCols, bloomCols))
+      (statsCols, bloomCols), cs)
     v
   }
 
@@ -774,7 +895,8 @@ object ManifestTable {
     * commit attempt directly. */
   private[graft] def commit(spark: SparkSession, path: String, v: Long,
       entries: Seq[Entry], schema: StructType, maxTag: Long,
-      pruning: (Seq[String], Seq[String]) = (Nil, Nil)): Unit = {
+      pruning: (Seq[String], Seq[String]) = (Nil, Nil),
+      constraints: Seq[(String, String)] = Nil): Unit = {
     import spark.implicits._
     val (fs, _) = fsOf(spark, path)
     val mDir = new org.apache.hadoop.fs.Path(s"$path/manifest")
@@ -812,6 +934,9 @@ object ManifestTable {
       tmp, "_graft_maxtag"), maxTag.toString)
     writeSideFile(fs, new org.apache.hadoop.fs.Path(
       tmp, "_graft_pruning"), pruningBody(pruning._1, pruning._2))
+    if (constraints.nonEmpty)
+      writeSideFile(fs, new org.apache.hadoop.fs.Path(
+        tmp, "_graft_constraints"), constraintsBody(constraints))
     // the attempt id closes the exists-then-rename race on
     // filesystems where rename(src, existing-dir) moves src INSIDE
     // the destination (HDFS semantics): there the loser's rename
@@ -1162,6 +1287,7 @@ object ManifestTable {
       addedSafe: Seq[Entry] => Boolean): Long = {
     require(retries >= 0, s"$op: retries must be >= 0, got $retries")
     val baseDirs = baseEntries.map(_.dir).toSet
+    val baseCs = constraintsOf(spark, path, baseV)
     var attempt = 0
     var curV = baseV
     var curEntries = baseEntries
@@ -1172,7 +1298,8 @@ object ManifestTable {
         commit(spark, path, v,
           curEntries.filterNot(e => consumed(e.dir)) ++ produced, schema,
           prevTagOf(spark, path, Some(curV), curEntries),
-          ((pStats ++ opStats).distinct, (pBloom ++ opBlooms).distinct))
+          ((pStats ++ opStats).distinct, (pBloom ++ opBlooms).distinct),
+          baseCs)
         return v
       } catch {
         case ex: CommitConflictException =>
@@ -1189,6 +1316,13 @@ object ManifestTable {
             throw new CommitConflictException(
               s"ManifestTable.$op: cannot rebase onto ${vName(latest)}" +
                 " — the table schema changed concurrently")
+          // a concurrent constraint change would be silently
+          // regressed (or our produced rows would dodge a validation
+          // the new constraint set requires) — conflict, not rebase
+          if (constraintsOf(spark, path, latest) != baseCs)
+            throw new CommitConflictException(
+              s"ManifestTable.$op: cannot rebase onto ${vName(latest)}" +
+                " — the table constraints changed concurrently")
           val added = latestEntries.filterNot(e => baseDirs(e.dir))
           if (!addedSafe(added)) throw new CommitConflictException(
             s"ManifestTable.$op: cannot rebase onto ${vName(latest)} — " +
@@ -1501,6 +1635,13 @@ object ManifestTable {
     require(dupKeys.isEmpty,
       s"ManifestTable.merge: updates carry duplicate key " +
         s"${dupKeys.headOption.map(_.get(0))} — no defined winner")
+    // only the batch adds rows (rewritten dirs are row-subsets of
+    // content that passed at ITS commit, and addConstraint validates
+    // the whole table) — CHECK it before any staging work. The
+    // checkpointed batch is what writeDirEntry will write, so this
+    // pre-write check is authoritative.
+    enforceConstraints(batch, constraintsOf(spark, path, prev),
+      s"ManifestTable.merge($path)")
     // one aggregate serves the key envelope AND the broadcast-guard
     // row count (no separate count job)
     val range = batch.agg(min(col(keyCol).cast("long")),

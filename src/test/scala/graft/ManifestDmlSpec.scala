@@ -49,6 +49,18 @@ class ManifestDmlSpec extends AnyFunSuite {
     assert(ids(ManifestTable.read(spark, t)) == Seq(99L))
     assert(ids(ManifestTable.readVersion(spark, t, 3L)) ==
       Seq(1L, 2L, 3L, 10L))
+    // a CHECK constraint reaches the SQL path too (INSERT routes
+    // through append): the violating statement is refused with the
+    // constraint named, and no version committed
+    ManifestTable.addConstraint(spark, t, "id_pos", "id > 0")
+    val vBefore = ManifestTable.latestVersion(spark, t).get
+    val exCheck = intercept[IllegalArgumentException] {
+      spark.sql("INSERT INTO dml_ins VALUES (-1, 'neg')")
+    }
+    assert(exCheck.getMessage.contains("id_pos") &&
+      ManifestTable.latestVersion(spark, t).contains(vBefore))
+    spark.sql("INSERT INTO dml_ins VALUES (100, 'ok')")
+    assert(ids(ManifestTable.read(spark, t)) == Seq(99L, 100L))
     // arity mismatch is loud, not silently padded
     val ex = intercept[Exception] {
       spark.sql("INSERT INTO dml_ins VALUES (7)")

@@ -847,6 +847,83 @@ class ManifestTableSpec extends AnyFunSuite {
     }
   }
 
+  test("CHECK constraints: write-boundary enforcement across every path") {
+    val t = s"${Files.createTempDirectory("graft-check")}/t"
+    ManifestTable.append(spark,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "score"), t,
+      statsCols = Seq("id"))
+    // adding over violating content is refused, no version committed
+    val exAdd = intercept[IllegalArgumentException] {
+      ManifestTable.addConstraint(spark, t, "score_hi", "score > 15")
+    }
+    assert(exAdd.getMessage.contains("score_hi") &&
+      ManifestTable.latestVersion(spark, t).contains(1L))
+    // a non-boolean expression is refused up front
+    intercept[IllegalArgumentException] {
+      ManifestTable.addConstraint(spark, t, "notbool", "score + 1")
+    }
+    // a satisfiable constraint lands as a data-identical new version
+    assert(ManifestTable.addConstraint(spark, t, "score_pos",
+      "score > 0") == 2L)
+    assert(ManifestTable.constraintsOf(spark, t, 2L) ==
+      Seq("score_pos" -> "score > 0"))
+    // append: a violating batch is rejected, table untouched
+    val exApp = intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, Seq((3L, -5L)).toDF("id", "score"), t)
+    }
+    assert(exApp.getMessage.contains("score_pos") &&
+      ManifestTable.latestVersion(spark, t).contains(2L))
+    // SQL NULL passes (CHECK semantics: only FALSE violates)
+    ManifestTable.append(spark,
+      Seq((3L, None: Option[Long]), (4L, Some(40L))).toDF("id", "score"),
+      t, statsCols = Seq("id"))
+    // merge: violating batch rejected BEFORE staging; passing lands
+    intercept[IllegalArgumentException] {
+      ManifestTable.merge(spark,
+        Seq((2L, -1L)).toDF("id", "score"), t, "id")
+    }
+    ManifestTable.merge(spark, Seq((2L, 25L)).toDF("id", "score"), t, "id")
+    // the constraint survives maintenance (carried by the rewrite
+    // commit like the pruning discipline)...
+    ManifestTable.compact(spark, t)
+    val vNow = ManifestTable.latestVersion(spark, t).get
+    assert(ManifestTable.constraintsOf(spark, t, vNow) ==
+      Seq("score_pos" -> "score > 0"))
+    // ...and survives a content overwrite, which must also satisfy it
+    intercept[IllegalArgumentException] {
+      ManifestTable.overwrite(spark,
+        Seq((9L, -9L)).toDF("id", "score"), t)
+    }
+    ManifestTable.overwrite(spark, Seq((9L, 90L)).toDF("id", "score"), t)
+    assert(ManifestTable.constraintsOf(spark, t,
+      ManifestTable.latestVersion(spark, t).get) ==
+      Seq("score_pos" -> "score > 0"))
+    // drop: typo'd name is loud; real drop re-admits the old batch
+    intercept[IllegalArgumentException] {
+      ManifestTable.dropConstraint(spark, t, "nope")
+    }
+    ManifestTable.dropConstraint(spark, t, "score_pos")
+    ManifestTable.append(spark, Seq((10L, -5L)).toDF("id", "score"), t)
+    assert(ManifestTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.get(1))).sortBy(_._1).toSeq ==
+      Seq((9L, 90L), (10L, -5L)))
+  }
+
+  test("rewrite rebase refuses a concurrently-changed constraint set") {
+    val t = s"${Files.createTempDirectory("graft-checkrb")}/t"
+    ManifestTable.append(spark, (0L to 9L).toDF("id"), t,
+      statsCols = Seq("id"))
+    val base = ManifestTable.entriesOf(spark, t, 1L)
+    val schema = ManifestTable.schemaOf(spark, t, 1L).get
+    ManifestTable.addConstraint(spark, t, "id_pos", "id >= 0") // v2
+    val ex = intercept[ManifestTable.CommitConflictException] {
+      ManifestTable.commitRewrite(spark, t, "compact", 1L, base,
+        base.map(_.dir).toSet, base, schema, Nil, Nil, retries = 2,
+        _ => true)
+    }
+    assert(ex.getMessage.contains("constraints changed"))
+  }
+
   test("merge with retries lands against racing disjoint appends") {
     val t = s"${Files.createTempDirectory("graft-rebaserace")}/t"
     ManifestTable.append(spark,
