@@ -92,7 +92,11 @@ object PlanDump {
     "q138_manifest_zorder_cluster" ->
       "Z-cluster-rewritten manifest table queried on its SECOND axis (n_chars — the column a single-axis doc_id cluster could never prune): the FileScan's ManifestFileIndex path list is a strict subset of the 16 Morton-tiled dirs, decided from the manifest stats alone, with the pushed BETWEEN still pruning row groups inside the kept dirs (rows are z-sorted within each dir). ManifestSqlSpec pins numFiles on BOTH axes.",
     "q139_manifest_metadata_agg" ->
-      "Metadata-only aggregate: the whole-table COUNT(*)/MIN/MAX over the manifest relation is rewritten by graft.plans.ManifestMetadataAggs into a LocalRelation computed from the manifest's recorded per-dir row counts and min/max stats — the ENTIRE plan is the one-row LocalTableScan below; no FileScan, no exchange, zero data files. At 100 TB this is one manifest read instead of a full table scan.")
+      "Metadata-only aggregate: the whole-table COUNT(*)/COUNT(col)/MIN/MAX over the manifest relation is rewritten by graft.plans.ManifestMetadataAggs into a LocalRelation computed from the manifest's recorded per-dir row counts, null counts, and min/max stats — the ENTIRE plan is the one-row LocalTableScan below; no FileScan, no exchange, zero data files. At 100 TB this is one manifest read instead of a full table scan.",
+    "q140_manifest_grouped_metadata_agg" ->
+      "GROUPED metadata-only aggregate over the one-commit-per-language layout: the manifest proves every dir single-group (grouping column min == max, zero recorded nulls), so GROUP BY lang folds per-dir — the executed plan is a LocalTableScan with one row per language, zero data files; a single mixed dir and the rule provably stands down (ManifestMetadataAggSpec pins both plans).",
+    "q141_manifest_constraint_gate" ->
+      "CHECK-constraint-gated table read back: a plain aggregate over the manifest snapshot whose content the write-boundary gate admitted — the corrupted second-half batch was REFUSED whole (one orphan dir, version untouched, builder-asserted), the repaired batch landed. The plan is the ordinary manifest scan; the evidence is the ANSWER matching the oracle's from-scratch recomputation of what should have been admitted.")
 
   /** Captured with broadcast joins disabled: at 100 TB neither side
     * broadcasts, and the co-location evidence (zero exchange under the

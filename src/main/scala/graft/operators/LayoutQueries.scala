@@ -392,6 +392,52 @@ object LayoutQueries {
     path
   }
 
+  /** A manifest table guarded by a CHECK constraint: seeded with the
+    * first half of documents, `ALTER TABLE ADD CONSTRAINT`-style
+    * `addConstraint("n_chars_pos", "n_chars > 0")`, then fed the
+    * second half TWICE — once corrupted (n_chars negated for
+    * doc_id ≡ 0 mod 7; the whole batch is REFUSED at the write
+    * boundary and the table must be left untouched) and once repaired
+    * (violators dropped; lands). The builder fails loudly if the
+    * violating append is ever admitted — the cached artifact embodies
+    * the gate working. Built once per dataset behind the usual
+    * marker. */
+  def ensureConstrainedManifest(s: SparkSession, d: String): String = {
+    val path = s"${layoutRoot(d)}/docs_manifest_checked"
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val n = docs.count()
+    val expect = s"layout=$LayoutVersion manifest=check rows=$n"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val h = math.max(n / 2, 1)
+      graft.sinks.ManifestTable.append(s,
+        docs.filter(col("doc_id") < h), path,
+        statsCols = Seq("doc_id"))
+      graft.sinks.ManifestTable.addConstraint(s, path,
+        "n_chars_pos", "n_chars > 0")
+      val second = docs.filter(col("doc_id") >= h)
+      val corrupted = second.withColumn("n_chars",
+        when(pmod(col("doc_id"), lit(7)) === 0, -col("n_chars"))
+          .otherwise(col("n_chars")))
+      val admitted =
+        try { graft.sinks.ManifestTable.append(s, corrupted, path); true }
+        catch { case e: IllegalArgumentException
+            if e.getMessage.contains("n_chars_pos") => false }
+      require(!admitted, "ensureConstrainedManifest: the violating " +
+        "batch was admitted — CHECK enforcement is broken")
+      require(graft.sinks.ManifestTable.latestVersion(s, path)
+        .contains(2L), "ensureConstrainedManifest: a refused append " +
+        "must leave the table version untouched")
+      graft.sinks.ManifestTable.append(s,
+        second.filter(pmod(col("doc_id"), lit(7)) =!= 0), path)
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
   /** Documents ingested ARRIVAL-ORDERED (4 commits by doc_id mod 4 —
     * every commit spans the full id range, so manifest range pruning
     * is vacuous), then rewritten by
@@ -1241,6 +1287,36 @@ object LayoutQueries {
           |  MIN(doc_id) AS id_lo, MAX(doc_id) AS id_hi
           |FROM documents_manifest_bylang_meta
           |GROUP BY lang ORDER BY lang""".stripMargin)
+    },
+
+    // ---- CHECK-constraint write gate: the table is seeded with the
+    //      first half of documents, constrained with
+    //      addConstraint("n_chars_pos", "n_chars > 0"), then fed the
+    //      second half corrupted (n_chars negated for doc_id ≡ 0 mod
+    //      7) — the whole batch is REFUSED at the write boundary
+    //      (builder asserts the version is untouched) — and finally
+    //      repaired (violators dropped), which lands. The oracle
+    //      recomputes the admitted content from scratch: first half
+    //      entire, second half minus the violating ids — i.e. the
+    //      constraint held, rejected nothing it shouldn't have, and
+    //      committed nothing it should have refused. ----
+    GraftQuery("q141_manifest_constraint_gate",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE doc_id < (SELECT COUNT(*) // 2 FROM documents)
+        |   OR doc_id % 7 <> 0
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (s, d) =>
+      val path = ensureConstrainedManifest(s, d)
+      s.read.format("graft-manifest").load(path)
+        .createOrReplaceTempView("documents_manifest_checked")
+      s.sql(
+        """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(n_chars) AS BIGINT) AS chars
+          |FROM documents_manifest_checked
+          |GROUP BY lang
+          |ORDER BY lang""".stripMargin)
     },
   )
 }
