@@ -445,7 +445,8 @@ object ManifestTable {
     commit(spark, path, v, entries,
       tableSchema(spark, path, prev, entries),
       prevTagOf(spark, path, Some(prev), entries),
-      pruningOf(spark, path, prev), existing :+ (name -> check))
+      pruningOf(spark, path, prev), existing :+ (name -> check),
+      op = "addConstraint")
     v
   }
 
@@ -465,9 +466,107 @@ object ManifestTable {
     commit(spark, path, v, entries,
       tableSchema(spark, path, prev, entries),
       prevTagOf(spark, path, Some(prev), entries),
-      pruningOf(spark, path, prev), existing.filterNot(_._1 == name))
+      pruningOf(spark, path, prev), existing.filterNot(_._1 == name),
+      op = "dropConstraint")
     v
   }
+
+  /** The (operation, wall-clock millis) recorded with snapshot `v`'s
+    * commit — None for versions committed before commit metadata
+    * existed. */
+  def commitInfoOf(spark: SparkSession, path: String,
+      v: Long): Option[(String, Long)] = {
+    val (fs, _) = fsOf(spark, path)
+    readSideFile(fs, new org.apache.hadoop.fs.Path(
+      s"$path/manifest/${vName(v)}/_graft_commit")).flatMap { body =>
+      val kv = body.linesIterator.map(_.split("=", 2)).collect {
+        case Array(k, x) => k -> x }.toMap
+      for (o <- kv.get("op"); t <- kv.get("ts").flatMap(_.toLongOption))
+        yield (o, t)
+    }
+  }
+
+  /** Every retained version's (version, monotonized commit millis,
+    * recorded op) — the timestamp spine of [[history]] and
+    * [[versionAtTimestamp]]. Raw wall-clock times can tie or step
+    * backwards (racing writers, clock adjustment); like Delta's
+    * history they are nudged forward (ts(v) > ts(prev)) so "the
+    * table as of time T" is always ONE well-defined version. Versions
+    * committed before commit metadata existed fall back to the
+    * manifest dir's filesystem mtime. */
+  private def commitTimeline(spark: SparkSession, path: String)
+      : Seq[(Long, Long, Option[String])] = {
+    val (fs, _) = fsOf(spark, path)
+    var last = Long.MinValue
+    versions(spark, path).map { v =>
+      val info = commitInfoOf(spark, path, v)
+      val raw = info.map(_._2).getOrElse(
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(
+          s"$path/manifest/${vName(v)}")).getModificationTime)
+      val ts = if (raw <= last) last + 1 else raw
+      last = ts
+      (v, ts, info.map(_._1))
+    }
+  }
+
+  /** DESCRIBE HISTORY: one row per RETAINED snapshot ([[vacuum]]
+    * prunes history exactly like it prunes time travel) — version,
+    * monotonized commit time, operation, and dir/file/row counts
+    * resolved from the manifest alone (zero data-tree calls; file and
+    * row counts are null when any entry predates the recorded-
+    * metadata upgrade, never guessed). Metadata-sized by
+    * construction: one row per retained version. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows: Seq[org.apache.spark.sql.Row] =
+      commitTimeline(spark, path).map { case (v, ts, opName) =>
+        val entries = entriesOf(spark, path, v)
+        val nFiles = entries.foldLeft(Option(0L)) { (acc, e) =>
+          for (a <- acc; f <- e.files) yield a + f.size }
+        val nRows = entries.foldLeft(Option(0L)) { (acc, e) =>
+          for (a <- acc; r <- e.rows) yield a + r }
+        org.apache.spark.sql.Row(v, new java.sql.Timestamp(ts),
+          opName.orNull, entries.size.toLong,
+          nFiles.map(Long.box).orNull, nRows.map(Long.box).orNull)
+      }
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("timestamp", TimestampType, nullable = false),
+      StructField("operation", StringType, nullable = true),
+      StructField("num_dirs", LongType, nullable = false),
+      StructField("num_files", LongType, nullable = true),
+      StructField("num_rows", LongType, nullable = true)))
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+  }
+
+  /** The snapshot a reader "as of" wall-clock `tsMillis` sees: the
+    * LATEST retained version whose monotonized commit time is <=
+    * `tsMillis` (Delta's TIMESTAMP AS OF rule). Loud when `tsMillis`
+    * predates the oldest retained commit — the version that WAS
+    * current then may have been vacuumed, and answering with a
+    * younger snapshot would be silently wrong. */
+  def versionAtTimestamp(spark: SparkSession, path: String,
+      tsMillis: Long): Long = {
+    val tl = commitTimeline(spark, path)
+    require(tl.nonEmpty,
+      s"ManifestTable.versionAtTimestamp: no committed version at $path")
+    val at = tl.filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"ManifestTable.versionAtTimestamp($path): $tsMillis predates " +
+        s"the oldest retained commit (${tl.head._2} = " +
+        s"${vName(tl.head._1)}) — the version current then may have " +
+        "been vacuumed; time travel reaches only retained versions")
+    at.last._1
+  }
+
+  /** [[readVersion]] addressed by wall-clock time instead of version
+    * number — `TIMESTAMP AS OF` for callers that know WHEN, not
+    * WHICH (incident forensics: "what did the table look like before
+    * the bad deploy landed?"). */
+  def readTimestampAsOf(spark: SparkSession, path: String,
+      tsMillis: Long): DataFrame =
+    readVersion(spark, path, versionAtTimestamp(spark, path, tsMillis))
 
   /** The ONE read path for a dir selection: skips file-less dirs
     * (empty-batch commits write dirs Spark cannot infer a schema
@@ -790,7 +889,7 @@ object ManifestTable {
         commit(spark, path, v, prevEntries :+ e, schema,
           math.max(prevTag, tag),
           ((pStats ++ statsCols).distinct,
-            (pBloom ++ bloomCols).distinct), cs)
+            (pBloom ++ bloomCols).distinct), cs, op = "append")
         return v
       } catch {
         case _: CommitConflictException if attempt < retries =>
@@ -884,7 +983,7 @@ object ManifestTable {
     val prevTag = prevTagOf(spark, path, prev,
       prev.map(pv => entriesOf(spark, path, pv)).getOrElse(Seq.empty))
     commit(spark, path, v, Seq(entry), df.schema, math.max(prevTag, tag),
-      (statsCols, bloomCols), cs)
+      (statsCols, bloomCols), cs, op = "overwrite")
     v
   }
 
@@ -896,7 +995,8 @@ object ManifestTable {
   private[graft] def commit(spark: SparkSession, path: String, v: Long,
       entries: Seq[Entry], schema: StructType, maxTag: Long,
       pruning: (Seq[String], Seq[String]) = (Nil, Nil),
-      constraints: Seq[(String, String)] = Nil): Unit = {
+      constraints: Seq[(String, String)] = Nil,
+      op: String = "commit"): Unit = {
     import spark.implicits._
     val (fs, _) = fsOf(spark, path)
     val mDir = new org.apache.hadoop.fs.Path(s"$path/manifest")
@@ -937,6 +1037,17 @@ object ManifestTable {
     if (constraints.nonEmpty)
       writeSideFile(fs, new org.apache.hadoop.fs.Path(
         tmp, "_graft_constraints"), constraintsBody(constraints))
+    // who/when metadata rides the same atomic rename as everything
+    // else: one line each for the operation name and the wall-clock
+    // commit time — the raw material of [[history]] and
+    // timestamp-based time travel (DESCRIBE HISTORY / TIMESTAMP AS
+    // OF). Informational, never load-bearing for correctness: reads
+    // resolve by VERSION, and [[versionAtTimestamp]] monotonizes
+    // before comparing, so clock skew can cost resolution precision
+    // but never a torn read.
+    writeSideFile(fs, new org.apache.hadoop.fs.Path(
+      tmp, "_graft_commit"),
+      s"op=$op\nts=${System.currentTimeMillis()}\n")
     // the attempt id closes the exists-then-rename race on
     // filesystems where rename(src, existing-dir) moves src INSIDE
     // the destination (HDFS semantics): there the loser's rename
@@ -1299,7 +1410,7 @@ object ManifestTable {
           curEntries.filterNot(e => consumed(e.dir)) ++ produced, schema,
           prevTagOf(spark, path, Some(curV), curEntries),
           ((pStats ++ opStats).distinct, (pBloom ++ opBlooms).distinct),
-          baseCs)
+          baseCs, op = op)
         return v
       } catch {
         case ex: CommitConflictException =>

@@ -662,9 +662,23 @@ final class GraftManifestSource extends RelationProvider
     val spark = sqlContext.sparkSession
     val path = parameters.getOrElse("path", sys.error(
       "graft-manifest: a table path is required — .load(<tablePath>)"))
-    val version = parameters.get("versionAsOf").map(_.toLong).getOrElse(
-      ManifestTable.latestVersion(spark, path).getOrElse(sys.error(
-        s"graft-manifest: no committed version at $path")))
+    require(!(parameters.contains("versionAsOf") &&
+        parameters.contains("timestampAsOf")),
+      "graft-manifest: versionAsOf and timestampAsOf are mutually " +
+        "exclusive — a snapshot has one address")
+    // timestampAsOf accepts epoch millis or an ISO-8601 instant
+    // (2026-08-14T12:00:00Z) — resolution itself (latest retained
+    // commit at-or-before, loud past the vacuum horizon) lives in
+    // ManifestTable.versionAtTimestamp
+    val version = parameters.get("versionAsOf").map(_.toLong)
+      .orElse(parameters.get("timestampAsOf").map { s =>
+        val ms = s.toLongOption.getOrElse(
+          java.time.Instant.parse(s).toEpochMilli)
+        ManifestTable.versionAtTimestamp(spark, path, ms)
+      })
+      .getOrElse(
+        ManifestTable.latestVersion(spark, path).getOrElse(sys.error(
+          s"graft-manifest: no committed version at $path")))
     require(ManifestTable.versions(spark, path).contains(version),
       s"graft-manifest: versionAsOf=$version is not a committed " +
         s"snapshot at $path (never committed, or vacuumed)")

@@ -1092,4 +1092,55 @@ class ManifestTableSpec extends AnyFunSuite {
     Seq(42L).toDF("id").write.parquet(s"$t/data/not-a-commit")
     assert(ids(ManifestTable.read(spark, t)) == Seq(1L))
   }
+
+  test("history records op/time/counts; timestamps address snapshots") {
+    val t = s"${Files.createTempDirectory("graft-history")}/t"
+    ManifestTable.append(spark, Seq(1L, 2L).toDF("id"), t,
+      statsCols = Seq("id"))                                   // v1
+    ManifestTable.append(spark, Seq(3L).toDF("id"), t)         // v2
+    ManifestTable.overwrite(spark, Seq(9L, 10L).toDF("id"), t) // v3
+    ManifestTable.compact(spark, t)                            // v4
+    val h = ManifestTable.history(spark, t).collect()
+      .sortBy(_.getLong(0))
+    assert(h.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(h.map(_.getString(2)).toSeq ==
+      Seq("append", "append", "overwrite", "compact"))
+    // every count resolves from the manifest: rows track content
+    assert(h.map(_.getLong(5)).toSeq == Seq(2L, 3L, 2L, 2L))
+    // monotonized commit times: strictly increasing even for commits
+    // landing in the same millisecond
+    val ts = h.map(_.getTimestamp(1).getTime).toSeq
+    assert(ts == ts.sorted && ts.distinct == ts)
+    // each snapshot's own commit time addresses exactly it, and a
+    // mid-history time sees the table as it WAS (pre-overwrite)
+    h.foreach { r =>
+      assert(ManifestTable.versionAtTimestamp(spark, t,
+        r.getTimestamp(1).getTime) == r.getLong(0))
+    }
+    assert(ids(ManifestTable.readTimestampAsOf(spark, t, ts(1))) ==
+      Seq(1L, 2L, 3L))
+    // a time before the first retained commit is loud, not "latest"
+    val ex = intercept[IllegalArgumentException] {
+      ManifestTable.versionAtTimestamp(spark, t, ts.head - 1)
+    }
+    assert(ex.getMessage.contains("retained"))
+    // SQL surface: timestampAsOf (epoch millis) pins the snapshot;
+    // combining both addresses is refused
+    assert(spark.read.format("graft-manifest")
+      .option("timestampAsOf", ts(1).toString).load(t)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-manifest").option("versionAsOf", "1")
+        .option("timestampAsOf", ts(1).toString).load(t)
+    }
+    // vacuum prunes history exactly like it prunes time travel: a
+    // pre-horizon time no longer resolves (ts.head - 1 is provably
+    // before every retained commit's raw time)
+    ManifestTable.vacuum(spark, t, keepVersions = 1)
+    assert(ManifestTable.history(spark, t).collect()
+      .map(_.getLong(0)).toSeq == Seq(4L))
+    intercept[IllegalArgumentException] {
+      ManifestTable.versionAtTimestamp(spark, t, ts.head - 1)
+    }
+  }
 }
