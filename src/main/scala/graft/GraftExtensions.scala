@@ -32,6 +32,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // into the relation's root (unreferenced by any manifest — silent
     // data loss) or reject DELETE/MERGE as v2-only
     ext.injectResolutionRule(_ => graft.plans.ManifestSqlRules)
+    // merge-on-read deletes for the SQL read surface: POST-HOC (after
+    // the main resolution batch converted DML to commands, so only
+    // pure reads remain) — rewrites a pending-deletion-vector
+    // manifest relation into per-tombstone-group scans + broadcast
+    // anti-joins; clean tables never match
+    ext.injectPostHocResolutionRule(_ => graft.plans.ManifestApplyDeletes)
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, null,

@@ -122,8 +122,16 @@ object ManifestMetadataAggs extends Rule[LogicalPlan] {
 
   /** Some(LocalRelation) iff EVERY output aggregate is answerable
     * from the manifest. */
+  /** Pending deletion vectors make every recorded row/null count and
+    * bound describe PHYSICAL file content, not the logical table —
+    * the rule stands down until a rewrite materializes them. (Belt
+    * and braces: the dv resolution rewrite already replaces such
+    * relations with a join shape [[indexOf]] cannot match.) */
+  private def exactIndexOf(p: LogicalPlan): Option[ManifestFileIndex] =
+    indexOf(p).filterNot(_.snapshotEntries.exists(_.dv.nonEmpty))
+
   private def rewrite(a: Aggregate): Option[LogicalPlan] =
-    indexOf(a.child).flatMap { idx =>
+    exactIndexOf(a.child).flatMap { idx =>
       val entries = idx.snapshotEntries
       val vals: Seq[Option[Any]] = a.aggregateExpressions.map {
         case Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
@@ -155,7 +163,7 @@ object ManifestMetadataAggs extends Rule[LogicalPlan] {
     * group key itself. An empty table yields the zero-row
     * LocalRelation — exactly SQL's empty GROUP BY. */
   private def rewriteGrouped(a: Aggregate): Option[LogicalPlan] =
-    indexOf(a.child).flatMap { idx =>
+    exactIndexOf(a.child).flatMap { idx =>
       val groupAttrs = a.groupingExpressions
         .map(_.asInstanceOf[AttributeReference])
       val all = idx.snapshotEntries

@@ -54,8 +54,39 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
           }
           case _ => None
         }
+        case p => dvRewritten(p)
+      }
+
+    /** A view can capture the DELETION-VECTOR rewrite of a manifest
+      * relation ([[ManifestApplyDeletes]] replaces the LogicalRelation
+      * at the view's analysis time) — recover the table from the
+      * rewrite's SUBSET indexes (`applyDeletes = false`), which exist
+      * nowhere else in any plan. Guarded twice: exactly ONE table may
+      * appear, and the plan's column list must be exactly the table's
+      * persisted schema (the rewrite preserves it; a user-authored
+      * join/projection view fails one of the gates and falls through
+      * to Spark's own it's-a-view rejection rather than misrouting). */
+    private def dvRewritten(p: LogicalPlan): Option[(String, StructType)] = {
+      val paths = p.collect {
+        case l: LogicalRelation => l.relation match {
+          case h: HadoopFsRelation => h.location match {
+            case m: ManifestFileIndex if !m.applyDeletes =>
+              Seq(m.tablePath)
+            case _ => Seq.empty[String]
+          }
+          case _ => Seq.empty[String]
+        }
+      }.flatten.distinct
+      paths match {
+        case Seq(path) =>
+          val spark = SparkSession.active
+          val ok = ManifestTable.latestVersion(spark, path)
+            .flatMap(v => ManifestTable.schemaOf(spark, path, v))
+            .exists(_.fieldNames.toSeq == p.schema.fieldNames.toSeq)
+          if (ok) Some((path, p.schema)) else None
         case _ => None
       }
+    }
   }
 
   /** Column name behind an (possibly unresolved, possibly
@@ -182,6 +213,31 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
     if (lo > hi) None else Some((c, lo, hi))
   }
 
+  /** A DELETE condition that is a STRING key point or set:
+    * `k = '<lit>'` or `k IN ('<lit>', …)` with string literals only.
+    * NULL literals contribute nothing (SQL: `k IN (NULL)` is never
+    * TRUE for any row) — an all-NULL list yields `Some((col, Nil))`,
+    * which the caller turns into a no-op. Anything mixed falls
+    * through to the range extractor's strict rejection. */
+  private object StringKeyDelete {
+    private def strLit(e: Expression): Option[Option[String]] = e match {
+      case l: Literal
+          if l.dataType == org.apache.spark.sql.types.StringType =>
+        Some(Option(l.value).map(_.toString))
+      case _ => None
+    }
+    def unapply(cond: Expression): Option[(String, Seq[String])] =
+      cond match {
+        case EqualTo(a, b) =>
+          nameOf(a).zip(strLit(b)).orElse(nameOf(b).zip(strLit(a)))
+            .map { case (c, v) => (c, v.toSeq) }
+        case In(a, list) if list.nonEmpty &&
+            list.forall(strLit(_).isDefined) =>
+          nameOf(a).map(c => (c, list.flatMap(strLit(_).get)))
+        case _ => None
+      }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsDown {
       case i: InsertIntoStatement if i.query.resolved =>
@@ -204,6 +260,18 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
         cond match {
           case Literal(true, _) => // DELETE FROM t (no WHERE)
             GraftManifestFullDeleteCommand(path)
+          // a STRING point/set delete (`WHERE id = 'CVE-…'`, the
+          // reference's hottest mutation —
+          // /root/reference/chatbot_pg/main.py:89) routes
+          // MERGE-ON-READ: one tombstone write, zero data files
+          // rewritten (deleteKeys). Integral ranges stay
+          // copy-on-write below — the retention-delete shape where
+          // whole expired dirs drop is exactly what deleteRange
+          // does best.
+          case StringKeyDelete(c, vals) =>
+            if (vals.isEmpty)
+              GraftManifestNoopCommand(s"all-NULL DELETE keys on $path")
+            else GraftManifestDeleteKeysCommand(path, c, vals)
           case _ => deleteRangeOf(cond) match {
             case Some((c, lo, hi)) =>
               GraftManifestDeleteCommand(path, c, lo, hi)
@@ -315,6 +383,19 @@ final case class GraftManifestDeleteCommand(path: String, keyCol: String,
     lo: Long, hi: Long) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     ManifestTable.deleteRange(session, path, keyCol, lo, hi)
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM v WHERE k = '<lit>'` / `k IN (…)` on a string key →
+  * [[ManifestTable.deleteKeys]]: MERGE-ON-READ — one tombstone write
+  * plus a metadata commit; no data file is rewritten, reads
+  * anti-join the tombstone until a rewrite materializes it. */
+final case class GraftManifestDeleteKeysCommand(path: String,
+    keyCol: String, values: Seq[String]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    import session.implicits._
+    ManifestTable.deleteKeys(session, values.toDF(keyCol), path, keyCol)
     Seq.empty
   }
 }

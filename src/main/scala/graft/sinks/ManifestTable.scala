@@ -109,7 +109,18 @@ object ManifestTable {
     * EXACT row count (`rows`, from the written files' parquet
     * footers) — what lets a whole-table `COUNT(*)` answer from the
     * manifest alone ([[graft.plans.ManifestMetadataAggs]]); None
-    * (pre-upgrade entry) disables that rewrite, never correctness. */
+    * (pre-upgrade entry) disables that rewrite, never correctness.
+    *
+    * `dv` is the dir's PENDING DELETION VECTORS (merge-on-read
+    * equality deletes, [[deleteKeys]]): tombstone dir name (under
+    * `<table>/deletes/`) -> the key column its keys delete on. A
+    * reader of this dir must anti-join each tombstone's key set
+    * before surfacing rows; [[rewriteDeletes]]/[[compact]]/rewrites
+    * materialize and clear them. While `dv` is non-empty the dir's
+    * recorded `rows`/`nullCnt`/bounds describe the PHYSICAL file
+    * content — still valid one-sided for pruning (deletes only
+    * shrink), but no longer exact, so metadata-only aggregates stand
+    * down ([[graft.plans.ManifestMetadataAggs]] gates on it). */
   final case class Entry(dir: String, tag: Long,
       statMin: Map[String, Long], statMax: Map[String, Long],
       sources: Seq[String],
@@ -119,7 +130,8 @@ object ManifestTable {
       files: Option[Map[String, Long]] = None,
       strBloom: Map[String, Array[Byte]] = Map.empty,
       rows: Option[Long] = None,
-      nullCnt: Map[String, Long] = Map.empty) {
+      nullCnt: Map[String, Long] = Map.empty,
+      dv: Map[String, String] = Map.empty) {
     /** Whether the dir holds any data files — answered from the
       * manifest's recorded file list when present (zero filesystem
       * calls: `Some(empty)` is a file-less empty-batch dir,
@@ -218,18 +230,20 @@ object ManifestTable {
         "files" -> "map<string,bigint>",
         "strBloom" -> "map<string,binary>",
         "rows" -> "bigint",
-        "nullCnt" -> "map<string,bigint>")
+        "nullCnt" -> "map<string,bigint>",
+        "dv" -> "map<string,string>")
       val full = defaults.foldLeft(df) { case (d, (c, tpe)) =>
         if (d.columns.contains(c)) d
         else d.withColumn(c, lit(null).cast(tpe))
       }
       full.select("dir", "tag", "statMin", "statMax", "sources",
           "strMin", "strMax", "bloom", "files", "strBloom", "rows",
-          "nullCnt")
+          "nullCnt", "dv")
         .as[(String, Long, Map[String, Long], Map[String, Long],
           Seq[String], Map[String, String], Map[String, String],
           Map[String, Array[Byte]], Map[String, Long],
-          Map[String, Array[Byte]], Option[Long], Map[String, Long])]
+          Map[String, Array[Byte]], Option[Long], Map[String, Long],
+          Map[String, String])]
         .collect().sortBy(_._1)
         .map(t => Entry(t._1, t._2, Option(t._3).getOrElse(Map.empty),
           Option(t._4).getOrElse(Map.empty),
@@ -242,7 +256,8 @@ object ManifestTable {
           Option(t._9),
           Option(t._10).getOrElse(Map.empty),
           rows = t._11,
-          nullCnt = Option(t._12).getOrElse(Map.empty))).toSeq
+          nullCnt = Option(t._12).getOrElse(Map.empty),
+          dv = Option(t._13).getOrElse(Map.empty))).toSeq
     } else {
       // MIGRATION read for manifests written before the map-stats
       // layout (single optional statCol + long min/max, no
@@ -514,8 +529,11 @@ object ManifestTable {
     * monotonized commit time, operation, and dir/file/row counts
     * resolved from the manifest alone (zero data-tree calls; file and
     * row counts are null when any entry predates the recorded-
-    * metadata upgrade, never guessed). Metadata-sized by
-    * construction: one row per retained version. */
+    * metadata upgrade, never guessed; `num_rows` counts PHYSICAL
+    * rows — on a snapshot with pending deletion vectors it reads
+    * high by the tombstoned rows until [[rewriteDeletes]]
+    * materializes them). Metadata-sized by construction: one row per
+    * retained version. */
   def history(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.types._
     val rows: Seq[org.apache.spark.sql.Row] =
@@ -576,17 +594,62 @@ object ManifestTable {
     * format, rather than crashing an incremental consumer. Shared by
     * [[readVersion]], [[readPruned]], and [[readSince]] so the
     * empty/file-less edge cases have exactly one implementation. */
+  /** Apply a dir group's pending deletion vectors to its frame: one
+    * broadcast anti-join per tombstone (tombstones are update-batch
+    * sized by the [[deleteKeys]] contract — the whole point of
+    * merge-on-read is that the delete side is tiny next to the data).
+    * A row whose key is NULL never matches an anti-join probe and
+    * survives, exactly like SQL `NOT IN` on a non-null key set. */
+  private[graft] def applyDeletes(spark: SparkSession, path: String,
+      df: DataFrame, dv: Map[String, String]): DataFrame =
+    dv.toSeq.sortBy(_._1).foldLeft(df) { case (d, (tomb, kc)) =>
+      d.join(
+        broadcast(spark.read.parquet(s"$path/deletes/$tomb").select(col(kc))),
+        Seq(kc), "left_anti")
+    }
+
+  /** The current content of `readable` dirs under `schema`, pending
+    * deletion vectors applied — the ONE frame every REWRITE op
+    * (compact, cluster) must read from: a raw `spark.read.parquet`
+    * over dv-carrying dirs would resurrect deleted rows into the
+    * rewritten output. Dirs group by tombstone set; clean groups read
+    * plain. */
+  private def readableFrame(spark: SparkSession, path: String,
+      schema: StructType, readable: Seq[Entry]): DataFrame =
+    readable.groupBy(_.dv).toSeq.sortBy(_._2.head.dir)
+      .map { case (dv, es) =>
+        applyDeletes(spark, path, spark.read.schema(schema)
+          .parquet(es.map(e => s"$path/data/${e.dir}"): _*), dv)
+      }.reduce(_ unionByName _)
+
   private def readDirs(spark: SparkSession, path: String, v: Long,
       snapshot: Seq[Entry], selected: Seq[Entry]): DataFrame = {
     val (fs, _) = fsOf(spark, path)
-    val sel = selected.filter(e => e.hasData(fs, s"$path/data/${e.dir}"))
-      .map(e => s"$path/data/${e.dir}")
+    val withData = selected.filter(e => e.hasData(fs, s"$path/data/${e.dir}"))
+    val sel = withData.map(e => s"$path/data/${e.dir}")
     // read with the snapshot's PERSISTED schema when available: dirs
     // written before an additive schema evolution lack the new
     // columns, and an explicit schema makes the parquet reader fill
     // them with null (the standard evolution-on-read) — while also
     // skipping the per-file footer schema merge a bare read pays
-    if (sel.nonEmpty) schemaOf(spark, path, v) match {
+    if (withData.exists(_.dv.nonEmpty)) {
+      // merge-on-read: dirs group by their pending-tombstone SET and
+      // each group anti-joins its tombstones before the union — the
+      // per-dir scoping that keeps a key re-inserted AFTER a delete
+      // alive (its fresh dir carries no tombstone), while dirs the
+      // delete never touched provably lack the keys (pruning is
+      // one-sided). deleteKeys guarantees a schema sidecar exists on
+      // any table that carries dvs.
+      val schema = schemaOf(spark, path, v).getOrElse(sys.error(
+        s"ManifestTable: pending deletion vectors at $path ${vName(v)} " +
+          "but no schema sidecar — corrupt manifest"))
+      withData.groupBy(_.dv).toSeq.sortBy(_._2.head.dir)
+        .map { case (dv, es) =>
+          applyDeletes(spark, path, spark.read.schema(schema)
+            .parquet(es.map(e => s"$path/data/${e.dir}"): _*), dv)
+        }.reduce(_ unionByName _)
+    }
+    else if (sel.nonEmpty) schemaOf(spark, path, v) match {
       case Some(schema) => spark.read.schema(schema).parquet(sel: _*)
       case None => spark.read.parquet(sel: _*)
     }
@@ -1022,10 +1085,10 @@ object ManifestTable {
         java.util.UUID.randomUUID.toString.take(8))
     entries.map(e => (e.dir, e.tag, e.statMin, e.statMax, e.sources,
         e.strMin, e.strMax, e.bloom, e.files, e.strBloom, e.rows,
-        e.nullCnt))
+        e.nullCnt, e.dv))
       .toDF("dir", "tag", "statMin", "statMax", "sources",
         "strMin", "strMax", "bloom", "files", "strBloom", "rows",
-        "nullCnt")
+        "nullCnt", "dv")
       .repartition(1)
       .write.mode("overwrite").parquet(tmp.toString)
     writeSideFile(fs, new org.apache.hadoop.fs.Path(
@@ -1201,7 +1264,6 @@ object ManifestTable {
     val readable = entries.filter(e =>
       e.hasData(fs, s"$path/data/${e.dir}"))
     if (readable.isEmpty) return prev // nothing to rewrite
-    val dirs = readable.map(e => s"$path/data/${e.dir}")
     // size from recorded file lists where present — the content-
     // summary RPC only for pre-upgrade entries
     val bytes = readable.map(e => e.files match {
@@ -1216,8 +1278,12 @@ object ManifestTable {
     val dataDir = s"$path/data/$dirName"
     val schema = tableSchema(spark, path, prev, entries)
     // rewrite under the TABLE schema: pre-evolution dirs surface their
-    // missing columns as nulls, so the compacted dir is normalized
-    spark.read.schema(schema).parquet(dirs: _*).repartition(nOut)
+    // missing columns as nulls, so the compacted dir is normalized —
+    // and pending deletion vectors are applied on the way through
+    // (compaction MATERIALIZES them; a raw read would resurrect
+    // deleted rows into the compacted dir)
+    val hadDv = readable.exists(_.dv.nonEmpty)
+    readableFrame(spark, path, schema, readable).repartition(nOut)
       .write.mode("overwrite").parquet(dataDir)
     // the merged entry keeps the max per-dir tag (honest: the dir
     // holds rows from batches up to that tag) and folds stats
@@ -1226,31 +1292,42 @@ object ManifestTable {
     // dropped is conservative, never wrong). File-less source dirs
     // hold no rows, so they join the provenance list but not the fold.
     val tag = readable.map(_.tag).foldLeft(-1L)(math.max)
-    val foldCols = readable.map(_.statMin.keySet)
-      .reduce(_ intersect _).toSeq.sorted
-    val mins = foldCols.map(c =>
-      c -> readable.map(_.statMin(c)).min).toMap
-    val maxes = foldCols.map(c =>
-      c -> readable.map(_.statMax(c)).max).toMap
-    // string stats fold only when every entry has them AND every
-    // bound is ASCII (the JVM min/max used here must agree with the
-    // UTF8String ordering that recorded them — see [[asciiOnly]]);
-    // otherwise dropped, conservative
-    val sFoldCols = readable.map(_.strMin.keySet)
-      .reduce(_ intersect _).toSeq.sorted
-      .filter(c => readable.forall(e =>
-        asciiOnly(e.strMin(c)) && asciiOnly(e.strMax(c))))
-    val sMins = sFoldCols.map(c =>
-      c -> readable.map(_.strMin(c)).min).toMap
-    val sMaxes = sFoldCols.map(c =>
-      c -> readable.map(_.strMax(c)).max).toMap
-    // null counts fold exactly (the compacted dir holds precisely the
-    // union of the source rows) — per column, when EVERY source
-    // recorded one; otherwise dropped, conservative like the bounds
-    val nFoldCols = readable.map(_.nullCnt.keySet)
-      .reduce(_ intersect _).toSeq.sorted
-    val nulls = nFoldCols.map(c =>
-      c -> readable.map(_.nullCnt(c)).sum).toMap
+    val (mins, maxes, sMins, sMaxes, nulls) =
+      if (hadDv) {
+        // folding pre-delete per-dir stats would record bounds/null
+        // counts for rows the materialization just removed — wider
+        // bounds only cost pruning, but the folded NULL COUNTS could
+        // claim an all-null column that isn't (a wrong prune) and the
+        // metadata-only aggregates would treat the folded numbers as
+        // exact (a wrong ANSWER, since the compacted entry carries no
+        // dv to gate them). Re-stat the written dir instead: one
+        // columnar read, same written-is-truth rule as append.
+        statsOf(spark, dataDir,
+          readable.flatMap(e => e.statMin.keys ++ e.strMin.keys ++
+            e.nullCnt.keys).distinct.sorted)
+      } else {
+        val foldCols = readable.map(_.statMin.keySet)
+          .reduce(_ intersect _).toSeq.sorted
+        // string stats fold only when every entry has them AND every
+        // bound is ASCII (the JVM min/max used here must agree with the
+        // UTF8String ordering that recorded them — see [[asciiOnly]]);
+        // otherwise dropped, conservative
+        val sFoldCols = readable.map(_.strMin.keySet)
+          .reduce(_ intersect _).toSeq.sorted
+          .filter(c => readable.forall(e =>
+            asciiOnly(e.strMin(c)) && asciiOnly(e.strMax(c))))
+        // null counts fold exactly (the compacted dir holds precisely
+        // the union of the source rows) — per column, when EVERY
+        // source recorded one; otherwise dropped, conservative like
+        // the bounds
+        val nFoldCols = readable.map(_.nullCnt.keySet)
+          .reduce(_ intersect _).toSeq.sorted
+        (foldCols.map(c => c -> readable.map(_.statMin(c)).min).toMap,
+          foldCols.map(c => c -> readable.map(_.statMax(c)).max).toMap,
+          sFoldCols.map(c => c -> readable.map(_.strMin(c)).min).toMap,
+          sFoldCols.map(c => c -> readable.map(_.strMax(c)).max).toMap,
+          nFoldCols.map(c => c -> readable.map(_.nullCnt(c)).sum).toMap)
+      }
     // provenance lists only the dirs whose ROWS went in: a file-less
     // (empty-batch) dir contributed nothing, and naming it would make
     // a consumer that never saw the empty commit read the whole fold
@@ -1423,6 +1500,19 @@ object ManifestTable {
             s"ManifestTable.$op: cannot rebase onto ${vName(latest)} — " +
               s"a concurrent writer rewrote consumed dir(s) " +
               missing.toSeq.sorted.mkString(", "))
+          // a concurrent deleteKeys MODIFIES a consumed entry in place
+          // (same dir name, new tombstone ref — the one mutation that
+          // keeps dir identity); our produced copy was derived from
+          // the BASE entry, so committing it would silently drop the
+          // interloper's deletion vector: conflict, never a guess
+          val baseDv = baseEntries.map(e => e.dir -> e.dv).toMap
+          val dvChanged = consumed.filter(d =>
+            latestEntries.find(_.dir == d)
+              .exists(_.dv != baseDv.getOrElse(d, Map.empty)))
+          if (dvChanged.nonEmpty) throw new CommitConflictException(
+            s"ManifestTable.$op: cannot rebase onto ${vName(latest)} — " +
+              "a concurrent deleteKeys added tombstones to consumed " +
+              s"dir(s) ${dvChanged.toSeq.sorted.mkString(", ")}")
           if (!schemaOf(spark, path, latest).forall(_ == schema))
             throw new CommitConflictException(
               s"ManifestTable.$op: cannot rebase onto ${vName(latest)}" +
@@ -1504,8 +1594,8 @@ object ManifestTable {
       // delete (a bare !between would evaluate null and drop them);
       // the rewrite reads under the TABLE schema so a pre-evolution
       // dir is normalized (new columns as nulls) on its way through
-      val kept = spark.read.schema(schema)
-        .parquet(s"$path/data/${e.dir}")
+      val kept = applyDeletes(spark, path,
+        spark.read.schema(schema).parquet(s"$path/data/${e.dir}"), e.dv)
         .filter(col(statsCol).isNull ||
           !col(statsCol).cast("long").between(lo, hi))
       if (kept.head(1).isEmpty) None // dir fully deleted: no entry
@@ -1533,6 +1623,241 @@ object ManifestTable {
       added => added.forall(e => !e.mightOverlap(statsCol, lo, hi) ||
         !e.hasData(fs, s"$path/data/${e.dir}")))
     (committed, touch.size)
+  }
+
+  /** MERGE-ON-READ equality delete (the deletion-vector shape of
+    * Delta/Iceberg): delete every row whose `keyCol` is in `keys`
+    * WITHOUT rewriting a single data file. The key set is written
+    * once as a small TOMBSTONE dir under `<table>/deletes/`, and the
+    * manifest entries of the dirs that might contain the keys
+    * (pruned by recorded bounds, an exact per-dir probe pass, and —
+    * for small key sets — the per-dir Bloom filters) get a pending
+    * deletion-vector reference; every read path anti-joins the
+    * tombstones before surfacing those dirs' rows. That is the
+    * delete shape a 100 TB table needs for SCATTERED keys: a
+    * copy-on-write [[deleteRange]] of k scattered ids rewrites every
+    * dir that holds one (full bytes), while this costs one key-set
+    * write + one metadata commit — the read tax is a broadcast
+    * anti-join against an update-batch-sized key set, and
+    * [[rewriteDeletes]] / [[compact]] / any rewrite of the dir
+    * materializes and clears it.
+    *
+    * Semantics: equality delete on the CURRENT snapshot — a row with
+    * key k is deleted from every dir committed so far; a key
+    * RE-INSERTED by a later append survives (its fresh dir carries no
+    * tombstone — dv scoping is per-dir, which is what makes
+    * merge-on-read sound under continued ingest). Null keys in
+    * `keys` are dropped (a null equals no row). `keyCol` must be an
+    * integral or string column and `keys` must carry it at the
+    * table's exact type (a lossy cast could delete the wrong rows).
+    * Keys absent from the table commit nothing (no tombstone, no new
+    * version). While tombstones are pending, the touched dirs'
+    * recorded stats describe physical content — still one-sidedly
+    * valid for pruning, but metadata-only aggregates stand down
+    * ([[graft.plans.ManifestMetadataAggs]]).
+    *
+    * Returns (version, dirs tombstoned) — (current, 0) when no dir
+    * can contain a key. `retries > 0` rebases optimistically: an
+    * interloper's APPEND always rebases (the rebase realizes the
+    * valid serial order "delete, then append" — a re-inserted key
+    * survives by the scoping rule above), while a concurrent rewrite
+    * or concurrent delete touching the same dirs conflicts loudly
+    * ([[commitRewrite]]'s reference and dv-identity checks). */
+  def deleteKeys(spark: SparkSession, keys: DataFrame, path: String,
+      keyCol: String, retries: Int = 0): (Long, Int) = {
+    val (fs, _) = fsOf(spark, path)
+    val prev = latestVersion(spark, path).getOrElse(
+      sys.error(s"ManifestTable.deleteKeys: no committed version at $path"))
+    require(schemaOf(spark, path, prev).isDefined,
+      s"ManifestTable.deleteKeys: no schema sidecar at $path — a " +
+        "pre-upgrade table must commit once before merge-on-read " +
+        "deletes (the read path needs the persisted schema)")
+    val entries = entriesOf(spark, path, prev)
+    val schema = tableSchema(spark, path, prev, entries)
+    val f = schema.fields.find(_.name == keyCol).getOrElse(sys.error(
+      s"ManifestTable.deleteKeys: no column '$keyCol' in the table " +
+        s"schema (${schema.fieldNames.mkString(", ")})"))
+    val isStr = f.dataType == org.apache.spark.sql.types.StringType
+    require(isStr || isIntegral(f.dataType),
+      s"ManifestTable.deleteKeys: '$keyCol' is " +
+        s"${f.dataType.catalogString} — equality deletes are defined " +
+        "on integral and string keys")
+    val kf = keys.schema.fields.find(_.name == keyCol).getOrElse(
+      sys.error(s"ManifestTable.deleteKeys: keys frame has no column " +
+        s"'$keyCol'"))
+    require(kf.dataType.catalogString == f.dataType.catalogString,
+      s"ManifestTable.deleteKeys: keys column '$keyCol' is " +
+        s"${kf.dataType.catalogString} but the table's is " +
+        s"${f.dataType.catalogString} — a lossy cast could delete the " +
+        "wrong rows; cast explicitly at the call site")
+    // normalized, null-free, deduped — materialized once: it feeds
+    // the envelope, the per-dir probes, and the tombstone write
+    val batch = keys.select(col(keyCol))
+      .filter(col(keyCol).isNotNull).distinct().localCheckpoint()
+    val nKeys = batch.count()
+    if (nKeys == 0) return (prev, 0)
+    // two-stage pruning, the merge pattern: the manifest envelope
+    // first, then one exact aggregate pass probing each candidate
+    // dir's recorded range (string probes compare in Spark — the same
+    // UTF8 binary order that recorded the bounds, so they are exact
+    // with no ASCII guard)
+    val env = batch.agg(min(col(keyCol)), max(col(keyCol))).head()
+    def envOverlap(e: Entry): Boolean =
+      if (isStr) e.mightOverlapStr(keyCol, env.getString(0), env.getString(1))
+      else e.mightOverlap(keyCol,
+        env.get(0).asInstanceOf[Number].longValue(),
+        env.get(1).asInstanceOf[Number].longValue())
+    val cand = entries.filter(e => envOverlap(e) &&
+      e.hasData(fs, s"$path/data/${e.dir}"))
+    def boundsOf(e: Entry): Option[(Any, Any)] =
+      if (isStr) e.strMin.get(keyCol).zip(e.strMax.get(keyCol))
+      else e.statMin.get(keyCol).zip(e.statMax.get(keyCol))
+    val (bounded, unbounded) = cand.partition(e => boundsOf(e).isDefined)
+    val hits: Seq[Entry] =
+      if (bounded.isEmpty) Seq.empty
+      else {
+        val probes = bounded.zipWithIndex.map { case (e, i) =>
+          val (mn, mx) = boundsOf(e).get
+          max(when(col(keyCol) >= lit(mn) && col(keyCol) <= lit(mx), 1)
+            .otherwise(0)).as(s"d$i")
+        }
+        val r = batch.agg(probes.head, probes.tail: _*).head()
+        bounded.zipWithIndex.collect {
+          case (e, i) if !r.isNullAt(i) && r.getInt(i) == 1 => e
+        }
+      }
+    // small key sets additionally consult the per-dir Bloom filters —
+    // the prune that works on interleaved layouts where every dir's
+    // range spans the domain (the exact workload scattered-key
+    // deletes are)
+    val touch0 = unbounded ++ hits
+    val touch =
+      if (nKeys > 8192) touch0
+      else {
+        val vals = batch.collect().map(_.get(0)).toSeq
+        touch0.filter(e => vals.exists { v =>
+          if (isStr) e.mightContainPointStr(keyCol, v.asInstanceOf[String])
+          else e.mightContainPoint(keyCol,
+            v.asInstanceOf[Number].longValue())
+        })
+      }
+    if (touch.isEmpty) return (prev, 0) // no dir can hold a key: no-op
+    val v = prev + 1
+    // the tombstone is immutable and attempt-unique like a data dir;
+    // the version prefix is cosmetic (readers resolve through dv refs)
+    val tomb = f"t$v%08d_${java.util.UUID.randomUUID.toString.take(8)}"
+    batch.repartition(1).write.mode("overwrite")
+      .parquet(s"$path/deletes/$tomb")
+    val produced = touch.map(e => e.copy(dv = e.dv + (tomb -> keyCol)))
+    val committed = commitRewrite(spark, path, "deleteKeys", prev,
+      entries, touch.map(_.dir).toSet, produced, schema, Nil, Nil,
+      retries, _ => true)
+    (committed, touch.size)
+  }
+
+  /** Materialize every pending deletion vector: each dir carrying
+    * tombstone references is rewritten (its dvs anti-joined out,
+    * re-statted exact, provenance recorded, possibly dropped when
+    * emptied) in ONE staged Spark job — union the dirty dirs tagged
+    * with a source index, apply each dir's own tombstones before the
+    * union, stage with partitionBy, promote by rename (the
+    * merge/cluster pattern; no extra shuffle — input splits flow
+    * straight to per-source staged outputs). Clean dirs keep their
+    * physical identity untouched. After this commit the table's
+    * metadata is exact again (metadata-only aggregates resume) and
+    * reads pay no anti-join tax; [[vacuum]] reaps the orphaned
+    * tombstone dirs with the old snapshots. Returns (version, dirs
+    * rewritten) — (current, 0) when nothing is pending. */
+  def rewriteDeletes(spark: SparkSession, path: String,
+      retries: Int = 0): (Long, Int) = {
+    val (fs, _) = fsOf(spark, path)
+    val prev = latestVersion(spark, path).getOrElse(
+      sys.error(s"ManifestTable.rewriteDeletes: no committed version at $path"))
+    val entries = entriesOf(spark, path, prev)
+    val dirty = entries.filter(_.dv.nonEmpty)
+    if (dirty.isEmpty) return (prev, 0)
+    val schema = tableSchema(spark, path, prev, entries)
+    val srcCol = "_graft_src"
+    require(!schema.fieldNames.contains(srcCol),
+      s"ManifestTable.rewriteDeletes: column name '$srcCol' is " +
+        "reserved for rewrite staging — rename the column")
+    val v = prev + 1
+    val staging = s"$path/data/.rwdv-${attemptDirName(v)}"
+    val tagged = dirty.zipWithIndex.map { case (e, i) =>
+      applyDeletes(spark, path, spark.read.schema(schema)
+        .parquet(s"$path/data/${e.dir}"), e.dv)
+        .withColumn(srcCol, lit(i))
+    }.reduce(_ unionByName _)
+    spark.sparkContext.setJobDescription("graft-rewrite-deletes")
+    try tagged.write.partitionBy(srcCol).mode("overwrite").parquet(staging)
+    finally spark.sparkContext.setJobDescription(null)
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
+      .filter(_.getPath.getName.startsWith(s"$srcCol="))
+      .map(st => st.getPath.getName.drop(srcCol.length + 1).toInt ->
+        st.getPath).toMap
+    val out = dirty.zipWithIndex.flatMap { case (e, i) =>
+      // a fully-deleted dir has no staged output and drops out of the
+      // new manifest, like merge's fully-replaced dirs
+      staged.get(i).map { sp =>
+        val newDir = attemptDirName(v)
+        val target = s"$path/data/$newDir"
+        require(fs.rename(sp, new org.apache.hadoop.fs.Path(target)),
+          s"ManifestTable.rewriteDeletes: could not promote $sp")
+        val restatCols = (e.statMin.keySet ++ e.strMin.keySet ++
+          e.nullCnt.keySet).toSeq.sorted
+        val (mins, maxes, sMins, sMaxes, nulls) =
+          statsOf(spark, target, restatCols)
+        val (blooms, strBlooms) = bloomsOf(spark, target,
+          (e.bloom.keySet ++ e.strBloom.keySet).toSeq.sorted)
+        val fl = listDataFilesOf(fs, target)
+        Entry(newDir, e.tag, mins, maxes, Seq(e.dir), sMins, sMaxes,
+          blooms, files = Some(fl), strBloom = strBlooms,
+          rows = rowsOf(spark, target, fl), nullCnt = nulls)
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    // a materialization has no row-level effect on LOGICAL content:
+    // any concurrent addition rebases safely
+    val committed = commitRewrite(spark, path, "rewriteDeletes", prev,
+      entries, dirty.map(_.dir).toSet, out, schema, Nil, Nil, retries,
+      _ => true)
+    (committed, dirty.size)
+  }
+
+  /** ROLLBACK: commit a NEW version whose content, schema,
+    * constraints, and pruning discipline are exactly those of
+    * retained snapshot `toVersion` — Delta's `RESTORE TABLE ...
+    * VERSION AS OF`, the incident-response move ("the deploy at v12
+    * corrupted the table; put v11 back") that needs no data movement
+    * at all: the new manifest simply references `toVersion`'s
+    * immutable dirs, and because it is a new version, nothing
+    * downstream rewinds — history keeps the bad commits visible, and
+    * the exactly-once watermark stays MONOTONE (a batch applied
+    * before the incident is still skipped after the restore; replay
+    * ingest deliberately, not by accident). Fails loudly when
+    * `toVersion` was vacuumed (its dirs may be gone — restoring a
+    * dangling reference would corrupt the table). Restoring the
+    * current version is a no-op returning it unchanged. */
+  def restore(spark: SparkSession, path: String, toVersion: Long): Long = {
+    val vs = versions(spark, path)
+    val prev = vs.lastOption.getOrElse(
+      sys.error(s"ManifestTable.restore: no committed version at $path"))
+    if (toVersion == prev) return prev
+    require(vs.contains(toVersion),
+      s"ManifestTable.restore: ${vName(toVersion)} is not a retained " +
+        s"snapshot at $path (never committed, or vacuumed — its data " +
+        "dirs may already be reaped; restore reaches only retained " +
+        "versions, like time travel)")
+    val entries = entriesOf(spark, path, toVersion)
+    val v = prev + 1
+    commit(spark, path, v, entries,
+      tableSchema(spark, path, toVersion, entries),
+      // watermark from the CURRENT latest — the high-water mark of
+      // everything ever applied, which a rollback must never regress
+      prevTagOf(spark, path, Some(prev), entriesOf(spark, path, prev)),
+      pruningOf(spark, path, toVersion),
+      constraintsOf(spark, path, toVersion), op = "restore")
+    v
   }
 
   /** OPTIMIZE-style clustered rewrite: repartition the CURRENT
@@ -1620,8 +1945,9 @@ object ManifestTable {
       require(!schema.fieldNames.contains(rc),
         s"ManifestTable.$op: column name '$rc' is reserved for " +
           "rewrite staging — rename the column"))
-    val current = spark.read.schema(schema)
-      .parquet(readable.map(e => s"$path/data/${e.dir}"): _*)
+    // dv-aware read: a clustered rewrite materializes pending
+    // deletion vectors (every staged dir is re-statted exact below)
+    val current = readableFrame(spark, path, schema, readable)
     val withZ = current.withColumn("_graft_z", orderOf(current))
     // quantile bucket bounds -> balanced dirs under any skew; the
     // bucket column drives partitionBy into per-bucket staging dirs
@@ -1812,7 +2138,12 @@ object ManifestTable {
         s"ManifestTable.merge: column name '$srcCol' is reserved for " +
           "rewrite staging — rename the column")
       val tagged = touch.zipWithIndex.map { case (e, i) =>
-        spark.read.schema(schema).parquet(s"$path/data/${e.dir}")
+        // each touched dir's own pending deletion vectors apply
+        // BEFORE the union: the rewrite materializes them (the new
+        // entry is re-statted exact and carries no dv)
+        applyDeletes(spark, path,
+          spark.read.schema(schema).parquet(s"$path/data/${e.dir}"),
+          e.dv)
           .withColumn(srcCol, lit(i))
       }.reduce(_ unionByName _)
       // output parallelism ≈ the touched dirs' current file count, so
@@ -1887,23 +2218,30 @@ object ManifestTable {
     val (fs, _) = fsOf(spark, path)
     val vs = versions(spark, path)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
-    val referenced = keep.flatMap(v =>
-      entriesOf(spark, path, v).map(_.dir)).toSet
+    val keptEntries = keep.flatMap(v => entriesOf(spark, path, v))
+    val referenced = keptEntries.map(_.dir).toSet
+    // tombstone dirs survive while ANY kept snapshot's entry still
+    // references them as a pending deletion vector; materialized or
+    // rolled-off tombstones are orphans and reap with their versions
+    val refTombs = keptEntries.flatMap(_.dv.keys).toSet
     drop.foreach(v => fs.delete(
       new org.apache.hadoop.fs.Path(s"$path/manifest/${vName(v)}"), true))
-    val dataRoot = new org.apache.hadoop.fs.Path(s"$path/data")
     var bytes = 0L
-    val removed =
-      if (!fs.exists(dataRoot)) 0
-      else fs.listStatus(dataRoot).count { st =>
-        val keepIt = referenced.contains(st.getPath.getName)
-        if (!keepIt) {
+    def reap(root: org.apache.hadoop.fs.Path, keepIt: String => Boolean)
+        : Int =
+      if (!fs.exists(root)) 0
+      else fs.listStatus(root).count { st =>
+        val kept = keepIt(st.getPath.getName)
+        if (!kept) {
           bytes += scala.util.Try(
             fs.getContentSummary(st.getPath).getLength).getOrElse(0L)
           fs.delete(st.getPath, true)
         }
-        !keepIt
+        !kept
       }
+    val removed =
+      reap(new org.apache.hadoop.fs.Path(s"$path/data"), referenced) +
+        reap(new org.apache.hadoop.fs.Path(s"$path/deletes"), refTombs)
     val report = VacuumReport(path, tag, drop.size, removed, bytes)
     lastVacuum.set(Some(report))
     report

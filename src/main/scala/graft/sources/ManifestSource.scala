@@ -31,11 +31,36 @@ import org.apache.spark.sql.types.StructType
   *
   * The snapshot is resolved at construction (immutable dirs + one
   * manifest read), so a relation, like every other manifest read,
-  * keeps reading ITS snapshot no matter what commits afterwards. */
-final class ManifestFileIndex(spark: SparkSession, val tablePath: String,
-    val version: Long) extends FileIndex {
+  * keeps reading ITS snapshot no matter what commits afterwards.
+  *
+  * Merge-on-read deletes: a file-level index cannot anti-join
+  * tombstones, so when the snapshot carries pending deletion vectors
+  * ([[ManifestTable.Entry.dv]]) the relation is REWRITTEN at
+  * resolution time by [[graft.plans.ManifestApplyDeletes]] into a
+  * union of per-tombstone-group sub-relations with the anti-joins
+  * applied. The sub-relations are built with the subset constructor
+  * below (`applyDeletes = false`), which is both the rewrite's
+  * building block and its termination guarantee — the rule never
+  * matches a sub-relation. */
+final class ManifestFileIndex private (spark: SparkSession,
+    val tablePath: String, val version: Long,
+    explicitEntries: Option[Seq[ManifestTable.Entry]],
+    val applyDeletes: Boolean) extends FileIndex {
 
-  private val entries = ManifestTable.entriesOf(spark, tablePath, version)
+  def this(spark: SparkSession, tablePath: String, version: Long) =
+    this(spark, tablePath, version, None, true)
+
+  /** Subset index over explicit snapshot entries — the deletion-
+    * vector rewrite's per-group scan (and the reason the rewrite
+    * terminates: `applyDeletes = false` rules this index out of
+    * another rewrite). */
+  private[graft] def this(spark: SparkSession, tablePath: String,
+      version: Long, subset: Seq[ManifestTable.Entry]) =
+    this(spark, tablePath, version, Some(subset), false)
+
+  private val entries =
+    explicitEntries.getOrElse(
+      ManifestTable.entriesOf(spark, tablePath, version))
 
   /** The pinned snapshot's manifest entries — what
     * [[graft.plans.ManifestMetadataAggs]] answers whole-table
