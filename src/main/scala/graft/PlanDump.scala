@@ -96,7 +96,11 @@ object PlanDump {
     "q140_manifest_grouped_metadata_agg" ->
       "GROUPED metadata-only aggregate over the one-commit-per-language layout: the manifest proves every dir single-group (grouping column min == max, zero recorded nulls), so GROUP BY lang folds per-dir — the executed plan is a LocalTableScan with one row per language, zero data files; a single mixed dir and the rule provably stands down (ManifestMetadataAggSpec pins both plans).",
     "q141_manifest_constraint_gate" ->
-      "CHECK-constraint-gated table read back: a plain aggregate over the manifest snapshot whose content the write-boundary gate admitted — the corrupted second-half batch was REFUSED whole (one orphan dir, version untouched, builder-asserted), the repaired batch landed. The plan is the ordinary manifest scan; the evidence is the ANSWER matching the oracle's from-scratch recomputation of what should have been admitted.")
+      "CHECK-constraint-gated table read back: a plain aggregate over the manifest snapshot whose content the write-boundary gate admitted — the corrupted second-half batch was REFUSED whole (one orphan dir, version untouched, builder-asserted), the repaired batch landed. The plan is the ordinary manifest scan; the evidence is the ANSWER matching the oracle's from-scratch recomputation of what should have been admitted.",
+    "q142_manifest_deletion_vectors" ->
+      "Merge-on-read deletion vectors: the scattered-key delete wrote ONE tombstone (zero data dirs rewritten, builder-asserted), and the SQL read was rewritten at resolution time (graft.plans.ManifestApplyDeletes) into per-tombstone-group manifest scans BroadcastHashJoin-LeftAnti'd against the broadcast tombstone key set, unioned with the clean dirs' plain scan (the post-delete re-insert commit — per-dir scoping keeps it alive). Filters still push into every sub-relation's ManifestFileIndex; the delete's read tax is exactly the one anti-join visible here.",
+    "q143_manifest_restore" ->
+      "RESTORE (rollback) read back: a plain aggregate whose FileScan paths are the restored snapshot's ORIGINAL dirs plus the post-rollback append — the corrupting overwrite's dir is absent by construction (the rollback manifest simply references the good version's immutable dirs; zero data movement, builder-asserted). The oracle recomputes the expected table from scratch; one leaked bad row would hash-mismatch.")
 
   /** Captured with broadcast joins disabled: at 100 TB neither side
     * broadcasts, and the co-location evidence (zero exchange under the

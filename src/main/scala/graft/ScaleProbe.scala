@@ -459,6 +459,41 @@ object ScaleProbe {
           f"(post-cluster probe plans ${probe.inputFiles.length} files)")
         fs.delete(new org.apache.hadoop.fs.Path(tCopy), true)
       }
+      // deletion-vector probe, on its own throwaway copy: a
+      // SCATTERED-key delete (200 ids spread over every commit — the
+      // workload where copy-on-write rewrites all 40 dirs) must cost
+      // one tombstone write + a metadata commit with ZERO dirs
+      // rewritten; then the read tax (broadcast anti-join) and the
+      // one-staged-job materialization are measured separately
+      locally {
+        val tCopy = "/tmp/scale10/docs_manifest40_dv"
+        val conf = spark.sessionState.newHadoopConf()
+        fs.delete(new org.apache.hadoop.fs.Path(tCopy), true)
+        org.apache.hadoop.fs.FileUtil.copy(fs,
+          new org.apache.hadoop.fs.Path(t), fs,
+          new org.apache.hadoop.fs.Path(tCopy), false, conf)
+        val keys = docs.filter(pmod(col("doc_id"), lit(250)) === 0)
+          .select("doc_id")
+        val nKeys = keys.count()
+        val td0 = System.nanoTime()
+        val (_, tombstoned) = graft.sinks.ManifestTable.deleteKeys(
+          spark, keys, tCopy, "doc_id")
+        println(f"TIME manifest10 dv_delete_scattered " +
+          f"${(System.nanoTime() - td0) / 1e9}%.2f s " +
+          f"($nKeys keys, $tombstoned dirs tombstoned, 0 rewritten)")
+        val tr0 = System.nanoTime()
+        val n = graft.sinks.ManifestTable.read(spark, tCopy)
+          .agg(count(lit(1))).head().getLong(0)
+        println(f"TIME manifest10 dv_read_tax " +
+          f"${(System.nanoTime() - tr0) / 1e9}%.2f s ($n rows)")
+        val tw0 = System.nanoTime()
+        val (_, matDirs) = graft.sinks.ManifestTable.rewriteDeletes(
+          spark, tCopy)
+        println(f"TIME manifest10 dv_materialize " +
+          f"${(System.nanoTime() - tw0) / 1e9}%.2f s " +
+          f"($matDirs dirs rewritten in one staged job)")
+        fs.delete(new org.apache.hadoop.fs.Path(tCopy), true)
+      }
       spark.stop()
       return
     }

@@ -438,6 +438,85 @@ object LayoutQueries {
     path
   }
 
+  /** The Bloom-manifest layout after a MERGE-ON-READ delete cycle
+    * ([[graft.sinks.ManifestTable.deleteKeys]]): every doc_id ≡ 3
+    * (mod 7) equality-deleted via ONE tombstone write — zero data
+    * dirs rewritten, builder-asserted — then the low-id slice of
+    * those keys RE-INSERTED as a fresh commit (the per-dir scoping
+    * case: a tombstone must never reach past its own dirs onto later
+    * ingest). Built once per dataset behind the usual marker. */
+  def ensureDvManifest(s: SparkSession, d: String): String = {
+    val path = s"${layoutRoot(d)}/docs_manifest_dv"
+    val docs = Tables.documents(s, d)
+    val n = docs.count()
+    val expect = s"layout=$LayoutVersion manifest=mod4+dv rows=$n"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      (0 until 4).foreach { i =>
+        graft.sinks.ManifestTable.append(s,
+          docs.filter(pmod(col("doc_id"), lit(4)) === i), path,
+          statsCols = Seq("doc_id", "lang"), bloomCols = Seq("doc_id"))
+      }
+      val dirsBefore = graft.sinks.ManifestTable
+        .entriesOf(s, path, 4L).map(_.dir).toSet
+      graft.sinks.ManifestTable.deleteKeys(s,
+        docs.filter(pmod(col("doc_id"), lit(7)) === 3).select("doc_id"),
+        path, "doc_id")
+      // the merge-on-read contract, asserted at build time: the
+      // delete moved METADATA only — same data dirs, new version
+      require(graft.sinks.ManifestTable.entriesOf(s, path, 5L)
+        .map(_.dir).toSet == dirsBefore,
+        "ensureDvManifest: deleteKeys rewrote data dirs")
+      graft.sinks.ManifestTable.append(s,
+        docs.filter(pmod(col("doc_id"), lit(7)) === 3 &&
+          col("doc_id") < 20), path)
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
+  /** A manifest table that survived a BAD DEPLOY: two good commits,
+    * one corrupting overwrite, one
+    * [[graft.sinks.ManifestTable.restore]] back to the good snapshot
+    * (data-movement-free: the rollback manifest references the
+    * original dirs — builder-asserted), then one post-rollback append
+    * proving the table keeps living. Built once per dataset behind
+    * the usual marker. */
+  def ensureRestoredManifest(s: SparkSession, d: String): String = {
+    val path = s"${layoutRoot(d)}/docs_manifest_restored"
+    val docs = Tables.documents(s, d)
+    val n = docs.count()
+    val expect = s"layout=$LayoutVersion manifest=restore rows=$n"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val h = math.max(n / 2, 1)
+      graft.sinks.ManifestTable.append(s,
+        docs.filter(col("doc_id") < h), path, statsCols = Seq("doc_id"))
+      graft.sinks.ManifestTable.append(s,
+        docs.filter(col("doc_id") >= h), path)
+      val good = 2L
+      val goodDirs = graft.sinks.ManifestTable
+        .entriesOf(s, path, good).map(_.dir).toSet
+      // the bad deploy: an overwrite that zeroes the corpus text stats
+      graft.sinks.ManifestTable.overwrite(s,
+        docs.withColumn("n_chars", lit(-1L)), path)
+      val v = graft.sinks.ManifestTable.restore(s, path, good)
+      require(graft.sinks.ManifestTable.entriesOf(s, path, v)
+        .map(_.dir).toSet == goodDirs,
+        "ensureRestoredManifest: restore must reference the original " +
+          "dirs, not copy them")
+      graft.sinks.ManifestTable.append(s,
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .withColumn("doc_id", col("doc_id") + (1L << 41)), path)
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
   /** Documents ingested ARRIVAL-ORDERED (4 commits by doc_id mod 4 —
     * every commit spans the full id range, so manifest range pruning
     * is vacuous), then rewritten by
@@ -1315,6 +1394,69 @@ object LayoutQueries {
         """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
           |  CAST(SUM(n_chars) AS BIGINT) AS chars
           |FROM documents_manifest_checked
+          |GROUP BY lang
+          |ORDER BY lang""".stripMargin)
+    },
+
+    // ---- merge-on-read deletion vectors: every doc_id ≡ 3 (mod 7)
+    //      equality-deleted via ONE tombstone write (zero data dirs
+    //      rewritten — builder-asserted), the low-id slice of those
+    //      keys then re-ingested as a fresh commit. The SQL read is
+    //      rewritten at resolution time into per-tombstone-group
+    //      scans + broadcast anti-joins (ManifestApplyDeletes); the
+    //      oracle recomputes the survivors from scratch: everything
+    //      outside the deleted keys, plus the re-inserts — which only
+    //      match if tombstone scoping is exactly per-dir. ----
+    GraftQuery("q142_manifest_deletion_vectors",
+      """WITH kept AS (
+        |  SELECT lang, n_chars FROM documents WHERE doc_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT lang, n_chars FROM documents
+        |  WHERE doc_id % 7 = 3 AND doc_id < 20)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM kept
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (s, d) =>
+      val path = ensureDvManifest(s, d)
+      s.read.format("graft-manifest").load(path)
+        .createOrReplaceTempView("documents_manifest_dv")
+      s.sql(
+        """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(n_chars) AS BIGINT) AS chars
+          |FROM documents_manifest_dv
+          |GROUP BY lang
+          |ORDER BY lang""".stripMargin)
+    },
+
+    // ---- RESTORE (rollback): the table took a corrupting overwrite,
+    //      was rolled back to the last good snapshot with zero data
+    //      movement (the restore manifest references the original
+    //      dirs — builder-asserted), and kept ingesting afterwards.
+    //      The oracle recomputes what the table must now hold from
+    //      scratch: the original corpus plus the post-rollback batch,
+    //      with NO trace of the corrupting overwrite — a rollback
+    //      that leaked even one bad row would hash-mismatch. ----
+    GraftQuery("q143_manifest_restore",
+      """WITH t AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2199023255552 AS doc_id, lang, n_chars
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  CAST(MAX(doc_id) AS BIGINT) AS max_id
+        |FROM t
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (s, d) =>
+      val path = ensureRestoredManifest(s, d)
+      s.read.format("graft-manifest").load(path)
+        .createOrReplaceTempView("documents_manifest_restored")
+      s.sql(
+        """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+          |  CAST(MAX(doc_id) AS BIGINT) AS max_id
+          |FROM documents_manifest_restored
           |GROUP BY lang
           |ORDER BY lang""".stripMargin)
     },
