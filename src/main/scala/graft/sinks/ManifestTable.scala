@@ -794,6 +794,54 @@ object ManifestTable {
       }
     }.getOrElse(NoStats)
 
+  /** Grouped restat over a `partitionBy(srcCol)`-staged rewrite tree:
+    * ONE Spark job computes every staged dir's min/max, null counts,
+    * and exact row count (keyed by the partition value, stringified),
+    * replacing the per-dir [[statsOf]] loop that cost one
+    * driver-serialized job per rewritten dir — at k dirs hit, the
+    * restat bill drops from k jobs to 1. Written-is-truth holds: the
+    * staged files ARE the files promotion renames into place, so
+    * these stats describe exactly the promoted content. Must run
+    * BEFORE promotion (the staged tree is gone after). Same type
+    * dispatch and conservative absences as [[statsOf]]. */
+  private def statsBySrc(spark: SparkSession, staging: String,
+      srcCol: String, cols: Seq[String]): Map[String, (Stats, Long)] =
+    scala.util.Try {
+      val df = spark.read.parquet(staging)
+      val inDf = cols.filter(df.columns.contains)
+      val isStr = inDf.map(c => c ->
+        (df.schema(c).dataType == org.apache.spark.sql.types.StringType))
+        .toMap
+      val bounded = inDf.filter(c =>
+        isStr(c) || isIntegral(df.schema(c).dataType))
+      val aggs = count(lit(1)) +: (inDf.map(c => count(col(c))) ++
+        bounded.flatMap(c =>
+          if (isStr(c)) Seq(min(col(c)), max(col(c)))
+          else Seq(min(col(c).cast("long")), max(col(c).cast("long")))))
+      df.groupBy(col(srcCol).cast("string").as("__src"))
+        .agg(aggs.head, aggs.tail: _*).collect().map { r =>
+          val total = r.getLong(1)
+          val nulls = inDf.zipWithIndex.map { case (c, i) =>
+            c -> (total - r.getLong(2 + i))
+          }.toMap ++
+            cols.filterNot(df.columns.contains).map(c => c -> total)
+          val base = 2 + inDf.size
+          val stats = bounded.zipWithIndex.foldLeft(
+            (Map.empty[String, Long], Map.empty[String, Long],
+              Map.empty[String, String], Map.empty[String, String],
+              nulls)) {
+            case (acc, (_, i)) if r.isNullAt(base + 2 * i) => acc
+            case ((lm, lx, sm, sx, nc), (c, i)) if isStr(c) =>
+              (lm, lx, sm + (c -> r.getString(base + 2 * i)),
+                sx + (c -> r.getString(base + 2 * i + 1)), nc)
+            case ((lm, lx, sm, sx, nc), (c, i)) =>
+              (lm + (c -> r.getLong(base + 2 * i)),
+                lx + (c -> r.getLong(base + 2 * i + 1)), sm, sx, nc)
+          }
+          r.getString(0) -> (stats, total)
+        }.toMap
+    }.getOrElse(Map.empty)
+
   /** Schema enforcement at the write boundary (what a raw parquet
     * directory fatally lacks — a typo'd batch silently forks the
     * table): every batch column must exist in the table schema with
@@ -1758,16 +1806,20 @@ object ManifestTable {
   /** Materialize every pending deletion vector: each dir carrying
     * tombstone references is rewritten (its dvs anti-joined out,
     * re-statted exact, provenance recorded, possibly dropped when
-    * emptied) in ONE staged Spark job — union the dirty dirs tagged
-    * with a source index, apply each dir's own tombstones before the
-    * union, stage with partitionBy, promote by rename (the
-    * merge/cluster pattern; no extra shuffle — input splits flow
-    * straight to per-source staged outputs). Clean dirs keep their
-    * physical identity untouched. After this commit the table's
-    * metadata is exact again (metadata-only aggregates resume) and
-    * reads pay no anti-join tax; [[vacuum]] reaps the orphaned
-    * tombstone dirs with the old snapshots. Returns (version, dirs
-    * rewritten) — (current, 0) when nothing is pending. */
+    * emptied) with a bounded number of Spark jobs however many dirs
+    * are dirty — ONE scan per tombstone GROUP (dirs sharing a dv set
+    * read together, their tombstones anti-joined once), each row
+    * tagged with its source dir name derived from the scan's own
+    * file path (no shuffle: broadcast anti-joins keep rows in their
+    * scan stage), staged with `partitionBy(dir name)`, restatted by
+    * ONE grouped aggregate over the staged tree ([[statsBySrc]] —
+    * not a per-dir job loop), and promoted by rename. Clean dirs
+    * keep their physical identity untouched. After this commit the
+    * table's metadata is exact again (metadata-only aggregates
+    * resume) and reads pay no anti-join tax; [[vacuum]] reaps the
+    * orphaned tombstone dirs with the old snapshots. Returns
+    * (version, dirs rewritten) — (current, 0) when nothing is
+    * pending. */
   def rewriteDeletes(spark: SparkSession, path: String,
       retries: Int = 0): (Long, Int) = {
     val (fs, _) = fsOf(spark, path)
@@ -1783,36 +1835,54 @@ object ManifestTable {
         "reserved for rewrite staging — rename the column")
     val v = prev + 1
     val staging = s"$path/data/.rwdv-${attemptDirName(v)}"
-    val tagged = dirty.zipWithIndex.map { case (e, i) =>
-      applyDeletes(spark, path, spark.read.schema(schema)
-        .parquet(s"$path/data/${e.dir}"), e.dv)
-        .withColumn(srcCol, lit(i))
-    }.reduce(_ unionByName _)
+    // the source tag is the file's immediate PARENT DIR NAME — exact
+    // by construction (every data file lives directly under its data
+    // dir), evaluated in the scan stage before the anti-join, so one
+    // group scan serves any number of dirty dirs
+    val tagged = dirty.groupBy(_.dv).toSeq.sortBy(_._2.head.dir)
+      .map { case (dv, es) =>
+        val base = spark.read.schema(schema)
+          .parquet(es.map(e => s"$path/data/${e.dir}"): _*)
+          .withColumn(srcCol,
+            element_at(split(input_file_name(), "/"), -2))
+        applyDeletes(spark, path, base, dv)
+      }.reduce(_ unionByName _)
     spark.sparkContext.setJobDescription("graft-rewrite-deletes")
     try tagged.write.partitionBy(srcCol).mode("overwrite").parquet(staging)
     finally spark.sparkContext.setJobDescription(null)
     val staged = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
       .filter(_.getPath.getName.startsWith(s"$srcCol="))
-      .map(st => st.getPath.getName.drop(srcCol.length + 1).toInt ->
+      .map(st => st.getPath.getName.drop(srcCol.length + 1) ->
         st.getPath).toMap
-    val out = dirty.zipWithIndex.flatMap { case (e, i) =>
+    // ONE job restats every staged dir (min/max + null counts + exact
+    // rows, keyed by source dir); stats recorded for the UNION of the
+    // dirty entries' stat columns — a superset never costs
+    // correctness, only adds pruning coverage
+    val restatCols = dirty.flatMap(e => e.statMin.keys ++ e.strMin.keys ++
+      e.nullCnt.keys).distinct.sorted
+    val restats = statsBySrc(spark, staging, srcCol, restatCols)
+    val out = dirty.flatMap { e =>
       // a fully-deleted dir has no staged output and drops out of the
       // new manifest, like merge's fully-replaced dirs
-      staged.get(i).map { sp =>
+      staged.get(e.dir).map { sp =>
         val newDir = attemptDirName(v)
         val target = s"$path/data/$newDir"
         require(fs.rename(sp, new org.apache.hadoop.fs.Path(target)),
           s"ManifestTable.rewriteDeletes: could not promote $sp")
-        val restatCols = (e.statMin.keySet ++ e.strMin.keySet ++
-          e.nullCnt.keySet).toSeq.sorted
-        val (mins, maxes, sMins, sMaxes, nulls) =
-          statsOf(spark, target, restatCols)
+        val ((mins, maxes, sMins, sMaxes, nulls), nRows) =
+          restats.getOrElse(e.dir, (NoStats, 0L))
         val (blooms, strBlooms) = bloomsOf(spark, target,
           (e.bloom.keySet ++ e.strBloom.keySet).toSeq.sorted)
         val fl = listDataFilesOf(fs, target)
         Entry(newDir, e.tag, mins, maxes, Seq(e.dir), sMins, sMaxes,
-          blooms, files = Some(fl), strBloom = strBlooms,
-          rows = rowsOf(spark, target, fl), nullCnt = nulls)
+          blooms, files = Some(fl),
+          strBloom = strBlooms,
+          // the grouped restat's count is exact (it read the staged
+          // files promotion renamed); a failed restat records no
+          // stats and NO row count — conservative, never wrong
+          rows = if (restats.contains(e.dir)) Some(nRows)
+            else rowsOf(spark, target, fl),
+          nullCnt = nulls)
       }
     }
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
@@ -2159,28 +2229,35 @@ object ManifestTable {
       } finally spark.sparkContext.setJobDescription(null)
       val staged = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
         .filter(_.getPath.getName.startsWith(s"$srcCol="))
-        .map(st => st.getPath.getName.drop(srcCol.length + 1).toInt ->
+        .map(st => st.getPath.getName.drop(srcCol.length + 1) ->
           st.getPath).toMap
+      // ONE grouped job restats every staged dir (see statsBySrc) —
+      // the per-dir statsOf loop this replaces paid one
+      // driver-serialized job per touched dir
+      val restatCols = (touch.flatMap(e =>
+        e.statMin.keys ++ e.strMin.keys ++ e.nullCnt.keys) :+ keyCol)
+        .distinct.sorted
+      val restats = statsBySrc(spark, staging, srcCol, restatCols)
       val out = touch.zipWithIndex.flatMap { case (e, i) =>
         // partitionBy creates a staged dir only for srcs with
         // surviving rows — a fully-replaced dir simply has no staged
         // output and drops out of the new manifest
-        staged.get(i).map { sp =>
+        staged.get(i.toString).map { sp =>
           val newDir = attemptDirName(v)
           val target = s"$path/data/$newDir"
           require(fs.rename(sp,
             new org.apache.hadoop.fs.Path(target)),
             s"ManifestTable.merge: could not promote $sp")
-          val restatCols =
-            (e.statMin.keySet ++ e.strMin.keySet + keyCol).toSeq.sorted
-          val (mins, maxes, sMins, sMaxes, nulls) =
-            statsOf(spark, target, restatCols)
+          val ((mins, maxes, sMins, sMaxes, nulls), nRows) =
+            restats.getOrElse(i.toString, (NoStats, 0L))
           val (blooms, strBlooms) = bloomsOf(spark, target,
             (e.bloom.keySet ++ e.strBloom.keySet).toSeq.sorted)
           val fl = listDataFilesOf(fs, target)
           Entry(newDir, e.tag, mins, maxes, Seq(e.dir), sMins, sMaxes,
             blooms, files = Some(fl), strBloom = strBlooms,
-            rows = rowsOf(spark, target, fl), nullCnt = nulls)
+            rows = if (restats.contains(i.toString)) Some(nRows)
+              else rowsOf(spark, target, fl),
+            nullCnt = nulls)
         }
       }
       fs.delete(new org.apache.hadoop.fs.Path(staging), true)
