@@ -2286,6 +2286,25 @@ object ManifestTable {
     (r.manifestsDropped, r.dirsReaped)
   }
 
+  /** [[vacuum]] addressed by TIME instead of version count: drop
+    * every snapshot whose (monotonized) commit time is strictly
+    * before `cutoffMillis`, always keeping at least the current
+    * version — the retention-period knob (Delta's
+    * `delta.logRetentionDuration` shape) an operator actually sets
+    * ("keep 7 days"), where version counts only make sense at a known
+    * commit cadence. Monotonized times mean the kept set is always a
+    * SUFFIX, so this composes with every replay-window contract
+    * ([[readSinceUntil]], the streaming source) exactly like
+    * count-based vacuum. */
+  def vacuumOlderThan(spark: SparkSession, path: String,
+      cutoffMillis: Long, tag: Long = -1L): VacuumReport = {
+    val tl = commitTimeline(spark, path)
+    require(tl.nonEmpty,
+      s"ManifestTable.vacuumOlderThan: no committed version at $path")
+    vacuumDetailed(spark, path,
+      math.max(1, tl.count(_._2 >= cutoffMillis)), tag)
+  }
+
   /** [[vacuum]] returning the full reap accounting — callers that
     * report (the sinks' cadence logging) use this return value
     * directly, not the racy JVM-global convenience below. */

@@ -229,6 +229,40 @@ class ManifestStreamSpec extends AnyFunSuite {
       s"expected a batch-2 cadence report, got $rep")
   }
 
+  test("streaming source applies pending deletion vectors; a dv commit delivers no rows") {
+    val tmp = Files.createTempDirectory("graft-mfdvstream").toString
+    val t = s"$tmp/table"
+    val ckpt = s"$tmp/ckpt"
+    ManifestTable.append(spark, Seq(1L, 2L, 3L).toDF("id"), t,
+      statsCols = Seq("id"))
+    ManifestTable.append(spark, Seq(4L, 5L).toDF("id"), t)
+    ManifestTable.deleteKeys(spark, Seq(2L, 5L).toDF("id"), t, "id")
+    val batches =
+      new scala.collection.concurrent.TrieMap[Long, Seq[Long]]()
+    def start() = spark.readStream.format("graft-manifest").load(t)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.put(id, b.select("id").as[Long](
+          org.apache.spark.sql.Encoders.scalaLong).collect().sorted.toSeq)
+        ()
+      }.start()
+    val q = start()
+    q.processAllAvailable()
+    // bootstrap reads the CURRENT snapshot — tombstones applied (the
+    // getBatch path routes through the same dv-aware readDirs)
+    assert(batches.values.flatten.toSeq.sorted == Seq(1L, 3L, 4L))
+    // a dv delete while streaming changes no dirs: the version
+    // advances but the micro-batch diff is EMPTY (additive CDC — the
+    // same contract as copy-on-write deletes after drain)
+    ManifestTable.deleteKeys(spark, Seq(3L).toDF("id"), t, "id")
+    ManifestTable.append(spark, Seq(6L).toDF("id"), t)
+    q.processAllAvailable()
+    q.stop()
+    assert(batches.values.flatten.toSeq.sorted == Seq(1L, 3L, 4L, 6L),
+      "the post-bootstrap dv delete must deliver nothing; the fresh " +
+        "append must deliver exactly its rows")
+  }
+
   test("a stream started on an empty path fails loudly; schema comes from the sidecar") {
     val tmp = Files.createTempDirectory("graft-mfstream2").toString
     val ex = intercept[RuntimeException] {

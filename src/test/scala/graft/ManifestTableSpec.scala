@@ -1143,4 +1143,27 @@ class ManifestTableSpec extends AnyFunSuite {
       ManifestTable.versionAtTimestamp(spark, t, ts.head - 1)
     }
   }
+
+  test("vacuumOlderThan: time-addressed retention keeps a suffix") {
+    val t = s"${Files.createTempDirectory("graft-mvot")}/t"
+    ManifestTable.append(spark, Seq(1L).toDF("id"), t)
+    ManifestTable.append(spark, Seq(2L).toDF("id"), t)
+    Thread.sleep(30) // a real gap, so the cutoff lands between commits
+    val cutoff = System.currentTimeMillis()
+    Thread.sleep(30)
+    ManifestTable.append(spark, Seq(3L).toDF("id"), t)
+    ManifestTable.append(spark, Seq(4L).toDF("id"), t)
+    val r = ManifestTable.vacuumOlderThan(spark, t, cutoff)
+    assert(r.manifestsDropped == 2)
+    assert(ManifestTable.versions(spark, t) == Seq(3L, 4L))
+    // time travel still reaches everything at-or-after the cutoff
+    assert(ids(ManifestTable.readVersion(spark, t, 3L)) ==
+      Seq(1L, 2L, 3L))
+    // a cutoff beyond every commit still keeps the current version
+    val r2 = ManifestTable.vacuumOlderThan(spark, t,
+      System.currentTimeMillis() + 60000)
+    assert(ManifestTable.versions(spark, t) == Seq(4L) &&
+      r2.manifestsDropped == 1)
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L, 3L, 4L))
+  }
 }

@@ -70,6 +70,62 @@ class PropertySpec extends AnyFunSuite {
     assert(viaSql == plain)
   }
 
+  test("deletion-vector round trip: random layouts, deletes, re-inserts") {
+    // THE merge-on-read property: for ANY commit layout, ANY sequence
+    // of interleaved deleteKeys / re-insert appends, and both key
+    // types, every read surface must equal the model — rows whose key
+    // was deleted AFTER their commit are gone, rows re-inserted after
+    // their key's delete survive — and materialization must be a
+    // pure no-op on content. Randomize what trips real systems:
+    // deletes of absent keys, repeated deletes of the same key,
+    // deletes spanning multiple dirs, empty delete sets.
+    val rnd = new scala.util.Random(11)
+    (0 until 3).foreach { round =>
+      val t = s"${java.nio.file.Files
+        .createTempDirectory("graft-dvprop")}/t"
+      // model: (key, payload) multiset currently visible
+      val live = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      var nextPayload = 0
+      def batch(keys: Seq[Long]): Seq[(Long, String)] =
+        keys.map { k => nextPayload += 1; (k, s"p$nextPayload") }
+      // seed commits
+      (0 until rnd.nextInt(3) + 2).foreach { _ =>
+        val b = batch(Seq.fill(rnd.nextInt(6) + 1)(rnd.nextLong(30)))
+        live ++= b
+        graft.sinks.ManifestTable.append(spark, b.toDF("id", "p"), t,
+          statsCols = Seq("id"),
+          bloomCols = if (rnd.nextBoolean()) Seq("id") else Nil)
+      }
+      // interleaved deletes and appends
+      (0 until 6).foreach { _ =>
+        if (rnd.nextBoolean()) {
+          val ks = Seq.fill(rnd.nextInt(4))(rnd.nextLong(40)).distinct
+          graft.sinks.ManifestTable.deleteKeys(spark,
+            ks.toDF("id"), t, "id")
+          live.filterInPlace(r => !ks.contains(r._1))
+        } else {
+          val b = batch(Seq.fill(rnd.nextInt(4) + 1)(rnd.nextLong(30)))
+          live ++= b
+          graft.sinks.ManifestTable.append(spark, b.toDF("id", "p"), t)
+        }
+      }
+      def check(where: String): Unit = {
+        val got = graft.sinks.ManifestTable.read(spark, t)
+          .as[(Long, String)].collect().sorted.toSeq
+        assert(got == live.sorted.toSeq, s"round $round $where")
+        val gotSql = spark.read.format("graft-manifest").load(t)
+          .as[(Long, String)].collect().sorted.toSeq
+        assert(gotSql == live.sorted.toSeq, s"round $round $where SQL")
+      }
+      check("pending")
+      graft.sinks.ManifestTable.rewriteDeletes(spark, t)
+      check("materialized")
+      assert(graft.sinks.ManifestTable.entriesOf(spark, t,
+        graft.sinks.ManifestTable.latestVersion(spark, t).get)
+        .forall(_.dv.isEmpty))
+    }
+  }
+
   test("bloom injection parity: random tables, keys, join types") {
     // the injected probe must NEVER change a join's answer — across
     // null keys, duplicate keys, empty match sets, and every join type
