@@ -543,9 +543,12 @@ object ManifestTable {
           for (a <- acc; f <- e.files) yield a + f.size }
         val nRows = entries.foldLeft(Option(0L)) { (acc, e) =>
           for (a <- acc; r <- e.rows) yield a + r }
+        // the operator's rewriteDeletes trigger: distinct pending
+        // tombstones at this snapshot (0 = metadata exact, no read tax)
+        val nDv = entries.flatMap(_.dv.keys).distinct.size.toLong
         org.apache.spark.sql.Row(v, new java.sql.Timestamp(ts),
           opName.orNull, entries.size.toLong,
-          nFiles.map(Long.box).orNull, nRows.map(Long.box).orNull)
+          nFiles.map(Long.box).orNull, nRows.map(Long.box).orNull, nDv)
       }
     val schema = StructType(Seq(
       StructField("version", LongType, nullable = false),
@@ -553,7 +556,8 @@ object ManifestTable {
       StructField("operation", StringType, nullable = true),
       StructField("num_dirs", LongType, nullable = false),
       StructField("num_files", LongType, nullable = true),
-      StructField("num_rows", LongType, nullable = true)))
+      StructField("num_rows", LongType, nullable = true),
+      StructField("num_pending_dv", LongType, nullable = false)))
     spark.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
   }
@@ -841,6 +845,80 @@ object ManifestTable {
           r.getString(0) -> (stats, total)
         }.toMap
     }.getOrElse(Map.empty)
+
+  /** The ONE staged-rewrite engine behind [[rewriteDeletes]] and
+    * [[deleteRange]]: rewrite `targets` (entries with data files)
+    * into fresh attempt-unique dirs with a BOUNDED number of Spark
+    * jobs however many dirs are hit — one scan per tombstone group
+    * (pending dvs applied, rows tagged with their source dir name
+    * from the scan's own file path), `transform` applied, ONE
+    * `partitionBy` staging write, ONE grouped restat
+    * ([[statsBySrc]]), rename promotion. A target with no surviving
+    * rows produces no entry (it drops out of the new manifest).
+    * Produced entries carry single-dir provenance, the source's tag,
+    * re-built Bloom filters for the source's bloom columns, and NO
+    * dv (the rewrite materialized them). */
+  private def stagedRewrite(spark: SparkSession, path: String, v: Long,
+      schema: StructType, targets: Seq[Entry], op: String,
+      transform: DataFrame => DataFrame,
+      extraRestatCols: Seq[String] = Nil): Seq[Entry] = {
+    if (targets.isEmpty) return Seq.empty
+    val (fs, _) = fsOf(spark, path)
+    val srcCol = "_graft_src"
+    require(!schema.fieldNames.contains(srcCol),
+      s"ManifestTable.$op: column name '$srcCol' is reserved for " +
+        "rewrite staging — rename the column")
+    val staging = s"$path/data/.rw-${attemptDirName(v)}"
+    // the source tag is the file's immediate PARENT DIR NAME — exact
+    // by construction (every data file lives directly under its data
+    // dir), evaluated in the scan stage, and broadcast anti-joins /
+    // row filters keep rows in that stage, so one group scan serves
+    // any number of target dirs
+    val tagged = targets.groupBy(_.dv).toSeq.sortBy(_._2.head.dir)
+      .map { case (dv, es) =>
+        val base = spark.read.schema(schema)
+          .parquet(es.map(e => s"$path/data/${e.dir}"): _*)
+          .withColumn(srcCol,
+            element_at(split(input_file_name(), "/"), -2))
+        transform(applyDeletes(spark, path, base, dv))
+      }.reduce(_ unionByName _)
+    spark.sparkContext.setJobDescription(s"graft-$op-rewrite")
+    try tagged.write.partitionBy(srcCol).mode("overwrite").parquet(staging)
+    finally spark.sparkContext.setJobDescription(null)
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
+      .filter(_.getPath.getName.startsWith(s"$srcCol="))
+      .map(st => st.getPath.getName.drop(srcCol.length + 1) ->
+        st.getPath).toMap
+    // stats for the UNION of the targets' recorded columns — a
+    // superset never costs correctness, only adds pruning coverage
+    val restatCols = (targets.flatMap(e => e.statMin.keys ++
+      e.strMin.keys ++ e.nullCnt.keys) ++ extraRestatCols)
+      .distinct.sorted
+    val restats = statsBySrc(spark, staging, srcCol, restatCols)
+    val out = targets.flatMap { e =>
+      staged.get(e.dir).map { sp =>
+        val newDir = attemptDirName(v)
+        val target = s"$path/data/$newDir"
+        require(fs.rename(sp, new org.apache.hadoop.fs.Path(target)),
+          s"ManifestTable.$op: could not promote $sp")
+        val ((mins, maxes, sMins, sMaxes, nulls), nRows) =
+          restats.getOrElse(e.dir, (NoStats, 0L))
+        val (blooms, strBlooms) = bloomsOf(spark, target,
+          (e.bloom.keySet ++ e.strBloom.keySet).toSeq.sorted)
+        val fl = listDataFilesOf(fs, target)
+        Entry(newDir, e.tag, mins, maxes, Seq(e.dir), sMins, sMaxes,
+          blooms, files = Some(fl), strBloom = strBlooms,
+          // the grouped restat's count is exact (it read the staged
+          // files promotion renamed); a failed restat records no
+          // stats and NO row count — conservative, never wrong
+          rows = if (restats.contains(e.dir)) Some(nRows)
+            else rowsOf(spark, target, fl),
+          nullCnt = nulls)
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    out
+  }
 
   /** Schema enforcement at the write boundary (what a raw parquet
     * directory fatally lacks — a typo'd batch silently forks the
@@ -1635,36 +1713,18 @@ object ManifestTable {
       e.hasData(fs, s"$path/data/${e.dir}"))
     val keep = keep0 ++ keepEmpty
     val v = prev + 1
-    val rewritten = touch.flatMap { e =>
-      val newDir = attemptDirName(v)
-      val target = s"$path/data/$newDir"
-      // null keys are never "in range" — they must survive a range
-      // delete (a bare !between would evaluate null and drop them);
-      // the rewrite reads under the TABLE schema so a pre-evolution
-      // dir is normalized (new columns as nulls) on its way through
-      val kept = applyDeletes(spark, path,
-        spark.read.schema(schema).parquet(s"$path/data/${e.dir}"), e.dv)
-        .filter(col(statsCol).isNull ||
-          !col(statsCol).cast("long").between(lo, hi))
-      if (kept.head(1).isEmpty) None // dir fully deleted: no entry
-      else {
-        kept.write.mode("overwrite").parquet(target)
-        // re-stat from the WRITTEN dir (same consistency rule as
-        // append); restat every column the entry recorded, plus the
-        // delete key — all-null survivors get no stats (kept by
-        // every future prune: conservative, exactly right)
-        val restatCols =
-          (e.statMin.keySet ++ e.strMin.keySet + statsCol).toSeq.sorted
-        val (mins, maxes, sMins, sMaxes, nulls) =
-          statsOf(spark, target, restatCols)
-        val (blooms, strBlooms) = bloomsOf(spark, target,
-          (e.bloom.keySet ++ e.strBloom.keySet).toSeq.sorted)
-        val fl = listDataFilesOf(fs, target)
-        Some(Entry(newDir, e.tag, mins, maxes, Seq(e.dir), sMins, sMaxes,
-          blooms, files = Some(fl), strBloom = strBlooms,
-          rows = rowsOf(spark, target, fl), nullCnt = nulls))
-      }
-    }
+    // ONE staged job rewrites every touched dir (union-scanned,
+    // dir-tagged, grouped restat — see stagedRewrite), instead of the
+    // per-dir write+restat loop that paid k serialized job latencies
+    // for a delete straddling k dirs. Null keys are never "in range"
+    // — they must survive a range delete (a bare !between would
+    // evaluate null and drop them); a fully-deleted dir has no staged
+    // output and drops out of the new manifest.
+    val rewritten = stagedRewrite(spark, path, v, schema, touch,
+      "deleteRange",
+      _.filter(col(statsCol).isNull ||
+        !col(statsCol).cast("long").between(lo, hi)),
+      extraRestatCols = Seq(statsCol))
     val committed = commitRewrite(spark, path, "deleteRange", prev,
       entries, touch.map(_.dir).toSet, rewritten, schema, Nil, Nil,
       retries,
@@ -1822,70 +1882,15 @@ object ManifestTable {
     * pending. */
   def rewriteDeletes(spark: SparkSession, path: String,
       retries: Int = 0): (Long, Int) = {
-    val (fs, _) = fsOf(spark, path)
     val prev = latestVersion(spark, path).getOrElse(
       sys.error(s"ManifestTable.rewriteDeletes: no committed version at $path"))
     val entries = entriesOf(spark, path, prev)
     val dirty = entries.filter(_.dv.nonEmpty)
     if (dirty.isEmpty) return (prev, 0)
     val schema = tableSchema(spark, path, prev, entries)
-    val srcCol = "_graft_src"
-    require(!schema.fieldNames.contains(srcCol),
-      s"ManifestTable.rewriteDeletes: column name '$srcCol' is " +
-        "reserved for rewrite staging — rename the column")
     val v = prev + 1
-    val staging = s"$path/data/.rwdv-${attemptDirName(v)}"
-    // the source tag is the file's immediate PARENT DIR NAME — exact
-    // by construction (every data file lives directly under its data
-    // dir), evaluated in the scan stage before the anti-join, so one
-    // group scan serves any number of dirty dirs
-    val tagged = dirty.groupBy(_.dv).toSeq.sortBy(_._2.head.dir)
-      .map { case (dv, es) =>
-        val base = spark.read.schema(schema)
-          .parquet(es.map(e => s"$path/data/${e.dir}"): _*)
-          .withColumn(srcCol,
-            element_at(split(input_file_name(), "/"), -2))
-        applyDeletes(spark, path, base, dv)
-      }.reduce(_ unionByName _)
-    spark.sparkContext.setJobDescription("graft-rewrite-deletes")
-    try tagged.write.partitionBy(srcCol).mode("overwrite").parquet(staging)
-    finally spark.sparkContext.setJobDescription(null)
-    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
-      .filter(_.getPath.getName.startsWith(s"$srcCol="))
-      .map(st => st.getPath.getName.drop(srcCol.length + 1) ->
-        st.getPath).toMap
-    // ONE job restats every staged dir (min/max + null counts + exact
-    // rows, keyed by source dir); stats recorded for the UNION of the
-    // dirty entries' stat columns — a superset never costs
-    // correctness, only adds pruning coverage
-    val restatCols = dirty.flatMap(e => e.statMin.keys ++ e.strMin.keys ++
-      e.nullCnt.keys).distinct.sorted
-    val restats = statsBySrc(spark, staging, srcCol, restatCols)
-    val out = dirty.flatMap { e =>
-      // a fully-deleted dir has no staged output and drops out of the
-      // new manifest, like merge's fully-replaced dirs
-      staged.get(e.dir).map { sp =>
-        val newDir = attemptDirName(v)
-        val target = s"$path/data/$newDir"
-        require(fs.rename(sp, new org.apache.hadoop.fs.Path(target)),
-          s"ManifestTable.rewriteDeletes: could not promote $sp")
-        val ((mins, maxes, sMins, sMaxes, nulls), nRows) =
-          restats.getOrElse(e.dir, (NoStats, 0L))
-        val (blooms, strBlooms) = bloomsOf(spark, target,
-          (e.bloom.keySet ++ e.strBloom.keySet).toSeq.sorted)
-        val fl = listDataFilesOf(fs, target)
-        Entry(newDir, e.tag, mins, maxes, Seq(e.dir), sMins, sMaxes,
-          blooms, files = Some(fl),
-          strBloom = strBlooms,
-          // the grouped restat's count is exact (it read the staged
-          // files promotion renamed); a failed restat records no
-          // stats and NO row count — conservative, never wrong
-          rows = if (restats.contains(e.dir)) Some(nRows)
-            else rowsOf(spark, target, fl),
-          nullCnt = nulls)
-      }
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    val out = stagedRewrite(spark, path, v, schema, dirty,
+      "rewriteDeletes", identity)
     // a materialization has no row-level effect on LOGICAL content:
     // any concurrent addition rebases safely
     val committed = commitRewrite(spark, path, "rewriteDeletes", prev,
@@ -2191,78 +2196,20 @@ object ManifestTable {
     // shuffle join, correct at any size
     val probe =
       if (nKeys <= maxBroadcastKeys) broadcast(keys) else keys
-    // ONE job rewrites every touched dir: union the touched dirs
-    // tagged with their source index, anti-join the key set once,
-    // range-repartition on (src, key) so each staged dir gets its
-    // share of output files, stage with partitionBy, then promote each
-    // staged dir by rename (the [[cluster]] promotion pattern). The
-    // old per-dir loop paid one full job latency PER touched dir,
-    // serialized in the driver — a merge straddling k dirs cost k
-    // job round-trips for the same bytes.
-    val rewritten: Seq[Entry] = if (touch.isEmpty) Seq.empty else {
-      val srcCol = "_graft_src" // reserved staging column, like _graft_bucket
-      // a real table column by that name would be OVERWRITTEN by the
-      // tag and then STRIPPED by partitionBy — silent data loss in
-      // every rewritten dir; refuse up front
-      require(!schema.fieldNames.contains(srcCol),
-        s"ManifestTable.merge: column name '$srcCol' is reserved for " +
-          "rewrite staging — rename the column")
-      val tagged = touch.zipWithIndex.map { case (e, i) =>
-        // each touched dir's own pending deletion vectors apply
-        // BEFORE the union: the rewrite materializes them (the new
-        // entry is re-statted exact and carries no dv)
-        applyDeletes(spark, path,
-          spark.read.schema(schema).parquet(s"$path/data/${e.dir}"),
-          e.dv)
-          .withColumn(srcCol, lit(i))
-      }.reduce(_ unionByName _)
-      // output parallelism ≈ the touched dirs' current file count, so
-      // a rewrite preserves the table's file-size discipline instead
-      // of collapsing each dir to one task's output
-      val nOut = math.max(touch.map(_.files.map(_.size).getOrElse(1)).sum, 1)
-      val staging = s"$path/data/.merge-${attemptDirName(v)}"
-      spark.sparkContext.setJobDescription("graft-merge-rewrite")
-      try {
-        tagged.join(probe, Seq(keyCol), "left_anti")
-          .repartitionByRange(nOut, col(srcCol), col(keyCol))
-          .write.partitionBy(srcCol).mode("overwrite").parquet(staging)
-      } finally spark.sparkContext.setJobDescription(null)
-      val staged = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
-        .filter(_.getPath.getName.startsWith(s"$srcCol="))
-        .map(st => st.getPath.getName.drop(srcCol.length + 1) ->
-          st.getPath).toMap
-      // ONE grouped job restats every staged dir (see statsBySrc) —
-      // the per-dir statsOf loop this replaces paid one
-      // driver-serialized job per touched dir
-      val restatCols = (touch.flatMap(e =>
-        e.statMin.keys ++ e.strMin.keys ++ e.nullCnt.keys) :+ keyCol)
-        .distinct.sorted
-      val restats = statsBySrc(spark, staging, srcCol, restatCols)
-      val out = touch.zipWithIndex.flatMap { case (e, i) =>
-        // partitionBy creates a staged dir only for srcs with
-        // surviving rows — a fully-replaced dir simply has no staged
-        // output and drops out of the new manifest
-        staged.get(i.toString).map { sp =>
-          val newDir = attemptDirName(v)
-          val target = s"$path/data/$newDir"
-          require(fs.rename(sp,
-            new org.apache.hadoop.fs.Path(target)),
-            s"ManifestTable.merge: could not promote $sp")
-          val ((mins, maxes, sMins, sMaxes, nulls), nRows) =
-            restats.getOrElse(i.toString, (NoStats, 0L))
-          val (blooms, strBlooms) = bloomsOf(spark, target,
-            (e.bloom.keySet ++ e.strBloom.keySet).toSeq.sorted)
-          val fl = listDataFilesOf(fs, target)
-          Entry(newDir, e.tag, mins, maxes, Seq(e.dir), sMins, sMaxes,
-            blooms, files = Some(fl), strBloom = strBlooms,
-            rows = if (restats.contains(i.toString)) Some(nRows)
-              else rowsOf(spark, target, fl),
-            nullCnt = nulls)
-        }
-      }
-      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-      out
-    }
+    // ONE staged job rewrites every touched dir (shared engine with
+    // deleteRange/rewriteDeletes — see [[stagedRewrite]]): group
+    // scans with pending dvs applied, the key set anti-joined once,
+    // rows tagged with their source dir, partitionBy staging, one
+    // grouped restat, rename promotion. The old per-dir loop paid
+    // one full job latency PER touched dir, serialized in the driver
+    // — a merge straddling k dirs cost k job round-trips for the
+    // same bytes. No repartition: input splits flow straight to
+    // per-source staged outputs, preserving each dir's existing file
+    // structure and row order (any prior clustering survives) with
+    // zero shuffle.
+    val rewritten: Seq[Entry] = stagedRewrite(spark, path, v, schema,
+      touch, "merge", _.join(probe, Seq(keyCol), "left_anti"),
+      extraRestatCols = Seq(keyCol))
     val inserted = writeDirEntry(spark, batch, path, v, -1L,
       (statsCols :+ keyCol).distinct, bloomCols)
     val committed = commitRewrite(spark, path, "merge", prev, entries,

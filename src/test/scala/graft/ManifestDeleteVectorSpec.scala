@@ -58,6 +58,11 @@ class ManifestDeleteVectorSpec extends AnyFunSuite {
     assert(logical(path) == (0L until 100L).toSet -- Set(5L, 9L))
     assert(ManifestTable.commitInfoOf(spark, path, v)
       .exists(_._1 == "deleteKeys"))
+    // DESCRIBE HISTORY surfaces the pending-tombstone count — the
+    // signal an operator's rewriteDeletes cadence keys on
+    val hist = ManifestTable.history(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("num_pending_dv")).toMap
+    assert(hist(4L) == 0L && hist(5L) == 1L)
   }
 
   test("per-dir scoping: a key re-inserted after its delete survives") {
