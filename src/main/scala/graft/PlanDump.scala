@@ -100,7 +100,9 @@ object PlanDump {
     "q142_manifest_deletion_vectors" ->
       "Merge-on-read deletion vectors: the scattered-key delete wrote ONE tombstone (zero data dirs rewritten, builder-asserted), and the SQL read was rewritten at resolution time (graft.plans.ManifestApplyDeletes) into per-tombstone-group manifest scans BroadcastHashJoin-LeftAnti'd against the broadcast tombstone key set, unioned with the clean dirs' plain scan (the post-delete re-insert commit — per-dir scoping keeps it alive). Filters still push into every sub-relation's ManifestFileIndex; the delete's read tax is exactly the one anti-join visible here.",
     "q143_manifest_restore" ->
-      "RESTORE (rollback) read back: a plain aggregate whose FileScan paths are the restored snapshot's ORIGINAL dirs plus the post-rollback append — the corrupting overwrite's dir is absent by construction (the rollback manifest simply references the good version's immutable dirs; zero data movement, builder-asserted). The oracle recomputes the expected table from scratch; one leaked bad row would hash-mismatch.")
+      "RESTORE (rollback) read back: a plain aggregate whose FileScan paths are the restored snapshot's ORIGINAL dirs plus the post-rollback append — the corrupting overwrite's dir is absent by construction (the rollback manifest simply references the good version's immutable dirs; zero data movement, builder-asserted). The oracle recomputes the expected table from scratch; one leaked bad row would hash-mismatch.",
+    "q144_filtered_knn" ->
+      "Metadata-filtered vector search: the lang predicate prunes the corpus BEFORE any distance math — a BroadcastHashJoin LeftSemi against the filtered doc-id set sits directly on the embeddings scan, so dot products (the O(N·d) cost) run only on survivors; probes broadcast as in q20, and per-query top-k is the partial+final WindowGroupLimit, full ranks never materializing. Pre-filter beats post-filter twice at 100 TB: selectivity multiplies the whole scan, and k never under-fills.")
 
   /** Captured with broadcast joins disabled: at 100 TB neither side
     * broadcasts, and the co-location evidence (zero exchange under the

@@ -459,6 +459,55 @@ object VectorQueries {
           m = Q110_M, topK = 10, nProbe = 6, shortlist = 100),
         corpus, queries, 10)
     },
+
+    // ---- metadata-FILTERED vector search: top-k cosine among only
+    //      the corpus vectors whose joined document metadata passes a
+    //      predicate (lang = 'en') — the production retrieval shape
+    //      every vector store grew a `filter=` parameter for
+    //      (Pinecone metadata filters; the reference's chatbots would
+    //      need it the day they scope retrieval to a product). The
+    //      plan applies the filter BEFORE any distance math: a
+    //      broadcast semi-join prunes the corpus scan, so the
+    //      O(N·d) dot-product work runs only on survivors — at 100 TB
+    //      the selectivity of the filter is a multiplier on the whole
+    //      scan, which is why pre-filtering beats post-filtering
+    //      top-k (post-filter also under-fills k when the filter is
+    //      selective; pre-filter never does). ----
+    GraftQuery("q144_filtered_knn",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+         |            FROM embeddings WHERE vec_id < $NQ),
+         |c AS (SELECT e.vec_id, e.embedding
+         |      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+         |      WHERE d.lang = 'en'),
+         |s AS (SELECT q.query_id, c.vec_id,
+         |        ${cosSql("q.q_emb", "c.embedding")} AS sim
+         |      FROM c CROSS JOIN q),
+         |r AS (SELECT query_id, vec_id, sim,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY sim DESC, vec_id) AS rk
+         |      FROM s)
+         |SELECT query_id, CAST(rk AS INTEGER) AS rk, vec_id,
+         |  round(sim, 6) AS sim
+         |FROM r WHERE rk <= $K
+         |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      val keep = Tables.documents(s, d)
+        .filter(col("lang") === "en").select(col("doc_id"))
+      Tables.embeddings(s, d)
+        .join(broadcast(keep), col("vec_id") === col("doc_id"),
+          "left_semi")
+        .withColumn("nrm", l2Norm(col("embedding")))
+        .crossJoin(broadcast(probes(s, d)))
+        .select(col("query_id"), col("vec_id"),
+          stagedCosine(col("q_emb"), col("embedding"), col("q_nrm"),
+            col("nrm")).as("sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K)
+        .select(col("query_id"), col("rk"), col("vec_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy("query_id", "rk")
+    },
   )
 
   // q110 persisted-index knobs + dataset-keyed path, shared with the
