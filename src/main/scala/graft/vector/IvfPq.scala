@@ -273,10 +273,21 @@ object IvfPq {
   /** Probe: top-k exact-re-ranked neighbors per (query_id, q_emb)
     * query, reading only each query's nProbe nearest buckets and
     * ADC-scoring only those rows. Output: (query_id, rk, vec_id,
-    * dist) — squared L2, exact for every returned row. */
+    * dist) — squared L2, exact for every returned row.
+    *
+    * `allowed` is the FILTERED-search hook (the `filter=` every
+    * production vector store grew): a one-column `vec_id` frame of
+    * eligible ids, applied as a broadcast semi-join on the CODES scan
+    * — before the ADC shortlist, so the shortlist fills entirely with
+    * eligible candidates and top-k never under-fills the way
+    * post-filtering a fixed shortlist does (with a selective filter,
+    * post-filter can return < k rows while eligible neighbors sit
+    * just past the shortlist cut). Sized for selective filters: the
+    * id set broadcasts; a barely-selective filter costs more as a
+    * broadcast than it prunes — apply it to the OUTPUT instead. */
   def probe(spark: SparkSession, path: String, cents: DataFrame,
       queries: DataFrame, m: Int, topK: Int, nProbe: Int,
-      shortlist: Int): DataFrame = {
+      shortlist: Int, allowed: Option[DataFrame] = None): DataFrame = {
     val cb = spark.read.parquet(codebooksPath(path))
     // stage 1 — coarse: nProbe nearest centroids per query by squared
     // L2, matching the build-side bucket assignment metric
@@ -305,8 +316,15 @@ object IvfPq {
     val dt = PQ.distanceTables(queries, cb, m)
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc"), col("vec_id"))
-    val shortlisted = prunedIndex
+    val candidates = prunedIndex
       .select(col("bucket"), col("vec_id"), col("codes"))
+    // the filter cuts candidates BEFORE ADC scoring: distance math
+    // runs only on eligible rows, and everything downstream
+    // (shortlist, re-rank) inherits eligibility by construction
+    val eligible = allowed.fold(candidates)(a =>
+      candidates.join(broadcast(a.select(col("vec_id"))),
+        Seq("vec_id"), "left_semi"))
+    val shortlisted = eligible
       .join(broadcast(probeBuckets.select(col("query_id"), col("bucket"))),
         "bucket")
       .join(broadcast(dt), "query_id")

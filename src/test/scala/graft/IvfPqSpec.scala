@@ -103,6 +103,51 @@ class IvfPqSpec extends AnyFunSuite {
       "nProbe=all + shortlist=corpus must equal exact search")
   }
 
+  test("filtered probe: allowed set cuts candidates pre-ADC, never under-fills") {
+    val tmp = Files.createTempDirectory("graft-ivfpq-filt").toString
+    val cents = VectorIndex.centroids(corpus, 4).cache()
+    IvfPq.build(corpus, cents, m = M, k = 16, s"$tmp/index")
+    val n = corpus.count().toInt
+    val allowed = corpus.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"))
+    // widened to the limit, the FILTERED probe must equal exact
+    // search over the FILTERED corpus — the strongest form of "the
+    // filter composes with the index, not with the output"
+    val got = IvfPq.probe(spark, s"$tmp/index", cents, queries,
+      m = M, topK = 10, nProbe = 4, shortlist = n,
+      allowed = Some(allowed))
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSeq)
+      .toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
+    val truth = corpus.filter(col("vec_id") % 2 === 0)
+      .crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(zip_with(col("embedding"), col("q_emb"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v)
+          .as("dist"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSeq)
+      .toMap
+    assert(got == truth,
+      "filtered probe at the limit must equal filtered exact search")
+    // every returned id passes the filter, and k is FILLED (the
+    // under-fill post-filtering a fixed shortlist would risk)
+    assert(got.values.forall(ids => ids.size == 10 &&
+      ids.forall(_ % 2 == 0)))
+    // a SELECTIVE filter at tight shortlist still fills k from
+    // eligible rows only — the pre-ADC cut is what guarantees it
+    val tight = IvfPq.probe(spark, s"$tmp/index", cents, queries,
+      m = M, topK = 5, nProbe = 4, shortlist = 8,
+      allowed = Some(allowed))
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSeq)
+    assert(tight.values.forall(ids => ids.size == 5 &&
+      ids.forall(_ % 2 == 0)))
+  }
+
   test("codebooks persist next to the index and rebuild bit-identical") {
     val tmp = Files.createTempDirectory("graft-ivfpq-det").toString
     val cents = VectorIndex.centroids(corpus, 4).cache()
