@@ -63,6 +63,13 @@ class ManifestDeleteVectorSpec extends AnyFunSuite {
     val hist = ManifestTable.history(spark, path).collect()
       .map(r => r.getLong(0) -> r.getAs[Long]("num_pending_dv")).toMap
     assert(hist(4L) == 0L && hist(5L) == 1L)
+    // time travel respects the dv boundary: the PRE-delete snapshot
+    // still shows the rows (its entries carry no dv), both surfaces
+    assert(ManifestTable.readVersion(spark, path, 4L)
+      .filter(col("id").isin(5L, 9L)).count() == 2)
+    assert(spark.read.format("graft-manifest")
+      .option("versionAsOf", "4").load(path)
+      .filter(col("id").isin(5L, 9L)).count() == 2)
   }
 
   test("per-dir scoping: a key re-inserted after its delete survives") {
