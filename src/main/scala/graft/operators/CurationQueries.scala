@@ -502,6 +502,77 @@ object CurationQueries {
           round(col("quality"), 6).as("quality"), col("n_tokens"))
         .orderBy("doc_id")
     },
+
+    // ---- Gopher-style repetition gate (Rae et al. 2021 §A1.1): flag
+    //      documents whose text is internally repetitive — (a) the
+    //      single most frequent word bigram covers too much of the
+    //      doc, (b) too many bigram occurrences are repeats of an
+    //      earlier one, (c) the type-token ratio is too low (tiny
+    //      effective vocabulary). All three thresholds are evaluated
+    //      in INTEGER cross-multiplied form (maxc*20 > tot is
+    //      "top-bigram fraction > 1/20") — zero float comparisons, so
+    //      the gate is bit-identical cross-engine. Per-lang integer
+    //      roll-up. Scale shape: bigram counting shuffles on
+    //      (doc_id, bigram) then doc_id — both high-cardinality keys
+    //      that partition uniformly; the diversity signal (c) is pure
+    //      scan-side array math, no shuffle at all. ----
+    GraftQuery("q145_repetition_gate",
+      """WITH toks AS (SELECT doc_id, lang,
+        |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |big AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+        |        FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)),
+        |bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY 1, 2),
+        |per AS (SELECT doc_id, MAX(c) AS maxc, SUM(c) AS tot,
+        |          COUNT(*) AS d FROM bc GROUP BY doc_id),
+        |m AS (SELECT k.doc_id, k.lang, len(k.t) AS n,
+        |        len(list_distinct(k.t)) AS nd, p.maxc, p.tot, p.d
+        |      FROM toks k LEFT JOIN per p ON k.doc_id = p.doc_id)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN tot IS NOT NULL AND maxc * 20 > tot
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS top2_flagged,
+        |  CAST(SUM(CASE WHEN tot IS NOT NULL AND (tot - d) * 25 > tot
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS dupbg_flagged,
+        |  CAST(SUM(CASE WHEN nd * 5 < n * 2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS lowdiv_flagged,
+        |  CAST(SUM(CASE WHEN NOT (tot IS NOT NULL AND maxc * 20 > tot)
+        |    AND NOT (tot IS NOT NULL AND (tot - d) * 25 > tot)
+        |    AND NOT (nd * 5 < n * 2) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS kept
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val toks = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), col("lang"),
+          split(trim(col("text")), "\\s+").as("t"))
+      // bigrams as zip_with over two offset slices: size-1 pairs, no
+      // posexplode fan-out before the count shuffle needs one
+      val m1 = greatest(size(col("t")) - 1, lit(0))
+      val big = toks.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("t"), lit(1), m1), slice(col("t"), lit(2), m1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+      val per = big.groupBy(col("doc_id"), col("bg"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("maxc"), sum(col("c")).as("tot"),
+          count(lit(1)).as("d"))
+      val flagged = toks
+        .select(col("doc_id"), col("lang"), size(col("t")).as("n"),
+          size(array_distinct(col("t"))).as("nd"))
+        .join(per, Seq("doc_id"), "left")
+      val top2 = col("tot").isNotNull && col("maxc") * 20 > col("tot")
+      val dupbg = col("tot").isNotNull &&
+        (col("tot") - col("d")) * 25 > col("tot")
+      val lowdiv = col("nd") * 5 < col("n") * 2
+      flagged.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(top2, 1).otherwise(0)).cast("long").as("top2_flagged"),
+          sum(when(dupbg, 1).otherwise(0)).cast("long")
+            .as("dupbg_flagged"),
+          sum(when(lowdiv, 1).otherwise(0)).cast("long")
+            .as("lowdiv_flagged"),
+          sum(when(!top2 && !dupbg && !lowdiv, 1).otherwise(0))
+            .cast("long").as("kept"))
+        .orderBy("lang")
+    },
   )
 
   /** DuckDB oracle for the composed curateFull chain: the q40
