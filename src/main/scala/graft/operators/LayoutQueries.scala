@@ -211,6 +211,102 @@ object LayoutQueries {
     path
   }
 
+  /** Events as a HIDDEN-PARTITIONED manifest table — `days(ts)`
+    * transform, three id-ranged commits (the natural arrival shape:
+    * each commit holds many days), so the partitioned append routes
+    * every (commit, day) to its own partition-pure dir whose entry
+    * records the derived day in the manifest. */
+  def ensurePartitionedEvents(s: SparkSession, d: String): String = {
+    val path = s"${layoutRoot(d)}/events_part_days"
+    val ev = Tables.events(s, d)
+    val n = ev.count()
+    val expect = s"layout=$LayoutVersion manifest=days-part rows=$n"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val q = math.max(n / 3, 1)
+      (0 until 3).foreach { i =>
+        val loOk = if (i == 0) lit(true) else col("event_id") >= i * q
+        val hiOk = if (i == 2) lit(true) else col("event_id") < (i + 1) * q
+        graft.sinks.ManifestTable.append(s, ev.filter(loOk && hiOk),
+          path, statsCols = Seq("event_id"),
+          partitionSpec =
+            Seq(graft.sinks.PartitionTransform.PDays("ts")))
+      }
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
+  /** Documents as a lang-identity-partitioned manifest table with the
+    * 'de' partition DROPPED metadata-only — the ALTER TABLE ... DROP
+    * PARTITION retention shape: the drop commits a new manifest
+    * without the matching entries, zero rows moved (the dropped dirs
+    * physically remain for older snapshots until vacuum). */
+  def ensureDroppedLangDocs(s: SparkSession, d: String): String = {
+    val path = s"${layoutRoot(d)}/docs_part_dropped"
+    val docs = Tables.documents(s, d)
+    val n = docs.count()
+    val expect = s"layout=$LayoutVersion manifest=lang-part-drop rows=$n"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val q = math.max(n / 2, 1)
+      Seq(col("doc_id") < q, col("doc_id") >= q).foreach { f =>
+        graft.sinks.ManifestTable.append(s, docs.filter(f), path,
+          statsCols = Seq("doc_id"),
+          partitionSpec =
+            Seq(graft.sinks.PartitionTransform.PIdentity("lang")))
+      }
+      val (_, dropped) = graft.sinks.ManifestTable.dropPartitions(s,
+        path, Map("lang" -> "de"))
+      require(dropped == 2, // one 'de' dir per commit
+        s"ensureDroppedLangDocs: expected to drop 2 dirs, got $dropped")
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
+  /** Documents built through the WRITE-AUDIT-PUBLISH gate: even ids
+    * appended directly; odd ids staged twice — a poisoned candidate
+    * (lang nulled) the audit catches and abandons, then a clean one
+    * that publishes. The final table must equal the plain source:
+    * the rejected candidate left no trace, the published one landed
+    * whole. */
+  def ensureWapDocs(s: SparkSession, d: String): String = {
+    val path = s"${layoutRoot(d)}/docs_wap"
+    val docs = Tables.documents(s, d)
+    val n = docs.count()
+    val expect = s"layout=$LayoutVersion manifest=wap rows=$n"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val M = graft.sinks.ManifestTable
+      M.append(s, docs.filter(col("doc_id") % 2 === 0), path,
+        statsCols = Seq("doc_id"))
+      val rest = docs.filter(col("doc_id") % 2 =!= 0)
+      // candidate 1: poisoned — the audit read rejects it
+      M.stageAppend(s, rest.withColumn("lang",
+        lit(null).cast("string")), path, "suspect",
+        statsCols = Seq("doc_id"))
+      val nNull = M.readStaged(s, path, "suspect")
+        .filter(col("lang").isNull).count()
+      require(nNull > 0, "ensureWapDocs: audit expected null langs")
+      M.abandonStaged(s, path, "suspect")
+      // candidate 2: clean — the audit passes, publish commits it
+      M.stageAppend(s, rest, path, "clean", statsCols = Seq("doc_id"))
+      require(M.readStaged(s, path, "clean")
+        .filter(col("lang").isNull).count() == 0,
+        "ensureWapDocs: clean candidate failed its audit")
+      M.publish(s, path, "clean")
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
   /** Documents as a manifest table clustered BY LANGUAGE — one commit
     * per lang, each recording string bounds on `lang` (plus long
     * bounds on `doc_id`): the categorical-pruning layout a
@@ -1459,6 +1555,83 @@ object LayoutQueries {
           |FROM documents_manifest_restored
           |GROUP BY lang
           |ORDER BY lang""".stripMargin)
+    },
+
+    // ---- HIDDEN PARTITIONING, read side: events land in a
+    //      days(ts)-partitioned manifest table (the user's schema
+    //      never grows a day column — the transform derives it at
+    //      write time, the manifest records it per dir), and the
+    //      earliest day's slice is resolved from MANIFEST METADATA
+    //      alone: the target day comes from the entries' recorded
+    //      partition values and readPartitions plans exactly the
+    //      matching pure dirs — at 30 days x 3 commits, 3 of 90 dirs,
+    //      zero data files opened elsewhere. The oracle recomputes
+    //      the same day slice from the plain events table. ----
+    GraftQuery("q146_manifest_partition_pruned_read",
+      s"""WITH days AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+         |    event_type, value FROM events)
+         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${decSumSql("value", 2)} AS sum_value
+         |FROM days WHERE day = (SELECT MIN(day) FROM days)
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val path = ensurePartitionedEvents(s, d)
+      val v = graft.sinks.ManifestTable.latestVersion(s, path).get
+      // metadata-sized: the day list is the entries' partition values
+      val day = graft.sinks.ManifestTable.entriesOf(s, path, v)
+        .flatMap(_.partition.get("ts_day")).min
+      graft.sinks.ManifestTable.readPartitions(s, path,
+          Map("ts_day" -> day))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          decSum(col("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    },
+
+    // ---- METADATA-ONLY partition drop (ALTER TABLE ... DROP
+    //      PARTITION): a lang-partitioned documents table had its
+    //      'de' partition dropped by committing a manifest WITHOUT
+    //      those entries — zero rows read or written at drop time,
+    //      whatever the partition's size; vacuum reaps the dirs
+    //      later. The oracle recomputes the post-drop content from
+    //      the plain table. ----
+    GraftQuery("q147_manifest_drop_partitions",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE lang <> 'de'
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (s, d) =>
+      val path = ensureDroppedLangDocs(s, d)
+      s.read.format("graft-manifest").load(path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("chars"))
+        .orderBy("lang")
+    },
+
+    // ---- WRITE-AUDIT-PUBLISH: the documents table was built through
+    //      the WAP gate — half appended directly, the other half
+    //      staged TWICE: a poisoned candidate (lang nulled) that the
+    //      audit read caught and abandoned without a trace, then a
+    //      clean candidate that passed and was published as one
+    //      atomic, zero-data-movement commit. The oracle recomputes
+    //      the whole table from the plain source: base + published
+    //      candidate and NOTHING of the rejected one — exactness of
+    //      the gate, not just of the happy path. ----
+    GraftQuery("q148_manifest_wap_publish",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  CAST(MAX(doc_id) AS BIGINT) AS max_id
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (s, d) =>
+      val path = ensureWapDocs(s, d)
+      s.read.format("graft-manifest").load(path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("chars"),
+          max(col("doc_id")).cast("long").as("max_id"))
+        .orderBy("lang")
     },
   )
 }

@@ -120,7 +120,18 @@ object ManifestTable {
     * recorded `rows`/`nullCnt`/bounds describe the PHYSICAL file
     * content — still valid one-sided for pruning (deletes only
     * shrink), but no longer exact, so metadata-only aggregates stand
-    * down ([[graft.plans.ManifestMetadataAggs]] gates on it). */
+    * down ([[graft.plans.ManifestMetadataAggs]] gates on it).
+    *
+    * `partition` maps each partition FIELD of the table's
+    * [[PartitionTransform]] spec to this dir's single derived value
+    * (nulls as [[PartitionTransform.NullValue]]) — present only when
+    * the dir is PARTITION-PURE (every row derives the same value per
+    * field, true by construction for partitioned appends and for
+    * row-subset rewrites of pure dirs). An empty map on a dir with
+    * data means "partition unknown": reads stay exact (they
+    * re-derive and filter), but [[dropPartitions]] refuses until
+    * [[repartitionTable]] restores purity — conservative metadata,
+    * never a guess. */
   final case class Entry(dir: String, tag: Long,
       statMin: Map[String, Long], statMax: Map[String, Long],
       sources: Seq[String],
@@ -131,7 +142,8 @@ object ManifestTable {
       strBloom: Map[String, Array[Byte]] = Map.empty,
       rows: Option[Long] = None,
       nullCnt: Map[String, Long] = Map.empty,
-      dv: Map[String, String] = Map.empty) {
+      dv: Map[String, String] = Map.empty,
+      partition: Map[String, String] = Map.empty) {
     /** Whether the dir holds any data files — answered from the
       * manifest's recorded file list when present (zero filesystem
       * calls: `Some(empty)` is a file-less empty-batch dir,
@@ -215,9 +227,15 @@ object ManifestTable {
   }
 
   private[graft] def entriesOf(spark: SparkSession, path: String,
-      v: Long): Seq[Entry] = {
+      v: Long): Seq[Entry] =
+    entriesAt(spark, s"$path/manifest/${vName(v)}")
+
+  /** One manifest parquet's entry list, serialized by
+    * [[writeEntriesParquet]] — shared by committed snapshots
+    * (`manifest/v*`) and WAP staged sets (`staged/<name>`). */
+  private def entriesAt(spark: SparkSession, dir: String): Seq[Entry] = {
     import spark.implicits._
-    val df = spark.read.parquet(s"$path/manifest/${vName(v)}")
+    val df = spark.read.parquet(dir)
     if (df.columns.contains("sources")) {
       // map-stats layout; columns ADDED after a manifest was written
       // (provenance, string stats, file lists) default to empty/None —
@@ -231,19 +249,20 @@ object ManifestTable {
         "strBloom" -> "map<string,binary>",
         "rows" -> "bigint",
         "nullCnt" -> "map<string,bigint>",
-        "dv" -> "map<string,string>")
+        "dv" -> "map<string,string>",
+        "partition" -> "map<string,string>")
       val full = defaults.foldLeft(df) { case (d, (c, tpe)) =>
         if (d.columns.contains(c)) d
         else d.withColumn(c, lit(null).cast(tpe))
       }
       full.select("dir", "tag", "statMin", "statMax", "sources",
           "strMin", "strMax", "bloom", "files", "strBloom", "rows",
-          "nullCnt", "dv")
+          "nullCnt", "dv", "partition")
         .as[(String, Long, Map[String, Long], Map[String, Long],
           Seq[String], Map[String, String], Map[String, String],
           Map[String, Array[Byte]], Map[String, Long],
           Map[String, Array[Byte]], Option[Long], Map[String, Long],
-          Map[String, String])]
+          Map[String, String], Map[String, String])]
         .collect().sortBy(_._1)
         .map(t => Entry(t._1, t._2, Option(t._3).getOrElse(Map.empty),
           Option(t._4).getOrElse(Map.empty),
@@ -257,7 +276,8 @@ object ManifestTable {
           Option(t._10).getOrElse(Map.empty),
           rows = t._11,
           nullCnt = Option(t._12).getOrElse(Map.empty),
-          dv = Option(t._13).getOrElse(Map.empty))).toSeq
+          dv = Option(t._13).getOrElse(Map.empty),
+          partition = Option(t._14).getOrElse(Map.empty))).toSeq
     } else {
       // MIGRATION read for manifests written before the map-stats
       // layout (single optional statCol + long min/max, no
@@ -273,6 +293,22 @@ object ManifestTable {
             stats.map(_._2).getOrElse(Map.empty), Seq.empty)
         }.toSeq
     }
+  }
+
+  /** The one entry-list serialization ([[entriesAt]] is its read) —
+    * a single small parquet, used by every commit and by WAP staged
+    * sets. */
+  private def writeEntriesParquet(spark: SparkSession,
+      entries: Seq[Entry], dest: String): Unit = {
+    import spark.implicits._
+    entries.map(e => (e.dir, e.tag, e.statMin, e.statMax, e.sources,
+        e.strMin, e.strMax, e.bloom, e.files, e.strBloom, e.rows,
+        e.nullCnt, e.dv, e.partition))
+      .toDF("dir", "tag", "statMin", "statMax", "sources",
+        "strMin", "strMax", "bloom", "files", "strBloom", "rows",
+        "nullCnt", "dv", "partition")
+      .repartition(1)
+      .write.mode("overwrite").parquet(dest)
   }
 
   /** The data directories snapshot `v` references (absolute paths). */
@@ -383,6 +419,19 @@ object ManifestTable {
       bloomCols: Seq[String]): String =
     s"stats=${statsCols.distinct.mkString(",")}\n" +
       s"bloom=${bloomCols.distinct.mkString(",")}\n"
+
+  /** The table's partition spec at snapshot `v` — the
+    * [[PartitionTransform]] list persisted as a `_graft_partspec`
+    * sidecar riding the atomic rename, set once at table creation
+    * ([[append]] with `partitionSpec` on a fresh table) and carried
+    * forward by every commit. Empty = an unpartitioned table. */
+  def partitionSpecOf(spark: SparkSession, path: String,
+      v: Long): Seq[PartitionTransform] = {
+    val (fs, _) = fsOf(spark, path)
+    readSideFile(fs, new org.apache.hadoop.fs.Path(
+      s"$path/manifest/${vName(v)}/_graft_partspec"))
+      .map(PartitionTransform.parseSpec).getOrElse(Nil)
+  }
 
   /** The table's CHECK constraints at snapshot `v` — `(name, SQL
     * boolean expression)` pairs persisted as a sidecar riding the
@@ -811,40 +860,56 @@ object ManifestTable {
   private def statsBySrc(spark: SparkSession, staging: String,
       srcCol: String, cols: Seq[String]): Map[String, (Stats, Long)] =
     scala.util.Try {
-      val df = spark.read.parquet(staging)
-      val inDf = cols.filter(df.columns.contains)
-      val isStr = inDf.map(c => c ->
-        (df.schema(c).dataType == org.apache.spark.sql.types.StringType))
-        .toMap
-      val bounded = inDf.filter(c =>
-        isStr(c) || isIntegral(df.schema(c).dataType))
-      val aggs = count(lit(1)) +: (inDf.map(c => count(col(c))) ++
-        bounded.flatMap(c =>
-          if (isStr(c)) Seq(min(col(c)), max(col(c)))
-          else Seq(min(col(c).cast("long")), max(col(c).cast("long")))))
-      df.groupBy(col(srcCol).cast("string").as("__src"))
-        .agg(aggs.head, aggs.tail: _*).collect().map { r =>
-          val total = r.getLong(1)
-          val nulls = inDf.zipWithIndex.map { case (c, i) =>
-            c -> (total - r.getLong(2 + i))
-          }.toMap ++
-            cols.filterNot(df.columns.contains).map(c => c -> total)
-          val base = 2 + inDf.size
-          val stats = bounded.zipWithIndex.foldLeft(
-            (Map.empty[String, Long], Map.empty[String, Long],
-              Map.empty[String, String], Map.empty[String, String],
-              nulls)) {
-            case (acc, (_, i)) if r.isNullAt(base + 2 * i) => acc
-            case ((lm, lx, sm, sx, nc), (c, i)) if isStr(c) =>
-              (lm, lx, sm + (c -> r.getString(base + 2 * i)),
-                sx + (c -> r.getString(base + 2 * i + 1)), nc)
-            case ((lm, lx, sm, sx, nc), (c, i)) =>
-              (lm + (c -> r.getLong(base + 2 * i)),
-                lx + (c -> r.getLong(base + 2 * i + 1)), sm, sx, nc)
-          }
-          r.getString(0) -> (stats, total)
-        }.toMap
+      statsByKeys(spark.read.parquet(staging),
+        Seq(col(srcCol).cast("string")), cols)
+        .map { case (k, v) => k.head -> v }
     }.getOrElse(Map.empty)
+
+  /** The grouped-restat core shared by [[statsBySrc]] (rewrites,
+    * keyed by source dir) and the partitioned write path (keyed by
+    * the derived partition values): ONE Spark job computes every
+    * group's min/max, null counts, and exact row count. Null group
+    * keys surface as [[PartitionTransform.NullValue]] so a key tuple
+    * is always fully-populated strings. */
+  private def statsByKeys(df: DataFrame, keys: Seq[org.apache.spark.sql
+      .Column], cols: Seq[String]): Map[Seq[String], (Stats, Long)] = {
+    val nKeys = keys.size
+    val inDf = cols.filter(df.columns.contains)
+    val isStr = inDf.map(c => c ->
+      (df.schema(c).dataType == org.apache.spark.sql.types.StringType))
+      .toMap
+    val bounded = inDf.filter(c =>
+      isStr(c) || isIntegral(df.schema(c).dataType))
+    val aggs = count(lit(1)) +: (inDf.map(c => count(col(c))) ++
+      bounded.flatMap(c =>
+        if (isStr(c)) Seq(min(col(c)), max(col(c)))
+        else Seq(min(col(c).cast("long")), max(col(c).cast("long")))))
+    val keyed = keys.zipWithIndex.map { case (k, i) =>
+      coalesce(k, lit(PartitionTransform.NullValue)).as(s"__k$i")
+    }
+    df.groupBy(keyed: _*).agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val total = r.getLong(nKeys)
+        val nulls = inDf.zipWithIndex.map { case (c, i) =>
+          c -> (total - r.getLong(nKeys + 1 + i))
+        }.toMap ++
+          cols.filterNot(df.columns.contains).map(c => c -> total)
+        val base = nKeys + 1 + inDf.size
+        val stats = bounded.zipWithIndex.foldLeft(
+          (Map.empty[String, Long], Map.empty[String, Long],
+            Map.empty[String, String], Map.empty[String, String],
+            nulls)) {
+          case (acc, (_, i)) if r.isNullAt(base + 2 * i) => acc
+          case ((lm, lx, sm, sx, nc), (c, i)) if isStr(c) =>
+            (lm, lx, sm + (c -> r.getString(base + 2 * i)),
+              sx + (c -> r.getString(base + 2 * i + 1)), nc)
+          case ((lm, lx, sm, sx, nc), (c, i)) =>
+            (lm + (c -> r.getLong(base + 2 * i)),
+              lx + (c -> r.getLong(base + 2 * i + 1)), sm, sx, nc)
+        }
+        (0 until nKeys).map(r.getString).toSeq -> (stats, total)
+      }.toMap
+  }
 
   /** The ONE staged-rewrite engine behind [[rewriteDeletes]] and
     * [[deleteRange]]: rewrite `targets` (entries with data files)
@@ -913,7 +978,12 @@ object ManifestTable {
           // stats and NO row count — conservative, never wrong
           rows = if (restats.contains(e.dir)) Some(nRows)
             else rowsOf(spark, target, fl),
-          nullCnt = nulls)
+          nullCnt = nulls,
+          // a staged rewrite only REMOVES rows from its source dir
+          // (filter / anti-join), so a partition-pure source stays
+          // pure — the partition metadata carries through and
+          // [[dropPartitions]] keeps working across merges/deletes
+          partition = e.partition)
       }
     }
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
@@ -1029,14 +1099,25 @@ object ManifestTable {
     * data rewrite. N uncoordinated appenders all land within N-1
     * retries (one writer wins every round). The dir name keeps the
     * FIRST attempt's version prefix — cosmetic only; readers resolve
-    * dirs through the manifest, never by name. */
+    * dirs through the manifest, never by name.
+    *
+    * `partitionSpec` (on a FRESH table) creates the table
+    * PARTITIONED by the given [[PartitionTransform]]s: this and every
+    * later append stages one `partitionBy` write and commits one
+    * partition-pure dir per derived value, each entry recording its
+    * partition in the manifest — the layout [[readPartitions]] prunes
+    * and [[dropPartitions]] drops metadata-only. The spec persists as
+    * table metadata; later appends inherit it (passing the same spec
+    * again is an idempotent no-op, a different one fails loudly). */
   def append(spark: SparkSession, df: DataFrame, path: String,
       tag: Long = -1L, statsCols: Seq[String] = Nil,
       evolveSchema: Boolean = false,
       bloomCols: Seq[String] = Nil,
-      retries: Int = 0): Long = {
+      retries: Int = 0,
+      partitionSpec: Seq[PartitionTransform] = Nil): Long = {
     require(retries >= 0, s"append: retries must be >= 0, got $retries")
-    var entry: Option[Entry] = None
+    var written: Option[Seq[Entry]] = None
+    var writtenSpec: Option[String] = None
     var attempt = 0
     var validated = Set.empty[(String, String)]
     while (true) {
@@ -1052,22 +1133,49 @@ object ManifestTable {
           evolveSchema, s"ManifestTable.append($path)")
         case None => df.schema // fresh table (or pre-sidecar manifest)
       }
-      val e = entry.getOrElse {
-        val w = writeDirEntry(spark, df, path, v, tag, statsCols,
-          bloomCols)
-        entry = Some(w)
+      val spec = resolveSpec(spark, path, prev, partitionSpec,
+        s"ManifestTable.append($path)")
+      // a rebase must not publish dirs laid out under a DIFFERENT
+      // spec than the one now governing the table (a racing creator
+      // may have won with another layout while ours staged)
+      if (written.isDefined && writtenSpec.exists(
+          _ != PartitionTransform.renderSpec(spec)))
+        throw new CommitConflictException(
+          s"ManifestTable.append($path): the table's partition spec " +
+            "changed between attempts — this attempt's dirs are " +
+            "orphans vacuum will reap")
+      if (written.isEmpty)
+        writtenSpec = Some(PartitionTransform.renderSpec(spec))
+      val es = written.getOrElse {
+        val w =
+          if (spec.isEmpty)
+            Seq(writeDirEntry(spark, df, path, v, tag, statsCols,
+              bloomCols))
+          else {
+            val pes = writePartitionedEntries(spark, df, path, v, tag,
+              statsCols, bloomCols, spec, provenance = Seq.empty)
+            // an all-empty batch stages no partition dirs, but the
+            // commit must still ride the tag (streaming watermark):
+            // one file-less entry, exactly like the unpartitioned path
+            if (pes.nonEmpty) pes
+            else Seq(writeDirEntry(spark, df.limit(0), path, v, tag,
+              statsCols, bloomCols))
+          }
+        written = Some(w)
         w
       }
       // CHECK constraints, re-read per attempt (a retry may rebase
       // past a concurrent addConstraint) and validated against the
-      // WRITTEN dir — the same written-is-truth rule as statsOf: a
+      // WRITTEN dirs — the same written-is-truth rule as statsOf: a
       // non-deterministic source frame could pass a pre-write check
-      // and still write violating rows. A violation costs one orphan
-      // dir (vacuum reaps it), never a commit.
+      // and still write violating rows. A violation costs orphan
+      // dirs (vacuum reaps them), never a commit.
       val cs = prev.map(constraintsOf(spark, path, _)).getOrElse(Nil)
       val toCheck = cs.filterNot(validated)
-      if (toCheck.nonEmpty && e.files.exists(_.nonEmpty)) {
-        enforceConstraints(spark.read.parquet(s"$path/data/${e.dir}"),
+      val withFiles = es.filter(_.files.exists(_.nonEmpty))
+      if (toCheck.nonEmpty && withFiles.nonEmpty) {
+        enforceConstraints(spark.read.parquet(
+          withFiles.map(e => s"$path/data/${e.dir}"): _*),
           toCheck, s"ManifestTable.append($path)")
         validated ++= toCheck
       }
@@ -1075,10 +1183,12 @@ object ManifestTable {
       val (pStats, pBloom) = prev.map(pruningOf(spark, path, _))
         .getOrElse((Nil, Nil))
       try {
-        commit(spark, path, v, prevEntries :+ e, schema,
+        commit(spark, path, v, prevEntries ++ es, schema,
           math.max(prevTag, tag),
           ((pStats ++ statsCols).distinct,
-            (pBloom ++ bloomCols).distinct), cs, op = "append")
+            (pBloom ++ bloomCols).distinct), cs, op = "append",
+          partSpecBody = if (prev.isEmpty && spec.nonEmpty)
+            Some(PartitionTransform.renderSpec(spec)) else None)
         return v
       } catch {
         case _: CommitConflictException if attempt < retries =>
@@ -1099,11 +1209,12 @@ object ManifestTable {
     * true iff the batch was appended. */
   def appendIfFresh(spark: SparkSession, batch: DataFrame, path: String,
       batchId: Long, statsCols: Seq[String] = Nil, vacuumEvery: Int = 0,
-      keepVersions: Int = 2, bloomCols: Seq[String] = Nil): Boolean = {
+      keepVersions: Int = 2, bloomCols: Seq[String] = Nil,
+      partitionSpec: Seq[PartitionTransform] = Nil): Boolean = {
     val fresh = batchId > latestTag(spark, path)
     if (fresh) {
       append(spark, batch, path, tag = batchId, statsCols = statsCols,
-        bloomCols = bloomCols)
+        bloomCols = bloomCols, partitionSpec = partitionSpec)
       if (vacuumEvery > 0 && batchId > 0 && batchId % vacuumEvery == 0) {
         // the cadence report a streaming operator alarms on: a
         // steadily climbing reap count means loser attempt dirs are
@@ -1141,6 +1252,123 @@ object ManifestTable {
       rows = rowsOf(spark, dataDir, fl), nullCnt = nulls)
   }
 
+  /** Partitioned twin of [[writeDirEntry]]: derive the spec's
+    * partition values as reserved staging columns, stage ONE
+    * `partitionBy` write (the derived columns are stripped from the
+    * data files by partitionBy itself — hidden partitioning: the
+    * user's schema never grows), restat the whole staged tree in ONE
+    * grouped job ([[statsByKeys]]), then promote each leaf partition
+    * dir to a first-class attempt-unique data dir whose entry
+    * records its partition values. Returns one PARTITION-PURE entry
+    * per non-empty partition of `df` (an empty `df` returns no
+    * entries — the caller adds a watermark-only entry if the commit
+    * must still ride a tag). `provenance` is empty for appends and
+    * the rewritten dirs for [[repartitionTable]]. */
+  private def writePartitionedEntries(spark: SparkSession,
+      df: DataFrame, path: String, v: Long, tag: Long,
+      statsCols: Seq[String], bloomCols: Seq[String],
+      spec: Seq[PartitionTransform],
+      provenance: Seq[String]): Seq[Entry] = {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val (fs, _) = fsOf(spark, path)
+    val ptCols = spec.indices.map(i => s"_graft_pt_$i")
+    ptCols.foreach(rc => require(!df.columns.contains(rc),
+      s"ManifestTable: column name '$rc' is reserved for partition " +
+        "staging — rename the column"))
+    spec.foreach(t => require(df.columns.contains(t.src),
+      s"ManifestTable: partition source column '${t.src}' " +
+        s"(${t.render}) is missing from the batch — partitioned " +
+        "writes require every partition source column"))
+    val staging = s"$path/data/.part-${attemptDirName(v)}"
+    // repartition on the derived values: each partition's rows land
+    // in one task -> one file per (commit, partition), the layout the
+    // manifest wants (dir count = partition count, not x taskCount).
+    // The staged value is URL-ENCODED so the directory name is pure
+    // ASCII whatever the value holds — Hive's own escaping passes
+    // non-ASCII through raw, which breaks on any filesystem/JVM whose
+    // path charset isn't UTF-8; the manifest records the DECODED
+    // value, so the encoding is invisible to every reader
+    spec.zip(ptCols).foldLeft(df) { case (d, (t, c)) =>
+        d.withColumn(c, url_encode(t.toExpr))
+      }
+      .repartition(ptCols.map(col): _*)
+      .write.partitionBy(ptCols: _*).mode("overwrite").parquet(staging)
+    // grouped restat with an EXPLICIT schema: partition-column type
+    // inference would otherwise re-type a derived value (a "007"
+    // prefix becomes int 7) and the recorded partition value would no
+    // longer equal the transform's derivation — string, always
+    val readSchema = StructType(df.schema.fields ++
+      ptCols.map(c => StructField(c, StringType, nullable = true)))
+    val restats = scala.util.Try {
+      statsByKeys(spark.read.schema(readSchema).parquet(staging),
+        ptCols.map(col), statsCols)
+    }.getOrElse(Map.empty[Seq[String], (Stats, Long)])
+    def leaves(p: org.apache.hadoop.fs.Path,
+        level: Int): Seq[(org.apache.hadoop.fs.Path, List[String])] =
+      if (level == ptCols.size) Seq((p, Nil))
+      else fs.listStatus(p)
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(s"${ptCols(level)}="))
+        .sortBy(_.getPath.getName).toSeq.flatMap { st =>
+          // two decode layers meet here: Hive path escaping (what
+          // partitionBy applied to the DIR NAME) is undone first,
+          // recovering the staged url-encoded value — the restat key
+          val raw = st.getPath.getName.drop(ptCols(level).length + 1)
+          val enc = PartitionTransform.unescapePathValue(raw)
+            .getOrElse(PartitionTransform.NullValue)
+          leaves(st.getPath, level + 1)
+            .map { case (lp, rest) => (lp, enc :: rest) }
+        }
+    def decoded(enc: String): String =
+      if (enc == PartitionTransform.NullValue) enc
+      else java.net.URLDecoder.decode(enc, "UTF-8")
+    val out = leaves(new org.apache.hadoop.fs.Path(staging), 0)
+      .map { case (leaf, encs) =>
+        val dirName = attemptDirName(v)
+        val target = s"$path/data/$dirName"
+        require(fs.rename(leaf,
+          new org.apache.hadoop.fs.Path(target)),
+          s"ManifestTable: could not promote partition dir $leaf")
+        val ((mins, maxes, sMins, sMaxes, nulls), nRows) =
+          restats.getOrElse(encs, (NoStats, 0L))
+        val (blooms, strBlooms) = bloomsOf(spark, target, bloomCols)
+        val fl = listDataFilesOf(fs, target)
+        Entry(dirName, tag, mins, maxes, provenance, sMins, sMaxes,
+          blooms, files = Some(fl), strBloom = strBlooms,
+          rows = if (restats.contains(encs)) Some(nRows)
+            else rowsOf(spark, target, fl),
+          nullCnt = nulls,
+          // ...and the url-encoding is undone second: the manifest
+          // records the transform's RAW derived value
+          partition = spec.map(_.field).zip(encs.map(decoded)).toMap)
+      }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    out
+  }
+
+  /** Resolve the spec a write must route through: a table's persisted
+    * spec always wins; an explicit spec is only CREATIVE on a fresh
+    * table (or one whose spec it exactly matches — idempotent
+    * bootstrap). A mismatch is loud: silently re-partitioning an
+    * existing table would fork its layout. */
+  private def resolveSpec(spark: SparkSession, path: String,
+      prev: Option[Long], requested: Seq[PartitionTransform],
+      ctx: String): Seq[PartitionTransform] = {
+    val table = prev.map(partitionSpecOf(spark, path, _)).getOrElse(Nil)
+    if (requested.isEmpty) table
+    else if (table.isEmpty && prev.isEmpty) requested
+    else {
+      require(PartitionTransform.renderSpec(requested) ==
+        PartitionTransform.renderSpec(table),
+        s"$ctx: partition spec " +
+          requested.map(_.render).mkString("[", ", ", "]") +
+          " does not match the table's " +
+          table.map(_.render).mkString("[", ", ", "]") +
+          " — a table's partition spec is immutable once created")
+      table
+    }
+  }
+
   private def prevTagOf(spark: SparkSession, path: String,
       prev: Option[Long], prevEntries: => Seq[Entry]): Long =
     prev.map(pv => maxTagOf(spark, path, pv).getOrElse(
@@ -1160,18 +1388,34 @@ object ManifestTable {
       bloomCols: Seq[String] = Nil): Long = {
     val prev = latestVersion(spark, path)
     val v = prev.map(_ + 1).getOrElse(1L)
-    val entry = writeDirEntry(spark, df, path, v, tag, statsCols,
-      bloomCols)
+    // an overwrite replaces CONTENT, never identity: the table's
+    // partition spec survives it (like its constraints), so the
+    // replacement content is laid out partition-pure too
+    val spec = resolveSpec(spark, path, prev, Nil,
+      s"ManifestTable.overwrite($path)")
+    val es =
+      if (spec.isEmpty)
+        Seq(writeDirEntry(spark, df, path, v, tag, statsCols,
+          bloomCols))
+      else {
+        val pes = writePartitionedEntries(spark, df, path, v, tag,
+          statsCols, bloomCols, spec, provenance = Seq.empty)
+        if (pes.nonEmpty) pes
+        else Seq(writeDirEntry(spark, df.limit(0), path, v, tag,
+          statsCols, bloomCols))
+      }
     // constraints are TABLE metadata: they survive a content
     // overwrite (like Delta's) and the replacement content must
-    // satisfy them — validated against the written dir, like append
+    // satisfy them — validated against the written dirs, like append
     val cs = prev.map(constraintsOf(spark, path, _)).getOrElse(Nil)
-    if (entry.files.exists(_.nonEmpty))
-      enforceConstraints(spark.read.parquet(s"$path/data/${entry.dir}"),
+    val withFiles = es.filter(_.files.exists(_.nonEmpty))
+    if (withFiles.nonEmpty)
+      enforceConstraints(spark.read.parquet(
+        withFiles.map(e => s"$path/data/${e.dir}"): _*),
         cs, s"ManifestTable.overwrite($path)")
     val prevTag = prevTagOf(spark, path, prev,
       prev.map(pv => entriesOf(spark, path, pv)).getOrElse(Seq.empty))
-    commit(spark, path, v, Seq(entry), df.schema, math.max(prevTag, tag),
+    commit(spark, path, v, es, df.schema, math.max(prevTag, tag),
       (statsCols, bloomCols), cs, op = "overwrite")
     v
   }
@@ -1185,7 +1429,8 @@ object ManifestTable {
       entries: Seq[Entry], schema: StructType, maxTag: Long,
       pruning: (Seq[String], Seq[String]) = (Nil, Nil),
       constraints: Seq[(String, String)] = Nil,
-      op: String = "commit"): Unit = {
+      op: String = "commit",
+      partSpecBody: Option[String] = None): Unit = {
     import spark.implicits._
     val (fs, _) = fsOf(spark, path)
     val mDir = new org.apache.hadoop.fs.Path(s"$path/manifest")
@@ -1209,20 +1454,25 @@ object ManifestTable {
     val tmp = new org.apache.hadoop.fs.Path(
       s"$path/manifest/.tmp-${vName(v)}_" +
         java.util.UUID.randomUUID.toString.take(8))
-    entries.map(e => (e.dir, e.tag, e.statMin, e.statMax, e.sources,
-        e.strMin, e.strMax, e.bloom, e.files, e.strBloom, e.rows,
-        e.nullCnt, e.dv))
-      .toDF("dir", "tag", "statMin", "statMax", "sources",
-        "strMin", "strMax", "bloom", "files", "strBloom", "rows",
-        "nullCnt", "dv")
-      .repartition(1)
-      .write.mode("overwrite").parquet(tmp.toString)
+    writeEntriesParquet(spark, entries, tmp.toString)
     writeSideFile(fs, new org.apache.hadoop.fs.Path(
       tmp, "_graft_schema.json"), schema.json)
     writeSideFile(fs, new org.apache.hadoop.fs.Path(
       tmp, "_graft_maxtag"), maxTag.toString)
     writeSideFile(fs, new org.apache.hadoop.fs.Path(
       tmp, "_graft_pruning"), pruningBody(pruning._1, pruning._2))
+    // the partition spec is immutable table metadata: set once (the
+    // explicit body, on the creating commit), then SELF-CARRIED from
+    // the previous version's sidecar by every later commit — no
+    // caller can forget to thread it, so a maintenance op can never
+    // silently un-partition a table. v-1 is always the un-vacuumed
+    // latest when this commit wins, so the carry read never misses.
+    partSpecBody.orElse(
+      readSideFile(fs, new org.apache.hadoop.fs.Path(
+        s"$path/manifest/${vName(v - 1)}/_graft_partspec")))
+      .filter(_.trim.nonEmpty)
+      .foreach(body => writeSideFile(fs,
+        new org.apache.hadoop.fs.Path(tmp, "_graft_partspec"), body))
     if (constraints.nonEmpty)
       writeSideFile(fs, new org.apache.hadoop.fs.Path(
         tmp, "_graft_constraints"), constraintsBody(constraints))
@@ -1386,6 +1636,11 @@ object ManifestTable {
     val (fs, _) = fsOf(spark, path)
     val prev = latestVersion(spark, path).getOrElse(
       sys.error(s"ManifestTable.compact: no committed version at $path"))
+    // a partitioned table's "good layout" is partition-pure dirs,
+    // not one merged dir (which would erase every entry's partition
+    // metadata and stall dropPartitions) — compaction delegates
+    if (partitionSpecOf(spark, path, prev).nonEmpty)
+      return repartitionTable(spark, path, retries)
     val entries = entriesOf(spark, path, prev)
     val readable = entries.filter(e =>
       e.hasData(fs, s"$path/data/${e.dir}"))
@@ -1467,6 +1722,146 @@ object ManifestTable {
     commitRewrite(spark, path, "compact", prev, entries,
       entries.map(_.dir).toSet, Seq(merged), schema, Nil, Nil, retries,
       _ => true)
+  }
+
+  /** Rewrite the table's current content into PARTITION-PURE dirs —
+    * one per distinct partition value — restoring every entry's
+    * partition metadata (and materializing pending deletion vectors
+    * on the way through, like [[compact]]). This is the maintenance
+    * pass that re-arms [[dropPartitions]] after an operation that
+    * produced partition-blind dirs ([[cluster]]/[[clusterZ]], a
+    * pre-spec migration), and it IS the partitioned table's
+    * compaction: per partition, k small commit dirs fold into one.
+    * Like compact it is a metadata swap — old snapshots keep reading
+    * their original dirs until [[vacuum]] — and it has no row-level
+    * effect, so concurrent appends rebase safely. Returns the
+    * committed version (or the current one when there is nothing to
+    * rewrite). */
+  def repartitionTable(spark: SparkSession, path: String,
+      retries: Int = 0): Long = {
+    val (fs, _) = fsOf(spark, path)
+    val prev = latestVersion(spark, path).getOrElse(sys.error(
+      s"ManifestTable.repartitionTable: no committed version at $path"))
+    val entries = entriesOf(spark, path, prev)
+    val spec = partitionSpecOf(spark, path, prev)
+    require(spec.nonEmpty,
+      s"ManifestTable.repartitionTable: $path has no partition spec " +
+        "— nothing to lay out by")
+    val readable = entries.filter(e =>
+      e.hasData(fs, s"$path/data/${e.dir}"))
+    if (readable.isEmpty) return prev
+    val schema = tableSchema(spark, path, prev, entries)
+    val current = readableFrame(spark, path, schema, readable)
+    val statCols = readable.flatMap(e => e.statMin.keys ++
+      e.strMin.keys ++ e.nullCnt.keys).distinct.sorted
+    val bloomCols = readable.flatMap(e => e.bloom.keys ++
+      e.strBloom.keys).distinct.sorted
+    val tag = readable.map(_.tag).foldLeft(-1L)(math.max)
+    val produced = writePartitionedEntries(spark, current, path,
+      prev + 1, tag, statCols, bloomCols, spec,
+      provenance = readable.map(_.dir))
+    commitRewrite(spark, path, "repartition", prev, entries,
+      entries.map(_.dir).toSet, produced, schema, Nil, Nil, retries,
+      _ => true)
+  }
+
+  /** Latest snapshot restricted to the partitions matching `pred`
+    * (partition field -> derived value; the null partition is
+    * addressed as [[PartitionTransform.NullValue]]) — EXACT at any
+    * metadata state: partition-pure dirs are pruned or taken whole
+    * from the manifest alone, and dirs WITHOUT partition metadata
+    * (produced by cluster, or written before the spec existed) are
+    * read with the transforms re-derived as a row filter, so a
+    * missing annotation costs a scan, never a wrong row set. */
+  def readPartitions(spark: SparkSession, path: String,
+      pred: Map[String, String]): DataFrame = {
+    val v = latestVersion(spark, path).getOrElse(sys.error(
+      s"ManifestTable.readPartitions: no committed version at $path"))
+    val entries = entriesOf(spark, path, v)
+    val spec = partitionSpecOf(spark, path, v)
+    require(spec.nonEmpty,
+      s"ManifestTable.readPartitions: $path has no partition spec")
+    require(pred.nonEmpty, "ManifestTable.readPartitions: empty " +
+      "predicate — use read() for the whole table")
+    val fields = spec.map(_.field)
+    pred.keys.foreach(k => require(fields.contains(k),
+      s"ManifestTable.readPartitions: unknown partition field '$k' " +
+        s"— the table partitions by ${fields.mkString(", ")}"))
+    val (known, blind) = entries.partition(e =>
+      pred.keys.forall(e.partition.contains))
+    val hit = known.filter(e =>
+      pred.forall { case (f, pv) => e.partition(f) == pv })
+    val base = readDirs(spark, path, v, entries, hit)
+    if (blind.isEmpty) base
+    else {
+      val residual = pred.map { case (f, pv) =>
+        val t = spec.find(_.field == f).get
+        if (pv == PartitionTransform.NullValue) t.toExpr.isNull
+        else t.toExpr === lit(pv)
+      }.reduce(_ && _)
+      base.unionByName(
+        readDirs(spark, path, v, entries, blind).filter(residual))
+    }
+  }
+
+  /** METADATA-ONLY partition delete: commit a new manifest WITHOUT
+    * the entries matching `pred` — zero rows read, zero rows
+    * written, whatever the partitions' size. This is the
+    * retention/GDPR-by-partition delete every table format exists
+    * for (`ALTER TABLE ... DROP PARTITION`): dropping a day from a
+    * 100 TB days-partitioned table costs one manifest commit. Old
+    * snapshots still see the rows until [[vacuum]] reaps the
+    * now-unreferenced dirs — deletion is a new version, not an edit.
+    *
+    * Exactness over convenience: every DATA dir must carry the
+    * predicate's partition fields — a partition-blind dir (from
+    * [[cluster]], or pre-spec) CANNOT be proven disjoint from the
+    * predicate by metadata, so the call fails loudly naming the dirs
+    * and the fix ([[repartitionTable]]) instead of guessing or
+    * silently falling back to a data rewrite. `retries > 0` rebases
+    * only when every concurrently-added dir provably does NOT match
+    * the predicate. Returns (new version, dirs dropped); no match is
+    * a no-op at the current version. */
+  def dropPartitions(spark: SparkSession, path: String,
+      pred: Map[String, String], retries: Int = 0): (Long, Int) = {
+    val (fs, _) = fsOf(spark, path)
+    val prev = latestVersion(spark, path).getOrElse(sys.error(
+      s"ManifestTable.dropPartitions: no committed version at $path"))
+    val entries = entriesOf(spark, path, prev)
+    val spec = partitionSpecOf(spark, path, prev)
+    require(spec.nonEmpty,
+      s"ManifestTable.dropPartitions: $path has no partition spec")
+    require(pred.nonEmpty,
+      "ManifestTable.dropPartitions: empty predicate would drop " +
+        "nothing — to clear the table, use overwrite with an empty " +
+        "frame")
+    val fields = spec.map(_.field)
+    pred.keys.foreach(k => require(fields.contains(k),
+      s"ManifestTable.dropPartitions: unknown partition field '$k' " +
+        s"— the table partitions by ${fields.mkString(", ")}"))
+    def covered(e: Entry): Boolean =
+      pred.keys.forall(e.partition.contains)
+    def matches(e: Entry): Boolean =
+      pred.forall { case (f, pv) => e.partition(f) == pv }
+    val dataEntries = entries.filter(e =>
+      e.hasData(fs, s"$path/data/${e.dir}"))
+    val blind = dataEntries.filterNot(covered)
+    require(blind.isEmpty,
+      s"ManifestTable.dropPartitions: dir(s) " +
+        blind.map(_.dir).sorted.mkString(", ") +
+        " carry no partition metadata for " +
+        pred.keys.toSeq.sorted.mkString(", ") +
+        " — metadata cannot prove them disjoint; run " +
+        "repartitionTable first")
+    val drop = dataEntries.filter(matches)
+    if (drop.isEmpty) return (prev, 0)
+    val committed = commitRewrite(spark, path, "dropPartitions", prev,
+      entries, drop.map(_.dir).toSet, Seq.empty,
+      tableSchema(spark, path, prev, entries), Nil, Nil, retries,
+      added => added.forall(e =>
+        !e.hasData(fs, s"$path/data/${e.dir}") ||
+          (covered(e) && !matches(e))))
+    (committed, drop.size)
   }
 
   /** Incremental consumption: rows committed AFTER snapshot
@@ -2210,10 +2605,18 @@ object ManifestTable {
     val rewritten: Seq[Entry] = stagedRewrite(spark, path, v, schema,
       touch, "merge", _.join(probe, Seq(keyCol), "left_anti"),
       extraRestatCols = Seq(keyCol))
-    val inserted = writeDirEntry(spark, batch, path, v, -1L,
-      (statsCols :+ keyCol).distinct, bloomCols)
+    // on a partitioned table the batch lands partition-pure too —
+    // otherwise every merge would erode dropPartitions eligibility
+    // one insert dir at a time
+    val mSpec = partitionSpecOf(spark, path, prev)
+    val inserted: Seq[Entry] =
+      if (mSpec.isEmpty) Seq(writeDirEntry(spark, batch, path, v, -1L,
+        (statsCols :+ keyCol).distinct, bloomCols))
+      else writePartitionedEntries(spark, batch, path, v, -1L,
+        (statsCols :+ keyCol).distinct, bloomCols, mSpec,
+        provenance = Seq.empty)
     val committed = commitRewrite(spark, path, "merge", prev, entries,
-      touch.map(_.dir).toSet, rewritten :+ inserted, schema,
+      touch.map(_.dir).toSet, rewritten ++ inserted, schema,
       (statsCols :+ keyCol).distinct, bloomCols, retries,
       added => added.forall(e => !e.mightOverlap(keyCol, lo, hi) ||
         !e.hasData(fs, s"$path/data/${e.dir}")))
@@ -2227,6 +2630,244 @@ object ManifestTable {
     * Returns (manifests dropped, data dirs deleted). After vacuum,
     * time travel reaches only the kept versions — retention is this
     * ONE explicit knob. */
+  private def refName(name: String): String = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit ||
+      c == '.' || c == '_' || c == '-'),
+      s"ManifestTable: ref name '$name' must be [A-Za-z0-9._-]+ — it " +
+        "becomes a directory entry")
+    name
+  }
+
+  /** Create an immutable named TAG pinning snapshot `version` — the
+    * reproducibility primitive: "training-run-06-12 read exactly this
+    * data" survives any amount of later ingest AND [[vacuum]] (a
+    * tagged snapshot is never dropped; its dirs are never reaped).
+    * Tags are write-once (Iceberg's): re-tagging a name fails loudly
+    * — delete + re-create is an explicit, auditable act. */
+  def createTag(spark: SparkSession, path: String, name: String,
+      version: Long): Unit = {
+    val (fs, _) = fsOf(spark, path)
+    require(versions(spark, path).contains(version),
+      s"ManifestTable.createTag: ${vName(version)} is not a committed " +
+        s"snapshot at $path")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/refs"))
+    val p = new org.apache.hadoop.fs.Path(s"$path/refs/${refName(name)}")
+    // create(overwrite = false) is the atomic claim: a racing
+    // create of the same tag loses loudly instead of moving the pin
+    val out = fs.create(p, false)
+    try out.write(version.toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** All tags at `path` (name -> pinned version). */
+  def tags(spark: SparkSession, path: String): Map[String, Long] = {
+    val (fs, _) = fsOf(spark, path)
+    val d = new org.apache.hadoop.fs.Path(s"$path/refs")
+    if (!fs.exists(d)) Map.empty
+    else fs.listStatus(d).flatMap { st =>
+      readSideFile(fs, st.getPath)
+        .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+        .map(st.getPath.getName -> _)
+    }.toMap
+  }
+
+  /** Time travel by NAME: the snapshot tag `name` pins. */
+  def readTag(spark: SparkSession, path: String,
+      name: String): DataFrame = {
+    val v = tags(spark, path).getOrElse(name, sys.error(
+      s"ManifestTable.readTag: no tag '$name' at $path — existing: " +
+        tags(spark, path).keys.toSeq.sorted.mkString(", ")))
+    readVersion(spark, path, v)
+  }
+
+  /** Remove a tag. The snapshot it pinned becomes reapable by the
+    * next [[vacuum]] like any other old version. */
+  def dropTag(spark: SparkSession, path: String, name: String): Unit = {
+    val (fs, _) = fsOf(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$path/refs/${refName(name)}"), false)
+    ()
+  }
+
+  // ---- Write-audit-publish (WAP): stage an append as an INVISIBLE
+  //      candidate, audit it with real reads, then publish it as an
+  //      atomic commit — or abandon it without a trace. The quality
+  //      gate every production ingest wants (Iceberg's
+  //      stage-and-cherry-pick flow): bad data is caught while it is
+  //      still nobody's problem. ----
+
+  /** Stage `df` as the named WAP candidate: the data dirs are
+    * written (partition-aware, stats/blooms recorded — publish adds
+    * NO data work), but no snapshot references them; every reader of
+    * the table is oblivious. The staged set survives [[vacuum]] (its
+    * dirs count as referenced while the candidate exists) and a
+    * crash mid-stage leaves only an invisible tmp dir. One candidate
+    * per name — re-staging a live name fails loudly. */
+  def stageAppend(spark: SparkSession, df: DataFrame, path: String,
+      name: String, tag: Long = -1L, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Unit = {
+    val (fs, _) = fsOf(spark, path)
+    val prev = latestVersion(spark, path)
+    val v = prev.map(_ + 1).getOrElse(1L) // dir-name prefix, cosmetic
+    // schema/constraint enforcement happens at PUBLISH (against the
+    // then-current table); staging only fixes the layout
+    val spec = resolveSpec(spark, path, prev, Nil,
+      s"ManifestTable.stageAppend($path)")
+    val es =
+      if (spec.isEmpty)
+        Seq(writeDirEntry(spark, df, path, v, tag, statsCols,
+          bloomCols))
+      else {
+        val pes = writePartitionedEntries(spark, df, path, v, tag,
+          statsCols, bloomCols, spec, provenance = Seq.empty)
+        if (pes.nonEmpty) pes
+        else Seq(writeDirEntry(spark, df.limit(0), path, v, tag,
+          statsCols, bloomCols))
+      }
+    val stagedRoot = new org.apache.hadoop.fs.Path(s"$path/staged")
+    fs.mkdirs(stagedRoot)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path/staged/.tmp-${refName(name)}_" +
+        java.util.UUID.randomUUID.toString.take(8))
+    writeEntriesParquet(spark, es, tmp.toString)
+    writeSideFile(fs, new org.apache.hadoop.fs.Path(
+      tmp, "_graft_schema.json"), df.schema.json)
+    writeSideFile(fs, new org.apache.hadoop.fs.Path(
+      tmp, "_graft_pruning"), pruningBody(statsCols, bloomCols))
+    val fin = new org.apache.hadoop.fs.Path(s"$path/staged/$name")
+    if (fs.exists(fin) || !fs.rename(tmp, fin)) {
+      fs.delete(tmp, true)
+      sys.error(s"ManifestTable.stageAppend: candidate '$name' " +
+        s"already exists at $path — publish or abandon it first " +
+        "(this attempt's dirs are orphans vacuum will reap)")
+    }
+  }
+
+  /** The named candidate's rows — what the AUDIT reads. The would-be
+    * post-publish table is `read(path) unionByName readStaged(...)`. */
+  def readStaged(spark: SparkSession, path: String,
+      name: String): DataFrame = {
+    val (fs, _) = fsOf(spark, path)
+    val dir = s"$path/staged/${refName(name)}"
+    require(fs.exists(new org.apache.hadoop.fs.Path(dir)),
+      s"ManifestTable.readStaged: no staged candidate '$name' at $path")
+    val es = entriesAt(spark, dir).filter(e =>
+      e.hasData(fs, s"$path/data/${e.dir}"))
+    val schema = readSideFile(fs, new org.apache.hadoop.fs.Path(
+        dir, "_graft_schema.json"))
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(sys.error(
+        s"ManifestTable.readStaged: candidate '$name' has no schema " +
+          "sidecar — corrupt staging"))
+    if (es.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema)
+      .parquet(es.map(e => s"$path/data/${e.dir}"): _*)
+  }
+
+  /** Names of the live staged candidates at `path`. */
+  def stagedNames(spark: SparkSession, path: String): Seq[String] = {
+    val (fs, _) = fsOf(spark, path)
+    val d = new org.apache.hadoop.fs.Path(s"$path/staged")
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).map(_.getPath.getName)
+      .filterNot(_.startsWith(".")).sorted.toSeq
+  }
+
+  /** PUBLISH the audited candidate as one atomic commit — the
+    * already-written staged dirs become the next snapshot's new
+    * entries; zero data moves. Validation happens HERE, against the
+    * table as it is now (an append staged hours ago publishes into
+    * whatever the table became): schema compatibility, CHECK
+    * constraints over the staged dirs, and the partition-spec guard.
+    * `retries > 0` rebases through concurrent appends exactly like
+    * [[append]] (appends commute). The candidate is consumed on
+    * success. Returns the committed version. */
+  def publish(spark: SparkSession, path: String, name: String,
+      evolveSchema: Boolean = false, retries: Int = 0): Long = {
+    require(retries >= 0, s"publish: retries must be >= 0, got $retries")
+    val (fs, _) = fsOf(spark, path)
+    val dir = s"$path/staged/${refName(name)}"
+    require(fs.exists(new org.apache.hadoop.fs.Path(dir)),
+      s"ManifestTable.publish: no staged candidate '$name' at $path")
+    val es = entriesAt(spark, dir)
+    val stagedSchema = readSideFile(fs, new org.apache.hadoop.fs.Path(
+        dir, "_graft_schema.json"))
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(sys.error(
+        s"ManifestTable.publish: candidate '$name' has no schema " +
+          "sidecar — corrupt staging"))
+    val (sStats, sBlooms) = {
+      val m = readSideFile(fs, new org.apache.hadoop.fs.Path(
+          dir, "_graft_pruning"))
+        .map(_.linesIterator.map(_.split("=", 2)).collect {
+          case Array(k, vs) =>
+            k -> vs.split(",").filter(_.nonEmpty).toSeq
+        }.toMap).getOrElse(Map.empty)
+      (m.getOrElse("stats", Nil), m.getOrElse("bloom", Nil))
+    }
+    var attempt = 0
+    var validated = Set.empty[(String, String)]
+    while (true) {
+      val prev = latestVersion(spark, path)
+      val v = prev.map(_ + 1).getOrElse(1L)
+      val prevEntries = prev.map(pv => entriesOf(spark, path, pv))
+        .getOrElse(Seq.empty)
+      val schema = prev.flatMap(pv => schemaOf(spark, path, pv)) match {
+        case Some(table) => compatibleSchema(stagedSchema, table,
+          evolveSchema, s"ManifestTable.publish($path, $name)")
+        case None => stagedSchema
+      }
+      // a table partitioned AFTER staging (or vice versa) must not
+      // publish a mismatched layout — same loud rule as append's
+      // retry guard
+      val tSpec = prev.map(partitionSpecOf(spark, path, _))
+        .getOrElse(Nil)
+      val pure = es.filter(_.files.exists(_.nonEmpty))
+        .forall(_.partition.nonEmpty)
+      require(tSpec.isEmpty || pure,
+        s"ManifestTable.publish($path, $name): the table is " +
+          "partitioned but the candidate was staged unpartitioned — " +
+          "abandon and re-stage")
+      val cs = prev.map(constraintsOf(spark, path, _)).getOrElse(Nil)
+      val toCheck = cs.filterNot(validated)
+      val withFiles = es.filter(_.files.exists(_.nonEmpty))
+      if (toCheck.nonEmpty && withFiles.nonEmpty) {
+        enforceConstraints(spark.read.parquet(
+          withFiles.map(e => s"$path/data/${e.dir}"): _*),
+          toCheck, s"ManifestTable.publish($path, $name)")
+        validated ++= toCheck
+      }
+      val prevTag = prevTagOf(spark, path, prev, prevEntries)
+      val (pStats, pBloom) = prev.map(pruningOf(spark, path, _))
+        .getOrElse((Nil, Nil))
+      try {
+        commit(spark, path, v, prevEntries ++ es, schema,
+          math.max(prevTag, es.map(_.tag).foldLeft(-1L)(math.max)),
+          ((pStats ++ sStats).distinct, (pBloom ++ sBlooms).distinct),
+          cs, op = "publish")
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        return v
+      } catch {
+        case _: CommitConflictException if attempt < retries =>
+          attempt += 1
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Discard a staged candidate without publishing — the audit's
+    * reject path. Its data dirs become orphans the next [[vacuum]]
+    * reaps; the table never knew. */
+  def abandonStaged(spark: SparkSession, path: String,
+      name: String): Unit = {
+    val (fs, _) = fsOf(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$path/staged/${refName(name)}"), true)
+    ()
+  }
+
   def vacuum(spark: SparkSession, path: String,
       keepVersions: Int = 1, tag: Long = -1L): (Int, Int) = {
     val r = vacuumDetailed(spark, path, keepVersions, tag)
@@ -2260,13 +2901,26 @@ object ManifestTable {
     require(keepVersions >= 1, "vacuum: must keep at least one version")
     val (fs, _) = fsOf(spark, path)
     val vs = versions(spark, path)
-    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
+    val (drop0, keep0) = vs.splitAt(math.max(0, vs.size - keepVersions))
+    // a TAGGED snapshot is pinned: its manifest survives and its dirs
+    // stay referenced however old it is — dropping it would turn a
+    // reproducibility pin into a dangling name
+    val tagged = tags(spark, path).values.toSet
+    val (pinned, drop) = drop0.partition(tagged)
+    val keep = pinned ++ keep0
     val keptEntries = keep.flatMap(v => entriesOf(spark, path, v))
-    val referenced = keptEntries.map(_.dir).toSet
+    // WAP staged candidates reference dirs no snapshot does yet —
+    // they are NOT orphans while the candidate lives (abandonStaged
+    // is what turns them into reapable ones)
+    val stagedEntries = stagedNames(spark, path).flatMap(n =>
+      scala.util.Try(entriesAt(spark, s"$path/staged/$n"))
+        .getOrElse(Seq.empty))
+    val referenced = (keptEntries ++ stagedEntries).map(_.dir).toSet
     // tombstone dirs survive while ANY kept snapshot's entry still
     // references them as a pending deletion vector; materialized or
     // rolled-off tombstones are orphans and reap with their versions
-    val refTombs = keptEntries.flatMap(_.dv.keys).toSet
+    val refTombs = (keptEntries ++ stagedEntries).flatMap(_.dv.keys)
+      .toSet
     drop.foreach(v => fs.delete(
       new org.apache.hadoop.fs.Path(s"$path/manifest/${vName(v)}"), true))
     var bytes = 0L

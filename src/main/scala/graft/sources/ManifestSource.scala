@@ -381,7 +381,8 @@ object ManifestFileIndex {
   * metadata-only — on the same cadence contract as
   * `Streams.manifestSinkWriter`. */
 final class ManifestStreamSink(path: String, statsCols: Seq[String],
-    vacuumEvery: Int, keepVersions: Int, bloomCols: Seq[String] = Nil)
+    vacuumEvery: Int, keepVersions: Int, bloomCols: Seq[String] = Nil,
+    partitionSpec: Seq[graft.sinks.PartitionTransform] = Nil)
     extends org.apache.spark.sql.execution.streaming.Sink {
 
   override def addBatch(batchId: Long,
@@ -392,7 +393,8 @@ final class ManifestStreamSink(path: String, statsCols: Seq[String],
     // implementation both streaming write paths use
     ManifestTable.appendIfFresh(data.sparkSession,
       org.apache.spark.sql.GraftSqlBridge.batchFrame(data), path,
-      batchId, statsCols, vacuumEvery, keepVersions, bloomCols)
+      batchId, statsCols, vacuumEvery, keepVersions, bloomCols,
+      partitionSpec)
     ()
   }
 
@@ -564,7 +566,13 @@ final class GraftManifestSource extends RelationProvider
     * `foreachBatch`. Options: `statsCols` / `bloomCols`
     * (comma-separated; per-dir min/max stats and point-lookup Bloom
     * filters, same as the batch write path), `vacuumEvery` /
-    * `keepVersions` (in-stream metadata retention; 0 = never). Append output mode only — a manifest table is an
+    * `keepVersions` (in-stream metadata retention; 0 = never),
+    * `.partitionBy(cols)` / `partitionSpec` option (hidden
+    * partitioning at table creation — identity columns via the API,
+    * derived transforms like `days:ts` via the option; the created
+    * table lands partition-pure dirs every batch, ready for
+    * [[ManifestTable.dropPartitions]] retention).
+    * Append output mode only — a manifest table is an
     * append log; aggregations stream through `foreachBatch` where
     * update semantics are the caller's to define. */
   override def createSink(sqlContext: SQLContext,
@@ -574,13 +582,25 @@ final class GraftManifestSource extends RelationProvider
     require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
       s"graft-manifest sink: only Append output mode is supported " +
         s"(got $outputMode) — a manifest table is an append log")
-    require(partitionColumns.isEmpty,
-      "graft-manifest sink: partitionBy is not supported — silently " +
-        "dropping it would change the physical layout the caller asked " +
-        "for; manifest-stats dir pruning (statsCols option) is this " +
-        "format's partitioning story")
     val path = parameters.getOrElse("path", sys.error(
       "graft-manifest: a table path is required — .start(<tablePath>)"))
+    // `.partitionBy(cols)` maps to identity transforms; the
+    // `partitionSpec` option carries DERIVED transforms ("days:ts",
+    // "bucket:16:id", comma-separated render forms) the DSv1
+    // partitionBy API cannot express. Effective only when the first
+    // batch CREATES the table — an existing table's spec governs, and
+    // a mismatch fails loudly at append (never a silent layout fork).
+    val specOpt = parameters.get("partitionSpec")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        .map(graft.sinks.PartitionTransform.parse))
+      .getOrElse(Nil)
+    require(partitionColumns.isEmpty || specOpt.isEmpty,
+      "graft-manifest sink: give either .partitionBy(...) (identity " +
+        "transforms) or the partitionSpec option (derived " +
+        "transforms), not both")
+    val partSpec =
+      if (specOpt.nonEmpty) specOpt
+      else partitionColumns.map(graft.sinks.PartitionTransform.PIdentity)
     val statsCols = parameters.get("statsCols")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
@@ -593,7 +613,7 @@ final class GraftManifestSource extends RelationProvider
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
     new ManifestStreamSink(path, statsCols, vacuumEvery, keepVersions,
-      bloomCols)
+      bloomCols, partSpec)
   }
 
   /** `spark.readStream.format("graft-manifest").load(tablePath)` —

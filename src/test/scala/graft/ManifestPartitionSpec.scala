@@ -1,0 +1,283 @@
+package graft
+
+import graft.sinks.{ManifestTable, PartitionTransform}
+import graft.sinks.PartitionTransform._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Hidden partitioning on the manifest table: the spec is immutable
+  * table metadata, appends land partition-pure dirs, reads prune from
+  * the manifest alone (and stay exact over partition-blind dirs),
+  * dropPartitions is metadata-only, and repartitionTable restores
+  * purity after an operation that erased it.
+  */
+class ManifestPartitionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    s"${Files.createTempDirectory(prefix)}/t"
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("id").as[Long].collect().sorted.toSeq
+
+  private def entries(t: String) = ManifestTable.entriesOf(spark, t,
+    ManifestTable.latestVersion(spark, t).get)
+
+  test("spec round-trips through render/parse") {
+    val spec = Seq(PIdentity("lang"), PDays("ts"), PBucket(16, "id"),
+      PTruncate(3, "url"))
+    assert(PartitionTransform.parseSpec(
+      PartitionTransform.renderSpec(spec)) == spec)
+    intercept[RuntimeException](PartitionTransform.parse("nope:x"))
+  }
+
+  test("unescapePathValue decodes Hive %xx escapes and the null sentinel") {
+    assert(unescapePathValue("a%3Ab%2Fc") == Some("a:b/c"))
+    assert(unescapePathValue("plain-1.2") == Some("plain-1.2"))
+    assert(unescapePathValue("100%") == Some("100%")) // dangling % kept
+    assert(unescapePathValue(NullValue).isEmpty)
+  }
+
+  test("partitioned append: one pure dir per value, spec persisted") {
+    val t = tmp("graft-part")
+    val df = Seq((1L, "en"), (2L, "de"), (3L, "en"), (4L, "fr"))
+      .toDF("id", "lang")
+    ManifestTable.append(spark, df, t, statsCols = Seq("id"),
+      partitionSpec = Seq(PIdentity("lang")))
+    val es = entries(t)
+    assert(es.size == 3 &&
+      es.map(_.partition).toSet ==
+        Set(Map("lang" -> "en"), Map("lang" -> "de"),
+          Map("lang" -> "fr")))
+    // stats rode the one grouped restat: exact rows + id bounds
+    val en = es.find(_.partition("lang") == "en").get
+    assert(en.rows.contains(2L) && en.statMin("id") == 1L &&
+      en.statMax("id") == 3L)
+    // hidden partitioning: the data files do NOT grow a column
+    assert(ManifestTable.read(spark, t).columns.toSeq ==
+      Seq("id", "lang"))
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L, 3L, 4L))
+    // the spec persisted and the next append inherits it
+    ManifestTable.append(spark, Seq((5L, "en")).toDF("id", "lang"), t)
+    assert(entries(t).count(_.partition.get("lang").contains("en")) == 2)
+    // a DIFFERENT spec on the existing table fails loudly
+    val ex = intercept[IllegalArgumentException](ManifestTable.append(
+      spark, Seq((6L, "en")).toDF("id", "lang"), t,
+      partitionSpec = Seq(PBucket(4, "id"))))
+    assert(ex.getMessage.contains("immutable"))
+    // the SAME spec is an idempotent no-op
+    ManifestTable.append(spark, Seq((7L, "xx")).toDF("id", "lang"), t,
+      partitionSpec = Seq(PIdentity("lang")))
+    assert(ids(ManifestTable.read(spark, t)) ==
+      Seq(1L, 2L, 3L, 4L, 5L, 7L))
+  }
+
+  test("derived transforms: days/bucket/truncate values, nulls addressable") {
+    val t = tmp("graft-part-days")
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", "alpha"),
+      (2L, "2024-01-01 23:59:59", "alpaca"),
+      (3L, "2024-01-02 00:00:01", "beta"),
+      (4L, null.asInstanceOf[String], "gamma"))
+      .toDF("id", "ts", "name")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    ManifestTable.append(spark, df, t,
+      partitionSpec = Seq(PDays("ts")))
+    val es = entries(t)
+    assert(es.map(_.partition("ts_day")).toSet ==
+      Set("2024-01-01", "2024-01-02", NullValue))
+    // the null partition is addressable like any other
+    val (_, dropped) = ManifestTable.dropPartitions(spark, t,
+      Map("ts_day" -> NullValue))
+    assert(dropped == 1 &&
+      ids(ManifestTable.read(spark, t)) == Seq(1L, 2L, 3L))
+    // bucket: same key -> same dir across separate appends
+    val tb = tmp("graft-part-bucket")
+    ManifestTable.append(spark, Seq((10L, "a")).toDF("id", "v"), tb,
+      partitionSpec = Seq(PBucket(8, "id")))
+    ManifestTable.append(spark, Seq((10L, "b")).toDF("id", "v"), tb)
+    val bvals = entries(tb).map(_.partition("id_bucket"))
+    assert(bvals.size == 2 && bvals.toSet.size == 1)
+    // truncate: string prefix
+    val tt = tmp("graft-part-trunc")
+    ManifestTable.append(spark,
+      Seq((1L, "abcdef"), (2L, "abczzz"), (3L, "xyz")).toDF("id", "s"),
+      tt, partitionSpec = Seq(PTruncate(3, "s")))
+    assert(entries(tt).map(_.partition("s_trunc")).toSet ==
+      Set("abc", "xyz"))
+  }
+
+  test("readPartitions prunes pure dirs and stays exact over blind dirs") {
+    val t = tmp("graft-part-read")
+    val df = (1L to 40L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "par")
+    ManifestTable.append(spark, df, t, statsCols = Seq("id"),
+      partitionSpec = Seq(PIdentity("par")))
+    val evens = ManifestTable.readPartitions(spark, t,
+      Map("par" -> "even"))
+    assert(ids(evens) == (2L to 40L by 2))
+    // prune evidence: the read resolved exactly the one pure dir
+    assert(evens.inputFiles.length ==
+      entries(t).find(_.partition("par") == "even").get
+        .files.get.size)
+    // erase purity via clusterZ-style maintenance? cluster needs
+    // integral cols; simulate a blind dir with a raw unpartitioned
+    // append through the batch writer: overwrite the spec path by
+    // appending BEFORE the spec exists on a second table, then union
+    // — here instead exercise bind-blind via cluster on id
+    ManifestTable.cluster(spark, t, "id", nDirs = 2)
+    val post = entries(t)
+    assert(post.forall(_.partition.isEmpty)) // cluster is partition-blind
+    // reads remain EXACT: transforms re-derived as a row filter
+    assert(ids(ManifestTable.readPartitions(spark, t,
+      Map("par" -> "even"))) == (2L to 40L by 2))
+    // dropPartitions refuses on blind dirs, loudly, naming the fix
+    val ex = intercept[IllegalArgumentException](
+      ManifestTable.dropPartitions(spark, t, Map("par" -> "even")))
+    assert(ex.getMessage.contains("repartitionTable"))
+    // repartitionTable restores purity; dropPartitions re-arms
+    ManifestTable.repartitionTable(spark, t)
+    assert(entries(t).filter(_.files.exists(_.nonEmpty))
+      .forall(_.partition.contains("par")))
+    val (_, n) = ManifestTable.dropPartitions(spark, t,
+      Map("par" -> "even"))
+    assert(n == 1 &&
+      ids(ManifestTable.read(spark, t)) == (1L to 39L by 2))
+  }
+
+  test("dropPartitions is metadata-only; old snapshots still read the rows") {
+    val t = tmp("graft-part-drop")
+    ManifestTable.append(spark,
+      Seq((1L, "keep"), (2L, "drop"), (3L, "keep")).toDF("id", "par"),
+      t, partitionSpec = Seq(PIdentity("par")))
+    val v1 = ManifestTable.latestVersion(spark, t).get
+    val before = entries(t).map(_.dir).toSet
+    val (v2, n) = ManifestTable.dropPartitions(spark, t,
+      Map("par" -> "drop"))
+    assert(n == 1 && v2 == v1 + 1)
+    // metadata-only: every pre-drop data dir still physically exists
+    val (fs, _) = {
+      val p = new org.apache.hadoop.fs.Path(t)
+      (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+    }
+    assert(before.forall(d => fs.exists(
+      new org.apache.hadoop.fs.Path(s"$t/data/$d"))))
+    // new snapshot lost the partition; time travel still sees it
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 3L))
+    assert(ids(ManifestTable.readVersion(spark, t, v1)) ==
+      Seq(1L, 2L, 3L))
+    // vacuum reaps the dropped dir with its snapshots
+    ManifestTable.vacuum(spark, t, keepVersions = 1)
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 3L))
+    assert(!before.forall(d => fs.exists(
+      new org.apache.hadoop.fs.Path(s"$t/data/$d"))))
+  }
+
+  test("merge and deleteRange keep partition purity (staged rewrites carry it)") {
+    val t = tmp("graft-part-merge")
+    ManifestTable.append(spark,
+      (1L to 10L).map(i => (i, if (i <= 5) "a" else "b"))
+        .toDF("id", "par"),
+      t, statsCols = Seq("id"), partitionSpec = Seq(PIdentity("par")))
+    // merge replaces key 3 and inserts key 11 — rewritten dir stays
+    // pure "a"; the inserted batch lands partitioned too
+    ManifestTable.merge(spark,
+      Seq((3L, "a"), (11L, "b")).toDF("id", "par"), t, "id")
+    val es = entries(t).filter(_.files.exists(_.nonEmpty))
+    assert(es.forall(_.partition.contains("par")),
+      s"blind dirs after merge: ${es.filter(_.partition.isEmpty)}")
+    assert(ids(ManifestTable.read(spark, t)) == (1L to 11L))
+    // deleteRange rewrite also carries purity
+    ManifestTable.deleteRange(spark, t, "id", 1L, 2L)
+    assert(entries(t).filter(_.files.exists(_.nonEmpty))
+      .forall(_.partition.contains("par")))
+    assert(ids(ManifestTable.read(spark, t)) == (3L to 11L))
+    // ...so dropPartitions still works after both
+    val (_, n) = ManifestTable.dropPartitions(spark, t,
+      Map("par" -> "a"))
+    assert(n >= 1 && ids(ManifestTable.read(spark, t)) == (6L to 11L))
+  }
+
+  test("compact on a partitioned table folds per partition, not across") {
+    val t = tmp("graft-part-compact")
+    (1L to 3L).foreach { k =>
+      ManifestTable.append(spark,
+        Seq((k, "x"), (k + 100L, "y")).toDF("id", "par"), t,
+        partitionSpec = Seq(PIdentity("par")))
+    }
+    assert(entries(t).size == 6)
+    ManifestTable.compact(spark, t)
+    val es = entries(t).filter(_.files.exists(_.nonEmpty))
+    assert(es.size == 2 &&
+      es.map(_.partition("par")).toSet == Set("x", "y"))
+    assert(ids(ManifestTable.read(spark, t)) ==
+      Seq(1L, 2L, 3L, 101L, 102L, 103L))
+  }
+
+  test("overwrite keeps the spec and lands partitioned") {
+    val t = tmp("graft-part-ow")
+    ManifestTable.append(spark,
+      Seq((1L, "a")).toDF("id", "par"), t,
+      partitionSpec = Seq(PIdentity("par")))
+    ManifestTable.overwrite(spark,
+      Seq((7L, "p"), (8L, "q")).toDF("id", "par"), t)
+    val es = entries(t)
+    assert(es.size == 2 &&
+      es.map(_.partition("par")).toSet == Set("p", "q"))
+    // spec survived the overwrite
+    assert(ManifestTable.partitionSpecOf(spark, t,
+      ManifestTable.latestVersion(spark, t).get).nonEmpty)
+  }
+
+  test("streaming sink partitionBy: every batch lands partition-pure dirs") {
+    implicit val sq = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-part-sink").toString
+    val t = s"$tmp/table"
+    val mem = org.apache.spark.sql.execution.streaming
+      .runtime.MemoryStream[(Long, String)]
+    val q = mem.toDF.toDF("id", "lang").writeStream
+      .format("graft-manifest")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .option("statsCols", "id")
+      .partitionBy("lang")
+      .start(t)
+    mem.addData((1L, "en"), (2L, "de")); q.processAllAvailable()
+    mem.addData((3L, "en")); q.processAllAvailable()
+    q.stop()
+    val es = entries(t).filter(_.files.exists(_.nonEmpty))
+    assert(es.forall(_.partition.contains("lang")) &&
+      es.count(_.partition("lang") == "en") == 2)
+    // spec persisted at creation: retention by partition works now
+    val (_, n) = ManifestTable.dropPartitions(spark, t,
+      Map("lang" -> "de"))
+    assert(n == 1 && ids(ManifestTable.read(spark, t)) == Seq(1L, 3L))
+    // a derived-transform spec conflicts with partitionBy, loudly
+    val mem2 = org.apache.spark.sql.execution.streaming
+      .runtime.MemoryStream[(Long, String)]
+    val ex = intercept[IllegalArgumentException] {
+      mem2.toDF.toDF("id", "lang").writeStream
+        .format("graft-manifest")
+        .option("checkpointLocation", s"$tmp/ckpt2")
+        .option("partitionSpec", "bucket:4:id")
+        .partitionBy("lang")
+        .start(s"$tmp/t2")
+    }
+    assert(ex.getMessage.contains("not both"))
+  }
+
+  test("special characters in partition values survive the dir round-trip") {
+    val t = tmp("graft-part-esc")
+    val vals = Seq("a:b", "c/d", "e f", "g=h", "ümlaut")
+    ManifestTable.append(spark,
+      vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "par"),
+      t, partitionSpec = Seq(PIdentity("par")))
+    assert(entries(t).map(_.partition("par")).toSet == vals.toSet)
+    vals.foreach { v =>
+      assert(ManifestTable.readPartitions(spark, t, Map("par" -> v))
+        .count() == 1L, s"value '$v' not readable back")
+    }
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import graft.sinks.ManifestTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Tags (immutable snapshot pins that survive vacuum) and
+  * write-audit-publish (staged candidates: invisible until published,
+  * auditable with real reads, abandonable without a trace, and
+  * vacuum-safe while staged).
+  */
+class ManifestWapSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    s"${Files.createTempDirectory(prefix)}/t"
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("id").as[Long].collect().sorted.toSeq
+
+  test("a tag pins its snapshot through vacuum; dropTag releases it") {
+    val t = tmp("graft-tag")
+    ManifestTable.append(spark, Seq(1L, 2L).toDF("id"), t) // v1
+    ManifestTable.append(spark, Seq(3L).toDF("id"), t)     // v2
+    ManifestTable.createTag(spark, t, "run-a", 1L)
+    ManifestTable.append(spark, Seq(4L).toDF("id"), t)     // v3
+    // vacuum to 1 kept version: v2 drops, but tagged v1 is PINNED
+    ManifestTable.vacuum(spark, t, keepVersions = 1)
+    assert(ManifestTable.versions(spark, t) == Seq(1L, 3L))
+    assert(ids(ManifestTable.readTag(spark, t, "run-a")) == Seq(1L, 2L))
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L, 3L, 4L))
+    // tags are write-once
+    intercept[Exception](ManifestTable.createTag(spark, t, "run-a", 3L))
+    // dropTag releases the pin: the next vacuum reaps v1
+    ManifestTable.dropTag(spark, t, "run-a")
+    ManifestTable.vacuum(spark, t, keepVersions = 1)
+    assert(ManifestTable.versions(spark, t) == Seq(3L))
+    intercept[Exception](ManifestTable.readTag(spark, t, "run-a"))
+    // tagging an uncommitted version fails loudly
+    intercept[Exception](ManifestTable.createTag(spark, t, "x", 99L))
+  }
+
+  test("staged candidate: invisible, auditable, vacuum-safe, publishable") {
+    val t = tmp("graft-wap")
+    ManifestTable.append(spark, Seq(1L, 2L).toDF("id"), t,
+      statsCols = Seq("id"))
+    ManifestTable.stageAppend(spark, Seq(3L, 4L).toDF("id"), t,
+      "batch-7", statsCols = Seq("id"))
+    // invisible: no new version, the table reads as before
+    assert(ManifestTable.versions(spark, t) == Seq(1L))
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L))
+    assert(ManifestTable.stagedNames(spark, t) == Seq("batch-7"))
+    // auditable: the candidate's rows read back exactly
+    assert(ids(ManifestTable.readStaged(spark, t, "batch-7")) ==
+      Seq(3L, 4L))
+    // vacuum-safe: the staged dirs are referenced while staged
+    ManifestTable.append(spark, Seq(9L).toDF("id"), t)
+    ManifestTable.vacuum(spark, t, keepVersions = 1)
+    assert(ids(ManifestTable.readStaged(spark, t, "batch-7")) ==
+      Seq(3L, 4L))
+    // one candidate per name
+    intercept[Exception](ManifestTable.stageAppend(spark,
+      Seq(5L).toDF("id"), t, "batch-7"))
+    // publish: atomic, consumed, stats carried (pruning discipline)
+    val v = ManifestTable.publish(spark, t, "batch-7")
+    assert(v == ManifestTable.latestVersion(spark, t).get)
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L, 3L, 4L, 9L))
+    assert(ManifestTable.stagedNames(spark, t).isEmpty)
+    val e = ManifestTable.entriesOf(spark, t, v)
+      .filter(_.files.exists(_.nonEmpty))
+      .find(_.statMin.get("id").contains(3L))
+    assert(e.exists(_.statMax("id") == 4L),
+      "published entry must carry the stage-time stats")
+    intercept[Exception](ManifestTable.publish(spark, t, "batch-7"))
+  }
+
+  test("audit reject: abandonStaged leaves no trace; vacuum reaps the dirs") {
+    val t = tmp("graft-wap-rej")
+    ManifestTable.append(spark, Seq(1L).toDF("id"), t)
+    ManifestTable.stageAppend(spark, Seq(-5L).toDF("id"), t, "bad")
+    // the audit: reject negative ids
+    val bad = ManifestTable.readStaged(spark, t, "bad")
+      .filter(col("id") < 0).count()
+    assert(bad == 1)
+    ManifestTable.abandonStaged(spark, t, "bad")
+    assert(ManifestTable.stagedNames(spark, t).isEmpty)
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L))
+    // the abandoned dirs are orphans now — vacuum reaps them
+    ManifestTable.append(spark, Seq(2L).toDF("id"), t)
+    val r = ManifestTable.vacuumDetailed(spark, t, keepVersions = 1)
+    assert(r.dirsReaped >= 1,
+      s"abandoned staged dirs must be reaped, got $r")
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L))
+  }
+
+  test("publish validates against the CURRENT table: constraints and rebase") {
+    val t = tmp("graft-wap-val")
+    ManifestTable.append(spark, Seq(1L).toDF("id"), t)
+    ManifestTable.stageAppend(spark, Seq(-3L).toDF("id"), t, "c1")
+    // a constraint added AFTER staging still gates the publish
+    ManifestTable.addConstraint(spark, t, "pos", "id > 0")
+    intercept[Exception](ManifestTable.publish(spark, t, "c1"))
+    ManifestTable.abandonStaged(spark, t, "c1")
+    // rebase: a concurrent append between stage and publish is fine
+    // with retries (appends commute)
+    ManifestTable.stageAppend(spark, Seq(10L).toDF("id"), t, "c2")
+    ManifestTable.append(spark, Seq(5L).toDF("id"), t)
+    ManifestTable.publish(spark, t, "c2", retries = 1)
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 5L, 10L))
+  }
+
+  test("WAP on a partitioned table stages partition-pure dirs") {
+    val t = tmp("graft-wap-part")
+    ManifestTable.append(spark,
+      Seq((1L, "en")).toDF("id", "lang"), t,
+      partitionSpec =
+        Seq(graft.sinks.PartitionTransform.PIdentity("lang")))
+    ManifestTable.stageAppend(spark,
+      Seq((2L, "en"), (3L, "de")).toDF("id", "lang"), t, "p1")
+    ManifestTable.publish(spark, t, "p1")
+    val es = ManifestTable.entriesOf(spark, t,
+        ManifestTable.latestVersion(spark, t).get)
+      .filter(_.files.exists(_.nonEmpty))
+    assert(es.forall(_.partition.contains("lang")))
+    // so partition retention works across published candidates
+    val (_, n) = ManifestTable.dropPartitions(spark, t,
+      Map("lang" -> "de"))
+    assert(n == 1 && ids(ManifestTable.read(spark, t)) == Seq(1L, 2L))
+  }
+}
