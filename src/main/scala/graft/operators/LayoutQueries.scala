@@ -1633,5 +1633,30 @@ object LayoutQueries {
           max(col("doc_id")).cast("long").as("max_id"))
         .orderBy("lang")
     },
+
+    // ---- Hidden partitioning through PLAIN SQL: the user filters
+    //      `ts`; the FileIndex derives the implied days(ts) bounds
+    //      and prunes whole partition dirs from the manifest before
+    //      any file is opened — the Iceberg pitch, on the same
+    //      days-partitioned events table q146 reads
+    //      programmatically. ManifestPartitionSpec pins numFiles for
+    //      every transform; here the oracle pins the ANSWER against
+    //      the plain table. ----
+    GraftQuery("q149_manifest_sql_hidden_partitioning",
+      s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${decSumSql("value", 2)} AS sum_value
+         |FROM events
+         |WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val path = ensurePartitionedEvents(s, d)
+      s.read.format("graft-manifest").load(path)
+        .filter(col("ts") >=
+          lit("2024-01-25 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          decSum(col("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    },
   )
 }

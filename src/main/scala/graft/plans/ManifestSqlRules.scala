@@ -377,17 +377,60 @@ final case class GraftManifestInsertCommand(path: String,
   }
 }
 
+/** The DELETE commands' shared METADATA-ONLY fast path: when the key
+  * column is an identity-partition SOURCE of the table's spec,
+  * `k = v` denotes exactly "drop the v partition" — zero rows read
+  * or written, whatever the partition's size. Decided at RUN time
+  * against the live table: if any data dir is partition-blind
+  * (cluster output, pre-spec commits), [[ManifestTable.dropPartitions]]
+  * refuses and this returns false — the caller's row-level path
+  * keeps the delete exact. The Hive null sentinel is refused too: a
+  * row whose key IS that literal string is not the null partition.
+  * Either every value drops or none did (the blind-dir check runs
+  * before any commit), so a fallback never double-deletes. */
+private[plans] object DropPartitionFastPath {
+  def apply(session: SparkSession, path: String, keyCol: String,
+      values: Seq[String]): Boolean = {
+    import graft.sinks.PartitionTransform
+    val identity = ManifestTable.latestVersion(session, path)
+      .map(v => ManifestTable.partitionSpecOf(session, path, v))
+      .getOrElse(Nil)
+      .exists {
+        case PartitionTransform.PIdentity(s) => s == keyCol
+        case _ => false
+      }
+    if (!identity || values.isEmpty ||
+        values.contains(PartitionTransform.NullValue)) false
+    else
+      try {
+        values.foreach(v =>
+          ManifestTable.dropPartitions(session, path, Map(keyCol -> v)))
+        true
+      } catch {
+        case e: IllegalArgumentException if Option(e.getMessage)
+            .exists(_.contains("carry no partition metadata")) =>
+          false
+      }
+  }
+}
+
 /** `DELETE FROM v WHERE <range>` → [[ManifestTable.deleteRange]]:
-  * only dirs whose stats overlap are rewritten. */
+  * only dirs whose stats overlap are rewritten. A POINT delete
+  * (`lo == hi`) on an identity-partition source column takes the
+  * metadata-only partition drop instead ([[DropPartitionFastPath]]). */
 final case class GraftManifestDeleteCommand(path: String, keyCol: String,
     lo: Long, hi: Long) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    ManifestTable.deleteRange(session, path, keyCol, lo, hi)
+    if (lo != hi ||
+        !DropPartitionFastPath(session, path, keyCol, Seq(lo.toString)))
+      ManifestTable.deleteRange(session, path, keyCol, lo, hi)
     Seq.empty
   }
 }
 
 /** `DELETE FROM v WHERE k = '<lit>'` / `k IN (…)` on a string key →
+  * metadata-only partition drop when `k` is an identity-partition
+  * source ([[DropPartitionFastPath]]); otherwise
   * [[ManifestTable.deleteKeys]]: MERGE-ON-READ — one tombstone write
   * plus a metadata commit; no data file is rewritten, reads
   * anti-join the tombstone until a rewrite materializes it. */
@@ -395,7 +438,8 @@ final case class GraftManifestDeleteKeysCommand(path: String,
     keyCol: String, values: Seq[String]) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     import session.implicits._
-    ManifestTable.deleteKeys(session, values.toDF(keyCol), path, keyCol)
+    if (!DropPartitionFastPath(session, path, keyCol, values))
+      ManifestTable.deleteKeys(session, values.toDF(keyCol), path, keyCol)
     Seq.empty
   }
 }

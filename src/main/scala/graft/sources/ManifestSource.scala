@@ -62,6 +62,16 @@ final class ManifestFileIndex private (spark: SparkSession,
     explicitEntries.getOrElse(
       ManifestTable.entriesOf(spark, tablePath, version))
 
+  // the table's partition spec (one side-file read): listFiles turns
+  // pushed filters on the TRANSFORM SOURCE columns into partition-
+  // value constraints on each dir's recorded values — hidden
+  // partitioning's whole point: the user filters `ts`, the engine
+  // prunes `days(ts)` dirs, no partition column ever appears in SQL
+  private val partSpec: Seq[graft.sinks.PartitionTransform] =
+    scala.util.Try(
+      ManifestTable.partitionSpecOf(spark, tablePath, version))
+      .getOrElse(Nil)
+
   /** The pinned snapshot's manifest entries — what
     * [[graft.plans.ManifestMetadataAggs]] answers whole-table
     * COUNT/MIN/MAX from without touching a data file. Same snapshot
@@ -112,6 +122,15 @@ final class ManifestFileIndex private (spark: SparkSession,
     val points = ManifestFileIndex.pointsOf(dataFilters)
     val sPoints = ManifestFileIndex.strPointsOf(dataFilters)
     val (notNulls, isNulls) = ManifestFileIndex.nullnessOf(dataFilters)
+    val natives =
+      if (partSpec.isEmpty) Map.empty[String, Seq[Literal]]
+      else ManifestFileIndex.nativePointsOf(dataFilters)
+    val dayBounds =
+      if (partSpec.isEmpty)
+        Map.empty[String, (Option[String], Option[String])]
+      else ManifestFileIndex.dayBoundsOf(dataFilters,
+        java.time.ZoneId.of(
+          spark.sessionState.conf.sessionLocalTimeZone))
     val kept = filesByDir.filter { case (e, _) =>
       bounds.forall { case (c, (lo, hi)) => e.mightOverlap(c, lo, hi) } &&
         sBounds.forall { case (c, (lo, hi)) =>
@@ -129,7 +148,14 @@ final class ManifestFileIndex private (spark: SparkSession,
         // value filter — Catalyst conjoins the guard), IsNull prunes
         // provably-null-free dirs
         notNulls.forall(c => e.mightHaveNonNull(c)) &&
-        isNulls.forall(c => e.mightHaveNull(c))
+        isNulls.forall(c => e.mightHaveNull(c)) &&
+        // hidden-partition pruning: a PARTITION-PURE dir is kept only
+        // if its recorded value can satisfy the filters on the
+        // transform's SOURCE column; blind dirs (no recorded value)
+        // are always kept — the row filter stays exact either way
+        partSpec.forall(t => e.partition.get(t.field).forall(pv =>
+          ManifestFileIndex.partitionMight(t, pv, bounds, points,
+            sPoints, natives, dayBounds)))
     }
     Seq(PartitionDirectory(InternalRow.empty,
       kept.flatMap(_._2).toArray[org.apache.hadoop.fs.FileStatus]))
@@ -368,6 +394,161 @@ object ManifestFileIndex {
     conjuncts.foreach(walk)
     per.toMap.map { case (c, (lo, hi)) =>
       c -> ((Option(lo), Option(hi)))
+    }
+  }
+
+  /** Per-column point sets as LITERALS AT THE COLUMN'S NATIVE TYPE —
+    * no cast-stripping, no widening: the attribute must be bare and
+    * the literal's type must equal its exactly. This is what the
+    * bucket transform needs — Spark's Murmur3 is TYPE-DEPENDENT
+    * (int 5 and long 5 hash differently), so a literal that reached
+    * the filter through any coercion must contribute nothing or the
+    * derived bucket would be wrong and pruning would DROP matching
+    * dirs. */
+  private[graft] def nativePointsOf(conjuncts: Seq[Expression])
+      : Map[String, Seq[Literal]] = {
+    val per = scala.collection.mutable.Map.empty[String, Seq[Literal]]
+    def add(col: String, vs: Seq[Literal]): Unit =
+      per.update(col, per.get(col) match {
+        case Some(prev) => prev.filter(p => vs.exists(_.semanticEquals(p)))
+        case None => vs
+      })
+    def walk(e: Expression): Unit = e match {
+      case And(l, r) => walk(l); walk(r)
+      case EqualTo(a: AttributeReference, l @ Literal(v, t))
+          if v != null && t == a.dataType => add(a.name, Seq(l))
+      case EqualTo(l @ Literal(v, t), a: AttributeReference)
+          if v != null && t == a.dataType => add(a.name, Seq(l))
+      case In(a: AttributeReference, list)
+          if list.nonEmpty && list.forall {
+            case Literal(v, t) => v != null && t == a.dataType
+            case _ => false
+          } =>
+        add(a.name, list.collect { case l: Literal => l })
+      case _ => ()
+    }
+    conjuncts.foreach(walk)
+    per.toMap
+  }
+
+  /** Per-column CALENDAR-DAY bounds implied by timestamp/date
+    * comparisons — what prunes a `days(ts)` partitioning from a
+    * filter on `ts` itself. Day granularity is the widening: `ts >
+    * X` becomes `day >= dayOf(X)`, never narrower. Timestamp
+    * literals render through `zone` (the session timezone — the same
+    * one `date_format` derived the recorded values under);
+    * timestamp_ntz and date literals are zone-free by construction.
+    * Unsupported shapes contribute nothing. */
+  private[graft] def dayBoundsOf(conjuncts: Seq[Expression],
+      zone: java.time.ZoneId)
+      : Map[String, (Option[String], Option[String])] = {
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    def dayOf(v: Any, dt: org.apache.spark.sql.types.DataType)
+        : Option[String] = (dt, v) match {
+      case (TimestampType, micros: Long) =>
+        Some(java.time.Instant
+          .ofEpochSecond(Math.floorDiv(micros, 1000000L),
+            Math.floorMod(micros, 1000000L) * 1000L)
+          .atZone(zone).toLocalDate.format(fmt))
+      case (TimestampNTZType, micros: Long) =>
+        Some(java.time.LocalDateTime
+          .ofEpochSecond(Math.floorDiv(micros, 1000000L),
+            (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC).toLocalDate.format(fmt))
+      case (DateType, days: Int) =>
+        Some(java.time.LocalDate.ofEpochDay(days.toLong).format(fmt))
+      case _ => None
+    }
+    val per = scala.collection.mutable
+      .Map.empty[String, (String, String)]
+    def add(col: String, lo: Option[String],
+        hi: Option[String]): Unit = {
+      val (l0, h0) = per.getOrElse(col, (null: String, null: String))
+      val l1 = (Option(l0) ++ lo).reduceOption((a, b) =>
+        if (a.compareTo(b) >= 0) a else b).orNull
+      val h1 = (Option(h0) ++ hi).reduceOption((a, b) =>
+        if (a.compareTo(b) <= 0) a else b).orNull
+      per.update(col, (l1, h1))
+    }
+    def nameOf(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case _ => None // casts between temporal types shift semantics
+    }
+    def walk(e: Expression): Unit = e match {
+      case And(l, r) => walk(l); walk(r)
+      case EqualTo(a, Literal(v, t)) =>
+        for (c <- nameOf(a); d <- dayOf(v, t)) add(c, Some(d), Some(d))
+      case EqualTo(Literal(v, t), a) =>
+        for (c <- nameOf(a); d <- dayOf(v, t)) add(c, Some(d), Some(d))
+      case GreaterThanOrEqual(a, Literal(v, t)) =>
+        for (c <- nameOf(a); d <- dayOf(v, t)) add(c, Some(d), None)
+      case GreaterThan(a, Literal(v, t)) =>
+        for (c <- nameOf(a); d <- dayOf(v, t)) add(c, Some(d), None)
+      case LessThanOrEqual(a, Literal(v, t)) =>
+        for (c <- nameOf(a); d <- dayOf(v, t)) add(c, None, Some(d))
+      case LessThan(a, Literal(v, t)) =>
+        for (c <- nameOf(a); d <- dayOf(v, t)) add(c, None, Some(d))
+      case GreaterThanOrEqual(Literal(v, t), a) =>
+        for (c <- nameOf(a); d <- dayOf(v, t)) add(c, None, Some(d))
+      case GreaterThan(Literal(v, t), a) =>
+        for (c <- nameOf(a); d <- dayOf(v, t)) add(c, None, Some(d))
+      case LessThanOrEqual(Literal(v, t), a) =>
+        for (c <- nameOf(a); d <- dayOf(v, t)) add(c, Some(d), None)
+      case LessThan(Literal(v, t), a) =>
+        for (c <- nameOf(a); d <- dayOf(v, t)) add(c, Some(d), None)
+      case _ => ()
+    }
+    conjuncts.foreach(walk)
+    per.toMap.map { case (c, (lo, hi)) =>
+      c -> ((Option(lo), Option(hi)))
+    }
+  }
+
+  /** Whether a PARTITION-PURE dir whose `transform` value is `pv`
+    * can satisfy the pushed filters on the transform's source
+    * column. One-sided like every prune here: an un-derivable
+    * constraint keeps the dir; a null-partition value (`NullValue`
+    * sentinel) fails every VALUE constraint, which is sound — a
+    * value predicate never matches null rows, and a pure null
+    * partition holds only those. */
+  private[graft] def partitionMight(t: graft.sinks.PartitionTransform,
+      pv: String,
+      bounds: Map[String, (Long, Long)],
+      points: Map[String, Seq[Long]],
+      sPoints: Map[String, Seq[String]],
+      natives: Map[String, Seq[Literal]],
+      dayBounds: Map[String, (Option[String], Option[String])])
+      : Boolean = {
+    import graft.sinks.PartitionTransform._
+    val isNull = pv == NullValue
+    t match {
+      case PIdentity(src) =>
+        // string equality/IN: the pure value must be in the set;
+        // integral equality/IN and ranges: parse the canonical
+        // cast-to-string form back (identity of an integral column
+        // always round-trips)
+        sPoints.get(src).forall(vs => !isNull && vs.contains(pv)) &&
+          points.get(src).forall(vs => !isNull &&
+            scala.util.Try(pv.toLong).toOption.exists(vs.contains)) &&
+          bounds.get(src).forall { case (lo, hi) => !isNull &&
+            scala.util.Try(pv.toLong).toOption
+              .exists(v => v >= lo && v <= hi) }
+      case PDays(src) =>
+        dayBounds.get(src).forall { case (lo, hi) => !isNull &&
+          lo.forall(pv >= _) && hi.forall(pv <= _) }
+      case PBucket(n, src) =>
+        natives.get(src).forall { lits =>
+          !isNull && lits.exists { l =>
+            val h = new org.apache.spark.sql.catalyst.expressions
+              .Murmur3Hash(Seq(l)).eval(InternalRow.empty)
+              .asInstanceOf[Int]
+            (((h % n) + n) % n).toString == pv
+          }
+        }
+      case PTruncate(len, src) =>
+        sPoints.get(src).forall(vs => !isNull &&
+          vs.exists(_.take(len) == pv))
     }
   }
 }

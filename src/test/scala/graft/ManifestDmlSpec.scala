@@ -202,4 +202,42 @@ class ManifestDmlSpec extends AnyFunSuite {
     }
     assert(msgs(ex2).exists(_.contains("single key equality")))
   }
+
+  test("DELETE on an identity-partition column is a metadata-only drop") {
+    val t = s"${Files.createTempDirectory("graft-dmlpart")}/t"
+    ManifestTable.append(spark,
+      Seq((1L, "en"), (2L, "de"), (3L, "en")).toDF("id", "lang"), t,
+      partitionSpec =
+        Seq(graft.sinks.PartitionTransform.PIdentity("lang")))
+    register(t, "dml_part")
+    val before = ManifestTable.entriesOf(spark, t, 1L).map(_.dir).toSet
+    spark.sql("DELETE FROM dml_part WHERE lang = 'de'")
+    register(t, "dml_part")
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 3L))
+    // metadata-only: no tombstone was written, no dir rewritten —
+    // the kept entry is PHYSICALLY the pre-delete dir, and the
+    // dropped dir still exists for older snapshots
+    assert(!new java.io.File(s"$t/deletes").exists(),
+      "partition delete must not write tombstones")
+    val after = ManifestTable.entriesOf(spark, t,
+      ManifestTable.latestVersion(spark, t).get).map(_.dir).toSet
+    assert(after.subsetOf(before), "no dir may be rewritten")
+    assert(before.forall(d => new java.io.File(s"$t/data/$d").exists()))
+    // a blind dir (cluster output) downgrades the SAME statement to
+    // the exact row-level path instead of guessing
+    ManifestTable.cluster(spark, t, "id", nDirs = 1)
+    register(t, "dml_part")
+    spark.sql("DELETE FROM dml_part WHERE lang = 'en'")
+    assert(ManifestTable.read(spark, t).count() == 0)
+    // the integral point form routes too: fresh identity(id) table
+    val t2 = s"${Files.createTempDirectory("graft-dmlpart2")}/t"
+    ManifestTable.append(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t2,
+      partitionSpec =
+        Seq(graft.sinks.PartitionTransform.PIdentity("id")))
+    register(t2, "dml_part2")
+    spark.sql("DELETE FROM dml_part2 WHERE id = 2")
+    assert(ids(ManifestTable.read(spark, t2)) == Seq(1L))
+    assert(!new java.io.File(s"$t2/deletes").exists())
+  }
 }
