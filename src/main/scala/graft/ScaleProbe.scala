@@ -494,6 +494,52 @@ object ScaleProbe {
           f"($matDirs dirs rewritten in one staged job)")
         fs.delete(new org.apache.hadoop.fs.Path(tCopy), true)
       }
+      // hidden-partitioning probe at the same 10x: ingest 8 commits
+      // against an identity(lang) spec (8 x 5 languages = 40 pure
+      // dirs), read ONE language (files planned ∝ that language's
+      // dirs), DROP it metadata-only (wall must not scale with the
+      // partition's rows — it moves none), then repartitionTable
+      // folds the survivors to one dir per language
+      locally {
+        val tp = "/tmp/scale10/docs_manifest_part"
+        fs.delete(new org.apache.hadoop.fs.Path(tp), true)
+        val tb = System.nanoTime()
+        (0 until 8).foreach { i =>
+          graft.sinks.ManifestTable.append(spark,
+            docs.filter(pmod(col("doc_id"), lit(8)) === i), tp,
+            statsCols = Seq("doc_id"),
+            partitionSpec = Seq(
+              graft.sinks.PartitionTransform.PIdentity("lang")))
+        }
+        val vB = graft.sinks.ManifestTable.latestVersion(spark, tp).get
+        val nDirs = graft.sinks.ManifestTable.entriesOf(spark, tp, vB)
+          .count(_.files.exists(_.nonEmpty))
+        println(f"TIME manifest10 part_ingest_8x " +
+          f"${(System.nanoTime() - tb) / 1e9}%.2f s " +
+          f"($nDirs pure dirs)")
+        val tr = System.nanoTime()
+        val enR = graft.sinks.ManifestTable.readPartitions(spark, tp,
+          Map("lang" -> "en"))
+        val enN = enR.agg(count(lit(1))).head().getLong(0)
+        println(f"TIME manifest10 part_read_one_lang " +
+          f"${(System.nanoTime() - tr) / 1e9}%.2f s " +
+          f"($enN rows, ${enR.inputFiles.length} of $nDirs files)")
+        val td = System.nanoTime()
+        val (_, nd) = graft.sinks.ManifestTable.dropPartitions(spark,
+          tp, Map("lang" -> "en"))
+        println(f"TIME manifest10 part_drop_metadata_only " +
+          f"${(System.nanoTime() - td) / 1e9}%.2f s " +
+          f"($nd dirs dropped, $enN rows unreferenced, zero moved)")
+        val tq = System.nanoTime()
+        graft.sinks.ManifestTable.repartitionTable(spark, tp)
+        val vR = graft.sinks.ManifestTable.latestVersion(spark, tp).get
+        val nAfter = graft.sinks.ManifestTable.entriesOf(spark, tp, vR)
+          .count(_.files.exists(_.nonEmpty))
+        println(f"TIME manifest10 part_repartition_fold " +
+          f"${(System.nanoTime() - tq) / 1e9}%.2f s " +
+          f"(${nDirs - nd} dirs -> $nAfter, one per language)")
+        fs.delete(new org.apache.hadoop.fs.Path(tp), true)
+      }
       spark.stop()
       return
     }
