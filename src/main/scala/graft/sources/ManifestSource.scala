@@ -623,12 +623,18 @@ final class ManifestStreamSink(path: String, statsCols: Seq[String],
   * granularity: a SINGLE commit larger than the cap still delivers
   * whole (progress is guaranteed — the first pending version is
   * always taken), and a version whose entries predate recorded row
-  * counts conservatively ends the batch after itself. Both caps
-  * compose; the tighter one wins. */
+  * counts conservatively ends the batch after itself.
+  *
+  * `maxBytesPerTrigger` is the third knob (Delta's trio), sized from
+  * the manifest's recorded per-dir FILE sizes — the right unit when
+  * row width varies wildly (documents vs events). Same version
+  * granularity and guaranteed-progress rule. All three caps compose;
+  * the tightest one wins. */
 final class ManifestStreamSource(spark: SparkSession, path: String,
     override val schema: StructType,
     maxVersionsPerTrigger: Option[Long] = None,
-    maxRowsPerTrigger: Option[Long] = None)
+    maxRowsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
   import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
@@ -654,23 +660,29 @@ final class ManifestStreamSource(spark: SparkSession, path: String,
         case Some(max) => math.min(latest, base + max)
         case None => latest
       }
-      val capped = maxRowsPerTrigger match {
+      val rCapped = maxRowsPerTrigger match {
         case Some(budget) if vCapped > base =>
-          rowCappedEnd(base, vCapped, budget)
+          sizeCappedEnd(base, vCapped, budget, _.rows)
         case _ => vCapped
+      }
+      val capped = maxBytesPerTrigger match {
+        case Some(budget) if rCapped > base =>
+          sizeCappedEnd(base, rCapped, budget,
+            _.files.map(_.values.sum))
+        case _ => rCapped
       }
       LongOffset(capped)
     }
 
-  /** Highest version in `(base, limit]` whose cumulative FRESH rows
-    * (new dirs by identity, version over version — the same diff
-    * `getBatch` will read) stay within `budget`; the first pending
-    * version is always admitted so an oversized single commit can
-    * never stall the stream. Cost per trigger: one small manifest
-    * read per version considered — bounded by the cap itself, never
-    * by table size. */
-  private def rowCappedEnd(base: Long, limit: Long,
-      budget: Long): Long = {
+  /** Highest version in `(base, limit]` whose cumulative FRESH size
+    * — `sizeOf` per new dir (rows or bytes), new dirs by identity,
+    * version over version, the same diff `getBatch` will read —
+    * stays within `budget`; the first pending version is always
+    * admitted so an oversized single commit can never stall the
+    * stream. Cost per trigger: one small manifest read per version
+    * considered — bounded by the cap itself, never by table size. */
+  private def sizeCappedEnd(base: Long, limit: Long, budget: Long,
+      sizeOf: ManifestTable.Entry => Option[Long]): Long = {
     val pending = ManifestTable.versions(spark, path)
       .filter(v => v > base && v <= limit)
     // the base snapshot's dirs (empty when base = 0 or vacuumed —
@@ -685,11 +697,11 @@ final class ManifestStreamSource(spark: SparkSession, path: String,
       if (end == base || spent <= budget) {
         val cur = ManifestTable.entriesOf(spark, path, v)
         val freshEntries = cur.filterNot(e => prevDirs.contains(e.dir))
-        // a pre-upgrade entry without a recorded count ends the batch
+        // a pre-upgrade entry without a recorded size ends the batch
         // after this version (unknown size must not be accumulated)
+        val sizes = freshEntries.map(sizeOf)
         val fresh =
-          if (freshEntries.forall(_.rows.isDefined))
-            freshEntries.map(_.rows.get).sum
+          if (sizes.forall(_.isDefined)) sizes.flatten.sum
           else budget + 1
         if (end == base || spent + fresh <= budget) {
           end = v
@@ -837,9 +849,12 @@ final class GraftManifestSource extends RelationProvider
     val maxRows = parameters.get("maxRowsPerTrigger").map(_.toLong)
     maxRows.foreach(m => require(m > 0,
       s"graft-manifest stream: maxRowsPerTrigger must be positive, got $m"))
+    val maxBytes = parameters.get("maxBytesPerTrigger").map(_.toLong)
+    maxBytes.foreach(m => require(m > 0,
+      s"graft-manifest stream: maxBytesPerTrigger must be positive, got $m"))
     new ManifestStreamSource(spark, path,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
-      maxVersions, maxRows)
+      maxVersions, maxRows, maxBytes)
   }
 
   /** `df.write.format("graft-manifest").mode(...).save(tablePath)` —
@@ -888,19 +903,26 @@ final class GraftManifestSource extends RelationProvider
     val spark = sqlContext.sparkSession
     val path = parameters.getOrElse("path", sys.error(
       "graft-manifest: a table path is required — .load(<tablePath>)"))
-    require(!(parameters.contains("versionAsOf") &&
-        parameters.contains("timestampAsOf")),
-      "graft-manifest: versionAsOf and timestampAsOf are mutually " +
-        "exclusive — a snapshot has one address")
+    require(Seq("versionAsOf", "timestampAsOf", "tagAsOf")
+        .count(parameters.contains) <= 1,
+      "graft-manifest: versionAsOf, timestampAsOf and tagAsOf are " +
+        "mutually exclusive — a snapshot has one address")
     // timestampAsOf accepts epoch millis or an ISO-8601 instant
     // (2026-08-14T12:00:00Z) — resolution itself (latest retained
     // commit at-or-before, loud past the vacuum horizon) lives in
-    // ManifestTable.versionAtTimestamp
+    // ManifestTable.versionAtTimestamp; tagAsOf resolves a named pin
+    // (vacuum keeps tagged snapshots, so a tag read never dangles)
     val version = parameters.get("versionAsOf").map(_.toLong)
       .orElse(parameters.get("timestampAsOf").map { s =>
         val ms = s.toLongOption.getOrElse(
           java.time.Instant.parse(s).toEpochMilli)
         ManifestTable.versionAtTimestamp(spark, path, ms)
+      })
+      .orElse(parameters.get("tagAsOf").map { name =>
+        ManifestTable.tags(spark, path).getOrElse(name, sys.error(
+          s"graft-manifest: no tag '$name' at $path — existing: " +
+            ManifestTable.tags(spark, path).keys.toSeq.sorted
+              .mkString(", ")))
       })
       .getOrElse(
         ManifestTable.latestVersion(spark, path).getOrElse(sys.error(

@@ -195,6 +195,31 @@ class ManifestStreamSpec extends AnyFunSuite {
         s"${batches.toMap}")
   }
 
+  test("maxBytesPerTrigger sizes batches from recorded file sizes") {
+    val tmp = Files.createTempDirectory("graft-mfbyterate").toString
+    val t = s"$tmp/table"
+    // 4 equal-size commits; cap at just over two commits' bytes so
+    // the backlog drains as 2 batches of 2 commits
+    (0L until 4L).foreach(i => ManifestTable.append(spark,
+      (i * 10 until (i + 1) * 10).toDF("id"), t))
+    val perCommit = ManifestTable.entriesOf(spark, t, 1L)
+      .flatMap(_.files).map(_.values.sum).sum
+    val batches =
+      new scala.collection.concurrent.TrieMap[Long, Long]()
+    val q = spark.readStream.format("graft-manifest")
+      .option("maxBytesPerTrigger", (perCommit * 2 + 1).toString)
+      .load(t)
+      .writeStream.option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.put(id, b.count()); ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches.toMap == Map(0L -> 20L, 1L -> 20L),
+      s"expected 2 byte-capped batches of 2 commits, got " +
+        s"${batches.toMap}")
+  }
+
   test("sink bloomCols: streaming-ingested dirs record Bloom filters; vacuum cadence reports") {
     implicit val sq = spark.sqlContext
     val tmp = Files.createTempDirectory("graft-mfsinkbloom").toString

@@ -42,6 +42,23 @@ class ManifestWapSpec extends AnyFunSuite {
     intercept[Exception](ManifestTable.createTag(spark, t, "x", 99L))
   }
 
+  test("tagAsOf: SQL time travel by name, mutually exclusive with version") {
+    val t = tmp("graft-tag-sql")
+    ManifestTable.append(spark, Seq(1L).toDF("id"), t)
+    ManifestTable.createTag(spark, t, "baseline", 1L)
+    ManifestTable.append(spark, Seq(2L).toDF("id"), t)
+    val pinned = spark.read.format("graft-manifest")
+      .option("tagAsOf", "baseline").load(t)
+    assert(ids(pinned) == Seq(1L))
+    assert(ids(spark.read.format("graft-manifest").load(t)) ==
+      Seq(1L, 2L))
+    intercept[Exception](spark.read.format("graft-manifest")
+      .option("tagAsOf", "nope").load(t))
+    intercept[Exception](spark.read.format("graft-manifest")
+      .option("tagAsOf", "baseline").option("versionAsOf", "2")
+      .load(t))
+  }
+
   test("staged candidate: invisible, auditable, vacuum-safe, publishable") {
     val t = tmp("graft-wap")
     ManifestTable.append(spark, Seq(1L, 2L).toDF("id"), t,
