@@ -611,6 +611,65 @@ object ManifestTable {
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
   }
 
+  /** One-row DESCRIBE DETAIL: the table's current shape, resolved
+    * from metadata alone (zero data reads) — the operator's first
+    * question ("what IS this table?") answered in one call. Null
+    * file/row counts mean a pre-upgrade entry disqualified the exact
+    * fold, never a guess; `num_rows` counts physical rows (high by
+    * the pending tombstones until a rewrite materializes them,
+    * `num_pending_dv` says whether). */
+  def detail(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val v = latestVersion(spark, path).getOrElse(sys.error(
+      s"ManifestTable.detail: no committed version at $path"))
+    val entries = entriesOf(spark, path, v)
+    val nFiles = entries.foldLeft(Option(0L)) { (acc, e) =>
+      for (a <- acc; f <- e.files) yield a + f.size }
+    val nBytes = entries.foldLeft(Option(0L)) { (acc, e) =>
+      for (a <- acc; f <- e.files) yield a + f.values.sum }
+    val nRows = entries.foldLeft(Option(0L)) { (acc, e) =>
+      for (a <- acc; r <- e.rows) yield a + r }
+    val (statsCols, bloomCols) = pruningOf(spark, path, v)
+    val row = org.apache.spark.sql.Row(
+      "graft-manifest", path, v,
+      versions(spark, path).size.toLong,
+      entries.size.toLong,
+      nFiles.map(Long.box).orNull,
+      nBytes.map(Long.box).orNull,
+      nRows.map(Long.box).orNull,
+      entries.flatMap(_.dv.keys).distinct.size.toLong,
+      partitionSpecOf(spark, path, v).map(_.render),
+      statsCols, bloomCols,
+      constraintsOf(spark, path, v).map(_._1),
+      tags(spark, path).keys.toSeq.sorted,
+      stagedNames(spark, path))
+    val schema = StructType(Seq(
+      StructField("format", StringType, nullable = false),
+      StructField("location", StringType, nullable = false),
+      StructField("version", LongType, nullable = false),
+      StructField("num_versions_retained", LongType, nullable = false),
+      StructField("num_dirs", LongType, nullable = false),
+      StructField("num_files", LongType, nullable = true),
+      StructField("size_bytes", LongType, nullable = true),
+      StructField("num_rows", LongType, nullable = true),
+      StructField("num_pending_dv", LongType, nullable = false),
+      StructField("partition_spec",
+        ArrayType(StringType, containsNull = false), nullable = false),
+      StructField("stats_cols",
+        ArrayType(StringType, containsNull = false), nullable = false),
+      StructField("bloom_cols",
+        ArrayType(StringType, containsNull = false), nullable = false),
+      StructField("constraints",
+        ArrayType(StringType, containsNull = false), nullable = false),
+      StructField("tags",
+        ArrayType(StringType, containsNull = false), nullable = false),
+      StructField("staged",
+        ArrayType(StringType, containsNull = false), nullable = false)))
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(Seq(row)).asJava,
+      schema)
+  }
+
   /** The snapshot a reader "as of" wall-clock `tsMillis` sees: the
     * LATEST retained version whose monotonized commit time is <=
     * `tsMillis` (Delta's TIMESTAMP AS OF rule). Loud when `tsMillis`
@@ -1108,13 +1167,19 @@ object ManifestTable {
     * partition in the manifest — the layout [[readPartitions]] prunes
     * and [[dropPartitions]] drops metadata-only. The spec persists as
     * table metadata; later appends inherit it (passing the same spec
-    * again is an idempotent no-op, a different one fails loudly). */
+    * again is an idempotent no-op, a different one fails loudly).
+    * `partitionFanout` round-robins the batch over that many write
+    * tasks (each writes one file per partition value it holds) — the
+    * knob for a batch whose biggest partition would otherwise funnel
+    * through one task, at up to fanout x the file count; the default
+    * 1 keeps the one-file-per-partition layout small batches want. */
   def append(spark: SparkSession, df: DataFrame, path: String,
       tag: Long = -1L, statsCols: Seq[String] = Nil,
       evolveSchema: Boolean = false,
       bloomCols: Seq[String] = Nil,
       retries: Int = 0,
-      partitionSpec: Seq[PartitionTransform] = Nil): Long = {
+      partitionSpec: Seq[PartitionTransform] = Nil,
+      partitionFanout: Int = 1): Long = {
     require(retries >= 0, s"append: retries must be >= 0, got $retries")
     var written: Option[Seq[Entry]] = None
     var writtenSpec: Option[String] = None
@@ -1153,7 +1218,8 @@ object ManifestTable {
               bloomCols))
           else {
             val pes = writePartitionedEntries(spark, df, path, v, tag,
-              statsCols, bloomCols, spec, provenance = Seq.empty)
+              statsCols, bloomCols, spec, provenance = Seq.empty,
+              fanout = partitionFanout)
             // an all-empty batch stages no partition dirs, but the
             // commit must still ride the tag (streaming watermark):
             // one file-less entry, exactly like the unpartitioned path
@@ -1210,11 +1276,13 @@ object ManifestTable {
   def appendIfFresh(spark: SparkSession, batch: DataFrame, path: String,
       batchId: Long, statsCols: Seq[String] = Nil, vacuumEvery: Int = 0,
       keepVersions: Int = 2, bloomCols: Seq[String] = Nil,
-      partitionSpec: Seq[PartitionTransform] = Nil): Boolean = {
+      partitionSpec: Seq[PartitionTransform] = Nil,
+      partitionFanout: Int = 1): Boolean = {
     val fresh = batchId > latestTag(spark, path)
     if (fresh) {
       append(spark, batch, path, tag = batchId, statsCols = statsCols,
-        bloomCols = bloomCols, partitionSpec = partitionSpec)
+        bloomCols = bloomCols, partitionSpec = partitionSpec,
+        partitionFanout = partitionFanout)
       if (vacuumEvery > 0 && batchId > 0 && batchId % vacuumEvery == 0) {
         // the cadence report a streaming operator alarms on: a
         // steadily climbing reap count means loser attempt dirs are
@@ -1268,8 +1336,9 @@ object ManifestTable {
       df: DataFrame, path: String, v: Long, tag: Long,
       statsCols: Seq[String], bloomCols: Seq[String],
       spec: Seq[PartitionTransform],
-      provenance: Seq[String]): Seq[Entry] = {
+      provenance: Seq[String], fanout: Int = 1): Seq[Entry] = {
     import org.apache.spark.sql.types.{StringType, StructField}
+    require(fanout >= 1, s"ManifestTable: fanout must be >= 1, got $fanout")
     val (fs, _) = fsOf(spark, path)
     val ptCols = spec.indices.map(i => s"_graft_pt_$i")
     ptCols.foreach(rc => require(!df.columns.contains(rc),
@@ -1283,16 +1352,27 @@ object ManifestTable {
     // repartition on the derived values: each partition's rows land
     // in one task -> one file per (commit, partition), the layout the
     // manifest wants (dir count = partition count, not x taskCount).
+    // `fanout > 1` ROUND-ROBINs the batch over exactly that many
+    // write tasks instead (Spark's round-robin repartition sorts
+    // locally first, so a retry stages the same split): every task
+    // writes one file per partition value it holds, so one HUGE or
+    // skewed partition spreads over up to `fanout` files while still
+    // landing in its one leaf dir — without it, a 100 TB day would
+    // funnel through a single write task. The trade is explicit:
+    // fanout buys write parallelism at up to fanout x the file count.
     // The staged value is URL-ENCODED so the directory name is pure
     // ASCII whatever the value holds — Hive's own escaping passes
     // non-ASCII through raw, which breaks on any filesystem/JVM whose
     // path charset isn't UTF-8; the manifest records the DECODED
     // value, so the encoding is invisible to every reader
-    spec.zip(ptCols).foldLeft(df) { case (d, (t, c)) =>
-        d.withColumn(c, url_encode(t.toExpr))
-      }
-      .repartition(ptCols.map(col): _*)
-      .write.partitionBy(ptCols: _*).mode("overwrite").parquet(staging)
+    val derived = spec.zip(ptCols).foldLeft(df) { case (d, (t, c)) =>
+      d.withColumn(c, url_encode(t.toExpr))
+    }
+    val spread =
+      if (fanout == 1) derived.repartition(ptCols.map(col): _*)
+      else derived.repartition(fanout)
+    spread.write.partitionBy(ptCols: _*).mode("overwrite")
+      .parquet(staging)
     // grouped restat with an EXPLICIT schema: partition-column type
     // inference would otherwise re-type a derived value (a "007"
     // prefix becomes int 7) and the recorded partition value would no
@@ -1385,7 +1465,7 @@ object ManifestTable {
     * committed version. */
   def overwrite(spark: SparkSession, df: DataFrame, path: String,
       tag: Long = -1L, statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Long = {
+      bloomCols: Seq[String] = Nil, partitionFanout: Int = 1): Long = {
     val prev = latestVersion(spark, path)
     val v = prev.map(_ + 1).getOrElse(1L)
     // an overwrite replaces CONTENT, never identity: the table's
@@ -1399,7 +1479,8 @@ object ManifestTable {
           bloomCols))
       else {
         val pes = writePartitionedEntries(spark, df, path, v, tag,
-          statsCols, bloomCols, spec, provenance = Seq.empty)
+          statsCols, bloomCols, spec, provenance = Seq.empty,
+          fanout = partitionFanout)
         if (pes.nonEmpty) pes
         else Seq(writeDirEntry(spark, df.limit(0), path, v, tag,
           statsCols, bloomCols))
@@ -1738,7 +1819,7 @@ object ManifestTable {
     * committed version (or the current one when there is nothing to
     * rewrite). */
   def repartitionTable(spark: SparkSession, path: String,
-      retries: Int = 0): Long = {
+      retries: Int = 0, fanout: Int = 1): Long = {
     val (fs, _) = fsOf(spark, path)
     val prev = latestVersion(spark, path).getOrElse(sys.error(
       s"ManifestTable.repartitionTable: no committed version at $path"))
@@ -1759,7 +1840,7 @@ object ManifestTable {
     val tag = readable.map(_.tag).foldLeft(-1L)(math.max)
     val produced = writePartitionedEntries(spark, current, path,
       prev + 1, tag, statCols, bloomCols, spec,
-      provenance = readable.map(_.dir))
+      provenance = readable.map(_.dir), fanout = fanout)
     commitRewrite(spark, path, "repartition", prev, entries,
       entries.map(_.dir).toSet, produced, schema, Nil, Nil, retries,
       _ => true)

@@ -563,7 +563,8 @@ object ManifestFileIndex {
   * `Streams.manifestSinkWriter`. */
 final class ManifestStreamSink(path: String, statsCols: Seq[String],
     vacuumEvery: Int, keepVersions: Int, bloomCols: Seq[String] = Nil,
-    partitionSpec: Seq[graft.sinks.PartitionTransform] = Nil)
+    partitionSpec: Seq[graft.sinks.PartitionTransform] = Nil,
+    partitionFanout: Int = 1)
     extends org.apache.spark.sql.execution.streaming.Sink {
 
   override def addBatch(batchId: Long,
@@ -575,7 +576,7 @@ final class ManifestStreamSink(path: String, statsCols: Seq[String],
     ManifestTable.appendIfFresh(data.sparkSession,
       org.apache.spark.sql.GraftSqlBridge.batchFrame(data), path,
       batchId, statsCols, vacuumEvery, keepVersions, bloomCols,
-      partitionSpec)
+      partitionSpec, partitionFanout)
     ()
   }
 
@@ -794,6 +795,10 @@ final class GraftManifestSource extends RelationProvider
     val partSpec =
       if (specOpt.nonEmpty) specOpt
       else partitionColumns.map(graft.sinks.PartitionTransform.PIdentity)
+    // spreads one huge/skewed partition over up to N write tasks per
+    // batch (row-content-salted, still one leaf dir per value)
+    val partFanout = parameters.get("partitionFanout").map(_.toInt)
+      .getOrElse(1)
     val statsCols = parameters.get("statsCols")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
@@ -806,7 +811,7 @@ final class GraftManifestSource extends RelationProvider
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
     new ManifestStreamSink(path, statsCols, vacuumEvery, keepVersions,
-      bloomCols, partSpec)
+      bloomCols, partSpec, partFanout)
   }
 
   /** `spark.readStream.format("graft-manifest").load(tablePath)` —

@@ -355,6 +355,29 @@ class ManifestPartitionSpec extends AnyFunSuite {
     assert(q2.collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("partitionFanout spreads a partition over several files, one dir") {
+    val t = tmp("graft-part-fan")
+    val df = (1L to 200L).map(i => (i, "en")).toDF("id", "lang")
+    ManifestTable.append(spark, df, t, statsCols = Seq("id"),
+      partitionSpec = Seq(PIdentity("lang")), partitionFanout = 4)
+    val es = entries(t)
+    // still ONE partition-pure dir — but holding several files, so a
+    // huge/skewed partition is not one write task's problem
+    assert(es.size == 1 && es.head.partition("lang") == "en")
+    val nFiles = es.head.files.get.size
+    assert(nFiles == 4, s"expected 4 round-robin files, got $nFiles")
+    // stats/rows stayed exact through the fanout (grouped restat is
+    // per-partition, not per-file)
+    assert(es.head.rows.contains(200L) &&
+      es.head.statMin("id") == 1L && es.head.statMax("id") == 200L)
+    assert(ids(ManifestTable.read(spark, t)) == (1L to 200L))
+    // the round-robin split is deterministic (local sort first): a
+    // second identical append stages the identical file split
+    ManifestTable.append(spark, df, t, partitionFanout = 4)
+    val e2 = entries(t).filterNot(_.dir == es.head.dir).head
+    assert(e2.files.get.size == nFiles)
+  }
+
   test("special characters in partition values survive the dir round-trip") {
     val t = tmp("graft-part-esc")
     val vals = Seq("a:b", "c/d", "e f", "g=h", "ümlaut")

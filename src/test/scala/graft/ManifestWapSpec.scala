@@ -128,6 +128,32 @@ class ManifestWapSpec extends AnyFunSuite {
     assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 5L, 10L))
   }
 
+  test("detail() describes the table from metadata alone") {
+    val t = tmp("graft-detail")
+    ManifestTable.append(spark,
+      Seq((1L, "en"), (2L, "de")).toDF("id", "lang"), t,
+      statsCols = Seq("id"), bloomCols = Seq("id"),
+      partitionSpec =
+        Seq(graft.sinks.PartitionTransform.PIdentity("lang")))
+    ManifestTable.addConstraint(spark, t, "id_pos", "id > 0")
+    ManifestTable.createTag(spark, t, "r1", 1L)
+    ManifestTable.stageAppend(spark, Seq((3L, "fr")).toDF("id", "lang"),
+      t, "pending")
+    val d = ManifestTable.detail(spark, t).head()
+    assert(d.getAs[String]("format") == "graft-manifest")
+    assert(d.getAs[Long]("num_dirs") == 2L &&
+      d.getAs[Long]("num_rows") == 2L)
+    def arr(c: String): Seq[String] =
+      d.getAs[scala.collection.Seq[String]](c).toSeq
+    assert(arr("partition_spec") == Seq("identity:lang"))
+    assert(arr("stats_cols") == Seq("id") &&
+      arr("bloom_cols") == Seq("id"))
+    assert(arr("constraints") == Seq("id_pos"))
+    assert(arr("tags") == Seq("r1"))
+    assert(arr("staged") == Seq("pending"))
+    ManifestTable.abandonStaged(spark, t, "pending")
+  }
+
   test("WAP on a partitioned table stages partition-pure dirs") {
     val t = tmp("graft-wap-part")
     ManifestTable.append(spark,
