@@ -1336,7 +1336,8 @@ object ManifestTable {
       df: DataFrame, path: String, v: Long, tag: Long,
       statsCols: Seq[String], bloomCols: Seq[String],
       spec: Seq[PartitionTransform],
-      provenance: Seq[String], fanout: Int = 1): Seq[Entry] = {
+      provenance: Seq[String], fanout: Int = 1,
+      sortWithin: Seq[String] = Nil): Seq[Entry] = {
     import org.apache.spark.sql.types.{StringType, StructField}
     require(fanout >= 1, s"ManifestTable: fanout must be >= 1, got $fanout")
     val (fs, _) = fsOf(spark, path)
@@ -1371,7 +1372,16 @@ object ManifestTable {
     val spread =
       if (fanout == 1) derived.repartition(ptCols.map(col): _*)
       else derived.repartition(fanout)
-    spread.write.partitionBy(ptCols: _*).mode("overwrite")
+    // optional within-partition clustering: rows sorted by
+    // (partition, sortWithin) inside each write task, so every
+    // staged file is internally ordered on the sort key — parquet
+    // footer (row-group) pruning then composes with the dir-level
+    // partition pruning, the Z-order idea one level down
+    val ordered =
+      if (sortWithin.isEmpty) spread
+      else spread.sortWithinPartitions(
+        (ptCols ++ sortWithin).map(col): _*)
+    ordered.write.partitionBy(ptCols: _*).mode("overwrite")
       .parquet(staging)
     // grouped restat with an EXPLICIT schema: partition-column type
     // inference would otherwise re-type a derived value (a "007"
@@ -1813,13 +1823,18 @@ object ManifestTable {
     * produced partition-blind dirs ([[cluster]]/[[clusterZ]], a
     * pre-spec migration), and it IS the partitioned table's
     * compaction: per partition, k small commit dirs fold into one.
+    * `sortWithin` additionally sorts rows inside each partition's
+    * files (OPTIMIZE's one-dimensional within-partition cousin), so
+    * parquet row-group pruning on those columns composes with the
+    * dir-level partition pruning.
     * Like compact it is a metadata swap — old snapshots keep reading
     * their original dirs until [[vacuum]] — and it has no row-level
     * effect, so concurrent appends rebase safely. Returns the
     * committed version (or the current one when there is nothing to
     * rewrite). */
   def repartitionTable(spark: SparkSession, path: String,
-      retries: Int = 0, fanout: Int = 1): Long = {
+      retries: Int = 0, fanout: Int = 1,
+      sortWithin: Seq[String] = Nil): Long = {
     val (fs, _) = fsOf(spark, path)
     val prev = latestVersion(spark, path).getOrElse(sys.error(
       s"ManifestTable.repartitionTable: no committed version at $path"))
@@ -1840,7 +1855,8 @@ object ManifestTable {
     val tag = readable.map(_.tag).foldLeft(-1L)(math.max)
     val produced = writePartitionedEntries(spark, current, path,
       prev + 1, tag, statCols, bloomCols, spec,
-      provenance = readable.map(_.dir), fanout = fanout)
+      provenance = readable.map(_.dir), fanout = fanout,
+      sortWithin = sortWithin)
     commitRewrite(spark, path, "repartition", prev, entries,
       entries.map(_.dir).toSet, produced, schema, Nil, Nil, retries,
       _ => true)

@@ -355,6 +355,29 @@ class ManifestPartitionSpec extends AnyFunSuite {
     assert(q2.collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("repartitionTable(sortWithin) orders rows inside each partition") {
+    val t = tmp("graft-part-sort")
+    // interleaved ids per lang across 3 commits
+    (0 until 3).foreach { i =>
+      ManifestTable.append(spark,
+        (0L until 30L).filter(_ % 3 == i)
+          .map(x => (x, if (x % 2 == 0) "a" else "b")).toDF("id", "par"),
+        t, statsCols = Seq("id"),
+        partitionSpec = Seq(PIdentity("par")))
+    }
+    ManifestTable.repartitionTable(spark, t, sortWithin = Seq("id"))
+    val es = entries(t).filter(_.files.exists(_.nonEmpty))
+    assert(es.size == 2 && es.forall(_.partition.contains("par")))
+    // every file is internally sorted on id (read back per dir
+    // without shuffle: file order == parquet row order)
+    es.foreach { e =>
+      val got = spark.read.parquet(s"$t/data/${e.dir}")
+        .select("id").as[Long].collect().toSeq
+      assert(got == got.sorted, s"dir ${e.dir} not id-ordered: $got")
+    }
+    assert(ids(ManifestTable.read(spark, t)) == (0L until 30L))
+  }
+
   test("partitionFanout spreads a partition over several files, one dir") {
     val t = tmp("graft-part-fan")
     val df = (1L to 200L).map(i => (i, "en")).toDF("id", "lang")
