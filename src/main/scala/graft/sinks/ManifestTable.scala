@@ -1412,25 +1412,47 @@ object ManifestTable {
     def decoded(enc: String): String =
       if (enc == PartitionTransform.NullValue) enc
       else java.net.URLDecoder.decode(enc, "UTF-8")
-    val out = leaves(new org.apache.hadoop.fs.Path(staging), 0)
-      .map { case (leaf, encs) =>
-        val dirName = attemptDirName(v)
-        val target = s"$path/data/$dirName"
-        require(fs.rename(leaf,
-          new org.apache.hadoop.fs.Path(target)),
-          s"ManifestTable: could not promote partition dir $leaf")
-        val ((mins, maxes, sMins, sMaxes, nulls), nRows) =
-          restats.getOrElse(encs, (NoStats, 0L))
-        val (blooms, strBlooms) = bloomsOf(spark, target, bloomCols)
-        val fl = listDataFilesOf(fs, target)
-        Entry(dirName, tag, mins, maxes, provenance, sMins, sMaxes,
-          blooms, files = Some(fl), strBloom = strBlooms,
-          rows = if (restats.contains(encs)) Some(nRows)
-            else rowsOf(spark, target, fl),
-          nullCnt = nulls,
-          // ...and the url-encoding is undone second: the manifest
-          // records the transform's RAW derived value
-          partition = spec.map(_.field).zip(encs.map(decoded)).toMap)
+    def promote(leaf: org.apache.hadoop.fs.Path,
+        encs: List[String]): Entry = {
+      val dirName = attemptDirName(v)
+      val target = s"$path/data/$dirName"
+      require(fs.rename(leaf,
+        new org.apache.hadoop.fs.Path(target)),
+        s"ManifestTable: could not promote partition dir $leaf")
+      val ((mins, maxes, sMins, sMaxes, nulls), nRows) =
+        restats.getOrElse(encs, (NoStats, 0L))
+      val (blooms, strBlooms) = bloomsOf(spark, target, bloomCols)
+      val fl = listDataFilesOf(fs, target)
+      Entry(dirName, tag, mins, maxes, provenance, sMins, sMaxes,
+        blooms, files = Some(fl), strBloom = strBlooms,
+        rows = if (restats.contains(encs)) Some(nRows)
+          else rowsOf(spark, target, fl),
+        nullCnt = nulls,
+        // ...and the url-encoding is undone second: the manifest
+        // records the transform's RAW derived value
+        partition = spec.map(_.field).zip(encs.map(decoded)).toMap)
+    }
+    // promotion is per-leaf independent (unique target names, one
+    // FS rename + at most one small Bloom-build job each) — run it
+    // on a bounded pool instead of a serial driver loop, which would
+    // pay one job latency PER PARTITION when blooms are requested
+    // (the same k-serialized-round-trips shape merge's rewrite
+    // already eliminated). Order is re-established by sequence.
+    val leafSeq = leaves(new org.apache.hadoop.fs.Path(staging), 0)
+    val out =
+      if (leafSeq.size <= 1 || bloomCols.isEmpty)
+        leafSeq.map { case (l, e) => promote(l, e) }
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, leafSeq.size))
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutorService(pool)
+        try Await.result(
+          Future.sequence(leafSeq.map { case (l, e) =>
+            Future(promote(l, e)) }),
+          scala.concurrent.duration.Duration.Inf)
+        finally pool.shutdown()
       }
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     out

@@ -355,6 +355,21 @@ class ManifestPartitionSpec extends AnyFunSuite {
     assert(q2.collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("partitioned append with bloomCols: per-dir filters via parallel promotion") {
+    val t = tmp("graft-part-bloom")
+    val df = (1L to 60L).map(i => (i, s"p${i % 5}")).toDF("id", "par")
+    ManifestTable.append(spark, df, t, statsCols = Seq("id"),
+      bloomCols = Seq("id"), partitionSpec = Seq(PIdentity("par")))
+    val es = entries(t)
+    assert(es.size == 5 && es.forall(_.bloom.contains("id")))
+    // no-false-negative sweep: every key's own dir passes its filter
+    (1L to 60L).foreach { k =>
+      val home = es.find(_.partition("par") == s"p${k % 5}").get
+      assert(home.mightContainPoint("id", k), s"bloom lost key $k")
+    }
+    assert(ids(ManifestTable.read(spark, t)) == (1L to 60L))
+  }
+
   test("repartitionTable(sortWithin) orders rows inside each partition") {
     val t = tmp("graft-part-sort")
     // interleaved ids per lang across 3 commits
