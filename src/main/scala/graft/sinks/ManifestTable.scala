@@ -921,39 +921,51 @@ object ManifestTable {
     scala.util.Try {
       statsByKeys(spark.read.parquet(staging),
         Seq(col(srcCol).cast("string")), cols)
-        .map { case (k, v) => k.head -> v }
+        .map { case (k, (st, n, _)) => k.head -> ((st, n)) }
     }.getOrElse(Map.empty)
 
   /** The grouped-restat core shared by [[statsBySrc]] (rewrites,
     * keyed by source dir) and the partitioned write path (keyed by
     * the derived partition values): ONE Spark job computes every
-    * group's min/max, null counts, and exact row count. Null group
-    * keys surface as [[PartitionTransform.NullValue]] so a key tuple
-    * is always fully-populated strings. */
+    * group's min/max, null counts, exact row count, and any `extras`
+    * (stringified per-group MINs — the partitioned path recovers each
+    * group's exact derived partition value this way, since a pure
+    * group's min IS its one value). Null group keys surface as
+    * [[PartitionTransform.NullValue]] so a key tuple is always
+    * fully-populated strings; a null extra surfaces as None. */
   private def statsByKeys(df: DataFrame, keys: Seq[org.apache.spark.sql
-      .Column], cols: Seq[String]): Map[Seq[String], (Stats, Long)] = {
+      .Column], cols: Seq[String],
+      extras: Seq[org.apache.spark.sql.Column] = Nil)
+      : Map[Seq[String], (Stats, Long, Seq[Option[String]])] = {
     val nKeys = keys.size
+    val nEx = extras.size
     val inDf = cols.filter(df.columns.contains)
     val isStr = inDf.map(c => c ->
       (df.schema(c).dataType == org.apache.spark.sql.types.StringType))
       .toMap
     val bounded = inDf.filter(c =>
       isStr(c) || isIntegral(df.schema(c).dataType))
-    val aggs = count(lit(1)) +: (inDf.map(c => count(col(c))) ++
-      bounded.flatMap(c =>
-        if (isStr(c)) Seq(min(col(c)), max(col(c)))
-        else Seq(min(col(c).cast("long")), max(col(c).cast("long")))))
+    val aggs = count(lit(1)) +:
+      (extras.map(e => min(e.cast("string"))) ++
+        inDf.map(c => count(col(c))) ++
+        bounded.flatMap(c =>
+          if (isStr(c)) Seq(min(col(c)), max(col(c)))
+          else Seq(min(col(c).cast("long")), max(col(c).cast("long")))))
     val keyed = keys.zipWithIndex.map { case (k, i) =>
       coalesce(k, lit(PartitionTransform.NullValue)).as(s"__k$i")
     }
     df.groupBy(keyed: _*).agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>
         val total = r.getLong(nKeys)
+        val exVals = (0 until nEx).map(i =>
+          if (r.isNullAt(nKeys + 1 + i)) None
+          else Some(r.getString(nKeys + 1 + i)))
+        val cBase = nKeys + 1 + nEx
         val nulls = inDf.zipWithIndex.map { case (c, i) =>
-          c -> (total - r.getLong(nKeys + 1 + i))
+          c -> (total - r.getLong(cBase + i))
         }.toMap ++
           cols.filterNot(df.columns.contains).map(c => c -> total)
-        val base = nKeys + 1 + inDf.size
+        val base = cBase + inDf.size
         val stats = bounded.zipWithIndex.foldLeft(
           (Map.empty[String, Long], Map.empty[String, Long],
             Map.empty[String, String], Map.empty[String, String],
@@ -966,7 +978,7 @@ object ManifestTable {
             (lm + (c -> r.getLong(base + 2 * i)),
               lx + (c -> r.getLong(base + 2 * i + 1)), sm, sx, nc)
         }
-        (0 until nKeys).map(r.getString).toSeq -> (stats, total)
+        (0 until nKeys).map(r.getString).toSeq -> ((stats, total, exVals))
       }.toMap
   }
 
@@ -1366,8 +1378,22 @@ object ManifestTable {
     // non-ASCII through raw, which breaks on any filesystem/JVM whose
     // path charset isn't UTF-8; the manifest records the DECODED
     // value, so the encoding is invisible to every reader
+    // long values would overflow the filesystem's 255-byte name
+    // limit once url-encoding (and Hive's escaping of '%' on top)
+    // expands them — past 80 encoded chars the dir name switches to
+    // prefix~sha256-abbrev. The dir name is then only a grouping KEY;
+    // the exact value is recovered from the grouped restat below
+    // ('~' cannot appear in url_encode output, so the marker is
+    // unambiguous). Short values stay readable in the dir name.
+    def safeName(e: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column = {
+      val enc = url_encode(e)
+      when(length(enc) <= 80, enc)
+        .otherwise(concat(substring(enc, 1, 40), lit("~"),
+          substring(sha2(enc, 256), 1, 32)))
+    }
     val derived = spec.zip(ptCols).foldLeft(df) { case (d, (t, c)) =>
-      d.withColumn(c, url_encode(t.toExpr))
+      d.withColumn(c, safeName(t.toExpr))
     }
     val spread =
       if (fanout == 1) derived.repartition(ptCols.map(col): _*)
@@ -1389,10 +1415,14 @@ object ManifestTable {
     // longer equal the transform's derivation — string, always
     val readSchema = StructType(df.schema.fields ++
       ptCols.map(c => StructField(c, StringType, nullable = true)))
+    // extras recover each group's exact derived value (pure group ->
+    // min == the value), so the manifest never depends on decoding a
+    // possibly-abbreviated dir name
     val restats = scala.util.Try {
       statsByKeys(spark.read.schema(readSchema).parquet(staging),
-        ptCols.map(col), statsCols)
-    }.getOrElse(Map.empty[Seq[String], (Stats, Long)])
+        ptCols.map(col), statsCols, extras = spec.map(_.toExpr))
+    }.getOrElse(
+      Map.empty[Seq[String], (Stats, Long, Seq[Option[String]])])
     def leaves(p: org.apache.hadoop.fs.Path,
         level: Int): Seq[(org.apache.hadoop.fs.Path, List[String])] =
       if (level == ptCols.size) Seq((p, Nil))
@@ -1409,9 +1439,6 @@ object ManifestTable {
           leaves(st.getPath, level + 1)
             .map { case (lp, rest) => (lp, enc :: rest) }
         }
-    def decoded(enc: String): String =
-      if (enc == PartitionTransform.NullValue) enc
-      else java.net.URLDecoder.decode(enc, "UTF-8")
     def promote(leaf: org.apache.hadoop.fs.Path,
         encs: List[String]): Entry = {
       val dirName = attemptDirName(v)
@@ -1419,8 +1446,23 @@ object ManifestTable {
       require(fs.rename(leaf,
         new org.apache.hadoop.fs.Path(target)),
         s"ManifestTable: could not promote partition dir $leaf")
-      val ((mins, maxes, sMins, sMaxes, nulls), nRows) =
-        restats.getOrElse(encs, (NoStats, 0L))
+      val ((mins, maxes, sMins, sMaxes, nulls), nRows, exVals) =
+        restats.getOrElse(encs, (NoStats, 0L, Seq.empty))
+      // the recorded value comes from the restat's per-group min
+      // (exact: the group is pure); the dir-name decode is only the
+      // fallback for a failed restat, and an ABBREVIATED name with no
+      // restat leaves the field unrecorded — the dir reads partition-
+      // blind (exact, just unpruned) rather than guessing
+      val values: Seq[Option[String]] =
+        if (exVals.size == spec.size)
+          exVals.map(ov =>
+            Some(ov.getOrElse(PartitionTransform.NullValue)))
+        else encs.map {
+          case PartitionTransform.NullValue =>
+            Some(PartitionTransform.NullValue)
+          case e if e.contains('~') => None
+          case e => Some(java.net.URLDecoder.decode(e, "UTF-8"))
+        }
       val (blooms, strBlooms) = bloomsOf(spark, target, bloomCols)
       val fl = listDataFilesOf(fs, target)
       Entry(dirName, tag, mins, maxes, provenance, sMins, sMaxes,
@@ -1428,9 +1470,9 @@ object ManifestTable {
         rows = if (restats.contains(encs)) Some(nRows)
           else rowsOf(spark, target, fl),
         nullCnt = nulls,
-        // ...and the url-encoding is undone second: the manifest
-        // records the transform's RAW derived value
-        partition = spec.map(_.field).zip(encs.map(decoded)).toMap)
+        partition = spec.map(_.field).zip(values).collect {
+          case (f, Some(pv)) => f -> pv
+        }.toMap)
     }
     // promotion is per-leaf independent (unique target names, one
     // FS rename + at most one small Bloom-build job each) — run it

@@ -19,6 +19,39 @@ class PropertySpec extends AnyFunSuite {
       g.apply(params, rng.Seed(42L + i)).toSeq)
   }
 
+  test("partition values round-trip for arbitrary unicode strings") {
+    // the encoding-stack property: a derived partition value passes
+    // through url_encode (staging column), Hive path escaping (the
+    // dir name partitionBy writes), our unescapePathValue, and
+    // URLDecoder — for ANY string the manifest must record the exact
+    // original, and readPartitions must address it. One append, one
+    // entry per distinct value, one Spark job.
+    val gen = Gen.oneOf(
+      Gen.asciiPrintableStr.suchThat(_.nonEmpty),
+      Gen.nonEmptyListOf(Gen.oneOf(Seq(
+        "a", "%", "/", ":", "=", " ", "+", "#", "?", "\t",
+        "\u00fc", "\u4e2d", "\ud83d\ude42", "\u00a0"))).map(_.mkString))
+    val vals = samples(gen, 24).distinct
+      .filter(v => v.nonEmpty && v != "__HIVE_DEFAULT_PARTITION__")
+    assert(vals.size > 10, s"generator produced too few: $vals")
+    val t = s"${java.nio.file.Files
+      .createTempDirectory("graft-pprop")}/t"
+    graft.sinks.ManifestTable.append(spark,
+      vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "par"),
+      t, partitionSpec =
+        Seq(graft.sinks.PartitionTransform.PIdentity("par")))
+    val recorded = graft.sinks.ManifestTable.entriesOf(spark, t, 1L)
+      .map(_.partition("par")).toSet
+    assert(recorded == vals.toSet,
+      s"lost: ${vals.toSet -- recorded}; extra: ${recorded -- vals.toSet}")
+    // each value individually addressable
+    vals.take(6).foreach { v =>
+      assert(graft.sinks.ManifestTable.readPartitions(spark, t,
+        Map("par" -> v)).count() == 1L, s"value '$v' unaddressable")
+    }
+  }
+
   test("manifest pruning parity: random commits, random probes, both surfaces") {
     // THE stats-layer property: for ANY table layout and ANY probe,
     // pruned-read + row-filter must equal full-read + row-filter —
