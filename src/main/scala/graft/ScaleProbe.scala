@@ -270,6 +270,60 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // part100: the hidden-partitioning claims one decade past the 10x
+    // probe (500k docs, 10 commits x 5 languages = 50 pure dirs). The
+    // number that matters: dropPartitions' wall must be FLAT from 10x
+    // to 100x — it is one manifest commit whatever the partition's
+    // bytes — while the data-path ops (ingest, repartition fold) grow
+    // linearly like any scan.
+    if (args.headOption.contains("part100")) {
+      val out100 = "/tmp/scale100docs"
+      if (!new java.io.File(s"$out100/documents.parquet").exists())
+        buildDocs100(out100)
+      val docs = Tables.documents(spark, out100)
+      val tp = "/tmp/scale100docs/docs_part"
+      val fsP = new org.apache.hadoop.fs.Path(tp)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fsP.delete(new org.apache.hadoop.fs.Path(tp), true)
+      val tb = System.nanoTime()
+      (0 until 10).foreach { i =>
+        graft.sinks.ManifestTable.append(spark,
+          docs.filter(pmod(col("doc_id"), lit(10)) === i), tp,
+          statsCols = Seq("doc_id"),
+          partitionSpec = Seq(
+            graft.sinks.PartitionTransform.PIdentity("lang")))
+      }
+      val vB = graft.sinks.ManifestTable.latestVersion(spark, tp).get
+      val nDirs = graft.sinks.ManifestTable.entriesOf(spark, tp, vB)
+        .count(_.files.exists(_.nonEmpty))
+      println(f"TIME part100 ingest_10x " +
+        f"${(System.nanoTime() - tb) / 1e9}%.2f s ($nDirs pure dirs)")
+      val tr = System.nanoTime()
+      val enR = graft.sinks.ManifestTable.readPartitions(spark, tp,
+        Map("lang" -> "en"))
+      val enN = enR.agg(count(lit(1))).head().getLong(0)
+      println(f"TIME part100 read_one_lang " +
+        f"${(System.nanoTime() - tr) / 1e9}%.2f s " +
+        f"($enN rows, ${enR.inputFiles.length} of $nDirs files)")
+      val td = System.nanoTime()
+      val (_, nd) = graft.sinks.ManifestTable.dropPartitions(spark,
+        tp, Map("lang" -> "en"))
+      println(f"TIME part100 drop_metadata_only " +
+        f"${(System.nanoTime() - td) / 1e9}%.2f s " +
+        f"($nd dirs dropped, $enN rows unreferenced, zero moved)")
+      val tq = System.nanoTime()
+      graft.sinks.ManifestTable.repartitionTable(spark, tp,
+        sortWithin = Seq("doc_id"))
+      val vR = graft.sinks.ManifestTable.latestVersion(spark, tp).get
+      val nAfter = graft.sinks.ManifestTable.entriesOf(spark, tp, vR)
+        .count(_.files.exists(_.nonEmpty))
+      println(f"TIME part100 repartition_fold_sorted " +
+        f"${(System.nanoTime() - tq) / 1e9}%.2f s " +
+        f"(${nDirs - nd} dirs -> $nAfter, id-sorted within)")
+      fsP.delete(new org.apache.hadoop.fs.Path(tp), true)
+      spark.stop()
+      return
+    }
     // keyword100: the q122 inverted-index claim at 500k docs — one-off
     // posting build, then conjunctive keyword search via the index vs
     // the brute-force text scan (same answer asserted). The scan's
