@@ -245,6 +245,46 @@ object StreamBench {
     require(mfCount == mfRows, s"manifest sink row mismatch: $mfCount")
     println(f"""{"metric":"manifest_stream_rows_per_sec","value":${mfRows / mfSec}%.0f,"unit":"rows/sec","rows":$mfRows,"seconds":$mfSec%.2f,"batches":${mfBatchSec.size}}""")
     println(f"""{"metric":"manifest_batch_curve","unit":"sec/batch","late_vs_early":$mfRatio%.2f,"slope_ms_per_batch":$mfSlopeMs%.1f,"curve":[$mfCurveJson]}""")
+
+    // PARTITIONED manifest ingest: the same stream through the format
+    // sink with .partitionBy — each batch lands one pure dir per
+    // language (5x the dir count, one partitionBy-staged write + one
+    // grouped restat per batch). Expected shape: the same near-flat
+    // curve as the flat sink with a constant-factor offset; the
+    // payoff is that the table is dropPartitions-ready from batch 0.
+    val mpQueryName = "graft-streambench-manifest-part"
+    val mpBatchSec =
+      new java.util.concurrent.ConcurrentSkipListMap[Long, Double]()
+    val mpListener = batchListener(mpQueryName, mpBatchSec)
+    spark.streams.addListener(mpListener)
+    val t4 = System.nanoTime()
+    val mpq = mfSource
+      .withColumn("lang", concat(lit("l"),
+        pmod(col("doc_id"), lit(5)).cast("string")))
+      .writeStream.format("graft-manifest")
+      .option("checkpointLocation", s"$tmp/mfp_ckpt")
+      .option("statsCols", "doc_id")
+      .option("vacuumEvery", "10")
+      .partitionBy("lang")
+      .queryName(mpQueryName)
+      .trigger(Streams.drainTrigger).start(s"$tmp/mfp_table")
+    mpq.awaitTermination()
+    val mpSec = (System.nanoTime() - t4) / 1e9
+    spark.streams.removeListener(mpListener)
+    val (mpRatio, mpSlopeMs, mpCurveJson) = curveStats(mpBatchSec)
+    val mpCount = graft.sinks.ManifestTable
+      .read(spark, s"$tmp/mfp_table").count()
+    require(mpCount == mfRows,
+      s"partitioned manifest sink row mismatch: $mpCount")
+    val mpV = graft.sinks.ManifestTable
+      .latestVersion(spark, s"$tmp/mfp_table").get
+    require(graft.sinks.ManifestTable
+      .entriesOf(spark, s"$tmp/mfp_table", mpV)
+      .filter(_.files.exists(_.nonEmpty))
+      .forall(_.partition.contains("lang")),
+      "partitioned manifest sink produced a partition-blind dir")
+    println(f"""{"metric":"manifest_part_stream_rows_per_sec","value":${mfRows / mpSec}%.0f,"unit":"rows/sec","rows":$mfRows,"seconds":$mpSec%.2f,"batches":${mpBatchSec.size}}""")
+    println(f"""{"metric":"manifest_part_batch_curve","unit":"sec/batch","late_vs_early":$mpRatio%.2f,"slope_ms_per_batch":$mpSlopeMs%.1f,"curve":[$mpCurveJson]}""")
     spark.stop()
   }
 }
