@@ -2975,6 +2975,21 @@ object ManifestTable {
       val v = prev.map(_ + 1).getOrElse(1L)
       val prevEntries = prev.map(pv => entriesOf(spark, path, pv))
         .getOrElse(Seq.empty)
+      // crash-window idempotence: a publish that committed but died
+      // before consuming the staged set must not double-append on
+      // retry — if any staged dir is already referenced by the
+      // current snapshot, THIS set was published; consume and return
+      // the version that holds it (dir names are attempt-unique, so
+      // presence is proof of this exact candidate, never a twin's)
+      val already = es.map(_.dir).toSet
+        .intersect(prevEntries.map(_.dir).toSet)
+      if (already.nonEmpty) {
+        require(already == es.map(_.dir).toSet,
+          s"ManifestTable.publish($path, $name): staged set partially " +
+            "published — corrupt state, resolve manually")
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        return prev.get
+      }
       val schema = prev.flatMap(pv => schemaOf(spark, path, pv)) match {
         case Some(table) => compatibleSchema(stagedSchema, table,
           evolveSchema, s"ManifestTable.publish($path, $name)")

@@ -799,6 +799,9 @@ final class GraftManifestSource extends RelationProvider
     // batch (row-content-salted, still one leaf dir per value)
     val partFanout = parameters.get("partitionFanout").map(_.toInt)
       .getOrElse(1)
+    require(partFanout >= 1,
+      s"graft-manifest sink: partitionFanout must be >= 1, got " +
+        s"$partFanout")
     val statsCols = parameters.get("statsCols")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)

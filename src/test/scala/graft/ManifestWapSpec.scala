@@ -128,6 +128,33 @@ class ManifestWapSpec extends AnyFunSuite {
     assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 5L, 10L))
   }
 
+  test("publish is idempotent across the commit/consume crash window") {
+    val t = tmp("graft-wap-crash")
+    ManifestTable.append(spark, Seq(1L).toDF("id"), t)
+    ManifestTable.stageAppend(spark, Seq(2L, 3L).toDF("id"), t, "c")
+    // simulate the crash: snapshot the staged set, publish (which
+    // consumes it), then restore the staged dir as the crashed
+    // process would have left it
+    val stagedDir = s"$t/staged/c"
+    val copy = s"$t/.staged-copy"
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val conf = spark.sessionState.newHadoopConf()
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(stagedDir), fs,
+      new org.apache.hadoop.fs.Path(copy), false, conf)
+    val v = ManifestTable.publish(spark, t, "c")
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(copy), fs,
+      new org.apache.hadoop.fs.Path(stagedDir), false, conf)
+    fs.delete(new org.apache.hadoop.fs.Path(copy), true)
+    // the retry consumes the leftover set WITHOUT double-appending
+    assert(ManifestTable.publish(spark, t, "c") == v)
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L, 3L))
+    assert(ManifestTable.stagedNames(spark, t).isEmpty)
+    assert(ManifestTable.latestVersion(spark, t).contains(v))
+  }
+
   test("detail() describes the table from metadata alone") {
     val t = tmp("graft-detail")
     ManifestTable.append(spark,
