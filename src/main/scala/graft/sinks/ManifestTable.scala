@@ -2895,8 +2895,21 @@ object ManifestTable {
       tmp, "_graft_schema.json"), df.schema.json)
     writeSideFile(fs, new org.apache.hadoop.fs.Path(
       tmp, "_graft_pruning"), pruningBody(statsCols, bloomCols))
+    // same publish discipline as commit(): success is "the staged
+    // set at the final path is OURS", verified by attempt-id
+    // read-back — on filesystems where rename(src, existing-dir)
+    // moves src INSIDE the destination and returns true, the naive
+    // exists+rename would report success on a name we lost
+    val attemptId = java.util.UUID.randomUUID.toString
+    writeSideFile(fs, new org.apache.hadoop.fs.Path(
+      tmp, "_graft_attempt"), attemptId)
     val fin = new org.apache.hadoop.fs.Path(s"$path/staged/$name")
-    if (fs.exists(fin) || !fs.rename(tmp, fin)) {
+    val renamed = !fs.exists(fin) && fs.rename(tmp, fin)
+    val staged = renamed && readSideFile(fs,
+      new org.apache.hadoop.fs.Path(fin, "_graft_attempt"))
+      .contains(attemptId)
+    if (!staged) {
+      fs.delete(new org.apache.hadoop.fs.Path(fin, tmp.getName), true)
       fs.delete(tmp, true)
       sys.error(s"ManifestTable.stageAppend: candidate '$name' " +
         s"already exists at $path — publish or abandon it first " +
