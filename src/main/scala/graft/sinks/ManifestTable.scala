@@ -1072,12 +1072,14 @@ object ManifestTable {
     * its dir) — the missing-column tolerance every micro-batch
     * ingest needs. Returns the schema to persist with the commit. */
   private def compatibleSchema(batch: StructType, table: StructType,
-      evolve: Boolean, ctx: String): StructType = {
+      evolve: Boolean, ctx: String,
+      allowWidening: Boolean = false): StructType = {
     val byName = table.fields.map(f => f.name -> f).toMap
     val fresh = batch.fields.filter(f => !byName.contains(f.name))
     batch.fields.foreach { f =>
       byName.get(f.name).foreach { tf =>
-        require(tf.dataType.catalogString == f.dataType.catalogString,
+        require(tf.dataType.catalogString == f.dataType.catalogString ||
+            (allowWidening && widens(f.dataType, tf.dataType)),
           s"$ctx: column '${f.name}' has type " +
             s"${f.dataType.catalogString} but the table schema says " +
             s"${tf.dataType.catalogString} — type changes are not " +
@@ -1090,6 +1092,43 @@ object ManifestTable {
         " not in the table schema — pass evolveSchema to evolve the " +
         "table additively, or drop them")
     StructType(table.fields ++ fresh.map(_.copy(nullable = true)))
+  }
+
+  /** The value-preserving implicit up-casts a write boundary may
+    * apply (integral chain + float->double): every value converts
+    * losslessly, so casting the BATCH to the table's type — never
+    * the reverse — cannot change what a row means. Anything else
+    * (narrowing, long->double, string<->number) stays a loud error:
+    * those change values or semantics. */
+  private def widens(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
+  /** Cast the batch's widenable columns to the table's types (see
+    * [[widens]]) so the WRITTEN files carry exactly the table's
+    * physical types — the persisted-schema read never depends on the
+    * parquet reader's own conversion support. Identity when nothing
+    * needs widening. */
+  private def alignToTable(df: DataFrame, table: StructType): DataFrame = {
+    val byName = table.fields.map(f => f.name -> f).toMap
+    val needs = df.schema.fields.exists(f =>
+      byName.get(f.name).exists(tf =>
+        tf.dataType != f.dataType && widens(f.dataType, tf.dataType)))
+    if (!needs) df
+    else df.select(df.schema.fields.map { f =>
+      byName.get(f.name) match {
+        case Some(tf) if widens(f.dataType, tf.dataType) =>
+          col(f.name).cast(tf.dataType).as(f.name)
+        case _ => col(f.name)
+      }
+    }.toSeq: _*)
   }
 
   /** The two per-type Bloom maps of one written dir:
@@ -1154,7 +1193,11 @@ object ManifestTable {
     * filter pushdown) to skip whole dirs from the manifest alone.
     * The batch schema is enforced against the table's
     * ([[compatibleSchema]]; `evolveSchema` opts into additive
-    * evolution). Returns the committed version.
+    * evolution; value-preserving WIDENING mismatches — an int batch
+    * into a long table, float into double — are accepted and cast
+    * before writing, so the files always carry the table's physical
+    * types; anything else stays loud). Returns the committed
+    * version.
     *
     * Concurrency: with `retries = 0` (default) the table is
     * single-writer — a violated contract costs the loser a loud
@@ -1207,9 +1250,14 @@ object ManifestTable {
       // anything else fails loudly here rather than committing a fork
       val schema = prev.flatMap(pv => schemaOf(spark, path, pv)) match {
         case Some(table) => compatibleSchema(df.schema, table,
-          evolveSchema, s"ManifestTable.append($path)")
+          evolveSchema, s"ManifestTable.append($path)",
+          allowWidening = true)
         case None => df.schema // fresh table (or pre-sidecar manifest)
       }
+      // widenable batch columns (int into a long table) cast to the
+      // table's types BEFORE writing — the files always carry the
+      // table's physical types
+      val aligned = alignToTable(df, schema)
       val spec = resolveSpec(spark, path, prev, partitionSpec,
         s"ManifestTable.append($path)")
       // a rebase must not publish dirs laid out under a DIFFERENT
@@ -1226,18 +1274,18 @@ object ManifestTable {
       val es = written.getOrElse {
         val w =
           if (spec.isEmpty)
-            Seq(writeDirEntry(spark, df, path, v, tag, statsCols,
+            Seq(writeDirEntry(spark, aligned, path, v, tag, statsCols,
               bloomCols))
           else {
-            val pes = writePartitionedEntries(spark, df, path, v, tag,
-              statsCols, bloomCols, spec, provenance = Seq.empty,
+            val pes = writePartitionedEntries(spark, aligned, path, v,
+              tag, statsCols, bloomCols, spec, provenance = Seq.empty,
               fanout = partitionFanout)
             // an all-empty batch stages no partition dirs, but the
             // commit must still ride the tag (streaming watermark):
             // one file-less entry, exactly like the unpartitioned path
             if (pes.nonEmpty) pes
-            else Seq(writeDirEntry(spark, df.limit(0), path, v, tag,
-              statsCols, bloomCols))
+            else Seq(writeDirEntry(spark, aligned.limit(0), path, v,
+              tag, statsCols, bloomCols))
           }
         written = Some(w)
         w
@@ -2680,7 +2728,7 @@ object ManifestTable {
     // column of a different type would commit an appended dir the
     // persisted-schema read path can no longer decode
     compatibleSchema(updates.schema, schema, evolve = false,
-      s"ManifestTable.merge($path)")
+      s"ManifestTable.merge($path)", allowWidening = true)
     schema.fields.find(_.name == keyCol).foreach { f =>
       require(isIntegral(f.dataType),
         s"ManifestTable.merge: key '$keyCol' is " +
@@ -2688,7 +2736,8 @@ object ManifestTable {
     }
     // materialize the batch once: it feeds the key-range bound, the
     // per-dir anti-joins, and the appended dir
-    val batch = updates.select(schema.fieldNames.map(col).toSeq: _*)
+    val batch = alignToTable(updates, schema)
+      .select(schema.fieldNames.map(col).toSeq: _*)
       .localCheckpoint()
     if (batch.head(1).isEmpty) return (prev, 0) // empty batch: no-op
     // null keys have no equality match: they could never be UPDATED

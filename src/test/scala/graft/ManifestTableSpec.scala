@@ -451,6 +451,38 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, t).count() == 3)
   }
 
+  test("widening batches cast at the write boundary; narrowing stays loud") {
+    val t = s"${Files.createTempDirectory("graft-manifestwiden")}/t"
+    ManifestTable.append(spark,
+      Seq((1L, 0.5d)).toDF("id", "w"), t, statsCols = Seq("id"))
+    // an INT id / FLOAT w batch widens into the long/double table —
+    // cast before write, so the files carry the table's types and
+    // the persisted-schema read needs no reader-side conversion
+    ManifestTable.append(spark,
+      Seq((2, 0.25f)).toDF("id", "w"), t, statsCols = Seq("id"))
+    val got = ManifestTable.read(spark, t)
+    assert(got.schema("id").dataType.catalogString == "bigint" &&
+      got.schema("w").dataType.catalogString == "double")
+    assert(ids(got) == Seq(1L, 2L))
+    // the widened batch's stats recorded under the table type
+    val e2 = ManifestTable.entriesOf(spark, t, 2L)
+      .find(_.statMin.get("id").contains(2L))
+    assert(e2.isDefined)
+    // merge widens its batch the same way
+    ManifestTable.merge(spark,
+      Seq((2, 0.75f), (3, 1.5f)).toDF("id", "w"), t, "id")
+    assert(ManifestTable.read(spark, t)
+      .filter(col("id") === 2L).select("w").head().getDouble(0) == 0.75)
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L, 3L))
+    // narrowing (long into an int table) is NOT widening: loud
+    val tn = s"${Files.createTempDirectory("graft-manifestnarrow")}/t"
+    ManifestTable.append(spark, Seq(1).toDF("id"), tn) // int table
+    val ex = intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, Seq(2L).toDF("id"), tn)
+    }
+    assert(ex.getMessage.contains("type changes are not evolution"))
+  }
+
   test("the data source writes: append, overwrite, and mode semantics") {
     val t = s"${Files.createTempDirectory("graft-manifestwrite")}/t"
     Seq((1L, 10L), (2L, 20L)).toDF("id", "v").write
