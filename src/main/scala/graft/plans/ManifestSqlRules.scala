@@ -383,11 +383,12 @@ final case class GraftManifestInsertCommand(path: String,
   * or written, whatever the partition's size. Decided at RUN time
   * against the live table: if any data dir is partition-blind
   * (cluster output, pre-spec commits), [[ManifestTable.dropPartitions]]
-  * refuses and this returns false — the caller's row-level path
-  * keeps the delete exact. The Hive null sentinel is refused too: a
-  * row whose key IS that literal string is not the null partition.
-  * Either every value drops or none did (the blind-dir check runs
-  * before any commit), so a fallback never double-deletes. */
+  * refuses (typed [[ManifestTable.PartitionBlindException]]) and
+  * this returns false — the caller's row-level path keeps the
+  * delete exact. The Hive null sentinel is refused too: a row whose
+  * key IS that literal string is not the null partition. A value
+  * SET drops as ONE atomic commit ([[ManifestTable.dropPartitionsIn]])
+  * — never a per-value commit loop a reader could observe torn. */
 private[plans] object DropPartitionFastPath {
   def apply(session: SparkSession, path: String, keyCol: String,
       values: Seq[String]): Boolean = {
@@ -403,13 +404,15 @@ private[plans] object DropPartitionFastPath {
         values.contains(PartitionTransform.NullValue)) false
     else
       try {
-        values.foreach(v =>
-          ManifestTable.dropPartitions(session, path, Map(keyCol -> v)))
+        // ONE commit for the whole value set — a per-value loop
+        // would let a reader (or a crash) observe a torn DELETE
+        // between commits
+        ManifestTable.dropPartitionsIn(session, path, keyCol, values)
         true
       } catch {
-        case e: IllegalArgumentException if Option(e.getMessage)
-            .exists(_.contains("carry no partition metadata")) =>
-          false
+        // typed: blind dirs exist, metadata cannot prove
+        // disjointness — the caller's exact row-level path takes over
+        case _: ManifestTable.PartitionBlindException => false
       }
   }
 }

@@ -1272,21 +1272,8 @@ object ManifestTable {
       if (written.isEmpty)
         writtenSpec = Some(PartitionTransform.renderSpec(spec))
       val es = written.getOrElse {
-        val w =
-          if (spec.isEmpty)
-            Seq(writeDirEntry(spark, aligned, path, v, tag, statsCols,
-              bloomCols))
-          else {
-            val pes = writePartitionedEntries(spark, aligned, path, v,
-              tag, statsCols, bloomCols, spec, provenance = Seq.empty,
-              fanout = partitionFanout)
-            // an all-empty batch stages no partition dirs, but the
-            // commit must still ride the tag (streaming watermark):
-            // one file-less entry, exactly like the unpartitioned path
-            if (pes.nonEmpty) pes
-            else Seq(writeDirEntry(spark, aligned.limit(0), path, v,
-              tag, statsCols, bloomCols))
-          }
+        val w = writeBatchEntries(spark, aligned, path, v, tag,
+          statsCols, bloomCols, spec, partitionFanout)
         written = Some(w)
         w
       }
@@ -1548,6 +1535,26 @@ object ManifestTable {
     out
   }
 
+  /** The ONE batch-write dispatch every row-adding path uses
+    * ([[append]], [[overwrite]], [[stageAppend]]): unpartitioned
+    * tables write one dir; partitioned tables stage partition-pure
+    * dirs; an all-empty partitioned batch still writes one file-less
+    * dir so the commit can ride its tag (streaming watermark). */
+  private def writeBatchEntries(spark: SparkSession, df: DataFrame,
+      path: String, v: Long, tag: Long, statsCols: Seq[String],
+      bloomCols: Seq[String], spec: Seq[PartitionTransform],
+      fanout: Int): Seq[Entry] =
+    if (spec.isEmpty)
+      Seq(writeDirEntry(spark, df, path, v, tag, statsCols, bloomCols))
+    else {
+      val pes = writePartitionedEntries(spark, df, path, v, tag,
+        statsCols, bloomCols, spec, provenance = Seq.empty,
+        fanout = fanout)
+      if (pes.nonEmpty) pes
+      else Seq(writeDirEntry(spark, df.limit(0), path, v, tag,
+        statsCols, bloomCols))
+    }
+
   /** Resolve the spec a write must route through: a table's persisted
     * spec always wins; an explicit spec is only CREATIVE on a fresh
     * table (or one whose spec it exactly matches — idempotent
@@ -1595,18 +1602,8 @@ object ManifestTable {
     // replacement content is laid out partition-pure too
     val spec = resolveSpec(spark, path, prev, Nil,
       s"ManifestTable.overwrite($path)")
-    val es =
-      if (spec.isEmpty)
-        Seq(writeDirEntry(spark, df, path, v, tag, statsCols,
-          bloomCols))
-      else {
-        val pes = writePartitionedEntries(spark, df, path, v, tag,
-          statsCols, bloomCols, spec, provenance = Seq.empty,
-          fanout = partitionFanout)
-        if (pes.nonEmpty) pes
-        else Seq(writeDirEntry(spark, df.limit(0), path, v, tag,
-          statsCols, bloomCols))
-      }
+    val es = writeBatchEntries(spark, df, path, v, tag, statsCols,
+      bloomCols, spec, partitionFanout)
     // constraints are TABLE metadata: they survive a content
     // overwrite (like Delta's) and the replacement content must
     // satisfy them — validated against the written dirs, like append
@@ -2033,6 +2030,41 @@ object ManifestTable {
     * a no-op at the current version. */
   def dropPartitions(spark: SparkSession, path: String,
       pred: Map[String, String], retries: Int = 0): (Long, Int) = {
+    require(pred.nonEmpty,
+      "ManifestTable.dropPartitions: empty predicate would drop " +
+        "nothing — to clear the table, use overwrite with an empty " +
+        "frame")
+    dropWhere(spark, path, pred.keys.toSeq,
+      e => pred.forall { case (f, pv) => e.partition(f) == pv },
+      retries)
+  }
+
+  /** [[dropPartitions]] for a VALUE SET on one field — `ALTER TABLE
+    * ... DROP PARTITION` for several partitions as ONE atomic commit
+    * (the SQL `DELETE ... IN (...)` fast path routes here; dropping
+    * them one call at a time would let a reader — or a crash —
+    * observe a torn delete between commits). */
+  def dropPartitionsIn(spark: SparkSession, path: String,
+      field: String, values: Seq[String],
+      retries: Int = 0): (Long, Int) = {
+    require(values.nonEmpty,
+      "ManifestTable.dropPartitionsIn: empty value set drops nothing")
+    val vs = values.toSet
+    dropWhere(spark, path, Seq(field),
+      e => vs.contains(e.partition(field)), retries)
+  }
+
+  /** Thrown when a metadata-only partition operation meets a data
+    * dir WITHOUT partition metadata (cluster output, pre-spec
+    * commits) — metadata cannot prove it disjoint. Typed so callers
+    * with an exact row-level fallback (the SQL DELETE fast path) can
+    * dispatch on it instead of on message text. */
+  final class PartitionBlindException(message: String)
+    extends IllegalArgumentException(message)
+
+  private def dropWhere(spark: SparkSession, path: String,
+      predFields: Seq[String], matches: Entry => Boolean,
+      retries: Int): (Long, Int) = {
     val (fs, _) = fsOf(spark, path)
     val prev = latestVersion(spark, path).getOrElse(sys.error(
       s"ManifestTable.dropPartitions: no committed version at $path"))
@@ -2040,26 +2072,20 @@ object ManifestTable {
     val spec = partitionSpecOf(spark, path, prev)
     require(spec.nonEmpty,
       s"ManifestTable.dropPartitions: $path has no partition spec")
-    require(pred.nonEmpty,
-      "ManifestTable.dropPartitions: empty predicate would drop " +
-        "nothing — to clear the table, use overwrite with an empty " +
-        "frame")
     val fields = spec.map(_.field)
-    pred.keys.foreach(k => require(fields.contains(k),
+    predFields.foreach(k => require(fields.contains(k),
       s"ManifestTable.dropPartitions: unknown partition field '$k' " +
         s"— the table partitions by ${fields.mkString(", ")}"))
     def covered(e: Entry): Boolean =
-      pred.keys.forall(e.partition.contains)
-    def matches(e: Entry): Boolean =
-      pred.forall { case (f, pv) => e.partition(f) == pv }
+      predFields.forall(e.partition.contains)
     val dataEntries = entries.filter(e =>
       e.hasData(fs, s"$path/data/${e.dir}"))
     val blind = dataEntries.filterNot(covered)
-    require(blind.isEmpty,
+    if (blind.nonEmpty) throw new PartitionBlindException(
       s"ManifestTable.dropPartitions: dir(s) " +
         blind.map(_.dir).sorted.mkString(", ") +
         " carry no partition metadata for " +
-        pred.keys.toSeq.sorted.mkString(", ") +
+        predFields.sorted.mkString(", ") +
         " — metadata cannot prove them disjoint; run " +
         "repartitionTable first")
     val drop = dataEntries.filter(matches)
@@ -2923,17 +2949,8 @@ object ManifestTable {
     // then-current table); staging only fixes the layout
     val spec = resolveSpec(spark, path, prev, Nil,
       s"ManifestTable.stageAppend($path)")
-    val es =
-      if (spec.isEmpty)
-        Seq(writeDirEntry(spark, df, path, v, tag, statsCols,
-          bloomCols))
-      else {
-        val pes = writePartitionedEntries(spark, df, path, v, tag,
-          statsCols, bloomCols, spec, provenance = Seq.empty)
-        if (pes.nonEmpty) pes
-        else Seq(writeDirEntry(spark, df.limit(0), path, v, tag,
-          statsCols, bloomCols))
-      }
+    val es = writeBatchEntries(spark, df, path, v, tag, statsCols,
+      bloomCols, spec, fanout = 1)
     val stagedRoot = new org.apache.hadoop.fs.Path(s"$path/staged")
     fs.mkdirs(stagedRoot)
     val tmp = new org.apache.hadoop.fs.Path(
@@ -3135,7 +3152,8 @@ object ManifestTable {
     * report (the sinks' cadence logging) use this return value
     * directly, not the racy JVM-global convenience below. */
   def vacuumDetailed(spark: SparkSession, path: String,
-      keepVersions: Int = 1, tag: Long = -1L): VacuumReport = {
+      keepVersions: Int = 1, tag: Long = -1L,
+      minAgeMillis: Long = 0L): VacuumReport = {
     require(keepVersions >= 1, "vacuum: must keep at least one version")
     val (fs, _) = fsOf(spark, path)
     val vs = versions(spark, path)
@@ -3162,11 +3180,23 @@ object ManifestTable {
     drop.foreach(v => fs.delete(
       new org.apache.hadoop.fs.Path(s"$path/manifest/${vName(v)}"), true))
     var bytes = 0L
+    // the grace window for CONCURRENT writers: an append/stage writes
+    // its data dirs BEFORE the commit/stage rename that references
+    // them, so a vacuum racing that window would reap an in-flight
+    // writer's dirs and let it commit entries pointing at nothing.
+    // Under the default single-writer-per-table contract the window
+    // cannot race (the writer IS the vacuum caller, between its own
+    // commits) and minAgeMillis = 0 reaps everything unreferenced;
+    // deployments running vacuum beside independent writers set it
+    // above their longest write (Delta's retention-check shape) so a
+    // young unreferenced dir is presumed in-flight, not orphaned.
+    val cutoff = System.currentTimeMillis() - minAgeMillis
     def reap(root: org.apache.hadoop.fs.Path, keepIt: String => Boolean)
         : Int =
       if (!fs.exists(root)) 0
       else fs.listStatus(root).count { st =>
-        val kept = keepIt(st.getPath.getName)
+        val kept = keepIt(st.getPath.getName) ||
+          (minAgeMillis > 0L && st.getModificationTime >= cutoff)
         if (!kept) {
           bytes += scala.util.Try(
             fs.getContentSummary(st.getPath).getLength).getOrElse(0L)

@@ -58,11 +58,24 @@ object PartitionTransform {
     def render: String = s"identity:$src"
   }
 
-  /** Partition by UTC calendar day of a timestamp/date column. */
+  /** Partition by the UTC calendar day of a timestamp column —
+    * derived by EXACT epoch arithmetic over `unix_micros` (integer
+    * floor-div via pmod, no doubles), so the same instant lands in
+    * the same partition whatever the writer's or reader's session
+    * timezone; the SQL-path pruning converts filter literals under
+    * the same UTC rule. One caveat rides the Spark cast semantics:
+    * a TIMESTAMP_NTZ source column is interpreted as a session-zone
+    * wall clock by the `cast` below, so for NTZ columns keep writer
+    * and reader sessions in one timezone (tz-aware timestamps are
+    * zone-independent end to end). */
   final case class PDays(src: String) extends PartitionTransform {
     def field: String = s"${src}_day"
-    def toExpr: Column =
-      date_format(col(src).cast("timestamp"), "yyyy-MM-dd")
+    def toExpr: Column = {
+      val us = unix_micros(col(src).cast("timestamp"))
+      val day = lit(86400000000L)
+      val epochDay = ((us - pmod(us, day)) / day).cast("int")
+      date_from_unix_date(epochDay).cast("string")
+    }
     def render: String = s"days:$src"
   }
 

@@ -128,9 +128,7 @@ final class ManifestFileIndex private (spark: SparkSession,
     val dayBounds =
       if (partSpec.isEmpty)
         Map.empty[String, (Option[String], Option[String])]
-      else ManifestFileIndex.dayBoundsOf(dataFilters,
-        java.time.ZoneId.of(
-          spark.sessionState.conf.sessionLocalTimeZone))
+      else ManifestFileIndex.dayBoundsOf(dataFilters)
     val kept = filesByDir.filter { case (e, _) =>
       bounds.forall { case (c, (lo, hi)) => e.mightOverlap(c, lo, hi) } &&
         sBounds.forall { case (c, (lo, hi)) =>
@@ -435,27 +433,24 @@ object ManifestFileIndex {
     * comparisons — what prunes a `days(ts)` partitioning from a
     * filter on `ts` itself. Day granularity is the widening: `ts >
     * X` becomes `day >= dayOf(X)`, never narrower. Timestamp
-    * literals render through `zone` (the session timezone — the same
-    * one `date_format` derived the recorded values under);
-    * timestamp_ntz and date literals are zone-free by construction.
-    * Unsupported shapes contribute nothing. */
-  private[graft] def dayBoundsOf(conjuncts: Seq[Expression],
-      zone: java.time.ZoneId)
+    * literals convert by UTC epoch arithmetic — the SAME rule
+    * `PDays.toExpr` derives the recorded values under, so writer
+    * and reader sessions in different timezones still agree (an
+    * NTZ literal is a wall clock and converts as one; a DATE
+    * literal is already a day). Unsupported shapes contribute
+    * nothing. */
+  private[graft] def dayBoundsOf(conjuncts: Seq[Expression])
       : Map[String, (Option[String], Option[String])] = {
     import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
     val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
     def dayOf(v: Any, dt: org.apache.spark.sql.types.DataType)
         : Option[String] = (dt, v) match {
-      case (TimestampType, micros: Long) =>
-        Some(java.time.Instant
-          .ofEpochSecond(Math.floorDiv(micros, 1000000L),
-            Math.floorMod(micros, 1000000L) * 1000L)
-          .atZone(zone).toLocalDate.format(fmt))
-      case (TimestampNTZType, micros: Long) =>
-        Some(java.time.LocalDateTime
-          .ofEpochSecond(Math.floorDiv(micros, 1000000L),
-            (Math.floorMod(micros, 1000000L) * 1000L).toInt,
-            java.time.ZoneOffset.UTC).toLocalDate.format(fmt))
+      case (TimestampType | TimestampNTZType, micros: Long) =>
+        // UTC epoch day for tz-aware (matching toExpr's arithmetic);
+        // for NTZ the micros ARE the wall clock, so the same formula
+        // yields the wall-clock day
+        Some(java.time.LocalDate
+          .ofEpochDay(Math.floorDiv(micros, 86400000000L)).format(fmt))
       case (DateType, days: Int) =>
         Some(java.time.LocalDate.ofEpochDay(days.toLong).format(fmt))
       case _ => None

@@ -229,6 +229,20 @@ class ManifestDmlSpec extends AnyFunSuite {
     register(t, "dml_part")
     spark.sql("DELETE FROM dml_part WHERE lang = 'en'")
     assert(ManifestTable.read(spark, t).count() == 0)
+    // an IN delete over partition values is ONE atomic commit (no
+    // per-value version a reader could observe torn)
+    val t3 = s"${Files.createTempDirectory("graft-dmlpart3")}/t"
+    ManifestTable.append(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "par"),
+      t3, partitionSpec =
+        Seq(graft.sinks.PartitionTransform.PIdentity("par")))
+    register(t3, "dml_part3")
+    val vBefore3 = ManifestTable.latestVersion(spark, t3).get
+    spark.sql("DELETE FROM dml_part3 WHERE par IN ('a', 'c')")
+    assert(ManifestTable.latestVersion(spark, t3).contains(vBefore3 + 1),
+      "multi-value partition delete must be one commit")
+    assert(ids(ManifestTable.read(spark, t3)) == Seq(2L, 4L))
+    assert(!new java.io.File(s"$t3/deletes").exists())
     // the integral point form routes too: fresh identity(id) table
     val t2 = s"${Files.createTempDirectory("graft-dmlpart2")}/t"
     ManifestTable.append(spark,

@@ -128,6 +128,28 @@ class ManifestWapSpec extends AnyFunSuite {
     assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 5L, 10L))
   }
 
+  test("vacuum minAgeMillis presumes young unreferenced dirs in-flight") {
+    val t = tmp("graft-vacgrace")
+    ManifestTable.append(spark, Seq(1L).toDF("id"), t)
+    ManifestTable.append(spark, Seq(2L).toDF("id"), t)
+    // simulate another writer's in-flight attempt dir (written, not
+    // yet referenced by any commit)
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val inflight = new org.apache.hadoop.fs.Path(
+      s"$t/data/c00000099_inflight")
+    fs.mkdirs(inflight)
+    // with a grace window, the young orphan survives the reap...
+    val r1 = ManifestTable.vacuumDetailed(spark, t, keepVersions = 1,
+      minAgeMillis = 3600000L)
+    assert(fs.exists(inflight),
+      s"young unreferenced dir reaped despite grace: $r1")
+    // ...without one (the single-writer default), it is an orphan
+    val r2 = ManifestTable.vacuumDetailed(spark, t, keepVersions = 1)
+    assert(!fs.exists(inflight) && r2.dirsReaped >= 1)
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L))
+  }
+
   test("publish is idempotent across the commit/consume crash window") {
     val t = tmp("graft-wap-crash")
     ManifestTable.append(spark, Seq(1L).toDF("id"), t)
