@@ -1324,7 +1324,8 @@ object ManifestTable {
       batchId: Long, statsCols: Seq[String] = Nil, vacuumEvery: Int = 0,
       keepVersions: Int = 2, bloomCols: Seq[String] = Nil,
       partitionSpec: Seq[PartitionTransform] = Nil,
-      partitionFanout: Int = 1): Boolean = {
+      partitionFanout: Int = 1,
+      vacuumMinAgeMillis: Long = 0L): Boolean = {
     val fresh = batchId > latestTag(spark, path)
     if (fresh) {
       append(spark, batch, path, tag = batchId, statsCols = statsCols,
@@ -1338,7 +1339,8 @@ object ManifestTable {
         // quietly cleans up after it. Logged from THIS call's return
         // value (never the JVM-global last-report, which a concurrent
         // stream's vacuum could have overwritten in between).
-        val r = vacuumDetailed(spark, path, keepVersions, tag = batchId)
+        val r = vacuumDetailed(spark, path, keepVersions,
+          tag = batchId, minAgeMillis = vacuumMinAgeMillis)
         org.slf4j.LoggerFactory.getLogger(getClass).info(
           s"ManifestTable.vacuum cadence at ${r.path} " +
             s"batch=${r.batchTag}: dropped ${r.manifestsDropped} " +

@@ -559,7 +559,7 @@ object ManifestFileIndex {
 final class ManifestStreamSink(path: String, statsCols: Seq[String],
     vacuumEvery: Int, keepVersions: Int, bloomCols: Seq[String] = Nil,
     partitionSpec: Seq[graft.sinks.PartitionTransform] = Nil,
-    partitionFanout: Int = 1)
+    partitionFanout: Int = 1, vacuumMinAgeMillis: Long = 0L)
     extends org.apache.spark.sql.execution.streaming.Sink {
 
   override def addBatch(batchId: Long,
@@ -571,7 +571,7 @@ final class ManifestStreamSink(path: String, statsCols: Seq[String],
     ManifestTable.appendIfFresh(data.sparkSession,
       org.apache.spark.sql.GraftSqlBridge.batchFrame(data), path,
       batchId, statsCols, vacuumEvery, keepVersions, bloomCols,
-      partitionSpec, partitionFanout)
+      partitionSpec, partitionFanout, vacuumMinAgeMillis)
     ()
   }
 
@@ -797,6 +797,11 @@ final class GraftManifestSource extends RelationProvider
     require(partFanout >= 1,
       s"graft-manifest sink: partitionFanout must be >= 1, got " +
         s"$partFanout")
+    // the cadence vacuum's grace window: set above the longest write
+    // when OTHER writers (a WAP stage, a concurrent appender) share
+    // this table, so their in-flight dirs are never presumed orphans
+    val vacMinAge = parameters.get("vacuumMinAgeMillis")
+      .map(_.toLong).getOrElse(0L)
     val statsCols = parameters.get("statsCols")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
@@ -809,7 +814,7 @@ final class GraftManifestSource extends RelationProvider
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
     new ManifestStreamSink(path, statsCols, vacuumEvery, keepVersions,
-      bloomCols, partSpec, partFanout)
+      bloomCols, partSpec, partFanout, vacMinAge)
   }
 
   /** `spark.readStream.format("graft-manifest").load(tablePath)` —
