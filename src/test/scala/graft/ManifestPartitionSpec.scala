@@ -109,6 +109,37 @@ class ManifestPartitionSpec extends AnyFunSuite {
       Set("abc", "xyz"))
   }
 
+  test("days(ts) is session-timezone independent, write and prune sides") {
+    val tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      val t = tmp("graft-part-tz")
+      // write under UTC+14: the instant 2024-01-25T20:00:00Z is
+      // already Jan 26 on the writer's wall clock — the partition
+      // day must still be the UTC day
+      spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+      val df = Seq((1L, java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-01-25T20:00:00Z"))))
+        .toDF("id", "ts")
+      ManifestTable.append(spark, df, t,
+        partitionSpec = Seq(PDays("ts")))
+      assert(entries(t).head.partition("ts_day") == "2024-01-25",
+        s"got ${entries(t).head.partition}")
+      // read under a THIRD zone: the SQL prune converts the literal
+      // by the same UTC rule, so the matching dir is kept
+      spark.conf.set("spark.sql.session.timeZone",
+        "America/Los_Angeles")
+      val q = spark.read.format("graft-manifest").load(t)
+        .filter(col("ts") >=
+          lit(java.sql.Timestamp.from(
+            java.time.Instant.parse("2024-01-25T00:00:00Z"))))
+      assert(q.count() == 1L,
+        "cross-timezone day pruning dropped a matching row")
+      // and readPartitions addresses the UTC day whatever the zone
+      assert(ManifestTable.readPartitions(spark, t,
+        Map("ts_day" -> "2024-01-25")).count() == 1L)
+    } finally spark.conf.set("spark.sql.session.timeZone", tz0)
+  }
+
   test("readPartitions prunes pure dirs and stays exact over blind dirs") {
     val t = tmp("graft-part-read")
     val df = (1L to 40L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
