@@ -220,7 +220,10 @@ object LayoutQueries {
     val path = s"${layoutRoot(d)}/events_part_days"
     val ev = Tables.events(s, d)
     val n = ev.count()
-    val expect = s"layout=$LayoutVersion manifest=days-part rows=$n"
+    // -utc: rebuilt once after days() switched to UTC epoch
+    // arithmetic (values identical under the UTC session, but the
+    // artifact should provably come from the current derivation)
+    val expect = s"layout=$LayoutVersion manifest=days-part-utc rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sessionState.newHadoopConf())
