@@ -41,6 +41,28 @@ import org.apache.spark.sql.types.StructType
   * [[ManifestSqlRules]]'s sub-index fallback.) */
 object ManifestApplyDeletes extends Rule[LogicalPlan] {
 
+  /** Marks the ROOT node of a dv rewrite with its table path. DML
+    * targeting a view that captured the rewrite is recognized by this
+    * tag and nothing else ([[ManifestSqlRules]]): a user-authored
+    * plan that merely CONTAINS the rewrite's sub-relations (a
+    * filtered view, a self-join projected back to the table's
+    * columns) carries no root tag and falls through to Spark's own
+    * not-a-writable-table rejection — before the tag, such a plan
+    * could pass a schema-shape check and route a whole-table DELETE
+    * that ignored the view's predicate. Tags survive `makeCopy` /
+    * transform plumbing, so the marker outlives analyzer bookkeeping
+    * but never attaches to any node this rule didn't build. */
+  val DvRewriteTag =
+    new org.apache.spark.sql.catalyst.trees.TreeNodeTag[String](
+      "graft.dvRewriteOf")
+
+  /** Past this many DISTINCT tombstone sets the union below stops
+    * being a read tax and starts being a plan-width problem (one
+    * sub-relation per set) — the operator signal to run
+    * [[graft.sinks.ManifestTable.rewriteDeletes]], surfaced as a
+    * warning because the read itself stays correct at any width. */
+  val GroupWarnThreshold = 16
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
       case l: LogicalRelation => l.relation match {
@@ -62,6 +84,11 @@ object ManifestApplyDeletes extends Rule[LogicalPlan] {
     // tombstone and must survive), so each group applies exactly its
     // own tombstones before the union
     val groups = m.snapshotEntries.groupBy(_.dv).toSeq.sortBy(_._2.head.dir)
+    if (groups.size > GroupWarnThreshold) logWarning(
+      s"graft-manifest read of ${m.tablePath}: ${groups.size} distinct " +
+        "pending deletion-vector sets — this plan unions one " +
+        "sub-scan per set; run ManifestTable.rewriteDeletes to " +
+        "materialize the tombstones and restore a single-scan plan")
     val frames = groups.map { case (dv, es) =>
       val sub = new ManifestFileIndex(spark, m.tablePath, m.version, es)
       val rel = HadoopFsRelation(sub, StructType(Nil), h.dataSchema,
@@ -78,7 +105,9 @@ object ManifestApplyDeletes extends Rule[LogicalPlan] {
     // re-alias to the original relation's exprIds: parent operators
     // keep resolving against the attributes they were analyzed with
     val byName = analyzed.output.map(a => a.name -> a).toMap
-    Project(l.output.map(o =>
+    val root = Project(l.output.map(o =>
       Alias(byName(o.name), o.name)(exprId = o.exprId)), analyzed)
+    root.setTagValue(DvRewriteTag, m.tablePath)
+    root
   }
 }

@@ -59,34 +59,41 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
 
     /** A view can capture the DELETION-VECTOR rewrite of a manifest
       * relation ([[ManifestApplyDeletes]] replaces the LogicalRelation
-      * at the view's analysis time) — recover the table from the
-      * rewrite's SUBSET indexes (`applyDeletes = false`), which exist
-      * nowhere else in any plan. Guarded twice: exactly ONE table may
-      * appear, and the plan's column list must be exactly the table's
-      * persisted schema (the rewrite preserves it; a user-authored
-      * join/projection view fails one of the gates and falls through
-      * to Spark's own it's-a-view rejection rather than misrouting). */
-    private def dvRewritten(p: LogicalPlan): Option[(String, StructType)] = {
-      val paths = p.collect {
-        case l: LogicalRelation => l.relation match {
-          case h: HadoopFsRelation => h.location match {
-            case m: ManifestFileIndex if !m.applyDeletes =>
-              Seq(m.tablePath)
+      * at the view's analysis time) — recognized by the rewrite's own
+      * ROOT TAG ([[ManifestApplyDeletes.DvRewriteTag]]) and nothing
+      * weaker: the DML target, once alias/view layers are unwrapped,
+      * must BE the tagged rewrite root. A user-authored plan that
+      * merely contains the rewrite's sub-relations — a view capturing
+      * `read(t).filter(...)`, a self-join projected back to the
+      * table's columns — has the rewrite buried under its own
+      * operators, so the root carries no tag and the statement falls
+      * through to Spark's own not-a-writable-table rejection instead
+      * of misrouting to a whole-table command that would ignore the
+      * view's predicate. The path/schema cross-checks stay as
+      * belt-and-braces: the tag's path must be the plan's single
+      * manifest path and the output must be the persisted schema. */
+    private def dvRewritten(p: LogicalPlan): Option[(String, StructType)] =
+      p.getTagValue(ManifestApplyDeletes.DvRewriteTag).flatMap { tagged =>
+        val paths = p.collect {
+          case l: LogicalRelation => l.relation match {
+            case h: HadoopFsRelation => h.location match {
+              case m: ManifestFileIndex if !m.applyDeletes =>
+                Seq(m.tablePath)
+              case _ => Seq.empty[String]
+            }
             case _ => Seq.empty[String]
           }
-          case _ => Seq.empty[String]
+        }.flatten.distinct
+        paths match {
+          case Seq(path) if path == tagged =>
+            val spark = SparkSession.active
+            val ok = ManifestTable.latestVersion(spark, path)
+              .flatMap(v => ManifestTable.schemaOf(spark, path, v))
+              .exists(_.fieldNames.toSeq == p.schema.fieldNames.toSeq)
+            if (ok) Some((path, p.schema)) else None
+          case _ => None
         }
-      }.flatten.distinct
-      paths match {
-        case Seq(path) =>
-          val spark = SparkSession.active
-          val ok = ManifestTable.latestVersion(spark, path)
-            .flatMap(v => ManifestTable.schemaOf(spark, path, v))
-            .exists(_.fieldNames.toSeq == p.schema.fieldNames.toSeq)
-          if (ok) Some((path, p.schema)) else None
-        case _ => None
       }
-    }
   }
 
   /** Column name behind an (possibly unresolved, possibly

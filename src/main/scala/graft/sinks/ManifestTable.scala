@@ -535,19 +535,28 @@ object ManifestTable {
     v
   }
 
+  /** The full key=value record riding snapshot `v`'s commit —
+    * op/ts always, plus any op-specific extras (e.g. [[publish]]'s
+    * attempt id, the crash-window idempotence anchor). Empty for
+    * versions committed before commit metadata existed. */
+  private[graft] def commitKV(spark: SparkSession, path: String,
+      v: Long): Map[String, String] = {
+    val (fs, _) = fsOf(spark, path)
+    readSideFile(fs, new org.apache.hadoop.fs.Path(
+      s"$path/manifest/${vName(v)}/_graft_commit")).map { body =>
+      body.linesIterator.map(_.split("=", 2)).collect {
+        case Array(k, x) => k -> x }.toMap
+    }.getOrElse(Map.empty)
+  }
+
   /** The (operation, wall-clock millis) recorded with snapshot `v`'s
     * commit — None for versions committed before commit metadata
     * existed. */
   def commitInfoOf(spark: SparkSession, path: String,
       v: Long): Option[(String, Long)] = {
-    val (fs, _) = fsOf(spark, path)
-    readSideFile(fs, new org.apache.hadoop.fs.Path(
-      s"$path/manifest/${vName(v)}/_graft_commit")).flatMap { body =>
-      val kv = body.linesIterator.map(_.split("=", 2)).collect {
-        case Array(k, x) => k -> x }.toMap
-      for (o <- kv.get("op"); t <- kv.get("ts").flatMap(_.toLongOption))
-        yield (o, t)
-    }
+    val kv = commitKV(spark, path, v)
+    for (o <- kv.get("op"); t <- kv.get("ts").flatMap(_.toLongOption))
+      yield (o, t)
   }
 
   /** Every retained version's (version, monotonized commit millis,
@@ -1430,7 +1439,7 @@ object ManifestTable {
           substring(sha2(enc, 256), 1, 32)))
     }
     val derived = spec.zip(ptCols).foldLeft(df) { case (d, (t, c)) =>
-      d.withColumn(c, safeName(t.toExpr))
+      d.withColumn(c, safeName(t.toExpr(df.schema)))
     }
     val spread =
       if (fanout == 1) derived.repartition(ptCols.map(col): _*)
@@ -1457,7 +1466,7 @@ object ManifestTable {
     // possibly-abbreviated dir name
     val restats = scala.util.Try {
       statsByKeys(spark.read.schema(readSchema).parquet(staging),
-        ptCols.map(col), statsCols, extras = spec.map(_.toExpr))
+        ptCols.map(col), statsCols, extras = spec.map(_.toExpr(df.schema)))
     }.getOrElse(
       Map.empty[Seq[String], (Stats, Long, Seq[Option[String]])])
     def leaves(p: org.apache.hadoop.fs.Path,
@@ -1632,7 +1641,8 @@ object ManifestTable {
       pruning: (Seq[String], Seq[String]) = (Nil, Nil),
       constraints: Seq[(String, String)] = Nil,
       op: String = "commit",
-      partSpecBody: Option[String] = None): Unit = {
+      partSpecBody: Option[String] = None,
+      extraCommitInfo: Seq[(String, String)] = Nil): Unit = {
     import spark.implicits._
     val (fs, _) = fsOf(spark, path)
     val mDir = new org.apache.hadoop.fs.Path(s"$path/manifest")
@@ -1688,7 +1698,8 @@ object ManifestTable {
     // but never a torn read.
     writeSideFile(fs, new org.apache.hadoop.fs.Path(
       tmp, "_graft_commit"),
-      s"op=$op\nts=${System.currentTimeMillis()}\n")
+      s"op=$op\nts=${System.currentTimeMillis()}\n" +
+        extraCommitInfo.map { case (k, x) => s"$k=$x\n" }.mkString)
     // the attempt id closes the exists-then-rename race on
     // filesystems where rename(src, existing-dir) moves src INSIDE
     // the destination (HDFS semantics): there the loser's rename
@@ -2002,13 +2013,14 @@ object ManifestTable {
     val base = readDirs(spark, path, v, entries, hit)
     if (blind.isEmpty) base
     else {
+      val blindDf = readDirs(spark, path, v, entries, blind)
       val residual = pred.map { case (f, pv) =>
         val t = spec.find(_.field == f).get
-        if (pv == PartitionTransform.NullValue) t.toExpr.isNull
-        else t.toExpr === lit(pv)
+        if (pv == PartitionTransform.NullValue)
+          t.toExpr(blindDf.schema).isNull
+        else t.toExpr(blindDf.schema) === lit(pv)
       }.reduce(_ && _)
-      base.unionByName(
-        readDirs(spark, path, v, entries, blind).filter(residual))
+      base.unionByName(blindDf.filter(residual))
     }
   }
 
@@ -3049,6 +3061,43 @@ object ManifestTable {
         }.toMap).getOrElse(Map.empty)
       (m.getOrElse("stats", Nil), m.getOrElse("bloom", Nil))
     }
+    // Crash-window idempotence: a publish that COMMITTED but died
+    // before consuming the staged set must not double-append on
+    // retry. The current snapshot's dir set alone cannot decide it —
+    // a compact/repartition/dropPartitions after the crashed publish
+    // rewrites the published dirs OUT of the latest snapshot, and the
+    // naive check would re-append. So the commit itself records the
+    // candidate's staging attempt id (from stageAppend's
+    // `_graft_attempt` — unique per staged set), and the retry scans
+    // RETAINED history for it, newest first: a hit is proof this
+    // exact candidate was published, whatever happened to the table
+    // since. Belt: a `_graft_publishing` marker written just before
+    // each commit attempt names the version it aimed at — if the
+    // marker's version has been vacuumed out of history (so the scan
+    // can no longer prove anything either way) the retry fails LOUDLY
+    // instead of guessing; every still-decidable state proceeds.
+    val stagedAttempt = readSideFile(fs,
+      new org.apache.hadoop.fs.Path(dir, "_graft_attempt")).map(_.trim)
+    stagedAttempt.foreach { att =>
+      val retained = versions(spark, path)
+      retained.reverse.find(w =>
+        commitKV(spark, path, w).get("publishAttempt").contains(att))
+        .foreach { w =>
+          fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+          return w
+        }
+      readSideFile(fs, new org.apache.hadoop.fs.Path(
+          dir, "_graft_publishing"))
+        .flatMap(_.trim.toLongOption)
+        .foreach { aimed =>
+          require(retained.isEmpty || retained.head <= aimed,
+            s"ManifestTable.publish($path, $name): a previous publish " +
+              s"attempt aimed at ${vName(aimed)}, which has since been " +
+              "vacuumed out of retained history — whether it committed " +
+              "is no longer provable; inspect the table and " +
+              "abandonStaged or re-stage explicitly")
+        }
+    }
     var attempt = 0
     var validated = Set.empty[(String, String)]
     while (true) {
@@ -3056,11 +3105,8 @@ object ManifestTable {
       val v = prev.map(_ + 1).getOrElse(1L)
       val prevEntries = prev.map(pv => entriesOf(spark, path, pv))
         .getOrElse(Seq.empty)
-      // crash-window idempotence: a publish that committed but died
-      // before consuming the staged set must not double-append on
-      // retry — if any staged dir is already referenced by the
-      // current snapshot, THIS set was published; consume and return
-      // the version that holds it (dir names are attempt-unique, so
+      // fast path of the same idempotence rule: staged dirs present
+      // in the CURRENT snapshot (dir names are attempt-unique, so
       // presence is proof of this exact candidate, never a twin's)
       val already = es.map(_.dir).toSet
         .intersect(prevEntries.map(_.dir).toSet)
@@ -3100,10 +3146,18 @@ object ManifestTable {
       val (pStats, pBloom) = prev.map(pruningOf(spark, path, _))
         .getOrElse((Nil, Nil))
       try {
+        // marker first, then commit: if the rename lands and we die
+        // before the delete below, the next retry's history scan (or,
+        // post-vacuum, the marker's loud path) resolves it
+        stagedAttempt.foreach(_ => writeSideFile(fs,
+          new org.apache.hadoop.fs.Path(dir, "_graft_publishing"),
+          v.toString))
         commit(spark, path, v, prevEntries ++ es, schema,
           math.max(prevTag, es.map(_.tag).foldLeft(-1L)(math.max)),
           ((pStats ++ sStats).distinct, (pBloom ++ sBlooms).distinct),
-          cs, op = "publish")
+          cs, op = "publish",
+          extraCommitInfo =
+            stagedAttempt.map("publishAttempt" -> _).toSeq)
         fs.delete(new org.apache.hadoop.fs.Path(dir), true)
         return v
       } catch {
@@ -3169,10 +3223,23 @@ object ManifestTable {
     val keptEntries = keep.flatMap(v => entriesOf(spark, path, v))
     // WAP staged candidates reference dirs no snapshot does yet —
     // they are NOT orphans while the candidate lives (abandonStaged
-    // is what turns them into reapable ones)
-    val stagedEntries = stagedNames(spark, path).flatMap(n =>
-      scala.util.Try(entriesAt(spark, s"$path/staged/$n"))
-        .getOrElse(Seq.empty))
+    // is what turns them into reapable ones). A candidate whose
+    // manifest cannot be READ aborts the whole vacuum: defaulting a
+    // LIVE candidate's reference set to empty on a transient IO
+    // error would reap its data dirs, and a later publish would
+    // commit entries pointing at deleted data — the one failure a
+    // garbage collector must never have
+    val stagedEntries = stagedNames(spark, path).flatMap { n =>
+      try entriesAt(spark, s"$path/staged/$n")
+      catch {
+        case scala.util.control.NonFatal(e) => sys.error(
+          s"ManifestTable.vacuum($path): cannot read staged " +
+            s"candidate '$n' (${e.getMessage}) — aborting the vacuum " +
+            "rather than treating a live candidate's dirs as " +
+            "unreferenced; retry once the read succeeds, or " +
+            "abandonStaged the candidate explicitly")
+      }
+    }
     val referenced = (keptEntries ++ stagedEntries).map(_.dir).toSet
     // tombstone dirs survive while ANY kept snapshot's entry still
     // references them as a pending deletion vector; materialized or

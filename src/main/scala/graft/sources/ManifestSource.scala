@@ -129,6 +129,11 @@ final class ManifestFileIndex private (spark: SparkSession,
       if (partSpec.isEmpty)
         Map.empty[String, (Option[String], Option[String])]
       else ManifestFileIndex.dayBoundsOf(dataFilters)
+    val hourBounds =
+      if (!partSpec.exists(_.isInstanceOf[
+          graft.sinks.PartitionTransform.PHours]))
+        Map.empty[String, (Option[String], Option[String])]
+      else ManifestFileIndex.hourBoundsOf(dataFilters)
     val kept = filesByDir.filter { case (e, _) =>
       bounds.forall { case (c, (lo, hi)) => e.mightOverlap(c, lo, hi) } &&
         sBounds.forall { case (c, (lo, hi)) =>
@@ -153,7 +158,7 @@ final class ManifestFileIndex private (spark: SparkSession,
         // are always kept — the row filter stays exact either way
         partSpec.forall(t => e.partition.get(t.field).forall(pv =>
           ManifestFileIndex.partitionMight(t, pv, bounds, points,
-            sPoints, natives, dayBounds)))
+            sPoints, natives, dayBounds, hourBounds)))
     }
     Seq(PartitionDirectory(InternalRow.empty,
       kept.flatMap(_._2).toArray[org.apache.hadoop.fs.FileStatus]))
@@ -431,14 +436,18 @@ object ManifestFileIndex {
 
   /** Per-column CALENDAR-DAY bounds implied by timestamp/date
     * comparisons — what prunes a `days(ts)` partitioning from a
-    * filter on `ts` itself. Day granularity is the widening: `ts >
-    * X` becomes `day >= dayOf(X)`, never narrower. Timestamp
-    * literals convert by UTC epoch arithmetic — the SAME rule
-    * `PDays.toExpr` derives the recorded values under, so writer
-    * and reader sessions in different timezones still agree (an
-    * NTZ literal is a wall clock and converts as one; a DATE
-    * literal is already a day). Unsupported shapes contribute
-    * nothing. */
+    * filter on `ts` itself (months/years bounds are monotone
+    * truncations of these; hours get their own finer extractor,
+    * [[hourBoundsOf]]). Day granularity is the widening: `ts > X`
+    * becomes `day >= dayOf(X)`, never narrower. Literals convert by
+    * TYPE — the literal's type equals the source column's after
+    * Catalyst coercion, so each rule pairs with the matching
+    * `PartitionTransform.dayExprOf` branch that derived the recorded
+    * values: a tz-aware TIMESTAMP literal by UTC epoch arithmetic, an
+    * NTZ literal as a wall clock (the micros ARE the wall clock —
+    * same floor-div), a DATE literal as its exact epoch day. Writer
+    * and reader sessions in different timezones always agree.
+    * Unsupported shapes contribute nothing. */
   private[graft] def dayBoundsOf(conjuncts: Seq[Expression])
       : Map[String, (Option[String], Option[String])] = {
     import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
@@ -446,15 +455,47 @@ object ManifestFileIndex {
     def dayOf(v: Any, dt: org.apache.spark.sql.types.DataType)
         : Option[String] = (dt, v) match {
       case (TimestampType | TimestampNTZType, micros: Long) =>
-        // UTC epoch day for tz-aware (matching toExpr's arithmetic);
-        // for NTZ the micros ARE the wall clock, so the same formula
-        // yields the wall-clock day
         Some(java.time.LocalDate
           .ofEpochDay(Math.floorDiv(micros, 86400000000L)).format(fmt))
       case (DateType, days: Int) =>
         Some(java.time.LocalDate.ofEpochDay(days.toLong).format(fmt))
       case _ => None
     }
+    temporalBoundsOf(conjuncts, dayOf)
+  }
+
+  /** Per-column HOUR bounds ("yyyy-MM-dd-HH") implied by timestamp
+    * comparisons — what prunes an `hours(ts)` partitioning. Same
+    * type-pairing rule as [[dayBoundsOf]]: tz-aware literals take
+    * the UTC hour, NTZ literals the wall-clock hour; DATE literals
+    * contribute nothing (hours() rejects DATE sources at write). */
+  private[graft] def hourBoundsOf(conjuncts: Seq[Expression])
+      : Map[String, (Option[String], Option[String])] = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    def hourOf(v: Any, dt: org.apache.spark.sql.types.DataType)
+        : Option[String] = (dt, v) match {
+      case (TimestampType | TimestampNTZType, micros: Long) =>
+        val day = java.time.LocalDate
+          .ofEpochDay(Math.floorDiv(micros, 86400000000L)).format(fmt)
+        val h = Math.floorMod(
+          Math.floorDiv(micros, 3600000000L), 24L)
+        Some(f"$day-$h%02d")
+      case _ => None
+    }
+    temporalBoundsOf(conjuncts, hourOf)
+  }
+
+  /** The shared comparison walker behind [[dayBoundsOf]] /
+    * [[hourBoundsOf]]: folds every supported conjunct into per-column
+    * closed string bounds under `unitOf`'s granularity (widening — a
+    * strict bound stays inclusive at unit granularity, never
+    * narrower). */
+  private def temporalBoundsOf(conjuncts: Seq[Expression],
+      unitOf: (Any, org.apache.spark.sql.types.DataType) => Option[String])
+      : Map[String, (Option[String], Option[String])] = {
+    def dayOf(v: Any, dt: org.apache.spark.sql.types.DataType)
+        : Option[String] = unitOf(v, dt)
     val per = scala.collection.mutable
       .Map.empty[String, (String, String)]
     def add(col: String, lo: Option[String],
@@ -470,6 +511,22 @@ object ManifestFileIndex {
       case a: AttributeReference => Some(a.name)
       case _ => None // casts between temporal types shift semantics
     }
+    // STRICT bounds tighten by one representable step BEFORE unit
+    // conversion: `ts < X` means `ts <= X - 1µs`, so when X sits
+    // exactly on a unit boundary the bound lands in the PREVIOUS
+    // unit (`ts < '2024-01-01T00:00Z'` excludes all of 2024 from a
+    // years() layout). Off-boundary literals keep the same unit —
+    // still exact, never narrower than the predicate.
+    def pred(v: Any): Option[Any] = v match {
+      case m: Long => if (m == Long.MinValue) None else Some(m - 1)
+      case d: Int => if (d == Int.MinValue) None else Some(d - 1)
+      case _ => None
+    }
+    def succ(v: Any): Option[Any] = v match {
+      case m: Long => if (m == Long.MaxValue) None else Some(m + 1)
+      case d: Int => if (d == Int.MaxValue) None else Some(d + 1)
+      case _ => None
+    }
     def walk(e: Expression): Unit = e match {
       case And(l, r) => walk(l); walk(r)
       case EqualTo(a, Literal(v, t)) =>
@@ -479,19 +536,23 @@ object ManifestFileIndex {
       case GreaterThanOrEqual(a, Literal(v, t)) =>
         for (c <- nameOf(a); d <- dayOf(v, t)) add(c, Some(d), None)
       case GreaterThan(a, Literal(v, t)) =>
-        for (c <- nameOf(a); d <- dayOf(v, t)) add(c, Some(d), None)
+        for (c <- nameOf(a); w <- succ(v); d <- dayOf(w, t))
+          add(c, Some(d), None)
       case LessThanOrEqual(a, Literal(v, t)) =>
         for (c <- nameOf(a); d <- dayOf(v, t)) add(c, None, Some(d))
       case LessThan(a, Literal(v, t)) =>
-        for (c <- nameOf(a); d <- dayOf(v, t)) add(c, None, Some(d))
+        for (c <- nameOf(a); w <- pred(v); d <- dayOf(w, t))
+          add(c, None, Some(d))
       case GreaterThanOrEqual(Literal(v, t), a) =>
         for (c <- nameOf(a); d <- dayOf(v, t)) add(c, None, Some(d))
-      case GreaterThan(Literal(v, t), a) =>
-        for (c <- nameOf(a); d <- dayOf(v, t)) add(c, None, Some(d))
+      case GreaterThan(Literal(v, t), a) => // X > a  ⟺  a < X
+        for (c <- nameOf(a); w <- pred(v); d <- dayOf(w, t))
+          add(c, None, Some(d))
       case LessThanOrEqual(Literal(v, t), a) =>
         for (c <- nameOf(a); d <- dayOf(v, t)) add(c, Some(d), None)
-      case LessThan(Literal(v, t), a) =>
-        for (c <- nameOf(a); d <- dayOf(v, t)) add(c, Some(d), None)
+      case LessThan(Literal(v, t), a) => // X < a  ⟺  a > X
+        for (c <- nameOf(a); w <- succ(v); d <- dayOf(w, t))
+          add(c, Some(d), None)
       case _ => ()
     }
     conjuncts.foreach(walk)
@@ -513,10 +574,26 @@ object ManifestFileIndex {
       points: Map[String, Seq[Long]],
       sPoints: Map[String, Seq[String]],
       natives: Map[String, Seq[Literal]],
-      dayBounds: Map[String, (Option[String], Option[String])])
+      dayBounds: Map[String, (Option[String], Option[String])],
+      hourBounds: Map[String, (Option[String], Option[String])] =
+        Map.empty)
       : Boolean = {
     import graft.sinks.PartitionTransform._
     val isNull = pv == NullValue
+    // ISO temporal strings ("yyyy-MM-dd", "yyyy-MM", "yyyy",
+    // "yyyy-MM-dd-HH") compare chronologically ONLY while the year is
+    // plain four digits — a negative or five-digit year formats with
+    // a sign/extra digit and breaks lexicographic order, so such a
+    // value never prunes (kept conservatively, like every stat here)
+    def isoComparable(s: String): Boolean =
+      s.length >= 4 && s.take(4).forall(_.isDigit)
+    def temporalMight(src: String, grain: Int,
+        bs: Map[String, (Option[String], Option[String])]): Boolean =
+      bs.get(src).forall { case (lo, hi) =>
+        !isNull && isoComparable(pv) &&
+          lo.forall(l => !isoComparable(l) || pv >= l.take(grain)) &&
+          hi.forall(h => !isoComparable(h) || pv <= h.take(grain))
+      }
     t match {
       case PIdentity(src) =>
         // string equality/IN: the pure value must be in the set;
@@ -529,9 +606,13 @@ object ManifestFileIndex {
           bounds.get(src).forall { case (lo, hi) => !isNull &&
             scala.util.Try(pv.toLong).toOption
               .exists(v => v >= lo && v <= hi) }
-      case PDays(src) =>
-        dayBounds.get(src).forall { case (lo, hi) => !isNull &&
-          lo.forall(pv >= _) && hi.forall(pv <= _) }
+      case PDays(src) => temporalMight(src, 10, dayBounds)
+      // month/year values are monotone truncations of the day string
+      // (equal-length ISO strings: prefix truncation preserves order),
+      // so the day bounds truncate to exact month/year bounds
+      case PMonths(src) => temporalMight(src, 7, dayBounds)
+      case PYears(src) => temporalMight(src, 4, dayBounds)
+      case PHours(src) => temporalMight(src, 13, hourBounds)
       case PBucket(n, src) =>
         natives.get(src).forall { lits =>
           !isNull && lits.exists { l =>

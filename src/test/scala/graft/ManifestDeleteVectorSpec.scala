@@ -240,6 +240,38 @@ class ManifestDeleteVectorSpec extends AnyFunSuite {
       .exists(_._1 == "deleteKeys"))
   }
 
+  test("DML on a FILTERED view of a dv-pending table is rejected, not misrouted") {
+    val path = tmp()
+    interleaved(path)
+    // pending dv → the SQL read path rewrites the relation, and a
+    // view can capture that rewrite
+    ManifestTable.deleteKeys(spark, Seq("k-10").toDF("key"), path, "key")
+    val before = ManifestTable.read(spark, path).count()
+    // a view whose plan CONTAINS the rewrite under its own Filter
+    // must NOT be recognized as a DML target: before the root-tag
+    // guard, the schema-shape check passed (Filter preserves columns)
+    // and the DELETE routed to a whole-table command that ignored
+    // the view's predicate — deleting k-33 even though the view
+    // excludes id >= 10
+    spark.read.format("graft-manifest").load(path)
+      .filter(col("id") < 5)
+      .createOrReplaceTempView("dv_filtered_v")
+    intercept[Exception](
+      spark.sql("DELETE FROM dv_filtered_v WHERE key = 'k-33'"))
+    assert(ManifestTable.read(spark, path).count() == before)
+    assert(ManifestTable.read(spark, path)
+      .filter(col("key") === "k-33").count() == 1,
+      "DELETE on a filtered view was misrouted to the whole table")
+    // same for a projection view that re-orders the table's columns
+    spark.read.format("graft-manifest").load(path)
+      .select("key", "id", "grp")
+      .createOrReplaceTempView("dv_proj_v")
+    intercept[Exception](
+      spark.sql("DELETE FROM dv_proj_v WHERE key = 'k-34'"))
+    assert(ManifestTable.read(spark, path)
+      .filter(col("key") === "k-34").count() == 1)
+  }
+
   test("readSince: a dv delete adds no rows for incremental consumers") {
     val path = tmp()
     interleaved(path)

@@ -140,6 +140,134 @@ class ManifestPartitionSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", tz0)
   }
 
+  test("days(NTZ) and days(DATE) derive zone-free wall-clock days") {
+    val tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // NTZ: the wall clock IS the value — the recorded day must be
+      // the wall-clock day whatever the writer's session zone. Under
+      // UTC+14 the old session-zone cast would have recorded
+      // 2024-01-24 (the instant's UTC day) and the wall-clock prune
+      // below would silently drop the dir.
+      spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+      val tn = tmp("graft-part-ntz")
+      val dfn = Seq((1L, "2024-01-25 10:00:00")).toDF("id", "ts")
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      ManifestTable.append(spark, dfn, tn,
+        partitionSpec = Seq(PDays("ts")))
+      assert(entries(tn).head.partition("ts_day") == "2024-01-25",
+        s"NTZ day not wall-clock: ${entries(tn).head.partition}")
+      // prune from a different zone: NTZ literals are wall clocks,
+      // zone cannot enter on either side
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val qn = spark.read.format("graft-manifest").load(tn)
+        .filter(col("ts") >= lit("2024-01-25 00:00:00")
+          .cast("timestamp_ntz"))
+      assert(qn.count() == 1L, "NTZ day pruning dropped a matching row")
+      assert(spark.read.format("graft-manifest").load(tn)
+        .filter(col("ts") >= lit("2024-01-26 00:00:00")
+          .cast("timestamp_ntz")).count() == 0L)
+      // DATE: the value is already a day — recorded verbatim, never
+      // shifted through local midnight (under UTC+14 the old cast
+      // chain would have recorded the PREVIOUS day)
+      val td = tmp("graft-part-date")
+      spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+      val dfd = Seq((1L, java.sql.Date.valueOf("2024-01-25")))
+        .toDF("id", "d")
+      ManifestTable.append(spark, dfd, td,
+        partitionSpec = Seq(PDays("d")))
+      assert(entries(td).head.partition("d_day") == "2024-01-25",
+        s"DATE day shifted: ${entries(td).head.partition}")
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val qd = spark.read.format("graft-manifest").load(td)
+        .filter(col("d") === lit(java.sql.Date.valueOf("2024-01-25")))
+      assert(qd.count() == 1L, "DATE day pruning dropped a matching row")
+    } finally spark.conf.set("spark.sql.session.timeZone", tz0)
+  }
+
+  test("temporal transforms reject non-temporal sources loudly") {
+    val t = tmp("graft-part-badsrc")
+    val df = Seq((1L, "2024-01-01")).toDF("id", "s")
+    val ex = intercept[RuntimeException](ManifestTable.append(
+      spark, df, t, partitionSpec = Seq(PDays("s"))))
+    assert(ex.getMessage.contains("temporal transforms"))
+    val ex2 = intercept[RuntimeException](ManifestTable.append(
+      spark,
+      Seq((1L, java.sql.Date.valueOf("2024-01-25"))).toDF("id", "d"),
+      t, partitionSpec = Seq(PHours("d"))))
+    assert(ex2.getMessage.contains("hours()"))
+  }
+
+  test("months/years/hours transforms: values, pruning, retention drop") {
+    val tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+      val t = tmp("graft-part-months")
+      val df = Seq(
+        (1L, "2023-11-30T23:30:00Z"), (2L, "2023-12-15T08:00:00Z"),
+        (3L, "2024-01-05T10:00:00Z"), (4L, "2024-01-20T20:00:00Z"))
+        .toDF("id", "ts")
+        .withColumn("ts", to_timestamp(col("ts")))
+      ManifestTable.append(spark, df, t,
+        partitionSpec = Seq(PMonths("ts")))
+      assert(entries(t).map(_.partition("ts_month")).toSet ==
+        Set("2023-11", "2023-12", "2024-01"))
+      // prune from another zone: ts range → month bounds, UTC rule
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val q = spark.read.format("graft-manifest").load(t)
+        .filter(col("ts") >= lit(java.sql.Timestamp.from(
+          java.time.Instant.parse("2023-12-01T00:00:00Z"))))
+      assert(q.collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(2L, 3L, 4L))
+      assert(scanFiles(q) == 2L, "month pruning kept the 2023-11 dir")
+      // monthly retention: ONE metadata-only drop per month
+      val (_, dropped) = ManifestTable.dropPartitions(spark, t,
+        Map("ts_month" -> "2023-11"))
+      assert(dropped == 1 &&
+        ids(ManifestTable.read(spark, t)) == Seq(2L, 3L, 4L))
+      // years: same data, coarser grain
+      val ty = tmp("graft-part-years")
+      ManifestTable.append(spark, df, ty,
+        partitionSpec = Seq(PYears("ts")))
+      assert(entries(ty).map(_.partition("ts_year")).toSet ==
+        Set("2023", "2024"))
+      val qy = spark.read.format("graft-manifest").load(ty)
+        .filter(col("ts") < lit(java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-01-01T00:00:00Z"))))
+      assert(qy.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+      assert(scanFiles(qy) == 1L, "year pruning kept the 2024 dir")
+      // hours: tz-aware UTC hour values; one-hour slice reads one dir
+      val th = tmp("graft-part-hours")
+      val dfh = Seq(
+        (1L, "2024-01-25T06:10:00Z"), (2L, "2024-01-25T06:50:00Z"),
+        (3L, "2024-01-25T07:05:00Z"))
+        .toDF("id", "ts")
+        .withColumn("ts", to_timestamp(col("ts")))
+      ManifestTable.append(spark, dfh, th,
+        partitionSpec = Seq(PHours("ts")))
+      assert(entries(th).map(_.partition("ts_hour")).toSet ==
+        Set("2024-01-25-06", "2024-01-25-07"))
+      val qh = spark.read.format("graft-manifest").load(th)
+        .filter(col("ts") >= lit(java.sql.Timestamp.from(
+            java.time.Instant.parse("2024-01-25T06:00:00Z"))) &&
+          col("ts") < lit(java.sql.Timestamp.from(
+            java.time.Instant.parse("2024-01-25T07:00:00Z"))))
+      assert(qh.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+      assert(scanFiles(qh) == 1L, "hour pruning kept the 07 dir")
+      // NTZ hours are wall-clock hours
+      val thn = tmp("graft-part-hours-ntz")
+      spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+      ManifestTable.append(spark,
+        Seq((1L, "2024-01-25 06:10:00")).toDF("id", "ts")
+          .withColumn("ts", col("ts").cast("timestamp_ntz")),
+        thn, partitionSpec = Seq(PHours("ts")))
+      assert(entries(thn).head.partition("ts_hour") == "2024-01-25-06")
+      // spec round-trip covers the new transforms
+      val spec = Seq(PMonths("a"), PYears("b"), PHours("c"))
+      assert(PartitionTransform.parseSpec(
+        PartitionTransform.renderSpec(spec)) == spec)
+    } finally spark.conf.set("spark.sql.session.timeZone", tz0)
+  }
+
   test("readPartitions prunes pure dirs and stays exact over blind dirs") {
     val t = tmp("graft-part-read")
     val df = (1L to 40L).map(i => (i, if (i % 2 == 0) "even" else "odd"))

@@ -177,6 +177,71 @@ class ManifestWapSpec extends AnyFunSuite {
     assert(ManifestTable.latestVersion(spark, t).contains(v))
   }
 
+  test("publish idempotence survives a rewrite of the published dirs") {
+    // the crash window again, but a compact runs BETWEEN crash and
+    // retry: the published dirs are rewritten OUT of the latest
+    // snapshot, so dir-presence can no longer prove the publish —
+    // the attempt id recorded in the commit's history can, and the
+    // retry must consume instead of double-appending
+    val t = tmp("graft-wap-crash-rw")
+    ManifestTable.append(spark, Seq(1L).toDF("id"), t)
+    ManifestTable.stageAppend(spark, Seq(2L, 3L).toDF("id"), t, "c")
+    val stagedDir = s"$t/staged/c"
+    val copy = s"$t/.staged-copy"
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val conf = spark.sessionState.newHadoopConf()
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(stagedDir), fs,
+      new org.apache.hadoop.fs.Path(copy), false, conf)
+    val v = ManifestTable.publish(spark, t, "c")
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(copy), fs,
+      new org.apache.hadoop.fs.Path(stagedDir), false, conf)
+    fs.delete(new org.apache.hadoop.fs.Path(copy), true)
+    // the rewrite: latest snapshot no longer references any
+    // published dir
+    ManifestTable.compact(spark, t)
+    val w = ManifestTable.publish(spark, t, "c")
+    assert(w == v, s"retry re-published (returned $w, expected $v)")
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L, 3L),
+      "published rows duplicated by the retry")
+    assert(ManifestTable.stagedNames(spark, t).isEmpty)
+  }
+
+  test("vacuum aborts on an unreadable staged candidate") {
+    val t = tmp("graft-wap-vac-abort")
+    ManifestTable.append(spark, Seq(1L).toDF("id"), t)
+    ManifestTable.stageAppend(spark, Seq(2L).toDF("id"), t, "live")
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val stagedDataDirs = ManifestTable.stagedNames(spark, t)
+    assert(stagedDataDirs == Seq("live"))
+    val dataDirsBefore = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$t/data")).map(_.getPath.getName)
+      .toSet
+    // corrupt the candidate's entry list: every parquet part becomes
+    // garbage bytes, so entriesAt throws instead of parsing
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$t/staged/live"))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach { st =>
+        val out = fs.create(st.getPath, true)
+        try out.write("not parquet".getBytes("UTF-8"))
+        finally out.close()
+      }
+    ManifestTable.append(spark, Seq(9L).toDF("id"), t) // an old version to drop
+    val ex = intercept[RuntimeException](
+      ManifestTable.vacuum(spark, t, keepVersions = 1))
+    assert(ex.getMessage.contains("staged"),
+      s"unexpected error: ${ex.getMessage}")
+    // nothing was reaped — the candidate's data dirs survive intact
+    val dataDirsAfter = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$t/data")).map(_.getPath.getName)
+      .toSet
+    assert(dataDirsBefore.subsetOf(dataDirsAfter),
+      "vacuum reaped dirs despite the unreadable candidate")
+  }
+
   test("detail() describes the table from metadata alone") {
     val t = tmp("graft-detail")
     ManifestTable.append(spark,
