@@ -437,6 +437,52 @@ object LayoutQueries {
     path
   }
 
+  /** The STRING-keyed twin of [[ensureMergedManifest]]: documents
+    * keyed by `doc_key = 'doc-' || doc_id` (the reference upserts by
+    * string cveId — `consumer/consumer.py:111-125`), ingested as 4
+    * lexicographically-contiguous commits (grouped by the key's first
+    * digit, so the recorded STRING bounds give merge's envelope
+    * something to prune), then one `ManifestTable.merge` by the
+    * string key: corrected n_chars for doc_id ≡ 3 (mod 10), fresh
+    * `zzz-`-keyed inserts (past every existing bound) for
+    * doc_id ≡ 0 (mod 25). Built once per dataset behind the usual
+    * marker. */
+  def ensureStrMergedManifest(s: SparkSession, d: String): String = {
+    val path = s"${layoutRoot(d)}/docs_manifest_strmerged"
+    val docs = Tables.documents(s, d)
+      .select(concat(lit("doc-"), col("doc_id").cast("string"))
+          .as("doc_key"),
+        col("lang"), col("n_chars"), col("doc_id"))
+    val n = docs.count()
+    val expect = s"layout=$LayoutVersion manifest=strranged+merge rows=$n"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val digit = substring(col("doc_key"), 5, 1).cast("int")
+      val groups = Seq((0, 2), (3, 4), (5, 6), (7, 9))
+      groups.foreach { case (lo, hi) =>
+        graft.sinks.ManifestTable.append(s,
+          docs.filter(digit >= lo && digit <= hi).drop("doc_id"),
+          path, statsCols = Seq("doc_key"))
+      }
+      require(graft.sinks.ManifestTable.read(s, path).count() == n,
+        "ensureStrMergedManifest: digit grouping dropped rows")
+      val cols = Seq("doc_key", "lang", "n_chars")
+      val updates = docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+        .withColumn("n_chars", col("n_chars") + 1000)
+        .select(cols.map(col): _*)
+      val inserts = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+        .withColumn("doc_key",
+          concat(lit("zzz-"), col("doc_id").cast("string")))
+        .select(cols.map(col): _*)
+      graft.sinks.ManifestTable.merge(s,
+        updates.unionByName(inserts), path, "doc_key")
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
   /** A documents-derived manifest table whose every MUTATION happens
     * through SQL statements (ManifestSqlRules): three `INSERT INTO`
     * range slices on top of a seeded first commit (the CREATE-TABLE-AS
@@ -1660,6 +1706,43 @@ object LayoutQueries {
         .agg(count(lit(1)).as("n"),
           decSum(col("value"), 2).as("sum_value"))
         .orderBy("event_type")
+    },
+
+    // ---- STRING-keyed copy-on-write MERGE: the reference's real
+    //      upsert key is a string (per-cveId upsert loop,
+    //      consumer/consumer.py:111-125) — an upsert batch applied by
+    //      `doc_key` against a string-range-clustered manifest table:
+    //      envelope + exact-hit pruning run on the recorded STRING
+    //      bounds (UTF8-binary-exact in-Spark probes, ASCII-guarded
+    //      manifest envelope), only hit dirs rewrite, the batch lands
+    //      as one appended dir. ManifestTableSpec pins dir identity
+    //      and Bloom narrowing; the oracle recomputes the post-merge
+    //      table from scratch: upserts win per key. ----
+    GraftQuery("q150_manifest_string_merge",
+      """WITH base AS (
+        |  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_key,
+        |    lang, n_chars, doc_id FROM documents),
+        |upd AS (
+        |  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_key,
+        |    lang, n_chars + 1000 AS n_chars
+        |  FROM documents WHERE doc_id % 10 = 3
+        |  UNION ALL
+        |  SELECT 'zzz-' || CAST(doc_id AS VARCHAR) AS doc_key,
+        |    lang, n_chars
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |m AS (
+        |  SELECT doc_key, lang, n_chars FROM upd
+        |  UNION ALL
+        |  SELECT b.doc_key, b.lang, b.n_chars FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM upd u
+        |                    WHERE u.doc_key = b.doc_key))
+        |SELECT doc_key, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM m ORDER BY doc_key""".stripMargin) { (s, d) =>
+      val path = ensureStrMergedManifest(s, d)
+      graft.sinks.ManifestTable.read(s, path)
+        .select(col("doc_key"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy("doc_key")
     },
   )
 }

@@ -2715,8 +2715,12 @@ object ManifestTable {
       (statsCols ++ keyCols).distinct, Nil, retries, _ => true)
   }
 
-  /** Copy-on-write MERGE (upsert) by integral key: rows of `updates`
-    * REPLACE same-key rows in the table; new keys are inserted. Cost
+  /** Copy-on-write MERGE (upsert) by integral or STRING key — the
+    * reference's natural upsert key IS a string
+    * (`consumer/consumer.py:111-125` upserts per cveId;
+    * `chatbot_pg/main.py:89` addresses rows by string id): rows of
+    * `updates` REPLACE same-key rows in the table; new keys are
+    * inserted. Cost
     * shape mirrors [[deleteRange]]: only data dirs whose recorded
     * `keyCol` stats overlap the batch's key range are rewritten (the
     * replaced rows anti-joined out, re-statted, provenance recorded);
@@ -2769,11 +2773,15 @@ object ManifestTable {
     // persisted-schema read path can no longer decode
     compatibleSchema(updates.schema, schema, evolve = false,
       s"ManifestTable.merge($path)", allowWidening = true)
-    schema.fields.find(_.name == keyCol).foreach { f =>
-      require(isIntegral(f.dataType),
-        s"ManifestTable.merge: key '$keyCol' is " +
-          s"${f.dataType.catalogString}, not an integral type")
-    }
+    val keyField = schema.fields.find(_.name == keyCol).getOrElse(
+      sys.error(s"ManifestTable.merge: no column '$keyCol' in the " +
+        s"table schema (${schema.fieldNames.mkString(", ")})"))
+    val isStr =
+      keyField.dataType == org.apache.spark.sql.types.StringType
+    require(isStr || isIntegral(keyField.dataType),
+      s"ManifestTable.merge: key '$keyCol' is " +
+        s"${keyField.dataType.catalogString} — merge is defined on " +
+        "integral and string keys")
     // materialize the batch once: it feeds the key-range bound, the
     // per-dir anti-joins, and the appended dir
     val batch = alignToTable(updates, schema)
@@ -2800,38 +2808,65 @@ object ManifestTable {
     enforceConstraints(batch, constraintsOf(spark, path, prev),
       s"ManifestTable.merge($path)")
     // one aggregate serves the key envelope AND the broadcast-guard
-    // row count (no separate count job)
-    val range = batch.agg(min(col(keyCol).cast("long")),
-      max(col(keyCol).cast("long")), count(lit(1))).head()
-    val (lo, hi, nKeys) =
-      (range.getLong(0), range.getLong(1), range.getLong(2))
+    // row count (no separate count job). The envelope and every
+    // per-dir probe dispatch on the key's TYPE: integral keys use the
+    // long stats maps, string keys the string bounds (exact —
+    // comparisons run IN Spark, the same UTF8 binary order that
+    // recorded them; the manifest-side envelope check is
+    // ASCII-guarded and conservatively keeps non-ASCII dirs) and the
+    // string Bloom filters.
+    val env = batch.agg(min(col(keyCol)), max(col(keyCol)),
+      count(lit(1))).head()
+    val nKeys = env.getLong(2)
+    def envOverlap(e: Entry): Boolean =
+      if (isStr)
+        e.mightOverlapStr(keyCol, env.getString(0), env.getString(1))
+      else e.mightOverlap(keyCol,
+        env.get(0).asInstanceOf[Number].longValue(),
+        env.get(1).asInstanceOf[Number].longValue())
     // two-stage pruning: the batch's key ENVELOPE cuts candidates
     // from the manifest alone, then one tiny aggregate pass over the
     // batch tests each candidate dir's exact range — a batch touching
     // keys {2, 20} must not rewrite a [10, 11] dir just because the
     // envelope [2, 20] covers it (update batches are sparse in key
     // space; the envelope alone would rewrite nearly everything)
-    val (cand0, keep0) = entries.partition(_.mightOverlap(keyCol, lo, hi))
-    val (cand, keepEmpty) = cand0.partition(e =>
+    val cand = entries.filter(e => envOverlap(e) &&
       e.hasData(fs, s"$path/data/${e.dir}"))
-    val (bounded, unbounded) = cand.partition(e =>
-      e.statMin.contains(keyCol) && e.statMax.contains(keyCol))
+    def boundsOf(e: Entry): Option[(Any, Any)] =
+      if (isStr) e.strMin.get(keyCol).zip(e.strMax.get(keyCol))
+      else e.statMin.get(keyCol).zip(e.statMax.get(keyCol))
+    val (bounded, unbounded) = cand.partition(e => boundsOf(e).isDefined)
     val hits: Seq[Entry] =
       if (bounded.isEmpty) Seq.empty
       else {
-        val k = batch.select(col(keyCol).cast("long").as("k"))
+        val k = batch.select(col(keyCol))
         val probes = bounded.zipWithIndex.map { case (e, i) =>
-          max(when(col("k").between(e.statMin(keyCol),
-            e.statMax(keyCol)), 1).otherwise(0)).as(s"d$i")
+          val (mn, mx) = boundsOf(e).get
+          max(when(col(keyCol) >= lit(mn) && col(keyCol) <= lit(mx), 1)
+            .otherwise(0)).as(s"d$i")
         }
         val r = k.agg(probes.head, probes.tail: _*).head()
         bounded.zipWithIndex.collect {
           case (e, i) if !r.isNullAt(i) && r.getInt(i) == 1 => e
         }
       }
-    val touch = unbounded ++ hits // stats-less dirs might hold any key
-    val keep = keep0 ++ keepEmpty ++
-      bounded.filterNot(hits.toSet) // candidates no key actually hits
+    // small batches additionally consult the per-dir Bloom filters —
+    // the prune that works on interleaved key layouts, where every
+    // dir's range spans the domain and range probes clear nothing
+    // (sound for merge: a dir no batch key can be in has no row to
+    // replace, so it needs no rewrite)
+    val touch0 = unbounded ++ hits
+    val touch =
+      if (nKeys > 8192) touch0
+      else {
+        val vals = batch.select(col(keyCol)).collect().map(_.get(0)).toSeq
+        touch0.filter(e => vals.exists { kv =>
+          if (isStr) e.mightContainPointStr(keyCol,
+            kv.asInstanceOf[String])
+          else e.mightContainPoint(keyCol,
+            kv.asInstanceOf[Number].longValue())
+        })
+      }
     val v = prev + 1
     val keys = batch.select(col(keyCol))
     // broadcast the key set only when it is update-batch-sized: a
@@ -2868,7 +2903,7 @@ object ManifestTable {
     val committed = commitRewrite(spark, path, "merge", prev, entries,
       touch.map(_.dir).toSet, rewritten ++ inserted, schema,
       (statsCols :+ keyCol).distinct, bloomCols, retries,
-      added => added.forall(e => !e.mightOverlap(keyCol, lo, hi) ||
+      added => added.forall(e => !envOverlap(e) ||
         !e.hasData(fs, s"$path/data/${e.dir}")))
     (committed, touch.size)
   }

@@ -557,6 +557,62 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("replaced whole"))
   }
 
+  test("string-keyed merge: bounds prune, untouched dirs keep identity") {
+    val t = s"${Files.createTempDirectory("graft-manifestmergestr")}/t"
+    // two string-RANGE commits (the reference's upsert key is a
+    // string cveId) — the second dir's key range is disjoint from
+    // the batch's envelope and must survive physically untouched
+    ManifestTable.append(spark,
+      Seq(("a-1", "x"), ("a-2", "y")).toDF("key", "s"), t,
+      statsCols = Seq("key"))
+    ManifestTable.append(spark,
+      Seq(("m-1", "c"), ("m-2", "d")).toDF("key", "s"), t,
+      statsCols = Seq("key"))
+    val before = ManifestTable.read(spark, t).inputFiles.toSet
+    val (v, rewritten) = ManifestTable.merge(spark,
+      Seq(("a-2", "Y!"), ("z-9", "new")).toDF("key", "s"), t, "key")
+    assert(v == 3L && rewritten == 1, s"v=$v rewritten=$rewritten")
+    val now = ManifestTable.read(spark, t)
+    assert(now.collect().map(r => (r.getString(0), r.getString(1)))
+      .sorted.toSeq == Seq(("a-1", "x"), ("a-2", "Y!"), ("m-1", "c"),
+        ("m-2", "d"), ("z-9", "new")))
+    // the non-overlapping dir kept its physical files
+    assert(now.inputFiles.toSet.intersect(before).nonEmpty)
+    // old snapshots still see the pre-merge rows
+    assert(ManifestTable.readVersion(spark, t, 2)
+      .filter(col("key") === "a-2").select("s").head()
+      .getString(0) == "y")
+    // a non-integral, non-string key type stays loud
+    val td = s"${Files.createTempDirectory("graft-manifestmergedbl")}/t"
+    ManifestTable.append(spark,
+      Seq((1.5, "a")).toDF("k", "s"), td)
+    val ex = intercept[RuntimeException](ManifestTable.merge(spark,
+      Seq((1.5, "b")).toDF("k", "s"), td, "k"))
+    assert(ex.getMessage.contains("integral and string"))
+  }
+
+  test("string-keyed merge on interleaved dirs: Bloom filters narrow the rewrite") {
+    val t = s"${Files.createTempDirectory("graft-manifestmergestrbl")}/t"
+    // both dirs' string BOUNDS span the same domain (interleaved), so
+    // range probes clear nothing — only the per-dir string Bloom can
+    // prove dir 1 holds no batch key
+    ManifestTable.append(spark,
+      Seq(("k-0", "a"), ("k-2", "b"), ("k-9", "c")).toDF("key", "s"),
+      t, statsCols = Seq("key"), bloomCols = Seq("key"))
+    ManifestTable.append(spark,
+      Seq(("k-1", "d"), ("k-3", "e"), ("k-8", "f")).toDF("key", "s"),
+      t, statsCols = Seq("key"), bloomCols = Seq("key"))
+    val (_, rewritten) = ManifestTable.merge(spark,
+      Seq(("k-3", "E!")).toDF("key", "s"), t, "key",
+      bloomCols = Seq("key"))
+    assert(rewritten == 1,
+      s"bloom narrowing rewrote $rewritten dirs, expected 1")
+    assert(ManifestTable.read(spark, t)
+      .filter(col("key") === "k-3").select("s").head()
+      .getString(0) == "E!")
+    assert(ManifestTable.read(spark, t).count() == 6L)
+  }
+
   test("merge's rewrite job count is independent of touched dirs; emptied dirs vanish") {
     // the old per-dir loop paid one read+anti-join+write JOB per
     // touched dir, serialized in the driver; the staged single-pass
