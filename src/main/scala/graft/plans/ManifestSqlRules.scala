@@ -150,15 +150,15 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** The EXACT closed range a DELETE condition denotes on one integral
-    * column, or a loud error. Supported: conjunctions of >=, >, <=,
-    * <, =, BETWEEN (parsed as >= AND <=) on a single column with
+  /** The EXACT closed range a DELETE/UPDATE condition denotes on one
+    * integral column, or a loud error. Supported: conjunctions of >=,
+    * >, <=, <, =, BETWEEN (parsed as >= AND <=) on a single column with
     * integral literals; strict bounds normalize by ±1 (exact on
     * integers). `None` = the condition denotes an EMPTY range (a
-    * no-op delete, e.g. `id > Long.MaxValue`). Anything else —
+    * no-op, e.g. `id > Long.MaxValue`). Anything else —
     * OR, a second column, non-integral literals, functions — is
-    * rejected: a DELETE must do exactly what the predicate says. */
-  private def deleteRangeOf(cond: Expression)
+    * rejected: row-level DML must do exactly what the predicate says. */
+  private def deleteRangeOf(cond: Expression, stmt: String = "DELETE")
       : Option[(String, Long, Long)] = {
     var colName: Option[String] = None
     var lo = Long.MinValue
@@ -169,12 +169,12 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
       case _ => colName = Some(c)
     }
     def fail(why: String): Nothing = sys.error(
-      s"graft-manifest DELETE: unsupported WHERE shape ($why) — " +
+      s"graft-manifest $stmt: unsupported WHERE shape ($why) — " +
         "supported: a conjunction of range/point comparisons " +
         "(>=, >, <=, <, =, BETWEEN) on ONE integral column with " +
-        "integral literals, or no WHERE (full delete). Anything else " +
-        "must go through the programmatic API, where the semantics " +
-        "are explicit.")
+        s"integral literals, or no WHERE (whole-table $stmt). " +
+        "Anything else must go through the programmatic API, where " +
+        "the semantics are explicit.")
     // either operand may be the column (the other must fold to an
     // integral constant — type coercion wraps literals in foldable
     // casts, handled by longLit); `colLeft`/`colRight` give the range
@@ -245,6 +245,33 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
       }
   }
 
+  /** Rebuild a RESOLVED assignment-value expression as a Column that
+    * re-resolves BY NAME against the rewrite engine's own frames:
+    * every [[AttributeReference]] is renamed through `rename` (which
+    * encodes which side — target columns keep their name, merge
+    * source columns take the `_src_` alias [[ManifestTable
+    * .mergeUpdate]] publishes) and swapped for an unresolved
+    * attribute. Returns None — rejection, never approximation — for
+    * an attribute `rename` cannot place, a subquery (the rewrite
+    * frame cannot host one), or a non-deterministic expression
+    * (re-evaluated per touched dir, it would update different rows
+    * to different values than the statement ran once would). */
+  private def rebuildSetValue(e: Expression,
+      rename: AttributeReference => Option[String])
+      : Option[org.apache.spark.sql.Column] = {
+    var ok = true
+    val t = e.transform {
+      case a: AttributeReference =>
+        rename(a) match {
+          case Some(n) => UnresolvedAttribute.quoted(n)
+          case None => ok = false; a
+        }
+    }
+    if (!ok || !e.deterministic || e.exists(_.isInstanceOf[SubqueryExpression]))
+      None
+    else Some(org.apache.spark.sql.GraftSqlBridge.column(t))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsDown {
       case i: InsertIntoStatement if i.query.resolved =>
@@ -287,52 +314,187 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
           }
         }
 
+      // `UPDATE t SET col = expr [, …] WHERE <range|points|none>` —
+      // routed through the staged-rewrite engine: matching rows are
+      // patched IN PLACE (row order, clustering, untouched dirs all
+      // survive), and dir pruning runs on the same recorded stats as
+      // the equivalent DELETE's. The WHERE grammar is exactly the
+      // DELETE grammar (strict; see deleteRangeOf/StringKeyDelete).
+      // Left alone, Spark rejects UPDATE on a v1 relation outright —
+      // this rule is the statement's only road.
+      case u: UpdateTable if u.assignments.nonEmpty &&
+          u.assignments.forall(a => a.key.resolved && a.value.resolved) =>
+        u.table match {
+          case ManifestTarget(path, _) =>
+            // identity assignments (SET c = c — the analyzer's
+            // assignment alignment pads untouched columns this way)
+            // are semantic no-ops: drop them rather than rewrite
+            // dirs to identical bytes
+            val real = u.assignments.filterNot { a =>
+              (nameOf(a.key), a.value) match {
+                case (Some(k), v: AttributeReference) => v.name == k
+                case _ => false
+              }
+            }
+            val sets = real.map { a =>
+              val k = nameOf(a.key).getOrElse(sys.error(
+                "graft-manifest UPDATE: SET target must be a plain " +
+                  s"top-level column, got ${a.key.sql}"))
+              val c = rebuildSetValue(a.value, ar => Some(ar.name))
+                .getOrElse(sys.error(
+                  "graft-manifest UPDATE: unsupported SET expression " +
+                    s"for '$k' (${a.value.sql}) — subqueries and " +
+                    "non-deterministic functions must go through the " +
+                    "programmatic API"))
+              (k, c)
+            }
+            if (sets.isEmpty)
+              GraftManifestNoopCommand(s"identity-only UPDATE on $path")
+            else u.condition match {
+              case None | Some(Literal(true, _)) =>
+                GraftManifestUpdateCommand(path, None, sets)
+              case Some(StringKeyDelete(c, vals)) =>
+                if (vals.isEmpty) GraftManifestNoopCommand(
+                  s"all-NULL UPDATE keys on $path")
+                else GraftManifestUpdateCommand(path,
+                  Some(scala.Right((c, vals))), sets)
+              case Some(cond) => deleteRangeOf(cond, "UPDATE") match {
+                case Some((c, lo, hi)) => GraftManifestUpdateCommand(
+                  path, Some(scala.Left((c, lo, hi))), sets)
+                case None => GraftManifestNoopCommand(
+                  s"empty UPDATE range on $path")
+              }
+            }
+          case _ => u
+        }
+
       case m: MergeIntoTable if m.sourceTable.resolved =>
         m.targetTable match {
           case ManifestTarget(path, schema) =>
             require(!m.withSchemaEvolution,
               "graft-manifest MERGE: WITH SCHEMA EVOLUTION is not " +
                 "supported — evolve via append(evolveSchema) first")
-            // accept `SET *` / `INSERT *` both before star expansion
-            // and after the analyzer expanded it into the per-column
-            // whole-row assignment list (same-name source -> target,
-            // covering EVERY target column — a partial-column update
-            // has no manifest mapping, rows are replaced whole)
-            val cols = schema.fieldNames.toSet
-            def wholeRow(assigns: Seq[Assignment]): Boolean = {
-              val pairs = assigns.map(a => (nameOf(a.key), nameOf(a.value)))
-              pairs.forall {
-                case (Some(k), Some(v)) => k == v
-                case _ => false
-              } && pairs.flatMap(_._1).toSet == cols
+            // a column-wise UPDATE action needs its assignment sides
+            // resolved to classify target vs source references; the
+            // star/whole-row forms don't — wait for a later
+            // fixed-point pass instead of misreading the statement
+            val ready = m.matchedActions match {
+              case Seq(UpdateAction(None, assigns, _)) =>
+                assigns.forall(a => a.key.resolved && a.value.resolved)
+              case _ => true
             }
-            val okActions = (m.matchedActions match {
-              case Seq(UpdateStarAction(None)) => true
-              case Seq(UpdateAction(None, assigns, _)) => wholeRow(assigns)
-              case _ => false
-            }) && (m.notMatchedActions match {
-              case Seq(InsertStarAction(None)) => true
-              case Seq(InsertAction(None, assigns)) => wholeRow(assigns)
-              case _ => false
-            }) && m.notMatchedBySourceActions.isEmpty
-            require(okActions,
-              "graft-manifest MERGE: only the whole-row upsert form " +
-                "is supported — WHEN MATCHED THEN UPDATE SET * WHEN " +
-                "NOT MATCHED THEN INSERT * (replaced rows are " +
-                "replaced whole, the ManifestTable.merge contract)")
-            val key = m.mergeCondition match {
-              case EqualTo(a, b) =>
-                (nameOf(a), nameOf(b)) match {
-                  case (Some(x), Some(y)) if x == y => x
-                  case got => sys.error(
-                    "graft-manifest MERGE: the ON condition must be " +
-                      s"target.<key> = source.<key> on one column, got $got")
+            if (!ready) m
+            else {
+              // accept `SET *` / `INSERT *` both before star
+              // expansion and after the analyzer expanded it into the
+              // per-column whole-row assignment list (same-name
+              // source -> target, covering EVERY target column)
+              val cols = schema.fieldNames.toSet
+              val tgtIds = m.targetTable.output.map(_.exprId).toSet
+              val srcIds = m.sourceTable.output.map(_.exprId).toSet
+              def wholeRow(assigns: Seq[Assignment]): Boolean = {
+                val pairs =
+                  assigns.map(a => (nameOf(a.key), nameOf(a.value)))
+                pairs.forall {
+                  case (Some(k), Some(v)) => k == v
+                  case _ => false
+                } && pairs.flatMap(_._1).toSet == cols &&
+                  // identity padding (value = TARGET column) is NOT a
+                  // whole-row copy — only source-side values qualify
+                  assigns.forall(_.value match {
+                    case v: AttributeReference => !tgtIds(v.exprId)
+                    case _ => true
+                  })
+              }
+              def failActions(): Nothing = sys.error(
+                "graft-manifest MERGE: supported action shapes are " +
+                  "the whole-row upsert (WHEN MATCHED THEN UPDATE " +
+                  "SET * WHEN NOT MATCHED THEN INSERT *), the " +
+                  "column-wise patch (WHEN MATCHED THEN UPDATE SET " +
+                  "col = expr [, …], optionally WHEN NOT MATCHED " +
+                  "THEN INSERT *), and insert-if-absent (WHEN NOT " +
+                  "MATCHED THEN INSERT * alone) — per-action " +
+                  "conditions, DELETE actions, and NOT MATCHED BY " +
+                  "SOURCE are not")
+              if (m.notMatchedBySourceActions.nonEmpty) failActions()
+              // None -> whole-row upsert; Some(sets) -> column-wise
+              // patch (empty = no matched action at all)
+              val matchedShape
+                  : Option[Seq[(String, org.apache.spark.sql.Column)]] =
+                m.matchedActions match {
+                  case Seq() => Some(Nil)
+                  case Seq(UpdateStarAction(None)) => None
+                  case Seq(UpdateAction(None, assigns, _))
+                      if wholeRow(assigns) => None
+                  case Seq(UpdateAction(None, assigns, _)) =>
+                    // identity assignments (SET c = c on the target
+                    // side — the analyzer's alignment padding) are
+                    // semantic no-ops: drop them
+                    val real = assigns.filterNot { a =>
+                      (nameOf(a.key), a.value) match {
+                        case (Some(k), v: AttributeReference)
+                            if tgtIds(v.exprId) => v.name == k
+                        case _ => false
+                      }
+                    }
+                    Some(real.map { a =>
+                      val k = nameOf(a.key).getOrElse(sys.error(
+                        "graft-manifest MERGE: UPDATE SET target " +
+                          "must be a plain top-level column, got " +
+                          a.key.sql))
+                      val c = rebuildSetValue(a.value, ar =>
+                        if (srcIds(ar.exprId)) Some("_src_" + ar.name)
+                        else if (tgtIds(ar.exprId)) Some(ar.name)
+                        else None).getOrElse(sys.error(
+                        "graft-manifest MERGE: unsupported SET " +
+                          s"expression for '$k' (${a.value.sql}) — " +
+                          "subqueries and non-deterministic " +
+                          "functions must go through the " +
+                          "programmatic API"))
+                      (k, c)
+                    })
+                  case _ => failActions()
                 }
-              case other => sys.error(
-                "graft-manifest MERGE: the ON condition must be a " +
-                  s"single key equality, got ${other.sql}")
+              val insert: Boolean = m.notMatchedActions match {
+                case Seq() => false
+                case Seq(InsertStarAction(None)) => true
+                case Seq(InsertAction(None, assigns))
+                    if wholeRow(assigns) => true
+                case _ => failActions()
+              }
+              val key = m.mergeCondition match {
+                case EqualTo(a, b) =>
+                  (nameOf(a), nameOf(b)) match {
+                    case (Some(x), Some(y)) if x == y => x
+                    case got => sys.error(
+                      "graft-manifest MERGE: the ON condition must " +
+                        s"be target.<key> = source.<key> on one " +
+                        s"column, got $got")
+                  }
+                case other => sys.error(
+                  "graft-manifest MERGE: the ON condition must be a " +
+                    s"single key equality, got ${other.sql}")
+              }
+              matchedShape match {
+                case None if insert => // whole-row upsert
+                  GraftManifestMergeCommand(path, key, m.sourceTable)
+                case None =>
+                  // whole-row update WITHOUT insert: patch every
+                  // non-key column from the source in place — matched
+                  // rows never migrate out of their dirs
+                  GraftManifestMergeUpdateCommand(path, key,
+                    m.sourceTable, schema.fieldNames.toSeq
+                      .filterNot(_ == key)
+                      .map(c => (c, col(s"_src_$c"))), insert = false)
+                case Some(sets) if sets.isEmpty && !insert =>
+                  sys.error("graft-manifest MERGE: the statement can " +
+                    "have no effect — no real SET column and no " +
+                    "INSERT action")
+                case Some(sets) =>
+                  GraftManifestMergeUpdateCommand(path, key,
+                    m.sourceTable, sets, insert)
+              }
             }
-            GraftManifestMergeCommand(path, key, m.sourceTable)
           case _ => m
         }
     }
@@ -479,6 +641,57 @@ final case class GraftManifestFullDeleteCommand(path: String)
 final case class GraftManifestNoopCommand(why: String)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = Seq.empty
+}
+
+/** `UPDATE v SET col = expr [, …] WHERE <shape>` → the
+  * [[ManifestTable]] update family, dispatched on the WHERE shape the
+  * analysis rule extracted: `None` = whole table ([[ManifestTable
+  * .updateAll]]), `Left((col, lo, hi))` = integral range
+  * ([[ManifestTable.updateRange]]), `Right((col, keys))` = string
+  * point set ([[ManifestTable.updateKeys]]). Matching rows are
+  * patched in place; only stat-overlapping dirs rewrite. */
+final case class GraftManifestUpdateCommand(path: String,
+    where: Option[Either[(String, Long, Long), (String, Seq[String])]],
+    sets: Seq[(String, org.apache.spark.sql.Column)])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    where match {
+      case None => ManifestTable.updateAll(session, path, sets)
+      case Some(scala.Left((c, lo, hi))) =>
+        ManifestTable.updateRange(session, path, c, lo, hi, sets)
+      case Some(scala.Right((c, keys))) =>
+        ManifestTable.updateKeys(session, path, c, keys, sets)
+    }
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO v USING src ON v.k = src.k WHEN MATCHED THEN UPDATE
+  * SET col = expr [, …] [WHEN NOT MATCHED THEN INSERT *]` →
+  * [[ManifestTable.mergeUpdate]]: matched rows are PATCHED in place
+  * (clustering survives, nothing migrates), not-matched source rows
+  * land as one appended dir when `insert`. `sets` values reference
+  * target columns by name and source columns as `_src_<name>` (the
+  * rewrite engine's published alias). */
+final case class GraftManifestMergeUpdateCommand(path: String,
+    keyCol: String, source: LogicalPlan,
+    sets: Seq[(String, org.apache.spark.sql.Column)], insert: Boolean)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val src =
+      org.apache.spark.sql.GraftSqlBridge.ofRows(session, source)
+    val v = ManifestTable.latestVersion(session, path).getOrElse(
+      sys.error(s"graft-manifest MERGE: no committed version at $path"))
+    // an inserted batch dir keeps the table's pruning discipline,
+    // exactly like the whole-row merge command's
+    val (statsCols, bloomCols) = ManifestTable.pruningOf(session, path, v)
+    ManifestTable.mergeUpdate(session, src, path, keyCol, sets,
+      insertNotMatched = insert, statsCols = statsCols,
+      bloomCols = bloomCols)
+    Seq.empty
+  }
 }
 
 /** `MERGE INTO v USING src ON v.k = src.k WHEN MATCHED THEN UPDATE

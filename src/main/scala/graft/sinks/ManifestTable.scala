@@ -1060,7 +1060,9 @@ object ManifestTable {
             else rowsOf(spark, target, fl),
           nullCnt = nulls,
           // a staged rewrite only REMOVES rows from its source dir
-          // (filter / anti-join), so a partition-pure source stays
+          // (filter / anti-join) or patches NON-partition-source
+          // values in place (update/mergeUpdate refuse SETs on
+          // partition sources), so a partition-pure source stays
           // pure — the partition metadata carries through and
           // [[dropPartitions]] keeps working across merges/deletes
           partition = e.partition)
@@ -2443,57 +2445,16 @@ object ManifestTable {
         s"${f.dataType.catalogString} — a lossy cast could delete the " +
         "wrong rows; cast explicitly at the call site")
     // normalized, null-free, deduped — materialized once: it feeds
-    // the envelope, the per-dir probes, and the tombstone write
+    // the prune pass and the tombstone write
     val batch = keys.select(col(keyCol))
       .filter(col(keyCol).isNotNull).distinct().localCheckpoint()
-    val nKeys = batch.count()
-    if (nKeys == 0) return (prev, 0)
-    // two-stage pruning, the merge pattern: the manifest envelope
-    // first, then one exact aggregate pass probing each candidate
-    // dir's recorded range (string probes compare in Spark — the same
-    // UTF8 binary order that recorded the bounds, so they are exact
-    // with no ASCII guard)
-    val env = batch.agg(min(col(keyCol)), max(col(keyCol))).head()
-    def envOverlap(e: Entry): Boolean =
-      if (isStr) e.mightOverlapStr(keyCol, env.getString(0), env.getString(1))
-      else e.mightOverlap(keyCol,
-        env.get(0).asInstanceOf[Number].longValue(),
-        env.get(1).asInstanceOf[Number].longValue())
-    val cand = entries.filter(e => envOverlap(e) &&
-      e.hasData(fs, s"$path/data/${e.dir}"))
-    def boundsOf(e: Entry): Option[(Any, Any)] =
-      if (isStr) e.strMin.get(keyCol).zip(e.strMax.get(keyCol))
-      else e.statMin.get(keyCol).zip(e.statMax.get(keyCol))
-    val (bounded, unbounded) = cand.partition(e => boundsOf(e).isDefined)
-    val hits: Seq[Entry] =
-      if (bounded.isEmpty) Seq.empty
-      else {
-        val probes = bounded.zipWithIndex.map { case (e, i) =>
-          val (mn, mx) = boundsOf(e).get
-          max(when(col(keyCol) >= lit(mn) && col(keyCol) <= lit(mx), 1)
-            .otherwise(0)).as(s"d$i")
-        }
-        val r = batch.agg(probes.head, probes.tail: _*).head()
-        bounded.zipWithIndex.collect {
-          case (e, i) if !r.isNullAt(i) && r.getInt(i) == 1 => e
-        }
-      }
-    // small key sets additionally consult the per-dir Bloom filters —
-    // the prune that works on interleaved layouts where every dir's
-    // range spans the domain (the exact workload scattered-key
-    // deletes are)
-    val touch0 = unbounded ++ hits
-    val touch =
-      if (nKeys > 8192) touch0
-      else {
-        val vals = batch.collect().map(_.get(0)).toSeq
-        touch0.filter(e => vals.exists { v =>
-          if (isStr) e.mightContainPointStr(keyCol, v.asInstanceOf[String])
-          else e.mightContainPoint(keyCol,
-            v.asInstanceOf[Number].longValue())
-        })
-      }
-    if (touch.isEmpty) return (prev, 0) // no dir can hold a key: no-op
+    // ONE prune pass ([[dirsHitByKeys]]: envelope, exact range probe,
+    // Bloom consultation — the prune that works on interleaved
+    // layouts, the exact workload scattered-key deletes are)
+    val (touch, _, nKeys) =
+      dirsHitByKeys(spark, path, entries, batch, keyCol, isStr)
+    if (nKeys == 0 || touch.isEmpty)
+      return (prev, 0) // no key, or no dir can hold one: no-op
     val v = prev + 1
     // the tombstone is immutable and attempt-unique like a data dir;
     // the version prefix is cosmetic (readers resolve through dv refs)
@@ -2715,6 +2676,80 @@ object ManifestTable {
       (statsCols ++ keyCols).distinct, Nil, retries, _ => true)
   }
 
+  /** Two-stage + Bloom dir pruning shared by every KEYED row-level op
+    * ([[merge]], [[deleteKeys]], [[mergeUpdate]]): which data dirs
+    * MIGHT hold a key of `batch`? Stage 1 cuts candidates from the
+    * manifest alone via the batch's key ENVELOPE (one tiny aggregate;
+    * integral keys probe the long stats, string keys the recorded
+    * string bounds — string comparisons run IN Spark, the same UTF8
+    * binary order that recorded them, so the envelope itself is
+    * exact and the manifest-side bounds check is ASCII-guarded
+    * conservative). Stage 2 probes each candidate dir's exact
+    * recorded range with ONE aggregate pass over the batch — a batch
+    * touching keys {2, 20} must not hit a [10, 11] dir just because
+    * the envelope [2, 20] covers it (update/delete batches are
+    * sparse in key space; the envelope alone would hit nearly
+    * everything). Batches of at most 8192 keys additionally consult
+    * the per-dir Bloom filters — the prune that works on INTERLEAVED
+    * key layouts, where every dir's range spans the whole domain and
+    * range probes clear nothing. Sound for every caller because a
+    * dir NO batch key can be in holds no row the op could affect.
+    * Returns (dirs hit, the envelope predicate — what the rebase
+    * gates re-check on concurrently-added dirs — and the batch's
+    * row count, which doubles as the callers' broadcast guard). */
+  private def dirsHitByKeys(spark: SparkSession, path: String,
+      entries: Seq[Entry], batch: DataFrame, keyCol: String,
+      isStr: Boolean): (Seq[Entry], Entry => Boolean, Long) = {
+    val (fs, _) = fsOf(spark, path)
+    val env = batch.agg(min(col(keyCol)), max(col(keyCol)),
+      count(lit(1))).head()
+    val nKeys = env.getLong(2)
+    val envOverlap: Entry => Boolean =
+      if (nKeys == 0) _ => false
+      else if (isStr) {
+        val (lo, hi) = (env.getString(0), env.getString(1))
+        e => e.mightOverlapStr(keyCol, lo, hi)
+      } else {
+        val (lo, hi) = (env.get(0).asInstanceOf[Number].longValue(),
+          env.get(1).asInstanceOf[Number].longValue())
+        e => e.mightOverlap(keyCol, lo, hi)
+      }
+    if (nKeys == 0) return (Seq.empty, envOverlap, 0L)
+    val cand = entries.filter(e => envOverlap(e) &&
+      e.hasData(fs, s"$path/data/${e.dir}"))
+    def boundsOf(e: Entry): Option[(Any, Any)] =
+      if (isStr) e.strMin.get(keyCol).zip(e.strMax.get(keyCol))
+      else e.statMin.get(keyCol).zip(e.statMax.get(keyCol))
+    val (bounded, unbounded) = cand.partition(e => boundsOf(e).isDefined)
+    val hits: Seq[Entry] =
+      if (bounded.isEmpty) Seq.empty
+      else {
+        val probes = bounded.zipWithIndex.map { case (e, i) =>
+          val (mn, mx) = boundsOf(e).get
+          max(when(col(keyCol) >= lit(mn) && col(keyCol) <= lit(mx), 1)
+            .otherwise(0)).as(s"d$i")
+        }
+        val r = batch.select(col(keyCol))
+          .agg(probes.head, probes.tail: _*).head()
+        bounded.zipWithIndex.collect {
+          case (e, i) if !r.isNullAt(i) && r.getInt(i) == 1 => e
+        }
+      }
+    val touch0 = unbounded ++ hits
+    val touch =
+      if (nKeys > 8192) touch0
+      else {
+        val vals = batch.select(col(keyCol)).collect().map(_.get(0)).toSeq
+        touch0.filter(e => vals.exists { kv =>
+          if (isStr) e.mightContainPointStr(keyCol,
+            kv.asInstanceOf[String])
+          else e.mightContainPoint(keyCol,
+            kv.asInstanceOf[Number].longValue())
+        })
+      }
+    (touch, envOverlap, nKeys)
+  }
+
   /** Copy-on-write MERGE (upsert) by integral or STRING key — the
     * reference's natural upsert key IS a string
     * (`consumer/consumer.py:111-125` upserts per cveId;
@@ -2807,66 +2842,12 @@ object ManifestTable {
     // pre-write check is authoritative.
     enforceConstraints(batch, constraintsOf(spark, path, prev),
       s"ManifestTable.merge($path)")
-    // one aggregate serves the key envelope AND the broadcast-guard
-    // row count (no separate count job). The envelope and every
-    // per-dir probe dispatch on the key's TYPE: integral keys use the
-    // long stats maps, string keys the string bounds (exact —
-    // comparisons run IN Spark, the same UTF8 binary order that
-    // recorded them; the manifest-side envelope check is
-    // ASCII-guarded and conservatively keeps non-ASCII dirs) and the
-    // string Bloom filters.
-    val env = batch.agg(min(col(keyCol)), max(col(keyCol)),
-      count(lit(1))).head()
-    val nKeys = env.getLong(2)
-    def envOverlap(e: Entry): Boolean =
-      if (isStr)
-        e.mightOverlapStr(keyCol, env.getString(0), env.getString(1))
-      else e.mightOverlap(keyCol,
-        env.get(0).asInstanceOf[Number].longValue(),
-        env.get(1).asInstanceOf[Number].longValue())
-    // two-stage pruning: the batch's key ENVELOPE cuts candidates
-    // from the manifest alone, then one tiny aggregate pass over the
-    // batch tests each candidate dir's exact range — a batch touching
-    // keys {2, 20} must not rewrite a [10, 11] dir just because the
-    // envelope [2, 20] covers it (update batches are sparse in key
-    // space; the envelope alone would rewrite nearly everything)
-    val cand = entries.filter(e => envOverlap(e) &&
-      e.hasData(fs, s"$path/data/${e.dir}"))
-    def boundsOf(e: Entry): Option[(Any, Any)] =
-      if (isStr) e.strMin.get(keyCol).zip(e.strMax.get(keyCol))
-      else e.statMin.get(keyCol).zip(e.statMax.get(keyCol))
-    val (bounded, unbounded) = cand.partition(e => boundsOf(e).isDefined)
-    val hits: Seq[Entry] =
-      if (bounded.isEmpty) Seq.empty
-      else {
-        val k = batch.select(col(keyCol))
-        val probes = bounded.zipWithIndex.map { case (e, i) =>
-          val (mn, mx) = boundsOf(e).get
-          max(when(col(keyCol) >= lit(mn) && col(keyCol) <= lit(mx), 1)
-            .otherwise(0)).as(s"d$i")
-        }
-        val r = k.agg(probes.head, probes.tail: _*).head()
-        bounded.zipWithIndex.collect {
-          case (e, i) if !r.isNullAt(i) && r.getInt(i) == 1 => e
-        }
-      }
-    // small batches additionally consult the per-dir Bloom filters —
-    // the prune that works on interleaved key layouts, where every
-    // dir's range spans the domain and range probes clear nothing
-    // (sound for merge: a dir no batch key can be in has no row to
-    // replace, so it needs no rewrite)
-    val touch0 = unbounded ++ hits
-    val touch =
-      if (nKeys > 8192) touch0
-      else {
-        val vals = batch.select(col(keyCol)).collect().map(_.get(0)).toSeq
-        touch0.filter(e => vals.exists { kv =>
-          if (isStr) e.mightContainPointStr(keyCol,
-            kv.asInstanceOf[String])
-          else e.mightContainPoint(keyCol,
-            kv.asInstanceOf[Number].longValue())
-        })
-      }
+    // ONE key-batch prune pass ([[dirsHitByKeys]] — envelope from the
+    // manifest, exact per-dir range probe, Bloom consultation for
+    // small batches) decides the rewrite set; its row count doubles
+    // as the broadcast guard (no separate count job)
+    val (touch, envOverlap, nKeys) =
+      dirsHitByKeys(spark, path, entries, batch, keyCol, isStr)
     val v = prev + 1
     val keys = batch.select(col(keyCol))
     // broadcast the key set only when it is update-batch-sized: a
@@ -2906,6 +2887,373 @@ object ManifestTable {
       added => added.forall(e => !envOverlap(e) ||
         !e.hasData(fs, s"$path/data/${e.dir}")))
     (committed, touch.size)
+  }
+
+  /** Shared engine of the copy-on-write UPDATE family
+    * ([[updateRange]]/[[updateKeys]]/[[updateAll]]): rows matching
+    * `rowPred` get the `sets` expressions applied IN PLACE — same
+    * dirs, same row order and count, so any prior clustering
+    * survives — and only the dirs `touchPred` admits are rewritten
+    * (ONE staged job however many), every other dir keeping its
+    * physical identity. That is the UPDATE shape a 100 TB table
+    * needs: cost proportional to the data that CONTAINS matches,
+    * never to the table.
+    *
+    * Strictness at the boundary (the same discipline as every other
+    * mutation here):
+    *  - every SET column must exist, once, in the table schema;
+    *  - a SET on a PARTITION-SOURCE column is refused — the rewrite
+    *    carries each dir's recorded partition value through
+    *    (`stagedRewrite` keeps `partition`), so changing a source
+    *    column would silently divorce metadata from content and
+    *    corrupt partition pruning/drops; route such a change through
+    *    merge/overwrite, which re-derive partitions;
+    *  - each SET expression must produce the column's exact type (or
+    *    losslessly widen into it, then cast) — validated on a
+    *    zero-row frame before any work; an implicit narrowing
+    *    mid-rewrite would corrupt values;
+    *  - CHECK constraints are enforced on the UPDATED rows (one
+    *    pass over the touched dirs' matching rows, dvs applied,
+    *    before any staging work) — only updated rows can newly
+    *    violate. */
+  private def updateImpl(spark: SparkSession, path: String, op: String,
+      sets: Seq[(String, org.apache.spark.sql.Column)],
+      rowPred: org.apache.spark.sql.Column, touchPred: Entry => Boolean,
+      addedSafe: Seq[Entry] => Boolean, retries: Int): (Long, Int) = {
+    val (fs, _) = fsOf(spark, path)
+    val prev = latestVersion(spark, path).getOrElse(
+      sys.error(s"ManifestTable.$op: no committed version at $path"))
+    val entries = entriesOf(spark, path, prev)
+    val schema = tableSchema(spark, path, prev, entries)
+    require(sets.nonEmpty, s"ManifestTable.$op: empty SET list")
+    require(sets.map(_._1).distinct.size == sets.size,
+      s"ManifestTable.$op: duplicate SET column in " +
+        sets.map(_._1).mkString("[", ", ", "]"))
+    val fieldsByName = schema.fields.map(f => f.name -> f).toMap
+    sets.foreach { case (c, _) =>
+      require(fieldsByName.contains(c),
+        s"ManifestTable.$op: SET column '$c' is not in the table " +
+          s"schema (${schema.fieldNames.mkString(", ")})")
+    }
+    val pSrcs = partitionSpecOf(spark, path, prev).map(_.src).toSet
+    val clash = sets.map(_._1).filter(pSrcs)
+    require(clash.isEmpty,
+      s"ManifestTable.$op: SET touches partition-source column(s) " +
+        clash.mkString("'", "', '", "'") + " — an in-place update " +
+        "cannot re-derive partition metadata; rewrite those rows via " +
+        "merge or overwrite instead")
+    // type-check every SET expression against a ZERO-ROW frame with
+    // the table's schema: exact type, or a lossless widening (then
+    // cast below) — loud before any data work
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    sets.foreach { case (c, e) =>
+      val dt = probe.select(e).schema.head.dataType
+      val want = fieldsByName(c).dataType
+      require(dt.catalogString == want.catalogString || widens(dt, want),
+        s"ManifestTable.$op: SET '$c' expression has type " +
+          s"${dt.catalogString} but the column is " +
+          s"${want.catalogString} — cast explicitly at the call site")
+    }
+    val setMap = sets.toMap
+    val tableCols = schema.fieldNames.toSet
+    def applySets(df: DataFrame): DataFrame = {
+      val cols = schema.fieldNames.map { c =>
+        setMap.get(c) match {
+          // a null-evaluating predicate matches nothing (SQL UPDATE
+          // semantics): `when` falls through to the original value
+          case Some(e) => when(rowPred,
+            e.cast(fieldsByName(c).dataType)).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }
+      // staging bookkeeping columns (the rewrite's source-dir tag)
+      // pass through untouched
+      val extra = df.columns.filterNot(tableCols).map(col)
+      df.select((cols ++ extra).toSeq: _*)
+    }
+    val touch = entries.filter(e => touchPred(e) &&
+      e.hasData(fs, s"$path/data/${e.dir}"))
+    if (touch.isEmpty) return (prev, 0)
+    val cs = constraintsOf(spark, path, prev)
+    if (cs.nonEmpty)
+      enforceConstraints(
+        applySets(readableFrame(spark, path, schema, touch)
+          .filter(rowPred)),
+        cs, s"ManifestTable.$op($path)")
+    val v = prev + 1
+    // restat the SET columns too: their recorded min/max/Blooms
+    // describe pre-update values — stale bounds would prune wrongly
+    val rewritten = stagedRewrite(spark, path, v, schema, touch, op,
+      applySets, extraRestatCols = sets.map(_._1))
+    val committed = commitRewrite(spark, path, op, prev, entries,
+      touch.map(_.dir).toSet, rewritten, schema, Nil, Nil, retries,
+      addedSafe)
+    (committed, touch.size)
+  }
+
+  /** Copy-on-write `UPDATE … SET … WHERE keyCol IN [lo, hi]` on an
+    * integral key: only dirs whose recorded stats overlap the range
+    * rewrite (in place — row order, count, and clustering survive);
+    * null keys never match. See [[updateImpl]] for the SET contract.
+    * Returns (new version, dirs rewritten). `retries > 0` rebases
+    * optimistically iff recorded stats prove every concurrently-added
+    * dir is disjoint from the range. */
+  def updateRange(spark: SparkSession, path: String, keyCol: String,
+      lo: Long, hi: Long, sets: Seq[(String, org.apache.spark.sql.Column)],
+      retries: Int = 0): (Long, Int) = {
+    val (fs, _) = fsOf(spark, path)
+    val prev = latestVersion(spark, path).getOrElse(
+      sys.error(s"ManifestTable.updateRange: no committed version at $path"))
+    val schema = tableSchema(spark, path, prev, entriesOf(spark, path, prev))
+    schema.fields.find(_.name == keyCol).foreach { f =>
+      require(isIntegral(f.dataType),
+        s"ManifestTable.updateRange: '$keyCol' is " +
+          s"${f.dataType.catalogString}, not an integral type — a " +
+          "long-range update is only defined on integral keys")
+    }
+    updateImpl(spark, path, "updateRange", sets,
+      col(keyCol).isNotNull && col(keyCol).cast("long").between(lo, hi),
+      _.mightOverlap(keyCol, lo, hi),
+      added => added.forall(e => !e.mightOverlap(keyCol, lo, hi) ||
+        !e.hasData(fs, s"$path/data/${e.dir}")), retries)
+  }
+
+  /** Copy-on-write `UPDATE … SET … WHERE keyCol IN (keys…)` on a
+    * STRING key (the reference's hottest row address — the per-cveId
+    * statement shape of /root/reference/chatbot_pg/main.py:89): dirs
+    * prune by recorded string bounds (ASCII-guarded point probes)
+    * AND per-dir string Bloom filters — the prune that works on
+    * interleaved key layouts. Returns (new version, dirs
+    * rewritten). */
+  def updateKeys(spark: SparkSession, path: String, keyCol: String,
+      keys: Seq[String], sets: Seq[(String, org.apache.spark.sql.Column)],
+      retries: Int = 0): (Long, Int) = {
+    val (fs, _) = fsOf(spark, path)
+    val prev = latestVersion(spark, path).getOrElse(
+      sys.error(s"ManifestTable.updateKeys: no committed version at $path"))
+    val schema = tableSchema(spark, path, prev, entriesOf(spark, path, prev))
+    schema.fields.find(_.name == keyCol).foreach { f =>
+      require(f.dataType == org.apache.spark.sql.types.StringType,
+        s"ManifestTable.updateKeys: '$keyCol' is " +
+          s"${f.dataType.catalogString} — keyed string updates are " +
+          "defined on string keys; integral ranges go through " +
+          "updateRange")
+    }
+    val ks = keys.filter(_ != null).distinct
+    if (ks.isEmpty) return (prev, 0)
+    def mightHold(e: Entry): Boolean = ks.exists(k =>
+      e.mightOverlapStr(keyCol, k, k) && e.mightContainPointStr(keyCol, k))
+    updateImpl(spark, path, "updateKeys", sets,
+      col(keyCol).isin(ks: _*), mightHold,
+      added => added.forall(e => !mightHold(e) ||
+        !e.hasData(fs, s"$path/data/${e.dir}")), retries)
+  }
+
+  /** Copy-on-write whole-table `UPDATE … SET …` (no WHERE): every
+    * data dir rewrites in ONE staged job. Returns (new version, dirs
+    * rewritten). Rebase refuses any concurrently-added data dir —
+    * its rows would have been updated too. */
+  def updateAll(spark: SparkSession, path: String,
+      sets: Seq[(String, org.apache.spark.sql.Column)],
+      retries: Int = 0): (Long, Int) = {
+    val (fs, _) = fsOf(spark, path)
+    updateImpl(spark, path, "updateAll", sets, lit(true), _ => true,
+      added => added.forall(e => !e.hasData(fs, s"$path/data/${e.dir}")),
+      retries)
+  }
+
+  /** COLUMN-WISE copy-on-write MERGE — the `WHEN MATCHED THEN UPDATE
+    * SET col = expr` statement (the single most common warehouse
+    * upsert the reference's users would type next to the whole-row
+    * form): matched target rows get `sets` applied IN PLACE — same
+    * dirs, same row order, clustering survives, nothing is
+    * anti-joined out and re-appended — and, when `insertNotMatched`,
+    * source rows whose key the table lacks land as ONE appended dir
+    * (partition-pure on a partitioned table, like [[merge]]'s).
+    * Contrast with [[merge]]: whole-row upsert REPLACES matched rows
+    * (removed from their dirs, re-appended in the batch dir), which
+    * is right when the source carries complete rows; column-wise
+    * update PATCHES them where they live, which is right when the
+    * source carries deltas — and strictly cheaper, since matched
+    * rows never migrate out of their clustered dirs.
+    *
+    * `sets` expressions may reference target columns by name and
+    * source columns as `_src_<name>` (the join aliases every source
+    * column with that prefix; table columns must not collide with
+    * it). Dir pruning, broadcast guard, null/duplicate source-key
+    * rejection, and the rebase gate all mirror [[merge]]. When
+    * `insertNotMatched`, the source must carry every table column
+    * (the INSERT * contract); otherwise just the key plus whatever
+    * `sets` references. CHECK constraints are enforced on the
+    * patched rows AND the inserted rows before any staging work.
+    * Returns (new version, dirs rewritten). */
+  def mergeUpdate(spark: SparkSession, source: DataFrame, path: String,
+      keyCol: String, sets: Seq[(String, org.apache.spark.sql.Column)],
+      insertNotMatched: Boolean, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil, maxBroadcastKeys: Long = 4000000L,
+      retries: Int = 0): (Long, Int) = {
+    val (fs, _) = fsOf(spark, path)
+    val prev = latestVersion(spark, path).getOrElse(
+      sys.error(s"ManifestTable.mergeUpdate: no committed version at $path"))
+    val entries = entriesOf(spark, path, prev)
+    val schema = tableSchema(spark, path, prev, entries)
+    val keyField = schema.fields.find(_.name == keyCol).getOrElse(
+      sys.error(s"ManifestTable.mergeUpdate: no column '$keyCol' in " +
+        s"the table schema (${schema.fieldNames.mkString(", ")})"))
+    val isStr =
+      keyField.dataType == org.apache.spark.sql.types.StringType
+    require(isStr || isIntegral(keyField.dataType),
+      s"ManifestTable.mergeUpdate: key '$keyCol' is " +
+        s"${keyField.dataType.catalogString} — merge is defined on " +
+        "integral and string keys")
+    require(source.columns.contains(keyCol),
+      s"ManifestTable.mergeUpdate: source has no column '$keyCol'")
+    require(sets.nonEmpty || insertNotMatched,
+      "ManifestTable.mergeUpdate: no SET columns and no " +
+        "insertNotMatched — the statement can have no effect")
+    if (insertNotMatched)
+      require(source.columns.toSet == schema.fieldNames.toSet,
+        "ManifestTable.mergeUpdate(insertNotMatched): source columns " +
+          source.columns.toSeq.sorted.mkString("[", ", ", "]") +
+          " must equal the table's " +
+          schema.fieldNames.toSeq.sorted.mkString("[", ", ", "]") +
+          " — inserted rows are inserted whole")
+    val srcPrefix = "_src_"
+    val collide = schema.fieldNames.filter(_.startsWith(srcPrefix))
+    require(collide.isEmpty,
+      s"ManifestTable.mergeUpdate: table column(s) " +
+        collide.mkString("'", "', '", "'") + s" collide with the " +
+        s"'$srcPrefix' source-alias prefix — rename the column")
+    val fieldsByName = schema.fields.map(f => f.name -> f).toMap
+    require(sets.map(_._1).distinct.size == sets.size,
+      "ManifestTable.mergeUpdate: duplicate SET column in " +
+        sets.map(_._1).mkString("[", ", ", "]"))
+    sets.foreach { case (c, _) =>
+      require(fieldsByName.contains(c),
+        s"ManifestTable.mergeUpdate: SET column '$c' is not in the " +
+          s"table schema (${schema.fieldNames.mkString(", ")})")
+      require(c != keyCol,
+        "ManifestTable.mergeUpdate: SET must not assign the merge " +
+          s"key '$keyCol' — the key is the row's identity")
+    }
+    val pSrcs = partitionSpecOf(spark, path, prev).map(_.src).toSet
+    val clash = sets.map(_._1).filter(pSrcs)
+    require(clash.isEmpty,
+      "ManifestTable.mergeUpdate: SET touches partition-source " +
+        s"column(s) ${clash.mkString("'", "', '", "'")} — an in-place " +
+        "update cannot re-derive partition metadata; use whole-row " +
+        "merge, which re-partitions the replaced rows")
+    // the source key must arrive at the table's exact type (or widen
+    // losslessly): a lossy coercion could match the wrong rows
+    val skf = source.schema.fields.find(_.name == keyCol).get
+    require(skf.dataType.catalogString == keyField.dataType.catalogString
+        || widens(skf.dataType, keyField.dataType),
+      s"ManifestTable.mergeUpdate: source key '$keyCol' is " +
+        s"${skf.dataType.catalogString} but the table's is " +
+        s"${keyField.dataType.catalogString} — cast explicitly")
+    val batch = (if (insertNotMatched) alignToTable(source, schema)
+        .select(schema.fieldNames.map(col).toSeq: _*)
+      else source.withColumn(keyCol,
+        col(keyCol).cast(keyField.dataType))).localCheckpoint()
+    if (batch.head(1).isEmpty) return (prev, 0)
+    require(batch.filter(col(keyCol).isNull).head(1).isEmpty,
+      s"ManifestTable.mergeUpdate: source carries null '$keyCol' " +
+        "keys — a null key matches no row and would re-insert on " +
+        "every run; assign keys or route null-key rows through append")
+    val dupKeys = batch.groupBy(col(keyCol)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dupKeys.isEmpty,
+      s"ManifestTable.mergeUpdate: source carries duplicate key " +
+        s"${dupKeys.headOption.map(_.get(0))} — no defined winner")
+    // type-check SET expressions against a zero-row frame carrying
+    // the table's columns plus the _src_-aliased source columns
+    val joinedShape = org.apache.spark.sql.types.StructType(
+      schema.fields ++ batch.schema.fields.map(f =>
+        f.copy(name = srcPrefix + f.name)))
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], joinedShape)
+    sets.foreach { case (c, e) =>
+      val dt = probe.select(e).schema.head.dataType
+      val want = fieldsByName(c).dataType
+      require(dt.catalogString == want.catalogString || widens(dt, want),
+        s"ManifestTable.mergeUpdate: SET '$c' expression has type " +
+          s"${dt.catalogString} but the column is " +
+          s"${want.catalogString} — cast explicitly at the call site")
+    }
+    val (touch, envOverlap, nKeys) =
+      dirsHitByKeys(spark, path, entries, batch, keyCol, isStr)
+    val srcAliased = batch.select(batch.columns.map(c =>
+      col(c).as(srcPrefix + c)).toSeq: _*)
+    val probeSrc =
+      if (nKeys <= maxBroadcastKeys) broadcast(srcAliased) else srcAliased
+    val setMap = sets.toMap
+    val tableCols = schema.fieldNames.toSet
+    val matched = col(srcPrefix + keyCol).isNotNull
+    def patch(df: DataFrame): DataFrame = {
+      // left join: unmatched rows pass through verbatim (`when`
+      // falls to otherwise on the null probe key); a null target key
+      // never equals anything and passes through too
+      val joined = df.join(probeSrc,
+        col(keyCol) === col(srcPrefix + keyCol), "left")
+      val cols = schema.fieldNames.map { c =>
+        setMap.get(c) match {
+          case Some(e) => when(matched,
+            e.cast(fieldsByName(c).dataType)).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }
+      val extra = df.columns.filterNot(tableCols).map(col)
+      joined.select((cols ++ extra).toSeq: _*)
+    }
+    // not-matched inserts: matched keys can only live in touched dirs
+    // (the prune is a conservative superset), so ONE column-pruned,
+    // dv-applied scan of exactly those dirs decides membership
+    val newRows =
+      if (!insertNotMatched) None
+      else {
+        val nr =
+          if (touch.isEmpty) batch
+          else batch.join(
+            readableFrame(spark, path, schema, touch).select(col(keyCol)),
+            Seq(keyCol), "left_anti").localCheckpoint()
+        if (nr.head(1).isEmpty) None else Some(nr)
+      }
+    val cs = constraintsOf(spark, path, prev)
+    if (cs.nonEmpty) {
+      // the whole patched frame is checked (unmatched rows passed at
+      // their own commit and addConstraint validated the table, so
+      // only patched rows can fail — re-checking the rest is free
+      // correctness margin, not a semantic change)
+      if (touch.nonEmpty && sets.nonEmpty)
+        enforceConstraints(patch(readableFrame(spark, path, schema,
+          touch)), cs, s"ManifestTable.mergeUpdate($path)")
+      newRows.foreach(nr => enforceConstraints(nr, cs,
+        s"ManifestTable.mergeUpdate($path)"))
+    }
+    val v = prev + 1
+    val rewritten: Seq[Entry] =
+      if (sets.isEmpty) Seq.empty // insert-if-absent: nothing to patch
+      else stagedRewrite(spark, path, v, schema, touch, "mergeUpdate",
+        patch, extraRestatCols = (sets.map(_._1) :+ keyCol).distinct)
+    val mSpec = partitionSpecOf(spark, path, prev)
+    val inserted: Seq[Entry] = newRows match {
+      case None => Seq.empty
+      case Some(nr) =>
+        if (mSpec.isEmpty) Seq(writeDirEntry(spark, nr, path, v, -1L,
+          (statsCols :+ keyCol).distinct, bloomCols))
+        else writePartitionedEntries(spark, nr, path, v, -1L,
+          (statsCols :+ keyCol).distinct, bloomCols, mSpec,
+          provenance = Seq.empty)
+    }
+    val consumed = if (sets.isEmpty) Set.empty[String]
+      else touch.map(_.dir).toSet
+    val committed = commitRewrite(spark, path, "mergeUpdate", prev,
+      entries, consumed, rewritten ++ inserted, schema,
+      (statsCols :+ keyCol).distinct, bloomCols, retries,
+      added => added.forall(e => !envOverlap(e) ||
+        !e.hasData(fs, s"$path/data/${e.dir}")))
+    (committed, if (sets.isEmpty) 0 else touch.size)
   }
 
   /** Drop snapshots older than the newest `keepVersions` and delete
