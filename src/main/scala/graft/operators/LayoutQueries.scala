@@ -537,6 +537,101 @@ object LayoutQueries {
     path
   }
 
+  /** A documents-derived manifest table mutated by the SQL UPDATE
+    * family (ManifestSqlRules → ManifestTable.updateRange /
+    * updateKeys / updateAll): the reference's per-row mutation loop
+    * (consumer/consumer.py:111-125) generalizes to `UPDATE t SET col
+    * = expr WHERE …` typed as warehouse SQL. Seeded as 4
+    * doc_id-range-sliced commits so the ranged statement's dir
+    * pruning has real prey, with lang bounds + Blooms so the
+    * string-keyed statement prunes too; then one integral-range
+    * UPDATE (in-place patch of overlapping dirs only), one
+    * string-IN UPDATE, one whole-table UPDATE. Built once per
+    * dataset behind the usual marker. */
+  def ensureSqlUpdatedManifest(s: SparkSession, d: String): String = {
+    val path = s"${layoutRoot(d)}/docs_manifest_sqlupd"
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val n = docs.count()
+    val expect = s"layout=$LayoutVersion manifest=sqlupd rows=$n"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val q = math.max(n / 4, 1)
+      (0L until 4L).foreach { i =>
+        val lo = i * q
+        val slice = docs.filter(col("doc_id") >= lo &&
+          (if (i == 3) lit(true) else col("doc_id") < lo + q))
+        graft.sinks.ManifestTable.append(s, slice, path,
+          statsCols = Seq("doc_id", "lang"), bloomCols = Seq("lang"))
+      }
+      require(graft.sinks.ManifestTable.read(s, path).count() == n,
+        "ensureSqlUpdatedManifest: range slicing dropped rows")
+      s.read.format("graft-manifest").load(path)
+        .createOrReplaceTempView("graft_sqlupd_target")
+      Seq(
+        """UPDATE graft_sqlupd_target SET n_chars = n_chars + 7
+          |WHERE doc_id BETWEEN 100 AND 299""".stripMargin,
+        """UPDATE graft_sqlupd_target SET n_chars = n_chars * 2
+          |WHERE lang IN ('de', 'fr')""".stripMargin,
+        "UPDATE graft_sqlupd_target SET n_chars = n_chars + 1"
+      ).foreach(s.sql(_).collect())
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
+  /** A documents-derived manifest table mutated by the COLUMN-WISE
+    * SQL MERGE (ManifestSqlRules → ManifestTable.mergeUpdate): the
+    * delta-carrying upsert — matched rows are PATCHED in place (only
+    * the SET column changes; the target's other columns and its dirs'
+    * physical clustering survive), unmatched source rows insert as
+    * one batch dir. The source deliberately carries a DIFFERENT lang
+    * ('xx') for matched keys: the oracle pins that matched rows keep
+    * their ORIGINAL lang — the proof this is a patch, not a
+    * whole-row replace. Built once per dataset behind the usual
+    * marker. */
+  def ensureSqlMergeUpdatedManifest(s: SparkSession, d: String): String = {
+    val path = s"${layoutRoot(d)}/docs_manifest_sqlmupd"
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val n = docs.count()
+    val expect = s"layout=$LayoutVersion manifest=sqlmupd rows=$n"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val q = math.max(n / 4, 1)
+      (0L until 4L).foreach { i =>
+        val lo = i * q
+        val slice = docs.filter(col("doc_id") >= lo &&
+          (if (i == 3) lit(true) else col("doc_id") < lo + q))
+        graft.sinks.ManifestTable.append(s, slice, path,
+          statsCols = Seq("doc_id"))
+      }
+      require(graft.sinks.ManifestTable.read(s, path).count() == n,
+        "ensureSqlMergeUpdatedManifest: range slicing dropped rows")
+      graft.Sql.registerViews(s, d)
+      s.read.format("graft-manifest").load(path)
+        .createOrReplaceTempView("graft_sqlmupd_target")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW graft_sqlmupd_updates AS
+          |SELECT doc_id, 'xx' AS lang, n_chars + 1000 AS n_chars
+          |FROM documents WHERE doc_id % 10 = 3
+          |UNION ALL
+          |SELECT doc_id + 1099511627776 AS doc_id, lang, n_chars
+          |FROM documents WHERE doc_id % 25 = 0""".stripMargin)
+      s.sql(
+        """MERGE INTO graft_sqlmupd_target t
+          |USING graft_sqlmupd_updates u ON t.doc_id = u.doc_id
+          |WHEN MATCHED THEN UPDATE SET n_chars = u.n_chars
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
   /** A manifest table guarded by a CHECK constraint: seeded with the
     * first half of documents, `ALTER TABLE ADD CONSTRAINT`-style
     * `addConstraint("n_chars_pos", "n_chars > 0")`, then fed the
@@ -1743,6 +1838,67 @@ object LayoutQueries {
         .select(col("doc_key"), col("lang"),
           col("n_chars").cast("long").as("n_chars"))
         .orderBy("doc_key")
+    },
+
+    // ---- SQL UPDATE family end-to-end (q151): a manifest table
+    //      mutated by three UPDATE statements — integral range
+    //      (routes updateRange: only stat-overlapping dirs rewrite,
+    //      in place), string IN (routes updateKeys: bounds + Bloom
+    //      pruned), and whole-table (updateAll). The oracle
+    //      recomputes the same three patches as nested CASE
+    //      expressions over the plain table — row-for-row, so a
+    //      mis-patched row, a resurrected value, or a dropped row all
+    //      hash-mismatch. ----
+    GraftQuery("q151_manifest_sql_update",
+      """WITH s1 AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id BETWEEN 100 AND 299
+        |      THEN n_chars + 7 ELSE n_chars END AS n_chars
+        |  FROM documents),
+        |s2 AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN lang IN ('de', 'fr')
+        |      THEN n_chars * 2 ELSE n_chars END AS n_chars
+        |  FROM s1)
+        |SELECT doc_id, lang, CAST(n_chars + 1 AS BIGINT) AS n_chars
+        |FROM s2 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val path = ensureSqlUpdatedManifest(s, d)
+      graft.sinks.ManifestTable.read(s, path)
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // ---- COLUMN-WISE SQL MERGE end-to-end (q152): `WHEN MATCHED
+    //      THEN UPDATE SET n_chars = u.n_chars WHEN NOT MATCHED THEN
+    //      INSERT *` routes ManifestTable.mergeUpdate — matched rows
+    //      PATCHED in place, unmatched source rows appended as one
+    //      dir. The source carries lang='xx' for matched keys; the
+    //      oracle keeps the TARGET's lang for them (COALESCE only on
+    //      n_chars), so a whole-row replace masquerading as a patch
+    //      hash-mismatches immediately. ----
+    GraftQuery("q152_manifest_sql_merge_update",
+      """WITH upd AS (
+        |  SELECT doc_id, 'xx' AS lang, n_chars + 1000 AS n_chars
+        |  FROM documents WHERE doc_id % 10 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 1099511627776 AS doc_id, lang, n_chars
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |m AS (
+        |  SELECT b.doc_id, b.lang,
+        |    COALESCE(u.n_chars, b.n_chars) AS n_chars
+        |  FROM documents b LEFT JOIN upd u ON u.doc_id = b.doc_id
+        |  UNION ALL
+        |  SELECT u.doc_id, u.lang, u.n_chars FROM upd u
+        |  WHERE NOT EXISTS (SELECT 1 FROM documents b
+        |                    WHERE b.doc_id = u.doc_id))
+        |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val path = ensureSqlMergeUpdatedManifest(s, d)
+      graft.sinks.ManifestTable.read(s, path)
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy("doc_id")
     },
   )
 }

@@ -1668,6 +1668,23 @@ object ManifestTable {
     val tmp = new org.apache.hadoop.fs.Path(
       s"$path/manifest/.tmp-${vName(v)}_" +
         java.util.UUID.randomUUID.toString.take(8))
+    val fin = new org.apache.hadoop.fs.Path(s"$path/manifest/${vName(v)}")
+    // staging races the debris sweep above: a writer that won v and
+    // is already committing v+1 sees THIS attempt's tmp dir as
+    // below-its-version debris and deletes it mid-write. That loss is
+    // decided either way — but it must surface as the TYPED conflict
+    // the retry loops re-drive on, not as a raw filesystem error.
+    def stageOrConflict[A](body: => A): A =
+      try body catch {
+        case scala.util.control.NonFatal(e) if fs.exists(fin) =>
+          throw new CommitConflictException(
+            s"ManifestTable.commit: lost ${vName(v)} at $path while " +
+              "staging (a racing winner swept this attempt's tmp dir " +
+              s"as debris: ${e.getMessage}); this attempt's data dir " +
+              "is an orphan vacuum will reap")
+      }
+    val attemptId = java.util.UUID.randomUUID.toString
+    stageOrConflict {
     writeEntriesParquet(spark, entries, tmp.toString)
     writeSideFile(fs, new org.apache.hadoop.fs.Path(
       tmp, "_graft_schema.json"), schema.json)
@@ -1708,10 +1725,9 @@ object ManifestTable {
     // RETURNS TRUE while publishing nothing, so success is defined as
     // "the published manifest is OURS", verified by reading the id
     // back through the final path — not as "rename returned true"
-    val attemptId = java.util.UUID.randomUUID.toString
     writeSideFile(fs, new org.apache.hadoop.fs.Path(
       tmp, "_graft_attempt"), attemptId)
-    val fin = new org.apache.hadoop.fs.Path(s"$path/manifest/${vName(v)}")
+    } // stageOrConflict
     val renamed = !fs.exists(fin) && fs.rename(tmp, fin)
     val published = renamed && readSideFile(fs,
       new org.apache.hadoop.fs.Path(fin, "_graft_attempt"))
@@ -3006,12 +3022,13 @@ object ManifestTable {
     val prev = latestVersion(spark, path).getOrElse(
       sys.error(s"ManifestTable.updateRange: no committed version at $path"))
     val schema = tableSchema(spark, path, prev, entriesOf(spark, path, prev))
-    schema.fields.find(_.name == keyCol).foreach { f =>
-      require(isIntegral(f.dataType),
-        s"ManifestTable.updateRange: '$keyCol' is " +
-          s"${f.dataType.catalogString}, not an integral type — a " +
-          "long-range update is only defined on integral keys")
-    }
+    val f = schema.fields.find(_.name == keyCol).getOrElse(sys.error(
+      s"ManifestTable.updateRange: no column '$keyCol' in the table " +
+        s"schema (${schema.fieldNames.mkString(", ")})"))
+    require(isIntegral(f.dataType),
+      s"ManifestTable.updateRange: '$keyCol' is " +
+        s"${f.dataType.catalogString}, not an integral type — a " +
+        "long-range update is only defined on integral keys")
     updateImpl(spark, path, "updateRange", sets,
       col(keyCol).isNotNull && col(keyCol).cast("long").between(lo, hi),
       _.mightOverlap(keyCol, lo, hi),
@@ -3033,13 +3050,14 @@ object ManifestTable {
     val prev = latestVersion(spark, path).getOrElse(
       sys.error(s"ManifestTable.updateKeys: no committed version at $path"))
     val schema = tableSchema(spark, path, prev, entriesOf(spark, path, prev))
-    schema.fields.find(_.name == keyCol).foreach { f =>
-      require(f.dataType == org.apache.spark.sql.types.StringType,
-        s"ManifestTable.updateKeys: '$keyCol' is " +
-          s"${f.dataType.catalogString} — keyed string updates are " +
-          "defined on string keys; integral ranges go through " +
-          "updateRange")
-    }
+    val f = schema.fields.find(_.name == keyCol).getOrElse(sys.error(
+      s"ManifestTable.updateKeys: no column '$keyCol' in the table " +
+        s"schema (${schema.fieldNames.mkString(", ")})"))
+    require(f.dataType == org.apache.spark.sql.types.StringType,
+      s"ManifestTable.updateKeys: '$keyCol' is " +
+        s"${f.dataType.catalogString} — keyed string updates are " +
+        "defined on string keys; integral ranges go through " +
+        "updateRange")
     val ks = keys.filter(_ != null).distinct
     if (ks.isEmpty) return (prev, 0)
     def mightHold(e: Entry): Boolean = ks.exists(k =>

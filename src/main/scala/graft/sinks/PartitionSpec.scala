@@ -168,10 +168,14 @@ object PartitionTransform {
             lit("-"), lpad(pmod(epochHour, lit(24L)).cast("string"),
               2, "0"))
         case TimestampNTZType =>
-          // NTZ casts to a zone-free "yyyy-MM-dd HH:mm:ss[.S]" wall
-          // string; day + hour slices of it ARE the wall-clock hour
-          val s = col(src).cast("string")
-          concat(substring(s, 1, 10), lit("-"), substring(s, 12, 2))
+          // zone-free by construction: an NTZ→DATE cast reads the
+          // wall-clock day and hour() the wall-clock hour — no
+          // string-format slicing, so years outside 0001-9999 (which
+          // render with a sign/extra digit) still derive the right
+          // value (the prune side keeps such non-ISO-comparable
+          // values conservatively)
+          concat(col(src).cast("date").cast("string"), lit("-"),
+            lpad(hour(col(src)).cast("string"), 2, "0"))
         case other => sys.error(
           s"PartitionTransform($render): source column '$src' is " +
             s"${other.catalogString} — hours() is defined on " +

@@ -590,9 +590,14 @@ object ManifestFileIndex {
     def temporalMight(src: String, grain: Int,
         bs: Map[String, (Option[String], Option[String])]): Boolean =
       bs.get(src).forall { case (lo, hi) =>
-        !isNull && isoComparable(pv) &&
-          lo.forall(l => !isoComparable(l) || pv >= l.take(grain)) &&
-          hi.forall(h => !isoComparable(h) || pv <= h.take(grain))
+        // a non-ISO-comparable recorded value (negative/5-digit year)
+        // cannot be ordered lexicographically — KEEP the dir, exactly
+        // as the comment above promises; only a comparable value may
+        // prune. The null partition still prunes: these bounds come
+        // from VALUE predicates, which no null row satisfies.
+        !isNull && (!isoComparable(pv) ||
+          (lo.forall(l => !isoComparable(l) || pv >= l.take(grain)) &&
+            hi.forall(h => !isoComparable(h) || pv <= h.take(grain))))
       }
     t match {
       case PIdentity(src) =>

@@ -7,8 +7,11 @@ import java.nio.file.Files
 
 /** SQL DML on `graft-manifest` views (ManifestSqlRules): INSERT
   * appends a manifest commit (never a raw file write into the data
-  * root), DELETE maps exactly onto the range-delete primitive or
-  * fails loudly, MERGE routes the whole-row upsert form.
+  * root), DELETE maps exactly onto the range/keys/partition-drop
+  * primitives or fails loudly, UPDATE routes range/keys/whole-table
+  * to the in-place patch engine, MERGE routes the whole-row upsert
+  * AND the column-wise patch form — and every unsupported shape is
+  * rejected at analysis, never approximated.
   */
 class ManifestDmlSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -167,7 +170,7 @@ class ManifestDmlSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, t2).count() == 2)
   }
 
-  test("MERGE INTO routes the whole-row upsert; other forms are loud") {
+  test("MERGE INTO routes whole-row upsert AND column-wise patch; other forms are loud") {
     val t = s"${Files.createTempDirectory("graft-dmlmerge")}/t"
     ManifestTable.append(spark,
       Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t, statsCols = Seq("id"))
@@ -183,16 +186,37 @@ class ManifestDmlSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, t).collect()
       .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
       Seq((1L, "a"), (2L, "B!"), (10L, "c"), (20L, "e")))
-    // a partial-column UPDATE has no manifest mapping: loud
+    // the COLUMN-WISE patch form routes too (mergeUpdate): matched
+    // rows are patched IN PLACE — the untouched dir keeps its files —
+    // and without an INSERT action unmatched source keys do nothing
+    val filesBefore = ManifestTable.read(spark, t).inputFiles.toSet
+    Seq((2L, "B2"), (999L, "nope")).toDF("id", "s")
+      .createOrReplaceTempView("dml_m_patch")
+    spark.sql(
+      """MERGE INTO dml_m t USING dml_m_patch u ON t.id = u.id
+        |WHEN MATCHED THEN UPDATE SET s = u.s""".stripMargin)
+    assert(ManifestTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((1L, "a"), (2L, "B2"), (10L, "c"), (20L, "e")))
+    val filesAfter = ManifestTable.read(spark, t).inputFiles.toSet
+    assert(filesAfter.intersect(filesBefore).nonEmpty,
+      "dirs not containing the matched key must keep physical identity")
+    // ...and combines with WHEN NOT MATCHED THEN INSERT * — a SET
+    // expression may mix target and source columns
+    Seq((1L, "A?"), (30L, "f")).toDF("id", "s")
+      .createOrReplaceTempView("dml_m_patch2")
+    spark.sql(
+      """MERGE INTO dml_m t USING dml_m_patch2 u ON t.id = u.id
+        |WHEN MATCHED THEN UPDATE SET s = concat(t.s, u.s)
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(ManifestTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((1L, "aA?"), (2L, "B2"), (10L, "c"), (20L, "e"), (30L, "f")))
     def msgs(e: Throwable): Seq[String] =
       Option(e).toSeq.flatMap(x =>
         Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    val ex = intercept[Exception] {
-      spark.sql(
-        """MERGE INTO dml_m t USING dml_m_updates u ON t.id = u.id
-          |WHEN MATCHED THEN UPDATE SET s = u.s""".stripMargin)
-    }
-    assert(msgs(ex).exists(_.contains("whole-row upsert")))
+    // the forms with NO exact manifest mapping stay LOUD:
+    // multi-predicate ON
     val ex2 = intercept[Exception] {
       spark.sql(
         """MERGE INTO dml_m t USING dml_m_updates u
@@ -201,6 +225,110 @@ class ManifestDmlSpec extends AnyFunSuite {
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
     assert(msgs(ex2).exists(_.contains("single key equality")))
+    // a matched DELETE action
+    val ex3 = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO dml_m t USING dml_m_updates u ON t.id = u.id
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(msgs(ex3).exists(_.contains("whole-row upsert")))
+    // a per-action condition
+    val ex4 = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO dml_m t USING dml_m_updates u ON t.id = u.id
+          |WHEN MATCHED AND u.s = 'x' THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(msgs(ex4).exists(_.contains("whole-row upsert")))
+    // a non-deterministic SET expression (would patch different rows
+    // to different values per rewrite pass)
+    val ex5 = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO dml_m t USING dml_m_updates u ON t.id = u.id
+          |WHEN MATCHED THEN UPDATE
+          |SET s = CAST(rand() AS STRING)""".stripMargin)
+    }
+    assert(msgs(ex5).exists(_.contains("unsupported SET expression")))
+    // SET assigning the merge key itself — the row's identity
+    val ex6 = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO dml_m t USING dml_m_updates u ON t.id = u.id
+          |WHEN MATCHED THEN UPDATE SET id = u.id + 1""".stripMargin)
+    }
+    assert(msgs(ex6).exists(_.contains("must not assign the merge key")))
+    // nothing above mutated the table
+    assert(ManifestTable.read(spark, t).count() == 5)
+  }
+
+  test("UPDATE routes range/keys/whole-table; unsupported shapes are loud") {
+    val t = s"${Files.createTempDirectory("graft-dmlupd")}/t"
+    ManifestTable.append(spark,
+      Seq((1L, "k-1", 10L), (5L, "k-5", 10L)).toDF("id", "k", "n"), t,
+      statsCols = Seq("id", "k"))
+    ManifestTable.append(spark,
+      Seq((10L, "k-10", 10L), (15L, "k-15", 10L)).toDF("id", "k", "n"),
+      t, statsCols = Seq("id", "k"))
+    register(t, "dml_u")
+    def state(): Seq[(Long, String, Long)] =
+      ManifestTable.read(spark, t).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sorted.toSeq
+    // integral range WHERE → updateRange: only the overlapping dir
+    // rewrites, the other keeps its files
+    val before = ManifestTable.read(spark, t).inputFiles.toSet
+    spark.sql("UPDATE dml_u SET n = n + 1 WHERE id BETWEEN 10 AND 12")
+    assert(state() == Seq((1L, "k-1", 10L), (5L, "k-5", 10L),
+      (10L, "k-10", 11L), (15L, "k-15", 10L)))
+    assert(ManifestTable.read(spark, t).inputFiles.toSet
+      .intersect(before).nonEmpty,
+      "the non-overlapping dir must keep physical identity")
+    // string point/set WHERE → updateKeys; SET may reference columns
+    spark.sql("UPDATE dml_u SET n = id * 2 WHERE k IN ('k-1', 'k-15')")
+    assert(state() == Seq((1L, "k-1", 2L), (5L, "k-5", 10L),
+      (10L, "k-10", 11L), (15L, "k-15", 30L)))
+    // no WHERE → updateAll
+    spark.sql("UPDATE dml_u SET n = n + 100")
+    assert(state().map(_._3) == Seq(102L, 110L, 111L, 130L))
+    // a provably-empty range is an analysis-time no-op: no new version
+    val v0 = ManifestTable.latestVersion(spark, t).get
+    spark.sql("UPDATE dml_u SET n = 0 WHERE id > 100 AND id < 50")
+    assert(ManifestTable.latestVersion(spark, t).contains(v0))
+    // identity-only SET (the analyzer pads untouched columns this
+    // way) is a no-op too, not a whole-table rewrite to equal bytes
+    spark.sql("UPDATE dml_u SET n = n")
+    assert(ManifestTable.latestVersion(spark, t).contains(v0))
+    def msgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    // unsupported WHERE shapes stay LOUD (same grammar as DELETE)
+    Seq(
+      "UPDATE dml_u SET n = 0 WHERE id = 1 OR id = 10",
+      "UPDATE dml_u SET n = 0 WHERE id + 1 = 2",
+      "UPDATE dml_u SET n = 0 WHERE k LIKE 'k-%'"
+    ).foreach { stmt =>
+      val ex = intercept[Exception] { spark.sql(stmt) }
+      assert(msgs(ex).exists(_.contains("unsupported WHERE shape")),
+        s"$stmt should be rejected loudly")
+    }
+    // a non-deterministic SET is loud
+    val exNd = intercept[Exception] {
+      spark.sql("UPDATE dml_u SET n = CAST(rand() * 10 AS BIGINT)")
+    }
+    assert(msgs(exNd).exists(_.contains("unsupported SET expression")))
+    // a SET on a partition-source column is loud (in-place patch
+    // cannot re-derive partition metadata)
+    val tp = s"${Files.createTempDirectory("graft-dmlupdp")}/t"
+    ManifestTable.append(spark,
+      Seq((1L, "en"), (2L, "de")).toDF("id", "lang"), tp,
+      partitionSpec =
+        Seq(graft.sinks.PartitionTransform.PIdentity("lang")))
+    register(tp, "dml_up")
+    val exP = intercept[Exception] {
+      spark.sql("UPDATE dml_up SET lang = 'fr' WHERE id = 1")
+    }
+    assert(msgs(exP).exists(_.contains("partition-source")))
+    assert(state().map(_._3) == Seq(102L, 110L, 111L, 130L),
+      "no rejected statement may have mutated the table")
   }
 
   test("DELETE on an identity-partition column is a metadata-only drop") {

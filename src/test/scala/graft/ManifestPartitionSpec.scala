@@ -268,6 +268,45 @@ class ManifestPartitionSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", tz0)
   }
 
+  test("out-of-ISO-range temporal values: derived exactly, never pruned") {
+    // a negative year renders with a sign ("-0005-01-01") — not
+    // lexicographically comparable with ISO bounds, so the prune side
+    // must KEEP such a dir under any range filter (conservative),
+    // never silently drop its rows
+    val t = tmp("graft-part-ancient")
+    val df = Seq(
+      (1L, java.time.LocalDate.of(-5, 1, 1)),
+      (2L, java.time.LocalDate.of(2024, 1, 25))).toDF("id", "d")
+    ManifestTable.append(spark, df, t, partitionSpec = Seq(PDays("d")))
+    val q = spark.read.format("graft-manifest").load(t)
+      .filter(col("d") < lit(java.sql.Date.valueOf("2020-01-01")))
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "a non-ISO-comparable partition value must not prune")
+    // the reverse filter: the ancient dir is KEPT (conservative —
+    // its value cannot be ordered), scanned, and filtered exactly by
+    // the row-level predicate; the answer stays right either way
+    val q2 = spark.read.format("graft-manifest").load(t)
+      .filter(col("d") >= lit(java.sql.Date.valueOf("2020-01-01")))
+    assert(q2.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(scanFiles(q2) == 2L,
+      "conservative keep: the non-comparable dir is scanned, not guessed at")
+    // hours(NTZ) derives the partition value ARITHMETICALLY (date
+    // cast + hour()), not by string slicing — a signed year must
+    // yield "<day>-<HH>", not a shifted malformed slice
+    val th = tmp("graft-part-ancient-hours")
+    val dfh = df.withColumn("ts", col("d").cast("timestamp_ntz"))
+      .drop("d")
+    ManifestTable.append(spark, dfh, th,
+      partitionSpec = Seq(PHours("ts")))
+    assert(entries(th).map(_.partition("ts_hour")).toSet ==
+      Set("-0005-01-01-00", "2024-01-25-00"),
+      s"hours(NTZ) mis-derived: ${entries(th).map(_.partition)}")
+    val qh = spark.read.format("graft-manifest").load(th)
+      .filter(col("ts") <
+        lit("2020-01-01 00:00:00").cast("timestamp_ntz"))
+    assert(qh.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("readPartitions prunes pure dirs and stays exact over blind dirs") {
     val t = tmp("graft-part-read")
     val df = (1L to 40L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
