@@ -32,6 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // into the relation's root (unreferenced by any manifest — silent
     // data loss) or reject DELETE/MERGE as v2-only
     ext.injectResolutionRule(_ => graft.plans.ManifestSqlRules)
+    // catalog names → the V1 manifest relation (exprIds preserved):
+    // resolution-time too, so a named DML target is already the v1
+    // relation by the time ManifestSqlRules looks for one, and the
+    // no-capability v2 table never reaches a capability check
+    ext.injectResolutionRule(_ => graft.plans.ManifestCatalogRules)
     // merge-on-read deletes for the SQL read surface: POST-HOC (after
     // the main resolution batch converted DML to commands, so only
     // pure reads remain) — rewrites a pending-deletion-vector

@@ -1,0 +1,388 @@
+package graft.catalog
+
+import graft.sinks.{ManifestTable, PartitionTransform}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import scala.jdk.CollectionConverters._
+
+/** The NAME front door for `graft-manifest` tables: a DataSourceV2
+  * [[TableCatalog]] mapping `catalog.namespace.table` names to table
+  * paths, so users address tables the way the reference's users do —
+  * `cve.CVE_RECORDS` by name (/root/reference/chatbot_pg/main.py:89,
+  * /root/reference/processor.py:55) — with `CREATE TABLE` /
+  * `SELECT` / `INSERT` / `UPDATE` / `DELETE` / `MERGE` and no
+  * per-path temp-view ceremony.
+  *
+  * Register with
+  * `spark.sql.catalog.<name> = graft.catalog.GraftCatalog` and
+  * `spark.sql.catalog.<name>.warehouse = <dir>`. The catalog stores
+  * ONE small ref file per table (`<warehouse>/<ns…>/<table>.graftref`
+  * — `path=` + `external=` lines); all table state lives in the
+  * manifest table itself, so the catalog never becomes a second
+  * source of truth that can drift from the data (the Iceberg
+  * HadoopCatalog shape). `CREATE TABLE … PARTITIONED BY (days(ts),
+  * bucket(16, id), …)` maps the standard v2 transforms onto this
+  * format's hidden-partitioning [[PartitionTransform]] spec;
+  * `TBLPROPERTIES ('statsCols'='…', 'bloomCols'='…')` seeds the
+  * pruning discipline.
+  *
+  * Query planning: [[GraftV2Table]] carries no read/write capability
+  * on purpose — [[graft.plans.ManifestCatalogRules]] (injected by
+  * [[graft.GraftExtensions]]) swaps every resolved catalog relation
+  * for the battle-tested V1 manifest relation
+  * ([[graft.sources.ManifestFileIndex]] behind a HadoopFsRelation),
+  * so stats/Bloom dir pruning, deletion-vector rewrites,
+  * metadata-only aggregates, and the whole SQL DML surface work
+  * IDENTICALLY by name and by path: one read path, not two to keep
+  * correct. */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).map(_.trim)
+      .filter(_.nonEmpty).getOrElse(sys.error(
+        s"graft catalog '$name': set spark.sql.catalog.$name.warehouse " +
+          "to the directory that holds the catalog's table refs"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs: org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(warehouse)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Namespace levels and table names become directory entries: the
+    * same charset guard as every other name-to-path surface here, so
+    * a crafted name can never traverse outside the warehouse. */
+  private def segment(s: String, what: String): String = {
+    require(s.nonEmpty && s.forall(c => c.isLetterOrDigit || c == '_' ||
+      c == '-' || c == '.') && s != "." && s != "..",
+      s"graft catalog: $what '$s' must be [A-Za-z0-9._-]+ (not . or ..)" +
+        " — it becomes a directory entry")
+    s
+  }
+
+  private def nsDir(ns: Array[String]): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      (warehouse +: ns.map(segment(_, "namespace level")).toSeq)
+        .mkString("/"))
+
+  private def refFile(ident: Identifier): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(nsDir(ident.namespace()),
+      segment(ident.name(), "table name") + ".graftref")
+
+  private def readRef(ident: Identifier): Option[(String, Boolean)] = {
+    val f = refFile(ident)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString finally in.close()
+      val kv = body.linesIterator.map(_.trim).filter(_.contains("="))
+        .map { l => val i = l.indexOf('='); (l.take(i), l.drop(i + 1)) }
+        .toMap
+      val path = kv.getOrElse("path", sys.error(
+        s"graft catalog: corrupt ref $f — no path= line"))
+      Some((path, kv.get("external").exists(_.toBoolean)))
+    }
+  }
+
+  private def writeRef(ident: Identifier, path: String,
+      external: Boolean): Unit = {
+    val f = refFile(ident)
+    val out = fs.create(f, false) // no overwrite: create races are loud
+    try out.write(s"path=$path\nexternal=$external\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  // ---- tables ----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsDir(namespace)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(
+      catalogName +: namespace.toSeq)
+    fs.listStatus(dir).filter(st => !st.isDirectory &&
+        st.getPath.getName.endsWith(".graftref"))
+      .map(st => Identifier.of(namespace,
+        st.getPath.getName.stripSuffix(".graftref")))
+      .sortBy(_.name())
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    readRef(ident).isDefined
+
+  override def loadTable(ident: Identifier): Table = {
+    val (path, _) = readRef(ident).getOrElse(
+      throw new NoSuchTableException(
+        (catalogName +: ident.namespace().toSeq) :+ ident.name()))
+    GraftV2Table(fullName(ident), path, None, None)
+  }
+
+  /** `VERSION AS OF <v>` time travel by name — the pinned version
+    * rides into the V1 relation's `versionAsOf` read option. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val (path, _) = readRef(ident).getOrElse(
+      throw new NoSuchTableException(
+        (catalogName +: ident.namespace().toSeq) :+ ident.name()))
+    GraftV2Table(fullName(ident), path, Some(version), None)
+  }
+
+  /** `TIMESTAMP AS OF <t>` time travel by name — Spark hands the
+    * instant as MICROseconds since epoch; the manifest read option
+    * takes milliseconds. */
+  override def loadTable(ident: Identifier, timestampMicros: Long)
+      : Table = {
+    val (path, _) = readRef(ident).getOrElse(
+      throw new NoSuchTableException(
+        (catalogName +: ident.namespace().toSeq) :+ ident.name()))
+    GraftV2Table(fullName(ident), path, None,
+      Some(Math.floorDiv(timestampMicros, 1000L)))
+  }
+
+  private def fullName(ident: Identifier): String =
+    ((catalogName +: ident.namespace().toSeq) :+ ident.name())
+      .mkString(".")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val props = properties.asScala.toMap
+    val provider = props.get(TableCatalog.PROP_PROVIDER)
+    require(provider.forall(_.equalsIgnoreCase("graft-manifest")),
+      s"graft catalog: USING ${provider.get} is not this catalog's " +
+        "format — every table here is 'graft-manifest'")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(
+      (catalogName +: ident.namespace().toSeq) :+ ident.name())
+    val ns = nsDir(ident.namespace())
+    if (!fs.exists(ns)) throw new NoSuchNamespaceException(
+      catalogName +: ident.namespace().toSeq)
+    val external = props.get(TableCatalog.PROP_LOCATION)
+    val path = external.getOrElse(
+      new org.apache.hadoop.fs.Path(ns,
+        segment(ident.name(), "table name")).toString)
+    val spec = partitions.map(v2Transform).toSeq
+    def listProp(k: String): Seq[String] =
+      props.get(k).orElse(props.get(TableCatalog.OPTION_PREFIX + k))
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+    ManifestTable.latestVersion(spark, path) match {
+      case Some(v) =>
+        // adopting an EXISTING manifest table under a name: the
+        // table's own persisted schema/spec govern — a conflicting
+        // CREATE schema is refused, never silently rewritten
+        val existing = ManifestTable.schemaOf(spark, path, v).getOrElse(
+          sys.error(s"graft catalog: no schema sidecar at $path"))
+        require(schema.isEmpty ||
+          schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+            existing.fields.map(f => (f.name, f.dataType)).toSeq,
+          s"graft catalog: CREATE TABLE schema does not match the " +
+            s"committed table at $path — omit the column list to " +
+            "adopt the existing schema, or evolve through the write " +
+            "path")
+        require(partitions.isEmpty,
+          "graft catalog: PARTITIONED BY on an existing table is not " +
+            "supported — the table's own persisted spec governs")
+      case None =>
+        require(schema.nonEmpty,
+          s"graft catalog: CREATE TABLE at fresh location $path needs " +
+            "a column list (there is no committed schema to adopt)")
+        // the creating commit: an empty v1 snapshot carrying the
+        // schema, the partition spec, and the pruning discipline —
+        // exactly what the first INSERT resolves against
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        ManifestTable.append(spark, empty, path,
+          statsCols = listProp("statsCols"),
+          bloomCols = listProp("bloomCols"), partitionSpec = spec)
+    }
+    writeRef(ident, path, external.isDefined)
+    GraftV2Table(fullName(ident), path, None, None)
+  }
+
+  /** One standard v2 partition transform → this format's
+    * [[PartitionTransform]]. Loud on anything unmapped — a silently
+    * dropped transform would create an unpartitioned table the user
+    * believes is partitioned. */
+  private def v2Transform(t: Transform): PartitionTransform = {
+    def oneCol: String = t.references() match {
+      case Array(r) if r.fieldNames().length == 1 => r.fieldNames()(0)
+      case _ => sys.error(s"graft catalog: transform $t must " +
+        "reference exactly one top-level column")
+    }
+    def intArg: Int = t.arguments().collectFirst {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_]
+          if l.value().isInstanceOf[Number] =>
+        l.value().asInstanceOf[Number].intValue()
+    }.getOrElse(sys.error(
+      s"graft catalog: transform $t needs an integer literal argument"))
+    t.name() match {
+      case "identity" => PartitionTransform.PIdentity(oneCol)
+      case "days" => PartitionTransform.PDays(oneCol)
+      case "months" => PartitionTransform.PMonths(oneCol)
+      case "years" => PartitionTransform.PYears(oneCol)
+      case "hours" => PartitionTransform.PHours(oneCol)
+      case "bucket" => PartitionTransform.PBucket(intArg, oneCol)
+      case "truncate" => PartitionTransform.PTruncate(intArg, oneCol)
+      case other => sys.error(
+        s"graft catalog: unsupported partition transform '$other' — " +
+          "supported: identity, days, months, years, hours, " +
+          "bucket(n), truncate(len)")
+    }
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    sys.error("graft catalog: ALTER TABLE is not supported — schema " +
+      "evolves through the write path (append(evolveSchema)); " +
+      "constraints through ManifestTable.addConstraint")
+
+  override def dropTable(ident: Identifier): Boolean =
+    readRef(ident) match {
+      case None => false
+      case Some((path, external)) =>
+        // managed data is dropped with the name; an EXTERNAL location
+        // only loses its name (the LOCATION's owner keeps the data)
+        if (!external)
+          fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        fs.delete(refFile(ident), false)
+    }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    val (path, external) = readRef(oldIdent).getOrElse(
+      throw new NoSuchTableException(
+        (catalogName +: oldIdent.namespace().toSeq) :+ oldIdent.name()))
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(
+      (catalogName +: newIdent.namespace().toSeq) :+ newIdent.name())
+    if (!fs.exists(nsDir(newIdent.namespace())))
+      throw new NoSuchNamespaceException(
+        catalogName +: newIdent.namespace().toSeq)
+    // the REF moves; the data dir never does (a rename must not turn
+    // into a data copy on object stores) — the recorded path is the
+    // address either way
+    writeRef(newIdent, path, external)
+    fs.delete(refFile(oldIdent), false)
+    ()
+  }
+
+  // ---- namespaces ----
+
+  private def isNamespaceDir(p: org.apache.hadoop.fs.Path): Boolean =
+    fs.getFileStatus(p).isDirectory &&
+      !fs.exists(new org.apache.hadoop.fs.Path(p, "manifest"))
+
+  override def listNamespaces(): Array[Array[String]]  = {
+    val root = new org.apache.hadoop.fs.Path(warehouse)
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root).filter(st => st.isDirectory &&
+        isNamespaceDir(st.getPath))
+      .map(st => Array(st.getPath.getName)).sortBy(_.head)
+  }
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = nsDir(namespace)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(
+      catalogName +: namespace.toSeq)
+    fs.listStatus(dir).filter(st => st.isDirectory &&
+        isNamespaceDir(st.getPath))
+      .map(st => namespace :+ st.getPath.getName)
+      .sortBy(_.mkString("."))
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || fs.exists(nsDir(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : java.util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(
+      catalogName +: namespace.toSeq)
+    Map(SupportsNamespaces.PROP_LOCATION ->
+      nsDir(namespace).toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace))
+      throw new NamespaceAlreadyExistsException(
+        (catalogName +: namespace.toSeq).toArray)
+    fs.mkdirs(nsDir(namespace))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    sys.error("graft catalog: ALTER NAMESPACE is not supported — the " +
+      "namespace is a directory, nothing more")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val dir = nsDir(namespace)
+    if (!fs.exists(dir)) return false
+    if (!cascade)
+      require(fs.listStatus(dir).isEmpty,
+        s"graft catalog: namespace ${namespace.mkString(".")} is not " +
+          "empty — use CASCADE to drop its tables (managed data " +
+          "included)")
+    else
+      // cascade drops managed data like per-table drops would
+      listTables(namespace).foreach(dropTable)
+    fs.delete(dir, true)
+  }
+}
+
+/** A named `graft-manifest` table as the catalog surfaces it: pure
+  * METADATA (name, path, schema/partitioning read from the table's
+  * own sidecars, optional pinned version/timestamp) with NO
+  * capabilities — [[graft.plans.ManifestCatalogRules]] swaps every
+  * resolved reference for the V1 manifest relation before any
+  * capability check runs, so reads, writes, and DML all travel the
+  * one proven path. */
+final case class GraftV2Table(tableName: String, path: String,
+    versionAsOf: Option[String], timestampAsOfMillis: Option[Long])
+    extends Table {
+
+  override def name(): String = tableName
+
+  override def schema(): StructType = {
+    val spark = SparkSession.active
+    val v = ManifestTable.latestVersion(spark, path).getOrElse(
+      sys.error(s"graft catalog: no committed version at $path — " +
+        "was the table's data deleted out from under its name?"))
+    ManifestTable.schemaOf(spark, path, v).getOrElse(
+      sys.error(s"graft catalog: no schema sidecar at $path"))
+  }
+
+  override def partitioning(): Array[Transform] = {
+    val spark = SparkSession.active
+    ManifestTable.latestVersion(spark, path).toSeq
+      .flatMap(v => ManifestTable.partitionSpecOf(spark, path, v))
+      .map {
+        case PartitionTransform.PIdentity(s) => Expressions.identity(s)
+        case PartitionTransform.PDays(s) => Expressions.days(s)
+        case PartitionTransform.PMonths(s) => Expressions.months(s)
+        case PartitionTransform.PYears(s) => Expressions.years(s)
+        case PartitionTransform.PHours(s) => Expressions.hours(s)
+        case PartitionTransform.PBucket(n, s) => Expressions.bucket(n, s)
+        case PartitionTransform.PTruncate(len, s) => Expressions.apply(
+          "truncate", Expressions.literal(len), Expressions.column(s))
+      }.toArray
+  }
+
+  override def properties(): java.util.Map[String, String] =
+    Map(TableCatalog.PROP_LOCATION -> path,
+      TableCatalog.PROP_PROVIDER -> "graft-manifest").asJava
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.Collections.emptySet()
+}

@@ -632,6 +632,51 @@ object LayoutQueries {
     path
   }
 
+  /** A manifest table whose ENTIRE lifecycle — CREATE, every INSERT,
+    * UPDATE, DELETE, and the final read — happens through the
+    * catalog NAME (`graftcat.db.docs`), never a path or temp view:
+    * the way the reference's users address their one table
+    * (`cve.CVE_RECORDS`, /root/reference/chatbot_pg/main.py:89). The
+    * GraftCatalog is registered on the session here (idempotent);
+    * the managed table lands under the catalog's warehouse. Built
+    * once per dataset behind the usual marker. */
+  def ensureCatalogTable(s: SparkSession, d: String): String = {
+    val wh = s"${layoutRoot(d)}/catalog_wh"
+    s.conf.set("spark.sql.catalog.graftcat",
+      "graft.catalog.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+    val path = s"$wh/db/docs"
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val n = docs.count()
+    val expect = s"layout=$LayoutVersion manifest=catalog rows=$n"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+      graft.Sql.registerViews(s, d)
+      val q = math.max(n / 2, 1)
+      Seq(
+        "CREATE NAMESPACE graftcat.db",
+        """CREATE TABLE graftcat.db.docs
+          |(doc_id BIGINT, lang STRING, n_chars BIGINT)
+          |USING `graft-manifest`
+          |TBLPROPERTIES ('statsCols'='doc_id')""".stripMargin,
+        s"""INSERT INTO graftcat.db.docs
+           |SELECT doc_id, lang, n_chars FROM documents
+           |WHERE doc_id < $q""".stripMargin,
+        s"""INSERT INTO graftcat.db.docs
+           |SELECT doc_id, lang, n_chars FROM documents
+           |WHERE doc_id >= $q""".stripMargin,
+        """UPDATE graftcat.db.docs SET n_chars = n_chars + 5
+          |WHERE doc_id BETWEEN 50 AND 149""".stripMargin,
+        "DELETE FROM graftcat.db.docs WHERE doc_id BETWEEN 300 AND 349"
+      ).foreach(s.sql(_).collect())
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
   /** A manifest table guarded by a CHECK constraint: seeded with the
     * first half of documents, `ALTER TABLE ADD CONSTRAINT`-style
     * `addConstraint("n_chars_pos", "n_chars > 0")`, then fed the
@@ -1899,6 +1944,30 @@ object LayoutQueries {
         .select(col("doc_id"), col("lang"),
           col("n_chars").cast("long").as("n_chars"))
         .orderBy("doc_id")
+    },
+
+    // ---- Catalog front door end-to-end (q153): CREATE TABLE /
+    //      INSERT / UPDATE / DELETE / SELECT all through the NAME
+    //      `graftcat.db.docs` (graft.catalog.GraftCatalog +
+    //      ManifestCatalogRules) — zero temp views, zero paths in
+    //      user statements. The swap rule bridges every named
+    //      reference onto the same V1 manifest relation the
+    //      path-addressed queries use, so stats pruning and the DML
+    //      routing are byte-identical; the oracle recomputes the
+    //      final state from the plain table. ----
+    GraftQuery("q153_manifest_catalog_sql",
+      """WITH s1 AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id BETWEEN 50 AND 149
+        |      THEN n_chars + 5 ELSE n_chars END AS n_chars
+        |  FROM documents),
+        |f AS (SELECT * FROM s1 WHERE doc_id NOT BETWEEN 300 AND 349)
+        |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+      ensureCatalogTable(s, d)
+      s.sql(
+        """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+          |FROM graftcat.db.docs ORDER BY doc_id""".stripMargin)
     },
   )
 }

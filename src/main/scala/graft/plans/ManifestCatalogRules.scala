@@ -1,0 +1,109 @@
+package graft.plans
+
+import graft.catalog.GraftV2Table
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Literal}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/** Bridges the catalog's NAME world onto the V1 manifest read path:
+  * every resolved [[DataSourceV2Relation]] over a [[GraftV2Table]] is
+  * swapped — exprIds preserved, so references already resolved above
+  * stay valid — for the same `HadoopFsRelation(ManifestFileIndex)`
+  * relation a path read produces. One read path: the stats/Bloom dir
+  * pruning, deletion-vector rewrite ([[ManifestApplyDeletes]]),
+  * metadata-only aggregates ([[ManifestMetadataAggs]]), and the whole
+  * SQL DML surface ([[ManifestSqlRules]] — whose ManifestTarget then
+  * matches the swapped relation inside DELETE/UPDATE/MERGE targets)
+  * work identically by name and by path, with no v2 reimplementation
+  * to keep correct.
+  *
+  * INSERT needs its own cases: Spark's ResolveInsertInto converts
+  * `InsertIntoStatement` over a v2 relation into [[AppendData]] /
+  * [[OverwriteByExpression]] in the same resolution batch (the
+  * relation is NOT a child of those commands, so the swap above never
+  * reaches it) — once the analyzer has aligned the query to the
+  * table schema (`outputResolved`), those commands map onto the same
+  * [[GraftManifestInsertCommand]] the path-addressed INSERT uses. */
+object ManifestCatalogRules extends Rule[LogicalPlan] {
+
+  /** The v2 relation's GraftV2Table, when that is what it is. */
+  private object GraftRelation {
+    def unapply(plan: LogicalPlan): Option[(GraftV2Table,
+        Seq[AttributeReference])] = plan match {
+      case r: DataSourceV2Relation => r.table match {
+        case t: GraftV2Table => Some((t, r.output))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** The V1 manifest relation for `t`, re-identified to the v2
+    * relation's attribute ids. Schema drift between loadTable and
+    * this swap (a concurrent evolve) is loud, never coerced. */
+  private def v1Relation(t: GraftV2Table,
+      output: Seq[AttributeReference]): LogicalRelation = {
+    val spark = SparkSession.active
+    var reader = spark.read.format("graft-manifest")
+    t.versionAsOf.foreach(v => reader = reader.option("versionAsOf", v))
+    t.timestampAsOfMillis.foreach(ms =>
+      reader = reader.option("timestampAsOf", ms.toString))
+    val lr = reader.load(t.path).queryExecution.analyzed match {
+      case l: LogicalRelation => l
+      case other => sys.error("graft catalog: the path read planned " +
+        s"as ${other.nodeName}, not a LogicalRelation — cannot bridge")
+    }
+    require(lr.output.map(a => (a.name, a.dataType)) ==
+        output.map(a => (a.name, a.dataType)),
+      s"graft catalog: table '${t.tableName}' changed schema between " +
+        s"name resolution and planning (now ${lr.schema.catalogString})" +
+        " — re-run the statement")
+    lr.copy(output = output.toIndexedSeq)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsDown {
+      case GraftRelation(t, output) => v1Relation(t, output)
+
+      case a: AppendData if a.query.resolved && a.outputResolved =>
+        a.table match {
+          case GraftRelation(t, _) =>
+            // the analyzer aligned the query to the table schema
+            // (names + store-assignment casts), so by-name alignment
+            // in the command is exact for both INSERT flavors
+            GraftManifestInsertCommand(t.path, a.query,
+              overwrite = false, byName = true)
+          case _ => a
+        }
+
+      case o: OverwriteByExpression if o.query.resolved &&
+          o.outputResolved =>
+        o.table match {
+          case GraftRelation(t, _) =>
+            o.deleteExpr match {
+              case Literal(true, _) =>
+                GraftManifestInsertCommand(t.path, o.query,
+                  overwrite = true, byName = true)
+              case other => sys.error(
+                "graft catalog: INSERT OVERWRITE with a static " +
+                  s"partition filter (${other.sql}) is not supported " +
+                  "— this format overwrites whole tables; partition " +
+                  "retention goes through DELETE / dropPartitions")
+            }
+          case _ => o
+        }
+
+      case d: OverwritePartitionsDynamic =>
+        d.table match {
+          case GraftRelation(t, _) => sys.error(
+            "graft catalog: dynamic partition overwrite on " +
+              s"'${t.tableName}' is not supported — this format " +
+              "overwrites whole tables; use MERGE for row-level " +
+              "replacement")
+          case _ => d
+        }
+    }
+}

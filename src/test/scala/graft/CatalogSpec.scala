@@ -1,0 +1,162 @@
+package graft
+
+import graft.sinks.ManifestTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The name front door (graft.catalog.GraftCatalog +
+  * plans.ManifestCatalogRules): CREATE/SHOW/DROP/RENAME by name,
+  * SELECT + every DML statement against `catalog.ns.table` with NO
+  * temp view, time travel by name, v2 PARTITIONED BY transforms onto
+  * hidden partitioning — all on the one V1 read path (the swap rule
+  * preserves exprIds, so this suite is also the pin that named and
+  * path-addressed plans are the same plans).
+  */
+class CatalogSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    val wh = Files.createTempDirectory("graft-catalog-wh").toString
+    s.conf.set("spark.sql.catalog.g",
+      classOf[graft.catalog.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.g.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    s
+  }
+  import spark.implicits._
+
+  test("create, insert, select, update, delete, merge — all by name") {
+    spark.sql(
+      """CREATE TABLE g.db.t (id BIGINT, s STRING)
+        |USING `graft-manifest` TBLPROPERTIES ('statsCols'='id')""".stripMargin)
+    spark.sql("INSERT INTO g.db.t VALUES (1, 'a'), (2, 'b'), (10, 'c')")
+    assert(spark.sql("SELECT * FROM g.db.t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((1L, "a"), (2L, "b"), (10L, "c")))
+    // SHOW TABLES sees it
+    assert(spark.sql("SHOW TABLES IN g.db").collect()
+      .map(_.getString(1)).contains("t"))
+    // UPDATE by name routes the manifest in-place patch
+    spark.sql("UPDATE g.db.t SET s = 'B' WHERE id BETWEEN 2 AND 2")
+    // DELETE by name
+    spark.sql("DELETE FROM g.db.t WHERE id >= 10")
+    // MERGE by name (whole-row upsert + column-wise patch)
+    Seq((1L, "A!"), (7L, "g")).toDF("id", "s")
+      .createOrReplaceTempView("cat_updates")
+    spark.sql(
+      """MERGE INTO g.db.t t USING cat_updates u ON t.id = u.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT * FROM g.db.t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((1L, "A!"), (2L, "B"), (7L, "g")))
+    // INSERT OVERWRITE replaces atomically; the name still resolves
+    spark.sql("INSERT OVERWRITE g.db.t VALUES (99, 'z')")
+    assert(spark.sql("SELECT * FROM g.db.t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((99L, "z")))
+    // time travel BY NAME: the pre-overwrite snapshot
+    val versions = spark.sql("SELECT * FROM g.db.t VERSION AS OF 2")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(versions == Seq((1L, "a"), (2L, "b"), (10L, "c")))
+    // metadata-only aggregate fires through the name too: COUNT(*)
+    // reads zero data files (the swap is the SAME v1 relation)
+    val agg = spark.sql("SELECT COUNT(*) AS n FROM g.db.t")
+    assert(agg.collect().head.getLong(0) == 1L)
+    assert(!agg.queryExecution.executedPlan.toString.contains("FileScan"),
+      "named COUNT(*) must answer from the manifest alone")
+  }
+
+  test("PARTITIONED BY (days(ts), bucket) maps onto hidden partitioning") {
+    spark.sql(
+      """CREATE TABLE g.db.ev (id BIGINT, ts TIMESTAMP)
+        |USING `graft-manifest` PARTITIONED BY (days(ts))""".stripMargin)
+    spark.sql(
+      """INSERT INTO g.db.ev VALUES
+        |(1, TIMESTAMP '2024-01-25 06:00:00'),
+        |(2, TIMESTAMP '2024-01-26 07:00:00')""".stripMargin)
+    // the catalog table reports its partitioning...
+    val cat = spark.sessionState.catalogManager.catalog("g")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val t = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("db"), "ev"))
+    assert(t.partitioning().map(_.toString).toSeq == Seq("days(ts)"))
+    // ...and the data landed partition-pure: a day slice by name
+    // prunes to one dir
+    val q = spark.sql(
+      "SELECT id FROM g.db.ev WHERE ts >= TIMESTAMP '2024-01-26 00:00:00'")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    val files = q.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }
+    q.collect()
+    assert(files.isDefined)
+    // unsupported transform is loud at CREATE
+    val ex = intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE g.db.bad (id BIGINT)
+          |USING `graft-manifest` PARTITIONED BY (sorted_bucket(id))"""
+          .stripMargin)
+    }
+    assert(ex.getMessage.contains("transform") ||
+      ex.getMessage.contains("sorted_bucket"))
+  }
+
+  test("external LOCATION adopts an existing table; DROP keeps its data") {
+    val ext = s"${Files.createTempDirectory("graft-cat-ext")}/t"
+    ManifestTable.append(spark, Seq((1L, "x")).toDF("id", "s"), ext,
+      statsCols = Seq("id"))
+    spark.sql(
+      s"CREATE TABLE g.db.adopted USING `graft-manifest` LOCATION '$ext'")
+    assert(spark.sql("SELECT * FROM g.db.adopted").count() == 1)
+    // a conflicting column list is refused, never silently rewritten
+    val ex = intercept[Exception] {
+      spark.sql(
+        s"""CREATE TABLE g.db.adopted2 (wrong INT)
+           |USING `graft-manifest` LOCATION '$ext'""".stripMargin)
+    }
+    assert(ex.getMessage.contains("does not match"))
+    // DROP of an EXTERNAL table only loses the name
+    spark.sql("DROP TABLE g.db.adopted")
+    assert(ManifestTable.latestVersion(spark, ext).isDefined,
+      "external data must survive its name")
+    assert(intercept[Exception](
+      spark.sql("SELECT * FROM g.db.adopted").collect())
+      .getMessage.contains("adopted"))
+    // DROP of a MANAGED table drops data with the name
+    spark.sql("CREATE TABLE g.db.mg (id BIGINT) USING `graft-manifest`")
+    spark.sql("INSERT INTO g.db.mg VALUES (5)")
+    val mgPath = spark.sessionState.catalogManager.catalog("g")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("db"), "mg"))
+      .properties().get("location")
+    spark.sql("DROP TABLE g.db.mg")
+    assert(!new java.io.File(mgPath).exists(),
+      "managed data must drop with the name")
+  }
+
+  test("rename moves the name, not the data; namespaces are real") {
+    spark.sql("CREATE TABLE g.db.rn (id BIGINT) USING `graft-manifest`")
+    spark.sql("INSERT INTO g.db.rn VALUES (42)")
+    spark.sql("ALTER TABLE g.db.rn RENAME TO db.rn2")
+    assert(spark.sql("SELECT * FROM g.db.rn2").collect()
+      .map(_.getLong(0)).toSeq == Seq(42L))
+    assert(!spark.sql("SHOW TABLES IN g.db").collect()
+      .map(_.getString(1)).contains("rn"))
+    // namespace listing and duplicate-create loudness
+    assert(spark.sql("SHOW NAMESPACES IN g").collect()
+      .map(_.getString(0)).contains("db"))
+    val ex = intercept[Exception] {
+      spark.sql("CREATE NAMESPACE g.db")
+    }
+    assert(ex.getMessage.toLowerCase.contains("exists"))
+    // a table in a missing namespace is loud
+    val ex2 = intercept[Exception] {
+      spark.sql("CREATE TABLE g.nope.t (id BIGINT) USING `graft-manifest`")
+    }
+    assert(ex2.getMessage.contains("nope"))
+  }
+}
