@@ -677,6 +677,37 @@ object LayoutQueries {
     path
   }
 
+  /** A documents-derived manifest table with a KNOWN mutation
+    * history — two range-sliced appends (v1: doc_id < 250, v2: the
+    * rest), one in-place UPDATE (n_chars + 7 for doc_id 100–199,
+    * v3), one copy-on-write range DELETE (doc_id 300–349, v4) — the
+    * fixture the change-data-feed query reads end-to-end. Built
+    * once per dataset behind the usual marker. */
+  def ensureChangeFeedTable(s: SparkSession, d: String): String = {
+    val path = s"${layoutRoot(d)}/docs_manifest_cdf"
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val n = docs.count()
+    val expect = s"layout=$LayoutVersion manifest=cdf rows=$n"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      graft.sinks.ManifestTable.append(s,
+        docs.filter(col("doc_id") < 250), path,
+        statsCols = Seq("doc_id"))
+      graft.sinks.ManifestTable.append(s,
+        docs.filter(col("doc_id") >= 250), path,
+        statsCols = Seq("doc_id"))
+      graft.sinks.ManifestTable.updateRange(s, path, "doc_id",
+        100L, 199L, Seq("n_chars" -> (col("n_chars") + 7)))
+      graft.sinks.ManifestTable.deleteRange(s, path, "doc_id",
+        300L, 349L)
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
   /** A manifest table guarded by a CHECK constraint: seeded with the
     * first half of documents, `ALTER TABLE ADD CONSTRAINT`-style
     * `addConstraint("n_chars_pos", "n_chars > 0")`, then fed the
@@ -1968,6 +1999,50 @@ object LayoutQueries {
       s.sql(
         """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
           |FROM graftcat.db.docs ORDER BY doc_id""".stripMargin)
+    },
+
+    // ---- Change-data-feed end-to-end (q154): the full delete/insert
+    //      normal-form history of a table that appended, updated in
+    //      place, and range-deleted (ManifestTable.readChanges — the
+    //      read the streaming `readChangeFeed` option serves
+    //      per-batch). The oracle recomputes every change row from
+    //      the plain table: appends as version-attributed inserts,
+    //      the update as its delete-preimage/insert-postimage pair,
+    //      the delete as delete rows — so a feed that missed a row,
+    //      duplicated one, or mis-attributed a version
+    //      hash-mismatches. ----
+    GraftQuery("q154_manifest_change_feed",
+      """WITH ins AS (
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        |    'insert' AS _change_type,
+        |    CAST(CASE WHEN doc_id < 250 THEN 1 ELSE 2 END AS BIGINT)
+        |      AS _commit_version
+        |  FROM documents),
+        |upd_pre AS (
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT),
+        |    'delete', CAST(3 AS BIGINT)
+        |  FROM documents WHERE doc_id BETWEEN 100 AND 199),
+        |upd_post AS (
+        |  SELECT doc_id, lang, CAST(n_chars + 7 AS BIGINT),
+        |    'insert', CAST(3 AS BIGINT)
+        |  FROM documents WHERE doc_id BETWEEN 100 AND 199),
+        |del AS (
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT),
+        |    'delete', CAST(4 AS BIGINT)
+        |  FROM documents WHERE doc_id BETWEEN 300 AND 349)
+        |SELECT * FROM (
+        |  SELECT * FROM ins UNION ALL SELECT * FROM upd_pre
+        |  UNION ALL SELECT * FROM upd_post UNION ALL SELECT * FROM del)
+        |ORDER BY doc_id, _commit_version, _change_type""".stripMargin) {
+      (s, d) =>
+      val path = ensureChangeFeedTable(s, d)
+      val until =
+        graft.sinks.ManifestTable.latestVersion(s, path).get
+      graft.sinks.ManifestTable.readChanges(s, path, 0L, until)
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"),
+          col("_change_type"), col("_commit_version"))
+        .orderBy("doc_id", "_commit_version", "_change_type")
     },
   )
 }

@@ -2227,6 +2227,119 @@ object ManifestTable {
     readDirs(spark, path, latest, now, now.filterNot(e => consumed(e.dir)))
   }
 
+  /** Row-level CHANGE-DATA-FEED between two snapshots, in
+    * DELETE/INSERT normal form (the Delta-CDF shape a GDPR-following
+    * consumer needs): every row the table GAINED in versions
+    * `(sinceVersion, untilVersion]` arrives tagged
+    * `_change_type = 'insert'`, every row it LOST `'delete'`, each
+    * with the `_commit_version` that changed it — an in-place UPDATE
+    * is its delete-preimage + insert-postimage pair at the same
+    * version. `sinceVersion <= 0` bootstraps: the earliest retained
+    * snapshot's rows arrive as inserts at that version, then the
+    * diff steps follow.
+    *
+    * Where [[readSince]]'s append-only provenance fails LOUDLY on
+    * any delete-shaped commit (mixed lineage), this read follows the
+    * table through deleteRange / deleteKeys / dropPartitions /
+    * update / merge / overwrite — and pure MAINTENANCE (compact,
+    * cluster, Z-order), whose rewrites hold identical rows, emits
+    * ZERO changes, exactly like readSince's provenance pass-through.
+    *
+    * Mechanism, per version step `v-1 → v`: fresh append dirs
+    * (empty provenance) emit as inserts outright — no diff, the 100
+    * TB common case costs what readSince costs; consumed, rewritten
+    * and dv-changed dirs diff with EXCEPT ALL (pre = the removed/
+    * dv-superseded dirs read at `v-1`, post = their rewrite outputs
+    * at `v`), so the diff cost scales with the dirs a commit
+    * actually TOUCHED, never the table. Every intermediate version
+    * must still be retained — vacuum keeps a suffix, so a surviving
+    * checkpoint implies the chain, and a tagged-pin gap is loud. */
+  def readChanges(spark: SparkSession, path: String, sinceVersion: Long,
+      untilVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val all = versions(spark, path)
+    require(all.contains(untilVersion),
+      s"ManifestTable.readChanges: ${vName(untilVersion)} is not a " +
+        s"committed snapshot at $path — never committed, or vacuumed " +
+        "past the consumer's replay window")
+    val schema = schemaOf(spark, path, untilVersion).getOrElse(sys.error(
+      s"ManifestTable.readChanges: no schema sidecar at $path " +
+        s"${vName(untilVersion)} — pre-sidecar tables have no change " +
+        "feed"))
+    // rows conform to the UNTIL schema (additive evolution fills
+    // null), then take the two change columns
+    def norm(df: DataFrame): DataFrame =
+      df.select(schema.fields.map(f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+    def tag(df: DataFrame, ct: String, v: Long): DataFrame =
+      df.withColumn("_change_type", lit(ct))
+        .withColumn("_commit_version", lit(v))
+    val start =
+      if (sinceVersion <= 0) all.head
+      else {
+        require(all.contains(sinceVersion),
+          s"ManifestTable.readChanges: checkpoint ${vName(sinceVersion)}" +
+            s" is not a committed snapshot at $path — vacuumed (lagged " +
+            "past retention; re-bootstrap with sinceVersion = 0) or " +
+            "never committed")
+        sinceVersion
+      }
+    val steps = all.filter(v => v > start && v <= untilVersion)
+    var frames = Seq.empty[DataFrame]
+    if (sinceVersion <= 0) {
+      val e0 = entriesOf(spark, path, start)
+      frames :+= tag(norm(readDirs(spark, path, start, e0, e0)),
+        "insert", start)
+    }
+    var prevV = start
+    var prevE = entriesOf(spark, path, prevV)
+    steps.foreach { v =>
+      require(v == prevV + 1,
+        s"ManifestTable.readChanges: versions ${vName(prevV + 1)}.." +
+          s"${vName(v - 1)} at $path were vacuumed out of the replay " +
+          "window (a tagged pin survives vacuum but not its " +
+          "neighbors) — the step diff needs every intermediate " +
+          "version; re-bootstrap with sinceVersion = 0")
+      val eNow = entriesOf(spark, path, v)
+      val prevByDir = prevE.map(e => e.dir -> e).toMap
+      val nowByDir = eNow.map(e => e.dir -> e).toMap
+      val removed = prevE.filterNot(e => nowByDir.contains(e.dir))
+      val added = eNow.filterNot(e => prevByDir.contains(e.dir))
+      // a deleteKeys commit changes no dir set — only the pending
+      // tombstone pointers: those dirs diff as pre(dv@v-1) vs
+      // post(dv@v)
+      val dvPrev = prevE.filter(e =>
+        nowByDir.get(e.dir).exists(_.dv != e.dv))
+      val dvNow = eNow.filter(e =>
+        prevByDir.get(e.dir).exists(_.dv != e.dv))
+      val fresh = added.filter(_.sources.isEmpty)
+      val rewriteOut = added.filter(_.sources.nonEmpty)
+      if (removed.nonEmpty || dvPrev.nonEmpty || rewriteOut.nonEmpty) {
+        val pre = norm(readDirs(spark, path, v - 1, prevE,
+          removed ++ dvPrev))
+        val post = norm(readDirs(spark, path, v, eNow,
+          rewriteOut ++ dvNow))
+        frames :+= tag(pre.exceptAll(post), "delete", v)
+        frames :+= tag(post.exceptAll(pre), "insert", v)
+      }
+      if (fresh.nonEmpty)
+        frames :+= tag(norm(readDirs(spark, path, v, eNow, fresh)),
+          "insert", v)
+      prevV = v
+      prevE = eNow
+    }
+    if (frames.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(schema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    else frames.reduce(_ unionByName _)
+  }
+
   /** The rewrite ops' shared OPTIMISTIC commit (the twin of
     * [[append]]'s retry loop, for ops that consume dirs): commit
     * "`consumed` dirs replaced by `produced` entries" on top of the

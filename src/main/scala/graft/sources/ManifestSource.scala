@@ -716,7 +716,8 @@ final class ManifestStreamSource(spark: SparkSession, path: String,
     override val schema: StructType,
     maxVersionsPerTrigger: Option[Long] = None,
     maxRowsPerTrigger: Option[Long] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    changeFeed: Boolean = false)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
   import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
@@ -800,7 +801,13 @@ final class ManifestStreamSource(spark: SparkSession, path: String,
     val from = start.map(versionOf).getOrElse(0L)
     val until = versionOf(end)
     lastSeen.getAndUpdate(v => math.max(v, until))
-    val batch = ManifestTable.readSinceUntil(spark, path, from, until)
+    // changeFeed: the batch is the bounded DELETE/INSERT-normal-form
+    // diff (readChanges) instead of the append diff — the stream
+    // follows deletes and in-place updates a readSince consumer
+    // would hit the mixed-lineage error on
+    val batch =
+      (if (changeFeed) ManifestTable.readChanges(spark, path, from, until)
+       else ManifestTable.readSinceUntil(spark, path, from, until))
       .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
         .toSeq: _*)
     org.apache.spark.sql.GraftSqlBridge.streamingFrame(batch)
@@ -925,9 +932,19 @@ final class GraftManifestSource extends RelationProvider
       s"graft-manifest stream: no committed version at $path — commit " +
         "once before starting the stream (the schema sidecar is the " +
         "source schema)"))
-    (shortName(), schema.orElse(ManifestTable.schemaOf(spark, path, v))
+    val base = schema.orElse(ManifestTable.schemaOf(spark, path, v))
       .getOrElse(sys.error(s"graft-manifest stream: no schema sidecar " +
-        s"at $path v$v (pre-sidecar table); pass .schema(...)")))
+        s"at $path v$v (pre-sidecar table); pass .schema(...)"))
+    // readChangeFeed: two metadata columns ride every row (the
+    // Delta-CDF shape) — declared here so the engine plans them
+    val full =
+      if (!parameters.get("readChangeFeed").exists(_.toBoolean)) base
+      else StructType(base.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    (shortName(), full)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -948,7 +965,8 @@ final class GraftManifestSource extends RelationProvider
       s"graft-manifest stream: maxBytesPerTrigger must be positive, got $m"))
     new ManifestStreamSource(spark, path,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
-      maxVersions, maxRows, maxBytes)
+      maxVersions, maxRows, maxBytes,
+      changeFeed = parameters.get("readChangeFeed").exists(_.toBoolean))
   }
 
   /** `df.write.format("graft-manifest").mode(...).save(tablePath)` —

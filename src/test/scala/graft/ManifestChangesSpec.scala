@@ -1,0 +1,162 @@
+package graft
+
+import graft.sinks.ManifestTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Row-level change-data-feed (`ManifestTable.readChanges` +
+  * the streaming `readChangeFeed` option): delete/insert normal
+  * form, exact through every mutation shape, maintenance-invisible,
+  * cost scoped to touched dirs, loud on vacuumed gaps.
+  */
+class ManifestChangesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def changes(t: String, since: Long, until: Long)
+      : Seq[(Long, Long, String, Long)] =
+    ManifestTable.readChanges(spark, t, since, until)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getLong(3))).sorted.toSeq
+
+  test("readChanges: append, in-place update, range delete, overwrite") {
+    val t = s"${Files.createTempDirectory("graft-cdf")}/t"
+    ManifestTable.append(spark,
+      Seq((1L, 10L), (2L, 10L)).toDF("id", "n"), t,
+      statsCols = Seq("id"))                                      // v1
+    ManifestTable.append(spark, Seq((3L, 10L)).toDF("id", "n"), t,
+      statsCols = Seq("id"))                                      // v2
+    // appends: pure inserts at their commit version
+    assert(changes(t, 0L, 2L) == Seq((1L, 10L, "insert", 1L),
+      (2L, 10L, "insert", 1L), (3L, 10L, "insert", 2L)))
+    // in-place UPDATE: delete-preimage + insert-postimage at v3 —
+    // only the changed ROW appears, not the rest of its dir
+    ManifestTable.updateRange(spark, t, "id", 2L, 2L,
+      Seq("n" -> lit(99L)))                                       // v3
+    assert(changes(t, 2L, 3L) == Seq((2L, 10L, "delete", 3L),
+      (2L, 99L, "insert", 3L)))
+    // copy-on-write range DELETE: deletes only
+    ManifestTable.deleteRange(spark, t, "id", 3L, 3L)             // v4
+    assert(changes(t, 3L, 4L) == Seq((3L, 10L, "delete", 4L)))
+    // a WINDOW spanning several versions unions the steps
+    assert(changes(t, 2L, 4L) == Seq((2L, 10L, "delete", 3L),
+      (2L, 99L, "insert", 3L), (3L, 10L, "delete", 4L)))
+    // OVERWRITE: everything old deletes, everything new inserts
+    ManifestTable.overwrite(spark,
+      Seq((7L, 1L)).toDF("id", "n"), t)                           // v5
+    assert(changes(t, 4L, 5L) == Seq((1L, 10L, "delete", 5L),
+      (2L, 99L, "delete", 5L), (7L, 1L, "insert", 5L)))
+  }
+
+  test("readChanges: maintenance is invisible; deleteKeys and dropPartitions feed") {
+    val t = s"${Files.createTempDirectory("graft-cdfm")}/t"
+    ManifestTable.append(spark,
+      Seq(("a", 1L), ("b", 2L)).toDF("k", "n"), t,
+      statsCols = Seq("k"))                                       // v1
+    ManifestTable.append(spark, Seq(("c", 3L)).toDF("k", "n"), t,
+      statsCols = Seq("k"))                                       // v2
+    // COMPACT rewrites dirs to identical rows: ZERO changes
+    ManifestTable.compact(spark, t)                               // v3
+    assert(ManifestTable.readChanges(spark, t, 2L, 3L).count() == 0,
+      "maintenance must emit no changes")
+    // deleteKeys is MERGE-ON-READ — no dir changes, only pending
+    // tombstones: the dv diff still feeds the delete
+    ManifestTable.deleteKeys(spark, Seq("b").toDF("k"), t, "k")   // v4
+    val dvStep = ManifestTable.readChanges(spark, t, 3L, 4L)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getString(2))).toSeq
+    assert(dvStep == Seq(("b", 2L, "delete")))
+    // ...and the later rewrite that MATERIALIZES the tombstone emits
+    // nothing (the rows were already reported deleted)
+    ManifestTable.rewriteDeletes(spark, t)                        // v5
+    assert(ManifestTable.readChanges(spark, t, 4L, 5L).count() == 0,
+      "materializing an already-fed tombstone must emit no changes")
+    // dropPartitions: metadata-only, but the feed reads the dropped
+    // dir's rows from the previous snapshot
+    val tp = s"${Files.createTempDirectory("graft-cdfp")}/t"
+    ManifestTable.append(spark,
+      Seq((1L, "en"), (2L, "de")).toDF("id", "lang"), tp,
+      partitionSpec =
+        Seq(graft.sinks.PartitionTransform.PIdentity("lang")))    // v1
+    ManifestTable.dropPartitions(spark, tp, Map("lang" -> "de"))  // v2
+    val dropped = ManifestTable.readChanges(spark, tp, 1L, 2L)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2))).toSeq
+    assert(dropped == Seq((2L, "de", "delete")))
+  }
+
+  test("readChanges is loud on gaps and bad versions") {
+    val t = s"${Files.createTempDirectory("graft-cdfv")}/t"
+    (1 to 4).foreach(i =>
+      ManifestTable.append(spark, Seq(i.toLong).toDF("id"), t))
+    def msg(f: => Any): String = intercept[Exception](f).getMessage
+    assert(msg(ManifestTable.readChanges(spark, t, 1L, 9L))
+      .contains("not a committed snapshot"))
+    assert(msg(ManifestTable.readChanges(spark, t, 7L, 4L))
+      .contains("not a committed snapshot"))
+    // vacuum the early versions: a checkpoint before the horizon
+    // names the re-bootstrap contract
+    ManifestTable.vacuum(spark, t, keepVersions = 2)
+    assert(msg(ManifestTable.readChanges(spark, t, 1L, 4L))
+      .contains("re-bootstrap"))
+    // bootstrap after vacuum: earliest retained snapshot as inserts,
+    // then the diff steps
+    val boot = changes0(t)
+    assert(boot.map(_._1).sorted == Seq(1L, 2L, 3L, 4L))
+    assert(boot.forall(_._2 == "insert"))
+  }
+
+  private def changes0(t: String): Seq[(Long, String)] = {
+    val until = ManifestTable.latestVersion(spark, t).get
+    ManifestTable.readChanges(spark, t, 0L, until)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+  }
+
+  test("streaming readChangeFeed drains append→delete→append exactly once") {
+    val tmp = Files.createTempDirectory("graft-cdfstream").toString
+    val t = s"$tmp/table"
+    val ckpt = s"$tmp/ckpt"
+    ManifestTable.append(spark, Seq((1L, "a"), (2L, "b"))
+      .toDF("id", "s"), t, statsCols = Seq("id"))                 // v1
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, String, String, Long)]()
+    def start() = spark.readStream.format("graft-manifest")
+      .option("readChangeFeed", "true").load(t)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => rows.add((r.getLong(0), r.getString(1),
+          r.getString(2), r.getLong(3))))
+        ()
+      }.start()
+    val q = start()
+    q.processAllAvailable()
+    // bootstrap batch: the existing table as inserts
+    assert(rows.toArray.toSeq.asInstanceOf[Seq[(Long, String, String,
+      Long)]].sorted == Seq((1L, "a", "insert", 1L),
+      (2L, "b", "insert", 1L)))
+    // a DELETE mid-stream — the append-only source would fail here;
+    // the change feed delivers the delete row
+    ManifestTable.deleteRange(spark, t, "id", 2L, 2L)             // v2
+    q.processAllAvailable()
+    // a fresh append after the delete
+    ManifestTable.append(spark, Seq((5L, "e")).toDF("id", "s"), t,
+      statsCols = Seq("id"))                                      // v3
+    q.processAllAvailable()
+    q.stop()
+    val got = rows.toArray.toSeq.asInstanceOf[Seq[(Long, String,
+      String, Long)]].sorted
+    assert(got == Seq((1L, "a", "insert", 1L), (2L, "b", "delete", 2L),
+      (2L, "b", "insert", 1L), (5L, "e", "insert", 3L)),
+      s"got $got")
+    // restart: the checkpoint resumes past everything drained —
+    // only a post-restart commit arrives, exactly once
+    ManifestTable.deleteRange(spark, t, "id", 1L, 1L)             // v4
+    rows.clear()
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(rows.toArray.toSeq == Seq((1L, "a", "delete", 4L)),
+      s"restart must deliver only the new delete, got ${rows.toArray.toSeq}")
+  }
+}
