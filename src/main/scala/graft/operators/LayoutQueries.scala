@@ -23,7 +23,7 @@ object LayoutQueries {
 
   /** Bumped on any layout-building change — stale /tmp layouts then
     * auto-invalidate (same contract as [[graft.vector.AnnVersion]]). */
-  private val LayoutVersion = 10 // r11: + per-dir row counts (metadata-only aggregates)
+  private val LayoutVersion = 11 // r13: + per-dir exact column sums (metadata-only SUM)
 
   private def datasetKey(d: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
@@ -1646,6 +1646,7 @@ object LayoutQueries {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(COUNT(lang) AS BIGINT) AS n_lang,
         |  MIN(doc_id) AS id_lo, MAX(doc_id) AS id_hi,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
         |  MIN(lang) AS lang_lo, MAX(lang) AS lang_hi
         |FROM documents""".stripMargin) { (s, d) =>
       val path = ensureManifestDocs(s, d)
@@ -1655,6 +1656,7 @@ object LayoutQueries {
         """SELECT CAST(COUNT(*) AS BIGINT) AS n,
           |  CAST(COUNT(lang) AS BIGINT) AS n_lang,
           |  MIN(doc_id) AS id_lo, MAX(doc_id) AS id_hi,
+          |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
           |  MIN(lang) AS lang_lo, MAX(lang) AS lang_hi
           |FROM documents_manifest_meta""".stripMargin)
     },
@@ -1671,7 +1673,8 @@ object LayoutQueries {
     //      recomputes the same GROUP BY from the plain table. ----
     GraftQuery("q140_manifest_grouped_metadata_agg",
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
-        |  MIN(doc_id) AS id_lo, MAX(doc_id) AS id_hi
+        |  MIN(doc_id) AS id_lo, MAX(doc_id) AS id_hi,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) {
       (s, d) =>
       val path = ensureManifestDocsByLang(s, d)
@@ -1679,7 +1682,8 @@ object LayoutQueries {
         .createOrReplaceTempView("documents_manifest_bylang_meta")
       s.sql(
         """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
-          |  MIN(doc_id) AS id_lo, MAX(doc_id) AS id_hi
+          |  MIN(doc_id) AS id_lo, MAX(doc_id) AS id_hi,
+          |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
           |FROM documents_manifest_bylang_meta
           |GROUP BY lang ORDER BY lang""".stripMargin)
     },

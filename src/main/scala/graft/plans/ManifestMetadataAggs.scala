@@ -12,9 +12,10 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Metadata-only aggregates over `graft-manifest` tables: a
-  * whole-table, filterless `COUNT(*)` / `MIN(col)` / `MAX(col)`
-  * aggregate is answered from the MANIFEST — the per-dir exact row
-  * counts and min/max stats recorded at commit time — and rewritten
+  * whole-table, filterless `COUNT(*)` / `MIN(col)` / `MAX(col)` /
+  * `SUM(integral col)` aggregate is answered from the MANIFEST —
+  * the per-dir exact row counts, min/max stats, and decimal-exact
+  * column sums recorded at commit time — and rewritten
   * into a [[LocalRelation]], so the query plans as a LocalTableScan
   * touching ZERO data files. This is the Iceberg/Delta
   * metadata-only-query shape (Spark's own `OptimizeMetadataOnlyQuery`
@@ -117,6 +118,28 @@ object ManifestMetadataAggs extends Rule[LogicalPlan] {
       minMax(entries, attr.name, attr.dataType, isMin = true)
     case Max(attr: AttributeReference) =>
       minMax(entries, attr.name, attr.dataType, isMin = false)
+    case s: org.apache.spark.sql.catalyst.expressions.aggregate.Sum =>
+      s.child match {
+        case attr: AttributeReference if (attr.dataType match {
+            case ByteType | ShortType | IntegerType | LongType => true
+            case _ => false
+          }) =>
+          // exact per-dir decimal sums fold in arbitrary precision;
+          // zero-row and provably-all-null dirs contribute nothing
+          // (SQL SUM skips nulls), every other dir must have a
+          // recorded sum. A total past Long range disqualifies — the
+          // scan's own overflow behavior (ANSI error / legacy wrap)
+          // then governs, never a silently different number.
+          val live = entries.filterNot(e => e.rows.contains(0L) ||
+            e.rows.exists(r => e.nullCnt.get(attr.name).contains(r)))
+          if (!live.forall(_.sums.contains(attr.name))) None
+          else if (live.isEmpty) Some(null) // SUM over no rows: NULL
+          else {
+            val total = live.map(e => BigInt(e.sums(attr.name))).sum
+            if (total.isValidLong) Some(total.toLong) else None
+          }
+        case _ => None
+      }
     case _ => None
   }
 

@@ -143,7 +143,8 @@ object ManifestTable {
       rows: Option[Long] = None,
       nullCnt: Map[String, Long] = Map.empty,
       dv: Map[String, String] = Map.empty,
-      partition: Map[String, String] = Map.empty) {
+      partition: Map[String, String] = Map.empty,
+      sums: Map[String, String] = Map.empty) {
     /** Whether the dir holds any data files — answered from the
       * manifest's recorded file list when present (zero filesystem
       * calls: `Some(empty)` is a file-less empty-batch dir,
@@ -250,19 +251,21 @@ object ManifestTable {
         "rows" -> "bigint",
         "nullCnt" -> "map<string,bigint>",
         "dv" -> "map<string,string>",
-        "partition" -> "map<string,string>")
+        "partition" -> "map<string,string>",
+        "sums" -> "map<string,string>")
       val full = defaults.foldLeft(df) { case (d, (c, tpe)) =>
         if (d.columns.contains(c)) d
         else d.withColumn(c, lit(null).cast(tpe))
       }
       full.select("dir", "tag", "statMin", "statMax", "sources",
           "strMin", "strMax", "bloom", "files", "strBloom", "rows",
-          "nullCnt", "dv", "partition")
+          "nullCnt", "dv", "partition", "sums")
         .as[(String, Long, Map[String, Long], Map[String, Long],
           Seq[String], Map[String, String], Map[String, String],
           Map[String, Array[Byte]], Map[String, Long],
           Map[String, Array[Byte]], Option[Long], Map[String, Long],
-          Map[String, String], Map[String, String])]
+          Map[String, String], Map[String, String],
+          Map[String, String])]
         .collect().sortBy(_._1)
         .map(t => Entry(t._1, t._2, Option(t._3).getOrElse(Map.empty),
           Option(t._4).getOrElse(Map.empty),
@@ -277,7 +280,8 @@ object ManifestTable {
           rows = t._11,
           nullCnt = Option(t._12).getOrElse(Map.empty),
           dv = Option(t._13).getOrElse(Map.empty),
-          partition = Option(t._14).getOrElse(Map.empty))).toSeq
+          partition = Option(t._14).getOrElse(Map.empty),
+          sums = Option(t._15).getOrElse(Map.empty))).toSeq
     } else {
       // MIGRATION read for manifests written before the map-stats
       // layout (single optional statCol + long min/max, no
@@ -303,10 +307,10 @@ object ManifestTable {
     import spark.implicits._
     entries.map(e => (e.dir, e.tag, e.statMin, e.statMax, e.sources,
         e.strMin, e.strMax, e.bloom, e.files, e.strBloom, e.rows,
-        e.nullCnt, e.dv, e.partition))
+        e.nullCnt, e.dv, e.partition, e.sums))
       .toDF("dir", "tag", "statMin", "statMax", "sources",
         "strMin", "strMax", "bloom", "files", "strBloom", "rows",
-        "nullCnt", "dv", "partition")
+        "nullCnt", "dv", "partition", "sums")
       .repartition(1)
       .write.mode("overwrite").parquet(dest)
   }
@@ -817,12 +821,17 @@ object ManifestTable {
         entriesOf(spark, path, v).map(_.tag).foldLeft(-1L)(math.max))
     }.getOrElse(-1L)
 
-  /** The four stats maps of one written dir: (longMin, longMax,
-    * strMin, strMax). */
+  /** The stats maps of one written dir: (longMin, longMax, strMin,
+    * strMax, nullCnt, sums). Sums are EXACT per-dir totals of the
+    * integral stat columns, computed in decimal(38,0) and recorded
+    * as decimal STRINGS — a per-dir total can exceed Long range
+    * without corrupting the record, and the metadata-agg fold adds
+    * them back in arbitrary precision. */
   private type Stats = (Map[String, Long], Map[String, Long],
-    Map[String, String], Map[String, String], Map[String, Long])
+    Map[String, String], Map[String, String], Map[String, Long],
+    Map[String, String])
   private val NoStats: Stats =
-    (Map.empty, Map.empty, Map.empty, Map.empty, Map.empty)
+    (Map.empty, Map.empty, Map.empty, Map.empty, Map.empty, Map.empty)
 
   /** Stat-able type classes: strings get string bounds; INTEGRAL
     * types get exact long bounds. Everything else gets none —
@@ -892,26 +901,36 @@ object ManifestTable {
         .toMap
       val bounded = inDf.filter(c =>
         isStr(c) || isIntegral(df.schema(c).dataType))
+      // integral stat columns also record an EXACT decimal(38,0) sum
+      // (all-null dirs record none — SUM skips nulls, like the bounds)
+      val summed = bounded.filterNot(isStr)
       val aggs = count(lit(1)) +: (inDf.map(c => count(col(c))) ++
         bounded.flatMap(c =>
           if (isStr(c)) Seq(min(col(c)), max(col(c)))
-          else Seq(min(col(c).cast("long")), max(col(c).cast("long")))))
+          else Seq(min(col(c).cast("long")), max(col(c).cast("long")))) ++
+        summed.map(c => sum(col(c).cast("decimal(38,0)"))))
       val r = df.agg(aggs.head, aggs.tail: _*).head()
       val total = r.getLong(0)
       val nulls = inDf.zipWithIndex.map { case (c, i) =>
         c -> (total - r.getLong(1 + i))
       }.toMap ++ cols.filterNot(df.columns.contains).map(c => c -> total)
       val base = 1 + inDf.size
+      val sumBase = base + 2 * bounded.size
+      val sums = summed.zipWithIndex.collect {
+        case (c, j) if !r.isNullAt(sumBase + j) =>
+          c -> r.getDecimal(sumBase + j).toBigInteger.toString
+      }.toMap
       bounded.zipWithIndex.foldLeft(
         (Map.empty[String, Long], Map.empty[String, Long],
-          Map.empty[String, String], Map.empty[String, String], nulls)) {
+          Map.empty[String, String], Map.empty[String, String], nulls,
+          sums)) {
         case (acc, (_, i)) if r.isNullAt(base + 2 * i) => acc
-        case ((lm, lx, sm, sx, nc), (c, i)) if isStr(c) =>
+        case ((lm, lx, sm, sx, nc, sc), (c, i)) if isStr(c) =>
           (lm, lx, sm + (c -> r.getString(base + 2 * i)),
-            sx + (c -> r.getString(base + 2 * i + 1)), nc)
-        case ((lm, lx, sm, sx, nc), (c, i)) =>
+            sx + (c -> r.getString(base + 2 * i + 1)), nc, sc)
+        case ((lm, lx, sm, sx, nc, sc), (c, i)) =>
           (lm + (c -> r.getLong(base + 2 * i)),
-            lx + (c -> r.getLong(base + 2 * i + 1)), sm, sx, nc)
+            lx + (c -> r.getLong(base + 2 * i + 1)), sm, sx, nc, sc)
       }
     }.getOrElse(NoStats)
 
@@ -954,12 +973,15 @@ object ManifestTable {
       .toMap
     val bounded = inDf.filter(c =>
       isStr(c) || isIntegral(df.schema(c).dataType))
+    // same exact per-group decimal sums as [[statsOf]]
+    val summed = bounded.filterNot(isStr)
     val aggs = count(lit(1)) +:
       (extras.map(e => min(e.cast("string"))) ++
         inDf.map(c => count(col(c))) ++
         bounded.flatMap(c =>
           if (isStr(c)) Seq(min(col(c)), max(col(c)))
-          else Seq(min(col(c).cast("long")), max(col(c).cast("long")))))
+          else Seq(min(col(c).cast("long")), max(col(c).cast("long")))) ++
+        summed.map(c => sum(col(c).cast("decimal(38,0)"))))
     val keyed = keys.zipWithIndex.map { case (k, i) =>
       coalesce(k, lit(PartitionTransform.NullValue)).as(s"__k$i")
     }
@@ -975,17 +997,22 @@ object ManifestTable {
         }.toMap ++
           cols.filterNot(df.columns.contains).map(c => c -> total)
         val base = cBase + inDf.size
+        val sumBase = base + 2 * bounded.size
+        val sums = summed.zipWithIndex.collect {
+          case (c, j) if !r.isNullAt(sumBase + j) =>
+            c -> r.getDecimal(sumBase + j).toBigInteger.toString
+        }.toMap
         val stats = bounded.zipWithIndex.foldLeft(
           (Map.empty[String, Long], Map.empty[String, Long],
             Map.empty[String, String], Map.empty[String, String],
-            nulls)) {
+            nulls, sums)) {
           case (acc, (_, i)) if r.isNullAt(base + 2 * i) => acc
-          case ((lm, lx, sm, sx, nc), (c, i)) if isStr(c) =>
+          case ((lm, lx, sm, sx, nc, sc), (c, i)) if isStr(c) =>
             (lm, lx, sm + (c -> r.getString(base + 2 * i)),
-              sx + (c -> r.getString(base + 2 * i + 1)), nc)
-          case ((lm, lx, sm, sx, nc), (c, i)) =>
+              sx + (c -> r.getString(base + 2 * i + 1)), nc, sc)
+          case ((lm, lx, sm, sx, nc, sc), (c, i)) =>
             (lm + (c -> r.getLong(base + 2 * i)),
-              lx + (c -> r.getLong(base + 2 * i + 1)), sm, sx, nc)
+              lx + (c -> r.getLong(base + 2 * i + 1)), sm, sx, nc, sc)
         }
         (0 until nKeys).map(r.getString).toSeq -> ((stats, total, exVals))
       }.toMap
@@ -1046,7 +1073,7 @@ object ManifestTable {
         val target = s"$path/data/$newDir"
         require(fs.rename(sp, new org.apache.hadoop.fs.Path(target)),
           s"ManifestTable.$op: could not promote $sp")
-        val ((mins, maxes, sMins, sMaxes, nulls), nRows) =
+        val ((mins, maxes, sMins, sMaxes, nulls, sums), nRows) =
           restats.getOrElse(e.dir, (NoStats, 0L))
         val (blooms, strBlooms) = bloomsOf(spark, target,
           (e.bloom.keySet ++ e.strBloom.keySet).toSeq.sorted)
@@ -1058,7 +1085,7 @@ object ManifestTable {
           // stats and NO row count — conservative, never wrong
           rows = if (restats.contains(e.dir)) Some(nRows)
             else rowsOf(spark, target, fl),
-          nullCnt = nulls,
+          nullCnt = nulls, sums = sums,
           // a staged rewrite only REMOVES rows from its source dir
           // (filter / anti-join) or patches NON-partition-source
           // values in place (update/mergeUpdate refuse SETs on
@@ -1371,13 +1398,13 @@ object ManifestTable {
     val dataDir = s"$path/data/$dirName"
     df.write.mode("overwrite").parquet(dataDir)
     val (fs, _) = fsOf(spark, path)
-    val (mins, maxes, sMins, sMaxes, nulls) =
+    val (mins, maxes, sMins, sMaxes, nulls, sums) =
       statsOf(spark, dataDir, statsCols)
     val (blooms, strBlooms) = bloomsOf(spark, dataDir, bloomCols)
     val fl = listDataFilesOf(fs, dataDir)
     Entry(dirName, tag, mins, maxes, Seq.empty, sMins, sMaxes,
       blooms, files = Some(fl), strBloom = strBlooms,
-      rows = rowsOf(spark, dataDir, fl), nullCnt = nulls)
+      rows = rowsOf(spark, dataDir, fl), nullCnt = nulls, sums = sums)
   }
 
   /** Partitioned twin of [[writeDirEntry]]: derive the spec's
@@ -1494,7 +1521,7 @@ object ManifestTable {
       require(fs.rename(leaf,
         new org.apache.hadoop.fs.Path(target)),
         s"ManifestTable: could not promote partition dir $leaf")
-      val ((mins, maxes, sMins, sMaxes, nulls), nRows, exVals) =
+      val ((mins, maxes, sMins, sMaxes, nulls, sums), nRows, exVals) =
         restats.getOrElse(encs, (NoStats, 0L, Seq.empty))
       // the recorded value comes from the restat's per-group min
       // (exact: the group is pure); the dir-name decode is only the
@@ -1517,7 +1544,7 @@ object ManifestTable {
         blooms, files = Some(fl), strBloom = strBlooms,
         rows = if (restats.contains(encs)) Some(nRows)
           else rowsOf(spark, target, fl),
-        nullCnt = nulls,
+        nullCnt = nulls, sums = sums,
         partition = spec.map(_.field).zip(values).collect {
           case (f, Some(pv)) => f -> pv
         }.toMap)
@@ -1904,7 +1931,7 @@ object ManifestTable {
     // dropped is conservative, never wrong). File-less source dirs
     // hold no rows, so they join the provenance list but not the fold.
     val tag = readable.map(_.tag).foldLeft(-1L)(math.max)
-    val (mins, maxes, sMins, sMaxes, nulls) =
+    val (mins, maxes, sMins, sMaxes, nulls, sums) =
       if (hadDv) {
         // folding pre-delete per-dir stats would record bounds/null
         // counts for rows the materialization just removed — wider
@@ -1934,11 +1961,21 @@ object ManifestTable {
         // the bounds
         val nFoldCols = readable.map(_.nullCnt.keySet)
           .reduce(_ intersect _).toSeq.sorted
+        // exact sums fold by arbitrary-precision addition — per
+        // column, when every source that HOLDS non-null values
+        // recorded one (an all-null source contributes nothing to a
+        // SUM, exactly like the bounds' treatment)
+        val liveFor: String => Seq[Entry] = c => readable.filterNot(e =>
+          e.rows.exists(r => e.nullCnt.get(c).contains(r)))
+        val sumCols = readable.flatMap(_.sums.keySet).distinct.sorted
+          .filter(c => liveFor(c).forall(_.sums.contains(c)))
         (foldCols.map(c => c -> readable.map(_.statMin(c)).min).toMap,
           foldCols.map(c => c -> readable.map(_.statMax(c)).max).toMap,
           sFoldCols.map(c => c -> readable.map(_.strMin(c)).min).toMap,
           sFoldCols.map(c => c -> readable.map(_.strMax(c)).max).toMap,
-          nFoldCols.map(c => c -> readable.map(_.nullCnt(c)).sum).toMap)
+          nFoldCols.map(c => c -> readable.map(_.nullCnt(c)).sum).toMap,
+          sumCols.map(c => c -> liveFor(c)
+            .map(e => BigInt(e.sums(c))).sum.toString).toMap)
       }
     // provenance lists only the dirs whose ROWS went in: a file-less
     // (empty-batch) dir contributed nothing, and naming it would make
@@ -1947,7 +1984,7 @@ object ManifestTable {
     val fl = listDataFilesOf(fs, dataDir)
     val merged = Entry(dirName, tag, mins, maxes, readable.map(_.dir),
       sMins, sMaxes, files = Some(fl),
-      rows = rowsOf(spark, dataDir, fl), nullCnt = nulls)
+      rows = rowsOf(spark, dataDir, fl), nullCnt = nulls, sums = sums)
     // like cluster: compaction has no row-level effect, any concurrent
     // addition is rebase-safe (it just isn't in this compacted dir)
     commitRewrite(spark, path, "compact", prev, entries,
@@ -2547,7 +2584,10 @@ object ManifestTable {
     * or concurrent delete touching the same dirs conflicts loudly
     * ([[commitRewrite]]'s reference and dv-identity checks). */
   def deleteKeys(spark: SparkSession, keys: DataFrame, path: String,
-      keyCol: String, retries: Int = 0): (Long, Int) = {
+      keyCol: String, retries: Int = 0,
+      autoRewriteGroups: Int =
+        graft.plans.ManifestApplyDeletes.GroupWarnThreshold)
+      : (Long, Int) = {
     val (fs, _) = fsOf(spark, path)
     val prev = latestVersion(spark, path).getOrElse(
       sys.error(s"ManifestTable.deleteKeys: no committed version at $path"))
@@ -2594,6 +2634,24 @@ object ManifestTable {
     val committed = commitRewrite(spark, path, "deleteKeys", prev,
       entries, touch.map(_.dir).toSet, produced, schema, Nil, Nil,
       retries, _ => true)
+    // SELF-LIMITING merge-on-read: past `autoRewriteGroups` distinct
+    // pending tombstone SETS, the read plan unions one sub-scan per
+    // set — so once this delete pushes the table past the threshold,
+    // materialize the backlog right here (one bounded rewrite job)
+    // instead of letting an unmaintained delete loop degrade every
+    // reader without bound. The read stays correct at any width;
+    // this caps the WIDTH. Opt out with Int.MaxValue and run
+    // [[rewriteDeletes]] on your own cadence.
+    val dvGroups = entriesOf(spark, path, committed)
+      .map(_.dv).distinct.count(_.nonEmpty)
+    if (dvGroups > autoRewriteGroups) {
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"ManifestTable.deleteKeys($path): $dvGroups pending " +
+          s"tombstone sets exceed autoRewriteGroups=$autoRewriteGroups" +
+          " — materializing via rewriteDeletes")
+      val (v2, _) = rewriteDeletes(spark, path, retries = retries)
+      return (v2, touch.size)
+    }
     (committed, touch.size)
   }
 
@@ -2788,13 +2846,13 @@ object ManifestTable {
         require(fs.rename(st.getPath,
           new org.apache.hadoop.fs.Path(s"$path/data/$dirName")),
           s"ManifestTable.$op: could not promote ${st.getPath}")
-        val (mins, maxes, sMins, sMaxes, nulls) =
+        val (mins, maxes, sMins, sMaxes, nulls, sums) =
           statsOf(spark, s"$path/data/$dirName", statCols)
         val fl = listDataFilesOf(fs, s"$path/data/$dirName")
         Entry(dirName, tag, mins, maxes, readable.map(_.dir),
           sMins, sMaxes, files = Some(fl),
           rows = rowsOf(spark, s"$path/data/$dirName", fl),
-          nullCnt = nulls)
+          nullCnt = nulls, sums = sums)
       }.toSeq
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     // a clustered rewrite has no row-level effect, so ANY concurrent

@@ -344,4 +344,48 @@ class ManifestDeleteVectorSpec extends AnyFunSuite {
       ManifestTable.restore(spark, path, good)
     }
   }
+
+  test("deleteKeys self-limits read-plan width: auto-rewrite past the group cap") {
+    val path = tmp()
+    // six dirs in disjoint string-key ranges — each delete below
+    // touches exactly one dir, so each adds one DISTINCT pending
+    // tombstone set (the union-width driver)
+    (0 until 6).foreach { i =>
+      ManifestTable.append(spark,
+        Seq((s"g$i-a", i.toLong), (s"g$i-b", i.toLong)).toDF("k", "n"),
+        path, statsCols = Seq("k"))
+    }
+    def dvGroups(): Int = ManifestTable.entriesOf(spark, path,
+      ManifestTable.latestVersion(spark, path).get)
+      .map(_.dv).distinct.count(_.nonEmpty)
+    (0 until 6).foreach { i =>
+      ManifestTable.deleteKeys(spark, Seq(s"g$i-a").toDF("k"), path,
+        "k", autoRewriteGroups = 3)
+      assert(dvGroups() <= 3,
+        s"after delete $i the pending-set count must stay capped, " +
+          s"got ${dvGroups()}")
+    }
+    // every delete took effect through the materializations
+    val kept = ManifestTable.read(spark, path).select("k")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(kept == (0 until 6).map(i => s"g$i-b"),
+      s"got $kept")
+    // the capped table reads as ONE scan (no per-set union)
+    assert(dvGroups() <= 3)
+    // opt-out leaves the backlog pending for a caller-owned cadence
+    val p2 = tmp()
+    (0 until 5).foreach { i =>
+      ManifestTable.append(spark,
+        Seq((s"g$i-a", i.toLong), (s"g$i-b", i.toLong)).toDF("k", "n"),
+        p2, statsCols = Seq("k"))
+    }
+    (0 until 5).foreach { i =>
+      ManifestTable.deleteKeys(spark, Seq(s"g$i-a").toDF("k"), p2,
+        "k", autoRewriteGroups = Int.MaxValue)
+    }
+    val pending = ManifestTable.entriesOf(spark, p2,
+      ManifestTable.latestVersion(spark, p2).get)
+      .map(_.dv).distinct.count(_.nonEmpty)
+    assert(pending == 5, s"opt-out must leave sets pending, got $pending")
+  }
 }

@@ -240,6 +240,81 @@ class ManifestMetadataAggSpec extends AnyFunSuite {
     assert(r.getLong(0) == 0L && r.isNullAt(1) && r.isNullAt(2))
   }
 
+  test("SUM(integral) answers from recorded per-dir sums, metadata-only") {
+    val t = freshTable()
+    view(t, "m_meta_sum")
+    val df = spark.sql(
+      "SELECT SUM(id) AS s, CAST(COUNT(*) AS BIGINT) AS n FROM m_meta_sum")
+    assert(isMetadataOnly(df),
+      s"expected metadata-only SUM:\n${df.queryExecution.executedPlan}")
+    // ids 0..29 sum 435 plus the extra id=5 row = 440; the null id
+    // is skipped exactly like SQL SUM
+    assert(df.collect().head.getLong(0) == 440L)
+    // bit-exact with the programmatic scan
+    assert(df.collect().head.getLong(0) ==
+      ManifestTable.read(spark, t).agg(sum("id"))
+        .collect().head.getLong(0))
+    // stays exact through a copy-on-write delete (restat re-records)
+    ManifestTable.deleteRange(spark, t, "id", 25L, 29L)
+    val df2 = spark.read.format("graft-manifest").load(t)
+      .agg(sum("id").as("s"))
+    assert(isMetadataOnly(df2) && df2.collect().head.getLong(0) == 305L)
+    // ...and through an in-place UPDATE of the summed column
+    ManifestTable.updateRange(spark, t, "id", 0L, 4L,
+      Seq("id" -> (col("id") + 100L)))
+    val df3 = spark.read.format("graft-manifest").load(t)
+      .agg(sum("id").as("s"))
+    assert(isMetadataOnly(df3) &&
+      df3.collect().head.getLong(0) == 305L + 5 * 100L)
+    // ...and through compact (sums fold by exact addition)
+    ManifestTable.compact(spark, t)
+    val df4 = spark.read.format("graft-manifest").load(t)
+      .agg(sum("id").as("s"))
+    assert(isMetadataOnly(df4) && df4.collect().head.getLong(0) == 805L)
+    // an all-null dir contributes nothing and disqualifies nothing
+    ManifestTable.append(spark,
+      Seq((None: Option[Long], Some("x"))).toDF("id", "name"), t,
+      statsCols = Seq("id", "name"))
+    val df5 = spark.read.format("graft-manifest").load(t)
+      .agg(sum("id").as("s"))
+    assert(isMetadataOnly(df5) && df5.collect().head.getLong(0) == 805L)
+    // a dir with rows but NO recorded sum (stat-less append)
+    // disqualifies: falls back to the scan with the same answer
+    ManifestTable.append(spark, Seq((Some(1000L), Some("y")))
+      .toDF("id", "name"), t)
+    val df6 = spark.read.format("graft-manifest").load(t)
+      .agg(sum("id").as("s"))
+    assert(hasFileScan(df6), "a sum-less live dir must scan")
+    assert(df6.collect().head.getLong(0) == 1805L)
+    // SUM over an emptied table is SQL NULL, still metadata-only
+    val t2 = s"${Files.createTempDirectory("graft-metaagg-sum0")}/t"
+    ManifestTable.append(spark, Seq((1L, "a")).toDF("id", "s"), t2,
+      statsCols = Seq("id"))
+    ManifestTable.deleteRange(spark, t2, "id", Long.MinValue,
+      Long.MaxValue)
+    val df7 = spark.read.format("graft-manifest").load(t2)
+      .agg(sum("id").as("s"))
+    assert(isMetadataOnly(df7) && df7.collect().head.isNullAt(0))
+  }
+
+  test("grouped SUM answers per group from the same per-dir sums") {
+    val t = groupedTable(withNullGroup = true)
+    view(t, "m_meta_gsum")
+    val df = spark.sql(
+      """SELECT g, SUM(v) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM m_meta_gsum GROUP BY g ORDER BY g""".stripMargin)
+    assert(isMetadataOnly(df),
+      s"expected metadata-only grouped SUM:\n${df.queryExecution.executedPlan}")
+    val got = df.collect().map(r =>
+      (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSeq
+    // de: 0+1+2+3=6, en: 10..13=46, fr: 20..23=86, null group: 181
+    assert(got == Seq((None, 181L, 2L), (Some("de"), 6L, 4L),
+      (Some("en"), 46L, 4L), (Some("fr"), 86L, 4L)) ||
+      got == Seq((Some("de"), 6L, 4L), (Some("en"), 46L, 4L),
+        (Some("fr"), 86L, 4L), (None, 181L, 2L)),
+      s"got $got")
+  }
+
   /** One commit per group value in `g` — every dir single-group by
     * construction (plus an all-null commit when `withNullGroup`). */
   private def groupedTable(withNullGroup: Boolean): String = {
@@ -315,7 +390,8 @@ class ManifestMetadataAggSpec extends AnyFunSuite {
       s"q140 must plan metadata-only:\n${got.queryExecution.executedPlan}")
     val plain = Tables.documents(spark, d)
       .groupBy("lang").agg(count(lit(1)).cast("long").as("n"),
-        min("doc_id").as("id_lo"), max("doc_id").as("id_hi"))
+        min("doc_id").as("id_lo"), max("doc_id").as("id_hi"),
+        sum("doc_id").cast("long").as("id_sum"))
       .orderBy("lang")
     assert(got.collect().map(_.toSeq).toSeq ==
       plain.collect().map(_.toSeq).toSeq)
@@ -332,6 +408,7 @@ class ManifestMetadataAggSpec extends AnyFunSuite {
       .agg(count(lit(1)).cast("long").as("n"),
         count(col("lang")).cast("long").as("n_lang"),
         min("doc_id").as("id_lo"), max("doc_id").as("id_hi"),
+        sum("doc_id").cast("long").as("id_sum"),
         min("lang").as("lang_lo"), max("lang").as("lang_hi"))
     assert(got.collect().head.toSeq == plain.collect().head.toSeq)
   }
