@@ -1,6 +1,7 @@
 package graft.plans
 
 import graft.catalog.GraftV2Table
+import graft.sinks.ManifestTable
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Literal}
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -105,5 +106,64 @@ object ManifestCatalogRules extends Rule[LogicalPlan] {
               "replacement")
           case _ => d
         }
+
+      // CREATE TABLE … AS SELECT: Spark's v2 exec path writes through
+      // table capabilities this catalog deliberately doesn't expose —
+      // route it as createTable + the same one-commit append the SQL
+      // INSERT command uses instead (both halves are the proven
+      // primitives; a crash between them leaves an empty created
+      // table, never a half-written one)
+      case c: CreateTableAsSelect if c.query.resolved =>
+        (c.name, c.tableSpec) match {
+          case (org.apache.spark.sql.catalyst.analysis
+              .ResolvedIdentifier(cat: graft.catalog.GraftCatalog,
+                ident), ts: TableSpec) =>
+            GraftCatalogCtasCommand(cat, ident, c.partitioning,
+              ts.properties ++
+                ts.provider.map(
+                  org.apache.spark.sql.connector.catalog.TableCatalog
+                    .PROP_PROVIDER -> _) ++
+                ts.location.map(
+                  org.apache.spark.sql.connector.catalog.TableCatalog
+                    .PROP_LOCATION -> _),
+              c.query, c.ignoreIfExists)
+          case _ => c
+        }
     }
+}
+
+/** `CREATE TABLE g.ns.t [PARTITIONED BY (…)] [TBLPROPERTIES (…)]
+  * AS SELECT …` against the graft catalog: create the (empty,
+  * schema-carrying) table through the catalog's own createTable —
+  * partition transforms and pruning properties apply exactly as in
+  * plain CREATE — then append the query's rows as one manifest
+  * commit. */
+final case class GraftCatalogCtasCommand(
+    catalog: graft.catalog.GraftCatalog,
+    ident: org.apache.spark.sql.connector.catalog.Identifier,
+    partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
+    properties: Map[String, String], query: LogicalPlan,
+    ignoreIfExists: Boolean)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+
+  override def run(session: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    if (catalog.tableExists(ident)) {
+      if (ignoreIfExists) return Seq.empty
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          (catalog.name() +: ident.namespace().toSeq) :+ ident.name())
+    }
+    import scala.jdk.CollectionConverters._
+    val df = org.apache.spark.sql.GraftSqlBridge.ofRows(session, query)
+    val t = catalog.createTable(ident, df.schema, partitioning.toArray,
+      properties.asJava).asInstanceOf[graft.catalog.GraftV2Table]
+    val v = ManifestTable.latestVersion(session, t.path).getOrElse(
+      sys.error(s"graft catalog CTAS: create left no version at ${t.path}"))
+    val (statsCols, bloomCols) = ManifestTable.pruningOf(session, t.path, v)
+    ManifestTable.append(session, df, t.path, statsCols = statsCols,
+      bloomCols = bloomCols)
+    Seq.empty
+  }
 }

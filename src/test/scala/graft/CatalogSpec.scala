@@ -138,6 +138,49 @@ class CatalogSpec extends AnyFunSuite {
       "managed data must drop with the name")
   }
 
+  test("CTAS creates, partitions, and fills the table in one statement") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.ctas")
+    Seq((1L, "en", java.sql.Timestamp.valueOf("2024-01-25 06:00:00")),
+      (2L, "de", java.sql.Timestamp.valueOf("2024-01-26 07:00:00")))
+      .toDF("id", "lang", "ts").createOrReplaceTempView("ctas_src")
+    spark.sql(
+      """CREATE TABLE g.ctas.t USING `graft-manifest`
+        |PARTITIONED BY (days(ts))
+        |TBLPROPERTIES ('statsCols'='id')
+        |AS SELECT * FROM ctas_src""".stripMargin)
+    assert(spark.sql("SELECT id FROM g.ctas.t ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // the created table carries the partition spec AND the stats
+    // discipline the statement declared
+    val cat = spark.sessionState.catalogManager.catalog("g")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val t = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("ctas"), "t"))
+    assert(t.partitioning().map(_.toString).toSeq == Seq("days(ts)"))
+    val path = t.properties().get("location")
+    val entries = ManifestTable.entriesOf(spark,
+      path, ManifestTable.latestVersion(spark, path).get)
+      .filter(_.rows.exists(_ > 0)) // the CREATE seed dir is empty
+    assert(entries.nonEmpty &&
+      entries.forall(e => e.partition.contains("ts_day") &&
+        e.statMin.contains("id")),
+      s"CTAS dirs must be partition-pure and statted: $entries")
+    // IF NOT EXISTS over an existing table is a silent no-op;
+    // without it, loud
+    spark.sql(
+      """CREATE TABLE IF NOT EXISTS g.ctas.t USING `graft-manifest`
+        |AS SELECT 99 AS x""".stripMargin)
+    assert(spark.sql("SELECT COUNT(*) FROM g.ctas.t").collect()
+      .head.getLong(0) == 2L)
+    val ex = intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE g.ctas.t USING `graft-manifest`
+          |AS SELECT 99 AS x""".stripMargin)
+    }
+    assert(ex.getMessage.toLowerCase.contains("exists"))
+  }
+
   test("rename moves the name, not the data; namespaces are real") {
     spark.sql("CREATE TABLE g.db.rn (id BIGINT) USING `graft-manifest`")
     spark.sql("INSERT INTO g.db.rn VALUES (42)")
