@@ -780,6 +780,59 @@ object Streams {
         ()
       }
 
+  /** CDC APPLY: follow a manifest table's CHANGE FEED
+    * (`readStream.format("graft-manifest").option("readChangeFeed",
+    * "true")`) into a FOLLOWER manifest table that converges to the
+    * source — the replication/GDPR-mirror loop: a delete upstream
+    * propagates as a delete downstream, an in-place update arrives
+    * as its delete-preimage + insert-postimage pair and nets to the
+    * new value. Per micro-batch (one exactly-once unit): delete rows
+    * apply FIRST as one keyed merge-on-read delete, then insert rows
+    * append as one tag-carrying commit — the batchId watermark gates
+    * the WHOLE batch, so a replay after any crash point re-applies
+    * deletes (idempotent: the keys are already gone, or about to be
+    * re-inserted by the gated append that did not land) and the
+    * append lands exactly once. `keyCol` must uniquely identify live
+    * rows in the source (the same contract the source's own
+    * merge/deleteKeys ops have).
+    *
+    * Scale: each batch costs one deleteKeys (tombstone write, dirs
+    * pruned by key stats/Blooms) + one append — never a rewrite of
+    * the follower proportional to its size. */
+  def applyChangesSinkWriter(changes: DataFrame, tablePath: String,
+      keyCol: String, checkpoint: String, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): DataStreamWriter[Row] = {
+    require(changes.columns.contains("_change_type") &&
+      changes.columns.contains("_commit_version"),
+      "Streams.applyChangesSinkWriter: the input is not a change " +
+        "feed — read the source with option(\"readChangeFeed\", " +
+        "\"true\")")
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.sinks.ManifestTable
+        // the tag watermark gates the whole batch: a replayed batch
+        // must re-apply NOTHING (its append already landed)
+        if (batchId > ManifestTable.latestTag(spark, tablePath)) {
+          val dels = batch.filter(col("_change_type") === "delete")
+            .select(col(keyCol)).distinct()
+          // deletes first: an update's preimage key must clear
+          // before its postimage appends, or the net state holds both
+          if (ManifestTable.latestVersion(spark, tablePath).isDefined
+              && !dels.isEmpty)
+            ManifestTable.deleteKeys(spark, dels, tablePath, keyCol)
+          ManifestTable.appendIfFresh(spark,
+            batch.filter(col("_change_type") === "insert")
+              .drop("_change_type", "_commit_version"),
+            tablePath, batchId,
+            statsCols = (statsCols :+ keyCol).distinct,
+            bloomCols = bloomCols)
+        }
+        ()
+      }
+  }
+
   /** Stream-static enrichment join: each micro-batch left-joins the
     * static dimension on `key` — the streaming form of the J2
     * enrichment join (lookup metadata for every arriving record).

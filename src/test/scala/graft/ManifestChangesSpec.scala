@@ -113,6 +113,51 @@ class ManifestChangesSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
   }
 
+  test("CDC apply: a follower converges to the source through updates and deletes") {
+    val tmp = Files.createTempDirectory("graft-cdcapply").toString
+    val src = s"$tmp/src"; val dst = s"$tmp/dst"; val ckpt = s"$tmp/ckpt"
+    ManifestTable.append(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), src,
+      statsCols = Seq("id"))
+    def state(t: String): Seq[(Long, String)] =
+      ManifestTable.read(spark, t).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    def follow() = graft.streaming.Streams.applyChangesSinkWriter(
+      spark.readStream.format("graft-manifest")
+        .option("readChangeFeed", "true").load(src),
+      dst, "id", ckpt, statsCols = Seq("id")).start()
+    val q = follow()
+    q.processAllAvailable()
+    assert(state(dst) == state(src), "bootstrap must mirror the source")
+    // an in-place update, a delete, and a fresh append upstream —
+    // the follower nets to exactly the source's live rows
+    ManifestTable.updateRange(spark, src, "id", 2L, 2L,
+      Seq("s" -> lit("B")))
+    ManifestTable.deleteRange(spark, src, "id", 1L, 1L)
+    ManifestTable.append(spark, Seq((5L, "e")).toDF("id", "s"), src,
+      statsCols = Seq("id"))
+    q.processAllAvailable()
+    q.stop()
+    assert(state(dst) == Seq((2L, "B"), (5L, "e")) &&
+      state(dst) == state(src), s"follower diverged: ${state(dst)}")
+    // restart: mutations applied while stopped arrive exactly once
+    ManifestTable.deleteRange(spark, src, "id", 5L, 5L)
+    ManifestTable.updateRange(spark, src, "id", 2L, 2L,
+      Seq("s" -> lit("B2")))
+    val q2 = follow()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(state(dst) == Seq((2L, "B2")) && state(dst) == state(src),
+      s"restart diverged: ${state(dst)}")
+    // a non-change-feed input is rejected at construction, loudly
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.Streams.applyChangesSinkWriter(
+        spark.readStream.format("graft-manifest").load(src),
+        dst, "id", s"$tmp/ckpt2")
+    }
+    assert(ex.getMessage.contains("readChangeFeed"))
+  }
+
   test("streaming readChangeFeed drains append→delete→append exactly once") {
     val tmp = Files.createTempDirectory("graft-cdfstream").toString
     val t = s"$tmp/table"
