@@ -239,11 +239,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
+  /** `ALTER TABLE … ADD COLUMN(S)` — the ONE alter this format can
+    * honor exactly: additive, nullable, top-level columns commit as
+    * an empty evolving append (one metadata commit; existing dirs
+    * read the new column as null, the standard evolution-on-read).
+    * Every other change — drops, renames, type changes, positions,
+    * NOT NULL — is refused loudly: each would rewrite or reinterpret
+    * committed data, which belongs to explicit table ops. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    sys.error("graft catalog: ALTER TABLE is not supported — schema " +
-      "evolves through the write path (append(evolveSchema)); " +
-      "constraints through ManifestTable.addConstraint")
+      changes: TableChange*): Table = {
+    val (path, _) = readRef(ident).getOrElse(
+      throw new NoSuchTableException(
+        (catalogName +: ident.namespace().toSeq) :+ ident.name()))
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "graft catalog: ADD COLUMN supports top-level columns " +
+            s"only, got ${a.fieldNames().mkString(".")}")
+        require(a.isNullable,
+          s"graft catalog: ADD COLUMN ${a.fieldNames()(0)} must be " +
+            "nullable — existing rows have no value for it")
+        require(a.position() == null,
+          "graft catalog: ADD COLUMN position clauses are not " +
+            "supported — new columns append at the end")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType(), nullable = true)
+      case other => sys.error(
+        s"graft catalog: unsupported ALTER TABLE change $other — " +
+          "only additive nullable ADD COLUMN is metadata-exact; " +
+          "row-changing alters go through the table's own ops")
+    }
+    val v = ManifestTable.latestVersion(spark, path).getOrElse(
+      sys.error(s"graft catalog: no committed version at $path"))
+    val base = ManifestTable.schemaOf(spark, path, v).getOrElse(
+      sys.error(s"graft catalog: no schema sidecar at $path"))
+    adds.foreach(f => require(!base.fieldNames.contains(f.name),
+      s"graft catalog: column '${f.name}' already exists"))
+    val evolved = StructType(base.fields ++ adds)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], evolved)
+    val (statsCols, bloomCols) = ManifestTable.pruningOf(spark, path, v)
+    ManifestTable.append(spark, empty, path, statsCols = statsCols,
+      evolveSchema = true, bloomCols = bloomCols)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     readRef(ident) match {
@@ -356,11 +395,18 @@ final case class GraftV2Table(tableName: String, path: String,
 
   override def schema(): StructType = {
     val spark = SparkSession.active
-    val v = ManifestTable.latestVersion(spark, path).getOrElse(
-      sys.error(s"graft catalog: no committed version at $path — " +
-        "was the table's data deleted out from under its name?"))
+    // a time-travel pin reads the PINNED snapshot's sidecar: the
+    // table may have evolved since, and references resolve against
+    // the schema the pinned read will actually produce
+    val v = versionAsOf.map(_.toLong)
+      .orElse(timestampAsOfMillis.map(ms =>
+        ManifestTable.versionAtTimestamp(spark, path, ms)))
+      .orElse(ManifestTable.latestVersion(spark, path))
+      .getOrElse(sys.error(
+        s"graft catalog: no committed version at $path — was the " +
+          "table's data deleted out from under its name?"))
     ManifestTable.schemaOf(spark, path, v).getOrElse(
-      sys.error(s"graft catalog: no schema sidecar at $path"))
+      sys.error(s"graft catalog: no schema sidecar at $path ${v}"))
   }
 
   override def partitioning(): Array[Transform] = {

@@ -181,6 +181,32 @@ class CatalogSpec extends AnyFunSuite {
     assert(ex.getMessage.toLowerCase.contains("exists"))
   }
 
+  test("ALTER TABLE ADD COLUMN evolves; time travel pins the OLD schema") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.ev")
+    spark.sql("CREATE TABLE g.ev.t (id BIGINT) USING `graft-manifest`")
+    spark.sql("INSERT INTO g.ev.t VALUES (1)")           // v2
+    spark.sql("ALTER TABLE g.ev.t ADD COLUMN s STRING")  // v3
+    spark.sql("INSERT INTO g.ev.t VALUES (2, 'b')")      // v4
+    // old rows read null in the new column
+    assert(spark.sql("SELECT * FROM g.ev.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq ==
+      Seq((1L, None), (2L, Some("b"))))
+    // VERSION AS OF a PRE-evolution snapshot resolves against the
+    // pinned schema — one column, no spurious drift error
+    val old = spark.sql("SELECT * FROM g.ev.t VERSION AS OF 2")
+    assert(old.columns.toSeq == Seq("id"))
+    assert(old.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // non-additive alters are loud
+    def msg(stmt: String): String =
+      intercept[Exception](spark.sql(stmt)).getMessage
+    assert(msg("ALTER TABLE g.ev.t DROP COLUMN s")
+      .contains("unsupported ALTER"))
+    assert(msg("ALTER TABLE g.ev.t RENAME COLUMN s TO s2")
+      .contains("unsupported ALTER"))
+    assert(msg("ALTER TABLE g.ev.t ADD COLUMN id BIGINT")
+      .toLowerCase.contains("exists"))
+  }
+
   test("rename moves the name, not the data; namespaces are real") {
     spark.sql("CREATE TABLE g.db.rn (id BIGINT) USING `graft-manifest`")
     spark.sql("INSERT INTO g.db.rn VALUES (42)")
