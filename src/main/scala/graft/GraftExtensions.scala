@@ -128,5 +128,80 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "token_hashes_wide(text) - 60-bit variant of token_hashes " +
         "(the SimHash input).",
       graft.expressions.TokenHashes(_, wide = true))
+
+    // ---- TABLE-VALUED functions: the SQL front door to the manifest
+    //      metadata reads (Delta's table_changes/DESCRIBE HISTORY
+    //      shape). Arguments must be foldable literals — the plan is
+    //      built at analysis time, so a non-constant argument has no
+    //      meaning and is rejected loudly. ----
+    def tvfArg[A](exprs: Seq[Expression], i: Int, fn: String,
+        what: String)(cast: PartialFunction[Any, A]): A = {
+      val e = exprs(i)
+      val v = if (e.resolved && e.foldable) Option(e.eval()) else None
+      v.collect(cast).getOrElse(throw new org.apache.spark.sql
+        .AnalysisException("_LEGACY_ERROR_TEMP_0035",
+        Map("message" -> (s"$fn: argument ${i + 1} must be a " +
+          s"constant $what, got ${e.sql}"))))
+    }
+    def tvf(name: String, usage: String,
+        build: Seq[Expression] =>
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Unit =
+      ext.injectTableFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(getClass.getName, null, name, usage,
+          "", "", "", "", "4.0.0", "", "built-in"),
+        build))
+    tvf("graft_changes",
+      "graft_changes(path, since[, until]) - Row-level change feed " +
+        "of the graft-manifest table at `path` over versions " +
+        "(since, until] in delete/insert normal form (_change_type, " +
+        "_commit_version); until defaults to the latest snapshot.",
+      (exprs: Seq[Expression]) => {
+        if (exprs.length < 2 || exprs.length > 3)
+          throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            Map("functionName" -> "`graft_changes`",
+              "expectedNum" -> "2 or 3",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        val spark = org.apache.spark.sql.SparkSession.active
+        val path = tvfArg[String](exprs, 0, "graft_changes", "STRING") {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case s: String => s
+        }
+        def intArg(i: Int): Long =
+          tvfArg[Long](exprs, i, "graft_changes", "INTEGER") {
+            case v: java.lang.Integer => v.toLong
+            case v: java.lang.Long => v.longValue()
+          }
+        val since = intArg(1)
+        val until = if (exprs.length == 3) intArg(2)
+          else graft.sinks.ManifestTable.latestVersion(spark, path)
+            .getOrElse(sys.error(
+              s"graft_changes: no committed version at $path"))
+        graft.sinks.ManifestTable.readChanges(spark, path, since, until)
+          .queryExecution.analyzed
+      })
+    tvf("graft_history",
+      "graft_history(path) - DESCRIBE HISTORY of the graft-manifest " +
+        "table at `path`: one row per retained snapshot (version, " +
+        "commit time, operation, dir/file/row counts).",
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1)
+          throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            Map("functionName" -> "`graft_history`",
+              "expectedNum" -> "1",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        val spark = org.apache.spark.sql.SparkSession.active
+        val path = tvfArg[String](exprs, 0, "graft_history", "STRING") {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case s: String => s
+        }
+        graft.sinks.ManifestTable.history(spark, path)
+          .queryExecution.analyzed
+      })
   }
 }

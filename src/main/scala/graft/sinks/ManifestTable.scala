@@ -2290,7 +2290,13 @@ object ManifestTable {
     * at `v`), so the diff cost scales with the dirs a commit
     * actually TOUCHED, never the table. Every intermediate version
     * must still be retained — vacuum keeps a suffix, so a surviving
-    * checkpoint implies the chain, and a tagged-pin gap is loud. */
+    * checkpoint implies the chain, and a tagged-pin gap is loud.
+    *
+    * One documented roughness: a [[restore]] step re-references old
+    * dirs as if freshly added, so rows that SURVIVED the rollback can
+    * surface as a delete+insert pair at that version — spurious churn,
+    * but delete-then-insert application (the CDC-apply contract)
+    * still converges to the exact state. */
   def readChanges(spark: SparkSession, path: String, sinceVersion: Long,
       untilVersion: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}

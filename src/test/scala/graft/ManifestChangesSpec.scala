@@ -86,6 +86,37 @@ class ManifestChangesSpec extends AnyFunSuite {
     assert(dropped == Seq((2L, "de", "delete")))
   }
 
+  test("graft_changes / graft_history table functions: the SQL front door") {
+    val t = s"${Files.createTempDirectory("graft-cdftvf")}/t"
+    ManifestTable.append(spark, Seq((1L, 10L), (2L, 10L))
+      .toDF("id", "n"), t, statsCols = Seq("id"))           // v1
+    ManifestTable.deleteRange(spark, t, "id", 2L, 2L)        // v2
+    val got = spark.sql(
+      s"SELECT id, n, _change_type, _commit_version " +
+        s"FROM graft_changes('$t', 1) ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq((2L, 10L, "delete", 2L)), s"got $got")
+    // explicit until; and the feed composes with ordinary SQL
+    val n = spark.sql(
+      s"SELECT COUNT(*) FROM graft_changes('$t', 0, 1)").collect()
+      .head.getLong(0)
+    assert(n == 2L, "bootstrap window must hold the two inserts")
+    // history: one row per retained snapshot with the op recorded
+    val hist = spark.sql(
+      s"SELECT version, operation FROM graft_history('$t') " +
+        "ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(hist.map(_._1) == Seq(1L, 2L) &&
+      hist.last._2 == "deleteRange", s"got $hist")
+    // non-constant arguments are loud at analysis
+    val ex = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_changes(CAST(rand() AS STRING), 0)")
+        .collect()
+    }
+    assert(ex.getMessage.contains("constant"))
+  }
+
   test("readChanges is loud on gaps and bad versions") {
     val t = s"${Files.createTempDirectory("graft-cdfv")}/t"
     (1 to 4).foreach(i =>
