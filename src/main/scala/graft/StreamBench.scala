@@ -285,6 +285,55 @@ object StreamBench {
       "partitioned manifest sink produced a partition-blind dir")
     println(f"""{"metric":"manifest_part_stream_rows_per_sec","value":${mfRows / mpSec}%.0f,"unit":"rows/sec","rows":$mfRows,"seconds":$mpSec%.2f,"batches":${mpBatchSec.size}}""")
     println(f"""{"metric":"manifest_part_batch_curve","unit":"sec/batch","late_vs_early":$mpRatio%.2f,"slope_ms_per_batch":$mpSlopeMs%.1f,"curve":[$mpCurveJson]}""")
+
+    // CDC-APPLY follower: the manifest table built above — ~50 append
+    // commits — gains 3 in-place updates and 3 range deletes, then
+    // its CHANGE FEED drains (rate-limited to 10 versions/trigger)
+    // into a replica via applyChangesSinkWriter. Expected shape:
+    // bootstrap batch ∝ table size, every later batch ∝ the versions
+    // it covers (append steps emit without diffing; the 6 mutation
+    // steps diff only their touched dirs). The convergence assert is
+    // the point: the replica equals the source EXACTLY after the
+    // drain, deletes and updates included.
+    (1 to 3).foreach { i =>
+      graft.sinks.ManifestTable.updateRange(spark, s"$tmp/mf_table",
+        "doc_id", i * 1000L, i * 1000L + 499L,
+        Seq("text" -> concat(col("text"), lit(" (rev)"))))
+      graft.sinks.ManifestTable.deleteRange(spark, s"$tmp/mf_table",
+        "doc_id", i * 10000L, i * 10000L + 999L)
+    }
+    val cdcQueryName = "graft-streambench-cdc-apply"
+    val cdcBatchSec =
+      new java.util.concurrent.ConcurrentSkipListMap[Long, Double]()
+    val cdcListener = batchListener(cdcQueryName, cdcBatchSec)
+    spark.streams.addListener(cdcListener)
+    val t5 = System.nanoTime()
+    // NOTE: a rate-limited V1 source must drain via
+    // processAllAvailable, not Trigger.AvailableNow — the engine's
+    // AvailableNow wrapper snapshots ONE getOffset as the final
+    // target, which under a version cap is the first CAPPED offset
+    // (documented on [[Streams.applyChangesSinkWriter]])
+    val cdcq = Streams.applyChangesSinkWriter(
+      spark.readStream.format("graft-manifest")
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", "10")
+        .load(s"$tmp/mf_table"),
+      s"$tmp/mf_follower", "doc_id", s"$tmp/cdc_ckpt",
+      statsCols = Seq("doc_id"))
+      .queryName(cdcQueryName)
+      .start()
+    cdcq.processAllAvailable()
+    cdcq.stop()
+    val cdcSec = (System.nanoTime() - t5) / 1e9
+    spark.streams.removeListener(cdcListener)
+    val src = graft.sinks.ManifestTable.read(spark, s"$tmp/mf_table")
+    val dst = graft.sinks.ManifestTable.read(spark, s"$tmp/mf_follower")
+    require(dst.exceptAll(src).isEmpty && src.exceptAll(dst).isEmpty,
+      "CDC follower diverged from the source")
+    val liveRows = src.count()
+    val (cdcRatio, cdcSlopeMs, cdcCurveJson) = curveStats(cdcBatchSec)
+    println(f"""{"metric":"cdc_apply_rows_per_sec","value":${liveRows / cdcSec}%.0f,"unit":"rows/sec","rows":$liveRows,"seconds":$cdcSec%.2f,"batches":${cdcBatchSec.size}}""")
+    println(f"""{"metric":"cdc_apply_batch_curve","unit":"sec/batch","late_vs_early":$cdcRatio%.2f,"slope_ms_per_batch":$cdcSlopeMs%.1f,"curve":[$cdcCurveJson]}""")
     spark.stop()
   }
 }

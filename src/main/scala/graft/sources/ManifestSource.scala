@@ -733,14 +733,29 @@ final class ManifestStreamSource(spark: SparkSession, path: String,
   // -1 = no batch yet this run; on restart the engine re-issues
   // getBatch for the checkpointed range before asking for new
   // offsets, which re-establishes this — so a resumed stream
-  // rate-limits from its checkpoint, not from zero
+  // rate-limits from its checkpoint, not from zero.
+  //
+  // CAVEAT (engine limitation, every rate-limited V1 source): under
+  // Trigger.AvailableNow, Spark's wrapper snapshots ONE getOffset as
+  // the drain's FINAL target — with any per-trigger cap set that is
+  // the first CAPPED offset, so the drain stops short of the real
+  // backlog. Drain rate-limited streams with processAllAvailable()
+  // (or run continuously); use AvailableNow only without caps.
   private val lastSeen = new java.util.concurrent.atomic.AtomicLong(-1L)
 
   override def getOffset: Option[V1Offset] =
     ManifestTable.latestVersion(spark, path).map { latest =>
       val base = math.max(lastSeen.get(), 0L)
       val vCapped = maxVersionsPerTrigger match {
-        case Some(max) => math.min(latest, base + max)
+        case Some(max) =>
+          // count through the RETAINED versions, not version
+          // arithmetic: a vacuumed table's numbers are sparse below
+          // the suffix, and `base + max` could name a vacuumed (=
+          // unreadable) snapshot as the batch end
+          val pending = ManifestTable.versions(spark, path)
+            .filter(v => v > base && v <= latest)
+          if (max >= pending.size.toLong || pending.isEmpty) latest
+          else pending(max.toInt - 1)
         case None => latest
       }
       val rCapped = maxRowsPerTrigger match {

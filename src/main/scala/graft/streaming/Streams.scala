@@ -796,9 +796,23 @@ object Streams {
     * rows in the source (the same contract the source's own
     * merge/deleteKeys ops have).
     *
-    * Scale: each batch costs one deleteKeys (tombstone write, dirs
-    * pruned by key stats/Blooms) + one append — never a rewrite of
-    * the follower proportional to its size. */
+    * A micro-batch may span SEVERAL source versions (rate limits,
+    * catch-up after downtime), and a key can change more than once
+    * inside it — inserted by one version, deleted by a later one.
+    * Replaying those events out of order would resurrect rows, so
+    * each batch is NETTED per key first: the key's LAST change in
+    * the batch wins (at equal version the insert-postimage beats its
+    * delete-preimage), every touched key clears with one keyed
+    * delete, and the net-insert rows land as one tag-carrying
+    * commit. That keeps the whole batch ONE idempotent unit: the
+    * batchId watermark gates it, so a replay after any crash point
+    * re-clears already-cleared keys (a no-op) and the append lands
+    * exactly once.
+    *
+    * Scale: the netting is one window over the batch's CHANGE rows
+    * (not the follower); each batch then costs one deleteKeys
+    * (tombstone write, dirs pruned by key stats/Blooms) + one append
+    * — never a rewrite of the follower proportional to its size. */
   def applyChangesSinkWriter(changes: DataFrame, tablePath: String,
       keyCol: String, checkpoint: String, statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil): DataStreamWriter[Row] = {
@@ -815,16 +829,37 @@ object Streams {
         // the tag watermark gates the whole batch: a replayed batch
         // must re-apply NOTHING (its append already landed)
         if (batchId > ManifestTable.latestTag(spark, tablePath)) {
-          val dels = batch.filter(col("_change_type") === "delete")
-            .select(col(keyCol)).distinct()
-          // deletes first: an update's preimage key must clear
-          // before its postimage appends, or the net state holds both
+          // NET per key: the last change wins; the insert-postimage
+          // outranks its own version's delete-preimage
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(keyCol))
+            .orderBy(col("_commit_version").desc,
+              when(col("_change_type") === "insert", 1)
+                .otherwise(0).desc)
+          val wk = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(keyCol))
+          val last = batch
+            .withColumn("_graft_rn",
+              org.apache.spark.sql.functions.row_number().over(w))
+            .withColumn("_graft_n",
+              org.apache.spark.sql.functions.count(lit(1)).over(wk))
+            .filter(col("_graft_rn") === 1)
+            .localCheckpoint()
+          // a key needs CLEARING only when the batch deleted it or
+          // changed it more than once (single-event inserts are
+          // fresh rows under the key-uniqueness contract) — so a
+          // pure-append batch, the steady state, skips the delete
+          // commit entirely
+          val clear = last.filter(
+            col("_change_type") === "delete" || col("_graft_n") > 1)
+            .select(col(keyCol))
           if (ManifestTable.latestVersion(spark, tablePath).isDefined
-              && !dels.isEmpty)
-            ManifestTable.deleteKeys(spark, dels, tablePath, keyCol)
+              && !clear.isEmpty)
+            ManifestTable.deleteKeys(spark, clear, tablePath, keyCol)
           ManifestTable.appendIfFresh(spark,
-            batch.filter(col("_change_type") === "insert")
-              .drop("_change_type", "_commit_version"),
+            last.filter(col("_change_type") === "insert")
+              .drop("_graft_rn", "_graft_n", "_change_type",
+                "_commit_version"),
             tablePath, batchId,
             statsCols = (statsCols :+ keyCol).distinct,
             bloomCols = bloomCols)

@@ -189,6 +189,32 @@ class ManifestChangesSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("readChangeFeed"))
   }
 
+  test("CDC apply converges under rate-limited batches on a vacuumed source") {
+    val tmp = Files.createTempDirectory("graft-cdcrate").toString
+    val src = s"$tmp/src"; val dst = s"$tmp/dst"
+    (0 until 6).foreach { i =>
+      ManifestTable.append(spark,
+        (i * 10 until (i + 1) * 10).map(x => (x.toLong, s"t$x"))
+          .toDF("id", "s"), src, statsCols = Seq("id"))
+    }
+    // sparse version numbers below the suffix + multi-version batches
+    ManifestTable.vacuum(spark, src, keepVersions = 3)
+    ManifestTable.updateRange(spark, src, "id", 5L, 14L,
+      Seq("s" -> concat(col("s"), lit("!"))))
+    ManifestTable.deleteRange(spark, src, "id", 30L, 34L)
+    val q = graft.streaming.Streams.applyChangesSinkWriter(
+      spark.readStream.format("graft-manifest")
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", "2").load(src),
+      dst, "id", s"$tmp/ckpt", statsCols = Seq("id")).start()
+    q.processAllAvailable()
+    q.stop()
+    val s0 = ManifestTable.read(spark, src)
+    val d0 = ManifestTable.read(spark, dst)
+    assert(d0.exceptAll(s0).isEmpty && s0.exceptAll(d0).isEmpty,
+      s"diverged: src=${s0.count()} dst=${d0.count()}")
+  }
+
   test("streaming readChangeFeed drains append→delete→append exactly once") {
     val tmp = Files.createTempDirectory("graft-cdfstream").toString
     val t = s"$tmp/table"

@@ -153,6 +153,35 @@ class ManifestStreamSpec extends AnyFunSuite {
       s"a 3-version lag with limit 2 drains as 2+1, got ${batches.toMap}")
   }
 
+  test("maxVersionsPerTrigger steps through RETAINED versions on a vacuumed table") {
+    val tmp = Files.createTempDirectory("graft-mfratevac").toString
+    val t = s"$tmp/table"
+    (1L to 6L).foreach(i =>
+      ManifestTable.append(spark, Seq(i).toDF("id"), t))
+    // vacuum sparsifies the version numbers: retained = v4, v5, v6.
+    // Version ARITHMETIC (base + max) would name vacuumed v1 as the
+    // first batch end and fail; counting through the retained list
+    // must bootstrap at v4 then step v5, v6.
+    ManifestTable.vacuum(spark, t, keepVersions = 3)
+    val batches =
+      new scala.collection.concurrent.TrieMap[Long, Seq[Long]]()
+    val q = spark.readStream.format("graft-manifest")
+      .option("maxVersionsPerTrigger", "1").load(t)
+      .writeStream.option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.put(id, b.select("id").as[Long](
+          org.apache.spark.sql.Encoders.scalaLong).collect().sorted.toSeq)
+        ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches.keySet == Set(0L, 1L, 2L),
+      s"bootstrap(v4) + v5 + v6 = 3 batches, got ${batches.toMap}")
+    assert(batches(0L) == Seq(1L, 2L, 3L, 4L) &&
+      batches(1L) == Seq(5L) && batches(2L) == Seq(6L),
+      s"got ${batches.toMap}")
+  }
+
   test("maxRowsPerTrigger sizes batches from recorded row counts; oversized commit delivers whole") {
     val tmp = Files.createTempDirectory("graft-mfrowrate").toString
     val t = s"$tmp/table"
