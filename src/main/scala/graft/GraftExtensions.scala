@@ -183,25 +183,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.sinks.ManifestTable.readChanges(spark, path, since, until)
           .queryExecution.analyzed
       })
-    tvf("graft_history",
-      "graft_history(path) - DESCRIBE HISTORY of the graft-manifest " +
-        "table at `path`: one row per retained snapshot (version, " +
-        "commit time, operation, dir/file/row counts).",
-      (exprs: Seq[Expression]) => {
+    def pathTvf(name: String, usage: String,
+        run: (org.apache.spark.sql.SparkSession, String) =>
+          org.apache.spark.sql.DataFrame): Unit =
+      tvf(name, usage, (exprs: Seq[Expression]) => {
         if (exprs.length != 1)
           throw new org.apache.spark.sql.AnalysisException(
             "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-            Map("functionName" -> "`graft_history`",
-              "expectedNum" -> "1",
+            Map("functionName" -> s"`$name`", "expectedNum" -> "1",
               "actualNum" -> exprs.length.toString,
               "docroot" -> "https://spark.apache.org/docs/latest"))
         val spark = org.apache.spark.sql.SparkSession.active
-        val path = tvfArg[String](exprs, 0, "graft_history", "STRING") {
+        val path = tvfArg[String](exprs, 0, name, "STRING") {
           case s: org.apache.spark.unsafe.types.UTF8String => s.toString
           case s: String => s
         }
-        graft.sinks.ManifestTable.history(spark, path)
-          .queryExecution.analyzed
+        run(spark, path).queryExecution.analyzed
       })
+    pathTvf("graft_history",
+      "graft_history(path) - DESCRIBE HISTORY of the graft-manifest " +
+        "table at `path`: one row per retained snapshot (version, " +
+        "commit time, operation, dir/file/row counts).",
+      graft.sinks.ManifestTable.history)
+    pathTvf("graft_detail",
+      "graft_detail(path) - one-row DESCRIBE DETAIL of the " +
+        "graft-manifest table at `path`: current version, dir/file/" +
+        "row counts, partition spec, pruning discipline — resolved " +
+        "from metadata alone.",
+      graft.sinks.ManifestTable.detail)
   }
 }

@@ -270,6 +270,51 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // cdf100: the change feed's claim one decade up (500k docs, 10
+    // range-sliced commits). The numbers that matter: a STEP diff
+    // after a 500-row update must cost ∝ the ONE dir the update
+    // touched — materially below the bootstrap read, which is the
+    // honest ∝-table floor every CDC consumer pays exactly once.
+    if (args.headOption.contains("cdf100")) {
+      val out100 = "/tmp/scale100docs"
+      if (!new java.io.File(s"$out100/documents.parquet").exists())
+        buildDocs100(out100)
+      val docs = Tables.documents(spark, out100)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val n = docs.count()
+      val tc = "/tmp/scale100docs/docs_cdf"
+      val fsC = new org.apache.hadoop.fs.Path(tc)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fsC.delete(new org.apache.hadoop.fs.Path(tc), true)
+      val slice = math.max(n / 10, 1)
+      val tb0 = System.nanoTime()
+      (0L until 10L).foreach { i =>
+        graft.sinks.ManifestTable.append(spark,
+          docs.filter(col("doc_id") >= i * slice &&
+            (if (i == 9) lit(true) else col("doc_id") < (i + 1) * slice)),
+          tc, statsCols = Seq("doc_id"))
+      }
+      println(f"TIME cdf100 ingest_10commits " +
+        f"${(System.nanoTime() - tb0) / 1e9}%.2f s ($n rows)")
+      val t1 = System.nanoTime()
+      graft.sinks.ManifestTable.updateRange(spark, tc, "doc_id",
+        100L, 599L, Seq("n_chars" -> (col("n_chars") + 1)))
+      println(f"TIME cdf100 update_500rows_1of10dirs " +
+        f"${(System.nanoTime() - t1) / 1e9}%.2f s")
+      val v = graft.sinks.ManifestTable.latestVersion(spark, tc).get
+      val t2 = System.nanoTime()
+      val step = graft.sinks.ManifestTable
+        .readChanges(spark, tc, v - 1, v).count()
+      println(f"TIME cdf100 step_diff_touched_dir " +
+        f"${(System.nanoTime() - t2) / 1e9}%.2f s ($step change rows)")
+      val t3 = System.nanoTime()
+      val boot = graft.sinks.ManifestTable
+        .readChanges(spark, tc, 0, v).count()
+      println(f"TIME cdf100 bootstrap_floor " +
+        f"${(System.nanoTime() - t3) / 1e9}%.2f s ($boot rows)")
+      spark.stop()
+      return
+    }
     // part100: the hidden-partitioning claims one decade past the 10x
     // probe (500k docs, 10 commits x 5 languages = 50 pure dirs). The
     // number that matters: dropPartitions' wall must be FLAT from 10x

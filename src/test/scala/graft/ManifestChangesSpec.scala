@@ -109,6 +109,10 @@ class ManifestChangesSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(hist.map(_._1) == Seq(1L, 2L) &&
       hist.last._2 == "deleteRange", s"got $hist")
+    // detail: the one-row table summary, by SQL
+    val det = spark.sql(s"SELECT * FROM graft_detail('$t')").collect()
+    assert(det.length == 1 &&
+      det.head.getAs[Long]("version") == 2L, s"got ${det.toSeq}")
     // non-constant arguments are loud at analysis
     val ex = intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_changes(CAST(rand() AS STRING), 0)")
