@@ -207,6 +207,31 @@ class CatalogSpec extends AnyFunSuite {
       .toLowerCase.contains("exists"))
   }
 
+  test("DROP NAMESPACE: loud when non-empty, CASCADE drops managed data") {
+    spark.sql("CREATE NAMESPACE g.dropme")
+    spark.sql("CREATE TABLE g.dropme.t (id BIGINT) USING `graft-manifest`")
+    spark.sql("INSERT INTO g.dropme.t VALUES (1)")
+    val mgPath = spark.sessionState.catalogManager.catalog("g")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("dropme"), "t"))
+      .properties().get("location")
+    // non-empty without CASCADE is loud; nothing is lost
+    val ex = intercept[Exception] {
+      spark.sql("DROP NAMESPACE g.dropme")
+    }
+    assert(ex.getMessage.toLowerCase.contains("empty") ||
+      ex.getMessage.toLowerCase.contains("cascade"))
+    assert(spark.sql("SELECT * FROM g.dropme.t").count() == 1)
+    // CASCADE drops the tables like per-table drops would
+    // (managed data included) and the namespace itself
+    spark.sql("DROP NAMESPACE g.dropme CASCADE")
+    assert(!new java.io.File(mgPath).exists(),
+      "cascade must drop managed table data")
+    assert(!spark.sql("SHOW NAMESPACES IN g").collect()
+      .map(_.getString(0)).contains("dropme"))
+  }
+
   test("rename moves the name, not the data; namespaces are real") {
     spark.sql("CREATE TABLE g.db.rn (id BIGINT) USING `graft-manifest`")
     spark.sql("INSERT INTO g.db.rn VALUES (42)")
