@@ -104,6 +104,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     finally out.close()
   }
 
+  /** Every ref in the warehouse, as (dotted name, recorded path,
+    * external) — the ownership index the aliasing guards consult.
+    * One recursive listing of tiny ref files; CREATE/DROP/RENAME are
+    * rare enough that O(tables) here is the right trade against the
+    * silent data loss an unchecked alias causes. */
+  private def allRefs(): Seq[(String, String, Boolean)] = {
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(warehouse))
+    if (!fs.exists(root)) return Seq.empty
+    val out = Seq.newBuilder[(String, String, Boolean)]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".graftref")) {
+        val in = fs.open(st.getPath)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString finally in.close()
+        val kv = body.linesIterator.map(_.trim).filter(_.contains("="))
+          .map { l => val i = l.indexOf('='); (l.take(i), l.drop(i + 1)) }
+          .toMap
+        kv.get("path").foreach { p =>
+          // both sides qualified through the SAME fs, so relativize
+          // is exact whatever scheme spelling the warehouse used
+          val rel = root.toUri
+            .relativize(fs.makeQualified(st.getPath).toUri).getPath
+          val name = rel.stripSuffix(".graftref").replace('/', '.')
+          out += ((name, p, kv.get("external").exists(_.toBoolean)))
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Both sides qualified through the warehouse FileSystem so string
+    * spelling (`/x` vs `file:/x`) never defeats an ownership check. */
+  private def qualified(p: String): String =
+    fs.makeQualified(new org.apache.hadoop.fs.Path(p)).toString
+
+  private def samePath(a: String, b: String): Boolean =
+    qualified(a) == qualified(b)
+
+  private def pathUnder(p: String, dir: org.apache.hadoop.fs.Path)
+      : Boolean = {
+    val d = fs.makeQualified(dir).toString
+    val q = qualified(p)
+    q == d || q.startsWith(d + "/")
+  }
+
   // ---- tables ----
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -179,6 +226,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         // adopting an EXISTING manifest table under a name: the
         // table's own persisted schema/spec govern — a conflicting
         // CREATE schema is refused, never silently rewritten
+        val owners = allRefs().filter(r => samePath(r._2, path))
+        require(owners.isEmpty,
+          s"graft catalog: the committed table at $path is already " +
+            s"registered as ${owners.map(_._1).mkString(", ")} — two " +
+            "names for one data dir make every DROP a data-loss " +
+            "hazard; DROP the existing name first (or point LOCATION " +
+            "elsewhere)")
         val existing = ManifestTable.schemaOf(spark, path, v).getOrElse(
           sys.error(s"graft catalog: no schema sidecar at $path"))
         require(schema.isEmpty ||
@@ -191,6 +245,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(partitions.isEmpty,
           "graft catalog: PARTITIONED BY on an existing table is not " +
             "supported — the table's own persisted spec governs")
+        // statsCols/bloomCols TBLPROPERTIES on adoption: honored via
+        // one empty metadata commit that unions them into the
+        // table's persisted pruning discipline (append unions, never
+        // replaces) — silently ignoring them would leave the user
+        // believing the discipline was seeded
+        val (adoptStats, adoptBloom) =
+          (listProp("statsCols"), listProp("bloomCols"))
+        if (adoptStats.nonEmpty || adoptBloom.nonEmpty) {
+          val (haveS, haveB) = ManifestTable.pruningOf(spark, path, v)
+          if (!adoptStats.forall(haveS.contains) ||
+              !adoptBloom.forall(haveB.contains)) {
+            val empty = spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              existing)
+            ManifestTable.append(spark, empty, path,
+              statsCols = adoptStats, bloomCols = adoptBloom)
+          }
+        }
       case None =>
         require(schema.nonEmpty,
           s"graft catalog: CREATE TABLE at fresh location $path needs " +
@@ -289,9 +361,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case None => false
       case Some((path, external)) =>
         // managed data is dropped with the name; an EXTERNAL location
-        // only loses its name (the LOCATION's owner keeps the data)
-        if (!external)
+        // only loses its name (the LOCATION's owner keeps the data).
+        // Belt-and-braces against a legacy alias (two refs recording
+        // one path — impossible to create since the adoption guard,
+        // but a pre-guard warehouse may carry one): deleting the data
+        // would destroy the OTHER name's table, so refuse loudly.
+        if (!external) {
+          val me = fullName(ident).stripPrefix(catalogName + ".")
+          val others = allRefs().filter(r =>
+            r._1 != me && samePath(r._2, path))
+          require(others.isEmpty,
+            s"graft catalog: the managed data at $path is also " +
+              s"registered as ${others.map(_._1).mkString(", ")} — " +
+              "dropping this name would destroy that table; drop the " +
+              "alias ref first")
           fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        }
         fs.delete(refFile(ident), false)
     }
 
@@ -305,11 +390,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!fs.exists(nsDir(newIdent.namespace())))
       throw new NoSuchNamespaceException(
         catalogName +: newIdent.namespace().toSeq)
-    // the REF moves; the data dir never does (a rename must not turn
-    // into a data copy on object stores) — the recorded path is the
-    // address either way
-    writeRef(newIdent, path, external)
-    fs.delete(refFile(oldIdent), false)
+    if (external) {
+      // an EXTERNAL location is owned by whoever supplied it: only
+      // the ref moves, the data stays at its address
+      writeRef(newIdent, path, external)
+      fs.delete(refFile(oldIdent), false)
+    } else {
+      // MANAGED data moves WITH the name. Leaving it behind at
+      // <ns>/<oldName> would let a later CREATE TABLE with the old
+      // name silently adopt this table's live data (two refs, one
+      // dir — every DROP a data-loss hazard) and would let DROP
+      // NAMESPACE CASCADE on the old namespace delete data the
+      // surviving ref still serves. fs.rename is the move primitive
+      // everywhere else here (staging promotion); on a true object
+      // store it costs a copy — the price of never aliasing.
+      val from = new org.apache.hadoop.fs.Path(path)
+      val to = new org.apache.hadoop.fs.Path(nsDir(newIdent.namespace()),
+        segment(newIdent.name(), "table name"))
+      require(!fs.exists(to),
+        s"graft catalog: rename target dir $to already exists — " +
+          "refusing to adopt or overwrite it")
+      require(fs.rename(from, to),
+        s"graft catalog: could not move managed data $from -> $to")
+      writeRef(newIdent, to.toString, external = false)
+      fs.delete(refFile(oldIdent), false)
+    }
     ()
   }
 
@@ -373,9 +478,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"graft catalog: namespace ${namespace.mkString(".")} is not " +
           "empty — use CASCADE to drop its tables (managed data " +
           "included)")
-    else
-      // cascade drops managed data like per-table drops would
+    else {
+      // cascade drops the WHOLE subtree the way per-entity drops
+      // would: nested namespaces recurse first, then this level's
+      // tables (each through dropTable, which honors EXTERNAL and
+      // refuses legacy aliases) — never a blind recursive delete
+      listNamespaces(namespace).foreach(child =>
+        dropNamespace(child, cascade = true))
       listTables(namespace).foreach(dropTable)
+    }
+    // ownership guard before the recursive delete: a ref OUTSIDE this
+    // namespace may record a data dir under it (a legacy pre-move
+    // rename, a crafted LOCATION) — deleting the dir would destroy
+    // that table while its ref dangles
+    val strays = allRefs().filter(r => pathUnder(r._2, dir))
+    require(strays.isEmpty,
+      s"graft catalog: table(s) ${strays.map(_._1).mkString(", ")} " +
+        s"still record data under ${namespace.mkString(".")} — " +
+        "dropping the namespace dir would destroy them; DROP or " +
+        "relocate those tables first")
     fs.delete(dir, true)
   }
 }
@@ -393,25 +514,29 @@ final case class GraftV2Table(tableName: String, path: String,
 
   override def name(): String = tableName
 
-  override def schema(): StructType = {
-    val spark = SparkSession.active
-    // a time-travel pin reads the PINNED snapshot's sidecar: the
-    // table may have evolved since, and references resolve against
-    // the schema the pinned read will actually produce
-    val v = versionAsOf.map(_.toLong)
+  /** The snapshot every metadata read resolves against: the
+    * TIME-TRAVEL pin when the reference carries one (the table may
+    * have evolved since), else the latest commit. */
+  private def resolvedVersion(spark: SparkSession): Option[Long] =
+    versionAsOf.map(_.toLong)
       .orElse(timestampAsOfMillis.map(ms =>
         ManifestTable.versionAtTimestamp(spark, path, ms)))
       .orElse(ManifestTable.latestVersion(spark, path))
-      .getOrElse(sys.error(
-        s"graft catalog: no committed version at $path — was the " +
-          "table's data deleted out from under its name?"))
+
+  override def schema(): StructType = {
+    val spark = SparkSession.active
+    val v = resolvedVersion(spark).getOrElse(sys.error(
+      s"graft catalog: no committed version at $path — was the " +
+        "table's data deleted out from under its name?"))
     ManifestTable.schemaOf(spark, path, v).getOrElse(
       sys.error(s"graft catalog: no schema sidecar at $path ${v}"))
   }
 
   override def partitioning(): Array[Transform] = {
+    // resolved exactly like schema(): a pinned read's EXPLAIN/DESCRIBE
+    // must surface the PINNED snapshot's spec, not the latest
     val spark = SparkSession.active
-    ManifestTable.latestVersion(spark, path).toSeq
+    resolvedVersion(spark).toSeq
       .flatMap(v => ManifestTable.partitionSpecOf(spark, path, v))
       .map {
         case PartitionTransform.PIdentity(s) => Expressions.identity(s)

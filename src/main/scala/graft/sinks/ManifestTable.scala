@@ -2297,6 +2297,13 @@ object ManifestTable {
     * surface as a delete+insert pair at that version — spurious churn,
     * but delete-then-insert application (the CDC-apply contract)
     * still converges to the exact state. */
+  /** Max change-feed sub-frames unioned into ONE plan before
+    * [[readChanges]] collapses them with a localCheckpoint: caps the
+    * analyzer/codegen tree at O(this) whatever the version span. ~3
+    * frames arise per stepped version (delete/insert diff + fresh
+    * appends), so 48 ≈ 16 versions of lag per collapse. */
+  val ChangeUnionWidth: Int = 48
+
   def readChanges(spark: SparkSession, path: String, sinceVersion: Long,
       untilVersion: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
@@ -2369,6 +2376,17 @@ object ManifestTable {
       if (fresh.nonEmpty)
         frames :+= tag(norm(readDirs(spark, path, v, eNow, fresh)),
           "insert", v)
+      // BOUND the union width: a long-lagged consumer (or a deep
+      // graft_changes catch-up) would otherwise accumulate O(versions)
+      // scan+EXCEPT sub-plans into one analyzer/codegen tree that
+      // blows up well before the data does. Every `ChangeUnionWidth`
+      // frames, collapse what's accumulated into one materialized
+      // frame (localCheckpoint truncates the lineage; the rows were
+      // going to be read anyway) — plan width stays O(cap), total
+      // work stays O(changed rows). The rate-limited stream source
+      // caps versions per micro-batch and never gets here.
+      if (frames.length >= ChangeUnionWidth)
+        frames = Seq(frames.reduce(_ unionByName _).localCheckpoint())
       prevV = v
       prevE = eNow
     }

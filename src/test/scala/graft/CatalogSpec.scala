@@ -108,9 +108,6 @@ class CatalogSpec extends AnyFunSuite {
     val ext = s"${Files.createTempDirectory("graft-cat-ext")}/t"
     ManifestTable.append(spark, Seq((1L, "x")).toDF("id", "s"), ext,
       statsCols = Seq("id"))
-    spark.sql(
-      s"CREATE TABLE g.db.adopted USING `graft-manifest` LOCATION '$ext'")
-    assert(spark.sql("SELECT * FROM g.db.adopted").count() == 1)
     // a conflicting column list is refused, never silently rewritten
     val ex = intercept[Exception] {
       spark.sql(
@@ -118,6 +115,9 @@ class CatalogSpec extends AnyFunSuite {
            |USING `graft-manifest` LOCATION '$ext'""".stripMargin)
     }
     assert(ex.getMessage.contains("does not match"))
+    spark.sql(
+      s"CREATE TABLE g.db.adopted USING `graft-manifest` LOCATION '$ext'")
+    assert(spark.sql("SELECT * FROM g.db.adopted").count() == 1)
     // DROP of an EXTERNAL table only loses the name
     spark.sql("DROP TABLE g.db.adopted")
     assert(ManifestTable.latestVersion(spark, ext).isDefined,
@@ -232,7 +232,7 @@ class CatalogSpec extends AnyFunSuite {
       .map(_.getString(0)).contains("dropme"))
   }
 
-  test("rename moves the name, not the data; namespaces are real") {
+  test("rename moves the name (and managed data); namespaces are real") {
     spark.sql("CREATE TABLE g.db.rn (id BIGINT) USING `graft-manifest`")
     spark.sql("INSERT INTO g.db.rn VALUES (42)")
     spark.sql("ALTER TABLE g.db.rn RENAME TO db.rn2")
@@ -252,5 +252,84 @@ class CatalogSpec extends AnyFunSuite {
       spark.sql("CREATE TABLE g.nope.t (id BIGINT) USING `graft-manifest`")
     }
     assert(ex2.getMessage.contains("nope"))
+  }
+
+  test("a managed table's data can never be aliased by two names") {
+    def locOf(ns: String, t: String): String =
+      spark.sessionState.catalogManager.catalog("g")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array(ns), t)).properties().get("location")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.alias")
+    spark.sql("CREATE TABLE g.alias.a (id BIGINT) USING `graft-manifest`")
+    spark.sql("INSERT INTO g.alias.a VALUES (1), (2)")
+    val before = locOf("alias", "a")
+    // RENAME of a MANAGED table moves its data dir with the name:
+    // nothing is left behind at <ns>/a for a later CREATE to adopt
+    spark.sql("ALTER TABLE g.alias.a RENAME TO alias.b")
+    val after = locOf("alias", "b")
+    assert(after != before && !new java.io.File(before).exists(),
+      s"managed rename must move the data dir ($before -> $after)")
+    assert(spark.sql("SELECT * FROM g.alias.b").count() == 2)
+    // re-CREATE under the old name: a FRESH, EMPTY table — never a
+    // silent adoption of the renamed table's live data
+    spark.sql("CREATE TABLE g.alias.a (id BIGINT) USING `graft-manifest`")
+    assert(spark.sql("SELECT * FROM g.alias.a").count() == 0)
+    spark.sql("DROP TABLE g.alias.a") // must not touch b's data
+    assert(spark.sql("SELECT * FROM g.alias.b").count() == 2)
+    // registering an ALREADY-NAMED path under a second name is loud:
+    // two refs to one dir make every DROP a data-loss hazard
+    val ex = intercept[Exception] {
+      spark.sql("CREATE TABLE g.alias.c USING `graft-manifest` " +
+        s"LOCATION '$after'")
+    }
+    assert(ex.getMessage.contains("already registered"),
+      s"got: ${ex.getMessage}")
+  }
+
+  test("DROP NAMESPACE CASCADE recurses and refuses to eat strangers") {
+    // nested namespaces drop recursively, innermost tables included
+    spark.sql("CREATE NAMESPACE g.deep")
+    spark.sql("CREATE NAMESPACE g.deep.er")
+    spark.sql("CREATE TABLE g.deep.er.t (id BIGINT) USING `graft-manifest`")
+    spark.sql("INSERT INTO g.deep.er.t VALUES (7)")
+    spark.sql("DROP NAMESPACE g.deep CASCADE")
+    assert(!spark.sql("SHOW NAMESPACES IN g").collect()
+      .map(_.getString(0)).contains("deep"))
+    // a table REGISTERED ELSEWHERE whose LOCATION sits inside the
+    // namespace dir: CASCADE must refuse the recursive delete rather
+    // than destroy it while its ref dangles
+    spark.sql("CREATE NAMESPACE g.host")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    val hostDir = spark.conf.get("spark.sql.catalog.g.warehouse") +
+      "/host/guest_data"
+    spark.sql("CREATE TABLE g.db.guest (id BIGINT) " +
+      s"USING `graft-manifest` LOCATION '$hostDir'")
+    spark.sql("INSERT INTO g.db.guest VALUES (9)")
+    val ex = intercept[Exception] {
+      spark.sql("DROP NAMESPACE g.host CASCADE")
+    }
+    assert(ex.getMessage.contains("guest"), s"got: ${ex.getMessage}")
+    assert(spark.sql("SELECT * FROM g.db.guest").count() == 1)
+  }
+
+  test("adoption honors statsCols TBLPROPERTIES via a metadata commit") {
+    val ext = s"${Files.createTempDirectory("graft-cat-prop")}/t"
+    ManifestTable.append(spark, Seq((1L, "x")).toDF("id", "s"), ext)
+    val v0 = ManifestTable.latestVersion(spark, ext).get
+    assert(!ManifestTable.pruningOf(spark, ext, v0)._1.contains("id"))
+    spark.sql("CREATE TABLE g.db.propadopt USING `graft-manifest` " +
+      s"LOCATION '$ext' " +
+      "TBLPROPERTIES ('statsCols'='id', 'bloomCols'='s')")
+    val v1 = ManifestTable.latestVersion(spark, ext).get
+    val (st, bl) = ManifestTable.pruningOf(spark, ext, v1)
+    assert(st.contains("id") && bl.contains("s"),
+      s"adoption must seed the declared pruning discipline: $st / $bl")
+    // and later INSERTs through the name record those stats
+    spark.sql("INSERT INTO g.db.propadopt VALUES (50, 'q')")
+    val v2 = ManifestTable.latestVersion(spark, ext).get
+    val newest = ManifestTable.entriesOf(spark, ext, v2)
+      .filter(_.rows.exists(_ > 0)).maxBy(_.dir)
+    assert(newest.statMin.contains("id") || newest.strMin.contains("id"))
   }
 }
