@@ -632,6 +632,116 @@ object LayoutQueries {
     path
   }
 
+  /** A documents-derived manifest table mutated by the FULL
+    * ordered-clause SQL MERGE (ManifestSqlRules.generalMerge →
+    * ManifestTable.mergeClauses): conditioned DELETE, fall-through
+    * conditioned + unconditional UPDATE, conditioned INSERT *, and a
+    * conditioned NOT MATCHED BY SOURCE UPDATE — the
+    * retire-stale-records statement a migrating warehouse user types
+    * first (the reference's delta re-ingest supersedes records,
+    * /root/reference/download.py:17-35). Seeded as 4 range-sliced
+    * commits so the key prune has prey. Built once per dataset
+    * behind the usual marker. */
+  def ensureMergeClausesManifest(s: SparkSession, d: String): String = {
+    val path = s"${layoutRoot(d)}/docs_manifest_mclauses"
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val n = docs.count()
+    val expect = s"layout=$LayoutVersion manifest=mclauses rows=$n"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val q = math.max(n / 4, 1)
+      (0L until 4L).foreach { i =>
+        val lo = i * q
+        val slice = docs.filter(col("doc_id") >= lo &&
+          (if (i == 3) lit(true) else col("doc_id") < lo + q))
+        graft.sinks.ManifestTable.append(s, slice, path,
+          statsCols = Seq("doc_id"))
+      }
+      require(graft.sinks.ManifestTable.read(s, path).count() == n,
+        "ensureMergeClausesManifest: range slicing dropped rows")
+      s.read.format("graft-manifest").load(path)
+        .createOrReplaceTempView("graft_mclauses_target")
+      docs.createOrReplaceTempView("graft_mclauses_docs")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW graft_mclauses_updates AS
+          |SELECT doc_id, 'xx' AS lang,
+          |  CASE WHEN doc_id % 20 = 7 THEN -1 ELSE 1000 END AS n_chars
+          |FROM graft_mclauses_docs
+          |WHERE doc_id % 10 = 3 OR doc_id % 20 = 7
+          |UNION ALL
+          |SELECT doc_id + 1099511627776 AS doc_id, lang, n_chars
+          |FROM graft_mclauses_docs WHERE doc_id % 25 = 0""".stripMargin)
+      s.sql(
+        """MERGE INTO graft_mclauses_target t
+          |USING graft_mclauses_updates u ON t.doc_id = u.doc_id
+          |WHEN MATCHED AND u.n_chars < 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + u.n_chars
+          |WHEN NOT MATCHED AND u.n_chars % 2 = 0 THEN INSERT *
+          |WHEN NOT MATCHED BY SOURCE AND t.doc_id % 50 = 49
+          |  THEN UPDATE SET n_chars = 0""".stripMargin).collect()
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
+  /** A manifest table keyed by a COMPOSITE business key — (grp, sub)
+    * = (doc_id div 1000, doc_id mod 1000) — upserted through the SQL
+    * MERGE's conjunctive `ON t.grp = u.grp AND t.sub = u.sub`:
+    * matched rows PATCHED in place (the source carries lang='xx' for
+    * them; the oracle keeps the target's lang — the patch proof,
+    * q152's trap on two key columns), unmatched source rows appended.
+    * Dir pruning runs conjunctively on both key columns'
+    * recorded stats ([[graft.sinks.ManifestTable]]
+    * dirsHitByKeysMulti). Built once per dataset behind the usual
+    * marker. */
+  def ensureCompositeKeyMergedManifest(s: SparkSession, d: String)
+      : String = {
+    val path = s"${layoutRoot(d)}/docs_manifest_ckey"
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"),
+        floor(col("doc_id") / 1000).cast("long").as("grp"),
+        pmod(col("doc_id"), lit(1000)).cast("long").as("sub"),
+        col("lang"), col("n_chars"))
+    val n = base.count()
+    val expect = s"layout=$LayoutVersion manifest=ckey rows=$n"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val q = math.max(n / 4, 1)
+      (0L until 4L).foreach { i =>
+        val lo = i * q
+        val slice = base.filter(col("doc_id") >= lo &&
+          (if (i == 3) lit(true) else col("doc_id") < lo + q))
+          .drop("doc_id")
+        graft.sinks.ManifestTable.append(s, slice, path,
+          statsCols = Seq("grp", "sub"))
+      }
+      require(graft.sinks.ManifestTable.read(s, path).count() == n,
+        "ensureCompositeKeyMergedManifest: range slicing dropped rows")
+      s.read.format("graft-manifest").load(path)
+        .createOrReplaceTempView("graft_ckey_target")
+      base.createOrReplaceTempView("graft_ckey_base")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW graft_ckey_updates AS
+          |SELECT grp, sub, 'xx' AS lang, n_chars + 1000 AS n_chars
+          |FROM graft_ckey_base WHERE doc_id % 10 = 3
+          |UNION ALL
+          |SELECT grp + 1000000 AS grp, sub, lang, n_chars
+          |FROM graft_ckey_base WHERE doc_id % 25 = 0""".stripMargin)
+      s.sql(
+        """MERGE INTO graft_ckey_target t USING graft_ckey_updates u
+          |ON t.grp = u.grp AND t.sub = u.sub
+          |WHEN MATCHED THEN UPDATE SET n_chars = u.n_chars
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
   /** A manifest table whose ENTIRE lifecycle — CREATE, every INSERT,
     * UPDATE, DELETE, and the final read — happens through the
     * catalog NAME (`graftcat.db.docs`), never a path or temp view:
@@ -2047,6 +2157,81 @@ object LayoutQueries {
           col("n_chars").cast("long").as("n_chars"),
           col("_change_type"), col("_commit_version"))
         .orderBy("doc_id", "_commit_version", "_change_type")
+    },
+
+    // ---- FULL ordered-clause SQL MERGE end-to-end (q155): one
+    //      statement carrying a conditioned DELETE, a fall-through
+    //      unconditional UPDATE, a conditioned INSERT *, and a
+    //      conditioned NOT MATCHED BY SOURCE UPDATE — the
+    //      retire-stale-records shape. The oracle recomputes all four
+    //      clauses from scratch over the plain table (first-true-wins
+    //      is exercised by the DELETE-beats-UPDATE rows), so a
+    //      mis-ordered clause, a leaked delete-marker row, an insert
+    //      that ignored its condition, or a by-source patch applied
+    //      to a matched row all hash-mismatch. ----
+    GraftQuery("q155_manifest_merge_clauses",
+      """WITH u AS (
+        |  SELECT doc_id, 'xx' AS lang,
+        |    CASE WHEN doc_id % 20 = 7 THEN -1 ELSE 1000 END AS n_chars
+        |  FROM documents WHERE doc_id % 10 = 3 OR doc_id % 20 = 7
+        |  UNION ALL
+        |  SELECT doc_id + 1099511627776 AS doc_id, lang, n_chars
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |kept AS (
+        |  SELECT b.doc_id, b.lang,
+        |    CASE WHEN u.doc_id IS NOT NULL AND u.n_chars >= 0
+        |           THEN b.n_chars + u.n_chars
+        |         WHEN u.doc_id IS NULL AND b.doc_id % 50 = 49 THEN 0
+        |         ELSE b.n_chars END AS n_chars
+        |  FROM documents b LEFT JOIN u ON u.doc_id = b.doc_id
+        |  WHERE NOT (u.doc_id IS NOT NULL AND u.n_chars < 0)),
+        |ins AS (
+        |  SELECT u.doc_id, u.lang, u.n_chars FROM u
+        |  WHERE u.n_chars % 2 = 0 AND NOT EXISTS
+        |    (SELECT 1 FROM documents b WHERE b.doc_id = u.doc_id))
+        |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val path = ensureMergeClausesManifest(s, d)
+      graft.sinks.ManifestTable.read(s, path)
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // ---- COMPOSITE-KEY SQL MERGE end-to-end (q156): the upsert a
+    //      two-column business key needs — `ON t.grp = u.grp AND
+    //      t.sub = u.sub` routes the general engine with conjunctive
+    //      two-column dir pruning; matched rows are PATCHED (the
+    //      source's lang='xx' must NOT land — q152's trap), unmatched
+    //      source rows append. The oracle recomputes the post-merge
+    //      table from the plain documents table. ----
+    GraftQuery("q156_manifest_composite_key_merge",
+      """WITH base AS (
+        |  SELECT doc_id, doc_id // 1000 AS grp, doc_id % 1000 AS sub,
+        |    lang, n_chars
+        |  FROM documents),
+        |u AS (
+        |  SELECT grp, sub, 'xx' AS lang, n_chars + 1000 AS n_chars
+        |  FROM base WHERE doc_id % 10 = 3
+        |  UNION ALL
+        |  SELECT grp + 1000000 AS grp, sub, lang, n_chars
+        |  FROM base WHERE doc_id % 25 = 0),
+        |m AS (
+        |  SELECT b.grp, b.sub, b.lang,
+        |    COALESCE(u.n_chars, b.n_chars) AS n_chars
+        |  FROM base b LEFT JOIN u ON u.grp = b.grp AND u.sub = b.sub
+        |  UNION ALL
+        |  SELECT u.grp, u.sub, u.lang, u.n_chars FROM u
+        |  WHERE NOT EXISTS (SELECT 1 FROM base b
+        |                    WHERE b.grp = u.grp AND b.sub = u.sub))
+        |SELECT grp, sub, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM m ORDER BY grp, sub""".stripMargin) { (s, d) =>
+      val path = ensureCompositeKeyMergedManifest(s, d)
+      graft.sinks.ManifestTable.read(s, path)
+        .select(col("grp"), col("sub"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy("grp", "sub")
     },
   )
 }

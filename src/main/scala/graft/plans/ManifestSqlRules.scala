@@ -272,6 +272,130 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
     else Some(org.apache.spark.sql.GraftSqlBridge.column(t))
   }
 
+  /** The FULL clause family — `WHEN MATCHED [AND p] THEN
+    * UPDATE/DELETE`, multiple ordered clauses, conditioned `WHEN NOT
+    * MATCHED THEN INSERT *`, `WHEN NOT MATCHED BY SOURCE [AND p] THEN
+    * UPDATE/DELETE`, composite `ON t.a = s.a AND t.b = s.b` keys —
+    * classified onto [[ManifestTable.mergeClauses]]'s ordered-clause
+    * engine. Strict like everything here: any expression the engine's
+    * rewrite frames cannot host re-resolves to a loud error, and the
+    * only INSERT shape is the whole row (a partial-column insert
+    * would silently null the rest). */
+  private def generalMerge(m: MergeIntoTable, path: String,
+      schema: StructType): LogicalPlan = {
+    import graft.sinks.ManifestTable.MergeClauseAction
+    val cols = schema.fieldNames.toSet
+    val tgtIds = m.targetTable.output.map(_.exprId).toSet
+    val srcIds = m.sourceTable.output.map(_.exprId).toSet
+    def keysOf(cond: Expression): Seq[String] = cond match {
+      case And(l, r) => keysOf(l) ++ keysOf(r)
+      case EqualTo(a, b) =>
+        (nameOf(a), nameOf(b)) match {
+          case (Some(x), Some(y)) if x == y => Seq(x)
+          case got => sys.error(
+            "graft-manifest MERGE: every ON conjunct must be " +
+              s"target.<key> = source.<key> on one column, got $got")
+        }
+      case other => sys.error(
+        "graft-manifest MERGE: the ON condition must be a " +
+          s"conjunction of key equalities, got ${other.sql}")
+    }
+    val keyCols = keysOf(m.mergeCondition).distinct
+    // the three reference scopes a clause expression may see
+    def matchedScope(ar: AttributeReference): Option[String] =
+      if (srcIds(ar.exprId)) Some("_src_" + ar.name)
+      else if (tgtIds(ar.exprId)) Some(ar.name) else None
+    def srcScope(ar: AttributeReference): Option[String] =
+      if (srcIds(ar.exprId)) Some(ar.name) else None
+    def tgtScope(ar: AttributeReference): Option[String] =
+      if (tgtIds(ar.exprId)) Some(ar.name) else None
+    def rebuild(e: Expression,
+        scope: AttributeReference => Option[String], what: String)
+        : org.apache.spark.sql.Column =
+      rebuildSetValue(e, scope).getOrElse(sys.error(
+        s"graft-manifest MERGE: unsupported $what expression " +
+          s"(${e.sql}) — subqueries, non-deterministic functions, " +
+          "and out-of-scope references must go through the " +
+          "programmatic API"))
+    def wholeRow(assigns: Seq[Assignment]): Boolean = {
+      val pairs = assigns.map(a => (nameOf(a.key), nameOf(a.value)))
+      pairs.forall {
+        case (Some(k), Some(v)) => k == v
+        case _ => false
+      } && pairs.flatMap(_._1).toSet == cols &&
+        assigns.forall(_.value match {
+          case v: AttributeReference => !tgtIds(v.exprId)
+          case _ => true
+        })
+    }
+    val wholeRowSets = schema.fieldNames.toSeq
+      .filterNot(keyCols.contains).map(c => (c, col(s"_src_$c")))
+    def realSets(assigns: Seq[Assignment],
+        scope: AttributeReference => Option[String], where: String)
+        : Seq[(String, org.apache.spark.sql.Column)] = {
+      // identity padding (SET c = c on the target side — the
+      // analyzer's alignment) is a semantic no-op: dropped
+      val real = assigns.filterNot { a =>
+        (nameOf(a.key), a.value) match {
+          case (Some(k), v: AttributeReference) if tgtIds(v.exprId) =>
+            v.name == k
+          case _ => false
+        }
+      }
+      // an all-identity clause yields EMPTY sets: the engine treats
+      // that as claim-the-row-change-nothing, preserving ordered-
+      // clause reachability for the clauses after it
+      real.map { a =>
+        val k = nameOf(a.key).getOrElse(sys.error(
+          s"graft-manifest MERGE: $where SET target must be a plain " +
+            s"top-level column, got ${a.key.sql}"))
+        (k, rebuild(a.value, scope, s"$where SET value for '$k'"))
+      }
+    }
+    val matched = m.matchedActions.map {
+      case DeleteAction(cond) =>
+        (cond.map(rebuild(_, matchedScope, "WHEN MATCHED AND")),
+          MergeClauseAction.Delete: MergeClauseAction)
+      case UpdateStarAction(cond) =>
+        (cond.map(rebuild(_, matchedScope, "WHEN MATCHED AND")),
+          MergeClauseAction.Update(wholeRowSets): MergeClauseAction)
+      case UpdateAction(cond, assigns, _) =>
+        val c = cond.map(rebuild(_, matchedScope, "WHEN MATCHED AND"))
+        val act: MergeClauseAction =
+          if (wholeRow(assigns)) MergeClauseAction.Update(wholeRowSets)
+          else MergeClauseAction.Update(
+            realSets(assigns, matchedScope, "WHEN MATCHED"))
+        (c, act)
+      case other => sys.error(
+        s"graft-manifest MERGE: unsupported WHEN MATCHED action " +
+          s"$other — supported: UPDATE SET … / UPDATE SET * / DELETE")
+    }
+    val notMatched = m.notMatchedActions.map {
+      case InsertStarAction(cond) =>
+        cond.map(rebuild(_, srcScope, "WHEN NOT MATCHED AND"))
+      case InsertAction(cond, assigns) if wholeRow(assigns) =>
+        cond.map(rebuild(_, srcScope, "WHEN NOT MATCHED AND"))
+      case other => sys.error(
+        s"graft-manifest MERGE: unsupported WHEN NOT MATCHED action " +
+          s"$other — only INSERT * routes (a partial-column insert " +
+          "would silently null the rest)")
+    }
+    val bySource = m.notMatchedBySourceActions.map {
+      case DeleteAction(cond) =>
+        (cond.map(rebuild(_, tgtScope, "WHEN NOT MATCHED BY SOURCE AND")),
+          MergeClauseAction.Delete: MergeClauseAction)
+      case UpdateAction(cond, assigns, _) =>
+        (cond.map(rebuild(_, tgtScope, "WHEN NOT MATCHED BY SOURCE AND")),
+          MergeClauseAction.Update(realSets(assigns, tgtScope,
+            "WHEN NOT MATCHED BY SOURCE")): MergeClauseAction)
+      case other => sys.error(
+        s"graft-manifest MERGE: unsupported WHEN NOT MATCHED BY " +
+          s"SOURCE action $other — supported: UPDATE SET … / DELETE")
+    }
+    GraftManifestMergeClausesCommand(path, keyCols, m.sourceTable,
+      matched, notMatched, bySource)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsDown {
       case i: InsertIntoStatement if i.query.resolved =>
@@ -374,16 +498,48 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
             require(!m.withSchemaEvolution,
               "graft-manifest MERGE: WITH SCHEMA EVOLUTION is not " +
                 "supported — evolve via append(evolveSchema) first")
-            // a column-wise UPDATE action needs its assignment sides
-            // resolved to classify target vs source references; the
-            // star/whole-row forms don't — wait for a later
-            // fixed-point pass instead of misreading the statement
-            val ready = m.matchedActions match {
-              case Seq(UpdateAction(None, assigns, _)) =>
-                assigns.forall(a => a.key.resolved && a.value.resolved)
+            // classification reads assignment SIDES and clause
+            // conditions — wait for a later fixed-point pass until
+            // everything is resolved rather than misread the statement
+            val allActs = m.matchedActions ++ m.notMatchedActions ++
+              m.notMatchedBySourceActions
+            val ready = m.mergeCondition.resolved && allActs.forall {
+              case UpdateAction(cond, assigns, _) =>
+                cond.forall(_.resolved) &&
+                  assigns.forall(a => a.key.resolved && a.value.resolved)
+              case InsertAction(cond, assigns) =>
+                cond.forall(_.resolved) &&
+                  assigns.forall(a => a.key.resolved && a.value.resolved)
+              case DeleteAction(cond) => cond.forall(_.resolved)
+              case UpdateStarAction(cond) => cond.forall(_.resolved)
+              case InsertStarAction(cond) => cond.forall(_.resolved)
               case _ => true
             }
+            // the single-key, single-unconditional-clause shapes keep
+            // their dedicated fast paths (whole-row merge /
+            // column-wise mergeUpdate); everything else — clause
+            // conditions, DELETE actions, multiple clauses, NOT
+            // MATCHED BY SOURCE, composite keys — routes the general
+            // ordered-clause engine below
+            val simple = m.notMatchedBySourceActions.isEmpty &&
+              (m.matchedActions match {
+                case Seq() => true
+                case Seq(UpdateStarAction(None)) => true
+                case Seq(UpdateAction(None, _, _)) => true
+                case _ => false
+              }) &&
+              (m.notMatchedActions match {
+                case Seq() => true
+                case Seq(InsertStarAction(None)) => true
+                case Seq(InsertAction(None, _)) => true
+                case _ => false
+              }) &&
+              (m.mergeCondition match {
+                case EqualTo(_, _) => true
+                case _ => false
+              })
             if (!ready) m
+            else if (!simple) generalMerge(m, path, schema)
             else {
               // accept `SET *` / `INSERT *` both before star
               // expansion and after the analyzer expanded it into the
@@ -407,15 +563,12 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
                   })
               }
               def failActions(): Nothing = sys.error(
-                "graft-manifest MERGE: supported action shapes are " +
-                  "the whole-row upsert (WHEN MATCHED THEN UPDATE " +
-                  "SET * WHEN NOT MATCHED THEN INSERT *), the " +
-                  "column-wise patch (WHEN MATCHED THEN UPDATE SET " +
-                  "col = expr [, …], optionally WHEN NOT MATCHED " +
-                  "THEN INSERT *), and insert-if-absent (WHEN NOT " +
-                  "MATCHED THEN INSERT * alone) — per-action " +
-                  "conditions, DELETE actions, and NOT MATCHED BY " +
-                  "SOURCE are not")
+                "graft-manifest MERGE: the fast-path action shapes " +
+                  "are the whole-row upsert (UPDATE SET * / INSERT " +
+                  "*), the column-wise patch (UPDATE SET col = expr)," +
+                  " and insert-if-absent; INSERT must insert the " +
+                  "WHOLE row — a partial-column insert would " +
+                  "silently null the rest")
               if (m.notMatchedBySourceActions.nonEmpty) failActions()
               // None -> whole-row upsert; Some(sets) -> column-wise
               // patch (empty = no matched action at all)
@@ -689,6 +842,38 @@ final case class GraftManifestMergeUpdateCommand(path: String,
     val (statsCols, bloomCols) = ManifestTable.pruningOf(session, path, v)
     ManifestTable.mergeUpdate(session, src, path, keyCol, sets,
       insertNotMatched = insert, statsCols = statsCols,
+      bloomCols = bloomCols)
+    Seq.empty
+  }
+}
+
+/** The general ordered-clause MERGE — conditioned clauses, DELETE
+  * actions, NOT MATCHED BY SOURCE, composite keys —
+  * → [[ManifestTable.mergeClauses]]. Clause conditions and SET values
+  * arrive as Columns that re-resolve by name against the engine's
+  * rewrite frames (target columns plain, source columns `_src_`-
+  * aliased for matched clauses / plain for insert conditions). */
+final case class GraftManifestMergeClausesCommand(path: String,
+    keyCols: Seq[String], source: LogicalPlan,
+    matched: Seq[(Option[org.apache.spark.sql.Column],
+      ManifestTable.MergeClauseAction)],
+    notMatched: Seq[Option[org.apache.spark.sql.Column]],
+    bySource: Seq[(Option[org.apache.spark.sql.Column],
+      ManifestTable.MergeClauseAction)])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val src =
+      org.apache.spark.sql.GraftSqlBridge.ofRows(session, source)
+    val v = ManifestTable.latestVersion(session, path).getOrElse(
+      sys.error(s"graft-manifest MERGE: no committed version at $path"))
+    // an inserted batch dir keeps the table's pruning discipline,
+    // exactly like the other merge commands'
+    val (statsCols, bloomCols) = ManifestTable.pruningOf(session, path, v)
+    ManifestTable.mergeClauses(session, src, path, keyCols,
+      matched = matched, notMatchedInsert = notMatched,
+      notMatchedBySource = bySource, statsCols = statsCols,
       bloomCols = bloomCols)
     Seq.empty
   }

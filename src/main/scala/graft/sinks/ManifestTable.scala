@@ -2910,37 +2910,69 @@ object ManifestTable {
     * row count, which doubles as the callers' broadcast guard). */
   private def dirsHitByKeys(spark: SparkSession, path: String,
       entries: Seq[Entry], batch: DataFrame, keyCol: String,
-      isStr: Boolean): (Seq[Entry], Entry => Boolean, Long) = {
+      isStr: Boolean): (Seq[Entry], Entry => Boolean, Long) =
+    dirsHitByKeysMulti(spark, path, entries, batch,
+      Seq((keyCol, isStr)))
+
+  /** The key-batch dir prune, generalized to COMPOSITE keys: a dir is
+    * touched only if it might hold a row whose ENTIRE key tuple the
+    * batch carries. Three conjunctive passes, each exact in its own
+    * terms and conservative across columns —
+    *  1. envelope: the batch's per-column [min, max] against each
+    *     dir's recorded bounds (a dir disjoint on ANY key column can
+    *     hold no matching tuple);
+    *  2. exact range probe: ONE aggregate over the batch asking, per
+    *     candidate dir, "does any batch ROW fall inside this dir's
+    *     bounds on every bounded key column simultaneously?" — the
+    *     per-row conjunction prunes dirs a per-column envelope keeps
+    *     (row (1, 'z') and row (9, 'a') both in-envelope for a dir
+    *     holding only (1..2, 'a'..'b'));
+    *  3. point probe (batches <= 8192 keys): per-column Bloom/point
+    *     consultation per key tuple, ANDed across columns.
+    * Returns (touched dirs, the envelope predicate — the rebase
+    * gate's disjointness proof, conjunctive like pass 1 — and the
+    * batch's key count). */
+  private def dirsHitByKeysMulti(spark: SparkSession, path: String,
+      entries: Seq[Entry], batch: DataFrame,
+      keys: Seq[(String, Boolean)])
+      : (Seq[Entry], Entry => Boolean, Long) = {
     val (fs, _) = fsOf(spark, path)
-    val env = batch.agg(min(col(keyCol)), max(col(keyCol)),
-      count(lit(1))).head()
-    val nKeys = env.getLong(2)
+    val aggs = keys.flatMap { case (k, _) =>
+      Seq(min(col(k)), max(col(k))) } :+ count(lit(1))
+    val env = batch.agg(aggs.head, aggs.tail: _*).head()
+    val nKeys = env.getLong(2 * keys.length)
     val envOverlap: Entry => Boolean =
       if (nKeys == 0) _ => false
-      else if (isStr) {
-        val (lo, hi) = (env.getString(0), env.getString(1))
-        e => e.mightOverlapStr(keyCol, lo, hi)
-      } else {
-        val (lo, hi) = (env.get(0).asInstanceOf[Number].longValue(),
-          env.get(1).asInstanceOf[Number].longValue())
-        e => e.mightOverlap(keyCol, lo, hi)
+      else e => keys.zipWithIndex.forall { case ((k, isStr), i) =>
+        if (isStr) e.mightOverlapStr(k, env.getString(2 * i),
+          env.getString(2 * i + 1))
+        else e.mightOverlap(k,
+          env.get(2 * i).asInstanceOf[Number].longValue(),
+          env.get(2 * i + 1).asInstanceOf[Number].longValue())
       }
     if (nKeys == 0) return (Seq.empty, envOverlap, 0L)
     val cand = entries.filter(e => envOverlap(e) &&
       e.hasData(fs, s"$path/data/${e.dir}"))
-    def boundsOf(e: Entry): Option[(Any, Any)] =
-      if (isStr) e.strMin.get(keyCol).zip(e.strMax.get(keyCol))
-      else e.statMin.get(keyCol).zip(e.statMax.get(keyCol))
-    val (bounded, unbounded) = cand.partition(e => boundsOf(e).isDefined)
+    def boundsOf(e: Entry, k: String, isStr: Boolean)
+        : Option[(Any, Any)] =
+      if (isStr) e.strMin.get(k).zip(e.strMax.get(k))
+      else e.statMin.get(k).zip(e.statMax.get(k))
+    // a dir is "bounded" when ANY key column has recorded bounds —
+    // the probe conjoins exactly the bounded columns (an unbounded
+    // column contributes TRUE, never a false prune)
+    val (bounded, unbounded) = cand.partition(e =>
+      keys.exists { case (k, s) => boundsOf(e, k, s).isDefined })
     val hits: Seq[Entry] =
       if (bounded.isEmpty) Seq.empty
       else {
         val probes = bounded.zipWithIndex.map { case (e, i) =>
-          val (mn, mx) = boundsOf(e).get
-          max(when(col(keyCol) >= lit(mn) && col(keyCol) <= lit(mx), 1)
-            .otherwise(0)).as(s"d$i")
+          val inDir = keys.flatMap { case (k, s) =>
+            boundsOf(e, k, s).map { case (mn, mx) =>
+              col(k) >= lit(mn) && col(k) <= lit(mx) }
+          }.reduce(_ && _)
+          max(when(inDir, 1).otherwise(0)).as(s"d$i")
         }
-        val r = batch.select(col(keyCol))
+        val r = batch.select(keys.map(k => col(k._1)): _*)
           .agg(probes.head, probes.tail: _*).head()
         bounded.zipWithIndex.collect {
           case (e, i) if !r.isNullAt(i) && r.getInt(i) == 1 => e
@@ -2950,13 +2982,14 @@ object ManifestTable {
     val touch =
       if (nKeys > 8192) touch0
       else {
-        val vals = batch.select(col(keyCol)).collect().map(_.get(0)).toSeq
-        touch0.filter(e => vals.exists { kv =>
-          if (isStr) e.mightContainPointStr(keyCol,
-            kv.asInstanceOf[String])
-          else e.mightContainPoint(keyCol,
-            kv.asInstanceOf[Number].longValue())
-        })
+        val tuples = batch.select(keys.map(k => col(k._1)): _*)
+          .collect().map(r => keys.indices.map(r.get)).toSeq
+        touch0.filter(e => tuples.exists(t =>
+          keys.zipWithIndex.forall { case ((k, isStr), i) =>
+            if (isStr) e.mightContainPointStr(k, t(i).asInstanceOf[String])
+            else e.mightContainPoint(k,
+              t(i).asInstanceOf[Number].longValue())
+          }))
       }
     (touch, envOverlap, nKeys)
   }
@@ -3467,6 +3500,338 @@ object ManifestTable {
       added => added.forall(e => !envOverlap(e) ||
         !e.hasData(fs, s"$path/data/${e.dir}")))
     (committed, if (sets.isEmpty) 0 else touch.size)
+  }
+
+  /** One MERGE clause's effect on a row its group claims. */
+  sealed trait MergeClauseAction
+  object MergeClauseAction {
+    /** Patch the row IN PLACE: SET columns from expressions that may
+      * reference the target's columns by name and (in WHEN MATCHED
+      * clauses) the source row's as `_src_<name>`. */
+    final case class Update(
+        sets: Seq[(String, org.apache.spark.sql.Column)])
+        extends MergeClauseAction
+    /** Drop the row. */
+    case object Delete extends MergeClauseAction
+  }
+
+  /** The FULL ordered-clause MERGE statement — the general engine
+    * behind `MERGE INTO … [WHEN MATCHED [AND p] THEN UPDATE/DELETE]…
+    * [WHEN NOT MATCHED [AND p] THEN INSERT *]… [WHEN NOT MATCHED BY
+    * SOURCE [AND p] THEN UPDATE/DELETE]…`, with a COMPOSITE key:
+    * `keyCols` join the source to the table conjunctively, and each
+    * row takes the FIRST clause of its group (matched / not-matched /
+    * not-matched-by-source) whose condition evaluates true — exactly
+    * ANSI's ordered-clause rule (a null condition is false; a row no
+    * clause claims is untouched; unique source keys guarantee ANSI's
+    * one-match rule by construction).
+    *
+    * Cost shape: matched-row updates/deletes PATCH dirs in place via
+    * the shared staged-rewrite engine — with no BY SOURCE clause,
+    * only dirs the composite key prune admits
+    * ([[dirsHitByKeysMulti]]: per-column envelope AND per-row
+    * conjunction AND Bloom tuples) are rewritten. A BY SOURCE clause
+    * can touch any target row, so it rewrites every data dir — the
+    * honest cost of that statement on any engine; Delta's is the
+    * same. Inserted rows land as ONE appended dir (partition-pure on
+    * a partitioned table). Everything commits atomically as one new
+    * version.
+    *
+    * Conditions: matched-clause conditions may reference target
+    * columns by name and source columns as `_src_<name>`;
+    * not-matched (insert) conditions reference SOURCE columns by
+    * plain name; by-source conditions and SET values reference
+    * TARGET columns only. Each clause group may omit the condition
+    * only on its LAST clause (an unconditional clause earlier would
+    * make the rest unreachable — refused, like Delta). When any
+    * insert clause exists the source must carry every table column
+    * (the INSERT * contract). All boundary rules mirror
+    * [[mergeUpdate]]: null/duplicate source keys, SETs on key or
+    * partition-source columns, type drift — all loud. Returns
+    * (new version, dirs rewritten). */
+  def mergeClauses(spark: SparkSession, source: DataFrame, path: String,
+      keyCols: Seq[String],
+      matched: Seq[(Option[org.apache.spark.sql.Column],
+        MergeClauseAction)] = Nil,
+      notMatchedInsert: Seq[Option[org.apache.spark.sql.Column]] = Nil,
+      notMatchedBySource: Seq[(Option[org.apache.spark.sql.Column],
+        MergeClauseAction)] = Nil,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      maxBroadcastKeys: Long = 4000000L, retries: Int = 0)
+      : (Long, Int) = {
+    val (fs, _) = fsOf(spark, path)
+    require(matched.nonEmpty || notMatchedInsert.nonEmpty ||
+      notMatchedBySource.nonEmpty,
+      "ManifestTable.mergeClauses: no clauses — the statement can " +
+        "have no effect")
+    require(keyCols.nonEmpty && keyCols.distinct.size == keyCols.size,
+      s"ManifestTable.mergeClauses: key columns must be non-empty " +
+        s"and distinct, got ${keyCols.mkString(", ")}")
+    def lastOnlyUnconditional(
+        g: Seq[Option[org.apache.spark.sql.Column]], what: String): Unit =
+      require(g.isEmpty || g.init.forall(_.isDefined),
+        s"ManifestTable.mergeClauses: only the LAST $what clause may " +
+          "omit its condition — an earlier unconditional clause makes " +
+          "the rest unreachable")
+    lastOnlyUnconditional(matched.map(_._1), "WHEN MATCHED")
+    lastOnlyUnconditional(notMatchedInsert, "WHEN NOT MATCHED")
+    lastOnlyUnconditional(notMatchedBySource.map(_._1),
+      "WHEN NOT MATCHED BY SOURCE")
+    val prev = latestVersion(spark, path).getOrElse(
+      sys.error(s"ManifestTable.mergeClauses: no committed version at $path"))
+    val entries = entriesOf(spark, path, prev)
+    val schema = tableSchema(spark, path, prev, entries)
+    val fieldsByName = schema.fields.map(f => f.name -> f).toMap
+    val keyFields = keyCols.map(k => fieldsByName.getOrElse(k,
+      sys.error(s"ManifestTable.mergeClauses: no column '$k' in the " +
+        s"table schema (${schema.fieldNames.mkString(", ")})")))
+    keyFields.foreach(f => require(
+      f.dataType == org.apache.spark.sql.types.StringType ||
+        isIntegral(f.dataType),
+      s"ManifestTable.mergeClauses: key '${f.name}' is " +
+        s"${f.dataType.catalogString} — merge keys are integral or " +
+        "string"))
+    keyCols.foreach(k => require(source.columns.contains(k),
+      s"ManifestTable.mergeClauses: source has no key column '$k'"))
+    val insert = notMatchedInsert.nonEmpty
+    if (insert)
+      require(source.columns.toSet == schema.fieldNames.toSet,
+        "ManifestTable.mergeClauses(INSERT): source columns " +
+          source.columns.toSeq.sorted.mkString("[", ", ", "]") +
+          " must equal the table's " +
+          schema.fieldNames.toSeq.sorted.mkString("[", ", ", "]") +
+          " — inserted rows are inserted whole")
+    val srcPrefix = "_src_"
+    val collide = schema.fieldNames.filter(_.startsWith(srcPrefix))
+    require(collide.isEmpty,
+      s"ManifestTable.mergeClauses: table column(s) " +
+        collide.mkString("'", "', '", "'") + s" collide with the " +
+        s"'$srcPrefix' source-alias prefix — rename the column")
+    // every SET column across every Update action: exists, not a key,
+    // not a partition source; per-action duplicate SETs are loud
+    val pSrcs = partitionSpecOf(spark, path, prev).map(_.src).toSet
+    val allSets = (matched ++ notMatchedBySource).collect {
+      case (_, MergeClauseAction.Update(sets)) => sets }
+    // an EMPTY-set Update is legal: it claims the row (blocking later
+    // clauses, exactly ANSI's ordered-clause rule) and changes
+    // nothing — the shape `UPDATE SET *` takes when every column is
+    // a key, or `SET c = c` after identity-dropping
+    allSets.foreach { sets =>
+      require(sets.map(_._1).distinct.size == sets.size,
+        "ManifestTable.mergeClauses: duplicate SET column in " +
+          sets.map(_._1).mkString("[", ", ", "]"))
+      sets.foreach { case (c, _) =>
+        require(fieldsByName.contains(c),
+          s"ManifestTable.mergeClauses: SET column '$c' is not in " +
+            s"the table schema (${schema.fieldNames.mkString(", ")})")
+        require(!keyCols.contains(c),
+          s"ManifestTable.mergeClauses: SET must not assign merge " +
+            s"key '$c' — the key is the row's identity")
+        require(!pSrcs.contains(c),
+          s"ManifestTable.mergeClauses: SET touches partition-source " +
+            s"column '$c' — an in-place update cannot re-derive " +
+            "partition metadata; use whole-row merge or overwrite")
+      }
+    }
+    // source keys arrive at the table's exact types (or widen)
+    keyFields.foreach { kf =>
+      val sk = source.schema.fields.find(_.name == kf.name).get
+      require(sk.dataType.catalogString == kf.dataType.catalogString ||
+          widens(sk.dataType, kf.dataType),
+        s"ManifestTable.mergeClauses: source key '${kf.name}' is " +
+          s"${sk.dataType.catalogString} but the table's is " +
+          s"${kf.dataType.catalogString} — cast explicitly")
+    }
+    val batch = (if (insert) alignToTable(source, schema)
+        .select(schema.fieldNames.map(col).toSeq: _*)
+      else keyFields.foldLeft(source)((df, kf) =>
+        df.withColumn(kf.name, col(kf.name).cast(kf.dataType))))
+      .localCheckpoint()
+    val srcEmpty = batch.head(1).isEmpty
+    // an empty source is a no-op UNLESS a BY SOURCE clause exists:
+    // then every target row is "not matched by source" and the
+    // statement still has work to do
+    if (srcEmpty && notMatchedBySource.isEmpty) return (prev, 0)
+    if (!srcEmpty) {
+      val nullKey = keyCols.map(k => col(k).isNull).reduce(_ || _)
+      require(batch.filter(nullKey).head(1).isEmpty,
+        s"ManifestTable.mergeClauses: source carries null key " +
+          s"component(s) in (${keyCols.mkString(", ")}) — a null key " +
+          "matches no row; assign keys or route those rows through " +
+          "append")
+      val dup = batch.groupBy(keyCols.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"ManifestTable.mergeClauses: source carries duplicate key " +
+          s"${dup.headOption.map(r => keyCols.indices.map(r.get))} — " +
+          "no defined winner (ANSI's one-match rule)")
+    }
+    // zero-row probe frame: table columns + _src_-aliased source
+    // columns — types every condition and SET expression must check
+    // against before any data work
+    val joinedShape = org.apache.spark.sql.types.StructType(
+      schema.fields ++ batch.schema.fields.map(f =>
+        f.copy(name = srcPrefix + f.name)))
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], joinedShape)
+    def checkBool(c: Option[org.apache.spark.sql.Column],
+        what: String): Unit = c.foreach { cond =>
+      val dt = probe.select(cond).schema.head.dataType
+      require(dt == org.apache.spark.sql.types.BooleanType,
+        s"ManifestTable.mergeClauses: $what condition has type " +
+          s"${dt.catalogString}, not boolean")
+    }
+    matched.foreach(c => checkBool(c._1, "WHEN MATCHED"))
+    notMatchedBySource.foreach(c =>
+      checkBool(c._1, "WHEN NOT MATCHED BY SOURCE"))
+    notMatchedInsert.foreach { c => c.foreach { cond =>
+      val dt = batch.limit(0).select(cond).schema.head.dataType
+      require(dt == org.apache.spark.sql.types.BooleanType,
+        "ManifestTable.mergeClauses: WHEN NOT MATCHED condition has " +
+          s"type ${dt.catalogString}, not boolean")
+    }}
+    allSets.foreach(_.foreach { case (c, e) =>
+      val dt = probe.select(e).schema.head.dataType
+      val want = fieldsByName(c).dataType
+      require(dt.catalogString == want.catalogString || widens(dt, want),
+        s"ManifestTable.mergeClauses: SET '$c' expression has type " +
+          s"${dt.catalogString} but the column is " +
+          s"${want.catalogString} — cast explicitly at the call site")
+    })
+    val keySpec = keyFields.map(f => (f.name,
+      f.dataType == org.apache.spark.sql.types.StringType))
+    val (keyTouch, envOverlap, nKeys) =
+      if (srcEmpty) (Seq.empty[Entry], (_: Entry) => false, 0L)
+      else dirsHitByKeysMulti(spark, path, entries, batch, keySpec)
+    // a BY SOURCE clause can claim ANY target row: every data dir is
+    // in scope — the statement's honest cost on any engine
+    val rowClauses = matched.nonEmpty || notMatchedBySource.nonEmpty
+    val touch =
+      if (!rowClauses) Seq.empty
+      else if (notMatchedBySource.nonEmpty) entries.filter(e =>
+        e.hasData(fs, s"$path/data/${e.dir}"))
+      else keyTouch
+    val srcAliased = batch.select(batch.columns.map(c =>
+      col(c).as(srcPrefix + c)).toSeq: _*)
+    val probeSrc =
+      if (nKeys <= maxBroadcastKeys) broadcast(srcAliased) else srcAliased
+    val rowMatched = col(srcPrefix + keyCols.head).isNotNull
+    val firedM = "_graft_mfired"
+    val firedS = "_graft_sfired"
+    require(!schema.fieldNames.contains(firedM) &&
+      !schema.fieldNames.contains(firedS),
+      "ManifestTable.mergeClauses: column names _graft_mfired/" +
+        "_graft_sfired are reserved for clause staging")
+    def firedChain(
+        clauses: Seq[(Option[org.apache.spark.sql.Column], MergeClauseAction)])
+        : org.apache.spark.sql.Column =
+      clauses.zipWithIndex.foldRight(
+        lit(null).cast("int"): org.apache.spark.sql.Column) {
+        case (((cond, _), i), acc) =>
+          when(cond.getOrElse(lit(true)), lit(i)).otherwise(acc)
+      }
+    def deleteIdx(
+        clauses: Seq[(Option[org.apache.spark.sql.Column], MergeClauseAction)])
+        : Seq[Int] =
+      clauses.zipWithIndex.collect {
+        case ((_, MergeClauseAction.Delete), i) => i }
+    val tableCols = schema.fieldNames.toSet
+    def patch(df: DataFrame): DataFrame = {
+      val joined = df.join(probeSrc,
+        keyCols.map(k => col(k) === col(srcPrefix + k)).reduce(_ && _),
+        "left")
+        .withColumn(firedM,
+          when(rowMatched, firedChain(matched)))
+        .withColumn(firedS,
+          when(!rowMatched, firedChain(notMatchedBySource)))
+      def survives(fired: String, dels: Seq[Int])
+          : org.apache.spark.sql.Column =
+        if (dels.isEmpty) lit(true)
+        else col(fired).isNull || !col(fired).isin(dels: _*)
+      val kept = joined.filter(survives(firedM, deleteIdx(matched)) &&
+        survives(firedS, deleteIdx(notMatchedBySource)))
+      def patched(c: String): org.apache.spark.sql.Column = {
+        val want = fieldsByName(c).dataType
+        def overlay(fired: String,
+            clauses: Seq[(Option[org.apache.spark.sql.Column],
+              MergeClauseAction)],
+            base: org.apache.spark.sql.Column)
+            : org.apache.spark.sql.Column =
+          clauses.zipWithIndex.foldLeft(base) {
+            case (acc, ((_, MergeClauseAction.Update(sets)), i)) =>
+              sets.find(_._1 == c) match {
+                case Some((_, e)) =>
+                  when(col(fired) === i, e.cast(want)).otherwise(acc)
+                case None => acc
+              }
+            case (acc, _) => acc
+          }
+        overlay(firedS, notMatchedBySource,
+          overlay(firedM, matched, col(c))).as(c)
+      }
+      val cols = schema.fieldNames.map(patched)
+      val extra = df.columns.filterNot(tableCols).map(col)
+      kept.select((cols ++ extra).toSeq: _*)
+    }
+    // not-matched inserts: the key prune is a conservative superset,
+    // so ONE column-pruned scan of exactly the key-touched dirs
+    // decides membership; the ordered insert conditions then reduce
+    // to their disjunction (every action is INSERT *, so WHICH clause
+    // fires cannot change the inserted row)
+    val newRows =
+      if (!insert || srcEmpty) None
+      else {
+        val absent =
+          if (keyTouch.isEmpty) batch
+          else batch.join(
+            readableFrame(spark, path, schema, keyTouch)
+              .select(keyCols.map(col): _*),
+            keyCols, "left_anti")
+        val pred = notMatchedInsert.map(_.getOrElse(lit(true)))
+          .reduce(_ || _)
+        val nr = absent.filter(pred).localCheckpoint()
+        if (nr.head(1).isEmpty) None else Some(nr)
+      }
+    val cs = constraintsOf(spark, path, prev)
+    if (cs.nonEmpty) {
+      if (touch.nonEmpty)
+        enforceConstraints(patch(readableFrame(spark, path, schema,
+          touch)), cs, s"ManifestTable.mergeClauses($path)")
+      newRows.foreach(nr => enforceConstraints(nr, cs,
+        s"ManifestTable.mergeClauses($path)"))
+    }
+    val v = prev + 1
+    val restatCols = (allSets.flatten.map(_._1) ++ keyCols).distinct
+    val rewritten: Seq[Entry] =
+      if (touch.isEmpty) Seq.empty
+      else stagedRewrite(spark, path, v, schema, touch, "mergeClauses",
+        patch, extraRestatCols = restatCols)
+    val mSpec = partitionSpecOf(spark, path, prev)
+    val inserted: Seq[Entry] = newRows match {
+      case None => Seq.empty
+      case Some(nr) =>
+        if (mSpec.isEmpty) Seq(writeDirEntry(spark, nr, path, v, -1L,
+          (statsCols ++ keyCols).distinct, bloomCols))
+        else writePartitionedEntries(spark, nr, path, v, -1L,
+          (statsCols ++ keyCols).distinct, bloomCols, mSpec,
+          provenance = Seq.empty)
+    }
+    if (rewritten.isEmpty && inserted.isEmpty && touch.isEmpty)
+      return (prev, 0) // nothing claimed a row and nothing inserts
+    // rebase gate: with a BY SOURCE clause any concurrently-added row
+    // would have been claimed too — only data-less additions rebase;
+    // otherwise stats must prove added dirs disjoint from the key
+    // envelope on at least one key column
+    val addedSafe: Seq[Entry] => Boolean =
+      if (notMatchedBySource.nonEmpty)
+        added => added.forall(e => !e.hasData(fs, s"$path/data/${e.dir}"))
+      else
+        added => added.forall(e => !envOverlap(e) ||
+          !e.hasData(fs, s"$path/data/${e.dir}"))
+    val committed = commitRewrite(spark, path, "mergeClauses", prev,
+      entries, touch.map(_.dir).toSet, rewritten ++ inserted, schema,
+      (statsCols ++ keyCols).distinct, bloomCols, retries, addedSafe)
+    (committed, touch.size)
   }
 
   /** Drop snapshots older than the newest `keepVersions` and delete

@@ -215,31 +215,10 @@ class ManifestDmlSpec extends AnyFunSuite {
     def msgs(e: Throwable): Seq[String] =
       Option(e).toSeq.flatMap(x =>
         Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    // the forms with NO exact manifest mapping stay LOUD:
-    // multi-predicate ON
-    val ex2 = intercept[Exception] {
-      spark.sql(
-        """MERGE INTO dml_m t USING dml_m_updates u
-          |ON t.id = u.id AND t.s = u.s
-          |WHEN MATCHED THEN UPDATE SET *
-          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-    }
-    assert(msgs(ex2).exists(_.contains("single key equality")))
-    // a matched DELETE action
-    val ex3 = intercept[Exception] {
-      spark.sql(
-        """MERGE INTO dml_m t USING dml_m_updates u ON t.id = u.id
-          |WHEN MATCHED THEN DELETE""".stripMargin)
-    }
-    assert(msgs(ex3).exists(_.contains("whole-row upsert")))
-    // a per-action condition
-    val ex4 = intercept[Exception] {
-      spark.sql(
-        """MERGE INTO dml_m t USING dml_m_updates u ON t.id = u.id
-          |WHEN MATCHED AND u.s = 'x' THEN UPDATE SET *
-          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-    }
-    assert(msgs(ex4).exists(_.contains("whole-row upsert")))
+    // composite ON keys, DELETE actions, per-action conditions, and
+    // NOT MATCHED BY SOURCE now route the general ordered-clause
+    // engine — positive coverage lives in ManifestMergeClausesSpec;
+    // the forms with NO manifest mapping stay LOUD:
     // a non-deterministic SET expression (would patch different rows
     // to different values per rewrite pass)
     val ex5 = intercept[Exception] {

@@ -1,0 +1,175 @@
+package graft
+
+import graft.sinks.ManifestTable
+import graft.sinks.ManifestTable.MergeClauseAction
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The general ordered-clause MERGE engine
+  * ([[ManifestTable.mergeClauses]] + the ManifestSqlRules routing):
+  * conditioned WHEN MATCHED UPDATE/DELETE clauses taken first-true-
+  * wins, conditioned INSERT, WHEN NOT MATCHED BY SOURCE
+  * UPDATE/DELETE, composite ON keys with conjunctive dir pruning —
+  * and the shapes that stay loud.
+  */
+class ManifestMergeClausesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rows(t: String): Seq[(Long, String, Long)] =
+    ManifestTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq
+
+  private def msgs(e: Throwable): Seq[String] =
+    Option(e).toSeq.flatMap(x =>
+      Option(x.getMessage).toSeq ++ msgs(x.getCause))
+
+  test("ordered clauses: first true wins across UPDATE/DELETE/INSERT") {
+    val t = s"${Files.createTempDirectory("graft-mc1")}/t"
+    ManifestTable.append(spark, Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L)).toDF("id", "grp", "n"),
+      t, statsCols = Seq("id"))
+    ManifestTable.append(spark, Seq(
+      (4L, "b", 40L), (5L, "a", 50L)).toDF("id", "grp", "n"),
+      t, statsCols = Seq("id"))
+    spark.read.format("graft-manifest").load(t)
+      .createOrReplaceTempView("mc_t")
+    // source: id 1 -> negative n (DELETE clause), id 2 -> grp 'a'
+    // (ADD clause), id 3 -> grp 'b' falls through to the plain SET,
+    // id 5 -> negative (DELETE beats the grp-'a' clause ORDER),
+    // id 90 -> new + big (insert), id 91 -> new + small (filtered out)
+    Seq((1L, "x", -1L), (2L, "x", 5L), (3L, "x", 7L), (5L, "x", -9L),
+      (90L, "c", 900L), (91L, "c", 9L)).toDF("id", "grp", "n")
+      .createOrReplaceTempView("mc_u")
+    spark.sql(
+      """MERGE INTO mc_t t USING mc_u u ON t.id = u.id
+        |WHEN MATCHED AND u.n < 0 THEN DELETE
+        |WHEN MATCHED AND t.grp = 'a' THEN UPDATE SET n = t.n + u.n
+        |WHEN MATCHED THEN UPDATE SET n = u.n
+        |WHEN NOT MATCHED AND u.n > 100 THEN INSERT *""".stripMargin)
+    assert(rows(t) == Seq(
+      (2L, "a", 25L),   // matched, grp 'a': n = 20 + 5
+      (3L, "b", 7L),    // matched, fell through: n = u.n
+      (4L, "b", 40L),   // untouched (no source row)
+      (90L, "c", 900L)  // inserted (only the big new key)
+    ), s"got ${rows(t)}")
+  }
+
+  test("NOT MATCHED BY SOURCE retires stale rows and flags the rest") {
+    val t = s"${Files.createTempDirectory("graft-mc2")}/t"
+    ManifestTable.append(spark, Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "b", 40L))
+      .toDF("id", "grp", "n"), t, statsCols = Seq("id"))
+    spark.read.format("graft-manifest").load(t)
+      .createOrReplaceTempView("mc2_t")
+    Seq((1L, "a", 11L), (9L, "z", 90L)).toDF("id", "grp", "n")
+      .createOrReplaceTempView("mc2_u")
+    // the retire-stale-records statement: refresh matched rows,
+    // insert new ones, DELETE stale 'b' rows, zero-flag other stale
+    spark.sql(
+      """MERGE INTO mc2_t t USING mc2_u u ON t.id = u.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE AND t.grp = 'b' THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET n = 0""".stripMargin)
+    assert(rows(t) == Seq(
+      (1L, "a", 11L), // matched: whole-row refresh
+      (2L, "a", 0L),  // not matched by source, grp 'a': zero-flagged
+      (9L, "z", 90L)  // inserted; ids 3, 4 (grp 'b') retired
+    ), s"got ${rows(t)}")
+  }
+
+  test("composite ON key: conjunctive pruning, exact composite upsert") {
+    val t = s"${Files.createTempDirectory("graft-mc3")}/t"
+    // two dirs with OVERLAPPING id ranges but DISJOINT grp ranges:
+    // a single-column envelope keeps both; the conjunctive composite
+    // prune must keep only the 'a' dir
+    ManifestTable.append(spark, Seq(
+      (1L, "a", 10L), (2L, "a", 20L)).toDF("id", "grp", "n"),
+      t, statsCols = Seq("id", "grp"))
+    ManifestTable.append(spark, Seq(
+      (1L, "b", 30L), (2L, "b", 40L)).toDF("id", "grp", "n"),
+      t, statsCols = Seq("id", "grp"))
+    val dirsBefore = ManifestTable.entriesOf(spark, t,
+      ManifestTable.latestVersion(spark, t).get).map(_.dir).toSet
+    spark.read.format("graft-manifest").load(t)
+      .createOrReplaceTempView("mc3_t")
+    Seq((1L, "a", 100L), (3L, "a", 300L)).toDF("id", "grp", "n")
+      .createOrReplaceTempView("mc3_u")
+    spark.sql(
+      """MERGE INTO mc3_t t USING mc3_u u
+        |ON t.id = u.id AND t.grp = u.grp
+        |WHEN MATCHED THEN UPDATE SET n = u.n
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(rows(t) == Seq(
+      (1L, "a", 100L), (1L, "b", 30L), (2L, "a", 20L), (2L, "b", 40L),
+      (3L, "a", 300L)), s"got ${rows(t)}")
+    // the 'b' dir was never part of the rewrite: same physical dir
+    val dirsAfter = ManifestTable.entriesOf(spark, t,
+      ManifestTable.latestVersion(spark, t).get).map(_.dir).toSet
+    val survivors = dirsBefore.intersect(dirsAfter)
+    assert(survivors.size == 1,
+      s"exactly the grp-disjoint dir must survive untouched: " +
+        s"before=$dirsBefore after=$dirsAfter")
+    // (1, 'b') proves the composite match: same id, other grp, kept
+  }
+
+  test("programmatic: empty source + BY SOURCE DELETE clears the table") {
+    val t = s"${Files.createTempDirectory("graft-mc4")}/t"
+    ManifestTable.append(spark,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "grp", "n"), t)
+    val empty = Seq.empty[(Long, String, Long)].toDF("id", "grp", "n")
+    val (v, touched) = ManifestTable.mergeClauses(spark, empty, t,
+      Seq("id"), notMatchedBySource =
+        Seq((None, MergeClauseAction.Delete)))
+    assert(v == 2L && touched == 1)
+    assert(ManifestTable.read(spark, t).count() == 0)
+    // the pre-merge snapshot still reads
+    assert(ManifestTable.readVersion(spark, t, 1L).count() == 2)
+  }
+
+  test("unsupported shapes stay loud; ANSI guardrails hold") {
+    val t = s"${Files.createTempDirectory("graft-mc5")}/t"
+    ManifestTable.append(spark,
+      Seq((1L, "a", 10L)).toDF("id", "grp", "n"), t)
+    spark.read.format("graft-manifest").load(t)
+      .createOrReplaceTempView("mc5_t")
+    Seq((1L, "a", 11L)).toDF("id", "grp", "n")
+      .createOrReplaceTempView("mc5_u")
+    // an unconditional clause BEFORE a conditional one makes the
+    // rest unreachable
+    val ex1 = intercept[Exception] { spark.sql(
+      """MERGE INTO mc5_t t USING mc5_u u ON t.id = u.id
+        |WHEN MATCHED THEN UPDATE SET n = u.n
+        |WHEN MATCHED AND u.n < 0 THEN DELETE""".stripMargin) }
+    assert(msgs(ex1).exists(m => m.contains("LAST") ||
+      m.contains("unreachable") || m.contains("NON_LAST")),
+      s"got ${msgs(ex1)}")
+    // a partial-column INSERT would silently null the rest
+    val ex2 = intercept[Exception] { spark.sql(
+      """MERGE INTO mc5_t t USING mc5_u u ON t.id = u.id
+        |WHEN MATCHED AND u.n < 0 THEN DELETE
+        |WHEN NOT MATCHED THEN INSERT (id) VALUES (u.id)""".stripMargin) }
+    assert(msgs(ex2).exists(m => m.contains("INSERT *") ||
+      m.contains("whole")), s"got ${msgs(ex2)}")
+    // duplicate source keys: no defined winner (ANSI's one-match rule)
+    Seq((1L, "a", 1L), (1L, "a", 2L)).toDF("id", "grp", "n")
+      .createOrReplaceTempView("mc5_dup")
+    val ex3 = intercept[Exception] { spark.sql(
+      """MERGE INTO mc5_t t USING mc5_dup u ON t.id = u.id
+        |WHEN MATCHED AND u.n > 0 THEN DELETE""".stripMargin) }
+    assert(msgs(ex3).exists(_.contains("duplicate key")))
+    // a SET on a composite-key component is the row's identity
+    val ex4 = intercept[Exception] {
+      ManifestTable.mergeClauses(spark,
+        Seq((1L, "a", 5L)).toDF("id", "grp", "n"), t,
+        Seq("id", "grp"), matched = Seq((None,
+          MergeClauseAction.Update(Seq("grp" -> lit("z"))))))
+    }
+    assert(msgs(ex4).exists(_.contains("identity")))
+    // nothing above mutated the table
+    assert(rows(t) == Seq((1L, "a", 10L)))
+  }
+}
