@@ -39,7 +39,8 @@ import scala.jdk.CollectionConverters._
   * metadata-only aggregates, and the whole SQL DML surface work
   * IDENTICALLY by name and by path: one read path, not two to keep
   * correct. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -416,6 +417,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       fs.delete(refFile(oldIdent), false)
     }
     ()
+  }
+
+  // ---- procedures: CALL <cat>.system.<op>(…) ----
+
+  /** A procedure argument's table address: a registered
+    * `ns.table` name in THIS catalog, or (for un-registered tables)
+    * a raw path — distinguished by the path separator, which the
+    * name charset guard forbids in names. */
+  private[catalog] def resolveTablePath(table: String): String =
+    if (table.contains("/")) table
+    else {
+      val parts = table.split('.')
+      require(parts.length >= 2,
+        s"graft catalog: procedure table argument '$table' must be " +
+          "'namespace.table' (a name in this catalog) or a path")
+      val ident = Identifier.of(parts.init, parts.last)
+      readRef(ident).map(_._1).getOrElse(
+        throw new NoSuchTableException(
+          (catalogName +: parts.init.toSeq) :+ parts.last))
+    }
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.names
+        .map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"graft catalog: procedures live in the 'system' namespace — " +
+        s"CALL $catalogName.system.<op>(…), got " +
+        ident.namespace().mkString("."))
+    GraftProcedures.load(this, ident.name()).getOrElse(sys.error(
+      s"graft catalog: no procedure '${ident.name()}' — available: " +
+        GraftProcedures.names.mkString(", ")))
   }
 
   // ---- namespaces ----

@@ -1,0 +1,136 @@
+package graft
+
+import graft.sinks.ManifestTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** SQL maintenance entry points (GraftCatalog as a ProcedureCatalog):
+  * `CALL g.system.compact/cluster/vacuum/rewrite_deletes/restore/
+  * create_tag(…)` — the cadence ops reachable from pure SQL, each
+  * returning its summary as one result row, with history recording
+  * the op's provenance.
+  */
+class ProcedureSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    val wh = Files.createTempDirectory("graft-proc-wh").toString
+    s.conf.set("spark.sql.catalog.gp",
+      classOf[graft.catalog.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gp.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gp.db")
+    s
+  }
+  import spark.implicits._
+
+  private def pathOf(t: String): String =
+    spark.sessionState.catalogManager.catalog("gp")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("db"), t)).properties().get("location")
+
+  test("CALL compact bin-packs; vacuum reaps; both report by name") {
+    spark.sql("CREATE TABLE gp.db.c (id BIGINT, s STRING) " +
+      "USING `graft-manifest` TBLPROPERTIES ('statsCols'='id')")
+    (1 to 4).foreach(i =>
+      spark.sql(s"INSERT INTO gp.db.c VALUES ($i, 'r$i')"))
+    val t = pathOf("c")
+    val before = ManifestTable.entriesOf(spark, t,
+      ManifestTable.latestVersion(spark, t).get)
+      .count(_.rows.exists(_ > 0))
+    assert(before == 4)
+    val v = spark.sql("CALL gp.system.compact('db.c')").collect()
+    assert(v.map(_.getLong(0)).toSeq == Seq(6L),
+      s"compact must return the new version, got ${v.toSeq}")
+    assert(ManifestTable.entriesOf(spark, t, 6L)
+      .count(_.rows.exists(_ > 0)) == 1,
+      "4 tiny dirs must bin-pack into one")
+    assert(spark.sql("SELECT COUNT(*) FROM gp.db.c").collect()
+      .head.getLong(0) == 4L)
+    // vacuum: drop all but the newest snapshot, reap the old dirs
+    val r = spark.sql("CALL gp.system.vacuum('db.c')").collect().head
+    assert(r.getInt(0) > 0 && r.getInt(1) > 0,
+      s"vacuum must drop manifests and reap dirs, got $r")
+    assert(spark.sql("SELECT COUNT(*) FROM gp.db.c").collect()
+      .head.getLong(0) == 4L)
+  }
+
+  test("CALL cluster orders the layout; named args work") {
+    spark.sql("CREATE TABLE gp.db.cl (id BIGINT, s STRING) " +
+      "USING `graft-manifest` TBLPROPERTIES ('statsCols'='id')")
+    // two interleaved commits: each dir spans the whole id range
+    spark.sql("INSERT INTO gp.db.cl SELECT id * 2, 'a' " +
+      "FROM range(0, 500) AS t(id)")
+    spark.sql("INSERT INTO gp.db.cl SELECT id * 2 + 1, 'b' " +
+      "FROM range(0, 500) AS t(id)")
+    spark.sql(
+      "CALL gp.system.cluster(`table` => 'db.cl', " +
+        "stats_col => 'id', n_dirs => 4)").collect()
+    val t = pathOf("cl")
+    val entries = ManifestTable.entriesOf(spark, t,
+      ManifestTable.latestVersion(spark, t).get)
+      .filter(_.rows.exists(_ > 0))
+    assert(entries.size == 4)
+    // clustered: dirs now have DISJOINT id ranges
+    val ranges = entries.map(e =>
+      (e.statMin("id"), e.statMax("id"))).sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Seq((_, hi), (lo, _)) => hi < lo
+      case _ => true
+    }, s"clustered dirs must be range-disjoint: $ranges")
+    assert(spark.sql("SELECT COUNT(*) FROM gp.db.cl").collect()
+      .head.getLong(0) == 1000L)
+  }
+
+  test("CALL rewrite_deletes materializes tombstones; restore rolls back; tags pin") {
+    spark.sql("CREATE TABLE gp.db.rd (id BIGINT, s STRING) " +
+      "USING `graft-manifest` " +
+      "TBLPROPERTIES ('statsCols'='s', 'bloomCols'='s')")
+    spark.sql("INSERT INTO gp.db.rd SELECT id, CONCAT('k', id) " +
+      "FROM range(0, 100) AS t(id)")                         // v2
+    spark.sql("DELETE FROM gp.db.rd WHERE s = 'k7'")         // v3: dv
+    val t = pathOf("rd")
+    assert(ManifestTable.entriesOf(spark, t, 3L).exists(_.dv.nonEmpty),
+      "the string point delete must be merge-on-read")
+    val r = spark.sql("CALL gp.system.rewrite_deletes('db.rd')")
+      .collect().head
+    assert(r.getLong(0) == 4L && r.getInt(1) >= 1)
+    assert(ManifestTable.entriesOf(spark, t, 4L).forall(_.dv.isEmpty))
+    assert(spark.sql("SELECT COUNT(*) FROM gp.db.rd").collect()
+      .head.getLong(0) == 99L)
+    // tag the pre-delete snapshot, then restore to it
+    spark.sql("CALL gp.system.create_tag('db.rd', 'pre-del', 2)")
+    val v = spark.sql("CALL gp.system.restore('db.rd', 2)")
+      .collect().head.getLong(0)
+    assert(v == 5L)
+    assert(spark.sql("SELECT COUNT(*) FROM gp.db.rd").collect()
+      .head.getLong(0) == 100L)
+    // the restore is a NEW commit: history keeps the delete visible,
+    // and each CALL's provenance is recorded as its operation name
+    assert(ManifestTable.versions(spark, t).contains(3L))
+    val ops = ManifestTable.history(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(ops(4L) == "rewriteDeletes" && ops(5L) == "restore",
+      s"history must carry op provenance, got $ops")
+  }
+
+  test("procedures resolve through the catalog: loud on unknowns") {
+    def msgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val ex = intercept[Exception] {
+      spark.sql("CALL gp.system.optimize('db.c')").collect()
+    }
+    assert(msgs(ex).exists(m => m.contains("no procedure 'optimize'") ||
+      m.toLowerCase.contains("routine")), s"got: ${msgs(ex)}")
+    val ex2 = intercept[Exception] {
+      spark.sql("CALL gp.maint.compact('db.c')").collect()
+    }
+    assert(msgs(ex2).exists(_.contains("system")), s"got: ${msgs(ex2)}")
+    val ex3 = intercept[Exception] {
+      spark.sql("CALL gp.system.compact('db.nope')").collect()
+    }
+    assert(msgs(ex3).exists(_.toLowerCase.contains("nope")),
+      s"got: ${msgs(ex3)}")
+  }
+}
