@@ -166,10 +166,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "actualNum" -> exprs.length.toString,
               "docroot" -> "https://spark.apache.org/docs/latest"))
         val spark = org.apache.spark.sql.SparkSession.active
-        val path = tvfArg[String](exprs, 0, "graft_changes", "STRING") {
-          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
-          case s: String => s
-        }
+        val path = graft.catalog.GraftNames.resolve(spark,
+          tvfArg[String](exprs, 0, "graft_changes", "STRING") {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+            case s: String => s
+          })
         def intArg(i: Int): Long =
           tvfArg[Long](exprs, i, "graft_changes", "INTEGER") {
             case v: java.lang.Integer => v.toLong
@@ -194,10 +195,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "actualNum" -> exprs.length.toString,
               "docroot" -> "https://spark.apache.org/docs/latest"))
         val spark = org.apache.spark.sql.SparkSession.active
-        val path = tvfArg[String](exprs, 0, name, "STRING") {
-          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
-          case s: String => s
-        }
+        val path = graft.catalog.GraftNames.resolve(spark,
+          tvfArg[String](exprs, 0, name, "STRING") {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+            case s: String => s
+          })
         run(spark, path).queryExecution.analyzed
       })
     pathTvf("graft_history",

@@ -44,30 +44,84 @@ object ManifestCatalogRules extends Rule[LogicalPlan] {
 
   /** The V1 manifest relation for `t`, re-identified to the v2
     * relation's attribute ids. Schema drift between loadTable and
-    * this swap (a concurrent evolve) is loud, never coerced. */
+    * this swap (a concurrent evolve) is loud, never coerced. A table
+    * carrying PENDING DELETION VECTORS analyzes to the dv rewrite
+    * ([[ManifestApplyDeletes]]'s tagged root), not a bare
+    * LogicalRelation — bridged by re-aliasing its output to the v2
+    * ids and carrying the rewrite tag forward, so named reads see
+    * tombstoned rows filtered exactly like path reads and named DML
+    * still recognizes its target. */
   private def v1Relation(t: GraftV2Table,
-      output: Seq[AttributeReference]): LogicalRelation = {
+      output: Seq[AttributeReference]): LogicalPlan = {
     val spark = SparkSession.active
     var reader = spark.read.format("graft-manifest")
     t.versionAsOf.foreach(v => reader = reader.option("versionAsOf", v))
     t.timestampAsOfMillis.foreach(ms =>
       reader = reader.option("timestampAsOf", ms.toString))
-    val lr = reader.load(t.path).queryExecution.analyzed match {
-      case l: LogicalRelation => l
+    val analyzed = reader.load(t.path).queryExecution.analyzed
+    def checkSchema(p: LogicalPlan): Unit =
+      require(p.output.map(a => (a.name, a.dataType)) ==
+          output.map(a => (a.name, a.dataType)),
+        s"graft catalog: table '${t.tableName}' changed schema between " +
+          s"name resolution and planning (now ${p.schema.catalogString})" +
+          " — re-run the statement")
+    analyzed match {
+      case l: LogicalRelation =>
+        checkSchema(l)
+        l.copy(output = output.toIndexedSeq)
+      case p if p.getTagValue(ManifestApplyDeletes.DvRewriteTag)
+          .isDefined =>
+        checkSchema(p)
+        val aliased = Project(p.output.zip(output).map { case (a, o) =>
+          org.apache.spark.sql.catalyst.expressions.Alias(a, o.name)(
+            exprId = o.exprId)
+        }, p)
+        aliased.setTagValue(ManifestApplyDeletes.DvRewriteTag,
+          p.getTagValue(ManifestApplyDeletes.DvRewriteTag).get)
+        aliased
       case other => sys.error("graft catalog: the path read planned " +
         s"as ${other.nodeName}, not a LogicalRelation — cannot bridge")
     }
-    require(lr.output.map(a => (a.name, a.dataType)) ==
-        output.map(a => (a.name, a.dataType)),
-      s"graft catalog: table '${t.tableName}' changed schema between " +
-        s"name resolution and planning (now ${lr.schema.catalogString})" +
-        " — re-run the statement")
-    lr.copy(output = output.toIndexedSeq)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsDown {
       case GraftRelation(t, output) => v1Relation(t, output)
+
+      // `spark.readStream.table("g.db.docs")` — the streaming twin of
+      // the batch swap: the name resolves to the SAME V1 stream
+      // source `readStream.format("graft-manifest").load(path)`
+      // builds (exactly-once version-range micro-batches, rate
+      // limits, readChangeFeed — all options pass through). Table
+      // columns keep the v2 relation's exprIds; the change-feed
+      // metadata columns (absent from the table schema) append as
+      // the v1 source's own attributes.
+      case s: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+          if s.table.isInstanceOf[GraftV2Table] =>
+        val t = s.table.asInstanceOf[GraftV2Table]
+        require(t.versionAsOf.isEmpty && t.timestampAsOfMillis.isEmpty,
+          "graft catalog: time travel on a streaming read is not " +
+            "supported — a stream's position is its checkpoint")
+        val spark = SparkSession.active
+        import scala.jdk.CollectionConverters._
+        val ds = org.apache.spark.sql.execution.datasources.DataSource(
+          spark, className = "graft-manifest",
+          options = s.extraOptions.asScala.toMap + ("path" -> t.path))
+        val v1 = org.apache.spark.sql.execution.streaming.runtime
+          .StreamingRelation(ds)
+        val byName: Map[String, Attribute] =
+          s.output.map(a => a.name -> (a: Attribute)).toMap
+        val out: Seq[Attribute] = v1.output.map(a =>
+          byName.get(a.name) match {
+            case Some(prev) =>
+              require(prev.dataType == a.dataType,
+                s"graft catalog: table '${t.tableName}' changed schema " +
+                  "between name resolution and stream planning — " +
+                  "re-run the statement")
+              prev
+            case None => a
+          })
+        v1.copy(output = out)
 
       case a: AppendData if a.query.resolved && a.outputResolved =>
         a.table match {

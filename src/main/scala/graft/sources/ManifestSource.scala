@@ -879,8 +879,10 @@ final class GraftManifestSource extends RelationProvider
     require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
       s"graft-manifest sink: only Append output mode is supported " +
         s"(got $outputMode) — a manifest table is an append log")
-    val path = parameters.getOrElse("path", sys.error(
-      "graft-manifest: a table path is required — .start(<tablePath>)"))
+    val path = graft.catalog.GraftNames.resolve(
+      sqlContext.sparkSession, parameters.getOrElse("path", sys.error(
+        "graft-manifest: a table path or catalog.ns.table name is " +
+          "required — .start(<tablePath>)")))
     // `.partitionBy(cols)` maps to identity transforms; the
     // `partitionSpec` option carries DERIVED transforms ("days:ts",
     // "bucket:16:id", comma-separated render forms) the DSv1
@@ -941,8 +943,10 @@ final class GraftManifestSource extends RelationProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val spark = sqlContext.sparkSession
-    val path = parameters.getOrElse("path", sys.error(
-      "graft-manifest: a table path is required — .load(<tablePath>)"))
+    val path = graft.catalog.GraftNames.resolve(spark,
+      parameters.getOrElse("path", sys.error(
+        "graft-manifest: a table path or catalog.ns.table name is " +
+          "required — .load(<tablePath>)")))
     val v = ManifestTable.latestVersion(spark, path).getOrElse(sys.error(
       s"graft-manifest stream: no committed version at $path — commit " +
         "once before starting the stream (the schema sidecar is the " +
@@ -967,8 +971,10 @@ final class GraftManifestSource extends RelationProvider
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source = {
     val spark = sqlContext.sparkSession
-    val path = parameters.getOrElse("path", sys.error(
-      "graft-manifest: a table path is required — .load(<tablePath>)"))
+    val path = graft.catalog.GraftNames.resolve(spark,
+      parameters.getOrElse("path", sys.error(
+        "graft-manifest: a table path or catalog.ns.table name is " +
+          "required — .load(<tablePath>)")))
     val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.toLong)
     maxVersions.foreach(m => require(m > 0,
       s"graft-manifest stream: maxVersionsPerTrigger must be positive, got $m"))
@@ -996,8 +1002,10 @@ final class GraftManifestSource extends RelationProvider
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
     val spark = sqlContext.sparkSession
-    val path = parameters.getOrElse("path", sys.error(
-      "graft-manifest: a table path is required — .save(<tablePath>)"))
+    val path = graft.catalog.GraftNames.resolve(spark,
+      parameters.getOrElse("path", sys.error(
+        "graft-manifest: a table path or catalog.ns.table name is " +
+          "required — .save(<tablePath>)")))
     val tag = parameters.get("tag").map(_.toLong).getOrElse(-1L)
     val statsCols = parameters.get("statsCols")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
@@ -1028,8 +1036,10 @@ final class GraftManifestSource extends RelationProvider
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
-    val path = parameters.getOrElse("path", sys.error(
-      "graft-manifest: a table path is required — .load(<tablePath>)"))
+    val path = graft.catalog.GraftNames.resolve(spark,
+      parameters.getOrElse("path", sys.error(
+        "graft-manifest: a table path or catalog.ns.table name is " +
+          "required — .load(<tablePath>)")))
     require(Seq("versionAsOf", "timestampAsOf", "tagAsOf")
         .count(parameters.contains) <= 1,
       "graft-manifest: versionAsOf, timestampAsOf and tagAsOf are " +

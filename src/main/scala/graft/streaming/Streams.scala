@@ -821,6 +821,10 @@ object Streams {
       "Streams.applyChangesSinkWriter: the input is not a change " +
         "feed — read the source with option(\"readChangeFeed\", " +
         "\"true\")")
+    // the replica may be addressed by catalog name too — resolved
+    // ONCE here, so every per-batch call below sees a plain path
+    val tablePathResolved = graft.catalog.GraftNames.resolve(
+      changes.sparkSession, tablePath)
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -828,7 +832,7 @@ object Streams {
         import graft.sinks.ManifestTable
         // the tag watermark gates the whole batch: a replayed batch
         // must re-apply NOTHING (its append already landed)
-        if (batchId > ManifestTable.latestTag(spark, tablePath)) {
+        if (batchId > ManifestTable.latestTag(spark, tablePathResolved)) {
           // NET per key: the last change wins; the insert-postimage
           // outranks its own version's delete-preimage
           val w = org.apache.spark.sql.expressions.Window
@@ -853,14 +857,14 @@ object Streams {
           val clear = last.filter(
             col("_change_type") === "delete" || col("_graft_n") > 1)
             .select(col(keyCol))
-          if (ManifestTable.latestVersion(spark, tablePath).isDefined
+          if (ManifestTable.latestVersion(spark, tablePathResolved).isDefined
               && !clear.isEmpty)
-            ManifestTable.deleteKeys(spark, clear, tablePath, keyCol)
+            ManifestTable.deleteKeys(spark, clear, tablePathResolved, keyCol)
           ManifestTable.appendIfFresh(spark,
             last.filter(col("_change_type") === "insert")
               .drop("_graft_rn", "_graft_n", "_change_type",
                 "_commit_version"),
-            tablePath, batchId,
+            tablePathResolved, batchId,
             statsCols = (statsCols :+ keyCol).distinct,
             bloomCols = bloomCols)
         }

@@ -313,6 +313,33 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM g.db.guest").count() == 1)
   }
 
+  test("named reads and DML still work over pending deletion vectors") {
+    spark.sql("CREATE TABLE g.db.dv (id BIGINT, s STRING) " +
+      "USING `graft-manifest` " +
+      "TBLPROPERTIES ('statsCols'='s', 'bloomCols'='s')")
+    spark.sql("INSERT INTO g.db.dv VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    // a string point DELETE routes merge-on-read: the table now
+    // carries a pending tombstone, and the NAMED read path must
+    // bridge the dv rewrite, not just a bare relation
+    spark.sql("DELETE FROM g.db.dv WHERE s = 'b'")
+    val t = spark.sessionState.catalogManager.catalog("g")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("db"), "dv")).properties().get("location")
+    assert(ManifestTable.entriesOf(spark, t,
+      ManifestTable.latestVersion(spark, t).get).exists(_.dv.nonEmpty),
+      "precondition: the delete must be merge-on-read")
+    assert(spark.sql("SELECT * FROM g.db.dv").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // named DML through the dv-rewritten relation still routes
+    spark.sql("UPDATE g.db.dv SET s = 'C' WHERE id BETWEEN 3 AND 3")
+    assert(spark.sql("SELECT * FROM g.db.dv WHERE id = 3").collect()
+      .map(_.getString(1)).toSeq == Seq("C"))
+    // the tombstoned row stays dead through the update's rewrite
+    assert(spark.sql("SELECT COUNT(*) FROM g.db.dv").collect()
+      .head.getLong(0) == 2L)
+  }
+
   test("adoption honors statsCols TBLPROPERTIES via a metadata commit") {
     val ext = s"${Files.createTempDirectory("graft-cat-prop")}/t"
     ManifestTable.append(spark, Seq((1L, "x")).toDF("id", "s"), ext)
