@@ -324,6 +324,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val (path, _) = readRef(ident).getOrElse(
       throw new NoSuchTableException(
         (catalogName +: ident.namespace().toSeq) :+ ident.name()))
+    // RENAME/DROP COLUMN are single-change metadata commits on the
+    // field-id mapping (ManifestTable.renameColumn/dropColumn) —
+    // routed before the additive-ADD path below
+    changes match {
+      case Seq(r: TableChange.RenameColumn) =>
+        require(r.fieldNames().length == 1,
+          "graft catalog: RENAME COLUMN supports top-level columns " +
+            s"only, got ${r.fieldNames().mkString(".")}")
+        ManifestTable.renameColumn(spark, path, r.fieldNames()(0),
+          r.newName())
+        return loadTable(ident)
+      case Seq(d: TableChange.DeleteColumn) =>
+        require(d.fieldNames().length == 1,
+          "graft catalog: DROP COLUMN supports top-level columns " +
+            s"only, got ${d.fieldNames().mkString(".")}")
+        ManifestTable.dropColumn(spark, path, d.fieldNames()(0))
+        return loadTable(ident)
+      case _ =>
+    }
     val adds = changes.map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,

@@ -742,6 +742,42 @@ object LayoutQueries {
     path
   }
 
+  /** A documents-derived manifest table read ACROSS a column rename
+    * (ManifestTable.renameColumn — one metadata commit on the
+    * field-id mapping): half the rows committed under the OLD name
+    * (their files resolve the renamed column BY parquet field id),
+    * half appended under the new name after the rename, and an
+    * in-place ranged UPDATE straddling both eras proves the staged
+    * rewrite works on a mapped table. Built once per dataset behind
+    * the usual marker. */
+  def ensureRenamedColumnManifest(s: SparkSession, d: String): String = {
+    val path = s"${layoutRoot(d)}/docs_manifest_cmap"
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val n = docs.count()
+    val expect = s"layout=$LayoutVersion manifest=cmap rows=$n"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val h = math.max(n / 2, 1)
+      graft.sinks.ManifestTable.append(s,
+        docs.filter(col("doc_id") < h), path,
+        statsCols = Seq("doc_id", "n_chars"))
+      graft.sinks.ManifestTable.renameColumn(s, path, "n_chars", "chars")
+      graft.sinks.ManifestTable.append(s,
+        docs.filter(col("doc_id") >= h)
+          .withColumnRenamed("n_chars", "chars"), path,
+        statsCols = Seq("doc_id", "chars"))
+      graft.sinks.ManifestTable.updateRange(s, path, "doc_id",
+        100L, 199L, Seq("chars" -> (col("chars") + 7)))
+      require(graft.sinks.ManifestTable.read(s, path).count() == n,
+        "ensureRenamedColumnManifest: rows lost across the rename")
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
   /** A manifest table whose ENTIRE lifecycle — CREATE, every INSERT,
     * UPDATE, DELETE, and the final read — happens through the
     * catalog NAME (`graftcat.db.docs`), never a path or temp view:
@@ -2232,6 +2268,26 @@ object LayoutQueries {
         .select(col("grp"), col("sub"), col("lang"),
           col("n_chars").cast("long").as("n_chars"))
         .orderBy("grp", "sub")
+    },
+
+    // ---- COLUMN RENAME end-to-end (q157): n_chars renamed to
+    //      `chars` as one field-id metadata commit — rows committed
+    //      BEFORE the rename resolve the column in their old files
+    //      by parquet field id, rows appended after land under the
+    //      new name, and an in-place UPDATE straddles both eras. The
+    //      oracle recomputes the whole table from scratch under the
+    //      new name: a null-filled old row (a by-name read), a
+    //      mis-patched row, or a lost row all hash-mismatch. ----
+    GraftQuery("q157_manifest_column_rename",
+      """SELECT doc_id, lang,
+        |  CAST(CASE WHEN doc_id BETWEEN 100 AND 199
+        |    THEN n_chars + 7 ELSE n_chars END AS BIGINT) AS chars
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val path = ensureRenamedColumnManifest(s, d)
+      graft.sinks.ManifestTable.read(s, path)
+        .select(col("doc_id"), col("lang"),
+          col("chars").cast("long").as("chars"))
+        .orderBy("doc_id")
     },
   )
 }

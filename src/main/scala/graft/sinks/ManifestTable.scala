@@ -2,7 +2,7 @@ package graft.sinks
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** A minimal manifest-backed table: versioned snapshots over immutable
   * data directories, with atomic commits by rename — the metadata
@@ -376,6 +376,297 @@ object ManifestTable {
     * legitimately EMPTY snapshot (all rows deleted, or only
     * empty-batch commits) readable as an empty frame instead of a
     * schema-inference crash. */
+  // ---- column identity: stable FIELD IDS + logical rename/drop ----
+  //
+  // Iceberg's contract, expressed through Spark's native parquet
+  // field-id matching: every column carries a stable id
+  // (`graft.id` metadata in the schema sidecar, assigned at commit
+  // and never reused), every written data file stamps that id into
+  // its parquet footer (`parquet.field.id`), and once a table is
+  // MAPPED (its first rename/drop committed the `_graft_colmap`
+  // sidecar) its reads attach the ids to the read schema so the
+  // parquet reader resolves columns BY ID — a renamed column keeps
+  // reading its old files, a dropped-then-re-added name never
+  // resurrects the dropped column's bytes (new name, new id).
+  // Unmapped tables keep reading by name, so no pre-existing
+  // behavior changes until the user actually renames or drops.
+
+  private[graft] val FieldIdKey = "graft.id"
+  private val ParquetIdKey = "parquet.field.id"
+
+  private[graft] def fieldIdOf(f: StructField): Option[Long] =
+    if (f.metadata.contains(FieldIdKey))
+      Some(f.metadata.getLong(FieldIdKey)) else None
+
+  /** The schema to PERSIST: existing ids preserved, fresh fields
+    * assigned above both the live maximum and `floor` (the colmap
+    * high watermark — a dropped column's id must never be reused, or
+    * its bytes would resurrect under the new column). Deterministic
+    * in field order, so the writer's pre-commit assignment and the
+    * commit's own always agree. */
+  private[graft] def withFieldIds(schema: StructType,
+      floor: Long): StructType = {
+    var next = math.max(floor,
+      schema.fields.flatMap(fieldIdOf).foldLeft(0L)(math.max)) + 1
+    StructType(schema.fields.map { f =>
+      if (fieldIdOf(f).isDefined) f
+      else {
+        val md = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong(FieldIdKey, next).build()
+        next += 1
+        f.copy(metadata = md)
+      }
+    })
+  }
+
+  /** The `_graft_colmap` sidecar at snapshot `v`: (mapped, id high
+    * watermark, retired names). Absent (every table until its first
+    * rename/drop) = (false, 0, none). Carried forward by [[commit]]
+    * like the partition spec once present.
+    *
+    * RETIRED names — names a renamed/dropped column left behind in
+    * committed data files — can never be reused by a different
+    * column: Spark's parquet row-group FILTER PUSHDOWN matches
+    * columns by NAME even when column resolution matches by field
+    * id, so a same-named new column would have its pushed filters
+    * evaluated against the dead column's statistics (empirically: an
+    * IS NULL filter on a re-added name skips every old row group).
+    * Iceberg avoids this with its own reader; on vanilla Spark the
+    * honest contract is to refuse the reuse loudly. */
+  private[graft] def colmapOf(spark: SparkSession, path: String,
+      v: Long): (Boolean, Long, Seq[String]) = {
+    val (fs, _) = fsOf(spark, path)
+    readSideFile(fs, new org.apache.hadoop.fs.Path(
+      s"$path/manifest/${vName(v)}/_graft_colmap")) match {
+      case None => (false, 0L, Nil)
+      case Some(body) =>
+        val kv = body.linesIterator.map(_.split("=", 2)).collect {
+          case Array(k, x) => k -> x.trim }.toMap
+        (kv.get("mapped").exists(_.toBoolean),
+          kv.get("maxId").map(_.toLong).getOrElse(0L),
+          kv.get("retired").map(_.split(',').map(_.trim)
+            .filter(_.nonEmpty).toSeq).getOrElse(Nil))
+    }
+  }
+
+  private def colmapBody(mapped: Boolean, maxId: Long,
+      retired: Seq[String]): String =
+    s"mapped=$mapped\nmaxId=$maxId\n" +
+      s"retired=${retired.distinct.sorted.mkString(",")}\n"
+
+  /** Loud when a write/evolution tries to reuse a retired name. */
+  private def refuseRetired(spark: SparkSession, path: String,
+      prev: Long, names: Seq[String], ctx: String): Unit = {
+    if (names.isEmpty) return
+    val retired = colmapOf(spark, path, prev)._3
+    val clash = names.filter(retired.contains)
+    require(clash.isEmpty,
+      s"$ctx: column name(s) ${clash.mkString("'", "', '", "'")} " +
+        "were RETIRED by an earlier rename/drop — old data files " +
+        "still carry that name under a different field id, and " +
+        "parquet filter pushdown matches by name, so reusing it " +
+        "would corrupt row-group pruning; pick a different name")
+  }
+
+  /** Stamp `parquet.field.id` onto a frame about to be WRITTEN, from
+    * the sidecar schema's `graft.id`s — every data file then carries
+    * the ids a later rename/drop needs. No ids in the schema (a
+    * table that has never committed under this code) = identity. */
+  private def stampIds(spark: SparkSession, df: DataFrame,
+      schema: StructType): DataFrame = {
+    val ids = schema.fields
+      .flatMap(f => fieldIdOf(f).map(f.name -> _)).toMap
+    if (ids.isEmpty) df
+    else {
+      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      df.select(df.columns.map { c =>
+        ids.get(c) match {
+          case Some(id) => col(c).as(c,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong(ParquetIdKey, id).build())
+          case None => col(c)
+        }
+      }.toIndexedSeq: _*)
+    }
+  }
+
+  /** The schema to READ data dirs with at snapshot `v`: on a MAPPED
+    * snapshot, `graft.id` materializes as `parquet.field.id` and the
+    * session's id-read is enabled, so the reader matches columns by
+    * id (renames transparent, drops never resurrect). Unmapped
+    * snapshots read by name exactly as before — their schemas carry
+    * no parquet ids, so the global conf cannot affect them. */
+  private def readIdSchema(spark: SparkSession, path: String, v: Long,
+      schema: StructType): StructType =
+    if (!colmapOf(spark, path, v)._1) schema
+    else {
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      StructType(schema.fields.map { f =>
+        fieldIdOf(f) match {
+          case Some(id) => f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata).putLong(ParquetIdKey, id).build())
+          case None => f
+        }
+      })
+    }
+
+  /** Public twin of [[readIdSchema]] for the SQL relation builder. */
+  private[graft] def readSchemaFor(spark: SparkSession, path: String,
+      v: Long, schema: StructType): StructType =
+    readIdSchema(spark, path, v, schema)
+
+  /** The rename/drop GATE: every live data dir's files must carry
+    * parquet field ids (one footer read per dir — dirs are the
+    * manifest's unit, typically hundreds, never the file count).
+    * Files written by this code version always do; a table carrying
+    * older dirs must rewrite them first. */
+  private def requireAllFilesStamped(spark: SparkSession, path: String,
+      entries: Seq[Entry], op: String): Unit = {
+    val (fs, _) = fsOf(spark, path)
+    val conf = spark.sessionState.newHadoopConf()
+    val unstamped = entries.filter { e =>
+      e.hasData(fs, s"$path/data/${e.dir}") && {
+        val fname = e.files.map(_.keys.min).getOrElse(
+          listDataFilesOf(fs, s"$path/data/${e.dir}").keys.min)
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(
+              s"$path/data/${e.dir}/$fname"), conf))
+        try scala.jdk.CollectionConverters
+          .ListHasAsScala(rd.getFileMetaData.getSchema.getFields)
+          .asScala.exists(_.getId == null)
+        finally rd.close()
+      }
+    }
+    require(unstamped.isEmpty,
+      s"ManifestTable.$op($path): ${unstamped.size} data dir(s) " +
+        "predate field-id stamping (e.g. " +
+        unstamped.take(3).map(_.dir).mkString(", ") + ") — a " +
+        "rename/drop needs every file to carry parquet field ids so " +
+        "old files keep resolving by id; rewrite the table first " +
+        "(commit once if the table predates ids, then " +
+        "CALL <cat>.system.cluster(...) or compact), then retry")
+  }
+
+  /** Column names an expression's SQL references (the constraint
+    * refusal probe). */
+  private def referencedCols(spark: SparkSession, sql: String)
+      : Set[String] =
+    spark.sessionState.sqlParser.parseExpression(sql).collect {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        u.nameParts.head
+    }.toSet
+
+  /** Shared validation + commit of the two METADATA-ONLY column ops.
+    * `newSchema` is derived from the ID-CARRYING current schema by
+    * the caller; entries are untouched (zero data movement) — the
+    * whole change is one sidecar commit, exactly Iceberg's. */
+  private def columnMapCommit(spark: SparkSession, path: String,
+      op: String, targetCol: String,
+      reshape: StructType => StructType,
+      renamePruning: String => Option[String]): Long = {
+    val prev = latestVersion(spark, path).getOrElse(
+      sys.error(s"ManifestTable.$op: no committed version at $path"))
+    val entries = entriesOf(spark, path, prev)
+    val schema = tableSchema(spark, path, prev, entries)
+    require(schema.fieldNames.contains(targetCol),
+      s"ManifestTable.$op: no column '$targetCol' in the table " +
+        s"schema (${schema.fieldNames.mkString(", ")})")
+    val pSrcs = partitionSpecOf(spark, path, prev).map(_.src)
+    require(!pSrcs.contains(targetCol),
+      s"ManifestTable.$op: '$targetCol' is a partition-source " +
+        "column — the partition spec is immutable table identity; " +
+        "rewrite into a new table to change it")
+    val cs = constraintsOf(spark, path, prev)
+    val refs = cs.filter(c => referencedCols(spark, c._2)
+      .contains(targetCol))
+    require(refs.isEmpty,
+      s"ManifestTable.$op: CHECK constraint(s) " +
+        refs.map(_._1).mkString("'", "', '", "'") +
+        s" reference '$targetCol' — drop the constraint first " +
+        "(dropConstraint), then retry")
+    require(!entries.exists(_.dv.values.toSeq.contains(targetCol)),
+      s"ManifestTable.$op: pending deletion vectors key on " +
+        s"'$targetCol' — materialize them first " +
+        "(CALL <cat>.system.rewrite_deletes), then retry")
+    val (_, floor, retired0) = colmapOf(spark, path, prev)
+    // a rename's TARGET must not be a retired name either
+    renamePruning(targetCol).foreach(to =>
+      require(!retired0.contains(to),
+        s"ManifestTable.$op: '$to' was retired by an earlier " +
+          "rename/drop — old files still carry it under a different " +
+          "field id; pick a different name"))
+    val withIds = withFieldIds(schema, floor)
+    requireAllFilesStamped(spark, path, entries, op)
+    val newSchema = reshape(withIds)
+    val maxId = math.max(floor,
+      withIds.fields.flatMap(fieldIdOf).foldLeft(0L)(math.max))
+    // per-entry stats are keyed by column NAME: a rename REKEYS them
+    // (the values are the same column's — old dirs keep pruning), a
+    // drop SCRUBS them (a later column reusing the name must never
+    // inherit the dead column's stats — its values in old dirs are
+    // null, and e.g. a zero recorded null count would false-prune an
+    // IS NULL query)
+    def rekey[A](m: Map[String, A]): Map[String, A] =
+      m.flatMap { case (k, x) =>
+        if (k != targetCol) Some(k -> x)
+        else renamePruning(k).map(_ -> x)
+      }
+    val newEntries = entries.map(e => e.copy(
+      statMin = rekey(e.statMin), statMax = rekey(e.statMax),
+      strMin = rekey(e.strMin), strMax = rekey(e.strMax),
+      bloom = rekey(e.bloom), strBloom = rekey(e.strBloom),
+      nullCnt = rekey(e.nullCnt), sums = rekey(e.sums)))
+    val (st, bl) = pruningOf(spark, path, prev)
+    val prevTag = maxTagOf(spark, path, prev).getOrElse(
+      entries.map(_.tag).foldLeft(-1L)(math.max))
+    val v = prev + 1
+    commit(spark, path, v, newEntries, newSchema, prevTag,
+      (st.flatMap(c => if (c == targetCol) renamePruning(c) else Some(c)),
+        bl.flatMap(c => if (c == targetCol) renamePruning(c) else Some(c))),
+      cs, op = op,
+      colmapBodyOpt = Some(colmapBody(mapped = true, maxId,
+        retired0 :+ targetCol)))
+    v
+  }
+
+  /** RENAME a column — one metadata commit, zero data movement: the
+    * logical name changes, the field id stays, and every read (old
+    * dirs included) resolves the column by id. Refused for
+    * partition-source columns, constraint-referenced columns, and
+    * pending-dv key columns (each names the column in metadata this
+    * commit does not rewrite); refused until every live dir's files
+    * carry field ids (see [[requireAllFilesStamped]]). */
+  def renameColumn(spark: SparkSession, path: String, from: String,
+      to: String): Long = {
+    require(to.nonEmpty && !to.contains('.') && !to.startsWith("_graft_"),
+      s"ManifestTable.renameColumn: invalid target name '$to'")
+    columnMapCommit(spark, path, "renameColumn", from,
+      s => {
+        require(!s.fieldNames.contains(to),
+          s"ManifestTable.renameColumn: column '$to' already exists")
+        StructType(s.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f))
+      },
+      _ => Some(to))
+  }
+
+  /** DROP a column — one metadata commit: the field leaves the
+    * logical schema (old files keep its bytes; no read ever surfaces
+    * them again, because a later column re-using the NAME gets a new
+    * id). Same refusals and stamping gate as [[renameColumn]]. */
+  def dropColumn(spark: SparkSession, path: String,
+      name: String): Long = {
+    columnMapCommit(spark, path, "dropColumn", name,
+      s => {
+        require(s.fields.length > 1,
+          "ManifestTable.dropColumn: cannot drop the only column")
+        StructType(s.fields.filterNot(_.name == name))
+      },
+      _ => None)
+  }
+
   def schemaOf(spark: SparkSession, path: String,
       v: Long): Option[StructType] = {
     val (fs, _) = fsOf(spark, path)
@@ -740,12 +1031,18 @@ object ManifestTable {
     * rewritten output. Dirs group by tombstone set; clean groups read
     * plain. */
   private def readableFrame(spark: SparkSession, path: String,
-      schema: StructType, readable: Seq[Entry]): DataFrame =
+      schema: StructType, readable: Seq[Entry]): DataFrame = {
+    // rewrite ops always read the CURRENT snapshot — id-match its
+    // schema when the table is mapped (renamed columns keep reading
+    // their old files)
+    val rs = latestVersion(spark, path)
+      .map(v => readIdSchema(spark, path, v, schema)).getOrElse(schema)
     readable.groupBy(_.dv).toSeq.sortBy(_._2.head.dir)
       .map { case (dv, es) =>
-        applyDeletes(spark, path, spark.read.schema(schema)
+        applyDeletes(spark, path, spark.read.schema(rs)
           .parquet(es.map(e => s"$path/data/${e.dir}"): _*), dv)
       }.reduce(_ unionByName _)
+  }
 
   private def readDirs(spark: SparkSession, path: String, v: Long,
       snapshot: Seq[Entry], selected: Seq[Entry]): DataFrame = {
@@ -768,14 +1065,16 @@ object ManifestTable {
       val schema = schemaOf(spark, path, v).getOrElse(sys.error(
         s"ManifestTable: pending deletion vectors at $path ${vName(v)} " +
           "but no schema sidecar — corrupt manifest"))
+      val rs = readIdSchema(spark, path, v, schema)
       withData.groupBy(_.dv).toSeq.sortBy(_._2.head.dir)
         .map { case (dv, es) =>
-          applyDeletes(spark, path, spark.read.schema(schema)
+          applyDeletes(spark, path, spark.read.schema(rs)
             .parquet(es.map(e => s"$path/data/${e.dir}"): _*), dv)
         }.reduce(_ unionByName _)
     }
     else if (sel.nonEmpty) schemaOf(spark, path, v) match {
-      case Some(schema) => spark.read.schema(schema).parquet(sel: _*)
+      case Some(schema) => spark.read
+        .schema(readIdSchema(spark, path, v, schema)).parquet(sel: _*)
       case None => spark.read.parquet(sel: _*)
     }
     else schemaOf(spark, path, v) match {
@@ -1046,26 +1345,34 @@ object ManifestTable {
     // dir), evaluated in the scan stage, and broadcast anti-joins /
     // row filters keep rows in that stage, so one group scan serves
     // any number of target dirs
+    // id-matched read on mapped tables (the targets belong to v-1's
+    // snapshot); the rewritten files re-stamp the ids they'll need
+    // for any LATER rename
+    val rs = readIdSchema(spark, path, v - 1, schema)
     val tagged = targets.groupBy(_.dv).toSeq.sortBy(_._2.head.dir)
       .map { case (dv, es) =>
-        val base = spark.read.schema(schema)
+        val base = spark.read.schema(rs)
           .parquet(es.map(e => s"$path/data/${e.dir}"): _*)
           .withColumn(srcCol,
             element_at(split(input_file_name(), "/"), -2))
         transform(applyDeletes(spark, path, base, dv))
       }.reduce(_ unionByName _)
     spark.sparkContext.setJobDescription(s"graft-$op-rewrite")
-    try tagged.write.partitionBy(srcCol).mode("overwrite").parquet(staging)
+    try stampIds(spark, tagged, schema).write.partitionBy(srcCol)
+      .mode("overwrite").parquet(staging)
     finally spark.sparkContext.setJobDescription(null)
     val staged = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
       .filter(_.getPath.getName.startsWith(s"$srcCol="))
       .map(st => st.getPath.getName.drop(srcCol.length + 1) ->
         st.getPath).toMap
     // stats for the UNION of the targets' recorded columns — a
-    // superset never costs correctness, only adds pruning coverage
+    // superset never costs correctness, only adds pruning coverage.
+    // Restricted to columns the CURRENT schema still has: a renamed/
+    // dropped column's historic stat key would otherwise crash the
+    // grouped restat (losing its stale stats is conservative)
     val restatCols = (targets.flatMap(e => e.statMin.keys ++
       e.strMin.keys ++ e.nullCnt.keys) ++ extraRestatCols)
-      .distinct.sorted
+      .distinct.sorted.filter(schema.fieldNames.contains)
     val restats = statsBySrc(spark, staging, srcCol, restatCols)
     val out = targets.flatMap { e =>
       staged.get(e.dir).map { sp =>
@@ -1286,12 +1593,24 @@ object ManifestTable {
       // re-checked per attempt: a concurrent writer may have evolved
       // the schema between our attempts — additive evolution merges,
       // anything else fails loudly here rather than committing a fork
-      val schema = prev.flatMap(pv => schemaOf(spark, path, pv)) match {
+      val schema0 = prev.flatMap(pv => schemaOf(spark, path, pv)) match {
         case Some(table) => compatibleSchema(df.schema, table,
           evolveSchema, s"ManifestTable.append($path)",
           allowWidening = true)
         case None => df.schema // fresh table (or pre-sidecar manifest)
       }
+      // an evolution must not resurrect a RETIRED name (see colmapOf)
+      prev.foreach { pv =>
+        val prevNames = schemaOf(spark, path, pv)
+          .map(_.fieldNames.toSet).getOrElse(Set.empty[String])
+        refuseRetired(spark, path, pv,
+          df.schema.fieldNames.filterNot(prevNames).toSeq,
+          s"ManifestTable.append($path)")
+      }
+      // field ids assigned BEFORE the write so the data files carry
+      // them (commit re-derives the same ids — deterministic)
+      val schema = withFieldIds(schema0,
+        prev.map(colmapOf(spark, path, _)._2).getOrElse(0L))
       // widenable batch columns (int into a long table) cast to the
       // table's types BEFORE writing — the files always carry the
       // table's physical types
@@ -1310,8 +1629,8 @@ object ManifestTable {
       if (written.isEmpty)
         writtenSpec = Some(PartitionTransform.renderSpec(spec))
       val es = written.getOrElse {
-        val w = writeBatchEntries(spark, aligned, path, v, tag,
-          statsCols, bloomCols, spec, partitionFanout)
+        val w = writeBatchEntries(spark, stampIds(spark, aligned, schema),
+          path, v, tag, statsCols, bloomCols, spec, partitionFanout)
         written = Some(w)
         w
       }
@@ -1642,8 +1961,23 @@ object ManifestTable {
     // replacement content is laid out partition-pure too
     val spec = resolveSpec(spark, path, prev, Nil,
       s"ManifestTable.overwrite($path)")
-    val es = writeBatchEntries(spark, df, path, v, tag, statsCols,
-      bloomCols, spec, partitionFanout)
+    // same-named columns keep their field ids across the overwrite
+    // (an overwrite replaces CONTENT; a column that survives it is
+    // the same column), fresh columns get fresh ids above the
+    // colmap watermark
+    val prevIds = prev.flatMap(pv => schemaOf(spark, path, pv))
+      .map(_.fields.flatMap(f => fieldIdOf(f).map(f.name -> _)).toMap)
+      .getOrElse(Map.empty[String, Long])
+    val schemaO = withFieldIds(StructType(df.schema.fields.map { f =>
+      prevIds.get(f.name) match {
+        case Some(id) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putLong(FieldIdKey, id).build())
+        case None => f
+      }
+    }), prev.map(colmapOf(spark, path, _)._2).getOrElse(0L))
+    val es = writeBatchEntries(spark, stampIds(spark, df, schemaO),
+      path, v, tag, statsCols, bloomCols, spec, partitionFanout)
     // constraints are TABLE metadata: they survive a content
     // overwrite (like Delta's) and the replacement content must
     // satisfy them — validated against the written dirs, like append
@@ -1655,7 +1989,7 @@ object ManifestTable {
         cs, s"ManifestTable.overwrite($path)")
     val prevTag = prevTagOf(spark, path, prev,
       prev.map(pv => entriesOf(spark, path, pv)).getOrElse(Seq.empty))
-    commit(spark, path, v, es, df.schema, math.max(prevTag, tag),
+    commit(spark, path, v, es, schemaO, math.max(prevTag, tag),
       (statsCols, bloomCols), cs, op = "overwrite")
     v
   }
@@ -1671,9 +2005,18 @@ object ManifestTable {
       constraints: Seq[(String, String)] = Nil,
       op: String = "commit",
       partSpecBody: Option[String] = None,
-      extraCommitInfo: Seq[(String, String)] = Nil): Unit = {
+      extraCommitInfo: Seq[(String, String)] = Nil,
+      colmapBodyOpt: Option[String] = None): Unit = {
     import spark.implicits._
     val (fs, _) = fsOf(spark, path)
+    // field ids are assigned AT the persistence boundary (idempotent
+    // with any pre-write assignment — deterministic in field order),
+    // so every sidecar committed by this code carries stable column
+    // identity, whatever path produced the schema
+    val (prevMapped, prevMax, prevRetired) =
+      if (v <= 1) (false, 0L, Seq.empty[String])
+      else colmapOf(spark, path, v - 1)
+    val schemaP = withFieldIds(schema, prevMax)
     val mDir = new org.apache.hadoop.fs.Path(s"$path/manifest")
     fs.mkdirs(mDir)
     // drop tmp debris from crashed EARLIER commits only: a tmp dir
@@ -1714,9 +2057,19 @@ object ManifestTable {
     stageOrConflict {
     writeEntriesParquet(spark, entries, tmp.toString)
     writeSideFile(fs, new org.apache.hadoop.fs.Path(
-      tmp, "_graft_schema.json"), schema.json)
+      tmp, "_graft_schema.json"), schemaP.json)
     writeSideFile(fs, new org.apache.hadoop.fs.Path(
       tmp, "_graft_maxtag"), maxTag.toString)
+    // the column-map sidecar self-carries once mapped (like the
+    // partition spec), its id high watermark refreshed so a dropped
+    // column's id is never reused by a later evolution
+    val liveMax = schemaP.fields.flatMap(fieldIdOf)
+      .foldLeft(0L)(math.max)
+    colmapBodyOpt.orElse(
+      if (prevMapped) Some(colmapBody(mapped = true,
+        math.max(prevMax, liveMax), prevRetired)) else None)
+      .foreach(body => writeSideFile(fs,
+        new org.apache.hadoop.fs.Path(tmp, "_graft_colmap"), body))
     writeSideFile(fs, new org.apache.hadoop.fs.Path(
       tmp, "_graft_pruning"), pruningBody(pruning._1, pruning._2))
     // the partition spec is immutable table metadata: set once (the
@@ -1922,7 +2275,8 @@ object ManifestTable {
     // (compaction MATERIALIZES them; a raw read would resurrect
     // deleted rows into the compacted dir)
     val hadDv = readable.exists(_.dv.nonEmpty)
-    readableFrame(spark, path, schema, readable).repartition(nOut)
+    stampIds(spark, readableFrame(spark, path, schema, readable), schema)
+      .repartition(nOut)
       .write.mode("overwrite").parquet(dataDir)
     // the merged entry keeps the max per-dir tag (honest: the dir
     // holds rows from batches up to that tag) and folds stats
@@ -1943,7 +2297,11 @@ object ManifestTable {
         // columnar read, same written-is-truth rule as append.
         statsOf(spark, dataDir,
           readable.flatMap(e => e.statMin.keys ++ e.strMin.keys ++
-            e.nullCnt.keys).distinct.sorted)
+            e.nullCnt.keys).distinct.sorted
+            // a renamed/dropped column's historic stat key no longer
+            // exists in the written dir — losing its stats is
+            // conservative; selecting it would crash the restat
+            .filter(schema.fieldNames.contains))
       } else {
         val foldCols = readable.map(_.statMin.keySet)
           .reduce(_ intersect _).toSeq.sorted
@@ -2316,12 +2674,23 @@ object ManifestTable {
       s"ManifestTable.readChanges: no schema sidecar at $path " +
         s"${vName(untilVersion)} — pre-sidecar tables have no change " +
         "feed"))
-    // rows conform to the UNTIL schema (additive evolution fills
-    // null), then take the two change columns
-    def norm(df: DataFrame): DataFrame =
-      df.select(schema.fields.map(f =>
-        if (df.columns.contains(f.name)) col(f.name)
-        else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+    // rows conform to the UNTIL schema: a column is located in the
+    // step's frame BY FIELD ID first (so a rename mid-range maps old
+    // rows onto the new name instead of nulling them), by name
+    // otherwise, and additive evolution fills null
+    def norm(df: DataFrame, atV: Long): DataFrame = {
+      val stepById: Map[Long, String] =
+        schemaOf(spark, path, atV).toSeq.flatMap(_.fields)
+          .flatMap(f => fieldIdOf(f).map(_ -> f.name)).toMap
+      df.select(schema.fields.map { f =>
+        fieldIdOf(f).flatMap(stepById.get)
+          .filter(df.columns.contains)
+          .orElse(Some(f.name).filter(df.columns.contains)) match {
+          case Some(src) => col(src).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+      }.toSeq: _*)
+    }
     def tag(df: DataFrame, ct: String, v: Long): DataFrame =
       df.withColumn("_change_type", lit(ct))
         .withColumn("_commit_version", lit(v))
@@ -2339,7 +2708,7 @@ object ManifestTable {
     var frames = Seq.empty[DataFrame]
     if (sinceVersion <= 0) {
       val e0 = entriesOf(spark, path, start)
-      frames :+= tag(norm(readDirs(spark, path, start, e0, e0)),
+      frames :+= tag(norm(readDirs(spark, path, start, e0, e0), start),
         "insert", start)
     }
     var prevV = start
@@ -2367,14 +2736,14 @@ object ManifestTable {
       val rewriteOut = added.filter(_.sources.nonEmpty)
       if (removed.nonEmpty || dvPrev.nonEmpty || rewriteOut.nonEmpty) {
         val pre = norm(readDirs(spark, path, v - 1, prevE,
-          removed ++ dvPrev))
+          removed ++ dvPrev), v - 1)
         val post = norm(readDirs(spark, path, v, eNow,
-          rewriteOut ++ dvNow))
+          rewriteOut ++ dvNow), v)
         frames :+= tag(pre.exceptAll(post), "delete", v)
         frames :+= tag(post.exceptAll(pre), "insert", v)
       }
       if (fresh.nonEmpty)
-        frames :+= tag(norm(readDirs(spark, path, v, eNow, fresh)),
+        frames :+= tag(norm(readDirs(spark, path, v, eNow, fresh), v),
           "insert", v)
       // BOUND the union width: a long-lagged consumer (or a deep
       // graft_changes catch-up) would otherwise accumulate O(versions)
@@ -2852,16 +3221,20 @@ object ManifestTable {
     }
     val v = prev + 1
     val staging = s"$path/data/.cluster-${attemptDirName(v)}"
-    withZ.withColumn("_graft_bucket", coalesce(bucket, lit(0)))
-      .repartition(col("_graft_bucket"))
-      .sortWithinPartitions("_graft_z")
-      .drop("_graft_z")
+    stampIds(spark,
+      withZ.withColumn("_graft_bucket", coalesce(bucket, lit(0)))
+        .repartition(col("_graft_bucket"))
+        .sortWithinPartitions("_graft_z")
+        .drop("_graft_z"), schema)
       .write.partitionBy("_graft_bucket")
       .mode("overwrite").parquet(staging)
     // promote each staged bucket dir to a first-class data dir
     val tag = readable.map(_.tag).foldLeft(-1L)(math.max)
     val statCols = ((statsCols ++ keyCols) ++
       readable.flatMap(e => e.statMin.keys ++ e.strMin.keys)).distinct
+      // drop historic stat keys the current schema no longer has
+      // (post-rename) — conservative, never a crash
+      .filter(schema.fieldNames.contains)
     val newEntries = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
       .filter(_.getPath.getName.startsWith("_graft_bucket="))
       .sortBy(_.getPath.getName)
@@ -3119,10 +3492,11 @@ object ManifestTable {
     // otherwise every merge would erode dropPartitions eligibility
     // one insert dir at a time
     val mSpec = partitionSpecOf(spark, path, prev)
+    val stamped = stampIds(spark, batch, schema)
     val inserted: Seq[Entry] =
-      if (mSpec.isEmpty) Seq(writeDirEntry(spark, batch, path, v, -1L,
+      if (mSpec.isEmpty) Seq(writeDirEntry(spark, stamped, path, v, -1L,
         (statsCols :+ keyCol).distinct, bloomCols))
-      else writePartitionedEntries(spark, batch, path, v, -1L,
+      else writePartitionedEntries(spark, stamped, path, v, -1L,
         (statsCols :+ keyCol).distinct, bloomCols, mSpec,
         provenance = Seq.empty)
     val committed = commitRewrite(spark, path, "merge", prev, entries,
@@ -3485,7 +3859,8 @@ object ManifestTable {
     val mSpec = partitionSpecOf(spark, path, prev)
     val inserted: Seq[Entry] = newRows match {
       case None => Seq.empty
-      case Some(nr) =>
+      case Some(nr0) =>
+        val nr = stampIds(spark, nr0, schema)
         if (mSpec.isEmpty) Seq(writeDirEntry(spark, nr, path, v, -1L,
           (statsCols :+ keyCol).distinct, bloomCols))
         else writePartitionedEntries(spark, nr, path, v, -1L,
@@ -3809,7 +4184,8 @@ object ManifestTable {
     val mSpec = partitionSpecOf(spark, path, prev)
     val inserted: Seq[Entry] = newRows match {
       case None => Seq.empty
-      case Some(nr) =>
+      case Some(nr0) =>
+        val nr = stampIds(spark, nr0, schema)
         if (mSpec.isEmpty) Seq(writeDirEntry(spark, nr, path, v, -1L,
           (statsCols ++ keyCols).distinct, bloomCols))
         else writePartitionedEntries(spark, nr, path, v, -1L,

@@ -1068,10 +1068,15 @@ final class GraftManifestSource extends RelationProvider
       s"graft-manifest: versionAsOf=$version is not a committed " +
         s"snapshot at $path (never committed, or vacuumed)")
     val index = new ManifestFileIndex(spark, path, version)
-    val schema = ManifestTable.schemaOf(spark, path, version).getOrElse(
+    val schema0 = ManifestTable.schemaOf(spark, path, version).getOrElse(
       spark.read.parquet(index.inputFiles.headOption.getOrElse(sys.error(
         s"graft-manifest: no schema sidecar and no data files at " +
           s"$path v$version")): String).schema)
+    // on a MAPPED snapshot (a rename/drop committed) the data schema
+    // carries parquet field ids, so the reader resolves renamed
+    // columns in old files by id — unmapped tables read by name
+    // exactly as before
+    val schema = ManifestTable.readSchemaFor(spark, path, version, schema0)
     HadoopFsRelation(
       location = index,
       partitionSchema = StructType(Nil),

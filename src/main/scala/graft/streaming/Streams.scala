@@ -872,6 +872,46 @@ object Streams {
       }
   }
 
+  /** ONE-CALL recovery for a change-feed follower that LAGGED PAST
+    * the source's vacuum window: the stream's next restart fails
+    * loudly ("checkpoint vN is not a committed snapshot … vacuumed")
+    * because the step diff needs every intermediate version, and the
+    * documented fix is a sinceVersion-0 re-bootstrap. This helper IS
+    * that fix: it deletes the follower's checkpoint AND the replica
+    * table (both derived state — the replica is rebuilt exactly),
+    * then returns a fresh [[applyChangesSinkWriter]] whose first
+    * micro-batch re-bootstraps from the source's CURRENT snapshot
+    * (a fresh change-feed stream with no checkpoint starts at
+    * sinceVersion 0, which emits the live rows as inserts — no
+    * vacuumed intermediate is needed).
+    *
+    * Deliberately DESTRUCTIVE on exactly the two derived artifacts
+    * and nothing else: the source table is never touched, and the
+    * helper refuses a replica path that equals the source (deleting
+    * the source would be data loss, not recovery). Both tables may
+    * be addressed by catalog name. */
+  def rebootstrapChangesFollower(spark: SparkSession,
+      source: String, replica: String, keyCol: String,
+      checkpoint: String, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): DataStreamWriter[Row] = {
+    val srcPath = graft.catalog.GraftNames.resolve(spark, source)
+    val dstPath = graft.catalog.GraftNames.resolve(spark, replica)
+    require(srcPath != dstPath,
+      "Streams.rebootstrapChangesFollower: source and replica " +
+        s"resolve to the same path ($srcPath) — refusing to delete " +
+        "the source")
+    val conf = spark.sessionState.newHadoopConf()
+    Seq(dstPath, checkpoint).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).delete(hp, true)
+    }
+    applyChangesSinkWriter(
+      spark.readStream.format("graft-manifest")
+        .option("readChangeFeed", "true").load(source),
+      replica, keyCol, checkpoint, statsCols = statsCols,
+      bloomCols = bloomCols)
+  }
+
   /** Stream-static enrichment join: each micro-batch left-joins the
     * static dimension on `key` — the streaming form of the J2
     * enrichment join (lookup metadata for every arriving record).

@@ -196,15 +196,21 @@ class CatalogSpec extends AnyFunSuite {
     val old = spark.sql("SELECT * FROM g.ev.t VERSION AS OF 2")
     assert(old.columns.toSeq == Seq("id"))
     assert(old.collect().map(_.getLong(0)).toSeq == Seq(1L))
-    // non-additive alters are loud
+    // RENAME/DROP COLUMN route the field-id mapping (positive
+    // coverage in ManifestColumnMapSpec); other alters stay loud
     def msg(stmt: String): String =
       intercept[Exception](spark.sql(stmt)).getMessage
-    assert(msg("ALTER TABLE g.ev.t DROP COLUMN s")
-      .contains("unsupported ALTER"))
-    assert(msg("ALTER TABLE g.ev.t RENAME COLUMN s TO s2")
-      .contains("unsupported ALTER"))
     assert(msg("ALTER TABLE g.ev.t ADD COLUMN id BIGINT")
       .toLowerCase.contains("exists"))
+    assert(msg("ALTER TABLE g.ev.t ALTER COLUMN s TYPE INT")
+      .contains("NOT_SUPPORTED_CHANGE_COLUMN"),
+      "type changes stay loud (Spark rejects before the catalog)")
+    spark.sql("ALTER TABLE g.ev.t RENAME COLUMN s TO s2")
+    assert(spark.sql("SELECT * FROM g.ev.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq ==
+      Seq((1L, None), (2L, Some("b"))),
+      "renamed column must keep reading its old files by field id")
+    assert(spark.table("g.ev.t").columns.toSeq == Seq("id", "s2"))
   }
 
   test("DROP NAMESPACE: loud when non-empty, CASCADE drops managed data") {

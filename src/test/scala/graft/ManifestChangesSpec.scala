@@ -265,4 +265,56 @@ class ManifestChangesSpec extends AnyFunSuite {
     assert(rows.toArray.toSeq == Seq((1L, "a", "delete", 4L)),
       s"restart must deliver only the new delete, got ${rows.toArray.toSeq}")
   }
+
+  test("a lagged follower recovers with one rebootstrap call") {
+    val tmp = Files.createTempDirectory("graft-cdclag").toString
+    val src = s"$tmp/src"; val dst = s"$tmp/dst"; val ckpt = s"$tmp/ckpt"
+    ManifestTable.append(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), src,
+      statsCols = Seq("id"))
+    def state(t: String): Seq[(Long, String)] =
+      ManifestTable.read(spark, t).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    def follow() = graft.streaming.Streams.applyChangesSinkWriter(
+      spark.readStream.format("graft-manifest")
+        .option("readChangeFeed", "true").load(src),
+      dst, "id", ckpt, statsCols = Seq("id")).start()
+    val q = follow()
+    q.processAllAvailable(); q.stop()
+    assert(state(dst) == state(src))
+    // the follower sleeps while the source advances AND vacuums its
+    // replay window away: the checkpointed offset's successors are gone
+    (3L to 6L).foreach(i => ManifestTable.append(spark,
+      Seq((i, s"v$i")).toDF("id", "s"), src, statsCols = Seq("id")))
+    ManifestTable.deleteRange(spark, src, "id", 1L, 1L)
+    ManifestTable.vacuum(spark, src, keepVersions = 1)
+    // restart fails LOUDLY (never silently skips the gap)
+    val q2 = follow()
+    val ex = intercept[Exception] {
+      q2.processAllAvailable()
+    }
+    def msgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(ex).exists(m => m.contains("vacuumed") ||
+      m.contains("re-bootstrap")), s"got ${msgs(ex)}")
+    if (q2.isActive) q2.stop()
+    // the documented one-call fix: wipe the DERIVED state (replica +
+    // checkpoint) and re-bootstrap from the source's current snapshot
+    val q3 = graft.streaming.Streams.rebootstrapChangesFollower(spark,
+      src, dst, "id", ckpt, statsCols = Seq("id")).start()
+    q3.processAllAvailable()
+    // ... and it keeps FOLLOWING after the bootstrap
+    ManifestTable.append(spark, Seq((9L, "i")).toDF("id", "s"), src,
+      statsCols = Seq("id"))
+    q3.processAllAvailable(); q3.stop()
+    assert(state(dst) == state(src) && state(dst).map(_._1) ==
+      Seq(2L, 3L, 4L, 5L, 6L, 9L), s"got ${state(dst)}")
+    // the source-protection guard
+    val ex2 = intercept[IllegalArgumentException] {
+      graft.streaming.Streams.rebootstrapChangesFollower(spark,
+        src, src, "id", s"$tmp/ckpt2")
+    }
+    assert(ex2.getMessage.contains("refusing"))
+  }
 }
