@@ -315,6 +315,72 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // mc100: the ordered-clause MERGE's cost claim one decade up
+    // (500k docs, 10 range-sliced commits). The numbers that matter:
+    // a conditioned UPDATE/DELETE merge whose 500 keys live in ONE
+    // dir must rewrite ∝ that dir (the composite of envelope + per-
+    // row probe + Bloom pruning), while a NOT MATCHED BY SOURCE
+    // statement honestly pays the whole-table rewrite — the gap IS
+    // the prune.
+    if (args.headOption.contains("mc100")) {
+      val out100 = "/tmp/scale100docs"
+      if (!new java.io.File(s"$out100/documents.parquet").exists())
+        buildDocs100(out100)
+      val docs = Tables.documents(spark, out100)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val n = docs.count()
+      val tm = "/tmp/scale100docs/docs_mc"
+      val fsM = new org.apache.hadoop.fs.Path(tm)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fsM.delete(new org.apache.hadoop.fs.Path(tm), true)
+      // scale100 ids live at copy*1M + [0, ~5000]: 10M-wide value
+      // slices give 10 equal, range-disjoint dirs (10 copies each)
+      val slice = 10000000L
+      val tb0 = System.nanoTime()
+      (0L until 10L).foreach { i =>
+        graft.sinks.ManifestTable.append(spark,
+          docs.filter(col("doc_id") >= i * slice &&
+            (if (i == 9) lit(true) else col("doc_id") < (i + 1) * slice)),
+          tm, statsCols = Seq("doc_id"))
+      }
+      println(f"TIME mc100 ingest_10commits " +
+        f"${(System.nanoTime() - tb0) / 1e9}%.2f s ($n rows)")
+      import spark.implicits._
+      // 500 keys inside dir 0 (+100 delete markers), 100 fresh inserts
+      val src = docs.filter(col("doc_id") < 600)
+        .withColumn("n_chars",
+          when(col("doc_id") % 6 === 0, lit(-1L))
+            .otherwise(col("n_chars") + 1000))
+        .unionByName(docs.filter(col("doc_id") < 100)
+          .withColumn("doc_id", col("doc_id") + 1000000000L))
+      val t1 = System.nanoTime()
+      val (_, touched) = graft.sinks.ManifestTable.mergeClauses(spark,
+        src, tm, Seq("doc_id"),
+        matched = Seq(
+          (Some(col("_src_n_chars") < 0),
+            graft.sinks.ManifestTable.MergeClauseAction.Delete),
+          (None, graft.sinks.ManifestTable.MergeClauseAction.Update(
+            Seq("n_chars" -> col("_src_n_chars"))))),
+        notMatchedInsert = Seq(None))
+      println(f"TIME mc100 merge_3clause_1of10dirs " +
+        f"${(System.nanoTime() - t1) / 1e9}%.2f s " +
+        f"($touched dirs rewritten)")
+      // the honest floor: a BY SOURCE clause can claim any row, so
+      // every dir rewrites
+      val t2 = System.nanoTime()
+      val (_, touchedAll) = graft.sinks.ManifestTable.mergeClauses(spark,
+        docs.filter(col("doc_id") < 600), tm, Seq("doc_id"),
+        matched = Seq((None,
+          graft.sinks.ManifestTable.MergeClauseAction.Update(
+            Seq("n_chars" -> col("_src_n_chars"))))),
+        notMatchedBySource = Seq((Some(col("doc_id") % 1000000 === 999999),
+          graft.sinks.ManifestTable.MergeClauseAction.Delete)))
+      println(f"TIME mc100 merge_by_source_floor " +
+        f"${(System.nanoTime() - t2) / 1e9}%.2f s " +
+        f"($touchedAll dirs rewritten)")
+      spark.stop()
+      return
+    }
     // part100: the hidden-partitioning claims one decade past the 10x
     // probe (500k docs, 10 commits x 5 languages = 50 pure dirs). The
     // number that matters: dropPartitions' wall must be FLAT from 10x

@@ -245,6 +245,46 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
       }
   }
 
+  /** A DELETE/UPDATE condition that is a conjunction of POINT
+    * EQUALITIES on TWO OR MORE distinct columns — the composite
+    * business-key address (`WHERE cve_id = '…' AND source = '…'`).
+    * Each conjunct binds one column to one string or integral
+    * literal; the whole condition denotes exactly ONE key tuple.
+    * Routed onto the ordered-clause merge engine (copy-on-write,
+    * conjunctive composite dir pruning). Single-column shapes fall
+    * through to the existing range/point paths. */
+  private object CompositePointKeys {
+    def unapply(cond: Expression)
+        : Option[Seq[(String, Either[Long, String])]] = {
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+      def strLit(e: Expression): Option[String] = e match {
+        case l: Literal
+            if l.dataType == org.apache.spark.sql.types.StringType =>
+          Option(l.value).map(_.toString)
+        case _ => None
+      }
+      val pairs = conjuncts(cond).map {
+        case EqualTo(a, b) =>
+          def bind(x: Expression, y: Expression)
+              : Option[(String, Either[Long, String])] =
+            nameOf(x).flatMap(c =>
+              strLit(y).map(s =>
+                  c -> (scala.Right(s): Either[Long, String]))
+                .orElse(longLit(y).map(v =>
+                  c -> (scala.Left(v): Either[Long, String]))))
+          bind(a, b).orElse(bind(b, a))
+        case _ => None
+      }
+      val got = pairs.flatten
+      if (got.length == pairs.length && got.length >= 2 &&
+          got.map(_._1).distinct.length == got.length) Some(got)
+      else None
+    }
+  }
+
   /** Rebuild a RESOLVED assignment-value expression as a Column that
     * re-resolves BY NAME against the rewrite engine's own frames:
     * every [[AttributeReference]] is renamed through `rename` (which
@@ -430,6 +470,10 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
             if (vals.isEmpty)
               GraftManifestNoopCommand(s"all-NULL DELETE keys on $path")
             else GraftManifestDeleteKeysCommand(path, c, vals)
+          // composite business-key point delete (`a = … AND b = …`):
+          // one copy-on-write tuple delete, conjunctively dir-pruned
+          case CompositePointKeys(keys) =>
+            GraftManifestCompositeDmlCommand(path, keys, Nil)
           case _ => deleteRangeOf(cond) match {
             case Some((c, lo, hi)) =>
               GraftManifestDeleteCommand(path, c, lo, hi)
@@ -482,6 +526,11 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
                   s"all-NULL UPDATE keys on $path")
                 else GraftManifestUpdateCommand(path,
                   Some(scala.Right((c, vals))), sets)
+              case Some(CompositePointKeys(keys))
+                  if keys.forall(k => !sets.exists(_._1 == k._1)) =>
+                // composite-key point UPDATE: the tuple's row patches
+                // in place through the ordered-clause engine
+                GraftManifestCompositeDmlCommand(path, keys, sets)
               case Some(cond) => deleteRangeOf(cond, "UPDATE") match {
                 case Some((c, lo, hi)) => GraftManifestUpdateCommand(
                   path, Some(scala.Left((c, lo, hi))), sets)
@@ -843,6 +892,72 @@ final case class GraftManifestMergeUpdateCommand(path: String,
     ManifestTable.mergeUpdate(session, src, path, keyCol, sets,
       insertNotMatched = insert, statsCols = statsCols,
       bloomCols = bloomCols)
+    Seq.empty
+  }
+}
+
+/** Composite business-key point DML — `DELETE FROM t WHERE a = …
+  * AND b = …` / `UPDATE t SET … WHERE a = … AND b = …` — routed as a
+  * single-tuple ordered-clause merge ([[ManifestTable.mergeClauses]]:
+  * matched DELETE or matched UPDATE), so the conjunctive composite
+  * dir prune applies and the touched dirs patch in place. An
+  * integral literal outside its column's range provably matches
+  * nothing (a no-op, never a wrapped cast that would hit the wrong
+  * rows); a type-mismatched literal is loud. */
+final case class GraftManifestCompositeDmlCommand(path: String,
+    keys: Seq[(String, Either[Long, String])],
+    sets: Seq[(String, org.apache.spark.sql.Column)])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.types._
+    val stmt = if (sets.isEmpty) "DELETE" else "UPDATE"
+    val v = ManifestTable.latestVersion(session, path).getOrElse(
+      sys.error(s"graft-manifest $stmt: no committed version at $path"))
+    val schema = ManifestTable.schemaOf(session, path, v).getOrElse(
+      sys.error(s"graft-manifest $stmt: no schema sidecar at $path"))
+    val fields = keys.map { case (c, _) =>
+      schema.fields.find(_.name == c).getOrElse(sys.error(
+        s"graft-manifest $stmt: no column '$c' in the table schema " +
+          s"(${schema.fieldNames.mkString(", ")})"))
+    }
+    def fits(x: Long, dt: DataType): Boolean = dt match {
+      case ByteType => x.isValidByte
+      case ShortType => x.isValidShort
+      case IntegerType => x.isValidInt
+      case LongType => true
+      case _ => false
+    }
+    val vals: Seq[Option[Any]] = keys.zip(fields).map {
+      case ((c, scala.Right(s)), f) =>
+        require(f.dataType == StringType,
+          s"graft-manifest $stmt: column '$c' is " +
+            s"${f.dataType.catalogString} but the literal is a string")
+        Some(s)
+      case ((c, scala.Left(x)), f) =>
+        require(f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }, s"graft-manifest $stmt: column '$c' is " +
+          s"${f.dataType.catalogString} but the literal is integral")
+        if (!fits(x, f.dataType)) None // out of range: matches nothing
+        else Some(f.dataType match {
+          case ByteType => x.toByte
+          case ShortType => x.toShort
+          case IntegerType => x.toInt
+          case _ => x
+        })
+    }
+    if (vals.exists(_.isEmpty)) return Seq.empty // provably-empty tuple
+    val row = Row.fromSeq(vals.map(_.get))
+    val df = session.createDataFrame(
+      java.util.Collections.singletonList(row),
+      StructType(fields.map(_.copy(metadata =
+        org.apache.spark.sql.types.Metadata.empty))))
+    val action: ManifestTable.MergeClauseAction =
+      if (sets.isEmpty) ManifestTable.MergeClauseAction.Delete
+      else ManifestTable.MergeClauseAction.Update(sets)
+    ManifestTable.mergeClauses(session, df, path, keys.map(_._1),
+      matched = Seq((None, action)))
     Seq.empty
   }
 }

@@ -130,6 +130,78 @@ class ManifestMergeClausesSpec extends AnyFunSuite {
     assert(ManifestTable.readVersion(spark, t, 1L).count() == 2)
   }
 
+  test("composite point DELETE/UPDATE route as single-tuple merges") {
+    val t = s"${Files.createTempDirectory("graft-mc6")}/t"
+    // two dirs: overlapping sub ranges, disjoint grp ranges — the
+    // conjunctive prune must leave the 'b' dir physically untouched
+    ManifestTable.append(spark, Seq(
+      (1L, "a", 10L), (2L, "a", 20L)).toDF("sub", "grp", "n"),
+      t, statsCols = Seq("sub", "grp"))
+    ManifestTable.append(spark, Seq(
+      (1L, "b", 30L), (2L, "b", 40L)).toDF("sub", "grp", "n"),
+      t, statsCols = Seq("sub", "grp"))
+    val dirsBefore = ManifestTable.entriesOf(spark, t,
+      ManifestTable.latestVersion(spark, t).get).map(_.dir).toSet
+    spark.read.format("graft-manifest").load(t)
+      .createOrReplaceTempView("mc6_t")
+    spark.sql("DELETE FROM mc6_t WHERE grp = 'a' AND sub = 2")
+    spark.sql("UPDATE mc6_t SET n = 99 WHERE grp = 'a' AND sub = 1")
+    assert(rows(t) == Seq((1L, "a", 99L), (1L, "b", 30L), (2L, "b", 40L)),
+      s"got ${rows(t)}")
+    val dirsAfter = ManifestTable.entriesOf(spark, t,
+      ManifestTable.latestVersion(spark, t).get).map(_.dir).toSet
+    assert(dirsBefore.intersect(dirsAfter).size == 1,
+      s"the grp-'b' dir must keep physical identity: " +
+        s"$dirsBefore -> $dirsAfter")
+    // an out-of-range integral literal provably matches nothing: a
+    // no-op, never a wrapped cast hitting the wrong rows
+    spark.sql("DELETE FROM mc6_t WHERE grp = 'b' AND " +
+      "sub = 99999999999999999")
+    assert(ManifestTable.read(spark, t).count() == 3)
+    // a type-mismatched literal is loud
+    def msgs2(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs2(x.getCause))
+    val ex = intercept[Exception] { spark.sql(
+      "DELETE FROM mc6_t WHERE grp = 'b' AND n = 'zzz'") }
+    assert(msgs2(ex).exists(m => m.contains("integral") ||
+      m.contains("unsupported WHERE") ||
+      m.contains("CAST_INVALID_INPUT")), s"got ${msgs2(ex)}")
+  }
+
+  test("partitioned table: merged inserts land partition-pure") {
+    val t = s"${Files.createTempDirectory("graft-mc7")}/t"
+    ManifestTable.append(spark,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "grp", "n"), t,
+      statsCols = Seq("id"),
+      partitionSpec = Seq(graft.sinks.PartitionTransform.PIdentity("grp")))
+    val (_, touched) = ManifestTable.mergeClauses(spark,
+      Seq((1L, "a", 11L), (5L, "c", 50L), (6L, "a", 60L))
+        .toDF("id", "grp", "n"), t, Seq("id"),
+      matched = Seq((None,
+        MergeClauseAction.Update(Seq("n" -> col("_src_n"))))),
+      notMatchedInsert = Seq(None))
+    assert(touched >= 1)
+    val entries = ManifestTable.entriesOf(spark, t,
+      ManifestTable.latestVersion(spark, t).get)
+      .filter(_.rows.exists(_ > 0))
+    assert(entries.forall(_.partition.contains("grp")),
+      s"inserted dirs must stay partition-pure: " +
+        s"${entries.map(_.partition)}")
+    assert(ManifestTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq == Seq((1L, "a", 11L), (2L, "b", 20L),
+        (5L, "c", 50L), (6L, "a", 60L)))
+    // SET on a partition-source column is refused
+    val ex = intercept[Exception] {
+      ManifestTable.mergeClauses(spark,
+        Seq((1L, "z", 0L)).toDF("id", "grp", "n"), t, Seq("id"),
+        matched = Seq((None,
+          MergeClauseAction.Update(Seq("grp" -> lit("z"))))))
+    }
+    assert(ex.getMessage.contains("partition-source"))
+  }
+
   test("unsupported shapes stay loud; ANSI guardrails hold") {
     val t = s"${Files.createTempDirectory("graft-mc5")}/t"
     ManifestTable.append(spark,
