@@ -823,6 +823,64 @@ object LayoutQueries {
     path
   }
 
+  /** A catalog table maintained ENTIRELY through SQL — DML by name
+    * plus the stored-procedure cadence ops (`CALL graftcat.system.
+    * compact/cluster/rewrite_deletes`) — proving maintenance changes
+    * the LAYOUT, never the answer: 4 small INSERTs bin-pack, the
+    * clustered rewrite re-orders, a merge-on-read DELETE's tombstone
+    * materializes, and the final content still equals the plain
+    * recomputation. Shares q153's per-dataset warehouse. Built once
+    * per dataset behind the usual marker. */
+  def ensureMaintainedCatalogTable(s: SparkSession, d: String): String = {
+    val wh = s"${layoutRoot(d)}/catalog_wh"
+    s.conf.set("spark.sql.catalog.graftcat",
+      "graft.catalog.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+    val path = s"$wh/db/maint"
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val n = docs.count()
+    val expect = s"layout=$LayoutVersion manifest=maintcat rows=$n"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      // scoped delete: ONLY this table's dir + ref (the warehouse is
+      // shared with q153's table)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$wh/db/maint.graftref"),
+        false)
+      graft.Sql.registerViews(s, d)
+      val q = math.max(n / 4, 1)
+      (Seq("CREATE NAMESPACE IF NOT EXISTS graftcat.db",
+        """CREATE TABLE graftcat.db.maint
+          |(doc_id BIGINT, lang STRING, n_chars BIGINT)
+          |USING `graft-manifest`
+          |TBLPROPERTIES ('statsCols'='doc_id',
+          |  'bloomCols'='lang')""".stripMargin) ++
+        (0L until 4L).map(i =>
+          s"""INSERT INTO graftcat.db.maint
+             |SELECT doc_id, lang, n_chars FROM documents
+             |WHERE doc_id >= ${i * q} AND
+             |  ${if (i == 3) "TRUE" else s"doc_id < ${(i + 1) * q}"}"""
+            .stripMargin) ++ Seq(
+        """UPDATE graftcat.db.maint SET n_chars = n_chars + 3
+          |WHERE doc_id BETWEEN 200 AND 399""".stripMargin,
+        "CALL graftcat.system.compact('db.maint')",
+        "CALL graftcat.system.cluster('db.maint', 'doc_id', 4)",
+        "DELETE FROM graftcat.db.maint WHERE lang = 'de'",
+        "CALL graftcat.system.rewrite_deletes('db.maint')"
+      )).foreach(s.sql(_).collect())
+      // the cadence ops must leave ZERO pending tombstones and a
+      // clustered layout — the builder is the op-level assertion
+      val v = graft.sinks.ManifestTable.latestVersion(s, path).get
+      require(graft.sinks.ManifestTable.entriesOf(s, path, v)
+        .forall(_.dv.isEmpty),
+        "ensureMaintainedCatalogTable: rewrite_deletes left tombstones")
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
   /** A documents-derived manifest table with a KNOWN mutation
     * history — two range-sliced appends (v1: doc_id < 250, v2: the
     * rest), one in-place UPDATE (n_chars + 7 for doc_id 100–199,
@@ -2288,6 +2346,26 @@ object LayoutQueries {
         .select(col("doc_id"), col("lang"),
           col("chars").cast("long").as("chars"))
         .orderBy("doc_id")
+    },
+
+    // ---- SQL maintenance lifecycle end-to-end (q158): the cadence
+    //      ops reachable from pure SQL — `CALL graftcat.system.
+    //      compact/cluster/rewrite_deletes` between DML statements,
+    //      all by name. Maintenance changes the LAYOUT only: the
+    //      oracle recomputes the content from the plain table, so a
+    //      compaction that lost a row, a clustered rewrite that
+    //      duplicated one, or a tombstone materialization that
+    //      resurrected a deleted row all hash-mismatch. ----
+    GraftQuery("q158_manifest_sql_maintenance",
+      """SELECT doc_id, lang,
+        |  CAST(CASE WHEN doc_id BETWEEN 200 AND 399
+        |    THEN n_chars + 3 ELSE n_chars END AS BIGINT) AS n_chars
+        |FROM documents WHERE lang <> 'de'
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      ensureMaintainedCatalogTable(s, d)
+      s.sql(
+        """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+          |FROM graftcat.db.maint ORDER BY doc_id""".stripMargin)
     },
   )
 }
