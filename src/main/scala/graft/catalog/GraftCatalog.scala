@@ -607,9 +607,21 @@ final case class GraftV2Table(tableName: String, path: String,
       }.toArray
   }
 
-  override def properties(): java.util.Map[String, String] =
-    Map(TableCatalog.PROP_LOCATION -> path,
-      TableCatalog.PROP_PROVIDER -> "graft-manifest").asJava
+  override def properties(): java.util.Map[String, String] = {
+    // surface the pruning discipline too, so SHOW TBLPROPERTIES
+    // answers "which columns prune" without reading the manifest API
+    val spark = SparkSession.active
+    val pruning = ManifestTable.latestVersion(spark, path)
+      .map(v => ManifestTable.pruningOf(spark, path, v))
+      .getOrElse((Nil, Nil))
+    (Map(TableCatalog.PROP_LOCATION -> path,
+      TableCatalog.PROP_PROVIDER -> "graft-manifest") ++
+      (if (pruning._1.nonEmpty)
+        Map("statsCols" -> pruning._1.mkString(",")) else Map.empty) ++
+      (if (pruning._2.nonEmpty)
+        Map("bloomCols" -> pruning._2.mkString(",")) else Map.empty))
+      .asJava
+  }
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.Collections.emptySet()

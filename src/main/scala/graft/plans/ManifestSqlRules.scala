@@ -13,19 +13,23 @@ import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** SQL DML on the `graft-manifest` table format: `INSERT INTO` /
-  * `INSERT OVERWRITE`, `DELETE FROM … WHERE <range>`, and
-  * `MERGE INTO … WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
-  * INSERT *` against a registered manifest view — the write surface
-  * the reference's users actually type (their one table is mutated in
-  * SQL: INSERT in /root/reference/processor.py:55-62, the rest
-  * delegated to the warehouse).
+  * `INSERT OVERWRITE`; `DELETE FROM … WHERE <range | string points |
+  * composite point | none>`; the `UPDATE … SET …` family over the
+  * same WHERE grammar; and the FULL ordered-clause `MERGE INTO` —
+  * whole-row upsert, column-wise patch, conditioned UPDATE/DELETE
+  * clauses, conditioned INSERT *, NOT MATCHED BY SOURCE, composite
+  * ON keys — the write surface the reference's users actually type
+  * (their one table is mutated in SQL: INSERT in
+  * /root/reference/processor.py:55-62, the rest delegated to the
+  * warehouse).
   *
   * Mechanism: an injected RESOLUTION rule (via [[graft.GraftExtensions]])
-  * that recognizes the three DML plan shapes whose target resolves to
+  * that recognizes the DML plan shapes whose target resolves to
   * a `graft-manifest` relation ([[ManifestFileIndex]] behind a
   * [[HadoopFsRelation]]) and replaces them with runnable commands
-  * routing to [[ManifestTable.append]]/[[ManifestTable.overwrite]]/
-  * [[ManifestTable.deleteRange]]/[[ManifestTable.merge]]. The rule
+  * routing to the [[ManifestTable]] primitives (append/overwrite/
+  * deleteRange/deleteKeys/update family/merge/mergeUpdate/
+  * mergeClauses). The rule
   * must fire at resolution time: left alone, Spark would either plan
   * the insert as a RAW file write into the relation's root path —
   * unreferenced by any manifest, silent data loss — or reject

@@ -114,6 +114,26 @@ class ProcedureSpec extends AnyFunSuite {
       s"history must carry op provenance, got $ops")
   }
 
+  test("SHOW/DESCRIBE PROCEDURE surface the declared metadata") {
+    val shown = spark.sql("SHOW PROCEDURES IN gp.system").collect()
+      .map(_.toString)
+    assert(Seq("compact", "cluster", "vacuum", "rewrite_deletes",
+      "restore", "create_tag", "expire_snapshots")
+      .forall(p => shown.exists(_.contains(p))),
+      s"got ${shown.toSeq}")
+    val desc = spark.sql("DESCRIBE PROCEDURE gp.system.compact")
+      .collect().map(_.toString).mkString("\n")
+    assert(desc.contains("compact"), s"got $desc")
+    // SHOW TBLPROPERTIES surfaces the pruning discipline by name
+    spark.sql("CREATE TABLE gp.db.props (id BIGINT, s STRING) " +
+      "USING `graft-manifest` " +
+      "TBLPROPERTIES ('statsCols'='id', 'bloomCols'='s')")
+    val props = spark.sql("SHOW TBLPROPERTIES gp.db.props").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("statsCols").contains("id") &&
+      props.get("bloomCols").contains("s"), s"got $props")
+  }
+
   test("procedures resolve through the catalog: loud on unknowns") {
     def msgs(e: Throwable): Seq[String] =
       Option(e).toSeq.flatMap(x =>
