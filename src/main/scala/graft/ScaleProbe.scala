@@ -381,6 +381,57 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // cm100: the column-rename claims one decade up (500k docs, 10
+    // range-disjoint dirs). The numbers that matter: the rename
+    // itself is METADATA-ONLY (flat whatever the table holds), a
+    // full-table aggregate reads the SAME wall before and after the
+    // rename (field-id resolution is the stock vectorized reader —
+    // zero plan change), and a pruned read on the RENAMED column
+    // still skips the disjoint dirs (stats rekeyed, not lost).
+    if (args.headOption.contains("cm100")) {
+      val out100 = "/tmp/scale100docs"
+      if (!new java.io.File(s"$out100/documents.parquet").exists())
+        buildDocs100(out100)
+      val docs = Tables.documents(spark, out100)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val n = docs.count()
+      val tr = "/tmp/scale100docs/docs_cm"
+      val fsR = new org.apache.hadoop.fs.Path(tr)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fsR.delete(new org.apache.hadoop.fs.Path(tr), true)
+      val slice = 10000000L
+      (0L until 10L).foreach { i =>
+        graft.sinks.ManifestTable.append(spark,
+          docs.filter(col("doc_id") >= i * slice &&
+            (if (i == 9) lit(true) else col("doc_id") < (i + 1) * slice)),
+          tr, statsCols = Seq("doc_id", "n_chars"))
+      }
+      def fullAgg(c: String): Long = {
+        val t0 = System.nanoTime()
+        graft.sinks.ManifestTable.read(spark, tr)
+          .agg(sum(col(c))).collect()
+        System.nanoTime() - t0
+      }
+      fullAgg("n_chars") // warm page cache
+      val pre = fullAgg("n_chars")
+      println(f"TIME cm100 full_agg_before_rename ${pre / 1e9}%.2f s ($n rows)")
+      val t1 = System.nanoTime()
+      graft.sinks.ManifestTable.renameColumn(spark, tr, "n_chars", "chars")
+      println(f"TIME cm100 rename_metadata_only " +
+        f"${(System.nanoTime() - t1) / 1e9}%.2f s")
+      val post = fullAgg("chars")
+      println(f"TIME cm100 full_agg_after_rename ${post / 1e9}%.2f s " +
+        f"(ratio ${post.toDouble / pre}%.2f)")
+      val t3 = System.nanoTime()
+      val pruned = spark.read.format("graft-manifest").load(tr)
+        .filter(col("doc_id") < slice)
+        .agg(sum(col("chars"))).collect()
+      println(f"TIME cm100 pruned_read_renamed_col " +
+        f"${(System.nanoTime() - t3) / 1e9}%.2f s " +
+        f"(1 of 10 dirs via rekeyed doc_id stats)")
+      spark.stop()
+      return
+    }
     // part100: the hidden-partitioning claims one decade past the 10x
     // probe (500k docs, 10 commits x 5 languages = 50 pure dirs). The
     // number that matters: dropPartitions' wall must be FLAT from 10x

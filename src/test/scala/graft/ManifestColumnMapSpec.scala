@@ -58,6 +58,34 @@ class ManifestColumnMapSpec extends AnyFunSuite {
       .map(_.getString(2)).contains("renameColumn"))
   }
 
+  test("the renamed column keeps PRUNING old dirs: a plan pin") {
+    val t = s"${Files.createTempDirectory("graft-cm6")}/t"
+    // two range-disjoint dirs committed BEFORE the rename
+    ManifestTable.append(spark,
+      (0L until 50L).map(i => (i, i * 10)).toDF("id", "n"), t,
+      statsCols = Seq("n"))
+    ManifestTable.append(spark,
+      (50L until 100L).map(i => (i, i * 10)).toDF("id", "n"), t,
+      statsCols = Seq("n"))
+    ManifestTable.renameColumn(spark, t, "n", "m")
+    // filtering on the NEW name must prune the disjoint OLD dir via
+    // the REKEYED stats — the executed scan reads 1 of 2 dirs' files
+    val df = spark.read.format("graft-manifest").load(t)
+      .filter(col("m") >= 600)
+    assert(df.count() == 40)
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec"))
+    val allFiles = ManifestTable.read(spark, t).inputFiles.length
+    assert(scan.metrics("numFiles").value < allFiles,
+      s"rekeyed stats must prune the disjoint pre-rename dir: read " +
+        s"${scan.metrics("numFiles").value} of $allFiles files")
+    // and the pushed filter reaches the parquet reader under the new
+    // name (old files lack it by name — the reader skips pushdown
+    // there and resolves the column by id; values stay exact)
+    assert(scan.metadata("PushedFilters").contains("m"))
+  }
+
   test("drop retires the name: reads exclude it, reuse is refused loudly") {
     def msgs(e: Throwable): Seq[String] =
       Option(e).toSeq.flatMap(x =>
