@@ -312,6 +312,19 @@ object ScaleProbe {
         .readChanges(spark, tc, 0, v).count()
       println(f"TIME cdf100 bootstrap_floor " +
         f"${(System.nanoTime() - t3) / 1e9}%.2f s ($boot rows)")
+      // the recovery path end-to-end: a fresh follower (the exact
+      // stream rebootstrapChangesFollower starts) rebuilds the
+      // replica from the current snapshot in ONE micro-batch — the
+      // wall a lagged consumer pays ONCE after a vacuumed gap
+      val t4 = System.nanoTime()
+      val qb = graft.streaming.Streams.rebootstrapChangesFollower(
+        spark, tc, s"$out100/docs_cdf_replica", "doc_id",
+        s"$out100/docs_cdf_ckpt", statsCols = Seq("doc_id")).start()
+      qb.processAllAvailable(); qb.stop()
+      val rep = graft.sinks.ManifestTable.read(spark,
+        s"$out100/docs_cdf_replica").count()
+      println(f"TIME cdf100 follower_rebootstrap " +
+        f"${(System.nanoTime() - t4) / 1e9}%.2f s ($rep replica rows)")
       spark.stop()
       return
     }
