@@ -266,6 +266,40 @@ class ManifestChangesSpec extends AnyFunSuite {
       s"restart must deliver only the new delete, got ${rows.toArray.toSeq}")
   }
 
+  test("a deep catch-up collapses its union width without changing the feed") {
+    val t = s"${Files.createTempDirectory("graft-cdfdeep")}/t"
+    ManifestTable.append(spark,
+      (0L until 60L).map(i => (i, 100L)).toDF("id", "n"), t,
+      statsCols = Seq("id"))
+    // 25 stepped versions x (delete-preimage + insert-postimage
+    // frames) + the bootstrap frame crosses ChangeUnionWidth (48):
+    // the feed must collapse via localCheckpoint mid-accumulation
+    // and still be row-exact
+    (1L to 25L).foreach(i =>
+      ManifestTable.updateRange(spark, t, "id", i, i,
+        Seq("n" -> (col("n") + i))))
+    val v = ManifestTable.latestVersion(spark, t).get
+    assert(v == 26L)
+    val ch = ManifestTable.readChanges(spark, t, 0L, v)
+    assert(ch.count() == 60 + 2 * 25, "bootstrap + one pre/post pair " +
+      "per stepped version")
+    // NET the feed (last change per id wins) and compare against the
+    // live table — a collapse that lost, duplicated, or reordered a
+    // frame diverges here
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("_commit_version").desc,
+        when(col("_change_type") === "insert", 1).otherwise(0).desc)
+    val net = ch.withColumn("_rn",
+        org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("_rn") === 1 && col("_change_type") === "insert")
+      .select("id", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val live = ManifestTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(net == live, s"netted feed diverged from the table")
+    assert(live.take(3) == Seq((0L, 100L), (1L, 101L), (2L, 102L)))
+  }
+
   test("a lagged follower recovers with one rebootstrap call") {
     val tmp = Files.createTempDirectory("graft-cdclag").toString
     val src = s"$tmp/src"; val dst = s"$tmp/dst"; val ckpt = s"$tmp/ckpt"
