@@ -430,9 +430,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       require(!fs.exists(to),
         s"graft catalog: rename target dir $to already exists — " +
           "refusing to adopt or overwrite it")
-      require(fs.rename(from, to),
-        s"graft catalog: could not move managed data $from -> $to")
+      // the NEW ref is written BEFORE the data moves, so every crash
+      // point leaves at least one ref resolving to the live data:
+      // crash before the move = old ref still serves it (the new ref
+      // dangles at an empty path — re-runnable); crash after = the
+      // new ref serves it. The old order (move, then write ref)
+      // had a window where the only ref pointed at the moved-away
+      // path: an unreadable table with no automatic recovery.
       writeRef(newIdent, to.toString, external = false)
+      try require(fs.rename(from, to),
+        s"graft catalog: could not move managed data $from -> $to")
+      catch {
+        case e: Throwable =>
+          // the move failed OUTRIGHT (same-process): retract the
+          // just-written forward ref rather than leave a dangling name
+          fs.delete(refFile(newIdent), false)
+          throw e
+      }
       fs.delete(refFile(oldIdent), false)
     }
     ()
@@ -609,9 +623,12 @@ final case class GraftV2Table(tableName: String, path: String,
 
   override def properties(): java.util.Map[String, String] = {
     // surface the pruning discipline too, so SHOW TBLPROPERTIES
-    // answers "which columns prune" without reading the manifest API
+    // answers "which columns prune" without reading the manifest API.
+    // Resolved via the TIME-TRAVEL pin like schema()/partitioning():
+    // a pinned read's DESCRIBE must describe the pinned snapshot,
+    // not whatever the table evolved into since.
     val spark = SparkSession.active
-    val pruning = ManifestTable.latestVersion(spark, path)
+    val pruning = resolvedVersion(spark)
       .map(v => ManifestTable.pruningOf(spark, path, v))
       .getOrElse((Nil, Nil))
     (Map(TableCatalog.PROP_LOCATION -> path,

@@ -468,17 +468,39 @@ object ManifestTable {
         "would corrupt row-group pruning; pick a different name")
   }
 
+  /** Run `body` with `spark.sql.parquet.fieldId.write.enabled`
+    * forced on, restoring the caller's setting after: graft writes
+    * must stamp ids whatever the session says, WITHOUT leaving the
+    * session mutated for unrelated parquet writes. Scoping works for
+    * writes because every graft write is EAGER inside its operation;
+    * the READ flag cannot be scoped the same way (mapped-table frames
+    * are returned lazily and resolve ids at scan execution — see
+    * [[readIdSchema]]). A concurrent restore can at worst flip the
+    * flag off mid-write, which the rename/drop stamping gate
+    * ([[requireAllFilesStamped]]) catches loudly — never silently. */
+  private def withIdWriteConf[T](spark: SparkSession)(body: => T): T = {
+    val k = "spark.sql.parquet.fieldId.write.enabled"
+    val old = spark.conf.getOption(k)
+    spark.conf.set(k, "true")
+    try body
+    finally old match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
   /** Stamp `parquet.field.id` onto a frame about to be WRITTEN, from
     * the sidecar schema's `graft.id`s — every data file then carries
     * the ids a later rename/drop needs. No ids in the schema (a
-    * table that has never committed under this code) = identity. */
+    * table that has never committed under this code) = identity.
+    * The write itself must run under [[withIdWriteConf]] (the writer
+    * funnels do) or the metadata stamped here is silently dropped. */
   private def stampIds(spark: SparkSession, df: DataFrame,
       schema: StructType): DataFrame = {
     val ids = schema.fields
       .flatMap(f => fieldIdOf(f).map(f.name -> _)).toMap
     if (ids.isEmpty) df
     else {
-      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
       df.select(df.columns.map { c =>
         ids.get(c) match {
           case Some(id) => col(c).as(c,
@@ -495,7 +517,17 @@ object ManifestTable {
     * session's id-read is enabled, so the reader matches columns by
     * id (renames transparent, drops never resurrect). Unmapped
     * snapshots read by name exactly as before — their schemas carry
-    * no parquet ids, so the global conf cannot affect them. */
+    * no parquet ids, so the global conf cannot affect them.
+    *
+    * The READ flag deliberately stays session-scoped (unlike the
+    * write flag, [[withIdWriteConf]]): mapped-table frames are
+    * returned LAZILY and Spark's parquet reader consults the session
+    * conf at scan execution, not per-relation options — a
+    * save-and-restore here would break every frame consumed after
+    * this call returns. The flag is additive: it only changes reads
+    * whose READ SCHEMA carries explicit `parquet.field.id` metadata,
+    * which plain reads (inferred or user schemas without that
+    * metadata) never do. */
   private def readIdSchema(spark: SparkSession, path: String, v: Long,
       schema: StructType): StructType =
     if (!colmapOf(spark, path, v)._1) schema
@@ -1358,8 +1390,9 @@ object ManifestTable {
         transform(applyDeletes(spark, path, base, dv))
       }.reduce(_ unionByName _)
     spark.sparkContext.setJobDescription(s"graft-$op-rewrite")
-    try stampIds(spark, tagged, schema).write.partitionBy(srcCol)
-      .mode("overwrite").parquet(staging)
+    try withIdWriteConf(spark)(
+      stampIds(spark, tagged, schema).write.partitionBy(srcCol)
+        .mode("overwrite").parquet(staging))
     finally spark.sparkContext.setJobDescription(null)
     val staged = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
       .filter(_.getPath.getName.startsWith(s"$srcCol="))
@@ -1583,6 +1616,7 @@ object ManifestTable {
     require(retries >= 0, s"append: retries must be >= 0, got $retries")
     var written: Option[Seq[Entry]] = None
     var writtenSpec: Option[String] = None
+    var writtenIds: Option[Map[String, Long]] = None
     var attempt = 0
     var validated = Set.empty[(String, String)]
     while (true) {
@@ -1611,6 +1645,24 @@ object ManifestTable {
       // them (commit re-derives the same ids — deterministic)
       val schema = withFieldIds(schema0,
         prev.map(colmapOf(spark, path, _)._2).getOrElse(0L))
+      // a rebase must not COMMIT ids that diverge from the ids
+      // already stamped into the memoized files: after a conflict
+      // past a concurrent schema-evolving/renaming commit, the
+      // re-derived assignment can shift (a fresh column's id floats
+      // with the new floor, or a racing writer took the id for a
+      // different column) — the files would pass the stamping gate
+      // and a later rename/drop would then silently null or
+      // mis-resolve this dir's columns by id
+      val idsNow = schema.fields
+        .flatMap(f => fieldIdOf(f).map(f.name -> _)).toMap
+      if (written.isDefined && writtenIds.exists(_ != idsNow))
+        throw new CommitConflictException(
+          s"ManifestTable.append($path): field-id assignment " +
+            "changed between attempts (a concurrent schema " +
+            "evolution reassigned ids) — committing would divorce " +
+            "the manifest's ids from the ids stamped into this " +
+            "attempt's files; its dirs are orphans vacuum will reap")
+      if (written.isEmpty) writtenIds = Some(idsNow)
       // widenable batch columns (int into a long table) cast to the
       // table's types BEFORE writing — the files always carry the
       // table's physical types
@@ -1715,7 +1767,8 @@ object ManifestTable {
       bloomCols: Seq[String] = Nil): Entry = {
     val dirName = attemptDirName(v)
     val dataDir = s"$path/data/$dirName"
-    df.write.mode("overwrite").parquet(dataDir)
+    withIdWriteConf(spark)(
+      df.write.mode("overwrite").parquet(dataDir))
     val (fs, _) = fsOf(spark, path)
     val (mins, maxes, sMins, sMaxes, nulls, sums) =
       statsOf(spark, dataDir, statsCols)
@@ -1801,8 +1854,9 @@ object ManifestTable {
       if (sortWithin.isEmpty) spread
       else spread.sortWithinPartitions(
         (ptCols ++ sortWithin).map(col): _*)
-    ordered.write.partitionBy(ptCols: _*).mode("overwrite")
-      .parquet(staging)
+    withIdWriteConf(spark)(
+      ordered.write.partitionBy(ptCols: _*).mode("overwrite")
+        .parquet(staging))
     // grouped restat with an EXPLICIT schema: partition-column type
     // inference would otherwise re-type a derived value (a "007"
     // prefix becomes int 7) and the recorded partition value would no
@@ -2275,9 +2329,11 @@ object ManifestTable {
     // (compaction MATERIALIZES them; a raw read would resurrect
     // deleted rows into the compacted dir)
     val hadDv = readable.exists(_.dv.nonEmpty)
-    stampIds(spark, readableFrame(spark, path, schema, readable), schema)
-      .repartition(nOut)
-      .write.mode("overwrite").parquet(dataDir)
+    withIdWriteConf(spark)(
+      stampIds(spark, readableFrame(spark, path, schema, readable),
+        schema)
+        .repartition(nOut)
+        .write.mode("overwrite").parquet(dataDir))
     // the merged entry keeps the max per-dir tag (honest: the dir
     // holds rows from batches up to that tag) and folds stats
     // per-column: a column is folded only when EVERY readable source
@@ -3221,13 +3277,14 @@ object ManifestTable {
     }
     val v = prev + 1
     val staging = s"$path/data/.cluster-${attemptDirName(v)}"
-    stampIds(spark,
-      withZ.withColumn("_graft_bucket", coalesce(bucket, lit(0)))
-        .repartition(col("_graft_bucket"))
-        .sortWithinPartitions("_graft_z")
-        .drop("_graft_z"), schema)
-      .write.partitionBy("_graft_bucket")
-      .mode("overwrite").parquet(staging)
+    withIdWriteConf(spark)(
+      stampIds(spark,
+        withZ.withColumn("_graft_bucket", coalesce(bucket, lit(0)))
+          .repartition(col("_graft_bucket"))
+          .sortWithinPartitions("_graft_z")
+          .drop("_graft_z"), schema)
+        .write.partitionBy("_graft_bucket")
+        .mode("overwrite").parquet(staging))
     // promote each staged bucket dir to a first-class data dir
     val tag = readable.map(_.tag).foldLeft(-1L)(math.max)
     val statCols = ((statsCols ++ keyCols) ++

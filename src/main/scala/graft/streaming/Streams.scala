@@ -896,11 +896,27 @@ object Streams {
       bloomCols: Seq[String] = Nil): DataStreamWriter[Row] = {
     val srcPath = graft.catalog.GraftNames.resolve(spark, source)
     val dstPath = graft.catalog.GraftNames.resolve(spark, replica)
-    require(srcPath != dstPath,
-      "Streams.rebootstrapChangesFollower: source and replica " +
-        s"resolve to the same path ($srcPath) — refusing to delete " +
-        "the source")
     val conf = spark.sessionState.newHadoopConf()
+    // the overlap guard is QUALIFIED-PATH PREFIX, not string
+    // equality: a replica or checkpoint nested UNDER the source dir
+    // (replica = s"$src/replica") would be recursively deleted right
+    // along with source data, and a delete target that CONTAINS the
+    // source dir would take it down from above — both are data loss
+    // wearing a recovery helper's clothes
+    def qual(p: String): String = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+    val srcQ = qual(srcPath)
+    Seq("replica" -> dstPath, "checkpoint" -> checkpoint).foreach {
+      case (what, p) =>
+        val q = qual(p)
+        require(q != srcQ && !q.startsWith(srcQ + "/") &&
+            !srcQ.startsWith(q + "/"),
+          s"Streams.rebootstrapChangesFollower: $what path $p " +
+            s"overlaps the source table $srcPath — refusing to " +
+            "delete anything that could take source data with it")
+    }
     Seq(dstPath, checkpoint).foreach { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(conf).delete(hp, true)

@@ -365,4 +365,25 @@ class CatalogSpec extends AnyFunSuite {
       .filter(_.rows.exists(_ > 0)).maxBy(_.dir)
     assert(newest.statMin.contains("id") || newest.strMin.contains("id"))
   }
+
+  test("properties() resolves through the time-travel pin") {
+    val ext = s"${Files.createTempDirectory("graft-cat-pin")}/t"
+    // v1 records NO pruning discipline; the adoption commit (v2)
+    // seeds statsCols=id — so the pinned and latest snapshots
+    // genuinely disagree about `properties()`
+    ManifestTable.append(spark, Seq((1L, "x")).toDF("id", "s"), ext)
+    spark.sql("CREATE TABLE g.db.pinprops USING `graft-manifest` " +
+      s"LOCATION '$ext' TBLPROPERTIES ('statsCols'='id')")
+    val cat = spark.sessionState.catalogManager.catalog("g")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db"), "pinprops")
+    assert(cat.loadTable(ident).properties()
+      .get("statsCols") == "id")
+    // pinned at v1: the pre-adoption snapshot had no statsCols — a
+    // DESCRIBE of the pin must say so, consistently with schema()
+    assert(cat.loadTable(ident, "1").properties()
+      .get("statsCols") == null,
+      "pinned properties() must reflect the PINNED snapshot")
+  }
 }

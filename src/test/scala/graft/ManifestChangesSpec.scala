@@ -350,5 +350,27 @@ class ManifestChangesSpec extends AnyFunSuite {
         src, src, "id", s"$tmp/ckpt2")
     }
     assert(ex2.getMessage.contains("refusing"))
+    // … and it is a PREFIX guard, not string equality: a replica or
+    // checkpoint NESTED UNDER the source dir would delete source
+    // data on the way to the "derived" artifact
+    val ex3 = intercept[IllegalArgumentException] {
+      graft.streaming.Streams.rebootstrapChangesFollower(spark,
+        src, s"$src/replica", "id", s"$tmp/ckpt3")
+    }
+    assert(ex3.getMessage.contains("overlaps"), ex3.getMessage)
+    val ex4 = intercept[IllegalArgumentException] {
+      graft.streaming.Streams.rebootstrapChangesFollower(spark,
+        src, s"$tmp/dst4", "id", s"$src/ckpt")
+    }
+    assert(ex4.getMessage.contains("overlaps"), ex4.getMessage)
+    // a delete target ABOVE the source is refused too (it would take
+    // the source down from the parent)
+    val ex5 = intercept[IllegalArgumentException] {
+      graft.streaming.Streams.rebootstrapChangesFollower(spark,
+        src, tmp, "id", s"$tmp/ckpt5")
+    }
+    assert(ex5.getMessage.contains("overlaps"), ex5.getMessage)
+    // source data fully intact after every refusal
+    assert(ManifestTable.read(spark, src).count() == 6)
   }
 }
