@@ -687,6 +687,49 @@ object LayoutQueries {
     path
   }
 
+  /** A manifest table mutated by the GENERAL-predicate SQL DML pair —
+    * the statements a migrating Delta/Iceberg user writes first:
+    * `DELETE … WHERE lang = 'de' AND n_chars > k` (mixed string +
+    * integral conjuncts no exact fast path denotes) and an `UPDATE …
+    * WHERE … OR …` (routes with zero pruning extracted — still
+    * exact). Both route [[graft.sinks.ManifestTable.deleteWhere]] /
+    * `updateWhere`: the predicate runs verbatim in the staged
+    * rewrite, dirs prune by the scan's own conjunct probe. Built
+    * once per dataset behind the usual marker. */
+  def ensureGeneralDmlManifest(s: SparkSession, d: String): String = {
+    val path = s"${layoutRoot(d)}/docs_manifest_gendml"
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val n = docs.count()
+    val expect = s"layout=$LayoutVersion manifest=gendml rows=$n"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val q = math.max(n / 4, 1)
+      (0L until 4L).foreach { i =>
+        val lo = i * q
+        val slice = docs.filter(col("doc_id") >= lo &&
+          (if (i == 3) lit(true) else col("doc_id") < lo + q))
+        graft.sinks.ManifestTable.append(s, slice, path,
+          statsCols = Seq("doc_id", "lang", "n_chars"),
+          bloomCols = Seq("lang"))
+      }
+      require(graft.sinks.ManifestTable.read(s, path).count() == n,
+        "ensureGeneralDmlManifest: range slicing dropped rows")
+      s.read.format("graft-manifest").load(path)
+        .createOrReplaceTempView("graft_gendml_target")
+      s.sql(
+        "DELETE FROM graft_gendml_target " +
+          "WHERE lang = 'de' AND n_chars > 600")
+      s.sql(
+        "UPDATE graft_gendml_target SET n_chars = n_chars + 11 " +
+          "WHERE lang = 'en' AND (n_chars < 300 OR n_chars > 900)")
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
   /** A manifest table keyed by a COMPOSITE business key — (grp, sub)
     * = (doc_id div 1000, doc_id mod 1000) — upserted through the SQL
     * MERGE's conjunctive `ON t.grp = u.grp AND t.sub = u.sub`:
@@ -2366,6 +2409,36 @@ object LayoutQueries {
       s.sql(
         """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
           |FROM graftcat.db.maint ORDER BY doc_id""".stripMargin)
+    },
+
+    // ---- GENERAL-predicate SQL DML end-to-end (q159): the first
+    //      statements a migrating Delta/Iceberg user writes —
+    //      `DELETE WHERE lang = 'de' AND n_chars > 600` (mixed
+    //      conjuncts no exact fast path denotes) and an UPDATE with
+    //      an OR predicate (zero pruning extracted — still exact).
+    //      The oracle recomputes both mutations from scratch over
+    //      the plain table with the exact SQL semantics (TRUE rows
+    //      deleted, NULL/FALSE survive — COALESCE(…, FALSE) pins the
+    //      null contract), so a delete that dropped a null-predicate
+    //      row, an update applied outside its predicate, or a
+    //      mis-pruned dir all hash-mismatch. ----
+    GraftQuery("q159_manifest_general_dml",
+      """WITH kept AS (
+        |  SELECT * FROM documents
+        |  WHERE NOT COALESCE(lang = 'de' AND n_chars > 600, FALSE)),
+        |u AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN COALESCE(lang = 'en'
+        |        AND (n_chars < 300 OR n_chars > 900), FALSE)
+        |      THEN n_chars + 11 ELSE n_chars END AS n_chars
+        |  FROM kept)
+        |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM u ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val path = ensureGeneralDmlManifest(s, d)
+      graft.sinks.ManifestTable.read(s, path)
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy("doc_id")
     },
   )
 }

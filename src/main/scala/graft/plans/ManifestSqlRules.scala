@@ -316,6 +316,32 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
     else Some(org.apache.spark.sql.GraftSqlBridge.column(t))
   }
 
+  /** An ARBITRARY deterministic, subquery-free WHERE, classified for
+    * the general DELETE/UPDATE path ([[ManifestTable.deleteWhere]] /
+    * [[ManifestTable.updateWhere]]): returns the predicate rebuilt as
+    * a by-name Column (the rewrite frame re-resolves it) plus its
+    * resolved top-level conjuncts (the dir-pruning probe's input —
+    * the same extractors the scan's FileIndex runs on pushed
+    * filters). Loud on the two shapes row-level DML must never
+    * guess at: a non-deterministic predicate (re-evaluated per
+    * touched dir, it would delete different rows than the statement
+    * run once would) and a subquery (the rewrite frame cannot host
+    * one — route it through the programmatic API with the subquery
+    * materialized). */
+  private def generalWhere(cond: Expression, stmt: String)
+      : (org.apache.spark.sql.Column, Seq[Expression]) = {
+    val c = rebuildSetValue(cond, ar => Some(ar.name)).getOrElse(
+      sys.error(s"graft-manifest $stmt: unsupported WHERE " +
+        s"(${cond.sql}) — non-deterministic functions and " +
+        "subqueries must go through the programmatic API (evaluate " +
+        "the subquery first, then deleteKeys/deleteWhere)"))
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    (c, conjuncts(cond))
+  }
+
   /** The FULL clause family — `WHEN MATCHED [AND p] THEN
     * UPDATE/DELETE`, multiple ordered clauses, conditioned `WHEN NOT
     * MATCHED THEN INSERT *`, `WHEN NOT MATCHED BY SOURCE [AND p] THEN
@@ -478,11 +504,20 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
           // one copy-on-write tuple delete, conjunctively dir-pruned
           case CompositePointKeys(keys) =>
             GraftManifestCompositeDmlCommand(path, keys, Nil)
-          case _ => deleteRangeOf(cond) match {
-            case Some((c, lo, hi)) =>
+          case _ => scala.util.Try(deleteRangeOf(cond)) match {
+            case scala.util.Success(Some((c, lo, hi))) =>
               GraftManifestDeleteCommand(path, c, lo, hi)
-            case None => // provably-empty range: delete nothing
+            case scala.util.Success(None) => // provably-empty range
               GraftManifestNoopCommand(s"empty DELETE range on $path")
+            // anything the fast paths can't denote exactly — mixed
+            // conjuncts, ORs, non-integral ranges, function-wrapped
+            // columns — routes the GENERAL predicate path: the
+            // predicate runs verbatim in the rewrite, dirs prune by
+            // the scan's own conjunct probe; only non-deterministic
+            // or subquery predicates stay loud (generalWhere)
+            case scala.util.Failure(_) =>
+              val (c, conj) = generalWhere(cond, "DELETE")
+              GraftManifestDeleteWhereCommand(path, c, conj)
           }
         }
 
@@ -535,12 +570,20 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
                 // composite-key point UPDATE: the tuple's row patches
                 // in place through the ordered-clause engine
                 GraftManifestCompositeDmlCommand(path, keys, sets)
-              case Some(cond) => deleteRangeOf(cond, "UPDATE") match {
-                case Some((c, lo, hi)) => GraftManifestUpdateCommand(
-                  path, Some(scala.Left((c, lo, hi))), sets)
-                case None => GraftManifestNoopCommand(
-                  s"empty UPDATE range on $path")
-              }
+              case Some(cond) =>
+                scala.util.Try(deleteRangeOf(cond, "UPDATE")) match {
+                  case scala.util.Success(Some((c, lo, hi))) =>
+                    GraftManifestUpdateCommand(
+                      path, Some(scala.Left((c, lo, hi))), sets)
+                  case scala.util.Success(None) =>
+                    GraftManifestNoopCommand(
+                      s"empty UPDATE range on $path")
+                  // general deterministic predicate — same routing
+                  // rationale as DELETE's (see generalWhere)
+                  case scala.util.Failure(_) =>
+                    val (c, conj) = generalWhere(cond, "UPDATE")
+                    GraftManifestUpdateWhereCommand(path, c, conj, sets)
+                }
             }
           case _ => u
         }
@@ -847,6 +890,37 @@ final case class GraftManifestFullDeleteCommand(path: String)
 final case class GraftManifestNoopCommand(why: String)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = Seq.empty
+}
+
+/** `DELETE FROM v WHERE <any deterministic, subquery-free
+  * predicate>` → [[ManifestTable.deleteWhere]]: the predicate runs
+  * VERBATIM in the staged rewrite (TRUE rows deleted, NULL/FALSE
+  * survive), and dirs prune by the same conjunct probe the scan's
+  * FileIndex runs — a stats-disjoint dir survives physically
+  * untouched. `conjuncts` are the resolved WHERE conjuncts, carried
+  * for pruning only; `cond` is the by-name rebuilt Column the
+  * rewrite evaluates. */
+final case class GraftManifestDeleteWhereCommand(path: String,
+    cond: org.apache.spark.sql.Column, conjuncts: Seq[Expression])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    ManifestTable.deleteWhere(session, path, cond, conjuncts)
+    Seq.empty
+  }
+}
+
+/** `UPDATE v SET … WHERE <any deterministic, subquery-free
+  * predicate>` → [[ManifestTable.updateWhere]]: matching rows are
+  * patched in place, with the same pruning story as the general
+  * DELETE's. */
+final case class GraftManifestUpdateWhereCommand(path: String,
+    cond: org.apache.spark.sql.Column, conjuncts: Seq[Expression],
+    sets: Seq[(String, org.apache.spark.sql.Column)])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    ManifestTable.updateWhere(session, path, cond, conjuncts, sets)
+    Seq.empty
+  }
 }
 
 /** `UPDATE v SET col = expr [, …] WHERE <shape>` → the

@@ -2994,6 +2994,104 @@ object ManifestTable {
     (committed, touch.size)
   }
 
+  /** Copy-on-write `DELETE FROM t WHERE <any deterministic,
+    * subquery-free predicate>` — the first statement a migrating
+    * Delta/Iceberg user writes (`WHERE lang = 'de' AND n_chars >
+    * 5000`), and the generalization [[deleteRange]]/[[deleteKeys]]
+    * are the fast paths of. Dir pruning runs the SAME probe the
+    * scan's FileIndex runs on pushed filters
+    * ([[graft.sources.ManifestFileIndex.entryProbe]] over
+    * `pruneConjuncts`, the predicate's resolved conjuncts): recorded
+    * min/max envelopes, string bounds, Bloom point probes, null
+    * counts, and hidden-partition values all participate, so a
+    * stats-disjoint dir survives PHYSICALLY untouched. Rows where
+    * the predicate is NULL or FALSE survive (SQL DELETE deletes
+    * exactly the TRUE rows); only overlapping dirs rewrite, in ONE
+    * staged job ([[stagedRewrite]]). `cond` re-resolves BY NAME
+    * against the table's columns — the caller (the SQL rule, or a
+    * programmatic user) passes a Column built from plain column
+    * names. Returns (new version, dirs rewritten).
+    *
+    * `retries > 0` rebases optimistically iff the probe proves every
+    * concurrently-added dir cannot hold a matching row — otherwise
+    * the conflict propagates (the interloper may have appended rows
+    * this delete should have removed). */
+  def deleteWhere(spark: SparkSession, path: String,
+      cond: org.apache.spark.sql.Column,
+      pruneConjuncts: Seq[
+        org.apache.spark.sql.catalyst.expressions.Expression] = Nil,
+      retries: Int = 0): (Long, Int) = {
+    val (fs, _) = fsOf(spark, path)
+    val prev = latestVersion(spark, path).getOrElse(
+      sys.error(s"ManifestTable.deleteWhere: no committed version at $path"))
+    val entries = entriesOf(spark, path, prev)
+    val schema = tableSchema(spark, path, prev, entries)
+    // the predicate must TYPE-CHECK as a boolean over the table's
+    // columns — validated on a zero-row frame before any work (a
+    // mistyped column name or non-boolean expression is loud here,
+    // never a half-rewritten table)
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val dt = probe.select(cond).schema.head.dataType
+    require(dt == org.apache.spark.sql.types.BooleanType,
+      s"ManifestTable.deleteWhere: the predicate has type " +
+        s"${dt.catalogString}, not boolean")
+    val might = graft.sources.ManifestFileIndex.entryProbe(
+      pruneConjuncts, partitionSpecOf(spark, path, prev))
+    val touch = entries.filter(e => might(e) &&
+      e.hasData(fs, s"$path/data/${e.dir}"))
+    if (touch.isEmpty) return (prev, 0)
+    val v = prev + 1
+    // keep = NOT (cond IS TRUE): null-evaluating rows survive, the
+    // SQL DELETE contract (a bare !cond would evaluate null on them
+    // and drop them)
+    val rewritten = stagedRewrite(spark, path, v, schema, touch,
+      "deleteWhere",
+      _.filter(!coalesce(cond, lit(false))),
+      extraRestatCols = pruneConjuncts.flatMap(_.collect {
+        case a: org.apache.spark.sql.catalyst.expressions
+          .AttributeReference => a.name
+      }).distinct)
+    val committed = commitRewrite(spark, path, "deleteWhere", prev,
+      entries, touch.map(_.dir).toSet, rewritten, schema, Nil, Nil,
+      retries,
+      added => added.forall(e => !might(e) ||
+        !e.hasData(fs, s"$path/data/${e.dir}")))
+    (committed, touch.size)
+  }
+
+  /** Copy-on-write `UPDATE … SET … WHERE <any deterministic,
+    * subquery-free predicate>` — the general-WHERE twin of
+    * [[deleteWhere]] over the one [[updateImpl]] engine: matching
+    * rows are patched IN PLACE (row order, clustering, untouched
+    * dirs survive), dir pruning runs the scan's own conjunct probe,
+    * and rows where the predicate is NULL or FALSE keep their
+    * values. See [[updateImpl]] for the SET contract. Returns (new
+    * version, dirs rewritten). */
+  def updateWhere(spark: SparkSession, path: String,
+      cond: org.apache.spark.sql.Column,
+      pruneConjuncts: Seq[
+        org.apache.spark.sql.catalyst.expressions.Expression],
+      sets: Seq[(String, org.apache.spark.sql.Column)],
+      retries: Int = 0): (Long, Int) = {
+    val (fs, _) = fsOf(spark, path)
+    val prev = latestVersion(spark, path).getOrElse(
+      sys.error(s"ManifestTable.updateWhere: no committed version at $path"))
+    val schema = tableSchema(spark, path, prev, entriesOf(spark, path, prev))
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val dt = probe.select(cond).schema.head.dataType
+    require(dt == org.apache.spark.sql.types.BooleanType,
+      s"ManifestTable.updateWhere: the predicate has type " +
+        s"${dt.catalogString}, not boolean")
+    val might = graft.sources.ManifestFileIndex.entryProbe(
+      pruneConjuncts, partitionSpecOf(spark, path, prev))
+    updateImpl(spark, path, "updateWhere", sets, cond,
+      e => might(e),
+      added => added.forall(e => !might(e) ||
+        !e.hasData(fs, s"$path/data/${e.dir}")), retries)
+  }
+
   /** MERGE-ON-READ equality delete (the deletion-vector shape of
     * Delta/Iceberg): delete every row whose `keyCol` is in `keys`
     * WITHOUT rewriting a single data file. The key set is written

@@ -117,24 +117,54 @@ final class ManifestFileIndex private (spark: SparkSession,
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val bounds = ManifestFileIndex.boundsOf(dataFilters)
-    val sBounds = ManifestFileIndex.strBoundsOf(dataFilters)
-    val points = ManifestFileIndex.pointsOf(dataFilters)
-    val sPoints = ManifestFileIndex.strPointsOf(dataFilters)
-    val (notNulls, isNulls) = ManifestFileIndex.nullnessOf(dataFilters)
+    val might = ManifestFileIndex.entryProbe(dataFilters, partSpec)
+    val kept = filesByDir.filter { case (e, _) => might(e) }
+    Seq(PartitionDirectory(InternalRow.empty,
+      kept.flatMap(_._2).toArray[org.apache.hadoop.fs.FileStatus]))
+  }
+
+  override def inputFiles: Array[String] =
+    filesByDir.flatMap(_._2.map(_.getPath.toString)).toArray
+
+  override def refresh(): Unit = () // snapshot-pinned: nothing to refresh
+
+  override def sizeInBytes: Long = filesByDir.flatMap(_._2.map(_.getLen)).sum
+}
+
+object ManifestFileIndex {
+
+  /** The ONE entry-vs-conjuncts pruning probe — shared by
+    * [[ManifestFileIndex.listFiles]] (scan-time dir pruning) and the
+    * arbitrary-predicate DML path
+    * ([[graft.sinks.ManifestTable.deleteWhere]] /
+    * [[graft.sinks.ManifestTable.updateWhere]]), so "which dirs might
+    * hold a matching row" can never drift between reads and writes.
+    * Extraction runs ONCE over the conjuncts; the returned closure is
+    * O(extracted) per entry. Widen-only by construction: every
+    * extractor ignores shapes it can't prove (OR, functions over
+    * columns, non-literal operands), so a kept dir may be a false
+    * positive but a dropped dir can never hold a matching row. */
+  private[graft] def entryProbe(dataFilters: Seq[Expression],
+      partSpec: Seq[graft.sinks.PartitionTransform])
+      : ManifestTable.Entry => Boolean = {
+    val bounds = boundsOf(dataFilters)
+    val sBounds = strBoundsOf(dataFilters)
+    val points = pointsOf(dataFilters)
+    val sPoints = strPointsOf(dataFilters)
+    val (notNulls, isNulls) = nullnessOf(dataFilters)
     val natives =
       if (partSpec.isEmpty) Map.empty[String, Seq[Literal]]
-      else ManifestFileIndex.nativePointsOf(dataFilters)
+      else nativePointsOf(dataFilters)
     val dayBounds =
       if (partSpec.isEmpty)
         Map.empty[String, (Option[String], Option[String])]
-      else ManifestFileIndex.dayBoundsOf(dataFilters)
+      else dayBoundsOf(dataFilters)
     val hourBounds =
       if (!partSpec.exists(_.isInstanceOf[
           graft.sinks.PartitionTransform.PHours]))
         Map.empty[String, (Option[String], Option[String])]
-      else ManifestFileIndex.hourBoundsOf(dataFilters)
-    val kept = filesByDir.filter { case (e, _) =>
+      else hourBoundsOf(dataFilters)
+    (e: ManifestTable.Entry) =>
       bounds.forall { case (c, (lo, hi)) => e.mightOverlap(c, lo, hi) } &&
         sBounds.forall { case (c, (lo, hi)) =>
           e.mightOverlapStr(c, lo, hi) } &&
@@ -157,22 +187,9 @@ final class ManifestFileIndex private (spark: SparkSession,
         // transform's SOURCE column; blind dirs (no recorded value)
         // are always kept — the row filter stays exact either way
         partSpec.forall(t => e.partition.get(t.field).forall(pv =>
-          ManifestFileIndex.partitionMight(t, pv, bounds, points,
+          partitionMight(t, pv, bounds, points,
             sPoints, natives, dayBounds, hourBounds)))
-    }
-    Seq(PartitionDirectory(InternalRow.empty,
-      kept.flatMap(_._2).toArray[org.apache.hadoop.fs.FileStatus]))
   }
-
-  override def inputFiles: Array[String] =
-    filesByDir.flatMap(_._2.map(_.getPath.toString)).toArray
-
-  override def refresh(): Unit = () // snapshot-pinned: nothing to refresh
-
-  override def sizeInBytes: Long = filesByDir.flatMap(_._2.map(_.getLen)).sum
-}
-
-object ManifestFileIndex {
 
   private def intWidth(dt: org.apache.spark.sql.types.DataType)
       : Option[Int] = dt match {

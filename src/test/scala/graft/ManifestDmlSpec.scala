@@ -101,19 +101,27 @@ class ManifestDmlSpec extends AnyFunSuite {
     val v0 = ManifestTable.latestVersion(spark, t).get
     spark.sql("DELETE FROM dml_del WHERE id > 100 AND id < 50")
     assert(ManifestTable.latestVersion(spark, t).get == v0)
-    // unsupported shapes fail LOUDLY — approximating a DELETE
-    // predicate deletes the wrong rows
+    // shapes the exact fast paths can't denote route the GENERAL
+    // predicate path now (deleteWhere) — they run verbatim, they
+    // don't fail; truly un-runnable shapes stay loud below
+    spark.sql("DELETE FROM dml_del WHERE id + 1 = 2") // deletes id=1
+    assert(ids(ManifestTable.read(spark, t)) == Seq(10L))
+    spark.sql("DELETE FROM dml_del WHERE id = 3 OR id = 10")
+    assert(ids(ManifestTable.read(spark, t)) == Seq())
+    spark.sql("INSERT INTO dml_del VALUES (1), (10)")
+    // non-deterministic and subquery predicates fail LOUDLY — the
+    // rewrite would re-evaluate them per dir / cannot host them
     def msgs(e: Throwable): Seq[String] =
       Option(e).toSeq.flatMap(x =>
         Option(x.getMessage).toSeq ++ msgs(x.getCause))
     Seq(
-      "DELETE FROM dml_del WHERE id = 1 OR id = 10",
-      "DELETE FROM dml_del WHERE id + 1 = 2",
-      "DELETE FROM dml_del WHERE id IN (1, 10)"
+      "DELETE FROM dml_del WHERE rand() < 0.5",
+      "DELETE FROM dml_del WHERE id IN (SELECT id FROM dml_del)"
     ).foreach { stmt =>
       val ex = intercept[Exception] { spark.sql(stmt) }
-      assert(msgs(ex).exists(_.contains("unsupported WHERE shape")),
-        s"$stmt should be rejected loudly")
+      assert(msgs(ex).exists(m => m.contains("unsupported WHERE") ||
+        m.contains("programmatic API")),
+        s"$stmt should be rejected loudly, got ${msgs(ex)}")
     }
     assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 10L))
     // DELETE without WHERE empties the table atomically; schema and
@@ -279,15 +287,18 @@ class ManifestDmlSpec extends AnyFunSuite {
     def msgs(e: Throwable): Seq[String] =
       Option(e).toSeq.flatMap(x =>
         Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    // unsupported WHERE shapes stay LOUD (same grammar as DELETE)
+    // shapes the exact fast paths can't denote route the GENERAL
+    // predicate path (updateWhere) and run verbatim; only
+    // non-deterministic / subquery WHEREs stay loud (same contract
+    // as DELETE's — see the general-predicate test below)
     Seq(
-      "UPDATE dml_u SET n = 0 WHERE id = 1 OR id = 10",
-      "UPDATE dml_u SET n = 0 WHERE id + 1 = 2",
-      "UPDATE dml_u SET n = 0 WHERE k LIKE 'k-%'"
+      "UPDATE dml_u SET n = 0 WHERE rand() < 2",
+      "UPDATE dml_u SET n = 0 WHERE id IN (SELECT id FROM dml_u)"
     ).foreach { stmt =>
       val ex = intercept[Exception] { spark.sql(stmt) }
-      assert(msgs(ex).exists(_.contains("unsupported WHERE shape")),
-        s"$stmt should be rejected loudly")
+      assert(msgs(ex).exists(m => m.contains("unsupported WHERE") ||
+        m.contains("programmatic API")),
+        s"$stmt should be rejected loudly, got ${msgs(ex)}")
     }
     // a non-deterministic SET is loud
     val exNd = intercept[Exception] {
@@ -360,5 +371,63 @@ class ManifestDmlSpec extends AnyFunSuite {
     spark.sql("DELETE FROM dml_part2 WHERE id = 2")
     assert(ids(ManifestTable.read(spark, t2)) == Seq(1L))
     assert(!new java.io.File(s"$t2/deletes").exists())
+  }
+
+  test("general-predicate DELETE/UPDATE: verbatim semantics, stats-disjoint dirs untouched") {
+    val t = s"${Files.createTempDirectory("graft-dmlgen")}/t"
+    // three dirs with disjoint recorded (lang, n) stats: only dirs
+    // that can hold a match may rewrite
+    ManifestTable.append(spark,
+      Seq((1L, "de", 100L), (2L, "de", 9000L), (3L, "de", 200L))
+        .toDF("id", "lang", "n"), t,
+      statsCols = Seq("id", "lang", "n"))
+    ManifestTable.append(spark,
+      Seq((10L, "en", 8000L), (11L, "en", 50L))
+        .toDF("id", "lang", "n"), t,
+      statsCols = Seq("id", "lang", "n"))
+    // a dir with NULL predicate inputs: NULL rows must SURVIVE a
+    // DELETE (cond evaluates null, not true)
+    ManifestTable.append(spark,
+      Seq((20L, null.asInstanceOf[String], 9999L), (21L, "fr", 9500L))
+        .toDF("id", "lang", "n"), t,
+      statsCols = Seq("id", "lang", "n"))
+    register(t, "dml_gen")
+    def state(): Seq[(Long, Option[String], Long)] =
+      ManifestTable.read(spark, t).collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2)))
+        .sorted(Ordering.by((x: (Long, Option[String], Long)) => x._1))
+        .toSeq
+    val filesBefore = ManifestTable.read(spark, t).inputFiles.toSet
+    // the migrating user's first statement: mixed string+integral
+    // conjuncts no fast path denotes
+    spark.sql("DELETE FROM dml_gen WHERE lang = 'de' AND n > 5000")
+    assert(state().map(_._1) == Seq(1L, 3L, 10L, 11L, 20L, 21L))
+    // dirs 2 (en: lang stats disjoint) and 3 (fr/null) survived
+    // PHYSICALLY — same files, never rewritten to equal bytes
+    val filesAfter = ManifestTable.read(spark, t).inputFiles.toSet
+    assert(filesAfter.intersect(filesBefore).size >= 2,
+      s"stats-disjoint dirs must keep physical identity: " +
+        s"before=${filesBefore.size} kept=${
+          filesAfter.intersect(filesBefore).size}")
+    // a null-evaluating predicate row survives: lang IS NULL row
+    // keeps living through a lang-conditioned delete
+    spark.sql("DELETE FROM dml_gen WHERE lang = 'fr' AND n > 9000")
+    assert(state().map(_._1) == Seq(1L, 3L, 10L, 11L, 20L),
+      "NULL-predicate rows must survive a DELETE")
+    // OR predicates route too (no pruning extracted — still exact)
+    spark.sql("UPDATE dml_gen SET n = n + 1 " +
+      "WHERE lang = 'en' AND (n < 100 OR n > 7000)")
+    assert(state() == Seq((1L, Some("de"), 100L), (3L, Some("de"), 200L),
+      (10L, Some("en"), 8001L), (11L, Some("en"), 51L),
+      (20L, None, 9999L)))
+    // mixed-conjunct UPDATE: the de dir patches in place, the en dir
+    // keeps physical identity
+    val b2 = ManifestTable.read(spark, t).inputFiles.toSet
+    spark.sql("UPDATE dml_gen SET n = 0 WHERE lang = 'de' AND n >= 150")
+    assert(state().map(x => (x._1, x._3)) ==
+      Seq((1L, 100L), (3L, 0L), (10L, 8001L), (11L, 51L), (20L, 9999L)))
+    assert(ManifestTable.read(spark, t).inputFiles.toSet
+      .intersect(b2).nonEmpty,
+      "dirs the conjunct probe rules out must not rewrite")
   }
 }
