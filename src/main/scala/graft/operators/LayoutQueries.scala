@@ -730,6 +730,58 @@ object LayoutQueries {
     path
   }
 
+  /** A manifest table upserted through a PARTIAL-COLUMN-INSERT SQL
+    * MERGE — `WHEN NOT MATCHED THEN INSERT (cols) VALUES (…)` with
+    * the nullable `lang` column omitted (explicit typed NULL) and
+    * TWO ordered insert clauses whose values differ (the fired
+    * clause decides each row's columns). The source carries only
+    * (doc_id, n_chars) — partial-insert statements don't need a
+    * table-width source. Built once per dataset behind the usual
+    * marker. */
+  def ensurePartialInsertMergedManifest(s: SparkSession, d: String)
+      : String = {
+    val path = s"${layoutRoot(d)}/docs_manifest_pins"
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val n = docs.count()
+    val expect = s"layout=$LayoutVersion manifest=pins rows=$n"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val q = math.max(n / 4, 1)
+      (0L until 4L).foreach { i =>
+        val lo = i * q
+        val slice = docs.filter(col("doc_id") >= lo &&
+          (if (i == 3) lit(true) else col("doc_id") < lo + q))
+        graft.sinks.ManifestTable.append(s, slice, path,
+          statsCols = Seq("doc_id"))
+      }
+      require(graft.sinks.ManifestTable.read(s, path).count() == n,
+        "ensurePartialInsertMergedManifest: range slicing dropped rows")
+      s.read.format("graft-manifest").load(path)
+        .createOrReplaceTempView("graft_pins_target")
+      docs.createOrReplaceTempView("graft_pins_docs")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW graft_pins_updates AS
+          |SELECT doc_id, n_chars FROM graft_pins_docs
+          |WHERE doc_id % 10 = 3
+          |UNION ALL
+          |SELECT doc_id + 1099511627776 AS doc_id, n_chars
+          |FROM graft_pins_docs WHERE doc_id % 25 = 0""".stripMargin)
+      s.sql(
+        """MERGE INTO graft_pins_target t
+          |USING graft_pins_updates u ON t.doc_id = u.doc_id
+          |WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + u.n_chars
+          |WHEN NOT MATCHED AND u.n_chars % 2 = 0
+          |  THEN INSERT (doc_id, n_chars) VALUES (u.doc_id, u.n_chars * 2)
+          |WHEN NOT MATCHED THEN INSERT (doc_id, n_chars)
+          |  VALUES (u.doc_id, 0)""".stripMargin).collect()
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
   /** A manifest table keyed by a COMPOSITE business key — (grp, sub)
     * = (doc_id div 1000, doc_id mod 1000) — upserted through the SQL
     * MERGE's conjunctive `ON t.grp = u.grp AND t.sub = u.sub`:
@@ -2435,6 +2487,41 @@ object LayoutQueries {
         |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
         |FROM u ORDER BY doc_id""".stripMargin) { (s, d) =>
       val path = ensureGeneralDmlManifest(s, d)
+      graft.sinks.ManifestTable.read(s, path)
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // ---- PARTIAL-COLUMN-INSERT SQL MERGE end-to-end (q160): `WHEN
+    //      NOT MATCHED THEN INSERT (cols) VALUES (…)` with the
+    //      nullable lang column omitted — inserted rows carry an
+    //      explicit typed NULL there — and TWO ordered insert
+    //      clauses whose values differ, so the fired clause decides
+    //      each row's columns. The oracle recomputes the post-merge
+    //      table from scratch: a null that leaked into a matched
+    //      row, a second-clause value under a first-clause
+    //      condition, or a lost lang all hash-mismatch. ----
+    GraftQuery("q160_manifest_partial_insert_merge",
+      """WITH u AS (
+        |  SELECT doc_id, n_chars FROM documents WHERE doc_id % 10 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 1099511627776 AS doc_id, n_chars
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |m AS (
+        |  SELECT b.doc_id, b.lang,
+        |    b.n_chars + COALESCE(u.n_chars, 0) AS n_chars
+        |  FROM documents b LEFT JOIN u ON u.doc_id = b.doc_id),
+        |ins AS (
+        |  SELECT u.doc_id, CAST(NULL AS VARCHAR) AS lang,
+        |    CASE WHEN u.n_chars % 2 = 0 THEN u.n_chars * 2
+        |      ELSE 0 END AS n_chars
+        |  FROM u WHERE NOT EXISTS
+        |    (SELECT 1 FROM documents b WHERE b.doc_id = u.doc_id))
+        |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM (SELECT * FROM m UNION ALL SELECT * FROM ins)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val path = ensurePartialInsertMergedManifest(s, d)
       graft.sinks.ManifestTable.read(s, path)
         .select(col("doc_id"), col("lang"),
           col("n_chars").cast("long").as("n_chars"))

@@ -347,10 +347,12 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
     * MATCHED THEN INSERT *`, `WHEN NOT MATCHED BY SOURCE [AND p] THEN
     * UPDATE/DELETE`, composite `ON t.a = s.a AND t.b = s.b` keys —
     * classified onto [[ManifestTable.mergeClauses]]'s ordered-clause
-    * engine. Strict like everything here: any expression the engine's
-    * rewrite frames cannot host re-resolves to a loud error, and the
-    * only INSERT shape is the whole row (a partial-column insert
-    * would silently null the rest). */
+    * engine — including PARTIAL-COLUMN `INSERT (cols) VALUES (…)`,
+    * legitimate when every omitted column is nullable (the nulls are
+    * then explicit semantics, not accidents; a non-nullable omission
+    * is loud). Strict like everything here: any expression the
+    * engine's rewrite frames cannot host re-resolves to a loud
+    * error. */
   private def generalMerge(m: MergeIntoTable, path: String,
       schema: StructType): LogicalPlan = {
     import graft.sinks.ManifestTable.MergeClauseAction
@@ -440,16 +442,39 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
         s"graft-manifest MERGE: unsupported WHEN MATCHED action " +
           s"$other — supported: UPDATE SET … / UPDATE SET * / DELETE")
     }
-    val notMatched = m.notMatchedActions.map {
-      case InsertStarAction(cond) =>
-        cond.map(rebuild(_, srcScope, "WHEN NOT MATCHED AND"))
-      case InsertAction(cond, assigns) if wholeRow(assigns) =>
-        cond.map(rebuild(_, srcScope, "WHEN NOT MATCHED AND"))
-      case other => sys.error(
-        s"graft-manifest MERGE: unsupported WHEN NOT MATCHED action " +
-          s"$other — only INSERT * routes (a partial-column insert " +
-          "would silently null the rest)")
-    }
+    val notMatched: Seq[(Option[org.apache.spark.sql.Column],
+        Option[Seq[(String, org.apache.spark.sql.Column)]])] =
+      m.notMatchedActions.map {
+        case InsertStarAction(cond) =>
+          (cond.map(rebuild(_, srcScope, "WHEN NOT MATCHED AND")), None)
+        case InsertAction(cond, assigns) if wholeRow(assigns) =>
+          (cond.map(rebuild(_, srcScope, "WHEN NOT MATCHED AND")), None)
+        case InsertAction(cond, assigns) =>
+          // PARTIAL-COLUMN insert — `INSERT (cols) VALUES (…)`:
+          // listed columns take their source-scoped expressions,
+          // omitted columns take explicit typed NULLs. Legitimate
+          // exactly when every omitted column is nullable (engine-
+          // enforced too); the merge keys must be assigned — an
+          // unkeyed insert row is an accident
+          val names = assigns.map(a => nameOf(a.key).getOrElse(
+            sys.error("graft-manifest MERGE: INSERT column must be " +
+              s"a plain top-level column, got ${a.key.sql}")))
+          val keyMissing = keyCols.filterNot(names.contains)
+          if (keyMissing.nonEmpty) sys.error(
+            "graft-manifest MERGE: a partial-column INSERT must " +
+              s"assign the merge key(s) ${keyMissing
+                .mkString("'", "', '", "'")} — an unkeyed row can " +
+              "never be matched by a later merge")
+          val sets = names.zip(assigns).map { case (n, a) =>
+            (n, rebuild(a.value, srcScope,
+              s"WHEN NOT MATCHED INSERT value for '$n'"))
+          }
+          (cond.map(rebuild(_, srcScope, "WHEN NOT MATCHED AND")),
+            Some(sets))
+        case other => sys.error(
+          s"graft-manifest MERGE: unsupported WHEN NOT MATCHED " +
+            s"action $other")
+      }
     val bySource = m.notMatchedBySourceActions.map {
       case DeleteAction(cond) =>
         (cond.map(rebuild(_, tgtScope, "WHEN NOT MATCHED BY SOURCE AND")),
@@ -627,7 +652,24 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
               (m.notMatchedActions match {
                 case Seq() => true
                 case Seq(InsertStarAction(None)) => true
-                case Seq(InsertAction(None, _)) => true
+                case Seq(InsertAction(None, assigns)) =>
+                  // a PARTIAL-column or expression-valued insert is
+                  // not the fast path's whole-row shape — route the
+                  // general engine, which hosts explicit VALUES; only
+                  // the identity whole-row form (every column, each
+                  // from the same-named source column) stays simple
+                  val tgtIds = m.targetTable.output.map(_.exprId).toSet
+                  val pairs =
+                    assigns.map(a => (nameOf(a.key), nameOf(a.value)))
+                  pairs.forall {
+                    case (Some(k), Some(v)) => k == v
+                    case _ => false
+                  } && pairs.flatMap(_._1).toSet ==
+                    schema.fieldNames.toSet &&
+                    assigns.forall(_.value match {
+                      case v: AttributeReference => !tgtIds(v.exprId)
+                      case _ => true
+                    })
                 case _ => false
               }) &&
               (m.mergeCondition match {
@@ -662,9 +704,9 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
                 "graft-manifest MERGE: the fast-path action shapes " +
                   "are the whole-row upsert (UPDATE SET * / INSERT " +
                   "*), the column-wise patch (UPDATE SET col = expr)," +
-                  " and insert-if-absent; INSERT must insert the " +
-                  "WHOLE row — a partial-column insert would " +
-                  "silently null the rest")
+                  " and insert-if-absent — partial-column and " +
+                  "expression-valued INSERTs route the general " +
+                  "ordered-clause engine")
               if (m.notMatchedBySourceActions.nonEmpty) failActions()
               // None -> whole-row upsert; Some(sets) -> column-wise
               // patch (empty = no matched action at all)
@@ -1050,7 +1092,8 @@ final case class GraftManifestMergeClausesCommand(path: String,
     keyCols: Seq[String], source: LogicalPlan,
     matched: Seq[(Option[org.apache.spark.sql.Column],
       ManifestTable.MergeClauseAction)],
-    notMatched: Seq[Option[org.apache.spark.sql.Column]],
+    notMatched: Seq[(Option[org.apache.spark.sql.Column],
+      Option[Seq[(String, org.apache.spark.sql.Column)]])],
     bySource: Seq[(Option[org.apache.spark.sql.Column],
       ManifestTable.MergeClauseAction)])
     extends LeafRunnableCommand {
@@ -1065,9 +1108,9 @@ final case class GraftManifestMergeClausesCommand(path: String,
     // exactly like the other merge commands'
     val (statsCols, bloomCols) = ManifestTable.pruningOf(session, path, v)
     ManifestTable.mergeClauses(session, src, path, keyCols,
-      matched = matched, notMatchedInsert = notMatched,
+      matched = matched, notMatchedInsert = notMatched.map(_._1),
       notMatchedBySource = bySource, statsCols = statsCols,
-      bloomCols = bloomCols)
+      bloomCols = bloomCols, insertValues = notMatched.map(_._2))
     Seq.empty
   }
 }

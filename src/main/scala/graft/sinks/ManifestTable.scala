@@ -4087,9 +4087,25 @@ object ManifestTable {
       notMatchedBySource: Seq[(Option[org.apache.spark.sql.Column],
         MergeClauseAction)] = Nil,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
-      maxBroadcastKeys: Long = 4000000L, retries: Int = 0)
+      maxBroadcastKeys: Long = 4000000L, retries: Int = 0,
+      insertValues: Seq[
+        Option[Seq[(String, org.apache.spark.sql.Column)]]] = Nil)
       : (Long, Int) = {
     val (fs, _) = fsOf(spark, path)
+    // `insertValues` aligns 1:1 with `notMatchedInsert` when given:
+    // None = INSERT * (the source row, whole), Some(sets) = a
+    // PARTIAL-COLUMN insert — listed columns take their (source-
+    // scoped) expressions, omitted columns take explicit typed NULLs,
+    // which is legitimate exactly when every omitted column is
+    // nullable (enforced below: an implicit null in a non-nullable
+    // column is an accident, not semantics)
+    require(insertValues.isEmpty ||
+      insertValues.length == notMatchedInsert.length,
+      s"ManifestTable.mergeClauses: insertValues (${insertValues.length})" +
+        s" must align with notMatchedInsert (${notMatchedInsert.length})")
+    val iv: Seq[Option[Seq[(String, org.apache.spark.sql.Column)]]] =
+      if (insertValues.isEmpty) notMatchedInsert.map(_ => None)
+      else insertValues
     require(matched.nonEmpty || notMatchedInsert.nonEmpty ||
       notMatchedBySource.nonEmpty,
       "ManifestTable.mergeClauses: no clauses — the statement can " +
@@ -4124,13 +4140,39 @@ object ManifestTable {
     keyCols.foreach(k => require(source.columns.contains(k),
       s"ManifestTable.mergeClauses: source has no key column '$k'"))
     val insert = notMatchedInsert.nonEmpty
-    if (insert)
+    // any INSERT * clause inserts the SOURCE ROW whole — the source
+    // must then be exactly table-width; a statement whose every
+    // insert clause lists explicit values only needs the keys (and
+    // whatever columns its expressions reference)
+    val wholeSrc = insert && iv.exists(_.isEmpty)
+    if (wholeSrc)
       require(source.columns.toSet == schema.fieldNames.toSet,
         "ManifestTable.mergeClauses(INSERT): source columns " +
           source.columns.toSeq.sorted.mkString("[", ", ", "]") +
           " must equal the table's " +
           schema.fieldNames.toSeq.sorted.mkString("[", ", ", "]") +
           " — inserted rows are inserted whole")
+    // explicit insert clauses: listed columns exist once each, and
+    // every OMITTED column is nullable — the partial insert's nulls
+    // are explicit semantics only when the schema says null is legal
+    iv.flatten.foreach { sets =>
+      require(sets.map(_._1).distinct.size == sets.size,
+        "ManifestTable.mergeClauses: duplicate INSERT column in " +
+          sets.map(_._1).mkString("[", ", ", "]"))
+      sets.foreach { case (c, _) =>
+        require(fieldsByName.contains(c),
+          s"ManifestTable.mergeClauses: INSERT column '$c' is not " +
+            s"in the table schema (${schema.fieldNames.mkString(", ")})")
+      }
+      val given = sets.map(_._1).toSet
+      val badOmit = schema.fields.filterNot(f => given(f.name))
+        .filterNot(_.nullable)
+      require(badOmit.isEmpty,
+        "ManifestTable.mergeClauses: a partial-column INSERT omits " +
+          s"non-nullable column(s) ${badOmit.map(_.name)
+            .mkString("'", "', '", "'")} — an implicit NULL there is " +
+          "an accident, not semantics; list every non-nullable column")
+    }
     val srcPrefix = "_src_"
     val collide = schema.fieldNames.filter(_.startsWith(srcPrefix))
     require(collide.isEmpty,
@@ -4172,7 +4214,7 @@ object ManifestTable {
           s"${sk.dataType.catalogString} but the table's is " +
           s"${kf.dataType.catalogString} — cast explicitly")
     }
-    val batch = (if (insert) alignToTable(source, schema)
+    val batch = (if (wholeSrc) alignToTable(source, schema)
         .select(schema.fieldNames.map(col).toSeq: _*)
       else keyFields.foldLeft(source)((df, kf) =>
         df.withColumn(kf.name, col(kf.name).cast(kf.dataType))))
@@ -4220,6 +4262,18 @@ object ManifestTable {
         "ManifestTable.mergeClauses: WHEN NOT MATCHED condition has " +
           s"type ${dt.catalogString}, not boolean")
     }}
+    // explicit insert VALUES type-check against the SOURCE scope
+    // (they fire on unmatched source rows); a NULL literal passes —
+    // it casts losslessly into any nullable column
+    iv.flatten.foreach(_.foreach { case (c, e) =>
+      val dt = batch.limit(0).select(e).schema.head.dataType
+      val want = fieldsByName(c).dataType
+      require(dt == org.apache.spark.sql.types.NullType ||
+          dt.catalogString == want.catalogString || widens(dt, want),
+        s"ManifestTable.mergeClauses: INSERT value for '$c' has type " +
+          s"${dt.catalogString} but the column is " +
+          s"${want.catalogString} — cast explicitly at the call site")
+    })
     allSets.foreach(_.foreach { case (c, e) =>
       val dt = probe.select(e).schema.head.dataType
       val want = fieldsByName(c).dataType
@@ -4305,9 +4359,12 @@ object ManifestTable {
     }
     // not-matched inserts: the key prune is a conservative superset,
     // so ONE column-pruned scan of exactly the key-touched dirs
-    // decides membership; the ordered insert conditions then reduce
-    // to their disjunction (every action is INSERT *, so WHICH clause
-    // fires cannot change the inserted row)
+    // decides membership. With only INSERT * clauses the ordered
+    // conditions reduce to their disjunction (WHICH clause fires
+    // cannot change the inserted row); with explicit-VALUES clauses
+    // the first-true clause index picks each row's column
+    // expressions — same codegen'd when-chain shape as the matched
+    // clauses' dispatch, still ONE pass over the unmatched rows
     val newRows =
       if (!insert || srcEmpty) None
       else {
@@ -4317,9 +4374,41 @@ object ManifestTable {
             readableFrame(spark, path, schema, keyTouch)
               .select(keyCols.map(col): _*),
             keyCols, "left_anti")
-        val pred = notMatchedInsert.map(_.getOrElse(lit(true)))
-          .reduce(_ || _)
-        val nr = absent.filter(pred).localCheckpoint()
+        val nr0 =
+          if (iv.forall(_.isEmpty)) {
+            val pred = notMatchedInsert.map(_.getOrElse(lit(true)))
+              .reduce(_ || _)
+            absent.filter(pred)
+          } else {
+            val firedI = "_graft_ifired"
+            require(!absent.columns.contains(firedI),
+              "ManifestTable.mergeClauses: column name _graft_ifired " +
+                "is reserved for clause staging — rename the column")
+            val fired = notMatchedInsert.zipWithIndex.foldRight(
+              lit(null).cast("int"): org.apache.spark.sql.Column) {
+              case ((cond, i), acc) =>
+                when(cond.getOrElse(lit(true)), lit(i)).otherwise(acc)
+            }
+            val withF = absent.withColumn(firedI, fired)
+              .filter(col(firedI).isNotNull)
+            val cols = schema.fieldNames.map { c =>
+              val want = fieldsByName(c).dataType
+              iv.zipWithIndex.foldLeft(
+                lit(null).cast(want): org.apache.spark.sql.Column) {
+                case (acc, (values, i)) =>
+                  val e = values match {
+                    // INSERT *: the source row's own column
+                    case None => col(c).cast(want)
+                    case Some(sets) => sets.find(_._1 == c)
+                      .map(_._2.cast(want))
+                      .getOrElse(lit(null).cast(want))
+                  }
+                  when(col(firedI) === i, e).otherwise(acc)
+              }.as(c)
+            }
+            withF.select(cols.toSeq: _*)
+          }
+        val nr = nr0.localCheckpoint()
         if (nr.head(1).isEmpty) None else Some(nr)
       }
     val cs = constraintsOf(spark, path, prev)

@@ -219,13 +219,16 @@ class ManifestMergeClausesSpec extends AnyFunSuite {
     assert(msgs(ex1).exists(m => m.contains("LAST") ||
       m.contains("unreachable") || m.contains("NON_LAST")),
       s"got ${msgs(ex1)}")
-    // a partial-column INSERT would silently null the rest
+    // a partial-column INSERT that omits a NON-NULLABLE column (n)
+    // is loud — an implicit NULL there is an accident, not semantics
+    // (omitting a NULLABLE column routes and nulls explicitly — see
+    // the partial-column INSERT test)
     val ex2 = intercept[Exception] { spark.sql(
       """MERGE INTO mc5_t t USING mc5_u u ON t.id = u.id
         |WHEN MATCHED AND u.n < 0 THEN DELETE
         |WHEN NOT MATCHED THEN INSERT (id) VALUES (u.id)""".stripMargin) }
-    assert(msgs(ex2).exists(m => m.contains("INSERT *") ||
-      m.contains("whole")), s"got ${msgs(ex2)}")
+    assert(msgs(ex2).exists(m => m.contains("non-nullable") ||
+      m.contains("NULL") || m.contains("DEFAULT")), s"got ${msgs(ex2)}")
     // duplicate source keys: no defined winner (ANSI's one-match rule)
     Seq((1L, "a", 1L), (1L, "a", 2L)).toDF("id", "grp", "n")
       .createOrReplaceTempView("mc5_dup")
@@ -243,5 +246,58 @@ class ManifestMergeClausesSpec extends AnyFunSuite {
     assert(msgs(ex4).exists(_.contains("identity")))
     // nothing above mutated the table
     assert(rows(t) == Seq((1L, "a", 10L)))
+  }
+
+  test("partial-column INSERT: explicit typed NULLs, per-clause values, key required") {
+    val t = s"${Files.createTempDirectory("graft-mc6")}/t"
+    // grp (String) is NULLABLE; id/n (primitive Long) are not
+    ManifestTable.append(spark,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "grp", "n"), t,
+      statsCols = Seq("id"))
+    spark.read.format("graft-manifest").load(t)
+      .createOrReplaceTempView("mc6_t")
+    Seq((1L, "x", 5L), (30L, "c", 300L), (31L, "d", 3L))
+      .toDF("id", "grp", "n").createOrReplaceTempView("mc6_u")
+    // two ORDERED insert clauses with DIFFERENT column sets: the
+    // fired clause decides each row's values; grp is omitted in both
+    // (nullable → explicit NULL); the matched patch still sees the
+    // ORIGINAL source columns
+    spark.sql(
+      """MERGE INTO mc6_t t USING mc6_u u ON t.id = u.id
+        |WHEN MATCHED THEN UPDATE SET n = t.n + u.n
+        |WHEN NOT MATCHED AND u.n > 100
+        |  THEN INSERT (id, n) VALUES (u.id, u.n * 2)
+        |WHEN NOT MATCHED THEN INSERT (id, n) VALUES (u.id, 0)"""
+        .stripMargin)
+    val got = ManifestTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, Some("a"), 15L),  // matched: n = 10 + 5
+      (2L, Some("b"), 20L),  // untouched
+      (30L, None, 600L),     // first insert clause: n doubled, grp NULL
+      (31L, None, 0L)        // fall-through clause: n = 0
+    ), s"got $got")
+    // a partial insert that does NOT assign the merge key is loud
+    val exKey = intercept[Exception] { spark.sql(
+      """MERGE INTO mc6_t t USING mc6_u u ON t.id = u.id
+        |WHEN NOT MATCHED THEN INSERT (grp, n) VALUES (u.grp, u.n)"""
+        .stripMargin) }
+    assert(msgs(exKey).exists(m => m.contains("merge key") ||
+      m.contains("DEFAULT") || m.contains("non-nullable")),
+      s"got ${msgs(exKey)}")
+    // full-column EXPRESSION insert (not identity) routes the
+    // general engine too
+    Seq((40L, "e", 4L)).toDF("id", "grp", "n")
+      .createOrReplaceTempView("mc6_v")
+    spark.sql(
+      """MERGE INTO mc6_t t USING mc6_v u ON t.id = u.id
+        |WHEN NOT MATCHED
+        |  THEN INSERT (id, grp, n) VALUES (u.id, upper(u.grp), u.n + 1)"""
+        .stripMargin)
+    val got2 = ManifestTable.read(spark, t)
+      .filter(col("id") === 40L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got2 == Seq((40L, "E", 5L)), s"got $got2")
   }
 }
