@@ -341,6 +341,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"only, got ${d.fieldNames().mkString(".")}")
         ManifestTable.dropColumn(spark, path, d.fieldNames()(0))
         return loadTable(ident)
+      // ALTER COLUMN ... TYPE: Spark's analyzer admits only up-casts
+      // here (Cast.canUpCast); the table accepts the strictly
+      // value-preserving subset (int chain -> bigint, float ->
+      // double) as one metadata commit — old files read widened,
+      // anything else is loud (ManifestTable.widenColumnType)
+      case Seq(u: TableChange.UpdateColumnType) =>
+        require(u.fieldNames().length == 1,
+          "graft catalog: ALTER COLUMN TYPE supports top-level " +
+            s"columns only, got ${u.fieldNames().mkString(".")}")
+        ManifestTable.widenColumnType(spark, path, u.fieldNames()(0),
+          u.newDataType())
+        return loadTable(ident)
       case _ =>
     }
     val adds = changes.map {

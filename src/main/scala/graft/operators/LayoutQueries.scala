@@ -782,6 +782,51 @@ object LayoutQueries {
     path
   }
 
+  /** A manifest table whose n_chars column was INT for its first two
+    * commits, WIDENED to BIGINT as one metadata commit
+    * ([[graft.sinks.ManifestTable.widenColumnType]]), then appended
+    * with beyond-int values and patched by a general-predicate
+    * UPDATE straddling both eras — the int32 files read widened at
+    * scan, zero data movement at the widen itself. Built once per
+    * dataset behind the usual marker. */
+  def ensureWidenedManifest(s: SparkSession, d: String): String = {
+    val path = s"${layoutRoot(d)}/docs_manifest_widen"
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val n = docs.count()
+    val expect = s"layout=$LayoutVersion manifest=widen rows=$n"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      // two INT-era dirs (doc lengths fit int — the cast is exact)
+      Seq(0L, 2L).foreach { r =>
+        graft.sinks.ManifestTable.append(s,
+          docs.filter(col("doc_id") % 4 === r)
+            .withColumn("n_chars", col("n_chars").cast("int")),
+          path, statsCols = Seq("doc_id", "n_chars"))
+      }
+      graft.sinks.ManifestTable.widenColumnType(s, path, "n_chars",
+        org.apache.spark.sql.types.LongType)
+      // post-widen dir: beyond-int values
+      graft.sinks.ManifestTable.append(s,
+        docs.filter(col("doc_id") % 2 === 1)
+          .withColumn("n_chars", col("n_chars") + lit(8589934592L)),
+        path, statsCols = Seq("doc_id", "n_chars"))
+      require(graft.sinks.ManifestTable.read(s, path).count() == n,
+        "ensureWidenedManifest: parity slicing dropped rows")
+      s.read.format("graft-manifest").load(path)
+        .createOrReplaceTempView("graft_widen_target")
+      // a modular predicate: routes the GENERAL update path over
+      // dirs from both physical eras in one staged rewrite
+      s.sql(
+        "UPDATE graft_widen_target SET n_chars = n_chars + 5 " +
+          "WHERE doc_id % 10 = 3")
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
   /** A manifest table keyed by a COMPOSITE business key — (grp, sub)
     * = (doc_id div 1000, doc_id mod 1000) — upserted through the SQL
     * MERGE's conjunctive `ON t.grp = u.grp AND t.sub = u.sub`:
@@ -2522,6 +2567,35 @@ object LayoutQueries {
         |FROM (SELECT * FROM m UNION ALL SELECT * FROM ins)
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val path = ensurePartialInsertMergedManifest(s, d)
+      graft.sinks.ManifestTable.read(s, path)
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // ---- ALTER COLUMN TYPE widening end-to-end (q161): n_chars was
+    //      INT for the table's first two commits, widened to BIGINT
+    //      as ONE metadata commit (zero data movement — the int32
+    //      files read widened at scan), then appended with
+    //      beyond-int values and patched by a general-predicate
+    //      UPDATE straddling both physical eras. The oracle
+    //      recomputes the whole table from scratch at BIGINT: a
+    //      truncated wide value, a lost pre-widen row, or an update
+    //      that missed one era all hash-mismatch. ----
+    GraftQuery("q161_manifest_type_widening",
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 2 = 0 THEN CAST(n_chars AS BIGINT)
+        |      ELSE CAST(n_chars AS BIGINT) + 8589934592 END AS n_chars
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 10 = 3 THEN n_chars + 5
+        |      ELSE n_chars END AS n_chars
+        |  FROM base)
+        |SELECT doc_id, lang, n_chars FROM u ORDER BY doc_id"""
+        .stripMargin) { (s, d) =>
+      val path = ensureWidenedManifest(s, d)
       graft.sinks.ManifestTable.read(s, path)
         .select(col("doc_id"), col("lang"),
           col("n_chars").cast("long").as("n_chars"))

@@ -699,6 +699,69 @@ object ManifestTable {
       _ => None)
   }
 
+  /** WIDEN a column's type — `int -> bigint`, `float -> double` (any
+    * [[widens]] step) — as ONE metadata commit, zero data movement:
+    * old files keep their narrower PHYSICAL type and the scan widens
+    * at read (Spark 4's parquet readers promote int32->int64 and
+    * float->double natively, filters included — probed empirically,
+    * ManifestWidenSpec pins it); writes after the commit carry the
+    * widened physical type (the write boundary already casts
+    * widenable batches to table types). Recorded stats stay VALID
+    * as-is: integral min/max/sums are persisted as long/decimal
+    * whatever the column's width, and integral Bloom filters hash
+    * the LONG cast of every value ([[bloomsOf]]), so pre-widen dirs
+    * keep pruning under post-widen long literals.
+    *
+    * Refused for:
+    *  - anything but a value-preserving widening (narrowing or
+    *    cross-family casts change values or semantics);
+    *  - partition-SOURCE columns — partition derivation is
+    *    type-dependent (Spark's Murmur3 hashes int 5 and long 5
+    *    differently, so a bucket spec would divorce recorded values
+    *    from post-widen derivations);
+    *  - columns with PENDING deletion vectors — the tombstone files
+    *    carry the old physical type; materialize first
+    *    (rewrite_deletes), then retry. */
+  def widenColumnType(spark: SparkSession, path: String, name: String,
+      to: DataType): Long = {
+    val prev = latestVersion(spark, path).getOrElse(
+      sys.error(s"ManifestTable.widenColumnType: no committed " +
+        s"version at $path"))
+    val entries = entriesOf(spark, path, prev)
+    val schema = tableSchema(spark, path, prev, entries)
+    val f = schema.fields.find(_.name == name).getOrElse(sys.error(
+      s"ManifestTable.widenColumnType: no column '$name' in the " +
+        s"table schema (${schema.fieldNames.mkString(", ")})"))
+    require(f.dataType.catalogString != to.catalogString,
+      s"ManifestTable.widenColumnType: '$name' already is " +
+        s"${to.catalogString}")
+    require(widens(f.dataType, to),
+      s"ManifestTable.widenColumnType: ${f.dataType.catalogString} " +
+        s"-> ${to.catalogString} is not a value-preserving widening " +
+        "— supported: the integral chain (tinyint/smallint/int -> " +
+        "bigint) and float -> double; anything else changes values " +
+        "or semantics and belongs in an explicit rewrite")
+    val pSrcs = partitionSpecOf(spark, path, prev).map(_.src)
+    require(!pSrcs.contains(name),
+      s"ManifestTable.widenColumnType: '$name' is a partition-source " +
+        "column — partition derivation is type-dependent (bucket " +
+        "hashes int and long differently); rewrite into a new table " +
+        "to change it")
+    require(!entries.exists(_.dv.values.toSeq.contains(name)),
+      s"ManifestTable.widenColumnType: pending deletion vectors key " +
+        s"on '$name' — materialize them first " +
+        "(CALL <cat>.system.rewrite_deletes), then retry")
+    val newSchema = StructType(schema.fields.map(x =>
+      if (x.name == name) x.copy(dataType = to) else x))
+    val (st, bl) = pruningOf(spark, path, prev)
+    val prevTag = maxTagOf(spark, path, prev).getOrElse(
+      entries.map(_.tag).foldLeft(-1L)(math.max))
+    val v = prev + 1
+    commit(spark, path, v, entries, newSchema, prevTag, (st, bl),
+      constraintsOf(spark, path, prev), op = "widenColumnType")
+    v
+  }
+
   def schemaOf(spark: SparkSession, path: String,
       v: Long): Option[StructType] = {
     val (fs, _) = fsOf(spark, path)
