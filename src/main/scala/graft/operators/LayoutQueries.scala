@@ -827,6 +827,45 @@ object LayoutQueries {
     path
   }
 
+  /** A NESTED-schema manifest table — documents re-shaped as
+    * (doc_id, meta STRUCT<lang, n_chars>) with `statsCols` on the
+    * DOTTED leaf paths (`meta.lang`, `meta.n_chars`) — the raw
+    * CVE-shaped table's pruning story without a flattening pass:
+    * per-dir leaf min/max/null stats record under the dotted key and
+    * pushed nested-field conjuncts prune dirs through the same
+    * FileIndex probe as top-level filters. Sliced into 4 n_chars
+    * RANGES so the nested range filter has genuinely disjoint dirs
+    * to skip. Built once per dataset behind the usual marker. */
+  def ensureNestedStatsManifest(s: SparkSession, d: String): String = {
+    val path = s"${layoutRoot(d)}/docs_manifest_nested"
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        struct(col("lang"), col("n_chars")).as("meta"))
+    val n = docs.count()
+    val expect = s"layout=$LayoutVersion manifest=nested rows=$n"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      // quartile slices on the LEAF value: nested-range-disjoint dirs
+      val qs = docs.select(col("meta.n_chars").as("nc"))
+        .stat.approxQuantile("nc", Array(0.25, 0.5, 0.75), 0.001)
+        .map(_.toLong)
+      val cuts = (Long.MinValue +: qs) :+ Long.MaxValue
+      cuts.sliding(2).foreach { case Array(lo, hi) =>
+        val slice = docs.filter(col("meta.n_chars") > lo &&
+          col("meta.n_chars") <= hi)
+        if (!slice.isEmpty)
+          graft.sinks.ManifestTable.append(s, slice, path,
+            statsCols = Seq("doc_id", "meta.lang", "meta.n_chars"))
+      }
+      require(graft.sinks.ManifestTable.read(s, path).count() == n,
+        "ensureNestedStatsManifest: quantile slicing dropped rows")
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
   /** A manifest table keyed by a COMPOSITE business key — (grp, sub)
     * = (doc_id div 1000, doc_id mod 1000) — upserted through the SQL
     * MERGE's conjunctive `ON t.grp = u.grp AND t.sub = u.sub`:
@@ -2599,6 +2638,28 @@ object LayoutQueries {
       graft.sinks.ManifestTable.read(s, path)
         .select(col("doc_id"), col("lang"),
           col("n_chars").cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // ---- NESTED-path stats end-to-end (q162): a nested-schema
+    //      manifest table (doc_id, meta STRUCT<lang, n_chars>) with
+    //      statsCols on the DOTTED leaf paths, range-sliced on the
+    //      leaf so pushed nested conjuncts genuinely prune
+    //      (ManifestNestedStatsSpec pins numFiles; here the oracle
+    //      pins exactness). The oracle recomputes the filtered
+    //      projection from the FLAT table: a false-pruned dir (rows
+    //      missing) or a mis-resolved leaf path hash-mismatches. ----
+    GraftQuery("q162_manifest_nested_stats",
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE n_chars <= 600 AND lang IN ('de', 'fr')
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val path = ensureNestedStatsManifest(s, d)
+      graft.sinks.ManifestTable.read(s, path)
+        .filter(col("meta.n_chars") <= 600L &&
+          col("meta.lang").isin("de", "fr"))
+        .select(col("doc_id"), col("meta.lang").as("lang"),
+          col("meta.n_chars").cast("long").as("n_chars"))
         .orderBy("doc_id")
     },
   )

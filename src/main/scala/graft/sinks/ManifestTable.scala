@@ -528,12 +528,35 @@ object ManifestTable {
     * whose READ SCHEMA carries explicit `parquet.field.id` metadata,
     * which plain reads (inferred or user schemas without that
     * metadata) never do. */
+  /** The read boundary's nullability contract: data dirs are read
+    * with a DEEP-NULLABLE schema whatever the sidecar says. The
+    * sidecar may record a nested field non-nullable (batch encoders
+    * do), but a LATER dir can legally carry an all-null parent
+    * struct (compatibleSchema is nullability-insensitive by design)
+    * — and Spark's vectorized reader, given a non-nullable nested
+    * read schema over such a file, NPEs in codegen instead of
+    * surfacing nulls. Spark's own file relations read as nullable
+    * for exactly this reason. Metadata (field ids) carries through
+    * untouched. */
+  private def deepNullable(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = deepNullable(a.elementType),
+        containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(valueType = deepNullable(m.valueType),
+        valueContainsNull = true)
+    case other => other
+  }
+
   private def readIdSchema(spark: SparkSession, path: String, v: Long,
-      schema: StructType): StructType =
-    if (!colmapOf(spark, path, v)._1) schema
+      schema: StructType): StructType = {
+    val nullable = deepNullable(schema).asInstanceOf[StructType]
+    if (!colmapOf(spark, path, v)._1) nullable
     else {
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-      StructType(schema.fields.map { f =>
+      StructType(nullable.fields.map { f =>
         fieldIdOf(f) match {
           case Some(id) => f.copy(metadata =
             new org.apache.spark.sql.types.MetadataBuilder()
@@ -542,6 +565,7 @@ object ManifestTable {
         }
       })
     }
+  }
 
   /** Public twin of [[readIdSchema]] for the SQL relation builder. */
   private[graft] def readSchemaFor(spark: SparkSession, path: String,
@@ -1227,6 +1251,27 @@ object ManifestTable {
   private val NoStats: Stats =
     (Map.empty, Map.empty, Map.empty, Map.empty, Map.empty, Map.empty)
 
+  /** Resolve a (possibly DOTTED) stat-column path to its leaf type:
+    * `a.b.c` walks nested StructTypes; a plain name is the trivial
+    * one-segment walk, so every stats consumer handles top-level and
+    * nested keys through the ONE resolver. `None` = absent (a batch
+    * that omitted the column, or a path into a non-struct). The
+    * convention is Spark's own unquoted-column-reference one: a dot
+    * means nesting (a literal dot in a column name is not
+    * addressable as a stat column — the write boundary's name rules
+    * keep those out anyway). */
+  private[graft] def nestedTypeOf(schema: StructType,
+      path: String): Option[DataType] = {
+    def walk(dt: DataType, parts: List[String]): Option[DataType] =
+      (dt, parts) match {
+        case (t, Nil) => Some(t)
+        case (s: StructType, p :: rest) =>
+          s.fields.find(_.name == p).flatMap(f => walk(f.dataType, rest))
+        case _ => None
+      }
+    walk(schema, path.split('.').toList)
+  }
+
   /** Stat-able type classes: strings get string bounds; INTEGRAL
     * types get exact long bounds. Everything else gets none —
     * deliberately. A fractional cast truncates (bounds could exclude
@@ -1289,12 +1334,16 @@ object ManifestTable {
     if (cols.isEmpty) NoStats
     else scala.util.Try { // an empty batch writes a file-less dir
       val df = spark.read.parquet(dir)
-      val inDf = cols.filter(df.columns.contains)
+      // nested paths resolve through the one path walker — `a.b.c`
+      // records leaf min/max/nulls/sums exactly like a top-level
+      // column (col("a.b.c") is Spark's own nested reference)
+      def typeOf(c: String) = nestedTypeOf(df.schema, c)
+      val inDf = cols.filter(c => typeOf(c).isDefined)
       val isStr = inDf.map(c => c ->
-        (df.schema(c).dataType == org.apache.spark.sql.types.StringType))
+        typeOf(c).contains(org.apache.spark.sql.types.StringType))
         .toMap
       val bounded = inDf.filter(c =>
-        isStr(c) || isIntegral(df.schema(c).dataType))
+        isStr(c) || typeOf(c).exists(isIntegral))
       // integral stat columns also record an EXACT decimal(38,0) sum
       // (all-null dirs record none — SUM skips nulls, like the bounds)
       val summed = bounded.filterNot(isStr)
@@ -1307,7 +1356,8 @@ object ManifestTable {
       val total = r.getLong(0)
       val nulls = inDf.zipWithIndex.map { case (c, i) =>
         c -> (total - r.getLong(1 + i))
-      }.toMap ++ cols.filterNot(df.columns.contains).map(c => c -> total)
+      }.toMap ++ cols.filterNot(c => typeOf(c).isDefined)
+        .map(c => c -> total)
       val base = 1 + inDf.size
       val sumBase = base + 2 * bounded.size
       val sums = summed.zipWithIndex.collect {
@@ -1361,12 +1411,14 @@ object ManifestTable {
       : Map[Seq[String], (Stats, Long, Seq[Option[String]])] = {
     val nKeys = keys.size
     val nEx = extras.size
-    val inDf = cols.filter(df.columns.contains)
+    // nested paths resolve exactly as in [[statsOf]]
+    def typeOf(c: String) = nestedTypeOf(df.schema, c)
+    val inDf = cols.filter(c => typeOf(c).isDefined)
     val isStr = inDf.map(c => c ->
-      (df.schema(c).dataType == org.apache.spark.sql.types.StringType))
+      typeOf(c).contains(org.apache.spark.sql.types.StringType))
       .toMap
     val bounded = inDf.filter(c =>
-      isStr(c) || isIntegral(df.schema(c).dataType))
+      isStr(c) || typeOf(c).exists(isIntegral))
     // same exact per-group decimal sums as [[statsOf]]
     val summed = bounded.filterNot(isStr)
     val aggs = count(lit(1)) +:
@@ -1389,7 +1441,7 @@ object ManifestTable {
         val nulls = inDf.zipWithIndex.map { case (c, i) =>
           c -> (total - r.getLong(cBase + i))
         }.toMap ++
-          cols.filterNot(df.columns.contains).map(c => c -> total)
+          cols.filterNot(c => typeOf(c).isDefined).map(c => c -> total)
         val base = cBase + inDf.size
         val sumBase = base + 2 * bounded.size
         val sums = summed.zipWithIndex.collect {
@@ -1463,12 +1515,13 @@ object ManifestTable {
         st.getPath).toMap
     // stats for the UNION of the targets' recorded columns — a
     // superset never costs correctness, only adds pruning coverage.
-    // Restricted to columns the CURRENT schema still has: a renamed/
-    // dropped column's historic stat key would otherwise crash the
-    // grouped restat (losing its stale stats is conservative)
+    // Restricted to paths the CURRENT schema still resolves (nested
+    // stat keys resolve through the path walker): a renamed/dropped
+    // column's historic stat key would otherwise crash the grouped
+    // restat (losing its stale stats is conservative)
     val restatCols = (targets.flatMap(e => e.statMin.keys ++
       e.strMin.keys ++ e.nullCnt.keys) ++ extraRestatCols)
-      .distinct.sorted.filter(schema.fieldNames.contains)
+      .distinct.sorted.filter(c => nestedTypeOf(schema, c).isDefined)
     val restats = statsBySrc(spark, staging, srcCol, restatCols)
     val out = targets.flatMap { e =>
       staged.get(e.dir).map { sp =>

@@ -205,9 +205,19 @@ object ManifestFileIndex {
     * cast (CAST(longCol AS INT)) is value-CHANGING — under integer
     * wraparound a row far outside the literal's range can satisfy the
     * predicate, so stripping it would prune dirs that contain
-    * matches. Anything non-integral contributes no column. */
+    * matches. Anything non-integral contributes no column.
+    *
+    * NESTED fields resolve to their DOTTED stat path: a pushed
+    * `meta.n > 5` arrives as GetStructField(meta#…, ordinal) and
+    * yields "meta.n" — the key [[graft.sinks.ManifestTable]] records
+    * nested leaf stats under, so nested-stat dirs prune exactly like
+    * top-level ones. Null-semantics match: a null parent struct makes
+    * the leaf null, and the recorded leaf null/min/max counts were
+    * computed over the same col("a.b.c") projection. */
   private def attrOf(e: Expression): Option[String] = e match {
     case a: AttributeReference => Some(a.name)
+    case g: GetStructField =>
+      attrOf(g.child).map(p => s"$p.${g.extractFieldName}")
     case c: Cast =>
       for {
         w1 <- intWidth(c.child.dataType)

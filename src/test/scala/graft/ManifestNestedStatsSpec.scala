@@ -1,0 +1,105 @@
+package graft
+
+import graft.sinks.ManifestTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** NESTED-path stats: `statsCols` accepts dotted leaf paths
+  * (`meta.n`, `meta.lang`) — per-dir min/max/null-count/sums record
+  * for the nested leaf, and pushed nested-field conjuncts prune dirs
+  * through the same FileIndex probe as top-level filters
+  * (GetStructField chains resolve to the dotted stat key). The raw
+  * CVE-shaped table (deeply nested JSON) can prune without a
+  * flattening pass.
+  */
+class ManifestNestedStatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def numFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }.getOrElse(fail("no FileSourceScanExec"))
+  }
+
+  test("nested leaf stats record and prune: ranges, strings, nullness") {
+    val t = s"${Files.createTempDirectory("graft-nested1")}/t"
+    def batch(lo: Long, n: Int, lang: String) =
+      (lo until lo + n).map(i => (i, (lang, i * 10)))
+        .toDF("doc_id", "meta")
+        .select(col("doc_id"), col("meta._1").as("lang"),
+          col("meta._2").as("n"))
+        .select(col("doc_id"),
+          struct(col("lang"), col("n")).as("meta"))
+    val stats = Seq("doc_id", "meta.n", "meta.lang")
+    ManifestTable.append(spark, batch(0L, 50, "de"), t,
+      statsCols = stats)
+    ManifestTable.append(spark, batch(50L, 50, "en"), t,
+      statsCols = stats)
+    // a dir whose meta struct is entirely NULL (nullness pruning)
+    ManifestTable.append(spark,
+      Seq((1000L, None: Option[(String, Long)])).toDF("doc_id", "m")
+        .select(col("doc_id"), lit(null).cast(
+          "struct<lang:string,n:bigint>").as("meta")),
+      t, statsCols = stats)
+    // recorded: nested leaf min/max under the DOTTED key
+    val entries = ManifestTable.entriesOf(spark, t,
+      ManifestTable.latestVersion(spark, t).get)
+    val first = entries.minBy(_.dir)
+    assert(first.statMin.get("meta.n").contains(0L) &&
+      first.statMax.get("meta.n").contains(490L),
+      s"nested leaf bounds must record: ${first.statMin}")
+    assert(first.strMin.get("meta.lang").contains("de"))
+    val all = ManifestTable.read(spark, t)
+    assert(all.count() == 101)
+    val total = all.inputFiles.length
+    // integral nested range filter prunes the disjoint dirs
+    val r1 = spark.read.format("graft-manifest").load(t)
+      .filter(col("meta.n") >= 600L)
+    assert(r1.count() == 40)
+    assert(numFiles(r1.filter(col("meta.n") >= 600L)) < total,
+      "nested range filter must prune stats-disjoint dirs")
+    // string nested point filter prunes by string bounds
+    val r2 = spark.read.format("graft-manifest").load(t)
+      .filter(col("meta.lang") === "de")
+    assert(r2.count() == 50)
+    assert(numFiles(spark.read.format("graft-manifest").load(t)
+      .filter(col("meta.lang") === "de")) < total)
+    // IS NULL prunes the provably-null-free dirs: only the all-null
+    // dir reads
+    val r3 = spark.read.format("graft-manifest").load(t)
+      .filter(col("meta.n").isNull)
+    assert(r3.count() == 1)
+    assert(numFiles(spark.read.format("graft-manifest").load(t)
+      .filter(col("meta.n").isNull)) < total)
+    // SQL pushes the same nested conjuncts
+    spark.read.format("graft-manifest").load(t)
+      .createOrReplaceTempView("nested_t")
+    assert(spark.sql(
+      "SELECT count(*) FROM nested_t WHERE meta.n BETWEEN 0 AND 90")
+      .head.getLong(0) == 10)
+  }
+
+  test("nested stats survive a staged rewrite's grouped restat") {
+    val t = s"${Files.createTempDirectory("graft-nested2")}/t"
+    val df = (0L until 100L).map(i => (i, i * 2))
+      .toDF("id", "v")
+      .select(col("id"), struct(col("v")).as("meta"))
+    ManifestTable.append(spark, df, t,
+      statsCols = Seq("id", "meta.v"))
+    // the rewrite (a range delete) restats the nested key too
+    ManifestTable.deleteRange(spark, t, "id", 0L, 9L)
+    val entries = ManifestTable.entriesOf(spark, t,
+      ManifestTable.latestVersion(spark, t).get)
+    val e = entries.find(_.rows.exists(_ > 0)).get
+    assert(e.statMin.get("meta.v").contains(20L) &&
+      e.statMax.get("meta.v").contains(198L),
+      s"rewritten dir must re-record nested bounds: ${e.statMin} " +
+        s"${e.statMax}")
+    assert(ManifestTable.read(spark, t)
+      .filter(col("meta.v") < 20L).count() == 0)
+  }
+}
