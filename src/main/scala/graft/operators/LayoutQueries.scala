@@ -866,6 +866,48 @@ object LayoutQueries {
     path
   }
 
+  /** A manifest table grown through a BRANCH lifecycle: main holds
+    * the doc_id%3==0 slice; a branch forks, stages TWO commits (the
+    * %3==1 slice verbatim, the %3==2 slice with n_chars+1000) that
+    * main never sees, and fast-forwards as ONE atomic commit. The
+    * cache marker stamps only after the fast-forward, so the built
+    * artifact IS the post-fast-forward table. Built once per dataset
+    * behind the usual marker. */
+  def ensureBranchedManifest(s: SparkSession, d: String): String = {
+    val path = s"${layoutRoot(d)}/docs_manifest_branch"
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val n = docs.count()
+    val expect = s"layout=$LayoutVersion manifest=branch rows=$n"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      graft.sinks.ManifestTable.append(s,
+        docs.filter(col("doc_id") % 3 === 0), path,
+        statsCols = Seq("doc_id"))
+      graft.sinks.ManifestTable.createBranch(s, path, "ingest")
+      graft.sinks.ManifestTable.appendToBranch(s,
+        docs.filter(col("doc_id") % 3 === 1), path, "ingest",
+        statsCols = Seq("doc_id"))
+      graft.sinks.ManifestTable.appendToBranch(s,
+        docs.filter(col("doc_id") % 3 === 2)
+          .withColumn("n_chars", col("n_chars") + lit(1000L)),
+        path, "ingest", statsCols = Seq("doc_id"))
+      // the audit: main oblivious, branch whole — enforced here so a
+      // leaked branch commit fails the BUILD, not just the oracle
+      require(graft.sinks.ManifestTable.read(s, path).count() ==
+        docs.filter(col("doc_id") % 3 === 0).count(),
+        "ensureBranchedManifest: a branch commit leaked into main")
+      require(graft.sinks.ManifestTable
+        .readBranch(s, path, "ingest").count() == n,
+        "ensureBranchedManifest: the branch audit read lost rows")
+      graft.sinks.ManifestTable.fastForwardBranch(s, path, "ingest")
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
   /** A manifest table keyed by a COMPOSITE business key — (grp, sub)
     * = (doc_id div 1000, doc_id mod 1000) — upserted through the SQL
     * MERGE's conjunctive `ON t.grp = u.grp AND t.sub = u.sub`:
@@ -2660,6 +2702,25 @@ object LayoutQueries {
           col("meta.lang").isin("de", "fr"))
         .select(col("doc_id"), col("meta.lang").as("lang"),
           col("meta.n_chars").cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // ---- Snapshot-BRANCH lifecycle end-to-end (q163): main holds
+    //      one slice, a branch stages two audited commits main never
+    //      sees (the build REQUIRES main-obliviousness before the
+    //      fast-forward), then fast-forwards as ONE atomic commit.
+    //      The oracle recomputes the post-fast-forward content from
+    //      the plain table: a leaked branch row, a lost commit, or a
+    //      double-published slice all hash-mismatch. ----
+    GraftQuery("q163_manifest_branch_fast_forward",
+      """SELECT doc_id, lang,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN n_chars + 1000
+        |    ELSE n_chars END AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val path = ensureBranchedManifest(s, d)
+      graft.sinks.ManifestTable.read(s, path)
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
         .orderBy("doc_id")
     },
   )

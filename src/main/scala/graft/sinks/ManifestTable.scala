@@ -4876,6 +4876,319 @@ object ManifestTable {
     ()
   }
 
+  // ---- Snapshot BRANCHES: named MUTABLE refs — WAP generalized to
+  //      MULTI-COMMIT audit-then-fast-forward (the Iceberg branch
+  //      contract; tags stay immutable pins). A branch forks from a
+  //      committed snapshot, accumulates any number of staged append
+  //      commits that no main reader ever sees, is readable as a
+  //      whole for the audit ([[readBranch]] = base snapshot + every
+  //      branch commit), and then either FAST-FORWARDS onto main as
+  //      ONE atomic commit ([[fastForwardBranch]] — zero data moves,
+  //      publish's own idempotence discipline) or is abandoned
+  //      without a trace. [[vacuum]] treats the branch base as
+  //      pinned and the branch commits' dirs as referenced while the
+  //      branch lives. ----
+
+  private def branchRoot(path: String): String = s"$path/branches"
+  private def branchDir(path: String, name: String): String =
+    s"${branchRoot(path)}/${refName(name)}"
+  private def cName(i: Int): String = f"c$i%04d"
+
+  /** Fork a branch at `fromVersion` (default: the current latest).
+    * The claim is atomic (tmp + rename, attempt-id read-back): a
+    * racing create of the same name loses loudly. A branch name must
+    * not collide with a TAG — the two ref families have opposite
+    * mutability contracts and a shared name would make time travel
+    * ambiguous. Returns the base version. */
+  def createBranch(spark: SparkSession, path: String, name: String,
+      fromVersion: Option[Long] = None): Long = {
+    val (fs, _) = fsOf(spark, path)
+    val base = fromVersion.getOrElse(latestVersion(spark, path)
+      .getOrElse(sys.error(
+        s"ManifestTable.createBranch: no committed version at $path")))
+    require(versions(spark, path).contains(base),
+      s"ManifestTable.createBranch: ${vName(base)} is not a " +
+        s"committed snapshot at $path")
+    require(!tags(spark, path).contains(refName(name)),
+      s"ManifestTable.createBranch: '$name' is a TAG at $path — " +
+        "tags are immutable pins; pick a different branch name")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(branchRoot(path)))
+    val attemptId = java.util.UUID.randomUUID.toString
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"${branchRoot(path)}/.tmp-${refName(name)}_" +
+        attemptId.take(8))
+    fs.mkdirs(tmp)
+    writeSideFile(fs, new org.apache.hadoop.fs.Path(tmp, "_graft_base"),
+      base.toString)
+    writeSideFile(fs,
+      new org.apache.hadoop.fs.Path(tmp, "_graft_attempt"), attemptId)
+    val fin = new org.apache.hadoop.fs.Path(branchDir(path, name))
+    val renamed = !fs.exists(fin) && fs.rename(tmp, fin)
+    val claimed = renamed && readSideFile(fs,
+      new org.apache.hadoop.fs.Path(fin, "_graft_attempt"))
+      .contains(attemptId)
+    if (!claimed) {
+      fs.delete(new org.apache.hadoop.fs.Path(fin, tmp.getName), true)
+      fs.delete(tmp, true)
+      sys.error(s"ManifestTable.createBranch: branch '$name' already " +
+        s"exists at $path — fast-forward or abandon it first")
+    }
+    base
+  }
+
+  /** Names of the live branches at `path`. */
+  def branchNames(spark: SparkSession, path: String): Seq[String] = {
+    val (fs, _) = fsOf(spark, path)
+    val d = new org.apache.hadoop.fs.Path(branchRoot(path))
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).map(_.getPath.getName)
+      .filterNot(_.startsWith(".")).sorted.toSeq
+  }
+
+  /** The branch's fork-point version. */
+  def branchBase(spark: SparkSession, path: String,
+      name: String): Long = {
+    val (fs, _) = fsOf(spark, path)
+    readSideFile(fs, new org.apache.hadoop.fs.Path(
+        branchDir(path, name), "_graft_base"))
+      .flatMap(_.trim.toLongOption).getOrElse(sys.error(
+        s"ManifestTable.branchBase: no branch '$name' at $path — " +
+          s"existing: ${branchNames(spark, path).mkString(", ")}"))
+  }
+
+  /** The branch's commit dirs, in commit order. */
+  private def branchCommits(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, name: String): Seq[String] = {
+    val d = new org.apache.hadoop.fs.Path(branchDir(path, name))
+    if (!fs.exists(d)) sys.error(
+      s"ManifestTable.branch: no branch '$name' at $path")
+    fs.listStatus(d).map(_.getPath.getName)
+      .filter(n => n.startsWith("c") && n.drop(1).forall(_.isDigit))
+      .sorted.toSeq
+  }
+
+  /** Append `df` to the BRANCH: the data dirs land in the shared
+    * data tree (partition-aware, stats/Blooms recorded — the
+    * fast-forward adds no data work) and the entry-set stages as the
+    * branch's next commit; main readers stay oblivious. Layout
+    * follows the table's CURRENT partition spec, like [[stageAppend]].
+    * Returns the branch-commit index. */
+  def appendToBranch(spark: SparkSession, df: DataFrame, path: String,
+      name: String, tag: Long = -1L, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Int = {
+    val (fs, _) = fsOf(spark, path)
+    val bd = branchDir(path, name)
+    require(fs.exists(new org.apache.hadoop.fs.Path(bd)),
+      s"ManifestTable.appendToBranch: no branch '$name' at $path — " +
+        s"existing: ${branchNames(spark, path).mkString(", ")}")
+    val prev = latestVersion(spark, path)
+    val v = prev.map(_ + 1).getOrElse(1L) // dir-name prefix, cosmetic
+    val spec = resolveSpec(spark, path, prev, Nil,
+      s"ManifestTable.appendToBranch($path, $name)")
+    val es = writeBatchEntries(spark, df, path, v, tag, statsCols,
+      bloomCols, spec, fanout = 1)
+    // claim the next commit slot atomically; a concurrent branch
+    // appender pushes us to the next index, never a silent overwrite
+    val attemptId = java.util.UUID.randomUUID.toString
+    var i = branchCommits(fs, path, name).size + 1
+    var claimed = false
+    while (!claimed) {
+      require(i <= 10000, s"ManifestTable.appendToBranch: could not " +
+        s"claim a commit slot on '$name' after $i attempts")
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$bd/.tmp-${cName(i)}_${attemptId.take(8)}")
+      writeEntriesParquet(spark, es, tmp.toString)
+      writeSideFile(fs, new org.apache.hadoop.fs.Path(
+        tmp, "_graft_schema.json"), df.schema.json)
+      writeSideFile(fs, new org.apache.hadoop.fs.Path(
+        tmp, "_graft_pruning"), pruningBody(statsCols, bloomCols))
+      writeSideFile(fs, new org.apache.hadoop.fs.Path(
+        tmp, "_graft_attempt"), attemptId)
+      val fin = new org.apache.hadoop.fs.Path(s"$bd/${cName(i)}")
+      val renamed = !fs.exists(fin) && fs.rename(tmp, fin)
+      claimed = renamed && readSideFile(fs,
+        new org.apache.hadoop.fs.Path(fin, "_graft_attempt"))
+        .contains(attemptId)
+      if (!claimed) {
+        fs.delete(new org.apache.hadoop.fs.Path(fin, tmp.getName), true)
+        fs.delete(tmp, true)
+        i += 1
+      }
+    }
+    i
+  }
+
+  /** The branch's WHOLE state — base snapshot plus every branch
+    * commit, in order — what the AUDIT reads before a fast-forward.
+    * Commits that evolved the schema additively surface missing
+    * columns as nulls (evolution-on-read, like the main read path). */
+  def readBranch(spark: SparkSession, path: String,
+      name: String): DataFrame = {
+    val (fs, _) = fsOf(spark, path)
+    val bd = branchDir(path, name)
+    val base = branchBase(spark, path, name)
+    branchCommits(fs, path, name).foldLeft(
+      readVersion(spark, path, base)) { (acc, c) =>
+      val es = entriesAt(spark, s"$bd/$c").filter(e =>
+        e.hasData(fs, s"$path/data/${e.dir}"))
+      if (es.isEmpty) acc
+      else {
+        val schema = readSideFile(fs, new org.apache.hadoop.fs.Path(
+            s"$bd/$c", "_graft_schema.json"))
+          .map(DataType.fromJson(_).asInstanceOf[StructType])
+          .getOrElse(sys.error(s"ManifestTable.readBranch: branch " +
+            s"commit $c has no schema sidecar — corrupt staging"))
+        acc.unionByName(
+          spark.read.schema(deepNullable(schema).asInstanceOf[StructType])
+            .parquet(es.map(e => s"$path/data/${e.dir}"): _*),
+          allowMissingColumns = true)
+      }
+    }
+  }
+
+  /** FAST-FORWARD the audited branch onto main as ONE atomic commit:
+    * every branch commit's already-written dirs become new entries
+    * of the next snapshot — zero data moves, however many commits
+    * the branch accumulated. Validation happens HERE against the
+    * table as it is NOW (same contract as [[publish]]): per-commit
+    * schema compatibility (additive evolution only with
+    * `evolveSchema`), CHECK constraints over the branch dirs,
+    * partition purity. `retries > 0` rebases through concurrent
+    * appends (appends commute). Idempotent across the crash window:
+    * the commit records the branch's attempt id, and a retry that
+    * finds it in retained history (or finds every branch dir already
+    * in the current snapshot) consumes the branch without
+    * double-appending; if the aimed-at version was vacuumed out of
+    * history the retry fails loudly instead of guessing. The branch
+    * is consumed on success. Returns the committed version. */
+  def fastForwardBranch(spark: SparkSession, path: String, name: String,
+      evolveSchema: Boolean = false, retries: Int = 0): Long = {
+    require(retries >= 0,
+      s"fastForwardBranch: retries must be >= 0, got $retries")
+    val (fs, _) = fsOf(spark, path)
+    val bd = branchDir(path, name)
+    require(fs.exists(new org.apache.hadoop.fs.Path(bd)),
+      s"ManifestTable.fastForwardBranch: no branch '$name' at $path")
+    val commits = branchCommits(fs, path, name)
+    val perCommit = commits.map { c =>
+      val es = entriesAt(spark, s"$bd/$c")
+      val schema = readSideFile(fs, new org.apache.hadoop.fs.Path(
+          s"$bd/$c", "_graft_schema.json"))
+        .map(DataType.fromJson(_).asInstanceOf[StructType])
+        .getOrElse(sys.error(s"ManifestTable.fastForwardBranch: " +
+          s"branch commit $c has no schema sidecar — corrupt staging"))
+      val (cStats, cBlooms) = {
+        val m = readSideFile(fs, new org.apache.hadoop.fs.Path(
+            s"$bd/$c", "_graft_pruning"))
+          .map(_.linesIterator.map(_.split("=", 2)).collect {
+            case Array(k, vs) =>
+              k -> vs.split(",").filter(_.nonEmpty).toSeq
+          }.toMap).getOrElse(Map.empty)
+        (m.getOrElse("stats", Nil), m.getOrElse("bloom", Nil))
+      }
+      (es, schema, cStats, cBlooms)
+    }
+    val es = perCommit.flatMap(_._1)
+    val branchAttempt = readSideFile(fs,
+      new org.apache.hadoop.fs.Path(bd, "_graft_attempt")).map(_.trim)
+    // crash-window idempotence — publish's exact discipline, keyed
+    // on the branch's own attempt id
+    branchAttempt.foreach { att =>
+      val retained = versions(spark, path)
+      retained.reverse.find(w =>
+        commitKV(spark, path, w).get("branchAttempt").contains(att))
+        .foreach { w =>
+          fs.delete(new org.apache.hadoop.fs.Path(bd), true)
+          return w
+        }
+      readSideFile(fs, new org.apache.hadoop.fs.Path(
+          bd, "_graft_publishing"))
+        .flatMap(_.trim.toLongOption)
+        .foreach { aimed =>
+          require(retained.isEmpty || retained.head <= aimed,
+            s"ManifestTable.fastForwardBranch($path, $name): a " +
+              s"previous attempt aimed at ${vName(aimed)}, which has " +
+              "since been vacuumed out of retained history — whether " +
+              "it committed is no longer provable; inspect the table " +
+              "and abandonBranch or re-create explicitly")
+        }
+    }
+    var attempt = 0
+    var validated = Set.empty[(String, String)]
+    while (true) {
+      val prev = latestVersion(spark, path)
+      val v = prev.map(_ + 1).getOrElse(1L)
+      val prevEntries = prev.map(pv => entriesOf(spark, path, pv))
+        .getOrElse(Seq.empty)
+      val already = es.map(_.dir).toSet
+        .intersect(prevEntries.map(_.dir).toSet)
+      if (already.nonEmpty) {
+        require(already == es.map(_.dir).toSet,
+          s"ManifestTable.fastForwardBranch($path, $name): branch " +
+            "dirs partially published — corrupt state, resolve " +
+            "manually")
+        fs.delete(new org.apache.hadoop.fs.Path(bd), true)
+        return prev.get
+      }
+      // fold per-commit schemas through the same compatibility gate
+      // an append would have paid, in commit order
+      val schema = perCommit.map(_._2).foldLeft(
+        prev.flatMap(pv => schemaOf(spark, path, pv))
+          .getOrElse(perCommit.head._2)) { (acc, cs0) =>
+        compatibleSchema(cs0, acc, evolveSchema,
+          s"ManifestTable.fastForwardBranch($path, $name)")
+      }
+      val tSpec = prev.map(partitionSpecOf(spark, path, _))
+        .getOrElse(Nil)
+      val pure = es.filter(_.files.exists(_.nonEmpty))
+        .forall(_.partition.nonEmpty)
+      require(tSpec.isEmpty || pure,
+        s"ManifestTable.fastForwardBranch($path, $name): the table " +
+          "is partitioned but a branch commit staged unpartitioned — " +
+          "abandon and re-branch")
+      val cs = prev.map(constraintsOf(spark, path, _)).getOrElse(Nil)
+      val toCheck = cs.filterNot(validated)
+      val withFiles = es.filter(_.files.exists(_.nonEmpty))
+      if (toCheck.nonEmpty && withFiles.nonEmpty) {
+        enforceConstraints(spark.read.parquet(
+          withFiles.map(e => s"$path/data/${e.dir}"): _*),
+          toCheck, s"ManifestTable.fastForwardBranch($path, $name)")
+        validated ++= toCheck
+      }
+      val prevTag = prevTagOf(spark, path, prev, prevEntries)
+      val (pStats, pBloom) = prev.map(pruningOf(spark, path, _))
+        .getOrElse((Nil, Nil))
+      try {
+        branchAttempt.foreach(_ => writeSideFile(fs,
+          new org.apache.hadoop.fs.Path(bd, "_graft_publishing"),
+          v.toString))
+        commit(spark, path, v, prevEntries ++ es, schema,
+          math.max(prevTag, es.map(_.tag).foldLeft(-1L)(math.max)),
+          ((pStats ++ perCommit.flatMap(_._3)).distinct,
+            (pBloom ++ perCommit.flatMap(_._4)).distinct),
+          cs, op = "fastForwardBranch",
+          extraCommitInfo =
+            branchAttempt.map("branchAttempt" -> _).toSeq)
+        fs.delete(new org.apache.hadoop.fs.Path(bd), true)
+        return v
+      } catch {
+        case _: CommitConflictException if attempt < retries =>
+          attempt += 1
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Discard a branch without fast-forwarding — the audit's reject
+    * path. Its commits' data dirs become orphans the next [[vacuum]]
+    * reaps; main never knew. */
+  def abandonBranch(spark: SparkSession, path: String,
+      name: String): Unit = {
+    val (fs, _) = fsOf(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(branchDir(path, name)), true)
+    ()
+  }
+
   def vacuum(spark: SparkSession, path: String,
       keepVersions: Int = 1, tag: Long = -1L): (Int, Int) = {
     val r = vacuumDetailed(spark, path, keepVersions, tag)
@@ -4913,8 +5226,22 @@ object ManifestTable {
     val (drop0, keep0) = vs.splitAt(math.max(0, vs.size - keepVersions))
     // a TAGGED snapshot is pinned: its manifest survives and its dirs
     // stay referenced however old it is — dropping it would turn a
-    // reproducibility pin into a dangling name
-    val tagged = tags(spark, path).values.toSet
+    // reproducibility pin into a dangling name. A live BRANCH pins
+    // its BASE the same way: readBranch/fastForward resolve against
+    // that snapshot, and reaping it would strand the branch (loud on
+    // an unreadable base for the same never-guess rule as staged
+    // candidates below)
+    val branchPins = branchNames(spark, path).map { n =>
+      try branchBase(spark, path, n)
+      catch {
+        case scala.util.control.NonFatal(e) => sys.error(
+          s"ManifestTable.vacuum($path): cannot read branch '$n' " +
+            s"base (${e.getMessage}) — aborting the vacuum rather " +
+            "than reaping a live branch's fork point; retry once the " +
+            "read succeeds, or abandonBranch explicitly")
+      }
+    }.toSet
+    val tagged = tags(spark, path).values.toSet ++ branchPins
     val (pinned, drop) = drop0.partition(tagged)
     val keep = pinned ++ keep0
     val keptEntries = keep.flatMap(v => entriesOf(spark, path, v))
@@ -4937,12 +5264,28 @@ object ManifestTable {
             "abandonStaged the candidate explicitly")
       }
     }
-    val referenced = (keptEntries ++ stagedEntries).map(_.dir).toSet
+    // live BRANCH commits reference dirs the same way staged
+    // candidates do — same loud rule on an unreadable commit
+    val branchEntries = branchNames(spark, path).flatMap { n =>
+      try branchCommits(fs, path, n).flatMap(c =>
+        entriesAt(spark, s"${branchDir(path, n)}/$c"))
+      catch {
+        case scala.util.control.NonFatal(e) => sys.error(
+          s"ManifestTable.vacuum($path): cannot read branch '$n' " +
+            s"commits (${e.getMessage}) — aborting the vacuum rather " +
+            "than treating a live branch's dirs as unreferenced; " +
+            "retry once the read succeeds, or abandonBranch " +
+            "explicitly")
+      }
+    }
+    val referenced =
+      (keptEntries ++ stagedEntries ++ branchEntries).map(_.dir).toSet
     // tombstone dirs survive while ANY kept snapshot's entry still
     // references them as a pending deletion vector; materialized or
     // rolled-off tombstones are orphans and reap with their versions
-    val refTombs = (keptEntries ++ stagedEntries).flatMap(_.dv.keys)
-      .toSet
+    val refTombs =
+      (keptEntries ++ stagedEntries ++ branchEntries).flatMap(_.dv.keys)
+        .toSet
     drop.foreach(v => fs.delete(
       new org.apache.hadoop.fs.Path(s"$path/manifest/${vName(v)}"), true))
     var bytes = 0L

@@ -1,0 +1,161 @@
+package graft
+
+import graft.sinks.ManifestTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Snapshot BRANCHES — WAP generalized to multi-commit
+  * audit-then-fast-forward (the Iceberg branch contract): a branch
+  * forks from a committed snapshot, accumulates staged appends main
+  * never sees, reads whole for the audit, then fast-forwards onto
+  * main as ONE atomic commit or is abandoned without a trace. Tags
+  * stay immutable; vacuum pins branch bases and branch dirs.
+  */
+class ManifestBranchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(p: String): String =
+    s"${Files.createTempDirectory(p)}/t"
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("id").as[Long].collect().sorted.toSeq
+
+  private def msgs(e: Throwable): Seq[String] =
+    Option(e).toSeq.flatMap(x =>
+      Option(x.getMessage).toSeq ++ msgs(x.getCause))
+
+  test("lifecycle: branch -> N commits -> audit -> fast-forward") {
+    val t = tmp("graft-br1")
+    ManifestTable.append(spark, Seq(1L, 2L).toDF("id"), t,
+      statsCols = Seq("id"))
+    val base = ManifestTable.createBranch(spark, t, "audit")
+    assert(base == 1L)
+    assert(ManifestTable.branchNames(spark, t) == Seq("audit"))
+    // two branch commits; main stays oblivious throughout
+    assert(ManifestTable.appendToBranch(spark,
+      Seq(10L, 11L).toDF("id"), t, "audit", statsCols = Seq("id")) == 1)
+    assert(ManifestTable.appendToBranch(spark,
+      Seq(12L).toDF("id"), t, "audit", statsCols = Seq("id")) == 2)
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L),
+      "main readers must never see branch commits")
+    assert(ManifestTable.latestVersion(spark, t).contains(1L))
+    // the audit reads the branch WHOLE: base + both commits
+    assert(ids(ManifestTable.readBranch(spark, t, "audit")) ==
+      Seq(1L, 2L, 10L, 11L, 12L))
+    // fast-forward: ONE atomic commit, zero data moves, branch gone
+    val v = ManifestTable.fastForwardBranch(spark, t, "audit")
+    assert(v == 2L)
+    assert(ids(ManifestTable.read(spark, t)) ==
+      Seq(1L, 2L, 10L, 11L, 12L))
+    assert(ManifestTable.branchNames(spark, t).isEmpty)
+    // the branch dirs' recorded stats arrived with them
+    val newest = ManifestTable.entriesOf(spark, t, v)
+      .filter(e => e.statMin.get("id").exists(_ >= 10L))
+    assert(newest.nonEmpty, "branch entries must carry their stats")
+  }
+
+  test("abandon: the reject path leaves main untouched; vacuum reaps") {
+    val t = tmp("graft-br2")
+    ManifestTable.append(spark, Seq(1L).toDF("id"), t)
+    ManifestTable.createBranch(spark, t, "bad")
+    ManifestTable.appendToBranch(spark, Seq(99L).toDF("id"), t, "bad")
+    // while the branch lives, vacuum must NOT reap its dirs
+    val r0 = ManifestTable.vacuumDetailed(spark, t, keepVersions = 1)
+    assert(ids(ManifestTable.readBranch(spark, t, "bad")) ==
+      Seq(1L, 99L), s"vacuum reaped a live branch's dirs ($r0)")
+    ManifestTable.abandonBranch(spark, t, "bad")
+    val r = ManifestTable.vacuumDetailed(spark, t, keepVersions = 1)
+    assert(r.dirsReaped >= 1, "abandoned branch dirs must reap")
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L))
+  }
+
+  test("vacuum pins the branch base while the branch lives") {
+    val t = tmp("graft-br3")
+    ManifestTable.append(spark, Seq(1L).toDF("id"), t) // v1
+    ManifestTable.createBranch(spark, t, "slow")       // base = v1
+    ManifestTable.appendToBranch(spark, Seq(50L).toDF("id"), t, "slow")
+    // main advances past the base...
+    ManifestTable.append(spark, Seq(2L).toDF("id"), t) // v2
+    ManifestTable.append(spark, Seq(3L).toDF("id"), t) // v3
+    // ...and a keep-1 vacuum must still pin v1 (the branch's base)
+    ManifestTable.vacuumDetailed(spark, t, keepVersions = 1)
+    assert(ManifestTable.versions(spark, t).contains(1L),
+      "the branch base manifest must survive vacuum")
+    assert(ids(ManifestTable.readBranch(spark, t, "slow")) ==
+      Seq(1L, 50L), "the branch must stay readable after vacuum")
+    // fast-forward onto the ADVANCED main: appends commute — every
+    // row lands, validated against the table as it is now
+    val v = ManifestTable.fastForwardBranch(spark, t, "slow")
+    assert(ids(ManifestTable.readVersion(spark, t, v)) ==
+      Seq(1L, 2L, 3L, 50L))
+  }
+
+  test("fast-forward is idempotent across the commit/consume crash window") {
+    val t = tmp("graft-br4")
+    ManifestTable.append(spark, Seq(1L).toDF("id"), t)
+    ManifestTable.createBranch(spark, t, "c")
+    ManifestTable.appendToBranch(spark, Seq(2L, 3L).toDF("id"), t, "c")
+    val bd = s"$t/branches/c"
+    val copy = s"$t/.branch-copy"
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val conf = spark.sessionState.newHadoopConf()
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(bd), fs,
+      new org.apache.hadoop.fs.Path(copy), false, conf)
+    val v = ManifestTable.fastForwardBranch(spark, t, "c")
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(copy), fs,
+      new org.apache.hadoop.fs.Path(bd), false, conf)
+    fs.delete(new org.apache.hadoop.fs.Path(copy), true)
+    // ... even when a compact rewrote the published dirs out of the
+    // latest snapshot between crash and retry (history attempt id
+    // proves it, like publish's)
+    ManifestTable.compact(spark, t)
+    val w = ManifestTable.fastForwardBranch(spark, t, "c")
+    assert(w == v, s"retry re-published (returned $w, expected $v)")
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L, 3L),
+      "branch rows duplicated by the retry")
+    assert(ManifestTable.branchNames(spark, t).isEmpty)
+  }
+
+  test("schema evolution on a branch commit; loud shapes") {
+    val t = tmp("graft-br5")
+    ManifestTable.append(spark, Seq(1L).toDF("id"), t)
+    ManifestTable.createBranch(spark, t, "ev")
+    ManifestTable.appendToBranch(spark,
+      Seq((9L, "x")).toDF("id", "s"), t, "ev")
+    // the audit read fills the base's missing column with null
+    val audit = ManifestTable.readBranch(spark, t, "ev")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(audit == Seq((1L, None), (9L, Some("x"))))
+    // fast-forward refuses the evolution unless asked, then evolves
+    val exEv = intercept[Exception] {
+      ManifestTable.fastForwardBranch(spark, t, "ev")
+    }
+    assert(msgs(exEv).exists(_.contains("evolve")), s"${msgs(exEv)}")
+    val v = ManifestTable.fastForwardBranch(spark, t, "ev",
+      evolveSchema = true)
+    assert(ManifestTable.readVersion(spark, t, v).columns.toSeq ==
+      Seq("id", "s"))
+    // loud: duplicate branch, tag-name collision, missing branch
+    ManifestTable.createBranch(spark, t, "dup")
+    val ex1 = intercept[Exception] {
+      ManifestTable.createBranch(spark, t, "dup")
+    }
+    assert(msgs(ex1).exists(_.contains("already")))
+    ManifestTable.abandonBranch(spark, t, "dup")
+    ManifestTable.createTag(spark, t, "pin", v)
+    val ex2 = intercept[Exception] {
+      ManifestTable.createBranch(spark, t, "pin")
+    }
+    assert(msgs(ex2).exists(_.contains("TAG")))
+    val ex3 = intercept[Exception] {
+      ManifestTable.appendToBranch(spark, Seq(1L).toDF("id"), t, "nope")
+    }
+    assert(msgs(ex3).exists(_.contains("no branch")))
+  }
+}
