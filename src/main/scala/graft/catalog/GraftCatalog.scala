@@ -328,18 +328,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // field-id mapping (ManifestTable.renameColumn/dropColumn) —
     // routed before the additive-ADD path below
     changes match {
+      // RENAME/DROP accept NESTED paths (meta.n): the field-id map is
+      // per-leaf, so the leaf renames inside its struct and old files
+      // resolve it by id
       case Seq(r: TableChange.RenameColumn) =>
-        require(r.fieldNames().length == 1,
-          "graft catalog: RENAME COLUMN supports top-level columns " +
-            s"only, got ${r.fieldNames().mkString(".")}")
-        ManifestTable.renameColumn(spark, path, r.fieldNames()(0),
-          r.newName())
+        ManifestTable.renameColumn(spark, path,
+          r.fieldNames().mkString("."), r.newName())
         return loadTable(ident)
       case Seq(d: TableChange.DeleteColumn) =>
-        require(d.fieldNames().length == 1,
-          "graft catalog: DROP COLUMN supports top-level columns " +
-            s"only, got ${d.fieldNames().mkString(".")}")
-        ManifestTable.dropColumn(spark, path, d.fieldNames()(0))
+        ManifestTable.dropColumn(spark, path,
+          d.fieldNames().mkString("."))
         return loadTable(ident)
       // ALTER COLUMN ... TYPE: Spark's analyzer admits only up-casts
       // here (Cast.canUpCast); the table accepts the strictly

@@ -163,6 +163,37 @@ private[catalog] object GraftProcedures {
         ManifestTable.createTag(spark,
           cat.resolveTablePath(str(in, 0)), str(in, 1), in.getLong(2))
         versionRow(in.getLong(2))
+      }),
+    Proc("create_branch",
+      "create_branch(table, branch[, from_version]) - fork a MUTABLE " +
+        "ref at the given (default: latest) snapshot; stage commits " +
+        "onto it with the appendToBranch API, audit with readBranch, " +
+        "then fast_forward_branch or abandon_branch. Returns the " +
+        "base version.",
+      Seq(p("table", StringType), p("branch", StringType),
+        pd("from_version", LongType, "-1")),
+      (spark, cat, in) => versionRow(ManifestTable.createBranch(spark,
+        cat.resolveTablePath(str(in, 0)), str(in, 1),
+        Some(in.getLong(2)).filter(_ >= 0L)))),
+    Proc("fast_forward_branch",
+      "fast_forward_branch(table, branch) - publish every audited " +
+        "branch commit onto main as ONE atomic commit (zero data " +
+        "movement; validated against the table as it is NOW); " +
+        "consumes the branch. Returns the committed version.",
+      Seq(p("table", StringType), p("branch", StringType)),
+      (spark, cat, in) => versionRow(ManifestTable.fastForwardBranch(
+        spark, cat.resolveTablePath(str(in, 0)), str(in, 1)))),
+    Proc("abandon_branch",
+      "abandon_branch(table, branch) - discard a branch without " +
+        "publishing (the audit's reject path); its dirs become " +
+        "orphans the next vacuum reaps. Returns the table's current " +
+        "version.",
+      Seq(p("table", StringType), p("branch", StringType)),
+      (spark, cat, in) => {
+        val path = cat.resolveTablePath(str(in, 0))
+        ManifestTable.abandonBranch(spark, path, str(in, 1))
+        versionRow(ManifestTable.latestVersion(spark, path)
+          .getOrElse(-1L))
       }))
 
   def names: Seq[String] = all.map(_.procName)

@@ -908,6 +908,41 @@ object LayoutQueries {
     path
   }
 
+  /** A NESTED-schema manifest table whose LEAF `meta.n_chars` was
+    * renamed to `meta.chars` as one field-id metadata commit: rows
+    * committed BEFORE the rename resolve the leaf INSIDE its struct
+    * by nested parquet field id, rows appended after land under the
+    * new shape. Built once per dataset behind the usual marker. */
+  def ensureNestedRenamedManifest(s: SparkSession, d: String): String = {
+    val path = s"${layoutRoot(d)}/docs_manifest_nrename"
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val n = docs.count()
+    val expect = s"layout=$LayoutVersion manifest=nrename rows=$n"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      graft.sinks.ManifestTable.append(s,
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"),
+            struct(col("lang"), col("n_chars")).as("meta")),
+        path, statsCols = Seq("doc_id", "meta.lang", "meta.n_chars"))
+      graft.sinks.ManifestTable.renameColumn(s, path,
+        "meta.n_chars", "chars")
+      graft.sinks.ManifestTable.append(s,
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"),
+            struct(col("lang"),
+              col("n_chars").as("chars")).as("meta")),
+        path, statsCols = Seq("doc_id", "meta.lang", "meta.chars"))
+      require(graft.sinks.ManifestTable.read(s, path).count() == n,
+        "ensureNestedRenamedManifest: parity slicing dropped rows")
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
   /** A manifest table keyed by a COMPOSITE business key — (grp, sub)
     * = (doc_id div 1000, doc_id mod 1000) — upserted through the SQL
     * MERGE's conjunctive `ON t.grp = u.grp AND t.sub = u.sub`:
@@ -2721,6 +2756,24 @@ object LayoutQueries {
       graft.sinks.ManifestTable.read(s, path)
         .select(col("doc_id"), col("lang"),
           col("n_chars").cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // ---- NESTED column rename end-to-end (q164): the leaf
+    //      `meta.n_chars` renamed to `meta.chars` as one field-id
+    //      metadata commit — rows committed BEFORE the rename resolve
+    //      the leaf inside its struct by NESTED parquet field id,
+    //      rows appended after land under the new shape. The oracle
+    //      recomputes the whole table from the flat source under the
+    //      new name: a null-filled pre-rename row (a by-name read) or
+    //      a lost era hash-mismatches. ----
+    GraftQuery("q164_manifest_nested_rename",
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS chars
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val path = ensureNestedRenamedManifest(s, d)
+      graft.sinks.ManifestTable.read(s, path)
+        .select(col("doc_id"), col("meta.lang").as("lang"),
+          col("meta.chars").cast("long").as("chars"))
         .orderBy("doc_id")
     },
   )

@@ -398,25 +398,58 @@ object ManifestTable {
     if (f.metadata.contains(FieldIdKey))
       Some(f.metadata.getLong(FieldIdKey)) else None
 
+  /** Every assigned field id, keyed by DOTTED path (nested leaves
+    * included) — the shape the append retry's divergence check and
+    * the colmap watermark fold over. */
+  private def allFieldIds(s: StructType,
+      prefix: String = ""): Map[String, Long] =
+    s.fields.flatMap { f =>
+      val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+      fieldIdOf(f).map(p -> _).toMap ++ (f.dataType match {
+        case st: StructType => allFieldIds(st, p)
+        case _ => Map.empty[String, Long]
+      })
+    }.toMap
+
+  /** The highest id assigned anywhere in the schema (0 if none). */
+  private def maxFieldId(s: StructType): Long =
+    allFieldIds(s).values.foldLeft(0L)(math.max)
+
   /** The schema to PERSIST: existing ids preserved, fresh fields
     * assigned above both the live maximum and `floor` (the colmap
     * high watermark — a dropped column's id must never be reused, or
-    * its bytes would resurrect under the new column). Deterministic
-    * in field order, so the writer's pre-commit assignment and the
-    * commit's own always agree. */
+    * its bytes would resurrect under the new column). Assignment is
+    * RECURSIVE — every struct field at every depth gets an id
+    * (Iceberg's ids are per-leaf for exactly this reason: a nested
+    * rename/drop needs the leaf addressable in old files) — and
+    * deterministic in depth-first field order, so the writer's
+    * pre-commit assignment and the commit's own always agree. Array
+    * elements and map entries stay unmapped: they are not
+    * addressable by this DDL surface. */
   private[graft] def withFieldIds(schema: StructType,
       floor: Long): StructType = {
-    var next = math.max(floor,
-      schema.fields.flatMap(fieldIdOf).foldLeft(0L)(math.max)) + 1
-    StructType(schema.fields.map { f =>
-      if (fieldIdOf(f).isDefined) f
-      else {
-        val md = new org.apache.spark.sql.types.MetadataBuilder()
-          .withMetadata(f.metadata).putLong(FieldIdKey, next).build()
-        next += 1
-        f.copy(metadata = md)
+    def maxIdOf(dt: DataType): Long = dt match {
+      case s: StructType => s.fields.map(f => math.max(
+        fieldIdOf(f).getOrElse(0L), maxIdOf(f.dataType)))
+        .foldLeft(0L)(math.max)
+      case _ => 0L
+    }
+    var next = math.max(floor, maxIdOf(schema)) + 1
+    def assign(s: StructType): StructType = StructType(s.fields.map { f =>
+      val withId =
+        if (fieldIdOf(f).isDefined) f
+        else {
+          val md = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putLong(FieldIdKey, next).build()
+          next += 1
+          f.copy(metadata = md)
+        }
+      withId.dataType match {
+        case st: StructType => withId.copy(dataType = assign(st))
+        case _ => withId
       }
     })
+    assign(schema)
   }
 
   /** The `_graft_colmap` sidecar at snapshot `v`: (mapped, id high
@@ -454,12 +487,15 @@ object ManifestTable {
     s"mapped=$mapped\nmaxId=$maxId\n" +
       s"retired=${retired.distinct.sorted.mkString(",")}\n"
 
-  /** Loud when a write/evolution tries to reuse a retired name. */
+  /** Loud when a write/evolution tries to reuse a retired name —
+    * path-overlap-aware: re-adding top-level `meta` clashes with a
+    * retired `meta.n` too (old files still carry that nested name,
+    * and parquet row-group pushdown matches nested paths by name). */
   private def refuseRetired(spark: SparkSession, path: String,
       prev: Long, names: Seq[String], ctx: String): Unit = {
     if (names.isEmpty) return
     val retired = colmapOf(spark, path, prev)._3
-    val clash = names.filter(retired.contains)
+    val clash = names.filter(n => retired.exists(r => pathOverlaps(r, n)))
     require(clash.isEmpty,
       s"$ctx: column name(s) ${clash.mkString("'", "', '", "'")} " +
         "were RETIRED by an earlier rename/drop — old data files " +
@@ -489,24 +525,64 @@ object ManifestTable {
     }
   }
 
+  /** `graft.id` metadata translated to `parquet.field.id`,
+    * RECURSIVELY (struct leaves included), on a deep-nullable copy —
+    * the shape [[stampIds]] hands `Dataset.to` and [[readIdSchema]]
+    * hands the reader. */
+  private def parquetIdSchema(s: StructType): StructType =
+    StructType(deepNullable(s).asInstanceOf[StructType].fields.map { f =>
+      val dt = f.dataType match {
+        case st: StructType => parquetIdSchema(st)
+        case other => other
+      }
+      val md = fieldIdOf(f) match {
+        case Some(id) => new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong(ParquetIdKey, id).build()
+        case None => f.metadata
+      }
+      f.copy(dataType = dt, metadata = md)
+    })
+
   /** Stamp `parquet.field.id` onto a frame about to be WRITTEN, from
     * the sidecar schema's `graft.id`s — every data file then carries
-    * the ids a later rename/drop needs. No ids in the schema (a
-    * table that has never committed under this code) = identity.
-    * The write itself must run under [[withIdWriteConf]] (the writer
-    * funnels do) or the metadata stamped here is silently dropped. */
+    * the ids a later rename/drop needs, NESTED fields included: the
+    * top-level id rides an alias's explicitMetadata (the one route
+    * the optimizer provably preserves to the write boundary) and
+    * nested ids ride the column's DATATYPE via the zero-cost
+    * [[graft.expressions.TypeTagged]] pass-through (the parquet
+    * writer derives nested ids from the output attribute's type).
+    * No ids in the schema (a table that has never committed under
+    * this code) = identity. Staging bookkeeping columns the table
+    * schema does not know (the rewrite's source tag) pass through
+    * untouched; a batch that OMITS table columns stamps only what it
+    * carries. The write itself must run under [[withIdWriteConf]]
+    * (the writer funnels do) or the metadata stamped here is
+    * silently dropped. */
   private def stampIds(spark: SparkSession, df: DataFrame,
       schema: StructType): DataFrame = {
-    val ids = schema.fields
-      .flatMap(f => fieldIdOf(f).map(f.name -> _)).toMap
-    if (ids.isEmpty) df
+    def hasIds(s: StructType): Boolean = s.fields.exists(f =>
+      fieldIdOf(f).isDefined || (f.dataType match {
+        case st: StructType => hasIds(st)
+        case _ => false
+      }))
+    if (!hasIds(schema)) df
     else {
-      df.select(df.columns.map { c =>
-        ids.get(c) match {
-          case Some(id) => col(c).as(c,
-            new org.apache.spark.sql.types.MetadataBuilder()
-              .putLong(ParquetIdKey, id).build())
-          case None => col(c)
+      val byName = parquetIdSchema(schema).fields
+        .map(f => f.name -> f).toMap
+      df.select(df.schema.fields.map { f =>
+        byName.get(f.name) match {
+          case Some(tf) =>
+            val base = tf.dataType match {
+              case st: StructType
+                  if f.dataType.isInstanceOf[StructType] =>
+                org.apache.spark.sql.GraftSqlBridge.column(
+                  graft.expressions.TypeTagged(
+                    org.apache.spark.sql.GraftSqlBridge
+                      .expression(col(f.name)), st))
+              case _ => col(f.name)
+            }
+            base.as(f.name, tf.metadata)
+          case None => col(f.name)
         }
       }.toIndexedSeq: _*)
     }
@@ -551,21 +627,16 @@ object ManifestTable {
   }
 
   private def readIdSchema(spark: SparkSession, path: String, v: Long,
-      schema: StructType): StructType = {
-    val nullable = deepNullable(schema).asInstanceOf[StructType]
-    if (!colmapOf(spark, path, v)._1) nullable
+      schema: StructType): StructType =
+    if (!colmapOf(spark, path, v)._1)
+      deepNullable(schema).asInstanceOf[StructType]
     else {
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-      StructType(nullable.fields.map { f =>
-        fieldIdOf(f) match {
-          case Some(id) => f.copy(metadata =
-            new org.apache.spark.sql.types.MetadataBuilder()
-              .withMetadata(f.metadata).putLong(ParquetIdKey, id).build())
-          case None => f
-        }
-      })
+      // parquet ids ride the read schema RECURSIVELY — a renamed
+      // nested leaf resolves by id inside its struct exactly like a
+      // top-level column does
+      parquetIdSchema(schema)
     }
-  }
 
   /** Public twin of [[readIdSchema]] for the SQL relation builder. */
   private[graft] def readSchemaFor(spark: SparkSession, path: String,
@@ -578,9 +649,28 @@ object ManifestTable {
     * Files written by this code version always do; a table carrying
     * older dirs must rewrite them first. */
   private def requireAllFilesStamped(spark: SparkSession, path: String,
-      entries: Seq[Entry], op: String): Unit = {
+      entries: Seq[Entry], op: String,
+      targetPath: Seq[String]): Unit = {
     val (fs, _) = fsOf(spark, path)
     val conf = spark.sessionState.newHadoopConf()
+    // what a by-id read of the RENAMED/DROPPED path actually needs
+    // from an old file: an id on every field along the path's chain
+    // (top-level ancestor, each intermediate group, the leaf).
+    // Siblings resolve by their unchanged names, and a file that
+    // PREDATES the field entirely reads null without any id — both
+    // are fine unstamped.
+    def unstampedAlong(grp: org.apache.parquet.schema.GroupType,
+        parts: List[String]): Boolean = parts match {
+      case Nil => false
+      case p :: rest =>
+        grp.containsField(p) && {
+          val t = grp.getType(p)
+          t.getId == null ||
+            (rest.nonEmpty && (!t.isInstanceOf[
+                org.apache.parquet.schema.GroupType] ||
+              unstampedAlong(t.asGroupType(), rest)))
+        }
+    }
     val unstamped = entries.filter { e =>
       e.hasData(fs, s"$path/data/${e.dir}") && {
         val fname = e.files.map(_.keys.min).getOrElse(
@@ -589,15 +679,15 @@ object ManifestTable {
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
             new org.apache.hadoop.fs.Path(
               s"$path/data/${e.dir}/$fname"), conf))
-        try scala.jdk.CollectionConverters
-          .ListHasAsScala(rd.getFileMetaData.getSchema.getFields)
-          .asScala.exists(_.getId == null)
+        try unstampedAlong(rd.getFileMetaData.getSchema,
+          targetPath.toList)
         finally rd.close()
       }
     }
     require(unstamped.isEmpty,
       s"ManifestTable.$op($path): ${unstamped.size} data dir(s) " +
-        "predate field-id stamping (e.g. " +
+        "predate field-id stamping on " +
+        s"'${targetPath.mkString(".")}' (e.g. " +
         unstamped.take(3).map(_.dir).mkString(", ") + ") — a " +
         "rename/drop needs every file to carry parquet field ids so " +
         "old files keep resolving by id; rewrite the table first " +
@@ -605,28 +695,59 @@ object ManifestTable {
         "CALL <cat>.system.cluster(...) or compact), then retry")
   }
 
-  /** Column names an expression's SQL references (the constraint
-    * refusal probe). */
+  /** Column PATHS an expression's SQL references, dotted (the
+    * constraint refusal probe — `meta.n < 5` yields "meta.n"). */
   private def referencedCols(spark: SparkSession, sql: String)
       : Set[String] =
     spark.sessionState.sqlParser.parseExpression(sql).collect {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-        u.nameParts.head
+        u.nameParts.mkString(".")
     }.toSet
 
+  /** `a` overlaps `b` when either addresses the other or a node
+    * under it — the refusal test for constraints/retirement against
+    * a dotted DDL target. */
+  private def pathOverlaps(a: String, b: String): Boolean =
+    a == b || a.startsWith(b + ".") || b.startsWith(a + ".")
+
+  /** Transform the field at a DOTTED path: `f => Some(f')` reshapes
+    * it in place, `f => None` drops it. Loud when the path does not
+    * resolve through structs. */
+  private def reshapeAt(s: StructType, parts: List[String], op: String)
+      (f: StructField => Option[StructField]): StructType = parts match {
+    case p :: rest =>
+      require(s.fieldNames.contains(p),
+        s"ManifestTable.$op: no field '$p' " +
+          s"(have: ${s.fieldNames.mkString(", ")})")
+      StructType(s.fields.flatMap { fld =>
+        if (fld.name != p) Some(fld)
+        else if (rest.isEmpty) f(fld)
+        else fld.dataType match {
+          case st: StructType =>
+            Some(fld.copy(dataType = reshapeAt(st, rest, op)(f)))
+          case other => sys.error(
+            s"ManifestTable.$op: '$p' is ${other.catalogString}, " +
+              "not a struct — cannot address a field under it")
+        }
+      })
+    case Nil => sys.error(s"ManifestTable.$op: empty column path")
+  }
+
   /** Shared validation + commit of the two METADATA-ONLY column ops.
-    * `newSchema` is derived from the ID-CARRYING current schema by
-    * the caller; entries are untouched (zero data movement) — the
-    * whole change is one sidecar commit, exactly Iceberg's. */
+    * `targetCol` may be a DOTTED nested path (`meta.n`); `newPath` is
+    * Some(full new dotted path) for a rename, None for a drop. The
+    * reshaped schema is derived from the ID-CARRYING current schema;
+    * entries are untouched (zero data movement) — the whole change
+    * is one sidecar commit, exactly Iceberg's. */
   private def columnMapCommit(spark: SparkSession, path: String,
       op: String, targetCol: String,
       reshape: StructType => StructType,
-      renamePruning: String => Option[String]): Long = {
+      newPath: Option[String]): Long = {
     val prev = latestVersion(spark, path).getOrElse(
       sys.error(s"ManifestTable.$op: no committed version at $path"))
     val entries = entriesOf(spark, path, prev)
     val schema = tableSchema(spark, path, prev, entries)
-    require(schema.fieldNames.contains(targetCol),
+    require(nestedTypeOf(schema, targetCol).isDefined,
       s"ManifestTable.$op: no column '$targetCol' in the table " +
         s"schema (${schema.fieldNames.mkString(", ")})")
     val pSrcs = partitionSpecOf(spark, path, prev).map(_.src)
@@ -635,8 +756,10 @@ object ManifestTable {
         "column — the partition spec is immutable table identity; " +
         "rewrite into a new table to change it")
     val cs = constraintsOf(spark, path, prev)
+    // conservative path-overlap: a constraint on `meta.n` blocks
+    // renaming `meta` (the whole subtree) and `meta.n`
     val refs = cs.filter(c => referencedCols(spark, c._2)
-      .contains(targetCol))
+      .exists(r => pathOverlaps(r, targetCol)))
     require(refs.isEmpty,
       s"ManifestTable.$op: CHECK constraint(s) " +
         refs.map(_._1).mkString("'", "', '", "'") +
@@ -647,28 +770,31 @@ object ManifestTable {
         s"'$targetCol' — materialize them first " +
         "(CALL <cat>.system.rewrite_deletes), then retry")
     val (_, floor, retired0) = colmapOf(spark, path, prev)
-    // a rename's TARGET must not be a retired name either
-    renamePruning(targetCol).foreach(to =>
-      require(!retired0.contains(to),
+    // a rename's TARGET must not be (or live under) a retired name
+    newPath.foreach(to =>
+      require(!retired0.exists(r => pathOverlaps(r, to)),
         s"ManifestTable.$op: '$to' was retired by an earlier " +
-          "rename/drop — old files still carry it under a different " +
-          "field id; pick a different name"))
+          "rename/drop — old files still carry that name under a " +
+          "different field id; pick a different name"))
     val withIds = withFieldIds(schema, floor)
-    requireAllFilesStamped(spark, path, entries, op)
+    requireAllFilesStamped(spark, path, entries, op,
+      targetCol.split('.').toSeq)
     val newSchema = reshape(withIds)
-    val maxId = math.max(floor,
-      withIds.fields.flatMap(fieldIdOf).foldLeft(0L)(math.max))
-    // per-entry stats are keyed by column NAME: a rename REKEYS them
-    // (the values are the same column's — old dirs keep pruning), a
-    // drop SCRUBS them (a later column reusing the name must never
-    // inherit the dead column's stats — its values in old dirs are
-    // null, and e.g. a zero recorded null count would false-prune an
-    // IS NULL query)
+    val maxId = math.max(floor, maxFieldId(withIds))
+    // per-entry stats are keyed by DOTTED column path: a rename
+    // REKEYS the path and everything under it (the values are the
+    // same column's — old dirs keep pruning), a drop SCRUBS them (a
+    // later column reusing the name must never inherit the dead
+    // column's stats — its values in old dirs are null, and e.g. a
+    // zero recorded null count would false-prune an IS NULL query)
+    def rekeyPath(k: String): Option[String] =
+      if (!pathOverlaps(k, targetCol)) Some(k)
+      else if (k == targetCol) newPath
+      else if (k.startsWith(targetCol + "."))
+        newPath.map(_ + k.drop(targetCol.length))
+      else Some(k) // k is an ANCESTOR of the target: key unaffected
     def rekey[A](m: Map[String, A]): Map[String, A] =
-      m.flatMap { case (k, x) =>
-        if (k != targetCol) Some(k -> x)
-        else renamePruning(k).map(_ -> x)
-      }
+      m.flatMap { case (k, x) => rekeyPath(k).map(_ -> x) }
     val newEntries = entries.map(e => e.copy(
       statMin = rekey(e.statMin), statMax = rekey(e.statMax),
       strMin = rekey(e.strMin), strMax = rekey(e.strMax),
@@ -679,8 +805,7 @@ object ManifestTable {
       entries.map(_.tag).foldLeft(-1L)(math.max))
     val v = prev + 1
     commit(spark, path, v, newEntries, newSchema, prevTag,
-      (st.flatMap(c => if (c == targetCol) renamePruning(c) else Some(c)),
-        bl.flatMap(c => if (c == targetCol) renamePruning(c) else Some(c))),
+      (st.flatMap(rekeyPath), bl.flatMap(rekeyPath)),
       cs, op = op,
       colmapBodyOpt = Some(colmapBody(mapped = true, maxId,
         retired0 :+ targetCol)))
@@ -689,38 +814,54 @@ object ManifestTable {
 
   /** RENAME a column — one metadata commit, zero data movement: the
     * logical name changes, the field id stays, and every read (old
-    * dirs included) resolves the column by id. Refused for
-    * partition-source columns, constraint-referenced columns, and
-    * pending-dv key columns (each names the column in metadata this
-    * commit does not rewrite); refused until every live dir's files
-    * carry field ids (see [[requireAllFilesStamped]]). */
+    * dirs included) resolves the column by id. `from` may be a
+    * DOTTED nested path (`meta.n`): the leaf renames INSIDE its
+    * struct, old files resolving it by the nested field id. Refused
+    * for partition-source columns, constraint-referenced columns,
+    * and pending-dv key columns (each names the column in metadata
+    * this commit does not rewrite); refused until every live dir's
+    * files carry field ids along the path
+    * (see [[requireAllFilesStamped]]). */
   def renameColumn(spark: SparkSession, path: String, from: String,
       to: String): Long = {
     require(to.nonEmpty && !to.contains('.') && !to.startsWith("_graft_"),
       s"ManifestTable.renameColumn: invalid target name '$to'")
+    val parts = from.split('.').toList
+    val toPath = (parts.init :+ to).mkString(".")
     columnMapCommit(spark, path, "renameColumn", from,
       s => {
-        require(!s.fieldNames.contains(to),
-          s"ManifestTable.renameColumn: column '$to' already exists")
-        StructType(s.fields.map(f =>
-          if (f.name == from) f.copy(name = to) else f))
+        require(nestedTypeOf(s, toPath).isEmpty,
+          s"ManifestTable.renameColumn: column '$toPath' already exists")
+        reshapeAt(s, parts, "renameColumn")(f => Some(f.copy(name = to)))
       },
-      _ => Some(to))
+      Some(toPath))
   }
 
   /** DROP a column — one metadata commit: the field leaves the
     * logical schema (old files keep its bytes; no read ever surfaces
     * them again, because a later column re-using the NAME gets a new
-    * id). Same refusals and stamping gate as [[renameColumn]]. */
+    * id). `name` may be a DOTTED nested path. Same refusals and
+    * stamping gate as [[renameColumn]]. */
   def dropColumn(spark: SparkSession, path: String,
       name: String): Long = {
+    val parts = name.split('.').toList
     columnMapCommit(spark, path, "dropColumn", name,
       s => {
-        require(s.fields.length > 1,
-          "ManifestTable.dropColumn: cannot drop the only column")
-        StructType(s.fields.filterNot(_.name == name))
+        val out = reshapeAt(s, parts, "dropColumn")(_ => None)
+        def noEmpty(st: StructType): Unit = {
+          require(st.fields.nonEmpty,
+            "ManifestTable.dropColumn: cannot drop the only column " +
+              "of its struct level — drop the enclosing struct (or " +
+              "table) instead")
+          st.fields.foreach(_.dataType match {
+            case x: StructType => noEmpty(x)
+            case _ => ()
+          })
+        }
+        noEmpty(out)
+        out
       },
-      _ => None)
+      None)
   }
 
   /** WIDEN a column's type — `int -> bigint`, `float -> double` (any
@@ -1769,8 +1910,7 @@ object ManifestTable {
       // different column) — the files would pass the stamping gate
       // and a later rename/drop would then silently null or
       // mis-resolve this dir's columns by id
-      val idsNow = schema.fields
-        .flatMap(f => fieldIdOf(f).map(f.name -> _)).toMap
+      val idsNow = allFieldIds(schema)
       if (written.isDefined && writtenIds.exists(_ != idsNow))
         throw new CommitConflictException(
           s"ManifestTable.append($path): field-id assignment " +
@@ -2233,8 +2373,7 @@ object ManifestTable {
     // the column-map sidecar self-carries once mapped (like the
     // partition spec), its id high watermark refreshed so a dropped
     // column's id is never reused by a later evolution
-    val liveMax = schemaP.fields.flatMap(fieldIdOf)
-      .foldLeft(0L)(math.max)
+    val liveMax = maxFieldId(schemaP)
     colmapBodyOpt.orElse(
       if (prevMapped) Some(colmapBody(mapped = true,
         math.max(prevMax, liveMax), prevRetired)) else None)

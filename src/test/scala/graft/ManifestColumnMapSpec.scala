@@ -189,4 +189,78 @@ class ManifestColumnMapSpec extends AnyFunSuite {
       ManifestTable.dropColumn(spark, t2, "only")))
       .exists(_.contains("only column")))
   }
+
+  test("NESTED leaf rename/drop: old files resolve by nested id; stats rekey") {
+    def msgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val t = s"${Files.createTempDirectory("graft-cmn")}/t"
+    def batch(lo: Long, n: Int, lang: String) =
+      (lo until lo + n).map(i => (i, lang, i * 10))
+        .toDF("doc_id", "lang", "n")
+        .select(col("doc_id"),
+          struct(col("lang"), col("n")).as("meta"))
+    // two range-disjoint dirs with NESTED leaf stats, pre-rename
+    ManifestTable.append(spark, batch(0L, 50, "de"), t,
+      statsCols = Seq("doc_id", "meta.lang", "meta.n"))
+    ManifestTable.append(spark, batch(50L, 50, "en"), t,
+      statsCols = Seq("doc_id", "meta.lang", "meta.n"))
+    // rename the LEAF inside its struct — one metadata commit
+    val vFiles = ManifestTable.read(spark, t).inputFiles.toSet
+    ManifestTable.renameColumn(spark, t, "meta.n", "m")
+    assert(ManifestTable.read(spark, t).inputFiles.toSet == vFiles,
+      "a nested rename must move zero data")
+    // old files resolve the renamed leaf BY NESTED FIELD ID
+    val got = ManifestTable.read(spark, t)
+      .select(col("doc_id"), col("meta.m"))
+      .orderBy("doc_id").limit(3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 0L), (1L, 10L), (2L, 20L)),
+      s"nested id resolution failed: $got")
+    // stats REKEYED under the new dotted path: the disjoint dir
+    // prunes on the new name
+    val df = spark.read.format("graft-manifest").load(t)
+      .filter(col("meta.m") >= 600L)
+    assert(df.count() == 40)
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec"))
+    assert(scan.metrics("numFiles").value <
+      ManifestTable.read(spark, t).inputFiles.length,
+      "rekeyed nested stats must prune the disjoint pre-rename dir")
+    // a post-rename append writes the NEW shape; both eras read
+    ManifestTable.append(spark,
+      (100L until 110L).map(i => (i, "fr", i * 10))
+        .toDF("doc_id", "lang", "m")
+        .select(col("doc_id"),
+          struct(col("lang"), col("m")).as("meta")), t,
+      statsCols = Seq("doc_id", "meta.lang", "meta.m"))
+    assert(ManifestTable.read(spark, t).count() == 110)
+    assert(ManifestTable.read(spark, t)
+      .agg(sum(col("meta.m"))).head.getLong(0) ==
+      (0L until 110L).map(_ * 10L).sum)
+    // DROP a nested leaf: reads exclude it, old bytes never surface
+    ManifestTable.dropColumn(spark, t, "meta.lang")
+    val shape = ManifestTable.read(spark, t).schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+    assert(shape.toSeq == Seq("m"), s"got ${shape.toSeq}")
+    // retirement guards the whole subtree: after dropping the struct,
+    // re-adding a top-level 'meta' would resurrect nested names by
+    // row-group pushdown — refused
+    ManifestTable.dropColumn(spark, t, "meta")
+    val exReuse = intercept[Exception] {
+      ManifestTable.append(spark,
+        Seq((200L, 1L)).toDF("doc_id", "meta"), t,
+        evolveSchema = true)
+    }
+    assert(msgs(exReuse).exists(_.contains("RETIRED")),
+      s"got ${msgs(exReuse)}")
+    // dropping the last field of a struct is loud (drop the struct)
+    val t2 = s"${Files.createTempDirectory("graft-cmn2")}/t"
+    ManifestTable.append(spark,
+      Seq((1L, Tuple1("x"))).toDF("id", "meta"), t2)
+    assert(msgs(intercept[Exception](
+      ManifestTable.dropColumn(spark, t2, "meta._1")))
+      .exists(_.contains("only column")))
+  }
 }

@@ -153,4 +153,35 @@ class ProcedureSpec extends AnyFunSuite {
     assert(msgs(ex3).exists(_.toLowerCase.contains("nope")),
       s"got: ${msgs(ex3)}")
   }
+
+  test("CALL create_branch / fast_forward_branch / abandon_branch by name") {
+    spark.sql("CREATE TABLE gp.db.br (id BIGINT) " +
+      "USING `graft-manifest` TBLPROPERTIES ('statsCols'='id')")
+    spark.sql("INSERT INTO gp.db.br VALUES (1), (2)")
+    val t = pathOf("br")
+    val base = spark.sql("CALL gp.system.create_branch('db.br', 'b1')")
+      .collect().head.getLong(0)
+    assert(base == 2L) // CREATE = v1, INSERT = v2
+    ManifestTable.appendToBranch(spark, Seq(10L).toDF("id"), t, "b1",
+      statsCols = Seq("id"))
+    // main oblivious until the fast-forward
+    assert(spark.sql("SELECT COUNT(*) FROM gp.db.br").head.getLong(0)
+      == 2L)
+    val v = spark.sql(
+      "CALL gp.system.fast_forward_branch('db.br', 'b1')")
+      .collect().head.getLong(0)
+    assert(spark.sql("SELECT COUNT(*) FROM gp.db.br").head.getLong(0)
+      == 3L)
+    // provenance: the fast-forward is ONE history entry
+    val ops = ManifestTable.history(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(ops(v) == "fastForwardBranch", s"got $ops")
+    // the reject path by name
+    spark.sql("CALL gp.system.create_branch('db.br', 'b2')")
+    ManifestTable.appendToBranch(spark, Seq(99L).toDF("id"), t, "b2")
+    spark.sql("CALL gp.system.abandon_branch('db.br', 'b2')")
+    assert(ManifestTable.branchNames(spark, t).isEmpty)
+    assert(spark.sql("SELECT COUNT(*) FROM gp.db.br").head.getLong(0)
+      == 3L)
+  }
 }
