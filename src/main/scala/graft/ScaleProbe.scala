@@ -335,6 +335,71 @@ object ScaleProbe {
     // row probe + Bloom pruning), while a NOT MATCHED BY SOURCE
     // statement honestly pays the whole-table rewrite — the gap IS
     // the prune.
+    // gd100: the GENERAL-predicate SQL DELETE/UPDATE at 500k rows in
+    // 10 range-disjoint dirs. The numbers that matter: a
+    // mixed-conjunct statement (integral range AND string point — the
+    // first statement a migrating Delta/Iceberg user writes) rewrites
+    // ONLY the dirs the scan's own conjunct probe cannot rule out
+    // (1 of 10 here), and the honest floor — a predicate the
+    // extractors cannot bound (pure OR across columns) — rewrites
+    // every dir once, exactly what any engine pays for it.
+    if (args.headOption.contains("gd100")) {
+      val out100 = "/tmp/scale100docs"
+      if (!new java.io.File(s"$out100/documents.parquet").exists())
+        buildDocs100(out100)
+      val docs = Tables.documents(spark, out100)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val n = docs.count()
+      val tg = "/tmp/scale100docs/docs_gd"
+      val fsG = new org.apache.hadoop.fs.Path(tg)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fsG.delete(new org.apache.hadoop.fs.Path(tg), true)
+      val slice = 10000000L
+      val tb0 = System.nanoTime()
+      (0L until 10L).foreach { i =>
+        graft.sinks.ManifestTable.append(spark,
+          docs.filter(col("doc_id") >= i * slice &&
+            (if (i == 9) lit(true) else col("doc_id") < (i + 1) * slice)),
+          tg, statsCols = Seq("doc_id", "lang", "n_chars"))
+      }
+      println(f"TIME gd100 ingest_10commits " +
+        f"${(System.nanoTime() - tb0) / 1e9}%.2f s ($n rows)")
+      spark.read.format("graft-manifest").load(tg)
+        .createOrReplaceTempView("gd_t")
+      def dirs(): Set[String] = graft.sinks.ManifestTable.entriesOf(
+        spark, tg,
+        graft.sinks.ManifestTable.latestVersion(spark, tg).get)
+        .map(_.dir).toSet
+      // mixed conjuncts: the doc_id range pins dir 0, lang rides the
+      // string bounds/Blooms — the general path's pruned shape
+      val b1 = dirs()
+      val t1 = System.nanoTime()
+      spark.sql("DELETE FROM gd_t " +
+        "WHERE doc_id BETWEEN 0 AND 5999 AND lang = 'de'")
+      println(f"TIME gd100 delete_mixed_conjuncts " +
+        f"${(System.nanoTime() - t1) / 1e9}%.2f s " +
+        f"(${(b1 -- dirs()).size} of 10 dirs rewritten)")
+      // an OR straddling the range still prunes on the extracted
+      // conjunct (doc_id >= 9*slice): 1 of 10
+      val b2 = dirs()
+      val t2 = System.nanoTime()
+      spark.sql("UPDATE gd_t SET n_chars = 0 " +
+        s"WHERE doc_id >= ${9 * slice} AND " +
+        "(lang = 'en' OR lang = 'fr')")
+      println(f"TIME gd100 update_range_and_or " +
+        f"${(System.nanoTime() - t2) / 1e9}%.2f s " +
+        f"(${(b2 -- dirs()).size} of 10 dirs rewritten)")
+      // the honest floor: nothing extractable — every dir pays once
+      val b3 = dirs()
+      val t3 = System.nanoTime()
+      spark.sql("DELETE FROM gd_t " +
+        "WHERE lang = 'no-such-lang' OR n_chars < 0")
+      println(f"TIME gd100 delete_unboundable_floor " +
+        f"${(System.nanoTime() - t3) / 1e9}%.2f s " +
+        f"(${(b3 -- dirs()).size} of 10 dirs rewritten)")
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("mc100")) {
       val out100 = "/tmp/scale100docs"
       if (!new java.io.File(s"$out100/documents.parquet").exists())

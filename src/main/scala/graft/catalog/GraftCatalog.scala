@@ -344,6 +344,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // value-preserving subset (int chain -> bigint, float ->
       // double) as one metadata commit — old files read widened,
       // anything else is loud (ManifestTable.widenColumnType)
+      // a NESTED add (meta.x) is its own metadata commit — the
+      // evolve-append below only expresses top-level addition
+      case Seq(a: TableChange.AddColumn) if a.fieldNames().length > 1 =>
+        require(a.isNullable,
+          s"graft catalog: ADD COLUMN ${a.fieldNames().mkString(".")}" +
+            " must be nullable — existing rows have no value for it")
+        require(a.position() == null,
+          "graft catalog: ADD COLUMN position clauses are not " +
+            "supported — new fields append at the end of their struct")
+        ManifestTable.addNestedColumn(spark, path,
+          a.fieldNames().init.mkString("."), a.fieldNames().last,
+          a.dataType())
+        return loadTable(ident)
       case Seq(u: TableChange.UpdateColumnType) =>
         require(u.fieldNames().length == 1,
           "graft catalog: ALTER COLUMN TYPE supports top-level " +
@@ -356,8 +369,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val adds = changes.map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
-          "graft catalog: ADD COLUMN supports top-level columns " +
-            s"only, got ${a.fieldNames().mkString(".")}")
+          "graft catalog: a NESTED add must be its own statement " +
+            s"(one field per ALTER), got ${a.fieldNames().mkString(".")}")
         require(a.isNullable,
           s"graft catalog: ADD COLUMN ${a.fieldNames()(0)} must be " +
             "nullable — existing rows have no value for it")

@@ -300,9 +300,30 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
     * frame cannot host one), or a non-deterministic expression
     * (re-evaluated per touched dir, it would update different rows
     * to different values than the statement ran once would). */
-  private def rebuildSetValue(e: Expression,
+  /** Inline Spark 4's analysis-time common-subexpression shapes so
+    * the by-name rebuild and the pruning extractors see PLAIN trees:
+    * `BETWEEN` resolves into `With(CommonExpressionDef …)` (to avoid
+    * double evaluation), whose node refuses unresolved children —
+    * the rebuild's UnresolvedAttributes would crash its transform.
+    * Inlining re-duplicates the (deterministic) common expression,
+    * exactly what the predicate means; Between still present as its
+    * own node expands to its >= AND <= definition, which the
+    * conjunct extractors can also bound. */
+  private def inlineWith(e0: Expression): Expression = e0.transformUp {
+    case w: With =>
+      val byId = w.defs.map(d => d.id -> d.child).toMap
+      w.child.transformUp {
+        case r: CommonExpressionRef => byId.getOrElse(r.id, r)
+      }
+    case b: Between =>
+      And(GreaterThanOrEqual(b.input, b.lower),
+        LessThanOrEqual(b.input, b.upper))
+  }
+
+  private def rebuildSetValue(e1: Expression,
       rename: AttributeReference => Option[String])
       : Option[org.apache.spark.sql.Column] = {
+    val e = inlineWith(e1)
     var ok = true
     val t = e.transform {
       case a: AttributeReference =>
@@ -328,8 +349,11 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
     * run once would) and a subquery (the rewrite frame cannot host
     * one — route it through the programmatic API with the subquery
     * materialized). */
-  private def generalWhere(cond: Expression, stmt: String)
+  private def generalWhere(cond0: Expression, stmt: String)
       : (org.apache.spark.sql.Column, Seq[Expression]) = {
+    // inlined FIRST so the conjunct extractors can bound a BETWEEN's
+    // expanded >= AND <= too, not just the Column rebuild
+    val cond = inlineWith(cond0)
     val c = rebuildSetValue(cond, ar => Some(ar.name)).getOrElse(
       sys.error(s"graft-manifest $stmt: unsupported WHERE " +
         s"(${cond.sql}) — non-deterministic functions and " +

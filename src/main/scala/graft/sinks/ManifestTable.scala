@@ -864,6 +864,54 @@ object ManifestTable {
       None)
   }
 
+  /** ADD a NESTED column — a new nullable leaf inside an existing
+    * struct — as ONE metadata commit, zero data movement: old files
+    * simply lack the field and every read fills it with null
+    * (parquet evolution-on-read works inside structs exactly like at
+    * the top level — probed empirically, ManifestColumnMapSpec pins
+    * it). The leaf gets a fresh field id at the commit boundary, so
+    * a LATER rename/drop of it resolves by id in post-add files.
+    *
+    * Stricter than top-level evolution in one deliberate way:
+    * batches written AFTER the add must carry the struct's NEW shape
+    * (project the new field, null where unknown) — the write
+    * boundary's exact-struct-type rule is what keeps a typo'd batch
+    * from silently forking a nested schema, and weakening it to
+    * subset-tolerance would lose that. */
+  def addNestedColumn(spark: SparkSession, path: String,
+      parent: String, name: String, dt: DataType): Long = {
+    require(name.nonEmpty && !name.contains('.') &&
+      !name.startsWith("_graft_"),
+      s"ManifestTable.addNestedColumn: invalid field name '$name'")
+    val prev = latestVersion(spark, path).getOrElse(
+      sys.error(s"ManifestTable.addNestedColumn: no committed " +
+        s"version at $path"))
+    val entries = entriesOf(spark, path, prev)
+    val schema = tableSchema(spark, path, prev, entries)
+    val full = s"$parent.$name"
+    require(nestedTypeOf(schema, parent).exists(
+        _.isInstanceOf[StructType]),
+      s"ManifestTable.addNestedColumn: '$parent' is not a struct " +
+        s"column of the table (${schema.fieldNames.mkString(", ")})")
+    require(nestedTypeOf(schema, full).isEmpty,
+      s"ManifestTable.addNestedColumn: '$full' already exists")
+    refuseRetired(spark, path, prev, Seq(full),
+      s"ManifestTable.addNestedColumn($path)")
+    val newSchema = reshapeAt(schema, parent.split('.').toList,
+      "addNestedColumn") { f =>
+      val st = f.dataType.asInstanceOf[StructType]
+      Some(f.copy(dataType =
+        StructType(st.fields :+ StructField(name, dt, nullable = true))))
+    }
+    val (st, bl) = pruningOf(spark, path, prev)
+    val prevTag = maxTagOf(spark, path, prev).getOrElse(
+      entries.map(_.tag).foldLeft(-1L)(math.max))
+    val v = prev + 1
+    commit(spark, path, v, entries, newSchema, prevTag, (st, bl),
+      constraintsOf(spark, path, prev), op = "addNestedColumn")
+    v
+  }
+
   /** WIDEN a column's type — `int -> bigint`, `float -> double` (any
     * [[widens]] step) — as ONE metadata commit, zero data movement:
     * old files keep their narrower PHYSICAL type and the scan widens

@@ -263,4 +263,66 @@ class ManifestColumnMapSpec extends AnyFunSuite {
       ManifestTable.dropColumn(spark, t2, "meta._1")))
       .exists(_.contains("only column")))
   }
+
+  test("NESTED ADD COLUMN: one metadata commit, old rows null-fill, new shape writes") {
+    def msgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val t = s"${Files.createTempDirectory("graft-cma")}/t"
+    ManifestTable.append(spark,
+      Seq((1L, ("de", 10L)), (2L, ("en", 20L))).toDF("id", "m")
+        .select(col("id"), col("m._1").as("lang"), col("m._2").as("n"))
+        .select(col("id"), struct(col("lang"), col("n")).as("meta")),
+      t, statsCols = Seq("id"))
+    val filesBefore = ManifestTable.read(spark, t).inputFiles.toSet
+    ManifestTable.addNestedColumn(spark, t, "meta", "score",
+      org.apache.spark.sql.types.DoubleType)
+    assert(ManifestTable.read(spark, t).inputFiles.toSet == filesBefore,
+      "a nested add must move zero data")
+    // old rows read the new leaf as NULL
+    assert(ManifestTable.read(spark, t)
+      .filter(col("meta.score").isNull).count() == 2)
+    // new writes carry the new shape; both eras read together
+    ManifestTable.append(spark,
+      Seq((3L, ("fr", 30L, 0.5))).toDF("id", "m")
+        .select(col("id"), col("m._1").as("lang"),
+          col("m._2").as("n"), col("m._3").as("score"))
+        .select(col("id"), struct(col("lang"), col("n"),
+          col("score")).as("meta")),
+      t, statsCols = Seq("id"))
+    val got = ManifestTable.read(spark, t).orderBy("id")
+      .select(col("id"), col("meta.score")).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSeq
+    assert(got == Seq((1L, None), (2L, None), (3L, Some(0.5))),
+      s"got $got")
+    // the added leaf got a field id: it RENAMES later, post-add
+    // files resolving by nested id
+    ManifestTable.renameColumn(spark, t, "meta.score", "quality")
+    assert(ManifestTable.read(spark, t)
+      .filter(col("meta.quality") === 0.5).count() == 1)
+    // SQL routing: ALTER TABLE ... ADD COLUMN meta.x through the
+    // catalog name
+    val wh = Files.createTempDirectory("graft-cma-wh").toString
+    spark.conf.set("spark.sql.catalog.ga",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ga.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ga.db")
+    spark.sql("CREATE TABLE ga.db.n (id BIGINT, " +
+      "meta STRUCT<lang: STRING>) USING `graft-manifest`")
+    spark.sql("INSERT INTO ga.db.n VALUES (1, named_struct('lang','de'))")
+    spark.sql("ALTER TABLE ga.db.n ADD COLUMN meta.x BIGINT")
+    assert(spark.sql("SELECT meta.x FROM ga.db.n").collect()
+      .forall(_.isNullAt(0)))
+    // loud shapes: non-struct parent, duplicate, missing parent
+    assert(msgs(intercept[Exception](ManifestTable.addNestedColumn(
+      spark, t, "id", "x", org.apache.spark.sql.types.LongType)))
+      .exists(_.contains("not a struct")))
+    assert(msgs(intercept[Exception](ManifestTable.addNestedColumn(
+      spark, t, "meta", "lang", org.apache.spark.sql.types.LongType)))
+      .exists(_.contains("already exists")))
+    assert(msgs(intercept[Exception](ManifestTable.addNestedColumn(
+      spark, t, "nope", "x", org.apache.spark.sql.types.LongType)))
+      .exists(_.contains("not a struct")))
+  }
 }

@@ -429,5 +429,13 @@ class ManifestDmlSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, t).inputFiles.toSet
       .intersect(b2).nonEmpty,
       "dirs the conjunct probe rules out must not rewrite")
+    // BETWEEN mixed with a second conjunct routes too — Spark 4
+    // resolves BETWEEN into a With common-subexpression node, which
+    // the general path INLINES before the by-name rebuild (a plain
+    // transform would crash on it)
+    spark.sql("DELETE FROM dml_gen " +
+      "WHERE n BETWEEN 8000 AND 9000 AND lang = 'en'")
+    assert(state().map(_._1) == Seq(1L, 3L, 11L, 20L),
+      s"got ${state()}")
   }
 }
