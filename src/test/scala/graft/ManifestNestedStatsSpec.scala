@@ -83,6 +83,44 @@ class ManifestNestedStatsSpec extends AnyFunSuite {
       .head.getLong(0) == 10)
   }
 
+  test("general-predicate DML prunes on NESTED conjuncts") {
+    val t = s"${Files.createTempDirectory("graft-nested3")}/t"
+    def batch(lo: Long, n: Int, lang: String) =
+      (lo until lo + n).map(i => (i, lang, i * 10))
+        .toDF("id", "lang", "v")
+        .select(col("id"),
+          struct(col("lang"), col("v")).as("meta"))
+    ManifestTable.append(spark, batch(0L, 50, "de"), t,
+      statsCols = Seq("id", "meta.lang", "meta.v"))
+    ManifestTable.append(spark, batch(50L, 50, "en"), t,
+      statsCols = Seq("id", "meta.lang", "meta.v"))
+    spark.read.format("graft-manifest").load(t)
+      .createOrReplaceTempView("nested_dml")
+    val before = ManifestTable.read(spark, t).inputFiles.toSet
+    // nested mixed conjuncts route the general path; the en dir is
+    // stats-disjoint on meta.lang and must keep physical identity
+    spark.sql("DELETE FROM nested_dml " +
+      "WHERE meta.lang = 'de' AND meta.v > 200")
+    assert(ManifestTable.read(spark, t).count() == 71,
+      "29 de rows with v in (200, 490] should delete")
+    val after = ManifestTable.read(spark, t).inputFiles.toSet
+    assert(after.intersect(before).nonEmpty,
+      "the nested-stats-disjoint dir must not rewrite")
+    // nested UPDATE WHERE works the same way (SET stays top-level)
+    ManifestTable.append(spark,
+      (100L until 110L).map(i => (i, ("fr", i))).toDF("id", "m")
+        .select(col("id"), col("m._1").as("lang"), col("m._2").as("v"))
+        .select(col("id"), struct(col("lang"), col("v")).as("meta"))
+        .withColumn("flag", lit(0L)),
+      t, statsCols = Seq("id"), evolveSchema = true)
+    spark.read.format("graft-manifest").load(t)
+      .createOrReplaceTempView("nested_dml")
+    spark.sql("UPDATE nested_dml SET flag = 1 " +
+      "WHERE meta.lang = 'fr' AND meta.v >= 105")
+    assert(ManifestTable.read(spark, t)
+      .filter(col("flag") === 1L).count() == 5)
+  }
+
   test("nested stats survive a staged rewrite's grouped restat") {
     val t = s"${Files.createTempDirectory("graft-nested2")}/t"
     val df = (0L until 100L).map(i => (i, i * 2))
