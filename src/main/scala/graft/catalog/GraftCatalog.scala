@@ -176,12 +176,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   /** `VERSION AS OF <v>` time travel by name — the pinned version
-    * rides into the V1 relation's `versionAsOf` read option. */
+    * rides into the V1 relation's `versionAsOf` read option. A
+    * non-numeric version is a TAG name (Iceberg's ref-based time
+    * travel: `VERSION AS OF 'pre-migration'`), resolved to its
+    * pinned snapshot here so the pin survives vacuum exactly like
+    * the numeric form. Unknown tags are loud with the live list. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val (path, _) = readRef(ident).getOrElse(
       throw new NoSuchTableException(
         (catalogName +: ident.namespace().toSeq) :+ ident.name()))
-    GraftV2Table(fullName(ident), path, Some(version), None)
+    val v = version.trim.toLongOption.map(_.toString).getOrElse {
+      val tags = ManifestTable.tags(spark, path)
+      tags.getOrElse(version, sys.error(
+        s"graft catalog: '${version}' is neither a version number " +
+          s"nor a tag of ${fullName(ident)} — tags: " +
+          tags.keys.toSeq.sorted.mkString(", "))).toString
+    }
+    GraftV2Table(fullName(ident), path, Some(v), None)
   }
 
   /** `TIMESTAMP AS OF <t>` time travel by name — Spark hands the

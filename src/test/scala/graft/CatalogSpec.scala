@@ -366,6 +366,31 @@ class CatalogSpec extends AnyFunSuite {
     assert(newest.statMin.contains("id") || newest.strMin.contains("id"))
   }
 
+  test("VERSION AS OF accepts a TAG name (ref-based time travel)") {
+    spark.sql("CREATE TABLE g.db.tagv (id BIGINT) " +
+      "USING `graft-manifest`")
+    spark.sql("INSERT INTO g.db.tagv VALUES (1)")         // v2
+    val path = spark.sessionState.catalogManager.catalog("g")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("db"), "tagv")).properties().get("location")
+    ManifestTable.createTag(spark, path, "first", 2L)
+    spark.sql("INSERT INTO g.db.tagv VALUES (2)")         // v3
+    assert(spark.sql("SELECT * FROM g.db.tagv VERSION AS OF 'first'")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(spark.sql("SELECT * FROM g.db.tagv VERSION AS OF 3")
+      .count() == 2)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM g.db.tagv VERSION AS OF 'nope'")
+        .collect()
+    }
+    def msgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(ex).exists(_.contains("neither a version")),
+      s"got ${msgs(ex)}")
+  }
+
   test("properties() resolves through the time-travel pin") {
     val ext = s"${Files.createTempDirectory("graft-cat-pin")}/t"
     // v1 records NO pruning discipline; the adoption commit (v2)
