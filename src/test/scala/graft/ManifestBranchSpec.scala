@@ -121,6 +121,26 @@ class ManifestBranchSpec extends AnyFunSuite {
     assert(ManifestTable.branchNames(spark, t).isEmpty)
   }
 
+  test("the change feed sees a fast-forward as ordinary inserts at ONE version") {
+    val t = tmp("graft-br-cdf")
+    ManifestTable.append(spark, Seq(1L).toDF("id"), t,
+      statsCols = Seq("id"))
+    ManifestTable.createBranch(spark, t, "b")
+    ManifestTable.appendToBranch(spark, Seq(2L).toDF("id"), t, "b",
+      statsCols = Seq("id"))
+    ManifestTable.appendToBranch(spark, Seq(3L).toDF("id"), t, "b",
+      statsCols = Seq("id"))
+    val v = ManifestTable.fastForwardBranch(spark, t, "b")
+    val ch = ManifestTable.readChanges(spark, t, 0L, v)
+      .select("id", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    // branch staging itself is INVISIBLE to the feed; the
+    // fast-forward lands both commits' rows as inserts at one version
+    assert(ch == Seq((1L, "insert", 1L), (2L, "insert", v),
+      (3L, "insert", v)), s"got $ch")
+  }
+
   test("schema evolution on a branch commit; loud shapes") {
     val t = tmp("graft-br5")
     ManifestTable.append(spark, Seq(1L).toDF("id"), t)

@@ -86,6 +86,34 @@ class ManifestWidenSpec extends AnyFunSuite {
     assert(cf.schema("n").dataType == LongType && cf.count() == 102)
   }
 
+  test("the change feed spans a widen: eras coerce, the widen emits nothing") {
+    val t = s"${Files.createTempDirectory("graft-widen-cdf")}/t"
+    ManifestTable.append(spark,
+      Seq((1L, 10), (2L, 20)).toDF("id", "n"), t,
+      statsCols = Seq("id"))                                   // v1
+    val vW = ManifestTable.widenColumnType(spark, t, "n", LongType) // v2
+    ManifestTable.append(spark,
+      Seq((3L, 30000000000L)).toDF("id", "n"), t,
+      statsCols = Seq("id"))                                   // v3
+    ManifestTable.updateRange(spark, t, "id", 1L, 1L,
+      Seq("n" -> (col("n") + lit(1L))))                        // v4
+    val ch = ManifestTable.readChanges(spark, t, 0L,
+      ManifestTable.latestVersion(spark, t).get)
+    assert(ch.schema("n").dataType == LongType,
+      "the feed must surface the WIDENED type across eras")
+    val rows = ch.select("id", "n", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getLong(3))).sortBy(x => (x._4, x._1, x._3))
+      .toSeq
+    assert(rows == Seq(
+      (1L, 10L, "insert", 1L), (2L, 20L, "insert", 1L),
+      (3L, 30000000000L, "insert", 3L),
+      (1L, 10L, "delete", 4L), (1L, 11L, "insert", 4L)),
+      s"got $rows")
+    assert(!rows.exists(_._4 == vW),
+      "the widen is metadata-only: it must emit zero change rows")
+  }
+
   test("float->double widens; narrowing and cross-family stay loud") {
     val t = s"${Files.createTempDirectory("graft-widen2")}/t"
     ManifestTable.append(spark,
