@@ -213,5 +213,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "row counts, partition spec, pruning discipline — resolved " +
         "from metadata alone.",
       graft.sinks.ManifestTable.detail)
+    tvf("graft_branch",
+      "graft_branch(path, branch) - the branch's WHOLE state (base " +
+        "snapshot + every staged branch commit, in order) — the " +
+        "AUDIT read before a fast_forward_branch; main readers of " +
+        "the table itself never see these rows.",
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            Map("functionName" -> "`graft_branch`",
+              "expectedNum" -> "2",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        val spark = org.apache.spark.sql.SparkSession.active
+        def strArg(i: Int): String =
+          tvfArg[String](exprs, i, "graft_branch", "STRING") {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+            case s: String => s
+          }
+        val path = graft.catalog.GraftNames.resolve(spark, strArg(0))
+        graft.sinks.ManifestTable.readBranch(spark, path, strArg(1))
+          .queryExecution.analyzed
+      })
   }
 }

@@ -400,6 +400,65 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // nst100: NESTED-leaf stats at 500k rows — the raw-CVE-shaped
+    // table's pruning story without a flattening pass. 10 dirs
+    // range-disjoint on the LEAF meta.n (doc_id * 10 strides with
+    // the copy offset); the numbers that matter: a pushed nested
+    // range conjunct reads 1 of 10 dirs' files, and the same filter
+    // over a stats-less nested table reads all 10 — the delta IS the
+    // nested-stats machinery.
+    if (args.headOption.contains("nst100")) {
+      val out100 = "/tmp/scale100docs"
+      if (!new java.io.File(s"$out100/documents.parquet").exists())
+        buildDocs100(out100)
+      val docs = Tables.documents(spark, out100)
+        .select(col("doc_id"),
+          struct(col("lang"), (col("doc_id") * 10).as("n")).as("meta"))
+      val n = docs.count()
+      def build(path: String, stats: Seq[String]): Unit = {
+        val fsN = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        fsN.delete(new org.apache.hadoop.fs.Path(path), true)
+        val slice = 100000000L // meta.n = doc_id * 10
+        (0L until 10L).foreach { i =>
+          graft.sinks.ManifestTable.append(spark,
+            docs.filter(col("meta.n") >= i * slice &&
+              (if (i == 9) lit(true)
+               else col("meta.n") < (i + 1) * slice)),
+            path, statsCols = stats)
+        }
+      }
+      val tS = "/tmp/scale100docs/docs_nst"
+      val tB = "/tmp/scale100docs/docs_nst_blind"
+      val tb0 = System.nanoTime()
+      build(tS, Seq("doc_id", "meta.lang", "meta.n"))
+      println(f"TIME nst100 ingest_nested_stats " +
+        f"${(System.nanoTime() - tb0) / 1e9}%.2f s ($n rows)")
+      build(tB, Seq("doc_id")) // same layout, NO nested stats
+      def timedCount(path: String, label: String): Unit = {
+        val t0 = System.nanoTime()
+        // exchange-free shape (no AQE wrapper), so the executed
+        // plan's FileSourceScanExec metrics are directly readable
+        val df = spark.read.format("graft-manifest").load(path)
+          .filter(col("meta.n") >= 950000000L &&
+            col("meta.lang") =!= "zz")
+          .select(col("doc_id"))
+        val c = df.collect().length
+        val files = df.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metrics("numFiles").value
+        }.sum
+        val total = graft.sinks.ManifestTable.read(spark, path)
+          .inputFiles.length
+        println(f"TIME nst100 $label " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          f"($c rows, $files of $total files read)")
+      }
+      timedCount(tS, "nested_range_pruned")
+      timedCount(tB, "nested_range_blind")
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("mc100")) {
       val out100 = "/tmp/scale100docs"
       if (!new java.io.File(s"$out100/documents.parquet").exists())

@@ -121,6 +121,31 @@ class ManifestBranchSpec extends AnyFunSuite {
     assert(ManifestTable.branchNames(spark, t).isEmpty)
   }
 
+  test("graft_branch TVF serves the audit read in SQL, by path or name") {
+    val t = tmp("graft-br-tvf")
+    ManifestTable.append(spark, Seq(1L).toDF("id"), t,
+      statsCols = Seq("id"))
+    ManifestTable.createBranch(spark, t, "aud")
+    ManifestTable.appendToBranch(spark, Seq(7L, 8L).toDF("id"), t,
+      "aud", statsCols = Seq("id"))
+    val got = spark.sql(
+      s"SELECT id FROM graft_branch('$t', 'aud') ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 7L, 8L), s"got $got")
+    // composes with plain SQL — the audit query a gate job runs
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM graft_branch('$t', 'aud') WHERE id > 5")
+      .head.getLong(0) == 2L)
+    // loud on an unknown branch
+    val ex = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_branch('$t', 'nope')").collect()
+    }
+    def msgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(ex).exists(_.contains("no branch")), s"${msgs(ex)}")
+  }
+
   test("the change feed sees a fast-forward as ordinary inserts at ONE version") {
     val t = tmp("graft-br-cdf")
     ManifestTable.append(spark, Seq(1L).toDF("id"), t,
