@@ -4784,6 +4784,12 @@ object ManifestTable {
     require(versions(spark, path).contains(version),
       s"ManifestTable.createTag: ${vName(version)} is not a committed " +
         s"snapshot at $path")
+    // the symmetric guard to createBranch's: the two ref families
+    // have opposite mutability contracts, and `VERSION AS OF '<ref>'`
+    // resolves by name — a shared name would make it ambiguous
+    require(!branchNames(spark, path).contains(refName(name)),
+      s"ManifestTable.createTag: '$name' is a BRANCH at $path — " +
+        "branches are mutable refs; pick a different tag name")
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/refs"))
     val p = new org.apache.hadoop.fs.Path(s"$path/refs/${refName(name)}")
     // create(overwrite = false) is the atomic claim: a racing

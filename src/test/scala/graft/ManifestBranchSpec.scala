@@ -198,6 +198,14 @@ class ManifestBranchSpec extends AnyFunSuite {
       ManifestTable.createBranch(spark, t, "pin")
     }
     assert(msgs(ex2).exists(_.contains("TAG")))
+    // ... and the symmetric refusal: a tag may not take a live
+    // branch's name either
+    ManifestTable.createBranch(spark, t, "live")
+    val ex2b = intercept[Exception] {
+      ManifestTable.createTag(spark, t, "live", v)
+    }
+    assert(msgs(ex2b).exists(_.contains("BRANCH")))
+    ManifestTable.abandonBranch(spark, t, "live")
     val ex3 = intercept[Exception] {
       ManifestTable.appendToBranch(spark, Seq(1L).toDF("id"), t, "nope")
     }
