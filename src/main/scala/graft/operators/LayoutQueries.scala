@@ -943,6 +943,38 @@ object LayoutQueries {
     path
   }
 
+  /** A NESTED-schema manifest table patched by a NESTED-field SQL
+    * UPDATE — `SET meta.n_chars = meta.n_chars + 7 WHERE doc_id % 10
+    * = 3` folds onto the top-level struct through Column.withField
+    * (in-place leaf patch; NULL parents stay NULL), routed by the
+    * general-predicate update path. Built once per dataset behind
+    * the usual marker. */
+  def ensureNestedUpdatedManifest(s: SparkSession, d: String): String = {
+    val path = s"${layoutRoot(d)}/docs_manifest_nupd"
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        struct(col("lang"), col("n_chars")).as("meta"))
+    val n = docs.count()
+    val expect = s"layout=$LayoutVersion manifest=nupd rows=$n"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      Seq(0L, 1L).foreach { r =>
+        graft.sinks.ManifestTable.append(s,
+          docs.filter(col("doc_id") % 2 === r), path,
+          statsCols = Seq("doc_id", "meta.n_chars"))
+      }
+      s.read.format("graft-manifest").load(path)
+        .createOrReplaceTempView("graft_nupd_target")
+      s.sql(
+        "UPDATE graft_nupd_target " +
+          "SET meta.n_chars = meta.n_chars + 7 WHERE doc_id % 10 = 3")
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
   /** A manifest table keyed by a COMPOSITE business key — (grp, sub)
     * = (doc_id div 1000, doc_id mod 1000) — upserted through the SQL
     * MERGE's conjunctive `ON t.grp = u.grp AND t.sub = u.sub`:
@@ -2774,6 +2806,26 @@ object LayoutQueries {
       graft.sinks.ManifestTable.read(s, path)
         .select(col("doc_id"), col("meta.lang").as("lang"),
           col("meta.chars").cast("long").as("chars"))
+        .orderBy("doc_id")
+    },
+
+    // ---- NESTED-field SQL UPDATE end-to-end (q165): `SET
+    //      meta.n_chars = meta.n_chars + 7 WHERE doc_id % 10 = 3` —
+    //      the leaf patches IN PLACE through Column.withField folded
+    //      onto the top-level struct (NULL parents stay NULL), the
+    //      WHERE routes the general-predicate path. The oracle
+    //      recomputes the patched table from the flat source: a leaf
+    //      applied outside its predicate, a sibling field disturbed,
+    //      or a lost row all hash-mismatch. ----
+    GraftQuery("q165_manifest_nested_update",
+      """SELECT doc_id, lang,
+        |  CAST(CASE WHEN doc_id % 10 = 3 THEN n_chars + 7
+        |    ELSE n_chars END AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val path = ensureNestedUpdatedManifest(s, d)
+      graft.sinks.ManifestTable.read(s, path)
+        .select(col("doc_id"), col("meta.lang").as("lang"),
+          col("meta.n_chars").cast("long").as("n_chars"))
         .orderBy("doc_id")
     },
   )

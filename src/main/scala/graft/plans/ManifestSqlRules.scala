@@ -581,7 +581,7 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
       case u: UpdateTable if u.assignments.nonEmpty &&
           u.assignments.forall(a => a.key.resolved && a.value.resolved) =>
         u.table match {
-          case ManifestTarget(path, _) =>
+          case ManifestTarget(path, schema) =>
             // identity assignments (SET c = c — the analyzer's
             // assignment alignment pads untouched columns this way)
             // are semantic no-ops: drop them rather than rewrite
@@ -592,18 +592,54 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
                 case _ => false
               }
             }
-            val sets = real.map { a =>
-              val k = nameOf(a.key).getOrElse(sys.error(
-                "graft-manifest UPDATE: SET target must be a plain " +
-                  s"top-level column, got ${a.key.sql}"))
-              val c = rebuildSetValue(a.value, ar => Some(ar.name))
+            // NESTED SET targets (`SET meta.n = expr`) fold onto
+            // their top-level column through Column.withField —
+            // Spark's own nested-update semantics: the leaf replaces
+            // IN PLACE and a NULL parent struct stays NULL (never
+            // silently materialized). Multiple leaves under one
+            // struct chain onto one rebuild; a plain SET of the same
+            // struct beside a nested one is a duplicate-column error
+            // downstream (no defined order).
+            def keyPath(e: Expression): Option[Seq[String]] = e match {
+              case a: AttributeReference => Some(Seq(a.name))
+              case g: GetStructField =>
+                keyPath(g.child).map(_ :+ g.extractFieldName)
+              case _ => None
+            }
+            def rebuilt(a: Assignment, what: String)
+                : org.apache.spark.sql.Column =
+              rebuildSetValue(a.value, ar => Some(ar.name))
                 .getOrElse(sys.error(
                   "graft-manifest UPDATE: unsupported SET expression " +
-                    s"for '$k' (${a.value.sql}) — subqueries and " +
+                    s"for '$what' (${a.value.sql}) — subqueries and " +
                     "non-deterministic functions must go through the " +
                     "programmatic API"))
-              (k, c)
-            }
+            val (nested, plain) = real.partition(a => keyPath(a.key)
+              .exists(_.length > 1))
+            val nestedSets = nested
+              .map(a => (keyPath(a.key).get, a))
+              .groupBy(_._1.head).toSeq.sortBy(_._1)
+              .map { case (head, as) =>
+                val v = as.foldLeft(
+                    col(head): org.apache.spark.sql.Column) {
+                  case (acc, (p, a)) =>
+                    val dotted = p.mkString(".")
+                    val leaf = ManifestTable.nestedTypeOf(schema, dotted)
+                      .getOrElse(sys.error(
+                        "graft-manifest UPDATE: SET target " +
+                          s"'$dotted' does not resolve through the " +
+                          "table's structs"))
+                    acc.withField(p.tail.mkString("."),
+                      rebuilt(a, dotted).cast(leaf))
+                }
+                (head, v)
+              }
+            val sets = plain.map { a =>
+              val k = nameOf(a.key).getOrElse(sys.error(
+                "graft-manifest UPDATE: SET target must be a plain " +
+                  "(optionally nested) column, got " + a.key.sql))
+              (k, rebuilt(a, k))
+            } ++ nestedSets
             if (sets.isEmpty)
               GraftManifestNoopCommand(s"identity-only UPDATE on $path")
             else u.condition match {

@@ -121,6 +121,49 @@ class ManifestNestedStatsSpec extends AnyFunSuite {
       .filter(col("flag") === 1L).count() == 5)
   }
 
+  test("UPDATE SET on nested fields: in-place leaf patch, NULL parents stay NULL") {
+    val t = s"${Files.createTempDirectory("graft-nested4")}/t"
+    ManifestTable.append(spark,
+      Seq((1L, ("de", 10L)), (2L, ("en", 20L)), (3L, ("fr", 30L)))
+        .toDF("id", "m")
+        .select(col("id"), col("m._1").as("lang"), col("m._2").as("v"))
+        .select(col("id"), struct(col("lang"), col("v")).as("meta")),
+      t, statsCols = Seq("id"))
+    // a NULL-parent row: SET meta.v must never materialize a struct
+    ManifestTable.append(spark,
+      Seq(Tuple1(4L)).toDF("id")
+        .select(col("id"), lit(null)
+          .cast("struct<lang:string,v:bigint>").as("meta")),
+      t, statsCols = Seq("id"))
+    spark.read.format("graft-manifest").load(t)
+      .createOrReplaceTempView("nset_t")
+    spark.sql("UPDATE nset_t SET meta.v = meta.v + 1 WHERE id <= 2")
+    def state(): Seq[(Long, Option[(String, Long)])] =
+      ManifestTable.read(spark, t).orderBy("id").collect()
+        .map(r => (r.getLong(0), Option(r.getStruct(1))
+          .map(s => (s.getString(0), s.getLong(1))))).toSeq
+    assert(state() == Seq(
+      (1L, Some(("de", 11L))), (2L, Some(("en", 21L))),
+      (3L, Some(("fr", 30L))), (4L, None)), s"got ${state()}")
+    // two leaves under one struct chain onto one rebuild
+    spark.sql(
+      "UPDATE nset_t SET meta.v = 0, meta.lang = 'xx' WHERE id = 3")
+    assert(state()(2) == ((3L, Some(("xx", 0L)))), s"got ${state()}")
+    // the NULL parent stays NULL even when its row matches
+    spark.sql("UPDATE nset_t SET meta.v = 99 WHERE id = 4")
+    assert(state()(3) == ((4L, None)),
+      "a NULL parent struct must never be materialized by a leaf SET")
+    def msgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    // an unresolvable nested path is loud
+    val ex = intercept[Exception] {
+      spark.sql("UPDATE nset_t SET meta.nope = 1")
+    }
+    assert(msgs(ex).exists(m => m.contains("does not resolve") ||
+      m.toUpperCase.contains("FIELD")), s"got ${msgs(ex)}")
+  }
+
   test("nested stats survive a staged rewrite's grouped restat") {
     val t = s"${Files.createTempDirectory("graft-nested2")}/t"
     val df = (0L until 100L).map(i => (i, i * 2))
