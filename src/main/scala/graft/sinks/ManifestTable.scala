@@ -1254,7 +1254,8 @@ object ManifestTable {
       statsCols, bloomCols,
       constraintsOf(spark, path, v).map(_._1),
       tags(spark, path).keys.toSeq.sorted,
-      stagedNames(spark, path))
+      stagedNames(spark, path),
+      branchNames(spark, path))
     val schema = StructType(Seq(
       StructField("format", StringType, nullable = false),
       StructField("location", StringType, nullable = false),
@@ -1276,6 +1277,8 @@ object ManifestTable {
       StructField("tags",
         ArrayType(StringType, containsNull = false), nullable = false),
       StructField("staged",
+        ArrayType(StringType, containsNull = false), nullable = false),
+      StructField("branches",
         ArrayType(StringType, containsNull = false), nullable = false)))
     spark.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(Seq(row)).asJava,

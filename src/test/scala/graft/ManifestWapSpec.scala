@@ -257,9 +257,13 @@ class ManifestWapSpec extends AnyFunSuite {
     assert(d.getAs[String]("format") == "graft-manifest")
     assert(d.getAs[Long]("num_dirs") == 2L &&
       d.getAs[Long]("num_rows") == 2L)
+    ManifestTable.createBranch(spark, t, "wip")
+    val d2 = ManifestTable.detail(spark, t).head()
     def arr(c: String): Seq[String] =
-      d.getAs[scala.collection.Seq[String]](c).toSeq
+      d2.getAs[scala.collection.Seq[String]](c).toSeq
     assert(arr("partition_spec") == Seq("identity:lang"))
+    assert(arr("branches") == Seq("wip"))
+    ManifestTable.abandonBranch(spark, t, "wip")
     assert(arr("stats_cols") == Seq("id") &&
       arr("bloom_cols") == Seq("id"))
     assert(arr("constraints") == Seq("id_pos"))
