@@ -337,6 +337,47 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
     else Some(org.apache.spark.sql.GraftSqlBridge.column(t))
   }
 
+  /** A SET target's column path: a plain attribute is one segment, a
+    * GetStructField chain is the dotted nested path. None for
+    * anything else (array indexing, functions — not assignable). */
+  private def keyPathOf(e: Expression): Option[Seq[String]] = e match {
+    case a: AttributeReference => Some(Seq(a.name))
+    case g: GetStructField =>
+      keyPathOf(g.child).map(_ :+ g.extractFieldName)
+    case _ => None
+  }
+
+  /** Fold NESTED SET targets onto their top-level column through
+    * Column.withField — the leaf replaces IN PLACE, siblings ride
+    * untouched, a NULL parent struct stays NULL (withField's own
+    * semantics). `plainOf` renders the non-nested assignments;
+    * `rebuilt` renders a value in the caller's reference scope. */
+  private def foldNestedSets(schema: StructType,
+      assigns: Seq[Assignment],
+      rebuilt: (Assignment, String) => org.apache.spark.sql.Column,
+      plainOf: Seq[Assignment] => Seq[(String, org.apache.spark.sql.Column)])
+      : Seq[(String, org.apache.spark.sql.Column)] = {
+    val (nested, plain) = assigns.partition(a => keyPathOf(a.key)
+      .exists(_.length > 1))
+    val nestedSets = nested
+      .map(a => (keyPathOf(a.key).get, a))
+      .groupBy(_._1.head).toSeq.sortBy(_._1)
+      .map { case (head, as) =>
+        val v = as.foldLeft(col(head): org.apache.spark.sql.Column) {
+          case (acc, (p, a)) =>
+            val dotted = p.mkString(".")
+            val leaf = ManifestTable.nestedTypeOf(schema, dotted)
+              .getOrElse(sys.error(
+                s"graft-manifest: SET target '$dotted' does not " +
+                  "resolve through the table's structs"))
+            acc.withField(p.tail.mkString("."),
+              rebuilt(a, dotted).cast(leaf))
+        }
+        (head, v)
+      }
+    plainOf(plain) ++ nestedSets
+  }
+
   /** An ARBITRARY deterministic, subquery-free WHERE, classified for
     * the general DELETE/UPDATE path ([[ManifestTable.deleteWhere]] /
     * [[ManifestTable.updateWhere]]): returns the predicate rebuilt as
@@ -440,13 +481,19 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
       }
       // an all-identity clause yields EMPTY sets: the engine treats
       // that as claim-the-row-change-nothing, preserving ordered-
-      // clause reachability for the clauses after it
-      real.map { a =>
-        val k = nameOf(a.key).getOrElse(sys.error(
-          s"graft-manifest MERGE: $where SET target must be a plain " +
-            s"top-level column, got ${a.key.sql}"))
-        (k, rebuild(a.value, scope, s"$where SET value for '$k'"))
-      }
+      // clause reachability for the clauses after it. NESTED targets
+      // (`SET meta.n = …`) fold onto their struct via withField,
+      // same contract as UPDATE's (NULL parents stay NULL).
+      foldNestedSets(schema,
+        real,
+        (a, what) => rebuild(a.value, scope,
+          s"$where SET value for '$what'"),
+        _.map { a =>
+          val k = nameOf(a.key).getOrElse(sys.error(
+            s"graft-manifest MERGE: $where SET target must be a " +
+              s"plain (optionally nested) column, got ${a.key.sql}"))
+          (k, rebuild(a.value, scope, s"$where SET value for '$k'"))
+        })
     }
     val matched = m.matchedActions.map {
       case DeleteAction(cond) =>
@@ -600,12 +647,6 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
             // struct chain onto one rebuild; a plain SET of the same
             // struct beside a nested one is a duplicate-column error
             // downstream (no defined order).
-            def keyPath(e: Expression): Option[Seq[String]] = e match {
-              case a: AttributeReference => Some(Seq(a.name))
-              case g: GetStructField =>
-                keyPath(g.child).map(_ :+ g.extractFieldName)
-              case _ => None
-            }
             def rebuilt(a: Assignment, what: String)
                 : org.apache.spark.sql.Column =
               rebuildSetValue(a.value, ar => Some(ar.name))
@@ -614,32 +655,13 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
                     s"for '$what' (${a.value.sql}) — subqueries and " +
                     "non-deterministic functions must go through the " +
                     "programmatic API"))
-            val (nested, plain) = real.partition(a => keyPath(a.key)
-              .exists(_.length > 1))
-            val nestedSets = nested
-              .map(a => (keyPath(a.key).get, a))
-              .groupBy(_._1.head).toSeq.sortBy(_._1)
-              .map { case (head, as) =>
-                val v = as.foldLeft(
-                    col(head): org.apache.spark.sql.Column) {
-                  case (acc, (p, a)) =>
-                    val dotted = p.mkString(".")
-                    val leaf = ManifestTable.nestedTypeOf(schema, dotted)
-                      .getOrElse(sys.error(
-                        "graft-manifest UPDATE: SET target " +
-                          s"'$dotted' does not resolve through the " +
-                          "table's structs"))
-                    acc.withField(p.tail.mkString("."),
-                      rebuilt(a, dotted).cast(leaf))
-                }
-                (head, v)
-              }
-            val sets = plain.map { a =>
-              val k = nameOf(a.key).getOrElse(sys.error(
-                "graft-manifest UPDATE: SET target must be a plain " +
-                  "(optionally nested) column, got " + a.key.sql))
-              (k, rebuilt(a, k))
-            } ++ nestedSets
+            val sets = foldNestedSets(schema, real, rebuilt,
+              _.map { a =>
+                val k = nameOf(a.key).getOrElse(sys.error(
+                  "graft-manifest UPDATE: SET target must be a plain " +
+                    "(optionally nested) column, got " + a.key.sql))
+                (k, rebuilt(a, k))
+              })
             if (sets.isEmpty)
               GraftManifestNoopCommand(s"identity-only UPDATE on $path")
             else u.condition match {
@@ -706,7 +728,10 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
               (m.matchedActions match {
                 case Seq() => true
                 case Seq(UpdateStarAction(None)) => true
-                case Seq(UpdateAction(None, _, _)) => true
+                case Seq(UpdateAction(None, assigns, _)) =>
+                  // nested SET targets route the general engine
+                  // (withField fold), not the fast path
+                  assigns.forall(a => nameOf(a.key).isDefined)
                 case _ => false
               }) &&
               (m.notMatchedActions match {

@@ -248,6 +248,36 @@ class ManifestMergeClausesSpec extends AnyFunSuite {
     assert(rows(t) == Seq((1L, "a", 10L)))
   }
 
+  test("MERGE UPDATE SET on nested fields patches the leaf in place") {
+    val t = s"${Files.createTempDirectory("graft-mcn")}/t"
+    ManifestTable.append(spark,
+      Seq((1L, ("de", 10L)), (2L, ("en", 20L))).toDF("id", "m")
+        .select(col("id"), col("m._1").as("lang"), col("m._2").as("v"))
+        .select(col("id"), struct(col("lang"), col("v")).as("meta")),
+      t, statsCols = Seq("id"))
+    // a NULL-parent row: a matched nested SET must keep it NULL
+    ManifestTable.append(spark,
+      Seq(Tuple1(3L)).toDF("id")
+        .select(col("id"),
+          lit(null).cast("struct<lang:string,v:bigint>").as("meta")),
+      t, statsCols = Seq("id"))
+    spark.read.format("graft-manifest").load(t)
+      .createOrReplaceTempView("mcn_t")
+    Seq((1L, 100L), (3L, 300L), (9L, 900L)).toDF("id", "dv")
+      .createOrReplaceTempView("mcn_u")
+    spark.sql(
+      """MERGE INTO mcn_t t USING mcn_u u ON t.id = u.id
+        |WHEN MATCHED THEN UPDATE SET meta.v = u.dv""".stripMargin)
+    val got = ManifestTable.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getStruct(1))
+        .map(s => (s.getString(0), s.getLong(1))))).toSeq
+    assert(got == Seq(
+      (1L, Some(("de", 100L))), // leaf patched, lang untouched
+      (2L, Some(("en", 20L))),  // unmatched: untouched
+      (3L, None)                // NULL parent stays NULL
+    ), s"got $got")
+  }
+
   test("partial-column INSERT: explicit typed NULLs, per-clause values, key required") {
     val t = s"${Files.createTempDirectory("graft-mc6")}/t"
     // grp (String) is NULLABLE; id/n (primitive Long) are not
