@@ -180,19 +180,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * non-numeric version is a TAG name (Iceberg's ref-based time
     * travel: `VERSION AS OF 'pre-migration'`), resolved to its
     * pinned snapshot here so the pin survives vacuum exactly like
-    * the numeric form. Unknown tags are loud with the live list. */
+    * the numeric form. A NUMERIC string resolves as a snapshot
+    * number only when that snapshot is actually retained — otherwise
+    * it falls back to the tag map (an all-digit tag name like '2024'
+    * stays reachable) and only then is loud, naming both the
+    * retained range and the live tags (a mistyped number gets the
+    * helpful error instead of a late scan failure). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val (path, _) = readRef(ident).getOrElse(
       throw new NoSuchTableException(
         (catalogName +: ident.namespace().toSeq) :+ ident.name()))
-    val v = version.trim.toLongOption.map(_.toString).getOrElse {
-      val tags = ManifestTable.tags(spark, path)
-      tags.getOrElse(version, sys.error(
+    def asTag: Option[Long] =
+      ManifestTable.tags(spark, path).get(version.trim)
+    val v = version.trim.toLongOption match {
+      case Some(n)
+          if ManifestTable.versions(spark, path).contains(n) => n
+      case Some(n) => asTag.getOrElse {
+        val retained = ManifestTable.versions(spark, path)
+        sys.error(s"graft catalog: $n is not a retained snapshot of " +
+          s"${fullName(ident)} (retained: " +
+          s"${retained.headOption.getOrElse(-1L)}.." +
+          s"${retained.lastOption.getOrElse(-1L)}) and no tag is " +
+          s"named '$version' — tags: " + ManifestTable.tags(spark, path)
+            .keys.toSeq.sorted.mkString(", "))
+      }
+      case None => asTag.getOrElse(sys.error(
         s"graft catalog: '${version}' is neither a version number " +
           s"nor a tag of ${fullName(ident)} — tags: " +
-          tags.keys.toSeq.sorted.mkString(", "))).toString
+          ManifestTable.tags(spark, path)
+            .keys.toSeq.sorted.mkString(", ")))
     }
-    GraftV2Table(fullName(ident), path, Some(v), None)
+    GraftV2Table(fullName(ident), path, Some(v.toString), None)
   }
 
   /** `TIMESTAMP AS OF <t>` time travel by name — Spark hands the
@@ -368,12 +386,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           a.fieldNames().init.mkString("."), a.fieldNames().last,
           a.dataType())
         return loadTable(ident)
+      // accepts NESTED dotted paths too — the leaf widens in place
+      // inside its struct (widenColumnType resolves dotted names)
       case Seq(u: TableChange.UpdateColumnType) =>
-        require(u.fieldNames().length == 1,
-          "graft catalog: ALTER COLUMN TYPE supports top-level " +
-            s"columns only, got ${u.fieldNames().mkString(".")}")
-        ManifestTable.widenColumnType(spark, path, u.fieldNames()(0),
-          u.newDataType())
+        ManifestTable.widenColumnType(spark, path,
+          u.fieldNames().mkString("."), u.newDataType())
         return loadTable(ident)
       case _ =>
     }
@@ -439,11 +456,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val (path, external) = readRef(oldIdent).getOrElse(
       throw new NoSuchTableException(
         (catalogName +: oldIdent.namespace().toSeq) :+ oldIdent.name()))
-    if (tableExists(newIdent)) throw new TableAlreadyExistsException(
-      (catalogName +: newIdent.namespace().toSeq) :+ newIdent.name())
     if (!fs.exists(nsDir(newIdent.namespace())))
       throw new NoSuchNamespaceException(
         catalogName +: newIdent.namespace().toSeq)
+    // crash-window RE-RUN of this exact rename: the forward ref is
+    // written BEFORE the data moves (see below), so a crash between
+    // the two leaves a new ref whose managed target dir does not
+    // exist yet — provably our residue, never a live table (a
+    // managed table's ref always resolves to its data dir). The
+    // re-run RESUMES the move instead of failing TableAlreadyExists
+    // (which would force a manual ref delete — the exact recovery
+    // this ordering was built to avoid).
+    val expectedTo = new org.apache.hadoop.fs.Path(
+      nsDir(newIdent.namespace()),
+      segment(newIdent.name(), "table name"))
+    val resuming = !external && readRef(newIdent).exists {
+      case (np, ext2) => !ext2 &&
+        samePath(np, expectedTo.toString) && !fs.exists(expectedTo)
+    }
+    if (tableExists(newIdent) && !resuming)
+      throw new TableAlreadyExistsException(
+        (catalogName +: newIdent.namespace().toSeq) :+ newIdent.name())
     if (external) {
       // an EXTERNAL location is owned by whoever supplied it: only
       // the ref moves, the data stays at its address
@@ -459,25 +492,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // everywhere else here (staging promotion); on a true object
       // store it costs a copy — the price of never aliasing.
       val from = new org.apache.hadoop.fs.Path(path)
-      val to = new org.apache.hadoop.fs.Path(nsDir(newIdent.namespace()),
-        segment(newIdent.name(), "table name"))
+      val to = expectedTo
       require(!fs.exists(to),
         s"graft catalog: rename target dir $to already exists — " +
           "refusing to adopt or overwrite it")
       // the NEW ref is written BEFORE the data moves, so every crash
       // point leaves at least one ref resolving to the live data:
       // crash before the move = old ref still serves it (the new ref
-      // dangles at an empty path — re-runnable); crash after = the
+      // dangles at an empty path — the `resuming` branch above picks
+      // the re-run up here and finishes the move); crash after = the
       // new ref serves it. The old order (move, then write ref)
       // had a window where the only ref pointed at the moved-away
       // path: an unreadable table with no automatic recovery.
-      writeRef(newIdent, to.toString, external = false)
+      if (!resuming) writeRef(newIdent, to.toString, external = false)
       try require(fs.rename(from, to),
         s"graft catalog: could not move managed data $from -> $to")
       catch {
         case e: Throwable =>
           // the move failed OUTRIGHT (same-process): retract the
-          // just-written forward ref rather than leave a dangling name
+          // forward ref rather than leave a dangling name (on a
+          // resume the residual ref was equally dangling — retracting
+          // it returns the warehouse to the plain pre-rename state)
           fs.delete(refFile(newIdent), false)
           throw e
       }

@@ -975,6 +975,97 @@ object LayoutQueries {
     path
   }
 
+  /** A manifest table grown through a branch lifecycle WITH
+    * MID-BRANCH DML — the audit-fix workflow: main holds the
+    * doc_id%3==0 slice; a branch stages the %3==1 and %3==2 slices,
+    * the audit finds bad rows and FIXES the staged batch in place
+    * (`deleteFromBranch` drops staged 'de' rows, `updateBranch`
+    * bumps staged odd n_chars by 1000 — base rows untouched by
+    * both), then fast-forwards. Main obliviousness and base physical
+    * identity are REQUIRED mid-build. Built once per dataset behind
+    * the usual marker. */
+  def ensureBranchDmlManifest(s: SparkSession, d: String): String = {
+    val path = s"${layoutRoot(d)}/docs_manifest_brdml"
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val n = docs.count()
+    val expect = s"layout=$LayoutVersion manifest=brdml rows=$n"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      graft.sinks.ManifestTable.append(s,
+        docs.filter(col("doc_id") % 3 === 0), path,
+        statsCols = Seq("doc_id", "lang", "n_chars"))
+      val baseFiles = graft.sinks.ManifestTable.read(s, path)
+        .inputFiles.toSet
+      graft.sinks.ManifestTable.createBranch(s, path, "fix")
+      Seq(1, 2).foreach(r =>
+        graft.sinks.ManifestTable.appendToBranch(s,
+          docs.filter(col("doc_id") % 3 === r), path, "fix",
+          statsCols = Seq("doc_id", "lang", "n_chars")))
+      // the audit's fixes, scoped to the STAGED rows only
+      graft.sinks.ManifestTable.deleteFromBranch(s, path, "fix",
+        col("lang") === "de")
+      graft.sinks.ManifestTable.updateBranch(s, path, "fix",
+        pmod(col("n_chars"), lit(2)) === 1,
+        Seq("n_chars" -> (col("n_chars") + lit(1000L))))
+      require(graft.sinks.ManifestTable.read(s, path).inputFiles.toSet
+        == baseFiles,
+        "ensureBranchDmlManifest: branch DML touched main's dirs")
+      graft.sinks.ManifestTable.fastForwardBranch(s, path, "fix")
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
+  /** A manifest table mutated by a SUBQUERY-predicate SQL DELETE —
+    * `DELETE … WHERE key IN (SELECT key … WHERE lang = 'en' AND
+    * n_chars % 7 = 3)`: the uncorrelated subquery MATERIALIZES at
+    * rule time and its string point set routes MERGE-ON-READ through
+    * deleteKeys (one tombstone write, zero data files rewritten —
+    * enforced here so a routing regression fails the BUILD, not just
+    * the oracle). Built once per dataset behind the usual marker. */
+  def ensureSubqueryDeletedManifest(s: SparkSession, d: String)
+      : String = {
+    val path = s"${layoutRoot(d)}/docs_manifest_sqdel"
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat(lit("d"), col("doc_id")).as("key"),
+        col("lang"), col("n_chars"))
+    val n = docs.count()
+    val expect = s"layout=$LayoutVersion manifest=sqdel rows=$n"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      Seq(0L, 1L).foreach { r =>
+        graft.sinks.ManifestTable.append(s,
+          docs.filter(col("doc_id") % 2 === r), path,
+          statsCols = Seq("doc_id"), bloomCols = Seq("key"))
+      }
+      val before = graft.sinks.ManifestTable.entriesOf(s, path,
+        graft.sinks.ManifestTable.latestVersion(s, path).get)
+      s.read.format("graft-manifest").load(path)
+        .createOrReplaceTempView("graft_sqdel_target")
+      s.sql("DELETE FROM graft_sqdel_target WHERE key IN " +
+        "(SELECT key FROM graft_sqdel_target " +
+        "WHERE lang = 'en' AND n_chars % 7 = 3)")
+      val v = graft.sinks.ManifestTable.latestVersion(s, path).get
+      require(graft.sinks.ManifestTable.commitInfoOf(s, path, v)
+        .exists(_._1 == "deleteKeys"),
+        "ensureSubqueryDeletedManifest: the IN-subquery delete must " +
+          "route merge-on-read (deleteKeys)")
+      val after = graft.sinks.ManifestTable.entriesOf(s, path, v)
+      require(after.map(e => e.dir -> e.files).toMap ==
+        before.map(e => e.dir -> e.files).toMap,
+        "ensureSubqueryDeletedManifest: merge-on-read must rewrite " +
+          "zero data files")
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
   /** A manifest table keyed by a COMPOSITE business key — (grp, sub)
     * = (doc_id div 1000, doc_id mod 1000) — upserted through the SQL
     * MERGE's conjunctive `ON t.grp = u.grp AND t.sub = u.sub`:
@@ -2826,6 +2917,49 @@ object LayoutQueries {
       graft.sinks.ManifestTable.read(s, path)
         .select(col("doc_id"), col("meta.lang").as("lang"),
           col("meta.n_chars").cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // ---- SUBQUERY-predicate SQL DELETE end-to-end (q166):
+    //      `WHERE key IN (SELECT …)` materializes the uncorrelated
+    //      subquery at rule time and routes its string point set
+    //      MERGE-ON-READ (deleteKeys: one tombstone, zero data files
+    //      rewritten — the builder enforces the routing; here the
+    //      oracle recomputes the surviving set from scratch: a key
+    //      deleted outside the subquery's own selection, a surviving
+    //      tombstoned row, or a lost row all hash-mismatch). ----
+    // ---- Branch-scoped DML end-to-end (q167): the audit-fix
+    //      workflow — a branch stages two slices, a mid-branch
+    //      DELETE drops the staged 'de' rows and a mid-branch UPDATE
+    //      bumps staged odd n_chars, base rows untouched by both,
+    //      then ONE fast-forward publishes the FIXED content. The
+    //      oracle recomputes the post-fast-forward table from
+    //      scratch: a fix leaking onto base rows, a missed staged
+    //      row, or a lost/duplicated slice all hash-mismatch. ----
+    GraftQuery("q167_manifest_branch_dml",
+      """SELECT doc_id, lang,
+        |  CAST(CASE WHEN doc_id % 3 <> 0 AND n_chars % 2 = 1
+        |    THEN n_chars + 1000 ELSE n_chars END AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE doc_id % 3 = 0
+        |   OR NOT COALESCE(lang = 'de', FALSE)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val path = ensureBranchDmlManifest(s, d)
+      graft.sinks.ManifestTable.read(s, path)
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    GraftQuery("q166_manifest_subquery_delete",
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE NOT COALESCE(lang = 'en' AND n_chars % 7 = 3, FALSE)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val path = ensureSubqueryDeletedManifest(s, d)
+      graft.sinks.ManifestTable.read(s, path)
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
         .orderBy("doc_id")
     },
   )

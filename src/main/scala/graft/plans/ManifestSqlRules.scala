@@ -161,7 +161,18 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
     * integers). `None` = the condition denotes an EMPTY range (a
     * no-op, e.g. `id > Long.MaxValue`). Anything else —
     * OR, a second column, non-integral literals, functions — is
-    * rejected: row-level DML must do exactly what the predicate says. */
+    * rejected via the TYPED [[UnsupportedWhereShape]] so the
+    * dispatcher reroutes exactly the not-a-range shapes to the
+    * general predicate path and nothing else: a genuine defect in
+    * this extractor (an unexpected NPE) must surface, not be
+    * silently absorbed as "fall through to generalWhere". */
+  /** The range extractor's "not a range" signal (and its only
+    * intended escape): the DELETE/UPDATE dispatcher catches exactly
+    * this type to fall through to the general predicate path;
+    * everything else propagates. */
+  private final class UnsupportedWhereShape(msg: String)
+    extends RuntimeException(msg)
+
   private def deleteRangeOf(cond: Expression, stmt: String = "DELETE")
       : Option[(String, Long, Long)] = {
     var colName: Option[String] = None
@@ -172,7 +183,7 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
         s"predicate spans columns '$prev' and '$c'")
       case _ => colName = Some(c)
     }
-    def fail(why: String): Nothing = sys.error(
+    def fail(why: String): Nothing = throw new UnsupportedWhereShape(
       s"graft-manifest $stmt: unsupported WHERE shape ($why) — " +
         "supported: a conjunction of range/point comparisons " +
         "(>=, >, <=, <, =, BETWEEN) on ONE integral column with " +
@@ -407,6 +418,86 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
     (c, conjuncts(cond))
   }
 
+  /** The inlined-set size past which a subquery-predicate DML refuses
+    * to materialize: a point-set DELETE with millions of keys is a
+    * join, not a literal list — at that scale the right statement is
+    * a MERGE (anti-join, shuffle-planned), and inlining would build
+    * an expression the optimizer chokes on and a driver heap full of
+    * literals. */
+  private val MaxInlineSubqueryKeys = 100000
+
+  /** Materialize every UNCORRELATED subquery inside a DML WHERE at
+    * rule time — `DELETE FROM t WHERE id IN (SELECT …)`,
+    * `UPDATE … WHERE EXISTS (…)`, `WHERE ts < (SELECT max(ts) …)` —
+    * by RUNNING the subplan now and splicing its result back as
+    * literals: an IN-subquery becomes `In(col, values)` (so a string
+    * point set then routes MERGE-ON-READ through the existing
+    * [[StringKeyDelete]] → deleteKeys classification, zero data files
+    * rewritten; an integral range through deleteRange; anything else
+    * through the general predicate path — the materialized condition
+    * re-enters the SAME classifier as a hand-written one), EXISTS
+    * becomes a boolean literal, and a scalar subquery becomes its
+    * value (`ts < (SELECT max…)` then hits the retention-delete
+    * range fast path). Evaluation at rule time is exact for DML: the
+    * statement is a single-shot command, so "the subquery as of
+    * analysis" and "as of execution" are the same read — and the
+    * subplan sees the manifest relation's own snapshot like any
+    * query. CORRELATED subqueries stay loud: per-row re-evaluation
+    * cannot ride the staged-rewrite engine. NULL semantics survive
+    * the splice: list nulls stay in the literal list (three-valued
+    * IN), an empty scalar result splices a typed NULL. */
+  private def materializeSubqueries(cond: Expression,
+      stmt: String): Expression = {
+    val spark = SparkSession.active
+    def requireUncorrelated(outer: Seq[Expression], what: String): Unit =
+      require(outer.isEmpty,
+        s"graft-manifest $stmt: CORRELATED $what subqueries are not " +
+          "supported — a per-row subquery cannot ride the staged " +
+          "rewrite; use MERGE INTO (the join form) or the " +
+          "programmatic API")
+    def overflow(what: String): Nothing = sys.error(
+      s"graft-manifest $stmt: the $what subquery returned more than " +
+        s"$MaxInlineSubqueryKeys distinct values — at that scale the " +
+        "statement is a join, not a point set; use MERGE INTO or the " +
+        "programmatic API")
+    cond.transformUp {
+      case InSubquery(values, lq: ListQuery) =>
+        requireUncorrelated(lq.outerAttrs, "IN")
+        require(values.size == 1 && lq.plan.output.size == 1,
+          s"graft-manifest $stmt: multi-column IN subqueries are not " +
+            "supported — use MERGE INTO with a composite ON key")
+        val out = lq.plan.output.head
+        val rows = org.apache.spark.sql.GraftSqlBridge
+          .ofRows(spark, lq.plan).distinct()
+          .limit(MaxInlineSubqueryKeys + 1).collect()
+        if (rows.length > MaxInlineSubqueryKeys) overflow("IN")
+        if (rows.isEmpty) Literal(false)
+        else In(values.head,
+          rows.toSeq.map(r => Literal.create(r.get(0), out.dataType)))
+      case e: Exists =>
+        requireUncorrelated(e.outerAttrs, "EXISTS")
+        Literal(!org.apache.spark.sql.GraftSqlBridge
+          .ofRows(spark, e.plan).isEmpty)
+      case s: ScalarSubquery =>
+        requireUncorrelated(s.outerAttrs, "scalar")
+        val out = s.plan.output.head
+        val rows = org.apache.spark.sql.GraftSqlBridge
+          .ofRows(spark, s.plan).limit(2).collect()
+        require(rows.length <= 1,
+          s"graft-manifest $stmt: scalar subquery returned more than " +
+            "one row")
+        Literal.create(rows.headOption.map(_.get(0)).orNull,
+          out.dataType)
+    }
+  }
+
+  /** Whether `cond` still carries a subquery expression (materialize
+    * before classifying) — and whether it is READY to materialize
+    * (everything resolved; an unresolved subquery waits for the
+    * analyzer's next fixed-point pass). */
+  private def hasSubquery(cond: Expression): Boolean =
+    cond.exists(_.isInstanceOf[SubqueryExpression])
+
   /** The FULL clause family — `WHEN MATCHED [AND p] THEN
     * UPDATE/DELETE`, multiple ordered clauses, conditioned `WHEN NOT
     * MATCHED THEN INSERT *`, `WHEN NOT MATCHED BY SOURCE [AND p] THEN
@@ -580,10 +671,22 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
           case _ => i
         }
 
-      case DeleteFromTable(t @ ManifestTarget(path, _), cond) =>
+      // a WHERE carrying a subquery waits until the analyzer has
+      // resolved it (same fixed-point batch), then materializes at
+      // rule time and re-enters the classification below
+      case d @ DeleteFromTable(ManifestTarget(_, _), cond0)
+          if hasSubquery(cond0) && !cond0.resolved => d
+      case DeleteFromTable(t @ ManifestTarget(path, _), cond1) =>
+        val cond =
+          if (hasSubquery(cond1)) materializeSubqueries(cond1, "DELETE")
+          else cond1
         cond match {
           case Literal(true, _) => // DELETE FROM t (no WHERE)
             GraftManifestFullDeleteCommand(path)
+          // a provably-false WHERE (an empty or non-matching
+          // materialized subquery) deletes nothing
+          case Literal(false, _) | Literal(null, _) =>
+            GraftManifestNoopCommand(s"provably-empty DELETE on $path")
           // a STRING point/set delete (`WHERE id = 'CVE-…'`, the
           // reference's hottest mutation —
           // /root/reference/chatbot_pg/main.py:89) routes
@@ -600,21 +703,25 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
           // one copy-on-write tuple delete, conjunctively dir-pruned
           case CompositePointKeys(keys) =>
             GraftManifestCompositeDmlCommand(path, keys, Nil)
-          case _ => scala.util.Try(deleteRangeOf(cond)) match {
-            case scala.util.Success(Some((c, lo, hi))) =>
-              GraftManifestDeleteCommand(path, c, lo, hi)
-            case scala.util.Success(None) => // provably-empty range
-              GraftManifestNoopCommand(s"empty DELETE range on $path")
-            // anything the fast paths can't denote exactly — mixed
-            // conjuncts, ORs, non-integral ranges, function-wrapped
-            // columns — routes the GENERAL predicate path: the
-            // predicate runs verbatim in the rewrite, dirs prune by
-            // the scan's own conjunct probe; only non-deterministic
-            // or subquery predicates stay loud (generalWhere)
-            case scala.util.Failure(_) =>
-              val (c, conj) = generalWhere(cond, "DELETE")
-              GraftManifestDeleteWhereCommand(path, c, conj)
-          }
+          case _ =>
+            try deleteRangeOf(cond) match {
+              case Some((c, lo, hi)) =>
+                GraftManifestDeleteCommand(path, c, lo, hi)
+              case None => // provably-empty range
+                GraftManifestNoopCommand(s"empty DELETE range on $path")
+            } catch {
+              // anything the fast paths can't denote exactly — mixed
+              // conjuncts, ORs, non-integral ranges, function-wrapped
+              // columns — routes the GENERAL predicate path: the
+              // predicate runs verbatim in the rewrite, dirs prune by
+              // the scan's own conjunct probe; only non-deterministic
+              // or subquery predicates stay loud (generalWhere).
+              // ONLY the extractor's typed signal reroutes — a real
+              // defect inside it propagates
+              case _: UnsupportedWhereShape =>
+                val (c, conj) = generalWhere(cond, "DELETE")
+                GraftManifestDeleteWhereCommand(path, c, conj)
+            }
         }
 
       // `UPDATE t SET col = expr [, …] WHERE <range|points|none>` —
@@ -625,6 +732,12 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
       // DELETE grammar (strict; see deleteRangeOf/StringKeyDelete).
       // Left alone, Spark rejects UPDATE on a v1 relation outright —
       // this rule is the statement's only road.
+      // same wait-for-resolution rule as DELETE's: a subquery in the
+      // WHERE must be resolved before it can materialize
+      case u: UpdateTable if u.condition.exists(c =>
+          hasSubquery(c) && !c.resolved) &&
+          u.table.collectFirst {
+            case ManifestTarget(p, _) => p }.isDefined => u
       case u: UpdateTable if u.assignments.nonEmpty &&
           u.assignments.forall(a => a.key.resolved && a.value.resolved) =>
         u.table match {
@@ -664,9 +777,15 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
               })
             if (sets.isEmpty)
               GraftManifestNoopCommand(s"identity-only UPDATE on $path")
-            else u.condition match {
+            else u.condition.map(c =>
+                if (hasSubquery(c) && c.resolved)
+                  materializeSubqueries(c, "UPDATE")
+                else c) match {
               case None | Some(Literal(true, _)) =>
                 GraftManifestUpdateCommand(path, None, sets)
+              case Some(Literal(false, _)) | Some(Literal(null, _)) =>
+                GraftManifestNoopCommand(
+                  s"provably-empty UPDATE on $path")
               case Some(StringKeyDelete(c, vals)) =>
                 if (vals.isEmpty) GraftManifestNoopCommand(
                   s"all-NULL UPDATE keys on $path")
@@ -678,16 +797,17 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
                 // in place through the ordered-clause engine
                 GraftManifestCompositeDmlCommand(path, keys, sets)
               case Some(cond) =>
-                scala.util.Try(deleteRangeOf(cond, "UPDATE")) match {
-                  case scala.util.Success(Some((c, lo, hi))) =>
+                try deleteRangeOf(cond, "UPDATE") match {
+                  case Some((c, lo, hi)) =>
                     GraftManifestUpdateCommand(
                       path, Some(scala.Left((c, lo, hi))), sets)
-                  case scala.util.Success(None) =>
+                  case None =>
                     GraftManifestNoopCommand(
                       s"empty UPDATE range on $path")
+                } catch {
                   // general deterministic predicate — same routing
-                  // rationale as DELETE's (see generalWhere)
-                  case scala.util.Failure(_) =>
+                  // rationale as DELETE's (typed signal only)
+                  case _: UnsupportedWhereShape =>
                     val (c, conj) = generalWhere(cond, "UPDATE")
                     GraftManifestUpdateWhereCommand(path, c, conj, sets)
                 }

@@ -942,18 +942,22 @@ object ManifestTable {
         s"version at $path"))
     val entries = entriesOf(spark, path, prev)
     val schema = tableSchema(spark, path, prev, entries)
-    val f = schema.fields.find(_.name == name).getOrElse(sys.error(
+    // `name` may be a DOTTED nested leaf ('meta.n') — resolved
+    // through the one path walker, widened IN PLACE inside its
+    // struct (field ids and sibling metadata untouched)
+    val fromType = nestedTypeOf(schema, name).getOrElse(sys.error(
       s"ManifestTable.widenColumnType: no column '$name' in the " +
         s"table schema (${schema.fieldNames.mkString(", ")})"))
-    require(f.dataType.catalogString != to.catalogString,
+    require(fromType.catalogString != to.catalogString,
       s"ManifestTable.widenColumnType: '$name' already is " +
         s"${to.catalogString}")
-    require(widens(f.dataType, to),
-      s"ManifestTable.widenColumnType: ${f.dataType.catalogString} " +
+    require(widens(fromType, to),
+      s"ManifestTable.widenColumnType: ${fromType.catalogString} " +
         s"-> ${to.catalogString} is not a value-preserving widening " +
         "— supported: the integral chain (tinyint/smallint/int -> " +
-        "bigint) and float -> double; anything else changes values " +
-        "or semantics and belongs in an explicit rewrite")
+        "bigint), float -> double, and decimal(p,s) -> decimal(p+k,s); " +
+        "anything else changes values or semantics and belongs in an " +
+        "explicit rewrite")
     val pSrcs = partitionSpecOf(spark, path, prev).map(_.src)
     require(!pSrcs.contains(name),
       s"ManifestTable.widenColumnType: '$name' is a partition-source " +
@@ -964,8 +968,20 @@ object ManifestTable {
       s"ManifestTable.widenColumnType: pending deletion vectors key " +
         s"on '$name' — materialize them first " +
         "(CALL <cat>.system.rewrite_deletes), then retry")
-    val newSchema = StructType(schema.fields.map(x =>
-      if (x.name == name) x.copy(dataType = to) else x))
+    def widen(s: StructType, parts: List[String]): StructType =
+      StructType(s.fields.map { x =>
+        parts match {
+          case p :: Nil if x.name == p => x.copy(dataType = to)
+          case p :: rest if x.name == p => x.dataType match {
+            case st: StructType => x.copy(dataType = widen(st, rest))
+            case other => sys.error(
+              s"ManifestTable.widenColumnType: '$name' descends " +
+                s"through non-struct ${other.catalogString}")
+          }
+          case _ => x
+        }
+      })
+    val newSchema = widen(schema, name.split('.').toList)
     val (st, bl) = pruningOf(spark, path, prev)
     val prevTag = maxTagOf(spark, path, prev).getOrElse(
       entries.map(_.tag).foldLeft(-1L)(math.max))
@@ -1793,6 +1809,12 @@ object ManifestTable {
       case (ShortType, IntegerType | LongType) => true
       case (IntegerType, LongType) => true
       case (FloatType, DoubleType) => true
+      // decimal(p,s) -> decimal(p+k,s): same scale, more precision —
+      // every value converts losslessly (Iceberg's legal decimal
+      // evolution); a SCALE change re-represents values and stays
+      // a loud rewrite
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.scale == d1.scale && d2.precision >= d1.precision
       case _ => false
     }
   }
@@ -1850,13 +1872,17 @@ object ManifestTable {
           Some(out.toByteArray)
         }
       }
-      cols.filter(df.columns.contains).foldLeft(NoBlooms) {
-        case ((ints, strs), c)
-            if isIntegral(df.schema(c).dataType) =>
+      // nested paths resolve through the one path walker exactly
+      // like statsOf's — a dotted bloomCols entry ('meta.lang')
+      // records the LEAF's filter under its dotted name, so nested
+      // point lookups prune like top-level ones
+      def typeOf(c: String) = nestedTypeOf(df.schema, c)
+      cols.filter(c => typeOf(c).isDefined).foldLeft(NoBlooms) {
+        case ((ints, strs), c) if typeOf(c).exists(isIntegral) =>
           (build(c, df.select(col(c).cast("long").as("k")))
             .map(b => ints + (c -> b)).getOrElse(ints), strs)
-        case ((ints, strs), c) if df.schema(c).dataType ==
-            org.apache.spark.sql.types.StringType =>
+        case ((ints, strs), c) if typeOf(c).contains(
+            org.apache.spark.sql.types.StringType) =>
           (ints, build(c, df.select(col(c).as("k")))
             .map(b => strs + (c -> b)).getOrElse(strs))
         case (acc, _) => acc
@@ -4839,6 +4865,80 @@ object ManifestTable {
   //      stage-and-cherry-pick flow): bad data is caught while it is
   //      still nobody's problem. ----
 
+  /** Stage-time field-id stamping for the DEFERRED-validation
+    * writers ([[stageAppend]], [[appendToBranch]]): their data files
+    * must carry parquet field ids exactly like the append funnel's —
+    * on a column-mapped table (any prior rename/drop) the id-carrying
+    * read schema refuses files without ids, so an unstamped staged
+    * dir would make EVERY read of the table fail after its
+    * publish/fast-forward. Batch columns the table knows (same type,
+    * or value-preserving widening — cast by [[alignToTable]]) adopt
+    * the table field wholesale, nested ids included; fresh columns
+    * get ids above the colmap floor, exactly the assignment the
+    * publish-time commit re-derives (the publish/fast-forward loops
+    * VERIFY that — a concurrent evolution that shifts the assignment
+    * fails loudly instead of silently divorcing the files' ids from
+    * the committed schema's). A batch column whose type MISMATCHES
+    * the table's stays bare — the publish-time compatibility gate
+    * rejects that candidate loudly before any read could misresolve.
+    * Returns the stamped frame and the id-carrying staged schema
+    * (persisted as the candidate's schema sidecar). */
+  private def stampForStaging(spark: SparkSession, path: String,
+      prev: Option[Long], df: DataFrame): (DataFrame, StructType) = {
+    val table = prev.flatMap(pv => schemaOf(spark, path, pv))
+    val floor = prev.map(colmapOf(spark, path, _)._2).getOrElse(0L)
+    val byName = table.map(_.fields.map(f => f.name -> f).toMap)
+      .getOrElse(Map.empty[String, StructField])
+    val merged = StructType(df.schema.fields.map { f =>
+      byName.get(f.name) match {
+        case Some(tf) if tf.dataType.catalogString ==
+            f.dataType.catalogString ||
+            widens(f.dataType, tf.dataType) => tf
+        case _ => f
+      }
+    })
+    val schema = withFieldIds(merged, floor)
+    (stampIds(spark, alignToTable(df, schema), schema), schema)
+  }
+
+  /** The publish/fast-forward half of [[stampForStaging]]'s
+    * contract: the ids stamped into the staged FILES must equal the
+    * ids the commit is about to persist for those paths — a
+    * concurrent schema evolution between staging and publish can
+    * shift the assignment (a fresh column's id floats with the new
+    * floor, or a racing writer took a staged column's id/name), and
+    * committing anyway would make id-based reads of the staged dirs
+    * silently misresolve. Pre-stamping-era candidates recorded no
+    * ids (empty map) and pass vacuously — they keep today's
+    * behavior. */
+  private def requireStagedIdsStable(stagedSchemas: Seq[StructType],
+      finalSchema: StructType, floor: Long, ctx: String): Unit = {
+    val wouldBe = allFieldIds(withFieldIds(finalSchema, floor))
+    // injectivity first: a staged FRESH column self-carries its
+    // stage-time id into the folded schema, so a concurrent main
+    // evolution that took the same id for another column shows up as
+    // a DUPLICATE id, not a changed one — committing it would make
+    // id-based reads resolve two columns to the same parquet id
+    wouldBe.groupBy(_._2).collect { case (id, ps) if ps.size > 1 =>
+      sys.error(s"$ctx: field-id assignment changed between staging " +
+        s"and publish — columns ${ps.keys.toSeq.sorted.mkString("'",
+          "', '", "'")} would share id $id (a concurrent schema " +
+        "evolution took a staged column's id); abandon and re-stage " +
+        "this candidate")
+    }
+    stagedSchemas.foreach { ss =>
+      allFieldIds(ss).foreach { case (p, id) =>
+        val now = wouldBe.get(p)
+        require(now.contains(id),
+          s"$ctx: field-id assignment changed between staging and " +
+            s"publish for column '$p' (staged files carry id $id, " +
+            s"the commit would persist ${now.fold("none")(_.toString)}" +
+            ") — a concurrent schema evolution shifted the " +
+            "assignment; abandon and re-stage this candidate")
+      }
+    }
+  }
+
   /** Stage `df` as the named WAP candidate: the data dirs are
     * written (partition-aware, stats/blooms recorded — publish adds
     * NO data work), but no snapshot references them; every reader of
@@ -4853,10 +4953,12 @@ object ManifestTable {
     val prev = latestVersion(spark, path)
     val v = prev.map(_ + 1).getOrElse(1L) // dir-name prefix, cosmetic
     // schema/constraint enforcement happens at PUBLISH (against the
-    // then-current table); staging only fixes the layout
+    // then-current table); staging only fixes the layout — and the
+    // field-id stamping the data files must carry (stampForStaging)
     val spec = resolveSpec(spark, path, prev, Nil,
       s"ManifestTable.stageAppend($path)")
-    val es = writeBatchEntries(spark, df, path, v, tag, statsCols,
+    val (stamped, stagedSchema) = stampForStaging(spark, path, prev, df)
+    val es = writeBatchEntries(spark, stamped, path, v, tag, statsCols,
       bloomCols, spec, fanout = 1)
     val stagedRoot = new org.apache.hadoop.fs.Path(s"$path/staged")
     fs.mkdirs(stagedRoot)
@@ -4865,7 +4967,7 @@ object ManifestTable {
         java.util.UUID.randomUUID.toString.take(8))
     writeEntriesParquet(spark, es, tmp.toString)
     writeSideFile(fs, new org.apache.hadoop.fs.Path(
-      tmp, "_graft_schema.json"), df.schema.json)
+      tmp, "_graft_schema.json"), stagedSchema.json)
     writeSideFile(fs, new org.apache.hadoop.fs.Path(
       tmp, "_graft_pruning"), pruningBody(statsCols, bloomCols))
     // same publish discipline as commit(): success is "the staged
@@ -4909,7 +5011,8 @@ object ManifestTable {
     if (es.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema)
+    else spark.read
+      .schema(deepNullable(schema).asInstanceOf[StructType])
       .parquet(es.map(e => s"$path/data/${e.dir}"): _*)
   }
 
@@ -5015,6 +5118,11 @@ object ManifestTable {
           evolveSchema, s"ManifestTable.publish($path, $name)")
         case None => stagedSchema
       }
+      // the ids stamped into the staged files must still equal what
+      // this commit will persist (see requireStagedIdsStable)
+      requireStagedIdsStable(Seq(stagedSchema), schema,
+        prev.map(colmapOf(spark, path, _)._2).getOrElse(0L),
+        s"ManifestTable.publish($path, $name)")
       // a table partitioned AFTER staging (or vice versa) must not
       // publish a mismatched layout — same loud rule as append's
       // retry guard
@@ -5163,6 +5271,33 @@ object ManifestTable {
       .sorted.toSeq
   }
 
+  /** A branch commit's EFFECTIVE metadata dir: branch-scoped DML
+    * ([[deleteFromBranch]]/[[updateBranch]]/[[mergeToBranch]])
+    * supersedes a commit by staging a full replacement entry list
+    * beside it (`.sup-<commit>_<id>`) and flipping a one-file
+    * `_graft_sup` pointer — the DML's atomic commit point. Every
+    * branch reader (audit read, fast-forward, vacuum's reference
+    * walk) resolves the chain here, so a half-staged replacement
+    * (crash before the flip) is invisible and its dirs are orphans
+    * vacuum reaps. */
+  private def resolvedCommitDir(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, name: String, c: String): String = {
+    val bd = branchDir(path, name)
+    var dir = s"$bd/$c"
+    var hops = 0
+    var sup = readSideFile(fs,
+      new org.apache.hadoop.fs.Path(dir, "_graft_sup"))
+    while (sup.isDefined) {
+      hops += 1
+      require(hops <= 10000, s"ManifestTable: branch '$name' commit " +
+        s"$c supersede chain exceeds $hops hops — corrupt pointer")
+      dir = s"$bd/${sup.get.trim}"
+      sup = readSideFile(fs,
+        new org.apache.hadoop.fs.Path(dir, "_graft_sup"))
+    }
+    dir
+  }
+
   /** Append `df` to the BRANCH: the data dirs land in the shared
     * data tree (partition-aware, stats/Blooms recorded — the
     * fast-forward adds no data work) and the entry-set stages as the
@@ -5181,7 +5316,8 @@ object ManifestTable {
     val v = prev.map(_ + 1).getOrElse(1L) // dir-name prefix, cosmetic
     val spec = resolveSpec(spark, path, prev, Nil,
       s"ManifestTable.appendToBranch($path, $name)")
-    val es = writeBatchEntries(spark, df, path, v, tag, statsCols,
+    val (stamped, stagedSchema) = stampForStaging(spark, path, prev, df)
+    val es = writeBatchEntries(spark, stamped, path, v, tag, statsCols,
       bloomCols, spec, fanout = 1)
     // claim the next commit slot atomically; a concurrent branch
     // appender pushes us to the next index, never a silent overwrite
@@ -5195,7 +5331,7 @@ object ManifestTable {
         s"$bd/.tmp-${cName(i)}_${attemptId.take(8)}")
       writeEntriesParquet(spark, es, tmp.toString)
       writeSideFile(fs, new org.apache.hadoop.fs.Path(
-        tmp, "_graft_schema.json"), df.schema.json)
+        tmp, "_graft_schema.json"), stagedSchema.json)
       writeSideFile(fs, new org.apache.hadoop.fs.Path(
         tmp, "_graft_pruning"), pruningBody(statsCols, bloomCols))
       writeSideFile(fs, new org.apache.hadoop.fs.Path(
@@ -5225,12 +5361,13 @@ object ManifestTable {
     val base = branchBase(spark, path, name)
     branchCommits(fs, path, name).foldLeft(
       readVersion(spark, path, base)) { (acc, c) =>
-      val es = entriesAt(spark, s"$bd/$c").filter(e =>
+      val cd = resolvedCommitDir(fs, path, name, c)
+      val es = entriesAt(spark, cd).filter(e =>
         e.hasData(fs, s"$path/data/${e.dir}"))
       if (es.isEmpty) acc
       else {
         val schema = readSideFile(fs, new org.apache.hadoop.fs.Path(
-            s"$bd/$c", "_graft_schema.json"))
+            cd, "_graft_schema.json"))
           .map(DataType.fromJson(_).asInstanceOf[StructType])
           .getOrElse(sys.error(s"ManifestTable.readBranch: branch " +
             s"commit $c has no schema sidecar — corrupt staging"))
@@ -5266,7 +5403,9 @@ object ManifestTable {
     require(fs.exists(new org.apache.hadoop.fs.Path(bd)),
       s"ManifestTable.fastForwardBranch: no branch '$name' at $path")
     val commits = branchCommits(fs, path, name)
-    val perCommit = commits.map { c =>
+    val perCommit = commits.map { c0 =>
+      val c = resolvedCommitDir(fs, path, name, c0)
+        .stripPrefix(s"$bd/")
       val es = entriesAt(spark, s"$bd/$c")
       val schema = readSideFile(fs, new org.apache.hadoop.fs.Path(
           s"$bd/$c", "_graft_schema.json"))
@@ -5334,6 +5473,11 @@ object ManifestTable {
         compatibleSchema(cs0, acc, evolveSchema,
           s"ManifestTable.fastForwardBranch($path, $name)")
       }
+      // every branch commit's stamped ids must still equal what this
+      // commit will persist (see requireStagedIdsStable)
+      requireStagedIdsStable(perCommit.map(_._2), schema,
+        prev.map(colmapOf(spark, path, _)._2).getOrElse(0L),
+        s"ManifestTable.fastForwardBranch($path, $name)")
       val tSpec = prev.map(partitionSpecOf(spark, path, _))
         .getOrElse(Nil)
       val pure = es.filter(_.files.exists(_.nonEmpty))
@@ -5383,6 +5527,291 @@ object ManifestTable {
     val (fs, _) = fsOf(spark, path)
     fs.delete(new org.apache.hadoop.fs.Path(branchDir(path, name)), true)
     ()
+  }
+
+  // ---- Branch-scoped DML: FIX a staged batch instead of abandoning
+  //      it. Scope contract: these operate on the rows the BRANCH
+  //      ADDED (its own commits' dirs) — never the base snapshot's,
+  //      which is shared with main and must stay physically untouched
+  //      while the branch lives. Each touched commit rewrites through
+  //      the one [[stagedRewrite]] engine and is SUPERSEDED by a full
+  //      replacement entry list whose one-file `_graft_sup` pointer
+  //      flip is the atomic commit point ([[resolvedCommitDir]]).
+  //      A multi-commit statement is atomic PER COMMIT and
+  //      re-runnable as a whole: a crash between commit flips leaves
+  //      some commits patched and the rest untouched, and re-running
+  //      the same deterministic statement finishes the job (the
+  //      already-patched commits simply match nothing). Single
+  //      writer per branch, like every mutation here. ----
+
+  /** The branch-DML engine: for every branch commit, prune its
+    * entries by `touchPred` (the same probe discipline the main-table
+    * DML uses), rewrite the touched dirs via [[stagedRewrite]] with
+    * `transform(commitSchema)`, and supersede the commit with the
+    * merged entry list. `validate` runs once per DISTINCT commit
+    * schema before any data work (loud on a mistyped predicate/SET).
+    * Returns the number of dirs rewritten. */
+  private def rewriteBranch(spark: SparkSession, path: String,
+      name: String, op: String,
+      touchPred: Entry => Boolean,
+      validate: StructType => Unit,
+      transform: StructType => DataFrame => DataFrame,
+      extraRestatCols: Seq[String]): Int = {
+    val (fs, _) = fsOf(spark, path)
+    val bd = branchDir(path, name)
+    require(fs.exists(new org.apache.hadoop.fs.Path(bd)),
+      s"ManifestTable.$op: no branch '$name' at $path — existing: " +
+        branchNames(spark, path).mkString(", "))
+    val prev = latestVersion(spark, path)
+    val v = prev.map(_ + 1).getOrElse(1L) // dir-name prefix, cosmetic
+    var touched = 0
+    branchCommits(fs, path, name).foreach { c =>
+      val cd = resolvedCommitDir(fs, path, name, c)
+      val es = entriesAt(spark, cd)
+      val schema = readSideFile(fs, new org.apache.hadoop.fs.Path(
+          cd, "_graft_schema.json"))
+        .map(DataType.fromJson(_).asInstanceOf[StructType])
+        .getOrElse(sys.error(s"ManifestTable.$op: branch commit $c " +
+          "has no schema sidecar — corrupt staging"))
+      validate(schema)
+      val touch = es.filter(e => touchPred(e) &&
+        e.hasData(fs, s"$path/data/${e.dir}"))
+      if (touch.nonEmpty) {
+        val rewritten = stagedRewrite(spark, path, v, schema, touch,
+          op, transform(schema), extraRestatCols)
+        val byProv = rewritten
+          .flatMap(e => e.sources.map(_ -> e)).toMap
+        val touchedSet = touch.map(_.dir).toSet
+        val merged = es.flatMap(e =>
+          if (!touchedSet(e.dir)) Some(e) else byProv.get(e.dir))
+        // stage the full replacement beside the commit, then flip
+        // the pointer — the one-file atomic commit point
+        val supId = java.util.UUID.randomUUID.toString.take(8)
+        val supName = s".sup-${c}_$supId"
+        val tmp = new org.apache.hadoop.fs.Path(s"$bd/.stage-$supName")
+        writeEntriesParquet(spark, merged, tmp.toString)
+        writeSideFile(fs, new org.apache.hadoop.fs.Path(
+          tmp, "_graft_schema.json"), schema.json)
+        readSideFile(fs, new org.apache.hadoop.fs.Path(
+            cd, "_graft_pruning"))
+          .foreach(body => writeSideFile(fs,
+            new org.apache.hadoop.fs.Path(tmp, "_graft_pruning"), body))
+        val fin = new org.apache.hadoop.fs.Path(s"$bd/$supName")
+        require(fs.rename(tmp, fin),
+          s"ManifestTable.$op: could not stage the replacement for " +
+            s"branch commit $c")
+        writeSideFile(fs, new org.apache.hadoop.fs.Path(
+          cd, "_graft_sup"), supName)
+        touched += touch.size
+      }
+    }
+    touched
+  }
+
+  /** `DELETE FROM <branch> WHERE cond` over the rows the branch
+    * ADDED: the audit found bad rows in a staged batch and fixes the
+    * batch in place — main (and the branch's base snapshot) stay
+    * physically untouched, and the eventual fast-forward publishes
+    * the FIXED content. Row semantics match [[deleteWhere]] (only
+    * predicate-TRUE rows delete; NULL survives); dir pruning runs
+    * the same conjunct probe when `pruneConjuncts` are supplied.
+    * Returns the number of branch dirs rewritten. */
+  def deleteFromBranch(spark: SparkSession, path: String, name: String,
+      cond: org.apache.spark.sql.Column,
+      pruneConjuncts: Seq[
+        org.apache.spark.sql.catalyst.expressions.Expression] = Nil)
+      : Int = {
+    val might = graft.sources.ManifestFileIndex.entryProbe(
+      pruneConjuncts, Nil)
+    rewriteBranch(spark, path, name, "deleteFromBranch",
+      might,
+      schema => {
+        val probe = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        val dt = probe.select(cond).schema.head.dataType
+        require(dt == org.apache.spark.sql.types.BooleanType,
+          s"ManifestTable.deleteFromBranch: the predicate has type " +
+            s"${dt.catalogString}, not boolean")
+      },
+      _ => _.filter(!coalesce(cond, lit(false))),
+      extraRestatCols = pruneConjuncts.flatMap(_.collect {
+        case a: org.apache.spark.sql.catalyst.expressions
+          .AttributeReference => a.name
+      }).distinct)
+  }
+
+  /** `UPDATE <branch> SET … WHERE cond` over the rows the branch
+    * ADDED — [[deleteFromBranch]]'s patch twin, with [[updateWhere]]'s
+    * SET contract: typed against each commit's schema, partition-
+    * source columns refused, NULL-evaluating predicates match
+    * nothing, matching rows patch IN PLACE. Returns the number of
+    * branch dirs rewritten. */
+  def updateBranch(spark: SparkSession, path: String, name: String,
+      cond: org.apache.spark.sql.Column,
+      sets: Seq[(String, org.apache.spark.sql.Column)],
+      pruneConjuncts: Seq[
+        org.apache.spark.sql.catalyst.expressions.Expression] = Nil)
+      : Int = {
+    require(sets.nonEmpty, "ManifestTable.updateBranch: empty SET list")
+    require(sets.map(_._1).distinct.size == sets.size,
+      "ManifestTable.updateBranch: duplicate SET column in " +
+        sets.map(_._1).mkString("[", ", ", "]"))
+    val prev = latestVersion(spark, path)
+    val pSrcs = prev.map(partitionSpecOf(spark, path, _))
+      .getOrElse(Nil).map(_.src).toSet
+    val clash = sets.map(_._1).filter(pSrcs)
+    require(clash.isEmpty,
+      "ManifestTable.updateBranch: SET touches partition-source " +
+        s"column(s) ${clash.mkString("'", "', '", "'")} — an " +
+        "in-place update cannot re-derive partition metadata")
+    val setMap = sets.toMap
+    val might = graft.sources.ManifestFileIndex.entryProbe(
+      pruneConjuncts, Nil)
+    rewriteBranch(spark, path, name, "updateBranch",
+      might,
+      schema => {
+        val fieldsByName = schema.fields.map(f => f.name -> f).toMap
+        sets.foreach { case (c, _) =>
+          require(fieldsByName.contains(c),
+            s"ManifestTable.updateBranch: SET column '$c' is not in " +
+              s"this branch commit's schema " +
+              s"(${schema.fieldNames.mkString(", ")})")
+        }
+        val probe = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        val dt = probe.select(cond).schema.head.dataType
+        require(dt == org.apache.spark.sql.types.BooleanType,
+          s"ManifestTable.updateBranch: the predicate has type " +
+            s"${dt.catalogString}, not boolean")
+        sets.foreach { case (c, e) =>
+          val got = probe.select(e).schema.head.dataType
+          val want = fieldsByName(c).dataType
+          require(got.catalogString == want.catalogString ||
+              widens(got, want),
+            s"ManifestTable.updateBranch: SET '$c' expression has " +
+              s"type ${got.catalogString} but the column is " +
+              s"${want.catalogString} — cast explicitly")
+        }
+      },
+      schema => { df =>
+        val fieldsByName = schema.fields.map(f => f.name -> f).toMap
+        val tableCols = schema.fieldNames.toSet
+        val cols = schema.fieldNames.map { c =>
+          setMap.get(c) match {
+            case Some(e) => when(cond,
+              e.cast(fieldsByName(c).dataType)).otherwise(col(c)).as(c)
+            case None => col(c)
+          }
+        }
+        val extra = df.columns.filterNot(tableCols).map(col)
+        df.select((cols ++ extra).toSeq: _*)
+      },
+      extraRestatCols = sets.map(_._1))
+  }
+
+  /** Upsert `source` into the branch's STAGED content by `keyCol` —
+    * the audit's "these staged records need corrected values, and
+    * these are missing" fix in one statement: staged rows whose key
+    * matches patch column-wise from the source (whole-row, key
+    * preserved), source rows matching NOTHING in the whole branch
+    * state append as a new branch commit. Source keys that match
+    * only BASE rows are LOUD: the base is shared with main and a
+    * branch must not fork it — merge on main after the fast-forward
+    * instead. Source must carry the key exactly once per row (dup
+    * keys would make the patch order-dependent). Returns (dirs
+    * rewritten, rows appended). */
+  def mergeToBranch(spark: SparkSession, source: DataFrame,
+      path: String, name: String, keyCol: String): (Int, Long) = {
+    val (fs, _) = fsOf(spark, path)
+    require(source.columns.contains(keyCol),
+      s"ManifestTable.mergeToBranch: source has no column '$keyCol'")
+    val dupKeys = source.groupBy(col(keyCol)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dupKeys.isEmpty,
+      s"ManifestTable.mergeToBranch: source carries duplicate " +
+        s"'$keyCol' values (e.g. ${dupKeys.headOption.map(_.get(0))}) " +
+        "— an upsert needs one row per key")
+    val src = broadcast(source)
+    // which source keys exist in the STAGED content vs only the BASE
+    val bd = branchDir(path, name)
+    require(fs.exists(new org.apache.hadoop.fs.Path(bd)),
+      s"ManifestTable.mergeToBranch: no branch '$name' at $path")
+    val base = branchBase(spark, path, name)
+    val stagedKeys = branchCommits(fs, path, name).flatMap { c =>
+      val cd = resolvedCommitDir(fs, path, name, c)
+      val es = entriesAt(spark, cd).filter(e =>
+        e.hasData(fs, s"$path/data/${e.dir}"))
+      if (es.isEmpty) None
+      else Some(spark.read.parquet(
+        es.map(e => s"$path/data/${e.dir}"): _*).select(col(keyCol)))
+    }.reduceOption(_ unionByName _)
+      .getOrElse(source.select(col(keyCol)).limit(0))
+    val inStaged = src.join(stagedKeys, Seq(keyCol), "left_semi")
+    val notStaged = src.join(stagedKeys, Seq(keyCol), "left_anti")
+    val baseOnly = notStaged.join(
+      readVersion(spark, path, base).select(col(keyCol)),
+      Seq(keyCol), "left_semi").limit(1).collect()
+    require(baseOnly.isEmpty,
+      s"ManifestTable.mergeToBranch($path, $name): source key " +
+        s"'${baseOnly.headOption.map(_.get(0)).orNull}' matches a " +
+        "BASE row the branch merely inherits — the base is shared " +
+        "with main and a branch must not fork it; fix those rows " +
+        "with MERGE on main after the fast-forward")
+    // 1) patch the staged matches in place (column-wise, key kept)
+    val matchedKeys = inStaged.select(col(keyCol)).distinct().collect()
+      .map(_.get(0)).toSeq
+    val touched =
+      if (matchedKeys.isEmpty) 0
+      else {
+        val isStr = source.schema(keyCol).dataType ==
+          org.apache.spark.sql.types.StringType
+        val might: Entry => Boolean = e => matchedKeys.exists { k =>
+          if (isStr) {
+            val s = k.asInstanceOf[String]
+            e.mightOverlapStr(keyCol, Some(s), Some(s)) &&
+              e.mightContainPointStr(keyCol, s)
+          } else scala.util.Try {
+            val l = k.asInstanceOf[Number].longValue()
+            e.mightOverlap(keyCol, l, l) && e.mightContainPoint(keyCol, l)
+          }.getOrElse(true)
+        }
+        rewriteBranch(spark, path, name, "mergeToBranch",
+          might,
+          schema => {
+            val missing = source.columns.filterNot(
+              schema.fieldNames.contains)
+            require(missing.isEmpty,
+              s"ManifestTable.mergeToBranch: source column(s) " +
+                s"${missing.mkString("'", "', '", "'")} are not in " +
+                "this branch commit's schema — evolve via " +
+                "appendToBranch first")
+          },
+          schema => { df =>
+            val srcCols = source.columns.toSet
+            val renamed = src.columns.foldLeft(src)((d, c) =>
+              d.withColumnRenamed(c, s"_graft_m_$c"))
+            val joined = df.join(broadcast(renamed),
+              df(keyCol) === renamed(s"_graft_m_$keyCol"), "left")
+            val matched = renamed(s"_graft_m_$keyCol").isNotNull
+            val cols = schema.fieldNames.map { c =>
+              if (c != keyCol && srcCols.contains(c))
+                when(matched, renamed(s"_graft_m_$c")
+                  .cast(schema(c).dataType))
+                  .otherwise(df(c)).as(c)
+              else df(c).as(c)
+            }
+            val extra = df.columns
+              .filterNot(schema.fieldNames.contains).map(df(_))
+            joined.select((cols ++ extra).toSeq: _*)
+          },
+          extraRestatCols = source.columns.filterNot(_ == keyCol).toSeq)
+      }
+    // 2) append the genuinely-new rows as the next branch commit
+    val fresh = notStaged
+    val freshN = fresh.count()
+    if (freshN > 0)
+      appendToBranch(spark, fresh, path, name)
+    (touched, freshN)
   }
 
   def vacuum(spark: SparkSession, path: String,
@@ -5464,7 +5893,7 @@ object ManifestTable {
     // candidates do — same loud rule on an unreadable commit
     val branchEntries = branchNames(spark, path).flatMap { n =>
       try branchCommits(fs, path, n).flatMap(c =>
-        entriesAt(spark, s"${branchDir(path, n)}/$c"))
+        entriesAt(spark, resolvedCommitDir(fs, path, n, c)))
       catch {
         case scala.util.control.NonFatal(e) => sys.error(
           s"ManifestTable.vacuum($path): cannot read branch '$n' " +

@@ -389,6 +389,54 @@ class CatalogSpec extends AnyFunSuite {
         Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(ex).exists(_.contains("neither a version")),
       s"got ${msgs(ex)}")
+    // an ALL-DIGIT tag name stays reachable: the numeric reading is
+    // tried first but falls back to the tag map when the number is
+    // not a retained snapshot
+    ManifestTable.createTag(spark, path, "2024", 2L)
+    assert(spark.sql("SELECT * FROM g.db.tagv VERSION AS OF '2024'")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "an all-digit tag must resolve through the tag fallback")
+    // a mistyped numeric version is loud AT RESOLUTION with the
+    // retained range, not a late scan failure
+    val ex2 = intercept[Exception] {
+      spark.sql("SELECT * FROM g.db.tagv VERSION AS OF 9999").collect()
+    }
+    assert(msgs(ex2).exists(m => m.contains("not a retained snapshot")),
+      s"got ${msgs(ex2)}")
+  }
+
+  test("rename RE-RUN after a crash between ref write and data move " +
+      "resumes instead of TableAlreadyExists") {
+    spark.sql("CREATE TABLE g.db.ren1 (id BIGINT) USING `graft-manifest`")
+    spark.sql("INSERT INTO g.db.ren1 VALUES (1), (2)")
+    val cat = spark.sessionState.catalogManager.catalog("g")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    def ident(n: String) = org.apache.spark.sql.connector.catalog
+      .Identifier.of(Array("db"), n)
+    val oldPath = cat.loadTable(ident("ren1")).properties()
+      .get("location")
+    // reconstruct the crash residue by hand, exactly as renameTable's
+    // forward-ref-first ordering leaves it: the NEW ref exists and
+    // points at the managed target dir, but the data never moved
+    // (ref layout: <warehouse>/<ns>/<table>.graftref beside the dir)
+    val nsDir = new org.apache.hadoop.fs.Path(oldPath).getParent
+    val fs = nsDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val danglingTo = new org.apache.hadoop.fs.Path(nsDir, "ren2")
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      nsDir, "ren2.graftref"), false)
+    out.write(s"path=$danglingTo\nexternal=false\n".getBytes("UTF-8"))
+    out.close()
+    assert(!fs.exists(danglingTo)) // the crash-window state
+    // the re-run must RESUME the move, not throw TableAlreadyExists
+    spark.sql("ALTER TABLE g.db.ren1 RENAME TO db.ren2")
+    assert(spark.sql("SELECT count(*) FROM g.db.ren2").head.getLong(0)
+      == 2L, "the resumed rename must serve the moved data")
+    assert(!cat.tableExists(ident("ren1")))
+    // and a rename onto a LIVE table still fails loudly
+    spark.sql("CREATE TABLE g.db.ren3 (id BIGINT) USING `graft-manifest`")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE g.db.ren3 RENAME TO db.ren2")
+    }
   }
 
   test("properties() resolves through the time-travel pin") {

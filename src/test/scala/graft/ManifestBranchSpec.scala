@@ -211,4 +211,150 @@ class ManifestBranchSpec extends AnyFunSuite {
     }
     assert(msgs(ex3).exists(_.contains("no branch")))
   }
+
+  test("branch append on a COLUMN-MAPPED table stamps field ids — " +
+      "the table stays readable after fast-forward") {
+    val t = tmp("graft-br-map")
+    ManifestTable.append(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)
+    // any rename flips the table to id-based (column-mapped) reads;
+    // every data file must carry parquet field ids from here on
+    ManifestTable.renameColumn(spark, t, "s", "label")
+    ManifestTable.createBranch(spark, t, "audit")
+    ManifestTable.appendToBranch(spark,
+      Seq((10L, "c")).toDF("id", "label"), t, "audit")
+    // the audit read resolves branch dirs on the mapped table too
+    assert(ids(ManifestTable.readBranch(spark, t, "audit")) ==
+      Seq(1L, 2L, 10L))
+    ManifestTable.fastForwardBranch(spark, t, "audit")
+    val out = ManifestTable.read(spark, t)
+    assert(out.columns.toSeq == Seq("id", "label"))
+    assert(ids(out) == Seq(1L, 2L, 10L))
+    assert(out.select("label").as[String].collect().sorted.toSeq ==
+      Seq("a", "b", "c"),
+      "branch files must resolve by field id after fast-forward")
+    // and a post-fast-forward rename still resolves the branch dirs
+    ManifestTable.renameColumn(spark, t, "label", "tag2")
+    assert(ManifestTable.read(spark, t)
+      .select("tag2").as[String].collect().sorted.toSeq ==
+      Seq("a", "b", "c"))
+  }
+
+  test("staged WAP candidate on a mapped table stamps ids; publish " +
+      "keeps the table readable") {
+    val t = tmp("graft-wap-map")
+    ManifestTable.append(spark,
+      Seq((1L, "a")).toDF("id", "s"), t)
+    ManifestTable.renameColumn(spark, t, "s", "label")
+    ManifestTable.stageAppend(spark,
+      Seq((2L, "b")).toDF("id", "label"), t, "cand")
+    assert(ids(ManifestTable.readStaged(spark, t, "cand")) == Seq(2L))
+    ManifestTable.publish(spark, t, "cand")
+    assert(ManifestTable.read(spark, t)
+      .select("label").as[String].collect().sorted.toSeq ==
+      Seq("a", "b"))
+  }
+
+  test("branch-scoped DML: mid-branch DELETE/UPDATE/MERGE fix the " +
+      "staged batch; main and base stay physically untouched") {
+    val t = tmp("graft-brdml")
+    ManifestTable.append(spark,
+      Seq((1L, "ok", 10L), (2L, "ok", 20L)).toDF("id", "st", "n"), t,
+      statsCols = Seq("id"))
+    val baseFiles = ManifestTable.read(spark, t).inputFiles.toSet
+    ManifestTable.createBranch(spark, t, "fix")
+    ManifestTable.appendToBranch(spark,
+      Seq((10L, "ok", 100L), (11L, "bad", 110L)).toDF("id", "st", "n"),
+      t, "fix", statsCols = Seq("id"))
+    ManifestTable.appendToBranch(spark,
+      Seq((12L, "bad", 120L), (13L, "ok", 130L)).toDF("id", "st", "n"),
+      t, "fix", statsCols = Seq("id"))
+    // the audit finds bad rows in BOTH commits → fix, not abandon
+    val deleted = ManifestTable.deleteFromBranch(spark, t, "fix",
+      col("st") === "bad")
+    assert(deleted == 2, s"both commits' dirs rewrite, got $deleted")
+    assert(ids(ManifestTable.readBranch(spark, t, "fix")) ==
+      Seq(1L, 2L, 10L, 13L))
+    // patch a surviving staged row in place
+    val patched = ManifestTable.updateBranch(spark, t, "fix",
+      col("id") === 13L, Seq("n" -> lit(999L)))
+    assert(patched >= 1)
+    // upsert: key 10 patches column-wise, key 20 appends; a BASE key
+    // is refused loudly (the base is shared with main)
+    val (mTouched, mAppended) = ManifestTable.mergeToBranch(spark,
+      Seq((10L, "ok2", 101L), (20L, "new", 200L)).toDF("id", "st", "n"),
+      t, "fix", "id")
+    assert(mTouched >= 1 && mAppended == 1L)
+    val exBase = intercept[Exception] {
+      ManifestTable.mergeToBranch(spark,
+        Seq((1L, "nope", 0L)).toDF("id", "st", "n"), t, "fix", "id")
+    }
+    assert(msgs(exBase).exists(_.contains("BASE")),
+      s"got ${msgs(exBase)}")
+    // main never saw any of it
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L))
+    assert(ManifestTable.read(spark, t).inputFiles.toSet == baseFiles,
+      "branch DML must not rewrite base/main dirs")
+    // fast-forward publishes the FIXED content as one atomic commit
+    ManifestTable.fastForwardBranch(spark, t, "fix")
+    val out = ManifestTable.read(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq((1L, "ok", 10L), (2L, "ok", 20L),
+      (10L, "ok2", 101L), (13L, "ok", 999L), (20L, "new", 200L)),
+      s"got $out")
+    // the superseded dirs are orphans vacuum reaps; the live content
+    // survives a full-history vacuum
+    ManifestTable.vacuum(spark, t, keepVersions = 1)
+    assert(ids(ManifestTable.read(spark, t)) ==
+      Seq(1L, 2L, 10L, 13L, 20L))
+  }
+
+  test("branch DML prunes by the staged dirs' recorded stats") {
+    val t = tmp("graft-brdml-prune")
+    ManifestTable.append(spark, Seq(1L).toDF("id"), t,
+      statsCols = Seq("id"))
+    ManifestTable.createBranch(spark, t, "b")
+    // two branch commits with DISJOINT id ranges
+    ManifestTable.appendToBranch(spark,
+      (100L until 110L).toDF("id"), t, "b", statsCols = Seq("id"))
+    ManifestTable.appendToBranch(spark,
+      (200L until 210L).toDF("id"), t, "b", statsCols = Seq("id"))
+    import org.apache.spark.sql.catalyst.expressions.{
+      AttributeReference, GreaterThanOrEqual, Literal}
+    import org.apache.spark.sql.types.LongType
+    val conj = Seq(GreaterThanOrEqual(
+      AttributeReference("id", LongType)(), Literal(200L)))
+    val touched = ManifestTable.deleteFromBranch(spark, t, "b",
+      col("id") >= 200L, conj)
+    assert(touched == 1,
+      s"the range-disjoint first commit must not rewrite: $touched")
+    assert(ids(ManifestTable.readBranch(spark, t, "b")) ==
+      (1L +: (100L until 110L)).sorted)
+  }
+
+  test("publish fails LOUDLY when a concurrent evolution shifts a " +
+      "staged fresh column's id assignment") {
+    val t = tmp("graft-wap-iddrift")
+    ManifestTable.append(spark, Seq((1L, "a")).toDF("id", "s"), t)
+    // make the table mapped so ids govern reads
+    ManifestTable.renameColumn(spark, t, "s", "label")
+    // stage a candidate that ADDS a fresh column: its files carry the
+    // id assigned against the table as of NOW
+    ManifestTable.stageAppend(spark,
+      Seq((2L, "b", 7.5)).toDF("id", "label", "score"), t, "cand")
+    // a concurrent main-table evolution takes the next id for a
+    // DIFFERENT column — the staged assignment is now stale
+    ManifestTable.append(spark,
+      Seq((3L, "c", 42L)).toDF("id", "label", "extra"), t,
+      evolveSchema = true)
+    val ex = intercept[Exception] {
+      ManifestTable.publish(spark, t, "cand", evolveSchema = true)
+    }
+    assert(msgs(ex).exists(_.contains("field-id assignment changed")),
+      s"expected the id-drift guard, got: ${msgs(ex).mkString(" | ")}")
+    // the reject path still works; main is intact
+    ManifestTable.abandonStaged(spark, t, "cand")
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 3L))
+  }
 }

@@ -109,18 +109,21 @@ class ManifestDmlSpec extends AnyFunSuite {
     spark.sql("DELETE FROM dml_del WHERE id = 3 OR id = 10")
     assert(ids(ManifestTable.read(spark, t)) == Seq())
     spark.sql("INSERT INTO dml_del VALUES (1), (10)")
-    // non-deterministic and subquery predicates fail LOUDLY — the
-    // rewrite would re-evaluate them per dir / cannot host them
+    // non-deterministic and CORRELATED-subquery predicates fail
+    // LOUDLY — the rewrite would re-evaluate them per dir / cannot
+    // host them (uncorrelated subqueries materialize at rule time —
+    // see the subquery-predicate test below)
     def msgs(e: Throwable): Seq[String] =
       Option(e).toSeq.flatMap(x =>
         Option(x.getMessage).toSeq ++ msgs(x.getCause))
     Seq(
       "DELETE FROM dml_del WHERE rand() < 0.5",
-      "DELETE FROM dml_del WHERE id IN (SELECT id FROM dml_del)"
+      "DELETE FROM dml_del d WHERE EXISTS " +
+        "(SELECT 1 FROM dml_del i WHERE i.id = d.id + 1)"
     ).foreach { stmt =>
       val ex = intercept[Exception] { spark.sql(stmt) }
       assert(msgs(ex).exists(m => m.contains("unsupported WHERE") ||
-        m.contains("programmatic API")),
+        m.contains("programmatic API") || m.contains("CORRELATED")),
         s"$stmt should be rejected loudly, got ${msgs(ex)}")
     }
     assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 10L))
@@ -289,15 +292,16 @@ class ManifestDmlSpec extends AnyFunSuite {
         Option(x.getMessage).toSeq ++ msgs(x.getCause))
     // shapes the exact fast paths can't denote route the GENERAL
     // predicate path (updateWhere) and run verbatim; only
-    // non-deterministic / subquery WHEREs stay loud (same contract
-    // as DELETE's — see the general-predicate test below)
+    // non-deterministic / CORRELATED-subquery WHEREs stay loud (same
+    // contract as DELETE's — see the general-predicate test below)
     Seq(
       "UPDATE dml_u SET n = 0 WHERE rand() < 2",
-      "UPDATE dml_u SET n = 0 WHERE id IN (SELECT id FROM dml_u)"
+      "UPDATE dml_u SET n = 0 WHERE id IN " +
+        "(SELECT id FROM dml_u i WHERE i.n = dml_u.n)"
     ).foreach { stmt =>
       val ex = intercept[Exception] { spark.sql(stmt) }
       assert(msgs(ex).exists(m => m.contains("unsupported WHERE") ||
-        m.contains("programmatic API")),
+        m.contains("programmatic API") || m.contains("CORRELATED")),
         s"$stmt should be rejected loudly, got ${msgs(ex)}")
     }
     // a non-deterministic SET is loud
@@ -437,5 +441,71 @@ class ManifestDmlSpec extends AnyFunSuite {
       "WHERE n BETWEEN 8000 AND 9000 AND lang = 'en'")
     assert(state().map(_._1) == Seq(1L, 3L, 11L, 20L),
       s"got ${state()}")
+  }
+
+  test("subquery-predicate DML: uncorrelated IN/EXISTS/scalar " +
+      "materialize at rule time; correlated stays loud") {
+    val t = s"${Files.createTempDirectory("graft-dmlsubq")}/t"
+    val aux = s"${Files.createTempDirectory("graft-dmlsubq")}/aux"
+    ManifestTable.append(spark,
+      Seq((1L, "k1", 10L), (2L, "k2", 20L), (3L, "k3", 30L))
+        .toDF("id", "key", "n"), t,
+      statsCols = Seq("id"), bloomCols = Seq("key"))
+    ManifestTable.append(spark,
+      Seq((4L, "k4", 40L), (5L, "k5", 50L))
+        .toDF("id", "key", "n"), t,
+      statsCols = Seq("id"), bloomCols = Seq("key"))
+    ManifestTable.append(spark,
+      Seq(("k2", true), ("k4", true), ("k9", false))
+        .toDF("k", "bad"), aux)
+    register(t, "dml_sq")
+    register(aux, "dml_sq_aux")
+    val entriesBefore = ManifestTable.entriesOf(spark, t,
+      ManifestTable.latestVersion(spark, t).get)
+    // string-key IN subquery routes MERGE-ON-READ: one tombstone
+    // write, ZERO data files rewritten
+    spark.sql("DELETE FROM dml_sq WHERE key IN " +
+      "(SELECT k FROM dml_sq_aux WHERE bad)")
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 3L, 5L))
+    val vDel = ManifestTable.latestVersion(spark, t).get
+    val entriesAfter = ManifestTable.entriesOf(spark, t, vDel)
+    assert(entriesAfter.map(e => e.dir -> e.files).toMap ==
+      entriesBefore.map(e => e.dir -> e.files).toMap,
+      "an IN-subquery string point delete must route merge-on-read " +
+        "(zero data files rewritten)")
+    assert(ManifestTable.commitInfoOf(spark, t, vDel)
+      .exists(_._1 == "deleteKeys"),
+      "the IN-subquery delete must have routed through deleteKeys")
+    // uncorrelated scalar subquery folds to a literal and hits the
+    // integral RANGE fast path
+    spark.sql("DELETE FROM dml_sq WHERE id >= " +
+      "(SELECT max(id) FROM dml_sq)")
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 3L))
+    // EXISTS folds to a boolean literal: false = no-op (no version
+    // committed), true = the statement's own WHERE semantics
+    val vBefore = ManifestTable.latestVersion(spark, t).get
+    spark.sql("UPDATE dml_sq SET n = 0 WHERE EXISTS " +
+      "(SELECT 1 FROM dml_sq_aux WHERE k = 'nope')")
+    assert(ManifestTable.latestVersion(spark, t).contains(vBefore),
+      "a provably-false EXISTS must be a metadata no-op")
+    spark.sql("UPDATE dml_sq SET n = 0 WHERE EXISTS " +
+      "(SELECT 1 FROM dml_sq_aux WHERE bad)")
+    assert(ManifestTable.read(spark, t).select("n")
+      .as[Long].collect().toSet == Set(0L))
+    // integral IN subquery (not a string point set) routes the
+    // general predicate path — exact semantics
+    spark.sql("DELETE FROM dml_sq WHERE id IN " +
+      "(SELECT id FROM dml_sq WHERE id > 2)")
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L))
+    // correlated subqueries stay loud
+    val ex = intercept[Exception] {
+      spark.sql("DELETE FROM dml_sq WHERE EXISTS " +
+        "(SELECT 1 FROM dml_sq_aux a WHERE a.k = dml_sq.key)")
+    }
+    def msgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(ex).exists(_.contains("CORRELATED")),
+      s"got: ${msgs(ex).mkString(" | ")}")
   }
 }

@@ -183,4 +183,41 @@ class ManifestNestedStatsSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, t)
       .filter(col("meta.v") < 20L).count() == 0)
   }
+
+  test("nested bloomCols: dotted Blooms record and a nested point " +
+      "lookup prunes on them alone (vacuous range stats)") {
+    val t = s"${Files.createTempDirectory("graft-nestedbloom")}/t"
+    // interleaved layout: each dir holds the i % 4 == r slice, so
+    // every dir's key RANGE spans the whole domain — only the per-dir
+    // Bloom (small key SET) can prove absence. No statsCols on the
+    // probed leaves: the Bloom is the sole discriminator.
+    def slice(r: Int) = (0L until 200L).filter(_ % 4 == r)
+      .map(i => (i, (f"k$i%03d", i)))
+      .toDF("doc_id", "kv")
+      .select(col("doc_id"), struct(
+        col("kv._1").as("key"), col("kv._2").as("n")).as("meta"))
+    (0 until 4).foreach(r => ManifestTable.append(spark, slice(r), t,
+      bloomCols = Seq("meta.key", "meta.n")))
+    val entries = ManifestTable.entriesOf(spark, t,
+      ManifestTable.latestVersion(spark, t).get)
+    assert(entries.forall(e => e.strBloom.contains("meta.key") &&
+      e.bloom.contains("meta.n")),
+      s"dotted bloomCols must record: ${entries.map(_.strBloom.keys)}")
+    val total = ManifestTable.read(spark, t).inputFiles.length
+    // string nested point lookup: k005 lives in exactly one slice
+    val key = "k%03d".format(5)
+    val q1 = spark.read.format("graft-manifest").load(t)
+      .filter(col("meta.key") === key)
+    assert(q1.count() == 1)
+    assert(numFiles(spark.read.format("graft-manifest").load(t)
+      .filter(col("meta.key") === key)) < total,
+      "a nested string point lookup must consult the dotted Bloom")
+    // integral nested point lookup through the same probe
+    val q2 = spark.read.format("graft-manifest").load(t)
+      .filter(col("meta.n") === 6L)
+    assert(q2.count() == 1)
+    assert(numFiles(spark.read.format("graft-manifest").load(t)
+      .filter(col("meta.n") === 6L)) < total,
+      "a nested integral point lookup must consult the dotted Bloom")
+  }
 }

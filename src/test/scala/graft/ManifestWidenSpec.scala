@@ -176,5 +176,106 @@ class ManifestWidenSpec extends AnyFunSuite {
     val got2 = spark.sql("SELECT id, m FROM gw.db.w ORDER BY id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got2 == Seq((1L, 10L), (2L, 20L), (3L, 30000000000L)))
+    // the SQL route accepts a NESTED dotted path too
+    spark.sql("CREATE TABLE gw.db.wn " +
+      "(id BIGINT, meta STRUCT<lang: STRING, n: INT>) " +
+      "USING `graft-manifest`")
+    spark.sql("INSERT INTO gw.db.wn VALUES (1, struct('en', 10))")
+    spark.sql("ALTER TABLE gw.db.wn ALTER COLUMN meta.n TYPE BIGINT")
+    spark.sql("INSERT INTO gw.db.wn VALUES (2, struct('de', 30000000000))")
+    assert(spark.sql("SELECT sum(meta.n) FROM gw.db.wn")
+      .head.getLong(0) == 30000000010L)
+  }
+
+  test("NESTED leaf widens in place: dotted path, mixed-era reads, " +
+      "pruning intact") {
+    val t = s"${Files.createTempDirectory("graft-widen-nested")}/t"
+    def batch(lo: Int, n: Int) = (lo until lo + n)
+      .map(i => (i.toLong, ("en", i * 10))).toDF("doc_id", "kv")
+      .select(col("doc_id"), struct(col("kv._1").as("lang"),
+        col("kv._2").as("n")).as("meta"))
+    // two range-disjoint dirs with INT leaf meta.n, nested stats on
+    ManifestTable.append(spark, batch(0, 50), t,
+      statsCols = Seq("doc_id", "meta.n"))
+    ManifestTable.append(spark, batch(50, 50), t,
+      statsCols = Seq("doc_id", "meta.n"))
+    val filesBefore = ManifestTable.read(spark, t).inputFiles.toSet
+    ManifestTable.widenColumnType(spark, t, "meta.n", LongType)
+    // METADATA-only, leaf widened IN PLACE, sibling untouched
+    val widened = ManifestTable.read(spark, t)
+    assert(widened.inputFiles.toSet == filesBefore)
+    assert(widened.schema("meta").dataType
+      .asInstanceOf[StructType]("n").dataType == LongType)
+    assert(widened.schema("meta").dataType
+      .asInstanceOf[StructType]("lang").dataType == StringType)
+    // mixed-era: old int32 leaves read widened; a beyond-int value
+    // appends under the new shape
+    ManifestTable.append(spark,
+      Seq((100L, ("de", 10000000000L))).toDF("doc_id", "kv")
+        .select(col("doc_id"), struct(col("kv._1").as("lang"),
+          col("kv._2").as("n")).as("meta")),
+      t, statsCols = Seq("doc_id", "meta.n"))
+    assert(ManifestTable.read(spark, t)
+      .select(sum(col("meta.n"))).head.getLong(0) ==
+      (0 until 100).map(_ * 10L).sum + 10000000000L)
+    // pre-widen nested stats keep pruning under post-widen filters
+    val df = spark.read.format("graft-manifest").load(t)
+      .filter(col("meta.n") >= 10000000000L)
+    assert(df.count() == 1)
+    df.collect()
+    val scanned = df.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }.get
+    assert(scanned < ManifestTable.read(spark, t).inputFiles.length,
+      "pre-widen nested stats must still prune")
+    // descending through a non-struct and widening a missing path
+    // stay loud
+    intercept[Exception] {
+      ManifestTable.widenColumnType(spark, t, "doc_id.x", LongType)
+    }
+    intercept[Exception] {
+      ManifestTable.widenColumnType(spark, t, "meta.nope", LongType)
+    }
+  }
+
+  test("decimal(p,s) widens to decimal(p+k,s); scale changes stay loud") {
+    val t = s"${Files.createTempDirectory("graft-widen-dec")}/t"
+    ManifestTable.append(spark,
+      Seq((1L, BigDecimal("12.34")), (2L, BigDecimal("56.78")))
+        .toDF("id", "amt")
+        .select(col("id"), col("amt").cast("decimal(10,2)").as("amt")),
+      t, statsCols = Seq("id"))
+    val filesBefore = ManifestTable.read(spark, t).inputFiles.toSet
+    ManifestTable.widenColumnType(spark, t, "amt", DecimalType(20, 2))
+    assert(ManifestTable.read(spark, t).inputFiles.toSet == filesBefore,
+      "decimal widening must be metadata-only")
+    assert(ManifestTable.read(spark, t).schema("amt").dataType ==
+      DecimalType(20, 2))
+    // old decimal(10,2) files read widened, exact values preserved
+    assert(ManifestTable.read(spark, t).select(sum(col("amt")))
+      .head.getDecimal(0).compareTo(new java.math.BigDecimal("69.12"))
+      == 0)
+    // a beyond-p10 value appends post-widen; a narrow batch aligns
+    ManifestTable.append(spark,
+      Seq((3L, BigDecimal("123456789012345678.99"))).toDF("id", "amt")
+        .select(col("id"),
+          col("amt").cast("decimal(20,2)").as("amt")),
+      t, statsCols = Seq("id"))
+    ManifestTable.append(spark,
+      Seq((4L, BigDecimal("1.01"))).toDF("id", "amt")
+        .select(col("id"),
+          col("amt").cast("decimal(10,2)").as("amt")),
+      t, statsCols = Seq("id"))
+    assert(ManifestTable.read(spark, t).count() == 4)
+    // scale change and precision NARROWING stay loud
+    val exS = intercept[Exception] {
+      ManifestTable.widenColumnType(spark, t, "amt", DecimalType(22, 4))
+    }
+    assert(msgs(exS).exists(_.contains("not a value-preserving")),
+      s"got ${msgs(exS)}")
+    intercept[Exception] {
+      ManifestTable.widenColumnType(spark, t, "amt", DecimalType(10, 2))
+    }
   }
 }
