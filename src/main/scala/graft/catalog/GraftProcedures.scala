@@ -194,7 +194,79 @@ private[catalog] object GraftProcedures {
         ManifestTable.abandonBranch(spark, path, str(in, 1))
         versionRow(ManifestTable.latestVersion(spark, path)
           .getOrElse(-1L))
+      }),
+    // branch-scoped DML: the audit FIXES a staged batch from SQL
+    // instead of abandoning it — predicates/expressions arrive as
+    // SQL strings and type-check against each branch commit's
+    // schema before any data work
+    Proc("delete_from_branch",
+      "delete_from_branch(table, branch, predicate) - delete the " +
+        "matching rows the BRANCH ADDED (its staged commits; base " +
+        "rows are untouched — they are shared with main). The " +
+        "predicate is a SQL boolean expression over the staged " +
+        "columns. Returns the number of staged dirs rewritten.",
+      Seq(p("table", StringType), p("branch", StringType),
+        p("predicate", StringType)),
+      (spark, cat, in) => countRow("dirs_rewritten",
+        ManifestTable.deleteFromBranch(spark,
+          cat.resolveTablePath(str(in, 0)), str(in, 1),
+          org.apache.spark.sql.functions.expr(str(in, 2))).toLong)),
+    Proc("update_branch",
+      "update_branch(table, branch, predicate, set_col, set_expr) - " +
+        "patch the matching staged rows IN PLACE: set_col takes the " +
+        "SQL expression set_expr where the predicate is true (base " +
+        "rows untouched). Returns the number of staged dirs " +
+        "rewritten.",
+      Seq(p("table", StringType), p("branch", StringType),
+        p("predicate", StringType), p("set_col", StringType),
+        p("set_expr", StringType)),
+      (spark, cat, in) => countRow("dirs_rewritten",
+        ManifestTable.updateBranch(spark,
+          cat.resolveTablePath(str(in, 0)), str(in, 1),
+          org.apache.spark.sql.functions.expr(str(in, 2)),
+          Seq(str(in, 3) ->
+            org.apache.spark.sql.functions.expr(str(in, 4)))).toLong)),
+    Proc("compact_branch",
+      "compact_branch(table, branch) - consolidate the branch's " +
+        "staged commits into ONE (schemas fold additively, data " +
+        "coalesces into a fresh dir set, a one-file pointer flip " +
+        "commits it); the long-audit maintenance op. Returns " +
+        "(commits_before, commits_after).",
+      Seq(p("table", StringType), p("branch", StringType)),
+      (spark, cat, in) => {
+        val (before, after) = ManifestTable.compactBranch(spark,
+          cat.resolveTablePath(str(in, 0)), str(in, 1))
+        (StructType(Seq(
+          StructField("commits_before", LongType, nullable = false),
+          StructField("commits_after", LongType, nullable = false))),
+          Seq(new GenericInternalRow(
+            Array[Any](before.toLong, after.toLong))))
+      }),
+    Proc("merge_to_branch",
+      "merge_to_branch(table, branch, source_view, key_col) - " +
+        "upsert the named view/table into the branch's STAGED " +
+        "content by key: matching staged rows patch column-wise, " +
+        "keys matching nothing in the branch state append as a new " +
+        "branch commit, keys matching only BASE rows are refused " +
+        "(the base is shared with main). Returns (dirs_rewritten, " +
+        "rows_appended).",
+      Seq(p("table", StringType), p("branch", StringType),
+        p("source_view", StringType), p("key_col", StringType)),
+      (spark, cat, in) => {
+        val (touched, appended) = ManifestTable.mergeToBranch(spark,
+          spark.table(str(in, 2)),
+          cat.resolveTablePath(str(in, 0)), str(in, 1), str(in, 3))
+        (StructType(Seq(
+          StructField("dirs_rewritten", LongType, nullable = false),
+          StructField("rows_appended", LongType, nullable = false))),
+          Seq(new GenericInternalRow(
+            Array[Any](touched.toLong, appended))))
       }))
+
+  private def countRow(name: String, n: Long)
+      : (StructType, Seq[InternalRow]) =
+    (StructType(Seq(StructField(name, LongType, nullable = false))),
+      Seq(new GenericInternalRow(Array[Any](n))))
 
   def names: Seq[String] = all.map(_.procName)
 

@@ -260,6 +260,36 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
       }
   }
 
+  /** A DELETE condition that is an INTEGRAL key point SET:
+    * `k IN (<integral literals>)`, two or more values — the
+    * scattered-key shape (`WHERE id IN (3, 17, 94233)`) where a
+    * copy-on-write range delete would rewrite every dir holding one
+    * key; routed MERGE-ON-READ like the string twin
+    * ([[StringKeyDelete]]): one tombstone write, Bloom/stat-pruned,
+    * zero data files rewritten. Single equality stays on the range
+    * fast path (a point range [v,v] — whole expired dirs drop
+    * metadata-only). NULL literals contribute nothing (`k IN (NULL)`
+    * is never TRUE). */
+  private object IntKeyDelete {
+    private def intLit(e: Expression): Option[Option[Long]] = e match {
+      case l: Literal if l.value == null => e.dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => Some(None)
+        case _ => None
+      }
+      case other => longLit(other).map(Some(_))
+    }
+    def unapply(cond: Expression): Option[(String, Seq[Long])] =
+      cond match {
+        case In(a, list) if list.size >= 2 &&
+            list.forall(intLit(_).isDefined) =>
+          nameOf(a).map(c => (c, list.flatMap(intLit(_).get)))
+        case _ => None
+      }
+  }
+
   /** A DELETE/UPDATE condition that is a conjunction of POINT
     * EQUALITIES on TWO OR MORE distinct columns — the composite
     * business-key address (`WHERE cve_id = '…' AND source = '…'`).
@@ -699,6 +729,13 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
             if (vals.isEmpty)
               GraftManifestNoopCommand(s"all-NULL DELETE keys on $path")
             else GraftManifestDeleteKeysCommand(path, c, vals)
+          // a scattered INTEGRAL point set (`id IN (3, 17, …)`) is
+          // the same merge-on-read shape: a range delete would
+          // rewrite every dir holding one key
+          case IntKeyDelete(c, vals) =>
+            if (vals.isEmpty)
+              GraftManifestNoopCommand(s"all-NULL DELETE keys on $path")
+            else GraftManifestDeleteIntKeysCommand(path, c, vals)
           // composite business-key point delete (`a = … AND b = …`):
           // one copy-on-write tuple delete, conjunctively dir-pruned
           case CompositePointKeys(keys) =>
@@ -1108,6 +1145,42 @@ final case class GraftManifestDeleteKeysCommand(path: String,
     import session.implicits._
     if (!DropPartitionFastPath(session, path, keyCol, values))
       ManifestTable.deleteKeys(session, values.toDF(keyCol), path, keyCol)
+    Seq.empty
+  }
+}
+
+/** The INTEGRAL twin of [[GraftManifestDeleteKeysCommand]]: a
+  * scattered integral point set routes merge-on-read. The key frame
+  * casts to the TABLE's exact key type at run time (deleteKeys is
+  * loud on a type mismatch by design); literals outside the narrow
+  * type's range — coercion artifacts that can match no row — are
+  * dropped, not wrapped. */
+final case class GraftManifestDeleteIntKeysCommand(path: String,
+    keyCol: String, values: Seq[Long]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    import session.implicits._
+    val v = ManifestTable.latestVersion(session, path).getOrElse(
+      sys.error(s"graft-manifest DELETE: no committed version at $path"))
+    val dt = ManifestTable.schemaOf(session, path, v)
+      .flatMap(_.fields.find(_.name == keyCol)).map(_.dataType)
+      .getOrElse(sys.error(s"graft-manifest DELETE: no column " +
+        s"'$keyCol' in the table schema at $path"))
+    val fits: Long => Boolean = dt match {
+      case org.apache.spark.sql.types.ByteType =>
+        x => x >= Byte.MinValue && x <= Byte.MaxValue
+      case org.apache.spark.sql.types.ShortType =>
+        x => x >= Short.MinValue && x <= Short.MaxValue
+      case org.apache.spark.sql.types.IntegerType =>
+        x => x >= Int.MinValue && x <= Int.MaxValue
+      case _ => _ => true
+    }
+    val keep = values.filter(fits)
+    if (keep.nonEmpty)
+      ManifestTable.deleteKeys(session,
+        keep.toDF(keyCol).select(
+          org.apache.spark.sql.functions.col(keyCol).cast(dt)
+            .as(keyCol)),
+        path, keyCol)
     Seq.empty
   }
 }

@@ -55,15 +55,15 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   *    genuinely new rows — incremental consumers survive maintenance
   *    instead of re-reading the whole table.
   */
-object ManifestTable {
+object ManifestTable extends ManifestStagingOps {
 
-  private def fsOf(spark: SparkSession, path: String)
+  private[sinks] def fsOf(spark: SparkSession, path: String)
       : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
     val p = new org.apache.hadoop.fs.Path(path)
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  private def vName(v: Long): String = f"v$v%08d"
+  private[sinks] def vName(v: Long): String = f"v$v%08d"
 
   /** A fresh, attempt-unique data dir name for version `v`. The
     * attempt suffix is what turns a violated single-writer contract
@@ -234,7 +234,7 @@ object ManifestTable {
   /** One manifest parquet's entry list, serialized by
     * [[writeEntriesParquet]] — shared by committed snapshots
     * (`manifest/v*`) and WAP staged sets (`staged/<name>`). */
-  private def entriesAt(spark: SparkSession, dir: String): Seq[Entry] = {
+  private[sinks] def entriesAt(spark: SparkSession, dir: String): Seq[Entry] = {
     import spark.implicits._
     val df = spark.read.parquet(dir)
     if (df.columns.contains("sources")) {
@@ -302,7 +302,7 @@ object ManifestTable {
   /** The one entry-list serialization ([[entriesAt]] is its read) —
     * a single small parquet, used by every commit and by WAP staged
     * sets. */
-  private def writeEntriesParquet(spark: SparkSession,
+  private[sinks] def writeEntriesParquet(spark: SparkSession,
       entries: Seq[Entry], dest: String): Unit = {
     import spark.implicits._
     entries.map(e => (e.dir, e.tag, e.statMin, e.statMax, e.sources,
@@ -356,7 +356,7 @@ object ManifestTable {
 
   // ---- per-version sidecar metadata (rides the atomic rename) ------
 
-  private def readSideFile(fs: org.apache.hadoop.fs.FileSystem,
+  private[sinks] def readSideFile(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Option[String] =
     if (!fs.exists(p)) None
     else {
@@ -366,7 +366,7 @@ object ManifestTable {
       finally in.close()
     }
 
-  private def writeSideFile(fs: org.apache.hadoop.fs.FileSystem,
+  private[sinks] def writeSideFile(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path, body: String): Unit = {
     val out = fs.create(p, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -401,7 +401,7 @@ object ManifestTable {
   /** Every assigned field id, keyed by DOTTED path (nested leaves
     * included) — the shape the append retry's divergence check and
     * the colmap watermark fold over. */
-  private def allFieldIds(s: StructType,
+  private[sinks] def allFieldIds(s: StructType,
       prefix: String = ""): Map[String, Long] =
     s.fields.flatMap { f =>
       val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
@@ -558,7 +558,7 @@ object ManifestTable {
     * carries. The write itself must run under [[withIdWriteConf]]
     * (the writer funnels do) or the metadata stamped here is
     * silently dropped. */
-  private def stampIds(spark: SparkSession, df: DataFrame,
+  private[sinks] def stampIds(spark: SparkSession, df: DataFrame,
       schema: StructType): DataFrame = {
     def hasIds(s: StructType): Boolean = s.fields.exists(f =>
       fieldIdOf(f).isDefined || (f.dataType match {
@@ -614,7 +614,7 @@ object ManifestTable {
     * surfacing nulls. Spark's own file relations read as nullable
     * for exactly this reason. Metadata (field ids) carries through
     * untouched. */
-  private def deepNullable(dt: DataType): DataType = dt match {
+  private[sinks] def deepNullable(dt: DataType): DataType = dt match {
     case s: StructType => StructType(s.fields.map(f =>
       f.copy(dataType = deepNullable(f.dataType), nullable = true)))
     case a: org.apache.spark.sql.types.ArrayType =>
@@ -1034,7 +1034,7 @@ object ManifestTable {
     }
   }
 
-  private def pruningBody(statsCols: Seq[String],
+  private[sinks] def pruningBody(statsCols: Seq[String],
       bloomCols: Seq[String]): String =
     s"stats=${statsCols.distinct.mkString(",")}\n" +
       s"bloom=${bloomCols.distinct.mkString(",")}\n"
@@ -1080,7 +1080,7 @@ object ManifestTable {
     * (null) passes, exactly like the standard and Delta's CHECK. One
     * aggregate job tests every constraint at once; the violating
     * example row is fetched only on the failure path. */
-  private def enforceConstraints(df: DataFrame,
+  private[sinks] def enforceConstraints(df: DataFrame,
       cs: Seq[(String, String)], where: String): Unit =
     if (cs.nonEmpty) {
       def violated(sql: String) = not(coalesce(expr(sql), lit(true)))
@@ -1684,7 +1684,7 @@ object ManifestTable {
     * Produced entries carry single-dir provenance, the source's tag,
     * re-built Bloom filters for the source's bloom columns, and NO
     * dv (the rewrite materialized them). */
-  private def stagedRewrite(spark: SparkSession, path: String, v: Long,
+  private[sinks] def stagedRewrite(spark: SparkSession, path: String, v: Long,
       schema: StructType, targets: Seq[Entry], op: String,
       transform: DataFrame => DataFrame,
       extraRestatCols: Seq[String] = Nil): Seq[Entry] = {
@@ -1773,7 +1773,7 @@ object ManifestTable {
     * dirs. A batch may OMIT table columns (they read back null from
     * its dir) — the missing-column tolerance every micro-batch
     * ingest needs. Returns the schema to persist with the commit. */
-  private def compatibleSchema(batch: StructType, table: StructType,
+  private[sinks] def compatibleSchema(batch: StructType, table: StructType,
       evolve: Boolean, ctx: String,
       allowWidening: Boolean = false): StructType = {
     val byName = table.fields.map(f => f.name -> f).toMap
@@ -1802,7 +1802,7 @@ object ManifestTable {
     * the reverse — cannot change what a row means. Anything else
     * (narrowing, long->double, string<->number) stays a loud error:
     * those change values or semantics. */
-  private def widens(from: DataType, to: DataType): Boolean = {
+  private[sinks] def widens(from: DataType, to: DataType): Boolean = {
     import org.apache.spark.sql.types._
     (from, to) match {
       case (ByteType, ShortType | IntegerType | LongType) => true
@@ -1824,7 +1824,7 @@ object ManifestTable {
     * physical types — the persisted-schema read never depends on the
     * parquet reader's own conversion support. Identity when nothing
     * needs widening. */
-  private def alignToTable(df: DataFrame, table: StructType): DataFrame = {
+  private[sinks] def alignToTable(df: DataFrame, table: StructType): DataFrame = {
     val byName = table.fields.map(f => f.name -> f).toMap
     val needs = df.schema.fields.exists(f =>
       byName.get(f.name).exists(tf =>
@@ -2286,7 +2286,7 @@ object ManifestTable {
     * tables write one dir; partitioned tables stage partition-pure
     * dirs; an all-empty partitioned batch still writes one file-less
     * dir so the commit can ride its tag (streaming watermark). */
-  private def writeBatchEntries(spark: SparkSession, df: DataFrame,
+  private[sinks] def writeBatchEntries(spark: SparkSession, df: DataFrame,
       path: String, v: Long, tag: Long, statsCols: Seq[String],
       bloomCols: Seq[String], spec: Seq[PartitionTransform],
       fanout: Int): Seq[Entry] =
@@ -2306,7 +2306,7 @@ object ManifestTable {
     * table (or one whose spec it exactly matches — idempotent
     * bootstrap). A mismatch is loud: silently re-partitioning an
     * existing table would fork its layout. */
-  private def resolveSpec(spark: SparkSession, path: String,
+  private[sinks] def resolveSpec(spark: SparkSession, path: String,
       prev: Option[Long], requested: Seq[PartitionTransform],
       ctx: String): Seq[PartitionTransform] = {
     val table = prev.map(partitionSpecOf(spark, path, _)).getOrElse(Nil)
@@ -2324,7 +2324,7 @@ object ManifestTable {
     }
   }
 
-  private def prevTagOf(spark: SparkSession, path: String,
+  private[sinks] def prevTagOf(spark: SparkSession, path: String,
       prev: Option[Long], prevEntries: => Seq[Entry]): Long =
     prev.map(pv => maxTagOf(spark, path, pv).getOrElse(
       prevEntries.map(_.tag).foldLeft(-1L)(math.max))).getOrElse(-1L)
@@ -4793,7 +4793,7 @@ object ManifestTable {
     * Returns (manifests dropped, data dirs deleted). After vacuum,
     * time travel reaches only the kept versions — retention is this
     * ONE explicit knob. */
-  private def refName(name: String): String = {
+  private[sinks] def refName(name: String): String = {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit ||
       c == '.' || c == '_' || c == '-'),
       s"ManifestTable: ref name '$name' must be [A-Za-z0-9._-]+ — it " +
@@ -4856,962 +4856,6 @@ object ManifestTable {
     fs.delete(new org.apache.hadoop.fs.Path(
       s"$path/refs/${refName(name)}"), false)
     ()
-  }
-
-  // ---- Write-audit-publish (WAP): stage an append as an INVISIBLE
-  //      candidate, audit it with real reads, then publish it as an
-  //      atomic commit — or abandon it without a trace. The quality
-  //      gate every production ingest wants (Iceberg's
-  //      stage-and-cherry-pick flow): bad data is caught while it is
-  //      still nobody's problem. ----
-
-  /** Stage-time field-id stamping for the DEFERRED-validation
-    * writers ([[stageAppend]], [[appendToBranch]]): their data files
-    * must carry parquet field ids exactly like the append funnel's —
-    * on a column-mapped table (any prior rename/drop) the id-carrying
-    * read schema refuses files without ids, so an unstamped staged
-    * dir would make EVERY read of the table fail after its
-    * publish/fast-forward. Batch columns the table knows (same type,
-    * or value-preserving widening — cast by [[alignToTable]]) adopt
-    * the table field wholesale, nested ids included; fresh columns
-    * get ids above the colmap floor, exactly the assignment the
-    * publish-time commit re-derives (the publish/fast-forward loops
-    * VERIFY that — a concurrent evolution that shifts the assignment
-    * fails loudly instead of silently divorcing the files' ids from
-    * the committed schema's). A batch column whose type MISMATCHES
-    * the table's stays bare — the publish-time compatibility gate
-    * rejects that candidate loudly before any read could misresolve.
-    * Returns the stamped frame and the id-carrying staged schema
-    * (persisted as the candidate's schema sidecar). */
-  private def stampForStaging(spark: SparkSession, path: String,
-      prev: Option[Long], df: DataFrame): (DataFrame, StructType) = {
-    val table = prev.flatMap(pv => schemaOf(spark, path, pv))
-    val floor = prev.map(colmapOf(spark, path, _)._2).getOrElse(0L)
-    val byName = table.map(_.fields.map(f => f.name -> f).toMap)
-      .getOrElse(Map.empty[String, StructField])
-    val merged = StructType(df.schema.fields.map { f =>
-      byName.get(f.name) match {
-        case Some(tf) if tf.dataType.catalogString ==
-            f.dataType.catalogString ||
-            widens(f.dataType, tf.dataType) => tf
-        case _ => f
-      }
-    })
-    val schema = withFieldIds(merged, floor)
-    (stampIds(spark, alignToTable(df, schema), schema), schema)
-  }
-
-  /** The publish/fast-forward half of [[stampForStaging]]'s
-    * contract: the ids stamped into the staged FILES must equal the
-    * ids the commit is about to persist for those paths — a
-    * concurrent schema evolution between staging and publish can
-    * shift the assignment (a fresh column's id floats with the new
-    * floor, or a racing writer took a staged column's id/name), and
-    * committing anyway would make id-based reads of the staged dirs
-    * silently misresolve. Pre-stamping-era candidates recorded no
-    * ids (empty map) and pass vacuously — they keep today's
-    * behavior. */
-  private def requireStagedIdsStable(stagedSchemas: Seq[StructType],
-      finalSchema: StructType, floor: Long, ctx: String): Unit = {
-    val wouldBe = allFieldIds(withFieldIds(finalSchema, floor))
-    // injectivity first: a staged FRESH column self-carries its
-    // stage-time id into the folded schema, so a concurrent main
-    // evolution that took the same id for another column shows up as
-    // a DUPLICATE id, not a changed one — committing it would make
-    // id-based reads resolve two columns to the same parquet id
-    wouldBe.groupBy(_._2).collect { case (id, ps) if ps.size > 1 =>
-      sys.error(s"$ctx: field-id assignment changed between staging " +
-        s"and publish — columns ${ps.keys.toSeq.sorted.mkString("'",
-          "', '", "'")} would share id $id (a concurrent schema " +
-        "evolution took a staged column's id); abandon and re-stage " +
-        "this candidate")
-    }
-    stagedSchemas.foreach { ss =>
-      allFieldIds(ss).foreach { case (p, id) =>
-        val now = wouldBe.get(p)
-        require(now.contains(id),
-          s"$ctx: field-id assignment changed between staging and " +
-            s"publish for column '$p' (staged files carry id $id, " +
-            s"the commit would persist ${now.fold("none")(_.toString)}" +
-            ") — a concurrent schema evolution shifted the " +
-            "assignment; abandon and re-stage this candidate")
-      }
-    }
-  }
-
-  /** Stage `df` as the named WAP candidate: the data dirs are
-    * written (partition-aware, stats/blooms recorded — publish adds
-    * NO data work), but no snapshot references them; every reader of
-    * the table is oblivious. The staged set survives [[vacuum]] (its
-    * dirs count as referenced while the candidate exists) and a
-    * crash mid-stage leaves only an invisible tmp dir. One candidate
-    * per name — re-staging a live name fails loudly. */
-  def stageAppend(spark: SparkSession, df: DataFrame, path: String,
-      name: String, tag: Long = -1L, statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Unit = {
-    val (fs, _) = fsOf(spark, path)
-    val prev = latestVersion(spark, path)
-    val v = prev.map(_ + 1).getOrElse(1L) // dir-name prefix, cosmetic
-    // schema/constraint enforcement happens at PUBLISH (against the
-    // then-current table); staging only fixes the layout — and the
-    // field-id stamping the data files must carry (stampForStaging)
-    val spec = resolveSpec(spark, path, prev, Nil,
-      s"ManifestTable.stageAppend($path)")
-    val (stamped, stagedSchema) = stampForStaging(spark, path, prev, df)
-    val es = writeBatchEntries(spark, stamped, path, v, tag, statsCols,
-      bloomCols, spec, fanout = 1)
-    val stagedRoot = new org.apache.hadoop.fs.Path(s"$path/staged")
-    fs.mkdirs(stagedRoot)
-    val tmp = new org.apache.hadoop.fs.Path(
-      s"$path/staged/.tmp-${refName(name)}_" +
-        java.util.UUID.randomUUID.toString.take(8))
-    writeEntriesParquet(spark, es, tmp.toString)
-    writeSideFile(fs, new org.apache.hadoop.fs.Path(
-      tmp, "_graft_schema.json"), stagedSchema.json)
-    writeSideFile(fs, new org.apache.hadoop.fs.Path(
-      tmp, "_graft_pruning"), pruningBody(statsCols, bloomCols))
-    // same publish discipline as commit(): success is "the staged
-    // set at the final path is OURS", verified by attempt-id
-    // read-back — on filesystems where rename(src, existing-dir)
-    // moves src INSIDE the destination and returns true, the naive
-    // exists+rename would report success on a name we lost
-    val attemptId = java.util.UUID.randomUUID.toString
-    writeSideFile(fs, new org.apache.hadoop.fs.Path(
-      tmp, "_graft_attempt"), attemptId)
-    val fin = new org.apache.hadoop.fs.Path(s"$path/staged/$name")
-    val renamed = !fs.exists(fin) && fs.rename(tmp, fin)
-    val staged = renamed && readSideFile(fs,
-      new org.apache.hadoop.fs.Path(fin, "_graft_attempt"))
-      .contains(attemptId)
-    if (!staged) {
-      fs.delete(new org.apache.hadoop.fs.Path(fin, tmp.getName), true)
-      fs.delete(tmp, true)
-      sys.error(s"ManifestTable.stageAppend: candidate '$name' " +
-        s"already exists at $path — publish or abandon it first " +
-        "(this attempt's dirs are orphans vacuum will reap)")
-    }
-  }
-
-  /** The named candidate's rows — what the AUDIT reads. The would-be
-    * post-publish table is `read(path) unionByName readStaged(...)`. */
-  def readStaged(spark: SparkSession, path: String,
-      name: String): DataFrame = {
-    val (fs, _) = fsOf(spark, path)
-    val dir = s"$path/staged/${refName(name)}"
-    require(fs.exists(new org.apache.hadoop.fs.Path(dir)),
-      s"ManifestTable.readStaged: no staged candidate '$name' at $path")
-    val es = entriesAt(spark, dir).filter(e =>
-      e.hasData(fs, s"$path/data/${e.dir}"))
-    val schema = readSideFile(fs, new org.apache.hadoop.fs.Path(
-        dir, "_graft_schema.json"))
-      .map(DataType.fromJson(_).asInstanceOf[StructType])
-      .getOrElse(sys.error(
-        s"ManifestTable.readStaged: candidate '$name' has no schema " +
-          "sidecar — corrupt staging"))
-    if (es.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read
-      .schema(deepNullable(schema).asInstanceOf[StructType])
-      .parquet(es.map(e => s"$path/data/${e.dir}"): _*)
-  }
-
-  /** Names of the live staged candidates at `path`. */
-  def stagedNames(spark: SparkSession, path: String): Seq[String] = {
-    val (fs, _) = fsOf(spark, path)
-    val d = new org.apache.hadoop.fs.Path(s"$path/staged")
-    if (!fs.exists(d)) Seq.empty
-    else fs.listStatus(d).map(_.getPath.getName)
-      .filterNot(_.startsWith(".")).sorted.toSeq
-  }
-
-  /** PUBLISH the audited candidate as one atomic commit — the
-    * already-written staged dirs become the next snapshot's new
-    * entries; zero data moves. Validation happens HERE, against the
-    * table as it is now (an append staged hours ago publishes into
-    * whatever the table became): schema compatibility, CHECK
-    * constraints over the staged dirs, and the partition-spec guard.
-    * `retries > 0` rebases through concurrent appends exactly like
-    * [[append]] (appends commute). The candidate is consumed on
-    * success. Returns the committed version. */
-  def publish(spark: SparkSession, path: String, name: String,
-      evolveSchema: Boolean = false, retries: Int = 0): Long = {
-    require(retries >= 0, s"publish: retries must be >= 0, got $retries")
-    val (fs, _) = fsOf(spark, path)
-    val dir = s"$path/staged/${refName(name)}"
-    require(fs.exists(new org.apache.hadoop.fs.Path(dir)),
-      s"ManifestTable.publish: no staged candidate '$name' at $path")
-    val es = entriesAt(spark, dir)
-    val stagedSchema = readSideFile(fs, new org.apache.hadoop.fs.Path(
-        dir, "_graft_schema.json"))
-      .map(DataType.fromJson(_).asInstanceOf[StructType])
-      .getOrElse(sys.error(
-        s"ManifestTable.publish: candidate '$name' has no schema " +
-          "sidecar — corrupt staging"))
-    val (sStats, sBlooms) = {
-      val m = readSideFile(fs, new org.apache.hadoop.fs.Path(
-          dir, "_graft_pruning"))
-        .map(_.linesIterator.map(_.split("=", 2)).collect {
-          case Array(k, vs) =>
-            k -> vs.split(",").filter(_.nonEmpty).toSeq
-        }.toMap).getOrElse(Map.empty)
-      (m.getOrElse("stats", Nil), m.getOrElse("bloom", Nil))
-    }
-    // Crash-window idempotence: a publish that COMMITTED but died
-    // before consuming the staged set must not double-append on
-    // retry. The current snapshot's dir set alone cannot decide it —
-    // a compact/repartition/dropPartitions after the crashed publish
-    // rewrites the published dirs OUT of the latest snapshot, and the
-    // naive check would re-append. So the commit itself records the
-    // candidate's staging attempt id (from stageAppend's
-    // `_graft_attempt` — unique per staged set), and the retry scans
-    // RETAINED history for it, newest first: a hit is proof this
-    // exact candidate was published, whatever happened to the table
-    // since. Belt: a `_graft_publishing` marker written just before
-    // each commit attempt names the version it aimed at — if the
-    // marker's version has been vacuumed out of history (so the scan
-    // can no longer prove anything either way) the retry fails LOUDLY
-    // instead of guessing; every still-decidable state proceeds.
-    val stagedAttempt = readSideFile(fs,
-      new org.apache.hadoop.fs.Path(dir, "_graft_attempt")).map(_.trim)
-    stagedAttempt.foreach { att =>
-      val retained = versions(spark, path)
-      retained.reverse.find(w =>
-        commitKV(spark, path, w).get("publishAttempt").contains(att))
-        .foreach { w =>
-          fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-          return w
-        }
-      readSideFile(fs, new org.apache.hadoop.fs.Path(
-          dir, "_graft_publishing"))
-        .flatMap(_.trim.toLongOption)
-        .foreach { aimed =>
-          require(retained.isEmpty || retained.head <= aimed,
-            s"ManifestTable.publish($path, $name): a previous publish " +
-              s"attempt aimed at ${vName(aimed)}, which has since been " +
-              "vacuumed out of retained history — whether it committed " +
-              "is no longer provable; inspect the table and " +
-              "abandonStaged or re-stage explicitly")
-        }
-    }
-    var attempt = 0
-    var validated = Set.empty[(String, String)]
-    while (true) {
-      val prev = latestVersion(spark, path)
-      val v = prev.map(_ + 1).getOrElse(1L)
-      val prevEntries = prev.map(pv => entriesOf(spark, path, pv))
-        .getOrElse(Seq.empty)
-      // fast path of the same idempotence rule: staged dirs present
-      // in the CURRENT snapshot (dir names are attempt-unique, so
-      // presence is proof of this exact candidate, never a twin's)
-      val already = es.map(_.dir).toSet
-        .intersect(prevEntries.map(_.dir).toSet)
-      if (already.nonEmpty) {
-        require(already == es.map(_.dir).toSet,
-          s"ManifestTable.publish($path, $name): staged set partially " +
-            "published — corrupt state, resolve manually")
-        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-        return prev.get
-      }
-      val schema = prev.flatMap(pv => schemaOf(spark, path, pv)) match {
-        case Some(table) => compatibleSchema(stagedSchema, table,
-          evolveSchema, s"ManifestTable.publish($path, $name)")
-        case None => stagedSchema
-      }
-      // the ids stamped into the staged files must still equal what
-      // this commit will persist (see requireStagedIdsStable)
-      requireStagedIdsStable(Seq(stagedSchema), schema,
-        prev.map(colmapOf(spark, path, _)._2).getOrElse(0L),
-        s"ManifestTable.publish($path, $name)")
-      // a table partitioned AFTER staging (or vice versa) must not
-      // publish a mismatched layout — same loud rule as append's
-      // retry guard
-      val tSpec = prev.map(partitionSpecOf(spark, path, _))
-        .getOrElse(Nil)
-      val pure = es.filter(_.files.exists(_.nonEmpty))
-        .forall(_.partition.nonEmpty)
-      require(tSpec.isEmpty || pure,
-        s"ManifestTable.publish($path, $name): the table is " +
-          "partitioned but the candidate was staged unpartitioned — " +
-          "abandon and re-stage")
-      val cs = prev.map(constraintsOf(spark, path, _)).getOrElse(Nil)
-      val toCheck = cs.filterNot(validated)
-      val withFiles = es.filter(_.files.exists(_.nonEmpty))
-      if (toCheck.nonEmpty && withFiles.nonEmpty) {
-        enforceConstraints(spark.read.parquet(
-          withFiles.map(e => s"$path/data/${e.dir}"): _*),
-          toCheck, s"ManifestTable.publish($path, $name)")
-        validated ++= toCheck
-      }
-      val prevTag = prevTagOf(spark, path, prev, prevEntries)
-      val (pStats, pBloom) = prev.map(pruningOf(spark, path, _))
-        .getOrElse((Nil, Nil))
-      try {
-        // marker first, then commit: if the rename lands and we die
-        // before the delete below, the next retry's history scan (or,
-        // post-vacuum, the marker's loud path) resolves it
-        stagedAttempt.foreach(_ => writeSideFile(fs,
-          new org.apache.hadoop.fs.Path(dir, "_graft_publishing"),
-          v.toString))
-        commit(spark, path, v, prevEntries ++ es, schema,
-          math.max(prevTag, es.map(_.tag).foldLeft(-1L)(math.max)),
-          ((pStats ++ sStats).distinct, (pBloom ++ sBlooms).distinct),
-          cs, op = "publish",
-          extraCommitInfo =
-            stagedAttempt.map("publishAttempt" -> _).toSeq)
-        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-        return v
-      } catch {
-        case _: CommitConflictException if attempt < retries =>
-          attempt += 1
-      }
-    }
-    -1L // unreachable
-  }
-
-  /** Discard a staged candidate without publishing — the audit's
-    * reject path. Its data dirs become orphans the next [[vacuum]]
-    * reaps; the table never knew. */
-  def abandonStaged(spark: SparkSession, path: String,
-      name: String): Unit = {
-    val (fs, _) = fsOf(spark, path)
-    fs.delete(new org.apache.hadoop.fs.Path(
-      s"$path/staged/${refName(name)}"), true)
-    ()
-  }
-
-  // ---- Snapshot BRANCHES: named MUTABLE refs — WAP generalized to
-  //      MULTI-COMMIT audit-then-fast-forward (the Iceberg branch
-  //      contract; tags stay immutable pins). A branch forks from a
-  //      committed snapshot, accumulates any number of staged append
-  //      commits that no main reader ever sees, is readable as a
-  //      whole for the audit ([[readBranch]] = base snapshot + every
-  //      branch commit), and then either FAST-FORWARDS onto main as
-  //      ONE atomic commit ([[fastForwardBranch]] — zero data moves,
-  //      publish's own idempotence discipline) or is abandoned
-  //      without a trace. [[vacuum]] treats the branch base as
-  //      pinned and the branch commits' dirs as referenced while the
-  //      branch lives. ----
-
-  private def branchRoot(path: String): String = s"$path/branches"
-  private def branchDir(path: String, name: String): String =
-    s"${branchRoot(path)}/${refName(name)}"
-  private def cName(i: Int): String = f"c$i%04d"
-
-  /** Fork a branch at `fromVersion` (default: the current latest).
-    * The claim is atomic (tmp + rename, attempt-id read-back): a
-    * racing create of the same name loses loudly. A branch name must
-    * not collide with a TAG — the two ref families have opposite
-    * mutability contracts and a shared name would make time travel
-    * ambiguous. Returns the base version. */
-  def createBranch(spark: SparkSession, path: String, name: String,
-      fromVersion: Option[Long] = None): Long = {
-    val (fs, _) = fsOf(spark, path)
-    val base = fromVersion.getOrElse(latestVersion(spark, path)
-      .getOrElse(sys.error(
-        s"ManifestTable.createBranch: no committed version at $path")))
-    require(versions(spark, path).contains(base),
-      s"ManifestTable.createBranch: ${vName(base)} is not a " +
-        s"committed snapshot at $path")
-    require(!tags(spark, path).contains(refName(name)),
-      s"ManifestTable.createBranch: '$name' is a TAG at $path — " +
-        "tags are immutable pins; pick a different branch name")
-    fs.mkdirs(new org.apache.hadoop.fs.Path(branchRoot(path)))
-    val attemptId = java.util.UUID.randomUUID.toString
-    val tmp = new org.apache.hadoop.fs.Path(
-      s"${branchRoot(path)}/.tmp-${refName(name)}_" +
-        attemptId.take(8))
-    fs.mkdirs(tmp)
-    writeSideFile(fs, new org.apache.hadoop.fs.Path(tmp, "_graft_base"),
-      base.toString)
-    writeSideFile(fs,
-      new org.apache.hadoop.fs.Path(tmp, "_graft_attempt"), attemptId)
-    val fin = new org.apache.hadoop.fs.Path(branchDir(path, name))
-    val renamed = !fs.exists(fin) && fs.rename(tmp, fin)
-    val claimed = renamed && readSideFile(fs,
-      new org.apache.hadoop.fs.Path(fin, "_graft_attempt"))
-      .contains(attemptId)
-    if (!claimed) {
-      fs.delete(new org.apache.hadoop.fs.Path(fin, tmp.getName), true)
-      fs.delete(tmp, true)
-      sys.error(s"ManifestTable.createBranch: branch '$name' already " +
-        s"exists at $path — fast-forward or abandon it first")
-    }
-    base
-  }
-
-  /** Names of the live branches at `path`. */
-  def branchNames(spark: SparkSession, path: String): Seq[String] = {
-    val (fs, _) = fsOf(spark, path)
-    val d = new org.apache.hadoop.fs.Path(branchRoot(path))
-    if (!fs.exists(d)) Seq.empty
-    else fs.listStatus(d).map(_.getPath.getName)
-      .filterNot(_.startsWith(".")).sorted.toSeq
-  }
-
-  /** The branch's fork-point version. */
-  def branchBase(spark: SparkSession, path: String,
-      name: String): Long = {
-    val (fs, _) = fsOf(spark, path)
-    readSideFile(fs, new org.apache.hadoop.fs.Path(
-        branchDir(path, name), "_graft_base"))
-      .flatMap(_.trim.toLongOption).getOrElse(sys.error(
-        s"ManifestTable.branchBase: no branch '$name' at $path — " +
-          s"existing: ${branchNames(spark, path).mkString(", ")}"))
-  }
-
-  /** The branch's commit dirs, in commit order. */
-  private def branchCommits(fs: org.apache.hadoop.fs.FileSystem,
-      path: String, name: String): Seq[String] = {
-    val d = new org.apache.hadoop.fs.Path(branchDir(path, name))
-    if (!fs.exists(d)) sys.error(
-      s"ManifestTable.branch: no branch '$name' at $path")
-    fs.listStatus(d).map(_.getPath.getName)
-      .filter(n => n.startsWith("c") && n.drop(1).forall(_.isDigit))
-      .sorted.toSeq
-  }
-
-  /** A branch commit's EFFECTIVE metadata dir: branch-scoped DML
-    * ([[deleteFromBranch]]/[[updateBranch]]/[[mergeToBranch]])
-    * supersedes a commit by staging a full replacement entry list
-    * beside it (`.sup-<commit>_<id>`) and flipping a one-file
-    * `_graft_sup` pointer — the DML's atomic commit point. Every
-    * branch reader (audit read, fast-forward, vacuum's reference
-    * walk) resolves the chain here, so a half-staged replacement
-    * (crash before the flip) is invisible and its dirs are orphans
-    * vacuum reaps. */
-  private def resolvedCommitDir(fs: org.apache.hadoop.fs.FileSystem,
-      path: String, name: String, c: String): String = {
-    val bd = branchDir(path, name)
-    var dir = s"$bd/$c"
-    var hops = 0
-    var sup = readSideFile(fs,
-      new org.apache.hadoop.fs.Path(dir, "_graft_sup"))
-    while (sup.isDefined) {
-      hops += 1
-      require(hops <= 10000, s"ManifestTable: branch '$name' commit " +
-        s"$c supersede chain exceeds $hops hops — corrupt pointer")
-      dir = s"$bd/${sup.get.trim}"
-      sup = readSideFile(fs,
-        new org.apache.hadoop.fs.Path(dir, "_graft_sup"))
-    }
-    dir
-  }
-
-  /** Append `df` to the BRANCH: the data dirs land in the shared
-    * data tree (partition-aware, stats/Blooms recorded — the
-    * fast-forward adds no data work) and the entry-set stages as the
-    * branch's next commit; main readers stay oblivious. Layout
-    * follows the table's CURRENT partition spec, like [[stageAppend]].
-    * Returns the branch-commit index. */
-  def appendToBranch(spark: SparkSession, df: DataFrame, path: String,
-      name: String, tag: Long = -1L, statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Int = {
-    val (fs, _) = fsOf(spark, path)
-    val bd = branchDir(path, name)
-    require(fs.exists(new org.apache.hadoop.fs.Path(bd)),
-      s"ManifestTable.appendToBranch: no branch '$name' at $path — " +
-        s"existing: ${branchNames(spark, path).mkString(", ")}")
-    val prev = latestVersion(spark, path)
-    val v = prev.map(_ + 1).getOrElse(1L) // dir-name prefix, cosmetic
-    val spec = resolveSpec(spark, path, prev, Nil,
-      s"ManifestTable.appendToBranch($path, $name)")
-    val (stamped, stagedSchema) = stampForStaging(spark, path, prev, df)
-    val es = writeBatchEntries(spark, stamped, path, v, tag, statsCols,
-      bloomCols, spec, fanout = 1)
-    // claim the next commit slot atomically; a concurrent branch
-    // appender pushes us to the next index, never a silent overwrite
-    val attemptId = java.util.UUID.randomUUID.toString
-    var i = branchCommits(fs, path, name).size + 1
-    var claimed = false
-    while (!claimed) {
-      require(i <= 10000, s"ManifestTable.appendToBranch: could not " +
-        s"claim a commit slot on '$name' after $i attempts")
-      val tmp = new org.apache.hadoop.fs.Path(
-        s"$bd/.tmp-${cName(i)}_${attemptId.take(8)}")
-      writeEntriesParquet(spark, es, tmp.toString)
-      writeSideFile(fs, new org.apache.hadoop.fs.Path(
-        tmp, "_graft_schema.json"), stagedSchema.json)
-      writeSideFile(fs, new org.apache.hadoop.fs.Path(
-        tmp, "_graft_pruning"), pruningBody(statsCols, bloomCols))
-      writeSideFile(fs, new org.apache.hadoop.fs.Path(
-        tmp, "_graft_attempt"), attemptId)
-      val fin = new org.apache.hadoop.fs.Path(s"$bd/${cName(i)}")
-      val renamed = !fs.exists(fin) && fs.rename(tmp, fin)
-      claimed = renamed && readSideFile(fs,
-        new org.apache.hadoop.fs.Path(fin, "_graft_attempt"))
-        .contains(attemptId)
-      if (!claimed) {
-        fs.delete(new org.apache.hadoop.fs.Path(fin, tmp.getName), true)
-        fs.delete(tmp, true)
-        i += 1
-      }
-    }
-    i
-  }
-
-  /** The branch's WHOLE state — base snapshot plus every branch
-    * commit, in order — what the AUDIT reads before a fast-forward.
-    * Commits that evolved the schema additively surface missing
-    * columns as nulls (evolution-on-read, like the main read path). */
-  def readBranch(spark: SparkSession, path: String,
-      name: String): DataFrame = {
-    val (fs, _) = fsOf(spark, path)
-    val bd = branchDir(path, name)
-    val base = branchBase(spark, path, name)
-    branchCommits(fs, path, name).foldLeft(
-      readVersion(spark, path, base)) { (acc, c) =>
-      val cd = resolvedCommitDir(fs, path, name, c)
-      val es = entriesAt(spark, cd).filter(e =>
-        e.hasData(fs, s"$path/data/${e.dir}"))
-      if (es.isEmpty) acc
-      else {
-        val schema = readSideFile(fs, new org.apache.hadoop.fs.Path(
-            cd, "_graft_schema.json"))
-          .map(DataType.fromJson(_).asInstanceOf[StructType])
-          .getOrElse(sys.error(s"ManifestTable.readBranch: branch " +
-            s"commit $c has no schema sidecar — corrupt staging"))
-        acc.unionByName(
-          spark.read.schema(deepNullable(schema).asInstanceOf[StructType])
-            .parquet(es.map(e => s"$path/data/${e.dir}"): _*),
-          allowMissingColumns = true)
-      }
-    }
-  }
-
-  /** FAST-FORWARD the audited branch onto main as ONE atomic commit:
-    * every branch commit's already-written dirs become new entries
-    * of the next snapshot — zero data moves, however many commits
-    * the branch accumulated. Validation happens HERE against the
-    * table as it is NOW (same contract as [[publish]]): per-commit
-    * schema compatibility (additive evolution only with
-    * `evolveSchema`), CHECK constraints over the branch dirs,
-    * partition purity. `retries > 0` rebases through concurrent
-    * appends (appends commute). Idempotent across the crash window:
-    * the commit records the branch's attempt id, and a retry that
-    * finds it in retained history (or finds every branch dir already
-    * in the current snapshot) consumes the branch without
-    * double-appending; if the aimed-at version was vacuumed out of
-    * history the retry fails loudly instead of guessing. The branch
-    * is consumed on success. Returns the committed version. */
-  def fastForwardBranch(spark: SparkSession, path: String, name: String,
-      evolveSchema: Boolean = false, retries: Int = 0): Long = {
-    require(retries >= 0,
-      s"fastForwardBranch: retries must be >= 0, got $retries")
-    val (fs, _) = fsOf(spark, path)
-    val bd = branchDir(path, name)
-    require(fs.exists(new org.apache.hadoop.fs.Path(bd)),
-      s"ManifestTable.fastForwardBranch: no branch '$name' at $path")
-    val commits = branchCommits(fs, path, name)
-    val perCommit = commits.map { c0 =>
-      val c = resolvedCommitDir(fs, path, name, c0)
-        .stripPrefix(s"$bd/")
-      val es = entriesAt(spark, s"$bd/$c")
-      val schema = readSideFile(fs, new org.apache.hadoop.fs.Path(
-          s"$bd/$c", "_graft_schema.json"))
-        .map(DataType.fromJson(_).asInstanceOf[StructType])
-        .getOrElse(sys.error(s"ManifestTable.fastForwardBranch: " +
-          s"branch commit $c has no schema sidecar — corrupt staging"))
-      val (cStats, cBlooms) = {
-        val m = readSideFile(fs, new org.apache.hadoop.fs.Path(
-            s"$bd/$c", "_graft_pruning"))
-          .map(_.linesIterator.map(_.split("=", 2)).collect {
-            case Array(k, vs) =>
-              k -> vs.split(",").filter(_.nonEmpty).toSeq
-          }.toMap).getOrElse(Map.empty)
-        (m.getOrElse("stats", Nil), m.getOrElse("bloom", Nil))
-      }
-      (es, schema, cStats, cBlooms)
-    }
-    val es = perCommit.flatMap(_._1)
-    val branchAttempt = readSideFile(fs,
-      new org.apache.hadoop.fs.Path(bd, "_graft_attempt")).map(_.trim)
-    // crash-window idempotence — publish's exact discipline, keyed
-    // on the branch's own attempt id
-    branchAttempt.foreach { att =>
-      val retained = versions(spark, path)
-      retained.reverse.find(w =>
-        commitKV(spark, path, w).get("branchAttempt").contains(att))
-        .foreach { w =>
-          fs.delete(new org.apache.hadoop.fs.Path(bd), true)
-          return w
-        }
-      readSideFile(fs, new org.apache.hadoop.fs.Path(
-          bd, "_graft_publishing"))
-        .flatMap(_.trim.toLongOption)
-        .foreach { aimed =>
-          require(retained.isEmpty || retained.head <= aimed,
-            s"ManifestTable.fastForwardBranch($path, $name): a " +
-              s"previous attempt aimed at ${vName(aimed)}, which has " +
-              "since been vacuumed out of retained history — whether " +
-              "it committed is no longer provable; inspect the table " +
-              "and abandonBranch or re-create explicitly")
-        }
-    }
-    var attempt = 0
-    var validated = Set.empty[(String, String)]
-    while (true) {
-      val prev = latestVersion(spark, path)
-      val v = prev.map(_ + 1).getOrElse(1L)
-      val prevEntries = prev.map(pv => entriesOf(spark, path, pv))
-        .getOrElse(Seq.empty)
-      val already = es.map(_.dir).toSet
-        .intersect(prevEntries.map(_.dir).toSet)
-      if (already.nonEmpty) {
-        require(already == es.map(_.dir).toSet,
-          s"ManifestTable.fastForwardBranch($path, $name): branch " +
-            "dirs partially published — corrupt state, resolve " +
-            "manually")
-        fs.delete(new org.apache.hadoop.fs.Path(bd), true)
-        return prev.get
-      }
-      // fold per-commit schemas through the same compatibility gate
-      // an append would have paid, in commit order
-      val schema = perCommit.map(_._2).foldLeft(
-        prev.flatMap(pv => schemaOf(spark, path, pv))
-          .getOrElse(perCommit.head._2)) { (acc, cs0) =>
-        compatibleSchema(cs0, acc, evolveSchema,
-          s"ManifestTable.fastForwardBranch($path, $name)")
-      }
-      // every branch commit's stamped ids must still equal what this
-      // commit will persist (see requireStagedIdsStable)
-      requireStagedIdsStable(perCommit.map(_._2), schema,
-        prev.map(colmapOf(spark, path, _)._2).getOrElse(0L),
-        s"ManifestTable.fastForwardBranch($path, $name)")
-      val tSpec = prev.map(partitionSpecOf(spark, path, _))
-        .getOrElse(Nil)
-      val pure = es.filter(_.files.exists(_.nonEmpty))
-        .forall(_.partition.nonEmpty)
-      require(tSpec.isEmpty || pure,
-        s"ManifestTable.fastForwardBranch($path, $name): the table " +
-          "is partitioned but a branch commit staged unpartitioned — " +
-          "abandon and re-branch")
-      val cs = prev.map(constraintsOf(spark, path, _)).getOrElse(Nil)
-      val toCheck = cs.filterNot(validated)
-      val withFiles = es.filter(_.files.exists(_.nonEmpty))
-      if (toCheck.nonEmpty && withFiles.nonEmpty) {
-        enforceConstraints(spark.read.parquet(
-          withFiles.map(e => s"$path/data/${e.dir}"): _*),
-          toCheck, s"ManifestTable.fastForwardBranch($path, $name)")
-        validated ++= toCheck
-      }
-      val prevTag = prevTagOf(spark, path, prev, prevEntries)
-      val (pStats, pBloom) = prev.map(pruningOf(spark, path, _))
-        .getOrElse((Nil, Nil))
-      try {
-        branchAttempt.foreach(_ => writeSideFile(fs,
-          new org.apache.hadoop.fs.Path(bd, "_graft_publishing"),
-          v.toString))
-        commit(spark, path, v, prevEntries ++ es, schema,
-          math.max(prevTag, es.map(_.tag).foldLeft(-1L)(math.max)),
-          ((pStats ++ perCommit.flatMap(_._3)).distinct,
-            (pBloom ++ perCommit.flatMap(_._4)).distinct),
-          cs, op = "fastForwardBranch",
-          extraCommitInfo =
-            branchAttempt.map("branchAttempt" -> _).toSeq)
-        fs.delete(new org.apache.hadoop.fs.Path(bd), true)
-        return v
-      } catch {
-        case _: CommitConflictException if attempt < retries =>
-          attempt += 1
-      }
-    }
-    -1L // unreachable
-  }
-
-  /** Discard a branch without fast-forwarding — the audit's reject
-    * path. Its commits' data dirs become orphans the next [[vacuum]]
-    * reaps; main never knew. */
-  def abandonBranch(spark: SparkSession, path: String,
-      name: String): Unit = {
-    val (fs, _) = fsOf(spark, path)
-    fs.delete(new org.apache.hadoop.fs.Path(branchDir(path, name)), true)
-    ()
-  }
-
-  // ---- Branch-scoped DML: FIX a staged batch instead of abandoning
-  //      it. Scope contract: these operate on the rows the BRANCH
-  //      ADDED (its own commits' dirs) — never the base snapshot's,
-  //      which is shared with main and must stay physically untouched
-  //      while the branch lives. Each touched commit rewrites through
-  //      the one [[stagedRewrite]] engine and is SUPERSEDED by a full
-  //      replacement entry list whose one-file `_graft_sup` pointer
-  //      flip is the atomic commit point ([[resolvedCommitDir]]).
-  //      A multi-commit statement is atomic PER COMMIT and
-  //      re-runnable as a whole: a crash between commit flips leaves
-  //      some commits patched and the rest untouched, and re-running
-  //      the same deterministic statement finishes the job (the
-  //      already-patched commits simply match nothing). Single
-  //      writer per branch, like every mutation here. ----
-
-  /** The branch-DML engine: for every branch commit, prune its
-    * entries by `touchPred` (the same probe discipline the main-table
-    * DML uses), rewrite the touched dirs via [[stagedRewrite]] with
-    * `transform(commitSchema)`, and supersede the commit with the
-    * merged entry list. `validate` runs once per DISTINCT commit
-    * schema before any data work (loud on a mistyped predicate/SET).
-    * Returns the number of dirs rewritten. */
-  private def rewriteBranch(spark: SparkSession, path: String,
-      name: String, op: String,
-      touchPred: Entry => Boolean,
-      validate: StructType => Unit,
-      transform: StructType => DataFrame => DataFrame,
-      extraRestatCols: Seq[String]): Int = {
-    val (fs, _) = fsOf(spark, path)
-    val bd = branchDir(path, name)
-    require(fs.exists(new org.apache.hadoop.fs.Path(bd)),
-      s"ManifestTable.$op: no branch '$name' at $path — existing: " +
-        branchNames(spark, path).mkString(", "))
-    val prev = latestVersion(spark, path)
-    val v = prev.map(_ + 1).getOrElse(1L) // dir-name prefix, cosmetic
-    var touched = 0
-    branchCommits(fs, path, name).foreach { c =>
-      val cd = resolvedCommitDir(fs, path, name, c)
-      val es = entriesAt(spark, cd)
-      val schema = readSideFile(fs, new org.apache.hadoop.fs.Path(
-          cd, "_graft_schema.json"))
-        .map(DataType.fromJson(_).asInstanceOf[StructType])
-        .getOrElse(sys.error(s"ManifestTable.$op: branch commit $c " +
-          "has no schema sidecar — corrupt staging"))
-      validate(schema)
-      val touch = es.filter(e => touchPred(e) &&
-        e.hasData(fs, s"$path/data/${e.dir}"))
-      if (touch.nonEmpty) {
-        val rewritten = stagedRewrite(spark, path, v, schema, touch,
-          op, transform(schema), extraRestatCols)
-        val byProv = rewritten
-          .flatMap(e => e.sources.map(_ -> e)).toMap
-        val touchedSet = touch.map(_.dir).toSet
-        val merged = es.flatMap(e =>
-          if (!touchedSet(e.dir)) Some(e) else byProv.get(e.dir))
-        // stage the full replacement beside the commit, then flip
-        // the pointer — the one-file atomic commit point
-        val supId = java.util.UUID.randomUUID.toString.take(8)
-        val supName = s".sup-${c}_$supId"
-        val tmp = new org.apache.hadoop.fs.Path(s"$bd/.stage-$supName")
-        writeEntriesParquet(spark, merged, tmp.toString)
-        writeSideFile(fs, new org.apache.hadoop.fs.Path(
-          tmp, "_graft_schema.json"), schema.json)
-        readSideFile(fs, new org.apache.hadoop.fs.Path(
-            cd, "_graft_pruning"))
-          .foreach(body => writeSideFile(fs,
-            new org.apache.hadoop.fs.Path(tmp, "_graft_pruning"), body))
-        val fin = new org.apache.hadoop.fs.Path(s"$bd/$supName")
-        require(fs.rename(tmp, fin),
-          s"ManifestTable.$op: could not stage the replacement for " +
-            s"branch commit $c")
-        writeSideFile(fs, new org.apache.hadoop.fs.Path(
-          cd, "_graft_sup"), supName)
-        touched += touch.size
-      }
-    }
-    touched
-  }
-
-  /** `DELETE FROM <branch> WHERE cond` over the rows the branch
-    * ADDED: the audit found bad rows in a staged batch and fixes the
-    * batch in place — main (and the branch's base snapshot) stay
-    * physically untouched, and the eventual fast-forward publishes
-    * the FIXED content. Row semantics match [[deleteWhere]] (only
-    * predicate-TRUE rows delete; NULL survives); dir pruning runs
-    * the same conjunct probe when `pruneConjuncts` are supplied.
-    * Returns the number of branch dirs rewritten. */
-  def deleteFromBranch(spark: SparkSession, path: String, name: String,
-      cond: org.apache.spark.sql.Column,
-      pruneConjuncts: Seq[
-        org.apache.spark.sql.catalyst.expressions.Expression] = Nil)
-      : Int = {
-    val might = graft.sources.ManifestFileIndex.entryProbe(
-      pruneConjuncts, Nil)
-    rewriteBranch(spark, path, name, "deleteFromBranch",
-      might,
-      schema => {
-        val probe = spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        val dt = probe.select(cond).schema.head.dataType
-        require(dt == org.apache.spark.sql.types.BooleanType,
-          s"ManifestTable.deleteFromBranch: the predicate has type " +
-            s"${dt.catalogString}, not boolean")
-      },
-      _ => _.filter(!coalesce(cond, lit(false))),
-      extraRestatCols = pruneConjuncts.flatMap(_.collect {
-        case a: org.apache.spark.sql.catalyst.expressions
-          .AttributeReference => a.name
-      }).distinct)
-  }
-
-  /** `UPDATE <branch> SET … WHERE cond` over the rows the branch
-    * ADDED — [[deleteFromBranch]]'s patch twin, with [[updateWhere]]'s
-    * SET contract: typed against each commit's schema, partition-
-    * source columns refused, NULL-evaluating predicates match
-    * nothing, matching rows patch IN PLACE. Returns the number of
-    * branch dirs rewritten. */
-  def updateBranch(spark: SparkSession, path: String, name: String,
-      cond: org.apache.spark.sql.Column,
-      sets: Seq[(String, org.apache.spark.sql.Column)],
-      pruneConjuncts: Seq[
-        org.apache.spark.sql.catalyst.expressions.Expression] = Nil)
-      : Int = {
-    require(sets.nonEmpty, "ManifestTable.updateBranch: empty SET list")
-    require(sets.map(_._1).distinct.size == sets.size,
-      "ManifestTable.updateBranch: duplicate SET column in " +
-        sets.map(_._1).mkString("[", ", ", "]"))
-    val prev = latestVersion(spark, path)
-    val pSrcs = prev.map(partitionSpecOf(spark, path, _))
-      .getOrElse(Nil).map(_.src).toSet
-    val clash = sets.map(_._1).filter(pSrcs)
-    require(clash.isEmpty,
-      "ManifestTable.updateBranch: SET touches partition-source " +
-        s"column(s) ${clash.mkString("'", "', '", "'")} — an " +
-        "in-place update cannot re-derive partition metadata")
-    val setMap = sets.toMap
-    val might = graft.sources.ManifestFileIndex.entryProbe(
-      pruneConjuncts, Nil)
-    rewriteBranch(spark, path, name, "updateBranch",
-      might,
-      schema => {
-        val fieldsByName = schema.fields.map(f => f.name -> f).toMap
-        sets.foreach { case (c, _) =>
-          require(fieldsByName.contains(c),
-            s"ManifestTable.updateBranch: SET column '$c' is not in " +
-              s"this branch commit's schema " +
-              s"(${schema.fieldNames.mkString(", ")})")
-        }
-        val probe = spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        val dt = probe.select(cond).schema.head.dataType
-        require(dt == org.apache.spark.sql.types.BooleanType,
-          s"ManifestTable.updateBranch: the predicate has type " +
-            s"${dt.catalogString}, not boolean")
-        sets.foreach { case (c, e) =>
-          val got = probe.select(e).schema.head.dataType
-          val want = fieldsByName(c).dataType
-          require(got.catalogString == want.catalogString ||
-              widens(got, want),
-            s"ManifestTable.updateBranch: SET '$c' expression has " +
-              s"type ${got.catalogString} but the column is " +
-              s"${want.catalogString} — cast explicitly")
-        }
-      },
-      schema => { df =>
-        val fieldsByName = schema.fields.map(f => f.name -> f).toMap
-        val tableCols = schema.fieldNames.toSet
-        val cols = schema.fieldNames.map { c =>
-          setMap.get(c) match {
-            case Some(e) => when(cond,
-              e.cast(fieldsByName(c).dataType)).otherwise(col(c)).as(c)
-            case None => col(c)
-          }
-        }
-        val extra = df.columns.filterNot(tableCols).map(col)
-        df.select((cols ++ extra).toSeq: _*)
-      },
-      extraRestatCols = sets.map(_._1))
-  }
-
-  /** Upsert `source` into the branch's STAGED content by `keyCol` —
-    * the audit's "these staged records need corrected values, and
-    * these are missing" fix in one statement: staged rows whose key
-    * matches patch column-wise from the source (whole-row, key
-    * preserved), source rows matching NOTHING in the whole branch
-    * state append as a new branch commit. Source keys that match
-    * only BASE rows are LOUD: the base is shared with main and a
-    * branch must not fork it — merge on main after the fast-forward
-    * instead. Source must carry the key exactly once per row (dup
-    * keys would make the patch order-dependent). Returns (dirs
-    * rewritten, rows appended). */
-  def mergeToBranch(spark: SparkSession, source: DataFrame,
-      path: String, name: String, keyCol: String): (Int, Long) = {
-    val (fs, _) = fsOf(spark, path)
-    require(source.columns.contains(keyCol),
-      s"ManifestTable.mergeToBranch: source has no column '$keyCol'")
-    val dupKeys = source.groupBy(col(keyCol)).count()
-      .filter(col("count") > 1).limit(1).collect()
-    require(dupKeys.isEmpty,
-      s"ManifestTable.mergeToBranch: source carries duplicate " +
-        s"'$keyCol' values (e.g. ${dupKeys.headOption.map(_.get(0))}) " +
-        "— an upsert needs one row per key")
-    val src = broadcast(source)
-    // which source keys exist in the STAGED content vs only the BASE
-    val bd = branchDir(path, name)
-    require(fs.exists(new org.apache.hadoop.fs.Path(bd)),
-      s"ManifestTable.mergeToBranch: no branch '$name' at $path")
-    val base = branchBase(spark, path, name)
-    val stagedKeys = branchCommits(fs, path, name).flatMap { c =>
-      val cd = resolvedCommitDir(fs, path, name, c)
-      val es = entriesAt(spark, cd).filter(e =>
-        e.hasData(fs, s"$path/data/${e.dir}"))
-      if (es.isEmpty) None
-      else Some(spark.read.parquet(
-        es.map(e => s"$path/data/${e.dir}"): _*).select(col(keyCol)))
-    }.reduceOption(_ unionByName _)
-      .getOrElse(source.select(col(keyCol)).limit(0))
-    val inStaged = src.join(stagedKeys, Seq(keyCol), "left_semi")
-    val notStaged = src.join(stagedKeys, Seq(keyCol), "left_anti")
-    val baseOnly = notStaged.join(
-      readVersion(spark, path, base).select(col(keyCol)),
-      Seq(keyCol), "left_semi").limit(1).collect()
-    require(baseOnly.isEmpty,
-      s"ManifestTable.mergeToBranch($path, $name): source key " +
-        s"'${baseOnly.headOption.map(_.get(0)).orNull}' matches a " +
-        "BASE row the branch merely inherits — the base is shared " +
-        "with main and a branch must not fork it; fix those rows " +
-        "with MERGE on main after the fast-forward")
-    // 1) patch the staged matches in place (column-wise, key kept)
-    val matchedKeys = inStaged.select(col(keyCol)).distinct().collect()
-      .map(_.get(0)).toSeq
-    val touched =
-      if (matchedKeys.isEmpty) 0
-      else {
-        val isStr = source.schema(keyCol).dataType ==
-          org.apache.spark.sql.types.StringType
-        val might: Entry => Boolean = e => matchedKeys.exists { k =>
-          if (isStr) {
-            val s = k.asInstanceOf[String]
-            e.mightOverlapStr(keyCol, Some(s), Some(s)) &&
-              e.mightContainPointStr(keyCol, s)
-          } else scala.util.Try {
-            val l = k.asInstanceOf[Number].longValue()
-            e.mightOverlap(keyCol, l, l) && e.mightContainPoint(keyCol, l)
-          }.getOrElse(true)
-        }
-        rewriteBranch(spark, path, name, "mergeToBranch",
-          might,
-          schema => {
-            val missing = source.columns.filterNot(
-              schema.fieldNames.contains)
-            require(missing.isEmpty,
-              s"ManifestTable.mergeToBranch: source column(s) " +
-                s"${missing.mkString("'", "', '", "'")} are not in " +
-                "this branch commit's schema — evolve via " +
-                "appendToBranch first")
-          },
-          schema => { df =>
-            val srcCols = source.columns.toSet
-            val renamed = src.columns.foldLeft(src)((d, c) =>
-              d.withColumnRenamed(c, s"_graft_m_$c"))
-            val joined = df.join(broadcast(renamed),
-              df(keyCol) === renamed(s"_graft_m_$keyCol"), "left")
-            val matched = renamed(s"_graft_m_$keyCol").isNotNull
-            val cols = schema.fieldNames.map { c =>
-              if (c != keyCol && srcCols.contains(c))
-                when(matched, renamed(s"_graft_m_$c")
-                  .cast(schema(c).dataType))
-                  .otherwise(df(c)).as(c)
-              else df(c).as(c)
-            }
-            val extra = df.columns
-              .filterNot(schema.fieldNames.contains).map(df(_))
-            joined.select((cols ++ extra).toSeq: _*)
-          },
-          extraRestatCols = source.columns.filterNot(_ == keyCol).toSeq)
-      }
-    // 2) append the genuinely-new rows as the next branch commit
-    val fresh = notStaged
-    val freshN = fresh.count()
-    if (freshN > 0)
-      appendToBranch(spark, fresh, path, name)
-    (touched, freshN)
   }
 
   def vacuum(spark: SparkSession, path: String,

@@ -310,6 +310,52 @@ class ManifestBranchSpec extends AnyFunSuite {
       Seq(1L, 2L, 10L, 13L, 20L))
   }
 
+  test("compactBranch consolidates N staged commits into one; " +
+      "appends and DML keep working; fast-forward publishes the same") {
+    val t = tmp("graft-brcompact")
+    ManifestTable.append(spark, Seq((1L, 10L)).toDF("id", "n"), t,
+      statsCols = Seq("id"))
+    ManifestTable.createBranch(spark, t, "long")
+    // a drip of tiny staged commits, one evolving the schema
+    (0 until 4).foreach(i => ManifestTable.appendToBranch(spark,
+      Seq((10L + i, 100L + i)).toDF("id", "n"), t, "long",
+      statsCols = Seq("id")))
+    ManifestTable.appendToBranch(spark,
+      Seq((20L, 200L, "x")).toDF("id", "n", "s"), t, "long",
+      statsCols = Seq("id"))
+    val beforeRows = ManifestTable.readBranch(spark, t, "long")
+      .collect().map(_.toSeq).toSet
+    val (cb, ca) = ManifestTable.compactBranch(spark, t, "long")
+    assert(cb == 5 && ca == 1, s"got ($cb, $ca)")
+    // same audit content (unevolved commits' missing column = NULL)
+    assert(ManifestTable.readBranch(spark, t, "long")
+      .collect().map(_.toSeq).toSet == beforeRows)
+    // appends and branch DML still work on the consolidated set
+    ManifestTable.appendToBranch(spark,
+      Seq((30L, 300L, "y")).toDF("id", "n", "s"), t, "long",
+      statsCols = Seq("id"))
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{
+        AttributeReference, EqualTo, Literal}
+      import org.apache.spark.sql.types.LongType
+      assert(ManifestTable.deleteFromBranch(spark, t, "long",
+        col("id") === 11L, Seq(EqualTo(
+          AttributeReference("id", LongType)(), Literal(11L)))) == 1,
+        "the stats-disjoint appended dir must not rewrite")
+    }
+    // a SECOND compaction chains through the set pointer
+    val (cb2, ca2) = ManifestTable.compactBranch(spark, t, "long")
+    assert(cb2 == 2 && ca2 == 1)
+    ManifestTable.fastForwardBranch(spark, t, "long",
+      evolveSchema = true)
+    assert(ids(ManifestTable.read(spark, t)) ==
+      Seq(1L, 10L, 12L, 13L, 20L, 30L))
+    // superseded sets' dirs are orphans; content survives vacuum
+    ManifestTable.vacuum(spark, t, keepVersions = 1)
+    assert(ids(ManifestTable.read(spark, t)) ==
+      Seq(1L, 10L, 12L, 13L, 20L, 30L))
+  }
+
   test("branch DML prunes by the staged dirs' recorded stats") {
     val t = tmp("graft-brdml-prune")
     ManifestTable.append(spark, Seq(1L).toDF("id"), t,

@@ -443,6 +443,39 @@ class ManifestDmlSpec extends AnyFunSuite {
       s"got ${state()}")
   }
 
+  test("integral IN-list DELETE routes merge-on-read like the " +
+      "string twin; single equality stays the range fast path") {
+    val t = s"${Files.createTempDirectory("graft-dmlintin")}/t"
+    // interleaved ids: every dir's range spans the domain, only the
+    // Bloom discriminates — the scattered-key shape
+    Seq(0, 1).foreach(r => ManifestTable.append(spark,
+      (0L until 100L).filter(_ % 2 == r).toDF("id"), t,
+      statsCols = Seq("id"), bloomCols = Seq("id")))
+    register(t, "dml_intin")
+    val before = ManifestTable.entriesOf(spark, t,
+      ManifestTable.latestVersion(spark, t).get)
+    spark.sql("DELETE FROM dml_intin WHERE id IN (3, 17, 94)")
+    assert(ManifestTable.read(spark, t).count() == 97)
+    val v = ManifestTable.latestVersion(spark, t).get
+    assert(ManifestTable.entriesOf(spark, t, v)
+      .map(e => e.dir -> e.files).toMap ==
+      before.map(e => e.dir -> e.files).toMap,
+      "an integral IN-list delete must rewrite zero data files")
+    assert(ManifestTable.commitInfoOf(spark, t, v)
+      .exists(_._1 == "deleteKeys"))
+    // NULLs in the list contribute nothing; values outside the
+    // type's range cannot match (id is BIGINT here so both are just
+    // semantics checks)
+    spark.sql("DELETE FROM dml_intin WHERE id IN (5, NULL)")
+    assert(ManifestTable.read(spark, t).count() == 96)
+    // single equality keeps the copy-on-write range fast path
+    spark.sql("DELETE FROM dml_intin WHERE id = 7")
+    assert(ManifestTable.read(spark, t).count() == 95)
+    assert(ManifestTable.commitInfoOf(spark, t,
+      ManifestTable.latestVersion(spark, t).get)
+      .exists(_._1 == "deleteRange"))
+  }
+
   test("subquery-predicate DML: uncorrelated IN/EXISTS/scalar " +
       "materialize at rule time; correlated stays loud") {
     val t = s"${Files.createTempDirectory("graft-dmlsubq")}/t"

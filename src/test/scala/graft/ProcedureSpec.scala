@@ -184,4 +184,35 @@ class ProcedureSpec extends AnyFunSuite {
     assert(spark.sql("SELECT COUNT(*) FROM gp.db.br").head.getLong(0)
       == 3L)
   }
+
+  test("CALL delete_from_branch / update_branch / merge_to_branch " +
+      "fix a staged batch from SQL") {
+    spark.sql("CREATE TABLE gp.db.bfix (id BIGINT, st STRING, " +
+      "n BIGINT) USING `graft-manifest` " +
+      "TBLPROPERTIES ('statsCols'='id')")
+    spark.sql("INSERT INTO gp.db.bfix VALUES (1, 'ok', 10)")
+    val t = pathOf("bfix")
+    spark.sql("CALL gp.system.create_branch('db.bfix', 'fix')")
+    ManifestTable.appendToBranch(spark,
+      Seq((10L, "ok", 100L), (11L, "bad", 110L))
+        .toDF("id", "st", "n"), t, "fix", statsCols = Seq("id"))
+    val del = spark.sql("CALL gp.system.delete_from_branch(" +
+      "'db.bfix', 'fix', 'st = \\'bad\\'')").collect()
+    assert(del.head.getLong(0) == 1L, s"got ${del.toSeq}")
+    val upd = spark.sql("CALL gp.system.update_branch(" +
+      "'db.bfix', 'fix', 'id = 10', 'n', 'n + 1')").collect()
+    assert(upd.head.getLong(0) == 1L)
+    Seq((10L, "ok2", 500L), (20L, "new", 200L)).toDF("id", "st", "n")
+      .createOrReplaceTempView("bfix_updates")
+    val mrg = spark.sql("CALL gp.system.merge_to_branch(" +
+      "'db.bfix', 'fix', 'bfix_updates', 'id')").collect()
+    assert(mrg.head.getLong(0) == 1L && mrg.head.getLong(1) == 1L,
+      s"got ${mrg.toSeq}")
+    spark.sql("CALL gp.system.fast_forward_branch('db.bfix', 'fix')")
+    val out = spark.sql(
+      "SELECT id, st, n FROM gp.db.bfix ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, "ok", 10L), (10L, "ok2", 500L),
+      (20L, "new", 200L)), s"got $out")
+  }
 }
