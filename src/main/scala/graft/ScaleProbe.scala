@@ -459,6 +459,130 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // sqd100: subquery-predicate DML at 500k rows in 10 interleaved
+    // dirs (doc_id % 10 — every dir's range spans the domain; only
+    // per-dir Blooms discriminate, the scattered-key worst case).
+    // The numbers that matter: a string IN-subquery delete routes
+    // MERGE-ON-READ (zero data files rewritten, however many dirs
+    // hold a key), the integral IN-list twin does too, and a scalar
+    // subquery folds to the range fast path (whole expired dirs drop
+    // from metadata alone).
+    if (args.headOption.contains("sqd100")) {
+      val out100 = "/tmp/scale100docs"
+      if (!new java.io.File(s"$out100/documents.parquet").exists())
+        buildDocs100(out100)
+      val docs = Tables.documents(spark, out100)
+        .select(col("doc_id"),
+          concat(lit("d"), col("doc_id")).as("key"),
+          col("lang"), col("n_chars"))
+      val n = docs.count()
+      val tq = "/tmp/scale100docs/docs_sqd"
+      val fsQ = new org.apache.hadoop.fs.Path(tq)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fsQ.delete(new org.apache.hadoop.fs.Path(tq), true)
+      val tb0 = System.nanoTime()
+      (0L until 10L).foreach { i =>
+        graft.sinks.ManifestTable.append(spark,
+          docs.filter(pmod(col("doc_id"), lit(10)) === i),
+          tq, statsCols = Seq("doc_id"),
+          bloomCols = Seq("key", "doc_id"))
+      }
+      println(f"TIME sqd100 ingest_10commits_interleaved " +
+        f"${(System.nanoTime() - tb0) / 1e9}%.2f s ($n rows)")
+      spark.read.format("graft-manifest").load(tq)
+        .createOrReplaceTempView("sqd_t")
+      def fileMap(): Map[String, Any] = graft.sinks.ManifestTable
+        .entriesOf(spark, tq,
+          graft.sinks.ManifestTable.latestVersion(spark, tq).get)
+        .map(e => e.dir -> e.files).toMap
+      // 1k scattered string keys via an uncorrelated IN-subquery:
+      // materialized at rule time, routed merge-on-read
+      val b1 = fileMap()
+      val t1 = System.nanoTime()
+      spark.sql("DELETE FROM sqd_t WHERE key IN " +
+        "(SELECT key FROM sqd_t WHERE doc_id % 500 = 7)")
+      val same1 = fileMap() == b1
+      println(f"TIME sqd100 delete_in_subquery_1k_keys " +
+        f"${(System.nanoTime() - t1) / 1e9}%.2f s " +
+        f"(zero data files rewritten: $same1)")
+      // the integral IN-list twin, hand-written scattered keys
+      val b2 = fileMap()
+      val t2 = System.nanoTime()
+      spark.sql("DELETE FROM sqd_t WHERE doc_id IN " +
+        (0 until 500).map(i => i * 997L).mkString("(", ", ", ")"))
+      val same2 = fileMap() == b2
+      println(f"TIME sqd100 delete_int_inlist_500_keys " +
+        f"${(System.nanoTime() - t2) / 1e9}%.2f s " +
+        f"(zero data files rewritten: $same2)")
+      // scalar subquery folds to the retention-range fast path
+      val t3 = System.nanoTime()
+      spark.sql("DELETE FROM sqd_t WHERE doc_id > " +
+        "(SELECT max(doc_id) - 1000 FROM sqd_t)")
+      println(f"TIME sqd100 delete_scalar_subquery_range " +
+        f"${(System.nanoTime() - t3) / 1e9}%.2f s")
+      spark.stop()
+      return
+    }
+    // brd100: branch-scoped DML at 500k rows — the audit-fix loop at
+    // scale: main holds half, a branch stages the other half in 5
+    // range-disjoint commits, a staged-only DELETE rewrites ONLY the
+    // commits whose recorded stats admit a match, compactBranch
+    // flattens the commit drip, fast-forward publishes as one commit.
+    if (args.headOption.contains("brd100")) {
+      val out100 = "/tmp/scale100docs"
+      if (!new java.io.File(s"$out100/documents.parquet").exists())
+        buildDocs100(out100)
+      val docs = Tables.documents(spark, out100)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val n = docs.count()
+      val tb = "/tmp/scale100docs/docs_brd"
+      val fsB = new org.apache.hadoop.fs.Path(tb)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fsB.delete(new org.apache.hadoop.fs.Path(tb), true)
+      val half = 50000000L // doc_id domain: base + i*1M, i in 0..99
+      graft.sinks.ManifestTable.append(spark,
+        docs.filter(col("doc_id") < half), tb,
+        statsCols = Seq("doc_id", "lang"))
+      graft.sinks.ManifestTable.createBranch(spark, tb, "fix")
+      val slice = 10000000L
+      val tb0 = System.nanoTime()
+      (0L until 5L).foreach { i =>
+        graft.sinks.ManifestTable.appendToBranch(spark,
+          docs.filter(col("doc_id") >= half + i * slice &&
+            (if (i == 4) lit(true)
+             else col("doc_id") < half + (i + 1) * slice)),
+          tb, "fix", statsCols = Seq("doc_id", "lang"))
+      }
+      println(f"TIME brd100 branch_ingest_5commits " +
+        f"${(System.nanoTime() - tb0) / 1e9}%.2f s (~${n / 2} rows)")
+      // staged-only DELETE: the doc_id conjunct pins ONE commit
+      import org.apache.spark.sql.catalyst.expressions.{
+        AttributeReference, GreaterThanOrEqual, Literal => CLit}
+      import org.apache.spark.sql.types.LongType
+      val t1 = System.nanoTime()
+      val touched = graft.sinks.ManifestTable.deleteFromBranch(spark,
+        tb, "fix",
+        col("doc_id") >= (half + 4 * slice) && col("lang") === "de",
+        Seq(GreaterThanOrEqual(
+          AttributeReference("doc_id", LongType)(),
+          CLit(half + 4 * slice))))
+      println(f"TIME brd100 branch_delete_pruned " +
+        f"${(System.nanoTime() - t1) / 1e9}%.2f s " +
+        f"($touched of 5 staged dirs rewritten)")
+      val t2 = System.nanoTime()
+      val (cb, ca) = graft.sinks.ManifestTable.compactBranch(
+        spark, tb, "fix")
+      println(f"TIME brd100 compact_branch " +
+        f"${(System.nanoTime() - t2) / 1e9}%.2f s " +
+        f"($cb commits -> $ca)")
+      val t3 = System.nanoTime()
+      graft.sinks.ManifestTable.fastForwardBranch(spark, tb, "fix")
+      println(f"TIME brd100 fast_forward " +
+        f"${(System.nanoTime() - t3) / 1e9}%.2f s " +
+        f"(${graft.sinks.ManifestTable.read(spark, tb).count()} rows)")
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("mc100")) {
       val out100 = "/tmp/scale100docs"
       if (!new java.io.File(s"$out100/documents.parquet").exists())

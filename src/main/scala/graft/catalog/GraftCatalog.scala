@@ -650,9 +650,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   * one proven path. */
 final case class GraftV2Table(tableName: String, path: String,
     versionAsOf: Option[String], timestampAsOfMillis: Option[Long])
-    extends Table {
+    extends Table
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
   override def name(): String = tableName
+
+  /** `TRUNCATE TABLE <name>` — the one DML statement that executes
+    * through the v2 table itself (no plan rewrite to intercept): one
+    * atomic empty overwrite, exactly `DELETE FROM t` without a WHERE
+    * (old snapshots survive until vacuum; the pruning discipline and
+    * watermark carry). Loud on a time-travel pin — history is
+    * immutable. */
+  override def truncateTable(): Boolean = {
+    require(versionAsOf.isEmpty && timestampAsOfMillis.isEmpty,
+      s"graft catalog: cannot TRUNCATE a time-travel pin of " +
+        s"$tableName — snapshots are immutable")
+    graft.plans.GraftManifestFullDeleteCommand(path)
+      .run(SparkSession.active)
+    true
+  }
 
   /** The snapshot every metadata read resolves against: the
     * TIME-TRAVEL pin when the reference carries one (the table may

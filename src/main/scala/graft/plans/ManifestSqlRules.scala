@@ -687,17 +687,54 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
     plan.resolveOperatorsDown {
       case i: InsertIntoStatement if i.query.resolved =>
         i.table match {
-          case ManifestTarget(path, _) =>
+          case ManifestTarget(path, schema) =>
             require(i.partitionSpec.isEmpty && !i.ifPartitionNotExists,
               "graft-manifest SQL INSERT: PARTITION clauses are not " +
                 "supported — manifest-stats pruning is this format's " +
                 "partitioning story")
-            require(i.userSpecifiedCols.isEmpty,
-              "graft-manifest SQL INSERT: an explicit column list is " +
-                "not supported — a partial-column insert would " +
-                "silently null the rest; project the full row instead")
-            GraftManifestInsertCommand(path, i.query, i.overwrite,
-              i.byName)
+            if (i.userSpecifiedCols.isEmpty)
+              GraftManifestInsertCommand(path, i.query, i.overwrite,
+                i.byName)
+            else {
+              // partial-column INSERT — the same contract as MERGE's
+              // partial-column insert clause (q160): every OMITTED
+              // column must be NULLABLE, and the nulls written are
+              // explicit typed semantics, never accidents. The column
+              // list maps the query's output POSITIONALLY, then the
+              // row is padded and reordered to the table schema.
+              val cols = i.userSpecifiedCols
+              require(cols.distinct.size == cols.size,
+                "graft-manifest SQL INSERT: duplicate column in " +
+                  cols.mkString("(", ", ", ")"))
+              val byName = schema.fields.map(f => f.name -> f).toMap
+              val unknown = cols.filterNot(byName.contains)
+              require(unknown.isEmpty,
+                s"graft-manifest SQL INSERT: column(s) " +
+                  unknown.mkString("'", "', '", "'") +
+                  " are not in the table schema " +
+                  s"(${schema.fieldNames.mkString(", ")})")
+              require(i.query.output.size == cols.size,
+                s"graft-manifest SQL INSERT: the column list names " +
+                  s"${cols.size} column(s) but the query produces " +
+                  s"${i.query.output.size}")
+              val colSet = cols.toSet
+              val badOmit = schema.fields
+                .filterNot(f => colSet(f.name)).filterNot(_.nullable)
+              require(badOmit.isEmpty,
+                s"graft-manifest SQL INSERT: the column list omits " +
+                  "NON-NULLABLE column(s) " +
+                  badOmit.map(_.name).mkString("'", "', '", "'") +
+                  " — name them or make them nullable")
+              val pos = cols.zipWithIndex.toMap
+              val proj = schema.fields.map { f =>
+                pos.get(f.name) match {
+                  case Some(ix) => Alias(i.query.output(ix), f.name)()
+                  case None => Alias(Literal(null, f.dataType), f.name)()
+                }
+              }.toIndexedSeq
+              GraftManifestInsertCommand(path,
+                Project(proj, i.query), i.overwrite, byName = true)
+            }
           case _ => i
         }
 

@@ -405,6 +405,29 @@ class CatalogSpec extends AnyFunSuite {
       s"got ${msgs(ex2)}")
   }
 
+  test("TRUNCATE TABLE empties atomically; history and pruning " +
+      "discipline survive; time-travel pins are immutable") {
+    spark.sql("CREATE TABLE g.db.trunc (id BIGINT) " +
+      "USING `graft-manifest` TBLPROPERTIES ('statsCols'='id')")
+    spark.sql("INSERT INTO g.db.trunc VALUES (1), (2)")
+    spark.sql("TRUNCATE TABLE g.db.trunc")
+    assert(spark.sql("SELECT count(*) FROM g.db.trunc")
+      .head.getLong(0) == 0L)
+    // old snapshots survive until vacuum
+    assert(spark.sql("SELECT count(*) FROM g.db.trunc VERSION AS OF 2")
+      .head.getLong(0) == 2L)
+    // the pruning discipline carried through the emptying overwrite
+    spark.sql("INSERT INTO g.db.trunc VALUES (9)")
+    val path = spark.sessionState.catalogManager.catalog("g")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("db"), "trunc")).properties().get("location")
+    val es = ManifestTable.entriesOf(spark, path,
+      ManifestTable.latestVersion(spark, path).get)
+    assert(es.exists(_.statMin.contains("id")),
+      "stats discipline must survive TRUNCATE")
+  }
+
   test("rename RE-RUN after a crash between ref write and data move " +
       "resumes instead of TableAlreadyExists") {
     spark.sql("CREATE TABLE g.db.ren1 (id BIGINT) USING `graft-manifest`")

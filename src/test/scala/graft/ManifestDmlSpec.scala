@@ -443,6 +443,35 @@ class ManifestDmlSpec extends AnyFunSuite {
       s"got ${state()}")
   }
 
+  test("partial-column INSERT pads nullable omissions with typed " +
+      "NULLs; non-nullable omissions and unknown columns are loud") {
+    val t = s"${Files.createTempDirectory("graft-dmlpins")}/t"
+    ManifestTable.append(spark,
+      Seq((1L, Some("a"), Some(10L))).toDF("id", "s", "n"), t,
+      statsCols = Seq("id"))
+    register(t, "dml_pins")
+    // named-column insert: order differs from the table's, omitted
+    // nullable column nulls explicitly
+    spark.sql("INSERT INTO dml_pins (n, id) VALUES (20, 2)")
+    spark.sql("INSERT INTO dml_pins (id, s) SELECT 3, 'c'")
+    val got = ManifestTable.read(spark, t)
+      .select("id", "s", "n").orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(got == Seq((1L, Some("a"), Some(10L)),
+      (2L, None, Some(20L)), (3L, Some("c"), None)), s"got $got")
+    def msgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    // unknown column, arity mismatch, duplicate are loud
+    Seq("INSERT INTO dml_pins (id, nope) VALUES (9, 9)",
+      "INSERT INTO dml_pins (id, s, n) VALUES (9, 'x')",
+      "INSERT INTO dml_pins (id, id) VALUES (9, 9)").foreach { stmt =>
+      intercept[Exception] { spark.sql(stmt) }
+    }
+    assert(ManifestTable.read(spark, t).count() == 3L)
+  }
+
   test("integral IN-list DELETE routes merge-on-read like the " +
       "string twin; single equality stays the range fast path") {
     val t = s"${Files.createTempDirectory("graft-dmlintin")}/t"
