@@ -476,6 +476,57 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
     * cannot ride the staged-rewrite engine. NULL semantics survive
     * the splice: list nulls stay in the literal list (three-valued
     * IN), an empty scalar result splices a typed NULL. */
+  /** Re-point every UN-PINNED manifest relation inside a DML
+    * subquery's plan at the table's CURRENT snapshot, preserving
+    * attribute ids (LogicalRelation.copy(output) — the
+    * [[ManifestCatalogRules]] bridging move). Why: a temp view (or
+    * any path-loaded frame) pins the snapshot current at LOAD time —
+    * correct for reads, but a DML whose TARGET acts on the latest
+    * snapshot must not evaluate its own subquery against an older
+    * one: `DELETE … WHERE id NOT IN (SELECT id FROM same_view …)`
+    * would otherwise delete rows the statement's own SELECT can see.
+    * Relations pinned BY INTENT (versionAsOf/timestampAsOf/tagAsOf
+    * reader options ride HadoopFsRelation.options) stay pinned —
+    * time travel in a subquery is legitimate and means what it says.
+    * A schema that evolved since the view registered is loud. */
+  private def refreshManifestRelations(plan: LogicalPlan,
+      stmt: String): LogicalPlan = {
+    val spark = SparkSession.active
+    val pinKeys = Seq("versionAsOf", "timestampAsOf", "tagAsOf")
+    plan.transformUp {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location match {
+          case idx: ManifestFileIndex
+              if !pinKeys.exists(h.options.contains) &&
+                !ManifestTable.latestVersion(spark, idx.tablePath)
+                  .contains(idx.version) =>
+            val fresh = spark.read.format("graft-manifest")
+              .load(idx.tablePath).queryExecution.analyzed
+            require(fresh.output.map(a => (a.name, a.dataType)) ==
+                l.output.map(a => (a.name, a.dataType)),
+              s"graft-manifest $stmt: the subquery reads a view of " +
+                s"${idx.tablePath} whose schema has since evolved — " +
+                "re-register the view (or address the table by " +
+                "catalog name) and re-run")
+            fresh match {
+              case fl: LogicalRelation =>
+                fl.copy(output = l.output.toIndexedSeq)
+              case p if p.getTagValue(
+                  ManifestApplyDeletes.DvRewriteTag).isDefined =>
+                Project(p.output.zip(l.output).map { case (a, o) =>
+                  Alias(a, o.name)(exprId = o.exprId)
+                }, p)
+              case other => sys.error(s"graft-manifest $stmt: the " +
+                s"refreshed read of ${idx.tablePath} planned as " +
+                s"${other.nodeName} — cannot re-identify")
+            }
+          case _ => l
+        }
+        case _ => l
+      }
+    }
+  }
+
   private def materializeSubqueries(cond: Expression,
       stmt: String): Expression = {
     val spark = SparkSession.active
@@ -496,9 +547,10 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
         require(values.size == 1 && lq.plan.output.size == 1,
           s"graft-manifest $stmt: multi-column IN subqueries are not " +
             "supported — use MERGE INTO with a composite ON key")
-        val out = lq.plan.output.head
+        val sub = refreshManifestRelations(lq.plan, stmt)
+        val out = sub.output.head
         val rows = org.apache.spark.sql.GraftSqlBridge
-          .ofRows(spark, lq.plan).distinct()
+          .ofRows(spark, sub).distinct()
           .limit(MaxInlineSubqueryKeys + 1).collect()
         if (rows.length > MaxInlineSubqueryKeys) overflow("IN")
         if (rows.isEmpty) Literal(false)
@@ -507,12 +559,14 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
       case e: Exists =>
         requireUncorrelated(e.outerAttrs, "EXISTS")
         Literal(!org.apache.spark.sql.GraftSqlBridge
-          .ofRows(spark, e.plan).isEmpty)
+          .ofRows(spark, refreshManifestRelations(e.plan, stmt))
+          .isEmpty)
       case s: ScalarSubquery =>
         requireUncorrelated(s.outerAttrs, "scalar")
-        val out = s.plan.output.head
+        val sub = refreshManifestRelations(s.plan, stmt)
+        val out = sub.output.head
         val rows = org.apache.spark.sql.GraftSqlBridge
-          .ofRows(spark, s.plan).limit(2).collect()
+          .ofRows(spark, sub).limit(2).collect()
         require(rows.length <= 1,
           s"graft-manifest $stmt: scalar subquery returned more than " +
             "one row")

@@ -559,6 +559,17 @@ class ManifestDmlSpec extends AnyFunSuite {
     spark.sql("DELETE FROM dml_sq WHERE id IN " +
       "(SELECT id FROM dml_sq WHERE id > 2)")
     assert(ids(ManifestTable.read(spark, t)) == Seq(1L))
+    // NOT IN materializes too and keeps SQL's three-valued
+    // semantics: the literal list splices verbatim, so a NULL in the
+    // subquery result makes NOT IN match nothing (exactly what the
+    // statement run against any engine would do)
+    ManifestTable.append(spark,
+      Seq((100L, "k100", 1L), (101L, "k101", 1L))
+        .toDF("id", "key", "n"), t)
+    spark.sql("DELETE FROM dml_sq WHERE id NOT IN " +
+      "(SELECT id FROM dml_sq WHERE id >= 100)")
+    assert(ids(ManifestTable.read(spark, t)) == Seq(100L, 101L),
+      "NOT IN subquery must delete exactly the non-members")
     // correlated subqueries stay loud
     val ex = intercept[Exception] {
       spark.sql("DELETE FROM dml_sq WHERE EXISTS " +
