@@ -356,6 +356,35 @@ class ManifestBranchSpec extends AnyFunSuite {
       Seq(1L, 10L, 12L, 13L, 20L, 30L))
   }
 
+  test("vacuum during a live branch with superseded commits: active " +
+      "dirs kept, superseded dirs reaped, audit read intact") {
+    val t = tmp("graft-brvac")
+    ManifestTable.append(spark, Seq(1L).toDF("id"), t,
+      statsCols = Seq("id"))
+    ManifestTable.createBranch(spark, t, "b")
+    ManifestTable.appendToBranch(spark,
+      Seq(10L, 11L).toDF("id"), t, "b", statsCols = Seq("id"))
+    // supersede the commit via branch DML, then churn main so vacuum
+    // has versions to drop
+    ManifestTable.deleteFromBranch(spark, t, "b", col("id") === 11L)
+    ManifestTable.append(spark, Seq(2L).toDF("id"), t,
+      statsCols = Seq("id"))
+    val dataDirs = () => new java.io.File(s"$t/data").listFiles()
+      .count(_.isDirectory)
+    val before = dataDirs()
+    ManifestTable.vacuum(spark, t, keepVersions = 1)
+    assert(dataDirs() < before,
+      "the superseded branch commit's old dir must reap while the " +
+        "branch lives")
+    // the ACTIVE (superseded-to) entries survived: the audit read
+    // (pinned base + fixed staged rows) and the fast-forward (onto
+    // the LATEST main) still serve the fixed content
+    assert(ids(ManifestTable.readBranch(spark, t, "b")) ==
+      Seq(1L, 10L))
+    ManifestTable.fastForwardBranch(spark, t, "b")
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L, 10L))
+  }
+
   test("branch DML prunes by the staged dirs' recorded stats") {
     val t = tmp("graft-brdml-prune")
     ManifestTable.append(spark, Seq(1L).toDF("id"), t,
