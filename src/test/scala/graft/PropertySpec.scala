@@ -604,4 +604,71 @@ class PropertySpec extends AnyFunSuite {
         s"monotone cells on grid $mn..$mx")
     }
   }
+
+  test("DML routing parity: random layouts + key sets, every DELETE " +
+      "route equals the reference filter") {
+    // THE round-16 property: whatever route the classifier picks —
+    // string-IN merge-on-read, integral-IN merge-on-read, single
+    // point via the range path, IN-subquery materialization — the
+    // surviving rows must equal filter(NOT cond) computed on the
+    // pre-delete content. Randomize what trips real systems: key
+    // sets that hit none/some/all dirs, duplicate and NULL list
+    // entries, interleaved vs range-disjoint layouts.
+    val rnd = new scala.util.Random(77)
+    (0 until 4).foreach { round =>
+      val t = s"${java.nio.file.Files
+        .createTempDirectory(s"graft-dmlprop$round")}/t"
+      val n = 40 + rnd.nextInt(60)
+      val rows = (0 until n).map(i =>
+        (i.toLong, s"k${rnd.nextInt(n)}", rnd.nextInt(50).toLong))
+      val interleaved = rnd.nextBoolean()
+      val parts = 2 + rnd.nextInt(3)
+      (0 until parts).foreach { p =>
+        val slice = rows.zipWithIndex.collect {
+          case ((id, k, v), ix)
+              if (if (interleaved) ix % parts == p
+                  else ix * parts / rows.size == p) => (id, k, v)
+        }
+        if (slice.nonEmpty)
+          graft.sinks.ManifestTable.append(spark,
+            slice.toDF("id", "key", "n"), t,
+            statsCols = Seq("id", "n"), bloomCols = Seq("key", "id"))
+      }
+      spark.read.format("graft-manifest").load(t)
+        .createOrReplaceTempView(s"dmlprop$round")
+      var live = rows
+      def check(sql: String, keep: ((Long, String, Long)) => Boolean,
+          what: String): Unit = {
+        spark.sql(sql)
+        live = live.filter(keep)
+        val got = graft.sinks.ManifestTable.read(spark, t)
+          .select("id", "key", "n").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          .sortBy(_._1).toSeq
+        assert(got == live.sortBy(_._1),
+          s"round $round $what diverged (interleaved=$interleaved, " +
+            s"parts=$parts):\n  got  $got\n  want ${live.sortBy(_._1)}")
+      }
+      // string IN list with dup + NULL entries (merge-on-read route)
+      val sk = Seq.fill(3)(s"k${rnd.nextInt(n)}")
+      check(s"DELETE FROM dmlprop$round WHERE key IN " +
+        sk.mkString("('", "', '", s"', '${sk.head}', NULL)"),
+        r => !sk.contains(r._2), "string-IN")
+      // integral IN list straddling present/absent keys
+      val ik = Seq.fill(4)(rnd.nextInt(2 * n).toLong)
+      check(s"DELETE FROM dmlprop$round WHERE id IN " +
+        ik.mkString("(", ", ", ")"),
+        r => !ik.contains(r._1), "int-IN")
+      // single point (range fast path)
+      val p1 = rnd.nextInt(n).toLong
+      check(s"DELETE FROM dmlprop$round WHERE id = $p1",
+        r => r._1 != p1, "point-range")
+      // uncorrelated IN-subquery over the table's own live content
+      val thr = rnd.nextInt(50)
+      check(s"DELETE FROM dmlprop$round WHERE key IN " +
+        s"(SELECT key FROM dmlprop$round WHERE n < $thr)",
+        r => !live.exists(x => x._2 == r._2 && x._3 < thr),
+        "IN-subquery")
+    }
+  }
 }
