@@ -599,11 +599,24 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
     val cols = schema.fieldNames.toSet
     val tgtIds = m.targetTable.output.map(_.exprId).toSet
     val srcIds = m.sourceTable.output.map(_.exprId).toSet
-    def keysOf(cond: Expression): Seq[String] = cond match {
+    // each ON conjunct binds target.<key> = source.<key>, sides
+    // resolved by attribute identity (the names may DIFFER —
+    // `ON t.id = u.customer_id` is the warehouse norm); the source
+    // key renames to the target's name below, so the engine's
+    // by-name join sees one key vocabulary
+    def sideName(e: Expression): Option[(Boolean, String)] =
+      nameOf(e).flatMap { n =>
+        val refs = e.references.toSeq.map(_.exprId)
+        if (refs.nonEmpty && refs.forall(srcIds)) Some((true, n))
+        else if (refs.nonEmpty && refs.forall(tgtIds)) Some((false, n))
+        else None
+      }
+    def keysOf(cond: Expression): Seq[(String, String)] = cond match {
       case And(l, r) => keysOf(l) ++ keysOf(r)
       case EqualTo(a, b) =>
-        (nameOf(a), nameOf(b)) match {
-          case (Some(x), Some(y)) if x == y => Seq(x)
+        (sideName(a), sideName(b)) match {
+          case (Some((false, tn)), Some((true, sn))) => Seq((tn, sn))
+          case (Some((true, sn)), Some((false, tn))) => Seq((tn, sn))
           case got => sys.error(
             "graft-manifest MERGE: every ON conjunct must be " +
               s"target.<key> = source.<key> on one column, got $got")
@@ -612,13 +625,43 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
         "graft-manifest MERGE: the ON condition must be a " +
           s"conjunction of key equalities, got ${other.sql}")
     }
-    val keyCols = keysOf(m.mergeCondition).distinct
+    val keyPairs = keysOf(m.mergeCondition).distinct
+    val keyCols = keyPairs.map(_._1).distinct
+    // rename differing-name source keys to the target's vocabulary:
+    // references keep their exprIds (Alias over the same attribute),
+    // only the clause-expression scopes below must translate
+    val renames = keyPairs.filter(p => p._1 != p._2)
+    val renameByExprId: Map[
+        org.apache.spark.sql.catalyst.expressions.ExprId, String] =
+      (for {
+        (tn, sn) <- renames
+        a <- m.sourceTable.output if a.name == sn
+      } yield a.exprId -> tn).toMap
+    val sourcePlan: LogicalPlan =
+      if (renames.isEmpty) m.sourceTable
+      else {
+        val srcNames = m.sourceTable.output.map(_.name).toSet
+        renames.foreach { case (tn, sn) =>
+          require(!srcNames.contains(tn),
+            s"graft-manifest MERGE: the source already has a column " +
+              s"'$tn' — renaming its key '$sn' to the target's name " +
+              "would collide; alias the source explicitly")
+        }
+        Project(m.sourceTable.output.map { a =>
+          renameByExprId.get(a.exprId) match {
+            case Some(tn) => Alias(a, tn)()
+            case None => a
+          }
+        }, m.sourceTable)
+      }
+    def srcNameOf(ar: AttributeReference): String =
+      renameByExprId.getOrElse(ar.exprId, ar.name)
     // the three reference scopes a clause expression may see
     def matchedScope(ar: AttributeReference): Option[String] =
-      if (srcIds(ar.exprId)) Some("_src_" + ar.name)
+      if (srcIds(ar.exprId)) Some("_src_" + srcNameOf(ar))
       else if (tgtIds(ar.exprId)) Some(ar.name) else None
     def srcScope(ar: AttributeReference): Option[String] =
-      if (srcIds(ar.exprId)) Some(ar.name) else None
+      if (srcIds(ar.exprId)) Some(srcNameOf(ar)) else None
     def tgtScope(ar: AttributeReference): Option[String] =
       if (tgtIds(ar.exprId)) Some(ar.name) else None
     def rebuild(e: Expression,
@@ -733,7 +776,7 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
         s"graft-manifest MERGE: unsupported WHEN NOT MATCHED BY " +
           s"SOURCE action $other — supported: UPDATE SET … / DELETE")
     }
-    GraftManifestMergeClausesCommand(path, keyCols, m.sourceTable,
+    GraftManifestMergeClausesCommand(path, keyCols, sourcePlan,
       matched, notMatched, bySource)
   }
 
@@ -861,9 +904,12 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
       // Left alone, Spark rejects UPDATE on a v1 relation outright —
       // this rule is the statement's only road.
       // same wait-for-resolution rule as DELETE's: a subquery in the
-      // WHERE must be resolved before it can materialize
-      case u: UpdateTable if u.condition.exists(c =>
-          hasSubquery(c) && !c.resolved) &&
+      // WHERE or a SET value must be resolved before it can
+      // materialize
+      case u: UpdateTable if (u.condition.exists(c =>
+            hasSubquery(c) && !c.resolved) ||
+          u.assignments.exists(a =>
+            hasSubquery(a.value) && !a.value.resolved)) &&
           u.table.collectFirst {
             case ManifestTarget(p, _) => p }.isDefined => u
       case u: UpdateTable if u.assignments.nonEmpty &&
@@ -873,12 +919,18 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
             // identity assignments (SET c = c — the analyzer's
             // assignment alignment pads untouched columns this way)
             // are semantic no-ops: drop them rather than rewrite
-            // dirs to identical bytes
+            // dirs to identical bytes. Uncorrelated subqueries in a
+            // SET VALUE (`SET n = (SELECT max(n) …)`) materialize at
+            // rule time like the WHERE's — same one-shot exactness
             val real = u.assignments.filterNot { a =>
               (nameOf(a.key), a.value) match {
                 case (Some(k), v: AttributeReference) => v.name == k
                 case _ => false
               }
+            }.map { a =>
+              if (hasSubquery(a.value))
+                Assignment(a.key, materializeSubqueries(a.value, "UPDATE"))
+              else a
             }
             // NESTED SET targets (`SET meta.n = expr`) fold onto
             // their top-level column through Column.withField —
@@ -1006,10 +1058,56 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
                 case _ => false
               }) &&
               (m.mergeCondition match {
-                case EqualTo(_, _) => true
+                // the fast paths assume target and source share the
+                // key NAME; `ON t.a = u.b` routes the general engine
+                // (which renames the source key to the target's)
+                case EqualTo(a, b) =>
+                  nameOf(a).zip(nameOf(b)).exists { case (x, y) => x == y }
                 case _ => false
               })
+            // uncorrelated subqueries in CLAUSE conditions or
+            // assignment VALUES materialize at rule time (same
+            // one-shot exactness as DELETE/UPDATE's); the rebuilt,
+            // subquery-free statement classifies on the analyzer's
+            // next fixed-point pass. The ON condition stays strict
+            // (key equalities only — a subquery there is loud below).
+            def matE(e: Expression): Expression =
+              if (hasSubquery(e)) materializeSubqueries(e, "MERGE")
+              else e
+            def matA(as: Seq[Assignment]): Seq[Assignment] =
+              as.map(a => Assignment(a.key, matE(a.value)))
+            val actsHaveSub = allActs.exists {
+              case UpdateAction(c, as, _) => c.exists(hasSubquery) ||
+                as.exists(a => hasSubquery(a.value))
+              case InsertAction(c, as) => c.exists(hasSubquery) ||
+                as.exists(a => hasSubquery(a.value))
+              case DeleteAction(c) => c.exists(hasSubquery)
+              case UpdateStarAction(c) => c.exists(hasSubquery)
+              case InsertStarAction(c) => c.exists(hasSubquery)
+              case _ => false
+            }
             if (!ready) m
+            else if (actsHaveSub) m.copy(
+              matchedActions = m.matchedActions.map {
+                case UpdateAction(c, as, star) =>
+                  UpdateAction(c.map(matE), matA(as), star)
+                case DeleteAction(c) => DeleteAction(c.map(matE))
+                case UpdateStarAction(c) => UpdateStarAction(c.map(matE))
+                case other => other
+              },
+              notMatchedActions = m.notMatchedActions.map {
+                case InsertAction(c, as) =>
+                  InsertAction(c.map(matE), matA(as))
+                case InsertStarAction(c) => InsertStarAction(c.map(matE))
+                case other => other
+              },
+              notMatchedBySourceActions =
+                m.notMatchedBySourceActions.map {
+                  case UpdateAction(c, as, star) =>
+                    UpdateAction(c.map(matE), matA(as), star)
+                  case DeleteAction(c) => DeleteAction(c.map(matE))
+                  case other => other
+                })
             else if (!simple) generalMerge(m, path, schema)
             else {
               // accept `SET *` / `INSERT *` both before star

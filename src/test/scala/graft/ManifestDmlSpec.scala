@@ -570,6 +570,20 @@ class ManifestDmlSpec extends AnyFunSuite {
       "(SELECT id FROM dml_sq WHERE id >= 100)")
     assert(ids(ManifestTable.read(spark, t)) == Seq(100L, 101L),
       "NOT IN subquery must delete exactly the non-members")
+    // uncorrelated scalar subqueries in SET VALUES materialize too —
+    // UPDATE and MERGE both (the warehouse idiom `SET n = (SELECT
+    // max(n) …)`)
+    spark.sql("UPDATE dml_sq SET n = " +
+      "(SELECT count(*) FROM dml_sq_aux) WHERE id = 100")
+    assert(ManifestTable.read(spark, t).filter(col("id") === 100)
+      .select("n").as[Long].head() == 3L)
+    Seq(101L).toDF("id")
+      .createOrReplaceTempView("dml_sq_m")
+    spark.sql("MERGE INTO dml_sq t USING dml_sq_m u ON t.id = u.id " +
+      "WHEN MATCHED THEN UPDATE SET n = " +
+      "(SELECT count(*) FROM dml_sq_aux WHERE bad)")
+    assert(ManifestTable.read(spark, t).filter(col("id") === 101)
+      .select("n").as[Long].head() == 2L)
     // correlated subqueries stay loud
     val ex = intercept[Exception] {
       spark.sql("DELETE FROM dml_sq WHERE EXISTS " +

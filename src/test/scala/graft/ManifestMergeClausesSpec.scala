@@ -330,4 +330,44 @@ class ManifestMergeClausesSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     assert(got2 == Seq((40L, "E", 5L)), s"got $got2")
   }
+
+  test("ON keys may differ in NAME: the source key renames to the " +
+      "target's; collisions and ambiguous sides stay loud") {
+    val t = s"${Files.createTempDirectory("graft-mckeys")}/t"
+    ManifestTable.append(spark,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "s", "n"), t,
+      statsCols = Seq("id"))
+    spark.read.format("graft-manifest").load(t)
+      .createOrReplaceTempView("mck_t")
+    Seq((2L, "B!", 200L), (3L, "c", 30L))
+      .toDF("customer_id", "s", "n").createOrReplaceTempView("mck_u")
+    // two ordered clauses force the general engine; the key names
+    // differ across the ON (`t.id = u.customer_id`)
+    spark.sql(
+      """MERGE INTO mck_t t USING mck_u u ON t.id = u.customer_id
+        |WHEN MATCHED AND u.n >= 100 THEN UPDATE SET s = u.s, n = u.n
+        |WHEN NOT MATCHED THEN INSERT (id, s, n)
+        |  VALUES (u.customer_id, u.s, u.n)""".stripMargin)
+    val got = ManifestTable.read(spark, t)
+      .select("id", "s", "n").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "a", 10L), (2L, "B!", 200L),
+      (3L, "c", 30L)), s"got $got")
+    // a source already carrying a column with the TARGET key's name
+    // cannot rename over it — loud, never a silent shadow
+    Seq((2L, 99L, "x")).toDF("customer_id", "id", "s")
+      .createOrReplaceTempView("mck_bad")
+    val ex = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO mck_t t USING mck_bad u ON t.id = u.customer_id
+          |WHEN MATCHED AND u.s = 'x' THEN DELETE
+          |WHEN NOT MATCHED THEN INSERT (id, s) VALUES (u.id, u.s)"""
+          .stripMargin)
+    }
+    def msgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(ex).exists(_.contains("collide")),
+      s"got ${msgs(ex)}")
+  }
 }
