@@ -231,7 +231,8 @@ private[catalog] object GraftProcedures {
         "staged commits into ONE (schemas fold additively, data " +
         "coalesces into a fresh dir set, a one-file pointer flip " +
         "commits it); the long-audit maintenance op. Returns " +
-        "(commits_before, commits_after).",
+        "(commits_before, commits_after) - after is 1, or 0 when " +
+        "every staged commit was empty (nothing left to stage).",
       Seq(p("table", StringType), p("branch", StringType)),
       (spark, cat, in) => {
         val (before, after) = ManifestTable.compactBranch(spark,

@@ -34,14 +34,36 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
     * the committed schema's). A batch column whose type MISMATCHES
     * the table's stays bare — the publish-time compatibility gate
     * rejects that candidate loudly before any read could misresolve.
+    *
+    * `priorStaged` carries the EARLIER staged commits' sidecar
+    * schemas when stamping into a BRANCH: a column an earlier branch
+    * commit added is ADOPTED with the id that commit stamped (the
+    * fast-forward folds commits in order, so both commits' files
+    * must agree), and a genuinely fresh column assigns ABOVE every
+    * id the branch already used — without this, two branch commits
+    * each adding a different new column would both stamp floor+1
+    * against main's unchanged schema, and the fast-forward's
+    * duplicate-id guard would (correctly but uselessly) refuse the
+    * whole branch even with a single writer.
     * Returns the stamped frame and the id-carrying staged schema
     * (persisted as the candidate's schema sidecar). */
   private def stampForStaging(spark: SparkSession, path: String,
-      prev: Option[Long], df: DataFrame): (DataFrame, StructType) = {
+      prev: Option[Long], df: DataFrame,
+      priorStaged: Seq[StructType] = Nil): (DataFrame, StructType) = {
     val table = prev.flatMap(pv => schemaOf(spark, path, pv))
-    val floor = prev.map(colmapOf(spark, path, _)._2).getOrElse(0L)
-    val byName = table.map(_.fields.map(f => f.name -> f).toMap)
-      .getOrElse(Map.empty[String, StructField])
+    // fold earlier staged commits' fresh columns over the table's —
+    // first occurrence wins, so a table column's id always beats a
+    // staged twin's and chained commits see a stable assignment
+    val effTable = priorStaged.foldLeft(
+      table.getOrElse(StructType(Nil))) { (acc, ps) =>
+      val have = acc.fieldNames.toSet
+      StructType(acc.fields ++ ps.fields.filterNot(f => have(f.name)))
+    }
+    val floor0 = prev.map(colmapOf(spark, path, _)._2).getOrElse(0L)
+    val floor = priorStaged
+      .map(s => allFieldIds(s).values.foldLeft(0L)(math.max))
+      .foldLeft(floor0)(math.max)
+    val byName = effTable.fields.map(f => f.name -> f).toMap
     val merged = StructType(df.schema.fields.map { f =>
       byName.get(f.name) match {
         case Some(tf) if tf.dataType.catalogString ==
@@ -50,9 +72,50 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
         case _ => f
       }
     })
-    val schema = withFieldIds(merged, floor)
+    val schema = withFieldIds(dedupStagedIds(merged), floor)
     (stampIds(spark, alignToTable(df, schema), schema), schema)
   }
+
+  /** Strip the LATER of any two depth-first fields carrying the same
+    * id, so [[withFieldIds]] re-assigns it fresh above the floor —
+    * the repair path for branches stamped BEFORE the branch-aware
+    * floor existed (two commits' fresh columns sharing an id):
+    * [[compactBranch]] rewrites the data files anyway, so the
+    * re-stamp under a repaired assignment is exactly what makes the
+    * branch publishable again. First-wins keeps every table column's
+    * committed id intact (table fields precede staged ones in the
+    * fold). */
+  private def dedupStagedIds(s: StructType): StructType = {
+    val seen = scala.collection.mutable.Set.empty[Long]
+    def walk(st: StructType): StructType = StructType(st.fields.map { f =>
+      val f1 = fieldIdOf(f) match {
+        case Some(id) if !seen.add(id) =>
+          f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata).remove(FieldIdKey).build())
+        case _ => f
+      }
+      f1.dataType match {
+        case nested: StructType => f1.copy(dataType = walk(nested))
+        case _ => f1
+      }
+    })
+    walk(s)
+  }
+
+  /** The earlier staged commits' sidecar schemas on a branch, in
+    * commit order — what [[stampForStaging]] folds so chained branch
+    * commits stamp a stable, collision-free id assignment.
+    * Pre-stamping-era commits (no sidecar) contribute nothing — they
+    * carried no ids either. */
+  private def priorBranchSchemas(fs: org.apache.hadoop.fs.FileSystem,
+      spark: SparkSession, path: String,
+      name: String): Seq[StructType] =
+    branchCommits(fs, path, name).flatMap { c =>
+      readSideFile(fs, new org.apache.hadoop.fs.Path(
+          resolvedCommitDir(fs, path, name, c), "_graft_schema.json"))
+        .map(DataType.fromJson(_).asInstanceOf[StructType])
+    }
 
   /** The publish/fast-forward half of [[stampForStaging]]'s
     * contract: the ids stamped into the staged FILES must equal the
@@ -270,6 +333,15 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
         case Some(table) => compatibleSchema(stagedSchema, table,
           evolveSchema, s"ManifestTable.publish($path, $name)")
         case None => stagedSchema
+      }
+      // an evolution through publish must not resurrect a RETIRED
+      // name either — same hazard, same loud rule as append's path
+      prev.foreach { pv =>
+        val tableNames = schemaOf(spark, path, pv)
+          .map(_.fieldNames.toSet).getOrElse(Set.empty[String])
+        refuseRetired(spark, path, pv,
+          stagedSchema.fieldNames.filterNot(tableNames).toSeq,
+          s"ManifestTable.publish($path, $name)")
       }
       // the ids stamped into the staged files must still equal what
       // this commit will persist (see requireStagedIdsStable)
@@ -492,7 +564,8 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
     val v = prev.map(_ + 1).getOrElse(1L) // dir-name prefix, cosmetic
     val spec = resolveSpec(spark, path, prev, Nil,
       s"ManifestTable.appendToBranch($path, $name)")
-    val (stamped, stagedSchema) = stampForStaging(spark, path, prev, df)
+    val (stamped, stagedSchema) = stampForStaging(spark, path, prev, df,
+      priorBranchSchemas(fs, spark, path, name))
     val es = writeBatchEntries(spark, stamped, path, v, tag, statsCols,
       bloomCols, spec, fanout = 1)
     // claim the next commit slot atomically INSIDE the active
@@ -553,7 +626,12 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
     * level `_graft_sup` flip commits it ([[branchActiveRoot]]);
     * superseded sets' dirs are orphans vacuum reaps. Single writer
     * per branch, like every mutation here. Returns (commits before,
-    * commits after = 1). */
+    * commits after) — after is 1, EXCEPT when every branch commit
+    * was empty (e.g. a branch DELETE removed all its rows): the
+    * consolidated set holds zero commits and after is 0, which is
+    * the honest count (there is nothing to stage, and the eventual
+    * fast-forward publishes no entries). Branches with 0 or 1
+    * commits return unchanged. */
   def compactBranch(spark: SparkSession, path: String,
       name: String): (Int, Int) = {
     val (fs, _) = fsOf(spark, path)
@@ -605,8 +683,13 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
     fs.mkdirs(tmp)
     rows match {
       case Some(df) =>
+        // the per-commit sidecars fold in as priorStaged: adopted
+        // columns keep the ids the branch's files already agree on,
+        // and any LEGACY duplicate assignment (pre-branch-aware-floor
+        // commits) repairs here — the consolidated set re-stamps its
+        // freshly-written files under the deduped ids
         val (stamped, stagedSchema) =
-          stampForStaging(spark, path, prev, df)
+          stampForStaging(spark, path, prev, df, perCommit.map(_._2))
         val es2 = writeBatchEntries(spark, stamped, path, v, maxTag,
           statsCols, bloomCols, spec, fanout = 1)
         val cdir = new org.apache.hadoop.fs.Path(tmp, cName(1))
@@ -749,6 +832,15 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
         prev.flatMap(pv => schemaOf(spark, path, pv))
           .getOrElse(perCommit.head._2)) { (acc, cs0) =>
         compatibleSchema(cs0, acc, evolveSchema,
+          s"ManifestTable.fastForwardBranch($path, $name)")
+      }
+      // an evolution through fast-forward must not resurrect a
+      // RETIRED name either — same hazard, same loud rule as append's
+      prev.foreach { pv =>
+        val tableNames = schemaOf(spark, path, pv)
+          .map(_.fieldNames.toSet).getOrElse(Set.empty[String])
+        refuseRetired(spark, path, pv,
+          schema.fieldNames.filterNot(tableNames).toSeq,
           s"ManifestTable.fastForwardBranch($path, $name)")
       }
       // every branch commit's stamped ids must still equal what this

@@ -491,7 +491,7 @@ object ManifestTable extends ManifestStagingOps {
     * path-overlap-aware: re-adding top-level `meta` clashes with a
     * retired `meta.n` too (old files still carry that nested name,
     * and parquet row-group pushdown matches nested paths by name). */
-  private def refuseRetired(spark: SparkSession, path: String,
+  private[sinks] def refuseRetired(spark: SparkSession, path: String,
       prev: Long, names: Seq[String], ctx: String): Unit = {
     if (names.isEmpty) return
     val retired = colmapOf(spark, path, prev)._3

@@ -432,4 +432,92 @@ class ManifestBranchSpec extends AnyFunSuite {
     ManifestTable.abandonStaged(spark, t, "cand")
     assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 3L))
   }
+
+  test("two branch commits each adding a DIFFERENT fresh column get " +
+      "distinct field ids — multi-commit additive evolution publishes") {
+    val t = tmp("graft-br-2col")
+    ManifestTable.append(spark, Seq((1L, "a")).toDF("id", "s"), t)
+    // column-map the table so reads resolve strictly by field id —
+    // a duplicate assignment would brick the read, not just warn
+    ManifestTable.renameColumn(spark, t, "s", "label")
+    ManifestTable.createBranch(spark, t, "ev2")
+    // commit 1 adds colA; commit 2 adds colB — before the
+    // branch-aware floor both stamped floor+1 and the fast-forward's
+    // duplicate-id guard refused the branch even single-writer
+    ManifestTable.appendToBranch(spark,
+      Seq((10L, "x", 7L)).toDF("id", "label", "colA"), t, "ev2")
+    ManifestTable.appendToBranch(spark,
+      Seq((11L, "y", 3.5)).toDF("id", "label", "colB"), t, "ev2")
+    // and a THIRD commit re-using colA must ADOPT commit 1's id
+    ManifestTable.appendToBranch(spark,
+      Seq((12L, "z", 8L)).toDF("id", "label", "colA"), t, "ev2")
+    val v = ManifestTable.fastForwardBranch(spark, t, "ev2",
+      evolveSchema = true)
+    val out = ManifestTable.readVersion(spark, t, v).orderBy("id")
+    assert(out.columns.toSeq == Seq("id", "label", "colA", "colB"))
+    assert(out.select("id").as[Long].collect().toSeq ==
+      Seq(1L, 10L, 11L, 12L))
+    assert(out.select("colA").as[Option[Long]].collect().toSeq ==
+      Seq(None, Some(7L), None, Some(8L)),
+      "commit 3's colA files must resolve under commit 1's field id")
+    assert(out.select("colB").as[Option[Double]].collect().toSeq ==
+      Seq(None, None, Some(3.5), None))
+    // the published ids are injective (the guard the old stamping
+    // tripped): rename one fresh column and re-read — id-based
+    // resolution must keep the columns apart
+    ManifestTable.renameColumn(spark, t, "colA", "renamedA")
+    val out2 = ManifestTable.read(spark, t).orderBy("id")
+    assert(out2.select("renamedA").as[Option[Long]].collect().toSeq ==
+      Seq(None, Some(7L), None, Some(8L)))
+    assert(out2.select("colB").as[Option[Double]].collect().toSeq ==
+      Seq(None, None, Some(3.5), None))
+  }
+
+  test("compactBranch consolidates a multi-commit EVOLVED branch and " +
+      "the fast-forward still publishes") {
+    val t = tmp("graft-br-2col-c")
+    ManifestTable.append(spark, Seq((1L, "a")).toDF("id", "s"), t)
+    ManifestTable.renameColumn(spark, t, "s", "label")
+    ManifestTable.createBranch(spark, t, "ev3")
+    ManifestTable.appendToBranch(spark,
+      Seq((10L, "x", 7L)).toDF("id", "label", "colA"), t, "ev3")
+    ManifestTable.appendToBranch(spark,
+      Seq((11L, "y", 3.5)).toDF("id", "label", "colB"), t, "ev3")
+    assert(ManifestTable.compactBranch(spark, t, "ev3") == (2, 1))
+    val v = ManifestTable.fastForwardBranch(spark, t, "ev3",
+      evolveSchema = true)
+    val out = ManifestTable.readVersion(spark, t, v).orderBy("id")
+    assert(out.select("colA").as[Option[Long]].collect().toSeq ==
+      Seq(None, Some(7L), None))
+    assert(out.select("colB").as[Option[Double]].collect().toSeq ==
+      Seq(None, None, Some(3.5)))
+  }
+
+  test("publish and fast-forward refuse a RETIRED column name, like " +
+      "append's evolution path") {
+    val t = tmp("graft-ret")
+    ManifestTable.append(spark, Seq((1L, "a")).toDF("id", "s"), t)
+    ManifestTable.renameColumn(spark, t, "s", "label") // retires 's'
+    // WAP candidate resurrecting the retired name: loud at publish
+    ManifestTable.stageAppend(spark,
+      Seq((2L, "b", "oops")).toDF("id", "label", "s"), t, "cand")
+    val ex1 = intercept[Exception] {
+      ManifestTable.publish(spark, t, "cand", evolveSchema = true)
+    }
+    assert(msgs(ex1).exists(_.contains("RETIRED")), s"got ${msgs(ex1)}")
+    ManifestTable.abandonStaged(spark, t, "cand")
+    // branch commit resurrecting the retired name: loud at
+    // fast-forward
+    ManifestTable.createBranch(spark, t, "ret")
+    ManifestTable.appendToBranch(spark,
+      Seq((3L, "c", "oops")).toDF("id", "label", "s"), t, "ret")
+    val ex2 = intercept[Exception] {
+      ManifestTable.fastForwardBranch(spark, t, "ret",
+        evolveSchema = true)
+    }
+    assert(msgs(ex2).exists(_.contains("RETIRED")), s"got ${msgs(ex2)}")
+    ManifestTable.abandonBranch(spark, t, "ret")
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L),
+      "main must be untouched by both refusals")
+  }
 }
