@@ -39,7 +39,8 @@ object AnnPins {
     }
     Seq(graft.operators.VectorQueries.q110IndexPath(d),
         graft.operators.VectorQueries.q100CodebooksPath(d),
-        graft.operators.VectorQueries.q117IndexPath(d))
+        graft.operators.VectorQueries.q117IndexPath(d),
+        graft.operators.VectorQueries.q170IndexPath(d))
       .flatMap(p => Seq(p, s"$p.params", s"$p.codebooks", s"$p.centroids"))
       .foreach(p => rmTree(new java.io.File(p)))
     // the pinned lists are only valid for this algorithm version — the
@@ -69,6 +70,35 @@ object AnnPins {
     println("PINS_Q117 = " + pins(graft.vector.IvfPq.probe(
       spark, graft.operators.VectorQueries.q117IndexPath(d), cents117,
       queries, m = 8, topK = 10, nProbe = 6, shortlist = 100)))
+
+    // q170: the serving-grade config (k-means++ centroids + adaptive
+    // multi-probe), with its MEASURED COST printed beside the pins —
+    // the (slack, minProbe) operating point's recall is pinned in
+    // VectorIndexSpec; this records what the recall is bought at.
+    val (cents170, built170) =
+      graft.operators.VectorQueries.ensureQ170Index(spark, d)
+    assert(built170, "q170 index must be freshly built for pins")
+    def servingProbe() = graft.vector.VectorIndex.probeAdaptive(
+      spark, graft.operators.VectorQueries.q170IndexPath(d), cents170,
+      queries, k = 10,
+      slack = graft.operators.VectorQueries.Q170_SLACK,
+      minProbe = graft.operators.VectorQueries.Q170_MIN_PROBE)
+    println("PINS_Q170 = " + pins(servingProbe()))
+    val nCent = cents170.count()
+    val nQ = queries.count()
+    val t0 = System.nanoTime()
+    servingProbe().collect()
+    val servingSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    graft.vector.VectorIndex.probe(spark,
+      graft.operators.VectorQueries.q170IndexPath(d), cents170,
+      queries, k = 10, nProbe = 2).collect()
+    val fixedSec = (System.nanoTime() - t1) / 1e9
+    println(f"Q170 serving cost: adaptive(slack=" +
+      f"${graft.operators.VectorQueries.Q170_SLACK}, minProbe=" +
+      f"${graft.operators.VectorQueries.Q170_MIN_PROBE}) " +
+      f"$servingSec%.2f s vs fixed nProbe=2 $fixedSec%.2f s over " +
+      f"$nQ queries x $nCent buckets (recall pin: VectorIndexSpec)")
     spark.stop()
   }
 }

@@ -447,6 +447,35 @@ object VectorQueries {
     //      IvfPqSpec pins the equivalence probe(appended) ≡
     //      probe(rebuild under the same frozen quantizers) and the
     //      ensure-marker idempotence. ----
+    // ---- SERVING-GRADE ANN: the configuration that closes the gap
+    //      to the reference's managed high-recall index (its chatbot
+    //      retrieves k=8 with a 0.7 threshold and assumes the index
+    //      actually finds the neighbors,
+    //      /root/reference/chatbot/main.py:66-70). Three upgrades over
+    //      the q24/q110 floors, each attacking a different recall-loss
+    //      term: k-means++ (D²-weighted) coarse seeding over a bounded
+    //      deterministic sample (cell-boundary loss — stride seeds
+    //      land wherever the id hash does), adaptive multi-probe with
+    //      the per-query budget derived from centroid margins
+    //      (fixed-nProbe loss on boundary queries), and 4 Lloyd
+    //      iterations. Pinned at recall@10 >= 0.9 (VectorIndexSpec,
+    //      measured ~0.93 at avg 5.8/8 buckets probed vs 0.45-0.65 at
+    //      fixed nProbe=2). Hash-matched like q110: per-query
+    //      overlap-with-exact-top-10 counts, pins from the
+    //      deterministic build (`graft.AnnPins`). ----
+    GraftQuery("q170_ann_serving", annRecallSql(PINS_Q170)) { (s, d) =>
+      val corpus = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val (cents, _) = ensureQ170Index(s, d)
+      val queries = corpus.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      recallVsExact(
+        graft.vector.VectorIndex.probeAdaptive(s, q170IndexPath(d),
+          cents, queries, k = 10, slack = Q170_SLACK,
+          minProbe = Q170_MIN_PROBE),
+        corpus, queries, 10)
+    },
+
     GraftQuery("q117_ivf_append_ann", annRecallSql(PINS_Q117)) { (s, d) =>
       import graft.vector.IvfPq
       val corpus = Tables.embeddings(s, d)
@@ -545,6 +574,41 @@ object VectorQueries {
   def q117IndexPath(d: String): String =
     s"${System.getProperty("java.io.tmpdir")}/" +
       s"graft-q117-${datasetKey(d)}/index"
+
+  // q170 serving-grade knobs: k-means++ seeding, 4 Lloyd iterations,
+  // adaptive multi-probe at slack 0.5 over a minProbe-2 floor — the
+  // measured recall@10 >= 0.9 operating point (VectorIndexSpec)
+  private val Q170_CENTS = 8
+  private val Q170_ITERS = 4
+  private[graft] val Q170_SLACK = 0.5
+  private[graft] val Q170_MIN_PROBE = 2
+
+  def q170IndexPath(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft-q170-${datasetKey(d)}/index"
+
+  /** Build-once serving-grade cosine IVF artifacts (k-means++
+    * centroids + bucket-partitioned index) for dataset `d`; returns
+    * (persisted centroids, whether a build ran). Same marker protocol
+    * as [[ensureQ110Index]] ([[graft.vector.ArtifactCache]]). */
+  def ensureQ170Index(s: SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, Boolean) = {
+    import graft.vector.{AnnVersion, ArtifactCache, VectorIndex}
+    val corpus = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+    val path = q170IndexPath(d)
+    val expect = s"algo=${AnnVersion.AlgoVersion} serving " +
+      s"cents=$Q170_CENTS iters=$Q170_ITERS rows=${corpus.count()}"
+    val hit = ArtifactCache.hit(path, expect)
+    if (!hit) {
+      val cents = VectorIndex.kmeansPpCentroids(corpus, Q170_CENTS,
+        iters = Q170_ITERS).localCheckpoint()
+      VectorIndex.build(corpus, cents, path)
+      cents.write.mode("overwrite").parquet(s"$path.centroids")
+      ArtifactCache.stamp(path, expect)
+    }
+    (s.read.parquet(s"$path.centroids"), !hit)
+  }
 
   /** q117's base/delta split of the embeddings corpus: the 80% the
     * index is BUILT on vs the 20% APPENDED afterwards. Every query id
@@ -686,6 +750,16 @@ object VectorQueries {
     "(300,196),(300,245),(300,300),(300,305),(300,318),(300,446)," +
     "(300,464),(300,477),(400,29),(400,57),(400,94),(400,182)," +
     "(400,400),(400,415),(400,443),(400,451),(400,475),(400,485)"
+
+  private def PINS_Q170: String =
+    "(0,0),(0,7),(0,73),(0,190),(0,320),(0,334),(0,365),(0,387)," +
+    "(0,423),(0,464),(100,24),(100,33),(100,45),(100,100),(100,202)," +
+    "(100,234),(100,360),(100,384),(100,478),(100,480),(200,32)," +
+    "(200,58),(200,135),(200,143),(200,200),(200,204),(200,348)," +
+    "(200,386),(200,409),(200,410),(300,1),(300,27),(300,51)," +
+    "(300,53),(300,60),(300,196),(300,253),(300,300),(300,464)," +
+    "(300,477),(400,92),(400,94),(400,182),(400,358),(400,400)," +
+    "(400,415),(400,443),(400,451),(400,475),(400,485)"
 
   // random-hyperplane LSH constants: weights from the same integer-mix
   // family as the minhash parameters; P odd prime > 2^32, HALF centers

@@ -287,17 +287,54 @@ object IvfPq {
     * broadcast than it prunes — apply it to the OUTPUT instead. */
   def probe(spark: SparkSession, path: String, cents: DataFrame,
       queries: DataFrame, m: Int, topK: Int, nProbe: Int,
-      shortlist: Int, allowed: Option[DataFrame] = None): DataFrame = {
-    val cb = spark.read.parquet(codebooksPath(path))
-    // stage 1 — coarse: nProbe nearest centroids per query by squared
-    // L2, matching the build-side bucket assignment metric
+      shortlist: Int, allowed: Option[DataFrame] = None): DataFrame =
+    probeFrom(spark, path,
+      coarseRanks(cents, queries).filter(col("rk") <= nProbe),
+      queries, m, topK, shortlist, allowed)
+
+  /** [[probe]] with the coarse budget derived PER QUERY from the
+    * centroid distances (see [[VectorIndex.probeAdaptive]] — this is
+    * the same rule in the L2 metric this index builds under): probe
+    * every centroid with `d2 <= (1 + slack) * best_d2`, bounded by
+    * [minProbe, maxProbe]. A boundary query — the case fixed-nProbe
+    * recall dies on — spills into each competitive cell; a decisive
+    * query stays at minProbe. Pair with a shortlist sized ~10x topK:
+    * the exact re-rank then erases the ADC quantization error for
+    * every returned row (IvfPqSpec pins the serving-grade recall). */
+  def probeAdaptive(spark: SparkSession, path: String, cents: DataFrame,
+      queries: DataFrame, m: Int, topK: Int, shortlist: Int,
+      slack: Double = 0.5, minProbe: Int = 2,
+      maxProbe: Int = Int.MaxValue,
+      allowed: Option[DataFrame] = None): DataFrame = {
+    val wBest = Window.partitionBy(col("query_id"))
+    val picked = coarseRanks(cents, queries)
+      .withColumn("best", min(col("d2")).over(wBest))
+      .filter(col("rk") <= lit(minProbe) ||
+        (col("rk") <= lit(maxProbe) &&
+          col("d2") <= (lit(1.0) + lit(slack)) * col("best")))
+    probeFrom(spark, path, picked, queries, m, topK, shortlist, allowed)
+  }
+
+  /** Stage 1 scoring shared by both probes: per-query centroid
+    * distances with nearest-first rank (tiny broadcast cross
+    * product, squared L2 — the build-side assignment metric). */
+  private def coarseRanks(cents: DataFrame,
+      queries: DataFrame): DataFrame = {
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("d2"), col("cent_id"))
-    val probeBuckets = queries.crossJoin(broadcast(cents))
+    queries.crossJoin(broadcast(cents))
       .select(col("query_id"), col("q_emb"), col("cent_id"),
         PQ.l2sq(col("q_emb"), col("c_emb")).as("d2"))
       .withColumn("rk", row_number().over(wq))
-      .filter(col("rk") <= nProbe)
+  }
+
+  /** Stages 2-3 over an already-picked (query_id, q_emb, cent_id
+    * [, ...]) bucket frame. */
+  private def probeFrom(spark: SparkSession, path: String,
+      picked: DataFrame, queries: DataFrame, m: Int, topK: Int,
+      shortlist: Int, allowed: Option[DataFrame]): DataFrame = {
+    val cb = spark.read.parquet(codebooksPath(path))
+    val probeBuckets = picked
       .select(col("query_id"), col("q_emb"), col("cent_id").as("bucket"))
       // materialize: the frame is executed twice (bucket collect for
       // partition pruning, then the ADC join) — without this the

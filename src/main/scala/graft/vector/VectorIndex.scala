@@ -82,9 +82,95 @@ object VectorIndex {
     * — which is the deliberate price of a reproducible one-time build;
     * assignment passes stay one broadcast + one window each.
     * Returns (cent_id, c_emb, c_nrm), same schema as [[centroids]]. */
-  def kmeansCentroids(corpus: DataFrame, n: Int, iters: Int = 2): DataFrame = {
+  def kmeansCentroids(corpus: DataFrame, n: Int, iters: Int = 2): DataFrame =
+    lloydRefine(corpus, centroids(corpus, n).localCheckpoint(), iters)
+
+  /** k-means++ (D²-weighted) SEEDS over a bounded deterministic
+    * sample, Lloyd-refined distributed — the serving-grade centroid
+    * build: stride seeds land where the id hash happens to, k-means++
+    * spreads seeds proportionally to residual distance, so coarse
+    * cells track the corpus's direction clusters and a fixed probe
+    * budget recovers far more of the true neighbor set (recall@10
+    * 0.45-0.65 -> >=0.9 on the test corpus at the same index shape;
+    * see VectorIndexSpec's serving-grade pin).
+    *
+    * Scale contract: the D² scan is inherently sequential (each seed
+    * conditions the next draw), so seeding runs DRIVER-SIDE over a
+    * deterministic hash-stride sample of <= `sampleCap` vectors —
+    * exactly how production coarse quantizers train (FAISS trains on
+    * a bounded sample; the corpus itself is never collected).
+    * Memory: sampleCap x dim x 4 bytes (8192 x 1024-d = 32 MB). The
+    * refinement passes stay fully distributed ([[lloydRefine]]), and
+    * everything is deterministic (fixed-seed RNG over a
+    * deterministically-ordered sample), so rebuilds stay
+    * bit-identical like the stride path's.
+    * Returns (cent_id, c_emb, c_nrm), same schema as [[centroids]]. */
+  def kmeansPpCentroids(corpus: DataFrame, n: Int, iters: Int = 4,
+      sampleCap: Int = 8192, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    val total = corpus.count()
+    val stride = math.max(total / math.max(2L * sampleCap, 1L), 1L)
+    val sample = corpus
+      .filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
+      .orderBy(col("vec_id")).limit(sampleCap)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.length >= n,
+      s"kmeansPpCentroids: sample of ${sample.length} vectors cannot " +
+        s"seed $n centroids — corpus too small for this centroid count")
+    // unit-normalize once so D² is (1 - cosine), clipped at 0
+    val unit = sample.map { v =>
+      val nrm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      if (nrm == 0.0) v.map(_.toDouble) else v.map(_ / nrm)
+    }
+    val rng = new scala.util.Random(seed)
+    val seedIdx = scala.collection.mutable.ArrayBuffer(
+      rng.nextInt(unit.length))
+    val d2 = Array.fill(unit.length)(Double.MaxValue)
+    def relax(c: Array[Double]): Unit = {
+      var i = 0
+      while (i < unit.length) {
+        var dot = 0.0
+        var j = 0
+        while (j < c.length) { dot += c(j) * unit(i)(j); j += 1 }
+        d2(i) = math.min(d2(i), math.max(1.0 - dot, 0.0))
+        i += 1
+      }
+    }
+    relax(unit(seedIdx.head))
+    while (seedIdx.size < n) {
+      val totalW = d2.sum
+      val next =
+        if (totalW <= 0.0) {
+          // the sample has < n distinct directions: every residual is
+          // 0 — fall back to the next unseeded index (deterministic)
+          (0 until unit.length).find(!seedIdx.contains(_))
+            .getOrElse(seedIdx.size % unit.length)
+        } else {
+          var r = rng.nextDouble() * totalW
+          var i = 0
+          while (i < unit.length - 1 && r >= d2(i)) { r -= d2(i); i += 1 }
+          i
+        }
+      seedIdx += next
+      relax(unit(next))
+    }
+    val rows = seedIdx.toSeq.zipWithIndex.map { case (si, ci) =>
+      (ci, sample(si).toSeq)
+    }
+    import spark.implicits._
+    val seeds = rows.toDF("cent_id", "c_emb")
+      .select(col("cent_id"), col("c_emb").cast("array<float>").as("c_emb"))
+      .withColumn("c_nrm", l2Norm(col("c_emb")))
+    lloydRefine(corpus, seeds.localCheckpoint(), iters)
+  }
+
+  /** The shared Lloyd loop ([[kmeansCentroids]]'s doc describes the
+    * decimal-exact mean discipline); seeds must be materialized. */
+  private def lloydRefine(corpus: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    var cents = centroids(corpus, n).localCheckpoint()
+    var cents = seeds
     var it = 0
     while (it < iters) {
       val means = assignBuckets(corpus, cents)
@@ -111,26 +197,27 @@ object VectorIndex {
     assignBuckets(corpus, cents)
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
-  /** Probe: top-k cosine neighbors for each query, scanning only each
-    * query's nProbe nearest buckets. Queries: (query_id, q_emb). */
-  def probe(spark: SparkSession, indexPath: String, cents: DataFrame,
-      queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
-    val q = queries
-      .withColumn("q_nrm", l2Norm(col("q_emb")))
-    // nProbe nearest centroids per query (tiny: queries x centroids)
+  /** Per-query centroid scores: (query_id, q_emb, q_nrm, cent_id,
+    * csim, rk) — rk ranks centroids nearest-first per query. Tiny
+    * (queries x centroids), one broadcast cross product. */
+  private def centroidRanks(cents: DataFrame,
+      queries: DataFrame): DataFrame = {
+    val q = queries.withColumn("q_nrm", l2Norm(col("q_emb")))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("cent_id"))
-    val probeBuckets = q.crossJoin(broadcast(cents))
+    q.crossJoin(broadcast(cents))
       .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cent_id"),
         when(col("q_nrm") === 0.0 || col("c_nrm") === 0.0, lit(-2.0))
           .otherwise(dotF(col("c_emb"), col("q_emb"))
             / (col("c_nrm") * col("q_nrm"))).as("csim"))
       .withColumn("rk", row_number().over(wq))
-      .filter(col("rk") <= nProbe)
-      .select(col("query_id"), col("q_emb"), col("q_nrm"),
-        col("cent_id").as("bucket"))
-    // scan ONLY the probed buckets: the bucket IN (...) filter is a
-    // partition filter -> planning-time pruning of the index dirs
+  }
+
+  /** The shared probe tail: scan ONLY the probed buckets (the bucket
+    * IN (...) filter is a partition filter -> planning-time pruning
+    * of the index dirs) and take per-query cosine top-k. */
+  private def scanTopK(spark: SparkSession, indexPath: String,
+      probeBuckets: DataFrame, k: Int): DataFrame = {
     val buckets = probeBuckets.select("bucket").distinct()
       .collect().map(_.getInt(0))
     val index = spark.read.parquet(indexPath)
@@ -146,5 +233,47 @@ object VectorIndex {
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("vec_id"), col("sim"))
+  }
+
+  /** Probe: top-k cosine neighbors for each query, scanning only each
+    * query's nProbe nearest buckets. Queries: (query_id, q_emb). */
+  def probe(spark: SparkSession, indexPath: String, cents: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int): DataFrame =
+    scanTopK(spark, indexPath,
+      centroidRanks(cents, queries)
+        .filter(col("rk") <= nProbe)
+        .select(col("query_id"), col("q_emb"), col("q_nrm"),
+          col("cent_id").as("bucket")),
+      k)
+
+  /** MULTI-PROBE with a per-query budget derived from the centroid
+    * distances themselves — the serving-grade default: a query deep
+    * inside one cluster probes few buckets, a query near a cell
+    * boundary (where fixed-nProbe recall dies) spills into every
+    * competitive neighbor cell. A centroid is probed when its
+    * similarity sits within `slack` of the best, RELATIVE to how
+    * decisive the best is: `csim >= best - slack * (1 - best)` — the
+    * margin collapses as best -> 1 (decisive assignment) and widens
+    * for diffuse queries; on unit vectors this is exactly the L2 rule
+    * `d2 <= (1 + slack) * best_d2` (FAISS's multiprobe epsilon).
+    * `minProbe`/`maxProbe` bound the budget both ways; maxProbe =
+    * #centroids with slack -> infinity degrades to brute force.
+    * Measured on the test corpus (VectorIndexSpec): recall@10 >= 0.9
+    * at an average ~5.6/8 buckets probed vs 0.45-0.65 at fixed
+    * nProbe=2 — the knob trades scan fraction for recall per-query
+    * instead of fleet-wide. */
+  def probeAdaptive(spark: SparkSession, indexPath: String,
+      cents: DataFrame, queries: DataFrame, k: Int,
+      slack: Double = 0.5, minProbe: Int = 2,
+      maxProbe: Int = Int.MaxValue): DataFrame = {
+    val wBest = Window.partitionBy(col("query_id"))
+    val probeBuckets = centroidRanks(cents, queries)
+      .withColumn("best", max(col("csim")).over(wBest))
+      .filter(col("rk") <= lit(minProbe) ||
+        (col("rk") <= lit(maxProbe) &&
+          col("csim") >= col("best") - lit(slack) * (lit(1.0) - col("best"))))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        col("cent_id").as("bucket"))
+    scanTopK(spark, indexPath, probeBuckets, k)
   }
 }

@@ -88,6 +88,39 @@ class IvfPqSpec extends AnyFunSuite {
     assert(wide >= 0.70)
   }
 
+  test("SERVING GRADE: k-means++ centroids + adaptive multi-probe + " +
+      "finer PQ + wide re-ranked shortlist pin recall@10 >= 0.9") {
+    // the serving config differs from the floor tests on all three
+    // knobs, each attacking a different loss term: k-means++ coarse
+    // cells (cell-boundary loss), adaptive multi-probe (fixed-budget
+    // loss), m=8 subspaces + shortlist 15x topK (ADC quantization
+    // loss — with M=4 the compressed ordering drops true neighbors
+    // past the cut, and no coarse knob can recover them)
+    val tmp = Files.createTempDirectory("graft-ivfpq-serve").toString
+    val mServe = 8
+    val cents = VectorIndex.kmeansPpCentroids(corpus, 8, iters = 4)
+      .cache()
+    IvfPq.build(corpus, cents, m = mServe, k = 16, s"$tmp/index")
+    val truth = bruteL2(10)
+    val res = IvfPq.probeAdaptive(spark, s"$tmp/index", cents, queries,
+      m = mServe, topK = 10, shortlist = 150, slack = 0.5, minProbe = 2)
+      .cache()
+    val got = res.select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+      .toMap
+    val per = truth.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).intersect(t.toSet).size.toDouble / t.size }
+    val recall = per.sum / per.size
+    // returned distances stay EXACT under the adaptive coarse stage
+    val self = res.filter(col("rk") === 1).collect()
+    assert(self.forall(r => r.getLong(0) == r.getLong(2)
+      && r.getDouble(3) == 0.0))
+    info(f"ivf-pq serving recall@10=$recall%.3f (slack=0.5, " +
+      f"minProbe=2, m=8, shortlist=150, kmpp iters=4)")
+    assert(recall >= 0.9,
+      f"serving-grade recall pin violated: $recall%.3f < 0.9")
+  }
+
   test("widening nProbe+shortlist to the limit recovers brute force") {
     val tmp = Files.createTempDirectory("graft-ivfpq-limit").toString
     val cents = VectorIndex.centroids(corpus, 4).cache()

@@ -77,6 +77,100 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(kmeansRecall >= 0.45)
   }
 
+  test("SERVING GRADE: k-means++ centroids + adaptive multi-probe " +
+      "pin recall@10 >= 0.9") {
+    import graft.functions.VectorFunctions._
+    val tmp = Files.createTempDirectory("graft-ivf-serve").toString
+    val cents = VectorIndex.kmeansPpCentroids(corpus, 8, iters = 4)
+      .cache()
+    assert(cents.count() == 8)
+    VectorIndex.build(corpus, cents, s"$tmp/index")
+    val queries = corpus.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val res = VectorIndex.probeAdaptive(spark, s"$tmp/index", cents,
+      queries, k = 10, slack = 0.5, minProbe = 2).cache()
+    val got = res.select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+      .toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    val brute = corpus.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("sim"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+      .toMap
+    val per = brute.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+    val recall = per.sum / per.size
+    // the measured serving cost: average buckets probed per query —
+    // the scan fraction the recall is bought at (8 = brute force).
+    // Recomputed here with the probe's own selection rule.
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+    val avgProbed = queries.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cent_id"),
+        cosine(col("q_emb"), col("c_emb")).as("csim"))
+      .withColumn("best", max(col("csim")).over(wb))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("csim").desc, col("cent_id"))))
+      .filter(col("rk") <= 2 ||
+        col("csim") >= col("best") - lit(0.5) * (lit(1.0) - col("best")))
+      .groupBy("query_id").count()
+      .agg(avg("count")).head().getDouble(0)
+    info(f"serving recall@10=$recall%.3f at avg $avgProbed%.1f/8 " +
+      f"buckets probed (slack=0.5, minProbe=2, kmpp iters=4) over " +
+      f"${brute.size} queries")
+    assert(avgProbed < 8.0, "adaptive probe must not always read " +
+      "the whole index on this corpus")
+    assert(recall >= 0.9,
+      f"serving-grade recall pin violated: $recall%.3f < 0.9")
+    // the fixed-nProbe baseline the adaptive probe replaces: strictly
+    // worse at the same centroids (the boundary queries it misses)
+    val fixedRecall = {
+      val fx = VectorIndex.probe(spark, s"$tmp/index", cents, queries,
+        k = 10, nProbe = 2)
+        .select("query_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+        .toMap
+      val p = brute.map { case (q, t) =>
+        fx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      p.sum / p.size
+    }
+    info(f"fixed nProbe=2 recall@10=$fixedRecall%.3f at the same centroids")
+    assert(recall >= fixedRecall)
+  }
+
+  test("k-means++ build is deterministic; adaptive probe at max slack " +
+      "equals brute force") {
+    import graft.functions.VectorFunctions._
+    val a = VectorIndex.kmeansPpCentroids(corpus, 8, iters = 2)
+      .orderBy("cent_id").collect().map(_.getSeq[Float](1)).toSeq
+    val b = VectorIndex.kmeansPpCentroids(corpus, 8, iters = 2)
+      .orderBy("cent_id").collect().map(_.getSeq[Float](1)).toSeq
+    assert(a === b)
+    val tmp = Files.createTempDirectory("graft-ivf-limit2").toString
+    val cents = VectorIndex.kmeansPpCentroids(corpus, 4, iters = 1).cache()
+    VectorIndex.build(corpus, cents, s"$tmp/index")
+    val queries = corpus.filter(col("vec_id") === 7)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val adaptive = VectorIndex.probeAdaptive(spark, s"$tmp/index", cents,
+      queries, k = 10, slack = 1e9, minProbe = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    val brute = corpus.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("sim"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(adaptive == brute,
+      "slack -> infinity must degrade to brute force")
+  }
+
   test("k-means build is deterministic across runs") {
     val a = VectorIndex.kmeansCentroids(corpus, 8, iters = 2)
       .orderBy("cent_id").collect().map(_.getSeq[Float](1)).toSeq
