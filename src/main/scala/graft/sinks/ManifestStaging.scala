@@ -613,6 +613,45 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
     i
   }
 
+  /** The STREAM-WAP exactly-once step — [[appendIfFresh]]'s
+    * discipline on a BRANCH: append `batch` tagged `batchId` to the
+    * branch IFF it is fresh, where the watermark is the max of the
+    * branch's own staged tags AND the main table's tag watermark.
+    * Folding main's watermark in is what makes the full WAP loop
+    * replay-safe: after the auditor fast-forwards (branch consumed,
+    * its tags folded into main's commit) and the sink re-creates the
+    * branch, a replayed batch would see an EMPTY branch watermark —
+    * main's remembers it was published. The missing-branch case
+    * auto-creates from the current snapshot (the steady-state loop:
+    * stage N batches -> audit -> fast-forward -> next batch re-opens
+    * the branch); the table itself must already exist — a stream
+    * whose first batch both creates the table and opens a branch has
+    * nothing to audit AGAINST, so that shape is refused loudly.
+    * Same caveat as every tag-watermark sink: retain the checkpoint;
+    * after checkpoint loss, NEW data under a reused low batchId is
+    * skipped as a replay. Returns true iff the batch was staged. */
+  def appendToBranchIfFresh(spark: SparkSession, batch: DataFrame,
+      path: String, name: String, batchId: Long,
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Boolean = {
+    val (fs, _) = fsOf(spark, path)
+    require(latestVersion(spark, path).isDefined,
+      s"ManifestTable.appendToBranchIfFresh: no committed version at " +
+        s"$path — create the table (one append) before streaming " +
+        "into a branch of it")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(branchDir(path, name))))
+      createBranch(spark, path, name)
+    val branchTag = branchCommits(fs, path, name).map { c =>
+      entriesAt(spark, resolvedCommitDir(fs, path, name, c))
+        .map(_.tag).foldLeft(-1L)(math.max)
+    }.foldLeft(-1L)(math.max)
+    val fresh = batchId > math.max(latestTag(spark, path), branchTag)
+    if (fresh)
+      appendToBranch(spark, batch, path, name, tag = batchId,
+        statsCols = statsCols, bloomCols = bloomCols)
+    fresh
+  }
+
   /** CONSOLIDATE the branch's staged commits into ONE: the whole-
     * branch maintenance op a long audit accumulates toward (N commit
     * dirs, N schema folds per read, N entry lists per fast-forward →
@@ -784,7 +823,18 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
       }
       (es, schema, cStats, cBlooms)
     }
+    // branch-internal rewrite provenance (a mid-branch DML
+    // superseding a staged commit records the STAGED dirs it rewrote
+    // from) references dirs no main consumer ever saw — published,
+    // those rows are genuinely new, so the sources clear here:
+    // readSince/readChanges then classify the publish as plain
+    // inserts of the FIXED content instead of chasing provenance
+    // outside main's history (which reads as a vacuumed gap and
+    // fails loudly). Base dirs are never rewritten by branch DML
+    // (shared with main, physically protected), so every source on a
+    // branch entry is branch-internal by construction.
     val es = perCommit.flatMap(_._1)
+      .map(e => if (e.sources.isEmpty) e else e.copy(sources = Seq.empty))
     val branchAttempt = readSideFile(fs,
       new org.apache.hadoop.fs.Path(bd, "_graft_attempt")).map(_.trim)
     // crash-window idempotence — publish's exact discipline, keyed

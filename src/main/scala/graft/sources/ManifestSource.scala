@@ -672,7 +672,8 @@ object ManifestFileIndex {
 final class ManifestStreamSink(path: String, statsCols: Seq[String],
     vacuumEvery: Int, keepVersions: Int, bloomCols: Seq[String] = Nil,
     partitionSpec: Seq[graft.sinks.PartitionTransform] = Nil,
-    partitionFanout: Int = 1, vacuumMinAgeMillis: Long = 0L)
+    partitionFanout: Int = 1, vacuumMinAgeMillis: Long = 0L,
+    branch: Option[String] = None)
     extends org.apache.spark.sql.execution.streaming.Sink {
 
   override def addBatch(batchId: Long,
@@ -681,14 +682,25 @@ final class ManifestStreamSink(path: String, statsCols: Seq[String],
     // writable — re-tag it as a batch frame over the same rows; the
     // exactly-once skip + maintenance cadence is the ONE shared
     // implementation both streaming write paths use
-    ManifestTable.appendIfFresh(data.sparkSession,
-      org.apache.spark.sql.GraftSqlBridge.batchFrame(data), path,
-      batchId, statsCols, vacuumEvery, keepVersions, bloomCols,
-      partitionSpec, partitionFanout, vacuumMinAgeMillis)
+    branch match {
+      case Some(b) =>
+        // stream-WAP through the format API: stage on the branch
+        // under the same shared exactly-once step as
+        // Streams.branchSinkWriter (see appendToBranchIfFresh)
+        ManifestTable.appendToBranchIfFresh(data.sparkSession,
+          org.apache.spark.sql.GraftSqlBridge.batchFrame(data), path,
+          b, batchId, statsCols, bloomCols)
+      case None =>
+        ManifestTable.appendIfFresh(data.sparkSession,
+          org.apache.spark.sql.GraftSqlBridge.batchFrame(data), path,
+          batchId, statsCols, vacuumEvery, keepVersions, bloomCols,
+          partitionSpec, partitionFanout, vacuumMinAgeMillis)
+    }
     ()
   }
 
-  override def toString: String = s"ManifestStreamSink[$path]"
+  override def toString: String =
+    s"ManifestStreamSink[$path${branch.fold("")("@" + _)}]"
 }
 
 /** The V1 streaming [[org.apache.spark.sql.execution.streaming.Source]]
@@ -950,8 +962,20 @@ final class GraftManifestSource extends RelationProvider
     val bloomCols = parameters.get("bloomCols")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
+    // stream-WAP through the format API: option("branch", name)
+    // stages every micro-batch invisibly; the auditor fast-forwards.
+    // Branch staging follows the TABLE's current partition spec and
+    // does its maintenance at publish, so the main-path layout and
+    // vacuum knobs cannot apply — loud, not ignored.
+    val branch = parameters.get("branch").map(_.trim).filter(_.nonEmpty)
+    if (branch.isDefined)
+      require(partSpec.isEmpty && vacuumEvery == 0 && partFanout == 1,
+        "graft-manifest sink: the branch option stages on the table's " +
+          "own spec and publishes through fastForwardBranch — " +
+          "partitionBy/partitionSpec/partitionFanout/vacuumEvery do " +
+          "not apply to a staging stream; drop them")
     new ManifestStreamSink(path, statsCols, vacuumEvery, keepVersions,
-      bloomCols, partSpec, partFanout, vacMinAge)
+      bloomCols, partSpec, partFanout, vacMinAge, branch)
   }
 
   /** `spark.readStream.format("graft-manifest").load(tablePath)` —

@@ -780,6 +780,51 @@ object Streams {
         ()
       }
 
+  /** STREAM-WAP: exactly-once streaming ingest into a manifest-table
+    * BRANCH — [[manifestSinkWriter]]'s batchId discipline composed
+    * with the write-audit-publish gate: every micro-batch stages as
+    * an INVISIBLE branch commit (main readers see nothing), the
+    * auditor reads the branch whole
+    * ([[graft.sinks.ManifestTable.readBranch]] = base + staged
+    * batches), fixes bad staged rows in place if needed (branch DML),
+    * and publishes the audited window as ONE atomic commit
+    * ([[graft.sinks.ManifestTable.fastForwardBranch]]) — or abandons
+    * it without a trace. The production ingest shape: data quality
+    * problems are caught while they are still nobody's problem,
+    * continuously, without pausing the stream's staging side.
+    *
+    * Exactly-once across the WHOLE loop, not just the staging side
+    * ([[graft.sinks.ManifestTable.appendToBranchIfFresh]]): the
+    * replay watermark is max(branch staged tags, main table tag), so
+    * a batch replayed AFTER its window was fast-forwarded (branch
+    * consumed, tags folded into main) still skips; the sink re-opens
+    * the branch from the then-current snapshot on the next fresh
+    * batch. Crash between a branch commit and the checkpoint update
+    * replays into a skip — the branch commit IS the atomic unit,
+    * like the main-path sink's manifest rename.
+    *
+    * The publish cadence is the AUDITOR's, not the sink's, by
+    * design: fast-forward validates against the table as it is NOW
+    * (schema, constraints, partition purity), so it belongs with
+    * whoever owns the audit decision — typically a scheduled job:
+    * `audit(readBranch(...)); fastForwardBranch(...)`. At 100 TB
+    * rate nothing here scales with table size: each batch is one
+    * staged dir write + one slot claim, the fast-forward is
+    * metadata-only (zero data movement, however many batches the
+    * audit window staged). */
+  def branchSinkWriter(docs: DataFrame, tablePath: String,
+      branch: String, checkpoint: String,
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sinks.ManifestTable.appendToBranchIfFresh(
+          batch.sparkSession, batch, tablePath, branch, batchId,
+          statsCols, bloomCols)
+        ()
+      }
+
   /** CDC APPLY: follow a manifest table's CHANGE FEED
     * (`readStream.format("graft-manifest").option("readChangeFeed",
     * "true")`) into a FOLLOWER manifest table that converges to the

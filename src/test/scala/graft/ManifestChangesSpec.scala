@@ -373,4 +373,40 @@ class ManifestChangesSpec extends AnyFunSuite {
     // source data fully intact after every refusal
     assert(ManifestTable.read(spark, src).count() == 6)
   }
+
+  test("branch DML supersedes feed as their FIXED content: readSince " +
+      "and readChanges deliver the published rows exactly once") {
+    val t = s"${Files.createTempDirectory("graft-cdf-br")}/t"
+    ManifestTable.append(spark,
+      Seq((1L, 10L), (2L, 10L)).toDF("id", "n"), t,
+      statsCols = Seq("id"))                                      // v1
+    val v1 = ManifestTable.latestVersion(spark, t).get
+    // a branch stages two commits; the audit fixes the STAGED rows
+    // in place (supersede-pointer rewrites of staged dirs), then the
+    // fast-forward publishes the fixed content at ONE version
+    ManifestTable.createBranch(spark, t, "fix")
+    ManifestTable.appendToBranch(spark,
+      Seq((10L, 1L), (11L, 2L)).toDF("id", "n"), t, "fix",
+      statsCols = Seq("id"))
+    ManifestTable.appendToBranch(spark,
+      Seq((12L, 3L)).toDF("id", "n"), t, "fix",
+      statsCols = Seq("id"))
+    ManifestTable.deleteFromBranch(spark, t, "fix", col("id") === 11L)
+    ManifestTable.updateBranch(spark, t, "fix", col("id") === 12L,
+      Seq("n" -> lit(300L)))
+    val v2 = ManifestTable.fastForwardBranch(spark, t, "fix")
+    // a consumer checkpointed BEFORE the branch sees exactly the
+    // FIXED rows, once, at the publish version — never the staged
+    // pre-fix content and never a duplicate from the superseded dirs
+    assert(ManifestTable.readSince(spark, t, v1)
+      .select("id", "n").as[(Long, Long)].collect().sorted.toSeq ==
+      Seq((10L, 1L), (12L, 300L)),
+      "readSince must deliver the fixed rows exactly once")
+    assert(changes(t, v1, v2) == Seq((10L, 1L, "insert", v2),
+      (12L, 300L, "insert", v2)),
+      "the change feed must show the publish as inserts of the " +
+        "FIXED content only")
+    // a consumer checkpointed AT the publish sees nothing new
+    assert(ManifestTable.readSince(spark, t, v2).isEmpty)
+  }
 }

@@ -329,4 +329,130 @@ class ManifestStreamSpec extends AnyFunSuite {
     val df = spark.readStream.format("graft-manifest").load(t)
     assert(df.isStreaming && df.columns.toSeq == Seq("id", "s"))
   }
+
+  test("stream-WAP: batches stage invisibly on a branch; audit reads " +
+      "mid-stream; fast-forward publishes; replay skips through main") {
+    implicit val sq = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-swap").toString
+    val t = s"$tmp/table"
+    val ckpt = s"$tmp/ckpt"
+    ManifestTable.append(spark, Seq(1L, 2L).toDF("id"), t,
+      statsCols = Seq("id"))
+    val mainFiles = ManifestTable.read(spark, t).inputFiles.toSet
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    def start(cp: String) = graft.streaming.Streams.branchSinkWriter(
+      mem.toDF.toDF("id"), t, "ingest", cp,
+      statsCols = Seq("id")).start()
+    val q = start(ckpt)
+    mem.addData(10L, 11L); q.processAllAvailable() // batch 0 -> c0001
+    // AUDIT-READ ISOLATION mid-stream: main readers see only the
+    // base, physically untouched; the auditor sees base + staged
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L))
+    assert(ManifestTable.read(spark, t).inputFiles.toSet == mainFiles)
+    assert(ids(ManifestTable.readBranch(spark, t, "ingest")) ==
+      Seq(1L, 2L, 10L, 11L))
+    mem.addData(12L); q.processAllAvailable()      // batch 1 -> c0002
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L),
+      "main must stay oblivious while the stream stages")
+    q.stop()
+    // the audit gate: publish the staged window as ONE atomic commit
+    ManifestTable.fastForwardBranch(spark, t, "ingest")
+    assert(ids(ManifestTable.read(spark, t)) ==
+      Seq(1L, 2L, 10L, 11L, 12L))
+    assert(ManifestTable.branchNames(spark, t).isEmpty)
+    // REPLAY under a reset batchId (fresh checkpoint) AFTER the
+    // publish: the branch is gone and its tags folded into main's
+    // watermark — the replay re-opens an EMPTY branch and skips
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q2 = graft.streaming.Streams.branchSinkWriter(
+      mem2.toDF.toDF("id"), t, "ingest", s"$tmp/ckpt2").start()
+    mem2.addData(10L, 11L); q2.processAllAvailable()
+    q2.stop()
+    assert(ids(ManifestTable.read(spark, t)) ==
+      Seq(1L, 2L, 10L, 11L, 12L), "replayed batch must not re-stage")
+    assert(ids(ManifestTable.readBranch(spark, t, "ingest")) ==
+      Seq(1L, 2L, 10L, 11L, 12L), "the replayed batch must stage " +
+        "NOTHING on the re-opened branch")
+    // CRASH-BETWEEN-BATCHES RECOVERY: restart the ORIGINAL stream
+    // from its retained checkpoint — the next fresh batch (id 2)
+    // stages on the re-opened branch and a second audit publishes it
+    val q3 = start(ckpt)
+    mem.addData(13L); q3.processAllAvailable()
+    q3.stop()
+    assert(ids(ManifestTable.read(spark, t)) ==
+      Seq(1L, 2L, 10L, 11L, 12L))
+    assert(ids(ManifestTable.readBranch(spark, t, "ingest")) ==
+      Seq(1L, 2L, 10L, 11L, 12L, 13L))
+    ManifestTable.fastForwardBranch(spark, t, "ingest")
+    assert(ids(ManifestTable.read(spark, t)) ==
+      Seq(1L, 2L, 10L, 11L, 12L, 13L))
+  }
+
+  test("stream-WAP through the format API: option(branch) stages " +
+      "invisibly; layout/vacuum knobs are refused loudly") {
+    implicit val sq = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-swap3").toString
+    val t = s"$tmp/table"
+    ManifestTable.append(spark, Seq(1L).toDF("id"), t,
+      statsCols = Seq("id"))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = mem.toDF.toDF("id").writeStream
+      .format("graft-manifest")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .option("branch", "ingest")
+      .option("statsCols", "id")
+      .start(t)
+    mem.addData(10L, 11L); q.processAllAvailable()
+    q.stop()
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L),
+      "main must stay oblivious to format-API branch staging")
+    assert(ids(ManifestTable.readBranch(spark, t, "ingest")) ==
+      Seq(1L, 10L, 11L))
+    ManifestTable.fastForwardBranch(spark, t, "ingest")
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 10L, 11L))
+    // layout/vacuum knobs do not apply to a staging stream: loud
+    val ex = intercept[Exception] {
+      mem.toDF.toDF("id").writeStream
+        .format("graft-manifest")
+        .option("checkpointLocation", s"$tmp/ckpt2")
+        .option("branch", "ingest")
+        .option("vacuumEvery", "2")
+        .start(t)
+    }
+    def msgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(ex).exists(_.contains("staging stream")),
+      s"got ${msgs(ex)}")
+  }
+
+  test("stream-WAP crash window: a branch commit whose checkpoint " +
+      "update was lost replays into a skip; bootstrap is refused") {
+    val tmp = Files.createTempDirectory("graft-swap2").toString
+    val t = s"$tmp/table"
+    ManifestTable.append(spark, Seq(1L).toDF("id"), t)
+    // batch 0 stages, then the process dies BEFORE the checkpoint
+    // write — the engine re-runs batch 0 on restart: the branch's
+    // own tag watermark makes the re-run a no-op
+    assert(ManifestTable.appendToBranchIfFresh(spark,
+      Seq(7L).toDF("id"), t, "b", batchId = 0L))
+    assert(!ManifestTable.appendToBranchIfFresh(spark,
+      Seq(7L).toDF("id"), t, "b", batchId = 0L),
+      "the replayed batch must skip on the branch tag watermark")
+    assert(ids(ManifestTable.readBranch(spark, t, "b")) == Seq(1L, 7L),
+      "exactly one staged copy across the crash window")
+    // ... and AFTER the publish the skip holds through MAIN's
+    // watermark (the branch no longer exists to remember the tag)
+    ManifestTable.fastForwardBranch(spark, t, "b")
+    assert(!ManifestTable.appendToBranchIfFresh(spark,
+      Seq(7L).toDF("id"), t, "b", batchId = 0L))
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 7L))
+    // a stream must not bootstrap a TABLE through a branch: there is
+    // nothing to audit against
+    val ex = intercept[Exception] {
+      ManifestTable.appendToBranchIfFresh(spark,
+        Seq(9L).toDF("id"), s"$tmp/none", "b", batchId = 0L)
+    }
+    assert(ex.getMessage.contains("no committed version"))
+  }
 }
