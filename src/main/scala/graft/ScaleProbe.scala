@@ -523,6 +523,65 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // sqj100: the OVER-CAP IN-subquery auto-route at 1M keys — the
+    // REAL inline cap (100k), no lowering: a 4M-row table in 10
+    // range-disjoint dirs, `DELETE WHERE doc_id IN (SELECT …)`
+    // returning 1,000,000 keys. The pins that matter: the statement
+    // routes merge-on-read (zero data files rewritten, the key set
+    // never collected to the driver), and the dirs the tombstone
+    // attaches to are EXACTLY the dirs whose stats admit a matching
+    // key — the same overlap a scan of the predicate touches.
+    if (args.headOption.contains("sqj100")) {
+      val tq = "/tmp/scale100docs/docs_sqj"
+      val fsQ = new org.apache.hadoop.fs.Path(tq)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fsQ.delete(new org.apache.hadoop.fs.Path(tq), true)
+      val rows = spark.range(0L, 4000000L).toDF("doc_id")
+        .withColumn("lang",
+          element_at(array(lit("en"), lit("de"), lit("fr")),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int")))
+      val tb0 = System.nanoTime()
+      (0L until 10L).foreach { i =>
+        graft.sinks.ManifestTable.append(spark,
+          rows.filter(col("doc_id") >= i * 400000L &&
+            col("doc_id") < (i + 1) * 400000L),
+          tq, statsCols = Seq("doc_id"))
+      }
+      println(f"TIME sqj100 ingest_10commits_rangedisjoint " +
+        f"${(System.nanoTime() - tb0) / 1e9}%.2f s (4000000 rows)")
+      spark.read.format("graft-manifest").load(tq)
+        .createOrReplaceTempView("sqj_t")
+      def entriesNow() = graft.sinks.ManifestTable.entriesOf(spark, tq,
+        graft.sinks.ManifestTable.latestVersion(spark, tq).get)
+      val before = entriesNow()
+      // the scan-probe overlap: dirs whose recorded range admits a
+      // matching key (keys live in doc_id < 2M -> 5 of 10 dirs)
+      val overlap = before.count(_.statMin.get("doc_id")
+        .exists(_ < 2000000L))
+      val t1 = System.nanoTime()
+      spark.sql("DELETE FROM sqj_t WHERE doc_id IN " +
+        "(SELECT doc_id FROM sqj_t " +
+        "WHERE doc_id < 2000000 AND doc_id % 2 = 0)")
+      val wall = (System.nanoTime() - t1) / 1e9
+      val after = entriesNow()
+      val sameFiles = after.map(e => e.dir -> e.files).toMap ==
+        before.map(e => e.dir -> e.files).toMap
+      val beforeDv = before.map(e => e.dir -> e.dv).toMap
+      val tombstoned = after.count(e => beforeDv.get(e.dir)
+        .exists(_ != e.dv))
+      val v = graft.sinks.ManifestTable.latestVersion(spark, tq).get
+      val routed = graft.sinks.ManifestTable.commitInfoOf(spark, tq, v)
+        .exists(_._1 == "deleteKeys")
+      // fresh read — the temp view stays pinned at its own snapshot
+      // (isolation), so the post-delete count needs a new relation
+      val n = graft.sinks.ManifestTable.read(spark, tq).count()
+      println(f"TIME sqj100 delete_in_subquery_1M_keys $wall%.2f s " +
+        f"(routed_deleteKeys: $routed, zero data files rewritten: " +
+        f"$sameFiles, dirs tombstoned: $tombstoned == scan overlap: " +
+        f"$overlap -> ${tombstoned == overlap}, survivors: $n)")
+      spark.stop()
+      return
+    }
     // brd100: branch-scoped DML at 500k rows — the audit-fix loop at
     // scale: main holds half, a branch stages the other half in 5
     // range-disjoint commits, a staged-only DELETE rewrites ONLY the

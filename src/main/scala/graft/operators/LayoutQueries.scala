@@ -1019,6 +1019,63 @@ object LayoutQueries {
     path
   }
 
+  /** A manifest table grown through the STREAM-WAP loop — streaming
+    * ingest staged on a branch with the exactly-once batchId
+    * discipline, audited (one staged-scope fix), fast-forwarded, and
+    * the loop run a SECOND window to prove the re-opened branch's
+    * watermark carries through main. Replay skips are REQUIRED
+    * mid-build (a batch re-staged after its publish would be the
+    * exactly-once contract breaking, not an oracle nuance), as is
+    * main's physical obliviousness while a window stages. The
+    * builder drives [[graft.sinks.ManifestTable
+    * .appendToBranchIfFresh]] — the exact per-batch body of
+    * [[graft.streaming.Streams.branchSinkWriter]]; the foreachBatch
+    * wrapper itself is ManifestStreamSpec's job. Built once per
+    * dataset behind the usual marker. */
+  def ensureStreamWapManifest(s: SparkSession, d: String): String = {
+    import graft.sinks.ManifestTable
+    val path = s"${layoutRoot(d)}/docs_manifest_swap"
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val n = docs.count()
+    val expect = s"layout=$LayoutVersion manifest=swap rows=$n"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      ManifestTable.append(s, docs.filter(col("doc_id") % 4 === 0),
+        path, statsCols = Seq("doc_id", "lang"))
+      val baseFiles = ManifestTable.read(s, path).inputFiles.toSet
+      def slice(r: Int) = docs.filter(col("doc_id") % 4 === r)
+      // window 1: batches 0 and 1 stage; a replay of batch 0 must
+      // skip on the branch's own tag watermark
+      require(ManifestTable.appendToBranchIfFresh(s, slice(1), path,
+        "ingest", batchId = 0L, statsCols = Seq("doc_id", "lang")))
+      require(ManifestTable.appendToBranchIfFresh(s, slice(2), path,
+        "ingest", batchId = 1L, statsCols = Seq("doc_id", "lang")))
+      require(!ManifestTable.appendToBranchIfFresh(s, slice(1), path,
+        "ingest", batchId = 0L),
+        "ensureStreamWapManifest: a replayed batch must skip")
+      require(ManifestTable.read(s, path).inputFiles.toSet == baseFiles,
+        "ensureStreamWapManifest: staging touched main's dirs")
+      // the audit's fix, scoped to the STAGED rows, then the publish
+      ManifestTable.deleteFromBranch(s, path, "ingest",
+        col("lang") === "de")
+      ManifestTable.fastForwardBranch(s, path, "ingest")
+      // window 2: the branch re-opens; freshness now flows through
+      // MAIN's watermark (batch 1 must skip, batch 2 must stage)
+      require(!ManifestTable.appendToBranchIfFresh(s, slice(2), path,
+        "ingest", batchId = 1L),
+        "ensureStreamWapManifest: a post-publish replay must skip " +
+          "through main's folded watermark")
+      require(ManifestTable.appendToBranchIfFresh(s, slice(3), path,
+        "ingest", batchId = 2L, statsCols = Seq("doc_id", "lang")))
+      ManifestTable.fastForwardBranch(s, path, "ingest")
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
   /** A manifest table mutated by a SUBQUERY-predicate SQL DELETE —
     * `DELETE … WHERE key IN (SELECT key … WHERE lang = 'en' AND
     * n_chars % 7 = 3)`: the uncorrelated subquery MATERIALIZES at
@@ -1061,6 +1118,69 @@ object LayoutQueries {
         before.map(e => e.dir -> e.files).toMap,
         "ensureSubqueryDeletedManifest: merge-on-read must rewrite " +
           "zero data files")
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
+  /** A manifest table mutated by an OVER-CAP `IN (subquery)` DELETE:
+    * the key set exceeds the inline-literal cap (lowered via the
+    * session conf during the build — testdata cannot produce 100k
+    * keys), so the statement AUTO-ROUTES through the DataFrame-valued
+    * merge-on-read delete instead of refusing: same deleteKeys
+    * commit, zero data files rewritten, the key set never collected.
+    * The routing and the zero-rewrite bill are enforced at build
+    * time. Built once per dataset behind the usual marker. */
+  def ensureSubqueryJoinDeletedManifest(s: SparkSession, d: String)
+      : String = {
+    val path = s"${layoutRoot(d)}/docs_manifest_sqjdel"
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat(lit("d"), col("doc_id")).as("key"),
+        col("lang"), col("n_chars"))
+    val n = docs.count()
+    val expect = s"layout=$LayoutVersion manifest=sqjdel rows=$n"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      Seq(0L, 1L).foreach { r =>
+        graft.sinks.ManifestTable.append(s,
+          docs.filter(col("doc_id") % 2 === r), path,
+          statsCols = Seq("doc_id"), bloomCols = Seq("key"))
+      }
+      val before = graft.sinks.ManifestTable.entriesOf(s, path,
+        graft.sinks.ManifestTable.latestVersion(s, path).get)
+      s.read.format("graft-manifest").load(path)
+        .createOrReplaceTempView("graft_sqjdel_target")
+      val capK = "spark.graft.dml.maxInlineSubqueryKeys"
+      val old = s.conf.getOption(capK)
+      s.conf.set(capK, "10")
+      // the key set must actually exceed the lowered cap, or the
+      // INLINE route (which also lands on deleteKeys for string
+      // points) would satisfy the requires below without the
+      // auto-route ever firing
+      require(docs.filter(col("lang") === "en" &&
+        pmod(col("n_chars"), lit(5)) === 2).count() > 10,
+        "ensureSubqueryJoinDeletedManifest: key set under the cap — " +
+          "the over-cap route would not fire")
+      try s.sql("DELETE FROM graft_sqjdel_target WHERE key IN " +
+        "(SELECT key FROM graft_sqjdel_target " +
+        "WHERE lang = 'en' AND n_chars % 5 = 2)")
+      finally old match {
+        case Some(v) => s.conf.set(capK, v)
+        case None => s.conf.unset(capK)
+      }
+      val v = graft.sinks.ManifestTable.latestVersion(s, path).get
+      require(graft.sinks.ManifestTable.commitInfoOf(s, path, v)
+        .exists(_._1 == "deleteKeys"),
+        "ensureSubqueryJoinDeletedManifest: the over-cap IN-subquery " +
+          "delete must auto-route merge-on-read (deleteKeys)")
+      val after = graft.sinks.ManifestTable.entriesOf(s, path, v)
+      require(after.map(e => e.dir -> e.files).toMap ==
+        before.map(e => e.dir -> e.files).toMap,
+        "ensureSubqueryJoinDeletedManifest: the join route must " +
+          "rewrite zero data files")
       ArtifactCache.stamp(path, expect)
     }
     path
@@ -2945,6 +3065,45 @@ object LayoutQueries {
         |   OR NOT COALESCE(lang = 'de', FALSE)
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val path = ensureBranchDmlManifest(s, d)
+      graft.sinks.ManifestTable.read(s, path)
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // ---- STREAM-WAP end-to-end (q168): streaming ingest staged on
+    //      a branch (exactly-once batchId discipline, replay skips
+    //      enforced at build — including the post-publish replay
+    //      whose watermark lives in MAIN), one staged-scope audit
+    //      fix, two fast-forward windows. The oracle recomputes the
+    //      published table from scratch: a replayed batch staging
+    //      twice, a fix leaking onto base rows, or a lost window all
+    //      hash-mismatch. ----
+    GraftQuery("q168_manifest_stream_wap",
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE doc_id % 4 IN (0, 3)
+        |   OR NOT COALESCE(lang = 'de', FALSE)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val path = ensureStreamWapManifest(s, d)
+      graft.sinks.ManifestTable.read(s, path)
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // ---- OVER-CAP IN-subquery DELETE end-to-end (q169): the key
+    //      set exceeds the inline-literal cap, so the statement
+    //      auto-routes through the DataFrame-valued merge-on-read
+    //      delete (zero data files rewritten, keys never collected —
+    //      both enforced at build). The oracle recomputes the
+    //      surviving set from scratch like q166's. ----
+    GraftQuery("q169_manifest_subquery_join_delete",
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE NOT COALESCE(lang = 'en' AND n_chars % 5 = 2, FALSE)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val path = ensureSubqueryJoinDeletedManifest(s, d)
       graft.sinks.ManifestTable.read(s, path)
         .select(col("doc_id"), col("lang"),
           col("n_chars").cast("long").as("n_chars"))

@@ -448,13 +448,36 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
     (c, conjuncts(cond))
   }
 
-  /** The inlined-set size past which a subquery-predicate DML refuses
-    * to materialize: a point-set DELETE with millions of keys is a
-    * join, not a literal list — at that scale the right statement is
-    * a MERGE (anti-join, shuffle-planned), and inlining would build
-    * an expression the optimizer chokes on and a driver heap full of
-    * literals. */
-  private val MaxInlineSubqueryKeys = 100000
+  /** The inlined-set size past which a subquery-predicate DML will
+    * not materialize the set as LITERALS: a point-set with millions
+    * of keys is a join, not a literal list — inlining would build an
+    * expression the optimizer chokes on and a driver heap full of
+    * literals. Past the cap, the canonical shape — `DELETE WHERE col
+    * IN (SELECT …)` as the whole condition — AUTO-ROUTES through the
+    * DataFrame-valued merge-on-read delete ([[ManifestTable
+    * .deleteKeys]]: the key set stays distributed end-to-end — prune
+    * pass, tombstone write — and zero data files rewrite), exactly
+    * what a warehouse plans for that statement; every other over-cap
+    * shape stays loud with the MERGE remedy. Both knobs are session
+    * confs: `spark.graft.dml.maxInlineSubqueryKeys` (the cap) and
+    * `spark.graft.dml.subqueryJoinRoute=false` to retain the
+    * always-loud contract. */
+  private def maxInlineSubqueryKeys: Int =
+    SparkSession.active.conf
+      .get("spark.graft.dml.maxInlineSubqueryKeys", "100000").toInt
+
+  private def subqueryJoinRouteEnabled: Boolean =
+    SparkSession.active.conf
+      .get("spark.graft.dml.subqueryJoinRoute", "true").toBoolean
+
+  /** Typed control signal: an IN-subquery's key set exceeded the
+    * inline cap. Carries the statement's own REFRESHED subplan (the
+    * snapshot discipline already applied) so the DELETE dispatcher
+    * can re-route it join-based; everywhere else it propagates and
+    * `loud` is the user-facing refusal. */
+  private[plans] final case class SubqueryBeyondInlineCap(
+      keyValue: Expression, sub: LogicalPlan, loud: String)
+    extends RuntimeException(loud)
 
   /** Materialize every UNCORRELATED subquery inside a DML WHERE at
     * rule time — `DELETE FROM t WHERE id IN (SELECT …)`,
@@ -536,11 +559,11 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
           "supported — a per-row subquery cannot ride the staged " +
           "rewrite; use MERGE INTO (the join form) or the " +
           "programmatic API")
-    def overflow(what: String): Nothing = sys.error(
+    def overflowMsg(what: String): String =
       s"graft-manifest $stmt: the $what subquery returned more than " +
-        s"$MaxInlineSubqueryKeys distinct values — at that scale the " +
+        s"$maxInlineSubqueryKeys distinct values — at that scale the " +
         "statement is a join, not a point set; use MERGE INTO or the " +
-        "programmatic API")
+        "programmatic API"
     cond.transformUp {
       case InSubquery(values, lq: ListQuery) =>
         requireUncorrelated(lq.outerAttrs, "IN")
@@ -551,8 +574,13 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
         val out = sub.output.head
         val rows = org.apache.spark.sql.GraftSqlBridge
           .ofRows(spark, sub).distinct()
-          .limit(MaxInlineSubqueryKeys + 1).collect()
-        if (rows.length > MaxInlineSubqueryKeys) overflow("IN")
+          .limit(maxInlineSubqueryKeys + 1).collect()
+        if (rows.length > maxInlineSubqueryKeys)
+          // typed, not sys.error: the DELETE dispatcher re-routes the
+          // canonical whole-condition shape join-based; every other
+          // catcher rethrows and the message above is the refusal
+          throw SubqueryBeyondInlineCap(values.head, sub,
+            overflowMsg("IN"))
         if (rows.isEmpty) Literal(false)
         else In(values.head,
           rows.toSeq.map(r => Literal.create(r.get(0), out.dataType)))
@@ -841,9 +869,29 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
       case d @ DeleteFromTable(ManifestTarget(_, _), cond0)
           if hasSubquery(cond0) && !cond0.resolved => d
       case DeleteFromTable(t @ ManifestTarget(path, _), cond1) =>
-        val cond =
-          if (hasSubquery(cond1)) materializeSubqueries(cond1, "DELETE")
-          else cond1
+        val condOrCmd: scala.Either[LogicalPlan, Expression] =
+          if (!hasSubquery(cond1)) scala.Right(cond1)
+          else try scala.Right(materializeSubqueries(cond1, "DELETE"))
+          catch {
+            // over-cap IN-subquery: the CANONICAL retention shape —
+            // the IN is the WHOLE condition on a plain column —
+            // auto-routes through the DataFrame-valued merge-on-read
+            // delete instead of refusing (the key set never touches
+            // the driver; zero data files rewrite). Any other shape
+            // (extra conjuncts, NOT IN, casts, UPDATE) rethrows the
+            // loud MERGE remedy, as does the knob.
+            case cap: SubqueryBeyondInlineCap
+                if subqueryJoinRouteEnabled =>
+              cond1 match {
+                case InSubquery(Seq(a: AttributeReference), _) =>
+                  scala.Left(GraftManifestDeleteSubqueryKeysCommand(
+                    path, a.name, cap.sub))
+                case _ => throw cap
+              }
+          }
+        condOrCmd match {
+          case scala.Left(cmd) => cmd
+          case scala.Right(cond) =>
         cond match {
           case Literal(true, _) => // DELETE FROM t (no WHERE)
             GraftManifestFullDeleteCommand(path)
@@ -893,6 +941,7 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
                 val (c, conj) = generalWhere(cond, "DELETE")
                 GraftManifestDeleteWhereCommand(path, c, conj)
             }
+        }
         }
 
       // `UPDATE t SET col = expr [, …] WHERE <range|points|none>` —
@@ -1334,6 +1383,26 @@ final case class GraftManifestDeleteKeysCommand(path: String,
     import session.implicits._
     if (!DropPartitionFastPath(session, path, keyCol, values))
       ManifestTable.deleteKeys(session, values.toDF(keyCol), path, keyCol)
+    Seq.empty
+  }
+}
+
+/** The OVER-CAP subquery route: `DELETE FROM t WHERE col IN
+  * (SELECT …)` whose key set exceeded the inline-literal cap runs
+  * the SAME merge-on-read delete, with the key set staying a
+  * DISTRIBUTED frame end-to-end — [[ManifestTable.deleteKeys]]
+  * normalizes/dedups it, prunes dirs by stats+Blooms, and writes it
+  * as the tombstone; zero data files rewrite and the driver never
+  * holds the keys. `sub` is the statement's own refreshed subplan
+  * (rule-time snapshot discipline, like the inline route's). The
+  * subquery's output column renames to the target's key column; key
+  * type compatibility is enforced loudly by deleteKeys itself. */
+final case class GraftManifestDeleteSubqueryKeysCommand(path: String,
+    keyCol: String, sub: LogicalPlan) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val keys = org.apache.spark.sql.GraftSqlBridge
+      .ofRows(session, sub).toDF(keyCol)
+    ManifestTable.deleteKeys(session, keys, path, keyCol)
     Seq.empty
   }
 }

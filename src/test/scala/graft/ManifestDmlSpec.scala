@@ -595,4 +595,71 @@ class ManifestDmlSpec extends AnyFunSuite {
     assert(msgs(ex).exists(_.contains("CORRELATED")),
       s"got: ${msgs(ex).mkString(" | ")}")
   }
+
+  test("over-cap IN subquery AUTO-ROUTES merge-on-read; the knob and " +
+      "non-canonical shapes keep the loud MERGE remedy") {
+    def msgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val t = s"${Files.createTempDirectory("graft-dmlsqcap")}/t"
+    Seq(0L, 1L).foreach { r =>
+      ManifestTable.append(spark,
+        (0L until 20L).filter(_ % 2 == r)
+          .map(i => (i, s"k$i", i * 10L)).toDF("id", "key", "n"), t,
+        statsCols = Seq("id"), bloomCols = Seq("key"))
+    }
+    register(t, "dml_sqcap")
+    val capK = "spark.graft.dml.maxInlineSubqueryKeys"
+    val routeK = "spark.graft.dml.subqueryJoinRoute"
+    spark.conf.set(capK, "3") // force every set below over the cap
+    try {
+      val before = ManifestTable.entriesOf(spark, t,
+        ManifestTable.latestVersion(spark, t).get)
+      // canonical retention shape (the IN is the whole WHERE, plain
+      // column): routes the DataFrame-valued merge-on-read delete
+      spark.sql("DELETE FROM dml_sqcap WHERE key IN " +
+        "(SELECT key FROM dml_sqcap WHERE id % 4 = 0)")
+      assert(ids(ManifestTable.read(spark, t)) ==
+        (0L until 20L).filterNot(_ % 4 == 0))
+      val v = ManifestTable.latestVersion(spark, t).get
+      assert(ManifestTable.commitInfoOf(spark, t, v)
+        .exists(_._1 == "deleteKeys"),
+        "the over-cap route must be deleteKeys (merge-on-read)")
+      assert(ManifestTable.entriesOf(spark, t, v)
+        .map(e => e.dir -> e.files).toMap ==
+        before.map(e => e.dir -> e.files).toMap,
+        "the over-cap route must rewrite zero data files")
+      // the INTEGRAL twin routes too (deleteKeys spans both key kinds)
+      spark.sql("DELETE FROM dml_sqcap WHERE id IN " +
+        "(SELECT id FROM dml_sqcap WHERE id >= 14)")
+      assert(ids(ManifestTable.read(spark, t)) ==
+        (0L until 14L).filterNot(_ % 4 == 0))
+      // non-canonical over-cap shapes keep the loud MERGE remedy:
+      // an extra conjunct beside the IN ...
+      val ex1 = intercept[Exception] {
+        spark.sql("DELETE FROM dml_sqcap WHERE key IN " +
+          "(SELECT key FROM dml_sqcap) AND id > 0")
+      }
+      assert(msgs(ex1).exists(_.contains("more than")),
+        s"got: ${msgs(ex1).mkString(" | ")}")
+      // ... an over-cap subquery inside an UPDATE ...
+      val ex2 = intercept[Exception] {
+        spark.sql("UPDATE dml_sqcap SET n = 0 WHERE key IN " +
+          "(SELECT key FROM dml_sqcap)")
+      }
+      assert(msgs(ex2).exists(_.contains("more than")),
+        s"got: ${msgs(ex2).mkString(" | ")}")
+      // ... and the knob restores the always-loud contract
+      spark.conf.set(routeK, "false")
+      val ex3 = intercept[Exception] {
+        spark.sql("DELETE FROM dml_sqcap WHERE key IN " +
+          "(SELECT key FROM dml_sqcap)")
+      }
+      assert(msgs(ex3).exists(_.contains("more than")),
+        s"got: ${msgs(ex3).mkString(" | ")}")
+    } finally {
+      spark.conf.unset(capK)
+      spark.conf.unset(routeK)
+    }
+  }
 }
