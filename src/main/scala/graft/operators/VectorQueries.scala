@@ -75,11 +75,18 @@ object VectorQueries {
   def flagship(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    scored(s, d)
+    val topk = scored(s, d)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= K)
-      .join(broadcast(Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), col("source"))),
+    // broadcast the TOP-K frame, never the metadata table: the top-k
+    // side is bounded by construction (NQ x K rows, whatever the
+    // corpus), while document metadata grows WITH the corpus — at
+    // 100 TB the metadata side is a fact table and broadcasting it
+    // would ship the corpus to every executor. PlanSpec pins the
+    // build side.
+    broadcast(topk)
+      .join(Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source")),
         col("vec_id") === col("doc_id"))
       .select(col("query_id"), col("rk"), col("vec_id"), col("lang"),
         col("source"), round(col("sim"), 6).as("sim"))

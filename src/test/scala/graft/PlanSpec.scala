@@ -29,6 +29,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
   }
 
+  test("flagship: the bounded top-k frame is the broadcast build " +
+      "side, never the metadata table") {
+    val p = operators.VectorQueries.flagship(spark, d)
+      .queryExecution.executedPlan.toString
+    val join = p.linesIterator.find(_.contains("BroadcastHashJoin"))
+    assert(join.isDefined, s"expected a broadcast hash join in:\n$p")
+    // the build side must be the LEFT (top-k) input: NQ x K rows by
+    // construction; the metadata side grows with the corpus
+    assert(join.get.contains("BuildLeft"),
+      s"the top-k side must be the build side, got: ${join.get}")
+  }
+
   test("q91: star join broadcasts dims and pushes the date range down") {
     val p = plan("q91_star_join")
     assert(p.contains("BroadcastHashJoin"))
