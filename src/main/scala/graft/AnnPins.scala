@@ -71,6 +71,14 @@ object AnnPins {
       spark, graft.operators.VectorQueries.q117IndexPath(d), cents117,
       queries, m = 8, topK = 10, nProbe = 6, shortlist = 100)))
 
+    // q171: adaptive multi-probe over q110's persisted IVF-PQ index
+    // (fresh from the build above)
+    println("PINS_Q171 = " + pins(graft.vector.IvfPq.probeAdaptive(
+      spark, graft.operators.VectorQueries.q110IndexPath(d), cents,
+      queries, m = 8, topK = 10, shortlist = 150,
+      slack = graft.operators.VectorQueries.Q170_SLACK,
+      minProbe = graft.operators.VectorQueries.Q170_MIN_PROBE)))
+
     // q170: the serving-grade config (k-means++ centroids + adaptive
     // multi-probe), with its MEASURED COST printed beside the pins —
     // the (slack, minProbe) operating point's recall is pinned in

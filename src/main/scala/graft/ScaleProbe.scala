@@ -523,6 +523,119 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // annserve100: the adaptive-probe rule at PRODUCTION SHAPE — the
+    // sf-test corpora have 8 coarse cells over 500 vectors, where a
+    // 72% scan fraction is geometry, not policy; here 200k synthetic
+    // vectors with 256 PLANTED direction clusters (deterministic
+    // hash noise around hash centroids, unit-normalized) get a
+    // 256-cell k-means++ index, and the SAME margin rule (slack 0.5,
+    // minProbe 2) is measured for recall@10 and the per-query probe
+    // budget. The claim under test: when cells are finer than
+    // clusters, the rule probes a few cells, not a fraction of the
+    // index.
+    if (args.headOption.contains("annserve100")) {
+      import org.apache.spark.sql.expressions.Window
+      val nVec = 200000L
+      val nClu = 256
+      val dim = 64
+      // two corpora: tight clusters (noise 0.3 — decisive
+      // assignments, the rule should sit at minProbe) and
+      // overlapping clusters (noise 0.9 — boundary-heavy, the rule
+      // should SPEND more exactly where fixed-nProbe recall dies)
+      for (noise <- Seq(0.3, 0.9)) {
+      // deterministic planted-cluster corpus: centroid c's dim j is
+      // a signed hash; a vector = its cluster centroid + 0.3-scaled
+      // per-(id, j) hash noise, then unit-normalized by l2Norm
+      def h(parts: org.apache.spark.sql.Column*) =
+        (pmod(xxhash64(parts: _*), lit(2000001L)) - 1000000L) / 1e6
+      val corpus = spark.range(nVec).toDF("vec_id")
+        .withColumn("c", pmod(col("vec_id"), lit(nClu.toLong)))
+        .withColumn("embedding",
+          transform(sequence(lit(0), lit(dim - 1)),
+            j => (h(col("c"), j) + lit(noise) * h(col("vec_id"), j))
+              .cast("float")))
+        .select(col("vec_id"), col("embedding"))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val cents = graft.vector.VectorIndex
+        .kmeansPpCentroids(corpus, nClu, iters = 2).localCheckpoint()
+      val idx = s"/tmp/annserve100/index-$noise"
+      graft.vector.VectorIndex.build(corpus, cents, idx)
+      println(f"TIME annserve100 build_kmpp256_200k_noise$noise " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // BOUNDARY queries by construction: each query is the mixture
+      // of three corpus vectors from three DIFFERENT planted
+      // clusters (cluster = id % 256), so its true top-10 spans ~3
+      // cells — the case a fixed 2-cell budget cannot cover and the
+      // margin rule must detect (three near-equal centroid scores)
+      val queries = corpus.filter(col("vec_id") % 4000 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("e0"))
+        .join(corpus.select((col("vec_id") - 1).as("query_id"),
+          col("embedding").as("e1")), "query_id")
+        .join(corpus.select((col("vec_id") - 2).as("query_id"),
+          col("embedding").as("e2")), "query_id")
+        .select(col("query_id"),
+          zip_with(col("e0"), zip_with(col("e1"), col("e2"),
+            (a, b) => a + b), (a, b) => (a + b).cast("float"))
+            .as("q_emb"))
+        .localCheckpoint()
+      val nQ = queries.count()
+      // truth: brute-force cosine top-10
+      import graft.functions.VectorFunctions._
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      val truth = corpus.crossJoin(broadcast(queries))
+        .select(col("query_id"), col("vec_id"),
+          cosine(col("q_emb"), col("embedding")).as("sim"))
+        .withColumn("rk", org.apache.spark.sql.functions
+          .row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select("query_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+      val t1 = System.nanoTime()
+      val got = graft.vector.VectorIndex.probeAdaptive(spark, idx,
+        cents, queries, k = 10, slack = 0.5, minProbe = 2)
+        .select("query_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+      val wallP = (System.nanoTime() - t1) / 1e9
+      val recall = truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / truth.size
+      // the probe budget the margin rule actually spent, per query
+      val wb = Window.partitionBy(col("query_id"))
+      val wr = Window.partitionBy(col("query_id"))
+        .orderBy(col("csim").desc, col("cent_id"))
+      val avgProbed = queries.crossJoin(broadcast(cents))
+        .select(col("query_id"), col("cent_id"),
+          cosine(col("q_emb"), col("c_emb")).as("csim"))
+        .withColumn("best", max(col("csim")).over(wb))
+        .withColumn("rk", org.apache.spark.sql.functions
+          .row_number().over(wr))
+        .filter(col("rk") <= 2 ||
+          col("csim") >= col("best") - lit(0.5) * (lit(1.0) - col("best")))
+        .groupBy("query_id").count()
+        .agg(avg("count")).head().getDouble(0)
+      // the fixed-nProbe=2 baseline at the same centroids — what
+      // the adaptive spend buys on the boundary-heavy corpus
+      val fixedGot = graft.vector.VectorIndex.probe(spark, idx,
+        cents, queries, k = 10, nProbe = 2)
+        .select("query_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+      val fixedRecall = truth.map { case (q, t) =>
+        fixedGot.getOrElse(q, Set.empty).intersect(t).size.toDouble /
+          t.size
+      }.sum / truth.size
+      println(f"TIME annserve100 adaptive_probe_256cells_noise$noise " +
+        f"$wallP%.2f s ($nQ queries: recall@10 $recall%.3f at avg " +
+        f"$avgProbed%.1f/256 cells = ${avgProbed / nClu * 100}%.1f%% " +
+        f"of the index; fixed nProbe=2 recall $fixedRecall%.3f)")
+      }
+      spark.stop()
+      return
+    }
     // sqj100: the OVER-CAP IN-subquery auto-route at 1M keys — the
     // REAL inline cap (100k), no lowering: a 4M-row table in 10
     // range-disjoint dirs, `DELETE WHERE doc_id IN (SELECT …)`
@@ -579,6 +692,31 @@ object ScaleProbe {
         f"(routed_deleteKeys: $routed, zero data files rewritten: " +
         f"$sameFiles, dirs tombstoned: $tombstoned == scan overlap: " +
         f"$overlap -> ${tombstoned == overlap}, survivors: $n)")
+      // the UPDATE twin: 1M keys (the surviving odd half of the low
+      // range) route the frame-keyed COPY-ON-WRITE update — only the
+      // 5 key-overlapping dirs rewrite, the other 5 stay untouched
+      spark.read.format("graft-manifest").load(tq)
+        .createOrReplaceTempView("sqj_t2")
+      val beforeU = entriesNow()
+      val overlapU = beforeU.count(_.statMin.get("doc_id")
+        .exists(_ < 2000000L))
+      val t2 = System.nanoTime()
+      spark.sql("UPDATE sqj_t2 SET lang = 'xx' WHERE doc_id IN " +
+        "(SELECT doc_id FROM sqj_t2 " +
+        "WHERE doc_id < 2000000 AND doc_id % 2 = 1)")
+      val wallU = (System.nanoTime() - t2) / 1e9
+      val vU = graft.sinks.ManifestTable.latestVersion(spark, tq).get
+      val routedU = graft.sinks.ManifestTable.commitInfoOf(spark, tq, vU)
+        .exists(_._1 == "updateKeysFrame")
+      val afterU = entriesNow()
+      val beforeDirs = beforeU.map(e => e.dir -> e.files).toMap
+      val rewrittenU = afterU.count(e => !beforeDirs.contains(e.dir))
+      val patched = graft.sinks.ManifestTable.read(spark, tq)
+        .filter(col("lang") === "xx").count()
+      println(f"TIME sqj100 update_in_subquery_1M_keys $wallU%.2f s " +
+        f"(routed_updateKeysFrame: $routedU, dirs rewritten: " +
+        f"$rewrittenU == scan overlap: $overlapU -> " +
+        f"${rewrittenU == overlapU}, rows patched: $patched)")
       spark.stop()
       return
     }

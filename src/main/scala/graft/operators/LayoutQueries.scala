@@ -1186,6 +1186,56 @@ object LayoutQueries {
     path
   }
 
+  /** A manifest table mutated by an OVER-CAP `IN (subquery)` UPDATE:
+    * the DELETE route's copy-on-write twin ([[ManifestTable
+    * .updateKeysFrame]]) — the key set stays a distributed frame,
+    * only key-overlapping dirs rewrite, and the routing is enforced
+    * at build time via the commit op. Built once per dataset. */
+  def ensureSubqueryUpdatedManifest(s: SparkSession, d: String)
+      : String = {
+    val path = s"${layoutRoot(d)}/docs_manifest_squpd"
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat(lit("d"), col("doc_id")).as("key"),
+        col("lang"), col("n_chars"))
+    val n = docs.count()
+    val expect = s"layout=$LayoutVersion manifest=squpd rows=$n"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      Seq(0L, 1L).foreach { r =>
+        graft.sinks.ManifestTable.append(s,
+          docs.filter(col("doc_id") % 2 === r), path,
+          statsCols = Seq("doc_id"), bloomCols = Seq("key"))
+      }
+      s.read.format("graft-manifest").load(path)
+        .createOrReplaceTempView("graft_squpd_target")
+      val capK = "spark.graft.dml.maxInlineSubqueryKeys"
+      val old = s.conf.getOption(capK)
+      s.conf.set(capK, "10")
+      require(docs.filter(col("lang") === "en" &&
+        pmod(col("n_chars"), lit(3)) === 1).count() > 10,
+        "ensureSubqueryUpdatedManifest: key set under the cap — " +
+          "the over-cap route would not fire")
+      try s.sql("UPDATE graft_squpd_target " +
+        "SET n_chars = n_chars + 100000 WHERE key IN " +
+        "(SELECT key FROM graft_squpd_target " +
+        "WHERE lang = 'en' AND n_chars % 3 = 1)")
+      finally old match {
+        case Some(v) => s.conf.set(capK, v)
+        case None => s.conf.unset(capK)
+      }
+      val v = graft.sinks.ManifestTable.latestVersion(s, path).get
+      require(graft.sinks.ManifestTable.commitInfoOf(s, path, v)
+        .exists(_._1 == "updateKeysFrame"),
+        "ensureSubqueryUpdatedManifest: the over-cap IN-subquery " +
+          "update must route through updateKeysFrame")
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
   /** A manifest table keyed by a COMPOSITE business key — (grp, sub)
     * = (doc_id div 1000, doc_id mod 1000) — upserted through the SQL
     * MERGE's conjunctive `ON t.grp = u.grp AND t.sub = u.sub`:
@@ -3104,6 +3154,26 @@ object LayoutQueries {
         |WHERE NOT COALESCE(lang = 'en' AND n_chars % 5 = 2, FALSE)
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val path = ensureSubqueryJoinDeletedManifest(s, d)
+      graft.sinks.ManifestTable.read(s, path)
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // ---- OVER-CAP IN-subquery UPDATE end-to-end (q172): the
+    //      DELETE route's copy-on-write twin — the oracle recomputes
+    //      the patched table from scratch (a patch leaking onto
+    //      non-member rows, a missed member, or NULL-key damage all
+    //      hash-mismatch). ----
+    GraftQuery("q172_manifest_subquery_update",
+      """SELECT doc_id, lang,
+        |  CAST(CASE WHEN COALESCE(lang = 'en' AND n_chars % 3 = 1,
+        |                          FALSE)
+        |    THEN n_chars + 100000 ELSE n_chars END AS BIGINT)
+        |    AS n_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val path = ensureSubqueryUpdatedManifest(s, d)
       graft.sinks.ManifestTable.read(s, path)
         .select(col("doc_id"), col("lang"),
           col("n_chars").cast("long").as("n_chars"))

@@ -483,6 +483,28 @@ object VectorQueries {
         corpus, queries, 10)
     },
 
+    // ---- SERVING-GRADE IVF-PQ (q171): the same adaptive multi-probe
+    //      coarse stage as q170, composed with the compressed-domain
+    //      pipeline — per-query probe budget from centroid L2 margins
+    //      (d2 <= (1+slack)*best_d2), ADC shortlist 15x topK, exact
+    //      re-rank. Runs against q110's PERSISTED index (same
+    //      artifacts, different probe policy), so the row isolates
+    //      what the adaptive stage buys at fixed index cost. Pinned
+    //      recall floor in IvfPqSpec (0.915 at m=8). ----
+    GraftQuery("q171_ivf_pq_adaptive", annRecallSql(PINS_Q171)) { (s, d) =>
+      import graft.vector.IvfPq
+      val corpus = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val (cents, _) = ensureQ110Index(s, d)
+      val queries = corpus.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      recallVsExact(
+        IvfPq.probeAdaptive(s, q110IndexPath(d), cents, queries,
+          m = Q110_M, topK = 10, shortlist = 150,
+          slack = Q170_SLACK, minProbe = Q170_MIN_PROBE),
+        corpus, queries, 10)
+    },
+
     GraftQuery("q117_ivf_append_ann", annRecallSql(PINS_Q117)) { (s, d) =>
       import graft.vector.IvfPq
       val corpus = Tables.embeddings(s, d)
@@ -757,6 +779,16 @@ object VectorQueries {
     "(300,196),(300,245),(300,300),(300,305),(300,318),(300,446)," +
     "(300,464),(300,477),(400,29),(400,57),(400,94),(400,182)," +
     "(400,400),(400,415),(400,443),(400,451),(400,475),(400,485)"
+
+  private def PINS_Q171: String =
+    "(0,0),(0,7),(0,73),(0,190),(0,334),(0,365),(0,387),(0,388)," +
+    "(0,423),(0,464),(100,45),(100,100),(100,202),(100,234)," +
+    "(100,279),(100,360),(100,384),(100,395),(100,398),(100,478)," +
+    "(200,32),(200,58),(200,143),(200,200),(200,204),(200,348)," +
+    "(200,378),(200,386),(200,409),(200,410),(300,27),(300,53)," +
+    "(300,196),(300,245),(300,300),(300,305),(300,318),(300,446)," +
+    "(300,464),(300,477),(400,92),(400,94),(400,182),(400,329)," +
+    "(400,358),(400,400),(400,443),(400,451),(400,475),(400,485)"
 
   private def PINS_Q170: String =
     "(0,0),(0,7),(0,73),(0,190),(0,320),(0,334),(0,365),(0,387)," +

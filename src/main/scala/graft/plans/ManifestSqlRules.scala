@@ -1006,10 +1006,30 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
               })
             if (sets.isEmpty)
               GraftManifestNoopCommand(s"identity-only UPDATE on $path")
-            else u.condition.map(c =>
+            else scala.util.Try(u.condition.map(c =>
                 if (hasSubquery(c) && c.resolved)
                   materializeSubqueries(c, "UPDATE")
-                else c) match {
+                else c)) match {
+              // over-cap IN-subquery: the canonical whole-condition
+              // shape routes the frame-keyed copy-on-write update
+              // (updateKeysFrame — keys stay distributed, only
+              // key-overlapping dirs rewrite); other shapes rethrow
+              // the loud MERGE remedy, as does the knob. Mirrors the
+              // DELETE dispatcher's routing exactly.
+              case scala.util.Failure(cap: SubqueryBeyondInlineCap)
+                  if subqueryJoinRouteEnabled &&
+                    (u.condition match {
+                      case Some(InSubquery(
+                        Seq(_: AttributeReference), _)) => true
+                      case _ => false
+                    }) =>
+                val keyCol = u.condition.get
+                  .asInstanceOf[InSubquery].values.head
+                  .asInstanceOf[AttributeReference].name
+                GraftManifestUpdateSubqueryKeysCommand(path, keyCol,
+                  cap.sub, sets)
+              case scala.util.Failure(e) => throw e
+              case scala.util.Success(matCond) => matCond match {
               case None | Some(Literal(true, _)) =>
                 GraftManifestUpdateCommand(path, None, sets)
               case Some(Literal(false, _)) | Some(Literal(null, _)) =>
@@ -1040,6 +1060,7 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
                     val (c, conj) = generalWhere(cond, "UPDATE")
                     GraftManifestUpdateWhereCommand(path, c, conj, sets)
                 }
+            }
             }
           case _ => u
         }
@@ -1403,6 +1424,25 @@ final case class GraftManifestDeleteSubqueryKeysCommand(path: String,
     val keys = org.apache.spark.sql.GraftSqlBridge
       .ofRows(session, sub).toDF(keyCol)
     ManifestTable.deleteKeys(session, keys, path, keyCol)
+    Seq.empty
+  }
+}
+
+/** The UPDATE twin of [[GraftManifestDeleteSubqueryKeysCommand]]:
+  * `UPDATE t SET … WHERE col IN (SELECT …)` whose key set exceeded
+  * the inline cap routes the frame-keyed COPY-ON-WRITE update — one
+  * distributed prune pass scopes the rewrite to key-overlapping
+  * dirs, row matching is a marker join against the key frame, and
+  * the driver never holds the keys ([[ManifestTable
+  * .updateKeysFrame]]). */
+final case class GraftManifestUpdateSubqueryKeysCommand(path: String,
+    keyCol: String, sub: LogicalPlan,
+    sets: Seq[(String, org.apache.spark.sql.Column)])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val keys = org.apache.spark.sql.GraftSqlBridge
+      .ofRows(session, sub).toDF(keyCol)
+    ManifestTable.updateKeysFrame(session, path, keyCol, keys, sets)
     Seq.empty
   }
 }

@@ -605,7 +605,15 @@ private[sinks] trait ManifestDmlOps { self: ManifestTable.type =>
   private def updateImpl(spark: SparkSession, path: String, op: String,
       sets: Seq[(String, org.apache.spark.sql.Column)],
       rowPred: org.apache.spark.sql.Column, touchPred: Entry => Boolean,
-      addedSafe: Seq[Entry] => Boolean, retries: Int): (Long, Int) = {
+      addedSafe: Seq[Entry] => Boolean, retries: Int,
+      // frame-keyed matching ([[updateKeysFrame]]): stage the row
+      // matcher as a marker JOIN before applySets, and drop the
+      // marker before the write. Joined transforms reorder rows
+      // inside a rewritten dir (the merge family's accepted bill —
+      // partitionBy(srcCol) keeps dir routing exact); the default
+      // identity keeps every literal-predicate path narrow.
+      preTransform: DataFrame => DataFrame = identity,
+      dropAfter: Seq[String] = Nil): (Long, Int) = {
     val (fs, _) = fsOf(spark, path)
     val prev = latestVersion(spark, path).getOrElse(
       sys.error(s"ManifestTable.$op: no committed version at $path"))
@@ -654,8 +662,9 @@ private[sinks] trait ManifestDmlOps { self: ManifestTable.type =>
         }
       }
       // staging bookkeeping columns (the rewrite's source-dir tag)
-      // pass through untouched
-      val extra = df.columns.filterNot(tableCols).map(col)
+      // pass through untouched; frame-matcher markers do not
+      val extra = df.columns.filterNot(tableCols)
+        .filterNot(dropAfter.contains).map(col)
       df.select((cols ++ extra).toSeq: _*)
     }
     val touch = entries.filter(e => touchPred(e) &&
@@ -664,14 +673,14 @@ private[sinks] trait ManifestDmlOps { self: ManifestTable.type =>
     val cs = constraintsOf(spark, path, prev)
     if (cs.nonEmpty)
       enforceConstraints(
-        applySets(readableFrame(spark, path, schema, touch)
+        applySets(preTransform(readableFrame(spark, path, schema, touch))
           .filter(rowPred)),
         cs, s"ManifestTable.$op($path)")
     val v = prev + 1
     // restat the SET columns too: their recorded min/max/Blooms
     // describe pre-update values — stale bounds would prune wrongly
     val rewritten = stagedRewrite(spark, path, v, schema, touch, op,
-      applySets, extraRestatCols = sets.map(_._1))
+      df => applySets(preTransform(df)), extraRestatCols = sets.map(_._1))
     val committed = commitRewrite(spark, path, op, prev, entries,
       touch.map(_.dir).toSet, rewritten, schema, Nil, Nil, retries,
       addedSafe)
@@ -704,6 +713,67 @@ private[sinks] trait ManifestDmlOps { self: ManifestTable.type =>
       _.mightOverlap(keyCol, lo, hi),
       added => added.forall(e => !e.mightOverlap(keyCol, lo, hi) ||
         !e.hasData(fs, s"$path/data/${e.dir}")), retries)
+  }
+
+  /** The DataFrame-valued twin of [[updateKeys]] — `UPDATE … SET …
+    * WHERE keyCol IN (<frame>)` where the key set is too large to
+    * exist as literals (the over-cap subquery route, mirroring
+    * [[deleteKeys]]'s contract): the keys stay a DISTRIBUTED frame
+    * end-to-end — ONE [[dirsHitByKeys]] prune pass scopes the rewrite
+    * to dirs that might hold a key, and row matching inside the
+    * touched dirs is a LEFT JOIN against the key frame (a marker
+    * column drives the per-row SET gate), never an `isin` literal
+    * list. Copy-on-write like every update: only touched dirs
+    * rewrite, in place. Integral AND string keys (deleteKeys'
+    * domain). NULL keys never match (join equality); duplicate keys
+    * dedup. Returns (new version, dirs rewritten). `retries > 0`
+    * rebases iff recorded stats prove every concurrently-added dir
+    * cannot hold a batch key. */
+  def updateKeysFrame(spark: SparkSession, path: String, keyCol: String,
+      keys: DataFrame, sets: Seq[(String, org.apache.spark.sql.Column)],
+      retries: Int = 0): (Long, Int) = {
+    val (fs, _) = fsOf(spark, path)
+    val prev = latestVersion(spark, path).getOrElse(sys.error(
+      s"ManifestTable.updateKeysFrame: no committed version at $path"))
+    val entries = entriesOf(spark, path, prev)
+    val schema = tableSchema(spark, path, prev, entries)
+    val f = schema.fields.find(_.name == keyCol).getOrElse(sys.error(
+      s"ManifestTable.updateKeysFrame: no column '$keyCol' in the " +
+        s"table schema (${schema.fieldNames.mkString(", ")})"))
+    val isStr = f.dataType == org.apache.spark.sql.types.StringType
+    require(isStr || isIntegral(f.dataType),
+      s"ManifestTable.updateKeysFrame: '$keyCol' is " +
+        s"${f.dataType.catalogString} — keyed updates are defined on " +
+        "integral and string keys")
+    require(!sets.exists(_._1 == keyCol),
+      s"ManifestTable.updateKeysFrame: SET touches the key column " +
+        s"'$keyCol' itself — a frame-keyed update cannot re-derive " +
+        "its own match set; use updateWhere")
+    val kf = keys.schema.fields.find(_.name == keyCol).getOrElse(
+      sys.error(s"ManifestTable.updateKeysFrame: keys frame has no " +
+        s"column '$keyCol'"))
+    require(kf.dataType.catalogString == f.dataType.catalogString,
+      s"ManifestTable.updateKeysFrame: keys column '$keyCol' is " +
+        s"${kf.dataType.catalogString} but the table's is " +
+        s"${f.dataType.catalogString} — a lossy cast could patch the " +
+        "wrong rows; cast explicitly at the call site")
+    val batch = keys.select(col(keyCol))
+      .filter(col(keyCol).isNotNull).distinct().localCheckpoint()
+    val (touch0, envelope, nKeys) =
+      dirsHitByKeys(spark, path, entries, batch, keyCol, isStr)
+    if (nKeys == 0) return (prev, 0)
+    val hit = "__graft_key_hit"
+    // the row-level matcher: marker left-join against the key frame;
+    // updateImpl's applySets gates each SET on rowPred, which here is
+    // the marker's presence — and drops the marker before the write
+    updateImpl(spark, path, "updateKeysFrame", sets,
+      col(hit).isNotNull,
+      e => touch0.exists(_.dir == e.dir),
+      added => added.forall(e => !envelope(e) ||
+        !e.hasData(fs, s"$path/data/${e.dir}")), retries,
+      preTransform = df => df
+        .join(batch.withColumn(hit, lit(true)), Seq(keyCol), "left"),
+      dropAfter = Seq(hit))
   }
 
   /** Copy-on-write `UPDATE … SET … WHERE keyCol IN (keys…)` on a

@@ -634,6 +634,21 @@ class ManifestDmlSpec extends AnyFunSuite {
         "(SELECT id FROM dml_sqcap WHERE id >= 14)")
       assert(ids(ManifestTable.read(spark, t)) ==
         (0L until 14L).filterNot(_ % 4 == 0))
+      // over-cap UPDATE routes the frame-keyed COPY-ON-WRITE update:
+      // only key-overlapping dirs rewrite, SET exprs may reference
+      // target columns, non-matching rows keep their values
+      spark.sql("UPDATE dml_sqcap SET n = n + 1000 WHERE key IN " +
+        "(SELECT key FROM dml_sqcap WHERE id < 6)")
+      val vu = ManifestTable.latestVersion(spark, t).get
+      assert(ManifestTable.commitInfoOf(spark, t, vu)
+        .exists(_._1 == "updateKeysFrame"),
+        "the over-cap UPDATE must route through updateKeysFrame")
+      val got = ManifestTable.read(spark, t)
+        .select("id", "n").as[(Long, Long)].collect().toMap
+      (0L until 14L).filterNot(_ % 4 == 0).foreach { i =>
+        val want = if (i < 6) i * 10 + 1000 else i * 10
+        assert(got(i) == want, s"id=$i: got ${got(i)}, want $want")
+      }
       // non-canonical over-cap shapes keep the loud MERGE remedy:
       // an extra conjunct beside the IN ...
       val ex1 = intercept[Exception] {
@@ -642,10 +657,10 @@ class ManifestDmlSpec extends AnyFunSuite {
       }
       assert(msgs(ex1).exists(_.contains("more than")),
         s"got: ${msgs(ex1).mkString(" | ")}")
-      // ... an over-cap subquery inside an UPDATE ...
+      // ... an over-cap UPDATE with an extra conjunct ...
       val ex2 = intercept[Exception] {
         spark.sql("UPDATE dml_sqcap SET n = 0 WHERE key IN " +
-          "(SELECT key FROM dml_sqcap)")
+          "(SELECT key FROM dml_sqcap) AND id > 0")
       }
       assert(msgs(ex2).exists(_.contains("more than")),
         s"got: ${msgs(ex2).mkString(" | ")}")
