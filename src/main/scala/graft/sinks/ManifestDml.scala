@@ -763,6 +763,9 @@ private[sinks] trait ManifestDmlOps { self: ManifestTable.type =>
       dirsHitByKeys(spark, path, entries, batch, keyCol, isStr)
     if (nKeys == 0) return (prev, 0)
     val hit = "__graft_key_hit"
+    require(!schema.fieldNames.contains(hit),
+      s"ManifestTable.updateKeysFrame: column name '$hit' is " +
+        "reserved for frame-keyed matching — rename the column")
     // the row-level matcher: marker left-join against the key frame;
     // updateImpl's applySets gates each SET on rowPred, which here is
     // the marker's presence — and drops the marker before the write

@@ -523,6 +523,15 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
     followSup(fs, bd, bd, s"branch '$name'")
   }
 
+  /** The branch's staged-commit count — the auditor's "anything to
+    * decide?" probe ([[graft.streaming.Streams.auditBranch]]): one
+    * directory listing, no data reads. */
+  def branchCommitCount(spark: SparkSession, path: String,
+      name: String): Int = {
+    val (fs, _) = fsOf(spark, path)
+    branchCommits(fs, path, name).size
+  }
+
   private[sinks] def branchCommits(fs: org.apache.hadoop.fs.FileSystem,
       path: String, name: String): Seq[String] = {
     val d = new org.apache.hadoop.fs.Path(

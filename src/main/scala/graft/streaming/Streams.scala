@@ -825,6 +825,45 @@ object Streams {
         ()
       }
 
+  /** The AUDITOR side of the stream-WAP loop, as one call: read the
+    * branch WHOLE (base + every staged batch), run the caller's
+    * audit, and either FAST-FORWARD the audited window onto main
+    * (one atomic metadata-only commit) or leave the branch for a
+    * FIX pass (branch DML) / an explicit abandon. Returns the
+    * committed version on publish, None when the audit rejected.
+    * A branch with nothing staged is a no-op None (nothing to
+    * publish OR reject — the stream simply hasn't produced since the
+    * last cycle). Run it on the audit's own cadence (a scheduled
+    * job) while [[branchSinkWriter]] keeps staging — the sink
+    * re-opens the branch on its next fresh batch after a publish.
+    * `audit` sees exactly what main WOULD contain if published —
+    * base rows included, so corpus-level invariants (dedup rates,
+    * distribution drift) are checkable, not just per-batch ones. */
+  def auditBranch(spark: SparkSession, tablePath: String,
+      branch: String, audit: DataFrame => Boolean,
+      evolveSchema: Boolean = false,
+      abandonOnReject: Boolean = false): Option[Long] = {
+    val t = graft.catalog.GraftNames.resolve(spark, tablePath)
+    if (!graft.sinks.ManifestTable.branchNames(spark, t)
+        .contains(branch)) return None
+    // nothing staged yet: no decision to make. The probe is the
+    // branch's COMMIT count, not its row count — an audit window
+    // whose fixes deleted every staged row is still a real publish
+    // decision (publishing it commits the empty window and resets
+    // the loop), while a commit-less branch just means the stream
+    // has not produced since the last cycle.
+    if (graft.sinks.ManifestTable
+        .branchCommitCount(spark, t, branch) == 0) return None
+    if (audit(graft.sinks.ManifestTable.readBranch(spark, t, branch)))
+      Some(graft.sinks.ManifestTable.fastForwardBranch(spark, t,
+        branch, evolveSchema = evolveSchema))
+    else {
+      if (abandonOnReject)
+        graft.sinks.ManifestTable.abandonBranch(spark, t, branch)
+      None
+    }
+  }
+
   /** CDC APPLY: follow a manifest table's CHANGE FEED
     * (`readStream.format("graft-manifest").option("readChangeFeed",
     * "true")`) into a FOLLOWER manifest table that converges to the

@@ -121,6 +121,31 @@ class IvfPqSpec extends AnyFunSuite {
       f"serving-grade recall pin violated: $recall%.3f < 0.9")
   }
 
+  test("adaptive probe composes with the filtered-search hook: " +
+      "eligible-only results, never under-filled") {
+    val tmp = Files.createTempDirectory("graft-ivfpq-af").toString
+    val cents = VectorIndex.kmeansPpCentroids(corpus, 8, iters = 2)
+      .cache()
+    IvfPq.build(corpus, cents, m = M, k = 16, s"$tmp/index")
+    val n = corpus.count().toInt
+    // eligible: every third vector — selective enough that a
+    // post-filtered fixed shortlist would under-fill
+    val allowed = corpus.filter(col("vec_id") % 3 === 0)
+      .select("vec_id")
+    val res = IvfPq.probeAdaptive(spark, s"$tmp/index", cents, queries,
+      m = M, topK = 10, shortlist = 60, slack = 1e9, minProbe = 1,
+      allowed = Some(allowed)).cache()
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(2) % 3 == 0),
+      "every returned neighbor must be in the allowed set")
+    // slack -> inf probes everything, so each query fills all 10
+    // ranks from the eligible candidates (pre-ADC filtering)
+    val perQ = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perQ.values.forall(_ == 10),
+      s"filtered adaptive probe under-filled: ${perQ.toMap}")
+  }
+
   test("widening nProbe+shortlist to the limit recovers brute force") {
     val tmp = Files.createTempDirectory("graft-ivfpq-limit").toString
     val cents = VectorIndex.centroids(corpus, 4).cache()

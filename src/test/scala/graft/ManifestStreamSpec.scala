@@ -426,6 +426,49 @@ class ManifestStreamSpec extends AnyFunSuite {
       s"got ${msgs(ex)}")
   }
 
+  test("auditBranch: the one-call auditor loop — publish on pass, " +
+      "hold or abandon on fail, no-op on an empty branch") {
+    implicit val sq = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-swap4").toString
+    val t = s"$tmp/table"
+    ManifestTable.append(spark, Seq(1L).toDF("id"), t,
+      statsCols = Seq("id"))
+    // missing branch / commit-less branch: nothing to decide
+    assert(graft.streaming.Streams.auditBranch(spark, t, "ingest",
+      _ => sys.error("audit must not run")) == None)
+    ManifestTable.createBranch(spark, t, "ingest")
+    assert(graft.streaming.Streams.auditBranch(spark, t, "ingest",
+      _ => sys.error("audit must not run on a commit-less branch"))
+      == None)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = graft.streaming.Streams.branchSinkWriter(
+      mem.toDF.toDF("id"), t, "ingest", s"$tmp/ckpt",
+      statsCols = Seq("id")).start()
+    mem.addData(10L, -5L); q.processAllAvailable()
+    // the audit sees base + staged (corpus-level view) and REJECTS
+    // (a negative id staged); the branch is held for a fix
+    assert(graft.streaming.Streams.auditBranch(spark, t, "ingest",
+      df => df.filter(col("id") < 0).isEmpty) == None)
+    assert(ManifestTable.branchNames(spark, t).contains("ingest"),
+      "reject without abandonOnReject must HOLD the branch")
+    // the fix pass: branch DML drops the bad staged row; the next
+    // audit cycle passes and publishes
+    ManifestTable.deleteFromBranch(spark, t, "ingest", col("id") < 0)
+    val v = graft.streaming.Streams.auditBranch(spark, t, "ingest",
+      df => df.filter(col("id") < 0).isEmpty)
+    assert(v.isDefined)
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 10L))
+    // the stream keeps going: next batch re-opens, a bad window with
+    // abandonOnReject vanishes without a trace
+    mem.addData(-7L); q.processAllAvailable()
+    q.stop()
+    assert(graft.streaming.Streams.auditBranch(spark, t, "ingest",
+      df => df.filter(col("id") < 0).isEmpty,
+      abandonOnReject = true) == None)
+    assert(!ManifestTable.branchNames(spark, t).contains("ingest"))
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 10L))
+  }
+
   test("stream-WAP crash window: a branch commit whose checkpoint " +
       "update was lost replays into a skip; bootstrap is refused") {
     val tmp = Files.createTempDirectory("graft-swap2").toString
