@@ -671,4 +671,74 @@ class PropertySpec extends AnyFunSuite {
         "IN-subquery")
     }
   }
+
+  test("over-cap subquery route parity: random layouts + a tiny cap, " +
+      "the join routes equal the reference computation") {
+    // The round-17 twin of the routing-parity property: with the
+    // inline cap forced tiny, DELETE and UPDATE `col IN (SELECT …)`
+    // statements take the join routes (deleteKeys frame /
+    // updateKeysFrame) — whatever the layout, the surviving/patched
+    // content must equal the reference computed on pre-statement
+    // content, and the UPDATE's commit op proves WHICH route ran.
+    val rnd = new scala.util.Random(78)
+    val capK = "spark.graft.dml.maxInlineSubqueryKeys"
+    try {
+      (0 until 3).foreach { round =>
+        val t = s"${java.nio.file.Files
+          .createTempDirectory(s"graft-capprop$round")}/t"
+        val n = 40 + rnd.nextInt(60)
+        val rows = (0 until n).map(i =>
+          (i.toLong, s"k${rnd.nextInt(n)}", rnd.nextInt(50).toLong))
+        val interleaved = rnd.nextBoolean()
+        val parts = 2 + rnd.nextInt(3)
+        (0 until parts).foreach { p =>
+          val slice = rows.zipWithIndex.collect {
+            case ((id, k, v), ix)
+                if (if (interleaved) ix % parts == p
+                    else ix * parts / rows.size == p) => (id, k, v)
+          }
+          if (slice.nonEmpty)
+            graft.sinks.ManifestTable.append(spark,
+              slice.toDF("id", "key", "n"), t,
+              statsCols = Seq("id", "n"), bloomCols = Seq("key", "id"))
+        }
+        spark.read.format("graft-manifest").load(t)
+          .createOrReplaceTempView(s"capprop$round")
+        spark.conf.set(capK, (1 + rnd.nextInt(4)).toString)
+        val cap = spark.conf.get(capK).toInt
+        var live = rows
+        def content() = graft.sinks.ManifestTable.read(spark, t)
+          .select("id", "key", "n").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          .sortBy(_._1).toSeq
+        // UPDATE first (content still dense): patch every row whose
+        // key the subquery selects, through the frame route
+        val thrU = 10 + rnd.nextInt(30)
+        val keysU = live.filter(_._3 < thrU).map(_._2).distinct.toSet
+        spark.sql(s"UPDATE capprop$round SET n = n + 1000 WHERE " +
+          s"key IN (SELECT key FROM capprop$round WHERE n < $thrU)")
+        live = live.map(r =>
+          if (keysU.contains(r._2)) r.copy(_3 = r._3 + 1000L) else r)
+        assert(content() == live.sortBy(_._1),
+          s"round $round UPDATE diverged (cap=$cap, " +
+            s"interleaved=$interleaved)")
+        if (keysU.size > cap) {
+          val v = graft.sinks.ManifestTable.latestVersion(spark, t).get
+          assert(graft.sinks.ManifestTable.commitInfoOf(spark, t, v)
+            .exists(_._1 == "updateKeysFrame"),
+            s"round $round: ${keysU.size} keys over cap $cap must " +
+              "route updateKeysFrame")
+        }
+        // then the DELETE frame route over the patched content
+        val thrD = 1000 + rnd.nextInt(30)
+        val keysD = live.filter(_._3 < thrD).map(_._2).distinct.toSet
+        spark.sql(s"DELETE FROM capprop$round WHERE key IN " +
+          s"(SELECT key FROM capprop$round WHERE n < $thrD)")
+        live = live.filterNot(r => keysD.contains(r._2))
+        assert(content() == live.sortBy(_._1),
+          s"round $round DELETE diverged (cap=$cap, " +
+            s"interleaved=$interleaved)")
+      }
+    } finally spark.conf.unset(capK)
+  }
 }
