@@ -806,12 +806,21 @@ object Streams {
     * The publish cadence is the AUDITOR's, not the sink's, by
     * design: fast-forward validates against the table as it is NOW
     * (schema, constraints, partition purity), so it belongs with
-    * whoever owns the audit decision — typically a scheduled job:
-    * `audit(readBranch(...)); fastForwardBranch(...)`. At 100 TB
-    * rate nothing here scales with table size: each batch is one
-    * staged dir write + one slot claim, the fast-forward is
-    * metadata-only (zero data movement, however many batches the
-    * audit window staged). */
+    * whoever owns the audit decision — [[auditBranch]] is that loop
+    * in one call. At 100 TB rate nothing here scales with table
+    * size: each batch is one staged dir write + one slot claim, the
+    * fast-forward is metadata-only (zero data movement, however many
+    * batches the audit window staged).
+    *
+    * SINGLE WRITER, table-wide: this sink is the table's ONE
+    * streaming writer. Batch tags share one space per table, so
+    * running a main-path sink ([[manifestSinkWriter]]) beside a
+    * branch sink on the same table would cross-inflate both
+    * watermarks after a fast-forward (the published branch tags fold
+    * into main's) and silently skip the other stream's batches —
+    * the same single-writer contract every sink here documents,
+    * stated here because the failure mode is quieter than a commit
+    * conflict. */
   def branchSinkWriter(docs: DataFrame, tablePath: String,
       branch: String, checkpoint: String,
       statsCols: Seq[String] = Nil,
