@@ -523,6 +523,63 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // swap100: the stream-WAP sink's per-batch overhead vs the
+    // main-path sink — same table shape, same 40 batches x 25k rows
+    // through MemoryStream, then the fast-forward's cost for the
+    // whole staged window. The claim under test: staging costs what
+    // appending costs (one dir write + a slot claim + a constant
+    // watermark probe — NOT a per-batch scan of the window), and the
+    // publish is metadata-only however many batches accumulated.
+    if (args.headOption.contains("swap100")) {
+      implicit val sq = spark.sqlContext
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val nBatches = 40
+      val rowsPer = 25000L
+      def drive(branch: Boolean): (Double, Double) = {
+        val root = s"/tmp/swap100-${if (branch) "br" else "main"}"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val t = s"$root/table"
+        graft.sinks.ManifestTable.append(spark,
+          spark.range(1).toDF("id"), t, statsCols = Seq("id"))
+        val mem = MemoryStream[Long]
+        val writer =
+          if (branch) graft.streaming.Streams.branchSinkWriter(
+            mem.toDF.toDF("id"), t, "ingest", s"$root/ckpt",
+            statsCols = Seq("id"))
+          else graft.streaming.Streams.manifestSinkWriter(
+            mem.toDF.toDF("id"), t, s"$root/ckpt",
+            statsCols = Seq("id"))
+        val q = writer.start()
+        val t0 = System.nanoTime()
+        (0 until nBatches).foreach { b =>
+          mem.addData((b * rowsPer) until ((b + 1) * rowsPer): _*)
+          q.processAllAvailable()
+        }
+        val stageSec = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        val t1 = System.nanoTime()
+        if (branch)
+          graft.sinks.ManifestTable.fastForwardBranch(spark, t, "ingest")
+        val pubSec = (System.nanoTime() - t1) / 1e9
+        val n = graft.sinks.ManifestTable.read(spark, t).count()
+        require(n == nBatches * rowsPer + 1,
+          s"swap100: expected ${nBatches * rowsPer + 1} rows, got $n")
+        (stageSec, pubSec)
+      }
+      val (mainSec, _) = drive(branch = false)
+      val (brSec, ffSec) = drive(branch = true)
+      println(f"TIME swap100 main_sink_40x25k $mainSec%.2f s " +
+        f"(${nBatches * rowsPer / mainSec}%.0f rows/s)")
+      println(f"TIME swap100 branch_sink_40x25k $brSec%.2f s " +
+        f"(${nBatches * rowsPer / brSec}%.0f rows/s, " +
+        f"${brSec / mainSec}%.2fx main) + fast_forward $ffSec%.2f s " +
+        "(metadata-only, 40 staged commits -> one atomic publish)")
+      spark.stop()
+      return
+    }
     // annserve100: the adaptive-probe rule at PRODUCTION SHAPE — the
     // sf-test corpora have 8 coarse cells over 500 vectors, where a
     // 72% scan fraction is geometry, not policy; here 200k synthetic

@@ -650,10 +650,17 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
         "into a branch of it")
     if (!fs.exists(new org.apache.hadoop.fs.Path(branchDir(path, name))))
       createBranch(spark, path, name)
-    val branchTag = branchCommits(fs, path, name).map { c =>
-      entriesAt(spark, resolvedCommitDir(fs, path, name, c))
-        .map(_.tag).foldLeft(-1L)(math.max)
-    }.foldLeft(-1L)(math.max)
+    // the branch watermark: this sink stages strictly increasing
+    // tags (each batch must beat the watermark to stage at all), so
+    // the max lives in the LAST tagged commit — walk from the end
+    // and stop there, instead of reading every commit's entry list
+    // per batch (which would make a long staging window quadratic).
+    // Untagged commits (manual appendToBranch, tag -1) just skip.
+    val branchTag = branchCommits(fs, path, name).reverseIterator
+      .map { c =>
+        entriesAt(spark, resolvedCommitDir(fs, path, name, c))
+          .map(_.tag).foldLeft(-1L)(math.max)
+      }.find(_ >= 0L).getOrElse(-1L)
     val fresh = batchId > math.max(latestTag(spark, path), branchTag)
     if (fresh)
       appendToBranch(spark, batch, path, name, tag = batchId,
