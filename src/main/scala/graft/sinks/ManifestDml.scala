@@ -285,8 +285,24 @@ private[sinks] trait ManifestDmlOps { self: ManifestTable.type =>
         s"ManifestTable.deleteKeys($path): $dvGroups pending " +
           s"tombstone sets exceed autoRewriteGroups=$autoRewriteGroups" +
           " — materializing via rewriteDeletes")
-      val (v2, _) = rewriteDeletes(spark, path, retries = retries)
-      return (v2, touch.size)
+      // best-effort MAINTENANCE: the delete itself is already
+      // committed, so a materialization failure (e.g. a commit
+      // conflict with zero retries left) must not make the whole
+      // call throw — the caller could no longer tell the delete
+      // succeeded. Log and return the delete's own version instead;
+      // the backlog stays readable (merge-on-read is always
+      // correct) and the next delete or manual rewriteDeletes
+      // retries the materialization.
+      try {
+        val (v2, _) = rewriteDeletes(spark, path, retries = retries)
+        return (v2, touch.size)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"ManifestTable.deleteKeys($path): auto rewriteDeletes " +
+              s"failed (${e.getMessage}) — the delete IS committed " +
+              s"at ${vName(committed)}; tombstones stay pending")
+      }
     }
     (committed, touch.size)
   }

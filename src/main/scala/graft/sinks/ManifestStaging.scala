@@ -474,6 +474,31 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
       .filterNot(_.startsWith(".")).sorted.toSeq
   }
 
+  /** Entries referenced by `.dead-` teardown residue under the
+    * branch root — a [[consumeBranch]] that crashed between its
+    * cutover and its final delete leaves a frozen dir whose
+    * UNPUBLISHED commits may be the only reference to their data
+    * dirs. [[vacuum]] pins these like live branch commits (never
+    * reap recoverable data); the residue itself is operator-removed
+    * after recovering or discarding the frozen commits. */
+  private[sinks] def deadBranchEntries(spark: SparkSession,
+      path: String): Seq[Entry] = {
+    val (fs, _) = fsOf(spark, path)
+    val root = new org.apache.hadoop.fs.Path(branchRoot(path))
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith(".dead-")).toSeq.flatMap { dd =>
+        val deadRoot = followSup(fs, dd.toString, dd.toString,
+          s"dead branch dir ${dd.getName}")
+        fs.listStatus(new org.apache.hadoop.fs.Path(deadRoot))
+          .map(_.getPath.getName)
+          .filter(n => n.startsWith("c") && n.drop(1).forall(_.isDigit))
+          .toSeq.flatMap(c => entriesAt(spark,
+            followSup(fs, dd.toString, s"$deadRoot/$c",
+              s"dead branch dir ${dd.getName} commit $c")))
+      }
+  }
+
   /** The branch's fork-point version. */
   def branchBase(spark: SparkSession, path: String,
       name: String): Long = {
@@ -532,6 +557,16 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
     branchCommits(fs, path, name).size
   }
 
+  /** The branch's staged commit names, in commit order — the capture
+    * an auditor takes BEFORE reading, so its audit window and its
+    * publish set are the same commits even while the sink keeps
+    * staging ([[readBranch]]/[[fastForwardBranch]] `onlyCommits`). */
+  def branchCommitNames(spark: SparkSession, path: String,
+      name: String): Seq[String] = {
+    val (fs, _) = fsOf(spark, path)
+    branchCommits(fs, path, name)
+  }
+
   private[sinks] def branchCommits(fs: org.apache.hadoop.fs.FileSystem,
       path: String, name: String): Seq[String] = {
     val d = new org.apache.hadoop.fs.Path(
@@ -582,11 +617,22 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
     // index, never a silent overwrite
     val attemptId = java.util.UUID.randomUUID.toString
     val root = branchActiveRoot(fs, path, name)
-    var i = branchCommits(fs, path, name).size + 1
+    var i = nextCommitIndex(fs, path, name)
     var claimed = false
     while (!claimed) {
       require(i <= 10000, s"ManifestTable.appendToBranch: could not " +
         s"claim a commit slot on '$name' after $i attempts")
+      // a fast-forward's consume cutover may have renamed the branch
+      // dir away mid-append ([[consumeBranch]] — the WAP loop's
+      // sanctioned concurrency). Writing into the old path would
+      // resurrect a baseless zombie branch; fail LOUDLY instead —
+      // the micro-batch retries, appendToBranchIfFresh re-creates
+      // the branch, and the tag watermark keeps it exactly-once.
+      require(fs.exists(new org.apache.hadoop.fs.Path(bd, "_graft_base")),
+        s"ManifestTable.appendToBranch($path, $name): the branch " +
+          "was consumed (fast-forward/abandon) while this append " +
+          "was staging — this commit did NOT land; retry the append " +
+          "(a streaming sink's batch retry re-stages it)")
       val tmp = new org.apache.hadoop.fs.Path(
         s"$root/.tmp-${cName(i)}_${attemptId.take(8)}")
       writeEntriesParquet(spark, es, tmp.toString)
@@ -607,6 +653,19 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
         i += 1
       }
     }
+    // the cutover race's last window: a consume between the
+    // pre-claim base probe and the staged write RECREATES the branch
+    // path as a baseless shell (the parquet write makes parents) and
+    // the claim lands in it. The commit is real but the BRANCH is a
+    // zombie — fail loudly; the thrown batch retries, and
+    // [[appendToBranchIfFresh]] heals the shell (nothing in it was
+    // ever acknowledged, every append into it threw right here).
+    require(fs.exists(new org.apache.hadoop.fs.Path(bd, "_graft_base")),
+      s"ManifestTable.appendToBranch($path, $name): the branch was " +
+        "consumed (fast-forward) while this append was staging and " +
+        "the commit landed in a baseless shell — it is NOT " +
+        "acknowledged; retry the append (a streaming sink's batch " +
+        "retry re-stages it into a fresh branch)")
     // a [[compactBranch]] flipping the set root mid-claim would
     // silently drop this commit from readers (the claim landed in
     // the dead set). Whether the compaction absorbed these rows is
@@ -648,7 +707,14 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
       s"ManifestTable.appendToBranchIfFresh: no committed version at " +
         s"$path — create the table (one append) before streaming " +
         "into a branch of it")
-    if (!fs.exists(new org.apache.hadoop.fs.Path(branchDir(path, name))))
+    val bdP = new org.apache.hadoop.fs.Path(branchDir(path, name))
+    // a baseless shell is the residue of an append that raced a
+    // consume cutover ([[appendToBranch]]'s post-claim guard threw,
+    // so nothing in the shell was ever acknowledged) — heal it
+    if (fs.exists(bdP) && !fs.exists(
+        new org.apache.hadoop.fs.Path(bdP, "_graft_base")))
+      fs.delete(bdP, true)
+    if (!fs.exists(bdP))
       createBranch(spark, path, name)
     // the branch watermark: this sink stages strictly increasing
     // tags (each batch must beat the watermark to stage at all), so
@@ -682,11 +748,13 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
     * superseded sets' dirs are orphans vacuum reaps. Single writer
     * per branch, like every mutation here. Returns (commits before,
     * commits after) — after is 1, EXCEPT when every branch commit
-    * was empty (e.g. a branch DELETE removed all its rows): the
-    * consolidated set holds zero commits and after is 0, which is
-    * the honest count (there is nothing to stage, and the eventual
-    * fast-forward publishes no entries). Branches with 0 or 1
-    * commits return unchanged. */
+    * was empty AND untagged: the consolidated set then holds zero
+    * commits and after is 0 (nothing to stage, nothing to publish).
+    * All-empty-but-TAGGED commits (a branch DELETE removed every
+    * staged row of a streaming window) consolidate to one file-less
+    * watermark-only commit instead — the tags are the branch's
+    * replay watermark and must survive the compaction. Branches
+    * with 0 or 1 commits return unchanged. */
   def compactBranch(spark: SparkSession, path: String,
       name: String): (Int, Int) = {
     val (fs, _) = fsOf(spark, path)
@@ -701,8 +769,10 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
     // fold per-commit state exactly like the fast-forward would
     val perCommit = commits.map { c =>
       val cd = resolvedCommitDir(fs, path, name, c)
-      val es = entriesAt(spark, cd).filter(e =>
-        e.hasData(fs, s"$path/data/${e.dir}"))
+      // keep file-less entries in the fold: their TAGS are the
+      // branch's replay watermark (only the data read below skips
+      // them)
+      val es = entriesAt(spark, cd)
       val schema = readSideFile(fs, new org.apache.hadoop.fs.Path(
           cd, "_graft_schema.json"))
         .map(DataType.fromJson(_).asInstanceOf[StructType])
@@ -719,11 +789,12 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
       }
       (es, schema, cStats, cBlooms)
     }
-    val rows = perCommit.collect { case (es, schema, _, _)
-        if es.nonEmpty =>
-      spark.read
+    val rows = perCommit.flatMap { case (es0, schema, _, _) =>
+      val es = es0.filter(e => e.hasData(fs, s"$path/data/${e.dir}"))
+      if (es.isEmpty) None
+      else Some(spark.read
         .schema(deepNullable(schema).asInstanceOf[StructType])
-        .parquet(es.map(e => s"$path/data/${e.dir}"): _*)
+        .parquet(es.map(e => s"$path/data/${e.dir}"): _*))
     }.reduceOption((a, b) =>
       a.unionByName(b, allowMissingColumns = true))
     val statsCols = perCommit.flatMap(_._3).distinct
@@ -753,7 +824,21 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
           cdir, "_graft_schema.json"), stagedSchema.json)
         writeSideFile(fs, new org.apache.hadoop.fs.Path(
           cdir, "_graft_pruning"), pruningBody(statsCols, bloomCols))
-      case None => // every commit empty: the consolidated set is too
+      case None if maxTag >= 0L =>
+        // every commit empty, but the commits carried TAGS — the
+        // branch's replay watermark. Consolidate to ONE commit whose
+        // single file-less watermark-only entry keeps the max tag,
+        // or a crash-replay of those batchIds would re-stage rows a
+        // branch DELETE already removed.
+        val cdir = new org.apache.hadoop.fs.Path(tmp, cName(1))
+        writeEntriesParquet(spark, Seq(Entry(
+          s"compact-${vName(v)}-wm", maxTag, Map.empty, Map.empty,
+          Seq.empty, files = Some(Map.empty), rows = Some(0L))),
+          cdir.toString)
+        writeSideFile(fs, new org.apache.hadoop.fs.Path(
+          cdir, "_graft_schema.json"),
+          perCommit.last._2.json)
+      case None => // every commit empty and untagged: so is the set
     }
     val fin = new org.apache.hadoop.fs.Path(s"$bd/$setName")
     require(fs.rename(tmp, fin),
@@ -763,19 +848,24 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
     // compactions resolve in order
     writeSideFile(fs, new org.apache.hadoop.fs.Path(
       root, "_graft_sup"), setName)
-    (commits.size, if (rows.isDefined) 1 else 0)
+    (commits.size, if (rows.isDefined || maxTag >= 0L) 1 else 0)
   }
 
   /** The branch's WHOLE state — base snapshot plus every branch
     * commit, in order — what the AUDIT reads before a fast-forward.
     * Commits that evolved the schema additively surface missing
-    * columns as nulls (evolution-on-read, like the main read path). */
+    * columns as nulls (evolution-on-read, like the main read path).
+    * `onlyCommits` restricts the read to a captured commit set (in
+    * the given order) — how [[graft.streaming.Streams.auditBranch]]
+    * pins its audit window to exactly the commits it will ask
+    * [[fastForwardBranch]] to publish, so a batch the sink stages
+    * DURING the audit is neither judged nor published this cycle. */
   def readBranch(spark: SparkSession, path: String,
-      name: String): DataFrame = {
+      name: String, onlyCommits: Option[Seq[String]] = None): DataFrame = {
     val (fs, _) = fsOf(spark, path)
     val bd = branchDir(path, name)
     val base = branchBase(spark, path, name)
-    branchCommits(fs, path, name).foldLeft(
+    onlyCommits.getOrElse(branchCommits(fs, path, name)).foldLeft(
       readVersion(spark, path, base)) { (acc, c) =>
       val cd = resolvedCommitDir(fs, path, name, c)
       val es = entriesAt(spark, cd).filter(e =>
@@ -809,16 +899,35 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
     * in the current snapshot) consumes the branch without
     * double-appending; if the aimed-at version was vacuumed out of
     * history the retry fails loudly instead of guessing. The branch
-    * is consumed on success. Returns the committed version. */
+    * is consumed on success — via [[consumeBranch]]'s atomic
+    * rename-cutover, so a batch the sink stages WHILE this publishes
+    * is never destroyed: it is salvaged into a re-created branch
+    * based at the published snapshot and waits for the next audit
+    * cycle. `onlyCommits` pins the publish set to commits captured
+    * earlier (what [[graft.streaming.Streams.auditBranch]] actually
+    * audited); commits staged after that capture stay staged.
+    * Returns the committed version. */
   def fastForwardBranch(spark: SparkSession, path: String, name: String,
-      evolveSchema: Boolean = false, retries: Int = 0): Long = {
+      evolveSchema: Boolean = false, retries: Int = 0,
+      onlyCommits: Option[Seq[String]] = None): Long = {
     require(retries >= 0,
       s"fastForwardBranch: retries must be >= 0, got $retries")
     val (fs, _) = fsOf(spark, path)
     val bd = branchDir(path, name)
     require(fs.exists(new org.apache.hadoop.fs.Path(bd)),
       s"ManifestTable.fastForwardBranch: no branch '$name' at $path")
-    val commits = branchCommits(fs, path, name)
+    val listed = branchCommits(fs, path, name)
+    val commits = onlyCommits match {
+      case None => listed
+      case Some(oc) =>
+        val missing = oc.filterNot(listed.toSet)
+        require(missing.isEmpty,
+          s"ManifestTable.fastForwardBranch($path, $name): commit(s) " +
+            s"${missing.mkString(", ")} from the audited set are no " +
+            "longer staged on the branch — a concurrent consume or " +
+            "compactBranch intervened; re-audit the branch")
+        oc
+    }
     val perCommit = commits.map { c0 =>
       val c = resolvedCommitDir(fs, path, name, c0)
         .stripPrefix(s"$bd/")
@@ -860,7 +969,7 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
       retained.reverse.find(w =>
         commitKV(spark, path, w).get("branchAttempt").contains(att))
         .foreach { w =>
-          fs.delete(new org.apache.hadoop.fs.Path(bd), true)
+          consumeBranch(spark, fs, path, name, w)
           return w
         }
       readSideFile(fs, new org.apache.hadoop.fs.Path(
@@ -889,7 +998,7 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
           s"ManifestTable.fastForwardBranch($path, $name): branch " +
             "dirs partially published — corrupt state, resolve " +
             "manually")
-        fs.delete(new org.apache.hadoop.fs.Path(bd), true)
+        consumeBranch(spark, fs, path, name, prev.get)
         return prev.get
       }
       // fold per-commit schemas through the same compatibility gate
@@ -945,7 +1054,7 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
           cs, op = "fastForwardBranch",
           extraCommitInfo =
             branchAttempt.map("branchAttempt" -> _).toSeq)
-        fs.delete(new org.apache.hadoop.fs.Path(bd), true)
+        consumeBranch(spark, fs, path, name, v)
         return v
       } catch {
         case _: CommitConflictException if attempt < retries =>
@@ -954,6 +1063,142 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
     }
     -1L // unreachable
   }
+
+  /** CONSUME the branch after `publishedV` committed (or was found
+    * committed) — the fast-forward's teardown, made safe against the
+    * one writer the WAP loop SANCTIONS running concurrently: the
+    * streaming sink ([[appendToBranchIfFresh]] stages while
+    * [[graft.streaming.Streams.auditBranch]] audits and publishes,
+    * by design). A wholesale `delete(branchDir)` here would destroy
+    * any batch staged between the publish's entry listing and the
+    * delete — silently, permanently, with its checkpoint already
+    * advanced (no replay). Instead:
+    *
+    *  1. The branch dir RENAMES to a dot-hidden `.dead-` name — one
+    *     atomic cutover. From this instant the sink sees no branch
+    *     (its next fresh batch auto-recreates one); nothing can land
+    *     inside the frozen dir anymore. An appendToBranch caught
+    *     mid-claim by the cutover fails LOUDLY (its pre-claim base
+    *     probe), the micro-batch retries, and the retry re-stages
+    *     into the fresh branch — the tag watermark keeps that
+    *     exactly-once.
+    *  2. Inside the frozen dir, at leisure: commits whose entry dirs
+    *     are all in `publishedV`'s snapshot are published — their
+    *     metadata deletes with the dead dir. Any OTHER commit was
+    *     staged after the publish set was captured and must survive:
+    *     it moves into a (re-created, based at `publishedV`) live
+    *     branch through the same atomic slot claim appends use,
+    *     original order preserved, and waits for the next audit.
+    *  3. The dead dir deletes.
+    *
+    * Idempotent under crash-retry at every step: a retry re-runs the
+    * membership test against the same published snapshot, and a
+    * crash between cutover and salvage leaves a `.dead-` dir whose
+    * unpublished commits a retry cannot see — the documented
+    * recovery is the loud require below, never silent loss. */
+  private def consumeBranch(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String, name: String,
+      publishedV: Long): Unit = {
+    val bd = new org.apache.hadoop.fs.Path(branchDir(path, name))
+    if (!fs.exists(bd)) return // already consumed
+    val dead = new org.apache.hadoop.fs.Path(
+      s"${branchRoot(path)}/.dead-${refName(name)}-" +
+        java.util.UUID.randomUUID.toString.take(8))
+    require(fs.rename(bd, dead),
+      s"ManifestTable.fastForwardBranch($path, $name): could not " +
+        "cut the branch dir over for teardown — filesystem refused " +
+        "the rename; the publish IS committed, re-run to finish " +
+        "consuming the branch")
+    val deadRoot = followSup(fs, dead.toString, dead.toString,
+      s"dead branch '$name'")
+    val slots = fs.listStatus(new org.apache.hadoop.fs.Path(deadRoot))
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("c") && n.drop(1).forall(_.isDigit))
+      .sorted.toSeq
+    val pubDirs = entriesOf(spark, path, publishedV).map(_.dir).toSet
+    val leftovers = slots.filter { c =>
+      val cd = followSup(fs, dead.toString, s"$deadRoot/$c",
+        s"dead branch '$name' commit $c")
+      val es = entriesAt(spark, cd)
+      val in = es.count(e => pubDirs(e.dir))
+      require(in == 0 || in == es.size,
+        s"ManifestTable.fastForwardBranch($path, $name): commit $c " +
+          s"is PARTIALLY in ${vName(publishedV)}'s snapshot — " +
+          "corrupt state, resolve manually (the branch is frozen at " +
+          s"$dead)")
+      es.nonEmpty && in == 0
+    }
+    if (leftovers.nonEmpty) {
+      // the sink may already have auto-recreated the branch for a
+      // newer batch — adopt it; otherwise re-create at the published
+      // snapshot. Either base is correct for the salvaged commits:
+      // they were staged against (at most) that snapshot's schema,
+      // and fast-forward re-validates at publish time anyway.
+      if (!fs.exists(bd)) createBranch(spark, path, name,
+        Some(publishedV))
+      leftovers.foreach { c =>
+        val cd = followSup(fs, dead.toString, s"$deadRoot/$c",
+          s"dead branch '$name' commit $c")
+        moveIntoBranchSlot(spark, fs, path, name,
+          new org.apache.hadoop.fs.Path(cd))
+      }
+    }
+    fs.delete(dead, true)
+    ()
+  }
+
+  /** Atomically claim the live branch's next commit slot for an
+    * ALREADY-STAGED commit dir (the salvage path of
+    * [[consumeBranch]]): same tmp-write + rename + attempt-readback
+    * discipline as [[appendToBranch]]'s claim loop, but the dir
+    * moves instead of being written fresh. */
+  private def moveIntoBranchSlot(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String, name: String,
+      from: org.apache.hadoop.fs.Path): Unit = {
+    val attemptId = java.util.UUID.randomUUID.toString
+    val root = branchActiveRoot(fs, path, name)
+    var i = nextCommitIndex(fs, path, name)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$root/.tmp-salvage_${attemptId.take(8)}")
+    require(fs.rename(from, tmp),
+      s"ManifestTable.fastForwardBranch($path, $name): could not " +
+        s"move staged commit $from into the live branch — the " +
+        "commit is still in its .dead- dir; re-run to finish")
+    // the salvaged dir carries the ORIGINAL append's attempt file;
+    // re-stamp with ours so the claim readback proves OUR rename won
+    writeSideFile(fs, new org.apache.hadoop.fs.Path(
+      tmp, "_graft_attempt"), attemptId)
+    var claimed = false
+    while (!claimed) {
+      require(i <= 10000, s"ManifestTable.fastForwardBranch($path, " +
+        s"$name): could not claim a salvage slot after $i attempts")
+      val fin = new org.apache.hadoop.fs.Path(s"$root/${cName(i)}")
+      val renamed = !fs.exists(fin) && fs.rename(tmp, fin)
+      claimed = renamed && readSideFile(fs,
+        new org.apache.hadoop.fs.Path(fin, "_graft_attempt"))
+        .contains(attemptId)
+      if (!claimed) {
+        // unlike the append loop we CANNOT delete a swallowed tmp
+        // (rename into an existing dir on some filesystems) — it is
+        // the only copy of the salvaged commit; pull it back out
+        val swallowed = new org.apache.hadoop.fs.Path(fin, tmp.getName)
+        if (fs.exists(swallowed)) require(fs.rename(swallowed, tmp),
+          s"ManifestTable.fastForwardBranch($path, $name): salvage " +
+            s"commit stuck inside $fin — recover it manually")
+        i += 1
+      }
+    }
+  }
+
+  /** The next free commit-slot index on the live branch: one past
+    * the MAX existing index, never `count + 1` — after a partial
+    * consume leaves (say) only `c0007` staged, the next claim must
+    * be `c0008`, not `c0002`, or commit ORDER (schema folds, the
+    * watermark's last-tagged probe) would break. */
+  private def nextCommitIndex(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, name: String): Int =
+    branchCommits(fs, path, name)
+      .map(_.drop(1).toInt).foldLeft(0)(math.max) + 1
 
   /** Discard a branch without fast-forwarding — the audit's reject
     * path. Its commits' data dirs become orphans the next [[vacuum]]
@@ -1018,8 +1263,25 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
         val byProv = rewritten
           .flatMap(e => e.sources.map(_ -> e)).toMap
         val touchedSet = touch.map(_.dir).toSet
-        val merged = es.flatMap(e =>
-          if (!touchedSet(e.dir)) Some(e) else byProv.get(e.dir))
+        val merged = es.flatMap { e =>
+          if (!touchedSet(e.dir)) Some(e)
+          else byProv.get(e.dir).orElse {
+            // the fix emptied this dir. Its ROWS are gone, but its
+            // TAG is the branch's replay watermark (the branch
+            // watermark rides entry tags — main's is table-level
+            // metadata): dropping the entry would let a crash-replay
+            // of that batchId re-stage rows the audit deliberately
+            // removed. Keep a file-less watermark-only entry — reads
+            // skip it (files = Some(empty)), fast-forward folds its
+            // tag into main's watermark, and its dir name is
+            // synthetic so vacuum never pins the emptied dir's old
+            // files.
+            if (e.tag >= 0L) Some(Entry(s"${e.dir}-wm", e.tag,
+              Map.empty, Map.empty, Seq.empty,
+              files = Some(Map.empty), rows = Some(0L)))
+            else None
+          }
+        }
         // stage the full replacement beside the commit, then flip
         // the pointer — the one-file atomic commit point
         val supId = java.util.UUID.randomUUID.toString.take(8)

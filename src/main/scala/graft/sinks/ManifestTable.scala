@@ -3594,14 +3594,18 @@ object ManifestTable extends ManifestStagingOps with ManifestDmlOps {
             "explicitly")
       }
     }
+    // `.dead-` teardown residue (a crashed consumeBranch) may hold
+    // the only reference to an unpublished commit's dirs — pin them
+    val deadEntries = deadBranchEntries(spark, path)
     val referenced =
-      (keptEntries ++ stagedEntries ++ branchEntries).map(_.dir).toSet
+      (keptEntries ++ stagedEntries ++ branchEntries ++ deadEntries)
+        .map(_.dir).toSet
     // tombstone dirs survive while ANY kept snapshot's entry still
     // references them as a pending deletion vector; materialized or
     // rolled-off tombstones are orphans and reap with their versions
     val refTombs =
-      (keptEntries ++ stagedEntries ++ branchEntries).flatMap(_.dv.keys)
-        .toSet
+      (keptEntries ++ stagedEntries ++ branchEntries ++ deadEntries)
+        .flatMap(_.dv.keys).toSet
     drop.foreach(v => fs.delete(
       new org.apache.hadoop.fs.Path(s"$path/manifest/${vName(v)}"), true))
     var bytes = 0L

@@ -861,11 +861,20 @@ object Streams {
     // decision (publishing it commits the empty window and resets
     // the loop), while a commit-less branch just means the stream
     // has not produced since the last cycle.
-    if (graft.sinks.ManifestTable
-        .branchCommitCount(spark, t, branch) == 0) return None
-    if (audit(graft.sinks.ManifestTable.readBranch(spark, t, branch)))
+    // capture the commit set FIRST: the audit window and the publish
+    // set are then the SAME commits even while branchSinkWriter
+    // keeps staging — a batch staged after this capture is neither
+    // judged nor published this cycle (it waits for the next one),
+    // and fastForwardBranch's consume salvages it instead of
+    // deleting it with the branch dir.
+    val window = graft.sinks.ManifestTable
+      .branchCommitNames(spark, t, branch)
+    if (window.isEmpty) return None
+    if (audit(graft.sinks.ManifestTable.readBranch(spark, t, branch,
+        Some(window))))
       Some(graft.sinks.ManifestTable.fastForwardBranch(spark, t,
-        branch, evolveSchema = evolveSchema))
+        branch, evolveSchema = evolveSchema,
+        onlyCommits = Some(window)))
     else {
       if (abandonOnReject)
         graft.sinks.ManifestTable.abandonBranch(spark, t, branch)

@@ -143,14 +143,28 @@ object VectorIndex {
       val next =
         if (totalW <= 0.0) {
           // the sample has < n distinct directions: every residual is
-          // 0 — fall back to the next unseeded index (deterministic)
-          (0 until unit.length).find(!seedIdx.contains(_))
-            .getOrElse(seedIdx.size % unit.length)
+          // 0 — fall back to the next unseeded index (deterministic;
+          // one always exists because sample.length >= n, and it is
+          // never an already-seeded one)
+          (0 until unit.length).find(!seedIdx.contains(_)).get
         } else {
+          // D²-weighted draw over the POSITIVE residuals only: a
+          // zero-residual index is already seeded (or coincides with
+          // a seed's direction) and must never be drawn — including
+          // by the terminal fall-off, where floating-point rounding
+          // of totalW can leave r >= the true remaining mass
           var r = rng.nextDouble() * totalW
           var i = 0
-          while (i < unit.length - 1 && r >= d2(i)) { r -= d2(i); i += 1 }
-          i
+          var pick = -1
+          while (i < unit.length && pick < 0) {
+            if (d2(i) > 0.0) {
+              if (r < d2(i)) pick = i else r -= d2(i)
+            }
+            i += 1
+          }
+          if (pick < 0)
+            pick = (unit.length - 1 to 0 by -1).find(d2(_) > 0.0).get
+          pick
         }
       seedIdx += next
       relax(unit(next))

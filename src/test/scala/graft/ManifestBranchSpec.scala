@@ -520,4 +520,87 @@ class ManifestBranchSpec extends AnyFunSuite {
     assert(ids(ManifestTable.read(spark, t)) == Seq(1L),
       "main must be untouched by both refusals")
   }
+
+  test("a commit staged AFTER the audit capture survives the " +
+      "fast-forward's consume — salvaged, publishes next cycle") {
+    val t = tmp("graft-race")
+    ManifestTable.append(spark, Seq(1L).toDF("id"), t) // v1
+    ManifestTable.createBranch(spark, t, "w")
+    ManifestTable.appendToBranch(spark, Seq(10L).toDF("id"), t, "w")
+    // the auditor captures its window...
+    val window = ManifestTable.branchCommitNames(spark, t, "w")
+    assert(window == Seq("c0001"))
+    // ...and the sink stages ANOTHER batch before the publish lands
+    ManifestTable.appendToBranch(spark, Seq(20L).toDF("id"), t, "w")
+    // the audit read pinned to the window sees only the audited rows
+    assert(ids(ManifestTable.readBranch(spark, t, "w",
+      Some(window))) == Seq(1L, 10L))
+    val v = ManifestTable.fastForwardBranch(spark, t, "w",
+      onlyCommits = Some(window))
+    // ONLY the audited window published; the late batch is neither
+    // published (unaudited!) nor destroyed — it waits, staged, on a
+    // re-created branch based at the published snapshot
+    assert(ids(ManifestTable.readVersion(spark, t, v)) == Seq(1L, 10L))
+    assert(ManifestTable.branchNames(spark, t) == Seq("w"),
+      "the late-staged commit's branch must survive the consume")
+    assert(ManifestTable.branchBase(spark, t, "w") == v)
+    assert(ids(ManifestTable.readBranch(spark, t, "w")) ==
+      Seq(1L, 10L, 20L))
+    // the next audit cycle publishes it
+    val v2 = ManifestTable.fastForwardBranch(spark, t, "w")
+    assert(ids(ManifestTable.readVersion(spark, t, v2)) ==
+      Seq(1L, 10L, 20L))
+    assert(ManifestTable.branchNames(spark, t).isEmpty)
+  }
+
+  test("a branch fix that EMPTIES a staged streaming batch keeps its " +
+      "replay watermark, before and after the publish") {
+    val t = tmp("graft-wmkeep")
+    ManifestTable.append(spark, Seq(1L).toDF("id"), t) // v1, tag -1
+    assert(ManifestTable.appendToBranchIfFresh(spark,
+      Seq(5L).toDF("id"), t, "s", batchId = 7L))
+    // the audit rejects every row of the batch and fixes in place
+    ManifestTable.deleteFromBranch(spark, t, "s", lit(true))
+    assert(ids(ManifestTable.readBranch(spark, t, "s")) == Seq(1L),
+      "the fix must remove the staged rows")
+    // PRE-publish replay of the emptied batch: still skipped — the
+    // tag rides a file-less watermark-only entry
+    assert(!ManifestTable.appendToBranchIfFresh(spark,
+      Seq(5L).toDF("id"), t, "s", batchId = 7L),
+      "replay of an emptied batch must stay skipped (pre-publish)")
+    val v = ManifestTable.fastForwardBranch(spark, t, "s")
+    assert(ids(ManifestTable.readVersion(spark, t, v)) == Seq(1L),
+      "publishing the emptied window must add no rows")
+    assert(ManifestTable.latestTag(spark, t) == 7L,
+      "the emptied batch's tag must fold into main's watermark")
+    // POST-publish replay: skipped through main's folded watermark
+    assert(!ManifestTable.appendToBranchIfFresh(spark,
+      Seq(5L).toDF("id"), t, "s", batchId = 7L),
+      "replay of an emptied batch must stay skipped (post-publish)")
+    // genuinely new data proceeds
+    assert(ManifestTable.appendToBranchIfFresh(spark,
+      Seq(8L).toDF("id"), t, "s", batchId = 8L))
+    ManifestTable.abandonBranch(spark, t, "s")
+  }
+
+  test("compactBranch of all-empty TAGGED commits keeps the " +
+      "watermark as one file-less commit") {
+    val t = tmp("graft-wmcompact")
+    ManifestTable.append(spark, Seq(1L).toDF("id"), t)
+    assert(ManifestTable.appendToBranchIfFresh(spark,
+      Seq(5L).toDF("id"), t, "s", batchId = 1L))
+    assert(ManifestTable.appendToBranchIfFresh(spark,
+      Seq(6L).toDF("id"), t, "s", batchId = 2L))
+    ManifestTable.deleteFromBranch(spark, t, "s", lit(true))
+    val (before, after) = ManifestTable.compactBranch(spark, t, "s")
+    assert((before, after) == (2, 1),
+      "all-empty TAGGED commits must consolidate to ONE watermark " +
+        s"commit, got ($before, $after)")
+    assert(!ManifestTable.appendToBranchIfFresh(spark,
+      Seq(5L).toDF("id"), t, "s", batchId = 2L),
+      "the compacted watermark must keep skipping replays")
+    val v = ManifestTable.fastForwardBranch(spark, t, "s")
+    assert(ids(ManifestTable.readVersion(spark, t, v)) == Seq(1L))
+    assert(ManifestTable.latestTag(spark, t) == 2L)
+  }
 }
