@@ -40,8 +40,10 @@ object AnnPins {
     Seq(graft.operators.VectorQueries.q110IndexPath(d),
         graft.operators.VectorQueries.q100CodebooksPath(d),
         graft.operators.VectorQueries.q117IndexPath(d),
-        graft.operators.VectorQueries.q170IndexPath(d))
-      .flatMap(p => Seq(p, s"$p.params", s"$p.codebooks", s"$p.centroids"))
+        graft.operators.VectorQueries.q170IndexPath(d),
+        graft.operators.VectorQueries.q173IndexPath(d))
+      .flatMap(p => Seq(p, s"$p.params", s"$p.codebooks", s"$p.centroids",
+        s"$p.tombstones"))
       .foreach(p => rmTree(new java.io.File(p)))
     // the pinned lists are only valid for this algorithm version — the
     // same constant every artifact cache marker carries
@@ -78,6 +80,21 @@ object AnnPins {
       queries, m = 8, topK = 10, shortlist = 150,
       slack = graft.operators.VectorQueries.Q170_SLACK,
       minProbe = graft.operators.VectorQueries.Q170_MIN_PROBE)))
+
+    // q173: the delete-propagation index — full-corpus build, then
+    // every vec_id % 10 == 3 tombstoned; pins are the post-delete
+    // adaptive retrieval (and must contain no deleted id)
+    val (cents173, ran173) =
+      graft.operators.VectorQueries.ensureQ173Index(spark, d)
+    assert(ran173, "q173 index must be freshly built+deleted for pins")
+    val p173 = graft.vector.IvfPq.probeAdaptive(
+      spark, graft.operators.VectorQueries.q173IndexPath(d), cents173,
+      queries, m = 8, topK = 10, shortlist = 150,
+      slack = graft.operators.VectorQueries.Q170_SLACK,
+      minProbe = graft.operators.VectorQueries.Q170_MIN_PROBE)
+    assert(p173.filter(col("vec_id") % 10 === 3).count() == 0,
+      "deleted ids must never appear in q173 pins")
+    println("PINS_Q173 = " + pins(p173))
 
     // q170: the serving-grade config (k-means++ centroids + adaptive
     // multi-probe), with its MEASURED COST printed beside the pins —

@@ -777,6 +777,91 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // annfollow100: the ANN-index CDC follower loop at 500k vectors —
+    // corpus table -> change feed -> persisted IVF-PQ index. The
+    // numbers that matter: a 50k-key GDPR delete propagates as ONE
+    // tombstone write (zero index files touched), the probe's
+    // tombstone mask costs a broadcast anti-join until compact
+    // materializes it, and the follower batch cost is delta-sized,
+    // never index-sized.
+    if (args.headOption.contains("annfollow100")) {
+      val out100 = "/tmp/scale100docs"
+      if (!new java.io.File(s"$out100/documents.parquet").exists())
+        buildDocs100(out100)
+      val corpus = Tables.embeddings(spark, out100)
+        .select(col("vec_id"), col("embedding"))
+      val n = corpus.count()
+      val tc = "/tmp/scale100docs/vec_corpus"
+      val fsC = new org.apache.hadoop.fs.Path(tc)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fsC.delete(new org.apache.hadoop.fs.Path(tc), true)
+      graft.sinks.ManifestTable.append(spark, corpus, tc,
+        statsCols = Seq("vec_id"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-annfollow").toString
+      val path = s"$tmp/index"
+      val tb = System.nanoTime()
+      graft.vector.IvfPq.ensureBuilt(spark,
+        graft.sinks.ManifestTable.read(spark, tc), m = 8, k = 256,
+        nCentroids = 64, kmIters = 2, path)
+      println(f"TIME annfollow100 base_build " +
+        f"${(System.nanoTime() - tb) / 1e9}%.2f s ($n vectors)")
+      def follow() = graft.streaming.Streams.annIndexChangesFollower(
+        spark.readStream.format("graft-manifest")
+          .option("readChangeFeed", "true").load(tc),
+        path, s"$tmp/ckpt")
+        .trigger(graft.streaming.Streams.drainTrigger).start()
+      // bootstrap: 500k insert events anti-joined against the live
+      // index — the one index-sized pass a fresh checkpoint pays
+      val t0 = System.nanoTime()
+      val q0 = follow(); q0.awaitTermination()
+      println(f"TIME annfollow100 bootstrap_noop " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // the GDPR wave: 50k keys deleted upstream + 10k re-embedded
+      // (update = delete-pre + insert-post through the feed)
+      val dead = corpus.filter(col("vec_id") % 10 === 3)
+        .select("vec_id")
+      val nDead = dead.count()
+      graft.sinks.ManifestTable.deleteKeys(spark, dead, tc, "vec_id")
+      graft.sinks.ManifestTable.updateRange(spark, tc, "vec_id",
+        0L, 9999L, Seq("embedding" ->
+          slice(concat(col("embedding"), col("embedding")),
+            lit(1), size(col("embedding")))))
+      val t1 = System.nanoTime()
+      val q1 = follow(); q1.awaitTermination()
+      println(f"TIME annfollow100 follow_delete${nDead}_update10k " +
+        f"${(System.nanoTime() - t1) / 1e9}%.2f s")
+      val live = graft.vector.IvfPq.live(spark, path)
+      val liveN = live.count()
+      val srcN = graft.sinks.ManifestTable.read(spark, tc).count()
+      require(liveN == srcN && live.select("vec_id").distinct()
+          .count() == srcN,
+        s"annfollow100: index diverged (live=$liveN src=$srcN)")
+      val cents = graft.vector.IvfPq.centroidsOf(spark, path)
+      val queries = corpus.filter(col("vec_id") % 100000 === 1)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb"))
+      def probeOnce(tag: String): Seq[org.apache.spark.sql.Row] = {
+        val t = System.nanoTime()
+        val r = graft.vector.IvfPq.probeAdaptive(spark, path, cents,
+          queries, m = 8, topK = 10, shortlist = 150).collect().toSeq
+        println(f"TIME annfollow100 probe_$tag " +
+          f"${(System.nanoTime() - t) / 1e9}%.2f s (${r.length} rows)")
+        r
+      }
+      val masked = probeOnce("masked")
+      require(!masked.exists(r => r.getLong(2) % 10 == 3),
+        "annfollow100: a deleted key surfaced")
+      val t2 = System.nanoTime()
+      graft.vector.IvfPq.compact(spark, path)
+      println(f"TIME annfollow100 compact_materialize " +
+        f"${(System.nanoTime() - t2) / 1e9}%.2f s")
+      val after = probeOnce("materialized")
+      require(after == masked,
+        "annfollow100: compact changed probe results")
+      spark.stop()
+      return
+    }
     // brd100: branch-scoped DML at 500k rows — the audit-fix loop at
     // scale: main holds half, a branch stages the other half in 5
     // range-disjoint commits, a staged-only DELETE rewrites ONLY the

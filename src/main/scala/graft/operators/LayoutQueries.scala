@@ -1186,6 +1186,77 @@ object LayoutQueries {
     path
   }
 
+  /** A manifest table mutated by an OVER-CAP `IN (subquery) AND
+    * <residual>` DELETE — the route with residual conjuncts beside
+    * the membership test: the key frame stays distributed, the
+    * residual runs verbatim in the staged rewrite, and only rows
+    * matching BOTH delete ([[ManifestTable.deleteKeysFrameWhere]]).
+    * Routing is enforced at build time via the commit op, and a
+    * member row failing the residual is REQUIRED to survive (the
+    * exact bug a membership-only route would introduce). Built once
+    * per dataset. */
+  def ensureSubqueryResidualDeletedManifest(s: SparkSession, d: String)
+      : String = {
+    val path = s"${layoutRoot(d)}/docs_manifest_sqresdel"
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat(lit("d"), col("doc_id")).as("key"),
+        col("lang"), col("n_chars"))
+    val n = docs.count()
+    val expect = s"layout=$LayoutVersion manifest=sqresdel rows=$n"
+    if (!ArtifactCache.hit(path, expect)) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      Seq(0L, 1L).foreach { r =>
+        graft.sinks.ManifestTable.append(s,
+          docs.filter(col("doc_id") % 2 === r), path,
+          statsCols = Seq("doc_id"), bloomCols = Seq("key"))
+      }
+      s.read.format("graft-manifest").load(path)
+        .createOrReplaceTempView("graft_sqresdel_target")
+      val capK = "spark.graft.dml.maxInlineSubqueryKeys"
+      val old = s.conf.getOption(capK)
+      s.conf.set(capK, "10")
+      // the SUBQUERY's key set (n_chars % 5 = 2, any lang) must
+      // exceed the lowered cap, and the residual (lang = 'en') must
+      // genuinely narrow it — otherwise the pins below pin nothing
+      require(docs.filter(pmod(col("n_chars"), lit(5)) === 2)
+          .count() > 10,
+        "ensureSubqueryResidualDeletedManifest: key set under the " +
+          "cap — the over-cap route would not fire")
+      require(docs.filter(pmod(col("n_chars"), lit(5)) === 2 &&
+          col("lang") =!= "en").count() > 0,
+        "ensureSubqueryResidualDeletedManifest: no member row fails " +
+          "the residual — survival would be vacuous")
+      try s.sql("DELETE FROM graft_sqresdel_target WHERE key IN " +
+        "(SELECT key FROM graft_sqresdel_target " +
+        "WHERE n_chars % 5 = 2) AND lang = 'en'")
+      finally old match {
+        case Some(v) => s.conf.set(capK, v)
+        case None => s.conf.unset(capK)
+      }
+      val v = graft.sinks.ManifestTable.latestVersion(s, path).get
+      require(graft.sinks.ManifestTable.commitInfoOf(s, path, v)
+        .exists(_._1 == "deleteKeysFrameWhere"),
+        "ensureSubqueryResidualDeletedManifest: the over-cap " +
+          "IN-subquery + residual delete must route the frame-keyed " +
+          "copy-on-write path (deleteKeysFrameWhere)")
+      // membership without the residual must SURVIVE
+      val survivors = graft.sinks.ManifestTable.read(s, path)
+      require(survivors.filter(pmod(col("n_chars"), lit(5)) === 2 &&
+          col("lang") =!= "en").count() > 0,
+        "ensureSubqueryResidualDeletedManifest: member rows failing " +
+          "the residual were deleted — the residual gate is broken")
+      require(survivors.filter(pmod(col("n_chars"), lit(5)) === 2 &&
+          col("lang") === "en").count() == 0,
+        "ensureSubqueryResidualDeletedManifest: rows matching BOTH " +
+          "must be gone")
+      ArtifactCache.stamp(path, expect)
+    }
+    path
+  }
+
   /** A manifest table mutated by an OVER-CAP `IN (subquery)` UPDATE:
     * the DELETE route's copy-on-write twin ([[ManifestTable
     * .updateKeysFrame]]) — the key set stays a distributed frame,
@@ -3174,6 +3245,26 @@ object LayoutQueries {
         |FROM documents
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val path = ensureSubqueryUpdatedManifest(s, d)
+      graft.sinks.ManifestTable.read(s, path)
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // ---- OVER-CAP IN-subquery DELETE with RESIDUAL conjuncts
+    //      (q174): `WHERE key IN (SELECT …) AND lang = 'en'` past the
+    //      cap routes the frame-keyed copy-on-write delete instead of
+    //      refusing — membership is a distributed key-frame join, the
+    //      residual runs verbatim in the rewrite, and only rows
+    //      matching BOTH go. The oracle recomputes the surviving set
+    //      from scratch; the builder REQUIRES the route (commit op)
+    //      and that member rows failing the residual SURVIVE. ----
+    GraftQuery("q174_manifest_subquery_residual_delete",
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE NOT COALESCE(n_chars % 5 = 2 AND lang = 'en', FALSE)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val path = ensureSubqueryResidualDeletedManifest(s, d)
       graft.sinks.ManifestTable.read(s, path)
         .select(col("doc_id"), col("lang"),
           col("n_chars").cast("long").as("n_chars"))

@@ -505,6 +505,44 @@ object VectorQueries {
         corpus, queries, 10)
     },
 
+    // ---- DELETE PROPAGATION (q173): the consistency loop between a
+    //      corpus and its persisted serving index. The corpus has
+    //      first-class GDPR/retention deletes (deleteKeys,
+    //      dropPartitions, the CDC feed); this row pins that a delete
+    //      REACHES the index — one keyed tombstone write, zero index
+    //      files touched ([[graft.vector.IvfPq.delete]]), deleted
+    //      keys gone from the very next probe, physical removal at
+    //      compact. The reference gets this by construction from its
+    //      delegated store's single upsert/delete surface
+    //      (/root/reference/consumer/consumer.py:111-125). The
+    //      builder REQUIRES zero deleted ids in the retrieval (loud,
+    //      not just oracle-red), and the recall statement runs
+    //      against the SURVIVOR corpus — the floor must hold on what
+    //      is still live. Streaming form: `Streams
+    //      .annIndexChangesFollower` (IvfPqSpec pins convergence,
+    //      replay, restart). ----
+    GraftQuery("q173_ann_delete",
+      annRecallSql(PINS_Q173, "WHERE vec_id % 10 <> 3")) { (s, d) =>
+      import graft.vector.IvfPq
+      val corpus = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val (cents, _) = ensureQ173Index(s, d)
+      val queries = corpus.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val ann = IvfPq.probeAdaptive(s, q173IndexPath(d), cents, queries,
+        m = Q110_M, topK = 10, shortlist = 150,
+        slack = Q170_SLACK, minProbe = Q170_MIN_PROBE)
+        .localCheckpoint()
+      // build-time pin: a deleted key surfacing is a consistency
+      // bug, not a recall regression — fail the build, loudly
+      val leaked = ann.filter(col("vec_id") % 10 === 3).count()
+      require(leaked == 0L,
+        s"q173: $leaked deleted vec_ids surfaced from the probed " +
+          "index — delete propagation is broken")
+      recallVsExact(ann,
+        corpus.filter(col("vec_id") % 10 =!= 3), queries, 10)
+    },
+
     GraftQuery("q117_ivf_append_ann", annRecallSql(PINS_Q117)) { (s, d) =>
       import graft.vector.IvfPq
       val corpus = Tables.embeddings(s, d)
@@ -673,6 +711,38 @@ object VectorQueries {
     (IvfPq.centroidsOf(s, path), built || appended)
   }
 
+  def q173IndexPath(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft-q173-${datasetKey(d)}/index"
+
+  /** Build-once q173 artifacts: the full-corpus IVF-PQ index (q110's
+    * knobs) at a DEDICATED path, with every `vec_id % 10 == 3` key
+    * then DELETED through the index-side tombstone
+    * ([[graft.vector.IvfPq.delete]]) — exactly once, under the same
+    * marker protocol as [[graft.vector.IvfPq.ensureAppended]] (the
+    * post-delete marker no longer matches the base expect, so a
+    * re-run skips and a crash between build and stamp re-deletes
+    * idempotently). Returns (persisted centroids, whether work ran). */
+  def ensureQ173Index(s: SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, Boolean) = {
+    import graft.vector.{ArtifactCache, IvfPq}
+    val corpus = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+    val path = q173IndexPath(d)
+    val dead = corpus.filter(col("vec_id") % 10 === 3).select("vec_id")
+    val after = s"${IvfPq.expectOf(Q110_M, Q110_K, Q110_CENTS,
+      Q110_ITERS, corpus.count())} deleted=${dead.count()}"
+    if (ArtifactCache.hit(path, after))
+      (IvfPq.centroidsOf(s, path), false)
+    else {
+      IvfPq.ensureBuilt(s, corpus, Q110_M, Q110_K, Q110_CENTS,
+        Q110_ITERS, path)
+      IvfPq.delete(s, path, dead)
+      ArtifactCache.stamp(path, after)
+      (IvfPq.centroidsOf(s, path), true)
+    }
+  }
+
   /** Train-once q100 PQ codebooks for dataset `d` (amortized offline
     * artifact, like the q110 index); returns (persisted codebooks,
     * whether training ran). */
@@ -725,7 +795,8 @@ object VectorQueries {
     * bit-identical rebuilds are spec-pinned, so a pin mismatch means
     * the index or probe changed. Regenerate with
     * `sbt "runMain graft.AnnPins"`. */
-  private def annRecallSql(pins: String): String =
+  private def annRecallSql(pins: String,
+      corpusWhere: String = ""): String =
     s"""WITH q AS (SELECT vec_id AS query_id,
        |             CAST(embedding AS DOUBLE[]) AS qv
        |            FROM embeddings WHERE vec_id % 100 = 0),
@@ -734,7 +805,7 @@ object VectorQueries {
        |          range(1, len(e.ev) + 1),
        |          i -> (e.ev[i] - q.qv[i]) * (e.ev[i] - q.qv[i]))) AS dist
        |      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
-       |            FROM embeddings) e CROSS JOIN q),
+       |            FROM embeddings $corpusWhere) e CROSS JOIN q),
        |r AS (SELECT query_id, vec_id,
        |        ROW_NUMBER() OVER (PARTITION BY query_id
        |          ORDER BY dist, vec_id) AS rk
@@ -799,6 +870,16 @@ object VectorQueries {
     "(300,53),(300,60),(300,196),(300,253),(300,300),(300,464)," +
     "(300,477),(400,92),(400,94),(400,182),(400,358),(400,400)," +
     "(400,415),(400,443),(400,451),(400,475),(400,485)"
+
+  private def PINS_Q173: String =
+    "(0,0),(0,7),(0,190),(0,334),(0,344),(0,365),(0,387),(0,388)," +
+    "(0,464),(0,498),(100,45),(100,100),(100,202),(100,234)," +
+    "(100,279),(100,360),(100,384),(100,395),(100,398),(100,478)," +
+    "(200,32),(200,58),(200,189),(200,200),(200,204),(200,348)," +
+    "(200,378),(200,386),(200,409),(200,410),(300,27),(300,196)," +
+    "(300,245),(300,300),(300,305),(300,318),(300,338),(300,446)," +
+    "(300,464),(300,477),(400,92),(400,94),(400,182),(400,329)," +
+    "(400,358),(400,400),(400,451),(400,475),(400,485),(400,490)"
 
   // random-hyperplane LSH constants: weights from the same integer-mix
   // family as the minhash parameters; P odd prime > 2^32, HALF centers

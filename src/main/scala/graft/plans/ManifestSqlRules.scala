@@ -479,6 +479,42 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
       keyValue: Expression, sub: LogicalPlan, loud: String)
     extends RuntimeException(loud)
 
+  /** PEEL an over-cap condition of the shape `col IN (SELECT …) AND
+    * <deterministic residual>` (conjuncts in any order): exactly one
+    * single-column IN-subquery on a plain attribute, every other
+    * conjunct subquery-free and deterministic. Returns the key
+    * attribute, the residual (conjoined), and its prune conjuncts —
+    * the frame-keyed routes then run the membership as a key-frame
+    * join and the residual VERBATIM inside the staged rewrite. Any
+    * other arrangement (two IN-subqueries, a residual with its own
+    * subquery, OR-joined membership, NOT IN) returns None and the
+    * caller rethrows the loud MERGE remedy. */
+  private def peelSubqueryResidual(cond: Expression, stmt: String)
+      : Option[(Seq[String],
+        org.apache.spark.sql.Column, Seq[Expression])] = {
+    def conj(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conj(l) ++ conj(r)
+      case x => Seq(x)
+    }
+    val cs = conj(cond)
+    val (ins, rest) = cs.partition {
+      case InSubquery(vs, _)
+          if vs.forall(_.isInstanceOf[AttributeReference]) => true
+      case _ => false
+    }
+    ins match {
+      case Seq(InSubquery(vs, _))
+          if rest.nonEmpty && rest.forall(r =>
+            !hasSubquery(r) && r.deterministic) =>
+        scala.util.Try(
+          generalWhere(rest.reduce(And), stmt)).toOption
+          .map { case (rc, rconj) =>
+            (vs.map(_.asInstanceOf[AttributeReference].name),
+              rc, rconj) }
+      case _ => None
+    }
+  }
+
   /** Materialize every UNCORRELATED subquery inside a DML WHERE at
     * rule time — `DELETE FROM t WHERE id IN (SELECT …)`,
     * `UPDATE … WHERE EXISTS (…)`, `WHERE ts < (SELECT max(ts) …)` —
@@ -567,6 +603,26 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
     cond.transformUp {
       case InSubquery(values, lq: ListQuery) =>
         requireUncorrelated(lq.outerAttrs, "IN")
+        // COMPOSITE-key membership (`(a, b) IN (SELECT …)`): there is
+        // no literal-inline form worth building (a tuple-literal In
+        // defeats every point-set fast path), and no merge-on-read
+        // either (tombstones are single-key) — the statement is a
+        // join at ANY size, so it routes the tuple-frame path
+        // directly via the typed signal. Plain key columns only;
+        // the knob restores the loud refusal.
+        if (values.size > 1) {
+          require(subqueryJoinRouteEnabled &&
+            values.forall(_.isInstanceOf[AttributeReference]),
+            s"graft-manifest $stmt: multi-column IN subqueries are " +
+              "supported only as the frame-keyed route on plain key " +
+              "columns (spark.graft.dml.subqueryJoinRoute) — use " +
+              "MERGE INTO with a composite ON key otherwise")
+          throw SubqueryBeyondInlineCap(values.head,
+            refreshManifestRelations(lq.plan, stmt),
+            s"graft-manifest $stmt: composite-key IN subqueries " +
+              "route frame-keyed only — this shape could not be " +
+              "routed; use MERGE INTO with a composite ON key")
+        }
         require(values.size == 1 && lq.plan.output.size == 1,
           s"graft-manifest $stmt: multi-column IN subqueries are not " +
             "supported — use MERGE INTO with a composite ON key")
@@ -877,16 +933,38 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
             // the IN is the WHOLE condition on a plain column —
             // auto-routes through the DataFrame-valued merge-on-read
             // delete instead of refusing (the key set never touches
-            // the driver; zero data files rewrite). Any other shape
-            // (extra conjuncts, NOT IN, casts, UPDATE) rethrows the
-            // loud MERGE remedy, as does the knob.
+            // the driver; zero data files rewrite). With DETERMINISTIC
+            // residual conjuncts beside the IN, the route is the
+            // frame-keyed copy-on-write delete (membership = key-frame
+            // join, residual verbatim in the staged rewrite — a
+            // key-only tombstone cannot carry a residual). Any other
+            // shape (NOT IN, OR-joined membership, a residual with
+            // its own subquery, casts) rethrows the loud MERGE
+            // remedy, as does the knob.
             case cap: SubqueryBeyondInlineCap
                 if subqueryJoinRouteEnabled =>
               cond1 match {
                 case InSubquery(Seq(a: AttributeReference), _) =>
                   scala.Left(GraftManifestDeleteSubqueryKeysCommand(
                     path, a.name, cap.sub))
-                case _ => throw cap
+                // composite-key membership as the whole condition:
+                // the tuple-frame copy-on-write route
+                case InSubquery(vs, _)
+                    if vs.forall(_.isInstanceOf[AttributeReference]) =>
+                  scala.Left(GraftManifestDeleteTuplesSubqueryCommand(
+                    path, vs.map(
+                      _.asInstanceOf[AttributeReference].name),
+                    cap.sub, None, Nil))
+                case _ => peelSubqueryResidual(cond1, "DELETE") match {
+                  case Some((Seq(k), rc, rconj)) =>
+                    scala.Left(
+                      GraftManifestDeleteSubqueryKeysWhereCommand(
+                        path, k, cap.sub, rc, rconj))
+                  case Some((ks, rc, rconj)) =>
+                    scala.Left(GraftManifestDeleteTuplesSubqueryCommand(
+                      path, ks, cap.sub, Some(rc), rconj))
+                  case None => throw cap
+                }
               }
           }
         condOrCmd match {
@@ -1013,21 +1091,37 @@ object ManifestSqlRules extends Rule[LogicalPlan] {
               // over-cap IN-subquery: the canonical whole-condition
               // shape routes the frame-keyed copy-on-write update
               // (updateKeysFrame — keys stay distributed, only
-              // key-overlapping dirs rewrite); other shapes rethrow
-              // the loud MERGE remedy, as does the knob. Mirrors the
-              // DELETE dispatcher's routing exactly.
+              // key-overlapping dirs rewrite); deterministic residual
+              // conjuncts ride the same route as an extra row gate
+              // (patch only key-match AND residual-TRUE rows), with
+              // pruning the intersection of key and residual probes;
+              // other shapes rethrow the loud MERGE remedy, as does
+              // the knob. Mirrors the DELETE dispatcher's routing.
               case scala.util.Failure(cap: SubqueryBeyondInlineCap)
-                  if subqueryJoinRouteEnabled &&
-                    (u.condition match {
-                      case Some(InSubquery(
-                        Seq(_: AttributeReference), _)) => true
-                      case _ => false
-                    }) =>
-                val keyCol = u.condition.get
-                  .asInstanceOf[InSubquery].values.head
-                  .asInstanceOf[AttributeReference].name
-                GraftManifestUpdateSubqueryKeysCommand(path, keyCol,
-                  cap.sub, sets)
+                  if subqueryJoinRouteEnabled =>
+                u.condition match {
+                  case Some(InSubquery(
+                      Seq(a: AttributeReference), _)) =>
+                    GraftManifestUpdateSubqueryKeysCommand(path,
+                      a.name, cap.sub, sets)
+                  case Some(InSubquery(vs, _))
+                      if vs.forall(
+                        _.isInstanceOf[AttributeReference]) =>
+                    GraftManifestUpdateTuplesSubqueryCommand(path,
+                      vs.map(_.asInstanceOf[AttributeReference].name),
+                      cap.sub, sets, None, Nil)
+                  case Some(c) =>
+                    peelSubqueryResidual(c, "UPDATE") match {
+                      case Some((Seq(k), rc, rconj)) =>
+                        GraftManifestUpdateSubqueryKeysCommand(path,
+                          k, cap.sub, sets, Some(rc), rconj)
+                      case Some((ks, rc, rconj)) =>
+                        GraftManifestUpdateTuplesSubqueryCommand(path,
+                          ks, cap.sub, sets, Some(rc), rconj)
+                      case None => throw cap
+                    }
+                  case None => throw cap
+                }
               case scala.util.Failure(e) => throw e
               case scala.util.Success(matCond) => matCond match {
               case None | Some(Literal(true, _)) =>
@@ -1428,21 +1522,85 @@ final case class GraftManifestDeleteSubqueryKeysCommand(path: String,
   }
 }
 
-/** The UPDATE twin of [[GraftManifestDeleteSubqueryKeysCommand]]:
-  * `UPDATE t SET … WHERE col IN (SELECT …)` whose key set exceeded
-  * the inline cap routes the frame-keyed COPY-ON-WRITE update — one
-  * distributed prune pass scopes the rewrite to key-overlapping
-  * dirs, row matching is a marker join against the key frame, and
-  * the driver never holds the keys ([[ManifestTable
-  * .updateKeysFrame]]). */
-final case class GraftManifestUpdateSubqueryKeysCommand(path: String,
-    keyCol: String, sub: LogicalPlan,
-    sets: Seq[(String, org.apache.spark.sql.Column)])
+/** The RESIDUAL-conjunct variant of
+  * [[GraftManifestDeleteSubqueryKeysCommand]]: `DELETE FROM t WHERE
+  * col IN (SELECT …) AND <deterministic residual>` past the inline
+  * cap — membership stays a distributed key-frame join, the residual
+  * runs verbatim inside the staged rewrite, and the route is
+  * honestly COPY-ON-WRITE (a key-only tombstone cannot carry a
+  * residual); dirs prune by the intersection of the key and residual
+  * probes ([[ManifestTable.deleteKeysFrameWhere]]). */
+final case class GraftManifestDeleteSubqueryKeysWhereCommand(
+    path: String, keyCol: String, sub: LogicalPlan,
+    residual: org.apache.spark.sql.Column,
+    residualConjuncts: Seq[Expression])
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val keys = org.apache.spark.sql.GraftSqlBridge
       .ofRows(session, sub).toDF(keyCol)
-    ManifestTable.updateKeysFrame(session, path, keyCol, keys, sets)
+    ManifestTable.deleteKeysFrameWhere(session, path, keyCol, keys,
+      residual, residualConjuncts)
+    Seq.empty
+  }
+}
+
+/** COMPOSITE-key subquery DELETE — `DELETE FROM t WHERE (a, b) IN
+  * (SELECT …) [AND residual]`: the tuple-frame copy-on-write route
+  * ([[ManifestTable.deleteTuplesFrame]] — composite prune pass,
+  * multi-column marker join, keys never on the driver). Composite
+  * membership routes here at ANY size: there is no tuple
+  * merge-on-read and no literal-inline form worth building. */
+final case class GraftManifestDeleteTuplesSubqueryCommand(
+    path: String, keyCols: Seq[String], sub: LogicalPlan,
+    residual: Option[org.apache.spark.sql.Column],
+    residualConjuncts: Seq[Expression])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val keys = org.apache.spark.sql.GraftSqlBridge
+      .ofRows(session, sub).toDF(keyCols: _*)
+    ManifestTable.deleteTuplesFrame(session, path, keyCols, keys,
+      residual, residualConjuncts)
+    Seq.empty
+  }
+}
+
+/** COMPOSITE-key subquery UPDATE — [[ManifestTable
+  * .updateTuplesFrame]]: the tuple twin of
+  * [[GraftManifestUpdateSubqueryKeysCommand]]. */
+final case class GraftManifestUpdateTuplesSubqueryCommand(
+    path: String, keyCols: Seq[String], sub: LogicalPlan,
+    sets: Seq[(String, org.apache.spark.sql.Column)],
+    residual: Option[org.apache.spark.sql.Column],
+    residualConjuncts: Seq[Expression])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val keys = org.apache.spark.sql.GraftSqlBridge
+      .ofRows(session, sub).toDF(keyCols: _*)
+    ManifestTable.updateTuplesFrame(session, path, keyCols, keys,
+      sets, residual, residualConjuncts)
+    Seq.empty
+  }
+}
+
+/** The UPDATE twin of [[GraftManifestDeleteSubqueryKeysCommand]]:
+  * `UPDATE t SET … WHERE col IN (SELECT …) [AND residual]` whose key
+  * set exceeded the inline cap routes the frame-keyed COPY-ON-WRITE
+  * update — one distributed prune pass scopes the rewrite to
+  * key-overlapping dirs (intersected with the residual's probe when
+  * one rides along), row matching is a marker join against the key
+  * frame gated by the residual, and the driver never holds the keys
+  * ([[ManifestTable.updateKeysFrame]]). */
+final case class GraftManifestUpdateSubqueryKeysCommand(path: String,
+    keyCol: String, sub: LogicalPlan,
+    sets: Seq[(String, org.apache.spark.sql.Column)],
+    residual: Option[org.apache.spark.sql.Column] = None,
+    residualConjuncts: Seq[Expression] = Nil)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val keys = org.apache.spark.sql.GraftSqlBridge
+      .ofRows(session, sub).toDF(keyCol)
+    ManifestTable.updateKeysFrame(session, path, keyCol, keys, sets,
+      residual = residual, residualConjuncts = residualConjuncts)
     Seq.empty
   }
 }

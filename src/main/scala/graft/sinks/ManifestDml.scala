@@ -307,6 +307,244 @@ private[sinks] trait ManifestDmlOps { self: ManifestTable.type =>
     (committed, touch.size)
   }
 
+  /** Frame-keyed copy-on-write DELETE with a RESIDUAL row predicate —
+    * `DELETE FROM t WHERE keyCol IN (<frame>) AND residual` where the
+    * key set is too large to inline (the over-cap subquery route
+    * with extra conjuncts): membership is a marker left-join against
+    * the distributed key frame (the keys never touch the driver, the
+    * [[updateKeysFrame]] discipline), the residual runs VERBATIM in
+    * the staged rewrite, and a row deletes only when BOTH are TRUE —
+    * a NULL-evaluating residual survives, the SQL contract. This
+    * shape cannot ride merge-on-read ([[deleteKeys]]' tombstones are
+    * key-only; a residual needs the rows), so it is honestly
+    * copy-on-write: dirs prune by the INTERSECTION of the key prune
+    * ([[dirsHitByKeys]]: envelope + per-key range probe + Blooms)
+    * and the residual's own conjunct probe — only dirs BOTH admit
+    * rewrite. Returns (new version, dirs rewritten). `retries > 0`
+    * rebases iff recorded stats prove every concurrently-added dir
+    * is disjoint from the key batch or the residual. */
+  def deleteKeysFrameWhere(spark: SparkSession, path: String,
+      keyCol: String, keys: DataFrame,
+      residual: org.apache.spark.sql.Column,
+      residualConjuncts: Seq[
+        org.apache.spark.sql.catalyst.expressions.Expression] = Nil,
+      retries: Int = 0): (Long, Int) = {
+    val (fs, _) = fsOf(spark, path)
+    val prev = latestVersion(spark, path).getOrElse(sys.error(
+      s"ManifestTable.deleteKeysFrameWhere: no committed version at " +
+        s"$path"))
+    val entries = entriesOf(spark, path, prev)
+    val schema = tableSchema(spark, path, prev, entries)
+    val f = schema.fields.find(_.name == keyCol).getOrElse(sys.error(
+      s"ManifestTable.deleteKeysFrameWhere: no column '$keyCol' in " +
+        s"the table schema (${schema.fieldNames.mkString(", ")})"))
+    val isStr = f.dataType == org.apache.spark.sql.types.StringType
+    require(isStr || isIntegral(f.dataType),
+      s"ManifestTable.deleteKeysFrameWhere: '$keyCol' is " +
+        s"${f.dataType.catalogString} — keyed deletes are defined on " +
+        "integral and string keys")
+    val kf = keys.schema.fields.find(_.name == keyCol).getOrElse(
+      sys.error(s"ManifestTable.deleteKeysFrameWhere: keys frame has " +
+        s"no column '$keyCol'"))
+    require(kf.dataType.catalogString == f.dataType.catalogString,
+      s"ManifestTable.deleteKeysFrameWhere: keys column '$keyCol' is " +
+        s"${kf.dataType.catalogString} but the table's is " +
+        s"${f.dataType.catalogString} — a lossy cast could delete " +
+        "the wrong rows; cast explicitly at the call site")
+    // the residual must TYPE-CHECK boolean before any work
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val dt = probe.select(residual).schema.head.dataType
+    require(dt == org.apache.spark.sql.types.BooleanType,
+      s"ManifestTable.deleteKeysFrameWhere: the residual predicate " +
+        s"has type ${dt.catalogString}, not boolean")
+    val hit = "__graft_key_hit"
+    require(!schema.fieldNames.contains(hit),
+      s"ManifestTable.deleteKeysFrameWhere: column name '$hit' is " +
+        "reserved for frame-keyed matching — rename the column")
+    val batch = keys.select(col(keyCol))
+      .filter(col(keyCol).isNotNull).distinct().localCheckpoint()
+    val (touchKeys, envelope, nKeys) =
+      dirsHitByKeys(spark, path, entries, batch, keyCol, isStr)
+    val mightRes = graft.sources.ManifestFileIndex.entryProbe(
+      residualConjuncts, partitionSpecOf(spark, path, prev))
+    val touch = touchKeys.filter(e => mightRes(e) &&
+      e.hasData(fs, s"$path/data/${e.dir}"))
+    if (nKeys == 0 || touch.isEmpty) return (prev, 0)
+    val v = prev + 1
+    val rewritten = stagedRewrite(spark, path, v, schema, touch,
+      "deleteKeysFrameWhere",
+      df => df
+        .join(batch.withColumn(hit, lit(true)), Seq(keyCol), "left")
+        .filter(!(col(hit).isNotNull &&
+          coalesce(residual, lit(false))))
+        .drop(hit),
+      extraRestatCols = (keyCol +: residualConjuncts.flatMap(_.collect {
+        case a: org.apache.spark.sql.catalyst.expressions
+          .AttributeReference => a.name
+      })).distinct)
+    val committed = commitRewrite(spark, path, "deleteKeysFrameWhere",
+      prev, entries, touch.map(_.dir).toSet, rewritten, schema, Nil,
+      Nil, retries,
+      added => added.forall(e => !envelope(e) || !mightRes(e) ||
+        !e.hasData(fs, s"$path/data/${e.dir}")))
+    (committed, touch.size)
+  }
+
+  /** COMPOSITE-key twin of [[deleteKeysFrameWhere]] /
+    * [[updateKeysFrame]]'s membership machinery: shared validation +
+    * prune + marker-join pieces for the tuple-frame DML routes
+    * (`WHERE (a, b) IN (SELECT …)`), where the key is a TUPLE and
+    * membership is a multi-column frame join. Returns the validated
+    * (keyCols with string-ness, normalized batch, touched dirs,
+    * envelope probe, nKeys). Rows with ANY null key component are
+    * dropped from the batch — tuple-IN three-valued semantics: a
+    * null component can never evaluate TRUE. */
+  private def tupleFramePrep(spark: SparkSession, path: String, op: String,
+      keyCols: Seq[String], keys: DataFrame, schema: StructType,
+      entries: Seq[Entry])
+      : (Seq[(String, Boolean)], DataFrame, Seq[Entry],
+        Entry => Boolean, Long) = {
+    require(keyCols.nonEmpty && keyCols.distinct.size == keyCols.size,
+      s"ManifestTable.$op: key columns must be non-empty and " +
+        s"distinct, got ${keyCols.mkString("[", ", ", "]")}")
+    val typed = keyCols.map { k =>
+      val f = schema.fields.find(_.name == k).getOrElse(sys.error(
+        s"ManifestTable.$op: no column '$k' in the table schema " +
+          s"(${schema.fieldNames.mkString(", ")})"))
+      val isStr = f.dataType == org.apache.spark.sql.types.StringType
+      require(isStr || isIntegral(f.dataType),
+        s"ManifestTable.$op: '$k' is ${f.dataType.catalogString} — " +
+          "keyed DML is defined on integral and string keys")
+      val kf = keys.schema.fields.find(_.name == k).getOrElse(
+        sys.error(s"ManifestTable.$op: keys frame has no column '$k'"))
+      require(kf.dataType.catalogString == f.dataType.catalogString,
+        s"ManifestTable.$op: keys column '$k' is " +
+          s"${kf.dataType.catalogString} but the table's is " +
+          s"${f.dataType.catalogString} — a lossy cast could match " +
+          "the wrong rows; cast explicitly at the call site")
+      (k, isStr)
+    }
+    val batch = keys.select(keyCols.map(col): _*)
+      .na.drop("any", keyCols).distinct().localCheckpoint()
+    val (touch0, envelope, nKeys) =
+      dirsHitByKeysMulti(spark, path, entries, batch, typed)
+    (typed, batch, touch0, envelope, nKeys)
+  }
+
+  /** Frame-keyed copy-on-write DELETE on a COMPOSITE key —
+    * `DELETE FROM t WHERE (a, b) IN (<frame>) [AND residual]`: the
+    * composite-subquery route ([[deleteKeysFrameWhere]]'s tuple
+    * twin). A composite key has NO merge-on-read form at any size
+    * (tombstones are single-key by design), so membership is always
+    * this honest copy-on-write marker join; dirs prune by the
+    * composite prune pass ([[dirsHitByKeysMulti]]: per-column
+    * envelope + per-row conjunctive range probe + per-tuple Blooms),
+    * intersected with the residual's conjunct probe when one rides
+    * along. Returns (new version, dirs rewritten). */
+  def deleteTuplesFrame(spark: SparkSession, path: String,
+      keyCols: Seq[String], keys: DataFrame,
+      residual: Option[org.apache.spark.sql.Column] = None,
+      residualConjuncts: Seq[
+        org.apache.spark.sql.catalyst.expressions.Expression] = Nil,
+      retries: Int = 0): (Long, Int) = {
+    val (fs, _) = fsOf(spark, path)
+    val prev = latestVersion(spark, path).getOrElse(sys.error(
+      s"ManifestTable.deleteTuplesFrame: no committed version at $path"))
+    val entries = entriesOf(spark, path, prev)
+    val schema = tableSchema(spark, path, prev, entries)
+    residual.foreach { r =>
+      val probe = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      val dt = probe.select(r).schema.head.dataType
+      require(dt == org.apache.spark.sql.types.BooleanType,
+        s"ManifestTable.deleteTuplesFrame: the residual predicate " +
+          s"has type ${dt.catalogString}, not boolean")
+    }
+    val hit = "__graft_key_hit"
+    require(!schema.fieldNames.contains(hit),
+      s"ManifestTable.deleteTuplesFrame: column name '$hit' is " +
+        "reserved for frame-keyed matching — rename the column")
+    val (_, batch, touch0, envelope, nKeys) = tupleFramePrep(spark,
+      path, "deleteTuplesFrame", keyCols, keys, schema, entries)
+    val mightRes = graft.sources.ManifestFileIndex.entryProbe(
+      residualConjuncts, partitionSpecOf(spark, path, prev))
+    val touch = touch0.filter(e => mightRes(e) &&
+      e.hasData(fs, s"$path/data/${e.dir}"))
+    if (nKeys == 0 || touch.isEmpty) return (prev, 0)
+    val v = prev + 1
+    val matchGate = residual.fold(col(hit).isNotNull)(r =>
+      col(hit).isNotNull && coalesce(r, lit(false)))
+    val rewritten = stagedRewrite(spark, path, v, schema, touch,
+      "deleteTuplesFrame",
+      df => df
+        .join(batch.withColumn(hit, lit(true)), keyCols, "left")
+        .filter(!matchGate)
+        .drop(hit),
+      extraRestatCols = (keyCols ++ residualConjuncts.flatMap(_.collect {
+        case a: org.apache.spark.sql.catalyst.expressions
+          .AttributeReference => a.name
+      })).distinct)
+    val committed = commitRewrite(spark, path, "deleteTuplesFrame",
+      prev, entries, touch.map(_.dir).toSet, rewritten, schema, Nil,
+      Nil, retries,
+      added => added.forall(e => !envelope(e) || !mightRes(e) ||
+        !e.hasData(fs, s"$path/data/${e.dir}")))
+    (committed, touch.size)
+  }
+
+  /** Frame-keyed copy-on-write UPDATE on a COMPOSITE key —
+    * [[updateKeysFrame]]'s tuple twin for
+    * `UPDATE t SET … WHERE (a, b) IN (<frame>) [AND residual]`:
+    * matching rows patch IN PLACE through the one update engine,
+    * membership is the multi-column marker join, pruning is the
+    * composite prune pass intersected with the residual's probe.
+    * Returns (new version, dirs rewritten). */
+  def updateTuplesFrame(spark: SparkSession, path: String,
+      keyCols: Seq[String], keys: DataFrame,
+      sets: Seq[(String, org.apache.spark.sql.Column)],
+      residual: Option[org.apache.spark.sql.Column] = None,
+      residualConjuncts: Seq[
+        org.apache.spark.sql.catalyst.expressions.Expression] = Nil,
+      retries: Int = 0): (Long, Int) = {
+    val (fs, _) = fsOf(spark, path)
+    val prev = latestVersion(spark, path).getOrElse(sys.error(
+      s"ManifestTable.updateTuplesFrame: no committed version at $path"))
+    val entries = entriesOf(spark, path, prev)
+    val schema = tableSchema(spark, path, prev, entries)
+    val clash = keyCols.filter(k => sets.exists(_._1 == k))
+    require(clash.isEmpty,
+      s"ManifestTable.updateTuplesFrame: SET touches key column(s) " +
+        s"${clash.mkString("'", "', '", "'")} — a frame-keyed update " +
+        "cannot re-derive its own match set; use updateWhere")
+    residual.foreach { r =>
+      val probe = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      val dt = probe.select(r).schema.head.dataType
+      require(dt == org.apache.spark.sql.types.BooleanType,
+        s"ManifestTable.updateTuplesFrame: the residual predicate " +
+          s"has type ${dt.catalogString}, not boolean")
+    }
+    val hit = "__graft_key_hit"
+    require(!schema.fieldNames.contains(hit),
+      s"ManifestTable.updateTuplesFrame: column name '$hit' is " +
+        "reserved for frame-keyed matching — rename the column")
+    val (_, batch, touch0, envelope, nKeys) = tupleFramePrep(spark,
+      path, "updateTuplesFrame", keyCols, keys, schema, entries)
+    if (nKeys == 0) return (prev, 0)
+    val mightRes = graft.sources.ManifestFileIndex.entryProbe(
+      residualConjuncts, partitionSpecOf(spark, path, prev))
+    updateImpl(spark, path, "updateTuplesFrame", sets,
+      residual.fold(col(hit).isNotNull)(r =>
+        col(hit).isNotNull && coalesce(r, lit(false))),
+      e => touch0.exists(_.dir == e.dir) && mightRes(e),
+      added => added.forall(e => !envelope(e) || !mightRes(e) ||
+        !e.hasData(fs, s"$path/data/${e.dir}")), retries,
+      preTransform = df => df
+        .join(batch.withColumn(hit, lit(true)), keyCols, "left"),
+      dropAfter = Seq(hit))
+  }
+
   /** Materialize every pending deletion vector: each dir carrying
     * tombstone references is rewritten (its dvs anti-joined out,
     * re-statted exact, provenance recorded, possibly dropped when
@@ -747,7 +985,11 @@ private[sinks] trait ManifestDmlOps { self: ManifestTable.type =>
     * cannot hold a batch key. */
   def updateKeysFrame(spark: SparkSession, path: String, keyCol: String,
       keys: DataFrame, sets: Seq[(String, org.apache.spark.sql.Column)],
-      retries: Int = 0): (Long, Int) = {
+      retries: Int = 0,
+      residual: Option[org.apache.spark.sql.Column] = None,
+      residualConjuncts: Seq[
+        org.apache.spark.sql.catalyst.expressions.Expression] = Nil)
+      : (Long, Int) = {
     val (fs, _) = fsOf(spark, path)
     val prev = latestVersion(spark, path).getOrElse(sys.error(
       s"ManifestTable.updateKeysFrame: no committed version at $path"))
@@ -773,6 +1015,20 @@ private[sinks] trait ManifestDmlOps { self: ManifestTable.type =>
         s"${kf.dataType.catalogString} but the table's is " +
         s"${f.dataType.catalogString} — a lossy cast could patch the " +
         "wrong rows; cast explicitly at the call site")
+    // an optional RESIDUAL row predicate (the over-cap subquery route
+    // with extra conjuncts): a row patches only when it is a key
+    // match AND the residual is TRUE (NULL keeps the row's values).
+    // Must type-check boolean before any work.
+    residual.foreach { r =>
+      val probe = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      val dt = probe.select(r).schema.head.dataType
+      require(dt == org.apache.spark.sql.types.BooleanType,
+        s"ManifestTable.updateKeysFrame: the residual predicate has " +
+          s"type ${dt.catalogString}, not boolean")
+    }
+    val mightRes = graft.sources.ManifestFileIndex.entryProbe(
+      residualConjuncts, partitionSpecOf(spark, path, prev))
     val batch = keys.select(col(keyCol))
       .filter(col(keyCol).isNotNull).distinct().localCheckpoint()
     val (touch0, envelope, nKeys) =
@@ -784,11 +1040,14 @@ private[sinks] trait ManifestDmlOps { self: ManifestTable.type =>
         "reserved for frame-keyed matching — rename the column")
     // the row-level matcher: marker left-join against the key frame;
     // updateImpl's applySets gates each SET on rowPred, which here is
-    // the marker's presence — and drops the marker before the write
+    // the marker's presence (AND the residual when given) — and drops
+    // the marker before the write. Dir pruning is the INTERSECTION of
+    // the key prune and the residual's conjunct probe.
     updateImpl(spark, path, "updateKeysFrame", sets,
-      col(hit).isNotNull,
-      e => touch0.exists(_.dir == e.dir),
-      added => added.forall(e => !envelope(e) ||
+      residual.fold(col(hit).isNotNull)(r =>
+        col(hit).isNotNull && coalesce(r, lit(false))),
+      e => touch0.exists(_.dir == e.dir) && mightRes(e),
+      added => added.forall(e => !envelope(e) || !mightRes(e) ||
         !e.hasData(fs, s"$path/data/${e.dir}")), retries,
       preTransform = df => df
         .join(batch.withColumn(hit, lit(true)), Seq(keyCol), "left"),

@@ -499,6 +499,35 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
       }
   }
 
+  /** Per-branch observability: (name, staged commit count, staged
+    * row count, oldest-staged-age millis) for every live branch —
+    * what surfaces the STUCK-AUDITOR case ([[graft.streaming.Streams
+    * .auditBranch]] correctly HOLDS a rejected branch for a fix pass,
+    * but a branch accumulating for days means the auditor stopped
+    * deciding; nothing else makes that visible). Row count is None
+    * when a pre-upgrade entry disqualifies the exact fold; age is the
+    * wall-clock since the OLDEST live commit slot landed (a
+    * compactBranch resets it — the consolidated set is new metadata,
+    * and a freshly-compacted branch is by definition being tended).
+    * Metadata-only: one listing + one entry list per commit. */
+  def branchDetail(spark: SparkSession, path: String)
+      : Seq[(String, Long, Option[Long], Option[Long])] = {
+    val (fs, _) = fsOf(spark, path)
+    val now = System.currentTimeMillis()
+    branchNames(spark, path).map { n =>
+      val root = branchActiveRoot(fs, path, n)
+      val commits = branchCommits(fs, path, n)
+      val rows = commits.flatMap(c =>
+        entriesAt(spark, resolvedCommitDir(fs, path, n, c)))
+        .foldLeft(Option(0L)) { (acc, e) =>
+          for (a <- acc; r <- e.rows) yield a + r }
+      val oldest = commits.map(c => fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(s"$root/$c"))
+        .getModificationTime).minOption
+      (n, commits.size.toLong, rows, oldest.map(now - _))
+    }
+  }
+
   /** The branch's fork-point version. */
   def branchBase(spark: SparkSession, path: String,
       name: String): Long = {
@@ -598,7 +627,8 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
     * Returns the branch-commit index. */
   def appendToBranch(spark: SparkSession, df: DataFrame, path: String,
       name: String, tag: Long = -1L, statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Int = {
+      bloomCols: Seq[String] = Nil,
+      writerId: Option[String] = None): Int = {
     val (fs, _) = fsOf(spark, path)
     val bd = branchDir(path, name)
     require(fs.exists(new org.apache.hadoop.fs.Path(bd)),
@@ -640,6 +670,8 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
         tmp, "_graft_schema.json"), stagedSchema.json)
       writeSideFile(fs, new org.apache.hadoop.fs.Path(
         tmp, "_graft_pruning"), pruningBody(statsCols, bloomCols))
+      writerId.foreach(w => writeSideFile(fs,
+        new org.apache.hadoop.fs.Path(tmp, "_graft_writer"), w))
       writeSideFile(fs, new org.apache.hadoop.fs.Path(
         tmp, "_graft_attempt"), attemptId)
       val fin = new org.apache.hadoop.fs.Path(s"$root/${cName(i)}")
@@ -701,7 +733,8 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
   def appendToBranchIfFresh(spark: SparkSession, batch: DataFrame,
       path: String, name: String, batchId: Long,
       statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Boolean = {
+      bloomCols: Seq[String] = Nil,
+      writerId: Option[String] = None): Boolean = {
     val (fs, _) = fsOf(spark, path)
     require(latestVersion(spark, path).isDefined,
       s"ManifestTable.appendToBranchIfFresh: no committed version at " +
@@ -722,15 +755,27 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
     // and stop there, instead of reading every commit's entry list
     // per batch (which would make a long staging window quadratic).
     // Untagged commits (manual appendToBranch, tag -1) just skip.
-    val branchTag = branchCommits(fs, path, name).reverseIterator
-      .map { c =>
-        entriesAt(spark, resolvedCommitDir(fs, path, name, c))
-          .map(_.tag).foldLeft(-1L)(math.max)
-      }.find(_ >= 0L).getOrElse(-1L)
-    val fresh = batchId > math.max(latestTag(spark, path), branchTag)
+    val (branchTag, branchWriter) =
+      branchCommits(fs, path, name).reverseIterator
+        .map { c =>
+          val cd = resolvedCommitDir(fs, path, name, c)
+          (entriesAt(spark, cd).map(_.tag).foldLeft(-1L)(math.max),
+            readSideFile(fs, new org.apache.hadoop.fs.Path(
+              cd, "_graft_writer")).map(_.trim))
+        }.find(_._1 >= 0L).getOrElse((-1L, None))
+    val mainTag = latestTag(spark, path)
+    val fresh = batchId > math.max(mainTag, branchTag)
+    // a skip on a watermark ANOTHER writer raised is not a replay —
+    // it is the second-live-writer failure mode, surfaced loudly
+    // (same contract as appendIfFresh's main-path check)
+    if (!fresh) requireSameWriter(spark, path, batchId, writerId,
+      if (branchTag >= mainTag && branchTag >= 0L) branchWriter
+      else tagWriterOf(spark, path),
+      "appendToBranchIfFresh")
     if (fresh)
       appendToBranch(spark, batch, path, name, tag = batchId,
-        statsCols = statsCols, bloomCols = bloomCols)
+        statsCols = statsCols, bloomCols = bloomCols,
+        writerId = writerId)
     fresh
   }
 
@@ -801,6 +846,17 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
     val bloomCols = perCommit.flatMap(_._4).distinct
     val maxTag = perCommit.flatMap(_._1).map(_.tag)
       .foldLeft(-1L)(math.max)
+    // the consolidated commit carries the watermark-setting commit's
+    // writer identity, so the single-writer skip check survives a
+    // compaction
+    val maxTagWriter: Option[String] =
+      commits.zip(perCommit).reverseIterator
+        .find { case (_, (es, _, _, _)) => es.exists(_.tag >= 0L) }
+        .flatMap { case (c, _) =>
+          readSideFile(fs, new org.apache.hadoop.fs.Path(
+            resolvedCommitDir(fs, path, name, c), "_graft_writer"))
+            .map(_.trim)
+        }
     val spec = resolveSpec(spark, path, prev, Nil,
       s"ManifestTable.compactBranch($path, $name)")
     val setId = java.util.UUID.randomUUID.toString.take(8)
@@ -824,6 +880,8 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
           cdir, "_graft_schema.json"), stagedSchema.json)
         writeSideFile(fs, new org.apache.hadoop.fs.Path(
           cdir, "_graft_pruning"), pruningBody(statsCols, bloomCols))
+        maxTagWriter.foreach(wid => writeSideFile(fs,
+          new org.apache.hadoop.fs.Path(cdir, "_graft_writer"), wid))
       case None if maxTag >= 0L =>
         // every commit empty, but the commits carried TAGS — the
         // branch's replay watermark. Consolidate to ONE commit whose
@@ -838,6 +896,8 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
         writeSideFile(fs, new org.apache.hadoop.fs.Path(
           cdir, "_graft_schema.json"),
           perCommit.last._2.json)
+        maxTagWriter.foreach(wid => writeSideFile(fs,
+          new org.apache.hadoop.fs.Path(cdir, "_graft_writer"), wid))
       case None => // every commit empty and untagged: so is the set
     }
     val fin = new org.apache.hadoop.fs.Path(s"$bd/$setName")
@@ -1043,17 +1103,31 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
       val prevTag = prevTagOf(spark, path, prev, prevEntries)
       val (pStats, pBloom) = prev.map(pruningOf(spark, path, _))
         .getOrElse((Nil, Nil))
+      val branchMaxTag = es.map(_.tag).foldLeft(-1L)(math.max)
+      // the publish RAISES main's tag watermark with the branch's
+      // staged tags — record their writer with it, so the main-path
+      // single-writer skip check sees who really owns the watermark
+      val branchTagWriter: Option[String] =
+        if (branchMaxTag <= prevTag) None
+        else commits.zip(perCommit).reverseIterator
+          .find { case (_, (ces, _, _, _)) => ces.exists(_.tag >= 0L) }
+          .flatMap { case (c0, _) =>
+            readSideFile(fs, new org.apache.hadoop.fs.Path(
+              resolvedCommitDir(fs, path, name, c0), "_graft_writer"))
+              .map(_.trim)
+          }
       try {
         branchAttempt.foreach(_ => writeSideFile(fs,
           new org.apache.hadoop.fs.Path(bd, "_graft_publishing"),
           v.toString))
         commit(spark, path, v, prevEntries ++ es, schema,
-          math.max(prevTag, es.map(_.tag).foldLeft(-1L)(math.max)),
+          math.max(prevTag, branchMaxTag),
           ((pStats ++ perCommit.flatMap(_._3)).distinct,
             (pBloom ++ perCommit.flatMap(_._4)).distinct),
           cs, op = "fastForwardBranch",
           extraCommitInfo =
-            branchAttempt.map("branchAttempt" -> _).toSeq)
+            branchAttempt.map("branchAttempt" -> _).toSeq ++
+              branchTagWriter.map("tagWriter" -> _).toSeq)
         consumeBranch(spark, fs, path, name, v)
         return v
       } catch {
@@ -1294,6 +1368,12 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
             cd, "_graft_pruning"))
           .foreach(body => writeSideFile(fs,
             new org.apache.hadoop.fs.Path(tmp, "_graft_pruning"), body))
+        // the writer identity rides the commit through fixes: the
+        // replay watermark's author must survive a branch rewrite
+        readSideFile(fs, new org.apache.hadoop.fs.Path(
+            cd, "_graft_writer"))
+          .foreach(wid => writeSideFile(fs,
+            new org.apache.hadoop.fs.Path(tmp, "_graft_writer"), wid))
         val fin = new org.apache.hadoop.fs.Path(s"$bd/$supName")
         require(fs.rename(tmp, fin),
           s"ManifestTable.$op: could not stage the replacement for " +

@@ -1271,7 +1271,13 @@ object ManifestTable extends ManifestStagingOps with ManifestDmlOps {
       constraintsOf(spark, path, v).map(_._1),
       tags(spark, path).keys.toSeq.sorted,
       stagedNames(spark, path),
-      branchNames(spark, path))
+      branchNames(spark, path),
+      // the stuck-auditor surfacer: per-branch staged commit/row
+      // counts + oldest-staged-age (see branchDetail)
+      branchDetail(spark, path).map { case (n, c, r, age) =>
+        org.apache.spark.sql.Row(n, c, r.map(Long.box).orNull,
+          age.map(Long.box).orNull)
+      })
     val schema = StructType(Seq(
       StructField("format", StringType, nullable = false),
       StructField("location", StringType, nullable = false),
@@ -1295,7 +1301,13 @@ object ManifestTable extends ManifestStagingOps with ManifestDmlOps {
       StructField("staged",
         ArrayType(StringType, containsNull = false), nullable = false),
       StructField("branches",
-        ArrayType(StringType, containsNull = false), nullable = false)))
+        ArrayType(StringType, containsNull = false), nullable = false),
+      StructField("branch_detail", ArrayType(StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("staged_commits", LongType, nullable = false),
+        StructField("staged_rows", LongType, nullable = true),
+        StructField("oldest_staged_age_ms", LongType, nullable = true))),
+        containsNull = false), nullable = false)))
     spark.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(Seq(row)).asJava,
       schema)
@@ -1446,6 +1458,45 @@ object ManifestTable extends ManifestStagingOps with ManifestDmlOps {
       maxTagOf(spark, path, v).getOrElse(
         entriesOf(spark, path, v).map(_.tag).foldLeft(-1L)(math.max))
     }.getOrElse(-1L)
+
+  /** The streaming WRITER that set the current tag watermark: the
+    * newest retained commit recording a `tagWriter` — tags only RAISE
+    * through the identity-carrying sinks (appendIfFresh / a branch
+    * fast-forward), and every other commit merely carries the tag
+    * forward, so the newest record is the watermark's author. None
+    * for tables written by raw-API callers or pre-identity commits
+    * (the enforcement stays opt-in for them). */
+  private[graft] def tagWriterOf(spark: SparkSession,
+      path: String): Option[String] =
+    versions(spark, path).reverseIterator
+      .map(v => commitKV(spark, path, v).get("tagWriter"))
+      .collectFirst { case Some(w) => w }
+
+  /** The mechanical form of the single-writer contract every
+    * streaming sink documents: a batch that is about to be SKIPPED
+    * as a replay, on a watermark some OTHER writer raised, is not a
+    * replay — it is a second live streaming writer (or a rebuilt
+    * checkpoint reusing low batchIds), and skipping it silently is
+    * data loss. The same-writer skip (a genuine replay) stays quiet;
+    * raw-API callers that pass no identity keep the legacy quiet
+    * skip. */
+  private[graft] def requireSameWriter(spark: SparkSession,
+      path: String, batchId: Long, writerId: Option[String],
+      watermarkWriter: => Option[String], op: String): Unit =
+    writerId.foreach { me =>
+      watermarkWriter.foreach { w =>
+        require(w == me,
+          s"ManifestTable.$op($path): batch $batchId is at or below " +
+            s"the tag watermark, but the watermark was raised by a " +
+            s"DIFFERENT streaming writer ('$w' vs this sink's '$me') " +
+            "— this is not a replay: either two live streaming " +
+            "writers share this table (the single-writer contract), " +
+            "or this sink's checkpoint was rebuilt and reuses low " +
+            "batchIds. Refusing to skip the batch silently; stop the " +
+            "other writer or move this sink to a fresh checkpoint " +
+            "whose batchIds exceed the watermark")
+      }
+    }
 
   /** The stats maps of one written dir: (longMin, longMax, strMin,
     * strMax, nullCnt, sums). Sums are EXACT per-dir totals of the
@@ -1946,7 +1997,8 @@ object ManifestTable extends ManifestStagingOps with ManifestDmlOps {
       bloomCols: Seq[String] = Nil,
       retries: Int = 0,
       partitionSpec: Seq[PartitionTransform] = Nil,
-      partitionFanout: Int = 1): Long = {
+      partitionFanout: Int = 1,
+      extraCommitInfo: Seq[(String, String)] = Nil): Long = {
     require(retries >= 0, s"append: retries must be >= 0, got $retries")
     var written: Option[Seq[Entry]] = None
     var writtenSpec: Option[String] = None
@@ -2042,6 +2094,7 @@ object ManifestTable extends ManifestStagingOps with ManifestDmlOps {
           math.max(prevTag, tag),
           ((pStats ++ statsCols).distinct,
             (pBloom ++ bloomCols).distinct), cs, op = "append",
+          extraCommitInfo = extraCommitInfo,
           partSpecBody = if (prev.isEmpty && spec.nonEmpty)
             Some(PartitionTransform.renderSpec(spec)) else None)
         return v
@@ -2067,12 +2120,16 @@ object ManifestTable extends ManifestStagingOps with ManifestDmlOps {
       keepVersions: Int = 2, bloomCols: Seq[String] = Nil,
       partitionSpec: Seq[PartitionTransform] = Nil,
       partitionFanout: Int = 1,
-      vacuumMinAgeMillis: Long = 0L): Boolean = {
+      vacuumMinAgeMillis: Long = 0L,
+      writerId: Option[String] = None): Boolean = {
     val fresh = batchId > latestTag(spark, path)
+    if (!fresh) requireSameWriter(spark, path, batchId, writerId,
+      tagWriterOf(spark, path), "appendIfFresh")
     if (fresh) {
       append(spark, batch, path, tag = batchId, statsCols = statsCols,
         bloomCols = bloomCols, partitionSpec = partitionSpec,
-        partitionFanout = partitionFanout)
+        partitionFanout = partitionFanout,
+        extraCommitInfo = writerId.map("tagWriter" -> _).toSeq)
       if (vacuumEvery > 0 && batchId > 0 && batchId % vacuumEvery == 0) {
         // the cadence report a streaming operator alarms on: a
         // steadily climbing reap count means loser attempt dirs are

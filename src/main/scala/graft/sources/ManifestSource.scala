@@ -673,7 +673,8 @@ final class ManifestStreamSink(path: String, statsCols: Seq[String],
     vacuumEvery: Int, keepVersions: Int, bloomCols: Seq[String] = Nil,
     partitionSpec: Seq[graft.sinks.PartitionTransform] = Nil,
     partitionFanout: Int = 1, vacuumMinAgeMillis: Long = 0L,
-    branch: Option[String] = None)
+    branch: Option[String] = None,
+    writerId: Option[String] = None)
     extends org.apache.spark.sql.execution.streaming.Sink {
 
   override def addBatch(batchId: Long,
@@ -689,12 +690,13 @@ final class ManifestStreamSink(path: String, statsCols: Seq[String],
         // Streams.branchSinkWriter (see appendToBranchIfFresh)
         ManifestTable.appendToBranchIfFresh(data.sparkSession,
           org.apache.spark.sql.GraftSqlBridge.batchFrame(data), path,
-          b, batchId, statsCols, bloomCols)
+          b, batchId, statsCols, bloomCols, writerId = writerId)
       case None =>
         ManifestTable.appendIfFresh(data.sparkSession,
           org.apache.spark.sql.GraftSqlBridge.batchFrame(data), path,
           batchId, statsCols, vacuumEvery, keepVersions, bloomCols,
-          partitionSpec, partitionFanout, vacuumMinAgeMillis)
+          partitionSpec, partitionFanout, vacuumMinAgeMillis,
+          writerId = writerId)
     }
     ()
   }
@@ -974,8 +976,11 @@ final class GraftManifestSource extends RelationProvider
           "own spec and publishes through fastForwardBranch — " +
           "partitionBy/partitionSpec/partitionFanout/vacuumEvery do " +
           "not apply to a staging stream; drop them")
+    // the sink's writer identity for the single-writer skip check:
+    // the stream's checkpoint location (unique per live stream)
+    val writerId = parameters.get("checkpointLocation")
     new ManifestStreamSink(path, statsCols, vacuumEvery, keepVersions,
-      bloomCols, partSpec, partFanout, vacMinAge, branch)
+      bloomCols, partSpec, partFanout, vacMinAge, branch, writerId)
   }
 
   /** `spark.readStream.format("graft-manifest").load(tablePath)` —

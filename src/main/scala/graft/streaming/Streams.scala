@@ -493,9 +493,14 @@ object Streams {
         // under .precompact — restore before reading, or the anti-join
         // below would see nothing and double-insert the whole batch
         graft.sinks.Maintenance.recoverPrecompact(spark, indexPath)
+        // anti-join the LIVE view, not the raw files: a key deleted
+        // from the index ([[graft.vector.IvfPq.delete]]) must be
+        // re-insertable — its dead rows' ids would otherwise block
+        // the re-insert forever
         val fresh = batch
           .dropDuplicates("vec_id")
-          .join(spark.read.parquet(indexPath).select(col("vec_id")),
+          .join(graft.vector.IvfPq.live(spark, indexPath)
+            .select(col("vec_id")),
             Seq("vec_id"), "left_anti")
           .persist()
         try if (fresh.head(1).nonEmpty)
@@ -776,7 +781,7 @@ object Streams {
         // foreachBatch form and the graft-manifest StreamSinkProvider)
         graft.sinks.ManifestTable.appendIfFresh(batch.sparkSession,
           batch, tablePath, batchId, statsCols, vacuumEvery,
-          keepVersions, bloomCols)
+          keepVersions, bloomCols, writerId = Some(checkpoint))
         ()
       }
 
@@ -812,15 +817,17 @@ object Streams {
     * fast-forward is metadata-only (zero data movement, however many
     * batches the audit window staged).
     *
-    * SINGLE WRITER, table-wide: this sink is the table's ONE
-    * streaming writer. Batch tags share one space per table, so
-    * running a main-path sink ([[manifestSinkWriter]]) beside a
-    * branch sink on the same table would cross-inflate both
+    * SINGLE WRITER, table-wide — MECHANICALLY ENFORCED: this sink is
+    * the table's ONE streaming writer. Batch tags share one space per
+    * table, so running a main-path sink ([[manifestSinkWriter]])
+    * beside a branch sink on the same table would cross-inflate both
     * watermarks after a fast-forward (the published branch tags fold
-    * into main's) and silently skip the other stream's batches —
-    * the same single-writer contract every sink here documents,
-    * stated here because the failure mode is quieter than a commit
-    * conflict. */
+    * into main's) and skip the other stream's batches. Each sink
+    * therefore records its WRITER IDENTITY (its checkpoint path)
+    * with every watermark it raises, and a batch about to be skipped
+    * on a watermark some OTHER writer raised throws loudly instead —
+    * that shape is never a replay, it is the second live writer (or
+    * a rebuilt checkpoint reusing low batchIds) surfacing. */
   def branchSinkWriter(docs: DataFrame, tablePath: String,
       branch: String, checkpoint: String,
       statsCols: Seq[String] = Nil,
@@ -830,7 +837,7 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.sinks.ManifestTable.appendToBranchIfFresh(
           batch.sparkSession, batch, tablePath, branch, batchId,
-          statsCols, bloomCols)
+          statsCols, bloomCols, writerId = Some(checkpoint))
         ()
       }
 
@@ -933,8 +940,17 @@ object Streams {
         val spark = batch.sparkSession
         import graft.sinks.ManifestTable
         // the tag watermark gates the whole batch: a replayed batch
-        // must re-apply NOTHING (its append already landed)
-        if (batchId > ManifestTable.latestTag(spark, tablePathResolved)) {
+        // must re-apply NOTHING (its append already landed). A skip
+        // on a watermark ANOTHER writer raised is not a replay — the
+        // shared single-writer check turns it loud.
+        val freshBatch =
+          batchId > ManifestTable.latestTag(spark, tablePathResolved)
+        if (!freshBatch)
+          ManifestTable.requireSameWriter(spark, tablePathResolved,
+            batchId, Some(checkpoint),
+            ManifestTable.tagWriterOf(spark, tablePathResolved),
+            "applyChangesSinkWriter")
+        if (freshBatch) {
           // NET per key: the last change wins; the insert-postimage
           // outranks its own version's delete-preimage
           val w = org.apache.spark.sql.expressions.Window
@@ -968,8 +984,89 @@ object Streams {
                 "_commit_version"),
             tablePathResolved, batchId,
             statsCols = (statsCols :+ keyCol).distinct,
-            bloomCols = bloomCols)
+            bloomCols = bloomCols, writerId = Some(checkpoint))
         }
+        ()
+      }
+  }
+
+  /** ANN-INDEX CDC FOLLOWER: follow a corpus table's CHANGE FEED
+    * (`readStream.format("graft-manifest").option("readChangeFeed",
+    * "true")`) into a persisted IVF-PQ index, so the index FOLLOWS
+    * its corpus — the consistency loop the reference gets by
+    * construction from its delegated store's single upsert/delete
+    * surface (`/root/reference/consumer/consumer.py:111-125`), and
+    * the piece that closes the GDPR gap: a corpus `deleteKeys` /
+    * `dropPartitions` propagates here as an index delete, so deleted
+    * documents' vectors stop serving instead of living on in the
+    * index forever.
+    *
+    * Per micro-batch (one convergent unit): the batch's change rows
+    * NET per key exactly like [[applyChangesSinkWriter]] (last change
+    * wins; the insert-postimage outranks its own version's
+    * delete-preimage), then
+    *  1. keys the batch deleted or changed more than once CLEAR with
+    *     one index tombstone ([[graft.vector.IvfPq.delete]] — cut
+    *     above every current row generation);
+    *  2. net-insert rows that are not already live append with both
+    *     quantizers frozen ([[graft.vector.IvfPq.append]] — stamped
+    *     at the max tombstone cut, so they serve above the clear).
+    *
+    * Exactly-once by CONVERGENCE, not by a watermark — the index is
+    * not a manifest table and carries no tag: a replayed batch
+    * re-tombstones at a cut above the crashed attempt's append and
+    * re-appends above it (one live copy per key, whatever the crash
+    * point), and a replayed pure-insert batch anti-joins the live
+    * view and lands nothing. That is the same
+    * source-of-truth discipline as [[annIndexSinkWriter]], extended
+    * to deletes and in-place updates by the generation ordering.
+    *
+    * Scale: netting is one window over the batch's CHANGE rows; each
+    * batch then costs one tombstone write + one delta append — never
+    * work proportional to index size. Tombstones accumulate only
+    * until the next [[graft.vector.IvfPq.compact]] (run it on the
+    * usual cadence; probes mask via a broadcast anti-join meanwhile).
+    * The embedding column must match the index's build-time
+    * dimension; `keyCol`/`embCol` name the feed's columns. */
+  def annIndexChangesFollower(changes: DataFrame, indexPath: String,
+      checkpoint: String, keyCol: String = "vec_id",
+      embCol: String = "embedding"): DataStreamWriter[Row] = {
+    require(changes.columns.contains("_change_type") &&
+      changes.columns.contains("_commit_version"),
+      "Streams.annIndexChangesFollower: the input is not a change " +
+        "feed — read the source with option(\"readChangeFeed\", " +
+        "\"true\")")
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.sinks.Maintenance.recoverPrecompact(spark, indexPath)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol))
+          .orderBy(col("_commit_version").desc,
+            when(col("_change_type") === "insert", 1)
+              .otherwise(0).desc)
+        val wk = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol))
+        val last = batch
+          .withColumn("_graft_rn", row_number().over(w))
+          .withColumn("_graft_n", count(lit(1)).over(wk))
+          .filter(col("_graft_rn") === 1)
+          .localCheckpoint()
+        // pure single-event inserts are fresh keys under the corpus
+        // key-uniqueness contract — the steady state skips the
+        // tombstone write entirely
+        val clear = last.filter(
+          col("_change_type") === "delete" || col("_graft_n") > 1)
+          .select(col(keyCol).as("vec_id"))
+        if (!clear.isEmpty)
+          graft.vector.IvfPq.delete(spark, indexPath, clear)
+        val fresh = last.filter(col("_change_type") === "insert")
+          .select(col(keyCol).as("vec_id"), col(embCol).as("embedding"))
+          .join(graft.vector.IvfPq.live(spark, indexPath)
+            .select(col("vec_id")), Seq("vec_id"), "left_anti")
+        if (fresh.head(1).nonEmpty)
+          graft.vector.IvfPq.append(spark, indexPath, fresh)
         ()
       }
   }

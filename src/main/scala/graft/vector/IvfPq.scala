@@ -50,7 +50,11 @@ import org.apache.spark.sql.functions._
   * regenerated oracle pins, so the pinned retrieval lists and the
   * marker version move together. */
 object AnnVersion {
-  val AlgoVersion = 3 // v3: hash-stride k-means/codebook SEED selection
+  // v3: hash-stride k-means/codebook SEED selection
+  // v4: generation-tombstone delete propagation (index rows carry a
+  //     `gen` column, probes mask tombstoned rows) + k-means++ seed
+  //     draw can no longer duplicate a seed on FP rounding
+  val AlgoVersion = 4
 }
 
 /** Shared marker protocol for build-once persisted artifacts: a
@@ -75,6 +79,93 @@ object IvfPq {
 
   private def codebooksPath(path: String) = s"$path.codebooks"
   private def centroidsPath(path: String) = s"$path.centroids"
+  private def tombstonesPath(path: String) = s"$path.tombstones"
+
+  // ---- DELETE PROPAGATION: generation-ordered keyed tombstones.
+  //
+  // The reference's delegated vector store keeps index and records
+  // consistent by construction (one upsert/delete surface,
+  // /root/reference/consumer/consumer.py:111-125); a persisted
+  // parquet index has to earn the same property. The design is the
+  // Lucene/segment one, adapted to bucket-partitioned parquet:
+  //
+  //  * every index row carries a GENERATION (`gen`): 0 at build,
+  //    monotonically higher for appends;
+  //  * a delete writes (vec_id, cut) tombstone rows, cut = one past
+  //    the current max row generation — "kill every row of this key
+  //    that exists NOW";
+  //  * probes mask rows with `gen < cut` for their key (a broadcast
+  //    anti-join on the candidates scan, BEFORE the ADC shortlist, so
+  //    top-k never under-fills with dead rows);
+  //  * appends stamp `gen` = the max tombstone cut, so a key
+  //    re-inserted AFTER its delete serves again (its new row sits at
+  //    or above every existing cut).
+  //
+  // The ordering is what makes delete-then-append an idempotent
+  // UPSERT unit (the CDC follower's replay discipline,
+  // [[graft.streaming.Streams.annIndexChangesFollower]]): a replayed
+  // batch re-tombstones at a cut above the crashed attempt's append
+  // and re-appends above that cut — exactly one live copy survives,
+  // whatever the crash point. [[compact]] materializes tombstones
+  // (dead rows physically dropped, tombstone set cleared), so the
+  // mask stays broadcast-sized under any delete volume. ----
+
+  private def tombstonesOf(spark: SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(tombstonesPath(path))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  private def clearTombstones(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(tombstonesPath(path))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    ()
+  }
+
+  /** Mask tombstoned rows out of an index frame: a row dies when a
+    * tombstone names its key with a cut above its generation. The
+    * tombstone set broadcasts (it is bounded by deletes since the
+    * last [[compact]], never by index size); with no tombstones the
+    * frame passes through with ZERO plan overhead — the steady-state
+    * read path is unchanged. */
+  private def dropTombstoned(spark: SparkSession, path: String,
+      df: DataFrame): DataFrame =
+    tombstonesOf(spark, path).fold(df) { t =>
+      df.join(
+        broadcast(t.select(col("vec_id").as("_t_vid"),
+          col("cut").as("_t_cut"))),
+        df("vec_id") === col("_t_vid") && df("gen") < col("_t_cut"),
+        "left_anti")
+    }
+
+  /** The LIVE index at `path`: tombstone-masked rows. What every
+    * consumer that treats the index as the source of truth must read
+    * (the streaming sink's duplicate-id anti-join — a deleted key
+    * must be re-insertable). */
+  def live(spark: SparkSession, path: String): DataFrame =
+    dropTombstoned(spark, path, spark.read.parquet(path))
+
+  /** DELETE `keys` ((vec_id) frame) from the persisted index: one
+    * tombstone write, zero index files touched — the GDPR/retention
+    * path ([[graft.sinks.ManifestTable.deleteKeys]]'s shape) for the
+    * serving artifact. Deleted keys stop surfacing from the very next
+    * probe; physical removal happens at the next [[compact]].
+    * Idempotent (re-deleting an already-dead key adds a tombstone row
+    * that masks nothing new). Returns the cut generation. */
+  def delete(spark: SparkSession, path: String, keys: DataFrame): Long = {
+    val maxGenRow = spark.read.parquet(path)
+      .agg(max(col("gen"))).head()
+    val cut = (if (maxGenRow.isNullAt(0)) 0L
+      else maxGenRow.getLong(0)) + 1L
+    keys.select(col("vec_id")).filter(col("vec_id").isNotNull)
+      .distinct()
+      .withColumn("cut", lit(cut))
+      .repartition(1)
+      .write.mode("append").parquet(tombstonesPath(path))
+    cut
+  }
 
   /** Nearest-centroid assignment by SQUARED L2 — the IVF-PQ coarse
     * quantizer must use the same metric as the PQ distances and the
@@ -120,7 +211,11 @@ object IvfPq {
     require(!cb.isEmpty, "empty PQ codebooks — refusing to build")
     l2AssignBuckets(corpus, cents)
       .join(PQ.encode(corpus, cb, m), "vec_id")
+      .withColumn("gen", lit(0L))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    // a rebuild starts a fresh generation space — tombstones from the
+    // overwritten index would wrongly mask freshly built rows
+    clearTombstones(corpus.sparkSession, path)
     cb.write.mode("overwrite").parquet(codebooksPath(path))
     // centroids persist with the index: a PROBE-only consumer (the
     // serving path) must not need the build-time k-means rerun
@@ -162,8 +257,17 @@ object IvfPq {
     require(!mRow.isNullAt(0),
       s"empty codebooks at ${codebooksPath(path)} — not a built index")
     val m = mRow.getInt(0) + 1
+    // appended rows stamp gen = the max tombstone cut: they sit at or
+    // above every existing cut, so a key re-inserted after its delete
+    // serves again while the delete keeps masking the OLD rows
+    val gen = tombstonesOf(spark, path)
+      .map { t =>
+        val r = t.agg(max(col("cut"))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }.getOrElse(0L)
     l2AssignBuckets(delta, cents)
       .join(PQ.encode(delta, cb, m), "vec_id")
+      .withColumn("gen", lit(gen))
       // one file per TOUCHED bucket per append, not one per (input
       // partition x bucket): under continuous ingest (the streaming
       // sink appends every micro-batch) an unrepartitioned write
@@ -222,14 +326,24 @@ object IvfPq {
     * here it assumes a quiet window: don't run concurrent probes
     * against the path mid-swap, and on object stores without atomic
     * rename schedule it accordingly. */
-  def compact(spark: SparkSession, path: String): Unit =
+  def compact(spark: SparkSession, path: String): Unit = {
     graft.sinks.Maintenance.writeAndSwap(spark, path) { tmp =>
-      spark.read.parquet(path)
+      // MATERIALIZE tombstones: dead rows are physically dropped
+      // here, which is what keeps the probe-time tombstone mask
+      // broadcast-sized under any cumulative delete volume. Probes
+      // are frame-identical across the swap because they only ever
+      // see the live view. Surviving rows keep their generations.
+      live(spark, path)
         .repartition(col("bucket"))
         .sortWithinPartitions(col("vec_id"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(tmp)
     }
+    // clear AFTER the swap: a crash between leaves stale tombstones
+    // that mask nothing (their dead rows are gone; survivors sit at
+    // gen >= cut or under other keys) — harmless, cleared next time
+    clearTombstones(spark, path)
+  }
 
   /** The persisted centroids of an index at `path` — the probe-side
     * artifact read, for consumers that manage the build themselves. */
@@ -344,17 +458,21 @@ object IvfPq {
     // the probed-bucket id set is bounded by queries x nProbe
     val buckets = probeBuckets.select("bucket").distinct()
       .collect().map(_.getInt(0))
-    def prunedIndex = spark.read.parquet(path)
-      .filter(col("bucket").isin(buckets.toSeq: _*))
+    // tombstone mask on the pruned scan: deleted keys drop BEFORE the
+    // ADC shortlist (like `allowed`), so top-k never under-fills with
+    // dead rows; with no tombstones this is the bare scan
+    def prunedIndex = dropTombstoned(spark, path,
+      spark.read.parquet(path)
+        .filter(col("bucket").isin(buckets.toSeq: _*)))
     // stage 2 — ADC shortlist within each query's own probed buckets.
-    // Only (bucket, vec_id, codes) are selected, so the parquet scan
-    // column-prunes the wide embedding away (ReadSchema) — the scoring
-    // pass reads the codes table, not the corpus.
+    // Only (bucket, vec_id, codes, gen) are selected, so the parquet
+    // scan column-prunes the wide embedding away (ReadSchema) — the
+    // scoring pass reads the codes table, not the corpus.
     val dt = PQ.distanceTables(queries, cb, m)
     val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc"), col("vec_id"))
+      .orderBy(col("adc"), col("vec_id"), col("gen"))
     val candidates = prunedIndex
-      .select(col("bucket"), col("vec_id"), col("codes"))
+      .select(col("bucket"), col("vec_id"), col("codes"), col("gen"))
     // the filter cuts candidates BEFORE ADC scoring: distance math
     // runs only on eligible rows, and everything downstream
     // (shortlist, re-rank) inherits eligibility by construction
@@ -365,23 +483,30 @@ object IvfPq {
       .join(broadcast(probeBuckets.select(col("query_id"), col("bucket"))),
         "bucket")
       .join(broadcast(dt), "query_id")
-      .select(col("query_id"), col("vec_id"),
+      .select(col("query_id"), col("vec_id"), col("gen"),
         PQ.adcOf(col("codes"), col("dts"), m).as("adc"))
       .withColumn("rk", row_number().over(wAdc))
       .filter(col("rk") <= shortlist)
-      .select(col("query_id"), col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("gen"))
     // stage 3 — exact re-rank: the shortlist id set (queries x
     // shortlist rows) BROADCASTS against the same pruned partitions,
     // so raw embeddings are read only where a shortlisted row lives
-    // and the index side never shuffles
+    // and the index side never shuffles. The join carries `gen` so a
+    // transiently-duplicated key (a crash window between a replayed
+    // delete and its re-append) pairs each shortlist row with ITS OWN
+    // embedding; the per-(query, key) dedup below then keeps one.
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("dist"), col("vec_id"))
+    val wDup = Window.partitionBy(col("query_id"), col("vec_id"))
+      .orderBy(col("dist"), col("gen").desc)
     prunedIndex
-      .select(col("vec_id"), col("embedding"))
-      .join(broadcast(shortlisted), "vec_id")
+      .select(col("vec_id"), col("gen"), col("embedding"))
+      .join(broadcast(shortlisted), Seq("vec_id", "gen"))
       .join(broadcast(queries), "query_id")
-      .select(col("query_id"), col("vec_id"),
+      .select(col("query_id"), col("vec_id"), col("gen"),
         PQ.l2sq(col("embedding"), col("q_emb")).as("dist"))
+      .withColumn("dup", row_number().over(wDup))
+      .filter(col("dup") === 1)
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= topK)
       .select(col("query_id"), col("rk"), col("vec_id"), col("dist"))

@@ -207,9 +207,40 @@ object VectorIndex {
 
   /** Assign each corpus vector to its nearest centroid (cosine) and
     * write the index partitioned by bucket. */
-  def build(corpus: DataFrame, cents: DataFrame, path: String): Unit =
+  def build(corpus: DataFrame, cents: DataFrame, path: String): Unit = {
     assignBuckets(corpus, cents)
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    // a rebuild supersedes every prior delete — stale tombstones
+    // would wrongly mask freshly built rows
+    val spark = corpus.sparkSession
+    val p = new org.apache.hadoop.fs.Path(tombstonesPath(path))
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    ()
+  }
+
+  private def tombstonesPath(indexPath: String) =
+    s"$indexPath.tombstones"
+
+  /** DELETE `keys` ((vec_id) frame) from the persisted cosine index:
+    * one tombstone write, zero index files touched — deleted keys
+    * stop surfacing from the very next probe. This index has no
+    * append path (content = build-time corpus), so the tombstone is
+    * a plain key set with no generation ordering ([[IvfPq.delete]]
+    * carries one because IVF-PQ keys can be re-inserted); re-serving
+    * a deleted key means rebuilding. Idempotent. */
+  def delete(spark: SparkSession, indexPath: String,
+      keys: DataFrame): Unit =
+    keys.select(col("vec_id")).filter(col("vec_id").isNotNull)
+      .distinct()
+      .repartition(1)
+      .write.mode("append").parquet(tombstonesPath(indexPath))
+
+  private def tombstonesOf(spark: SparkSession,
+      indexPath: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(tombstonesPath(indexPath))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
 
   /** Per-query centroid scores: (query_id, q_emb, q_nrm, cent_id,
     * csim, rk) — rk ranks centroids nearest-first per query. Tiny
@@ -234,8 +265,13 @@ object VectorIndex {
       probeBuckets: DataFrame, k: Int): DataFrame = {
     val buckets = probeBuckets.select("bucket").distinct()
       .collect().map(_.getInt(0))
-    val index = spark.read.parquet(indexPath)
+    val scanned = spark.read.parquet(indexPath)
       .filter(col("bucket").isin(buckets.toSeq: _*))
+    // tombstone mask: deleted keys drop before scoring (broadcast
+    // anti-join, bounded by deletes); no tombstones = the bare scan
+    val index = tombstonesOf(spark, indexPath).fold(scanned)(t =>
+      scanned.join(broadcast(t.select(col("vec_id"))),
+        Seq("vec_id"), "left_anti"))
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     index.join(broadcast(probeBuckets), "bucket")

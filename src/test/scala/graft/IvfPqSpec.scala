@@ -43,7 +43,7 @@ class IvfPqSpec extends AnyFunSuite {
     assert(idx.select("bucket").distinct().count() <= 8)
     // every row carries raw embedding AND m codes (and nothing dead)
     assert(idx.schema.fieldNames.sorted.toSeq ==
-      Seq("bucket", "codes", "embedding", "vec_id"))
+      Seq("bucket", "codes", "embedding", "gen", "vec_id"))
     assert(idx.select(size(col("codes"))).distinct()
       .collect().map(_.getInt(0)).toSeq == Seq(M))
 
@@ -287,9 +287,10 @@ class IvfPqSpec extends AnyFunSuite {
     IvfPq.append(spark, s"$tmp/appended", delta)
     IvfPq.buildWith(corpus, cents, cb, M, s"$tmp/rebuilt")
     def content(p: String) = spark.read.parquet(p)
+      .select("vec_id", "embedding", "codes", "gen", "bucket")
       .orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq,
-        r.getSeq[Int](2).toSeq, r.getInt(3)))
+        r.getSeq[Int](2).toSeq, r.getLong(3), r.getInt(4)))
     // same rows, same buckets, same codes — file layout is the ONLY
     // difference, and probes never observe layout
     assert(content(s"$tmp/appended").toSeq ==
@@ -381,9 +382,10 @@ class IvfPqSpec extends AnyFunSuite {
       walk(new java.io.File(p))
     }
     def content() = spark.read.parquet(path)
+      .select("vec_id", "embedding", "codes", "gen", "bucket")
       .orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq,
-        r.getSeq[Int](2).toSeq, r.getInt(3))).toSeq
+        r.getSeq[Int](2).toSeq, r.getLong(3), r.getInt(4))).toSeq
     def probe() = {
       val cents = IvfPq.centroidsOf(spark, path)
       IvfPq.probe(spark, path, cents, queries, m = M, topK = 10,
@@ -407,5 +409,210 @@ class IvfPqSpec extends AnyFunSuite {
     // and the swap left no residue
     assert(!new java.io.File(s"$path.compacting").exists())
     assert(!new java.io.File(s"$path.precompact").exists())
+  }
+
+  test("delete masks keys from the very next probe; survivors keep " +
+    "recall; a deleted key re-inserts and serves again") {
+    val tmp = Files.createTempDirectory("graft-ivfpq-del").toString
+    val path = s"$tmp/index"
+    IvfPq.ensureBuilt(spark, corpus, m = M, k = 16, nCentroids = 4,
+      kmIters = 2, path)
+    val cents = IvfPq.centroidsOf(spark, path)
+    // GDPR-delete a fifth of the corpus (queries are % 25 == 0, so
+    // every query's self-hit survives)
+    val dead = corpus.filter(col("vec_id") % 5 === 1).select("vec_id")
+    val deadIds = dead.collect().map(_.getLong(0)).toSet
+    assert(deadIds.nonEmpty)
+    IvfPq.delete(spark, path, dead)
+    val res = IvfPq.probe(spark, path, cents, queries,
+      m = M, topK = 10, nProbe = 4, shortlist = 100).cache()
+    val returned = res.select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(returned.intersect(deadIds).isEmpty,
+      "a deleted key must never surface from a probe")
+    // self-hits stay exact rank-1
+    val self = res.filter(col("rk") === 1).collect()
+    assert(self.nonEmpty && self.forall(r =>
+      r.getLong(0) == r.getLong(2) && r.getDouble(3) == 0.0))
+    // recall vs the SURVIVOR ground truth — the floor must hold on
+    // what is still live, not just "returns something"
+    val alive = corpus.filter(col("vec_id") % 5 =!= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
+    val truth = alive.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(zip_with(col("embedding"), col("q_emb"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v)
+          .as("dist"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+      .toMap
+    val got = res.select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+      .toMap
+    val recall = truth.map { case (q, t) =>
+      got(q).intersect(t).size.toDouble / t.size }.sum / truth.size
+    info(f"post-delete survivor recall@10=$recall%.3f")
+    assert(recall >= 0.50,
+      "delete must not collapse recall on the survivors")
+    // live view accounting + idempotence
+    val liveN = corpus.count() - deadIds.size
+    assert(IvfPq.live(spark, path).count() == liveN)
+    IvfPq.delete(spark, path, dead.limit(3))
+    assert(IvfPq.live(spark, path).count() == liveN,
+      "re-deleting dead keys must change nothing")
+    // a deleted key re-inserted serves again (generation ordering:
+    // the new row sits at the tombstone cut)
+    val backId = deadIds.min
+    IvfPq.append(spark, path,
+      corpus.filter(col("vec_id") === backId))
+    assert(IvfPq.live(spark, path).count() == liveN + 1)
+    val q1 = corpus.filter(col("vec_id") === backId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val hit = IvfPq.probe(spark, path, cents, q1, m = M, topK = 1,
+      nProbe = 4, shortlist = 20).collect()
+    assert(hit.length == 1 && hit.head.getLong(2) == backId &&
+      hit.head.getDouble(3) == 0.0,
+      "a re-inserted key must serve as its own exact nearest neighbor")
+  }
+
+  test("a replayed delete+append unit converges to one live copy — " +
+    "the follower's crash discipline") {
+    val tmp = Files.createTempDirectory("graft-ivfpq-replay").toString
+    val path = s"$tmp/index"
+    IvfPq.ensureBuilt(spark, corpus, m = M, k = 16, nCentroids = 4,
+      kmIters = 2, path)
+    val k0 = 25L // a query id: easy to probe for
+    val newEmb = corpus.filter(col("vec_id") === k0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x + lit(0.25f)).as("embedding"))
+      .localCheckpoint()
+    def upsertBatch(): Unit = {
+      IvfPq.delete(spark, path,
+        newEmb.select("vec_id"))
+      IvfPq.append(spark, path, newEmb)
+    }
+    upsertBatch() // the batch
+    upsertBatch() // its crash-replay
+    val liveK = IvfPq.live(spark, path)
+      .filter(col("vec_id") === k0).collect()
+    assert(liveK.length == 1,
+      s"replay must converge to ONE live copy, got ${liveK.length}")
+    assert(liveK.head.getSeq[Float](
+        liveK.head.fieldIndex("embedding")).toSeq ==
+      newEmb.head().getSeq[Float](1).toSeq,
+      "the live copy must be the upserted embedding")
+    // and the probe returns the key exactly once, at the NEW position
+    val cents = IvfPq.centroidsOf(spark, path)
+    val q1 = newEmb
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val hits = IvfPq.probe(spark, path, cents, q1, m = M, topK = 3,
+      nProbe = 4, shortlist = 20).collect()
+    assert(hits.count(_.getLong(2) == k0) == 1 &&
+      hits.head.getLong(2) == k0 && hits.head.getDouble(3) == 0.0)
+  }
+
+  test("compact materializes tombstones: dead rows physically drop, " +
+    "the tombstone set clears, probes are identical") {
+    val tmp = Files.createTempDirectory("graft-ivfpq-delcomp").toString
+    val path = s"$tmp/index"
+    IvfPq.ensureBuilt(spark, corpus, m = M, k = 16, nCentroids = 4,
+      kmIters = 2, path)
+    val dead = corpus.filter(col("vec_id") % 7 === 2).select("vec_id")
+    val nDead = dead.count()
+    IvfPq.delete(spark, path, dead)
+    val cents = IvfPq.centroidsOf(spark, path)
+    def probe() = IvfPq.probe(spark, path, cents, queries, m = M,
+      topK = 10, nProbe = 4, shortlist = 100)
+      .orderBy("query_id", "rk").collect().toSeq
+    val before = probe()
+    assert(spark.read.parquet(path).count() == corpus.count(),
+      "pre-compact, dead rows are only MASKED")
+    assert(new java.io.File(s"$path.tombstones").exists())
+    IvfPq.compact(spark, path)
+    assert(spark.read.parquet(path).count() == corpus.count() - nDead,
+      "compact must physically drop tombstoned rows")
+    assert(!new java.io.File(s"$path.tombstones").exists(),
+      "compact must clear the materialized tombstones")
+    assert(probe() == before,
+      "probes must be frame-identical across the materialization")
+  }
+
+  test("ANN CDC follower: the index follows its corpus table through " +
+    "inserts, updates, and deletes; a restart converges") {
+    import spark.implicits._
+    import graft.sinks.ManifestTable
+    val tmp = Files.createTempDirectory("graft-ann-follow").toString
+    val src = s"$tmp/src"; val idx = s"$tmp/index"
+    val ckpt = s"$tmp/ckpt"
+    def vec(i: Long): Seq[Float] =
+      Seq(i.toFloat, (i % 7).toFloat, (i % 3).toFloat, 1.0f)
+    ManifestTable.append(spark,
+      (0L until 30L).map(i => (i, vec(i))).toDF("vec_id", "embedding"),
+      src, statsCols = Seq("vec_id"))
+    // the index is built from the table's CURRENT snapshot; the
+    // follower keeps it consistent from here on
+    val base = ManifestTable.read(spark, src)
+    val cents = VectorIndex.kmeansCentroids(base, 2, iters = 2)
+      .localCheckpoint()
+    IvfPq.build(base, cents, m = 2, k = 4, idx)
+    def follow() = graft.streaming.Streams.annIndexChangesFollower(
+      spark.readStream.format("graft-manifest")
+        .option("readChangeFeed", "true").load(src),
+      idx, ckpt).start()
+    def liveState() = IvfPq.live(spark, idx)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSet
+    def srcState() = ManifestTable.read(spark, src).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSet
+    val q = follow()
+    q.processAllAvailable()
+    assert(liveState() == srcState(),
+      "bootstrap over an already-indexed corpus must be a no-op")
+    // upstream: fresh inserts, a GDPR delete, an in-place re-embed
+    ManifestTable.append(spark,
+      Seq((100L, vec(100L)), (101L, vec(101L)))
+        .toDF("vec_id", "embedding"), src, statsCols = Seq("vec_id"))
+    ManifestTable.deleteKeys(spark, Seq(3L, 7L).toDF("vec_id"),
+      src, "vec_id")
+    // (array() of non-null literals keeps containsNull=false, the
+    // exact-type contract updateRange enforces on SET expressions)
+    ManifestTable.updateRange(spark, src, "vec_id", 5L, 5L,
+      Seq("embedding" -> array(
+        lit(15.0f), lit(15.0f), lit(12.0f), lit(11.0f))))
+    q.processAllAvailable()
+    q.stop()
+    assert(liveState() == srcState(),
+      s"follower diverged after mutations")
+    // deleted keys never surface; the re-embedded key serves at its
+    // NEW position (probe its new embedding: exact zero-dist self-hit)
+    val cents2 = IvfPq.centroidsOf(spark, idx)
+    val qNew = ManifestTable.read(spark, src)
+      .filter(col("vec_id") === 5L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val hit = IvfPq.probe(spark, idx, cents2, qNew, m = 2, topK = 3,
+      nProbe = 2, shortlist = 10).collect()
+    assert(hit.head.getLong(2) == 5L && hit.head.getDouble(3) == 0.0,
+      "the re-embedded key must serve from its new embedding")
+    assert(!hit.map(_.getLong(2)).contains(3L))
+    // restart: mutations applied while stopped arrive exactly once
+    ManifestTable.deleteKeys(spark, Seq(100L).toDF("vec_id"),
+      src, "vec_id")
+    ManifestTable.append(spark,
+      Seq((102L, vec(102L))).toDF("vec_id", "embedding"), src,
+      statsCols = Seq("vec_id"))
+    val q2 = follow()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(liveState() == srcState(),
+      s"follower diverged after restart")
+    // a non-change-feed input is rejected at construction, loudly
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.Streams.annIndexChangesFollower(
+        spark.readStream.format("graft-manifest").load(src),
+        idx, s"$tmp/ckpt2")
+    }
+    assert(ex.getMessage.contains("readChangeFeed"))
   }
 }

@@ -649,18 +649,46 @@ class ManifestDmlSpec extends AnyFunSuite {
         val want = if (i < 6) i * 10 + 1000 else i * 10
         assert(got(i) == want, s"id=$i: got ${got(i)}, want $want")
       }
-      // non-canonical over-cap shapes keep the loud MERGE remedy:
-      // an extra conjunct beside the IN ...
+      // DETERMINISTIC residual conjuncts beside the IN route the
+      // frame-keyed copy-on-write paths: membership is the key-frame
+      // join, the residual gates rows — and a member row failing the
+      // residual SURVIVES (the bug a membership-only route would
+      // introduce)
+      val beforeRes = ids(ManifestTable.read(spark, t))
+      spark.sql("DELETE FROM dml_sqcap WHERE key IN " +
+        "(SELECT key FROM dml_sqcap) AND id >= 10")
+      val vr = ManifestTable.latestVersion(spark, t).get
+      assert(ManifestTable.commitInfoOf(spark, t, vr)
+        .exists(_._1 == "deleteKeysFrameWhere"),
+        "the over-cap residual DELETE must route deleteKeysFrameWhere")
+      assert(ids(ManifestTable.read(spark, t)) ==
+        beforeRes.filter(_ < 10),
+        "member rows failing the residual must survive")
+      spark.sql("UPDATE dml_sqcap SET n = 0 WHERE key IN " +
+        "(SELECT key FROM dml_sqcap) AND id % 2 = 1")
+      val vru = ManifestTable.latestVersion(spark, t).get
+      assert(ManifestTable.commitInfoOf(spark, t, vru)
+        .exists(_._1 == "updateKeysFrame"),
+        "the over-cap residual UPDATE must route updateKeysFrame")
+      val got2 = ManifestTable.read(spark, t)
+        .select("id", "n").as[(Long, Long)].collect().toMap
+      got2.foreach { case (i, nv) =>
+        if (i % 2 == 1) assert(nv == 0L, s"id=$i must be patched")
+        else assert(nv == got(i), s"id=$i must keep its value")
+      }
+      // genuinely unroutable over-cap shapes keep the loud MERGE
+      // remedy: OR-joined membership ...
       val ex1 = intercept[Exception] {
         spark.sql("DELETE FROM dml_sqcap WHERE key IN " +
-          "(SELECT key FROM dml_sqcap) AND id > 0")
+          "(SELECT key FROM dml_sqcap) OR id > 0")
       }
       assert(msgs(ex1).exists(_.contains("more than")),
         s"got: ${msgs(ex1).mkString(" | ")}")
-      // ... an over-cap UPDATE with an extra conjunct ...
+      // ... and a residual carrying its own subquery
       val ex2 = intercept[Exception] {
-        spark.sql("UPDATE dml_sqcap SET n = 0 WHERE key IN " +
-          "(SELECT key FROM dml_sqcap) AND id > 0")
+        spark.sql("UPDATE dml_sqcap SET n = 1 WHERE key IN " +
+          "(SELECT key FROM dml_sqcap) AND id IN " +
+          "(SELECT id FROM dml_sqcap)")
       }
       assert(msgs(ex2).exists(_.contains("more than")),
         s"got: ${msgs(ex2).mkString(" | ")}")
@@ -676,5 +704,73 @@ class ManifestDmlSpec extends AnyFunSuite {
       spark.conf.unset(capK)
       spark.conf.unset(routeK)
     }
+  }
+
+  test("composite-key IN subquery routes the tuple-frame paths at " +
+      "ANY size; residuals gate rows; untouched dirs keep identity") {
+    def msgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val t = s"${Files.createTempDirectory("graft-dmltuple")}/t"
+    // two grp-disjoint dirs: the composite prune must keep the
+    // untouched one physically identical
+    Seq(0L, 1L).foreach { g =>
+      ManifestTable.append(spark,
+        (0L until 10L).map(i => (g, s"k$i", i))
+          .toDF("grp", "key", "n"), t,
+        statsCols = Seq("grp", "n"), bloomCols = Seq("key"))
+    }
+    register(t, "dml_tuple")
+    def content() = ManifestTable.read(spark, t)
+      .select("grp", "key", "n").as[(Long, String, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val before = ManifestTable.entriesOf(spark, t,
+      ManifestTable.latestVersion(spark, t).get)
+    // composite DELETE scoped by the SUBQUERY to grp 0: routes the
+    // tuple frame regardless of size (no cap lowering needed — a
+    // composite membership is a join at any size)
+    spark.sql("DELETE FROM dml_tuple WHERE (grp, key) IN " +
+      "(SELECT grp, key FROM dml_tuple WHERE grp = 0 AND n % 3 = 0)")
+    val v1 = ManifestTable.latestVersion(spark, t).get
+    assert(ManifestTable.commitInfoOf(spark, t, v1)
+      .exists(_._1 == "deleteTuplesFrame"),
+      "composite IN subquery DELETE must route deleteTuplesFrame")
+    assert(content() == (for (g <- 0L to 1L; i <- 0L until 10L
+      if !(g == 0 && i % 3 == 0)) yield (g, s"k$i", i)).toSeq)
+    // the grp=1 dir is physically untouched (composite prune)
+    val after1 = ManifestTable.entriesOf(spark, t, v1)
+    val g1Before = before.filter(_.statMin.get("grp").contains(1L))
+    assert(g1Before.nonEmpty && g1Before.forall(e =>
+      after1.exists(a => a.dir == e.dir && a.files == e.files)),
+      "the grp-disjoint dir must keep physical identity")
+    // composite UPDATE with a residual: patch only members whose
+    // residual holds
+    spark.sql("UPDATE dml_tuple SET n = n + 100 WHERE (grp, key) IN " +
+      "(SELECT grp, key FROM dml_tuple) AND n % 2 = 1")
+    val v2 = ManifestTable.latestVersion(spark, t).get
+    assert(ManifestTable.commitInfoOf(spark, t, v2)
+      .exists(_._1 == "updateTuplesFrame"),
+      "composite IN subquery UPDATE must route updateTuplesFrame")
+    assert(content() == (for (g <- 0L to 1L; i <- 0L until 10L
+      if !(g == 0 && i % 3 == 0))
+      yield (g, s"k$i", if (i % 2 == 1) i + 100 else i)).toSeq)
+    // composite DELETE with a residual
+    spark.sql("DELETE FROM dml_tuple WHERE (grp, key) IN " +
+      "(SELECT grp, key FROM dml_tuple) AND grp = 1")
+    val v3 = ManifestTable.latestVersion(spark, t).get
+    assert(ManifestTable.commitInfoOf(spark, t, v3)
+      .exists(_._1 == "deleteTuplesFrame"))
+    assert(content().forall(_._1 == 0L),
+      "residual-gated composite delete must only touch grp 1")
+    // the knob restores the loud refusal for composite shapes too
+    spark.conf.set("spark.graft.dml.subqueryJoinRoute", "false")
+    try {
+      val ex = intercept[Exception] {
+        spark.sql("DELETE FROM dml_tuple WHERE (grp, key) IN " +
+          "(SELECT grp, key FROM dml_tuple)")
+      }
+      assert(msgs(ex).exists(_.contains("MERGE INTO")),
+        s"got: ${msgs(ex).mkString(" | ")}")
+    } finally spark.conf.unset("spark.graft.dml.subqueryJoinRoute")
   }
 }

@@ -88,16 +88,26 @@ class ManifestStreamSpec extends AnyFunSuite {
     assert(ManifestTable.readPruned(spark, t, "id", 3L, 9L)
       .inputFiles.length <
       ManifestTable.read(spark, t).inputFiles.length)
-    // replay under a reset batchId (fresh checkpoint): the tag
-    // watermark skips it — no duplicate rows
+    // a RESET batchId under a fresh checkpoint is NOT a replay — the
+    // watermark was raised by another writer identity, and skipping
+    // would silently drop new data. The single-writer check is loud.
     val mem2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
     val q2 = mem2.toDF.toDF("id").writeStream
       .format("graft-manifest")
       .option("checkpointLocation", s"$tmp/ckpt2")
       .start(t)
-    mem2.addData(1L, 2L); q2.processAllAvailable()
+    mem2.addData(1L, 2L)
+    val exw = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    def wmsgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ wmsgs(x.getCause))
+    assert(wmsgs(exw).exists(_.contains("DIFFERENT streaming writer")),
+      s"got ${wmsgs(exw)}")
     q2.stop()
-    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L, 3L))
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 2L, 3L),
+      "the refused batch must not have landed")
     // only append mode: a groupBy-complete stream is rejected loudly
     val ex = intercept[Exception] {
       mem2.toDF.toDF("id").groupBy("id").count().writeStream
@@ -360,18 +370,27 @@ class ManifestStreamSpec extends AnyFunSuite {
     assert(ids(ManifestTable.read(spark, t)) ==
       Seq(1L, 2L, 10L, 11L, 12L))
     assert(ManifestTable.branchNames(spark, t).isEmpty)
-    // REPLAY under a reset batchId (fresh checkpoint) AFTER the
-    // publish: the branch is gone and its tags folded into main's
-    // watermark — the replay re-opens an EMPTY branch and skips
+    // a RESET batchId under a fresh checkpoint AFTER the publish is
+    // NOT a replay: the folded watermark was raised by the ORIGINAL
+    // sink's identity, so the single-writer check refuses loudly
+    // instead of silently dropping what could be new data
     val mem2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
     val q2 = graft.streaming.Streams.branchSinkWriter(
       mem2.toDF.toDF("id"), t, "ingest", s"$tmp/ckpt2").start()
-    mem2.addData(10L, 11L); q2.processAllAvailable()
+    mem2.addData(10L, 11L)
+    val exw = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    def wmsgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ wmsgs(x.getCause))
+    assert(wmsgs(exw).exists(_.contains("DIFFERENT streaming writer")),
+      s"got ${wmsgs(exw)}")
     q2.stop()
     assert(ids(ManifestTable.read(spark, t)) ==
-      Seq(1L, 2L, 10L, 11L, 12L), "replayed batch must not re-stage")
+      Seq(1L, 2L, 10L, 11L, 12L), "the refused batch must not land")
     assert(ids(ManifestTable.readBranch(spark, t, "ingest")) ==
-      Seq(1L, 2L, 10L, 11L, 12L), "the replayed batch must stage " +
+      Seq(1L, 2L, 10L, 11L, 12L), "the refused batch must stage " +
         "NOTHING on the re-opened branch")
     // CRASH-BETWEEN-BATCHES RECOVERY: restart the ORIGINAL stream
     // from its retained checkpoint — the next fresh batch (id 2)
@@ -497,5 +516,94 @@ class ManifestStreamSpec extends AnyFunSuite {
         Seq(9L).toDF("id"), s"$tmp/none", "b", batchId = 0L)
     }
     assert(ex.getMessage.contains("no committed version"))
+  }
+
+  test("single-writer contract is MECHANICAL: a main-path sink beside " +
+      "a branch sink on one table throws on its first batch") {
+    implicit val sq = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-twowriters").toString
+    val t = s"$tmp/table"
+    ManifestTable.append(spark, Seq(1L).toDF("id"), t,
+      statsCols = Seq("id"))
+    def wmsgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ wmsgs(x.getCause))
+    // the branch sink stages batches 0..1 and the auditor publishes —
+    // its tags fold into MAIN's watermark under ITS writer identity
+    val memB = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val qB = graft.streaming.Streams.branchSinkWriter(
+      memB.toDF.toDF("id"), t, "ingest", s"$tmp/ckptB").start()
+    memB.addData(10L); qB.processAllAvailable()
+    memB.addData(11L); qB.processAllAvailable()
+    ManifestTable.fastForwardBranch(spark, t, "ingest")
+    assert(ManifestTable.latestTag(spark, t) == 1L)
+    // a SECOND live streaming writer (main-path) starts beside it:
+    // its batch 0 sits under the branch sink's folded watermark —
+    // before this round that batch was SILENTLY SKIPPED (lost, its
+    // checkpoint advanced); now the cross-writer skip throws
+    val memM = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val qM = graft.streaming.Streams.manifestSinkWriter(
+      memM.toDF.toDF("id"), t, s"$tmp/ckptM").start()
+    memM.addData(99L)
+    val exM = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      qM.processAllAvailable()
+    }
+    assert(wmsgs(exM).exists(_.contains("DIFFERENT streaming writer")),
+      s"got ${wmsgs(exM)}")
+    qM.stop()
+    assert(ids(ManifestTable.read(spark, t)) == Seq(1L, 10L, 11L),
+      "the refused batch must not land, and nothing must be lost")
+    // ...and the branch-side check: a SECOND branch sink under a
+    // fresh checkpoint refuses the same way (its batch 0 sits under
+    // the folded watermark, which the original sink's identity owns)
+    val memB2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val qB3 = graft.streaming.Streams.branchSinkWriter(
+      memB2.toDF.toDF("id"), t, "ingest", s"$tmp/ckptB2").start()
+    memB2.addData(77L)
+    val exB = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      qB3.processAllAvailable()
+    }
+    assert(wmsgs(exB).exists(_.contains("DIFFERENT streaming writer")))
+    qB3.stop()
+    // the ORIGINAL branch sink keeps running undisturbed (same
+    // writer: replays skip quietly, fresh batches stage)
+    memB.addData(12L); val qB2 = graft.streaming.Streams.branchSinkWriter(
+      memB.toDF.toDF("id"), t, "ingest", s"$tmp/ckptB").start()
+    qB2.processAllAvailable(); qB2.stop()
+    assert(ids(ManifestTable.readBranch(spark, t, "ingest")) ==
+      Seq(1L, 10L, 11L, 12L))
+    qB.stop()
+  }
+
+  test("appendIfFresh writer identity: same-writer replays skip " +
+      "quietly, anonymous callers keep the legacy skip, a " +
+      "sequential writer replacement proceeds above the watermark") {
+    val tmp = Files.createTempDirectory("graft-wid").toString
+    val t = s"$tmp/table"
+    assert(ManifestTable.appendIfFresh(spark, Seq(1L).toDF("id"), t,
+      batchId = 5L, writerId = Some("ckptA")))
+    // same writer, replay: quiet skip (the designed exactly-once)
+    assert(!ManifestTable.appendIfFresh(spark, Seq(1L).toDF("id"), t,
+      batchId = 5L, writerId = Some("ckptA")))
+    // anonymous caller: legacy quiet skip
+    assert(!ManifestTable.appendIfFresh(spark, Seq(1L).toDF("id"), t,
+      batchId = 5L))
+    // different writer at/below the watermark: LOUD
+    val ex = intercept[IllegalArgumentException] {
+      ManifestTable.appendIfFresh(spark, Seq(2L).toDF("id"), t,
+        batchId = 3L, writerId = Some("ckptB"))
+    }
+    assert(ex.getMessage.contains("DIFFERENT streaming writer"))
+    // a REPLACEMENT writer whose batchIds exceed the watermark is a
+    // legitimate sequential handover — proceeds and takes ownership
+    assert(ManifestTable.appendIfFresh(spark, Seq(6L).toDF("id"), t,
+      batchId = 6L, writerId = Some("ckptB")))
+    assert(!ManifestTable.appendIfFresh(spark, Seq(6L).toDF("id"), t,
+      batchId = 6L, writerId = Some("ckptB")))
+    val ex2 = intercept[IllegalArgumentException] {
+      ManifestTable.appendIfFresh(spark, Seq(9L).toDF("id"), t,
+        batchId = 6L, writerId = Some("ckptA"))
+    }
+    assert(ex2.getMessage.contains("DIFFERENT streaming writer"))
   }
 }

@@ -258,11 +258,24 @@ class ManifestWapSpec extends AnyFunSuite {
     assert(d.getAs[Long]("num_dirs") == 2L &&
       d.getAs[Long]("num_rows") == 2L)
     ManifestTable.createBranch(spark, t, "wip")
+    ManifestTable.appendToBranch(spark,
+      Seq((9L, "en"), (10L, "en")).toDF("id", "lang"), t, "wip")
     val d2 = ManifestTable.detail(spark, t).head()
     def arr(c: String): Seq[String] =
       d2.getAs[scala.collection.Seq[String]](c).toSeq
     assert(arr("partition_spec") == Seq("identity:lang"))
     assert(arr("branches") == Seq("wip"))
+    // the stuck-auditor surfacer: per-branch staged commit/row counts
+    // and the oldest commit's age, from metadata alone
+    val bd = d2.getAs[scala.collection.Seq[
+      org.apache.spark.sql.Row]]("branch_detail").toSeq
+    assert(bd.size == 1)
+    assert(bd.head.getAs[String]("name") == "wip")
+    assert(bd.head.getAs[Long]("staged_commits") == 1L)
+    assert(bd.head.getAs[Long]("staged_rows") == 2L)
+    val age = bd.head.getAs[Long]("oldest_staged_age_ms")
+    assert(age >= 0L && age < 3600L * 1000,
+      s"staged age must be a sane wall-clock delta, got $age")
     ManifestTable.abandonBranch(spark, t, "wip")
     assert(arr("stats_cols") == Seq("id") &&
       arr("bloom_cols") == Seq("id"))

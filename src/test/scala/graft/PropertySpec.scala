@@ -738,6 +738,69 @@ class PropertySpec extends AnyFunSuite {
         assert(content() == live.sortBy(_._1),
           s"round $round DELETE diverged (cap=$cap, " +
             s"interleaved=$interleaved)")
+        // RESIDUAL-conjunct routes (round 18): membership stays the
+        // key-frame join, the residual gates rows — patch/delete only
+        // rows matching BOTH, whatever the layout
+        val keysR = live.map(_._2).distinct.toSet
+        spark.sql(s"UPDATE capprop$round SET n = n + 7 WHERE key IN " +
+          s"(SELECT key FROM capprop$round) AND id % 2 = 0")
+        live = live.map(r =>
+          if (r._1 % 2 == 0) r.copy(_3 = r._3 + 7L) else r)
+        assert(content() == live.sortBy(_._1),
+          s"round $round residual UPDATE diverged (cap=$cap)")
+        if (keysR.size > cap) {
+          val v = graft.sinks.ManifestTable.latestVersion(spark, t).get
+          assert(graft.sinks.ManifestTable.commitInfoOf(spark, t, v)
+            .exists(_._1 == "updateKeysFrame"),
+            s"round $round: residual UPDATE over cap must route " +
+              "updateKeysFrame")
+        }
+        spark.sql(s"DELETE FROM capprop$round WHERE key IN " +
+          s"(SELECT key FROM capprop$round) AND id % 3 = 1")
+        val keysE = keysR
+        live = live.filterNot(r => r._1 % 3 == 1)
+        assert(content() == live.sortBy(_._1),
+          s"round $round residual DELETE diverged (cap=$cap)")
+        if (keysE.size > cap) {
+          val v = graft.sinks.ManifestTable.latestVersion(spark, t).get
+          assert(graft.sinks.ManifestTable.commitInfoOf(spark, t, v)
+            .exists(_._1 == "deleteKeysFrameWhere"),
+            s"round $round: residual DELETE over cap must route " +
+              "deleteKeysFrameWhere")
+        }
+        // COMPOSITE-key tuple routes (round 18): (id, key) membership
+        // routes the tuple-frame paths at ANY size — parity against
+        // the reference computation on whatever content survived
+        val evenRows = live.filter(_._3 % 2 == 0)
+          .map(r => (r._1, r._2)).toSet
+        spark.sql(s"UPDATE capprop$round SET n = n + 3 WHERE " +
+          s"(id, key) IN (SELECT id, key FROM capprop$round " +
+          "WHERE n % 2 = 0)")
+        live = live.map(r =>
+          if (evenRows((r._1, r._2))) r.copy(_3 = r._3 + 3L) else r)
+        assert(content() == live.sortBy(_._1),
+          s"round $round composite UPDATE diverged (cap=$cap)")
+        if (evenRows.nonEmpty) {
+          val v = graft.sinks.ManifestTable.latestVersion(spark, t).get
+          assert(graft.sinks.ManifestTable.commitInfoOf(spark, t, v)
+            .exists(_._1 == "updateTuplesFrame"),
+            s"round $round: composite UPDATE must route " +
+              "updateTuplesFrame")
+        }
+        val delRows = live.filter(_._1 % 4 == 2)
+          .map(r => (r._1, r._2)).toSet
+        spark.sql(s"DELETE FROM capprop$round WHERE (id, key) IN " +
+          s"(SELECT id, key FROM capprop$round WHERE id % 4 = 2)")
+        live = live.filterNot(r => delRows((r._1, r._2)))
+        assert(content() == live.sortBy(_._1),
+          s"round $round composite DELETE diverged (cap=$cap)")
+        if (delRows.nonEmpty) {
+          val v = graft.sinks.ManifestTable.latestVersion(spark, t).get
+          assert(graft.sinks.ManifestTable.commitInfoOf(spark, t, v)
+            .exists(_._1 == "deleteTuplesFrame"),
+            s"round $round: composite DELETE must route " +
+              "deleteTuplesFrame")
+        }
       }
     } finally spark.conf.unset(capK)
   }

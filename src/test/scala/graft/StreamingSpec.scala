@@ -561,9 +561,10 @@ class StreamingSpec extends AnyFunSuite {
       kmIters = 2, oneShot)
     IvfPq.append(spark, oneShot, delta)
     def content(p: String) = spark.read.parquet(p)
+      .select("vec_id", "embedding", "codes", "gen", "bucket")
       .orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq,
-        r.getSeq[Int](2).toSeq, r.getInt(3))).toSeq
+        r.getSeq[Int](2).toSeq, r.getLong(3), r.getInt(4))).toSeq
     assert(content(path) == content(oneShot))
     // streamed-in vectors serve immediately: each delta query's rank-1
     // is its exact zero-distance self-hit
@@ -719,12 +720,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(ManifestTable.versions(spark, t) == Seq(3L))
     assert(snap.select("doc_id").as[Long].collect().sorted.toSeq ==
       Seq(1L, 2L), "mid-stream reader must keep its committed prefix")
-    // replay under a reset batchId (fresh checkpoint): tag watermark
-    // skips it — no duplicate rows, no content dedup needed
+    // a reset batchId under a FRESH checkpoint is not a replay: the
+    // watermark belongs to the original sink's identity, so the
+    // single-writer check refuses loudly instead of silently
+    // dropping what could be new data
     val mem2 = MemoryStream[(Long, String)]
     val q2 = Streams.manifestSinkWriter(mem2.toDF.toDF("doc_id", "text"),
       t, s"$tmp/ckpt2", statsCols = Seq("doc_id")).start()
-    mem2.addData(b1); q2.processAllAvailable()
+    mem2.addData(b1)
+    val exw = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    def wmsgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ wmsgs(x.getCause))
+    assert(wmsgs(exw).exists(_.contains("DIFFERENT streaming writer")),
+      s"got ${wmsgs(exw)}")
     q2.stop()
     assert(ids() == Seq(1L, 2L, 3L, 4L))
     assert(ManifestTable.latestTag(spark, t) == 2L)

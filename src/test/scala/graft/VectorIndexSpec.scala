@@ -202,4 +202,37 @@ class VectorIndexSpec extends AnyFunSuite {
     }
     assert(ivf == brute)
   }
+
+  test("delete masks keys from the very next probe; a rebuild clears " +
+    "stale tombstones") {
+    val tmp = Files.createTempDirectory("graft-ivf-del").toString
+    val path = s"$tmp/index"
+    val cents = VectorIndex.centroids(corpus, 4).cache()
+    VectorIndex.build(corpus, cents, path)
+    val queries = corpus.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val dead = corpus.filter(col("vec_id") % 5 === 1).select("vec_id")
+    val deadIds = dead.collect().map(_.getLong(0)).toSet
+    VectorIndex.delete(spark, path, dead)
+    val res = VectorIndex.probeAdaptive(spark, path, cents, queries,
+      k = 10, slack = 0.5, minProbe = 2).collect()
+    assert(res.nonEmpty &&
+      !res.exists(r => deadIds(r.getLong(2))),
+      "a deleted key must never surface from a probe")
+    // surviving self-hits stay rank-1 (queries are % 25 == 0, alive)
+    assert(res.filter(_.getInt(1) == 1).forall(r =>
+      math.abs(r.getDouble(3) - 1.0) < 1e-9))
+    // full top-k still fills from survivors
+    assert(res.count(_.getLong(0) == res.head.getLong(0)) == 10)
+    // a REBUILD supersedes the deletes: stale tombstones must not
+    // mask freshly built rows
+    VectorIndex.build(corpus, cents, path)
+    val back = VectorIndex.probe(spark, path, cents,
+      corpus.filter(col("vec_id") === (deadIds.min))
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb")),
+      k = 1, nProbe = 2).collect()
+    assert(back.length == 1 && back.head.getLong(2) == deadIds.min,
+      "rebuild must clear stale tombstones")
+  }
 }
