@@ -693,6 +693,134 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // ann2l100: the TWO-LEVEL coarse quantizer at a 10,000-cell
+    // serving shape — the scale where the single-level coarse stage's
+    // queries x centroids broadcast product stops being "tiny" (a
+    // 10⁹–10¹⁰-vector corpus wants 10⁵–10⁶ cells). The numbers that
+    // matter: recall holds vs the single-level probe at the same
+    // centroids, and the level-1 prune admits a small FRACTION of
+    // super-cells (hence of centroids) per query.
+    if (args.headOption.contains("ann2l100")) {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.VectorFunctions._
+      val nVec = 200000L
+      val nClu = 10000
+      val nSuper = 100
+      val dim = 64
+      def h(parts: org.apache.spark.sql.Column*) =
+        (pmod(xxhash64(parts: _*), lit(2000001L)) - 1000000L) / 1e6
+      // HIERARCHICAL planted structure — the distribution shape
+      // two-level quantization exists for (and real embedding
+      // corpora have: topics containing subtopics): each vector =
+      // its SUPER-cluster direction + a sub-cluster offset + noise.
+      // On structureless data (10k uniformly random directions) the
+      // super-centroids are means of near-orthogonal vectors — they
+      // shrink toward zero and level-1 similarity carries no signal
+      // (measured: the margin rule admits 80% of super-cells and
+      // still loses 0.05 recall). That is a property of the data,
+      // not the mechanism; the contract is multi-scale structure.
+      val corpus = spark.range(nVec).toDF("vec_id")
+        .withColumn("c", pmod(col("vec_id"), lit(nClu.toLong)))
+        .withColumn("s", pmod(col("c"), lit(nSuper.toLong)))
+        .withColumn("embedding",
+          transform(sequence(lit(0), lit(dim - 1)),
+            j => (h(col("s"), j) + lit(0.45) * h(col("c"), j)
+              + lit(0.25) * h(col("vec_id"), j)).cast("float")))
+        .select(col("vec_id"), col("embedding"))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      // stride seeds, NO flat Lloyd pass: at 10k cells the flat
+      // corpus x centroids assignment product OOMs (the exact wall
+      // the two-level machinery removes) — the level-1 quantizer is
+      // built over the centroid SET (10k rows, cheap), then the
+      // index assignment itself goes hierarchical (buildHier)
+      val cents = graft.vector.VectorIndex
+        .centroids(corpus, nClu).localCheckpoint()
+      val t1 = System.nanoTime()
+      val (sc0, centToSuper0) = graft.vector.VectorIndex
+        .superCentroids(cents, nSuper)
+      val sc = sc0.localCheckpoint()
+      val centToSuper = centToSuper0.localCheckpoint()
+      println(f"TIME ann2l100 level1_build_100supers " +
+        f"${(System.nanoTime() - t1) / 1e9}%.2f s")
+      val idx = "/tmp/ann2l100/index"
+      graft.vector.VectorIndex.buildHier(corpus, cents, sc,
+        centToSuper, idx)
+      println(f"TIME ann2l100 build_hier_10kcells_200k " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val queries = corpus.filter(col("vec_id") % 4000 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("e0"))
+        .join(corpus.select((col("vec_id") - 1).as("query_id"),
+          col("embedding").as("e1")), "query_id")
+        .select(col("query_id"),
+          zip_with(col("e0"), col("e1"),
+            (a, b) => (a + b).cast("float")).as("q_emb"))
+        .localCheckpoint()
+      val nQ = queries.count()
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      val truth = corpus.crossJoin(broadcast(queries))
+        .select(col("query_id"), col("vec_id"),
+          cosine(col("q_emb"), col("embedding")).as("sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select("query_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+      def recallOf(m: Map[Long, Set[Long]]): Double =
+        truth.map { case (q, t) =>
+          m.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+        }.sum / truth.size
+      val t2 = System.nanoTime()
+      val two = graft.vector.VectorIndex.probeAdaptive2(spark, idx,
+        cents, sc, centToSuper, queries, k = 10,
+        slack = 0.5, minProbe = 2, l1Slack = 1.0, l1MinProbe = 2)
+        .select("query_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+      val wall2 = (System.nanoTime() - t2) / 1e9
+      val t3 = System.nanoTime()
+      val one = graft.vector.VectorIndex.probeAdaptive(spark, idx,
+        cents, queries, k = 10, slack = 0.5, minProbe = 2)
+        .select("query_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+      val wall1 = (System.nanoTime() - t3) / 1e9
+      // the level-1 prune fraction: admitted (query, super) pairs
+      // and the centroid fraction they expose, re-derived with the
+      // probe's own expressions
+      val wb1 = Window.partitionBy(col("query_id"))
+      val wr1 = Window.partitionBy(col("query_id"))
+        .orderBy(col("csim").desc, col("cent_id"))
+      val admitted = queries.crossJoin(broadcast(sc))
+        .select(col("query_id"), col("cent_id"),
+          cosine(col("q_emb"), col("c_emb")).as("csim"))
+        .withColumn("best", max(col("csim")).over(wb1))
+        .withColumn("rk", row_number().over(wr1))
+        .filter(col("rk") <= 2 ||
+          col("csim") >= col("best") - lit(1.0) * (lit(1.0) - col("best")))
+        .select(col("query_id"), col("cent_id").as("super_id"))
+        .localCheckpoint()
+      val supFrac = admitted.count().toDouble / (nQ * nSuper)
+      val centFrac = admitted
+        .join(centToSuper, "super_id").count().toDouble / (nQ * nClu)
+      println(f"TIME ann2l100 probe_two_level $wall2%.2f s vs " +
+        f"single_level $wall1%.2f s ($nQ queries over $nClu cells: " +
+        f"recall@10 two=${recallOf(two)}%.3f one=${recallOf(one)}%.3f; " +
+        f"level-1 admits ${supFrac * 100}%.1f%% of super-cells = " +
+        f"${centFrac * 100}%.1f%% of centroids scored per query)")
+      // the pin that isolates what the LEVEL-1 PRUNE costs: the
+      // two-level probe must hold the single-level probe's recall at
+      // the same quantizer (absolute recall at this shape is a
+      // property of the stride seeding at 20 vectors/cell, measured
+      // above, not of the two-level mechanism)
+      require(recallOf(two) >= recallOf(one) - 0.02,
+        f"ann2l100: level-1 pruning cost " +
+          f"${recallOf(one) - recallOf(two)}%.3f recall — above the " +
+          "0.02 budget")
+      spark.stop()
+      return
+    }
     // sqj100: the OVER-CAP IN-subquery auto-route at 1M keys — the
     // REAL inline cap (100k), no lowering: a 4M-row table in 10
     // range-disjoint dirs, `DELETE WHERE doc_id IN (SELECT …)`

@@ -262,6 +262,54 @@ private[catalog] object GraftProcedures {
           StructField("rows_appended", LongType, nullable = false))),
           Seq(new GenericInternalRow(
             Array[Any](touched.toLong, appended))))
+      }),
+    Proc("ann_index_drift",
+      "ann_index_drift(index_path[, appended_max][, hot_cell_factor]" +
+        "[, residual_factor]) - quantizer-drift report for a " +
+        "persisted IVF-PQ index (appended fraction, occupancy skew, " +
+        "residual ratio of appended vs base rows); " +
+        "rebuild_recommended composes the thresholds and reasons " +
+        "says which fired. Alarm on it and CALL rebuild_index.",
+      Seq(p("index_path", StringType),
+        pd("appended_max", DoubleType, "0.5"),
+        pd("hot_cell_factor", DoubleType, "4.0"),
+        pd("residual_factor", DoubleType, "1.5")),
+      (spark, _, in) => {
+        val r = graft.vector.IvfPq.driftReport(spark, str(in, 0),
+          in.getDouble(1), in.getDouble(2), in.getDouble(3))
+        (StructType(Seq(
+          StructField("rows", LongType, nullable = false),
+          StructField("cells", LongType, nullable = false),
+          StructField("appended_fraction", DoubleType, nullable = false),
+          StructField("max_cell_fraction", DoubleType, nullable = false),
+          StructField("mean_residual_base", DoubleType, nullable = false),
+          StructField("mean_residual_appended", DoubleType,
+            nullable = false),
+          StructField("rebuild_recommended", BooleanType,
+            nullable = false),
+          StructField("reasons", StringType, nullable = false))),
+          Seq(row(r.rows, r.cells, r.appendedFraction,
+            r.maxCellFraction, r.meanResidualBase,
+            r.meanResidualAppended, r.rebuildRecommended,
+            r.reasons.mkString("; "))))
+      }),
+    Proc("rebuild_index",
+      "rebuild_index(index_path, m, k, n_centroids[, km_iters]) - " +
+        "re-train both quantizers (k-means++ coarse + fresh PQ " +
+        "codebooks) over the index's LIVE rows and rebuild in place " +
+        "- what a fired ann_index_drift recommends; tombstoned rows " +
+        "physically leave. Returns (rows, cells).",
+      Seq(p("index_path", StringType), p("m", IntegerType),
+        p("k", IntegerType), p("n_centroids", IntegerType),
+        pd("km_iters", IntegerType, "4")),
+      (spark, _, in) => {
+        val (rows0, cells) = graft.vector.IvfPq.rebuild(spark,
+          str(in, 0), in.getInt(1), in.getInt(2), in.getInt(3),
+          in.getInt(4))
+        (StructType(Seq(
+          StructField("rows", LongType, nullable = false),
+          StructField("cells", LongType, nullable = false))),
+          Seq(row(rows0, cells)))
       }))
 
   private def countRow(name: String, n: Long)

@@ -257,14 +257,18 @@ object IvfPq {
     require(!mRow.isNullAt(0),
       s"empty codebooks at ${codebooksPath(path)} — not a built index")
     val m = mRow.getInt(0) + 1
-    // appended rows stamp gen = the max tombstone cut: they sit at or
-    // above every existing cut, so a key re-inserted after its delete
-    // serves again while the delete keeps masking the OLD rows
-    val gen = tombstonesOf(spark, path)
+    // appended rows stamp gen = the max tombstone cut (at least 1):
+    // they sit at or above every existing cut, so a key re-inserted
+    // after its delete serves again while the delete keeps masking
+    // the OLD rows. The floor of 1 keeps appended rows DISTINGUISHABLE
+    // from build-time rows (gen 0) — [[driftReport]]'s appended-era
+    // signal — without disturbing the ordering: tombstone cuts are
+    // always maxRowGen + 1, strictly above any stamped gen.
+    val gen = math.max(tombstonesOf(spark, path)
       .map { t =>
         val r = t.agg(max(col("cut"))).head()
         if (r.isNullAt(0)) 0L else r.getLong(0)
-      }.getOrElse(0L)
+      }.getOrElse(0L), 1L)
     l2AssignBuckets(delta, cents)
       .join(PQ.encode(delta, cb, m), "vec_id")
       .withColumn("gen", lit(gen))
@@ -343,6 +347,103 @@ object IvfPq {
     // that mask nothing (their dead rows are gone; survivors sit at
     // gen >= cut or under other keys) — harmless, cleared next time
     clearTombstones(spark, path)
+  }
+
+  /** Quantizer-DRIFT report for a persisted index — the "WHEN do I
+    * rebuild?" answer [[append]]'s frozen-quantizer contract leaves
+    * open: appends keep recall above a floor, but nothing tells an
+    * operator when accumulated appends have degraded the quantizer
+    * past its training distribution. Three cheap signals:
+    *
+    *  - `appendedFraction` — rows at gen > 0 / total: how much of
+    *    the index the quantizers were never trained on;
+    *  - `maxCellFraction` vs `1/cells` — occupancy skew: frozen
+    *    coarse cells pile new data into whichever cells it happens
+    *    to resemble, and a hot cell degrades both probe cost (the
+    *    cell scans large) and recall (its ADC shortlist saturates);
+    *  - `meanResidualAppended` vs `meanResidualBase` — the mean L2
+    *    distance of (a bounded deterministic sample of) rows to
+    *    their own centroid, appended vs base: appended rows fitting
+    *    WORSE than the training rows is drift by definition.
+    *
+    * Cost: one column-pruned (bucket, gen) scan for the counts + one
+    * embedding pass over a hash-stride sample (~`sampleTarget` rows)
+    * for the residuals — never a full-width index scan.
+    * `rebuildRecommended` composes the three thresholds; `reasons`
+    * says which fired (empty = healthy). Rebuild with
+    * [[ensureBuilt]] after dropping the marker, or
+    * `CALL g.system.rebuild_index`. */
+  final case class DriftReport(rows: Long, cells: Long,
+      appendedFraction: Double, maxCellFraction: Double,
+      meanResidualBase: Double, meanResidualAppended: Double,
+      rebuildRecommended: Boolean, reasons: Seq[String])
+
+  def driftReport(spark: SparkSession, path: String,
+      appendedMax: Double = 0.5, hotCellFactor: Double = 4.0,
+      residualFactor: Double = 1.5,
+      sampleTarget: Long = 100000L): DriftReport = {
+    val occ = live(spark, path).select(col("bucket"), col("gen"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("gen") > 0L, 1L).otherwise(0L)).as("app"))
+      .agg(sum(col("n")), max(col("n")), count(lit(1)),
+        sum(col("app"))).head()
+    val rows = if (occ.isNullAt(0)) 0L else occ.getLong(0)
+    if (rows == 0L) return DriftReport(0L, 0L, 0.0, 0.0, 0.0, 0.0,
+      rebuildRecommended = false, Seq.empty)
+    val maxCell = occ.getLong(1)
+    val cells = occ.getLong(2)
+    val appended = occ.getLong(3)
+    val appendedFraction = appended.toDouble / rows
+    val maxCellFraction = maxCell.toDouble / rows
+    // residuals over a deterministic hash-stride sample: mean L2
+    // distance of each sampled row to ITS OWN centroid, split by era
+    val stride = math.max(rows / math.max(sampleTarget, 1L), 1L)
+    val cents = centroidsOf(spark, path)
+      .select(col("cent_id").as("bucket"), col("c_emb"))
+    val res = live(spark, path)
+      .filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
+      .join(broadcast(cents), "bucket")
+      .select((col("gen") > 0L).as("app"),
+        PQ.l2sq(col("embedding"), col("c_emb")).as("r2"))
+      .groupBy(col("app"))
+      .agg(avg(sqrt(col("r2"))).as("mr"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    val mrBase = res.getOrElse(false, 0.0)
+    val mrApp = res.getOrElse(true, 0.0)
+    val checks: Seq[(Boolean, String)] = Seq(
+      (appendedFraction > appendedMax,
+        f"appended fraction $appendedFraction%.2f > $appendedMax%.2f" +
+          " — most of the index postdates quantizer training"),
+      (cells > 0 && maxCellFraction > hotCellFactor / cells,
+        f"hot cell holds $maxCellFraction%.3f of rows (> " +
+          f"$hotCellFactor%.1fx uniform) — occupancy skewed"),
+      (mrBase > 0.0 && mrApp > residualFactor * mrBase,
+        f"appended mean residual $mrApp%.4f > $residualFactor%.1fx " +
+          f"base $mrBase%.4f — appends fit the quantizer worse"))
+    val reasons = checks.collect { case (true, msg) => msg }
+    DriftReport(rows, cells, appendedFraction, maxCellFraction,
+      mrBase, mrApp, reasons.nonEmpty, reasons)
+  }
+
+  /** FULL REBUILD from the index's own LIVE rows — what a fired
+    * [[driftReport]] recommends: re-train both quantizers (k-means++
+    * coarse + fresh PQ codebooks) over everything currently served
+    * (tombstoned rows excluded — a rebuild is also when deletes
+    * physically leave), overwrite the artifact set, and stamp the
+    * [[ensureBuilt]] marker so later ensure calls at these params
+    * reuse it. Returns (rows rebuilt over, cells). */
+  def rebuild(spark: SparkSession, path: String, m: Int, k: Int,
+      nCentroids: Int, kmIters: Int = 4): (Long, Long) = {
+    val corpus = live(spark, path)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val rows = corpus.count()
+    require(rows > 0, s"IvfPq.rebuild: no live rows at $path")
+    val cents = VectorIndex.kmeansPpCentroids(corpus, nCentroids,
+      iters = kmIters).localCheckpoint()
+    build(corpus, cents, m, k, path)
+    ArtifactCache.stamp(path, expectOf(m, k, nCentroids, kmIters, rows))
+    (rows, nCentroids.toLong)
   }
 
   /** The persisted centroids of an index at `path` — the probe-side

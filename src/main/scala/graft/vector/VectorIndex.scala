@@ -296,6 +296,140 @@ object VectorIndex {
           col("cent_id").as("bucket")),
       k)
 
+  /** Level-1 quantizer over a CENTROID SET — the two-level coarse
+    * stage's build half ([[probeAdaptive2]]): cluster the centroids
+    * themselves into `nSuper` SUPER-CELLS (k-means over the centroid
+    * frame, same deterministic machinery as the corpus build) and
+    * record each centroid's super-cell. Returns (superCents with the
+    * [[centroids]] schema, centToSuper: (cent_id, super_id)).
+    * Built once beside the index; ~sqrt(C) super-cells keeps both
+    * levels' scored sets balanced. */
+  def superCentroids(cents: DataFrame, nSuper: Int,
+      iters: Int = 2): (DataFrame, DataFrame) = {
+    val asCorpus = cents.select(
+      col("cent_id").cast("long").as("vec_id"),
+      col("c_emb").as("embedding"))
+    val sc = kmeansCentroids(asCorpus, nSuper, iters).localCheckpoint()
+    val mapping = assignBuckets(asCorpus, sc)
+      .select(col("vec_id").cast("int").as("cent_id"),
+        col("bucket").as("super_id"))
+    (sc, mapping)
+  }
+
+  /** Bucket-assign and WRITE the index through the two-level
+    * quantizer — [[probeAdaptive2]]'s build-side companion: at 10⁴+
+    * cells the flat corpus × centroids assignment product hits the
+    * same wall as the probe's coarse stage (measured: 200k × 10k
+    * pairs OOMs a 32-thread local box inside [[assignBuckets]]'s
+    * per-vector window). Each vector scores the SUPER-centroids
+    * (corpus × S broadcast, S ~ sqrt(C)), keeps its `l1Probe`
+    * nearest super-cells, and scores only their centroids (a
+    * broadcast join by super id) — per-vector work ~ l1Probe × C/S
+    * instead of C. Assignment is hierarchically approximate (the
+    * true nearest centroid can sit in an unprobed super-cell);
+    * probes traverse the SAME level-1, so the approximation is
+    * measured end-to-end by the recall pins (ann2l100). */
+  def buildHier(corpus: DataFrame, cents: DataFrame,
+      superCents: DataFrame, centToSuper: DataFrame, path: String,
+      l1Probe: Int = 4): Unit = {
+    val q = corpus.withColumn("nrm", l2Norm(col("embedding")))
+    val w1 = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("super_id"))
+    val sup = q.crossJoin(broadcast(superCents))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cent_id").as("super_id"),
+        when(col("nrm") === 0.0 || col("c_nrm") === 0.0, lit(-2.0))
+          .otherwise(dotF(col("c_emb"), col("embedding"))
+            / (col("c_nrm") * col("nrm"))).as("csim"))
+      .withColumn("rk", row_number().over(w1))
+      .filter(col("rk") <= l1Probe)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("super_id"))
+    val centsS = cents.join(centToSuper, "cent_id")
+    val w2 = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cent_id"))
+    sup.join(broadcast(centsS), "super_id")
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cent_id"),
+        when(col("nrm") === 0.0 || col("c_nrm") === 0.0, lit(-2.0))
+          .otherwise(dotF(col("c_emb"), col("embedding"))
+            / (col("c_nrm") * col("nrm"))).as("csim"))
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cent_id").as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    val spark = corpus.sparkSession
+    val p = new org.apache.hadoop.fs.Path(tombstonesPath(path))
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    ()
+  }
+
+  /** TWO-LEVEL [[probeAdaptive]] — for indexes whose CENTROID SET is
+    * itself too large to broadcast-score per query: a 10⁹–10¹⁰-vector
+    * corpus wants 10⁵–10⁶ cells, where the queries × centroids cross
+    * product stops being a "tiny broadcast". Each query scores the
+    * SUPER-centroids first (a genuinely tiny broadcast, ~sqrt(C)
+    * rows), admits the competitive super-cells by the SAME margin
+    * rule under `l1Slack`, and only the admitted super-cells'
+    * centroids are scored at level 2 — a broadcast join of the
+    * (query, super) admissions against the centroid table keyed by
+    * super-cell, so per-query level-2 work tracks the admitted
+    * FRACTION, never C. The level-2 margin rule then picks buckets
+    * exactly like [[probeAdaptive]] and the scan tail is shared.
+    *
+    * Approximation contract: a centroid can be competitive while its
+    * super-cell is not (the double-quantization boundary) — `l1Slack`
+    * is the knob that buys that loss back, and it should sit ABOVE
+    * the level-2 slack (level-1 distances carry both quantization
+    * errors). `l1Slack` large enough to admit every super-cell makes
+    * this EXACTLY [[probeAdaptive]] (spec-pinned); the ann2l100 probe
+    * pins recall at a 10k-cell serving shape with the level-1 prune
+    * fraction logged. */
+  def probeAdaptive2(spark: SparkSession, indexPath: String,
+      cents: DataFrame, superCents: DataFrame, centToSuper: DataFrame,
+      queries: DataFrame, k: Int,
+      slack: Double = 0.5, minProbe: Int = 2,
+      maxProbe: Int = Int.MaxValue,
+      l1Slack: Double = 1.0, l1MinProbe: Int = 2,
+      l1MaxProbe: Int = Int.MaxValue): DataFrame = {
+    val wBest1 = Window.partitionBy(col("query_id"))
+    val admitted = centroidRanks(superCents, queries)
+      .withColumn("best", max(col("csim")).over(wBest1))
+      .filter(col("rk") <= lit(l1MinProbe) ||
+        (col("rk") <= lit(l1MaxProbe) &&
+          col("csim") >= col("best") -
+            lit(l1Slack) * (lit(1.0) - col("best"))))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        col("cent_id").as("super_id"))
+    // level 2: score ONLY the admitted super-cells' centroids — the
+    // admissions frame (queries x admitted supers) broadcasts, the
+    // centroid table stays distributed and joins by super id
+    val centsS = cents.join(centToSuper, "cent_id")
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cent_id"))
+    val wBest2 = Window.partitionBy(col("query_id"))
+    val picked = centsS.join(broadcast(admitted), "super_id")
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        col("cent_id"),
+        when(col("q_nrm") === 0.0 || col("c_nrm") === 0.0, lit(-2.0))
+          .otherwise(dotF(col("c_emb"), col("q_emb"))
+            / (col("c_nrm") * col("q_nrm"))).as("csim"))
+      .withColumn("rk", row_number().over(w2))
+      .withColumn("best", max(col("csim")).over(wBest2))
+      .filter(col("rk") <= lit(minProbe) ||
+        (col("rk") <= lit(maxProbe) &&
+          col("csim") >= col("best") -
+            lit(slack) * (lit(1.0) - col("best"))))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        col("cent_id").as("bucket"))
+      // materialized: scanTopK executes the frame twice (bucket
+      // collect + the scan join), and this one carries a shuffle-join
+      // + two windows
+      .localCheckpoint()
+    scanTopK(spark, indexPath, picked, k)
+  }
+
   /** MULTI-PROBE with a per-query budget derived from the centroid
     * distances themselves — the serving-grade default: a query deep
     * inside one cluster probes few buckets, a query near a cell

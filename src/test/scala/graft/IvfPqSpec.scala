@@ -286,13 +286,14 @@ class IvfPqSpec extends AnyFunSuite {
     IvfPq.buildWith(base, cents, cb, M, s"$tmp/appended")
     IvfPq.append(spark, s"$tmp/appended", delta)
     IvfPq.buildWith(corpus, cents, cb, M, s"$tmp/rebuilt")
+    // same rows, same buckets, same codes — file layout and the
+    // append-era gen stamp (1 vs the rebuild's 0) are the ONLY
+    // differences, and probes observe neither
     def content(p: String) = spark.read.parquet(p)
-      .select("vec_id", "embedding", "codes", "gen", "bucket")
+      .select("vec_id", "embedding", "codes", "bucket")
       .orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq,
-        r.getSeq[Int](2).toSeq, r.getLong(3), r.getInt(4)))
-    // same rows, same buckets, same codes — file layout is the ONLY
-    // difference, and probes never observe layout
+        r.getSeq[Int](2).toSeq, r.getInt(3)))
     assert(content(s"$tmp/appended").toSeq ==
       content(s"$tmp/rebuilt").toSeq)
     // and the probes agree frame-for-frame
@@ -537,6 +538,56 @@ class IvfPqSpec extends AnyFunSuite {
       "compact must clear the materialized tombstones")
     assert(probe() == before,
       "probes must be frame-identical across the materialization")
+  }
+
+  test("drift report: a fresh build is healthy; out-of-distribution " +
+    "appends fire the thresholds; rebuild resets them") {
+    val tmp = Files.createTempDirectory("graft-ivfpq-drift").toString
+    val path = s"$tmp/index"
+    IvfPq.ensureBuilt(spark, corpus, m = M, k = 16, nCentroids = 16,
+      kmIters = 2, path)
+    val d0 = IvfPq.driftReport(spark, path)
+    assert(d0.rows == corpus.count() && d0.appendedFraction == 0.0 &&
+      !d0.rebuildRecommended && d0.reasons.isEmpty,
+      s"a fresh build must read healthy, got $d0")
+    // append an out-of-distribution clone of the corpus: every
+    // shifted vector points in (nearly) one direction, so the frozen
+    // quantizer piles them into one hot cell AND their residuals dwarf
+    // the training rows' — both drift signals, plus the appended
+    // fraction
+    val shifted = corpus.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"),
+        x => x * lit(0.1f) + lit(5.0f)).as("embedding"))
+    IvfPq.append(spark, path, shifted)
+    val d1 = IvfPq.driftReport(spark, path, appendedMax = 0.4)
+    assert(d1.rows == 2 * corpus.count())
+    assert(math.abs(d1.appendedFraction - 0.5) < 0.01)
+    assert(d1.rebuildRecommended && d1.reasons.nonEmpty,
+      s"out-of-distribution appends must fire, got $d1")
+    assert(d1.maxCellFraction > 4.0 / d1.cells,
+      s"the shifted clone must create a hot cell, got $d1")
+    assert(d1.meanResidualAppended > 1.5 * d1.meanResidualBase,
+      s"shifted rows must fit the frozen quantizer worse, got $d1")
+    // the recommended fix: re-train both quantizers over the live
+    // rows — the drift signals reset (rows are all gen-0 again, and
+    // the new cells actually model both regions)
+    val (rows, cells) = IvfPq.rebuild(spark, path, m = M, k = 16,
+      nCentroids = 16, kmIters = 2)
+    assert(rows == 2 * corpus.count() && cells == 16)
+    val d2 = IvfPq.driftReport(spark, path, appendedMax = 0.4)
+    assert(d2.appendedFraction == 0.0 &&
+      !d2.reasons.exists(_.contains("appended")),
+      s"a rebuild must reset the append-era signals, got $d2")
+    // and the rebuilt index serves both regions exactly
+    val cents = IvfPq.centroidsOf(spark, path)
+    val q = spark.read.parquet(path)
+      .filter(col("vec_id") === 1000025L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val hit = IvfPq.probe(spark, path, cents, q, m = M, topK = 1,
+      nProbe = 4, shortlist = 20).collect()
+    assert(hit.length == 1 && hit.head.getLong(2) == 1000025L &&
+      hit.head.getDouble(3) == 0.0)
   }
 
   test("ANN CDC follower: the index follows its corpus table through " +

@@ -215,4 +215,38 @@ class ProcedureSpec extends AnyFunSuite {
     assert(out == Seq((1L, "ok", 10L), (10L, "ok2", 500L),
       (20L, "new", 200L)), s"got $out")
   }
+
+  test("CALL ann_index_drift reports; CALL rebuild_index re-trains " +
+      "over the live rows") {
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val idx = s"${Files.createTempDirectory("graft-proc-ann")}/index"
+    graft.vector.IvfPq.ensureBuilt(spark, corpus, m = 4, k = 16,
+      nCentroids = 8, kmIters = 2, idx)
+    val d = spark.sql(
+      s"CALL gp.system.ann_index_drift('$idx')").collect().head
+    assert(d.getAs[Long]("rows") == corpus.count())
+    assert(!d.getAs[Boolean]("rebuild_recommended") &&
+      d.getAs[String]("reasons").isEmpty,
+      s"fresh build must be healthy, got $d")
+    // delete a slice, then rebuild: the dead rows physically leave
+    // and the report stays healthy on the fresh quantizers
+    graft.vector.IvfPq.delete(spark, idx, corpus
+      .filter(org.apache.spark.sql.functions
+        .col("vec_id") % 5 === 0).select("vec_id"))
+    val r = spark.sql(
+      s"CALL gp.system.rebuild_index('$idx', 4, 16, 8)")
+      .collect().head
+    val liveN = corpus.filter(org.apache.spark.sql.functions
+      .col("vec_id") % 5 =!= 0).count()
+    assert(r.getAs[Long]("rows") == liveN &&
+      r.getAs[Long]("cells") == 8L, s"got $r")
+    assert(spark.read.parquet(idx).count() == liveN,
+      "rebuild must physically drop tombstoned rows")
+    val d2 = spark.sql(
+      s"CALL gp.system.ann_index_drift('$idx')").collect().head
+    assert(d2.getAs[Long]("rows") == liveN &&
+      !d2.getAs[Boolean]("rebuild_recommended"))
+  }
 }

@@ -203,6 +203,57 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("two-level adaptive probe: full level-1 admission equals the " +
+    "single-level probe EXACTLY; pruned level 1 keeps serving recall") {
+    import graft.functions.VectorFunctions._
+    val tmp = Files.createTempDirectory("graft-ivf-2l").toString
+    val path = s"$tmp/index"
+    val cents = VectorIndex.kmeansPpCentroids(corpus, 8, iters = 4)
+      .localCheckpoint()
+    VectorIndex.build(corpus, cents, path)
+    val (sc, centToSuper) = VectorIndex.superCentroids(cents, 3)
+    assert(sc.count() == 3 && centToSuper.count() == 8)
+    val queries = corpus.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    def frame(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rk").collect().toSeq
+    // l1Slack wide enough to admit every super-cell: the two-level
+    // probe IS the single-level probe, frame-for-frame
+    val full = frame(VectorIndex.probeAdaptive2(spark, path, cents,
+      sc, centToSuper, queries, k = 10, slack = 0.5, minProbe = 2,
+      l1Slack = 1e9, l1MinProbe = 3))
+    val single = frame(VectorIndex.probeAdaptive(spark, path, cents,
+      queries, k = 10, slack = 0.5, minProbe = 2))
+    assert(full == single,
+      "full level-1 admission must reduce to the single-level probe")
+    // pruned level 1: recall vs brute-force cosine keeps the serving
+    // floor (the double-quantization loss is what l1Slack buys back)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val truth = corpus.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("sim"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val got = VectorIndex.probeAdaptive2(spark, path, cents,
+      sc, centToSuper, queries, k = 10, slack = 0.5, minProbe = 2,
+      l1Slack = 1.0, l1MinProbe = 1)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recall = truth.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }.sum / truth.size
+    info(f"two-level pruned recall@10=$recall%.3f (3 supers / 8 cells)")
+    // measured 0.925 — the same value as the single-level serving
+    // pin: at this shape the pruned level 1 loses nothing
+    assert(recall >= 0.9,
+      "level-1 pruning must not collapse serving recall")
+  }
+
   test("delete masks keys from the very next probe; a rebuild clears " +
     "stale tombstones") {
     val tmp = Files.createTempDirectory("graft-ivf-del").toString
