@@ -1030,7 +1030,8 @@ object Streams {
     * dimension; `keyCol`/`embCol` name the feed's columns. */
   def annIndexChangesFollower(changes: DataFrame, indexPath: String,
       checkpoint: String, keyCol: String = "vec_id",
-      embCol: String = "embedding"): DataStreamWriter[Row] = {
+      embCol: String = "embedding",
+      compactEvery: Int = 0): DataStreamWriter[Row] = {
     require(changes.columns.contains("_change_type") &&
       changes.columns.contains("_commit_version"),
       "Streams.annIndexChangesFollower: the input is not a change " +
@@ -1067,6 +1068,13 @@ object Streams {
             .select(col("vec_id")), Seq("vec_id"), "left_anti")
         if (fresh.head(1).nonEmpty)
           graft.vector.IvfPq.append(spark, indexPath, fresh)
+        // maintenance cadence (annIndexSinkWriter's contract): the
+        // follower both FRAGMENTS bucket dirs (one file per touched
+        // bucket per batch) and ACCUMULATES tombstones (every
+        // delete/update batch adds to the probe-time mask) — compact
+        // resets both in one crash-safe swap
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          graft.vector.IvfPq.compact(spark, indexPath)
         ()
       }
   }

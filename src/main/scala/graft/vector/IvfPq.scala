@@ -530,6 +530,61 @@ object IvfPq {
     probeFrom(spark, path, picked, queries, m, topK, shortlist, allowed)
   }
 
+  /** TWO-LEVEL [[probeAdaptive]] — [[VectorIndex.probeAdaptive2]]'s
+    * L2 twin for the compressed-domain serving config, where the
+    * 10⁵–10⁶-cell regime actually lives: queries score the
+    * SUPER-centroids first (tiny broadcast, squared L2), admit the
+    * competitive super-cells under `l1Slack` (`d2 <= (1 + l1Slack) *
+    * best_d2` — set it ABOVE `slack`, level-1 distances carry both
+    * quantization errors), and only the admitted super-cells'
+    * centroids score at level 2 (a broadcast join of the admissions
+    * against the centroid table keyed by super-cell). The picked
+    * buckets then ride the SAME three-stage tail (partition-pruned
+    * scan, codes-only ADC, exact re-rank). Build the level-1
+    * artifacts once with [[VectorIndex.superCentroids]] (the
+    * grouping is a clustering of the centroid set — its quality
+    * affects pruning efficiency only; admission and every returned
+    * distance stay L2). `l1Slack` large enough to admit every
+    * super-cell makes this EXACTLY [[probeAdaptive]] (spec-pinned);
+    * two-level quantization's contract is multi-scale structure in
+    * the corpus (see the ann2l100 probe). */
+  def probeAdaptive2(spark: SparkSession, path: String,
+      cents: DataFrame, superCents: DataFrame, centToSuper: DataFrame,
+      queries: DataFrame, m: Int, topK: Int, shortlist: Int,
+      slack: Double = 0.5, minProbe: Int = 2,
+      maxProbe: Int = Int.MaxValue,
+      l1Slack: Double = 1.0, l1MinProbe: Int = 2,
+      l1MaxProbe: Int = Int.MaxValue,
+      allowed: Option[DataFrame] = None): DataFrame = {
+    val wq1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("super_id"))
+    val wBest1 = Window.partitionBy(col("query_id"))
+    val admitted = queries.crossJoin(broadcast(superCents))
+      .select(col("query_id"), col("q_emb"),
+        col("cent_id").as("super_id"),
+        PQ.l2sq(col("q_emb"), col("c_emb")).as("d2"))
+      .withColumn("rk", row_number().over(wq1))
+      .withColumn("best", min(col("d2")).over(wBest1))
+      .filter(col("rk") <= lit(l1MinProbe) ||
+        (col("rk") <= lit(l1MaxProbe) &&
+          col("d2") <= (lit(1.0) + lit(l1Slack)) * col("best")))
+      .select(col("query_id"), col("q_emb"), col("super_id"))
+    val centsS = cents.join(centToSuper, "cent_id")
+    val wq2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("cent_id"))
+    val wBest2 = Window.partitionBy(col("query_id"))
+    val picked = centsS.join(broadcast(admitted), "super_id")
+      .select(col("query_id"), col("q_emb"), col("cent_id"),
+        PQ.l2sq(col("q_emb"), col("c_emb")).as("d2"))
+      .withColumn("rk", row_number().over(wq2))
+      .withColumn("best", min(col("d2")).over(wBest2))
+      .filter(col("rk") <= lit(minProbe) ||
+        (col("rk") <= lit(maxProbe) &&
+          col("d2") <= (lit(1.0) + lit(slack)) * col("best")))
+      .localCheckpoint()
+    probeFrom(spark, path, picked, queries, m, topK, shortlist, allowed)
+  }
+
   /** Stage 1 scoring shared by both probes: per-query centroid
     * distances with nearest-first rank (tiny broadcast cross
     * product, squared L2 — the build-side assignment metric). */

@@ -540,6 +540,90 @@ class IvfPqSpec extends AnyFunSuite {
       "probes must be frame-identical across the materialization")
   }
 
+  test("two-level adaptive probe (L2): full level-1 admission equals " +
+    "the single-level probe EXACTLY; pruned level 1 keeps recall") {
+    val tmp = Files.createTempDirectory("graft-ivfpq-2l").toString
+    val path = s"$tmp/index"
+    IvfPq.ensureBuilt(spark, corpus, m = M, k = 16, nCentroids = 8,
+      kmIters = 2, path)
+    val cents = IvfPq.centroidsOf(spark, path).localCheckpoint()
+    val (sc, centToSuper) = VectorIndex.superCentroids(cents, 3)
+    def frame(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rk").collect().toSeq
+    val full = frame(IvfPq.probeAdaptive2(spark, path, cents, sc,
+      centToSuper, queries, m = M, topK = 10, shortlist = 100,
+      slack = 0.5, minProbe = 2, l1Slack = 1e9, l1MinProbe = 3))
+    val single = frame(IvfPq.probeAdaptive(spark, path, cents,
+      queries, m = M, topK = 10, shortlist = 100,
+      slack = 0.5, minProbe = 2))
+    assert(full == single,
+      "full level-1 admission must reduce to the single-level probe")
+    val truth = bruteL2(10)
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+      truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t.toSet).size.toDouble /
+          t.size
+      }.sum / truth.size
+    }
+    // the pin isolates what LEVEL-1 PRUNING costs at the same
+    // quantizer and knobs — absolute recall at this small shape is a
+    // property of the m=4 codes and 8 stride-seeded cells (the
+    // serving-grade floor lives in the kmpp/m=8 test above)
+    val rOne = recallOf(IvfPq.probeAdaptive(spark, path, cents,
+      queries, m = M, topK = 10, shortlist = 100,
+      slack = 0.5, minProbe = 2))
+    val rTwo = recallOf(IvfPq.probeAdaptive2(spark, path, cents, sc,
+      centToSuper, queries, m = M, topK = 10, shortlist = 100,
+      slack = 0.5, minProbe = 2, l1Slack = 1.0, l1MinProbe = 1))
+    info(f"IVF-PQ two-level pruned recall@10=$rTwo%.3f vs " +
+      f"single-level $rOne%.3f")
+    assert(rTwo >= rOne - 0.05,
+      f"level-1 pruning cost ${rOne - rTwo}%.3f recall — above budget")
+  }
+
+  test("follower compactEvery: the cadence materializes tombstones " +
+    "and defragments while the stream keeps following") {
+    import spark.implicits._
+    import graft.sinks.ManifestTable
+    val tmp = Files.createTempDirectory("graft-ann-fcomp").toString
+    val src = s"$tmp/src"; val idx = s"$tmp/index"
+    def vec(i: Long): Seq[Float] =
+      Seq(i.toFloat, (i % 5).toFloat, (i % 3).toFloat, 1.0f)
+    ManifestTable.append(spark,
+      (0L until 20L).map(i => (i, vec(i))).toDF("vec_id", "embedding"),
+      src, statsCols = Seq("vec_id"))
+    val base = ManifestTable.read(spark, src)
+    IvfPq.build(base,
+      VectorIndex.kmeansCentroids(base, 2, iters = 2).localCheckpoint(),
+      m = 2, k = 4, idx)
+    val q = graft.streaming.Streams.annIndexChangesFollower(
+      spark.readStream.format("graft-manifest")
+        .option("readChangeFeed", "true").load(src),
+      idx, s"$tmp/ckpt", compactEvery = 2).start()
+    q.processAllAvailable() // batch 0: bootstrap no-op
+    ManifestTable.deleteKeys(spark, Seq(3L, 7L).toDF("vec_id"),
+      src, "vec_id")
+    q.processAllAvailable() // batch 1: tombstones written
+    assert(new java.io.File(s"$idx.tombstones").exists(),
+      "the delete batch must write index tombstones")
+    ManifestTable.append(spark,
+      Seq((100L, vec(100L))).toDF("vec_id", "embedding"), src,
+      statsCols = Seq("vec_id"))
+    q.processAllAvailable() // batch 2: append + the compact cadence
+    q.stop()
+    assert(!new java.io.File(s"$idx.tombstones").exists(),
+      "the cadence compact must materialize and clear tombstones")
+    val live = IvfPq.live(spark, idx).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    val want = ((0L until 20L).toSet -- Set(3L, 7L)) + 100L
+    assert(live == want, s"diverged after cadence compact: $live")
+    assert(spark.read.parquet(idx).count() == want.size,
+      "dead rows must be physically gone after the cadence compact")
+  }
+
   test("drift report: a fresh build is healthy; out-of-distribution " +
     "appends fire the thresholds; rebuild resets them") {
     val tmp = Files.createTempDirectory("graft-ivfpq-drift").toString
