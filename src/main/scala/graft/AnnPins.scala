@@ -109,6 +109,19 @@ object AnnPins {
       slack = graft.operators.VectorQueries.Q170_SLACK,
       minProbe = graft.operators.VectorQueries.Q170_MIN_PROBE)
     println("PINS_Q170 = " + pins(servingProbe()))
+
+    // q175: the PRUNED two-level probe over q170's fresh index (its
+    // level-1 quantizer derives deterministically from the persisted
+    // centroids)
+    val (sc175, map175) = graft.vector.VectorIndex
+      .superCentroids(cents170, 3)
+    println("PINS_Q175 = " + pins(
+      graft.vector.VectorIndex.probeAdaptive2(spark,
+        graft.operators.VectorQueries.q170IndexPath(d), cents170,
+        sc175, map175, queries, k = 10,
+        slack = graft.operators.VectorQueries.Q170_SLACK,
+        minProbe = graft.operators.VectorQueries.Q170_MIN_PROBE,
+        l1Slack = 1.0, l1MinProbe = 1)))
     val nCent = cents170.count()
     val nQ = queries.count()
     val t0 = System.nanoTime()

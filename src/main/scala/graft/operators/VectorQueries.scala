@@ -543,6 +543,33 @@ object VectorQueries {
         corpus.filter(col("vec_id") % 10 =!= 3), queries, 10)
     },
 
+    // ---- TWO-LEVEL coarse quantization (q175): the serving shape
+    //      for 10⁵–10⁶-cell indexes, where the queries×centroids
+    //      broadcast product stops being tiny — queries admit
+    //      super-cells first (margin rule over ~sqrt(C) rows), then
+    //      score only the admitted super-cells' centroids through a
+    //      broadcast join. Runs PRUNED (l1 margin at slack 1.0)
+    //      against q170's persisted index with a 3-super level-1
+    //      quantizer built from its persisted centroids, so the row
+    //      pins the two-level retrieval itself, not the full-admit
+    //      degenerate case. Scale evidence: ann2l100 (10k cells,
+    //      recall 1.000 at 2.2% of centroids scored per query). ----
+    GraftQuery("q175_ann_two_level", annRecallSql(PINS_Q175)) { (s, d) =>
+      val corpus = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val (cents, _) = ensureQ170Index(s, d)
+      val (sc, centToSuper) =
+        graft.vector.VectorIndex.superCentroids(cents, 3)
+      val queries = corpus.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      recallVsExact(
+        graft.vector.VectorIndex.probeAdaptive2(s, q170IndexPath(d),
+          cents, sc, centToSuper, queries, k = 10,
+          slack = Q170_SLACK, minProbe = Q170_MIN_PROBE,
+          l1Slack = 1.0, l1MinProbe = 1),
+        corpus, queries, 10)
+    },
+
     GraftQuery("q117_ivf_append_ann", annRecallSql(PINS_Q117)) { (s, d) =>
       import graft.vector.IvfPq
       val corpus = Tables.embeddings(s, d)
@@ -862,6 +889,21 @@ object VectorQueries {
     "(400,358),(400,400),(400,443),(400,451),(400,475),(400,485)"
 
   private def PINS_Q170: String =
+    "(0,0),(0,7),(0,73),(0,190),(0,320),(0,334),(0,365),(0,387)," +
+    "(0,423),(0,464),(100,24),(100,33),(100,45),(100,100),(100,202)," +
+    "(100,234),(100,360),(100,384),(100,478),(100,480),(200,32)," +
+    "(200,58),(200,135),(200,143),(200,200),(200,204),(200,348)," +
+    "(200,386),(200,409),(200,410),(300,1),(300,27),(300,51)," +
+    "(300,53),(300,60),(300,196),(300,253),(300,300),(300,464)," +
+    "(300,477),(400,92),(400,94),(400,182),(400,358),(400,400)," +
+    "(400,415),(400,443),(400,451),(400,475),(400,485)"
+
+  // at sf0.01's 8-cell / 3-super shape the PRUNED two-level probe
+  // retrieves identically to the single-level serving probe (zero
+  // level-1 loss — the same equality VectorIndexSpec measures); the
+  // list is kept as its own constant so a future divergence is
+  // visible at regeneration, not silently absorbed
+  private def PINS_Q175: String =
     "(0,0),(0,7),(0,73),(0,190),(0,320),(0,334),(0,365),(0,387)," +
     "(0,423),(0,464),(100,24),(100,33),(100,45),(100,100),(100,202)," +
     "(100,234),(100,360),(100,384),(100,478),(100,480),(200,32)," +
