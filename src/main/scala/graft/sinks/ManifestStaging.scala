@@ -974,8 +974,27 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
       s"fastForwardBranch: retries must be >= 0, got $retries")
     val (fs, _) = fsOf(spark, path)
     val bd = branchDir(path, name)
-    require(fs.exists(new org.apache.hadoop.fs.Path(bd)),
-      s"ManifestTable.fastForwardBranch: no branch '$name' at $path")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(bd))) {
+      // a retry after a crash INSIDE a previous attempt's consume
+      // (cutover done, teardown unfinished) finds no branch but a
+      // `.dead-` residue dir — say so instead of a bare "no branch":
+      // the publish in that scenario DID commit, nothing is lost
+      // (vacuum pins the residue's dirs), and recovery is inspecting
+      // the residue, not re-creating the branch
+      val root = new org.apache.hadoop.fs.Path(branchRoot(path))
+      val dead =
+        if (!fs.exists(root)) Seq.empty[String]
+        else fs.listStatus(root).map(_.getPath.getName)
+          .filter(_.startsWith(s".dead-${refName(name)}-")).toSeq
+      sys.error(
+        s"ManifestTable.fastForwardBranch: no branch '$name' at " +
+          s"$path" + (if (dead.isEmpty) "" else s" — teardown residue " +
+            s"${dead.mkString(", ")} exists: a previous fast-forward " +
+            "committed and crashed mid-consume; check the latest " +
+            "snapshot for the published rows, salvage any unpublished " +
+            "commit dirs from the residue (vacuum pins their data), " +
+            "then delete it"))
+    }
     val listed = branchCommits(fs, path, name)
     val commits = onlyCommits match {
       case None => listed
@@ -1166,10 +1185,12 @@ private[sinks] trait ManifestStagingOps { self: ManifestTable.type =>
     *  3. The dead dir deletes.
     *
     * Idempotent under crash-retry at every step: a retry re-runs the
-    * membership test against the same published snapshot, and a
-    * crash between cutover and salvage leaves a `.dead-` dir whose
-    * unpublished commits a retry cannot see — the documented
-    * recovery is the loud require below, never silent loss. */
+    * membership test against the same published snapshot. A crash
+    * between cutover and teardown leaves a `.dead-` residue dir —
+    * [[vacuum]] pins its referenced data ([[deadBranchEntries]]) and
+    * a fastForwardBranch retry names the residue in its loud
+    * no-branch error; recovery is operator inspection, never silent
+    * loss. */
   private def consumeBranch(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, path: String, name: String,
       publishedV: Long): Unit = {
