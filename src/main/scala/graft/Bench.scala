@@ -71,6 +71,19 @@ object Bench {
     val (q117Built, q117BuildSec) = timedBuild("q117 base+append") {
       operators.VectorQueries.ensureQ117Index(spark, sfDir)._2
     }
+    // round-18 additions to the same pre-build set: the serving-grade
+    // cosine index (q170/q175 probe it), the delete-propagation index
+    // (q173), and q175's level-1 super-quantizer — all build-once
+    // amortized artifacts like the three above
+    val (q170Built, q170BuildSec) = timedBuild("q170 index") {
+      operators.VectorQueries.ensureQ170Index(spark, sfDir)._2
+    }
+    val (q173Built, q173BuildSec) = timedBuild("q173 index+delete") {
+      operators.VectorQueries.ensureQ173Index(spark, sfDir)._2
+    }
+    val (q175Built, q175BuildSec) = timedBuild("q175 super-quantizer") {
+      operators.VectorQueries.ensureQ175Super(spark, sfDir)._3
+    }
 
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     // The noop sink evaluates every output column and keeps the final
@@ -155,7 +168,10 @@ object Bench {
     val builds = Seq(
       buildField("q110_index", q110Built, q110BuildSec),
       buildField("q100_codebook", q100Built, q100BuildSec),
-      buildField("q117_index", q117Built, q117BuildSec)).mkString(",")
+      buildField("q117_index", q117Built, q117BuildSec),
+      buildField("q170_index", q170Built, q170BuildSec),
+      buildField("q173_index", q173Built, q173BuildSec),
+      buildField("q175_super", q175Built, q175BuildSec)).mkString(",")
     // Field order matters: the harness that captures this line keeps only
     // the last ~2 KB of output, and the per-query map alone is larger than
     // that. The summary scalars (metric/value/...) therefore go LAST so the

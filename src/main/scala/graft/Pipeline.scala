@@ -113,9 +113,12 @@ object Pipeline {
       .withColumn("n_tokens", tokenCountOf(tokens(col("text"))))
       .localCheckpoint() // percentile pass + filter both read it
     mark("1_exact_dedup_quality")
+    // one percentile buffer for both trim bounds (array form — see
+    // q68's note; bit-identical interpolation per quantile)
     val stats = counted.agg(
-      expr("percentile(n_tokens, 0.01)").as("lo"),
-      expr("percentile(n_tokens, 0.99)").as("hi"))
+      expr("percentile(n_tokens, array(0.01D, 0.99D))").as("lohi"))
+      .select(element_at(col("lohi"), 1).as("lo"),
+        element_at(col("lohi"), 2).as("hi"))
     val trimmed = counted.crossJoin(broadcast(stats))
       .filter(col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
       .drop("lo", "hi")

@@ -49,8 +49,19 @@ object VectorFunctions {
       .otherwise(d / (na * nb))
   }
 
-  /** Squared Euclidean distance. */
+  /** Squared Euclidean distance: the native codegen expression
+    * ([[graft.expressions.FloatL2DistSq]]) over double-cast inputs —
+    * bit-identical to the composed `aggregate(zip_with(...))` Double
+    * fold it replaced (the cast-first shape forces DOUBLE per-element
+    * arithmetic like the composed form's `asDouble`; the cast here is
+    * the codegen'd column Cast, not the interpreted `transform`). */
   def l2DistanceSq(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.l2sqF(
+      a.cast("array<double>"), b.cast("array<double>"))
+
+  /** The composed-builtins squared L2 (kept as the reference
+    * implementation; [[l2DistanceSq]] is the fast path). */
+  def l2DistanceSqComposed(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 

@@ -244,9 +244,14 @@ object CurationQueries {
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       def counts = Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"), tokenCountOf(tokens(col("text"))).as("n_tokens"))
+      // ONE exact-percentile buffer (array form): two scalar
+      // percentile aggregates over the same column would each build
+      // their own per-group value-counts map (see q68's note);
+      // interpolation per quantile is bit-identical either way
       val stats = counts.agg(
-        expr("percentile(n_tokens, 0.01)").as("lo"),
-        expr("percentile(n_tokens, 0.99)").as("hi"))
+        expr("percentile(n_tokens, array(0.01D, 0.99D))").as("lohi"))
+        .select(element_at(col("lohi"), 1).as("lo"),
+          element_at(col("lohi"), 2).as("hi"))
       counts.crossJoin(broadcast(stats))
         .filter(col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
         .select(col("doc_id"), col("n_tokens"))

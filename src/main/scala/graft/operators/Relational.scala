@@ -391,11 +391,20 @@ object Relational {
         |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
+        // ONE exact-percentile buffer per COLUMN (array form), not one
+        // per requested quantile: percentile(c, 0.5) and
+        // percentile(c, 0.9) as separate aggregates each build their
+        // own per-group value-counts map over the same 600k values —
+        // the array form interpolates both quantiles from a single
+        // sorted digest, bit-identically (same counts map, same
+        // per-quantile interpolation)
         .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
-          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 6)
-            .as("median_price"))
+          expr("percentile(l_quantity, array(0.5D, 0.9D))").as("pq"),
+          expr("percentile(l_extendedprice, 0.5)").as("pp"))
+        .select(col("l_returnflag"),
+          round(element_at(col("pq"), 1), 6).as("median_qty"),
+          round(element_at(col("pq"), 2), 6).as("p90_qty"),
+          round(col("pp"), 6).as("median_price"))
         .orderBy("l_returnflag")
     },
 
@@ -518,8 +527,16 @@ object Relational {
          |GROUP BY ROLLUP(l_returnflag, l_linestatus)
          |ORDER BY rf, ls""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
+        // pre-project the decimal cast BELOW the rollup's Expand: the
+        // Expand emits one copy of each row per grouping set (3 here),
+        // and an agg-side cast would re-run per copy — staged as a
+        // scan-side column it runs once per ROW and the Expand copies
+        // the already-cast value (same cast, same sum, same bits)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("decimal(30,2)").as("qd"))
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), decSum(col("l_quantity"), 2).as("sum_qty"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("qd")).cast("double").as("sum_qty"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("n"), col("sum_qty"))

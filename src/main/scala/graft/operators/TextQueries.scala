@@ -235,15 +235,19 @@ object TextQueries {
         .filter(col("term").isNotNull)
       val tf = tok.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-      // df = rows per term in tf (one row per (doc, term)): derives the
-      // document frequency from the tf agg instead of re-exploding the
-      // corpus — one explode pass instead of two.
-      val df = tf.groupBy(col("term"))
-        .agg(count(lit(1)).as("df"))
+      // df = rows per term in tf (one row per (doc, term)) as a WINDOW
+      // over the tf frame, not a second aggregation branch joined back:
+      // the branch form re-computed the whole explode + tf subtree for
+      // the df side (Spark plans each join input independently — two
+      // corpus passes) and then shuffled tf by term for the join anyway.
+      // The window pays the same one term-keyed exchange and reads the
+      // tf rows it already has — one explode pass, one less join, at
+      // any scale.
+      val wDf = Window.partitionBy(col("term"))
       val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("term"))
-      tf.join(df, "term")
+      tf.withColumn("df", count(lit(1)).over(wDf))
         .crossJoin(broadcast(n))
         .select(col("doc_id"), col("term"),
           ((col("tf") * col("n")).cast("double") / col("df")).as("tfidf"))

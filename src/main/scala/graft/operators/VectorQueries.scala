@@ -558,8 +558,9 @@ object VectorQueries {
       val corpus = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
       val (cents, _) = ensureQ170Index(s, d)
-      val (sc, centToSuper) =
-        graft.vector.VectorIndex.superCentroids(cents, 3)
+      // level-1 quantizer from the build-once persisted artifacts —
+      // the probe path no longer re-clusters the centroid set per run
+      val (sc, centToSuper, _) = ensureQ175Super(s, d)
       val queries = corpus.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       recallVsExact(
@@ -704,6 +705,42 @@ object VectorQueries {
     (s.read.parquet(s"$path.centroids"), !hit)
   }
 
+  /** q175's level-1 quantizer knob: 3 super-cells over the 8 q170
+    * centroids (~sqrt(C) — the [[graft.vector.VectorIndex
+    * .superCentroids]] sizing rule at this toy cell count). */
+  private val Q175_SUPERS = 3
+
+  /** Build-once q175 LEVEL-1 artifacts (super-centroids + the
+    * centroid -> super-cell mapping), persisted BESIDE the q170 index
+    * they quantize: the level-1 quantizer is a build-side artifact
+    * exactly like the index's own centroids ("built once beside the
+    * index" — [[graft.vector.VectorIndex.superCentroids]]), so
+    * re-clustering it on every probe run was paying the k-means
+    * build (two Lloyd rounds of jobs) inside the serving path.
+    * Deterministic build + exact float/double parquet round-trip make
+    * cached ≡ in-query, the same argument as every other ensure*.
+    * Returns (superCents, centToSuper, whether a build ran). */
+  def ensureQ175Super(s: SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        Boolean) = {
+    import graft.vector.{AnnVersion, ArtifactCache, VectorIndex}
+    val (cents, _) = ensureQ170Index(s, d)
+    val path = q170IndexPath(d)
+    val superPath = s"$path.super$Q175_SUPERS"
+    val corpus = Tables.embeddings(s, d).select(col("vec_id"))
+    val expect = s"algo=${AnnVersion.AlgoVersion} serving " +
+      s"cents=$Q170_CENTS iters=$Q170_ITERS rows=${corpus.count()} " +
+      s"supers=$Q175_SUPERS"
+    val hit = ArtifactCache.hit(superPath, expect)
+    if (!hit) {
+      val (sc, mapping) = VectorIndex.superCentroids(cents, Q175_SUPERS)
+      sc.write.mode("overwrite").parquet(superPath)
+      mapping.write.mode("overwrite").parquet(s"$superPath.map")
+      ArtifactCache.stamp(superPath, expect)
+    }
+    (s.read.parquet(superPath), s.read.parquet(s"$superPath.map"), !hit)
+  }
+
   /** q117's base/delta split of the embeddings corpus: the 80% the
     * index is BUILT on vs the 20% APPENDED afterwards. Every query id
     * (vec_id % 100 == 0) lands in the delta, so the probe exercises
@@ -793,13 +830,16 @@ object VectorQueries {
       queries: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist"), col("vec_id"))
+    // codegen'd squared-L2 ([[graft.functions.VectorFunctions
+    // .l2DistanceSq]] — double-cast, so per-element arithmetic is
+    // DOUBLE exactly like the composed fold this replaced); this is
+    // the (queries × corpus) brute-force branch every ANN recall row
+    // pays, the single hottest interpreted loop the bench had
     val exact = corpus
       .crossJoin(broadcast(queries))
       .select(col("query_id"), col("vec_id"),
-        aggregate(zip_with(col("embedding").cast("array<double>"),
-          col("q_emb").cast("array<double>"),
-          (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v)
-          .as("dist"))
+        graft.functions.VectorFunctions.l2DistanceSq(
+          col("embedding"), col("q_emb")).as("dist"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id"))

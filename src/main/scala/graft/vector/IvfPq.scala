@@ -581,7 +581,9 @@ object IvfPq {
       .filter(col("rk") <= lit(minProbe) ||
         (col("rk") <= lit(maxProbe) &&
           col("d2") <= (lit(1.0) + lit(slack)) * col("best")))
-      .localCheckpoint()
+    // probeFrom materializes the derived probe-bucket frame once for
+    // its two consumers — a second checkpoint here would store the
+    // same rows twice
     probeFrom(spark, path, picked, queries, m, topK, shortlist, allowed)
   }
 

@@ -30,8 +30,19 @@ import org.apache.spark.sql.types.DecimalType
   */
 object PQ {
 
-  /** Squared L2 between two float-array columns. */
+  /** Squared L2 between two float-array columns: the native codegen
+    * expression ([[graft.expressions.FloatL2DistSq]]) — one primitive
+    * loop, no zipped intermediate array. Bit-identical to the composed
+    * fold it replaced ([[l2sqComposed]]; the per-element arithmetic
+    * stays FLOAT on float inputs, only the accumulation is Double,
+    * exactly like the composed form — VectorFunctionsSpec pins the
+    * bit-equality on both element types). */
   private[vector] def l2sq(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.l2sqF(a, b)
+
+  /** The composed-builtins squared L2 (kept as the reference
+    * implementation; [[l2sq]] is the fast path). */
+  private[vector] def l2sqComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
@@ -210,8 +221,21 @@ object PQ {
         transform(col("sd"), x => x.getField("dt")).as("dts"))
 
   /** Approximate squared L2 of a coded vector against a staged
-    * distance-table column: m table lookups, no d-wide arithmetic. */
+    * distance-table column: m table lookups, no d-wide arithmetic —
+    * the native codegen loop ([[graft.expressions.AdcLookup]]; the
+    * composed `aggregate(sequence(...))` form it replaced allocated
+    * the index array and three interpreted `element_at`s per
+    * CANDIDATE, the ADC stage's per-row hot path). Fold order and
+    * null-on-invalid-subscript semantics are unchanged
+    * ([[adcOfComposed]] kept as the reference; PQSpec pins the
+    * bit-equality). */
   private[vector] def adcOf(codes: Column, dts: Column, m: Int): Column =
+    graft.expressions.VectorExpressions.adcF(codes, dts, m)
+
+  /** The composed-builtins ADC fold (reference implementation;
+    * [[adcOf]] is the fast path). */
+  private[vector] def adcOfComposed(codes: Column, dts: Column,
+      m: Int): Column =
     aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
       acc + element_at(element_at(dts, j.cast("int") + 1),
         element_at(codes, j.cast("int") + 1) + 1))

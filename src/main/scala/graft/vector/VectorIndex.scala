@@ -263,7 +263,12 @@ object VectorIndex {
     * of the index dirs) and take per-query cosine top-k. */
   private def scanTopK(spark: SparkSession, indexPath: String,
       probeBuckets: DataFrame, k: Int): DataFrame = {
-    val buckets = probeBuckets.select("bucket").distinct()
+    // materialize: the frame is executed twice (bucket collect for
+    // partition pruning, then the scan join) — without this the
+    // coarse stage (queries x centroids cross join + windows) re-runs
+    // for the second consumer ([[IvfPq.probeFrom]] does the same)
+    val pb = probeBuckets.localCheckpoint()
+    val buckets = pb.select("bucket").distinct()
       .collect().map(_.getInt(0))
     val scanned = spark.read.parquet(indexPath)
       .filter(col("bucket").isin(buckets.toSeq: _*))
@@ -274,7 +279,7 @@ object VectorIndex {
         Seq("vec_id"), "left_anti"))
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    index.join(broadcast(probeBuckets), "bucket")
+    index.join(broadcast(pb), "bucket")
       .select(col("query_id"), col("vec_id"),
         when(col("nrm") === 0.0 || col("q_nrm") === 0.0,
           lit(null).cast("double"))
@@ -423,10 +428,7 @@ object VectorIndex {
             lit(slack) * (lit(1.0) - col("best"))))
       .select(col("query_id"), col("q_emb"), col("q_nrm"),
         col("cent_id").as("bucket"))
-      // materialized: scanTopK executes the frame twice (bucket
-      // collect + the scan join), and this one carries a shuffle-join
-      // + two windows
-      .localCheckpoint()
+    // scanTopK materializes the frame once for its two consumers
     scanTopK(spark, indexPath, picked, k)
   }
 

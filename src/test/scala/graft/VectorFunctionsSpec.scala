@@ -92,4 +92,84 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(d("b") == 0.0)
     assert(d("o") > 0.0)
   }
+
+  test("native l2 distance is bit-identical to the composed fold") {
+    // values chosen to be inexact in binary so a float-vs-double
+    // arithmetic divergence or a re-associated fold would flip bits
+    val fvecs = Seq(
+      ("p", Seq(0.1f, 0.2f, 0.30000001f, -7.7f)),
+      ("q", Seq(1.1f, -0.2f, 3.3f, 0.001f)),
+      ("r", Seq(-2.5f, 0.7f, 1e-8f, 123.456f)))
+    val df = fvecs.toDF("id", "v")
+    val rows = df.as("x").crossJoin(df.as("y"))
+      .select(l2DistanceSq(col("x.v"), col("y.v")).as("fast"),
+        l2DistanceSqComposed(col("x.v"), col("y.v")).as("ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // double-array inputs take the getDouble path
+    val dd = Seq((Seq(0.1, 0.2, -0.3), Seq(0.3, 0.4, 7.7)))
+      .toDF("a", "b")
+      .select(l2DistanceSq(col("a"), col("b")).as("fast"),
+        l2DistanceSqComposed(col("a"), col("b")).as("ref")).collect()(0)
+    assert(java.lang.Double.doubleToLongBits(dd.getDouble(0)) ==
+      java.lang.Double.doubleToLongBits(dd.getDouble(1)))
+  }
+
+  test("raw float l2 fold (PQ.l2sq semantics) is bit-identical to " +
+    "the composed float fold") {
+    // WITHOUT the double cast the composed fold's per-element
+    // subtract/multiply run in FLOAT — the codegen expression must
+    // reproduce exactly that (PQ assignment/re-rank distances ride it;
+    // a last-ULP drift would flip window tiebreaks and the ANN pins)
+    val fvecs = Seq(
+      ("p", Seq(0.1f, 0.2f, 0.30000001f, -7.7f)),
+      ("q", Seq(1.1f, -0.2f, 3.3f, 0.001f)),
+      ("r", Seq(-2.5f, 0.7f, 1e-8f, 123.456f)))
+    val df = fvecs.toDF("id", "v")
+    val composedFloat = (a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    val rows = df.as("x").crossJoin(df.as("y"))
+      .select(graft.expressions.VectorExpressions
+          .l2sqF(col("x.v"), col("y.v")).as("fast"),
+        composedFloat(col("x.v"), col("y.v")).as("ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("native ADC lookup matches the composed element_at fold on " +
+    "in-range codes; invalid subscripts yield null") {
+    val m = 3
+    val dts = Seq(Seq(0.5, 1.5), Seq(2.25, 3.125), Seq(4.0, 0.625))
+    // in-range codes: bit-identical to the composed fold
+    val valid = Seq((Seq(0, 1, 1), dts), (Seq(1, 0, 0), dts))
+      .toDF("codes", "dts")
+    val composed = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, j) => acc + element_at(element_at(col("dts"),
+        j.cast("int") + 1), element_at(col("codes"), j.cast("int") + 1) + 1))
+    valid.select(
+      graft.expressions.VectorExpressions
+        .adcF(col("codes"), col("dts"), m).as("fast"),
+      composed.as("ref")).collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // out-of-range code (2 >= k=2): NULL, never a wrong sum (codes are
+    // in range by construction in every PQ path; the composed
+    // element_at form would raise Spark 4's ANSI invalid-index error —
+    // a graceful null is the deliberate divergence here)
+    val oob = Seq((Seq(0, 2, 1), dts)).toDF("codes", "dts")
+      .select(graft.expressions.VectorExpressions
+        .adcF(col("codes"), col("dts"), m).as("fast")).collect()(0)
+    assert(oob.isNullAt(0))
+  }
 }
