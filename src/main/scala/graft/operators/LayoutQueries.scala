@@ -39,7 +39,7 @@ object LayoutQueries {
   def ensurePartitionedOrders(s: SparkSession, d: String): String = {
     val path = s"${layoutRoot(d)}/orders_by_year"
     val orders = Tables.orders(s, d)
-    val expect = s"layout=$LayoutVersion part=o_year rows=${orders.count()}"
+    val expect = s"layout=$LayoutVersion part=o_year rows=${Tables.memoCount(orders)}"
     if (!ArtifactCache.hit(path, expect)) {
       Layout.writePartitioned(orders, path, "o_year",
         year(col("o_orderdate")))
@@ -104,7 +104,7 @@ object LayoutQueries {
     val path = s"${layoutRoot(d)}/lineitem_by_shipdate"
     val li = Tables.lineitem(s, d)
     val expect =
-      s"layout=$LayoutVersion sort=l_shipdate files=16 rows=${li.count()}"
+      s"layout=$LayoutVersion sort=l_shipdate files=16 rows=${Tables.memoCount(li)}"
     if (!ArtifactCache.hit(path, expect)) {
       Layout.writeRangeSorted(li, path, 16, "l_shipdate")
       ArtifactCache.stamp(path, expect)
@@ -122,7 +122,7 @@ object LayoutQueries {
     val path = s"${layoutRoot(d)}/lineitem_zorder"
     val li = Tables.lineitem(s, d)
     val expect =
-      s"layout=$LayoutVersion zorder=l_partkey,l_suppkey files=64 rows=${li.count()}"
+      s"layout=$LayoutVersion zorder=l_partkey,l_suppkey files=64 rows=${Tables.memoCount(li)}"
     if (!ArtifactCache.hit(path, expect)) {
       Layout.writeZOrdered(li, path, 64, "l_partkey", "l_suppkey")
       ArtifactCache.stamp(path, expect)
@@ -139,7 +139,7 @@ object LayoutQueries {
     val path = s"${layoutRoot(d)}/doc_postings"
     val docs = Tables.documents(s, d)
     val expect =
-      s"layout=$LayoutVersion postings=term,doc_id files=16 rows=${docs.count()}"
+      s"layout=$LayoutVersion postings=term,doc_id files=16 rows=${Tables.memoCount(docs)}"
     if (!ArtifactCache.hit(path, expect)) {
       graft.text.InvertedIndex.build(docs, path, 16)
       ArtifactCache.stamp(path, expect)
@@ -154,7 +154,7 @@ object LayoutQueries {
     val path = s"${layoutRoot(d)}/doc_postings_scored"
     val docs = Tables.documents(s, d)
     val expect =
-      s"layout=$LayoutVersion scored_postings files=16 rows=${docs.count()}"
+      s"layout=$LayoutVersion scored_postings files=16 rows=${Tables.memoCount(docs)}"
     if (!ArtifactCache.hit(path, expect)) {
       graft.text.InvertedIndex.buildScored(docs, path, 16)
       ArtifactCache.stamp(path, expect)
@@ -168,7 +168,7 @@ object LayoutQueries {
     val path = s"${layoutRoot(d)}/doc_postings_positional"
     val docs = Tables.documents(s, d)
     val expect =
-      s"layout=$LayoutVersion positional_postings files=16 rows=${docs.count()}"
+      s"layout=$LayoutVersion positional_postings files=16 rows=${Tables.memoCount(docs)}"
     if (!ArtifactCache.hit(path, expect)) {
       graft.text.InvertedIndex.buildPositional(docs, path, 16)
       ArtifactCache.stamp(path, expect)
@@ -182,7 +182,7 @@ object LayoutQueries {
   def ensureManifestDocs(s: SparkSession, d: String): String = {
     val path = s"${layoutRoot(d)}/docs_manifest"
     val docs = Tables.documents(s, d)
-    val n = docs.count()
+    val n = Tables.memoCount(docs)
     // four RANGE-disjoint appends with doc_id + lang stats recorded —
     // the shape a time-ordered ingest naturally produces, which is
     // what makes q128's manifest-level dir pruning non-vacuous (and,
@@ -219,7 +219,7 @@ object LayoutQueries {
   def ensurePartitionedEvents(s: SparkSession, d: String): String = {
     val path = s"${layoutRoot(d)}/events_part_days"
     val ev = Tables.events(s, d)
-    val n = ev.count()
+    val n = Tables.memoCount(ev)
     // -utc: rebuilt once after days() switched to UTC epoch
     // arithmetic (values identical under the UTC session, but the
     // artifact should provably come from the current derivation)
@@ -250,7 +250,7 @@ object LayoutQueries {
   def ensureDroppedLangDocs(s: SparkSession, d: String): String = {
     val path = s"${layoutRoot(d)}/docs_part_dropped"
     val docs = Tables.documents(s, d)
-    val n = docs.count()
+    val n = Tables.memoCount(docs)
     val expect = s"layout=$LayoutVersion manifest=lang-part-drop rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -281,7 +281,7 @@ object LayoutQueries {
   def ensureWapDocs(s: SparkSession, d: String): String = {
     val path = s"${layoutRoot(d)}/docs_wap"
     val docs = Tables.documents(s, d)
-    val n = docs.count()
+    val n = Tables.memoCount(docs)
     val expect = s"layout=$LayoutVersion manifest=wap rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -320,7 +320,7 @@ object LayoutQueries {
   def ensureManifestDocsByLang(s: SparkSession, d: String): String = {
     val path = s"${layoutRoot(d)}/docs_manifest_bylang"
     val docs = Tables.documents(s, d)
-    val n = docs.count()
+    val n = Tables.memoCount(docs)
     // strstats2: per-dir null counts recorded — what proves each dir
     // single-group in `lang` for q140's metadata-only GROUP BY
     val expect = s"layout=$LayoutVersion manifest=bylang+strstats2 rows=$n"
@@ -356,7 +356,7 @@ object LayoutQueries {
   def ensureMergedManifest(s: SparkSession, d: String): String = {
     val path = s"${layoutRoot(d)}/docs_manifest_merged"
     val docs = Tables.documents(s, d)
-    val n = docs.count()
+    val n = Tables.memoCount(docs)
     val expect = s"layout=$LayoutVersion manifest=4ranged+merge rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -392,7 +392,7 @@ object LayoutQueries {
   def ensureBloomManifest(s: SparkSession, d: String): String = {
     val path = s"${layoutRoot(d)}/docs_manifest_bloom"
     val docs = Tables.documents(s, d)
-    val n = docs.count()
+    val n = Tables.memoCount(docs)
     val expect = s"layout=$LayoutVersion manifest=mod4+bloom rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -421,7 +421,7 @@ object LayoutQueries {
     val docs = Tables.documents(s, d)
       .withColumn("doc_key",
         concat(lit("doc-"), col("doc_id").cast("string")))
-    val n = docs.count()
+    val n = Tables.memoCount(docs)
     val expect = s"layout=$LayoutVersion manifest=mod4+strbloom rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -453,7 +453,7 @@ object LayoutQueries {
       .select(concat(lit("doc-"), col("doc_id").cast("string"))
           .as("doc_key"),
         col("lang"), col("n_chars"), col("doc_id"))
-    val n = docs.count()
+    val n = Tables.memoCount(docs)
     val expect = s"layout=$LayoutVersion manifest=strranged+merge rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -496,7 +496,7 @@ object LayoutQueries {
     val path = s"${layoutRoot(d)}/docs_manifest_sqldml"
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"))
-    val n = docs.count()
+    val n = Tables.memoCount(docs)
     val expect = s"layout=$LayoutVersion manifest=sqldml rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -552,7 +552,7 @@ object LayoutQueries {
     val path = s"${layoutRoot(d)}/docs_manifest_sqlupd"
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"))
-    val n = docs.count()
+    val n = Tables.memoCount(docs)
     val expect = s"layout=$LayoutVersion manifest=sqlupd rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -596,7 +596,7 @@ object LayoutQueries {
     val path = s"${layoutRoot(d)}/docs_manifest_sqlmupd"
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"))
-    val n = docs.count()
+    val n = Tables.memoCount(docs)
     val expect = s"layout=$LayoutVersion manifest=sqlmupd rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -646,7 +646,7 @@ object LayoutQueries {
     val path = s"${layoutRoot(d)}/docs_manifest_mclauses"
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"))
-    val n = docs.count()
+    val n = Tables.memoCount(docs)
     val expect = s"layout=$LayoutVersion manifest=mclauses rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -700,7 +700,7 @@ object LayoutQueries {
     val path = s"${layoutRoot(d)}/docs_manifest_gendml"
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"))
-    val n = docs.count()
+    val n = Tables.memoCount(docs)
     val expect = s"layout=$LayoutVersion manifest=gendml rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -743,7 +743,7 @@ object LayoutQueries {
     val path = s"${layoutRoot(d)}/docs_manifest_pins"
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"))
-    val n = docs.count()
+    val n = Tables.memoCount(docs)
     val expect = s"layout=$LayoutVersion manifest=pins rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -793,7 +793,7 @@ object LayoutQueries {
     val path = s"${layoutRoot(d)}/docs_manifest_widen"
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"))
-    val n = docs.count()
+    val n = Tables.memoCount(docs)
     val expect = s"layout=$LayoutVersion manifest=widen rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -841,7 +841,7 @@ object LayoutQueries {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"),
         struct(col("lang"), col("n_chars")).as("meta"))
-    val n = docs.count()
+    val n = Tables.memoCount(docs)
     val expect = s"layout=$LayoutVersion manifest=nested rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -877,7 +877,7 @@ object LayoutQueries {
     val path = s"${layoutRoot(d)}/docs_manifest_branch"
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"))
-    val n = docs.count()
+    val n = Tables.memoCount(docs)
     val expect = s"layout=$LayoutVersion manifest=branch rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -917,7 +917,7 @@ object LayoutQueries {
     val path = s"${layoutRoot(d)}/docs_manifest_nrename"
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"))
-    val n = docs.count()
+    val n = Tables.memoCount(docs)
     val expect = s"layout=$LayoutVersion manifest=nrename rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -954,7 +954,7 @@ object LayoutQueries {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"),
         struct(col("lang"), col("n_chars")).as("meta"))
-    val n = docs.count()
+    val n = Tables.memoCount(docs)
     val expect = s"layout=$LayoutVersion manifest=nupd rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -988,7 +988,7 @@ object LayoutQueries {
     val path = s"${layoutRoot(d)}/docs_manifest_brdml"
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"))
-    val n = docs.count()
+    val n = Tables.memoCount(docs)
     val expect = s"layout=$LayoutVersion manifest=brdml rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -1037,7 +1037,7 @@ object LayoutQueries {
     val path = s"${layoutRoot(d)}/docs_manifest_swap"
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"))
-    val n = docs.count()
+    val n = Tables.memoCount(docs)
     val expect = s"layout=$LayoutVersion manifest=swap rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -1090,7 +1090,7 @@ object LayoutQueries {
       .select(col("doc_id"),
         concat(lit("d"), col("doc_id")).as("key"),
         col("lang"), col("n_chars"))
-    val n = docs.count()
+    val n = Tables.memoCount(docs)
     val expect = s"layout=$LayoutVersion manifest=sqdel rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -1138,7 +1138,7 @@ object LayoutQueries {
       .select(col("doc_id"),
         concat(lit("d"), col("doc_id")).as("key"),
         col("lang"), col("n_chars"))
-    val n = docs.count()
+    val n = Tables.memoCount(docs)
     val expect = s"layout=$LayoutVersion manifest=sqjdel rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -1202,7 +1202,7 @@ object LayoutQueries {
       .select(col("doc_id"),
         concat(lit("d"), col("doc_id")).as("key"),
         col("lang"), col("n_chars"))
-    val n = docs.count()
+    val n = Tables.memoCount(docs)
     val expect = s"layout=$LayoutVersion manifest=sqresdel rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -1269,7 +1269,7 @@ object LayoutQueries {
       .select(col("doc_id"),
         concat(lit("d"), col("doc_id")).as("key"),
         col("lang"), col("n_chars"))
-    val n = docs.count()
+    val n = Tables.memoCount(docs)
     val expect = s"layout=$LayoutVersion manifest=squpd rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -1374,7 +1374,7 @@ object LayoutQueries {
     val path = s"${layoutRoot(d)}/docs_manifest_cmap"
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"))
-    val n = docs.count()
+    val n = Tables.memoCount(docs)
     val expect = s"layout=$LayoutVersion manifest=cmap rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -1414,7 +1414,7 @@ object LayoutQueries {
     val path = s"$wh/db/docs"
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"))
-    val n = docs.count()
+    val n = Tables.memoCount(docs)
     val expect = s"layout=$LayoutVersion manifest=catalog rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(wh)
@@ -1459,7 +1459,7 @@ object LayoutQueries {
     val path = s"$wh/db/maint"
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"))
-    val n = docs.count()
+    val n = Tables.memoCount(docs)
     val expect = s"layout=$LayoutVersion manifest=maintcat rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(wh)
@@ -1511,7 +1511,7 @@ object LayoutQueries {
     val path = s"${layoutRoot(d)}/docs_manifest_cdf"
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"))
-    val n = docs.count()
+    val n = Tables.memoCount(docs)
     val expect = s"layout=$LayoutVersion manifest=cdf rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -1546,7 +1546,7 @@ object LayoutQueries {
     val path = s"${layoutRoot(d)}/docs_manifest_checked"
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"))
-    val n = docs.count()
+    val n = Tables.memoCount(docs)
     val expect = s"layout=$LayoutVersion manifest=check rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -1588,7 +1588,7 @@ object LayoutQueries {
   def ensureDvManifest(s: SparkSession, d: String): String = {
     val path = s"${layoutRoot(d)}/docs_manifest_dv"
     val docs = Tables.documents(s, d)
-    val n = docs.count()
+    val n = Tables.memoCount(docs)
     val expect = s"layout=$LayoutVersion manifest=mod4+dv rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -1627,7 +1627,7 @@ object LayoutQueries {
   def ensureRestoredManifest(s: SparkSession, d: String): String = {
     val path = s"${layoutRoot(d)}/docs_manifest_restored"
     val docs = Tables.documents(s, d)
-    val n = docs.count()
+    val n = Tables.memoCount(docs)
     val expect = s"layout=$LayoutVersion manifest=restore rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -1667,7 +1667,7 @@ object LayoutQueries {
   def ensureClusteredManifest(s: SparkSession, d: String): String = {
     val path = s"${layoutRoot(d)}/docs_manifest_clustered"
     val docs = Tables.documents(s, d)
-    val n = docs.count()
+    val n = Tables.memoCount(docs)
     val expect = s"layout=$LayoutVersion manifest=mod4+cluster4 rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -1696,7 +1696,7 @@ object LayoutQueries {
   def ensureZClusteredManifest(s: SparkSession, d: String): String = {
     val path = s"${layoutRoot(d)}/docs_manifest_zclustered"
     val docs = Tables.documents(s, d)
-    val n = docs.count()
+    val n = Tables.memoCount(docs)
     val expect = s"layout=$LayoutVersion manifest=mod4+zcluster16 rows=$n"
     if (!ArtifactCache.hit(path, expect)) {
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -1729,7 +1729,7 @@ object LayoutQueries {
     import graft.sinks.ManifestTable
     val root = s"${layoutRoot(d)}/curated_mf"
     val docs = Tables.documents(s, d)
-    val n = docs.count()
+    val n = Tables.memoCount(docs)
     val expect =
       s"layout=$LayoutVersion curated=3batches+midcompact rows=$n"
     if (!ArtifactCache.hit(root, expect)) {

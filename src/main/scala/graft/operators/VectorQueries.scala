@@ -693,7 +693,7 @@ object VectorQueries {
       .select(col("vec_id"), col("embedding"))
     val path = q170IndexPath(d)
     val expect = s"algo=${AnnVersion.AlgoVersion} serving " +
-      s"cents=$Q170_CENTS iters=$Q170_ITERS rows=${corpus.count()}"
+      s"cents=$Q170_CENTS iters=$Q170_ITERS rows=${Tables.memoCount(corpus)}"
     val hit = ArtifactCache.hit(path, expect)
     if (!hit) {
       val cents = VectorIndex.kmeansPpCentroids(corpus, Q170_CENTS,
@@ -729,7 +729,7 @@ object VectorQueries {
     val superPath = s"$path.super$Q175_SUPERS"
     val corpus = Tables.embeddings(s, d).select(col("vec_id"))
     val expect = s"algo=${AnnVersion.AlgoVersion} serving " +
-      s"cents=$Q170_CENTS iters=$Q170_ITERS rows=${corpus.count()} " +
+      s"cents=$Q170_CENTS iters=$Q170_ITERS rows=${Tables.memoCount(corpus)} " +
       s"supers=$Q175_SUPERS"
     val hit = ArtifactCache.hit(superPath, expect)
     if (!hit) {
@@ -763,12 +763,12 @@ object VectorQueries {
     val (base, delta) = q117Split(s, d)
     val path = q117IndexPath(d)
     val baseExpect = IvfPq.expectOf(Q110_M, Q110_K, Q110_CENTS,
-      Q110_ITERS, base.count())
+      Q110_ITERS, Tables.memoCount(base))
     // build-once on base unless the append already completed (the
     // post-append marker no longer matches the base expect by design)
     val built =
       if (graft.vector.ArtifactCache.hit(path,
-          s"$baseExpect appended=${delta.count()}")) false
+          s"$baseExpect appended=${Tables.memoCount(delta)}")) false
       else IvfPq.ensureBuilt(s, base, Q110_M, Q110_K, Q110_CENTS,
         Q110_ITERS, path)._2
     val appended = IvfPq.ensureAppended(s, path, delta, baseExpect)
@@ -795,7 +795,7 @@ object VectorQueries {
     val path = q173IndexPath(d)
     val dead = corpus.filter(col("vec_id") % 10 === 3).select("vec_id")
     val after = s"${IvfPq.expectOf(Q110_M, Q110_K, Q110_CENTS,
-      Q110_ITERS, corpus.count())} deleted=${dead.count()}"
+      Q110_ITERS, Tables.memoCount(corpus))} deleted=${Tables.memoCount(dead)}"
     if (ArtifactCache.hit(path, after))
       (IvfPq.centroidsOf(s, path), false)
     else {

@@ -207,6 +207,29 @@ object Streams {
       .withWatermark("date_updated", watermark)
       .dropDuplicatesWithinWatermark("cve_id", "date_updated")
 
+
+  /** Batch-bounded idempotence anti-join: the `batch` rows whose `key`
+    * is absent from `existing`. The naive
+    * `batch.join(existing.select(key), key, "left_anti")` makes the
+    * EXISTING side the join's build side — at a grown table the
+    * planner falls back to a sort-merge join and SHUFFLES the whole
+    * table's key column every micro-batch (guide §3.1's "pick the
+    * strategy deliberately", applied to the sink hot loop; the q120
+    * bloom-routed join already proved the shape). This form keeps the
+    * table STREAMING through its scan at any size: broadcast the
+    * batch's (micro-batch-bounded) key set, left-semi-probe the
+    * existing keys with it, and anti-join the batch against the —
+    * again batch-bounded — hit set. Result is identical; only the
+    * join strategy changes. */
+  private def freshByKey(batch: DataFrame, existingKeys: DataFrame,
+      key: String): DataFrame = {
+    val hits = existingKeys.select(col(key))
+      .join(broadcast(batch.select(col(key)).distinct()),
+        Seq(key), "left_semi")
+      .distinct()
+    batch.join(broadcast(hits), Seq(key), "left_anti")
+  }
+
   /** Streaming CONTENT dedup against a PERSISTED fingerprint table —
     * the continuous-ingest form of exact dedup (q40/q92): each
     * micro-batch of (doc_id, text) rows is deduped within itself
@@ -221,10 +244,10 @@ object Streams {
     * exist, so the anti-join drops every row); appends remain
     * at-least-once, standard for parquet sinks.
     *
-    * Scale shape: the anti-join shuffles on a uniform 32-byte md5 key
-    * — batch side is micro-batch-sized; at a large corpus, bucket the
-    * fingerprint table by fp ([[graft.layout.Layout]]) to pre-pay the
-    * table-side shuffle.
+    * Scale shape: admission is the [[freshByKey]] broadcast-semi
+    * shape — the fingerprint table STREAMS through its column-pruned
+    * scan against the micro-batch's broadcast key set, so no
+    * table-side shuffle exists to pre-pay at any corpus size.
     *
     * `compactEvery` > 0 compacts the FINGERPRINT table every that many
     * batches after the appends commit — only the table this sink
@@ -253,8 +276,7 @@ object Streams {
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("fp",
               org.apache.spark.sql.types.StringType))))
-        val fresh = firsts.join(seen.select(col("fp")), Seq("fp"),
-          "left_anti")
+        val fresh = freshByKey(firsts, seen, "fp")
         fresh.persist()
         try {
           // ONE file per batch append (not one per shuffle partition):
@@ -378,8 +400,7 @@ object Streams {
         // and (b) closed for sub-shingle docs: texts under ShingleN
         // tokens get no band rows, so only this fingerprint check
         // stops their exact copies from re-admitting forever.
-        val novel = firsts
-          .join(corpus.select(col("fp")), Seq("fp"), "left_anti")
+        val novel = freshByKey(firsts, corpus, "fp")
           .localCheckpoint()
         val (verified, truncation) = graft.dedup.NearDup
           .incrementalVerifiedWithBandsAndTruncation(
@@ -393,7 +414,10 @@ object Streams {
         // concurrent sinks in one JVM can't cross their reports.
         graft.dedup.NearDup.warnIfTruncated(
           "nearDupSinkWriter batch", truncation)
-        val fresh = novel.join(drops, Seq("doc_id"), "left_anti")
+        // drops is batch-bounded (verified pairs of THIS batch) but
+        // descends from checkpointed frames with no size stats — hint
+        // the broadcast so the planner never sort-merges it
+        val fresh = novel.join(broadcast(drops), Seq("doc_id"), "left_anti")
           .localCheckpoint()
         // bands FIRST: a crash between the two appends must not leave
         // corpus text invisible to future candidate generation. The
@@ -422,10 +446,10 @@ object Streams {
         // one write task is the right shape, and long-lived tables
         // bound total file count via
         // [[graft.sinks.Maintenance.compactParquet]].
-        graft.dedup.NearDup
-          .bands(fresh.select(col("doc_id"), col("text")))
-          .join(corpusBands.select(col("doc_id")).distinct(),
-            Seq("doc_id"), "left_anti")
+        freshByKey(
+          graft.dedup.NearDup.bands(
+            fresh.select(col("doc_id"), col("text"))),
+          corpusBands, "doc_id")
           .repartition(1)
           .write.mode("append").parquet(bandPath)
         fresh.select(col("doc_id"), col("text"), col("fp"))
@@ -497,11 +521,8 @@ object Streams {
         // from the index ([[graft.vector.IvfPq.delete]]) must be
         // re-insertable — its dead rows' ids would otherwise block
         // the re-insert forever
-        val fresh = batch
-          .dropDuplicates("vec_id")
-          .join(graft.vector.IvfPq.live(spark, indexPath)
-            .select(col("vec_id")),
-            Seq("vec_id"), "left_anti")
+        val fresh = freshByKey(batch.dropDuplicates("vec_id"),
+          graft.vector.IvfPq.live(spark, indexPath), "vec_id")
           .persist()
         try if (fresh.head(1).nonEmpty)
           graft.vector.IvfPq.append(spark, indexPath, fresh)
@@ -552,9 +573,8 @@ object Streams {
               org.apache.spark.sql.types.StringType),
             org.apache.spark.sql.types.StructField("doc_id",
               org.apache.spark.sql.types.LongType))))
-        val fresh = batch.dropDuplicates("doc_id")
-          .join(seen.select(col("doc_id")).distinct(),
-            Seq("doc_id"), "left_anti")
+        val fresh = freshByKey(batch.dropDuplicates("doc_id"),
+          seen, "doc_id")
         // the ONE shared posting projection (InvertedIndex.postingsOf):
         // same tokenization and column order as the batch build, by
         // construction rather than by parallel maintenance
@@ -1062,10 +1082,10 @@ object Streams {
           .select(col(keyCol).as("vec_id"))
         if (!clear.isEmpty)
           graft.vector.IvfPq.delete(spark, indexPath, clear)
-        val fresh = last.filter(col("_change_type") === "insert")
-          .select(col(keyCol).as("vec_id"), col(embCol).as("embedding"))
-          .join(graft.vector.IvfPq.live(spark, indexPath)
-            .select(col("vec_id")), Seq("vec_id"), "left_anti")
+        val fresh = freshByKey(
+          last.filter(col("_change_type") === "insert")
+            .select(col(keyCol).as("vec_id"), col(embCol).as("embedding")),
+          graft.vector.IvfPq.live(spark, indexPath), "vec_id")
         if (fresh.head(1).nonEmpty)
           graft.vector.IvfPq.append(spark, indexPath, fresh)
         // maintenance cadence (annIndexSinkWriter's contract): the

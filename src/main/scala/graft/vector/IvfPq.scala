@@ -297,7 +297,7 @@ object IvfPq {
     * [[append]] under its own ingest checkpoint. */
   def ensureAppended(spark: SparkSession, path: String,
       delta: DataFrame, baseExpect: String): Boolean = {
-    val after = s"$baseExpect appended=${delta.count()}"
+    val after = s"$baseExpect appended=${graft.Tables.memoCount(delta)}"
     if (ArtifactCache.hit(path, after)) false
     else {
       require(ArtifactCache.hit(path, baseExpect),
@@ -474,7 +474,8 @@ object IvfPq {
   def ensureBuilt(spark: SparkSession, corpus: DataFrame, m: Int,
       k: Int, nCentroids: Int, kmIters: Int, path: String)
       : (DataFrame, Boolean) = {
-    val expect = expectOf(m, k, nCentroids, kmIters, corpus.count())
+    val expect = expectOf(m, k, nCentroids, kmIters,
+      graft.Tables.memoCount(corpus))
     val hit = ArtifactCache.hit(path, expect)
     if (!hit) {
       val cents = VectorIndex.kmeansCentroids(corpus, nCentroids,

@@ -157,7 +157,7 @@ object PQ {
       corpus: DataFrame, m: Int, k: Int, iters: Int, path: String)
       : (DataFrame, Boolean) = {
     val expect = s"algo=${AnnVersion.AlgoVersion} m=$m k=$k " +
-      s"iters=$iters rows=${corpus.count()}"
+      s"iters=$iters rows=${graft.Tables.memoCount(corpus)}"
     val hit = ArtifactCache.hit(path, expect)
     if (!hit) {
       trainCodebooks(corpus, m, k, iters).write.mode("overwrite")
