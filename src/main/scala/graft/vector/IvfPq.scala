@@ -607,16 +607,20 @@ object IvfPq {
       picked: DataFrame, queries: DataFrame, m: Int, topK: Int,
       shortlist: Int, allowed: Option[DataFrame]): DataFrame = {
     val cb = spark.read.parquet(codebooksPath(path))
-    val probeBuckets = picked
+    // ONE execution of the coarse stage ([[VectorIndex.scanTopK]]'s
+    // rationale): both consumers — the pruning bucket list and the
+    // ADC join, which broadcasts (= collects) the frame anyway —
+    // are served from a single collect, re-shipped as a local
+    // relation; the queries x centroids cross join + windows run once.
+    val pbFrame = picked
       .select(col("query_id"), col("q_emb"), col("cent_id").as("bucket"))
-      // materialize: the frame is executed twice (bucket collect for
-      // partition pruning, then the ADC join) — without this the
-      // queries x centroids cross join + window re-runs
-      .localCheckpoint()
+    val pbRows = pbFrame.collect()
+    val probeBuckets = spark.createDataFrame(
+      spark.sparkContext.parallelize(pbRows.toSeq, 1),
+      pbFrame.schema)
     // bucket IN (...) is a partition filter: planning-time pruning —
     // the probed-bucket id set is bounded by queries x nProbe
-    val buckets = probeBuckets.select("bucket").distinct()
-      .collect().map(_.getInt(0))
+    val buckets = pbRows.map(_.getAs[Int]("bucket")).distinct
     // tombstone mask on the pruned scan: deleted keys drop BEFORE the
     // ADC shortlist (like `allowed`), so top-k never under-fills with
     // dead rows; with no tombstones this is the bare scan

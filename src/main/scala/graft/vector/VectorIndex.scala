@@ -263,13 +263,18 @@ object VectorIndex {
     * of the index dirs) and take per-query cosine top-k. */
   private def scanTopK(spark: SparkSession, indexPath: String,
       probeBuckets: DataFrame, k: Int): DataFrame = {
-    // materialize: the frame is executed twice (bucket collect for
-    // partition pruning, then the scan join) — without this the
-    // coarse stage (queries x centroids cross join + windows) re-runs
-    // for the second consumer ([[IvfPq.probeFrom]] does the same)
-    val pb = probeBuckets.localCheckpoint()
-    val buckets = pb.select("bucket").distinct()
-      .collect().map(_.getInt(0))
+    // ONE execution of the coarse stage: the frame has two consumers
+    // (the bucket list for planning-time partition pruning, and the
+    // scan join — which BROADCASTS it, i.e. collects it to the driver
+    // anyway), so collect it once and re-ship the rows as a local
+    // relation. Same driver data movement the broadcast already paid;
+    // one fewer job than the previous checkpoint-then-collect, and
+    // the coarse cross join + windows run exactly once.
+    val pbRows = probeBuckets.collect()
+    val pb = spark.createDataFrame(
+      spark.sparkContext.parallelize(pbRows.toSeq, 1),
+      probeBuckets.schema)
+    val buckets = pbRows.map(_.getAs[Int]("bucket")).distinct
     val scanned = spark.read.parquet(indexPath)
       .filter(col("bucket").isin(buckets.toSeq: _*))
     // tombstone mask: deleted keys drop before scoring (broadcast
