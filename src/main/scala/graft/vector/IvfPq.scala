@@ -506,7 +506,7 @@ object IvfPq {
       shortlist: Int, allowed: Option[DataFrame] = None): DataFrame =
     probeFrom(spark, path,
       coarseRanks(cents, queries).filter(col("rk") <= nProbe),
-      queries, m, topK, shortlist, allowed)
+      m, topK, shortlist, allowed)
 
   /** [[probe]] with the coarse budget derived PER QUERY from the
     * centroid distances (see [[VectorIndex.probeAdaptive]] — this is
@@ -528,7 +528,7 @@ object IvfPq {
       .filter(col("rk") <= lit(minProbe) ||
         (col("rk") <= lit(maxProbe) &&
           col("d2") <= (lit(1.0) + lit(slack)) * col("best")))
-    probeFrom(spark, path, picked, queries, m, topK, shortlist, allowed)
+    probeFrom(spark, path, picked, m, topK, shortlist, allowed)
   }
 
   /** TWO-LEVEL [[probeAdaptive]] — [[VectorIndex.probeAdaptive2]]'s
@@ -585,7 +585,7 @@ object IvfPq {
     // probeFrom materializes the derived probe-bucket frame once for
     // its two consumers — a second checkpoint here would store the
     // same rows twice
-    probeFrom(spark, path, picked, queries, m, topK, shortlist, allowed)
+    probeFrom(spark, path, picked, m, topK, shortlist, allowed)
   }
 
   /** Stage 1 scoring shared by both probes: per-query centroid
@@ -604,23 +604,43 @@ object IvfPq {
   /** Stages 2-3 over an already-picked (query_id, q_emb, cent_id
     * [, ...]) bucket frame. */
   private def probeFrom(spark: SparkSession, path: String,
-      picked: DataFrame, queries: DataFrame, m: Int, topK: Int,
+      picked: DataFrame, m: Int, topK: Int,
       shortlist: Int, allowed: Option[DataFrame]): DataFrame = {
-    val cb = spark.read.parquet(codebooksPath(path))
     // ONE execution of the coarse stage ([[VectorIndex.scanTopK]]'s
     // rationale): both consumers — the pruning bucket list and the
     // ADC join, which broadcasts (= collects) the frame anyway —
     // are served from a single collect, re-shipped as a local
     // relation; the queries x centroids cross join + windows run once.
+    // LocalRelation (not parallelize) so the downstream broadcast
+    // builds from driver memory without a one-task staging job.
     val pbFrame = picked
       .select(col("query_id"), col("q_emb"), col("cent_id").as("bucket"))
     val pbRows = pbFrame.collect()
     val probeBuckets = spark.createDataFrame(
-      spark.sparkContext.parallelize(pbRows.toSeq, 1),
-      pbFrame.schema)
+      java.util.Arrays.asList(pbRows: _*), pbFrame.schema)
     // bucket IN (...) is a partition filter: planning-time pruning —
     // the probed-bucket id set is bounded by queries x nProbe
     val buckets = pbRows.map(_.getAs[Int]("bucket")).distinct
+    // the queries relation, re-shipped from the SAME collect: every
+    // query row survives the coarse stage (rank 1 always passes the
+    // probe budget) and (query_id, q_emb) is unique by the probe
+    // contract, so the distinct collected pairs ARE the queries frame
+    // — the distance-table staging and the re-rank broadcast below
+    // build from this LocalRelation instead of re-running the queries
+    // subtree as two more sequential broadcast-build jobs (§2.4).
+    val qSchema = org.apache.spark.sql.types.StructType(
+      Seq(pbFrame.schema("query_id"), pbFrame.schema("q_emb")))
+    val qRows = {
+      val seen = scala.collection.mutable.LinkedHashMap
+        .empty[Any, org.apache.spark.sql.Row]
+      pbRows.foreach { r =>
+        if (!seen.contains(r.get(0)))
+          seen(r.get(0)) = org.apache.spark.sql.Row(r.get(0), r.get(1))
+      }
+      seen.values.toSeq
+    }
+    val queriesLocal = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qSchema)
     // tombstone mask on the pruned scan: deleted keys drop BEFORE the
     // ADC shortlist (like `allowed`), so top-k never under-fills with
     // dead rows; with no tombstones this is the bare scan
@@ -631,7 +651,29 @@ object IvfPq {
     // Only (bucket, vec_id, codes, gen) are selected, so the parquet
     // scan column-prunes the wide embedding away (ReadSchema) — the
     // scoring pass reads the codes table, not the corpus.
-    val dt = PQ.distanceTables(queries, cb, m)
+    // Distance tables are computed on the driver from the collected
+    // queries and the (m*k)-row codebooks ([[PQ.distanceTableRows]] —
+    // float-identical to the distributed staging) so they too
+    // broadcast from a LocalRelation.
+    val cbDf = spark.read.parquet(codebooksPath(path))
+      .select(col("sub"), col("cid"), col("c_sub"))
+    def isFloatArr(f: org.apache.spark.sql.types.StructField): Boolean =
+      f.dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) => true
+        case _ => false
+      }
+    val dtRows = PQ.distanceTableRows(qRows, cbDf.collect(), m,
+      qFloat = isFloatArr(qSchema("q_emb")),
+      cbFloat = isFloatArr(cbDf.schema("c_sub")))
+    val dtSchema = org.apache.spark.sql.types.StructType(Seq(
+      qSchema("query_id"),
+      org.apache.spark.sql.types.StructField("dts",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+    val dt = spark.createDataFrame(
+      java.util.Arrays.asList(dtRows: _*), dtSchema)
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc"), col("vec_id"), col("gen"))
     val candidates = prunedIndex
@@ -665,7 +707,7 @@ object IvfPq {
     prunedIndex
       .select(col("vec_id"), col("gen"), col("embedding"))
       .join(broadcast(shortlisted), Seq("vec_id", "gen"))
-      .join(broadcast(queries), "query_id")
+      .join(broadcast(queriesLocal), "query_id")
       .select(col("query_id"), col("vec_id"), col("gen"),
         PQ.l2sq(col("embedding"), col("q_emb")).as("dist"))
       .withColumn("dup", row_number().over(wDup))

@@ -220,6 +220,91 @@ object PQ {
       .select(col("query_id"),
         transform(col("sd"), x => x.getField("dt")).as("dts"))
 
+  /** [[distanceTables]] computed ON THE DRIVER over already-collected
+    * query rows and codebook rows — what [[IvfPq.probeFrom]] stages
+    * after its coarse-stage collect, so the distance tables broadcast
+    * from a LocalRelation instead of re-running the queries subtree
+    * through two aggregation exchanges as a separate broadcast-build
+    * job (guide §2.4: the frame was bounded and collected anyway).
+    *
+    * Bit-identity with the distributed form, piece by piece:
+    * subvector slicing uses the same `ds = dim / m` integral bounds
+    * (a non-divisible tail is dropped by both); each subspace
+    * distance runs the same float-subtract/float-square/Double-
+    * accumulate loop as [[graft.expressions.FloatL2DistSq]] (null
+    * elements 0, shorter-prefix fold); the (cid, d) entries sort by
+    * the same (cid, then d) struct order `sort_array` uses (cids are
+    * unique per sub, so the tie-break never fires); subs sort
+    * ascending exactly like the outer `sort_array`; a null q_emb
+    * yields no row (explode of a null slice array); a sub absent
+    * from the codebooks is absent from `dts` (inner join). The
+    * queries' (query_id, q_emb) rows are unique by the probe
+    * contract (both callers key them by vec_id). */
+  private[vector] def distanceTableRows(
+      qRows: Seq[org.apache.spark.sql.Row],
+      cbRows: Seq[org.apache.spark.sql.Row], m: Int,
+      qFloat: Boolean, cbFloat: Boolean): Seq[org.apache.spark.sql.Row] = {
+    val bySub: Map[Int, Seq[(Int, scala.collection.Seq[Any])]] =
+      cbRows.map(r => (r.getInt(0), (r.getInt(1),
+        r.get(2).asInstanceOf[scala.collection.Seq[Any]])))
+        .groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val subs = bySub.keysIterator.filter(j => j >= 0 && j < m)
+      .toSeq.sorted
+    qRows.flatMap { r =>
+      val emb = r.get(1)
+      if (emb == null) None
+      else {
+        val e = emb.asInstanceOf[scala.collection.Seq[Any]]
+        val ds = e.length / m
+        val dts: Seq[Seq[Double]] = subs.map { j =>
+          val sv = e.slice(j * ds, j * ds + ds)
+          bySub(j)
+            .map { case (cid, cSub) =>
+              (cid, l2sqLocal(sv, cSub, qFloat, cbFloat)) }
+            .sortBy(identity)
+            .map(_._2)
+        }
+        Some(org.apache.spark.sql.Row(r.get(0), dts))
+      }
+    }
+  }
+
+  /** [[graft.expressions.FloatL2DistSq]]'s exact arithmetic on
+    * driver-side collected array values: float per-element ops when
+    * both sides are float arrays, double otherwise; Double
+    * accumulation left-to-right; null element = 0; fold over the
+    * shorter prefix. */
+  private def l2sqLocal(a: scala.collection.Seq[Any],
+      b: scala.collection.Seq[Any], aFloat: Boolean,
+      bFloat: Boolean): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    if (aFloat && bFloat) {
+      while (i < n) {
+        val x = a(i) match { case null => 0.0f
+          case v => v.asInstanceOf[Float] }
+        val y = b(i) match { case null => 0.0f
+          case v => v.asInstanceOf[Float] }
+        val d = x - y
+        acc += (d * d).toDouble
+        i += 1
+      }
+    } else {
+      def dbl(v: Any, f: Boolean): Double = v match {
+        case null => 0.0
+        case _ => if (f) v.asInstanceOf[Float].toDouble
+          else v.asInstanceOf[Double]
+      }
+      while (i < n) {
+        val d = dbl(a(i), aFloat) - dbl(b(i), bFloat)
+        acc += d * d
+        i += 1
+      }
+    }
+    acc
+  }
+
   /** Approximate squared L2 of a coded vector against a staged
     * distance-table column: m table lookups, no d-wide arithmetic —
     * the native codegen loop ([[graft.expressions.AdcLookup]]; the
