@@ -114,15 +114,23 @@ object Pipeline {
       .localCheckpoint() // percentile pass + filter both read it
     mark("1_exact_dedup_quality")
     // one percentile buffer for both trim bounds (array form — see
-    // q68's note; bit-identical interpolation per quantile)
-    val stats = counted.agg(
+    // q68's note; bit-identical interpolation per quantile), collected
+    // to the driver: the trim then becomes a LITERAL filter over the
+    // stage-1 checkpoint, so `trimmed` stays a cheap plan its three
+    // consumers (bands, verification, the anti-join probe) re-filter
+    // from the materialized RDD — the previous localCheckpoint here
+    // wrote a second, nearly corpus-sized copy of stage 1 only to
+    // avoid re-running the two-number percentile subquery per
+    // consumer (§5: don't store what a literal predicate recomputes).
+    val statsRow = counted.agg(
       expr("percentile(n_tokens, array(0.01D, 0.99D))").as("lohi"))
       .select(element_at(col("lohi"), 1).as("lo"),
-        element_at(col("lohi"), 2).as("hi"))
-    val trimmed = counted.crossJoin(broadcast(stats))
-      .filter(col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
-      .drop("lo", "hi")
-      .localCheckpoint() // feeds bands, verification, and the anti-join
+        element_at(col("lohi"), 2).as("hi")).head()
+    def bound(i: Int) =
+      if (statsRow.isNullAt(i)) lit(null).cast("double")
+      else lit(statsRow.getDouble(i))
+    val trimmed = counted
+      .filter(col("n_tokens") >= bound(0) && col("n_tokens") <= bound(1))
     mark("2_outlier_trim")
     val (pairs, truncation) = graft.dedup.NearDup
       .verifiedPairsWithTruncation(trimmed, minJaccard)

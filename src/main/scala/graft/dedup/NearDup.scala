@@ -258,11 +258,17 @@ object NearDup {
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         array_distinct(shinglesOf(col("toks"), ShingleN)).as("sset"))
+    // BOTH pair sides read the shingle sets. Hint the sh sides into
+    // shuffle joins: each shuffles sh by its (renamed) doc_id, and the
+    // two exchanges are canonically identical, so ReuseExchange runs
+    // the corpus scan + semi-join + tokenize + shingle subtree ONCE —
+    // a broadcast pair would execute it once per side (no exchange to
+    // reuse), and an explicit checkpoint would serialize an extra job.
     cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sset").as("sset_a")),
-        "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sset").as("sset_b")),
-        "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("sset").as("sset_a"))
+        .hint("merge"), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sset").as("sset_b"))
+        .hint("merge"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sset_a"), col("sset_b")))
           .cast("double") /
@@ -323,13 +329,19 @@ object NearDup {
     // self-labels — wrong for ANY nonempty edge set — so reject it up
     // front; the fail-fast contract below must hold for every argument
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
-    // Materialize BEFORE the self-union: if `pairs` carries an observe
-    // node (candidatePairs does), unioning it with itself would put two
-    // same-named CollectMetrics nodes in one plan — an analysis error.
-    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
-    val edges = p
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // Both edge orientations from ONE pass over the pairs pipeline: an
+    // explode of the two oriented copies instead of a self-union (which
+    // would duplicate a CollectMetrics observe node — an analysis
+    // error — and previously forced a separate materialization of the
+    // pairs before the union). The expensive candidate/verify subtree
+    // now runs exactly once, inside this single checkpoint.
+    // explode_outer + isNotNull per the engine-wide generate rule.
+    val edges = pairs
+      .select(explode_outer(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .filter(col("e").isNotNull)
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()

@@ -249,10 +249,19 @@ object Joins {
         |  CAST(SUM(CAST(value AS BIGINT)) AS BIGINT) AS sum_val
         |FROM x GROUP BY key
         |ORDER BY key""".stripMargin) { (s, d) =>
+      // explode_OUTER + isNotNull per the engine-wide generate rule:
+      // a plain explode made InferFiltersFromGenerate add
+      // size(kv)>0 AND isnotnull(kv) below the Generate, and pushdown
+      // substituted the FULL from_json into both — the JSON parse ran
+      // THREE times per event row. Outer generates skip the rule; an
+      // empty/null map contributes one null-key row (JSON object keys
+      // are never null, so the key filter drops exactly those).
       Tables.events(s, d)
         .select(col("event_id"),
           from_json(col("props"), org.apache.spark.sql.types.MapType(org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)).as("kv"))
-        .select(col("event_id"), explode(col("kv")).as(Seq("key", "value")))
+        .select(col("event_id"),
+          explode_outer(col("kv")).as(Seq("key", "value")))
+        .filter(col("key").isNotNull)
         .groupBy(col("key"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("bigint")).cast("bigint").as("sum_val"))
