@@ -14,6 +14,22 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * size-gated, a no-op on plans below its thresholds). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftExtensions.quietBoundedWindowWarning()
+    // re-assert the bounded-window log filter at analysis time: Spark
+    // reconfigures log4j after session setup, dropping programmatic
+    // logger configs installed above (no-op pass-through rule; the
+    // install check is one map lookup once the filter is in place)
+    ext.injectResolutionRule { _ =>
+      new org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+        override def apply(
+            plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+            : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+          GraftExtensions.quietBoundedWindowWarning()
+          plan
+        }
+      }
+    }
     // optimizer rules: the automatic Bloom runtime join filter runs in
     // the Pre-CBO batch (Once, after operator optimization — filters
     // pushed and columns pruned, so side sizes are meaningful; before
@@ -236,5 +252,50 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.sinks.ManifestTable.readBranch(spark, path, strArg(1))
           .queryExecution.analyzed
       })
+  }
+}
+
+object GraftExtensions {
+  /** Silence WindowExec's blanket global-window warning once per JVM:
+    * every unpartitioned window in this engine runs over a frame
+    * bounded by construction (seed ranks over a `limit(n)`, top-V id
+    * assignment after `limit(v)` — each site documents its bound), and
+    * Spark 4's `EliminateWindowPartitions` folds away the literal
+    * partition key that would otherwise name a partition spec, so the
+    * "No Partition Defined ... serious performance degradation"
+    * warning fires on every bounded window and buries real warnings in
+    * the smoke tail. A plain level override would not survive
+    * `sparkContext.setLogLevel` (it calls `Configurator.setAllLevels`,
+    * clobbering per-logger levels), so the suppression is a DENY
+    * filter on a dedicated WindowExec logger config — setAllLevels
+    * touches levels, never filters. Spark's own logging init
+    * RECONFIGURES the context after session setup (dropping
+    * programmatic logger configs), so the install is RE-CHECKED from a
+    * no-op resolution rule on every analysis pass — a map lookup when
+    * already installed. The engine-wide review rule stands: a global
+    * window over an UNBOUNDED frame is a bug regardless of this
+    * logger. */
+  private[graft] def quietBoundedWindowWarning(): Unit = {
+    import org.apache.logging.log4j.Level
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.config.LoggerConfig
+    import org.apache.logging.log4j.core.filter.DenyAllFilter
+    val name = "org.apache.spark.sql.execution.window.WindowExec"
+    LogManager.getContext(false) match {
+      case ctx: LoggerContext =>
+        val cfg = ctx.getConfiguration
+        val existing = cfg.getLoggerConfig(name)
+        if (existing.getName != name) {
+          val fresh = new LoggerConfig(name, Level.WARN, true)
+          fresh.addFilter(DenyAllFilter.newBuilder().build())
+          cfg.addLogger(name, fresh)
+          ctx.updateLoggers()
+        } else if (existing.getFilter == null) {
+          existing.addFilter(DenyAllFilter.newBuilder().build())
+          ctx.updateLoggers()
+        }
+      case _ => // non-core logging backend: leave the warning be
+    }
   }
 }

@@ -258,17 +258,11 @@ object NearDup {
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         array_distinct(shinglesOf(col("toks"), ShingleN)).as("sset"))
-    // BOTH pair sides read the shingle sets. Hint the sh sides into
-    // shuffle joins: each shuffles sh by its (renamed) doc_id, and the
-    // two exchanges are canonically identical, so ReuseExchange runs
-    // the corpus scan + semi-join + tokenize + shingle subtree ONCE —
-    // a broadcast pair would execute it once per side (no exchange to
-    // reuse), and an explicit checkpoint would serialize an extra job.
     cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sset").as("sset_a"))
-        .hint("merge"), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sset").as("sset_b"))
-        .hint("merge"), "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("sset").as("sset_a")),
+        "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sset").as("sset_b")),
+        "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sset_a"), col("sset_b")))
           .cast("double") /
