@@ -292,19 +292,27 @@ object VectorQueries {
       val cents = probes(s, d)
         .select(col("query_id").as("cent_id"), col("q_emb").as("c_emb"),
           col("q_nrm").as("c_nrm"))
-      // assign: nearest centroid per corpus vector (broadcast, no shuffle)
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("csim").desc, col("cent_id"))
+      // assign: nearest centroid per corpus vector (broadcast) via an
+      // AGGREGATED argmax — max(struct(csim, -cent_id, payload...)) is
+      // lexicographically the `orderBy(csim desc, cent_id) rk=1`
+      // window row it replaced (null csim smallest = desc-nulls-last,
+      // NaN largest = desc-first, ties to the lowest cent_id; the
+      // payload fields are never compared since (csim, cent_id) pairs
+      // are unique). The partial aggregate collapses the NQ candidate
+      // rows per vector map-side, so the exchange carries one row per
+      // vector instead of NQ copies of its embedding (§2.3).
       val assigned = Tables.embeddings(s, d)
         .withColumn("nrm", l2Norm(col("embedding")))
         .crossJoin(broadcast(cents))
         .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
           stagedCosine(col("c_emb"), col("embedding"), col("c_nrm"),
             col("nrm")).as("csim"))
-        .withColumn("ark", row_number().over(wAssign))
-        .filter(col("ark") === 1)
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          col("cent_id").as("bucket"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("csim"), (-col("cent_id")).as("nc"),
+          col("cent_id").as("cent_id"), col("embedding").as("embedding"),
+          col("nrm").as("nrm"))).as("best"))
+        .select(col("vec_id"), col("best.embedding").as("embedding"),
+          col("best.nrm").as("nrm"), col("best.cent_id").as("bucket"))
       // probe: each query joins only its own bucket
       val wTop = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("vec_id"))

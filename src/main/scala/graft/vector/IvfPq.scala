@@ -175,17 +175,22 @@ object IvfPq {
     * neighbors plateaus below 1 no matter the knobs. One centroid
     * broadcast, one corpus pass, one per-vector argmin window. */
   private def l2AssignBuckets(corpus: DataFrame,
-      cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d2"), col("cent_id"))
+      cents: DataFrame): DataFrame =
+    // AGGREGATED argmin: min(struct(d2, cent_id, embedding)) is
+    // lexicographically the window `orderBy(d2, cent_id) rk=1` row
+    // this replaced ((d2, cent_id) unique, so the embedding payload is
+    // never compared); the partial aggregate collapses the C candidate
+    // rows per vector MAP-SIDE, so the exchange carries one row per
+    // vector instead of C copies of its embedding (guide §2.3).
     corpus
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
         PQ.l2sq(col("embedding"), col("c_emb")).as("d2"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("bucket"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cent_id").as("cent_id"),
+        col("embedding").as("embedding"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.cent_id").as("bucket"))
 
   /** Build the partitioned IVF-PQ index at `path`. `cents` are the
     * coarse centroids ((cent_id, c_emb, c_nrm) — use

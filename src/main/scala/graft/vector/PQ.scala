@@ -65,17 +65,20 @@ object PQ {
   }
 
   /** Per-(vec, sub) nearest codebook entry: (vec_id, sub, cid).
-    * One broadcast of the m*k codebook, one window argmin. */
-  private def assign(sv: DataFrame, codebooks: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("d"), col("cid"))
+    * One broadcast of the m*k codebook, one AGGREGATED argmin:
+    * `min(struct(d, cid))` is lexicographically the window
+    * `orderBy(d, cid) ... rk = 1` row this replaced (same null-first
+    * and NaN-largest ordering), but the partial aggregate collapses
+    * the k candidates per (vec, sub) MAP-SIDE — the exchange carries
+    * one row per subvector instead of k, and no per-partition sort
+    * (guide §2.3: aggregate before you shuffle). */
+  private def assign(sv: DataFrame, codebooks: DataFrame): DataFrame =
     sv.join(broadcast(codebooks), Seq("sub"))
       .select(col("vec_id"), col("sub"), col("cid"),
         l2sq(col("sv"), col("c_sub")).as("d"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("sub"), col("cid"))
-  }
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.cid").as("cid"))
 
   /** Codebook-training sample cap: Lloyd's rounds run over at most
     * this many vectors, selected by a deterministic hash stride —

@@ -62,12 +62,20 @@ object VectorIndex {
         when(col("nrm") === 0.0 || col("c_nrm") === 0.0, lit(-2.0))
           .otherwise(dotF(col("c_emb"), col("embedding"))
             / (col("c_nrm") * col("nrm"))).as("csim"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cent_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("cent_id").as("bucket"))
+    // AGGREGATED argmax: max(struct(csim, -cent_id, ...)) is
+    // lexicographically the window `orderBy(csim desc, cent_id) rk=1`
+    // row this replaced (NaN still sorts largest, ties still break to
+    // the lowest cent_id; (csim, cent_id) pairs are unique so the
+    // trailing payload fields are never compared). The partial
+    // aggregate collapses the C candidate rows per vector MAP-SIDE —
+    // the exchange carries ONE row per vector instead of C copies of
+    // its full embedding, and no per-partition sort (guide §2.3).
+    scored.groupBy(col("vec_id"))
+      .agg(max(struct(col("csim"), (-col("cent_id")).as("nc"),
+        col("cent_id").as("cent_id"), col("embedding").as("embedding"),
+        col("nrm").as("nrm"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.nrm").as("nrm"), col("best.cent_id").as("bucket"))
   }
 
   /** Lloyd's k-means refinement of the stride seeds: `iters` fixed
@@ -356,18 +364,21 @@ object VectorIndex {
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("super_id"))
     val centsS = cents.join(centToSuper, "cent_id")
-    val w2 = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cent_id"))
+    // aggregated argmax — same shape and equivalence argument as
+    // [[assignBuckets]] (§2.3: one row per vector through the
+    // exchange instead of one per admitted centroid)
     sup.join(broadcast(centsS), "super_id")
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("cent_id"),
         when(col("nrm") === 0.0 || col("c_nrm") === 0.0, lit(-2.0))
           .otherwise(dotF(col("c_emb"), col("embedding"))
             / (col("c_nrm") * col("nrm"))).as("csim"))
-      .withColumn("rk", row_number().over(w2))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("cent_id").as("bucket"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("csim"), (-col("cent_id")).as("nc"),
+        col("cent_id").as("cent_id"), col("embedding").as("embedding"),
+        col("nrm").as("nrm"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.nrm").as("nrm"), col("best.cent_id").as("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     val spark = corpus.sparkSession
     val p = new org.apache.hadoop.fs.Path(tombstonesPath(path))
